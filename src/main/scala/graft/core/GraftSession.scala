@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Encodes the performance obligations from SURVEY.md §6 / BASELINE.md:
+  * UTC session timezone (oracle parity), AQE on (runtime re-planning,
+  * skew-join splitting), shuffle partitions sized to the local core count
+  * rather than Spark's default 200 (the reference inherits the 200-partition
+  * default over ~34k rows — pure overhead; see `/root/reference`
+  * `Main.scala:10` which sets only `master("local[*]")`).
+  *
+  * On a real cluster the same builder is used with `master` unset (taken
+  * from spark-submit) and `shufflePartitions` sized to ~2-3× total cores;
+  * AQE coalesces downward at runtime so oversizing is safe.
+  */
+object GraftSession {
+  def builder(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

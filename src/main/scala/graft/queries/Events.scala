@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Fmt, Tables}
+import graft.core.Fmt.{r4, r6}
+import graft.ops.AsOf
+
+/** Event-time queries: lag/gap detection, tumbling/sliding/session windows
+  * (batch mode of the Structured Streaming surface, SURVEY.md §2.10), as-of
+  * join, pivot, argmax. `events.ts` carries microsecond precision, so all
+  * gap arithmetic is done in whole microseconds (`unix_micros` ↔ DuckDB
+  * `epoch_us`) — second-truncating functions would disagree across engines.
+  */
+object Events {
+
+  /** Q14 — per-key LAG gap detection (ref: timestamp-gap scan,
+    * `Cleaning.scala:68-79`; engine version partitions the window by user
+    * instead of the reference's global single-task window — SURVEY §2.5 W1). */
+  val q14 = QueryDef(
+    "q14_event_gaps",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us") > 3600L * 1000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (SELECT user_id,
+                              epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                       FROM events)
+            SELECT user_id, COUNT(*) AS n_gaps FROM g
+            WHERE gap_us > 3600000000 GROUP BY 1 ORDER BY 1"""),
+    headline = true)
+
+  /** Q19 — tumbling 1-hour window aggregate, batch analog of the streaming
+    * query (SURVEY §2.10 / §2.13 Q19). */
+  val q19 = QueryDef(
+    "q19_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r6(sum(col("value"))).as("sum_value"))
+        .select(Fmt.ts(col("window.start")).as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w,
+                   event_type, COUNT(*) AS cnt, ROUND(SUM(value),6) AS sum_value
+            FROM events GROUP BY 1,2 ORDER BY 1,2"""),
+    headline = true)
+
+  /** Q20 — sliding 1-hour/30-minute window aggregate. Each event lands in
+    * exactly 2 windows; the oracle expands them explicitly. */
+  val q20 = QueryDef(
+    "q20_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), r6(sum(col("value"))).as("sum_value"))
+        .select(Fmt.ts(col("window.start")).as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type"),
+    Some("""SELECT strftime(make_timestamp(s), '%Y-%m-%d %H:%M:%S') AS w,
+                   event_type, COUNT(*) AS cnt, ROUND(SUM(value),6) AS sum_value
+            FROM (SELECT unnest([(epoch_us(ts)//1800000000)*1800000000,
+                                 (epoch_us(ts)//1800000000)*1800000000 - 1800000000]) AS s,
+                         event_type, value
+                  FROM events)
+            GROUP BY 1,2 ORDER BY 1,2"""))
+
+  /** Q43 — session windows (10-minute gap) per user, batch analog of
+    * `session_window` (SURVEY §2.10). A new session starts when the gap to
+    * the previous event is >= the gap duration (Spark windows are
+    * half-open `[start, last+gap)`). */
+  val q43 = QueryDef(
+    "q43_session_windows",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy("user_id"),
+    Some("""WITH g AS (SELECT user_id,
+                              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                                     (PARTITION BY user_id ORDER BY ts, event_id)
+                                   >= 600000000 THEN 1 ELSE 0 END AS new_s
+                       FROM events)
+            SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY 1 ORDER BY 1"""))
+
+  /** Q40 — as-of join: for each click event, the latest purchase by the
+    * same user at or before the click (SURVEY §2.3 as-of row; see
+    * [[graft.ops.AsOf]] for the scalable union+window composition). */
+  val q40 = QueryDef(
+    "q40_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      AsOf
+        .join(clicks, purchases, key = "user_id", time = "ts", tieBreak = "event_id",
+          valueCols = Seq("value"))
+        .select(
+          col("event_id"),
+          r6(col("asof_value")).as("purchase_value"),
+          Fmt.ts(col("asof_ts")).as("purchase_ts"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id,
+                   ROUND((SELECT b.value FROM events b
+                          WHERE b.user_id = e.user_id AND b.event_type = 'purchase'
+                            AND b.ts <= e.ts
+                          ORDER BY b.ts DESC, b.event_id DESC LIMIT 1),6) AS purchase_value,
+                   strftime((SELECT MAX(b.ts) FROM events b
+                             WHERE b.user_id = e.user_id AND b.event_type = 'purchase'
+                               AND b.ts <= e.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+            FROM events e WHERE e.event_type = 'click' ORDER BY e.event_id"""))
+
+  /** Q49 — FIRST_VALUE / LAST_VALUE analytic functions per user
+    * (SURVEY §2.5 analytic set). */
+  val q49 = QueryDef(
+    "q49_first_last",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(
+          col("user_id"),
+          first(col("value")).over(w).as("fv"),
+          last(col("value")).over(w).as("lv"))
+        .distinct()
+        .orderBy("user_id")
+    },
+    Some("""SELECT DISTINCT user_id,
+                   FIRST_VALUE(value) OVER w AS fv, LAST_VALUE(value) OVER w AS lv
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY user_id"""))
+
+  /** Q51 — JSON field extraction + aggregation (SURVEY §2.8 extension:
+    * `get_json_object`; oracle avoids the DuckDB json extension by regex). */
+  val q51 = QueryDef(
+    "q51_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Q56 — pivot (grouped transpose) of per-type value sums (SURVEY §2.4
+    * extension; `df.groupBy().pivot()` with an explicit value list so no
+    * discovery pass is needed — at scale the list avoids an extra job). */
+  val q56 = QueryDef(
+    "q56_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(r6(sum(col("value"))))
+        .select(
+          col("user_id"),
+          col("click").as("v_click"), col("view").as("v_view"),
+          col("purchase").as("v_purchase"), col("signup").as("v_signup"),
+          col("error").as("v_error"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+                   ROUND(SUM(CASE WHEN event_type='click' THEN value END),6) AS v_click,
+                   ROUND(SUM(CASE WHEN event_type='view' THEN value END),6) AS v_view,
+                   ROUND(SUM(CASE WHEN event_type='purchase' THEN value END),6) AS v_purchase,
+                   ROUND(SUM(CASE WHEN event_type='signup' THEN value END),6) AS v_signup,
+                   ROUND(SUM(CASE WHEN event_type='error' THEN value END),6) AS v_error
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Q59 — argmax via `max_by` (ref: hour-of-max reduce,
+    * `RDDOperations.scala:112-115`, SURVEY §2.6 O6). */
+  val q59 = QueryDef(
+    "q59_argmax",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(col("value")).as("t"))
+        .agg(max_by(col("user_id"), col("t")).as("top_user")),
+    Some("""SELECT arg_max(user_id, t) AS top_user
+            FROM (SELECT user_id, SUM(value) AS t FROM events GROUP BY 1)"""))
+
+  def all: Seq[QueryDef] =
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59)
+}

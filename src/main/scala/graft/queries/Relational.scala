@@ -1,0 +1,488 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Fmt, Tables}
+import graft.core.Fmt.{r4, r6}
+
+/** Core relational query surface: scans, filters, aggregations, windows,
+  * joins, set ops, scalar functions (SURVEY.md §2.1-§2.8).
+  *
+  * Every query is declarative DataFrame code — Catalyst handles predicate
+  * pushdown, column pruning, partial aggregation and join-strategy choice
+  * (broadcast for the small dimensions). Determinism policy of §2.13:
+  * total ORDER BY with unique tie-breaks, ROUND on float aggregates
+  * (4 decimals for ~1e5+ magnitudes, 6 for small), timestamps rendered as
+  * UTC strings.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** Q1 — scan + projection + total sort (ref: column selection
+    * `reduction.scala:32-43`, ordered sink `reduction.scala:23`). */
+  val q01 = QueryDef(
+    "q01_scan_project_sort",
+    (s, d) =>
+      li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    headline = true)
+
+  /** Q2 — comparison filter + count (ref: `RDDOperations.scala:21-34`,
+    * power > 5 kW filter; mapped to DataFrame per SURVEY §2.9). */
+  val q02 = QueryDef(
+    "q02_filter_count",
+    (s, d) => li(s, d).filter(col("l_quantity") > 45).agg(count(lit(1)).as("cnt")),
+    Some("SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 45"))
+
+  /** Q3 — null-predicate disjunction count (ref: missing-measurement scan
+    * `Cleaning.scala:59-60`). */
+  val q03 = QueryDef(
+    "q03_null_filter_count",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNull || col("user_id").isNull)
+        .agg(count(lit(1)).as("cnt")),
+    Some("SELECT COUNT(*) AS cnt FROM events WHERE value IS NULL OR user_id IS NULL"))
+
+  /** Q4 — cast-failure count via try_cast (ref: string→double cast with
+    * invalid→null, `Cleaning.scala:97-106`; ANSI-safe in Spark 4). */
+  val q04 = QueryDef(
+    "q04_cast_failures",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(expr("try_cast(props AS DOUBLE)").as("dv"))
+        .filter(col("dv").isNull)
+        .agg(count(lit(1)).as("cnt")),
+    Some("SELECT COUNT(*) AS cnt FROM events WHERE TRY_CAST(props AS DOUBLE) IS NULL"))
+
+  /** Q5 — multi-column distinct (ref: dedup diagnostics
+    * `Cleaning.scala:109-120`). */
+  val q05 = QueryDef(
+    "q05_distinct_count",
+    (s, d) =>
+      li(s, d).select("l_partkey", "l_suppkey").distinct().agg(count(lit(1)).as("cnt")),
+    Some("SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"))
+
+  /** Q6 — CASE WHEN bucketing + count (ref: Low/Medium/High usage
+    * categorization, `RDDOperations.scala:121-137`). */
+  val q06 = QueryDef(
+    "q06_case_buckets",
+    (s, d) =>
+      li(s, d)
+        .select(
+          when(col("l_quantity") < 10, "Low")
+            .when(col("l_quantity") < 30, "Medium")
+            .otherwise("High")
+            .as("cat"))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("cat"),
+    Some("""SELECT CASE WHEN l_quantity < 10 THEN 'Low'
+                        WHEN l_quantity < 30 THEN 'Medium'
+                        ELSE 'High' END AS cat, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** Q7 — TPC-H Q1-shaped multi-aggregate group-by (ref: hourly AVG
+    * aggregation `reduction.scala:10-24`, SQL AVG `SQLOperations.scala:39-46`).
+    * Partial (map-side) aggregation + AQE-coalesced shuffle — the plan that
+    * scales to 100 TB: one shuffle keyed on the two low-cardinality flags. */
+  val q07 = QueryDef(
+    "q07_agg_pricing",
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(avg(col("l_extendedprice"))).as("avg_price"),
+          r6(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   ROUND(AVG(l_extendedprice),4) AS avg_price,
+                   ROUND(SUM(l_quantity),6) AS sum_qty, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""),
+    headline = true)
+
+  /** Q8 — exact COUNT(DISTINCT) (ref: distinct days `SQLOperations.scala:59`). */
+  val q08 = QueryDef(
+    "q08_count_distinct",
+    (s, d) => ord(s, d).agg(countDistinct(col("o_custkey")).as("cnt")),
+    Some("SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders"))
+
+  /** Q9 — sample variance (ref: `SQLOperations.scala:61`). Scaled to
+    * millions before rounding: cross-engine float accumulation noise on a
+    * ~1e9 magnitude makes raw ROUND(..,4) a hash hazard (SURVEY §7.4). */
+  val q09 = QueryDef(
+    "q09_variance",
+    (s, d) => ord(s, d).agg(r4(var_samp(col("o_totalprice")) / lit(1e6)).as("var_mm")),
+    Some("SELECT ROUND(VAR_SAMP(o_totalprice)/1000000.0, 4) AS var_mm FROM orders"))
+
+  /** Q10 — global min/max in ONE pass (ref: per-column scan loop at
+    * `Transformation.scala:53-57` — the engine's single-pass replacement). */
+  val q10 = QueryDef(
+    "q10_minmax",
+    (s, d) =>
+      li(s, d).agg(
+        r6(min(col("l_extendedprice"))).as("min_price"),
+        r6(max(col("l_extendedprice"))).as("max_price")),
+    Some("""SELECT ROUND(MIN(l_extendedprice),6) AS min_price,
+                   ROUND(MAX(l_extendedprice),6) AS max_price FROM lineitem"""))
+
+  /** Q11 — two-level calendar aggregation (ref: `SQLOperations.scala:125-132`). */
+  val q11 = QueryDef(
+    "q11_calendar_agg",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(r4(avg(col("o_totalprice"))).as("avg_price"))
+        .orderBy("y", "m"),
+    Some("""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+                   CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+                   ROUND(AVG(o_totalprice),4) AS avg_price
+            FROM orders GROUP BY 1,2 ORDER BY 1,2"""))
+
+  /** Q12 — RANK over global order (ref: `SQLOperations.scala:74-87`).
+    * Rank input is the ROUNDED aggregate so both engines rank identical
+    * values; `y` breaks ties (§7.4 determinism note). */
+  val q12 = QueryDef(
+    "q12_rank_years",
+    (s, d) => {
+      val yearly = ord(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(r4(avg(col("o_totalprice"))).as("ap"))
+      yearly
+        .withColumn("rk", rank().over(Window.orderBy(col("ap").desc, col("y"))))
+        .orderBy("rk", "y")
+    },
+    Some("""SELECT y, ap, CAST(RANK() OVER (ORDER BY ap DESC, y) AS INTEGER) AS rk
+            FROM (SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+                         ROUND(AVG(o_totalprice),4) AS ap
+                  FROM orders GROUP BY 1)
+            ORDER BY rk, y"""))
+
+  /** Q13 — top-1-per-group via partitioned ROW_NUMBER (ref: top month per
+    * year, `SQLOperations.scala:124-151`). */
+  val q13 = QueryDef(
+    "q13_top_month_per_year",
+    (s, d) => {
+      val monthly = ord(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(r4(avg(col("o_totalprice"))).as("ap"))
+      monthly
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("y")).orderBy(col("ap").desc, col("m"))))
+        .filter(col("rn") === 1)
+        .select("y", "m", "ap")
+        .orderBy("y")
+    },
+    Some("""SELECT y, m, ap FROM (
+              SELECT y, m, ap,
+                     ROW_NUMBER() OVER (PARTITION BY y ORDER BY ap DESC, m) AS rn
+              FROM (SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+                           CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+                           ROUND(AVG(o_totalprice),4) AS ap
+                    FROM orders GROUP BY 1,2))
+            WHERE rn = 1 ORDER BY y"""))
+
+  /** Q15 — CTE + uncorrelated scalar subquery (ref: above-average daily
+    * totals, `SQLOperations.scala:97-114`). The scalar aggregate is
+    * broadcast into the filter — no driver-side collect. */
+  val q15 = QueryDef(
+    "q15_above_avg_days",
+    (s, d) => {
+      val daily = ord(s, d)
+        .groupBy(Fmt.date(col("o_orderdate")).as("d"))
+        .agg(r4(sum(col("o_totalprice"))).as("total"))
+      val avgTotal = daily.agg(avg(col("total")).as("avg_total"))
+      daily
+        .crossJoin(broadcast(avgTotal))
+        .filter(col("total") > col("avg_total"))
+        .select("d", "total")
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+                     ROUND(SUM(o_totalprice),4) AS total
+              FROM orders GROUP BY 1)
+            SELECT d, total FROM daily
+            WHERE total > (SELECT AVG(total) FROM daily) ORDER BY d"""))
+
+  /** Q16 — TPC-H Q5-shaped 4-way star join (SURVEY §2.3). `nation` is
+    * broadcast explicitly (25 rows); customer⋈orders⋈lineitem shuffle on
+    * their keys — at 100 TB, AQE picks broadcast for any side under the
+    * threshold and splits skewed partitions. */
+  val q16 = QueryDef(
+    "q16_join_revenue",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = ord(s, d)
+      val l = li(s, d)
+      val n = Tables.nation(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+    },
+    Some("""SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS rev
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY rev DESC, n_name"""),
+    headline = true)
+
+  /** Q17 — anti join / NOT IN (SURVEY §2.3; customers with no orders). */
+  val q17 = QueryDef(
+    "q17_anti_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""))
+
+  /** Q18 — INTERSECT (SURVEY §2.7). */
+  val q18 = QueryDef(
+    "q18_intersect",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+    Some("""SELECT * FROM (SELECT c_nationkey AS nk FROM customer
+            INTERSECT SELECT s_nationkey AS nk FROM supplier) ORDER BY nk"""))
+
+  /** Q18b — EXCEPT (SURVEY §2.7). */
+  val q18b = QueryDef(
+    "q18b_except",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+    Some("""SELECT * FROM (SELECT c_nationkey AS nk FROM customer
+            EXCEPT SELECT s_nationkey AS nk FROM supplier) ORDER BY nk"""))
+
+  /** Q18c — UNION ALL + count (SURVEY §2.7). */
+  val q18c = QueryDef(
+    "q18c_union_all_count",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM (SELECT c_nationkey AS nk FROM customer
+            UNION ALL SELECT s_nationkey AS nk FROM supplier)"""))
+
+  /** Q23 — string functions in grouping (SURVEY §2.8 F-group). */
+  val q23 = QueryDef(
+    "q23_string_group",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(col("o_orderpriority"), substring(col("o_orderpriority"), 1, 1).as("p1"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, SUBSTRING(o_orderpriority,1,1) AS p1, COUNT(*) AS cnt
+            FROM orders GROUP BY 1,2 ORDER BY 1"""))
+
+  /** Q24 — ROLLUP grouping sets (SURVEY §2.4 extension). */
+  val q24 = QueryDef(
+    "q24_rollup",
+    (s, d) =>
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first,
+          col("cnt")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt"""))
+
+  /** Q46 — CUBE grouping sets (SURVEY §2.4 extension). */
+  val q46 = QueryDef(
+    "q46_cube",
+    (s, d) =>
+      ord(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("cnt")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt"""))
+
+  /** Q25 — manual min-max scaling, single stats pass + broadcast (ref:
+    * `Transformation.scala:51-68`, fixed per SURVEY §3.2: ONE aggregation
+    * for all stats instead of a scan per column). */
+  val q25 = QueryDef(
+    "q25_minmax_scale_top10",
+    (s, d) => {
+      val o = ord(s, d)
+      val stats = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(stats))
+        .withColumn("scaled", r6((col("o_totalprice") - col("mn")) / (col("mx") - col("mn"))))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "scaled")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+                 t AS (SELECT o_orderkey, ROUND((o_totalprice-mn)/(mx-mn),6) AS scaled
+                       FROM orders, s ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+            SELECT o_orderkey, scaled FROM t ORDER BY o_orderkey"""))
+
+  /** Q41 — equi join with range predicate (SURVEY §2.3 theta/range row):
+    * lineitems shipped within 90 days of order date. */
+  val q41 = QueryDef(
+    "q41_date_range_join",
+    (s, d) =>
+      li(s, d)
+        .join(
+          ord(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM lineitem JOIN orders
+            ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 90 DAY"""))
+
+  /** Q42 — semi join / EXISTS (SURVEY §2.3): customers with a 1998 order. */
+  val q42 = QueryDef(
+    "q42_semi_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          ord(s, d).filter(year(col("o_orderdate")) === 1998),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM customer WHERE EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND YEAR(o_orderdate) = 1998)"""))
+
+  /** Q48 — window frame spec: 7-day rolling average of daily totals
+    * (SURVEY §2.5 frame extension). Note: single ordered window over ~2.4k
+    * daily rows — tiny state; at true scale the engine partitions by month
+    * and stitches boundaries. */
+  val q48 = QueryDef(
+    "q48_rolling_avg",
+    (s, d) => {
+      val daily = ord(s, d)
+        .groupBy(Fmt.date(col("o_orderdate")).as("dt"))
+        .agg(r4(sum(col("o_totalprice"))).as("total"))
+      daily
+        .withColumn("avg7", r4(avg(col("total")).over(Window.orderBy(col("dt")).rowsBetween(-6, 0))))
+        .orderBy("dt")
+    },
+    Some("""WITH daily AS (SELECT strftime(CAST(o_orderdate AS DATE),'%Y-%m-%d') AS dt,
+                                  ROUND(SUM(o_totalprice),4) AS total
+                           FROM orders GROUP BY 1)
+            SELECT dt, total,
+                   ROUND(AVG(total) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS avg7
+            FROM daily ORDER BY dt"""))
+
+  /** Q50 — NTILE deciles over customers (SURVEY §2.5 analytic set). */
+  val q50 = QueryDef(
+    "q50_ntile",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          ntile(10).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("decile"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+                   CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
+  val q52 = QueryDef(
+    "q52_string_funcs",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("consonants"),
+          levenshtein(col("p_brand"), lit("Brand#11")).as("lev"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, UPPER(p_name) AS uname,
+                   CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+                   regexp_replace(p_type, '[aeiou]', '', 'g') AS consonants,
+                   CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev
+            FROM part ORDER BY p_partkey"""))
+
+  /** Q53 — math scalar functions (SURVEY §2.8 extension set). Spark `log`
+    * is natural log → DuckDB `LN` (DuckDB `log` is base-10). */
+  val q53 = QueryDef(
+    "q53_math_funcs",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          r6(sqrt(col("l_extendedprice"))).as("sq"),
+          r6(log(col("l_extendedprice"))).as("ln_p"),
+          floor(col("l_quantity")).as("fl"),
+          ceil(col("l_quantity")).as("ce"),
+          r6(abs(col("l_discount") - 0.05)).as("ab"),
+          r6(pow(col("l_discount"), 2)).as("pw"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   ROUND(SQRT(l_extendedprice),6) AS sq,
+                   ROUND(LN(l_extendedprice),6) AS ln_p,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
+                   CAST(CEIL(l_quantity) AS BIGINT) AS ce,
+                   ROUND(ABS(l_discount - 0.05),6) AS ab,
+                   ROUND(POW(l_discount, 2),6) AS pw
+            FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Q55 — hash functions (SURVEY §2.8 extension; backs exact dedup X1). */
+  val q55 = QueryDef(
+    "q55_hash_funcs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("md5_hex"), sha2(col("text"), 256).as("sha256_hex"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+            FROM documents ORDER BY doc_id"""))
+
+  /** Q38 — value replacement → null (ref: `?`→null repair,
+    * `Cleaning.scala:31-33`, via `DataFrameNaFunctions.replace`). */
+  val q38 = QueryDef(
+    "q38_replace_to_null",
+    (s, d) =>
+      ord(s, d)
+        .na.replace("o_orderpriority", Map("1-URGENT" -> null))
+        .filter(col("o_orderpriority").isNull)
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM orders
+            WHERE NULLIF(o_orderpriority, '1-URGENT') IS NULL"""))
+
+  /** Q39 — null-drop (ref: `df.na.drop("any", cols)`, `Cleaning.scala:92-94`). */
+  val q39 = QueryDef(
+    "q39_null_drop",
+    (s, d) =>
+      Tables.events(s, d)
+        .na.drop("any", Seq("value", "user_id"))
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL"""))
+
+  def all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
+    q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q48,
+    q50, q52, q53, q55)
+}
