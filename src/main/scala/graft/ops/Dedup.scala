@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-corpus pipelines (SURVEY.md §2.11
+  * X1/X2). All are shuffle-on-key designs — no cross products over the full
+  * corpus — so they scale linearly with data volume:
+  *
+  *  - exact: hash → groupBy (one shuffle keyed on a 256-bit digest)
+  *  - MinHash+LSH: shingle → signature → band → bucket self-join (candidates
+  *    only where a band bucket collides)
+  *  - SimHash: 64-bit signature → chunk-bucket candidates (pigeonhole: any
+  *    pair within hamming distance d < chunks must agree on ≥1 chunk)
+  */
+object Dedup {
+
+  /** Exact dedup via content hash (X1): one row per distinct content with
+    * the smallest id kept and the duplicate count. Uses `sha2` so the
+    * shuffle key is a fixed-width digest rather than arbitrary-length text
+    * (at 100 TB the digest shuffle is ~32B/row instead of document bytes). */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** MinHash signature: for permutation i, `min over shingles of
+    * xxhash64(shingle, i)` — the classic k-permutation estimator with the
+    * seed folded into the hash input. */
+  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
+    transform(
+      sequence(lit(0), lit(numPerm - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** LSH band keys: hash each r-row band of the signature. A pair of docs
+    * with Jaccard j collides on a band with probability j^r. */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(slice(sigCol, j * rowsPerBand + 1, lit(rowsPerBand)), j))
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    * Returns (a_id, b_id, jac) for candidate pairs (band-bucket collisions)
+    * with jac >= minJaccard, a_id < b_id, deduplicated.
+    *
+    * Plan shape: shingle+sign (narrow) → posexplode bands (xB rows) →
+    * self-join on (band_idx, band_hash) → distinct pair → verify. The only
+    * shuffles are the band-bucket join and the pair-distinct — both keyed,
+    * both skew-safe under AQE.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.0): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val shingled = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col("doc_id"), TextFunctions.shingles(col("toks"), shingleSize).as("sh"))
+    val banded = shingled
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .select(
+        col("doc_id"),
+        col("sh"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(
+      col("band_idx"), col("band_hash"), col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = banded.select(
+      col("band_idx"), col("band_hash"), col("doc_id").as("b_id"), col("sh").as("shb"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sha"), col("shb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("jac", round(TextFunctions.jaccard(col("sha"), col("shb")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** 64-bit SimHash signatures: per-token xxhash64; each signature bit is
+    * the sign of the summed ±1 contributions of that bit across tokens. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokenHashes = df
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_ + _)
+    tokenHashes
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs via chunk bucketing: split the 64-bit
+    * signature into `chunks` pieces; any pair within hamming distance
+    * < chunks shares at least one exact chunk (pigeonhole), so the
+    * self-join on (chunk_idx, chunk_value) finds all such pairs without a
+    * cross product. Returns (a_id, b_id, dist) with dist <= maxDist. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    val bitsPerChunk = 64 / chunks
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val chunked = sigs.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until chunks).map(c =>
+          shiftright(col("simhash"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(
+      col("chunk_idx"), col("chunk_val"), col("doc_id").as("a_id"), col("simhash").as("siga"))
+    val b = chunked.select(
+      col("chunk_idx"), col("chunk_val"), col("doc_id").as("b_id"), col("simhash").as("sigb"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), bit_count(col("siga").bitwiseXOR(col("sigb"))).as("dist"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Nondeterministic/approximate operators (oracle-excluded by design,
+  * SURVEY.md §5.3) plus ML and one-hot encoding entries.
+  */
+object Misc {
+
+  /** Q44 — approximate quantiles (ref: IQR bounds via `approxQuantile`,
+    * `Cleaning.scala:131-132`). Greenwald-Khanna sketch → rows-only check;
+    * the spec asserts rank-error bounds vs the exact quantiles. */
+  val q44 = QueryDef(
+    "q44_approx_quantile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(percentile_approx(
+          col("l_extendedprice"), array(lit(0.25), lit(0.75)), lit(10000)).as("qs"))
+        .select(
+          round(element_at(col("qs"), 1), 4).as("q1_approx"),
+          round(element_at(col("qs"), 2), 4).as("q3_approx")),
+    None)
+
+  /** Q45 — seeded Bernoulli sampling (ref: `reduction.scala:27-29`).
+    * Engine-RNG-specific → rows-only; spec asserts reproducibility and
+    * binomial bounds. */
+  val q45 = QueryDef(
+    "q45_sample",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .sample(withReplacement = false, 0.5, 42L)
+        .agg(count(lit(1)).as("cnt")),
+    None)
+
+  /** Q57 — linear-regression pipeline M1-M8 (ref: `MLOperations.scala`):
+    * seeded split, assembler, min-max scaler, LR fit, relational metrics vs
+    * mean baseline. Seed-dependent internals → rows-only; spec asserts
+    * rmse < baseline_rmse (the reference's own success criterion,
+    * `MLOperations.scala:151-167`). */
+  val q57 = QueryDef(
+    "q57_ml_linreg",
+    (s, d) =>
+      graft.ml.Regression.trainEval(
+        s,
+        graft.ml.Regression.docFeatures(Tables.documents(s, d))),
+    None)
+
+  /** Q58 — manual one-hot encoding of day-of-week (ref:
+    * `Transformation.scala:23-39`; Spark `dayofweek` is 1=Sunday, DuckDB's
+    * is 0=Sunday — the oracle shifts accordingly, SURVEY §7.4 risk 3). */
+  val q58 = QueryDef(
+    "q58_onehot_dow",
+    (s, d) => {
+      val dow = dayofweek(col("o_orderdate"))
+      val flags = (1 to 7).map(i => when(dow === i, 1.0).otherwise(0.0).as(s"dow_$i"))
+      Tables.orders(s, d)
+        .select(flags: _*)
+        .agg(
+          sum(col("dow_1")).as("d1"), sum(col("dow_2")).as("d2"),
+          sum(col("dow_3")).as("d3"), sum(col("dow_4")).as("d4"),
+          sum(col("dow_5")).as("d5"), sum(col("dow_6")).as("d6"),
+          sum(col("dow_7")).as("d7"))
+    },
+    Some("""SELECT SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1.0 ELSE 0.0 END) AS d1,
+                   SUM(CASE WHEN dayofweek(o_orderdate) = 1 THEN 1.0 ELSE 0.0 END) AS d2,
+                   SUM(CASE WHEN dayofweek(o_orderdate) = 2 THEN 1.0 ELSE 0.0 END) AS d3,
+                   SUM(CASE WHEN dayofweek(o_orderdate) = 3 THEN 1.0 ELSE 0.0 END) AS d4,
+                   SUM(CASE WHEN dayofweek(o_orderdate) = 4 THEN 1.0 ELSE 0.0 END) AS d5,
+                   SUM(CASE WHEN dayofweek(o_orderdate) = 5 THEN 1.0 ELSE 0.0 END) AS d6,
+                   SUM(CASE WHEN dayofweek(o_orderdate) = 6 THEN 1.0 ELSE 0.0 END) AS d7
+            FROM orders"""))
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58)
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Ann
+
+/** Similarity-search queries over the `embeddings` table (SURVEY.md §2.11
+  * X3 / §2.13 Q21). Exact brute-force cosine is the baseline + oracle path;
+  * LSH bucketing is the scale path (rows-only check, recall asserted in
+  * the ScalaTest spec against the brute-force result).
+  */
+object Similarity {
+
+  /** Q21 — exact top-3 cosine neighbors of vec_id=0 (declared §2.13 Q21). */
+  val q21 = QueryDef(
+    "q21_cosine_topk",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val probe = corpus.filter(col("vec_id") === 0)
+      Ann.bruteForceTopK(corpus, probe, 3)
+        .select("vec_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 p AS (SELECT emb AS pe FROM e WHERE vec_id = 0)
+            SELECT vec_id, ROUND(list_cosine_similarity(emb, pe), 6) AS sim
+            FROM e, p WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 3"""),
+    headline = true)
+
+  /** Q30 — embedding-cosine near-dup pairs above 0.2 for probe rows
+    * (`vec_id % 50 == 0`) — the embedding variant of dedup (X2/X3). */
+  val q30 = QueryDef(
+    "q30_embedding_neardup",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val probes = corpus.filter(col("vec_id") % 50 === 0)
+      Ann.nearDupPairs(corpus, probes, 0.2).orderBy("probe_id", "vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 j AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+                              ROUND(list_cosine_similarity(b.emb, a.emb), 6) AS sim
+                       FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id > a.vec_id)
+            SELECT probe_id, vec_id, sim FROM j WHERE sim >= 0.2
+            ORDER BY probe_id, vec_id"""))
+
+  /** Q31 — brute-force cosine top-5 per probe (`vec_id % 100 == 0`):
+    * the exact ANN baseline. */
+  val q31 = QueryDef(
+    "q31_ann_topk_brute",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val probes = corpus.filter(col("vec_id") % 100 === 0)
+      Ann.bruteForceTopK(corpus, probes, 5).orderBy("probe_id", "vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 p AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id % 100 = 0),
+                 j AS (SELECT probe_id, vec_id,
+                              ROUND(list_cosine_similarity(emb, pe), 6) AS sim
+                       FROM e, p WHERE vec_id <> probe_id),
+                 r AS (SELECT probe_id, vec_id, sim,
+                              ROW_NUMBER() OVER (PARTITION BY probe_id
+                                                 ORDER BY sim DESC, vec_id) AS rn
+                       FROM j)
+            SELECT probe_id, vec_id, sim FROM r WHERE rn <= 5
+            ORDER BY probe_id, vec_id"""),
+    headline = true)
+
+  /** Q32 — LSH-bucketed approximate top-5 (6 random hyperplanes → 64
+    * buckets): the scale path. Engine-only (bucket assignment depends on
+    * the seeded planes) → rows-only check; recall vs q31 asserted in spec. */
+  val q32 = QueryDef(
+    "q32_ann_topk_lsh",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val probes = corpus.filter(col("vec_id") % 100 === 0)
+      Ann.lshTopK(corpus, probes, 5, nPlanes = 6, dim = 64).orderBy("probe_id", "vec_id")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32)
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.core.Fmt.r6
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Multimodal}
+
+/** Text-analysis + dedup + multimodal queries over the `documents` table
+  * (SURVEY.md §2.11 X1/X2/X4/X5 — the training-data-pipeline surface).
+  */
+object Text {
+
+  /** Q22 — per-language exact-dup stats (declared §2.13 Q22: COUNT DISTINCT
+    * on content, engine-internal hashing kept out of the oracle). */
+  val q22 = QueryDef(
+    "q22_text_dedup_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("uniq"))
+        .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n, COUNT(DISTINCT text) AS uniq
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Q26 — exact dedup via content hash (X1; see [[Dedup.exactByHash]]).
+    * The oracle groups by raw text — identical result barring a SHA-256
+    * collision. */
+  val q26 = QueryDef(
+    "q26_dedup_exact",
+    (s, d) =>
+      Dedup.exactByHash(Tables.documents(s, d), "text", "doc_id")
+        .select("keep_id", "dup_cnt")
+        .orderBy("keep_id"),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+            FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  /** Q27 — MinHash+LSH near-dup candidates (X2): shingle → 32-perm
+    * signature → 8 bands → bucket join → exact-Jaccard verify. Engine-only
+    * (xxhash64 signatures are not portable SQL) → rows-only check; the
+    * ScalaTest spec asserts candidate recall against q29's exact pairs. */
+  val q27 = QueryDef(
+    "q27_dedup_minhash",
+    (s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("a_id", "b_id"),
+    None)
+
+  /** Q28 — SimHash near-dup candidates (X2): 64-bit signatures, chunk
+    * bucketing (pigeonhole candidates), hamming <= 16. Engine-only. */
+  val q28 = QueryDef(
+    "q28_dedup_simhash",
+    (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id", maxDist = 16)
+        .orderBy("a_id", "b_id"),
+    None)
+
+  /** Q29 — exact word-3-gram Jaccard top-5 per probe doc (X2 baseline/
+    * verifier for q27). Probes are `doc_id % 100 == 0`. */
+  val q29 = QueryDef(
+    "q29_ngram_jaccard",
+    (s, d) => {
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("sh"))
+      val probes = shingled
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val pairs = shingled
+        .join(broadcast(probes), col("doc_id") =!= col("a_id"))
+        .select(
+          col("a_id"),
+          col("doc_id").as("b_id"),
+          r6(TextFunctions.jaccard(col("sha"), col("sh"))).as("jac"))
+      import org.apache.spark.sql.expressions.Window
+      pairs
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("a_id").orderBy(col("jac").desc, col("b_id"))))
+        .filter(col("rn") <= 5)
+        .select("a_id", "b_id", "jac")
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH dd AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+                 sh AS (SELECT doc_id,
+                               list_distinct([array_to_string(toks[i:i+2], ' ')
+                                              FOR i IN range(1, len(toks)-1)]) AS sh
+                        FROM dd WHERE len(toks) >= 3),
+                 p AS (SELECT doc_id AS a_id, sh AS sha FROM sh WHERE doc_id % 100 = 0),
+                 j AS (SELECT a_id, sh.doc_id AS b_id,
+                              ROUND(CAST(len(list_intersect(sha, sh.sh)) AS DOUBLE)
+                                    / len(list_distinct(sha || sh.sh)), 6) AS jac
+                       FROM p JOIN sh ON sh.doc_id <> a_id),
+                 r AS (SELECT a_id, b_id, jac,
+                              ROW_NUMBER() OVER (PARTITION BY a_id
+                                                 ORDER BY jac DESC, b_id) AS rn
+                       FROM j)
+            SELECT a_id, b_id, jac FROM r WHERE rn <= 5 ORDER BY a_id, b_id"""))
+
+  /** Q33 — language-ID heuristic vs labeled lang (X4). */
+  val q33 = QueryDef(
+    "q33_lang_id",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred"),
+    Some("""SELECT lang,
+                   CASE WHEN list_contains(str_split(text,' '), 'the') THEN 'en'
+                        WHEN list_contains(str_split(text,' '), 'data') THEN 'de'
+                        WHEN list_contains(str_split(text,' '), 'query') THEN 'fr'
+                        WHEN list_contains(str_split(text,' '), 'join') THEN 'es'
+                        ELSE 'zh' END AS pred,
+                   COUNT(*) AS cnt
+            FROM documents GROUP BY 1,2 ORDER BY 1,2"""))
+
+  /** Q34 — quality scoring: type-token ratio damped by a length prior (X4). */
+  val q34 = QueryDef(
+    "q34_text_quality",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          r6(TextFunctions.typeTokenRatio(col("text"))).as("ttr"),
+          r6(TextFunctions.qualityScore(col("text"))).as("score"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(str_split(text,' ')) AS INTEGER) AS n_tokens,
+                   ROUND(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+                         / len(str_split(text,' ')), 6) AS ttr,
+                   ROUND(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+                         / len(str_split(text,' '))
+                         * LEAST(1.0, len(str_split(text,' ')) / 200.0), 6) AS score
+            FROM documents ORDER BY doc_id"""))
+
+  /** Q35 — token counting: whitespace + BPE-ish regex estimate (X4). */
+  val q35 = QueryDef(
+    "q35_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+          TextFunctions.bpeishCount(col("text")).as("n_bpeish"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(str_split(text,' ')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish,
+                   CAST(LENGTH(text) AS INTEGER) AS n_chars_actual
+            FROM documents ORDER BY doc_id"""))
+
+  /** Q36 — rolling-hash document fingerprint (X4): pure-arithmetic
+    * polynomial hash, portable across engines (unlike xxhash64). */
+  val q36 = QueryDef(
+    "q36_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   list_reduce(list_transform(range(1, LENGTH(text)+1),
+                                              i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+                               (a, b) -> (a*31 + b) % 1000000007) AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  /** Q37 — multimodal plumbing (X5): binary payload column → mapPartitions
+    * feature extraction with a deterministic stub decoder (see
+    * [[Multimodal]]). The oracle reproduces the stub arithmetic, proving
+    * the plumbing end-to-end. */
+  val q37 = QueryDef(
+    "q37_multimodal_features",
+    (s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) * 3) % 480 AS INTEGER) AS height,
+                   list_reduce(list_transform(range(1, LENGTH(text)+1),
+                                              i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+                               (a, b) -> (a + b) % 997) AS checksum
+            FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[QueryDef] = Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37)
+}
