@@ -1,0 +1,39 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks (SURVEY.md §2.1 S4 + Parquet primary).
+  *
+  * `SingleFileCsvSink` reproduces the reference's single-file CSV contract
+  * (`Cleaning.scala:155-178`, duplicated twice more there — implemented
+  * once here): write via one task to a temp dir, then a driver-side Hadoop
+  * FS rename of the `part-*` file. The `coalesce(1)` is inherently
+  * single-task — a deliberate parity-only sink; the engine-native path is
+  * partitioned Parquet.
+  */
+object Sinks {
+
+  /** Partitioned Parquet — the engine's primary sink. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Single headered CSV file at exactly `outPath` (ref S4). */
+  def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
+    val tmp = outPath + "_tmp"
+    df.coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+    val out = new Path(outPath)
+    if (fs.exists(out)) fs.delete(out, false)
+    fs.rename(part, out)
+    fs.delete(new Path(tmp), true)
+  }
+}

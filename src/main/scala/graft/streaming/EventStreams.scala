@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Fmt.r6
+
+/** Structured Streaming surface (SURVEY.md §2.10). Every transform here is
+  * source-agnostic: it accepts either a streaming DataFrame (readStream /
+  * MemoryStream) or a batch one — the same plan runs in both modes, which
+  * is how the declared queries Q19/Q20/Q43 are oracle-checked in batch
+  * while the streaming path is spec-tested with a memory sink.
+  *
+  * Watermarks bound state: tumbling/sliding aggregations drop state for
+  * windows older than the watermark; dedup keeps only in-watermark keys.
+  * At 100 TB/day the state store holds (windows x event_types) rows, not
+  * events.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts/sums per event type, 10-minute watermark. */
+  def tumblingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r6(sum(col("value"))).as("sum_value"))
+
+  /** Sliding 1-hour / 30-minute aggregate. */
+  def slidingAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r6(sum(col("value"))).as("sum_value"))
+
+  /** Session windows (10-minute gap) per user. */
+  def sessionAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stateful exact dedup by event id. In streaming mode with a watermark,
+    * `dropDuplicatesWithinWatermark` bounds the key state. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class AsOfStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val probe = Seq(
+    (1L, t("2024-01-01 10:00:00"), 100L), // after b1 -> matches b1
+    (2L, t("2024-01-01 12:00:00"), 100L), // exactly at b2 -> matches b2 (<=)
+    (3L, t("2024-01-01 09:00:00"), 100L), // before any build -> null
+    (4L, t("2024-01-01 10:00:00"), 200L)  // other key, no build rows -> null
+  ).toDF("event_id", "ts", "user_id")
+
+  private val build = Seq(
+    (90L, t("2024-01-01 09:30:00"), 100L, 1.0),  // b1
+    (91L, t("2024-01-01 12:00:00"), 100L, 2.0),  // b2
+    (92L, t("2024-01-01 13:00:00"), 100L, 3.0)   // later than every probe
+  ).toDF("event_id", "ts", "user_id", "value")
+
+  test("as-of join matches nearest-earlier build row per key") {
+    val out = AsOf.join(probe, build, "user_id", "ts", "event_id", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).contains(2.0)) // same-instant build row matches
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("streaming tumbling aggregation matches the batch analog") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 10:35:00"), 1, "click", 2.0),
+      Ev(3, t("2024-01-01 11:05:00"), 2, "view", 3.0),
+      Ev(4, t("2024-01-01 12:40:00"), 2, "click", 4.0))
+    val ms = MemoryStream[Ev]
+    ms.addData(events: _*)
+    val q = EventStreams.tumblingAgg(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("tumble_t").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumble_t")
+        .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type").collect().toSeq
+      val batch = EventStreams.tumblingAgg(events.toDF())
+        .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
+  test("streaming session windows group by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 10:05:00"), 1, "click", 1.0),  // same session (<10m)
+      Ev(3, t("2024-01-01 10:20:00"), 1, "click", 1.0),  // new session (15m gap)
+      Ev(4, t("2024-01-01 10:00:00"), 2, "view", 1.0))
+    val q = EventStreams.sessionAgg(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sess_t").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_t").collect()
+      assert(rows.length == 3) // user1: 2 sessions; user2: 1
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(1, t("2024-01-01 10:00:30"), 1, "click", 1.0), // dup id within watermark
+      Ev(2, t("2024-01-01 10:01:00"), 1, "click", 1.0))
+    val q = EventStreams.dedupEvents(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_t").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").select("event_id").distinct().count() ==
+        spark.table("dedup_t").count())
+      assert(spark.table("dedup_t").count() == 2)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, Vectors}
+import graft.ops.{Ann, Dedup, Multimodal}
+
+class DedupAnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (3L, "completely different words about spark engines here"),
+    (4L, "another unrelated document with its own vocabulary entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exactByHash(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val first = out.head
+    assert(first.getAs[Long]("keep_id") == 0L && first.getAs[Long]("dup_cnt") == 2L)
+  }
+
+  test("minhash LSH finds the exact and near duplicate pairs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((0L, 2L))) // exact dup always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L))) // near-dup
+  }
+
+  test("exact-dup pair has jaccard 1.0 in minhash verification") {
+    val out = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+      .filter(col("a_id") === 0 && col("b_id") === 2).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("jac") == 1.0)
+  }
+
+  test("simhash distance is 0 for identical docs and small for near-dups") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxDist = 16)
+      .collect().map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")), r.getAs[Int]("dist")))
+      .toMap
+    assert(pairs((0L, 2L)) == 0)
+    assert(pairs.get((0L, 1L)).forall(_ <= 16))
+  }
+
+  test("jaccard expression: identical sets 1.0, disjoint 0.0") {
+    val df = Seq(
+      (Seq("a b c", "b c d"), Seq("a b c", "b c d"), 1.0),
+      (Seq("a b c"), Seq("x y z"), 0.0)
+    ).toDF("a", "b", "expected")
+    df.select((TextFunctions.jaccard(col("a"), col("b")) === col("expected")).as("ok"))
+      .collect().foreach(r => assert(r.getAs[Boolean]("ok")))
+  }
+
+  private val vecs = {
+    // cluster A around e1, cluster B around e2, orthogonal
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.98f, 0.0f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.1f, 0.99f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+    base.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks same-cluster vectors first") {
+    val corpus = Ann.prepared(vecs, "embedding", "vec_id")
+    val probe = corpus.filter(col("vec_id") === 0)
+    val top = Ann.bruteForceTopK(corpus, probe, 2).orderBy(col("sim").desc).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L))
+    assert(top.forall(_.getAs[Double]("sim") > 0.9))
+  }
+
+  test("LSH top-k finds clustered neighbors (recall on separable data)") {
+    val corpus = Ann.prepared(vecs, "embedding", "vec_id")
+    val probe = corpus.filter(col("vec_id") === 0)
+    val got = Ann.lshTopK(corpus, probe, 2, nPlanes = 4, dim = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.intersect(Set(1L, 2L)).nonEmpty)
+  }
+
+  test("cosine expression matches manual computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val sim = df.select(Vectors.cosine(col("a"), col("b")).as("s")).collect()(0).getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(sim - expected) < 1e-12)
+  }
+
+  test("multimodal stub features match manual byte arithmetic") {
+    val media = Multimodal.fromDocuments(spark, docs.withColumn("lang", lit("en")))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .filter(col("doc_id") === 0).collect()(0)
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(feats.n_bytes == bytes.length)
+    assert(feats.width == bytes.length % 640)
+    assert(feats.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 997)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WeightedAvg
+
+class MiscOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("seeded sample is reproducible and within binomial bounds") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val n = li.count().toDouble
+    val a = li.sample(withReplacement = false, 0.5, 42L).count()
+    val b = li.sample(withReplacement = false, 0.5, 42L).count()
+    assert(a == b)
+    // 6 sigma binomial tolerance around n/2
+    val sigma = math.sqrt(n * 0.25)
+    assert(math.abs(a - n / 2) < 6 * sigma)
+  }
+
+  test("approx quantiles land within rank-error bound of exact quantiles") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val approx = li.stat.approxQuantile("l_extendedprice", Array(0.25, 0.75), 0.001)
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.25, 0.75), 0.0)
+    // relativeError 0.001 on ~6000 rows -> rank within ~6; compare values
+    // at ranks +-0.002*n of the exact quantile
+    val sorted = li.select("l_extendedprice").orderBy("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    val n = sorted.length
+    def bound(p: Double, v: Double): Boolean = {
+      val lo = sorted(math.max(0, (p * n).toInt - math.max(1, (0.002 * n).toInt) - 1))
+      val hi = sorted(math.min(n - 1, (p * n).toInt + math.max(1, (0.002 * n).toInt)))
+      v >= lo && v <= hi
+    }
+    assert(bound(0.25, approx(0)) && bound(0.75, approx(1)))
+    assert(exact.length == 2)
+  }
+
+  test("ml regression beats the mean baseline on the learnable target") {
+    val metrics = SparkEntry.queries("q57_ml_linreg")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(metrics("rmse") < metrics("baseline_rmse"))
+    assert(metrics("r2") > 0.9)
+  }
+
+  test("weighted-avg Aggregator via udaf matches manual computation") {
+    spark.udf.register("weighted_avg", org.apache.spark.sql.functions.udaf(WeightedAvg))
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w")
+    df.createOrReplaceTempView("wa_t")
+    val got = spark.sql("SELECT weighted_avg(v, w) FROM wa_t").collect()(0).getDouble(0)
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+
+  test("group-by sum is invariant under repartitioning (property)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val base = li.groupBy("l_returnflag").agg(round(sum("l_quantity"), 6).as("s"))
+      .orderBy("l_returnflag").collect().toSeq
+    Seq(1, 7, 64).foreach { p =>
+      val re = li.repartition(p).groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 6).as("s")).orderBy("l_returnflag").collect().toSeq
+      assert(re == base, s"repartition($p) changed rounded group sums")
+    }
+  }
+
+  test("dropDuplicates is idempotent") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val once = li.dropDuplicates("l_partkey", "l_suppkey")
+    assert(once.count() == once.dropDuplicates("l_partkey", "l_suppkey").count())
+  }
+}

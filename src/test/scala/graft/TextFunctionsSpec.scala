@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("fingerprint matches hand-computed rolling hash") {
+    val fp = Seq("ab").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect()(0).getLong(0)
+    assert(fp == (97L * 31 + 98) % 1000000007L) // 'a'=97, 'b'=98
+  }
+
+  test("langId follows marker priority") {
+    val df = Seq(
+      ("the data query", "en"),   // 'the' wins
+      ("data query join", "de"),  // 'data' wins
+      ("query join words", "fr"),
+      ("join words words", "es"),
+      ("nothing matches here", "zh")
+    ).toDF("text", "expected")
+    df.select((TextFunctions.langId(col("text")) === col("expected")).as("ok"))
+      .collect().foreach(r => assert(r.getBoolean(0)))
+  }
+
+  test("quality score and TTR stay in [0,1] on arbitrary word soups (property)") {
+    val rng = new scala.util.Random(42)
+    val samples = (1 to 50).map { _ =>
+      (1 to (1 + rng.nextInt(300))).map(_ => s"w${rng.nextInt(50)}").mkString(" ")
+    }
+    val rows = samples.toDF("text")
+      .select(
+        TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .collect()
+    rows.foreach { row =>
+      val (ttr, q) = (row.getDouble(0), row.getDouble(1))
+      assert(ttr > 0 && ttr <= 1.0 && q >= 0 && q <= 1.0)
+    }
+  }
+
+  test("shingles produce n-2 distinct trigrams on distinct-word text") {
+    val sh = Seq("a b c d e").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val row = Seq("abc de1 x!").toDF("text")
+      .select(
+        TextFunctions.tokenCount(col("text")).as("ws"),
+        TextFunctions.bpeishCount(col("text")).as("bpe"))
+      .collect()(0)
+    assert(row.getInt(0) == 3)
+    assert(row.getInt(1) == 5) // abc, de, 1, x, !
+  }
+}
