@@ -21,8 +21,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.registry.filter(_.headline)
-    // One warm-up execution (JIT + codegen cache + file listing), then timed.
-    headline.headOption.foreach { q =>
+    // Warm-up execution per query (JIT + codegen cache + file listing),
+    // then one timed steady-state run each.
+    headline.foreach { q =>
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

@@ -34,6 +34,13 @@ object Main {
           sys.exit(1)
       }
       spark.stop()
+    case "explain" :: name :: sfDir :: Nil =>
+      val spark = GraftSession.local()
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => System.err.println(s"unknown query '$name'"); sys.exit(1)
+      }
+      spark.stop()
     case "list" :: Nil =>
       SparkEntry.registry.foreach(q =>
         println(f"${q.name}%-28s oracle=${q.oracle.isDefined}%-5s headline=${q.headline}"))

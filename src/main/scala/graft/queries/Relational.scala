@@ -481,8 +481,93 @@ object Relational {
     Some("""SELECT COUNT(*) AS cnt FROM events
             WHERE value IS NOT NULL AND user_id IS NOT NULL"""))
 
+  /** Q47 — interval-overlap join (SURVEY §2.3 interval row): 700-day
+    * "region windows" vs 30-day order-activity intervals; classic
+    * `a.start <= b.end && b.start <= a.end` predicate over a broadcast
+    * small side (nested-loop stays bounded: |regions| x |orders|). */
+  val q47 = QueryDef(
+    "q47_interval_overlap",
+    (s, d) => {
+      val win = Tables.region(s, d).select(
+        col("r_regionkey"),
+        expr("timestamp(date_add(to_date('1995-01-01'), CAST(r_regionkey*500 AS INT)))").as("w_start"),
+        expr("timestamp(date_add(to_date('1995-01-01'), CAST(r_regionkey*500 + 700 AS INT)))").as("w_end"))
+      ord(s, d)
+        .withColumn("o_end", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .join(
+          broadcast(win),
+          col("w_start") <= col("o_end") && col("o_orderdate") <= col("w_end"))
+        .groupBy("r_regionkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("r_regionkey")
+    },
+    Some("""SELECT r_regionkey, COUNT(*) AS cnt
+            FROM orders JOIN region
+              ON CAST(DATE '1995-01-01' + r_regionkey*500 AS TIMESTAMP) <= o_orderdate + INTERVAL 30 DAY
+             AND o_orderdate <= CAST(DATE '1995-01-01' + r_regionkey*500 + 700 AS TIMESTAMP)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Q60 — full outer join: per-nation customer vs supplier counts
+    * (SURVEY §2.3 full row; unmatched sides surface as nulls). */
+  val q60 = QueryDef(
+    "q60_full_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select(col("nk"), col("c_cnt"), col("s_cnt"))
+        .orderBy("nk")
+    },
+    Some("""SELECT COALESCE(c.nk, s.nk) AS nk, c_cnt, s_cnt
+            FROM (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c
+            FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s
+              ON c.nk = s.nk
+            ORDER BY nk"""))
+
+  /** Q61 — TPC-H Q6 shape: selective filter + single aggregate; the
+    * filters reach the parquet scan as PushedFilters. */
+  val q61 = QueryDef(
+    "q61_tpch_q6",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue")),
+    Some("""SELECT ROUND(SUM(l_extendedprice*l_discount),4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""),
+    headline = true)
+
+  /** Q62 — TPC-H Q3 shape: 3-way join, group, top-10 by revenue. */
+  val q62 = QueryDef(
+    "q62_tpch_q3",
+    (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, d).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(li(s, d).filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), Fmt.date(col("o_orderdate")).as("odate"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10),
+    Some("""SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+                   ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS rev
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND l_shipdate > TIMESTAMP '1999-01-01'
+            GROUP BY 1,2 ORDER BY rev DESC, l_orderkey LIMIT 10"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
-    q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q48,
-    q50, q52, q53, q55)
+    q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
+    q48, q50, q52, q53, q55, q60, q61, q62)
 }

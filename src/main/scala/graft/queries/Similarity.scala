@@ -79,5 +79,24 @@ object Similarity {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32)
+  /** Q54 — array scalar functions over the embedding column (SURVEY §2.8
+    * extension set: size/element_at/aggregate). */
+  val q54 = QueryDef(
+    "q54_array_ops",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+          round(
+            aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, x) => a + x), 6)
+            .as("sum_v"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS dim,
+                   ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+                   ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_v
+            FROM embeddings ORDER BY vec_id"""))
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54)
 }
