@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+/** Registers the engine's custom functions for SQL use. */
+object Registry {
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.udf.register("weighted_avg", udaf(WeightedAvg))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{CosineSimilarity, Vectors}
 
 /** Approximate/exact nearest-neighbor search over embedding columns
   * (SURVEY.md §2.11 X3).
@@ -19,25 +19,23 @@ import graft.functions.Vectors
   */
 object Ann {
 
-  /** Corpus with `emb` (double array) and precomputed `nrm` columns —
-    * computed once, reused across every candidate pair. */
+  /** Corpus projected to (vec_id, emb) with `emb` as `array<double>`;
+    * similarity uses the fused [[CosineSimilarity]] codegen expression
+    * (one loop per pair, no intermediate arrays). */
   def prepared(embeddings: DataFrame, vecCol: String, idCol: String): DataFrame =
     embeddings.select(
       col(idCol).as("vec_id"),
       Vectors.asDouble(col(vecCol)).as("emb"))
-      .withColumn("nrm", Vectors.l2Norm(col("emb")))
 
   /** Exact cosine top-k per probe. `probes` must be small (broadcast). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(
-      col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
     val sims = corpus
       .join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id"),
         col("vec_id"),
-        round(Vectors.cosinePrenormed(col("emb"), col("p_emb"), col("nrm"), col("p_nrm")), 6)
-          .as("sim"))
+        round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     sims
       .withColumn("rn", row_number().over(w))
@@ -73,7 +71,7 @@ object Ann {
       .withColumn("bucket0", bucketExpr(col("emb"), planes))
       .select(
         explode(array(probeBuckets: _*)).as("bucket"), col("vec_id").as("probe_id"),
-        col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+        col("emb").as("p_emb"))
     val sims = bucketed
       .join(broadcast(p), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -81,8 +79,7 @@ object Ann {
       .select(
         col("probe_id"),
         col("vec_id"),
-        round(Vectors.cosinePrenormed(col("emb"), col("p_emb"), col("nrm"), col("p_nrm")), 6)
-          .as("sim"))
+        round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     sims
       .withColumn("rn", row_number().over(w))
@@ -92,15 +89,13 @@ object Ann {
 
   /** Cosine near-dup pairs above a threshold, probes × corpus. */
   def nearDupPairs(corpus: DataFrame, probes: DataFrame, minSim: Double): DataFrame = {
-    val p = probes.select(
-      col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
     corpus
       .join(broadcast(p), col("vec_id") > col("probe_id"))
       .select(
         col("probe_id"),
         col("vec_id"),
-        round(Vectors.cosinePrenormed(col("emb"), col("p_emb"), col("nrm"), col("p_nrm")), 6)
-          .as("sim"))
+        round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSimilarity, Registry, Vectors}
+
+class CosineExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("fused expression equals composed zip_with/aggregate form bit-for-bit") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val e = vecs.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("emb"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("p_emb"))
+    val both = e.filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .select(
+        CosineSimilarity(col("emb"), col("p_emb")).as("fused"),
+        Vectors.cosine(col("emb"), col("p_emb")).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "fused and composed cosine diverged")
+    }
+  }
+
+  test("expression is SQL-callable after registration") {
+    Registry.registerAll(spark)
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s,\n" +
+      "       cosine_similarity(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS o")
+      .collect()(0)
+    assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 0.0)
+  }
+
+  test("null input yields null, mismatched lengths use common prefix") {
+    val df = Seq((Some(Array(1.0, 0.0)), None: Option[Array[Double]])).toDF("a", "b")
+    val r = df.select(CosineSimilarity(col("a"), col("b")).as("s")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("whole-stage codegen covers the fused expression") {
+    val e = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("emb"))
+    val df = e.crossJoin(e.select(col("emb").as("p_emb")))
+      .select(CosineSimilarity(col("emb"), col("p_emb")).as("s"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` marks operators inside a WholeStageCodegen stage
+    assert(
+      plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_similarity.*"),
+      s"fused expression not inside a codegen stage:\n$plan")
+  }
+}
