@@ -566,8 +566,81 @@ object Relational {
               AND l_shipdate > TIMESTAMP '1999-01-01'
             GROUP BY 1,2 ORDER BY rev DESC, l_orderkey LIMIT 10"""))
 
+  /** Q63 — remaining analytic-function suite (SURVEY §2.5 ship list):
+    * dense_rank, percent_rank, cume_dist, lead, nth_value. Single ordered
+    * window — fine for dimension-sized inputs; partition by key for facts. */
+  val q63 = QueryDef(
+    "q63_analytic_suite",
+    (s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          dense_rank().over(w).as("dr"),
+          r6(percent_rank().over(w)).as("pr"),
+          r6(cume_dist().over(w)).as("cd"),
+          lead(col("c_acctbal"), 1).over(w).as("next_bal"),
+          nth_value(col("c_acctbal"), 3).over(wf).as("third_bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+                   CAST(DENSE_RANK() OVER w AS INTEGER) AS dr,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                   ROUND(CUME_DIST() OVER w, 6) AS cd,
+                   LEAD(c_acctbal, 1) OVER w AS next_bal,
+                   NTH_VALUE(c_acctbal, 3) OVER
+                     (ORDER BY c_acctbal, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_bal
+            FROM customer
+            WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Q64 — generator/explode (SURVEY §2.8 extension `explode`): top-20
+    * corpus words. */
+  val q64 = QueryDef(
+    "q64_explode_words",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20),
+    Some("""SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+            GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20"""))
+
+  /** Q65 — multiset set-ops (SURVEY §2.7: intersectAll / exceptAll). */
+  val q65 = QueryDef(
+    "q65_setops_all",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.intersectAll(sup).agg(count(lit(1)).as("ia_cnt"))
+        .crossJoin(c.exceptAll(sup).agg(count(lit(1)).as("ea_cnt")))
+    },
+    Some("""SELECT
+              (SELECT COUNT(*) FROM
+                (SELECT c_nationkey AS nk FROM customer
+                 INTERSECT ALL SELECT s_nationkey FROM supplier)) AS ia_cnt,
+              (SELECT COUNT(*) FROM
+                (SELECT c_nationkey AS nk FROM customer
+                 EXCEPT ALL SELECT s_nationkey FROM supplier)) AS ea_cnt"""))
+
+  /** Q66 — HLL++ approximate distinct (SURVEY §2.4 A6 approximate variant).
+    * Sketch internals are engine-specific → rows-only; spec bounds the
+    * relative error vs the exact count. */
+  val q66 = QueryDef(
+    "q66_approx_distinct",
+    (s, d) =>
+      li(s, d).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")),
+    None)
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
-    q48, q50, q52, q53, q55, q60, q61, q62)
+    q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.Fmt.r6
 
@@ -42,4 +43,26 @@ object EventStreams {
     if (events.isStreaming)
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+
+  /** Arbitrary per-key state (SURVEY §2.10 `flatMapGroupsWithState` row):
+    * running per-user event count + value total, emitting one update per
+    * user per micro-batch. State is two numbers per user — bounded. */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 }
