@@ -14,11 +14,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sinks {
 
-  /** Partitioned Parquet — the engine's primary sink. */
+  /** Partitioned Parquet — the engine's primary sink. Partition columns
+    * become directory keys, enabling static + dynamic partition pruning on
+    * read (the first-order scan reducer at 100 TB). */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed + sorted Parquet table (catalog-managed): co-locates rows by
+    * key so equi-joins and aggregations between tables bucketed the same
+    * way need NO shuffle — the second-order lever at 100 TB (pay one
+    * shuffle at write time, amortize over every downstream join). Bucket
+    * counts must match across join partners.
+    */
+  def bucketedTable(
+      df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
