@@ -87,6 +87,61 @@ object Ann {
       .select("probe_id", "vec_id", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each probe searches only its
+    * `nprobe` nearest cells. The standard billion-scale ANN layout: the
+    * cell assignment is one ML pipeline pass at build time, and query cost
+    * drops from |corpus| to ~|corpus| * nprobe / nlist per probe.
+    * Centroids are driver-resident (nlist is small by construction) and
+    * the candidate restriction is a broadcast semi-join on cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val withVec = corpus.withColumn("__vec", array_to_vector(col("emb")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__vec")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("emb"), col("prediction").as("cell"))
+
+    // nprobe nearest cells per probe, computed against the (tiny,
+    // driver-resident) centroid set
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    val probeCells = probes.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (pid, emb) =>
+        centroids
+          .map { case (c, idx) =>
+            var d = 0.0; var i = 0
+            while (i < math.min(c.length, emb.length)) {
+              val diff = c(i) - emb(i); d += diff * diff; i += 1
+            }
+            (idx, d)
+          }
+          .sortBy(_._2).take(nprobe)
+          .map { case (cell, _) => (pid, emb, cell) }
+      }
+      .toDF("probe_id", "p_emb", "cell")
+
+    val sims = assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    sims
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "sim")
+  }
+
   /** Cosine near-dup pairs above a threshold, probes × corpus. */
   def nearDupPairs(corpus: DataFrame, probes: DataFrame, minSim: Double): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))

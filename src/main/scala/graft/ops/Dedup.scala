@@ -25,13 +25,27 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** MinHash signature: for permutation i, `min over shingles of
-    * xxhash64(shingle, i)` — the classic k-permutation estimator with the
-    * seed folded into the hash input. */
-  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
-    transform(
-      sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+  /** Shingle base hashes: each shingle string is hashed ONCE (the only
+    * string hashing in the MinHash path). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  /** MinHash signature from precomputed base hashes: hash function i is
+    * the universal-family mix `a_i * (h & 2^31-1) + b_i` with 31-bit
+    * coefficients — the products stay under 2^62 (ANSI-safe, no 64-bit
+    * wraparound) and cost one multiply per shingle instead of a string
+    * hash. Higher-order lambdas are interpreted, not codegen'd, so
+    * per-element cost dominates this operator. */
+  def minhashSignature(baseHashCol: Column, numPerm: Int, seed: Long = 42L): Column = {
+    val (as, bs) = graft.functions.MinHashSigExpr.coefficients(numPerm, seed)
+    // the `% p` reduction is what makes each mix a (near-)random reordering
+    // — without it `a*x+b` is monotonic in x and every "permutation" would
+    // select the same shingle
+    array((0 until numPerm).map(i =>
+      array_min(transform(
+        baseHashCol,
+        h => (h.bitwiseAND(lit(0x7FFFFFFFL)) * lit(as(i)) + lit(bs(i))) % lit(2147483647L)))): _*)
+  }
 
   /** LSH band keys: hash each r-row band of the signature. A pair of docs
     * with Jaccard j collides on a band with probability j^r. */
@@ -62,20 +76,28 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
       .select(col("doc_id"), TextFunctions.shingles(col("toks"), shingleSize).as("sh"))
+    // Bands carry ONLY (band, doc_id) — shuffling the heavy shingle arrays
+    // x bands would multiply the shuffle volume by the band count; the few
+    // surviving candidate pairs re-join the shingles for verification.
+    // Base hashes materialize in their own projection so the k permutations
+    // read the longs instead of re-hashing shingle strings k times; the
+    // signature itself is the fused codegen expression (one compiled loop
+    // for all k minima — see MinHashSigExpr).
     val banded = shingled
-      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("sig", graft.functions.MinHashSigExpr(col("hs"), numPerm))
       .select(
         col("doc_id"),
-        col("sh"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(
-      col("band_idx"), col("band_hash"), col("doc_id").as("a_id"), col("sh").as("sha"))
-    val b = banded.select(
-      col("band_idx"), col("band_hash"), col("doc_id").as("b_id"), col("sh").as("shb"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sha"), col("shb"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       .withColumn("jac", round(TextFunctions.jaccard(col("sha"), col("shb")), 6))
       .filter(col("jac") >= minJaccard)
       .select("a_id", "b_id", "jac")

@@ -98,5 +98,18 @@ object Similarity {
                    ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS sum_v
             FROM embeddings ORDER BY vec_id"""))
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54)
+  /** Q67 — IVF approximate top-5 (k-means coarse quantizer, nlist=16,
+    * nprobe=4): the billion-scale ANN layout. Engine-only (k-means
+    * internals) → rows-only; recall vs q31 asserted in spec. */
+  val q67 = QueryDef(
+    "q67_ann_topk_ivf",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val probes = corpus.filter(col("vec_id") % 100 === 0)
+      Ann.ivfTopK(corpus, probes, 5, nlist = 16, nprobe = 4)
+        .orderBy("probe_id", "vec_id")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67)
 }

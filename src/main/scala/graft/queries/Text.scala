@@ -34,7 +34,8 @@ object Text {
         .select("keep_id", "dup_cnt")
         .orderBy("keep_id"),
     Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
-            FROM documents GROUP BY text ORDER BY keep_id"""))
+            FROM documents GROUP BY text ORDER BY keep_id"""),
+    headline = true)
 
   /** Q27 — MinHash+LSH near-dup candidates (X2): shingle → 32-perm
     * signature → 8 bands → bucket join → exact-Jaccard verify. Engine-only
@@ -45,7 +46,8 @@ object Text {
     (s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id")
         .orderBy("a_id", "b_id"),
-    None)
+    None,
+    headline = true)
 
   /** Q28 — SimHash near-dup candidates (X2): 64-bit signatures, chunk
     * bucketing (pigeonhole candidates), hamming <= 16. Engine-only. */

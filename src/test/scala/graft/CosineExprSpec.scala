@@ -34,6 +34,21 @@ class CosineExprSpec extends SparkSuite {
     assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 0.0)
   }
 
+  test("fused minhash signature equals the composed-column form") {
+    import graft.functions.MinHashSigExpr
+    import graft.ops.Dedup
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(50)(rng.nextLong()))).toDF("id", "hs")
+    val rows = docs.select(
+      MinHashSigExpr(col("hs"), 32).as("fused"),
+      Dedup.minhashSignature(col("hs"), 32).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "fused and composed minhash diverged")
+    }
+  }
+
   test("null input yields null, mismatched lengths use common prefix") {
     val df = Seq((Some(Array(1.0, 0.0)), None: Option[Array[Double]])).toDF("a", "b")
     val r = df.select(CosineSimilarity(col("a"), col("b")).as("s")).collect()(0)

@@ -82,6 +82,25 @@ class DedupAnnSpec extends SparkSuite {
     assert(got.intersect(Set(1L, 2L)).nonEmpty)
   }
 
+  test("IVF top-k achieves high recall on separable clustered data") {
+    val rng = new scala.util.Random(3)
+    // 8 well-separated clusters in 16d: centers are +-5 on distinct axes
+    val clustered = (0 until 400).map { i =>
+      val c = i % 8
+      val base = Array.fill(16)(0.0f)
+      base(c) = 5.0f
+      (i.toLong, base.map(v => v + rng.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val corpus = Ann.prepared(clustered, "embedding", "vec_id")
+    val probes = corpus.filter(col("vec_id") < 8)
+    val brute = Ann.bruteForceTopK(corpus, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(corpus, probes, 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.9, s"IVF recall $recall too low on separable clusters")
+  }
+
   test("cosine expression matches manual computation") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val sim = df.select(Vectors.cosine(col("a"), col("b")).as("s")).collect()(0).getDouble(0)
