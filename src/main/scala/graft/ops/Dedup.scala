@@ -104,22 +104,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash signatures: per-token xxhash64; each signature bit is
-    * the sign of the summed ±1 contributions of that bit across tokens. */
-  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokenHashes = df
-      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val sig = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce(_ + _)
-    tokenHashes
-      .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+    * the sign of the summed ±1 contributions of that bit across tokens.
+    * Computed entirely per-row by the fused codegen expression
+    * ([[graft.functions.SimHashSigExpr]]) — no explode, no shuffle. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.SimHashSigExpr(
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
 
   /** SimHash near-dup candidate pairs via chunk bucketing: split the 64-bit
     * signature into `chunks` pieces; any pair within hamming distance

@@ -197,6 +197,27 @@ object Events {
     Some("""SELECT arg_max(user_id, t) AS top_user
             FROM (SELECT user_id, SUM(value) AS t FROM events GROUP BY 1)"""))
 
+  /** Q68 — JSON → typed map column + map functions (SURVEY §2.8 extension
+    * `from_json`/`map_*`): parse props into map<string,bigint>, extract and
+    * aggregate. */
+  val q68 = QueryDef(
+    "q68_map_ops",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          from_json(col("props"), lit("map<string,bigint>")).as("m"))
+        .select(
+          col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"))
+        .groupBy("n_keys")
+        .agg(count(lit(1)).as("cnt"), sum(col("k_val")).as("sum_k"))
+        .orderBy("n_keys"),
+    Some("""SELECT 1 AS n_keys, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[QueryDef] =
-    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59)
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68)
 }
