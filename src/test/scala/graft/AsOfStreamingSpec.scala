@@ -84,6 +84,35 @@ class AsOfStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the real events parquet matches batch") {
+    val batchEvents = graft.core.Tables.events(spark, sf0001)
+    // file sources stream directories; stage the fixture into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val streamEvents = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    // raw streaming read sees the nanos-as-long ts; convert like Tables.events
+    val streamFixed =
+      if (streamEvents.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        streamEvents.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else streamEvents
+    val q = EventStreams.tumblingAgg(streamFixed)
+      .writeStream.outputMode("complete").format("memory").queryName("file_t").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_t")
+        .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type").collect().toSeq
+      val batch = EventStreams.tumblingAgg(batchEvents)
+        .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
