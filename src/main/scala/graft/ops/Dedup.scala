@@ -89,11 +89,21 @@ object Dedup {
       .select(
         col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+    // Pairs form inside each band bucket via collect + double explode —
+    // ONE computation of the signatures (a self-join would recompute the
+    // whole banding subplan per side) and one shuffle keyed on the band.
+    // Degenerate buckets (hash of a near-universal band value) are capped:
+    // a bucket of B docs yields B^2/2 candidates, and buckets past the cap
+    // carry almost no signal — standard LSH practice.
+    val maxBucket = 1000
+    val buckets = banded
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val candidates = buckets
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
     candidates
       .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))

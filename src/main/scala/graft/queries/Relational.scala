@@ -628,6 +628,46 @@ object Relational {
                 (SELECT c_nationkey AS nk FROM customer
                  EXCEPT ALL SELECT s_nationkey FROM supplier)) AS ea_cnt"""))
 
+  /** Q69 — unpivot / melt (wide → long; the inverse of q56's pivot). */
+  val q69 = QueryDef(
+    "q69_unpivot",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value"),
+    Some("""SELECT l_orderkey, l_linenumber, name AS metric, value
+            FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                                  l_extendedprice, l_discount, l_tax
+                           FROM lineitem WHERE l_orderkey <= 100)
+                  ON l_quantity, l_extendedprice, l_discount, l_tax
+                  INTO NAME name VALUE value)
+            ORDER BY l_orderkey, l_linenumber, metric, value"""))
+
+  /** Q70 — correlated scalar subquery through the SQL + temp-view entry
+    * point (SURVEY §1.1 registerTable surface; §3.1 lifecycle): per nation,
+    * customers above a fixed balance. Catalyst decorrelates this into an
+    * outer join + aggregate. */
+  val q70 = QueryDef(
+    "q70_correlated_scalar",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT n_name,
+                      (SELECT COUNT(*) FROM customer_v c
+                       WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS rich
+               FROM nation_v n ORDER BY n_name""")
+    },
+    Some("""SELECT n_name,
+                   (SELECT COUNT(*) FROM customer c
+                    WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS rich
+            FROM nation n ORDER BY n_name"""))
+
   /** Q66 — HLL++ approximate distinct (SURVEY §2.4 A6 approximate variant).
     * Sketch internals are engine-specific → rows-only; spec bounds the
     * relative error vs the exact count. */
@@ -642,5 +682,5 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
-    q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66)
+    q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70)
 }
