@@ -668,6 +668,46 @@ object Relational {
                     WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS rich
             FROM nation n ORDER BY n_name"""))
 
+  /** Q71 — conditional scalar functions (SURVEY §2.8: coalesce/nullif/
+    * greatest/least over nullable intermediates). */
+  val q71 = QueryDef(
+    "q71_conditional_funcs",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+          least(col("o_totalprice"), lit(200000.0)).as("cap_price"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+                   GREATEST(o_totalprice, 100000.0) AS floor_price,
+                   LEAST(o_totalprice, 200000.0) AS cap_price
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Q72 — date arithmetic (SURVEY §2.8 F-group: date_add/datediff/
+    * last_day/trunc). `months_between` is deliberately absent — its
+    * fractional semantics differ across engines. */
+  val q72 = QueryDef(
+    "q72_date_arith",
+    (s, d) =>
+      ord(s, d)
+        .filter(col("o_orderkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          Fmt.date(date_add(col("o_orderdate"), 30)).as("due"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("age_days"),
+          Fmt.date(last_day(col("o_orderdate"))).as("month_end"),
+          Fmt.date(trunc(col("o_orderdate"), "quarter")).as("quarter_start"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due,
+                   CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS age_days,
+                   strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+                   strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS quarter_start
+            FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"""))
+
   /** Q66 — HLL++ approximate distinct (SURVEY §2.4 A6 approximate variant).
     * Sketch internals are engine-specific → rows-only; spec bounds the
     * relative error vs the exact count. */
@@ -682,5 +722,6 @@ object Relational {
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
-    q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70)
+    q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
+    q71, q72)
 }
