@@ -65,4 +65,14 @@ object TextFunctions {
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Sliding token-window chunks: windows of `chunkTokens` tokens starting
+    * every `stride` tokens (the standard context-window chunking of a
+    * training-data pipeline). Returns an array of chunk strings; the tail
+    * window may be shorter than `chunkTokens` but always covers the final
+    * tokens. */
+  def chunks(toks: Column, chunkTokens: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), greatest(ceil((size(toks) - chunkTokens).cast("double") / stride).cast("int"), lit(0))),
+      w => concat_ws(" ", slice(toks, w * stride + 1, lit(chunkTokens))))
 }

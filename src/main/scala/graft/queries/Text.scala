@@ -190,5 +190,66 @@ object Text {
                                (a, b) -> (a + b) % 997) AS checksum
             FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[QueryDef] = Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37)
+  /** Q73 — document chunking (X4/training-pipeline core): sliding
+    * 50-token windows, stride 25, one row per chunk. Chunk text travels as
+    * an md5 digest to keep the verification output narrow. */
+  val q73 = QueryDef(
+    "q73_doc_chunking",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.chunks(TextFunctions.tokens(col("text")), 50, 25))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          size(split(col("chunk"), " ")).as("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+                 c AS (SELECT doc_id,
+                              unnest([{'w': w, 'chunk': array_to_string(toks[(w*25+1):(w*25+50)], ' ')}
+                                      FOR w IN range(0, CAST(GREATEST(ceil((len(toks)-50)/25.0), 0) AS BIGINT)+1)]) AS s
+                       FROM d)
+            SELECT doc_id, CAST(s.w AS INTEGER) AS chunk_idx,
+                   CAST(len(str_split(s.chunk, ' ')) AS INTEGER) AS n_chunk_tokens,
+                   md5(s.chunk) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Q74 — composed corpus-cleaning pipeline (the end-to-end shape a
+    * training-data user runs): length gate + lexical-diversity gate +
+    * exact dedup keeping the smallest doc_id, emitting survivors with
+    * their quality score. */
+  val q74 = QueryDef(
+    "q74_corpus_clean",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs
+        .filter(TextFunctions.tokenCount(col("text")).between(30, 400))
+        .filter(TextFunctions.typeTokenRatio(col("text")) > 0.4)
+      val keep = Dedup.exactByHash(gated, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      gated
+        .join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), r6(TextFunctions.qualityScore(col("text"))).as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH gated AS (
+              SELECT doc_id, lang, text,
+                     len(str_split(text,' ')) AS n_tok,
+                     CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+                       / len(str_split(text,' ')) AS ttr
+              FROM documents
+              WHERE len(str_split(text,' ')) BETWEEN 30 AND 400
+                AND CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+                      / len(str_split(text,' ')) > 0.4),
+                 keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text)
+            SELECT g.doc_id, g.lang,
+                   ROUND(g.ttr * LEAST(1.0, g.n_tok / 200.0), 6) AS score
+            FROM gated g SEMI JOIN keep k ON g.doc_id = k.doc_id
+            ORDER BY g.doc_id"""))
+
+  def all: Seq[QueryDef] =
+    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74)
 }
