@@ -71,8 +71,11 @@ object TextFunctions {
     * training-data pipeline). Returns an array of chunk strings; the tail
     * window may be shorter than `chunkTokens` but always covers the final
     * tokens. */
-  def chunks(toks: Column, chunkTokens: Int, stride: Int): Column =
+  def chunks(toks: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunks needs positive chunkTokens/stride, got $chunkTokens/$stride")
     transform(
       sequence(lit(0), greatest(ceil((size(toks) - chunkTokens).cast("double") / stride).cast("int"), lit(0))),
       w => concat_ws(" ", slice(toks, w * stride + 1, lit(chunkTokens))))
+  }
 }

@@ -204,7 +204,7 @@ object Text {
         .select(
           col("doc_id"),
           col("chunk_idx"),
-          size(split(col("chunk"), " ")).as("n_chunk_tokens"),
+          TextFunctions.tokenCount(col("chunk")).as("n_chunk_tokens"),
           md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"),
     Some("""WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
@@ -223,18 +223,10 @@ object Text {
     * their quality score. */
   val q74 = QueryDef(
     "q74_corpus_clean",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val gated = docs
-        .filter(TextFunctions.tokenCount(col("text")).between(30, 400))
-        .filter(TextFunctions.typeTokenRatio(col("text")) > 0.4)
-      val keep = Dedup.exactByHash(gated, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      gated
-        .join(keep, Seq("doc_id"), "left_semi")
+    (s, d) =>
+      graft.ops.Corpus.clean(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), r6(TextFunctions.qualityScore(col("text"))).as("score"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""WITH gated AS (
               SELECT doc_id, lang, text,
                      len(str_split(text,' ')) AS n_tok,

@@ -82,6 +82,20 @@ class DedupAnnSpec extends SparkSuite {
     assert(got.intersect(Set(1L, 2L)).nonEmpty)
   }
 
+  test("Corpus.clean: length gates, diversity gate, and dedup all fire") {
+    val longText = (1 to 60).map(i => s"w$i").mkString(" ")       // diverse, in range
+    val tooLong = (1 to 500).map(i => s"w$i").mkString(" ")       // > maxTokens
+    val tooShort = "a b c"                                        // < minTokens
+    val repetitive = Seq.fill(60)("same").mkString(" ")           // ttr ~ 0.017
+    val docs = Seq(
+      (0L, longText, "en"), (1L, tooLong, "en"), (2L, tooShort, "en"),
+      (3L, repetitive, "en"), (4L, longText, "en") // exact dup of 0
+    ).toDF("doc_id", "text", "lang")
+    val kept = graft.ops.Corpus.clean(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L)) // dup keeps smallest id; gates drop 1,2,3
+  }
+
   test("IVF top-k achieves high recall on separable clustered data") {
     val rng = new scala.util.Random(3)
     // 8 well-separated clusters in 16d: centers are +-5 on distinct axes
