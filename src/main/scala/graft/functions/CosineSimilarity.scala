@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Floating-point semantics match the composed form exactly (sequential
   * left-to-right accumulation of dot and both square norms), so swapping
   * it into [[graft.ops.Ann]] changes no oracle-checked result.
+  *
+  * Edge semantics (callers must handle): a zero-norm input yields NaN
+  * (0/0), and mismatched lengths are truncated to the common prefix —
+  * [[graft.ops.Ann]] filters NaN sims before ranking.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -47,12 +47,14 @@ object TextFunctions {
 
   /** Rolling polynomial hash over the character stream:
     * `h = (h*31 + code(c)) mod 1e9+7`, left fold from 0. Stable across
-    * engines (pure integer arithmetic, no engine-specific hash). */
+    * engines (pure integer arithmetic, no engine-specific hash). Empty
+    * text is 0 explicitly — `sequence(1, 0)` would step backwards. */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L))
 
   /** Word n-gram shingles (distinct), for MinHash / Jaccard dedup.
     * Callers must filter docs with fewer than `n` tokens. */

@@ -36,6 +36,7 @@ object Ann {
         col("probe_id"),
         col("vec_id"),
         round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: cosine undefined, and NaN sorts ABOVE 1.0 in desc order
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     sims
       .withColumn("rn", row_number().over(w))
@@ -80,6 +81,7 @@ object Ann {
         col("probe_id"),
         col("vec_id"),
         round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: cosine undefined, and NaN sorts ABOVE 1.0 in desc order
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     sims
       .withColumn("rn", row_number().over(w))
@@ -135,6 +137,7 @@ object Ann {
         col("probe_id"),
         col("vec_id"),
         round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm vectors: cosine undefined, and NaN sorts ABOVE 1.0 in desc order
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     sims
       .withColumn("rn", row_number().over(w))
@@ -151,6 +154,6 @@ object Ann {
         col("probe_id"),
         col("vec_id"),
         round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
-      .filter(col("sim") >= minSim)
+      .filter(!isnan(col("sim")) && col("sim") >= minSim)
   }
 }

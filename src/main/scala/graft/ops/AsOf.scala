@@ -13,19 +13,28 @@ import org.apache.spark.sql.functions._
   * ordered by time. One shuffle on the key, no cross product, no
   * per-probe subquery — this holds at 100 TB because state per key is a
   * single carried row, and the window is partitioned (never global).
+  *
+  * The carried build columns travel together in ONE struct, so the matched
+  * values always come from the same build row even when some build value
+  * columns are null (a per-column `last(ignoreNulls)` would stitch values
+  * from different rows).
   */
 object AsOf {
 
-  /** For each probe row, attach `asof_<valueCol>` columns from the latest
-    * build row with the same `key` and `buildTime <= probeTime`.
-    * Build rows at exactly the probe timestamp DO match (<=).
+  /** For each probe row, attach `asof_<valueCol>` columns (and
+    * `asof_<time>`) from the latest build row with the same `key` and
+    * `buildTime <= probeTime`. Build rows at exactly the probe timestamp
+    * DO match (<=). Among build rows tied on (key, time), the one with the
+    * highest `tieBreak` wins (deterministic); `tieBreak` must exist on
+    * both sides for that guarantee — if the build side lacks it, ties are
+    * broken arbitrarily.
     *
     * @param probe     left side; all its columns are preserved
-    * @param build     right side; only `key`, `time`, `valueCols` are read
+    * @param build     right side; only `key`, `time`, `tieBreak` (if
+    *                  present), `valueCols` are read
     * @param key       equi-key column name present on both sides
     * @param time      event-time column name present on both sides
-    * @param tieBreak  probe column giving a total order among equal probe
-    *                  timestamps (keeps the window deterministic)
+    * @param tieBreak  column giving a total order among equal timestamps
     * @param valueCols build columns to carry onto matched probe rows
     */
   def join(
@@ -36,35 +45,43 @@ object AsOf {
       tieBreak: String,
       valueCols: Seq[String]): DataFrame = {
     val pCols = probe.columns
-    // Align schemas: probe keeps its columns, build contributes b_<v> copies.
-    val taggedProbe = valueCols
-      .foldLeft(probe.withColumn("__is_probe", lit(1))) { (df, v) =>
-        df.withColumn(s"__b_$v", lit(null).cast(build.schema(v).dataType))
-      }
-      .withColumn("__b_time", lit(null).cast(build.schema(time).dataType))
+    val buildHasTieBreak = build.columns.contains(tieBreak)
+
+    // The whole build row travels as one struct; probes carry a null struct.
+    val buildStruct = struct(
+      (col(time).as("__t") +: valueCols.map(v => col(v).as(v))): _*)
     val buildProjected = build.select(
-      (Seq(col(key), col(time)) ++ valueCols.map(v => col(v).as(s"__b_$v"))): _*)
+      (Seq(col(key), col(time)) ++
+        (if (buildHasTieBreak) Seq(col(tieBreak)) else Nil) :+
+        buildStruct.as("__b")): _*)
+
+    val taggedProbe = probe
+      .withColumn("__is_probe", lit(1))
+      .withColumn("__b", lit(null).cast(buildProjected.schema("__b").dataType))
     val taggedBuild = pCols
       .foldLeft(buildProjected.withColumn("__is_probe", lit(0))) { (df, c) =>
-        if (c == key || c == time) df
+        if (c == key || c == time || (c == tieBreak && buildHasTieBreak)) df
         else df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
       }
-      .withColumn("__b_time", col(time))
       .select(taggedProbe.columns.map(col): _*)
 
     // Build rows sort before probe rows at the same timestamp (`__is_probe`
-    // asc) so a same-instant build row is visible to the probe.
+    // asc) so a same-instant build row is visible to the probe; equal-time
+    // build rows order by tieBreak so the LAST (highest) one is carried.
     val w = Window
       .partitionBy(key)
       .orderBy(col(time), col("__is_probe"), col(tieBreak).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = valueCols.foldLeft(taggedProbe.unionByName(taggedBuild)) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"__b_$v"), ignoreNulls = true).over(w))
-    }.withColumn(s"asof_$time", last(col("__b_time"), ignoreNulls = true).over(w))
+    val carried = taggedProbe
+      .unionByName(taggedBuild)
+      .withColumn("__carried", last(col("__b"), ignoreNulls = true).over(w))
 
     carried
       .filter(col("__is_probe") === 1)
-      .select((pCols.map(col) ++ valueCols.map(v => col(s"asof_$v")) :+ col(s"asof_$time")): _*)
+      .select(
+        (pCols.map(col) ++
+          valueCols.map(v => col("__carried").getField(v).as(s"asof_$v")) :+
+          col("__carried").getField("__t").as(s"asof_$time")): _*)
   }
 }

@@ -42,7 +42,9 @@ object Multimodal {
   }
 
   /** STUB decoder: deterministic fake "image" metadata derived from the
-    * payload bytes. Replace with a real codec (`???`-equivalent) when the
+    * payload BYTES (the q37 oracle reproduces it per character code point,
+    * which coincides only for ASCII payloads — the fixtures are ASCII; a
+    * non-ASCII corpus needs a byte-level oracle or a code-point checksum). Replace with a real codec (`???`-equivalent) when the
     * runtime has one; signature and batch shape stay identical. */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.media.length

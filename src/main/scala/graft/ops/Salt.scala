@@ -15,11 +15,13 @@ object Salt {
   /** Two-phase salted aggregation: spread each key over `buckets` partial
     * groups, aggregate, then combine. Supports the decomposable aggregates
     * (sum/count here; min/max/avg follow the same shape). Result is
-    * identical to a direct `groupBy(key).agg(sum, count)`.
+    * identical to a direct `groupBy(key).agg(sum, count)`. The salt comes
+    * from the row position, NOT the value column — a hot key with constant
+    * values (the classic counter-skew shape) must still spread.
     */
   def saltedSumCount(
       df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

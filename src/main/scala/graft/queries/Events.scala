@@ -34,7 +34,7 @@ object Events {
                                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
                        FROM events)
             SELECT user_id, COUNT(*) AS n_gaps FROM g
-            WHERE gap_us > 3600000000 GROUP BY 1 ORDER BY 1"""),
+            WHERE gap_us > 3600000000 GROUP BY 1 ORDER BY 1 NULLS FIRST"""),
     headline = true)
 
   /** Q19 — tumbling 1-hour window aggregate, batch analog of the streaming
@@ -90,7 +90,7 @@ object Events {
                        FROM events)
             SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
-            FROM g GROUP BY 1 ORDER BY 1"""))
+            FROM g GROUP BY 1 ORDER BY 1 NULLS FIRST"""))
 
   /** Q40 — as-of join: for each click event, the latest purchase by the
     * same user at or before the click (SURVEY §2.3 as-of row; see
@@ -142,7 +142,7 @@ object Events {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-            ORDER BY user_id"""))
+            ORDER BY user_id NULLS FIRST"""))
 
   /** Q51 — JSON field extraction + aggregation (SURVEY §2.8 extension:
     * `get_json_object`; oracle avoids the DuckDB json extension by regex). */
@@ -183,7 +183,7 @@ object Events {
                    ROUND(SUM(CASE WHEN event_type='purchase' THEN value END),6) AS v_purchase,
                    ROUND(SUM(CASE WHEN event_type='signup' THEN value END),6) AS v_signup,
                    ROUND(SUM(CASE WHEN event_type='error' THEN value END),6) AS v_error
-            FROM events GROUP BY 1 ORDER BY 1"""))
+            FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""))
 
   /** Q59 — argmax via `max_by` (ref: hour-of-max reduce,
     * `RDDOperations.scala:112-115`, SURVEY §2.6 O6). */
@@ -192,10 +192,11 @@ object Events {
     (s, d) =>
       Tables.events(s, d)
         .groupBy("user_id")
-        .agg(sum(col("value")).as("t"))
-        .agg(max_by(col("user_id"), col("t")).as("top_user")),
-    Some("""SELECT arg_max(user_id, t) AS top_user
-            FROM (SELECT user_id, SUM(value) AS t FROM events GROUP BY 1)"""))
+        .agg(round(sum(col("value")), 6).as("t"))
+        .agg(max_by(col("user_id"), struct(col("t"), col("user_id"))).as("top_user")),
+    Some("""SELECT user_id AS top_user
+            FROM (SELECT user_id, ROUND(SUM(value), 6) AS t FROM events GROUP BY 1)
+            ORDER BY t DESC, user_id DESC LIMIT 1"""))
 
   /** Q68 — JSON → typed map column + map functions (SURVEY §2.8 extension
     * `from_json`/`map_*`): parse props into map<string,bigint>, extract and

@@ -200,7 +200,7 @@ object Relational {
       val daily = ord(s, d)
         .groupBy(Fmt.date(col("o_orderdate")).as("d"))
         .agg(r4(sum(col("o_totalprice"))).as("total"))
-      val avgTotal = daily.agg(avg(col("total")).as("avg_total"))
+      val avgTotal = daily.agg(r4(avg(col("total"))).as("avg_total"))
       daily
         .crossJoin(broadcast(avgTotal))
         .filter(col("total") > col("avg_total"))
@@ -212,7 +212,7 @@ object Relational {
                      ROUND(SUM(o_totalprice),4) AS total
               FROM orders GROUP BY 1)
             SELECT d, total FROM daily
-            WHERE total > (SELECT AVG(total) FROM daily) ORDER BY d"""))
+            WHERE total > (SELECT ROUND(AVG(total), 4) FROM daily) ORDER BY d"""))
 
   /** Q16 — TPC-H Q5-shaped 4-way star join (SURVEY §2.3). `nation` is
     * broadcast explicitly (25 rows); customer⋈orders⋈lineitem shuffle on
@@ -248,7 +248,7 @@ object Relational {
         .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
         .agg(count(lit(1)).as("cnt")),
     Some("""SELECT COUNT(*) AS cnt FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""))
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
 
   /** Q18 — INTERSECT (SURVEY §2.7). */
   val q18 = QueryDef(

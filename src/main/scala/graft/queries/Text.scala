@@ -166,9 +166,10 @@ object Text {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
-                   list_reduce(list_transform(range(1, LENGTH(text)+1),
-                                              i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
-                               (a, b) -> (a*31 + b) % 1000000007) AS fp
+                   CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+                     list_reduce(list_transform(range(1, LENGTH(text)+1),
+                                                i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+                                 (a, b) -> (a*31 + b) % 1000000007) END AS fp
             FROM documents ORDER BY doc_id"""))
 
   /** Q37 — multimodal plumbing (X5): binary payload column → mapPartitions
@@ -185,9 +186,10 @@ object Text {
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
                    CAST((octet_length(encode(text)) * 3) % 480 AS INTEGER) AS height,
-                   list_reduce(list_transform(range(1, LENGTH(text)+1),
-                                              i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
-                               (a, b) -> (a + b) % 997) AS checksum
+                   CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+                     list_reduce(list_transform(range(1, LENGTH(text)+1),
+                                                i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+                                 (a, b) -> (a + b) % 997) END AS checksum
             FROM documents ORDER BY doc_id"""))
 
   /** Q73 — document chunking (X4/training-pipeline core): sliding

@@ -41,6 +41,29 @@ class AsOfStreamingSpec extends SparkSuite {
     assert(out(4L).isEmpty)
   }
 
+  test("as-of: null-valued latest build row is NOT skipped for an older value") {
+    val b = Seq(
+      (90L, t("2024-01-01 09:00:00"), 100L, Some(5.0)),
+      (91L, t("2024-01-01 10:00:00"), 100L, None) // latest, value null
+    ).toDF("event_id", "ts", "user_id", "value")
+    val p = Seq((1L, t("2024-01-01 11:00:00"), 100L)).toDF("event_id", "ts", "user_id")
+    val out = AsOf.join(p, b, "user_id", "ts", "event_id", Seq("value")).collect()(0)
+    // latest build row wins as a whole: its null value must come through,
+    // not the older row's 5.0 (per-column last(ignoreNulls) would stitch rows)
+    assert(out.isNullAt(out.fieldIndex("asof_value")))
+    assert(out.getAs[Timestamp]("asof_ts") == t("2024-01-01 10:00:00"))
+  }
+
+  test("as-of: ties on (key, time) deterministically pick the highest tieBreak") {
+    val b = Seq(
+      (90L, t("2024-01-01 09:00:00"), 100L, 1.0),
+      (95L, t("2024-01-01 09:00:00"), 100L, 2.0) // same instant, higher id
+    ).toDF("event_id", "ts", "user_id", "value")
+    val p = Seq((1L, t("2024-01-01 11:00:00"), 100L)).toDF("event_id", "ts", "user_id")
+    val out = AsOf.join(p, b, "user_id", "ts", "event_id", Seq("value")).collect()(0)
+    assert(out.getAs[Double]("asof_value") == 2.0)
+  }
+
   test("streaming tumbling aggregation matches the batch analog") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
