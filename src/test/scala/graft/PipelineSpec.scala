@@ -96,6 +96,17 @@ class PipelineSpec extends SparkSuite {
     assert(back.count() == hourly.count())
   }
 
+  test("IQR outlier report flags planted extremes") {
+    import spark.implicits._
+    // 100 values at ~1.0 plus two planted extremes
+    val df = ((1 to 100).map(i => 1.0 + i * 0.001) ++ Seq(50.0, -50.0))
+      .toDF("Global_active_power")
+    val rep = PowerPipeline.iqrOutliers(df, "Global_active_power")
+    assert(rep.outliers == 2)
+    assert(rep.lower > -50.0 && rep.upper < 50.0)
+    assert(rep.q1 >= 1.0 && rep.q3 <= 1.2)
+  }
+
   test("sampling is reproducible with a fixed seed") {
     val hourly = PowerPipeline.aggregateHourly(
       PowerPipeline.dropDups(PowerPipeline.dropInvalid(prepared)))
