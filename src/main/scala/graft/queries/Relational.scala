@@ -708,6 +708,62 @@ object Relational {
                    strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS quarter_start
             FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"""))
 
+  /** Q75 — statistical aggregates (SURVEY §2.4 extension: corr /
+    * covar_samp / stddev_samp; skewness/kurtosis excluded — bias-correction
+    * formulas differ across engines). Large-magnitude moments are scaled
+    * before rounding per the q09 determinism note. */
+  val q75 = QueryDef(
+    "q75_stats_aggs",
+    (s, d) =>
+      li(s, d).agg(
+        r6(corr(col("l_quantity"), col("l_extendedprice"))).as("qty_price_corr"),
+        r6(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000.0).as("cov_k"),
+        r6(stddev_samp(col("l_extendedprice")) / 1000.0).as("sd_k")),
+    Some("""SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   ROUND(covar_samp(l_quantity, l_extendedprice)/1000.0, 6) AS cov_k,
+                   ROUND(stddev_samp(l_extendedprice)/1000.0, 6) AS sd_k
+            FROM lineitem"""))
+
+  /** Q76 — additional array functions (SURVEY §2.8 `array_*` set):
+    * sort/position/contains over token arrays. */
+  val q76 = QueryDef(
+    "q76_array_funcs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          element_at(array_sort(split(col("text"), " ")), 1).as("first_sorted_tok"),
+          array_position(split(col("text"), " "), "data").cast("int").as("data_pos"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   list_sort(str_split(text, ' '))[1] AS first_sorted_tok,
+                   CAST(COALESCE(list_position(str_split(text, ' '), 'data'), 0) AS INTEGER) AS data_pos,
+                   list_contains(str_split(text, ' '), 'spark') AS has_spark
+            FROM documents ORDER BY doc_id"""))
+
+  /** Q77 — histogram via manual equal-width bucketing (floor arithmetic —
+    * portable, unlike engine-specific width_bucket edge conventions). */
+  val q77 = QueryDef(
+    "q77_histogram",
+    (s, d) => {
+      val o = ord(s, d)
+      val stats = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(stats))
+        .withColumn(
+          "bucket",
+          least(
+            floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10)),
+            lit(9L)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+    Some("""WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+            SELECT CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS INTEGER) AS bucket,
+                   COUNT(*) AS cnt
+            FROM orders, s GROUP BY 1 ORDER BY 1"""))
+
   /** Q66 — HLL++ approximate distinct (SURVEY §2.4 A6 approximate variant).
     * Sketch internals are engine-specific → rows-only; spec bounds the
     * relative error vs the exact count. */
@@ -723,5 +779,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72)
+    q71, q72, q75, q76, q77)
 }
