@@ -21,6 +21,10 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("driver entry point returns rows (t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every query name has at most one registry entry") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
