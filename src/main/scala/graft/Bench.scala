@@ -2,40 +2,79 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.queries.QueryDef
+
 /** Benchmark harness: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Execution is forced with the `noop` sink so the
   * full plan (scan→shuffle→agg/sort) runs — a bare `.count()` would let
   * Catalyst drop sorts and projections and under-report.
+  *
+  * A query that throws is recorded as `"error"` in the queries map (and
+  * listed under `"errors"`), and the process exits nonzero — a crash must
+  * fail the bench, never shorten it.
   */
 object Bench {
+
+  private def exec(spark: SparkSession, q: QueryDef, sfDir: String): Unit =
+    q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** Runs warm-up + one timed pass per headline query; returns the JSON
+    * result line and whether every query succeeded. Separated from main so
+    * the failure path is unit-testable with a deliberately-broken QueryDef.
+    */
+  def run(spark: SparkSession, sfDir: String, headline: Seq[QueryDef]): (String, Boolean) = {
+    // Warm-up execution per query (JIT + codegen cache + file listing).
+    // Failures are ignored HERE only because the timed pass below runs the
+    // same plan and records them.
+    headline.foreach { q =>
+      try exec(spark, q, sfDir)
+      catch { case _: Throwable => () }
+    }
+    val results: Seq[(String, Either[String, Double])] = headline.map { q =>
+      val t0 = System.nanoTime()
+      try {
+        exec(spark, q, sfDir)
+        q.name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          q.name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    val qs = results.map {
+      case (k, Right(sec)) => jsonStr(k) + ":" + sec
+      case (k, Left(_))    => jsonStr(k) + ":\"error\""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(msg)) => jsonStr(k) + ":" + jsonStr(msg) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val ok = results.forall(_._2.isRight)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"ok":$ok,"sf":${jsonStr(sfDir)}}"""
+    (line, ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession
+      .builder(s"local[$cpus]", cpus, "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = SparkEntry.registry.filter(_.headline)
-    // Warm-up execution per query (JIT + codegen cache + file listing),
-    // then one timed steady-state run each.
-    headline.foreach { q =>
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (line, ok) = run(spark, sfDir, SparkEntry.registry.filter(_.headline))
+    println(line)
     spark.stop()
+    if (!ok) sys.exit(1)
   }
 }

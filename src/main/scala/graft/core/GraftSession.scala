@@ -29,6 +29,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Fixture events.parquet carries TIMESTAMP(NANOS), which the
+      // vectorized parquet reader rejects; declared session-wide here (not
+      // mutated per-read) so every nanos column in the session reads as a
+      // raw long and the ns→µs policy lives in one place (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

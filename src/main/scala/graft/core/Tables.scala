@@ -23,13 +23,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * truncate to a microsecond timestamp — the same ns→µs truncation
-    * DuckDB applies when it reads the file, so both engines see identical
-    * instants.
+    * vectorized reader rejects. Sessions built via [[GraftSession]] set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (session-wide, declared
+    * once — not mutated here per-read), so the column arrives as a raw
+    * long; truncate it to a microsecond timestamp — the same ns→µs
+    * truncation DuckDB applies when it reads the file, so both engines see
+    * identical instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -392,15 +392,20 @@ object Relational {
                    ROUND(AVG(total) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS avg7
             FROM daily ORDER BY dt"""))
 
-  /** Q50 — NTILE deciles over customers (SURVEY §2.5 analytic set). */
+  /** Q50 — NTILE deciles over customers (SURVEY §2.5 analytic set).
+    * customer grows with scale factor, so no unpartitioned window here:
+    * [[graft.ops.GlobalRank]] computes the global row number distributed
+    * (percentile buckets + offset stitch) and derives exact NTILE from it. */
   val q50 = QueryDef(
     "q50_ntile",
-    (s, d) =>
-      Tables.customer(s, d)
-        .select(
-          col("c_custkey"),
-          ntile(10).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("decile"))
-        .orderBy("c_custkey"),
+    (s, d) => {
+      val r = graft.ops.GlobalRank.ranked(
+        Tables.customer(s, d), col("c_acctbal"), Seq(col("c_custkey")))
+      graft.ops.GlobalRank
+        .dropInternal(r.withColumn("decile", graft.ops.GlobalRank.ntileExpr(10)))
+        .select("c_custkey", "decile")
+        .orderBy("c_custkey")
+    },
     Some("""SELECT c_custkey,
                    CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
             FROM customer ORDER BY c_custkey"""))
@@ -567,21 +572,29 @@ object Relational {
             GROUP BY 1,2 ORDER BY rev DESC, l_orderkey LIMIT 10"""))
 
   /** Q63 — remaining analytic-function suite (SURVEY §2.5 ship list):
-    * dense_rank, percent_rank, cume_dist, lead, nth_value. Single ordered
-    * window — fine for dimension-sized inputs; partition by key for facts. */
+    * dense_rank, percent_rank, cume_dist, lead, nth_value — all derived
+    * from [[graft.ops.GlobalRank]]'s distributed global row number instead
+    * of a single-task `Window.orderBy`. The order (c_acctbal, c_custkey)
+    * is unique (custkey is a key), so dense_rank == row_number exactly;
+    * lead() is bucket-local lead + boundary stitch; the global 3rd value
+    * (nth_value over an unbounded frame) is the one row with _grn = 3,
+    * broadcast back to every row. */
   val q63 = QueryDef(
     "q63_analytic_suite",
     (s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.customer(s, d)
-        .select(
-          col("c_custkey"),
-          dense_rank().over(w).as("dr"),
-          r6(percent_rank().over(w)).as("pr"),
-          r6(cume_dist().over(w)).as("cd"),
-          lead(col("c_acctbal"), 1).over(w).as("next_bal"),
-          nth_value(col("c_acctbal"), 3).over(wf).as("third_bal"))
+      import graft.ops.GlobalRank
+      val order = Seq(col("c_acctbal"), col("c_custkey"))
+      val r = GlobalRank.ranked(
+        Tables.customer(s, d), col("c_acctbal"), Seq(col("c_custkey")),
+        leadCol = Some("c_acctbal"))
+      val third = r.filter(col("_grn") === 3).select(col("c_acctbal").as("third_bal"))
+      GlobalRank.dropInternal(
+        r.withColumn("dr", col("_grn").cast("int"))
+          .withColumn("pr", r6(GlobalRank.percentRankExpr))
+          .withColumn("cd", r6(GlobalRank.cumeDistExpr))
+          .withColumn("next_bal", GlobalRank.leadExpr("c_acctbal", order))
+          .join(broadcast(third), lit(true), "left"))
+        .select("c_custkey", "dr", "pr", "cd", "next_bal", "third_bal")
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey,

@@ -13,7 +13,15 @@ import graft.ops.{Dedup, Multimodal}
 object Text {
 
   /** Q22 — per-language exact-dup stats (declared §2.13 Q22: COUNT DISTINCT
-    * on content, engine-internal hashing kept out of the oracle). */
+    * on content, engine-internal hashing kept out of the oracle).
+    *
+    * At-scale note: `countDistinct(col("text"))` shuffles raw document
+    * bytes as the distinct key — kept here only because the declared Q22
+    * contract requires the oracle to see the text itself. The
+    * engine-native form at 100 TB is
+    * `countDistinct(sha2(col("text"), 256))`: a 32-byte shuffle key,
+    * identical counts barring a SHA-256 collision (same digest trick as
+    * [[Dedup.exactByHash]], plan-asserted in PlanShapeSpec q26). */
   val q22 = QueryDef(
     "q22_text_dedup_stats",
     (s, d) =>

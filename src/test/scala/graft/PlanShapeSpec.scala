@@ -40,6 +40,36 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(user_id"), s"window not partitioned:\n$plan")
   }
 
+  test("no registry query runs an unpartitioned window over unaggregated input") {
+    // The scale rule behind GlobalRank (VERDICT r1 item 1): a Window with
+    // an empty partition spec funnels its whole input through ONE task, so
+    // it is only ever legal above an aggregation (year rows, daily totals,
+    // per-bucket stats — bounded), never directly over a scan/join of a
+    // table that grows with the data. Checked on the optimized logical plan
+    // for EVERY registry query, so a future query can't reintroduce q50's
+    // original shape.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (q <- SparkEntry.registry) {
+      val plan = q.run(spark, sf0001).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(
+        offenders.isEmpty,
+        s"${q.name}: unpartitioned Window over unaggregated input:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("q50 ntile ranks the fact rows under hashpartitioning(_bkt)") {
+    // The customer rows (the side that grows with SF) must flow through the
+    // distributed bucket window, not a single-task global window. (The
+    // per-bucket stats branch DOES use a single partition — over <= 32
+    // aggregate rows, which is the whole point of the stitch.)
+    val plan = finalPlan(SparkEntry.queries("q50_ntile")(spark, sf0001))
+    assert(plan.contains("hashpartitioning(_bkt"), s"fact window not bucket-partitioned:\n$plan")
+  }
+
   test("q26 exact dedup uses map-side partial aggregation on the digest") {
     val plan = finalPlan(SparkEntry.queries("q26_dedup_exact")(spark, sf0001))
     // the sha2 digest becomes an internal _groupingexpression; the shuffle
