@@ -38,4 +38,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** SQL entry point (SURVEY §1.1; ref `SQLOperations.scala:25`
+    * `createOrReplaceTempView`): registers all nine fixture tables as temp
+    * views under their canonical names, so `spark.sql("... FROM lineitem
+    * JOIN nation ...")` works directly — the same statements the DuckDB
+    * oracle runs. Views are lazy (no data is read here); `events` goes
+    * through the ns→µs normalization above, so SQL users see the same
+    * timestamps the DataFrame API does. */
+  def registerFixtures(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(n => load(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+    documents(s, d).createOrReplaceTempView("documents")
+    embeddings(s, d).createOrReplaceTempView("embeddings")
+  }
 }

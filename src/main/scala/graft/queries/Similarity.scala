@@ -29,33 +29,40 @@ object Similarity {
             ORDER BY sim DESC, vec_id LIMIT 3"""),
     headline = true)
 
-  /** Q30 — embedding-cosine near-dup pairs above 0.2 for probe rows
-    * (`vec_id % 50 == 0`) — the embedding variant of dedup (X2/X3). */
+  /** Q30 — embedding-cosine near-dup pairs above 0.2 for a FIXED-SIZE
+    * probe set (the 20 lowest vec_ids) — the embedding variant of dedup
+    * (X2/X3). A proportional probe set (`vec_id % 50`) would make this
+    * exact baseline O(n²/50) pair generation as the corpus grows; the
+    * constant cap keeps it one 20-row broadcast against the scan, O(n)
+    * (VERDICT r1 item 3). */
   val q30 = QueryDef(
     "q30_embedding_neardup",
     (s, d) => {
       val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
-      val probes = corpus.filter(col("vec_id") % 50 === 0)
+      val probes = corpus.orderBy("vec_id").limit(20)
       Ann.nearDupPairs(corpus, probes, 0.2).orderBy("probe_id", "vec_id")
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 p AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 20),
                  j AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
                               ROUND(list_cosine_similarity(b.emb, a.emb), 6) AS sim
-                       FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id > a.vec_id)
+                       FROM p a JOIN e b ON b.vec_id > a.vec_id)
             SELECT probe_id, vec_id, sim FROM j WHERE sim >= 0.2
             ORDER BY probe_id, vec_id"""))
 
-  /** Q31 — brute-force cosine top-5 per probe (`vec_id % 100 == 0`):
-    * the exact ANN baseline. */
+  /** Q31 — brute-force cosine top-5 per probe: the exact ANN baseline.
+    * Probes are a FIXED-SIZE set (20 lowest vec_ids) — a proportional set
+    * (`vec_id % 100`) would grow the exact O(|probes|*|corpus|) pass
+    * quadratically with the corpus; the cap keeps the baseline O(n). */
   val q31 = QueryDef(
     "q31_ann_topk_brute",
     (s, d) => {
       val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
-      val probes = corpus.filter(col("vec_id") % 100 === 0)
+      val probes = corpus.orderBy("vec_id").limit(20)
       Ann.bruteForceTopK(corpus, probes, 5).orderBy("probe_id", "vec_id")
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-                 p AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id % 100 = 0),
+                 p AS (SELECT vec_id AS probe_id, emb AS pe FROM e ORDER BY vec_id LIMIT 20),
                  j AS (SELECT probe_id, vec_id,
                               ROUND(list_cosine_similarity(emb, pe), 6) AS sim
                        FROM e, p WHERE vec_id <> probe_id),
@@ -74,7 +81,7 @@ object Similarity {
     "q32_ann_topk_lsh",
     (s, d) => {
       val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
-      val probes = corpus.filter(col("vec_id") % 100 === 0)
+      val probes = corpus.orderBy("vec_id").limit(20)
       Ann.lshTopK(corpus, probes, 5, nPlanes = 6, dim = 64).orderBy("probe_id", "vec_id")
     },
     None)
@@ -100,13 +107,17 @@ object Similarity {
 
   /** Q67 — IVF approximate top-5 (k-means coarse quantizer, nlist=16,
     * nprobe=4): the billion-scale ANN layout. Engine-only (k-means
-    * internals) → rows-only; recall vs q31 asserted in spec. */
+    * internals) → rows-only; recall vs q31 asserted in spec. Index build
+    * and query are SEPARATE steps ([[Ann.buildIvfIndex]]/[[Ann.queryIvf]]);
+    * this entry pays the one build it needs, and IvfIndexSpec shows two
+    * query rounds reusing a single build. */
   val q67 = QueryDef(
     "q67_ann_topk_ivf",
     (s, d) => {
       val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
-      val probes = corpus.filter(col("vec_id") % 100 === 0)
-      Ann.ivfTopK(corpus, probes, 5, nlist = 16, nprobe = 4)
+      val probes = corpus.orderBy("vec_id").limit(20)
+      Ann.queryIvf(
+        Ann.buildIvfIndex(corpus, nlist = 16), probes, 5, nprobe = 4)
         .orderBy("probe_id", "vec_id")
     },
     None)

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.core.Fmt.r6
 
@@ -43,6 +43,26 @@ object EventStreams {
     if (events.isStreaming)
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+
+  /** `foreachBatch` sink (SURVEY §2.10 sink row; VERDICT r1 item 7) — the
+    * sink production streaming jobs actually use: each micro-batch arrives
+    * as a normal DataFrame, so any batch writer (parquet here, a JDBC
+    * upsert, a merge) applies. Complete output mode means every batch
+    * carries the full aggregate state, so an overwrite leaves the sink
+    * equal to the batch analog of all data seen so far; `onBatch` is a
+    * test/metrics hook invoked per micro-batch.
+    */
+  def startForeachBatchParquet(
+      agg: DataFrame,
+      path: String,
+      onBatch: Long => Unit = _ => ()): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(batchId)
+        batch.write.mode("overwrite").parquet(path)
+      }
+      .start()
 
   /** Arbitrary per-key state (SURVEY §2.10 `flatMapGroupsWithState` row):
     * running per-user event count + value total, emitting one update per

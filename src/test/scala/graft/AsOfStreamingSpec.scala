@@ -136,6 +136,36 @@ class AsOfStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink: per-micro-batch writes converge to the batch analog") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val dir = java.nio.file.Files.createTempDirectory("fb_sink").toString + "/agg"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val first = Seq(
+      Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 10:35:00"), 1, "click", 2.0))
+    val second = Seq(
+      Ev(3, t("2024-01-01 11:05:00"), 2, "view", 3.0),
+      Ev(4, t("2024-01-01 12:40:00"), 2, "click", 4.0))
+    val q = EventStreams.startForeachBatchParquet(
+      EventStreams.tumblingAgg(ms.toDF()), dir, _ => { batches.incrementAndGet(); () })
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+      val written = spark.read.parquet(dir)
+        .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type").collect().toSeq
+      val batch = EventStreams.tumblingAgg((first ++ second).toDF())
+        .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w", "event_type").collect().toSeq
+      assert(written == batch)
+      assert(written.size == 3)
+      assert(batches.get() >= 2, s"expected one foreachBatch call per micro-batch, got ${batches.get()}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]

@@ -43,6 +43,19 @@ class MiscOpsSpec extends SparkSuite {
     assert(metrics("r2") > 0.9)
   }
 
+  test("ml regression reports one coefficient per feature plus intercept, reproducibly") {
+    def run(): Map[String, Double] =
+      SparkEntry.queries("q57_ml_linreg")(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = run()
+    val coefs = a.keys.filter(_.startsWith("coef_")).toSet
+    assert(coefs == Set("coef_n_tokens", "coef_n_types", "coef_n_letters"))
+    assert(a.contains("intercept"))
+    // fixed seed (split + deterministic solver) -> identical model across runs
+    val b = run()
+    (coefs + "intercept").foreach(k => assert(a(k) == b(k), s"$k not reproducible"))
+  }
+
   test("weighted-avg Aggregator via udaf matches manual computation") {
     spark.udf.register("weighted_avg", org.apache.spark.sql.functions.udaf(WeightedAvg))
     val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w")
