@@ -45,6 +45,29 @@ object TextFunctions {
   def qualityScore(text: Column): Column =
     typeTokenRatio(text) * least(lit(1.0), tokenCount(text).cast("double") / 200.0)
 
+  /** Punctuation ratio: characters outside [a-z0-9 ] over total characters
+    * (fixture text is lowercase); 0 for empty text. One regexp pass. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double") / length(text))
+
+  /** Stopword ratio: fraction of tokens that are function words. The list
+    * is a Column-level literal array, so membership is evaluated per token
+    * without a join; counts multiplicity (unlike an intersect). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(t, tok => array_contains(sw, tok))).cast("double") / size(t)
+  }
+
+  /** Mean token length: letters-only length / token count (no per-token
+    * loop — one REPLACE strips the separators). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
   /** Rolling polynomial hash over the character stream:
     * `h = (h*31 + code(c)) mod 1e9+7`, left fold from 0. Stable across
     * engines (pure integer arithmetic, no engine-specific hash). Empty

@@ -410,6 +410,48 @@ object Relational {
                    CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
             FROM customer ORDER BY c_custkey"""))
 
+  /** Q81 — RANGE window frame over event time (SURVEY §2.5 frame
+    * extension): per-customer trailing-30-day order total. Partitioned by
+    * customer — distributed. Spark's `rangeBetween` takes long bounds, so
+    * the frame is expressed on epoch seconds; ts→epoch is monotone, so
+    * frame peers and bounds match DuckDB's `RANGE ... INTERVAL 30 DAYS
+    * PRECEDING` over the timestamp directly. */
+  val q81 = QueryDef(
+    "q81_range_frame",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, 0)
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          r4(sum(col("o_totalprice")).over(w)).as("trail30"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 4) AS trail30
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Q82 — exact percentiles + median (A-ext): Spark `percentile` uses the
+    * same linear interpolation as DuckDB `quantile_cont`, so the two agree
+    * exactly (unlike the Greenwald-Khanna sketch in q44). Exact percentile
+    * buffers per-group values — at 100 TB this is the verification path;
+    * the production path is q44's approx sketch. */
+  val q82 = QueryDef(
+    "q82_exact_percentiles",
+    (s, d) =>
+      li(s, d).agg(
+        r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        r4(expr("median(l_extendedprice)")).as("p50"),
+        r4(expr("percentile(l_extendedprice, 0.75)")).as("p75")),
+    Some("""SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem"""))
+
   /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
   val q52 = QueryDef(
     "q52_string_funcs",
@@ -815,5 +857,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78)
+    q71, q72, q75, q76, q77, q78, q81, q82)
 }

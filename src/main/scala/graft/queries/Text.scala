@@ -256,6 +256,30 @@ object Text {
             FROM gated g SEMI JOIN keep k ON g.doc_id = k.doc_id
             ORDER BY g.doc_id"""))
 
+  /** Q80 — extended quality signals (X4: the length/punctuation/stopword
+    * ratio family a filtering pipeline thresholds on). All per-row
+    * expression compositions — no shuffle until the final sort. */
+  val q80 = QueryDef(
+    "q80_quality_signals",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          r6(TextFunctions.punctRatio(col("text"))).as("punct_ratio"),
+          r6(TextFunctions.stopwordRatio(col("text"))).as("stop_ratio"),
+          r6(TextFunctions.meanTokenLen(col("text"))).as("mean_tok_len"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+                     CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                       / LENGTH(text) END, 6) AS punct_ratio,
+                   ROUND(CAST(len(list_filter(str_split(text, ' '),
+                       t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+                       AS DOUBLE) / len(str_split(text, ' ')), 6) AS stop_ratio,
+                   ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                       / len(str_split(text, ' ')), 6) AS mean_tok_len
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
-    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74)
+    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80)
 }

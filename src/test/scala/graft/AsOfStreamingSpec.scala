@@ -166,6 +166,35 @@ class AsOfStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch analog and bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(1, t("2024-01-01 10:30:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 12:00:00"), 1, "click", 2.0),
+      Ev(3, t("2024-01-01 10:30:00"), 2, "click", 3.0))
+    val views = Seq(
+      Ev(10, t("2024-01-01 10:10:00"), 1, "view", 0.0), // within 30m of click 1
+      Ev(11, t("2024-01-01 11:50:00"), 1, "view", 0.0), // within 30m of click 2
+      Ev(12, t("2024-01-01 09:00:00"), 2, "view", 0.0)) // too early for click 3
+    val msL = MemoryStream[Ev]
+    val msR = MemoryStream[Ev]
+    msL.addData(clicks: _*)
+    msR.addData(views: _*)
+    val q = EventStreams.intervalJoin(msL.toDF(), msR.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ssj_t").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_t")
+        .select("l_id", "r_id").orderBy("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batch = EventStreams.intervalJoin(clicks.toDF(), views.toDF())
+        .select("l_id", "r_id").orderBy("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
