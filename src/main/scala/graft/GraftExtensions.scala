@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.bridge
+
+import graft.functions.{CosineSimilarity, MinHashSigExpr, SimHashSigExpr, TextFunctions}
+import graft.plans.ApproxSwapRule
+
+/** Engine extension point (SURVEY.md §4: `SparkSessionExtensions` is the
+  * supported way to ship functions + optimizer rules WITHOUT a session
+  * handle — `spark.sql.extensions=graft.GraftExtensions` makes every
+  * session created by spark-submit/Thrift/Connect carry them, unlike
+  * [[graft.functions.Registry]] whose temp functions live and die with one
+  * session).
+  *
+  * Injects:
+  *   - the custom codegen expressions (`cosine_similarity`, `minhash_sig`,
+  *     `simhash_sig`) as named SQL functions;
+  *   - the text-signal family (`graft_token_count`, `graft_lang_id`,
+  *     `graft_quality`, `graft_fingerprint`) — Column compositions lowered
+  *     to expressions through the bridge, so `spark.sql` users get the
+  *     exact same semantics as the Scala API;
+  *   - [[graft.plans.ApproxSwapRule]], the conf-gated exact->sketch
+  *     aggregate rewrite.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  /** A literal argument that must fold at registration time (e.g.
+    * minhash_sig's permutation count — it sizes codegen'd arrays). */
+  private def literalInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(array<double>, array<double>) - fused cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<long> hashes, int numPerm[, long seed]) - MinHash signature"),
+      (exprs: Seq[Expression]) => {
+        val numPerm = literalInt(exprs(1), "minhash_sig", "numPerm")
+        val seed = if (exprs.length > 2) literalInt(exprs(2), "minhash_sig", "seed").toLong else 42L
+        new MinHashSigExpr(exprs(0), numPerm, seed)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(array<long> tokenHashes) - 64-bit SimHash"),
+      (exprs: Seq[Expression]) => new SimHashSigExpr(exprs(0))))
+
+    // Column-composition functions: build the Column pipeline once per
+    // call site and lower it to the underlying expression tree.
+    def composed(name: String, usage: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        info(name, usage),
+        (exprs: Seq[Expression]) => bridge.lower(f(bridge.column(exprs.head)))))
+
+    composed("graft_token_count", "graft_token_count(text) - whitespace token count")(TextFunctions.tokenCount)
+    composed("graft_lang_id", "graft_lang_id(text) - marker-word language id")(TextFunctions.langId)
+    composed("graft_quality", "graft_quality(text) - [0,1] quality score")(TextFunctions.qualityScore)
+    composed("graft_fingerprint", "graft_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
+
+    ext.injectOptimizerRule(_ => ApproxSwapRule)
+  }
+}

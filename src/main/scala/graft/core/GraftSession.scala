@@ -34,6 +34,11 @@ object GraftSession {
       // mutated per-read) so every nanos column in the session reads as a
       // raw long and the ns→µs policy lives in one place (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Engine functions + the conf-gated approx-aggregate rule ride the
+      // standard extension point, so they exist in every session created
+      // from this builder (and in spark-submit'd clusters that set the
+      // same conf) without a registration call.
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

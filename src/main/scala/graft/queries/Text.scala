@@ -280,6 +280,35 @@ object Text {
                        / len(str_split(text, ' ')), 6) AS mean_tok_len
             FROM documents ORDER BY doc_id"""))
 
+  /** Q83 — the injected SQL surface (SURVEY §4 extension point): the text
+    * signals run through `spark.sql` names registered by
+    * [[graft.GraftExtensions]] (not the Scala API, not a per-session
+    * Registry call), proving a SQL-only user reaches the same engine
+    * functions. Results must equal the Column-API queries (q35/q36), which
+    * the shared oracle forms assert. */
+  val q83 = QueryDef(
+    "q83_extension_sql",
+    (s, d) => {
+      Tables.registerFixtures(s, d)
+      s.sql("""SELECT doc_id,
+                      graft_token_count(text) AS n_tokens,
+                      graft_fingerprint(text) AS fp,
+                      graft_lang_id(text) AS pred
+               FROM documents ORDER BY doc_id""")
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(str_split(text,' ')) AS INTEGER) AS n_tokens,
+                   CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+                     list_reduce(list_transform(range(1, LENGTH(text)+1),
+                                                i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+                                 (a, b) -> (a*31 + b) % 1000000007) END AS fp,
+                   CASE WHEN list_contains(str_split(text,' '), 'the') THEN 'en'
+                        WHEN list_contains(str_split(text,' '), 'data') THEN 'de'
+                        WHEN list_contains(str_split(text,' '), 'query') THEN 'fr'
+                        WHEN list_contains(str_split(text,' '), 'join') THEN 'es'
+                        ELSE 'zh' END AS pred
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
-    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80)
+    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83)
 }

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly lowers a composed Column to a catalyst expression tree.
+    * `expression` defers behind a `ColumnNodeExpression` wrapper, which the
+    * analyzer only unwraps on Dataset API paths — an expression returned
+    * from a `FunctionRegistry` builder (SparkSessionExtensions
+    * `injectFunction`) must already be a real tree, so convert up front;
+    * the embedded `UnresolvedFunction`s resolve in the next analyzer pass. */
+  def lower(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
