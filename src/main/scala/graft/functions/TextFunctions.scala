@@ -87,6 +87,21 @@ object TextFunctions {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
+  /** Duplicate n-gram fraction (the Gopher-style repetition signal):
+    * 1 - distinct_ngrams / ngram_positions over word n-grams, 0 for docs
+    * with fewer than `n` tokens. High values flag boilerplate/templated
+    * text that a quality gate drops before training. Per-row expression
+    * composition — no shuffle. */
+  def dupNgramFrac(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - (n - 1)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Fmt.r6
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Multimodal}
+import graft.ops.{Dedup, Multimodal, TfIdf}
 
 /** Text-analysis + dedup + multimodal queries over the `documents` table
   * (SURVEY.md §2.11 X1/X2/X4/X5 — the training-data-pipeline surface).
@@ -309,6 +309,102 @@ object Text {
                         ELSE 'zh' END AS pred
             FROM documents ORDER BY doc_id"""))
 
+  /** Q84 — real container metadata (X5 upgraded past the stub): payloads
+    * are wrapped as genuine RIFF/WAVE files and the engine PARSES the
+    * binary header back (magics validated, little-endian fields read).
+    * The oracle states the ground-truth parameters from the payload
+    * length, so a parser bug (wrong offset, wrong endianness) hash-fails.
+    * This is the 100 TB triage shape: container-level validate+read
+    * before any expensive decode. */
+  val q84 = QueryDef(
+    "q84_wav_metadata",
+    (s, d) => {
+      val wav = Multimodal.wavFromDocuments(s, Tables.documents(s, d))
+      Multimodal.wavMetadata(s, wav).toDF().orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(16 AS INTEGER) AS bits_per_sample,
+                   CAST(LENGTH(text) + LENGTH(text) % 2 AS INTEGER) AS data_bytes,
+                   CAST((LENGTH(text) + LENGTH(text) % 2) // 2 AS INTEGER) AS n_samples,
+                   CAST(((LENGTH(text) + LENGTH(text) % 2) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms
+            FROM documents ORDER BY doc_id"""))
+
+  /** Q85 — frame sampling (X5): every 3rd 100-byte frame of each WAV data
+    * chunk, with per-frame byte checksums — the video/audio "sample
+    * frames, don't decode" op as pure byte slicing. The oracle recomputes
+    * each sampled slice from the text characters (the trailing pad byte
+    * is 0, so it changes n_bytes but never a checksum). */
+  val q85 = QueryDef(
+    "q85_frame_sample",
+    (s, d) => {
+      val wav = Multimodal.wavFromDocuments(s, Tables.documents(s, d))
+      Multimodal.sampleFrames(s, wav, frameBytes = 100, everyK = 3)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH p AS (
+              SELECT doc_id, text, LENGTH(text) AS n,
+                     LENGTH(text) + LENGTH(text) % 2 AS db
+              FROM documents),
+            f AS (
+              SELECT doc_id, text, n, db,
+                     UNNEST(range(0, (db + 99) // 100, 3)) AS fi
+              FROM p)
+            SELECT doc_id,
+                   CAST(fi AS INTEGER) AS frame_idx,
+                   CAST(LEAST(100, db - fi*100) AS INTEGER) AS n_bytes,
+                   CAST(COALESCE(list_sum(list_transform(
+                          range(1, GREATEST(LEAST(100, n - fi*100), 0) + 1),
+                          i -> ascii(substr(text, CAST(fi*100 + i AS INTEGER), 1)))), 0) % 997
+                        AS BIGINT) AS checksum
+            FROM f ORDER BY doc_id, frame_idx"""))
+
+  /** Q86 — TF-IDF top terms per document (X4; see [[TfIdf]] for the
+    * shuffle budget). Scores are rounded AFTER ranking, so the rank
+    * tie-break (raw score desc, then term) is identical on both engines. */
+  val q86 = QueryDef(
+    "q86_tfidf_top_terms",
+    (s, d) =>
+      TfIdf.topTerms(Tables.documents(s, d), k = 3)
+        .select(col("doc_id"), col("term"), r6(col("tfidf")).as("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk"),
+    Some("""WITH tok AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+                 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+                 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+                 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+                 scored AS (
+                   SELECT t.doc_id, t.term, t.tf * LN(n.n / d.df) AS s
+                   FROM tf t JOIN df d USING (term) CROSS JOIN n),
+                 ranked AS (
+                   SELECT doc_id, term, s,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rk
+                   FROM scored)
+            SELECT doc_id, term, ROUND(s, 6) AS tfidf, CAST(rk AS INTEGER) AS rk
+            FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Q87 — repetition signal (X4): duplicate-trigram fraction, the
+    * Gopher-style boilerplate detector. Pure per-row expressions; the
+    * histogram-style rollup by bucket keeps the output stable and small. */
+  val q87 = QueryDef(
+    "q87_repetition",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          r6(TextFunctions.dupNgramFrac(col("text"), 3)).as("dup3"))
+        .orderBy("doc_id"),
+    Some("""WITH g AS (
+              SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS L
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN L - 2 <= 0 THEN 0.0 ELSE
+                     ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, L - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+                       / (L - 2), 6) END AS dup3
+            FROM g ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
-    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83)
+    Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
+      q84, q85, q86, q87)
 }
