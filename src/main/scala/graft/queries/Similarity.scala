@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Fmt.r6
 import graft.core.Tables
-import graft.ops.Ann
+import graft.ops.{Ann, Embeddings}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §2.11
   * X3 / §2.13 Q21). Exact brute-force cosine is the baseline + oracle path;
@@ -122,5 +123,45 @@ object Similarity {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67)
+  /** Q89 — embedding preprocessing (X3 front end): L2 normalization and
+    * int8 scalar quantization ([[Embeddings]]). The oracle recomputes the
+    * fold-ordered norm and the full quantized vector (sum + extrema), so
+    * an off-by-one in the scale, a wrong clamp, or a reordered reduction
+    * hash-fails; `unit_norm` pins the normalized copy to length 1. */
+  val q89 = QueryDef(
+    "q89_embedding_quantize",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val withUnit = Embeddings.l2Normalized(e, "v", "vn")
+      Embeddings.quantizeInt8(withUnit, "v", "q")
+        .select(
+          col("vec_id"),
+          r6(Embeddings.l2Norm(col("v"))).as("norm"),
+          r6(Embeddings.l2Norm(col("vn"))).as("unit_norm"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 s AS (SELECT vec_id, v,
+                              sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm,
+                              list_aggregate(v, 'min') AS lo,
+                              (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS sc
+                       FROM e),
+                 q AS (SELECT vec_id, norm,
+                              CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+                                   ELSE list_transform(v,
+                                     x -> CAST(LEAST(FLOOR((x - lo) / sc), 255.0) AS INTEGER)) END AS qv
+                       FROM s)
+            SELECT vec_id,
+                   ROUND(norm, 6) AS norm,
+                   CASE WHEN norm = 0 THEN 0.0 ELSE 1.0 END AS unit_norm,
+                   CAST(list_sum(qv) AS BIGINT) AS qsum,
+                   CAST(list_aggregate(qv, 'min') AS INTEGER) AS qmin,
+                   CAST(list_aggregate(qv, 'max') AS INTEGER) AS qmax
+            FROM q ORDER BY vec_id"""))
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89)
 }

@@ -1,11 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
 import graft.core.Fmt.r6
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Multimodal, TfIdf}
+import graft.ops.{ConnectedComponents, Dedup, Multimodal, TfIdf}
 
 /** Text-analysis + dedup + multimodal queries over the `documents` table
   * (SURVEY.md §2.11 X1/X2/X4/X5 — the training-data-pipeline surface).
@@ -404,7 +405,55 @@ object Text {
                        / (L - 2), 6) END AS dup3
             FROM g ORDER BY doc_id"""))
 
+  /** Q88 — duplicate-group clustering (X2): candidate PAIRS become
+    * duplicate GROUPS via distributed connected components
+    * ([[ConnectedComponents]]). Candidate edges come from rare-shingle
+    * blocking — two docs sharing a trigram whose corpus-wide document
+    * frequency is exactly 2 — a deterministic blocking scheme (unlike
+    * LSH, whose recall misses make an exact oracle impossible): explode →
+    * df count → self-join on the rare key, every step a bounded keyed
+    * shuffle (a df==2 shingle contributes exactly one pair). The oracle
+    * rebuilds the same edges in SQL and closes them with a recursive CTE,
+    * so a propagation bug — wrong join side, missed round, bad
+    * convergence test — hash-fails. */
+  val q88 = QueryDef(
+    "q88_dedup_components",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      val sh = docs.select(
+        col("doc_id"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("s"))
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") === 2)
+      val keyed = sh.join(rare, "s")
+      val edges = keyed.as("a")
+        .join(keyed.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val (labels, _) = ConnectedComponents.label(edges)
+      labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+              tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+                      WHERE len(str_split(text, ' ')) >= 3),
+              sh AS (SELECT DISTINCT doc_id, s FROM (
+                       SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                       FROM tok)),
+              rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) = 2),
+              edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                        FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+                        WHERE a.doc_id < b.doc_id),
+              sym AS (SELECT src, dst FROM edges
+                      UNION SELECT dst AS src, src AS dst FROM edges),
+              reach(a, b) AS (SELECT src, dst FROM sym
+                              UNION
+                              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+              comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+            SELECT doc_id, comp FROM comp ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87)
+      q84, q85, q86, q87, q88)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)], maxIter: Int = 20): (Map[Long, Long], Int) = {
+    val (df, rounds) = ConnectedComponents.label(edges.toDF("src", "dst"), maxIter)
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("path graph: min label propagates the full chain length") {
+    // 0-1-2-...-9: worst case for propagation (diameter 9)
+    val (labels, rounds) = labelsOf((0L until 9L).map(i => (i, i + 1)))
+    assert(labels == (0L to 9L).map(_ -> 0L).toMap)
+    assert(rounds <= 12)
+  }
+
+  test("disjoint cliques keep separate components") {
+    val cliqueA = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val cliqueB = for (i <- 20L to 22L; j <- (i + 1) to 22L) yield (i, j)
+    val (labels, rounds) = labelsOf(cliqueA ++ cliqueB)
+    assert((10L to 13L).forall(labels(_) == 10L))
+    assert((20L to 22L).forall(labels(_) == 20L))
+    assert(rounds <= 3, s"cliques are diameter 1, took $rounds rounds")
+  }
+
+  test("direction and duplicate edges do not matter") {
+    val (labels, _) = labelsOf(Seq((5L, 3L), (3L, 5L), (5L, 3L), (4L, 5L)))
+    assert(labels == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("maxIter caps an unconverged chain and reports it") {
+    val (labels, rounds) = labelsOf((0L until 9L).map(i => (i, i + 1)), maxIter = 2)
+    assert(rounds == 2)
+    assert(labels(9L) != 0L, "a 2-round cap cannot close a diameter-9 path")
+  }
+
+  test("self-loops and empty edge sets are harmless") {
+    val (labels, _) = labelsOf(Seq((7L, 7L), (1L, 2L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L))
+    val (empty, rounds) = labelsOf(Seq.empty)
+    assert(empty.isEmpty && rounds <= 1)
+  }
+}
