@@ -76,5 +76,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("graft_fingerprint", "graft_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
 
     ext.injectOptimizerRule(_ => ApproxSwapRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -72,5 +72,20 @@ object Misc {
                    SUM(CASE WHEN dayofweek(o_orderdate) = 6 THEN 1.0 ELSE 0.0 END) AS d7
             FROM orders"""))
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58)
+  /** Q90 — seeded stratified sampling (`sampleBy`: per-stratum Bernoulli
+    * fractions — the "rebalance a skewed corpus by language/source"
+    * curation op). Engine-RNG-specific → rows-only; the spec asserts
+    * reproducibility, per-stratum binomial bounds, and that a zero
+    * fraction drops its stratum entirely. */
+  val q90 = QueryDef(
+    "q90_stratified_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .stat.sampleBy("lang", Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0), 42L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang"),
+    None)
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90)
 }

@@ -452,6 +452,30 @@ object Relational {
                    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
             FROM lineitem"""))
 
+  /** Q91 — top-k per group through the custom [[graft.plans.TopKPerGroup]]
+    * operator (extension point (c)): bounded heaps + one k-rows-per-group
+    * exchange instead of the window's full shuffle + partition sort. The
+    * oracle is the ROW_NUMBER window form, so the operator's semantics
+    * contract (equivalence under a total order) is hash-checked; TopKSpec
+    * asserts the plan shape (partial+final, no SortExec). */
+  val q91 = QueryDef(
+    "q91_topk_per_group",
+    (s, d) =>
+      graft.ops.TopK.perGroup(
+          li(s, d),
+          Seq(col("l_returnflag")),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+          k = 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber"),
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 3
+            ORDER BY l_returnflag, l_orderkey, l_linenumber"""))
+
   /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
   val q52 = QueryDef(
     "q52_string_funcs",
@@ -857,5 +881,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91)
 }

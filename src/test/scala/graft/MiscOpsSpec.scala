@@ -18,6 +18,26 @@ class MiscOpsSpec extends SparkSuite {
     assert(math.abs(a - n / 2) < 6 * sigma)
   }
 
+  test("stratified sample is reproducible, bounded per stratum, and drops zero-fraction strata") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fractions = Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.0)
+    def run() = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a == run(), "same seed must reproduce the same strata")
+    assert(!a.contains("fr"), "zero fraction must drop the stratum")
+    assert(!a.contains("zh"), "unlisted strata default to fraction 0")
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, f) <- fractions if f > 0 && totals.contains(lang)) {
+      val n = totals(lang).toDouble
+      val sigma = math.sqrt(n * f * (1 - f))
+      assert(math.abs(a.getOrElse(lang, 0L) - n * f) < 6 * sigma + 1,
+        s"stratum $lang count ${a.getOrElse(lang, 0L)} outside binomial bounds of ${n * f}")
+    }
+  }
+
   test("approx quantiles land within rank-error bound of exact quantiles") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = li.stat.approxQuantile("l_extendedprice", Array(0.25, 0.75), 0.001)
