@@ -238,6 +238,75 @@ object Events {
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** Q92 — funnel analysis (event analytics): users progressing
+    * view → first click strictly after it → purchase strictly after that
+    * click (earliest-continuation semantics, so the result is unique).
+    * Each stage is one keyed aggregation joined forward on user_id —
+    * per-user state never co-locates more than a user's own events, the
+    * same shape at any scale. Counts only cross the stages, so the output
+    * is three rows regardless of data size. */
+  val q92 = QueryDef(
+    "q92_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(views, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .select("user_id").distinct()
+      views.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+        .unionAll(clicks.agg(count(lit(1)).as("users"))
+          .select(lit("2_click_after_view").as("stage"), col("users")))
+        .unionAll(purchases.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase_after_click").as("stage"), col("users")))
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+                 c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+                       FROM events e JOIN v USING (user_id)
+                       WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+                 p AS (SELECT DISTINCT e.user_id
+                       FROM events e JOIN c USING (user_id)
+                       WHERE e.event_type = 'purchase' AND e.ts > c.t_click)
+            SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+            UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+            UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
+            ORDER BY stage"""))
+
+  /** Q93 — cohort retention (event analytics): users bucketed by
+    * first-seen week, activity counted per week offset. Both week
+    * truncations are Monday-start on both engines; offsets are exact
+    * because both operands are week boundaries. Two keyed shuffles
+    * (first-seen, then cohort cell) — no window, no driver loop. */
+  val q93 = QueryDef(
+    "q93_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val first = ev.groupBy("user_id").agg(min("w").as("cw"))
+      ev.join(first, "user_id")
+        .groupBy(
+          col("cw"),
+          floor(datediff(col("w"), col("cw")) / 7).cast("int").as("weeks_since"))
+        .agg(countDistinct("user_id").as("users"))
+        .select(Fmt.date(col("cw")).as("cohort_week"), col("weeks_since"), col("users"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+    Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+                 f AS (SELECT user_id, MIN(w) AS cw FROM e GROUP BY 1)
+            SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('week', cw, w) AS INTEGER) AS weeks_since,
+                   COUNT(DISTINCT e.user_id) AS users
+            FROM e JOIN f USING (user_id)
+            GROUP BY cw, weeks_since
+            ORDER BY cohort_week, weeks_since"""))
+
   def all: Seq[QueryDef] =
-    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79)
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93)
 }

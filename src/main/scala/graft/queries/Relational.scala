@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Fmt, Tables}
 import graft.core.Fmt.{r4, r6}
+import graft.ops.Upsert
 
 /** Core relational query surface: scans, filters, aggregations, windows,
   * joins, set ops, scalar functions (SURVEY.md §2.1-§2.8).
@@ -476,6 +477,47 @@ object Relational {
             WHERE rn <= 3
             ORDER BY l_returnflag, l_orderkey, l_linenumber"""))
 
+  /** Q94 — keyed upsert ([[graft.ops.Upsert]]): a derived CDC batch
+    * (every 100th order repriced +10%, plus clones of the 5 lowest keys
+    * re-keyed above the existing range as inserts) merges into orders;
+    * grouped totals over the merged frame prove replaced/untouched/new
+    * rows all land exactly once. */
+  val q94 = QueryDef(
+    "q94_upsert",
+    (s, d) => {
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val repriced = base
+        .filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val inserts = base
+        .orderBy("o_orderkey").limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      val merged = Upsert.merge(base, repriced.unionByName(inserts), Seq("o_orderkey"))
+      merged
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum(col("o_totalprice"))).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice
+                         FROM base ORDER BY o_orderkey LIMIT 5),
+                 upd AS (
+                   SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+                   FROM base WHERE o_orderkey % 100 = 0
+                   UNION ALL
+                   SELECT * FROM ins),
+                 merged AS (
+                   SELECT * FROM upd
+                   UNION ALL
+                   SELECT b.* FROM base b ANTI JOIN upd u USING (o_orderkey))
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice), 4) AS total,
+                   MAX(o_orderkey) AS max_key
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
   val q52 = QueryDef(
     "q52_string_funcs",
@@ -881,5 +923,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94)
 }
