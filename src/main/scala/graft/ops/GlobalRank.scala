@@ -55,6 +55,19 @@ object GlobalRank {
     * window, one tiny per-bucket count aggregate broadcast back. Drop the
     * internals with [[dropInternal]].
     */
+  /** Percentile cutoffs of the leading order column — one tiny aggregate. */
+  private def boundsFor(df: DataFrame, orderFirst: Column, buckets: Int): Seq[Double] = {
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    if (probs.isEmpty) Nil
+    else {
+      val row = df
+        .agg(percentile_approx(
+          orderFirst.cast("double"), array(probs.map(lit): _*), lit(10000)).as("b"))
+        .head()
+      if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
+    }
+  }
+
   def ranked(
       df: DataFrame,
       orderFirst: Column,
@@ -64,16 +77,7 @@ object GlobalRank {
     val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
     val order = orderFirst +: orderRest
 
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds: Seq[Double] =
-      if (probs.isEmpty) Nil
-      else {
-        val row = df
-          .agg(percentile_approx(
-            orderFirst.cast("double"), array(probs.map(lit): _*), lit(10000)).as("b"))
-          .head()
-        if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
-      }
+    val bounds = boundsFor(df, orderFirst, buckets)
 
     val bucketed = df.withColumn("_bkt", bucketCol(orderFirst.cast("double"), bounds))
     val bw = Window.partitionBy(col("_bkt")).orderBy(order: _*)
@@ -111,7 +115,57 @@ object GlobalRank {
   }
 
   def dropInternal(df: DataFrame): DataFrame =
-    df.drop("_bkt", "_lrn", "_cnt", "_off", "_total", "_grn", "_next_first")
+    df.drop("_bkt", "_lrn", "_cnt", "_off", "_total", "_grn", "_next_first",
+      "_lsum", "_bsum", "_boff", "_psum")
+
+  /** Adds `_psum` — the EXCLUSIVE prefix sum of `valueCol` (an integral
+    * weight; cast to long) over the total order `(orderFirst, orderRest*)`:
+    * the sum of all strictly-preceding rows, 0 for the global first row.
+    *
+    * Same two-pass shape as [[ranked]]: a global running sum via
+    * `Window.orderBy` would drag every row through one task; here each
+    * bucket computes its local running sum in parallel and the per-bucket
+    * totals (≤ `buckets` rows) are cumulated driver-side-small and
+    * broadcast back. This is the scale-safe form of the sequential
+    * cumulative scan a sequence-packing / offset-assignment pass needs.
+    */
+  def prefixSum(
+      df: DataFrame,
+      valueCol: Column,
+      orderFirst: Column,
+      orderRest: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    val order = orderFirst +: orderRest
+
+    val bounds = boundsFor(df, orderFirst, buckets)
+    val bucketed = df
+      .withColumn("_v", valueCol.cast("long"))
+      .withColumn("_bkt", bucketCol(orderFirst.cast("double"), bounds))
+
+    val bw = Window.partitionBy(col("_bkt")).orderBy(order: _*)
+    val local = bucketed.withColumn(
+      "_lsum",
+      coalesce(
+        sum(col("_v")).over(bw.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+
+    // Per-bucket totals: ≤ `buckets` rows — the unpartitioned cumulative
+    // window is bounded by cluster size, not data size (same argument as
+    // in ranked()).
+    val tw = Window.orderBy(col("_bkt"))
+    val stats = bucketed
+      .groupBy(col("_bkt"))
+      .agg(sum(col("_v")).as("_bsum"))
+      .withColumn(
+        "_boff",
+        coalesce(sum(col("_bsum")).over(tw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+    local
+      .join(broadcast(stats), Seq("_bkt"))
+      .withColumn("_psum", col("_lsum") + col("_boff"))
+      .drop("_v")
+  }
 
   /** Exact SQL NTILE(n) from the stitched global row number. */
   def ntileExpr(n: Int): Column = expr(

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.core.Fmt.r6
+import graft.functions.TextFunctions
+import graft.ops.{Decontaminate, GlobalRank}
+
+/** Training-data preparation queries (SURVEY.md §2.11 adjacency — the
+  * corpus-level passes that sit between raw text and a tokenized training
+  * set): benchmark decontamination, vocabulary/OOV profiling, document-
+  * frequency boilerplate pruning, and sequence packing.
+  */
+object TrainPrep {
+
+  /** Q95 — test-set decontamination (X4): flag corpus docs whose word
+    * 3-grams overlap the benchmark set (the 10 lowest doc_ids stand in for
+    * an eval suite; a real pipeline passes the benchmark table). Overlap ≥
+    * 0.5 marks a doc contaminated — the probe corpus contains genuine
+    * near-copies of benchmark docs, so the flag fires. See
+    * [[Decontaminate.overlap]] for the broadcast/no-text-shuffle shape.
+    */
+  val q95 = QueryDef(
+    "q95_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.orderBy("doc_id").limit(10)
+      val corpus = docs.join(
+        broadcast(bench.select(col("doc_id").as("_bid"))),
+        col("doc_id") === col("_bid"),
+        "left_anti")
+      Decontaminate.overlap(corpus, bench, "text", "doc_id", n = 3)
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_grams")).as("overlap_frac"),
+          when(col("n_hit").cast("double") / col("n_grams") >= 0.5, 1)
+            .otherwise(0).as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+                         WHERE len(str_split(text, ' ')) >= 3),
+                 sh AS (SELECT doc_id,
+                               list_distinct([array_to_string(t[i:i+2], ' ')
+                                              FOR i IN range(1, len(t) - 1)]) AS g
+                        FROM tok),
+                 bench AS (SELECT doc_id, g FROM sh ORDER BY doc_id LIMIT 10),
+                 bg AS (SELECT DISTINCT UNNEST(g) AS gram FROM bench),
+                 corp AS (SELECT doc_id, UNNEST(g) AS gram FROM sh
+                          WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+                 agg AS (SELECT doc_id,
+                                CAST(COUNT(*) AS BIGINT) AS n_grams,
+                                CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bg)
+                                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                         FROM corp GROUP BY doc_id)
+            SELECT doc_id, n_grams, n_hit,
+                   ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap_frac,
+                   CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= 0.5
+                        THEN 1 ELSE 0 END AS flagged
+            FROM agg ORDER BY doc_id"""))
+
+  /** Q96 — vocabulary build + OOV profiling (X4): top-20 corpus words by
+    * frequency (ties broken by word) become the vocabulary; per-source
+    * mean out-of-vocabulary token rate profiles which slices of the corpus
+    * a fixed vocab covers badly. The vocab is one tiny aggregate
+    * (`array_sort(collect_list)` — order-insensitive set semantics, so
+    * collect_list's nondeterministic arrival order can't leak into the
+    * result) broadcast into a per-row membership filter; no join touches
+    * the corpus rows.
+    */
+  val q96 = QueryDef(
+    "q96_vocab_oov",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(20)
+        .agg(array_sort(collect_list(col("w"))).as("_vocab"))
+      val toks = TextFunctions.tokens(col("text"))
+      docs
+        .crossJoin(broadcast(vocab))
+        .select(
+          col("source"),
+          (size(filter(toks, t => !array_contains(col("_vocab"), t))).cast("double") /
+            size(toks)).as("oov"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), r6(avg(col("oov"))).as("avg_oov"))
+        .orderBy("source")
+    },
+    Some("""WITH wc AS (SELECT w, COUNT(*) AS c
+                        FROM (SELECT UNNEST(str_split(text, ' ')) AS w FROM documents)
+                        GROUP BY w),
+                 v AS (SELECT list(w) AS vocab
+                       FROM (SELECT w FROM wc ORDER BY c DESC, w LIMIT 20)),
+                 per AS (SELECT source,
+                                CAST(len([t FOR t IN str_split(text, ' ')
+                                          IF NOT list_contains(vocab, t)])
+                                     AS DOUBLE) / len(str_split(text, ' ')) AS oov
+                         FROM documents CROSS JOIN v)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(oov), 6) AS avg_oov
+            FROM per GROUP BY source ORDER BY source"""))
+
+  /** Q97 — document-frequency boilerplate pruning (X4): words present in ≥
+    * 79% of documents are corpus-level boilerplate (the C4-style "remove
+    * lines seen in many documents" pass, at word granularity since the
+    * fixture has no line structure). Two passes: a distinct-word document-
+    * frequency aggregate (shuffle key = word), then the tiny stoplist is
+    * broadcast into an order-preserving per-row filter — `filter(toks, …)`
+    * keeps original token positions, unlike `array_except`, which would
+    * also dedup the kept tokens.
+    */
+  val q97 = QueryDef(
+    "q97_boilerplate_prune",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val total = docs.agg(count(lit(1)).as("_total"))
+      val stop = docs
+        .select(explode(array_distinct(toks)).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(total))
+        .filter(col("df") >= col("_total") * 0.79)
+        .agg(array_sort(collect_list(col("w"))).as("_stop"))
+      val kept = filter(toks, t => !array_contains(col("_stop"), t))
+      docs
+        .crossJoin(broadcast(stop))
+        .select(
+          col("doc_id"),
+          size(toks).as("n_before"),
+          size(kept).as("n_after"),
+          array_join(kept, " ").as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+                 dfreq AS (SELECT w, COUNT(*) AS df
+                           FROM (SELECT doc_id, UNNEST(list_distinct(t)) AS w FROM d)
+                           GROUP BY w),
+                 n AS (SELECT COUNT(*) AS total FROM documents),
+                 stop AS (SELECT COALESCE(list(w ORDER BY w), CAST([] AS VARCHAR[])) AS sw
+                          FROM dfreq, n WHERE df >= total * 0.79)
+            SELECT doc_id,
+                   CAST(len(t) AS INTEGER) AS n_before,
+                   CAST(len([x FOR x IN t IF NOT list_contains(sw, x)]) AS INTEGER)
+                     AS n_after,
+                   array_to_string([x FOR x IN t IF NOT list_contains(sw, x)], ' ')
+                     AS cleaned
+            FROM d CROSS JOIN stop ORDER BY doc_id"""))
+
+  /** Q98 — sequence packing (X4): the concat-then-cut packing a training
+    * pipeline uses to fill fixed context windows — docs in doc_id order,
+    * each assigned to the 512-token block its first token lands in
+    * (`exclusive_prefix_sum div 512`). The cumulative scan is inherently
+    * sequential, so it runs through [[GlobalRank.prefixSum]]'s two-pass
+    * bucket shape instead of a single-task `Window.orderBy` — per-bucket
+    * local sums in parallel, stitched with ≤ #partitions broadcast
+    * offsets. Output: per-block doc count, token count, doc-id span.
+    */
+  val q98 = QueryDef(
+    "q98_sequence_pack",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      GlobalRank.prefixSum(t, col("n_tok"), col("doc_id"), Nil)
+        .withColumn("seq_id", expr("CAST(_psum div 512 AS INT)"))
+        .groupBy("seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("seq_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                       FROM documents),
+                 c AS (SELECT doc_id, n_tok,
+                              CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                   0) AS BIGINT) AS p
+                       FROM t)
+            SELECT CAST(p // 512 AS INTEGER) AS seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM c GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98)
+}
