@@ -29,26 +29,41 @@ object Bench {
       case c            => c.toString
     } + "\""
 
-  /** Runs warm-up + one timed pass per headline query; returns the JSON
-    * result line and whether every query succeeded. Separated from main so
-    * the failure path is unit-testable with a deliberately-broken QueryDef.
+  /** Timed passes per query after warm-up; the reported time is the MEDIAN
+    * so a single GC pause / compilation hiccup cannot fake a regression in
+    * the round-over-round comparison (a single-sample bench flagged a
+    * phantom 2.4x swing on an untouched query in round 2). */
+  val TimedPasses = 3
+
+  /** Runs warm-up + [[TimedPasses]] timed passes per query and reports the
+    * per-query median; returns the JSON result line and whether every query
+    * succeeded. Separated from main so the failure path is unit-testable
+    * with a deliberately-broken QueryDef.
     */
   def run(spark: SparkSession, sfDir: String, headline: Seq[QueryDef]): (String, Boolean) = {
     // Warm-up execution per query (JIT + codegen cache + file listing).
-    // Failures are ignored HERE only because the timed pass below runs the
-    // same plan and records them.
+    // Failures are ignored HERE only because the timed passes below run the
+    // same plan and record them.
     headline.foreach { q =>
       try exec(spark, q, sfDir)
       catch { case _: Throwable => () }
     }
     val results: Seq[(String, Either[String, Double])] = headline.map { q =>
-      val t0 = System.nanoTime()
-      try {
-        exec(spark, q, sfDir)
-        q.name -> Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          q.name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      val passes: Seq[Either[String, Double]] = (1 to TimedPasses).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          exec(spark, q, sfDir)
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      }
+      // Any failing pass fails the query — a flaky crash must not hide
+      // behind two clean passes.
+      q.name -> passes.collectFirst { case Left(msg) => Left(msg) }.getOrElse {
+        val sorted = passes.collect { case Right(s) => s }.sorted
+        Right(sorted(sorted.size / 2))
       }
     }
     val qs = results.map {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the clustering step that turns
@@ -16,47 +16,75 @@ import org.apache.spark.sql.functions._
   * clusters are star-/clique-shaped (diameter ≤ ~3), so the loop
   * converges in a handful of rounds; `maxIter` caps pathological chains.
   *
-  * Lineage is truncated every round (`localCheckpoint`) — without it the
-  * plan doubles per iteration and planning time, not data, becomes the
-  * bottleneck. On a cluster, reliable `checkpoint` to the DFS gives the
-  * same truncation with fault tolerance.
+  * ONE job per round: the convergence signal (how many labels changed) is
+  * an `Observation` metric folded into the same action that materializes
+  * the round's labels — no separate probe join/isEmpty job.
+  *
+  * Lineage is truncated every round — without it the plan doubles per
+  * iteration and planning time, not data, becomes the bottleneck. Default
+  * is `localCheckpoint` (executor block storage; right for local mode);
+  * pass `checkpointDir` to use reliable `checkpoint` to a DFS path so a
+  * long propagation survives executor loss on a real cluster.
   */
 object ConnectedComponents {
 
   /** Label every node of the (undirected) edge set with the smallest node
     * id reachable from it. Input: two-column DataFrame (src, dst).
-    * Output: (id, comp). Nodes are exactly those appearing in an edge.
+    * Output: (id, comp). Nodes are exactly those appearing in an edge —
+    * including nodes whose only edge is a self-loop, which form their own
+    * singleton component (self-loops add no connectivity).
     *
+    * @param checkpointDir reliable checkpoint directory (DFS path) for
+    *        per-round lineage truncation; None → `localCheckpoint`.
     * @return the labeling plus the number of rounds it took (for specs /
     *         monitoring; `rounds == maxIter` means possibly unconverged).
     */
-  def label(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+  def label(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val idType = e.schema("src").dataType
     // Symmetric closure once; propagation then only needs src->dst flow.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    // Self-loops carry no connectivity and are dropped HERE — but their
+    // endpoints still enter the node set below.
+    val sym = ckpt(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var labels = ckpt(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+        .withColumn("comp", col("id")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels)
+      // Neighbor candidates carry prev=null; each node's own current row
+      // carries prev=comp. min(comp) is the new label, min(prev) (nulls
+      // ignored, exactly one non-null per id) recovers the old one — so
+      // the changed-count is observable on the same materializing action.
+      val cand = sym
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"), lit(null).cast(idType).as("prev"))
+      val obs = Observation()
+      val next = cand
+        .union(labels.select(col("id"), col("comp"), col("comp").as("prev")))
         .groupBy("id")
-        .agg(min("comp").as("comp"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .agg(min("comp").as("comp"), min("prev").as("prev"))
+        .observe(obs, sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+      labels = ckpt(next.select("id", "comp"))
+      converged = obs.get.get("changed").forall {
+        case null => true // empty node set: sum over zero rows is null
+        case n: Number => n.longValue() == 0L
+      }
       rounds += 1
     }
     (labels, rounds)

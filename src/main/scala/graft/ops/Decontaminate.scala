@@ -33,11 +33,16 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    // array_distinct BEFORE the explode: per-doc dedup is row-local (no
+    // shuffle), and it is what makes n_grams/n_hit count DISTINCT doc
+    // n-grams — a doc repeating a contaminated n-gram must not count it
+    // twice toward the overlap fraction.
     val grams = (df: DataFrame) =>
       df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
         .select(
           col(idCol),
-          explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("_g"))
+          explode(array_distinct(
+            TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))).as("_g"))
 
     val benchGrams = grams(benchmark).select("_g").distinct().withColumn("_hit", lit(1))
 

@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{SortOrder => CatalystSortOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
 /** Distributed global ranking (VERDICT r1 item 1).
   *
@@ -35,6 +37,21 @@ import org.apache.spark.sql.functions._
   * salt on the tie-break column; not needed for the fixture shapes.
   */
 object GlobalRank {
+
+  /** PRECONDITION: `orderFirst` must be a bare ASCENDING value expression
+    * (`col("x")`, `expr("a+b")`), never `col("x").desc` — the bucket id is
+    * "count of bounds <= value", which only lines up with the per-bucket
+    * window when both ascend. Descending SortOrder inputs are rejected at
+    * call time; to rank descending, negate the value (`-col("x")`) or rank
+    * ascending and derive `N + 1 - _grn`. `orderRest` tie-breaks may use
+    * any direction — they never cross bucket bounds. */
+  private def requireAscending(orderFirst: Column, caller: String): Unit =
+    bridge.lower(orderFirst) match {
+      case s: CatalystSortOrder => throw new IllegalArgumentException(
+        s"GlobalRank.$caller: orderFirst must be a bare ascending value expression, " +
+          s"got SortOrder(${s.direction}); negate the value to rank descending")
+      case _ => ()
+    }
 
   /** Bucket id = number of bounds <= value. A when-chain (codegen'd, no
     * interpreted lambda); O(buckets) comparisons per row — for thousands of
@@ -73,6 +90,7 @@ object GlobalRank {
       orderFirst: Column,
       orderRest: Seq[Column],
       leadCol: Option[String] = None): DataFrame = {
+    requireAscending(orderFirst, "ranked")
     val spark = df.sparkSession
     val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
     val order = orderFirst +: orderRest
@@ -134,6 +152,7 @@ object GlobalRank {
       valueCol: Column,
       orderFirst: Column,
       orderRest: Seq[Column]): DataFrame = {
+    requireAscending(orderFirst, "prefixSum")
     val spark = df.sparkSession
     val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
     val order = orderFirst +: orderRest

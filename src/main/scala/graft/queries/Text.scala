@@ -421,9 +421,14 @@ object Text {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      // array_distinct before the explode = the oracle's SELECT DISTINCT
+      // (doc_id, s), done row-locally with no extra shuffle: df must count
+      // distinct DOCS per shingle, not occurrences — a trigram repeated
+      // within one doc would otherwise fake df=2 and spawn a false edge.
       val sh = docs.select(
         col("doc_id"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("s"))
+        explode(array_distinct(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))).as("s"))
       val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") === 2)
       val keyed = sh.join(rare, "s")
       val edges = keyed.as("a")

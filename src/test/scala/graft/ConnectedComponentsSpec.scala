@@ -37,10 +37,23 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(labels(9L) != 0L, "a 2-round cap cannot close a diameter-9 path")
   }
 
-  test("self-loops and empty edge sets are harmless") {
+  test("self-loop-only nodes stay in the node set as singleton components") {
     val (labels, _) = labelsOf(Seq((7L, 7L), (1L, 2L)))
-    assert(labels == Map(1L -> 1L, 2L -> 1L))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
     val (empty, rounds) = labelsOf(Seq.empty)
     assert(empty.isEmpty && rounds <= 1)
+  }
+
+  test("reliable checkpointDir mode matches localCheckpoint results") {
+    val edges = ((0L until 5L).map(i => (i, i + 1)) ++ Seq((20L, 21L))).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    try {
+      val (local, localRounds) = ConnectedComponents.label(edges)
+      val (reliable, reliableRounds) = ConnectedComponents.label(edges, checkpointDir = Some(dir))
+      assert(reliableRounds == localRounds)
+      assert(reliable.orderBy("id").collect().toSeq == local.orderBy("id").collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 }
