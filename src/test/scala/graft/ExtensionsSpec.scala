@@ -76,6 +76,34 @@ class ExtensionsSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.approx.enabled")
   }
 
+  test("approx swap honors the documented sketch error contracts (rank error + rsd)") {
+    // VERDICT r2 item 9: the approx mode's CONTRACT, not just its plan
+    // rewrite. approx_percentile guarantees a RANK within n/accuracy of
+    // the target rank (value-relative error is NOT guaranteed); HLL++ at
+    // default precision documents rsd ~= 5% — assert 3 sigma.
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val vals = li.select("l_extendedprice")
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    val exactDistinct = li.select("l_orderkey").distinct().count()
+    spark.conf.set("spark.graft.approx.enabled", "true")
+    try {
+      for (p <- Seq(0.1, 0.5, 0.9)) {
+        val got = li.agg(expr(s"percentile(l_extendedprice, $p)")).head().getDouble(0)
+        // the sketch returns a real element; its feasible rank interval
+        // [count(<v), count(<=v)] must overlap target +- n/accuracy
+        val lo = vals.count(_ < got)
+        val hi = vals.count(_ <= got)
+        val tol = n.toDouble / ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY + 1
+        assert(lo <= p * n + tol && hi >= p * n - tol,
+          s"p=$p: rank interval [$lo,$hi] outside ${p * n} +- $tol (n=$n)")
+      }
+      val cd = li.agg(expr("count(distinct l_orderkey)")).head().getLong(0)
+      assert(math.abs(cd - exactDistinct).toDouble / exactDistinct <= 0.15,
+        s"HLL++ estimate $cd vs exact $exactDistinct exceeds 3x rsd")
+    } finally spark.conf.unset("spark.graft.approx.enabled")
+  }
+
   test("approx swap leaves weighted percentile (frequency != 1) exact") {
     spark.conf.set("spark.graft.approx.enabled", "true")
     try {

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Membership
+
+/** The large-list membership path (VERDICT r2 item 6): a 10k-entry word
+  * list must run as a broadcast hash join — no per-row linear scans — and
+  * agree with the array-path semantics the TrainPrep queries use for tiny
+  * lists.
+  */
+class MembershipSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val stopWords = (0 until 10000).map(i => s"w$i")
+
+  test("10k-word stoplist prunes via broadcast join, order preserved, no linear scan") {
+    val stop = stopWords.toDF("w")
+    val docs = Seq(
+      (1L, Seq("w1", "keep1", "w2", "keep2", "keep1")),
+      (2L, Seq("w3", "w4")), // fully stopped -> empty kept, row survives
+      (3L, Seq("keep3")))
+      .toDF("doc_id", "toks")
+    val pruned = Membership.pruneTokens(docs, "doc_id", col("toks"), stop)
+    val got = pruned.orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, Seq("keep1", "keep2", "keep1")), // duplicates + positions kept
+      (2L, Seq.empty[String]),
+      (3L, Seq("keep3"))))
+    val plan = pruned.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"stoplist must broadcast-join:\n$plan")
+    assert(!plan.contains("array_contains"), s"no per-row linear membership scan:\n$plan")
+  }
+
+  test("oovCounts against a 10k vocab matches direct per-row counting") {
+    val vocab = (0 until 10000).map(i => s"v$i").toDF("w")
+    val docs = Seq(
+      (1L, Seq("v1", "x", "v2", "y", "v1")),
+      (2L, Seq("x")))
+      .toDF("doc_id", "toks")
+    val got = Membership.oovCounts(docs, "doc_id", col("toks"), vocab)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2L), (2L, 1L, 1L)))
+  }
+}

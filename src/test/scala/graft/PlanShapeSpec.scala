@@ -70,6 +70,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(_bkt"), s"fact window not bucket-partitioned:\n$plan")
   }
 
+  test("q92 funnel scans events exactly once") {
+    // VERDICT r2 item 3: the three funnel stages must share ONE pass over
+    // the events table (window flags), not one filtered scan per stage.
+    val df = SparkEntry.queries("q92_funnel")(spark, sf0001)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE appends a duplicate print
+      .linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 events scan, got $scans")
+  }
+
   test("q26 exact dedup uses map-side partial aggregation on the digest") {
     val plan = finalPlan(SparkEntry.queries("q26_dedup_exact")(spark, sf0001))
     // the sha2 digest becomes an internal _groupingexpression; the shuffle

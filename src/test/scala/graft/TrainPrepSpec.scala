@@ -25,6 +25,19 @@ class TrainPrepSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 4L, 2L)))
   }
 
+  test("decontaminate: within-doc repeated n-grams count once (distinct semantics)") {
+    import spark.implicits._
+    val bench = Seq((0L, "a b c")).toDF("doc_id", "text")
+    // tokens a b c z a b c -> 3-grams (a b c, b c z, c z a, z a b, a b c):
+    // 4 DISTINCT grams, exactly 1 of them contaminated — the repeat of
+    // "a b c" must not count twice (ADVICE r2 finding)
+    val corpus = Seq((1L, "a b c z a b c")).toDF("doc_id", "text")
+    val got = Decontaminate.overlap(corpus, bench, "text", "doc_id", n = 3)
+      .select("doc_id", "n_grams", "n_hit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 1L)))
+  }
+
   test("decontaminate: docs shorter than n are dropped, duplicates flagged fully") {
     import spark.implicits._
     val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")

@@ -30,6 +30,25 @@ class UpsertSpec extends SparkSuite {
     assert(Upsert.merge(base, updates, Seq("k")).count() == 2)
   }
 
+  test("mergeLatest resolves in-batch conflicts to the highest version") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val updates = Seq(
+      (1L, "v1", 11.0, 1L), (1L, "v2", 12.0, 2L), (3L, "new", 30.0, 1L))
+      .toDF("k", "s", "v", "ver")
+    val merged = Upsert.mergeLatest(base, updates, Seq("k"), "ver")
+    assert(merged.columns.toSeq == Seq("k", "s", "v"), "ver must drop: base lacks it")
+    val got = merged.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "v2", 12.0), (2L, "b", 20.0), (3L, "new", 30.0)))
+  }
+
+  test("mergeLatest keeps the version column when base carries it") {
+    val base = Seq((1L, 10.0, 0L)).toDF("k", "v", "ver")
+    val updates = Seq((1L, 11.0, 5L), (1L, 12.0, 7L)).toDF("k", "v", "ver")
+    val got = Upsert.mergeLatest(base, updates, Seq("k"), "ver")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 12.0, 7L)))
+  }
+
   test("column order differences are reconciled by name") {
     val base = Seq((1L, 10.0, "a")).toDF("k", "v", "s")
     val updates = Seq((2L, "b", 20.0)).toDF("k", "s", "v")

@@ -52,4 +52,42 @@ class WavSpec extends SparkSuite {
     val ids = Multimodal.sampleFrames(spark, ds, 100, 1).collect().map(_.doc_id).distinct
     assert(ids.toSeq == Seq(1L))
   }
+
+  test("png/bmp writers round-trip through the header parsers") {
+    val even = "abcdef".getBytes("US-ASCII") // length 6: even -> RGB
+    val odd = "abcde".getBytes("US-ASCII") // length 5: odd -> RGBA
+    val png = Multimodal.parsePng(1L, Multimodal.toPng(even)).get
+    assert(png.format == "png" && png.width == 7 && png.height == 43)
+    assert(png.bit_depth == 8 && png.channels == 3)
+    val pngA = Multimodal.parsePng(2L, Multimodal.toPng(odd)).get
+    assert(pngA.channels == 4)
+    val bmp = Multimodal.parseBmp(3L, Multimodal.toBmp(even)).get
+    assert(bmp.format == "bmp" && bmp.width == 7 && bmp.height == 43)
+    assert(bmp.bit_depth == 8 && bmp.channels == 3)
+  }
+
+  test("image parsers reject malformed containers") {
+    val png = Multimodal.toPng("hello world".getBytes("US-ASCII"))
+    assert(Multimodal.parsePng(1L, png.take(20)).isEmpty, "truncated png")
+    val badSig = png.clone(); badSig(0) = 'X'.toByte
+    assert(Multimodal.parsePng(1L, badSig).isEmpty, "bad signature")
+    val badCrc = png.clone(); badCrc(16) = (badCrc(16) + 1).toByte // corrupt width
+    assert(Multimodal.parsePng(1L, badCrc).isEmpty, "IHDR CRC must catch corruption")
+    val bmp = Multimodal.toBmp("hello world".getBytes("US-ASCII"))
+    assert(Multimodal.parseBmp(1L, bmp.take(40)).isEmpty, "truncated bmp")
+    val lied = bmp.clone(); lied(2) = (lied(2) + 1).toByte // file size field
+    assert(Multimodal.parseBmp(1L, lied).isEmpty, "size mismatch")
+    // cross-format sniffing: each parser refuses the other's container
+    assert(Multimodal.parsePng(1L, bmp).isEmpty && Multimodal.parseBmp(1L, png).isEmpty)
+  }
+
+  test("mixed image corpus extracts metadata for every doc") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaaa"), (1L, "bbbbb"), (2L, "cc")).toDF("doc_id", "text")
+    val metas = Multimodal.imageMetadata(spark, Multimodal.imagesFromDocuments(spark, docs))
+      .collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.doc_id, m.format)).toSeq ==
+      Seq((0L, "png"), (1L, "bmp"), (2L, "png")))
+    assert(metas.forall(m => m.width >= 1 && m.height >= 1))
+  }
 }
