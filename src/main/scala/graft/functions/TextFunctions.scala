@@ -118,4 +118,24 @@ object TextFunctions {
       sequence(lit(0), greatest(ceil((size(toks) - chunkTokens).cast("double") / stride).cast("int"), lit(0))),
       w => concat_ws(" ", slice(toks, w * stride + 1, lit(chunkTokens))))
   }
+
+  // --- PII scrubbing (the pre-training privacy pass) -------------------
+  // Patterns stick to syntax BOTH regex engines (Java here, RE2 in the
+  // DuckDB oracle) interpret identically: explicit classes, no lookaround.
+
+  /** Email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded; syntactic match, no octet range
+    * check — triage semantics). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails/IPv4s with typed placeholder tags. Emails first:
+    * an address can contain a dotted quad, the reverse cannot. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  /** Count of email / IPv4 matches (codegen'd `regexp_count`). */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
 }

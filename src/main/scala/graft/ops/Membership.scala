@@ -36,6 +36,26 @@ object Membership {
         count(lit(1)).as("n_tok"),
         sum(when(col("_in").isNull, 1).otherwise(0)).as("n_oov"))
 
+  /** Tokenizer ENCODE: map each token to its id in `vocab` (columns
+    * (word, id)), out-of-vocabulary tokens to 0 — posexplode → broadcast
+    * hash join → positional re-assembly, the scale form of "tokenize to
+    * ids". Output: (idCol, n_tok, n_oov, ids) with `ids` in original
+    * token order. Docs with zero tokens produce no row (same contract as
+    * [[oovCounts]]). */
+  def encodeTokens(docs: DataFrame, idCol: String, toks: Column, vocab: DataFrame): DataFrame = {
+    val v = vocab.toDF("_w", "_id")
+    docs.select(col(idCol), posexplode(toks).as(Seq("_pos", "_w")))
+      .join(broadcast(v), Seq("_w"), "left")
+      .select(col(idCol), col("_pos"), coalesce(col("_id"), lit(0)).as("_id"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("_id") === 0, 1).otherwise(0)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_id")))),
+          x => x.getField("_id")).as("ids"))
+  }
+
   /** Order-preserving stoplist removal: posexplode → broadcast LEFT ANTI
     * join → re-assemble by original position. Every doc id comes back —
     * a doc whose every token is stopped yields an empty `kept` array. */

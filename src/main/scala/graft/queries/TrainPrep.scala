@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Fmt.r6
 import graft.functions.TextFunctions
-import graft.ops.{Decontaminate, GlobalRank}
+import graft.ops.{Decontaminate, GlobalRank, Membership, Mixing}
 
 /** Training-data preparation queries (SURVEY.md §2.11 adjacency — the
   * corpus-level passes that sit between raw text and a tokenized training
@@ -199,5 +199,125 @@ object TrainPrep {
                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM c GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98)
+  /** Q102 — PII scrubbing (X4): the privacy pass every released corpus
+    * runs. The fixture text carries no PII, so a deterministic contact
+    * line (email + dotted-quad IP derived from doc_id) is appended
+    * IDENTICALLY on both engines, then redacted with
+    * [[TextFunctions.redactPii]] — pure per-row regex expressions
+    * (codegen'd, no shuffle); the oracle re-runs the same patterns under
+    * RE2. Counts prove the match positions, the redacted text proves the
+    * replacement bytes. */
+  val q102 = QueryDef(
+    "q102_pii_redact",
+    (s, d) => {
+      val withPii = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("t"))
+      withPii.select(
+        col("doc_id"),
+        TextFunctions.emailCount(col("t")).as("n_emails"),
+        TextFunctions.ipv4Count(col("t")).as("n_ips"),
+        md5(TextFunctions.redactPii(col("t"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                              text || ' contact user' || doc_id ||
+                              '@example.com at 10.0.' || (doc_id % 256) || '.7' AS t
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+                   md5(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+                     AS redacted_md5
+            FROM p ORDER BY doc_id"""))
+
+  /** Q103 — source mixing / epoch weighting (X4): up-sample the
+    * "high-quality" sources before training ([[Mixing.byWeight]] —
+    * explode over a per-row repeat count; narrow op, no shuffle). The
+    * report proves every copy lands exactly `weight` times per doc. */
+  val q103 = QueryDef(
+    "q103_source_mixing",
+    (s, d) => {
+      val weighted = Tables.documents(s, d).withColumn(
+        "w",
+        when(col("source").isin("src0", "src1"), 3)
+          .when(col("source") === "src2", 2)
+          .otherwise(1))
+      Mixing.byWeight(weighted, col("w"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("rows_after"),
+          countDistinct(col("doc_id")).as("docs"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy("source")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+                              CASE WHEN source IN ('src0', 'src1') THEN 3
+                                   WHEN source = 'src2' THEN 2
+                                   ELSE 1 END AS w
+                       FROM documents),
+                 m AS (SELECT doc_id, source, UNNEST(generate_series(1, w)) AS epoch
+                       FROM w)
+            SELECT source, COUNT(*) AS rows_after,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs,
+                   CAST(MAX(epoch) AS INTEGER) AS max_epoch
+            FROM m GROUP BY source ORDER BY source"""))
+
+  /** Q104 — tokenizer encode (X4): tokens → vocabulary ids, OOV → 0, via
+    * [[Membership.encodeTokens]] (posexplode → broadcast hash join →
+    * positional re-assembly — the at-scale form; contrast q96's tiny-list
+    * array path). Vocabulary = q96's top-20 by (count desc, word), ids
+    * 1..20 in that order (the ranking window runs over 20 aggregated
+    * rows — bounded). The id sequence travels as an md5 of its
+    * space-joined rendering to keep the compare narrow. */
+  val q104 = QueryDef(
+    "q104_tokenize_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(20)
+        .select(
+          col("w"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("w"))).as("id"))
+      Membership.encodeTokens(docs, "doc_id", TextFunctions.tokens(col("text")), vocab)
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          col("n_oov"),
+          md5(concat_ws(" ", transform(col("ids"), x => x.cast("string")))).as("ids_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH wc AS (SELECT w, COUNT(*) AS c
+                        FROM (SELECT UNNEST(str_split(text, ' ')) AS w FROM documents)
+                        GROUP BY w),
+                 v AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS INTEGER) AS id
+                       FROM (SELECT * FROM wc ORDER BY c DESC, w LIMIT 20)),
+                 d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+                 e AS (SELECT doc_id, u.i AS pos, toks[u.i] AS w
+                       FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+                 j AS (SELECT e.doc_id, e.pos, COALESCE(v.id, 0) AS id
+                       FROM e LEFT JOIN v ON v.w = e.w),
+                 a AS (SELECT doc_id,
+                              CAST(COUNT(*) AS BIGINT) AS n_tok,
+                              CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_oov,
+                              md5(array_to_string(list(id ORDER BY pos), ' ')) AS ids_md5
+                       FROM j GROUP BY doc_id)
+            SELECT doc_id, n_tok, n_oov, ids_md5 FROM a ORDER BY doc_id"""))
+
+  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104)
 }

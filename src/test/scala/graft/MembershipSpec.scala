@@ -32,6 +32,30 @@ class MembershipSpec extends SparkSuite {
     assert(!plan.contains("array_contains"), s"no per-row linear membership scan:\n$plan")
   }
 
+  test("encodeTokens maps ids in token order with OOV as 0") {
+    val vocab = Seq(("alpha", 1), ("beta", 2)).toDF("w", "id")
+    val docs = Seq(
+      (1L, Seq("beta", "zzz", "alpha", "beta")),
+      (2L, Seq("zzz")))
+      .toDF("doc_id", "toks")
+    val got = graft.ops.Membership
+      .encodeTokens(docs, "doc_id", col("toks"), vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "n_oov", "ids")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, Seq(2, 0, 1, 2)), // order + duplicate ids preserved
+      (2L, 1L, 1L, Seq(0))))
+  }
+
+  test("mixing byWeight repeats rows and drops weight<=0") {
+    val df = Seq(("a", 3), ("b", 1), ("c", 0), ("d", -2)).toDF("k", "w")
+    val got = graft.ops.Mixing.byWeight(df, col("w"))
+      .groupBy("k").agg(count(lit(1)).as("n"), max("epoch").as("me"))
+      .orderBy("k").as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("a", 3L, 3), ("b", 1L, 1))) // c and d vanish
+  }
+
   test("oovCounts against a 10k vocab matches direct per-row counting") {
     val vocab = (0 until 10000).map(i => s"v$i").toDF("w")
     val docs = Seq(

@@ -58,4 +58,18 @@ class TextFunctionsSpec extends SparkSuite {
     assert(row.getInt(0) == 3)
     assert(row.getInt(1) == 5) // abc, de, 1, x, !
   }
+
+  test("pii redaction replaces emails and ips with typed tags and counts them") {
+    val row = Seq("mail a.b+c@ex-1.org then 10.0.255.7 and 999.1.2.3 but not 1.2.3")
+      .toDF("t")
+      .select(
+        TextFunctions.redactPii(col("t")).as("red"),
+        TextFunctions.emailCount(col("t")).as("ne"),
+        TextFunctions.ipv4Count(col("t")).as("ni"))
+      .collect()(0)
+    // 999.1.2.3 is syntactically a dotted quad (triage, no range check);
+    // 1.2.3 (three octets) is not
+    assert(row.getString(0) == "mail <EMAIL> then <IP> and <IP> but not 1.2.3")
+    assert(row.getInt(1) == 1 && row.getInt(2) == 2)
+  }
 }
