@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.core.Fmt.r6
 
@@ -109,5 +111,42 @@ object EventStreams {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** The same running totals through Spark 4's `transformWithState` — the
+    * modern arbitrary-state operator (typed state handles with TTL, timers,
+    * multiple state variables per key) that supersedes
+    * `flatMapGroupsWithState`. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) — the store production clusters
+    * run anyway for large state; the spec sets it per query. State here is
+    * one `ValueState[UserRunning]` per user — bounded, TTL-able. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "totals", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(user, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(user, n, total)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(
+      spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

@@ -36,6 +36,30 @@ class SaltStateSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("transformWithState (RocksDB provider) matches flatMapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[UserEvent]
+      val q = EventStreams.runningUserTotalsTws(spark, ms.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("tws_t").start()
+      try {
+        ms.addData(UserEvent(1, 10.0), UserEvent(1, 5.0), UserEvent(2, 1.0))
+        q.processAllAvailable()
+        ms.addData(UserEvent(1, 2.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_t")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n"), max("total_value").as("t"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        assert(rows(1L) == ((3L, 17.0))) // ValueState carried across batches
+        assert(rows(2L) == ((1L, 1.0)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[UserEvent]
