@@ -36,11 +36,12 @@ import org.apache.spark.sql.internal.SQLConf
   * Memory is bounded at EVERY stage (the round-2 verdict's gap):
   *  - the partial stage caps retained heap rows at
   *    `spark.graft.topk.maxPartialRows` (default 1 << 20); once the cap
-  *    is hit, rows of UNSEEN groups stream through to the exchange
-  *    unexamined — emitting extra rows is always safe because the final
-  *    stage re-filters, so the cap trades shuffle volume for memory,
-  *    exactly the partial-aggregation contract. Groups already admitted
-  *    keep heap-admitting (no growth: replacement only).
+  *    is hit, any row that would GROW state (unseen group, or an
+  *    under-filled heap) streams through to the exchange unexamined,
+  *    while full heaps keep replacement-only refinement — emitting extra
+  *    rows is always safe because the final stage re-filters, so the cap
+  *    trades shuffle volume for memory, exactly the partial-aggregation
+  *    contract.
   *  - the final stage requires its input sorted by (group, order) and
   *    keeps O(1) state (current group key + emitted count). The sort it
   *    requires is Spark's spillable SortExec over the reduced stream; in
@@ -132,9 +133,13 @@ case class TopKPerGroupExec(
         if (heap == null) {
           Iterator.single(row) // cap reached, unseen group: stream through
         } else if (heap.size() < kk) {
-          heap.offer(row.copy()) // ...and retained rows
-          retained += 1
-          Iterator.empty
+          // the cap gates EVERY growth, not just group admission —
+          // otherwise pre-cap groups could still grow the map to cap*k
+          if (retained < cap) {
+            heap.offer(row.copy()) // ...and retained rows
+            retained += 1
+            Iterator.empty
+          } else Iterator.single(row) // absorb nothing more: stream through
         } else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.offer(row.copy())
