@@ -87,5 +87,26 @@ object Misc {
         .orderBy("lang"),
     None)
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90)
+  /** Q105 — mergeable sketch rollup (the incremental-distinct pattern at
+    * 100 TB): per-day DataSketches HLL sketches of the user set stored as
+    * a BINARY COLUMN (`hll_sketch_agg`), then any rollup — here the whole
+    * range — answered by `hll_union_agg` over the daily sketches instead
+    * of re-scanning events. Precompute once, merge forever: the union is
+    * commutative/idempotent, so the estimate is deterministic and
+    * partition-order-proof. Engine-sketch-specific → rows-only; the spec
+    * asserts the estimate lands within HLL error of exact and that the
+    * merged estimate equals the direct whole-range sketch. */
+  val q105 = QueryDef(
+    "q105_sketch_rollup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105)
 }

@@ -84,6 +84,24 @@ class MiscOpsSpec extends SparkSuite {
     assert(math.abs(got - 17.5) < 1e-12)
   }
 
+  test("hll sketch rollup: merged daily sketches estimate within error of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val exact = ev.select("user_id").distinct().count()
+    val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    // default lgConfigK=12 -> rsd ~1.6%; allow 3 sigma
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged estimate $merged vs exact $exact")
+    // merging dailies must equal sketching the whole range directly —
+    // the precompute-once contract
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
+    assert(merged == direct)
+  }
+
   test("group-by sum is invariant under repartitioning (property)") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val base = li.groupBy("l_returnflag").agg(round(sum("l_quantity"), 6).as("s"))
