@@ -37,6 +37,22 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-clustered Parquet: `repartitionByRange` + `sortWithinPartitions`
+    * on the cluster key, so each output file covers a narrow,
+    * NON-OVERLAPPING key range and every row group's parquet min/max
+    * footer stats are tight. Readers filtering on the key then skip whole
+    * row groups (the parquet reader's stats pruning) — the third-order
+    * scan reducer at 100 TB, for keys too high-cardinality to be
+    * directory partitions (ids, timestamps). One range shuffle at write
+    * time; `files` controls output granularity. */
+  def clusteredParquet(
+      df: DataFrame, path: String, clusterCols: Seq[String], files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
     val tmp = outPath + "_tmp"

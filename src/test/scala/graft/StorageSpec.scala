@@ -57,4 +57,28 @@ class StorageSpec extends SparkSuite {
     val expected = o.filter(col("y") === 1997).count()
     assert(read.count() == expected)
   }
+
+  test("clusteredParquet writes disjoint per-file key ranges (stats-pruning layout)") {
+    val out = Files.createTempDirectory("clus").toString + "/li_by_orderkey"
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Sinks.clusteredParquet(li, out, Seq("l_orderkey"), files = 4)
+    val parts = new java.io.File(out).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    assert(parts.length == 4, s"expected 4 clustered files, got ${parts.length}")
+    // every file covers a narrow range; ranges don't interleave — that's
+    // what makes parquet min/max row-group stats selective on read
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevHi), (nextLo, _)) =>
+        assert(prevHi <= nextLo, s"overlapping file ranges: ${ranges.mkString(", ")}")
+      case _ => ()
+    }
+    assert(spark.read.parquet(out).count() == li.count())
+  }
 }
