@@ -37,20 +37,30 @@ object Membership {
         sum(when(col("_in").isNull, 1).otherwise(0)).as("n_oov"))
 
   /** Tokenizer ENCODE: map each token to its id in `vocab` (columns
-    * (word, id)), out-of-vocabulary tokens to 0 — posexplode → broadcast
-    * hash join → positional re-assembly, the scale form of "tokenize to
-    * ids". Output: (idCol, n_tok, n_oov, ids) with `ids` in original
-    * token order. Docs with zero tokens produce no row (same contract as
-    * [[oovCounts]]). */
+    * (word, id)), out-of-vocabulary tokens to the sentinel id 0 —
+    * posexplode → broadcast hash join → positional re-assembly, the scale
+    * form of "tokenize to ids". Output: (idCol, n_tok, n_oov, ids) with
+    * `ids` in original token order. Docs with zero tokens produce no row
+    * (same contract as [[oovCounts]]).
+    *
+    * OOV is detected from the join miss (`_id IS NULL`) BEFORE the
+    * sentinel substitution, so `n_oov` is exact for ANY vocabulary —
+    * including zero-based ones. With a zero-based vocab the `ids` column
+    * is still ambiguous (a genuine id 0 renders like the OOV sentinel);
+    * callers who need both must shift their vocab ids to start at 1 —
+    * the standard tokenizer convention this helper assumes. */
   def encodeTokens(docs: DataFrame, idCol: String, toks: Column, vocab: DataFrame): DataFrame = {
     val v = vocab.toDF("_w", "_id")
     docs.select(col(idCol), posexplode(toks).as(Seq("_pos", "_w")))
       .join(broadcast(v), Seq("_w"), "left")
-      .select(col(idCol), col("_pos"), coalesce(col("_id"), lit(0)).as("_id"))
+      .select(
+        col(idCol), col("_pos"),
+        col("_id").isNull.as("_oov"),
+        coalesce(col("_id"), lit(0)).as("_id"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_tok"),
-        sum(when(col("_id") === 0, 1).otherwise(0)).as("n_oov"),
+        sum(when(col("_oov"), 1).otherwise(0)).as("n_oov"),
         transform(
           array_sort(collect_list(struct(col("_pos"), col("_id")))),
           x => x.getField("_id")).as("ids"))

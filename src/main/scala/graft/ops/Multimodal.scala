@@ -8,19 +8,19 @@ import org.apache.spark.sql.functions._
   * runs batch-wise in `mapPartitions` so a real decoder would amortize
   * per-partition setup (codec init, model load) across rows.
   *
-  * The decode step itself is a STUB — this container ships no image/audio
-  * codecs — replaced by a deterministic fake so the Spark-side plumbing
-  * (schema, partitioning, batch shape) is real and testable end-to-end.
+  * All parsers below are REAL byte-layout implementations (RIFF/WAVE, PNG
+  * with CRC validation, BMP) — container-level triage never needs a pixel
+  * codec, so nothing here is stubbed.
   */
 object Multimodal {
 
   /** A media row: opaque payload + id. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
-  /** Extracted features; in a real pipeline: dimensions, duration,
-    * embedding, etc. */
+  /** Container-level features from a real header parse: format tag,
+    * container size, declared dimensions, channel count. */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
+      doc_id: Long, format: String, n_bytes: Int, width: Int, height: Int, channels: Int)
 
   /** Build a binary-payload dataset from the documents table (treating the
     * UTF-8 text bytes as the opaque payload — stand-in for image bytes). */
@@ -31,27 +31,17 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batch feature extraction over partitions. A real implementation
-    * decodes the payload here; `decodeStub` fakes it deterministically. */
+  /** Batch feature extraction over partitions via the REAL container
+    * parsers ([[parsePng]]/[[parseBmp]] format sniffing): per-partition
+    * setup (codec init for a pixel-level stage) would go above the loop,
+    * once, not per row. Rows neither parser accepts are dropped — triage
+    * semantics, same as [[imageMetadata]]. */
   def extractFeatures(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    ds.mapPartitions { it =>
-      // per-partition setup for a real codec would go here (once, not per row)
-      it.map(decodeStub)
-    }
-  }
-
-  /** STUB decoder: deterministic fake "image" metadata derived from the
-    * payload BYTES (the q37 oracle reproduces it per character code point,
-    * which coincides only for ASCII payloads — the fixtures are ASCII; a
-    * non-ASCII corpus needs a byte-level oracle or a code-point checksum). Replace with a real codec (`???`-equivalent) when the
-    * runtime has one; signature and batch shape stay identical. */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.media.length
-    var checksum = 0L
-    var i = 0
-    while (i < n) { checksum = (checksum + (r.media(i) & 0xff)) % 997L; i += 1 }
-    MediaFeatures(r.doc_id, n, n % 640, (n * 3) % 480, checksum)
+    ds.mapPartitions(_.flatMap { r =>
+      parsePng(r.doc_id, r.media).orElse(parseBmp(r.doc_id, r.media)).map(m =>
+        MediaFeatures(r.doc_id, m.format, r.media.length, m.width, m.height, m.channels))
+    })
   }
 
   // ---------------------------------------------------------------------

@@ -185,25 +185,31 @@ object Text {
                                  (a, b) -> (a*31 + b) % 1000000007) END AS fp
             FROM documents ORDER BY doc_id"""))
 
-  /** Q37 — multimodal plumbing (X5): binary payload column → mapPartitions
-    * feature extraction with a deterministic stub decoder (see
-    * [[Multimodal]]). The oracle reproduces the stub arithmetic, proving
-    * the plumbing end-to-end. */
+  /** Q37 — multimodal feature extraction (X5): binary payload column →
+    * mapPartitions batch extraction through the REAL container parsers
+    * (PNG with CRC-validated IHDR / BMP — format-sniffed, see
+    * [[Multimodal.extractFeatures]]). The oracle restates the container
+    * ground truth from the payload byte length (`octet_length(encode(…))`
+    * — byte-exact, no ASCII assumption): PNG container = 57 + n bytes
+    * (signature 8 + IHDR 25 + IDAT 12+n + IEND 12), BMP = 54 + n, so a
+    * parser bug (wrong offset, endianness, CRC) hash-fails. */
   val q37 = QueryDef(
     "q37_multimodal_features",
     (s, d) => {
-      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      val media = Multimodal.imagesFromDocuments(s, Tables.documents(s, d))
       Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-                   CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-                   CAST((octet_length(encode(text)) * 3) % 480 AS INTEGER) AS height,
-                   CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
-                     list_reduce(list_transform(range(1, LENGTH(text)+1),
-                                                i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
-                                 (a, b) -> (a + b) % 997) END AS checksum
-            FROM documents ORDER BY doc_id"""))
+    Some("""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 57 + n ELSE 54 + n END
+                        AS INTEGER) AS n_bytes,
+                   CAST(1 + n % 512 AS INTEGER) AS width,
+                   CAST(1 + (n * 7) % 384 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                             THEN CASE WHEN n % 2 = 0 THEN 3 ELSE 4 END
+                             ELSE 3 END AS INTEGER) AS channels
+            FROM p ORDER BY doc_id"""))
 
   /** Q73 — document chunking (X4/training-pipeline core): sliding
     * 50-token windows, stride 25, one row per chunk. Chunk text travels as

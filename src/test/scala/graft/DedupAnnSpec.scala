@@ -122,13 +122,21 @@ class DedupAnnSpec extends SparkSuite {
     assert(math.abs(sim - expected) < 1e-12)
   }
 
-  test("multimodal stub features match manual byte arithmetic") {
-    val media = Multimodal.fromDocuments(spark, docs.withColumn("lang", lit("en")))
+  test("multimodal features come from REAL container parses (PNG/BMP round-trip)") {
+    val media = Multimodal.imagesFromDocuments(spark, docs.withColumn("lang", lit("en")))
     val feats = Multimodal.extractFeatures(spark, media)
-      .filter(col("doc_id") === 0).collect()(0)
-    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
-    assert(feats.n_bytes == bytes.length)
-    assert(feats.width == bytes.length % 640)
-    assert(feats.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 997)
+      .collect().map(f => f.doc_id -> f).toMap
+    val n = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length
+    // doc_id 0 is even -> PNG: 8 sig + 25 IHDR + (12+n) IDAT + 12 IEND
+    val f0 = feats(0L)
+    assert(f0.format == "png" && f0.n_bytes == 57 + n)
+    assert(f0.width == 1 + n % 512 && f0.height == 1 + (n * 7) % 384)
+    assert(f0.channels == (if (n % 2 == 0) 3 else 4))
+    // odd doc_ids -> BMP: 54-byte header + payload, 24bpp = 3 channels
+    assert(feats.filterKeys(_ % 2 == 1).values.forall(f => f.format == "bmp" && f.channels == 3))
+    // a corrupted container is dropped by triage, not failed
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(Multimodal.MediaRecord(99L, Array[Byte](1, 2, 3))))
+    assert(Multimodal.extractFeatures(spark, bad).isEmpty)
   }
 }

@@ -48,6 +48,24 @@ class MembershipSpec extends SparkSuite {
       (2L, 1L, 1L, Seq(0))))
   }
 
+  test("encodeTokens counts OOV correctly under a ZERO-BASED vocabulary") {
+    // r3/r4 latent defect: n_oov used to count the post-coalesce sentinel
+    // (_id === 0), so a vocab that legitimately assigns id 0 miscounted.
+    // OOV must come from the join miss, not the sentinel value.
+    val vocab = Seq(("alpha", 0), ("beta", 1)).toDF("w", "id")
+    val docs = Seq(
+      (1L, Seq("alpha", "zzz", "beta", "alpha")), // 1 OOV, two real id-0 tokens
+      (2L, Seq("alpha")))                         // 0 OOV despite id 0
+      .toDF("doc_id", "toks")
+    val got = Membership.encodeTokens(docs, "doc_id", col("toks"), vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "n_oov", "ids")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, Seq(0, 0, 1, 0)), // ids ambiguous by contract; counts exact
+      (2L, 1L, 0L, Seq(0))))
+  }
+
   test("mixing byWeight repeats rows and drops weight<=0") {
     val df = Seq(("a", 3), ("b", 1), ("c", 0), ("d", -2)).toDF("k", "w")
     val got = graft.ops.Mixing.byWeight(df, col("w"))
