@@ -25,8 +25,9 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Shingle base hashes: each shingle string is hashed ONCE (the only
-    * string hashing in the MinHash path). */
+  /** Shingle base hashes: each shingle string is hashed ONCE. Reference
+    * (interpreted) form — the hot path uses the fused codegen expression
+    * [[graft.functions.MinHashBandKeysExpr]]; a spec asserts they agree. */
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
@@ -48,7 +49,8 @@ object Dedup {
   }
 
   /** LSH band keys: hash each r-row band of the signature. A pair of docs
-    * with Jaccard j collides on a band with probability j^r. */
+    * with Jaccard j collides on a band with probability j^r. Reference
+    * (interpreted) form — see [[graft.functions.MinHashBandKeysExpr]]. */
   def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
@@ -72,23 +74,27 @@ object Dedup {
       bands: Int = 8,
       minJaccard: Double = 0.0): DataFrame = {
     val rowsPerBand = numPerm / bands
+    // Shingles live as a DISTINCT HASH SET (array<bigint>, one fused
+    // codegen pass — ShingleHashSetExpr) from the start: banding mins over
+    // longs, and the Jaccard verify intersects longs, so no shingle string
+    // column is ever materialized or shuffled. Identical results modulo
+    // 64-bit collisions (~|sh|²/2⁶⁴ per doc).
     val shingled = df
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
-      .select(col("doc_id"), TextFunctions.shingles(col("toks"), shingleSize).as("sh"))
-    // Bands carry ONLY (band, doc_id) — shuffling the heavy shingle arrays
-    // x bands would multiply the shuffle volume by the band count; the few
-    // surviving candidate pairs re-join the shingles for verification.
-    // Base hashes materialize in their own projection so the k permutations
-    // read the longs instead of re-hashing shingle strings k times; the
-    // signature itself is the fused codegen expression (one compiled loop
-    // for all k minima — see MinHashSigExpr).
-    val banded = shingled
-      .withColumn("hs", shingleHashes(col("sh")))
-      .withColumn("sig", graft.functions.MinHashSigExpr(col("hs"), numPerm))
       .select(
         col("doc_id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+        graft.functions.ShingleHashSetExpr(col("toks"), shingleSize).as("sh"))
+    // Bands carry ONLY (band, doc_id) — shuffling the shingle-hash arrays
+    // x bands would multiply the shuffle volume by the band count; the few
+    // surviving candidate pairs re-join the hash sets for verification.
+    // Signature + band keys are one fused codegen loop over the hash set
+    // (no interpreted lambdas, no intermediate signature arrays).
+    val banded = shingled
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeysFromHashesExpr(col("sh"), numPerm, bands))
+          .as(Seq("band_idx", "band_hash")))
     // Pairs form inside each band bucket via collect + double explode —
     // ONE computation of the signatures (a self-join would recompute the
     // whole banding subplan per side) and one shuffle keyed on the band.

@@ -49,6 +49,23 @@ class CosineExprSpec extends SparkSuite {
     }
   }
 
+  test("fully-fused band keys equal the composed shingle→sig→band chain") {
+    import graft.functions.MinHashBandKeysExpr
+    import graft.ops.Dedup
+    val rng = new scala.util.Random(13)
+    val docs = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(2 + rng.nextInt(40))(s"tok${rng.nextInt(500)} g${rng.nextInt(99)}"))
+    }.toDF("id", "sh")
+    val rows = docs.select(
+      MinHashBandKeysExpr(col("sh"), 32, 8).as("fused"),
+      Dedup.bandKeys(
+        graft.functions.MinHashSigExpr(Dedup.shingleHashes(col("sh")), 32), 8, 4).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "fused and composed band keys diverged")
+    }
+  }
+
   test("null input yields null, mismatched lengths use common prefix") {
     val df = Seq((Some(Array(1.0, 0.0)), None: Option[Array[Double]])).toDF("a", "b")
     val r = df.select(CosineSimilarity(col("a"), col("b")).as("s")).collect()(0)
