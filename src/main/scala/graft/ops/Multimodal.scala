@@ -95,7 +95,13 @@ object Multimodal {
     * format tag, reads the little-endian parameter fields. Returns None
     * for anything malformed (truncated, wrong magic, non-PCM) — the
     * triage filter drops those rows instead of failing the job. */
-  def parseWav(docId: Long, media: Array[Byte]): Option[WavMeta] = {
+  def parseWav(docId: Long, media: Array[Byte]): Option[WavMeta] =
+    parseWav(docId, media, media.length.toLong)
+
+  /** Header-prefix variant: `fileLen` is the container's true size on
+    * storage, `media` need only hold the first 44 bytes — lets a source
+    * do metadata-only scans without fetching payloads (MediaDataSource). */
+  def parseWav(docId: Long, media: Array[Byte], fileLen: Long): Option[WavMeta] = {
     if (media.length < 44) return None
     val buf = java.nio.ByteBuffer.wrap(media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def magic(at: Int, s: String): Boolean =
@@ -107,7 +113,7 @@ object Multimodal {
     val rate = buf.getInt(24)
     val bits = buf.getShort(34).toInt
     val dataBytes = buf.getInt(40)
-    if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes != media.length - 44) return None
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes != fileLen - 44) return None
     val nSamples = dataBytes / (channels * bits / 8)
     Some(WavMeta(docId, rate, channels, bits, dataBytes, nSamples,
       nSamples * 1000L / rate))
@@ -215,11 +221,15 @@ object Multimodal {
 
   /** Parse a BMP header (BITMAPINFOHEADER variant): magic, consistent
     * file size, 40-byte DIB, one plane, whole-byte depth. */
-  def parseBmp(docId: Long, media: Array[Byte]): Option[ImageMeta] = {
+  def parseBmp(docId: Long, media: Array[Byte]): Option[ImageMeta] =
+    parseBmp(docId, media, media.length.toLong)
+
+  /** Header-prefix variant (see [[parseWav(docId:Long,media:Array[Byte],fileLen:Long)*]]). */
+  def parseBmp(docId: Long, media: Array[Byte], fileLen: Long): Option[ImageMeta] = {
     if (media.length < 54) return None
     if (media(0) != 'B'.toByte || media(1) != 'M'.toByte) return None
     val buf = java.nio.ByteBuffer.wrap(media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    if (buf.getInt(2) != media.length) return None
+    if (buf.getInt(2) != fileLen) return None
     if (buf.getInt(14) != 40) return None
     val width = buf.getInt(18)
     val height = buf.getInt(22)

@@ -486,7 +486,33 @@ object Text {
               comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
             SELECT doc_id, comp FROM comp ORDER BY doc_id"""))
 
+  /** Q106 — DataSource V2 scan (SURVEY §4's last unexercised extension
+    * rung): the documents corpus materialized as real PNG/BMP container
+    * files, read back through `spark.read.format("graft-media")`. The
+    * `format = 'png'` filter is pushed into the source and prunes BMP
+    * files at PLANNING time (never opened); dropping `media` from the
+    * projection makes the source read only 64-byte header prefixes. The
+    * oracle restates the container ground truth byte-exactly from the
+    * text payload, same formulas as q37 (PNG = 57+n bytes, dims from
+    * [[graft.ops.Multimodal.toPng]]). */
+  val q106 = QueryDef(
+    "q106_media_source_scan",
+    (s, d) => {
+      val dir = graft.sources.MediaFixture.ensure(s, d)
+      s.read.format("graft-media").load(dir)
+        .filter(col("format") === "png")
+        .select("doc_id", "format", "width", "height", "channels", "n_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'png' AS format,
+                   CAST(1 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+                   CAST(1 + (octet_length(encode(text)) * 7) % 384 AS INTEGER) AS height,
+                   CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 4 END
+                        AS INTEGER) AS channels,
+                   CAST(57 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101)
+      q84, q85, q86, q87, q88, q101, q106)
 }

@@ -1,0 +1,244 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Multimodal
+
+/** DataSource V2 `graft-media`: a directory of raw media container files
+  * (`<doc_id>.png` / `.bmp` / `.wav`) exposed as a table — the "crawled
+  * media corpus on shared storage" shape, where metadata must come from
+  * the container headers themselves rather than a sidecar catalog
+  * (reference reads all input through registered sources,
+  * `Cleaning.scala:22-28`, `SQLOperations.scala:12-15`; this is that idea
+  * carried to binary corpora).
+  *
+  * Scale design — the two DSv2 contracts are load-bearing, not decorative:
+  *
+  *  - '''Filter pushdown''' (`SupportsPushDownFilters`): predicates on
+  *    `doc_id` (filename stem), `format` (extension) and `n_bytes` (file
+  *    size) are evaluated against directory metadata at PLANNING time —
+  *    pruned files are never opened, so `WHERE format = 'png'` over a
+  *    100 TB mixed corpus does no I/O at all on the losers. Pushed
+  *    filters are removed from the residual (fully consumed).
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): when the
+  *    `media` payload column is not required, readers fetch only the
+  *    fixed-size header prefix (64 B) instead of whole files — a
+  *    metadata-only scan reads ~0.01% of the corpus bytes.
+  *
+  * Files are split into `spark.graft.media.filesPerPartition`-sized input
+  * partitions (default 512) in doc_id order, so a 10⁸-file corpus plans
+  * ~200k partitions of bounded size rather than one per file.
+  */
+class MediaDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-media"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MediaTable.Schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-media requires a path, e.g. .load(dir)"))
+    new MediaTable(path)
+  }
+}
+
+object MediaTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true)))
+
+  /** Bytes sufficient for every header parse this source does (PNG
+    * sig+IHDR = 33, BMP = 54, WAV fmt = 44; 64 covers all with slack). */
+  val HeaderBytes = 64
+
+  final case class FileMeta(path: String, docId: Long, format: String, nBytes: Long)
+
+  def listFiles(dir: String): Seq[FileMeta] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+    files.flatMap { f =>
+      val name = f.getName
+      val dot = name.lastIndexOf('.')
+      if (!f.isFile || dot <= 0) None
+      else {
+        val stem = name.substring(0, dot)
+        val ext = name.substring(dot + 1).toLowerCase
+        stem.toLongOption.collect {
+          case id if Set("png", "bmp", "wav").contains(ext) =>
+            FileMeta(f.getAbsolutePath, id, ext, f.length())
+        }
+      }
+    }.sortBy(_.docId)
+  }
+}
+
+class MediaTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-media:$path"
+  override def schema(): StructType = MediaTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MediaScanBuilder(path, options)
+}
+
+class MediaScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = MediaTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** A filter is pushable iff it references only planning-time columns
+    * (doc_id / format / n_bytes — all known from the directory listing). */
+  private def pushable(f: Filter): Boolean = {
+    val planningCols = Set("doc_id", "format", "n_bytes")
+    f.references.nonEmpty && f.references.forall(planningCols.contains) && (f match {
+      case _: sources.EqualTo | _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
+           _: sources.LessThan | _: sources.LessThanOrEqual | _: sources.In |
+           _: sources.And | _: sources.Or => true
+      case _ => false
+    })
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, residual) = filters.partition(pushable)
+    pushed = p
+    residual // pushed filters are fully evaluated per file — no re-check needed
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val perPart = Option(options.get("filesPerPartition")).map(_.toInt).getOrElse(512)
+    new MediaScan(path, required, pushed, perPart)
+  }
+}
+
+class MediaScan(
+    path: String, required: StructType, pushed: Array[Filter], filesPerPartition: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-media $path, ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Planning-time filter evaluation over directory metadata only. */
+  private def keep(m: MediaTable.FileMeta)(f: Filter): Boolean = {
+    def v(col: String): Any = col match {
+      case "doc_id" => m.docId
+      case "format" => m.format
+      case "n_bytes" => m.nBytes
+    }
+    def cmp(col: String, x: Any): Int = (v(col), x) match {
+      case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue())
+      case (a: String, b) => a.compareTo(b.toString)
+      case _ => throw new IllegalStateException(s"unexpected pushed comparison on $col")
+    }
+    f match {
+      case sources.EqualTo(c, x) => cmp(c, x) == 0
+      case sources.GreaterThan(c, x) => cmp(c, x) > 0
+      case sources.GreaterThanOrEqual(c, x) => cmp(c, x) >= 0
+      case sources.LessThan(c, x) => cmp(c, x) < 0
+      case sources.LessThanOrEqual(c, x) => cmp(c, x) <= 0
+      case sources.In(c, xs) => xs.exists(x => cmp(c, x) == 0)
+      case sources.And(l, r) => keep(m)(l) && keep(m)(r)
+      case sources.Or(l, r) => keep(m)(l) || keep(m)(r)
+      case other => throw new IllegalStateException(s"unpushable filter pushed: $other")
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = MediaTable.listFiles(path).filter(m => pushed.forall(keep(m)))
+    files.grouped(filesPerPartition).map(g => MediaInputPartition(g.toArray)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MediaReaderFactory(required)
+}
+
+final case class MediaInputPartition(files: Array[MediaTable.FileMeta])
+    extends InputPartition
+
+class MediaReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MediaPartitionReader(partition.asInstanceOf[MediaInputPartition].files, required)
+}
+
+/** Per-partition reader: one file per `next()`. Reads the whole file only
+  * when the `media` column is required; header-only (64 B) otherwise. */
+class MediaPartitionReader(files: Array[MediaTable.FileMeta], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needMedia = required.fieldNames.contains("media")
+  private val needDims = Seq("width", "height", "channels")
+    .exists(required.fieldNames.contains)
+  private var i = -1
+  private var row: InternalRow = _
+
+  private def readBytes(m: MediaTable.FileMeta): Array[Byte] = {
+    if (needMedia) java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(m.path))
+    else {
+      val in = new java.io.FileInputStream(m.path)
+      try {
+        val buf = new Array[Byte](math.min(MediaTable.HeaderBytes.toLong, m.nBytes).toInt)
+        var off = 0
+        while (off < buf.length) {
+          val r = in.read(buf, off, buf.length - off)
+          if (r < 0) throw new java.io.EOFException(m.path)
+          off += r
+        }
+        buf
+      } finally in.close()
+    }
+  }
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= files.length) return false
+    val m = files(i)
+    // header parse only when a dims column survives pruning
+    val bytes = if (needDims || needMedia) readBytes(m) else Array.emptyByteArray
+    val meta: Option[Multimodal.ImageMeta] =
+      if (!needDims) None
+      else Multimodal.parsePng(m.docId, bytes)
+        .orElse(Multimodal.parseBmp(m.docId, bytes, m.nBytes))
+        .orElse(Multimodal.parseWav(m.docId, bytes, m.nBytes).map(w =>
+          Multimodal.ImageMeta(m.docId, "wav", 0, 0, w.bits_per_sample, w.channels)))
+    row = InternalRow.fromSeq(required.fieldNames.toSeq.map {
+      case "doc_id" => m.docId
+      case "format" => UTF8String.fromString(m.format)
+      case "width" => meta.map(_.width).orNull
+      case "height" => meta.map(_.height).orNull
+      case "channels" => meta.map(_.channels).orNull
+      case "n_bytes" => m.nBytes
+      case "media" => if (needMedia) bytes else null
+      case other => throw new IllegalStateException(s"unknown column $other")
+    })
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Multimodal
+
+/** Materializes the documents table as a directory of media container
+  * files (`<doc_id>.png` for even ids / `.bmp` for odd — same corpus as
+  * [[Multimodal.imagesFromDocuments]]) so [[MediaDataSource]] has a real
+  * on-storage corpus to scan. Idempotent per fixture dir; the write runs
+  * `foreachPartition` (executor-side, local shared fs here — on a cluster
+  * the same code writes to shared storage). */
+object MediaFixture {
+
+  /** Returns the media dir for `sfDir`, writing it on first use. */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val key = java.lang.Long.toHexString(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        sfDir.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        sfDir.length, 42L))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_media_$key"
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val expected = docs.count()
+    if (MediaTable.listFiles(dir).size == expected) return dir
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Multimodal.imagesFromDocuments(spark, docs).foreachPartition {
+      (it: Iterator[Multimodal.MediaRecord]) =>
+        it.foreach { r =>
+          val ext = if (r.doc_id % 2 == 0) "png" else "bmp"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.doc_id}.$ext"), r.media)
+        }
+    }
+    dir
+  }
+}

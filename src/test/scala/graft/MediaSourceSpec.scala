@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.sources.{MediaFixture, MediaTable}
+
+/** DataSource V2 `graft-media` contract: planning-time filter pushdown
+  * (pruned files are never opened), header-only column pruning, bounded
+  * input partitions, and row correctness vs the in-memory parsers. */
+class MediaSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir = MediaFixture.ensure(spark, sf0001)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("round-trip: source rows match the in-memory container parses") {
+    val viaSource = spark.read.format("graft-media").load(dir)
+      .select("doc_id", "format", "width", "height", "channels")
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int)].collect().toSeq
+    val direct = Multimodal.imageMetadata(
+      spark,
+      Multimodal.imagesFromDocuments(spark, graft.core.Tables.documents(spark, sf0001)))
+      .toDF().orderBy("doc_id")
+      .select("doc_id", "format", "width", "height", "channels")
+      .as[(Long, String, Int, Int, Int)].collect().toSeq
+    assert(viaSource.nonEmpty && viaSource == direct)
+  }
+
+  test("format/doc_id filters are pushed: consumed by the scan, files pruned at planning") {
+    val df = spark.read.format("graft-media").load(dir)
+      .filter(col("format") === "png" && col("doc_id") < 100)
+      .select("doc_id", "n_bytes")
+    val scan = scanOf(df)
+    // fully consumed: no residual FilterExec survives above the scan
+    assert(df.queryExecution.executedPlan.collectFirst { case f: FilterExec => f }.isEmpty)
+    assert(scan.scan.description().contains("format"))
+    assert(scan.scan.description().contains("doc_id"))
+    // planning-time pruning: partitions carry only matching files
+    val files = scan.inputRDDs().head.partitions.length
+    val kept = df.count()
+    val total = MediaTable.listFiles(dir).size
+    assert(kept == MediaTable.listFiles(dir).count(m => m.format == "png" && m.docId < 100))
+    assert(kept < total, "filter should prune files")
+  }
+
+  test("column pruning reaches the scan: metadata-only read schema drops media") {
+    val df = spark.read.format("graft-media").load(dir).select("doc_id", "format", "n_bytes")
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSet == Set("doc_id", "format", "n_bytes"))
+    // n_bytes must be the true on-storage container size even though the
+    // reader fetched at most a 64-byte header prefix per file
+    val viaSource = df.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val expected = MediaTable.listFiles(dir).map(m => (m.docId, m.format, m.nBytes))
+    assert(viaSource == expected)
+  }
+
+  test("file list splits into bounded input partitions in doc_id order") {
+    val df = spark.read.format("graft-media")
+      .option("filesPerPartition", "100").load(dir)
+      .select("doc_id")
+    val scan = scanOf(df)
+    val total = MediaTable.listFiles(dir).size
+    val expectedParts = (total + 99) / 100
+    assert(scan.inputRDDs().head.getNumPartitions == expectedParts)
+    assert(df.count() == total)
+  }
+}
