@@ -484,7 +484,8 @@ object Text {
                               UNION
                               SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
               comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
-            SELECT doc_id, comp FROM comp ORDER BY doc_id"""))
+            SELECT doc_id, comp FROM comp ORDER BY doc_id"""),
+    headline = true)
 
   /** Q106 — DataSource V2 scan (SURVEY §4's last unexercised extension
     * rung): the documents corpus materialized as real PNG/BMP container

@@ -59,7 +59,8 @@ object TrainPrep {
                    ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap_frac,
                    CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= 0.5
                         THEN 1 ELSE 0 END AS flagged
-            FROM agg ORDER BY doc_id"""))
+            FROM agg ORDER BY doc_id"""),
+    headline = true)
 
   /** Q96 — vocabulary build + OOV profiling (X4): top-20 corpus words by
     * frequency (ties broken by word) become the vocabulary; per-source
@@ -317,7 +318,8 @@ object TrainPrep {
                                 AS n_oov,
                               md5(array_to_string(list(id ORDER BY pos), ' ')) AS ids_md5
                        FROM j GROUP BY doc_id)
-            SELECT doc_id, n_tok, n_oov, ids_md5 FROM a ORDER BY doc_id"""))
+            SELECT doc_id, n_tok, n_oov, ids_md5 FROM a ORDER BY doc_id"""),
+    headline = true)
 
   def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104)
 }

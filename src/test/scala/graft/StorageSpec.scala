@@ -81,4 +81,34 @@ class StorageSpec extends SparkSuite {
     }
     assert(spark.read.parquet(out).count() == li.count())
   }
+
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB star-join workhorse: the fact table is partitioned on the
+    // join key, the dim filter is NOT a literal on that key — so static
+    // pruning can't fire and the fact partitions must be pruned at RUNTIME
+    // from the dim side's broadcast (DynamicPruningExpression in the fact
+    // scan's PartitionFilters).
+    val base = Files.createTempDirectory("dpp").toString
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("y", year(col("o_orderdate")))
+    Sinks.parquet(o, s"$base/fact", partitionBy = Seq("y"))
+    val years = o.select("y").distinct().orderBy("y")
+      .collect().map(_.getInt(0))
+    val dim = spark.createDataFrame(
+      years.map(y => (y, if (y == years.max) "current" else "old")).toSeq)
+      .toDF("y", "era")
+    Sinks.parquet(dim, s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dimT = spark.read.parquet(s"$base/dim").filter(col("era") === "current")
+    val joined = fact.join(dimT, Seq("y")).groupBy("y").agg(sum("o_totalprice").as("rev"))
+    val rows = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in fact scan:\n$plan")
+    // row equality vs the same join over the unpartitioned layout
+    val expected = o.join(dimT, Seq("y")).groupBy("y").agg(sum("o_totalprice").as("rev"))
+      .collect()
+    assert(rows.map(_.toString).sorted.toSeq == expected.map(_.toString).sorted.toSeq)
+    assert(rows.nonEmpty)
+  }
 }
