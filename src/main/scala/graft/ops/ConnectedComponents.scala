@@ -46,24 +46,44 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        // Scoped, not session-global: the previous checkpoint dir (if any)
+        // is restored after each materialization. Spark has no API to
+        // CLEAR a checkpoint dir, so when none was set before this call
+        // the operator's dir remains set afterwards — the one documented
+        // residue.
+        df => {
+          val sc = spark.sparkContext
+          val prev = sc.getCheckpointDir
+          sc.setCheckpointDir(dir)
+          try df.checkpoint()
+          finally prev.filter(_ != dir).foreach(sc.setCheckpointDir)
+        }
       case None => df => df.localCheckpoint()
     }
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val idType = e.schema("src").dataType
     // Symmetric closure once; propagation then only needs src->dst flow.
     // Self-loops carry no connectivity and are dropped HERE — but their
     // endpoints still enter the node set below.
+    //
+    // Both relations are FROZEN hash-partitioned on their join key (an
+    // explicit partition count, so AQE can't coalesce the two sides to
+    // different layouts): the per-round candidate join is then exchange-
+    // free on the edge side — the big relation shuffles ONCE at setup, not
+    // once per round. checkpoint/localCheckpoint preserve partitioning, so
+    // the layout survives the lineage truncation.
     val sym = ckpt(
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(shufflePartitions, col("src")))
 
     var labels = ckpt(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-        .withColumn("comp", col("id")))
+        .withColumn("comp", col("id"))
+        .repartition(shufflePartitions, col("id")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {

@@ -12,9 +12,9 @@ import graft.functions.TextFunctions
   * Scale shape: the benchmark side is tiny by construction (eval sets are
   * thousands of docs vs billions in the corpus), so its distinct n-gram
   * union is one small aggregate broadcast to every executor. The corpus
-  * side is a single scan → explode → broadcast hash join (no shuffle of
-  * document text) → one keyed aggregation on the doc id. Nothing in the
-  * plan grows faster than O(corpus n-grams).
+  * side is a single scan with row-local set intersection — it never
+  * explodes, never shuffles, and nothing in the plan grows faster than
+  * O(corpus n-grams).
   */
 object Decontaminate {
 
@@ -33,24 +33,32 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
-    // array_distinct BEFORE the explode: per-doc dedup is row-local (no
-    // shuffle), and it is what makes n_grams/n_hit count DISTINCT doc
-    // n-grams — a doc repeating a contaminated n-gram must not count it
-    // twice toward the overlap fraction.
+    // N-grams travel as per-doc DISTINCT 64-bit hash sets (one fused
+    // codegen pass, graft.functions.ShingleHashSetExpr) — the distinct is
+    // what makes n_grams/n_hit count distinct doc n-grams, and hashing is
+    // what keeps the benchmark union a compact long array. Identical
+    // counts modulo 64-bit collisions.
     val grams = (df: DataFrame) =>
       df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
         .select(
           col(idCol),
-          explode(array_distinct(
-            TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n))).as("_g"))
+          graft.functions.ShingleHashSetExpr(
+            TextFunctions.tokens(col(textCol)), n).as("_hs"))
 
-    val benchGrams = grams(benchmark).select("_g").distinct().withColumn("_hit", lit(1))
+    // The benchmark union is ONE row (a sorted long array) broadcast to
+    // every task; per-doc overlap is then a row-local array_intersect.
+    // The corpus side never explodes and never shuffles — the whole plan
+    // is scan → project → broadcast-nested-loop(1 row) → project, vs the
+    // previous explode (xN rows) → broadcast join → keyed re-aggregation.
+    val benchSet = grams(benchmark)
+      .select(explode(col("_hs")).as("_g")).distinct()
+      .agg(sort_array(collect_list(col("_g"))).as("_bench"))
 
     grams(corpus)
-      .join(broadcast(benchGrams), Seq("_g"), "left")
-      .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+      .join(broadcast(benchSet))
+      .select(
+        col(idCol),
+        size(col("_hs")).cast("long").as("n_grams"),
+        size(array_intersect(col("_hs"), col("_bench"))).cast("long").as("n_hit"))
   }
 }

@@ -438,30 +438,29 @@ object Text {
     * ([[ConnectedComponents]]). Candidate edges come from rare-shingle
     * blocking — two docs sharing a trigram whose corpus-wide document
     * frequency is exactly 2 — a deterministic blocking scheme (unlike
-    * LSH, whose recall misses make an exact oracle impossible): explode →
-    * df count → self-join on the rare key, every step a bounded keyed
-    * shuffle (a df==2 shingle contributes exactly one pair). The oracle
-    * rebuilds the same edges in SQL and closes them with a recursive CTE,
-    * so a propagation bug — wrong join side, missed round, bad
-    * convergence test — hash-fails. */
+    * LSH, whose recall misses make an exact oracle impossible). A df==2
+    * shingle's bucket IS its one edge, so edges fall out of a single
+    * keyed aggregation — explode hashed shingles → groupBy → size-2
+    * buckets → (min, max) pair — with no df-count join and no self-join.
+    * Shingles travel as 64-bit hashes ([[graft.functions
+    * .ShingleHashSetExpr]]: per-doc distinct, so bucket size = document
+    * frequency), not strings. The oracle rebuilds the same edges in SQL
+    * and closes them with a recursive CTE, so a propagation bug — wrong
+    * join side, missed round, bad convergence test — hash-fails. */
   val q88 = QueryDef(
     "q88_dedup_components",
     (s, d) => {
       val docs = Tables.documents(s, d)
         .filter(TextFunctions.tokenCount(col("text")) >= 3)
-      // array_distinct before the explode = the oracle's SELECT DISTINCT
-      // (doc_id, s), done row-locally with no extra shuffle: df must count
-      // distinct DOCS per shingle, not occurrences — a trigram repeated
-      // within one doc would otherwise fake df=2 and spawn a false edge.
       val sh = docs.select(
         col("doc_id"),
-        explode(array_distinct(
-          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))).as("s"))
-      val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") === 2)
-      val keyed = sh.join(rare, "s")
-      val edges = keyed.as("a")
-        .join(keyed.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        explode(graft.functions.ShingleHashSetExpr(
+          TextFunctions.tokens(col("text")), 3)).as("h"))
+      val edges = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) === 2)
+        .select(
+          least(col("ids")(0), col("ids")(1)).as("src"),
+          greatest(col("ids")(0), col("ids")(1)).as("dst"))
         .distinct()
       val (labels, _) = ConnectedComponents.label(edges)
       labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
