@@ -14,9 +14,8 @@ object Mixing {
     * expresses both up-sampling and filtering. Narrow op: no shuffle; the
     * blow-up is bounded by the max weight, and rows stay on their input
     * partitions (downstream shuffles see the mixed distribution, which is
-    * the point). Fractional weights: integer part here, route the
-    * remainder through a seeded Bernoulli `sample` — documented, not
-    * automatic, so the oracle-checked path stays exact. */
+    * the point). Fractional weights → [[byFractionalWeight]]; this
+    * integer path is the oracle-checked exact one (q103). */
   def byWeight(df: DataFrame, weight: Column, epochName: String = "epoch"): DataFrame = {
     val w = weight.cast("int")
     // NOT sequence(1, w) bare: Spark's sequence REVERSES when stop < start
@@ -24,5 +23,30 @@ object Mixing {
     // array, which (non-outer) explode then drops.
     df.withColumn(epochName,
       explode(when(w >= 1, sequence(lit(1), w)).otherwise(array().cast("array<int>"))))
+  }
+
+  /** Fractional epoch weighting: weight 2.3 yields every row twice, plus a
+    * third copy for a deterministic ~30% of rows. The fractional remainder
+    * is a per-row seeded hash coin (`xxhash64(idCol, seed)` mapped to
+    * [0,1)), NOT `rand()` — so the mix is reproducible run-to-run and
+    * row-stable (the same document always gets the same extra-epoch
+    * decision, which is what makes pipeline re-runs diffable). Still a
+    * narrow op: no shuffle, no sampling pass; the coin is one hash per
+    * row. Copies tag `epoch` 1-based; the probabilistic copy is the last
+    * epoch. Weights <= 0 drop the row, matching [[byWeight]]. */
+  def byFractionalWeight(
+      df: DataFrame, weight: Column, idCol: Column,
+      seed: Long = 42L, epochName: String = "epoch"): DataFrame = {
+    val w = weight.cast("double")
+    val whole = floor(w).cast("int")
+    // xxhash64 → [0,1): shift to 53-bit non-negative mantissa range, the
+    // standard double-from-bits construction (collision-free precision)
+    val coin = (shiftrightunsigned(xxhash64(idCol, lit(seed)), 11)
+      .cast("double") / lit((1L << 53).toDouble))
+    val copies = (whole + when(coin < (w - whole.cast("double")), 1).otherwise(0))
+      .cast("int")
+    df.withColumn(epochName,
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
   }
 }

@@ -107,6 +107,53 @@ class AsOfStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows match the batch analog across micro-batches") {
+    // The r4 gap: tumbling/sliding/state ops had streaming==batch specs,
+    // session windows did not. The hard part of streaming sessions is
+    // MERGING — an event in a later micro-batch lands within the gap of an
+    // open session and must extend it, and two sessions a bridging event
+    // connects must fuse. Data arrives in three micro-batches to force
+    // exactly those paths; complete mode then lets the final state compare
+    // row-for-row against sessionAgg on the same events as one batch frame.
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 10:30:00"), 1, "click", 1.0), // separate session (30m gap)
+      Ev(3, t("2024-01-01 10:00:00"), 2, "view", 1.0))
+    val batch2 = Seq(
+      Ev(4, t("2024-01-01 10:08:00"), 1, "click", 1.0), // extends session 1 (<10m)
+      Ev(5, t("2024-01-01 10:22:00"), 1, "click", 1.0)) // bridges toward session 2
+    val batch3 = Seq(
+      Ev(6, t("2024-01-01 10:15:00"), 1, "click", 1.0), // fuses 10:00-10:18 with 10:22-10:40
+      Ev(7, t("2024-01-01 11:00:00"), 2, "view", 1.0))  // new session for user 2
+    val all = batch1 ++ batch2 ++ batch3
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.sessionAgg(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sess_eq").start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      ms.addData(batch3: _*); q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(
+          col("session_window.start").as("s"), col("session_window.end").as("e"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "s").collect().toSeq
+      val streamed = canon(spark.table("sess_eq"))
+      val batch = canon(EventStreams.sessionAgg(all.toDF()))
+      assert(streamed == batch)
+      // user 1 fused into ONE 10:00-10:40 session of 5 events; user 2 has 2
+      val u1 = streamed.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.size == 1 && u1.head.getAs[Long]("n_events") == 5L)
+      assert(streamed.count(_.getAs[Long]("user_id") == 2L) == 2)
+      // and the q43 rollup shape (n_sessions per user) agrees too
+      val rollup = spark.table("sess_eq").groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions")).orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rollup == Seq((1L, 1L), (2L, 2L)))
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     val batchEvents = graft.core.Tables.events(spark, sf0001)
     // file sources stream directories; stage the fixture into one

@@ -74,6 +74,34 @@ class MembershipSpec extends SparkSuite {
     assert(got == Seq(("a", 3L, 3), ("b", 1L, 1))) // c and d vanish
   }
 
+  test("mixing byFractionalWeight: reproducible, row-stable, binomially bounded") {
+    val n = 10000
+    val df = (1L to n.toLong).toDF("doc_id").withColumn("w", lit(2.3))
+    def mix() = graft.ops.Mixing.byFractionalWeight(df, col("w"), col("doc_id"))
+    // reproducible: two runs produce the identical multiset of (id, epoch)
+    val a = mix().select("doc_id", "epoch").orderBy("doc_id", "epoch")
+      .as[(Long, Int)].collect().toSeq
+    val b = mix().select("doc_id", "epoch").orderBy("doc_id", "epoch")
+      .as[(Long, Int)].collect().toSeq
+    assert(a == b)
+    // every row appears 2 or 3 times; total within binomial bounds of
+    // n*2.3 (sigma = sqrt(n*0.3*0.7) ≈ 46; allow 6 sigma ≈ 275)
+    val perRow = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perRow.values.forall(c => c == 2 || c == 3))
+    assert(perRow.size == n)
+    assert(math.abs(a.size - 2.3 * n) < 6 * math.sqrt(n * 0.3 * 0.7))
+    // a different seed flips some per-row decisions (the coin is seeded,
+    // not constant)
+    val other = graft.ops.Mixing.byFractionalWeight(df, col("w"), col("doc_id"), seed = 7L)
+      .select("doc_id", "epoch").orderBy("doc_id", "epoch").as[(Long, Int)].collect().toSeq
+    assert(other != a && math.abs(other.size - 2.3 * n) < 6 * math.sqrt(n * 0.3 * 0.7))
+    // weights <= 0 still drop; pure-integer weights stay exact
+    val exact = graft.ops.Mixing.byFractionalWeight(
+      Seq(("a", 3.0), ("b", 0.0)).toDF("k", "w"), col("w"), col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toSeq
+    assert(exact == Seq(("a", 3L)))
+  }
+
   test("oovCounts against a 10k vocab matches direct per-row counting") {
     val vocab = (0 until 10000).map(i => s"v$i").toDF("w")
     val docs = Seq(
