@@ -272,6 +272,32 @@ object TrainPrep {
                    CAST(MAX(epoch) AS INTEGER) AS max_epoch
             FROM m GROUP BY source ORDER BY source"""))
 
+  /** Q107 — fractional source mixing (X4, q103's scale companion):
+    * weight 2.3 = two full epochs plus a third for a deterministic ~30%
+    * of rows, decided per row by a seeded hash coin
+    * ([[Mixing.byFractionalWeight]] — reproducible and row-stable, no
+    * `rand()`). The coin is Spark-hash-specific, so this is rows-only
+    * like the other seeded ops; exactness is property-spec'd
+    * (MembershipSpec: per-row 2-or-3 bounds, 6-sigma binomial total,
+    * seed sensitivity, integer-weight degenerate case). */
+  val q107 = QueryDef(
+    "q107_fractional_mixing",
+    (s, d) => {
+      val weighted = Tables.documents(s, d).withColumn(
+        "w",
+        when(col("source").isin("src0", "src1"), 2.3)
+          .when(col("source") === "src2", 1.5)
+          .otherwise(0.7))
+      Mixing.byFractionalWeight(weighted, col("w"), col("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("rows_after"),
+          countDistinct(col("doc_id")).as("docs"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy("source")
+    },
+    None)
+
   /** Q104 — tokenizer encode (X4): tokens → vocabulary ids, OOV → 0, via
     * [[Membership.encodeTokens]] (posexplode → broadcast hash join →
     * positional re-assembly — the at-scale form; contrast q96's tiny-list
@@ -321,5 +347,5 @@ object TrainPrep {
             SELECT doc_id, n_tok, n_oov, ids_md5 FROM a ORDER BY doc_id"""),
     headline = true)
 
-  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104)
+  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104, q107)
 }
