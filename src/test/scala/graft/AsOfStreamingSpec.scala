@@ -154,6 +154,36 @@ class AsOfStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("append-mode session windows finalize only past the watermark (bounded state)") {
+    // Complete mode (above) proves values; append mode proves STATE
+    // BOUNDS: a session is emitted exactly once, only after the watermark
+    // passes its close — which is what lets the state store hold open
+    // sessions rather than the stream's history. Watermarks advance at
+    // batch boundaries from the PREVIOUS batch's max event time, hence the
+    // nudge batch.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.sessionAgg(ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sess_wm").start()
+    try {
+      ms.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_wm").isEmpty) // session open: nothing emitted
+      ms.addData(Ev(3, t("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, t("2024-01-01 12:01:00"), 1, "click", 1.0)) // nudge: batch runs with watermark 11:50
+      q.processAllAvailable()
+      val rows = spark.table("sess_wm")
+        .select(col("session_window.start").as("s"), col("user_id"), col("n_events"))
+        .collect()
+      assert(rows.length == 1) // ONLY the closed 10:00-10:15 session; 12:00+ still open
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(rows.head.getAs[java.sql.Timestamp]("s") == t("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events parquet matches batch") {
     val batchEvents = graft.core.Tables.events(spark, sf0001)
     // file sources stream directories; stage the fixture into one
