@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -47,12 +48,17 @@ class MediaDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     MediaTable.Schema
 
+  /** Writes pass the DataFrame's schema through `getTable` (e.g. just
+    * (doc_id, media)); reads with no user schema land on [[inferSchema]]'s
+    * full table schema. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-media requires a path, e.g. .load(dir)"))
-    new MediaTable(path)
+    new MediaTable(path, schema)
   }
 }
 
@@ -91,19 +97,77 @@ object MediaTable {
   }
 }
 
-class MediaTable(path: String) extends Table with SupportsRead {
+class MediaTable(path: String, tableSchema: StructType = MediaTable.Schema)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-media:$path"
-  override def schema(): StructType = MediaTable.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MediaScanBuilder(path, options)
+    new MediaScanBuilder(path, tableSchema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MediaWriteBuilder(path, info)
 }
 
-class MediaScanBuilder(path: String, options: CaseInsensitiveStringMap)
+/** Write side: each input row (`doc_id` bigint, `media` binary) lands as
+  * `<doc_id>.<ext>` with the extension sniffed from the container magic
+  * (the formats [[MediaScan]] reads back). Writers stream rows straight to
+  * files — task retries are idempotent because the filename is a pure
+  * function of the row. `.mode("overwrite")` truncates: recognized media
+  * files under the directory are deleted at job start (driver-side, before
+  * any task runs). */
+class MediaWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val fields = info.schema().fieldNames.toSeq
+    require(fields.contains("doc_id") && fields.contains("media"),
+      s"graft-media write needs doc_id and media columns, got ${fields.mkString(", ")}")
+    new Write {
+      override def toBatch: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+          if (doTruncate)
+            MediaTable.listFiles(path).foreach(m => new java.io.File(m.path).delete())
+          new java.io.File(path).mkdirs()
+          val docIdx = info.schema().fieldIndex("doc_id")
+          val mediaIdx = info.schema().fieldIndex("media")
+          MediaWriterFactory(path, docIdx, mediaIdx)
+        }
+        override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+        override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      }
+    }
+  }
+}
+
+final case class MediaWriterFactory(path: String, docIdx: Int, mediaIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val docId = row.getLong(docIdx)
+        val bytes = row.getBinary(mediaIdx)
+        val ext =
+          if (graft.ops.Multimodal.parsePng(docId, bytes).isDefined) "png"
+          else if (graft.ops.Multimodal.parseBmp(docId, bytes).isDefined) "bmp"
+          else if (graft.ops.Multimodal.parseWav(docId, bytes).isDefined) "wav"
+          else "bin"
+        java.nio.file.Files.write(java.nio.file.Paths.get(path, s"$docId.$ext"), bytes)
+      }
+      override def commit(): WriterCommitMessage = new WriterCommitMessage {}
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+class MediaScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = MediaTable.Schema
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   /** A filter is pushable iff it references only planning-time columns

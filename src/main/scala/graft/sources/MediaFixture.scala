@@ -7,9 +7,9 @@ import graft.ops.Multimodal
 /** Materializes the documents table as a directory of media container
   * files (`<doc_id>.png` for even ids / `.bmp` for odd — same corpus as
   * [[Multimodal.imagesFromDocuments]]) so [[MediaDataSource]] has a real
-  * on-storage corpus to scan. Idempotent per fixture dir; the write runs
-  * `foreachPartition` (executor-side, local shared fs here — on a cluster
-  * the same code writes to shared storage). */
+  * on-storage corpus to scan. Idempotent per fixture dir; the write goes
+  * through the source's own DSv2 write path (executor-side, local shared
+  * fs here — on a cluster the same code writes to shared storage). */
 object MediaFixture {
 
   /** Returns the media dir for `sfDir`, writing it on first use. */
@@ -22,16 +22,10 @@ object MediaFixture {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val expected = docs.count()
     if (MediaTable.listFiles(dir).size == expected) return dir
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    Multimodal.imagesFromDocuments(spark, docs).foreachPartition {
-      (it: Iterator[Multimodal.MediaRecord]) =>
-        it.foreach { r =>
-          val ext = if (r.doc_id % 2 == 0) "png" else "bmp"
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${r.doc_id}.$ext"), r.media)
-        }
-    }
+    // the source's own write path: format sniffed per row, overwrite
+    // truncates any stale partial fixture
+    Multimodal.imagesFromDocuments(spark, docs).toDF()
+      .write.format("graft-media").mode("overwrite").save(dir)
     dir
   }
 }

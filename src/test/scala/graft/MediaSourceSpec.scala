@@ -61,6 +61,30 @@ class MediaSourceSpec extends SparkSuite {
     assert(viaSource == expected)
   }
 
+  test("DSv2 write: save -> load round-trips payloads; overwrite truncates stale files") {
+    val out = java.nio.file.Files.createTempDirectory("media_write").toString
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(50)
+    val media = Multimodal.imagesFromDocuments(spark, docs).toDF()
+    media.write.format("graft-media").mode("append").save(out)
+    val back = spark.read.format("graft-media").load(out)
+      .select("doc_id", "media").orderBy("doc_id")
+      .as[(Long, Array[Byte])].collect().toSeq
+    val orig = media.orderBy("doc_id").as[(Long, Array[Byte])].collect().toSeq
+    assert(back.size == orig.size && back.size == 50)
+    back.zip(orig).foreach { case ((bid, bb), (oid, ob)) =>
+      assert(bid == oid && java.util.Arrays.equals(bb, ob))
+    }
+    // overwrite with a disjoint subset truncates the first write's files
+    val media2 = Multimodal.imagesFromDocuments(
+      spark, graft.core.Tables.documents(spark, sf0001)
+        .filter(col("doc_id").between(100, 109)))
+      .toDF()
+    media2.write.format("graft-media").mode("overwrite").save(out)
+    val ids = spark.read.format("graft-media").load(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (100L to 109L))
+  }
+
   test("file list splits into bounded input partitions in doc_id order") {
     val df = spark.read.format("graft-media")
       .option("filesPerPartition", "100").load(dir)
