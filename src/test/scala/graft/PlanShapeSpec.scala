@@ -88,4 +88,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(_groupingexpression"), s"wrong shuffle key:\n$plan")
     assert(plan.contains("partial_min(doc_id"), s"no map-side combine:\n$plan")
   }
+
+  test("q95 decontaminate never keyed-shuffles the corpus") {
+    // The round-5 shape: per-doc hash sets intersect row-locally against a
+    // one-row broadcast benchmark union. The ONLY exchanges allowed are
+    // broadcasts and the final ORDER BY's range exchange — a reintroduced
+    // explode->join->groupBy would show up as hashpartitioning.
+    val plan = finalPlan(SparkEntry.queries("q95_decontaminate")(spark, sf0001))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus side keyed-shuffled:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"benchmark union not broadcast:\n$plan")
+  }
+
+  test("q88 edge construction is one keyed aggregation (no shingle self-join)") {
+    // Edges must come from the df==2 bucket directly; any join before the
+    // label loop means the df-count-join/self-join shape crept back. The
+    // label loop itself joins labels to edges — so assert on the EDGE
+    // subplan, not the whole query.
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 3)
+    val sh = docs.select(
+      col("doc_id"),
+      explode(graft.functions.ShingleHashSetExpr(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("h"))
+    val edges = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) === 2)
+      .select(
+        least(col("ids")(0), col("ids")(1)).as("src"),
+        greatest(col("ids")(0), col("ids")(1)).as("dst"))
+      .distinct()
+    val plan = finalPlan(edges)
+    assert(!plan.contains("Join"), s"edge construction joins:\n$plan")
+    assert(plan.contains("partial_collect_list") || plan.contains("objHashAggregate") ||
+      plan.contains("ObjectHashAggregate"), s"no bucket aggregation:\n$plan")
+  }
 }
