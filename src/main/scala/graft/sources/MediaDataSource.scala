@@ -78,8 +78,15 @@ object MediaTable {
 
   final case class FileMeta(path: String, docId: Long, format: String, nBytes: Long)
 
+  /** Catalog-resolved tables hand the location back as a `file:` URI;
+    * direct `.load(dir)` hands a plain path. Accept both. */
+  def toLocalPath(path: String): String =
+    if (path.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(path)).toString
+    else path
+
   def listFiles(dir: String): Seq[FileMeta] = {
-    val d = new java.io.File(dir)
+    val d = new java.io.File(toLocalPath(dir))
     val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
     files.flatMap { f =>
       val name = f.getName
@@ -130,12 +137,13 @@ class MediaWriteBuilder(path: String, info: LogicalWriteInfo)
     new Write {
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+          val local = MediaTable.toLocalPath(path)
           if (doTruncate)
-            MediaTable.listFiles(path).foreach(m => new java.io.File(m.path).delete())
-          new java.io.File(path).mkdirs()
+            MediaTable.listFiles(local).foreach(m => new java.io.File(m.path).delete())
+          new java.io.File(local).mkdirs()
           val docIdx = info.schema().fieldIndex("doc_id")
           val mediaIdx = info.schema().fieldIndex("media")
-          MediaWriterFactory(path, docIdx, mediaIdx)
+          MediaWriterFactory(local, docIdx, mediaIdx)
         }
         override def commit(messages: Array[WriterCommitMessage]): Unit = ()
         override def abort(messages: Array[WriterCommitMessage]): Unit = ()

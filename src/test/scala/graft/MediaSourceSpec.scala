@@ -61,6 +61,19 @@ class MediaSourceSpec extends SparkSuite {
     assert(viaSource == expected)
   }
 
+  test("graft-media resolves through the session catalog (CREATE TABLE USING)") {
+    spark.sql(
+      s"CREATE TABLE media_cat USING `graft-media` OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql("SELECT count(*) FROM media_cat WHERE format = 'png'")
+        .collect()(0).getLong(0)
+      assert(n == MediaTable.listFiles(dir).count(_.format == "png"))
+      // pushdown works through the catalog path too
+      val df = spark.table("media_cat").filter(col("format") === "png").select("doc_id")
+      assert(scanOf(df).scan.description().contains("format"))
+    } finally spark.sql("DROP TABLE media_cat")
+  }
+
   test("DSv2 write: save -> load round-trips payloads; overwrite truncates stale files") {
     val out = java.nio.file.Files.createTempDirectory("media_write").toString
     val docs = graft.core.Tables.documents(spark, sf0001).limit(50)
