@@ -279,4 +279,90 @@ object Multimodal {
       }
     })
   }
+
+  // ---------------------------------------------------------------------
+  // Image resize (the brief's X5 "resize" op): BMP 24bpp is an
+  // UNCOMPRESSED raster — rows bottom-up, 4-byte-aligned — so a real
+  // nearest-neighbor resample is pure byte arithmetic, no codec. PNG needs
+  // an inflate codec, so PNG rows are triaged out (same drop-don't-fail
+  // contract as the parsers).
+  // ---------------------------------------------------------------------
+
+  private def bmpRowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Write a CONSISTENT 24bpp BMP raster (unlike [[toBmp]], whose pixel
+    * area is an opaque payload): pixel (x, y) = deterministic function of
+    * its coordinates, so resizes are independently checkable. */
+  def toBmpRaster(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "raster dims must be positive")
+    val rowSize = bmpRowSize(width)
+    val n = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte)
+      .putInt(54 + n).putShort(0.toShort).putShort(0.toShort).putInt(54)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(n).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = buf.array()
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val rowOff = 54 + y * rowSize // row y from the BOTTOM, per BMP layout
+      while (x < width) {
+        arr(rowOff + 3 * x) = ((x * 7 + y * 13) & 0xff).toByte     // B
+        arr(rowOff + 3 * x + 1) = ((x * 31 + y) & 0xff).toByte     // G
+        arr(rowOff + 3 * x + 2) = ((x + y * 57) & 0xff).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Nearest-neighbor resample of a 24bpp BMP to `newW` x `newH`; None for
+    * anything that isn't a well-formed 24bpp raster (header checks of
+    * [[parseBmp]] plus an exact pixel-area size check). */
+  def resizeBmpNearest(media: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    require(newW > 0 && newH > 0, "target dims must be positive")
+    parseBmp(0L, media).filter(m =>
+      m.channels == 3 &&
+        media.length == 54L + bmpRowSize(m.width).toLong * m.height).map { m =>
+      val srcRow = bmpRowSize(m.width)
+      val dstRow = bmpRowSize(newW)
+      val out = java.nio.ByteBuffer.allocate(54 + dstRow * newH)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put('B'.toByte).put('M'.toByte)
+        .putInt(54 + dstRow * newH).putShort(0.toShort).putShort(0.toShort).putInt(54)
+        .putInt(40).putInt(newW).putInt(newH)
+        .putShort(1.toShort).putShort(24.toShort)
+        .putInt(0).putInt(dstRow * newH).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        .array()
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * m.height / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * m.width / newW).toInt
+          val src = 54 + sy * srcRow + 3 * sx
+          val dst = 54 + y * dstRow + 3 * x
+          out(dst) = media(src); out(dst + 1) = media(src + 1); out(dst + 2) = media(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Batch resize over a media corpus: 24bpp BMP rasters are resampled,
+    * everything else (PNG, WAV, malformed) is triaged out. Same
+    * mapPartitions shape as the other codecs — a pixel-level library
+    * would slot in per-partition above the loop. */
+  def resizeImages(
+      spark: SparkSession, ds: Dataset[MediaRecord],
+      newW: Int, newH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      resizeBmpNearest(r.media, newW, newH).map(b => MediaRecord(r.doc_id, b))))
+  }
 }

@@ -512,7 +512,48 @@ object Text {
                    CAST(57 + octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id"""))
 
+  /** Q108 — image resize (X5's last brief item): per-doc 24bpp BMP raster
+    * (dims derived from the text byte length), nearest-neighbor resample
+    * to 4x4 through [[Multimodal.resizeBmpNearest]], then a pixel-sum
+    * checksum. Every step is deterministic byte arithmetic, so the oracle
+    * recomputes the RESIZED pixels directly from the nearest-neighbor
+    * coordinate mapping (sx = x*w//4, sy = y*h//4) and the raster's pixel
+    * function — a resampling bug (wrong rounding, row padding, channel
+    * order) shifts the checksum and hash-fails. */
+  val q108 = QueryDef(
+    "q108_image_resize",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text").cast("binary")).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val w = 1 + n % 16
+          val h = 1 + n % 8
+          val resized = Multimodal.resizeBmpNearest(Multimodal.toBmpRaster(w, h), 4, 4)
+            .getOrElse(sys.error(s"raster for doc $id failed to resize"))
+          var cs = 0L
+          var i = 0
+          while (i < 16) {
+            val o = 54 + (i / 4) * 12 + 3 * (i % 4) // dstRow = 12B, no padding at w=4
+            cs += (resized(o) & 0xff) + (resized(o + 1) & 0xff) + (resized(o + 2) & 0xff)
+            i += 1
+          }
+          (id, w, h, cs)
+        })
+        .toDF("doc_id", "width", "height", "checksum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+                 d AS (SELECT doc_id, 1 + n % 16 AS w, 1 + n % 8 AS h FROM p)
+            SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(list_sum([ ((i % 4) * w // 4 * 7 + (i // 4) * h // 4 * 13) % 256
+                                 + ((i % 4) * w // 4 * 31 + (i // 4) * h // 4) % 256
+                                 + ((i % 4) * w // 4 + (i // 4) * h // 4 * 57) % 256
+                                   FOR i IN range(0, 16) ]) AS BIGINT) AS checksum
+            FROM d ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106)
+      q84, q85, q86, q87, q88, q101, q106, q108)
 }

@@ -14,10 +14,11 @@ object MediaFixture {
 
   /** Returns the media dir for `sfDir`, writing it on first use. */
   def ensure(spark: SparkSession, sfDir: String): String = {
+    val dirBytes = sfDir.getBytes("UTF-8")
     val key = java.lang.Long.toHexString(
       org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        sfDir.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        sfDir.length, 42L))
+        dirBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        dirBytes.length, 42L))
     val dir = s"${sys.props("java.io.tmpdir")}/graft_media_$key"
     val docs = graft.core.Tables.documents(spark, sfDir)
     val expected = docs.count()

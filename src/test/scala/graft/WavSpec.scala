@@ -90,4 +90,39 @@ class WavSpec extends SparkSuite {
       Seq((0L, "png"), (1L, "bmp"), (2L, "png")))
     assert(metas.forall(m => m.width >= 1 && m.height >= 1))
   }
+
+  test("BMP nearest-neighbor resize: dims, padding, and exact pixel mapping") {
+    val src = Multimodal.toBmpRaster(10, 6)
+    val out = Multimodal.resizeBmpNearest(src, 5, 3).get
+    val meta = Multimodal.parseBmp(99L, out).get
+    assert(meta.width == 5 && meta.height == 3 && meta.channels == 3)
+    // nearest mapping: dst (x,y) = src (x*10/5, y*6/3) = (2x, 2y); check
+    // every pixel against the deterministic raster function, honoring the
+    // 4-byte row padding of BOTH rasters (srcRow 32B -> dstRow 16B)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val (sx, sy) = (2 * x, 2 * y)
+      val dst = 54 + y * 16 + 3 * x
+      assert((out(dst) & 0xff) == ((sx * 7 + sy * 13) & 0xff), s"B mismatch at ($x,$y)")
+      assert((out(dst + 1) & 0xff) == ((sx * 31 + sy) & 0xff), s"G mismatch at ($x,$y)")
+      assert((out(dst + 2) & 0xff) == ((sx + sy * 57) & 0xff), s"R mismatch at ($x,$y)")
+    }
+    // upscale works too and round-trips the header parse
+    val up = Multimodal.resizeBmpNearest(src, 20, 12).get
+    assert(Multimodal.parseBmp(0L, up).get.width == 20)
+    // non-raster BMPs (opaque payload pixel area) and PNGs triage out
+    assert(Multimodal.resizeBmpNearest(Multimodal.toBmp("hello".getBytes), 2, 2).isEmpty)
+    assert(Multimodal.resizeBmpNearest(Multimodal.toPng("hello".getBytes), 2, 2).isEmpty)
+  }
+
+  test("resizeImages triages a mixed corpus: rasters resized, rest dropped") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, Multimodal.toBmpRaster(8, 8)),
+      Multimodal.MediaRecord(2L, Multimodal.toPng("x".getBytes)),
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3))))
+    val out = Multimodal.resizeImages(spark, ds, 4, 4).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    val meta = Multimodal.parseBmp(1L, out.head.media).get
+    assert(meta.width == 4 && meta.height == 4)
+  }
 }
