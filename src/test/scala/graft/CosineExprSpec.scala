@@ -66,6 +66,31 @@ class CosineExprSpec extends SparkSuite {
     }
   }
 
+  test("fused minhash expressions: interpreted eval equals codegen") {
+    // Spark silently falls back to interpreted eval when codegen fails —
+    // the nullSafeEval path must produce identical results.
+    import graft.functions.{MinHashBandKeysFromHashesExpr, ShingleHashSetExpr}
+    val rng = new scala.util.Random(17)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(3 + rng.nextInt(30))(s"w${rng.nextInt(200)}"))
+    }.toDF("id", "toks")
+    def run() = docs.select(
+      ShingleHashSetExpr(col("toks"), 3).as("hs"),
+      MinHashBandKeysFromHashesExpr(ShingleHashSetExpr(col("toks"), 3), 32, 8).as("keys"))
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
+    val withCodegen = run()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() == withCodegen, "interpreted eval diverged from codegen")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("null input yields null, mismatched lengths use common prefix") {
     val df = Seq((Some(Array(1.0, 0.0)), None: Option[Array[Double]])).toDF("a", "b")
     val r = df.select(CosineSimilarity(col("a"), col("b")).as("s")).collect()(0)
