@@ -158,7 +158,11 @@ case class ShingleHashSetExpr(child: Expression, n: Int) extends UnaryExpression
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = ShingleHashSetExpr.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Calls the companion's static forwarder on the case class — NOT
+    // `ShingleHashSetExpr.MODULE$`, which Janino rejects (the MODULE$ field
+    // lives on the `ShingleHashSetExpr$` module class, and the failed
+    // compile silently degraded every task to interpreted eval).
+    val helper = classOf[ShingleHashSetExpr].getName
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(

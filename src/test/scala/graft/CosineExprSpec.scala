@@ -91,6 +91,45 @@ class CosineExprSpec extends SparkSuite {
     }
   }
 
+  test("every custom expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
+    // The parity test above cannot catch a broken doGenCode: a compile
+    // failure silently degrades to nullSafeEval and both sides still agree.
+    // CODEGEN_ONLY turns the Janino failure into a thrown error — this is
+    // the gate that would have caught the `MODULE$`-on-the-wrong-class bug
+    // that ran round 5's whole bench interpreted.
+    import graft.functions.{
+      MinHashBandKeysExpr, MinHashBandKeysFromHashesExpr, MinHashSigExpr,
+      ShingleHashSetExpr, SimHashSigExpr
+    }
+    val rng = new scala.util.Random(19)
+    val docs = (0 until 20).map { i =>
+      (i.toLong,
+        Seq.fill(3 + rng.nextInt(20))(s"w${rng.nextInt(100)}"),
+        Seq.fill(30)(rng.nextLong()),
+        Array.fill(16)(rng.nextGaussian()))
+    }.toDF("id", "toks", "hs", "emb")
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      // wholeStage off so projections hit the expression-codegen factory
+      // directly; CODEGEN_ONLY makes that factory throw on compile failure.
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val n = docs.select(
+        ShingleHashSetExpr(col("toks"), 3).as("shs"),
+        MinHashBandKeysExpr(col("toks"), 32, 8).as("bk"),
+        MinHashBandKeysFromHashesExpr(ShingleHashSetExpr(col("toks"), 3), 32, 8).as("bkh"),
+        MinHashSigExpr(col("hs"), 32).as("sig"),
+        SimHashSigExpr(col("hs")).as("sim"),
+        CosineSimilarity(col("emb"), col("emb")).as("cos"))
+        .collect().length
+      assert(n == 20)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("null input yields null, mismatched lengths use common prefix") {
     val df = Seq((Some(Array(1.0, 0.0)), None: Option[Array[Double]])).toDF("a", "b")
     val r = df.select(CosineSimilarity(col("a"), col("b")).as("s")).collect()(0)
