@@ -101,9 +101,9 @@ object GlobalRank {
     val bw = Window.partitionBy(col("_bkt")).orderBy(order: _*)
     val local = bucketed.withColumn("_lrn", row_number().over(bw))
 
-    // Per-bucket stats: <= `buckets` rows, so the unpartitioned cumulative
+    // Per-bucket stats: <= `buckets` rows, so the single-task cumulative
     // window here is bounded by cluster size, not data size.
-    val tw = Window.orderBy(col("_bkt"))
+    val tw = graft.core.Windows.bounded(col("_bkt"))
     val stats = bucketed
       .groupBy(col("_bkt"))
       .agg(count(lit(1)).as("_cnt"))
@@ -169,10 +169,10 @@ object GlobalRank {
         sum(col("_v")).over(bw.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
 
-    // Per-bucket totals: ≤ `buckets` rows — the unpartitioned cumulative
+    // Per-bucket totals: ≤ `buckets` rows — the single-task cumulative
     // window is bounded by cluster size, not data size (same argument as
     // in ranked()).
-    val tw = Window.orderBy(col("_bkt"))
+    val tw = graft.core.Windows.bounded(col("_bkt"))
     val stats = bucketed
       .groupBy(col("_bkt"))
       .agg(sum(col("_v")).as("_bsum"))

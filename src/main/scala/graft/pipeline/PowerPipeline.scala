@@ -96,7 +96,7 @@ object PowerPipeline {
       .filter(col("DateTime").isNotNull)
       .groupBy(to_date(col("DateTime")).as("day"))
       .agg(min(col("DateTime")).as("first_ts"), max(col("DateTime")).as("last_ts"))
-    val edgeW = Window.orderBy(col("day"))
+    val edgeW = graft.core.Windows.bounded(col("day"))
     val gapsAcrossDays = dayEdges
       .withColumn("prev_last", lag(col("last_ts"), 1).over(edgeW))
       .filter(

@@ -158,7 +158,7 @@ object Relational {
         .groupBy(year(col("o_orderdate")).as("y"))
         .agg(r4(avg(col("o_totalprice"))).as("ap"))
       yearly
-        .withColumn("rk", rank().over(Window.orderBy(col("ap").desc, col("y"))))
+        .withColumn("rk", rank().over(graft.core.Windows.bounded(col("ap").desc, col("y"))))
         .orderBy("rk", "y")
     },
     Some("""SELECT y, ap, CAST(RANK() OVER (ORDER BY ap DESC, y) AS INTEGER) AS rk
@@ -383,7 +383,9 @@ object Relational {
         .groupBy(Fmt.date(col("o_orderdate")).as("dt"))
         .agg(r4(sum(col("o_totalprice"))).as("total"))
       daily
-        .withColumn("avg7", r4(avg(col("total")).over(Window.orderBy(col("dt")).rowsBetween(-6, 0))))
+        .withColumn(
+          "avg7",
+          r4(avg(col("total")).over(graft.core.Windows.bounded(col("dt")).rowsBetween(-6, 0))))
         .orderBy("dt")
     },
     Some("""WITH daily AS (SELECT strftime(CAST(o_orderdate AS DATE),'%Y-%m-%d') AS dt,

@@ -318,8 +318,7 @@ object TrainPrep {
         .select(
           col("w"),
           row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("cnt").desc, col("w"))).as("id"))
+            graft.core.Windows.bounded(col("cnt").desc, col("w"))).as("id"))
       Membership.encodeTokens(docs, "doc_id", TextFunctions.tokens(col("text")), vocab)
         .select(
           col("doc_id"),
