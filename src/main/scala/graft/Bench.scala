@@ -86,6 +86,9 @@ object Bench {
       .builder(s"local[$cpus]", cpus, "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Re-apply AFTER setLogLevel (which rebuilds logger levels), or the
+    // bounded-window warning floods the bench tail the driver records.
+    graft.core.GraftSession.quietLogs()
 
     val (line, ok) = run(spark, sfDir, SparkEntry.registry.filter(_.headline))
     println(line)

@@ -10,6 +10,7 @@ object Verify {
       .builder(s"local[$cpus]", cpus, "graft-verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftSession.quietLogs() // setLogLevel rebuilt levels; re-apply
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -22,15 +22,31 @@ object GraftSession {
     * ones ([[Windows.bounded]]: per-bucket stats, calendar rows, top-N
     * vocab), which spams hundreds of identical lines per bench run. The
     * heuristic is replaced by something stronger: PlanShapeSpec fails CI
-    * for any registry query whose plan runs an effectively-unpartitioned
+    * for any REGISTRY query whose plan runs an effectively-unpartitioned
     * window over unaggregated (data-sized) input. Scoped to the one
     * logger; everything else keeps its level.
+    *
+    * Limitation: ad-hoc pipelines built on [[builder]] outside the registry
+    * are NOT covered by that spec and lose the warning too — set
+    * `GRAFT_KEEP_WINDOW_WARNING=1` to keep WindowExec at its default level
+    * for interactive use.
+    *
+    * Timing matters: log4j re-reads its configuration when the first
+    * SparkContext initializes logging, and `setLogLevel` rebuilds levels
+    * again — either wipes a level set before/between them. Callers that run
+    * `setLogLevel` after `getOrCreate()` (Bench, Verify) must re-apply this
+    * AFTERWARD via [[quietLogs]]; `builder()` also applies it eagerly for
+    * sessions that never touch log levels.
     */
-  private[core] def quietBoundedWindowWarning(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // logging backend absent: nothing to quiet
+  def quietLogs(): Unit =
+    if (!sys.env.contains("GRAFT_KEEP_WINDOW_WARNING")) {
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+      catch { case _: Throwable => () } // logging backend absent: nothing to quiet
+    }
+
+  private[core] def quietBoundedWindowWarning(): Unit = quietLogs()
 
   def builder(
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
@@ -62,6 +78,7 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietLogs() // setLogLevel rebuilt logger levels; re-apply the override
     s
   }
 }

@@ -7,6 +7,25 @@ import graft.functions.{CosineSimilarity, Registry, Vectors}
 class CosineExprSpec extends SparkSuite {
   import spark.implicits._
 
+  /** ConvertToLocalRelation folds a Project over a `toDF` LocalRelation at
+    * OPTIMIZE time with an InterpretedMutableProjection — doGenCode never
+    * runs, so a codegen-mode assertion over local fixtures is vacuous
+    * without excluding the rule (verified: with the rule on, the optimized
+    * plan is a bare LocalRelation).
+    */
+  private def withLocalRelationsKeptPhysical[A](body: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      body
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("fused expression equals composed zip_with/aggregate form bit-for-bit") {
     val rng = new scala.util.Random(7)
     val vecs = (0 until 200).map(i =>
@@ -78,16 +97,18 @@ class CosineExprSpec extends SparkSuite {
       ShingleHashSetExpr(col("toks"), 3).as("hs"),
       MinHashBandKeysFromHashesExpr(ShingleHashSetExpr(col("toks"), 3), 32, 8).as("keys"))
       .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1))).toSeq
-    val withCodegen = run()
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
-    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    try {
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      assert(run() == withCodegen, "interpreted eval diverged from codegen")
-    } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    withLocalRelationsKeptPhysical {
+      val withCodegen = run()
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        assert(run() == withCodegen, "interpreted eval diverged from codegen")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+        spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      }
     }
   }
 
@@ -110,23 +131,34 @@ class CosineExprSpec extends SparkSuite {
     }.toDF("id", "toks", "hs", "emb")
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
     val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    try {
-      // wholeStage off so projections hit the expression-codegen factory
-      // directly; CODEGEN_ONLY makes that factory throw on compile failure.
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      val n = docs.select(
-        ShingleHashSetExpr(col("toks"), 3).as("shs"),
-        MinHashBandKeysExpr(col("toks"), 32, 8).as("bk"),
-        MinHashBandKeysFromHashesExpr(ShingleHashSetExpr(col("toks"), 3), 32, 8).as("bkh"),
-        MinHashSigExpr(col("hs"), 32).as("sig"),
-        SimHashSigExpr(col("hs")).as("sim"),
-        CosineSimilarity(col("emb"), col("emb")).as("cos"))
-        .collect().length
-      assert(n == 20)
-    } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
-      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    // Without withLocalRelationsKeptPhysical this whole gate is vacuous:
+    // the Project over the local fixture would be folded away at optimize
+    // time (interpreted) and CODEGEN_ONLY would never see the expressions.
+    withLocalRelationsKeptPhysical {
+      try {
+        // wholeStage off so projections hit the expression-codegen factory
+        // directly; CODEGEN_ONLY makes that factory throw on compile failure.
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        val df = docs.select(
+          ShingleHashSetExpr(col("toks"), 3).as("shs"),
+          MinHashBandKeysExpr(col("toks"), 32, 8).as("bk"),
+          MinHashBandKeysFromHashesExpr(ShingleHashSetExpr(col("toks"), 3), 32, 8).as("bkh"),
+          MinHashSigExpr(col("hs"), 32).as("sig"),
+          SimHashSigExpr(col("hs")).as("sim"),
+          CosineSimilarity(col("emb"), col("emb")).as("cos"))
+        // The gate only bites if the projection actually survives to
+        // execution — assert the optimized plan still computes it.
+        assert(
+          df.queryExecution.optimizedPlan.collect {
+            case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+          }.nonEmpty,
+          s"fixture was constant-folded; gate is vacuous:\n${df.queryExecution.optimizedPlan}")
+        assert(df.collect().length == 20)
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+        spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      }
     }
   }
 

@@ -52,8 +52,12 @@ class PlanShapeSpec extends SparkSuite {
     for (q <- SparkEntry.registry) {
       val plan = q.run(spark, sf0001).queryExecution.optimizedPlan
       val offenders = plan.collect {
-        // A partition spec of only foldable expressions (Windows.bounded's
-        // lit(0)) is still one task — treat it exactly like an empty spec.
+        // A partition spec of only foldable expressions is still one task —
+        // treat it exactly like an empty spec. No engine code writes
+        // partitionBy(lit(...)) today (Windows.bounded deliberately emits an
+        // empty spec); this future-proofs against anyone introducing it,
+        // since Spark 4's EliminateWindowPartitions strips foldable specs to
+        // empty anyway.
         case w: LWindow if w.partitionSpec.forall(_.foldable) &&
           w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
       }
