@@ -39,6 +39,14 @@ object ConnectedComponents {
     * @return the labeling plus the number of rounds it took (for specs /
     *         monitoring; `rounds == maxIter` means possibly unconverged).
     */
+  /** Target rows per loop partition. A sym/label row is two or three 8-byte
+    * ids (~16-24 B serialized), so 4M rows ≈ 64-96 MB per shuffle partition
+    * — comfortably in-memory for an executor core, and small graphs (the
+    * common case after blocking: near-dup edge sets are a tiny fraction of
+    * the corpus) collapse to a handful of partitions instead of paying
+    * session-width scheduling overhead on every round. */
+  private val LoopRowsPerPartition = 4L << 20
+
   def label(
       edges: DataFrame,
       maxIter: Int = 20,
@@ -62,7 +70,28 @@ object ConnectedComponents {
     }
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Materialize the edge relation ONCE before anything else: sym and the
+    // node set below would otherwise each re-run the caller's whole
+    // upstream pipeline (for q88 that is the full shingle explode +
+    // document-frequency aggregation — the expensive part — twice). The
+    // same action carries an Observation so the edge count is known
+    // without a separate job.
+    val eObs = Observation()
+    val e = ckpt(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .observe(eObs, count(lit(1)).as("n")))
+    val nEdges = eObs.get.get("n") match {
+      case n: Number => n.longValue()
+      case _         => 0L
+    }
+    // Loop width scales with the GRAPH, capped by the session setting: the
+    // symmetric closure is 2x edges, so partitions ≈ 2n / target. At 100 TB
+    // the cap (cluster-sized shuffle.partitions) wins; after aggressive
+    // blocking the edge set is tiny and a session-width shuffle per round
+    // would be pure scheduling overhead.
+    val loopParts = math.max(1L, math.min(
+      shufflePartitions.toLong,
+      (2 * nEdges + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
     val idType = e.schema("src").dataType
     // Symmetric closure once; propagation then only needs src->dst flow.
     // Self-loops carry no connectivity and are dropped HERE — but their
@@ -78,12 +107,12 @@ object ConnectedComponents {
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .repartition(shufflePartitions, col("src")))
+        .repartition(loopParts, col("src")))
 
     var labels = ckpt(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
         .withColumn("comp", col("id"))
-        .repartition(shufflePartitions, col("id")))
+        .repartition(loopParts, col("id")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
