@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.bridge
 
-import graft.functions.{CosineSimilarity, MinHashSigExpr, SimHashSigExpr, TextFunctions}
+import graft.functions.{CosineSimilarity, InterleaveBits, MinHashSigExpr, SimHashSigExpr, TextFunctions}
 import graft.plans.ApproxSwapRule
 
 /** Engine extension point (SURVEY.md §4: `SparkSessionExtensions` is the
@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(array<long> tokenHashes) - 64-bit SimHash"),
       (exprs: Seq[Expression]) => new SimHashSigExpr(exprs(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      info("interleave_bits", "interleave_bits(bigint x, bigint y) - Morton z-value of two non-negative keys"),
+      (exprs: Seq[Expression]) => new InterleaveBits(exprs(0), exprs(1))))
 
     // Column-composition functions: build the Column pipeline once per
     // call site and lower it to the underlying expression tree.

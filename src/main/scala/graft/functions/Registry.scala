@@ -10,6 +10,10 @@ object Registry {
       "cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "interleave_bits",
+      exprs => InterleaveBits(exprs(0), exprs(1)),
+      "scala_udf")
     spark.udf.register("weighted_avg", udaf(WeightedAvg))
   }
 }

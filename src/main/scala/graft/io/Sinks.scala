@@ -53,6 +53,27 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Z-ordered Parquet: rows sorted along the Morton curve of TWO cluster
+    * keys ([[graft.functions.InterleaveBits]]), so each output file covers
+    * a small tile of (x, y) space and its min/max footer stats are tight
+    * on BOTH columns — readers skip files/row groups for predicates on
+    * either dimension. [[clusteredParquet]]'s single-key layout gives
+    * tight stats on one column and useless stats on the other; use this
+    * when two independent predicates both matter at scan time (e.g.
+    * customer id AND order date over a 100 TB fact table). Keys must be
+    * non-negative (see [[graft.functions.InterleaveBits]] domain note).
+    * One range shuffle at write time; the z column never hits disk. */
+  def zOrderedParquet(
+      df: DataFrame, path: String, xCol: String, yCol: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = "__graft_z"
+    df.withColumn(z, graft.functions.InterleaveBits(col(xCol), col(yCol)))
+      .repartitionByRange(files, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
     val tmp = outPath + "_tmp"

@@ -568,6 +568,30 @@ object Relational {
                    MAX(o_orderkey) AS max_key
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q109 — Z-order (Morton) clustering key, the layout function behind
+    * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
+    * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
+    * fused [[graft.functions.InterleaveBits]] codegen expression computes
+    * the z-value of (customer key, order epoch-day); the oracle recomputes
+    * the interleave bit-by-bit in SQL, so a spread/mask bug in the
+    * expression or its codegen hash-fails. */
+  val q109 = QueryDef(
+    "q109_zorder_key",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          graft.functions.InterleaveBits(
+            col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))).as("z"))
+        .orderBy(col("z"), col("o_orderkey"))
+        .limit(100),
+    Some("""SELECT o_orderkey,
+                   CAST(list_sum(list_transform(range(0,31),
+                     i -> (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i))
+                        + (((CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+            FROM orders ORDER BY z, o_orderkey LIMIT 100"""))
+
   /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
   val q52 = QueryDef(
     "q52_string_funcs",
@@ -973,5 +997,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109)
 }

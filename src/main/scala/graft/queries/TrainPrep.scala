@@ -346,5 +346,46 @@ object TrainPrep {
             SELECT doc_id, n_tok, n_oov, ids_md5 FROM a ORDER BY doc_id"""),
     headline = true)
 
-  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104, q107)
+  /** Q110 — deterministic train/val/test split. Assignment is a pure
+    * function of the doc key and a salt (first four hex digits of
+    * md5("split-v1:" + doc_id), mod 100 → 80/10/10): reproducible across
+    * runs/engines, stable under corpus growth (adding documents never
+    * reassigns existing ones — the property shuffles/`rand(seed)` splits
+    * lack, since those depend on row order and partition layout), and
+    * embarrassingly parallel (no shuffle to assign; one keyed agg here only
+    * to FINGERPRINT the membership). The 16-bit hex prefix is not exactly
+    * uniform mod 100 (65536 % 100 != 0) — a ~0.08% fraction bias, which a
+    * split can tolerate; sum/min/max of ids per split make any membership
+    * difference hash-fail against the oracle. */
+  val q110 = QueryDef(
+    "q110_hash_split",
+    (s, d) => {
+      val bucket = conv(
+        substring(md5(concat(lit("split-v1:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("int") % 100
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
+        .orderBy("split")
+    },
+    Some("""WITH a AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 100 AS b
+              FROM documents)
+            SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   MIN(doc_id) AS id_min,
+                   MAX(doc_id) AS id_max
+            FROM a GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110)
 }

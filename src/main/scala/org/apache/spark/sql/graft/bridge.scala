@@ -10,6 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * expressions (the public API exposes no constructor from Expression).
   */
 object bridge {
+  /** `AbstractDataType` is `private[sql]`; alias it here so expressions in
+    * graft.functions can declare `inputTypes` (ExpectsInputTypes) and get
+    * analyzer implicit casts instead of hand-rolled type checks. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

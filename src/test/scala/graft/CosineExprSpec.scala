@@ -119,8 +119,8 @@ class CosineExprSpec extends SparkSuite {
     // the gate that would have caught the `MODULE$`-on-the-wrong-class bug
     // that ran round 5's whole bench interpreted.
     import graft.functions.{
-      MinHashBandKeysExpr, MinHashBandKeysFromHashesExpr, MinHashSigExpr,
-      ShingleHashSetExpr, SimHashSigExpr
+      InterleaveBits, MinHashBandKeysExpr, MinHashBandKeysFromHashesExpr,
+      MinHashSigExpr, ShingleHashSetExpr, SimHashSigExpr
     }
     val rng = new scala.util.Random(19)
     val docs = (0 until 20).map { i =>
@@ -146,7 +146,8 @@ class CosineExprSpec extends SparkSuite {
           MinHashBandKeysFromHashesExpr(ShingleHashSetExpr(col("toks"), 3), 32, 8).as("bkh"),
           MinHashSigExpr(col("hs"), 32).as("sig"),
           SimHashSigExpr(col("hs")).as("sim"),
-          CosineSimilarity(col("emb"), col("emb")).as("cos"))
+          CosineSimilarity(col("emb"), col("emb")).as("cos"),
+          InterleaveBits(col("id"), col("id")).as("z"))
         // The gate only bites if the projection actually survives to
         // execution — assert the optimized plan still computes it.
         assert(
