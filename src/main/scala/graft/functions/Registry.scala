@@ -15,5 +15,9 @@ object Registry {
       exprs => InterleaveBits(exprs(0), exprs(1)),
       "scala_udf")
     spark.udf.register("weighted_avg", udaf(WeightedAvg))
+    spark.udf.register("dd_sketch", udaf(DdSketch.SketchAgg))
+    spark.udf.register("dd_merge", udaf(DdSketch.MergeAgg))
+    spark.udf.register("dd_quantile",
+      (sk: Map[Int, Long], q: Double) => DdSketch.quantile(sk, q))
   }
 }

@@ -108,5 +108,30 @@ object Misc {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105)
+  /** Q111 — mergeable QUANTILE sketch rollup (q105's pattern for
+    * percentiles): per-day [[graft.functions.DdSketch]] sketches of order
+    * totals, any rollup answered by merging bucket counts instead of
+    * re-scanning — and, unlike t-digest/GK, the merge is a per-key ADD, so
+    * the rolled-up estimate is bit-identical under any partitioning.
+    * Sketch layout is engine-specific → rows-only; DdSketchSpec asserts
+    * merged==direct, partition-order invariance, and the alpha
+    * relative-error guarantee vs exact percentiles. */
+  val q111 = QueryDef(
+    "q111_quantile_sketch_rollup",
+    (s, d) => {
+      import graft.functions.DdSketch
+      val o = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val daily = o.groupBy("day").agg(DdSketch.sketch(col("o_totalprice")).as("sk"))
+      daily
+        .agg(count(lit(1)).as("n_days"), DdSketch.merge(col("sk")).as("sk"))
+        .select(
+          col("n_days"),
+          round(DdSketch.quantileOf(col("sk"), 0.5), 4).as("p50"),
+          round(DdSketch.quantileOf(col("sk"), 0.95), 4).as("p95"),
+          round(DdSketch.quantileOf(col("sk"), 0.99), 4).as("p99"))
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111)
 }

@@ -77,7 +77,8 @@ class QueriesSpec extends SparkSuite {
       "q27_dedup_minhash", "q28_dedup_simhash", "q32_ann_topk_lsh",
       "q44_approx_quantile", "q45_sample", "q57_ml_linreg",
       "q66_approx_distinct", "q67_ann_topk_ivf", "q90_stratified_sample",
-      "q105_sketch_rollup", "q107_fractional_mixing")
+      "q105_sketch_rollup", "q107_fractional_mixing",
+      "q111_quantile_sketch_rollup")
     SparkEntry.registry.foreach { q =>
       assert(q.oracle.isDefined != rowsOnly(q.name), s"oracle mismatch for ${q.name}")
     }
