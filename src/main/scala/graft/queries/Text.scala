@@ -553,7 +553,26 @@ object Text {
                                    FOR i IN range(0, 16) ]) AS BIGINT) AS checksum
             FROM d ORDER BY doc_id"""))
 
+  /** Q112 — heavy hitters via bounded-memory candidates + exact verify
+    * ([[graft.ops.HeavyHitters]]): Misra-Gries summaries (O(k) state per
+    * partition, never one row per distinct key) nominate ≤ k candidate
+    * tokens, one broadcast-semi-join counting pass makes the result exact
+    * and deterministic. The oracle is the plain exact top-10 — it matches
+    * whenever the true top-10 clear the n/(k+1) survival bound (k=50
+    * comfortably covers the fixture; HeavyHittersSpec exercises real
+    * eviction + the bound on a seeded Zipf corpus). */
+  val q112 = QueryDef(
+    "q112_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      graft.ops.HeavyHitters.topExact(toks, col("tok"), k = 50, n = 10)
+    },
+    Some("""WITH w AS (SELECT UNNEST(str_split(text, ' ')) AS key FROM documents)
+            SELECT key, COUNT(*) AS cnt FROM w
+            GROUP BY key ORDER BY cnt DESC, key LIMIT 10"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112)
 }
