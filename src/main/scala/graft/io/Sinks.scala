@@ -74,6 +74,22 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Parquet with per-column BLOOM FILTERS in the footers: the point-lookup
+    * lever for high-cardinality keys that are NOT the sort/cluster key —
+    * min/max stats are useless on an unsorted column (every row group
+    * spans the whole domain), but a footer bloom filter lets the reader
+    * skip row groups that provably don't contain an equality-probed value
+    * (needle-in-100TB id lookups, dedup-ledger membership probes).
+    * `expectedNdv` sizes the filter per ROW GROUP (~128 MB of rows), not
+    * per table — oversizing only costs footer bytes, undersizing costs
+    * false positives (unnecessary reads, never wrong results). */
+  def bloomFilteredParquet(
+      df: DataFrame, path: String, bloomCols: Seq[String], expectedNdv: Long = 100000L): Unit =
+    bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
     val tmp = outPath + "_tmp"

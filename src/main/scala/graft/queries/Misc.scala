@@ -131,7 +131,8 @@ object Misc {
           round(DdSketch.quantileOf(col("sk"), 0.95), 4).as("p95"),
           round(DdSketch.quantileOf(col("sk"), 0.99), 4).as("p99"))
     },
-    None)
+    None,
+    headline = true)
 
   def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111)
 }

@@ -570,7 +570,8 @@ object Text {
     },
     Some("""WITH w AS (SELECT UNNEST(str_split(text, ' ')) AS key FROM documents)
             SELECT key, COUNT(*) AS cnt FROM w
-            GROUP BY key ORDER BY cnt DESC, key LIMIT 10"""))
+            GROUP BY key ORDER BY cnt DESC, key LIMIT 10"""),
+    headline = true)
 
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,

@@ -2,6 +2,9 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.io.Sinks
@@ -80,6 +83,41 @@ class StorageSpec extends SparkSuite {
       case _ => ()
     }
     assert(spark.read.parquet(out).count() == li.count())
+  }
+
+  test("bloomFilteredParquet writes footer bloom filters and point lookups stay exact") {
+    val out = Files.createTempDirectory("bloom").toString + "/docs"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("digest", sha2(col("text"), 256)) // high-cardinality, unsorted
+    Sinks.bloomFilteredParquet(docs, out, Seq("digest"), expectedNdv = 10000L)
+
+    // Footer-level proof: the bloom filter actually exists for the column
+    // (read through parquet-mr, the same API the scan's row-group skip uses).
+    val part = new java.io.File(out).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(part.getAbsolutePath), conf))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val digestCol = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "digest")
+        .getOrElse(fail("digest column missing from row group"))
+      assert(reader.getBloomFilterDataReader(rg).readBloomFilter(digestCol) != null,
+        "no bloom filter written for digest")
+      // An unprobed column must NOT pay the footer cost.
+      val docIdCol = rg.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+      assert(reader.getBloomFilterDataReader(rg).readBloomFilter(docIdCol) == null,
+        "bloom filter written for a column that never asked for one")
+    } finally reader.close()
+
+    // Point lookup through the filter stays exact (bloom skipping may drop
+    // row groups, never rows).
+    val probe = docs.select("digest").head().getString(0)
+    val got = spark.read.parquet(out).filter(col("digest") === probe).count()
+    val expected = docs.filter(col("digest") === probe).count()
+    assert(got == expected && got >= 1)
   }
 
   test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
