@@ -90,6 +90,38 @@ object Sinks {
         .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
     }.parquet(path)
 
+  /** Compact a parquet directory's small files into ~`targetFileBytes`
+    * outputs. Small-file sprawl is the silent scan killer at 100 TB —
+    * every file costs a listing call, a footer read, and a scheduler task,
+    * so a partition that accreted 10k tiny files from incremental appends
+    * scans orders of magnitude slower than the same bytes in ~128 MB
+    * files. Rewrites via a temp dir + two renames (write never overlaps
+    * the read); the swap is NOT atomic for concurrent readers — at scale
+    * run it per partition directory during its quiet window, or under a
+    * table format's commit protocol. Returns the new file count. */
+  def compactParquet(
+      spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val dir = new Path(path)
+    val bytes = fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path + "_compact_tmp")
+    val old = new Path(path + "_compact_old")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dir, old)) sys.error(s"compact: could not move $dir aside")
+    if (!fs.rename(tmp, dir)) { // restore the original on failure
+      fs.rename(old, dir)
+      sys.error(s"compact: could not move $tmp into place")
+    }
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
     val tmp = outPath + "_tmp"

@@ -120,6 +120,26 @@ class StorageSpec extends SparkSuite {
     assert(got == expected && got >= 1)
   }
 
+  test("compactParquet rewrites small-file sprawl into few files, rows intact") {
+    val out = Files.createTempDirectory("compact").toString + "/li"
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    li.repartition(16).write.parquet(out) // simulate incremental-append sprawl
+    def dataFiles() = new java.io.File(out).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataFiles().size == 16)
+    val before = spark.read.parquet(out)
+    val (nRows, qtySum) = (before.count(),
+      before.agg(sum("l_quantity")).head().getDouble(0))
+    val n = Sinks.compactParquet(spark, out, targetFileBytes = 1L << 30)
+    assert(n == 1 && dataFiles().size == 1, s"expected 1 compacted file, got ${dataFiles().size}")
+    val after = spark.read.parquet(out)
+    assert(after.count() == nRows)
+    assert(after.agg(sum("l_quantity")).head().getDouble(0) == qtySum)
+    assert(!new java.io.File(out + "_compact_tmp").exists)
+    assert(!new java.io.File(out + "_compact_old").exists)
+  }
+
   test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
     // The 100 TB star-join workhorse: the fact table is partitioned on the
     // join key, the dim filter is NOT a literal on that key — so static
