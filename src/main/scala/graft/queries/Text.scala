@@ -456,11 +456,17 @@ object Text {
         col("doc_id"),
         explode(graft.functions.ShingleHashSetExpr(
           TextFunctions.tokens(col("text")), 3)).as("h"))
-      val edges = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) === 2)
-        .select(
-          least(col("ids")(0), col("ids")(1)).as("src"),
-          greatest(col("ids")(0), col("ids")(1)).as("dst"))
+      // count/min/max, NOT collect_list: ShingleHashSetExpr is per-doc
+      // distinct, so a df==2 bucket holds exactly two distinct docs and
+      // (min, max) IS the ordered pair — three scalar aggregates stay in
+      // whole-stage codegen HashAggregate, where collect_list forces
+      // ObjectHashAggregate with per-bucket array buffers.
+      val edges = sh.groupBy("h").agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("src"),
+        max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
         .distinct()
       val (labels, _) = ConnectedComponents.label(edges)
       labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")

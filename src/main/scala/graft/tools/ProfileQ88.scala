@@ -25,11 +25,12 @@ object ProfileQ88 {
         explode(graft.functions.ShingleHashSetExpr(
           TextFunctions.tokens(col("text")), 3)).as("h"))
       time("exploded shingles")(sh.count())
-      val edges = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) === 2)
-        .select(
-          least(col("ids")(0), col("ids")(1)).as("src"),
-          greatest(col("ids")(0), col("ids")(1)).as("dst"))
+      val edges = sh.groupBy("h").agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("src"),
+        max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
         .distinct()
       time("edges")(edges.count())
       val (labels, rounds) = time("label loop")(ConnectedComponents.label(edges))

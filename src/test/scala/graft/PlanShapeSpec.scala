@@ -118,15 +118,21 @@ class PlanShapeSpec extends SparkSuite {
       col("doc_id"),
       explode(graft.functions.ShingleHashSetExpr(
         graft.functions.TextFunctions.tokens(col("text")), 3)).as("h"))
-    val edges = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) === 2)
-      .select(
-        least(col("ids")(0), col("ids")(1)).as("src"),
-        greatest(col("ids")(0), col("ids")(1)).as("dst"))
+    val edges = sh.groupBy("h").agg(
+      count(lit(1)).as("df"),
+      min(col("doc_id")).as("src"),
+      max(col("doc_id")).as("dst"))
+      .filter(col("df") === 2)
+      .select("src", "dst")
       .distinct()
     val plan = finalPlan(edges)
     assert(!plan.contains("Join"), s"edge construction joins:\n$plan")
-    assert(plan.contains("partial_collect_list") || plan.contains("objHashAggregate") ||
-      plan.contains("ObjectHashAggregate"), s"no bucket aggregation:\n$plan")
+    // Scalar count/min/max must stay in codegen HashAggregate with a
+    // map-side partial — collect_list's ObjectHashAggregate (array
+    // buffers, no whole-stage codegen) is the shape this replaced.
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"edge aggregation fell back to ObjectHashAggregate:\n$plan")
   }
 }
