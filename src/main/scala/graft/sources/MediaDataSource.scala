@@ -173,10 +173,20 @@ final case class MediaWriterFactory(path: String, docIdx: Int, mediaIdx: Int)
 }
 
 class MediaScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** One file is one row, so a pushed limit prunes the PLANNING-TIME file
+    * list after the pushed filters: `LIMIT 5` over a 100 TB corpus opens
+    * five files. Spark only offers the limit when the operators between
+    * scan and limit preserve it, and keeps its own limit above (we report
+    * the default partial push), so residual filters stay correct.
+    * Deterministic because the listing is docId-sorted. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   /** A filter is pushable iff it references only planning-time columns
     * (doc_id / format / n_bytes — all known from the directory listing). */
@@ -202,19 +212,21 @@ class MediaScanBuilder(path: String, tableSchema: StructType, options: CaseInsen
 
   override def build(): Scan = {
     val perPart = Option(options.get("filesPerPartition")).map(_.toInt).getOrElse(512)
-    new MediaScan(path, required, pushed, perPart)
+    new MediaScan(path, required, pushed, perPart, limit)
   }
 }
 
 class MediaScan(
-    path: String, required: StructType, pushed: Array[Filter], filesPerPartition: Int)
+    path: String, required: StructType, pushed: Array[Filter], filesPerPartition: Int,
+    limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-media $path, ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("")
 
   /** Planning-time filter evaluation over directory metadata only. */
   private def keep(m: MediaTable.FileMeta)(f: Filter): Boolean = {
@@ -242,7 +254,8 @@ class MediaScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = MediaTable.listFiles(path).filter(m => pushed.forall(keep(m)))
+    val filtered = MediaTable.listFiles(path).filter(m => pushed.forall(keep(m)))
+    val files = limit.fold(filtered)(filtered.take) // 1 file == 1 row
     files.grouped(filesPerPartition).map(g => MediaInputPartition(g.toArray)).toArray
   }
 

@@ -50,6 +50,27 @@ class MediaSourceSpec extends SparkSuite {
     assert(kept < total, "filter should prune files")
   }
 
+  test("limit pushdown prunes the planning-time file list to N files") {
+    val df = spark.read.format("graft-media").load(dir)
+      .filter(col("format") === "png")
+      .select("doc_id", "format")
+      .limit(3)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedLimit: 3"),
+      s"limit not pushed:\n${scan.scan.description()}")
+    // 1 file == 1 row: the scan must plan exactly the limited file set —
+    // composed AFTER the pushed filter, and deterministic (docId-sorted
+    // listing), so it's the three smallest matching doc_ids.
+    val planned = scan.scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.MediaInputPartition].files.length).sum
+    assert(planned == 3, s"planned $planned files for LIMIT 3")
+    val expected = MediaTable.listFiles(dir).filter(_.format == "png")
+      .sortBy(_.docId).take(3).map(_.docId)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == expected)
+  }
+
   test("column pruning reaches the scan: metadata-only read schema drops media") {
     val df = spark.read.format("graft-media").load(dir).select("doc_id", "format", "n_bytes")
     val scan = scanOf(df)
