@@ -71,6 +71,17 @@ object EventStreams {
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"), col("l_value"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * dimension — the standard streaming enrich shape (events + user/dim
+    * attributes). The static side is planned per micro-batch, so a
+    * broadcast of the dim (not a stateful stream-stream join) is the
+    * right tool whenever the dimension fits the broadcast budget: no
+    * streaming state at all, and dim updates are picked up on the next
+    * batch when the static side is a re-readable source. Left join keeps
+    * unmatched events (dim gaps must not drop facts). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** `foreachBatch` sink (SURVEY §2.10 sink row; VERDICT r1 item 7) — the
     * sink production streaming jobs actually use: each micro-batch arrives
     * as a normal DataFrame, so any batch writer (parquet here, a JDBC
