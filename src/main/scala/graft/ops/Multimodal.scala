@@ -131,6 +131,40 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(r => parseWav(r.doc_id, r.media)))
   }
 
+  /** Integer signal sums per doc (exact — the float features derive from
+    * these as columns so both engines round one shared expression). */
+  final case class AudioSums(doc_id: Long, n_samples: Int, peak: Int, sum_s: Long, sum_sq: Long)
+
+  /** SIGNAL-level features from the PCM payload (one step past [[wavMetadata]]'s
+    * container triage): decode the data chunk as little-endian int16
+    * samples and fold peak/sum/sum-of-squares in one pass — the
+    * loudness/energy screen a speech pipeline runs before an expensive
+    * model stage. Per-row work over the payload bytes, embarrassingly
+    * parallel, nothing shuffled but the 5-field result. Rows that fail
+    * the header parse are dropped (triage semantics). */
+  def audioFeatures(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[AudioSums] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      parseWav(r.doc_id, r.media).filter(_.n_samples > 0).map { meta =>
+        val buf = java.nio.ByteBuffer.wrap(r.media, 44, meta.data_bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sum = 0L
+        var sumSq = 0L
+        var peak = 0
+        var i = 0
+        while (i < meta.n_samples) {
+          val s = buf.getShort().toInt
+          val a = math.abs(s)
+          sum += s
+          sumSq += s.toLong * s
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioSums(r.doc_id, meta.n_samples, peak, sum, sumSq)
+      }
+    })
+  }
+
   // ---------------------------------------------------------------------
   // Image containers (VERDICT r2 "what's missing" item 2): PNG and BMP
   // headers are fixed byte layouts, so — like WAV above — the writers and

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
-import graft.core.Fmt.r6
+import graft.core.Fmt.{r4, r6}
 import graft.functions.TextFunctions
 import graft.ops.{ConnectedComponents, Dedup, Multimodal, TfIdf}
 
@@ -338,6 +338,41 @@ object Text {
                    CAST(((LENGTH(text) + LENGTH(text) % 2) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms
             FROM documents ORDER BY doc_id"""))
 
+  /** Q113 — PCM signal features (X5, one step past q84's container
+    * triage): decode each WAV data chunk as little-endian int16 samples
+    * and fold peak / mean / RMS in one pass ([[Multimodal.audioFeatures]])
+    * — the loudness/energy screen run before an expensive model stage.
+    * The op returns exact integer sums; the float features derive as
+    * columns, so the oracle recomputes the identical expression from the
+    * text char codes (fixture text is ASCII, so char code == payload
+    * byte; the odd-length pad byte is 0, which ascii('')=0 mirrors). */
+  val q113 = QueryDef(
+    "q113_audio_features",
+    (s, d) => {
+      val wav = Multimodal.wavFromDocuments(s, Tables.documents(s, d))
+      Multimodal.audioFeatures(s, wav).toDF()
+        .select(
+          col("doc_id"), col("n_samples"), col("peak"), col("sum_s"), col("sum_sq"),
+          r4(sqrt(col("sum_sq").cast("double") / col("n_samples"))).as("rms"),
+          r4(col("sum_s").cast("double") / col("n_samples")).as("mean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, LENGTH(text) AS nb FROM documents WHERE LENGTH(text) > 0),
+                 s AS (SELECT doc_id,
+                              ascii(substr(text, CAST(2*u.i+1 AS INT), 1))
+                            + 256 * ascii(substr(text, CAST(2*u.i+2 AS INT), 1)) AS v
+                       FROM d, UNNEST(range(0, (nb + 1) // 2)) u(i)),
+                 a AS (SELECT doc_id,
+                              CAST(COUNT(*) AS INTEGER) AS n_samples,
+                              CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+                              CAST(SUM(v) AS BIGINT) AS sum_s,
+                              CAST(SUM(v * v) AS BIGINT) AS sum_sq
+                       FROM s GROUP BY doc_id)
+            SELECT doc_id, n_samples, peak, sum_s, sum_sq,
+                   ROUND(SQRT(CAST(sum_sq AS DOUBLE) / n_samples), 4) AS rms,
+                   ROUND(CAST(sum_s AS DOUBLE) / n_samples, 4) AS mean
+            FROM a ORDER BY doc_id"""))
+
   /** Q85 — frame sampling (X5): every 3rd 100-byte frame of each WAV data
     * chunk, with per-frame byte checksums — the video/audio "sample
     * frames, don't decode" op as pure byte slicing. The oracle recomputes
@@ -581,5 +616,5 @@ object Text {
 
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113)
 }

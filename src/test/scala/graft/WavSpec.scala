@@ -32,6 +32,22 @@ class WavSpec extends SparkSuite {
     assert(Multimodal.parseWav(1L, lied).isEmpty, "data size != actual bytes")
   }
 
+  test("audioFeatures folds int16 samples exactly; triage drops bad rows") {
+    import spark.implicits._
+    // "ab c": samples = [97+256*98, 32+256*99] = [25185, 25376]
+    val good = Multimodal.MediaRecord(1L, Multimodal.toWav("ab c".getBytes("US-ASCII")))
+    // odd length "abc": pad byte 0 -> samples = [25185, 99]
+    val odd = Multimodal.MediaRecord(2L, Multimodal.toWav("abc".getBytes("US-ASCII")))
+    val bad = Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3)) // not a container
+    val got = Multimodal.audioFeatures(spark, Seq(good, odd, bad).toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L).n_samples == 2 && got(1L).peak == 25376)
+    assert(got(1L).sum_s == 25185L + 25376L)
+    assert(got(1L).sum_sq == 25185L * 25185L + 25376L * 25376L)
+    assert(got(2L).n_samples == 2 && got(2L).peak == 25185 && got(2L).sum_s == 25185L + 99L)
+  }
+
   test("frame sampling at k=1 covers every byte exactly once") {
     import spark.implicits._
     val wav = Multimodal.toWav(payload)
