@@ -614,7 +614,26 @@ object Text {
             GROUP BY key ORDER BY cnt DESC, key LIMIT 10"""),
     headline = true)
 
+  /** Q114 — fuzzy self-join ([[graft.ops.FuzzyJoin]]): all supplier-name
+    * pairs within edit distance 1, found by deletion-neighborhood
+    * blocking + levenshtein verify — never a cross product. The blocking
+    * is complete for d ≤ 1, so the brute-force SQL oracle (fine at
+    * oracle scale, impossible at 100 TB) must match exactly; a recall
+    * bug in the variant generation loses pairs and hash-fails. */
+  val q114 = QueryDef(
+    "q114_fuzzy_join",
+    (s, d) =>
+      graft.ops.FuzzyJoin.editDistance1Pairs(
+        Tables.supplier(s, d), "s_suppkey", "s_name")
+        .orderBy("a_k", "b_k"),
+    Some("""WITH s AS (SELECT s_suppkey AS k, s_name AS n FROM supplier)
+            SELECT a.k AS a_k, b.k AS b_k,
+                   CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+            FROM s a JOIN s b ON a.k < b.k
+            WHERE levenshtein(a.n, b.n) <= 1
+            ORDER BY a_k, b_k"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114)
 }
