@@ -633,7 +633,34 @@ object Text {
             WHERE levenshtein(a.n, b.n) <= 1
             ORDER BY a_k, b_k"""))
 
+  /** Q115 — BM25 retrieval ([[graft.ops.Bm25]]): top-10 documents for a
+    * fixed query, the relevance primitive behind query-based corpus
+    * filtering. The oracle recomputes the published formula end-to-end
+    * in SQL (ln-idf, tf saturation, length normalization), so any drift
+    * in the statistics passes (df, dl, avgdl, N) or the scoring algebra
+    * hash-fails. */
+  val q115 = QueryDef(
+    "q115_bm25_topk",
+    (s, d) =>
+      graft.ops.Bm25.topDocs(
+        Tables.documents(s, d), "text", "doc_id",
+        terms = Seq("join", "hash", "filter"), topK = 10),
+    Some("""WITH t AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents),
+                 dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+                 st AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+                 p AS (SELECT term, doc_id, COUNT(*) AS tf FROM t
+                       WHERE term IN ('join', 'hash', 'filter') GROUP BY term, doc_id),
+                 d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+                 sc AS (SELECT p.doc_id,
+                               SUM(LN(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                                   * p.tf * (1.2 + 1.0)
+                                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+                        FROM p JOIN d USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+                        GROUP BY p.doc_id)
+            SELECT doc_id, ROUND(s, 6) AS score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115)
 }
