@@ -122,6 +122,47 @@ object Sinks {
     nFiles
   }
 
+  /** Surgical row deletion from an immutable parquet layout: rewrite ONLY
+    * the files that contain the doomed keys, leave every other file
+    * byte-identical. The right-to-be-forgotten / bad-document purge
+    * pattern at 100 TB — a naive `filter + overwrite` rewrites the whole
+    * table to delete a handful of rows, while the affected-file scan here
+    * rides whatever pruning the layout already provides (clustered
+    * min/max, footer blooms for point keys), so cost scales with files
+    * HIT, not table size. Per-file rewrite keeps the blast radius of a
+    * failure to one file (the temp+rename from [[compactParquet]]'s
+    * caveat applies: swap is not atomic for concurrent readers).
+    * Returns the number of files rewritten. */
+  def deleteRows(
+      spark: SparkSession, path: String, keyCol: String, keys: Seq[Any]): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keys.nonEmpty, "deleteRows: empty key set")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    // One pruned scan finds the affected files; the IN filter is pushed to
+    // the parquet reader, so row groups whose stats/blooms exclude every
+    // key are never decoded.
+    val affected = spark.read.parquet(path)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    affected.foreach { uri =>
+      val file = new Path(new java.net.URI(uri))
+      val tmpDir = new Path(file.getParent, s".${file.getName}.delete_tmp")
+      spark.read.parquet(file.toString)
+        .filter(!col(keyCol).isin(keys: _*))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+      val rewritten = fs.globStatus(new Path(tmpDir, "part-*.parquet"))
+      require(rewritten.length <= 1, s"unexpected multi-part rewrite of $file")
+      fs.delete(file, false)
+      // A file whose every row matched is deleted outright (no empty file).
+      rewritten.headOption.foreach(s => fs.rename(s.getPath, file))
+      fs.delete(tmpDir, true)
+    }
+    affected.length
+  }
+
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
     val tmp = outPath + "_tmp"

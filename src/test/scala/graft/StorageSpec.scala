@@ -140,6 +140,34 @@ class StorageSpec extends SparkSuite {
     assert(!new java.io.File(out + "_compact_old").exists)
   }
 
+  test("deleteRows rewrites only the files containing the doomed keys") {
+    val out = Files.createTempDirectory("del").toString + "/li"
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    // Clustered layout: each file owns a narrow key range, so a small key
+    // set hits few files and the pruned affected-file scan stays small.
+    Sinks.clusteredParquet(li, out, Seq("l_orderkey"), files = 8)
+    val dir = new java.io.File(out)
+    def snapshot() = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = snapshot()
+    val total = li.count()
+    val doomed = li.select("l_orderkey").distinct().orderBy("l_orderkey")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val doomedRows = li.filter(col("l_orderkey").isin(doomed: _*)).count()
+
+    val rewritten = Sinks.deleteRows(spark, out, "l_orderkey", doomed)
+    val after = snapshot()
+    // Adjacent smallest keys live in one clustered file: few rewrites.
+    assert(rewritten >= 1 && rewritten <= 2, s"rewrote $rewritten files")
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k)) ++
+      (before.keySet -- after.keySet)
+    assert(changed.size == rewritten, s"untouched files changed: $changed")
+    val remaining = spark.read.parquet(out)
+    assert(remaining.count() == total - doomedRows)
+    assert(remaining.filter(col("l_orderkey").isin(doomed: _*)).count() == 0)
+  }
+
   test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
     // The 100 TB star-join workhorse: the fact table is partitioned on the
     // join key, the dim filter is NOT a literal on that key — so static
