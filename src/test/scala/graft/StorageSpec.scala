@@ -168,6 +168,40 @@ class StorageSpec extends SparkSuite {
     assert(remaining.filter(col("l_orderkey").isin(doomed: _*)).count() == 0)
   }
 
+  test("shardedExport writes disjoint shards and a manifest that checks out") {
+    val out = Files.createTempDirectory("shards").toString + "/docs"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    Sinks.shardedExport(spark, docs, out, "doc_id", shards = 4)
+    val manifestText = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "_manifest.json")), "UTF-8")
+    // Parse via Spark's JSON reader (no JSON library in the test deps).
+    import spark.implicits._
+    val m = spark.read.json(Seq(manifestText).toDS())
+    val head = m.head()
+    assert(head.getAs[String]("key") == "doc_id")
+    assert(head.getAs[Long]("shards") == 4)
+    assert(head.getAs[Long]("total_rows") == docs.count())
+    val files = m.select(explode(col("files")).as("f"))
+      .select("f.file", "f.rows", "f.bytes", "f.min_key", "f.max_key")
+      .collect()
+    assert(files.length == 4)
+    files.foreach { r =>
+      val path = new java.io.File(out, r.getAs[String]("file"))
+      assert(path.exists, s"manifest names missing file ${r.getAs[String]("file")}")
+      assert(path.length == r.getAs[Long]("bytes"))
+      assert(spark.read.parquet(path.getAbsolutePath).count() == r.getAs[Long]("rows"))
+    }
+    // Disjoint, reproducible key ranges (range clustering): sorted by
+    // min_key, each shard's max stays below the next shard's min.
+    val ranges = files.map(r =>
+      (r.getAs[String]("min_key").toLong, r.getAs[String]("max_key").toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlapping shards: ${ranges.toSeq}")
+      case _ => ()
+    }
+  }
+
   test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
     // The 100 TB star-join workhorse: the fact table is partitioned on the
     // join key, the dim filter is NOT a literal on that key — so static
