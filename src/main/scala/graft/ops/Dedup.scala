@@ -73,28 +73,18 @@ object Dedup {
       numPerm: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.0): DataFrame = {
-    val rowsPerBand = numPerm / bands
     // Shingles live as a DISTINCT HASH SET (array<bigint>, one fused
     // codegen pass — ShingleHashSetExpr) from the start: banding mins over
     // longs, and the Jaccard verify intersects longs, so no shingle string
     // column is ever materialized or shuffled. Identical results modulo
     // 64-bit collisions (~|sh|²/2⁶⁴ per doc).
-    val shingled = df
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleSize)
-      .select(
-        col("doc_id"),
-        graft.functions.ShingleHashSetExpr(col("toks"), shingleSize).as("sh"))
+    val shingled = shingleSets(df, textCol, idCol, shingleSize)
     // Bands carry ONLY (band, doc_id) — shuffling the shingle-hash arrays
     // x bands would multiply the shuffle volume by the band count; the few
     // surviving candidate pairs re-join the hash sets for verification.
     // Signature + band keys are one fused codegen loop over the hash set
     // (no interpreted lambdas, no intermediate signature arrays).
-    val banded = shingled
-      .select(
-        col("doc_id"),
-        posexplode(graft.functions.MinHashBandKeysFromHashesExpr(col("sh"), numPerm, bands))
-          .as(Seq("band_idx", "band_hash")))
+    val banded = bandRows(shingled, numPerm, bands)
     // Pairs form inside each band bucket via collect + double explode —
     // ONE computation of the signatures (a self-join would recompute the
     // whole banding subplan per side) and one shuffle keyed on the band.
@@ -117,6 +107,92 @@ object Dedup {
       .withColumn("jac", round(TextFunctions.jaccard(col("sha"), col("shb")), 6))
       .filter(col("jac") >= minJaccard)
       .select("a_id", "b_id", "jac")
+  }
+
+  /** Shingle-hash-set rows for a batch: (doc_id, sh) — the per-doc sketch
+    * the verify step intersects. Shared by the one-shot pipeline and the
+    * incremental ledger. */
+  private def shingleSets(
+      df: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(
+        col("doc_id"),
+        graft.functions.ShingleHashSetExpr(col("toks"), shingleSize).as("sh"))
+
+  /** LSH band rows for a batch: (band_idx, band_hash, doc_id). */
+  private def bandRows(shingled: DataFrame, numPerm: Int, bands: Int): DataFrame =
+    shingled.select(
+      col("doc_id"),
+      posexplode(graft.functions.MinHashBandKeysFromHashesExpr(col("sh"), numPerm, bands))
+        .as(Seq("band_idx", "band_hash")))
+      .select("band_idx", "band_hash", "doc_id")
+
+  /** Ledger paths for [[ingestIncrement]]: `bands` accumulates
+    * (band_idx, band_hash, doc_id), `sketches` accumulates (doc_id, sh). */
+  final case class DedupLedger(bands: String, sketches: String)
+
+  /** Incremental near-dup ingestion — the production shape at 100 TB:
+    * each arriving batch is signed ONCE, joined against the persisted
+    * band ledger, and appended; the existing corpus is never re-shingled
+    * or re-signed. Returns the verified near-dup pairs INVOLVING the new
+    * batch: (new × old) ∪ (new × new), with exact Jaccard — across a
+    * sequence of increments the union of returned pairs equals the
+    * one-shot [[minhashNearDupPairs]] over the full corpus (spec-locked),
+    * because band collisions don't care which increment a side arrived
+    * in. Caller contract: doc_ids are unique across increments.
+    *
+    * Plan shape: one keyed shuffle on the band key over ledger ∪ batch
+    * (with the same degenerate-bucket cap as the one-shot path, and
+    * buckets with no NEW member dropped before pair expansion — all-old
+    * buckets were already reported by earlier increments); verification
+    * joins only the surviving candidate ids back to the sketch stores.
+    * On a real deployment the two ledger tables would be bucketed on
+    * their join keys so the per-increment join is exchange-free on the
+    * ledger side ([[graft.io.Sinks.bucketedTable]]).
+    */
+  def ingestIncrement(
+      newDocs: DataFrame,
+      ledger: DedupLedger,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.0,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSh = shingleSets(newDocs, textCol, idCol, shingleSize).localCheckpoint()
+    val newBands = bandRows(newSh, numPerm, bands).localCheckpoint()
+    def readOr(path: String, empty: DataFrame): DataFrame =
+      try spark.read.parquet(path) catch { case _: Throwable => empty }
+    val oldBands = readOr(ledger.bands, newBands.limit(0))
+    val oldSh = readOr(ledger.sketches, newSh.limit(0))
+    val tagged = oldBands.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+    val buckets = tagged
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .filter(exists(col("ms"), m => m.getField("is_new"))) // all-old: already reported
+    val candidates = buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.is_new") || col("b.is_new"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val allSh = oldSh.unionByName(newSh)
+    val verified = candidates
+      .join(allSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(allSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .withColumn("jac", round(TextFunctions.jaccard(col("sha"), col("shb")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select("a_id", "b_id", "jac")
+      .localCheckpoint() // materialize BEFORE the appends change the ledger
+    newBands.write.mode("append").parquet(ledger.bands)
+    newSh.write.mode("append").parquet(ledger.sketches)
+    verified
   }
 
   /** 64-bit SimHash signatures: per-token xxhash64; each signature bit is
