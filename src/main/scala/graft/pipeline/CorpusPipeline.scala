@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.{ConnectedComponents, Decontaminate, Dedup}
+
+/** End-to-end training-corpus preparation — the composition the individual
+  * operators exist for, as one call:
+  *
+  *   quality filter → exact dedup → near-dup clustering (keep one per
+  *   group) → benchmark decontamination → deterministic split assignment
+  *
+  * Observability without extra jobs: every linear stage carries an
+  * `observe` counter at its plan depth, so the ONE action that
+  * materializes the result also yields the full per-stage row accounting
+  * ([[graft.ops.QualityGate]]'s mechanism, chained). The near-dup stage
+  * is inherently iterative (LSH pairs → connected-components label loop),
+  * so it runs its own jobs first and contributes a doom-list anti-join to
+  * the main plan — everything else is one pass over the corpus.
+  *
+  * Scale shape: every stage is a keyed shuffle, a broadcast, or a
+  * row-local projection; nothing is driver-collected; near-dups ride the
+  * same capped LSH machinery as the standalone operators.
+  */
+object CorpusPipeline {
+
+  /** The prepared corpus plus a per-stage row-count thunk — call it after
+    * ONE action has materialized `result`. Stages (in order): `input`,
+    * `quality`, `exact_dedup`, `near_dup`, `decontaminated`. */
+  final case class Prepared(result: DataFrame, stageCounts: () => Seq[(String, Long)])
+
+  /** @param docs           corpus with `doc_id` and `textCol`
+    * @param benchmark      held-out eval set to decontaminate against
+    *                       (same `textCol`); its n-gram union is
+    *                       broadcast, so it must be eval-sized
+    * @param minQuality     keep docs with quality score ≥ this
+    * @param minJaccard     near-dup threshold for keep-one-per-group
+    * @param maxOverlapFrac drop docs with > this fraction of their
+    *                       n-grams present in the benchmark
+    */
+  def prepare(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      minJaccard: Double = 0.8,
+      maxOverlapFrac: Double = 0.5): Prepared = {
+    val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated")
+    val obs = stages.map(s => s -> new Observation(s"cp_$s")).toMap
+    def counted(df: DataFrame, stage: String): DataFrame =
+      df.observe(obs(stage), count(lit(1)).as("n"))
+
+    // Quality survivors are the population every later stage reasons
+    // about (a filtered-out doc must not act as a dedup keeper). This
+    // UN-observed frame feeds the dedup side computations; the observed
+    // main chain below re-derives the same filter, keeping each
+    // CollectMetrics name exactly once in the final plan.
+    val clean = docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+
+    // Near-dup doom list (iterative, own jobs): each group of transitive
+    // near-dups keeps its smallest doc_id.
+    val pairs = Dedup
+      .minhashNearDupPairs(clean, textCol, "doc_id", minJaccard = minJaccard)
+      .select("a_id", "b_id")
+    val (labels, _) = ConnectedComponents.label(pairs)
+    val nearDupDoom = labels.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+
+    val cleanCounted = counted(docs, "input")
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .transform(d => counted(d, "quality"))
+
+    // Exact dedup: keep the smallest doc_id per content digest. The
+    // digest groupBy is the q26 shape; survivors re-join by digest.
+    val keepers = Dedup.exactByHash(clean, textCol, "doc_id")
+      .select(col("content_hash"), col("keep_id"))
+    val exactKept = counted(
+      cleanCounted
+        .withColumn("content_hash", sha2(col(textCol), 256))
+        .join(keepers, Seq("content_hash"))
+        .filter(col("doc_id") === col("keep_id"))
+        .drop("content_hash", "keep_id"),
+      "exact_dedup")
+
+    val nearKept = counted(
+      exactKept.join(nearDupDoom, Seq("doc_id"), "left_anti"),
+      "near_dup")
+
+    // Decontamination doom list, derived from the UN-observed chain (the
+    // overlap scan must not duplicate the chain's CollectMetrics nodes):
+    // docs whose benchmark n-gram overlap is too high go; docs too short
+    // to have n-grams carry no contamination signal and stay.
+    val contaminated = Decontaminate
+      .overlap(clean, benchmark, textCol, "doc_id", n = 3)
+      .filter(col("n_hit") > col("n_grams") * maxOverlapFrac)
+      .select("doc_id")
+    val decontaminated = counted(
+      nearKept.join(contaminated, Seq("doc_id"), "left_anti"),
+      "decontaminated")
+
+    // Deterministic split (q110's function): stable under corpus growth.
+    val bucket = conv(
+      substring(md5(concat(lit("split-v1:"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("int") % 100
+    val result = decontaminated.withColumn(
+      "split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+
+    Prepared(result, () => stages.map { s =>
+      s -> (obs(s).get("n") match {
+        case n: Number => n.longValue()
+        case other     => sys.error(s"unexpected count metric for $s: $other")
+      })
+    })
+  }
+}

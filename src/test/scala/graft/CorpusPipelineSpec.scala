@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusPipeline
+
+/** The end-to-end corpus pipeline on a fixture where every stage has
+  * exactly one victim, so the survivor set and the per-stage accounting
+  * are both fully determined. */
+class CorpusPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def words(p: String) = (0 until 100).map(i => s"$p$i").mkString(" ")
+  private val textA = words("a")
+  private val textANear = words("a").replace("a50", "zz") // 1 of 100 tokens differs
+  private val textB = words("b")
+  private val textC = words("c")
+
+  private lazy val corpus = Seq(
+    (1L, textA),     // survives everything
+    (2L, textA),     // exact dup of 1 -> exact_dedup drops
+    (3L, textANear), // near-dup of 1 -> near_dup drops
+    (4L, textB),     // survives everything
+    (5L, "x x x"),   // degenerate -> quality drops
+    (6L, textC)      // copy of the benchmark -> decontamination drops
+  ).toDF("doc_id", "text")
+
+  private lazy val benchmark = Seq((100L, textC)).toDF("doc_id", "text")
+
+  test("each stage removes exactly its victim; counts ride the one action") {
+    val prepared = CorpusPipeline.prepare(corpus, benchmark)
+    val rows = prepared.result.select("doc_id", "split").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // split is a pure function of doc_id — recompute independently
+    rows.foreach { r =>
+      val expected = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"split-v1:${r.getLong(0)}".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        val b = Integer.parseInt(hex, 16) % 100
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      assert(r.getString(1) == expected, s"split mismatch for doc ${r.getLong(0)}")
+    }
+    val counts = prepared.stageCounts().toMap
+    assert(counts == Map(
+      "input" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
+      "near_dup" -> 3L, "decontaminated" -> 2L), s"stage accounting: $counts")
+  }
+
+  test("the pipeline is deterministic across runs and layouts") {
+    val a = CorpusPipeline.prepare(corpus.repartition(7), benchmark)
+      .result.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = CorpusPipeline.prepare(corpus.repartition(2), benchmark)
+      .result.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
