@@ -134,5 +134,47 @@ object Misc {
     None,
     headline = true)
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111)
+  /** Q116 — one-pass ANALYZE ([[graft.ops.TableStats]]): min/max/null-count
+    * for four lineitem columns of four different types (long, string,
+    * double, timestamp), all computed in ONE aggregation job — the
+    * reference's per-column re-scan pattern (`Transformation.scala:53-57`,
+    * `Cleaning.scala:104-106`) collapsed into a single pass. The oracle
+    * recomputes every exact field; the HLL NDV estimate is engine-specific
+    * and is asserted separately in TableStatsSpec (error bound vs exact
+    * distinct + the one-job guarantee). */
+  val q116 = QueryDef(
+    "q116_table_stats",
+    (s, d) =>
+      graft.ops.TableStats
+        .collect(
+          Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))
+        .select("column", "min_s", "max_s", "null_count", "row_count")
+        .orderBy("column"),
+    Some("""WITH s AS (
+              SELECT 'l_orderkey' AS "column",
+                     CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+                     CAST(MAX(l_orderkey) AS VARCHAR) AS max_s,
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+                     COUNT(*) AS row_count
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag',
+                     CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR),
+                     CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity',
+                     CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR),
+                     CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_shipdate',
+                     CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR),
+                     CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+              FROM lineitem)
+            SELECT * FROM s ORDER BY "column""""),
+    headline = false)
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116)
 }
