@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Fmt.r6
 import graft.core.Tables
-import graft.ops.{Ann, Embeddings}
+import graft.ops.{Ann, Embeddings, SemDedup}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §2.11
   * X3 / §2.13 Q21). Exact brute-force cosine is the baseline + oracle path;
@@ -163,5 +163,24 @@ object Similarity {
                    CAST(list_aggregate(qv, 'max') AS INTEGER) AS qmax
             FROM q ORDER BY vec_id"""))
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89)
+  /** Q117 — semantic dedup ([[graft.ops.SemDedup]], the SemDeDup
+    * construction): k-means cells bound the pair space, within-cell cosine
+    * pairs above 0.3 collapse to one representative per connected group.
+    * k-means internals are engine-specific → rows-only; SemDedupSpec
+    * asserts (on a planted-duplicate fixture) pair exactness vs brute
+    * force, recall of planted near-identical pairs, keep-one semantics,
+    * and the oversized-cell subdivision bound. */
+  val q117 = QueryDef(
+    "q117_semantic_dedup",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val pairs = SemDedup.nearDupPairs(corpus, nClusters = 16, minSim = 0.3)
+      val survivors = SemDedup.representatives(corpus, pairs)
+      corpus.agg(count(lit(1)).as("n_total"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89, q117)
 }
