@@ -1,0 +1,190 @@
+package graft.io
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Snapshot-versioned parquet table: every commit writes IMMUTABLE data
+  * files plus a tiny manifest listing exactly the files that make up that
+  * version. Readers resolve a manifest first and read only its files —
+  * never a directory listing — which buys, over a bare parquet directory:
+  *
+  *  - **Snapshot isolation**: a reader of version N sees version N's files
+  *    forever; a concurrent writer's half-written files are invisible
+  *    because no manifest references them until its atomic commit.
+  *  - **Time travel**: any retained version re-reads bit-identically
+  *    (reproduce the training run, audit the pre-purge state).
+  *  - **Atomic append/overwrite**: the commit point is the creation of ONE
+  *    manifest file (create-if-absent), not the completion of N data file
+  *    writes — the all-or-nothing property a 100 TB multi-hour write job
+  *    needs.
+  *
+  * The same construction as the published table formats (Iceberg's
+  * manifest lists, Delta's JSON log): metadata scales with FILES, not
+  * rows, and the data path never rewrites a byte on append. Conflict
+  * resolution is optimistic: losers re-read the new latest and retry
+  * (append re-bases trivially; overwrite replaces whatever won).
+  *
+  * Scope note: create-if-absent is atomic on HDFS and local FS; object
+  * stores without atomic put-if-absent need a coordination layer — the
+  * standard caveat every log-structured table format documents.
+  *
+  * Layout:
+  * {{{
+  *   path/data/<commit-uuid>/part-*.parquet   immutable
+  *   path/_versions/v0000000001.json          {"version":1,"operation":...,
+  *                                             "files":["<uuid>/part-...", ...]}
+  * }}}
+  */
+object VersionedTable {
+
+  private val VersionDir = "_versions"
+  private val VersionFile = raw"v(\d{10})\.json".r
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def versionPath(path: String, v: Long) =
+    new Path(s"$path/$VersionDir/" + f"v$v%010d.json")
+
+  /** Committed versions, ascending (empty for a fresh/foreign directory). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new Path(s"$path/$VersionDir")
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case VersionFile(n) => n.toLong }
+        .sorted
+  }
+
+  /** Relative data-file list of one committed version. */
+  private def manifestFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val in = f.open(versionPath(path, v))
+    val text =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        bytes.toString("UTF-8")
+      } finally in.close()
+    // Our own writer produced this: uuid-dir/part-file names, no escapes.
+    val files = raw""""files":\[([^\]]*)\]""".r
+      .findFirstMatchIn(text)
+      .getOrElse(sys.error(s"malformed manifest v$v at $path"))
+      .group(1)
+    if (files.trim.isEmpty) Seq.empty
+    else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** Write `df`'s data files under a fresh commit directory; return the
+    * relative file names. No manifest yet — invisible to every reader. */
+  private def stageData(df: DataFrame, path: String): (String, Seq[String]) = {
+    val commitId = UUID.randomUUID().toString
+    val dataDir = s"$path/data/$commitId"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val f = fs(df.sparkSession, path)
+    val names = f.listStatus(new Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$commitId/${s.getPath.getName}")
+      .sorted.toSeq
+    (commitId, names)
+  }
+
+  /** Atomically publish `files` as the next version. Returns the version
+    * committed. Optimistic: on a lost race the next version number is
+    * re-read and the commit retried ([[commitAppend]] re-bases on the
+    * winner's file set; overwrite just takes the next slot). */
+  private def publish(
+      spark: SparkSession,
+      path: String,
+      operation: String,
+      newFiles: Seq[String],
+      carryForward: Boolean,
+      maxAttempts: Int = 20): Long = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(s"$path/$VersionDir"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prev = versions(spark, path).lastOption
+      val next = prev.getOrElse(0L) + 1
+      val files =
+        (if (carryForward) prev.toSeq.flatMap(manifestFiles(spark, path, _)) else Seq.empty) ++
+          newFiles
+      val body =
+        s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
+          s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      try {
+        // create(..., overwrite = false) IS the commit point: exactly one
+        // writer can create v<next>, everyone else lands in the catch and
+        // retries against the new latest.
+        val out = f.create(versionPath(path, next), false)
+        try out.write(body.getBytes("UTF-8"))
+        finally out.close()
+        return next
+      } catch {
+        case _: java.io.IOException => // lost the race — re-read and retry
+      }
+    }
+    sys.error(s"commit to $path failed after $maxAttempts attempts")
+  }
+
+  /** Append `df` as a new version (previous files carry forward). */
+  def commitAppend(df: DataFrame, path: String): Long = {
+    val (_, names) = stageData(df, path)
+    publish(df.sparkSession, path, "append", names, carryForward = true)
+  }
+
+  /** Replace the table contents with `df` as a new version. Old versions
+    * remain readable until [[vacuum]]. */
+  def commitOverwrite(df: DataFrame, path: String): Long = {
+    val (_, names) = stageData(df, path)
+    publish(df.sparkSession, path, "overwrite", names, carryForward = false)
+  }
+
+  /** Read a version (default: latest). The file list is resolved on the
+    * driver from one tiny manifest — no directory listing of the data
+    * tree, so uncommitted/staged files are structurally invisible. */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not found at $path (have ${vs.mkString(",")})")
+    val files = manifestFiles(spark, path, v)
+    require(files.nonEmpty, s"version $v of $path has no data files (empty commit)")
+    spark.read.parquet(files.map(n => s"$path/data/$n"): _*)
+  }
+
+  /** Drop versions older than the last `keepLast` and delete every data
+    * file no retained version references. Time travel shrinks to the kept
+    * window — that is the point (bounded storage); run it on a schedule,
+    * sized to the audit/reproducibility horizon. Returns (manifests
+    * removed, data files removed). */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val referenced = keep.flatMap(manifestFiles(spark, path, _)).toSet
+    var filesRemoved = 0
+    val dataRoot = new Path(s"$path/data")
+    if (f.exists(dataRoot)) {
+      for (dir <- f.listStatus(dataRoot) if dir.isDirectory) {
+        for (file <- f.listStatus(dir.getPath) if file.isFile) {
+          val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
+          if (!referenced.contains(rel)) {
+            f.delete(file.getPath, false); filesRemoved += 1
+          }
+        }
+        if (f.listStatus(dir.getPath).isEmpty) f.delete(dir.getPath, true)
+      }
+    }
+    drop.foreach(v => f.delete(versionPath(path, v), false))
+    (drop.size, filesRemoved)
+  }
+}

@@ -568,6 +568,33 @@ object Relational {
                    MAX(o_orderkey) AS max_key
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q118 — snapshot-versioned table time travel
+    * ([[graft.io.VersionedTable]]): even-key orders commit as version 1,
+    * odd-key orders append as version 2; the query reads BOTH snapshots —
+    * v1 through time travel after v2 exists — and aggregates each. The
+    * oracle recomputes both aggregate sets straight from `orders`, so a
+    * time-travel read that leaked v2 rows into v1 (or lost v1 rows from
+    * latest) hash-fails. VersionedTableSpec covers the commit protocol
+    * itself (atomicity, race retry, vacuum). */
+  val q118 = QueryDef(
+    "q118_time_travel",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q118_vt").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path)
+      graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path)
+      val v1 = graft.io.VersionedTable.read(s, path, Some(1L))
+        .agg(count(lit(1)).as("v1_cnt"), r4(sum("o_totalprice")).as("v1_total"))
+      val latest = graft.io.VersionedTable.read(s, path)
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+      v1.crossJoin(latest)
+    },
+    Some("""SELECT
+              (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS v1_cnt,
+              (SELECT ROUND(SUM(o_totalprice), 4) FROM orders WHERE o_orderkey % 2 = 0) AS v1_total,
+              (SELECT COUNT(*) FROM orders) AS cnt,
+              (SELECT ROUND(SUM(o_totalprice), 4) FROM orders) AS total"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -997,5 +1024,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118)
 }

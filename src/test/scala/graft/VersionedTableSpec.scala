@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+
+class VersionedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("vt_spec").toString + "/tbl"
+
+  private def batch(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+
+  test("append versions accumulate; every old version time-travels bit-identically") {
+    val path = freshDir()
+    val v1 = VersionedTable.commitAppend(batch(0, 10), path)
+    val v2 = VersionedTable.commitAppend(batch(10, 15), path)
+    assert((v1, v2) == (1L, 2L))
+    assert(VersionedTable.versions(spark, path) == Seq(1L, 2L))
+    assert(VersionedTable.read(spark, path).count() == 15)
+    assert(
+      VersionedTable.read(spark, path, Some(1L)).select("id").as[Long].collect().sorted
+        .sameElements(0L until 10L))
+    assert(
+      VersionedTable.read(spark, path, Some(2L)).select("id").as[Long].collect().sorted
+        .sameElements(0L until 15L))
+  }
+
+  test("overwrite replaces going forward; the pre-overwrite snapshot survives") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    val v2 = VersionedTable.commitOverwrite(batch(100, 103), path)
+    assert(v2 == 2L)
+    assert(
+      VersionedTable.read(spark, path).select("id").as[Long].collect().sorted
+        .sameElements(100L until 103L))
+    assert(VersionedTable.read(spark, path, Some(1L)).count() == 10)
+  }
+
+  test("uncommitted staged files are invisible to readers") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    // A crashed/in-flight writer: data files exist, no manifest references
+    // them. A directory-listing reader would see 20 rows; a manifest
+    // reader must still see 10.
+    batch(500, 510).write.parquet(s"$path/data/in-flight-commit")
+    assert(VersionedTable.read(spark, path).count() == 10)
+  }
+
+  test("a lost commit race retries onto the next version and re-bases the append") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    // Simulate an interloper that won version 2 with the same files as v1:
+    // copy v1's manifest body into the v2 slot before our append lands.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val v1 = new org.apache.hadoop.fs.Path(s"$path/_versions/v0000000001.json")
+    val v2 = new org.apache.hadoop.fs.Path(s"$path/_versions/v0000000002.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, v1, fs, v2, false, spark.sparkContext.hadoopConfiguration)
+    val committed = VersionedTable.commitAppend(batch(10, 15), path)
+    assert(committed == 3L, "append must land AFTER the interloper's version")
+    assert(VersionedTable.read(spark, path).count() == 15)
+  }
+
+  test("vacuum drops old versions and their unreferenced files; latest keeps reading") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    VersionedTable.commitOverwrite(batch(100, 105), path)
+    VersionedTable.commitAppend(batch(105, 108), path)
+    val (manifestsGone, filesGone) = VersionedTable.vacuum(spark, path, keepLast = 2)
+    assert(manifestsGone == 1)
+    assert(filesGone > 0, "v1's files are unreferenced by v2/v3 and must be deleted")
+    assert(VersionedTable.versions(spark, path) == Seq(2L, 3L))
+    assert(VersionedTable.read(spark, path).count() == 8)
+    assert(VersionedTable.read(spark, path, Some(2L)).count() == 5)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, path, Some(1L))
+    }
+  }
+
+  test("append after vacuum still carries forward the retained file set") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    VersionedTable.commitAppend(batch(10, 12), path)
+    VersionedTable.vacuum(spark, path, keepLast = 1)
+    VersionedTable.commitAppend(batch(12, 14), path)
+    assert(VersionedTable.read(spark, path).count() == 14)
+  }
+}
