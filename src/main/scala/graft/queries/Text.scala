@@ -660,7 +660,41 @@ object Text {
             SELECT doc_id, ROUND(s, 6) AS score FROM sc
             ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  /** Q119 — DSv2 aggregate pushdown: corpus accounting (`files / bytes /
+    * id range / mean size per format`) answered ENTIRELY from the media
+    * source's directory listing — `SupportsPushDownAggregates` complete
+    * pushdown means Spark plans no aggregate at all and ZERO files are
+    * opened (MediaSourceSpec asserts both). The oracle restates the
+    * container ground truth from the documents text bytes: even doc_ids
+    * wrap as PNG (57 + n bytes), odd as BMP (54 + n). */
+  val q119 = QueryDef(
+    "q119_media_agg_pushdown",
+    (s, d) => {
+      val dir = graft.sources.MediaFixture.ensure(s, d)
+      s.read.format("graft-media").load(dir)
+        .groupBy("format")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum("n_bytes").as("total_bytes"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"),
+          round(avg("n_bytes"), 6).as("avg_bytes"))
+        .orderBy("format")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+                   CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 54 END
+                     + octet_length(encode(text)) AS n_bytes
+            FROM documents)
+            SELECT format,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+                   ROUND(SUM(n_bytes) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bytes
+            FROM m GROUP BY format ORDER BY format"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119)
 }

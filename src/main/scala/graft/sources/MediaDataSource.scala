@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
@@ -174,11 +175,26 @@ final case class MediaWriterFactory(path: String, docIdx: Int, mediaIdx: Int)
 
 class MediaScanBuilder(path: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggregation: Option[Aggregation] = None
+
+  /** COUNT / MIN / MAX / SUM / AVG over planning-time columns (and GROUP
+    * BY over them) are answerable from the directory listing alone —
+    * `SELECT format, count(*), sum(n_bytes) ... GROUP BY format` over a
+    * 100 TB corpus opens ZERO files. Complete pushdown (not partial):
+    * the listing is global, so the source returns final rows and Spark
+    * plans no aggregate at all. Spark only offers an aggregation when
+    * every filter was consumed by [[pushFilters]], so a residual
+    * header-column predicate (width, media…) correctly disables this. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    MediaAgg.supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    MediaAgg.supported(agg) && { aggregation = Some(agg); true }
 
   /** One file is one row, so a pushed limit prunes the PLANNING-TIME file
     * list after the pushed filters: `LIMIT 5` over a 100 TB corpus opens
@@ -212,21 +228,128 @@ class MediaScanBuilder(path: String, tableSchema: StructType, options: CaseInsen
 
   override def build(): Scan = {
     val perPart = Option(options.get("filesPerPartition")).map(_.toInt).getOrElse(512)
-    new MediaScan(path, required, pushed, perPart, limit)
+    new MediaScan(path, required, pushed, perPart, limit, aggregation)
   }
+}
+
+/** Planning-time aggregation over the directory listing (see
+  * [[MediaScanBuilder.supportCompletePushDown]]). The result-row schema
+  * follows the DSv2 contract: group-by columns first, then one column per
+  * aggregate, positionally matched by Spark. */
+object MediaAgg {
+  private val LongCols = Set("doc_id", "n_bytes")
+  private val PlanningCols = LongCols + "format"
+
+  private def colName(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def funcCol(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar => Some("doc_id") // any planning col; never read
+    case c: Count     => colName(c.column)
+    case m: Min       => colName(m.column)
+    case m: Max       => colName(m.column)
+    case s: Sum       => colName(s.column)
+    case a: Avg       => colName(a.column)
+    case _            => None
+  }
+
+  def supported(agg: Aggregation): Boolean = {
+    val groupsOk = agg.groupByExpressions.forall(colName(_).exists(PlanningCols))
+    val funcsOk = agg.aggregateExpressions.forall { f =>
+      funcCol(f).exists { c =>
+        f match {
+          case _: CountStar | _: Count => PlanningCols(c)
+          case _: Min | _: Max         => PlanningCols(c)
+          case _: Sum | _: Avg         => LongCols(c) // no numeric sum over format
+          case _                       => false
+        }
+      }
+    }
+    groupsOk && funcsOk && agg.aggregateExpressions.nonEmpty
+  }
+
+  /** Output schema: group cols (table types) then aggregate results —
+    * COUNT → long, MIN/MAX → column type, SUM → long, AVG → double. */
+  def schema(agg: Aggregation): StructType = {
+    val groupFields = agg.groupByExpressions.toSeq.map { g =>
+      MediaTable.Schema(colName(g).get)
+    }
+    val aggFields = agg.aggregateExpressions.toSeq.map { f =>
+      val c = funcCol(f).get
+      f match {
+        case _: CountStar => StructField("count(*)", LongType, nullable = false)
+        case _: Count     => StructField(s"count($c)", LongType, nullable = false)
+        case _: Min       => StructField(s"min($c)", MediaTable.Schema(c).dataType)
+        case _: Max       => StructField(s"max($c)", MediaTable.Schema(c).dataType)
+        case _: Sum       => StructField(s"sum($c)", LongType)
+        case _: Avg       => StructField(s"avg($c)", DoubleType)
+      }
+    }
+    StructType(groupFields ++ aggFields)
+  }
+
+  private def value(m: MediaTable.FileMeta, col: String): Any = col match {
+    case "doc_id"  => m.docId
+    case "format"  => m.format
+    case "n_bytes" => m.nBytes
+  }
+
+  /** Final aggregate rows over the (already filter-pruned) file listing.
+    * SQL semantics at the edges: a global aggregate over zero files still
+    * yields one row (count 0, null min/max/sum/avg); a grouped aggregate
+    * yields zero rows. Values are raw (String, not UTF8String) — the
+    * reader converts at row build. */
+  def compute(agg: Aggregation, files: Seq[MediaTable.FileMeta]): Seq[Seq[Any]] = {
+    val groupCols = agg.groupByExpressions.toSeq.map(colName(_).get)
+    val groups: Seq[(Seq[Any], Seq[MediaTable.FileMeta])] =
+      if (groupCols.isEmpty) Seq(Seq.empty[Any] -> files)
+      else files.groupBy(m => groupCols.map(value(m, _))).toSeq
+    groups.map { case (key, fs) =>
+      val aggVals = agg.aggregateExpressions.toSeq.map { f =>
+        val c = funcCol(f).get
+        def longs = fs.map(value(_, c).asInstanceOf[Long])
+        def longsMaybeDistinct(d: Boolean) = if (d) longs.distinct else longs
+        f match {
+          case _: CountStar => fs.size.toLong
+          case ct: Count =>
+            (if (ct.isDistinct) fs.map(value(_, c)).distinct else fs).size.toLong
+          case _: Min => if (fs.isEmpty) null else fs.map(value(_, c)).minBy(ord(c))
+          case _: Max => if (fs.isEmpty) null else fs.map(value(_, c)).maxBy(ord(c))
+          case s: Sum => if (fs.isEmpty) null else longsMaybeDistinct(s.isDistinct).sum
+          case a: Avg =>
+            if (fs.isEmpty) null
+            else {
+              val xs = longsMaybeDistinct(a.isDistinct)
+              xs.sum.toDouble / xs.size
+            }
+        }
+      }
+      key ++ aggVals
+    }
+  }
+
+  // min/max need one ordering per column type; planning cols are Long or String
+  private def ord(col: String): Any => (Long, String) =
+    if (LongCols(col)) v => (v.asInstanceOf[Long], "") else v => (0L, v.asInstanceOf[String])
 }
 
 class MediaScan(
     path: String, required: StructType, pushed: Array[Filter], filesPerPartition: Int,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, aggregation: Option[Aggregation] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggregation.fold(required)(MediaAgg.schema)
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-media $path, ReadSchema: ${required.catalogString}, " +
+    s"graft-media $path, ReadSchema: ${readSchema().catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.map(l => s", PushedLimit: $l").getOrElse("")
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      aggregation.map(a =>
+        s", PushedAggregation: [${a.aggregateExpressions.mkString(", ")}]" +
+          s", PushedGroupBy: [${a.groupByExpressions.mkString(", ")}]").getOrElse("")
 
   /** Planning-time filter evaluation over directory metadata only. */
   private def keep(m: MediaTable.FileMeta)(f: Filter): Boolean = {
@@ -255,20 +378,45 @@ class MediaScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val filtered = MediaTable.listFiles(path).filter(m => pushed.forall(keep(m)))
-    val files = limit.fold(filtered)(filtered.take) // 1 file == 1 row
-    files.grouped(filesPerPartition).map(g => MediaInputPartition(g.toArray)).toArray
+    aggregation match {
+      case Some(agg) =>
+        // complete pushdown: aggregate the listing HERE, at planning time —
+        // the one task just emits the precomputed rows (a pushed LIMIT, if
+        // any, applies to result rows; Spark re-applies it above anyway)
+        val rows = MediaAgg.compute(agg, filtered)
+        Array(AggResultPartition(limit.fold(rows)(rows.take).map(_.toArray).toArray))
+      case None =>
+        val files = limit.fold(filtered)(filtered.take) // 1 file == 1 row
+        files.grouped(filesPerPartition).map(g => MediaInputPartition(g.toArray)).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MediaReaderFactory(required)
 }
 
+/** Precomputed aggregate rows (raw JVM values; strings converted to
+  * UTF8String at read). */
+final case class AggResultPartition(rows: Array[Array[Any]]) extends InputPartition
+
 final case class MediaInputPartition(files: Array[MediaTable.FileMeta])
     extends InputPartition
 
 class MediaReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MediaPartitionReader(partition.asInstanceOf[MediaInputPartition].files, required)
+    partition match {
+      case AggResultPartition(rows) =>
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = InternalRow.fromSeq(rows(i).toSeq.map {
+            case s: String => UTF8String.fromString(s)
+            case v         => v
+          })
+          override def close(): Unit = ()
+        }
+      case p: MediaInputPartition => new MediaPartitionReader(p.files, required)
+    }
 }
 
 /** Per-partition reader: one file per `next()`. Reads the whole file only

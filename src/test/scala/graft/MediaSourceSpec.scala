@@ -15,8 +15,17 @@ class MediaSourceSpec extends SparkSuite {
 
   private lazy val dir = MediaFixture.ensure(spark, sf0001)
 
+  /** All physical nodes, descending through AQE wrappers (a grouped or
+    * sorted query plans an exchange, so AQE wraps it). */
+  private def flatPlan(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case p => p }
+      case p => Seq(p)
+    }.flatten
+
   private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+    flatPlan(df).collectFirst { case b: BatchScanExec => b }
       .getOrElse(fail("no BatchScanExec in plan"))
 
   test("round-trip: source rows match the in-memory container parses") {
@@ -117,6 +126,59 @@ class MediaSourceSpec extends SparkSuite {
     val ids = spark.read.format("graft-media").load(out)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids == (100L to 109L))
+  }
+
+  test("aggregate pushdown: grouped agg answered from the listing, no aggregate exec planned") {
+    val df = spark.read.format("graft-media").load(dir)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("format")
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedAggregation"),
+      s"aggregation not pushed:\n${scan.scan.description()}")
+    // complete pushdown: Spark plans NO aggregate at all — the scan rows ARE final
+    val aggExecs = flatPlan(df).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggExecs.isEmpty, s"expected no aggregate exec, found:\n$aggExecs")
+    val got = df.as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expected = MediaTable.listFiles(dir).groupBy(_.format).toSeq.sortBy(_._1)
+      .map { case (f, ms) =>
+        (f, ms.size.toLong, ms.map(_.nBytes).sum, ms.map(_.docId).min, ms.map(_.docId).max)
+      }
+    assert(got == expected)
+  }
+
+  test("aggregate pushdown composes with pushed filters; empty matches keep SQL semantics") {
+    val filtered = spark.read.format("graft-media").load(dir)
+      .filter(col("format") === "png" && col("doc_id") < 100)
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"))
+    assert(scanOf(filtered).scan.description().contains("PushedAggregation"))
+    val pngs = MediaTable.listFiles(dir).filter(m => m.format == "png" && m.docId < 100)
+    assert(filtered.as[(Long, Long)].collect().toSeq ==
+      Seq((pngs.size.toLong, pngs.map(_.nBytes).sum)))
+    // global aggregate over zero matching files: one row, count 0, null sum
+    val empty = spark.read.format("graft-media").load(dir)
+      .filter(col("format") === "gif")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"))
+    assert(empty.collect().toSeq.map(r => (r.getLong(0), r.isNullAt(1))) == Seq((0L, true)))
+    // grouped aggregate over zero matching files: zero rows
+    val emptyGrouped = spark.read.format("graft-media").load(dir)
+      .filter(col("format") === "gif")
+      .groupBy("format").agg(count(lit(1)).as("n"))
+    assert(emptyGrouped.collect().isEmpty)
+  }
+
+  test("a residual (header-column) filter disables aggregate pushdown and stays correct") {
+    val df = spark.read.format("graft-media").load(dir)
+      .filter(col("width") > 0) // width needs a header parse -> not pushable
+      .groupBy("format").agg(count(lit(1)).as("n"))
+      .orderBy("format")
+    assert(!scanOf(df).scan.description().contains("PushedAggregation"))
+    val expected = MediaTable.listFiles(dir).groupBy(_.format).toSeq.sortBy(_._1)
+      .map { case (f, ms) => (f, ms.size.toLong) } // every fixture file has width > 0
+    assert(df.as[(String, Long)].collect().toSeq == expected)
   }
 
   test("file list splits into bounded input partitions in doc_id order") {
