@@ -60,26 +60,51 @@ object VersionedTable {
         .sorted
   }
 
-  /** Relative data-file list of one committed version. */
-  private def manifestFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  private def manifestText(spark: SparkSession, path: String, v: Long): String = {
     val f = fs(spark, path)
     val in = f.open(versionPath(path, v))
-    val text =
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        bytes.toString("UTF-8")
-      } finally in.close()
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Relative data-file list of one committed version. */
+  private def manifestFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
     // Our own writer produced this: uuid-dir/part-file names, no escapes.
     val files = raw""""files":\[([^\]]*)\]""".r
-      .findFirstMatchIn(text)
+      .findFirstMatchIn(manifestText(spark, path, v))
       .getOrElse(sys.error(s"malformed manifest v$v at $path"))
       .group(1)
     if (files.trim.isEmpty) Seq.empty
     else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
+
+  /** Streaming-writer watermarks of one version's manifest: writerId →
+    * highest committed batchId. Carried forward into EVERY new manifest
+    * (append, stream, overwrite alike), so the latest version always holds
+    * the full map and [[vacuum]] can never forget that a batch committed —
+    * the same reason the published table formats checkpoint their txn
+    * versions. */
+  private def txnOf(text: String): Map[String, Long] =
+    raw""""txn":\{([^}]*)\}""".r
+      .findFirstMatchIn(text)
+      .map(_.group(1))
+      .filter(_.trim.nonEmpty)
+      .map(body =>
+        raw""""([^"]+)":(\d+)""".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toLong)
+          .toMap)
+      .getOrElse(Map.empty)
+
+  /** Highest batchId `writerId` has committed to this table, if any. */
+  def lastCommittedBatch(spark: SparkSession, path: String, writerId: String): Option[Long] =
+    versions(spark, path).lastOption
+      .flatMap(v => txnOf(manifestText(spark, path, v)).get(writerId))
 
   /** Write `df`'s data files under a fresh commit directory; return the
     * relative file names. No manifest yet — invisible to every reader. */
@@ -105,7 +130,8 @@ object VersionedTable {
       operation: String,
       newFiles: Seq[String],
       carryForward: Boolean,
-      maxAttempts: Int = 20): Long = {
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 20): Option[Long] = {
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/$VersionDir"))
     var attempt = 0
@@ -113,11 +139,24 @@ object VersionedTable {
       attempt += 1
       val prev = versions(spark, path).lastOption
       val next = prev.getOrElse(0L) + 1
+      val prevTxn = prev.map(v => txnOf(manifestText(spark, path, v))).getOrElse(Map.empty)
+      // Idempotency check INSIDE the commit loop: a lost race re-reads the
+      // winner's manifest, so a concurrent duplicate of the same batch is
+      // caught no matter which writer wins the version slot.
+      txn match {
+        case Some((id, batch)) if prevTxn.get(id).exists(_ >= batch) => return None
+        case _ =>
+      }
+      val newTxn = prevTxn ++ txn
+      val txnJson =
+        if (newTxn.isEmpty) ""
+        else s""""txn":{${newTxn.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"""
       val files =
         (if (carryForward) prev.toSeq.flatMap(manifestFiles(spark, path, _)) else Seq.empty) ++
           newFiles
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
+          txnJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -126,7 +165,7 @@ object VersionedTable {
         val out = f.create(versionPath(path, next), false)
         try out.write(body.getBytes("UTF-8"))
         finally out.close()
-        return next
+        return Some(next)
       } catch {
         case _: java.io.IOException => // lost the race — re-read and retry
       }
@@ -137,14 +176,39 @@ object VersionedTable {
   /** Append `df` as a new version (previous files carry forward). */
   def commitAppend(df: DataFrame, path: String): Long = {
     val (_, names) = stageData(df, path)
-    publish(df.sparkSession, path, "append", names, carryForward = true)
+    publish(df.sparkSession, path, "append", names, carryForward = true).get
   }
 
   /** Replace the table contents with `df` as a new version. Old versions
     * remain readable until [[vacuum]]. */
   def commitOverwrite(df: DataFrame, path: String): Long = {
     val (_, names) = stageData(df, path)
-    publish(df.sparkSession, path, "overwrite", names, carryForward = false)
+    publish(df.sparkSession, path, "overwrite", names, carryForward = false).get
+  }
+
+  /** Idempotent streaming append: commit `df` as `(writerId, batchId)`,
+    * or do nothing if that writer already committed this (or a later)
+    * batch — the versioned-sink half of exactly-once. Structured Streaming
+    * re-runs a micro-batch whenever failure lands between the sink write
+    * and the checkpoint commit; recording the batchId in the manifest (and
+    * carrying the map forward through every later commit, so [[vacuum]]
+    * cannot lose it) turns that at-least-once replay into exactly-once
+    * table contents.
+    *
+    * Returns the committed version, or None when the batch was already in
+    * the table. A replay detected early skips staging entirely; one that
+    * loses the commit race leaves an unreferenced staged directory, which
+    * the next [[vacuum]] removes — never a duplicate row. */
+  def commitStreamBatch(df: DataFrame, path: String, writerId: String, batchId: Long): Option[Long] = {
+    require(writerId.matches("[A-Za-z0-9._-]+"),
+      s"writerId must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $writerId")
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, path, writerId).exists(_ >= batchId)) None
+    else {
+      val (_, names) = stageData(df, path)
+      publish(spark, path, "stream-append", names, carryForward = true,
+        txn = Some(writerId -> batchId))
+    }
   }
 
   /** Read a version (default: latest). The file list is resolved on the

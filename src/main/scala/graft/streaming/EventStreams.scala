@@ -102,6 +102,31 @@ object EventStreams {
       }
       .start()
 
+  /** Exactly-once table sink: append each micro-batch to a
+    * [[graft.io.VersionedTable]] keyed by (writerId, batchId). Structured
+    * Streaming's `foreachBatch` is at-least-once — a crash between the
+    * sink write and the checkpoint commit replays the batch on restart —
+    * and the versioned table's idempotent
+    * [[graft.io.VersionedTable.commitStreamBatch]] absorbs the replay, so
+    * the TABLE is exactly-once even though the delivery is not. Append
+    * output mode: each batch carries only new finalized rows (pair with a
+    * watermark upstream for aggregates). `onBatch` reports (batchId,
+    * Some(version) committed | None skipped-as-duplicate). */
+  def startExactlyOnceVersionedSink(
+      stream: DataFrame,
+      tablePath: String,
+      writerId: String,
+      checkpointDir: String,
+      onBatch: (Long, Option[Long]) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(batchId,
+          graft.io.VersionedTable.commitStreamBatch(batch.toDF(), tablePath, writerId, batchId))
+      }
+      .start()
+
   /** Arbitrary per-key state (SURVEY §2.10 `flatMapGroupsWithState` row):
     * running per-user event count + value total, emitting one update per
     * user per micro-batch. State is two numbers per user — bounded. */
