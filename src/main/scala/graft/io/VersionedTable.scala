@@ -199,14 +199,27 @@ object VersionedTable {
     * the table. A replay detected early skips staging entirely; one that
     * loses the commit race leaves an unreferenced staged directory, which
     * the next [[vacuum]] removes — never a duplicate row. */
-  def commitStreamBatch(df: DataFrame, path: String, writerId: String, batchId: Long): Option[Long] = {
+  def commitStreamBatch(df: DataFrame, path: String, writerId: String, batchId: Long): Option[Long] =
+    commitBatch(df, path, writerId, batchId, "stream-append", carryForward = true)
+
+  /** [[commitStreamBatch]]'s overwrite twin: idempotently REPLACE the
+    * table contents as `(writerId, batchId)` — the shape a
+    * streaming-maintained materialized view needs, where each refresh
+    * rewrites the (small) state table and a replayed micro-batch must not
+    * re-apply the merge. */
+  def commitOverwriteBatch(df: DataFrame, path: String, writerId: String, batchId: Long): Option[Long] =
+    commitBatch(df, path, writerId, batchId, "overwrite", carryForward = false)
+
+  private def commitBatch(
+      df: DataFrame, path: String, writerId: String, batchId: Long,
+      operation: String, carryForward: Boolean): Option[Long] = {
     require(writerId.matches("[A-Za-z0-9._-]+"),
       s"writerId must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $writerId")
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, path, writerId).exists(_ >= batchId)) None
     else {
       val (_, names) = stageData(df, path)
-      publish(spark, path, "stream-append", names, carryForward = true,
+      publish(spark, path, operation, names, carryForward = carryForward,
         txn = Some(writerId -> batchId))
     }
   }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Fmt.r4
 import graft.core.Tables
 
 /** Nondeterministic/approximate operators (oracle-excluded by design,
@@ -176,5 +177,44 @@ object Misc {
             SELECT * FROM s ORDER BY "column""""),
     headline = false)
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116)
+  /** Q120 — incrementally-maintained rollup ([[graft.ops
+    * .MaterializedRollup]]): orders split into three uneven increments by
+    * order key, each merged into the versioned state table as partial
+    * aggregates (count/sum/min/max vectors — one keyed shuffle of the
+    * INCREMENT, never a corpus re-scan), final read vs the oracle's
+    * one-shot GROUP BY over everything. Equality here IS the maintenance
+    * correctness claim: merge-of-batches == aggregate-of-union. Sum scaled
+    * to millions before rounding (q09's hazard note — reassociated double
+    * accumulation at 1e9 magnitude). NDV sketch column excluded from the
+    * declared projection (engine-specific; MaterializedRollupSpec asserts
+    * merged==direct sketch equality). */
+  val q120 = QueryDef(
+    "q120_incremental_rollup",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q120_mv").toString + "/t"
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"), col("o_custkey"))
+      Seq(0, 1, 2).foreach { i =>
+        graft.ops.MaterializedRollup.refresh(
+          s, path, o.filter(col("o_orderkey") % 3 === i),
+          Seq("o_orderstatus", "yr"), "o_totalprice", "o_custkey")
+      }
+      graft.ops.MaterializedRollup.read(s, path, Seq("o_orderstatus", "yr"))
+        .select(
+          col("o_orderstatus"), col("yr"), col("n_rows"),
+          r4(col("sum_v") / lit(1e6)).as("sum_mm"),
+          r4(col("avg_v")).as("avg_price"),
+          col("min_v"), col("max_v"))
+        .orderBy("o_orderstatus", "yr")
+    },
+    Some("""SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS sum_mm,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price,
+                   MIN(o_totalprice) AS min_v,
+                   MAX(o_totalprice) AS max_v
+            FROM orders GROUP BY 1,2 ORDER BY 1,2"""))
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120)
 }
