@@ -352,6 +352,31 @@ object Events {
             GROUP BY cw, weeks_since
             ORDER BY cohort_week, weeks_since"""))
 
+  /** Q121 — stats-driven join planning ([[graft.ops.JoinPlanner]]): the
+    * orders⋈customer join strategy is CHOSEN from measured stats (one
+    * count+Misra-Gries job per side), not hand-hinted — customer is small,
+    * so the planner lands on broadcast-right and the fact side never
+    * shuffles. The oracle is the plain join: whichever branch the stats
+    * pick, the decision layer must not change semantics (JoinPlannerSpec
+    * row-compares every branch; this pins the end-to-end result through
+    * the oracle gate). */
+  val q121 = QueryDef(
+    "q121_auto_join",
+    (s, d) => {
+      val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val (joined, _) = graft.ops.JoinPlanner.autoJoin(o, c, "o_custkey")
+      joined
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice")) / lit(1e6)).as("rev_mm"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS rev_mm
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   def all: Seq[QueryDef] =
-    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99)
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.JoinPlanner
+
+/** The decision layer must pick the right strategy from measured stats —
+  * and NEVER change join semantics: every branch is row-compared against
+  * the plain join. */
+class JoinPlannerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def flatPlan(df: DataFrame): Seq[SparkPlan] =
+    df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case p => p }
+      case p => Seq(p)
+    }.flatten
+
+  private def hasBroadcast(df: DataFrame): Boolean =
+    flatPlan(df).exists(_.isInstanceOf[BroadcastExchangeExec])
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // uniform large-ish side: 5000 rows over 500 keys
+  private lazy val uniform =
+    (1 to 5000).map(i => (i % 500L, i.toLong)).toDF("k", "lv")
+  // skewed side: 6000 rows, key 7 holds half of them
+  private lazy val skewed =
+    ((1 to 3000).map(_ => (7L, 1L)) ++ (1 to 3000).map(i => (i % 300L + 100L, 2L)))
+      .toDF("k", "lv")
+  // small dimension: 40 rows
+  private lazy val dim = (0L to 39L).map(k => (k, s"d$k")).toDF("k", "name")
+  // mid-size dimension: 600 rows (too big to broadcast under test thresholds)
+  private lazy val midDim = (0L to 599L).map(k => (k, s"m$k")).toDF("k", "name")
+
+  test("gatherStats measures rows and finds the planted hot key") {
+    val s = JoinPlanner.gatherStats(skewed, "k")
+    assert(s.rows == 6000)
+    assert(s.topKey.contains("7"))
+    assert(s.maybeSkewed(0.2))
+    val u = JoinPlanner.gatherStats(uniform, "k")
+    assert(u.rows == 5000 && !u.maybeSkewed(0.2))
+  }
+
+  test("small side -> broadcast, plan-asserted, rows identical to the plain join") {
+    val (joined, d) = JoinPlanner.autoJoin(uniform, dim, "k", broadcastMaxRows = 100)
+    assert(d.strategy == "broadcast-right", d)
+    assert(hasBroadcast(joined))
+    assert(sortedRows(joined) == sortedRows(uniform.join(dim, Seq("k"))))
+    // and mirrored when the LEFT side is the small one
+    val (joinedL, dL) = JoinPlanner.autoJoin(dim, uniform, "k", broadcastMaxRows = 100)
+    assert(dL.strategy == "broadcast-left", dL)
+    assert(sortedRows(joinedL) == sortedRows(dim.join(uniform, Seq("k"))))
+  }
+
+  test("hot key against a replicable dim -> salted, rows identical to the plain join") {
+    val (joined, d) = JoinPlanner.autoJoin(
+      skewed, midDim, "k", broadcastMaxRows = 100, skewFraction = 0.2, saltBuckets = 8,
+      replicateMaxRows = 10000)
+    assert(d.strategy == "salted", d)
+    assert(sortedRows(joined) == sortedRows(skewed.join(midDim, Seq("k"))))
+  }
+
+  test("no replicable side and no skew -> plain shuffle join") {
+    val (joined, d) = JoinPlanner.autoJoin(
+      uniform, skewed.withColumnRenamed("lv", "rv"), "k",
+      broadcastMaxRows = 100, skewFraction = 0.9, replicateMaxRows = 100)
+    assert(d.strategy == "shuffle", d)
+    assert(sortedRows(joined) ==
+      sortedRows(uniform.join(skewed.withColumnRenamed("lv", "rv"), Seq("k"))))
+  }
+
+  test("pre-collected stats skip measurement and drive the same decision") {
+    val ls = JoinPlanner.SideStats(rows = 5000000L, topKey = None, topKeyRows = 0L, k = 32)
+    val rs = JoinPlanner.SideStats(rows = 40L, topKey = None, topKeyRows = 0L, k = 32)
+    val (_, d) = JoinPlanner.autoJoin(
+      uniform, dim, "k", leftStats = Some(ls), rightStats = Some(rs))
+    assert(d.strategy == "broadcast-right")
+  }
+}
