@@ -224,6 +224,55 @@ object VersionedTable {
     }
   }
 
+  /** Surgical delete as a new version: rewrite ONLY the data files that
+    * contain matching rows (found by one pruned scan over the current
+    * snapshot — parquet footer stats/blooms skip clean row groups);
+    * every untouched file is carried into the new manifest BY REFERENCE,
+    * zero bytes copied. Cost scales with files hit, not table size — the
+    * purge/right-to-be-forgotten pattern on a snapshot table.
+    *
+    * Returns (version, rowsDeleted); a predicate matching nothing commits
+    * nothing. Pre-delete snapshots still time-travel (that is snapshot
+    * isolation, and the audit trail); the PHYSICAL purge completes when
+    * [[vacuum]] drops the retention window that references the old files
+    * — run `deleteWhere` then `vacuum` for an actual erasure obligation.
+    * Concurrency: like overwrite, a racing commit is resolved
+    * last-writer-wins on the version slot. */
+  def deleteWhere(
+      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val current = vs.last
+    val rel = manifestFiles(spark, path, current)
+    val abs = rel.map(n => s"$path/data/$n")
+    // one pruned scan: which files hold doomed rows
+    val hitAbs = spark.read.parquet(abs: _*)
+      .filter(predicate)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (hitAbs.isEmpty) return (current, 0L)
+    // absolute URI -> the manifest's relative "<commit-uuid>/<part>" name
+    def relOf(uri: String): String = {
+      val p = new java.net.URI(uri).getPath
+      val i = p.lastIndexOf("/data/")
+      require(i >= 0, s"unexpected data file location: $uri")
+      p.substring(i + "/data/".length)
+    }
+    val hitRel = hitAbs.map(relOf).toSet
+    val kept = rel.filterNot(hitRel)
+    val doomed = spark.read.parquet(hitAbs: _*)
+    // three-valued logic: a NULL predicate row is NOT deleted — it must
+    // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
+    val isDoomed = org.apache.spark.sql.functions.coalesce(
+      predicate, org.apache.spark.sql.functions.lit(false))
+    val deleted = doomed.filter(isDoomed).count()
+    val survivors = doomed.filter(!isDoomed)
+    val (_, newNames) = stageData(survivors, path)
+    val v = publish(spark, path, "delete", kept ++ newNames, carryForward = false).get
+    (v, deleted)
+  }
+
   /** Read a version (default: latest). The file list is resolved on the
     * driver from one tiny manifest — no directory listing of the data
     * tree, so uncommitted/staged files are structurally invisible. */

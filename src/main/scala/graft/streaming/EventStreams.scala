@@ -127,6 +127,32 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming-maintained materialized view: each micro-batch's partial
+    * aggregates merge into the [[graft.ops.MaterializedRollup]] state
+    * table under the batch's (writerId, batchId) txn — so the refresh is
+    * replay-proof AND the view is continuously current without ever
+    * re-scanning history. This is the streaming half of incremental view
+    * maintenance: per batch, one keyed shuffle of the increment plus a
+    * merge against one-row-per-group state. */
+  def startMaterializedRollupSink(
+      stream: DataFrame,
+      tablePath: String,
+      writerId: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      ndvCol: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.MaterializedRollup.refresh(
+          batch.sparkSession, tablePath, batch.toDF(), groupCols, valueCol, ndvCol,
+          txn = Some(writerId -> batchId))
+        ()
+      }
+      .start()
+
   /** Arbitrary per-key state (SURVEY §2.10 `flatMapGroupsWithState` row):
     * running per-user event count + value total, emitting one update per
     * user per micro-batch. State is two numbers per user — bounded. */

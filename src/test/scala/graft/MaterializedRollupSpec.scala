@@ -67,6 +67,30 @@ class MaterializedRollupSpec extends SparkSuite {
     assert(build(parts) == build(parts.reverse))
   }
 
+  test("streaming-maintained view: the rollup tracks the stream and equals the batch aggregate") {
+    val base = Files.createTempDirectory("mroll_stream").toString
+    val src = s"$base/src"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"
+    def writeJsonl(name: String, rows: Seq[(String, Double, Long)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(src, name),
+        rows.map { case (k, v, u) => s"""{"k":"$k","v":$v,"u":$u}""" }.mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType)))
+    val rowsA = (1 to 120).map(i => (s"g${i % 5}", i.toDouble, (i % 13).toLong))
+    val rowsB = (121 to 200).map(i => (s"g${i % 5}", i.toDouble, (i % 13).toLong))
+    writeJsonl("a.json", rowsA)
+    writeJsonl("b.json", rowsB)
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    val q = graft.streaming.EventStreams.startMaterializedRollupSink(
+      stream, tbl, "mv", ckpt, groupCols, "v", "u")
+    q.processAllAvailable(); q.stop(); q.awaitTermination(60000)
+    val all = (rowsA ++ rowsB).toDF("k", "v", "u")
+    assert(finalizedRows(tbl) == direct(all))
+  }
+
   test("a replayed (writer, batch) refresh is skipped and changes nothing") {
     val path = Files.createTempDirectory("mroll_txn").toString + "/t"
     val all = fixture

@@ -90,4 +90,51 @@ class VersionedTableSpec extends SparkSuite {
     VersionedTable.commitAppend(batch(12, 14), path)
     assert(VersionedTable.read(spark, path).count() == 14)
   }
+
+  test("deleteWhere rewrites only the files that hold doomed rows; others carry by reference") {
+    val path = freshDir()
+    // three appends = three disjoint commit dirs / key ranges
+    VersionedTable.commitAppend(batch(0, 100), path)
+    VersionedTable.commitAppend(batch(100, 200), path)
+    VersionedTable.commitAppend(batch(200, 300), path)
+    val fsRoot = java.nio.file.Paths.get(path, "data")
+    def dataFiles(): Map[String, Long] = { // rel name -> mtime
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fsRoot).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+        .map(p => fsRoot.relativize(p).toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = dataFiles()
+    // doomed keys live ONLY in the second append's range
+    val (v, deleted) = VersionedTable.deleteWhere(spark, path, col("id").between(110, 119))
+    assert(v == 4L && deleted == 10L)
+    val ids = VersionedTable.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.length == 290 && !ids.exists(i => i >= 110 && i <= 119))
+    // untouched commits' files are byte-identical (same path, same mtime)
+    val after = dataFiles()
+    val untouched = before.keySet.filter(f => after.contains(f))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(before(f) == after(f), s"file $f was rewritten"))
+    // the pre-delete snapshot still time-travels WITH the deleted rows
+    assert(VersionedTable.read(spark, path, Some(3L)).count() == 300)
+    // physical purge: vacuum to the delete version drops the old file
+    VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert(VersionedTable.read(spark, path).count() == 290)
+    assert(VersionedTable.versions(spark, path) == Seq(4L))
+  }
+
+  test("deleteWhere with no matches commits nothing; NULL-predicate rows survive") {
+    val path = freshDir()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v"), path)
+    val (v0, d0) = VersionedTable.deleteWhere(spark, path, col("id") > 100)
+    assert(v0 == 1L && d0 == 0L)
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+    // v = 'zzz' is NULL for id 2 — three-valued logic must KEEP that row
+    val (v1, d1) = VersionedTable.deleteWhere(spark, path, col("v") === "a")
+    assert(v1 == 2L && d1 == 1L)
+    assert(VersionedTable.read(spark, path).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+  }
 }
