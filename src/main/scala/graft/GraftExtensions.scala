@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => new SimHashSigExpr(exprs(0))))
 
     ext.injectFunction((
+      FunctionIdentifier("canonical_text"),
+      info("canonical_text", "canonical_text(text) - NFC + casefold + punctuation/whitespace canonical form"),
+      (exprs: Seq[Expression]) => new graft.functions.CanonicalTextExpr(exprs.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(bigint x, bigint y) - Morton z-value of two non-negative keys"),
       (exprs: Seq[Expression]) => new InterleaveBits(exprs(0), exprs(1))))

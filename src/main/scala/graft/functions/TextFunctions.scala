@@ -72,6 +72,11 @@ object TextFunctions {
     * `h = (h*31 + code(c)) mod 1e9+7`, left fold from 0. Stable across
     * engines (pure integer arithmetic, no engine-specific hash). Empty
     * text is 0 explicitly — `sequence(1, 0)` would step backwards. */
+  /** Unicode canonical form for dedup keys ([[CanonicalTextExpr]]):
+    * NFC → casefold → whitespace-to-space → keep letters/numbers/space →
+    * collapse runs → trim. Canonical bytes are oracle-pinned (q122). */
+  def canonicalText(text: Column): Column = CanonicalTextExpr(text)
+
   def fingerprint(text: Column): Column =
     when(length(text) === 0, lit(0L)).otherwise(
       aggregate(

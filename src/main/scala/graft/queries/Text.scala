@@ -694,7 +694,36 @@ object Text {
                    ROUND(SUM(n_bytes) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bytes
             FROM m GROUP BY format ORDER BY format"""))
 
+  /** Q122 — Unicode canonicalization for dedup
+    * ([[TextFunctions.canonicalText]], the fused [[graft.functions
+    * .CanonicalTextExpr]]): NFC → casefold → whitespace-to-space → keep
+    * letters/numbers/space → collapse runs → trim, then exact dedup over
+    * the canonical form. The md5 column pins the canonical BYTES
+    * cross-engine (DuckDB recomputes the identical chain with
+    * `nfc_normalize` + RE2 `\pL`/`\pN` classes), so a divergent casefold,
+    * stripped combining mark, or missed whitespace class hash-fails —
+    * not just the grouping. */
+  val q122 = QueryDef(
+    "q122_canonical_dedup",
+    (s, d) => {
+      val canon = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.canonicalText(col("text")).as("ct"))
+      canon.groupBy("ct")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+        .select(col("keep_id"), col("n_variants"), md5(col("ct").cast("binary")).as("canon_md5"))
+        .orderBy("keep_id")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        lower(nfc_normalize(text)),
+                        '\s', ' ', 'g'),
+                        '[^\pL\pN ]', '', 'g'),
+                        '  +', ' ', 'g')) AS ct
+            FROM documents)
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_variants, md5(ct) AS canon_md5
+            FROM c GROUP BY ct ORDER BY keep_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122)
 }

@@ -119,7 +119,7 @@ class CosineExprSpec extends SparkSuite {
     // the gate that would have caught the `MODULE$`-on-the-wrong-class bug
     // that ran round 5's whole bench interpreted.
     import graft.functions.{
-      InterleaveBits, MinHashBandKeysExpr, MinHashBandKeysFromHashesExpr,
+      CanonicalTextExpr, InterleaveBits, MinHashBandKeysExpr, MinHashBandKeysFromHashesExpr,
       MinHashSigExpr, ShingleHashSetExpr, SimHashSigExpr
     }
     val rng = new scala.util.Random(19)
@@ -147,7 +147,8 @@ class CosineExprSpec extends SparkSuite {
           MinHashSigExpr(col("hs"), 32).as("sig"),
           SimHashSigExpr(col("hs")).as("sim"),
           CosineSimilarity(col("emb"), col("emb")).as("cos"),
-          InterleaveBits(col("id"), col("id")).as("z"))
+          InterleaveBits(col("id"), col("id")).as("z"),
+          CanonicalTextExpr(concat_ws(" ", col("toks"))).as("canon"))
         // The gate only bites if the projection actually survives to
         // execution — assert the optimized plan still computes it.
         assert(

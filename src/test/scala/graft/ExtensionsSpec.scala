@@ -15,12 +15,14 @@ class ExtensionsSpec extends SparkSuite {
       """SELECT round(cosine_similarity(array(1.0d, 2.0d), array(2.0d, 4.0d)), 6) AS cs,
                 graft_token_count('the quick brown fox') AS tc,
                 graft_fingerprint('abc') AS fp,
-                interleave_bits(2, 3) AS z""").head()
+                interleave_bits(2, 3) AS z,
+                canonical_text('  The QUICK,,  brown\tfox!! ') AS canon""").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(1) == 4)
     // h("abc") = ((0*31+97)*31+98)*31+99 mod 1e9+7
     assert(r.getLong(2) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
     assert(r.getLong(3) == 14L) // x=10b,y=11b -> 1110b (int args coerce)
+    assert(r.getString(4) == "the quick brown fox")
 
     // minhash_sig through SQL == the Column API on the same hash array
     val df = spark.sql(

@@ -72,4 +72,35 @@ class TextFunctionsSpec extends SparkSuite {
     assert(row.getString(0) == "mail <EMAIL> then <IP> and <IP> but not 1.2.3")
     assert(row.getInt(1) == 1 && row.getInt(2) == 2)
   }
+
+  test("canonical text: case/punct/space variants collapse, NFC composes, idempotent") {
+    val variants = Seq(
+      "The Quick   Brown Fox!",
+      "  the quick\tbrown FOX??",
+      "the,quick;brown.fox",
+      "THE QUICK BROWN FOX")
+    val rows = variants.toDF("t")
+      .select(TextFunctions.canonicalText(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    // "the,quick" has no space separator — the comma is stripped, words fuse
+    assert(rows == Set("the quick brown fox", "thequickbrownfox"))
+    // NFC: decomposed e+combining-acute equals the composed form
+    val nfc = Seq(("Caf\u00e9", "Cafe\u0301")).toDF("a", "b")
+      .select(
+        TextFunctions.canonicalText(col("a")).as("ca"),
+        TextFunctions.canonicalText(col("b")).as("cb"))
+      .collect()(0)
+    assert(nfc.getString(0) == "café" && nfc.getString(0) == nfc.getString(1))
+    // idempotence: canonicalizing a canonical form is a no-op
+    val twice = variants.toDF("t")
+      .select(
+        TextFunctions.canonicalText(col("t")).as("once"),
+        TextFunctions.canonicalText(TextFunctions.canonicalText(col("t"))).as("twice"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // digits survive, other symbols do not
+    val digits = Seq("a1-b2_c3 +42%").toDF("t")
+      .select(TextFunctions.canonicalText(col("t")).as("c")).collect()(0)
+    assert(digits.getString(0) == "a1b2c3 42")
+  }
 }
