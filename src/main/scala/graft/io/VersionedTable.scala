@@ -106,6 +106,26 @@ object VersionedTable {
     versions(spark, path).lastOption
       .flatMap(v => txnOf(manifestText(spark, path, v)).get(writerId))
 
+  /** File-skipping statistics of one manifest: the stats column and each
+    * file's [min, max] of it (files appended without stats simply have no
+    * entry and are never pruned — safe by construction). */
+  private def statsOf(text: String): (Option[String], Map[String, (Long, Long)]) = {
+    val section = raw""""stats":\{"col":"([^"]+)","ranges":\{([^}]*)\}""".r
+    section.findFirstMatchIn(text) match {
+      case None => (None, Map.empty)
+      case Some(m) =>
+        val entries = raw""""([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+          .findAllMatchIn(m.group(2))
+          .map(e => e.group(1) -> (e.group(2).toLong, e.group(3).toLong))
+          .toMap
+        (Some(m.group(1)), entries)
+    }
+  }
+
+  private def operationOf(text: String): String =
+    raw""""operation":"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+      .getOrElse(sys.error("malformed manifest: no operation"))
+
   /** Write `df`'s data files under a fresh commit directory; return the
     * relative file names. No manifest yet — invisible to every reader. */
   private def stageData(df: DataFrame, path: String): (String, Seq[String]) = {
@@ -120,6 +140,27 @@ object VersionedTable {
     (commitId, names)
   }
 
+  /** Per-file [min, max] of a LONG key column over freshly staged files —
+    * ONE grouped scan of the new files only (the shardedExport manifest
+    * trick), keyed by relative file name. */
+  private def rangesOf(
+      df: DataFrame, path: String, commitId: String, statsCol: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val spark = df.sparkSession
+    spark.read.parquet(s"$path/data/$commitId")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol).cast("long")).as("lo"), max(col(statsCol).cast("long")).as("hi"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None // all-null file: no range, never pruned
+        else {
+          val p = new java.net.URI(r.getString(0)).getPath
+          val i = p.lastIndexOf("/data/")
+          Some(p.substring(i + "/data/".length) -> (r.getLong(1), r.getLong(2)))
+        }
+      }.toMap
+  }
+
   /** Atomically publish `files` as the next version. Returns the version
     * committed. Optimistic: on a lost race the next version number is
     * re-read and the commit retried ([[commitAppend]] re-bases on the
@@ -131,6 +172,8 @@ object VersionedTable {
       newFiles: Seq[String],
       carryForward: Boolean,
       txn: Option[(String, Long)] = None,
+      newRanges: Map[String, (Long, Long)] = Map.empty,
+      statsCol: Option[String] = None,
       maxAttempts: Int = 20): Option[Long] = {
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/$VersionDir"))
@@ -139,7 +182,8 @@ object VersionedTable {
       attempt += 1
       val prev = versions(spark, path).lastOption
       val next = prev.getOrElse(0L) + 1
-      val prevTxn = prev.map(v => txnOf(manifestText(spark, path, v))).getOrElse(Map.empty)
+      val prevText = prev.map(v => manifestText(spark, path, v))
+      val prevTxn = prevText.map(txnOf).getOrElse(Map.empty)
       // Idempotency check INSIDE the commit loop: a lost race re-reads the
       // winner's manifest, so a concurrent duplicate of the same batch is
       // caught no matter which writer wins the version slot.
@@ -154,9 +198,22 @@ object VersionedTable {
       val files =
         (if (carryForward) prev.toSeq.flatMap(manifestFiles(spark, path, _)) else Seq.empty) ++
           newFiles
+      // file ranges follow their files: carried files keep prior ranges
+      // (restricted to files actually in this manifest), new files add
+      // theirs; the stats column sticks unless a writer redeclares it
+      val (prevCol, prevRanges) = prevText.map(statsOf).getOrElse((None, Map.empty[String, (Long, Long)]))
+      val col = statsCol.orElse(prevCol)
+      val ranges = (prevRanges ++ newRanges).view.filterKeys(files.toSet).toMap
+      val statsJson = col match {
+        case Some(c) if ranges.nonEmpty =>
+          val body = ranges.toSeq.sortBy(_._1)
+            .map { case (k, (lo, hi)) => s""""$k":[$lo,$hi]""" }.mkString(",")
+          s""""stats":{"col":"$c","ranges":{$body}},"""
+        case _ => ""
+      }
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson +
+          txnJson + statsJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -177,6 +234,78 @@ object VersionedTable {
   def commitAppend(df: DataFrame, path: String): Long = {
     val (_, names) = stageData(df, path)
     publish(df.sparkSession, path, "append", names, carryForward = true).get
+  }
+
+  /** Append with FILE-SKIPPING statistics: record each new file's
+    * [min, max] of the long key `statsCol` in the manifest (one grouped
+    * scan of the new files), so [[readWhere]] can prune files from the
+    * MANIFEST alone — no footer reads, no directory listing, the
+    * Iceberg-manifest trick. Pair with a range-clustered write layout to
+    * make the ranges disjoint and the pruning sharp. */
+  def commitAppend(df: DataFrame, path: String, statsCol: String): Long = {
+    val (commitId, names) = stageData(df, path)
+    val ranges = rangesOf(df, path, commitId, statsCol)
+    publish(df.sparkSession, path, "append", names, carryForward = true,
+      newRanges = ranges, statsCol = Some(statsCol)).get
+  }
+
+  /** The data files of `version` (latest by default) whose recorded
+    * [min, max] range intersects [lo, hi] — plus any file with no
+    * recorded range (never pruned; safety over sharpness). Resolved from
+    * ONE manifest read. Relative names; exposed for plan/spec assertions. */
+  def filesForRange(
+      spark: SparkSession, path: String, lo: Long, hi: Long,
+      version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    val (_, ranges) = statsOf(text)
+    manifestFiles(spark, path, v).filter { f =>
+      ranges.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+  }
+
+  /** Key-range read using manifest-level file skipping: open only the
+    * files [[filesForRange]] keeps, then apply the exact predicate to the
+    * survivors. At 100 TB this turns a point/range lookup on the cluster
+    * key into O(files-hit) I/O with ZERO metadata reads beyond one tiny
+    * manifest. */
+  def readWhere(
+      spark: SparkSession, path: String, statsCol: String, lo: Long, hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = filesForRange(spark, path, lo, hi, version)
+    if (keep.isEmpty) {
+      // preserve the schema without reading data: empty frame over v's schema
+      val full = read(spark, path, version)
+      full.filter(org.apache.spark.sql.functions.lit(false))
+    } else
+      spark.read.parquet(keep.map(n => s"$path/data/$n"): _*)
+        .filter(col(statsCol).cast("long").between(lo, hi))
+  }
+
+  /** Change-data feed for append-only history: the rows added between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive) — exactly the
+    * files that joined the manifest in that window, so an incremental
+    * consumer reads ONLY the increment (the versioned-table half of the
+    * backfill-then-incremental pattern). Refuses windows containing
+    * overwrite/delete commits: a row-level diff is not expressible as
+    * added files there. */
+  def changes(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.contains(fromVersion) && vs.contains(toVersion) && fromVersion <= toVersion,
+      s"need committed fromVersion <= toVersion, got $fromVersion..$toVersion of ${vs.mkString(",")}")
+    val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    val ops = window.map(v => v -> operationOf(manifestText(spark, path, v)))
+    val bad = ops.filterNot { case (_, op) => op == "append" || op == "stream-append" }
+    require(bad.isEmpty,
+      s"changes() needs an append-only window; version(s) ${bad.map(_._1).mkString(",")} " +
+        s"are ${bad.map(_._2).distinct.mkString("/")}")
+    val before = manifestFiles(spark, path, fromVersion).toSet
+    val added = manifestFiles(spark, path, toVersion).filterNot(before)
+    if (added.isEmpty) read(spark, path, Some(toVersion)).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(added.map(n => s"$path/data/$n"): _*)
   }
 
   /** Replace the table contents with `df` as a new version. Old versions

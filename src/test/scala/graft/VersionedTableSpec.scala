@@ -124,6 +124,55 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.versions(spark, path) == Seq(4L))
   }
 
+  test("manifest file-range stats prune a key-range read to the files that can match") {
+    val path = freshDir()
+    // three stats-carrying appends with disjoint key ranges, range-
+    // clustered inside each commit so per-file ranges are tight
+    def clustered(lo: Int, hi: Int) =
+      batch(lo, hi).repartitionByRange(3, col("id"))
+    VersionedTable.commitAppend(clustered(0, 100), path, statsCol = "id")
+    VersionedTable.commitAppend(clustered(100, 200), path, statsCol = "id")
+    VersionedTable.commitAppend(clustered(200, 300), path, statsCol = "id")
+    val all = VersionedTable.read(spark, path)
+    val total = all.inputFiles.length
+    // the pruned file set must cover the range and skip the other commits
+    val kept = VersionedTable.filesForRange(spark, path, 110, 119)
+    assert(kept.nonEmpty && kept.size < total, s"kept ${kept.size} of $total files")
+    val got = VersionedTable.readWhere(spark, path, "id", 110, 119)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (110L to 119L))
+    // an empty range reads nothing but keeps the schema
+    val none = VersionedTable.readWhere(spark, path, "id", 5000, 6000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // a stats-less append is NEVER pruned (safety over sharpness)
+    VersionedTable.commitAppend(batch(1000, 1010), path) // no statsCol
+    val keptAfter = VersionedTable.filesForRange(spark, path, 110, 119)
+    val got2 = VersionedTable.readWhere(spark, path, "id", 110, 119)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got2 == (110L to 119L))
+    // the unranged files are in every pruned set
+    assert(keptAfter.size > kept.size)
+  }
+
+  test("changes() returns exactly the appended increment and refuses non-append windows") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    VersionedTable.commitAppend(batch(10, 25), path)
+    VersionedTable.commitAppend(batch(25, 30), path)
+    // window (1, 3]: the second and third appends
+    val delta = VersionedTable.changes(spark, path, 1L, 3L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(delta == (10L until 30L))
+    // empty window
+    assert(VersionedTable.changes(spark, path, 3L, 3L).count() == 0)
+    // an overwrite inside the window is refused
+    VersionedTable.commitOverwrite(batch(0, 5), path)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, path, 1L, 4L).collect()
+    }
+    assert(err.getMessage.contains("append-only"))
+  }
+
   test("deleteWhere with no matches commits nothing; NULL-predicate rows survive") {
     val path = freshDir()
     VersionedTable.commitAppend(
