@@ -405,14 +405,69 @@ object VersionedTable {
   /** Read a version (default: latest). The file list is resolved on the
     * driver from one tiny manifest — no directory listing of the data
     * tree, so uncommitted/staged files are structurally invisible. */
-  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+  def read(
+      spark: SparkSession, path: String, version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not found at $path (have ${vs.mkString(",")})")
     val files = manifestFiles(spark, path, v)
     require(files.nonEmpty, s"version $v of $path has no data files (empty commit)")
-    spark.read.parquet(files.map(n => s"$path/data/$n"): _*)
+    // mergeSchema reconciles commits written with EVOLVED schemas (new
+    // nullable columns) at the cost of reading every file's footer — off
+    // by default, on for tables that append with schema drift.
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(n => s"$path/data/$n"): _*)
+  }
+
+  /** Compact the current snapshot's small files into ~`targetRowsPerFile`
+    * files as a new version — the log-structured write pattern (many
+    * stream/append commits) eventually sprawls into thousands of tiny
+    * files whose per-file open/footer cost dominates a scan; compaction
+    * rewrites them WITHOUT changing a row. Only file groups smaller than
+    * the target participate; files already at/above target carry by
+    * reference. If the table has file-range stats, the compacted files
+    * are range-clustered on that column and their new ranges recorded, so
+    * [[readWhere]] pruning stays sharp after compaction. Old versions
+    * still time-travel until [[vacuum]]. Returns (newVersion,
+    * filesRewritten) — or (currentVersion, 0) when nothing qualifies. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be positive")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val current = vs.last
+    val text = manifestText(spark, path, current)
+    val rel = manifestFiles(spark, path, current)
+    val (statsColOpt, _) = statsOf(text)
+    // one footer-only pass: rows per file
+    val counts: Map[String, Long] = {
+      import org.apache.spark.sql.functions.{count, input_file_name, lit}
+      spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect().map { r =>
+          val p = new java.net.URI(r.getString(0)).getPath
+          p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
+        }.toMap
+    }
+    val small = rel.filter(f => counts.getOrElse(f, 0L) < targetRowsPerFile)
+    if (small.size < 2) return (current, 0L) // nothing to merge
+    val keep = rel.filterNot(small.toSet)
+    val smallRows = small.map(counts.getOrElse(_, 0L)).sum
+    val nOut = math.max(1, math.ceil(smallRows.toDouble / targetRowsPerFile).toInt)
+    val df = spark.read.parquet(small.map(n => s"$path/data/$n"): _*)
+    val packed = statsColOpt match {
+      case Some(c) => df.repartitionByRange(nOut, col(c)) // keep pruning sharp
+      case None    => df.repartition(nOut)
+    }
+    val (commitId, names) = stageData(packed, path)
+    val ranges = statsColOpt
+      .map(c => rangesOf(packed, path, commitId, c))
+      .getOrElse(Map.empty[String, (Long, Long)])
+    val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
+      newRanges = ranges, statsCol = statsColOpt).get
+    (v, small.size.toLong)
   }
 
   /** Drop versions older than the last `keepLast` and delete every data

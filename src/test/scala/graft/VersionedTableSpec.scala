@@ -173,6 +173,45 @@ class VersionedTableSpec extends SparkSuite {
     assert(err.getMessage.contains("append-only"))
   }
 
+  test("compact merges small files, keeps every row, and keeps range pruning sharp") {
+    val path = freshDir()
+    // many tiny stats-carrying appends -> file sprawl
+    (0 until 10).foreach(i =>
+      VersionedTable.commitAppend(
+        batch(i * 20, (i + 1) * 20).repartition(2), path, statsCol = "id"))
+    val before = VersionedTable.read(spark, path)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore >= 20)
+    val (v, rewritten) = VersionedTable.compact(spark, path, targetRowsPerFile = 100)
+    assert(v == 11L && rewritten == filesBefore)
+    val after = VersionedTable.read(spark, path)
+    assert(after.inputFiles.length < filesBefore / 2,
+      s"${after.inputFiles.length} files after compacting $filesBefore")
+    assert(after.select("id").as[Long].collect().sorted.toSeq == (0L until 200L))
+    // stats were recomputed for the packed files: pruning still works
+    val kept = VersionedTable.filesForRange(spark, path, 0, 49)
+    assert(kept.size < after.inputFiles.length)
+    assert(VersionedTable.readWhere(spark, path, "id", 0, 49)
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 49L))
+    // pre-compaction snapshot still time-travels
+    assert(VersionedTable.read(spark, path, Some(10L)).count() == 200)
+    // compacting a compacted table is a no-op
+    val (v2, r2) = VersionedTable.compact(spark, path, targetRowsPerFile = 100)
+    assert(v2 == 11L && r2 == 0L)
+  }
+
+  test("schema evolution: mergeSchema read reconciles commits with a new nullable column") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path)
+    VersionedTable.commitAppend(
+      (5 until 8).map(i => (i.toLong, s"row_$i", s"extra_$i")).toDF("id", "v", "tag"), path)
+    val merged = VersionedTable.read(spark, path, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "v", "tag"))
+    assert(merged.count() == 8)
+    // old-commit rows surface the evolved column as null
+    assert(merged.filter(col("tag").isNull).count() == 5)
+  }
+
   test("deleteWhere with no matches commits nothing; NULL-predicate rows survive") {
     val path = freshDir()
     VersionedTable.commitAppend(
