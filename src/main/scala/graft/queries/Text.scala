@@ -723,7 +723,39 @@ object Text {
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_variants, md5(ct) AS canon_md5
             FROM c GROUP BY ct ORDER BY keep_id"""))
 
+  /** Q123 — unigram LM scoring ([[graft.ops.LangModel]]): every document
+    * scored by its mean token log-probability under the add-one-smoothed
+    * unigram model of the corpus itself — the deterministic member of the
+    * model-based quality-filter family (score against a trusted corpus,
+    * drop the tail). One vocabulary-keyed shuffle to train, a
+    * vocabulary-sized hash join + per-doc agg to score. The oracle
+    * recomputes the identical model and smoothing in SQL (LN both sides;
+    * per-doc sums are ~1e2 terms, so ROUND(6) is far above FP
+    * re-association noise). */
+  val q123 = QueryDef(
+    "q123_unigram_logprob",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.ops.LangModel.unigramCounts(docs)
+      graft.ops.LangModel.scoreDocs(docs, vocab)
+        .select(col("doc_id"), col("n_tokens"), r6(col("avg_logprob")).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(str_split(text,' ')) AS token FROM documents),
+                 v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+                 s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total,
+                              CAST(COUNT(*) AS DOUBLE) AS v_size FROM v),
+                 dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+                 sc AS (SELECT doc_id, SUM(tf) AS n_tokens,
+                               SUM(tf * LN((COALESCE(v.cnt, 0) + 1) / (s.n_total + s.v_size)))
+                                 / SUM(tf) AS lp
+                        FROM dt LEFT JOIN v USING (token) CROSS JOIN s
+                        GROUP BY doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(lp, 6) AS avg_logprob
+            FROM sc ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123)
 }
