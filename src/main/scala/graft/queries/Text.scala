@@ -721,7 +721,8 @@ object Text {
                         '  +', ' ', 'g')) AS ct
             FROM documents)
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_variants, md5(ct) AS canon_md5
-            FROM c GROUP BY ct ORDER BY keep_id"""))
+            FROM c GROUP BY ct ORDER BY keep_id"""),
+    headline = true)
 
   /** Q123 — unigram LM scoring ([[graft.ops.LangModel]]): every document
     * scored by its mean token log-probability under the add-one-smoothed
