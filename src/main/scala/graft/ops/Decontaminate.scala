@@ -61,4 +61,30 @@ object Decontaminate {
         size(col("_hs")).cast("long").as("n_grams"),
         size(array_intersect(col("_hs"), col("_bench"))).cast("long").as("n_hit"))
   }
+
+  /** SEMANTIC decontamination — the complement to [[overlap]]'s n-gram
+    * collision check: paraphrased benchmark leakage shares no n-grams but
+    * lands close in embedding space. Each corpus vector gets its max
+    * cosine against the benchmark set; callers threshold (the published
+    * practice pairs a high semantic bar with the exact n-gram one).
+    *
+    * Scale shape: the benchmark is tiny by construction → broadcast; the
+    * corpus side stays a scan (broadcast-nested-loop against |bench|
+    * rows), and the per-id max partial-aggregates map-side, so the one
+    * shuffle carries |corpus| rows. Cosine is the fused codegen
+    * expression; zero-norm vectors yield NaN and are reported as -1
+    * (never spuriously contaminated).
+    *
+    * Input frames use [[Ann.prepared]]'s (vec_id, emb) shape. Output:
+    * (vec_id, max_bench_sim). */
+  def semanticOverlap(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val b = benchmark.select(col("emb").as("_b_emb"))
+    corpus
+      .crossJoin(broadcast(b))
+      .select(
+        col("vec_id"),
+        graft.functions.CosineSimilarity(col("emb"), col("_b_emb")).as("_sim"))
+      .groupBy("vec_id")
+      .agg(coalesce(max(when(!isnan(col("_sim")), col("_sim"))), lit(-1.0)).as("max_bench_sim"))
+  }
 }

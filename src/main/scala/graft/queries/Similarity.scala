@@ -182,5 +182,32 @@ object Similarity {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89, q117)
+  /** Q124 — SEMANTIC decontamination ([[graft.ops.Decontaminate
+    * .semanticOverlap]], complementing q95's exact n-gram check):
+    * paraphrased benchmark leakage shares no n-grams but lands close in
+    * embedding space, so every corpus vector reports its max cosine to
+    * the (fixed-size, broadcast) benchmark set and a flag at the 0.25
+    * bar. The flag compares the ROUNDED similarity in both engines, so
+    * the boundary is engine-agnostic. */
+  val q124 = QueryDef(
+    "q124_semantic_decontaminate",
+    (s, d) => {
+      val all = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val bench = all.orderBy("vec_id").limit(20)
+      val corpus = all.join(bench.select("vec_id"), Seq("vec_id"), "left_anti")
+      graft.ops.Decontaminate.semanticOverlap(corpus, bench)
+        .select(col("vec_id"), r6(col("max_bench_sim")).as("max_bench_sim"))
+        .withColumn("flagged", col("max_bench_sim") >= 0.25)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 b AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 20),
+                 c AS (SELECT * FROM e WHERE vec_id NOT IN (SELECT vec_id FROM b)),
+                 m AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.emb, b.emb)) AS ms
+                       FROM c CROSS JOIN b GROUP BY c.vec_id)
+            SELECT vec_id, ROUND(ms, 6) AS max_bench_sim,
+                   ROUND(ms, 6) >= 0.25 AS flagged
+            FROM m ORDER BY vec_id"""))
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124)
 }

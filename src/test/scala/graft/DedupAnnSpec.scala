@@ -139,4 +139,16 @@ class DedupAnnSpec extends SparkSuite {
     val bad = spark.createDataset(Seq(Multimodal.MediaRecord(99L, Array[Byte](1, 2, 3))))
     assert(Multimodal.extractFeatures(spark, bad).isEmpty)
   }
+
+  test("semantic decontamination: zero-norm corpus vectors report -1, never flagged") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), // identical to a bench vector -> sim 1
+      (2L, Array(0.0, 0.0))  // zero norm: cosine undefined -> -1 sentinel
+    ).toDF("vec_id", "emb")
+    val bench = Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "emb")
+    val got = graft.ops.Decontaminate.semanticOverlap(corpus, bench)
+      .orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, -1.0)))
+  }
 }
