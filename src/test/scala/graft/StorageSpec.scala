@@ -231,4 +231,43 @@ class StorageSpec extends SparkSuite {
     assert(rows.map(_.toString).sorted.toSeq == expected.map(_.toString).sorted.toSeq)
     assert(rows.nonEmpty)
   }
+
+  test("parquet footer aggregate pushdown: MIN/MAX/COUNT answered from statistics") {
+    // The built-in companion to graft-media's listing-level aggregate
+    // pushdown: with spark.sql.parquet.aggregatePushdown on, a bare
+    // MIN/MAX/COUNT over a parquet table is answered from row-group
+    // FOOTER statistics — the scan decodes no data pages at all. At
+    // 100 TB that turns table-level accounting into metadata I/O.
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // footer-stat pushdown lives in the DSv2 parquet reader; parquet is
+      // on the V1 list by default
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read.parquet(s"$sf0001/orders.parquet")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
+      val row = df.collect()(0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"aggregate not pushed to the parquet scan:\n$plan")
+      // values must equal the normal read path
+      val exp = spark.read.parquet(s"$sf0001/orders.parquet")
+      assert(row.getLong(0) == exp.count())
+      val mm = exp.agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+      assert(row.getLong(1) == mm.getLong(0) && row.getLong(2) == mm.getLong(1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None    => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None    => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
 }
