@@ -28,7 +28,8 @@ object CorpusPipeline {
 
   /** The prepared corpus plus a per-stage row-count thunk — call it after
     * ONE action has materialized `result`. Stages (in order): `input`,
-    * `quality`, `exact_dedup`, `near_dup`, `decontaminated`. */
+    * `quality`, `exact_dedup`, `near_dup`, `decontaminated`, and
+    * `semantic` when embeddings are supplied. */
   final case class Prepared(result: DataFrame, stageCounts: () => Seq[(String, Long)])
 
   /** @param docs           corpus with `doc_id` and `textCol`
@@ -39,6 +40,13 @@ object CorpusPipeline {
     * @param minJaccard     near-dup threshold for keep-one-per-group
     * @param maxOverlapFrac drop docs with > this fraction of their
     *                       n-grams present in the benchmark
+    * @param embeddings     optional SEMANTIC decontamination inputs:
+    *                       (corpus embeddings, benchmark embeddings) in
+    *                       [[graft.ops.Ann.prepared]]'s (vec_id, emb)
+    *                       shape with vec_id == doc_id — catches
+    *                       paraphrased leakage the n-gram stage cannot
+    *                       ([[Decontaminate.semanticOverlap]])
+    * @param maxSemanticSim drop docs whose max benchmark cosine ≥ this
     */
   def prepare(
       docs: DataFrame,
@@ -46,8 +54,11 @@ object CorpusPipeline {
       textCol: String = "text",
       minQuality: Double = 0.3,
       minJaccard: Double = 0.8,
-      maxOverlapFrac: Double = 0.5): Prepared = {
-    val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated")
+      maxOverlapFrac: Double = 0.5,
+      embeddings: Option[(DataFrame, DataFrame)] = None,
+      maxSemanticSim: Double = 0.95): Prepared = {
+    val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated") ++
+      (if (embeddings.isDefined) Seq("semantic") else Nil)
     val obs = stages.map(s => s -> new Observation(s"cp_$s")).toMap
     def counted(df: DataFrame, stage: String): DataFrame =
       df.observe(obs(stage), count(lit(1)).as("n"))
@@ -100,11 +111,20 @@ object CorpusPipeline {
       nearKept.join(contaminated, Seq("doc_id"), "left_anti"),
       "decontaminated")
 
+    // Optional semantic stage: paraphrased benchmark leakage (close in
+    // embedding space, disjoint in n-grams) anti-joins out the same way.
+    val semKept = embeddings.fold(decontaminated) { case (corpusEmb, benchEmb) =>
+      val doom = Decontaminate.semanticOverlap(corpusEmb, benchEmb)
+        .filter(col("max_bench_sim") >= maxSemanticSim)
+        .select(col("vec_id").as("doc_id"))
+      counted(decontaminated.join(doom, Seq("doc_id"), "left_anti"), "semantic")
+    }
+
     // Deterministic split (q110's function): stable under corpus growth.
     val bucket = conv(
       substring(md5(concat(lit("split-v1:"), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("int") % 100
-    val result = decontaminated.withColumn(
+    val result = semKept.withColumn(
       "split",
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
 

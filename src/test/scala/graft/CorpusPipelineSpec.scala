@@ -48,6 +48,25 @@ class CorpusPipelineSpec extends SparkSuite {
       "near_dup" -> 3L, "decontaminated" -> 2L), s"stage accounting: $counts")
   }
 
+  test("the optional semantic stage drops paraphrased leakage the n-gram stage missed") {
+    // doc 4 paraphrases the benchmark: disjoint tokens (textB vs textC),
+    // but its embedding is nearly identical to the benchmark's — only the
+    // semantic stage can catch it
+    val corpusEmb = Seq(
+      (1L, Array(0.0, 1.0, 0.0)), // far from the benchmark -> survives
+      (4L, Array(0.999, 0.04, 0.0))).toDF("vec_id", "emb")
+    val benchEmb = Seq((100L, Array(1.0, 0.04, 0.0))).toDF("vec_id", "emb")
+    val prepared = CorpusPipeline.prepare(
+      corpus, benchmark, embeddings = Some((corpusEmb, benchEmb)), maxSemanticSim = 0.99)
+    assert(prepared.result.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L))
+    val counts = prepared.stageCounts().toMap
+    assert(counts("decontaminated") == 2L && counts("semantic") == 1L,
+      s"stage accounting: $counts")
+    // without embeddings the paraphrase survives (the n-gram check is blind to it)
+    val withoutSem = CorpusPipeline.prepare(corpus, benchmark)
+    assert(withoutSem.result.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("the pipeline is deterministic across runs and layouts") {
     val a = CorpusPipeline.prepare(corpus.repartition(7), benchmark)
       .result.orderBy("doc_id").collect().map(_.toString).toSeq
