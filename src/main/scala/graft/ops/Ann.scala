@@ -134,6 +134,52 @@ object Ann {
     IvfIndex(centroids, spark.read.parquet(s"$path/cells"))
   }
 
+  /** Nearest-centroid cell assignment (squared Euclidean — exactly the
+    * KMeans transform rule, so incremental rows land where a rebuild
+    * would put them). Centroids ride a broadcast; the input is one scan. */
+  def assignToCentroids(vectors: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(centroids)
+    vectors.select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, emb) =>
+          var best = 0; var bestD = Double.MaxValue; var idx = 0
+          while (idx < cs.length) {
+            val c = cs(idx); var d = 0.0; var i = 0
+            while (i < math.min(c.length, emb.length)) {
+              val diff = c(i) - emb(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = idx }
+            idx += 1
+          }
+          (id, emb, best)
+        }
+      }
+      .toDF("vec_id", "emb", "cell")
+  }
+
+  /** Incremental index ingestion: assign a new batch to the EXISTING
+    * centroids and append it to the cell-partitioned store — no k-means
+    * rerun, no rewrite of resident cells; the write touches only the
+    * partitions the batch lands in. This is how a 100 TB vector corpus
+    * actually grows (the [[graft.ops.Dedup.ingestIncrement]] pattern for
+    * ANN). Centroids do NOT move: under drift the cell-size skew grows
+    * and recall decays toward the LSH bound — monitor cell sizes and
+    * rebuild when the max/mean ratio crosses your bar (the IVF analog of
+    * reindexing). Returns rows appended. */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, newVectors: DataFrame): Long = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(r => r.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, s"no centroids at $path — build the index first")
+    val assigned = assignToCentroids(newVectors, centroids)
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    n
+  }
+
   /** Query a prebuilt index: each probe ranks only its `nprobe` nearest
     * cells — a broadcast join on cell id, ~|corpus| * nprobe / nlist
     * candidates per probe, no k-means work. */

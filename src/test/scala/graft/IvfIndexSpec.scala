@@ -53,4 +53,34 @@ class IvfIndexSpec extends SparkSuite {
     val cellDirs = new java.io.File(s"$dir/cells").listFiles().filter(_.getName.startsWith("cell="))
     assert(cellDirs.length == 8, cellDirs.mkString(","))
   }
+
+  test("incremental ingestion: appended vectors land in their nearest cell and are findable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val resident = corpus.filter(col("vec_id") < 200)
+    val increment = corpus.filter(col("vec_id") >= 200)
+    Ann.saveIvfIndex(Ann.buildIvfIndex(resident, nlist = 8), dir)
+    val appended = Ann.appendToIvfIndex(spark, dir, increment)
+    assert(appended == 200L)
+    val loaded = Ann.loadIvfIndex(spark, dir)
+    assert(loaded.assigned.count() == 400)
+    // every appended row sits in its driver-computed nearest cell
+    val cs = loaded.centroids
+    val placed = loaded.assigned.filter(col("vec_id") >= 200)
+      .select("vec_id", "emb", "cell")
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(placed.length == 200)
+    placed.foreach { case (id, emb, cell) =>
+      val best = cs.indices.minBy { idx =>
+        val c = cs(idx)
+        c.indices.map(i => (c(i) - emb(i)) * (c(i) - emb(i))).sum
+      }
+      assert(cell == best, s"vec $id in cell $cell, nearest is $best")
+    }
+    // an appended vector is found by a probe at its own position (sim 1)
+    val probe = increment.filter(col("vec_id") === 300)
+      .select(lit(9999L).as("vec_id"), col("emb"))
+    val top = Ann.queryIvf(loaded, probe, k = 1, nprobe = 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 300L && top(0).getDouble(2) == 1.0,
+      top.mkString(","))
+  }
 }
