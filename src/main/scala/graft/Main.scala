@@ -44,9 +44,30 @@ object Main {
     case "list" :: Nil =>
       SparkEntry.registry.foreach(q =>
         println(f"${q.name}%-28s oracle=${q.oracle.isDefined}%-5s headline=${q.headline}"))
+    // Versioned-table ops surface (the maintenance commands a table owner
+    // schedules: audit trail, small-file compaction, retention vacuum).
+    case "table-history" :: path :: Nil =>
+      val spark = GraftSession.local()
+      graft.io.VersionedTable.history(spark, path).foreach { v =>
+        val writers = if (v.writers.isEmpty) "" else v.writers.mkString(" writers=[", ",", "]")
+        println(f"v${v.version}%-4d ${v.operation}%-14s parent=${v.parent}%-4d files=${v.nFiles}%-5d$writers")
+      }
+      spark.stop()
+    case "table-compact" :: path :: target :: Nil =>
+      val spark = GraftSession.local()
+      val (v, rewritten) = graft.io.VersionedTable.compact(spark, path, target.toLong)
+      println(s"[graft] compacted $rewritten files -> version $v")
+      spark.stop()
+    case "table-vacuum" :: path :: keepLast :: Nil =>
+      val spark = GraftSession.local()
+      val (manifests, files) = graft.io.VersionedTable.vacuum(spark, path, keepLast.toInt)
+      println(s"[graft] vacuumed $manifests versions, $files data files")
+      spark.stop()
     case other =>
       System.err.println(
-        s"usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | list (got: $other)")
+        "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
+          "list | table-history <path> | table-compact <path> <rowsPerFile> | " +
+          s"table-vacuum <path> <keepLast> (got: $other)")
       sys.exit(1)
   }
 }

@@ -421,6 +421,22 @@ object VersionedTable {
       .parquet(files.map(n => s"$path/data/$n"): _*)
   }
 
+  /** One row per committed version: (version, operation, parent, nFiles,
+    * txn writers) — the audit/ops view of the table (driver-side, one
+    * tiny manifest read per version; run it on the ops path, not per
+    * query). */
+  final case class VersionInfo(
+      version: Long, operation: String, parent: Long, nFiles: Int, writers: Seq[String])
+
+  def history(spark: SparkSession, path: String): Seq[VersionInfo] =
+    versions(spark, path).map { v =>
+      val text = manifestText(spark, path, v)
+      val parent = raw""""parent":(-?\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      VersionInfo(v, operationOf(text), parent,
+        manifestFiles(spark, path, v).size, txnOf(text).keys.toSeq.sorted)
+    }
+
   /** Compact the current snapshot's small files into ~`targetRowsPerFile`
     * files as a new version — the log-structured write pattern (many
     * stream/append commits) eventually sprawls into thousands of tiny

@@ -200,6 +200,18 @@ class VersionedTableSpec extends SparkSuite {
     assert(v2 == 11L && r2 == 0L)
   }
 
+  test("history reports every version's operation, lineage, file count, and writers") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    VersionedTable.commitStreamBatch(batch(10, 12), path, "ingest", 0L)
+    VersionedTable.commitOverwrite(batch(0, 3), path)
+    val h = VersionedTable.history(spark, path)
+    assert(h.map(v => (v.version, v.operation, v.parent)) ==
+      Seq((1L, "append", -1L), (2L, "stream-append", 1L), (3L, "overwrite", 2L)))
+    assert(h(1).writers == Seq("ingest") && h(2).writers == Seq("ingest"))
+    assert(h(0).nFiles > 0 && h(1).nFiles > h(0).nFiles)
+  }
+
   test("schema evolution: mergeSchema read reconciles commits with a new nullable column") {
     val path = freshDir()
     VersionedTable.commitAppend(batch(0, 5), path)
