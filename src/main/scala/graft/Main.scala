@@ -44,6 +44,15 @@ object Main {
     case "list" :: Nil =>
       SparkEntry.registry.foreach(q =>
         println(f"${q.name}%-28s oracle=${q.oracle.isDefined}%-5s headline=${q.headline}"))
+    case "metrics" :: name :: sfDir :: Nil =>
+      val spark = GraftSession.local()
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val summary = graft.tools.PlanMetrics.run(fn(spark, sfDir))
+          println(graft.tools.PlanMetrics.render(summary))
+        case None => System.err.println(s"unknown query '$name'"); sys.exit(1)
+      }
+      spark.stop()
     // Versioned-table ops surface (the maintenance commands a table owner
     // schedules: audit trail, small-file compaction, retention vacuum).
     case "table-history" :: path :: Nil =>
