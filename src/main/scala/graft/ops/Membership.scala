@@ -66,6 +66,51 @@ object Membership {
           x => x.getField("_id")).as("ids"))
   }
 
+  /** Tokenizer ENCODE, broadcast-map form — the COMMON case: every
+    * production tokenizer vocabulary (50k–200k entries) fits in executor
+    * memory, so the encode is one scan with a hash-map lookup per token:
+    * no explode, no join, NO SHUFFLE (the [[encodeTokens]] join form
+    * shuffles one row per token for the re-assembly). Same output
+    * contract as [[encodeTokens]] — (idCol, n_tok, n_oov, ids), OOV
+    * counted from the lookup miss before the 0 sentinel, zero-token docs
+    * produce no row — and MembershipSpec pins the two paths equal.
+    * `maxEntries` guards the driver collect; above it, use the join form
+    * (that is what it is for). `idCol` must be long-typed; vocab ids cast
+    * to int. */
+  def encodeTokensBroadcast(
+      docs: DataFrame, idCol: String, toks: Column, vocab: DataFrame,
+      maxEntries: Int = 2000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val entries = vocab.toDF("_w", "_id")
+      .select(col("_w").cast("string"), col("_id").cast("int"))
+      .limit(maxEntries + 1)
+      .as[(String, Int)].collect()
+    require(entries.length <= maxEntries,
+      s"vocab exceeds $maxEntries entries — use the join form encodeTokens")
+    val b = spark.sparkContext.broadcast(entries.toMap)
+    docs.select(col(idCol).cast("long"), toks)
+      .filter(size(toks) > 0)
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val m = b.value
+        it.map { case (id, ts) =>
+          val ids = new Array[Int](ts.length)
+          var oov = 0L
+          var i = 0
+          ts.foreach { t =>
+            m.get(t) match {
+              case Some(v) => ids(i) = v
+              case None    => oov += 1 // counted on the miss, BEFORE the sentinel
+            }
+            i += 1
+          }
+          (id, ts.length.toLong, oov, ids.toSeq)
+        }
+      }
+      .toDF(idCol, "n_tok", "n_oov", "ids")
+  }
+
   /** Order-preserving stoplist removal: posexplode → broadcast LEFT ANTI
     * join → re-assemble by original position. Every doc id comes back —
     * a doc whose every token is stopped yields an empty `kept` array. */

@@ -299,12 +299,14 @@ object TrainPrep {
     None)
 
   /** Q104 — tokenizer encode (X4): tokens → vocabulary ids, OOV → 0, via
-    * [[Membership.encodeTokens]] (posexplode → broadcast hash join →
-    * positional re-assembly — the at-scale form; contrast q96's tiny-list
-    * array path). Vocabulary = q96's top-20 by (count desc, word), ids
-    * 1..20 in that order (the ranking window runs over 20 aggregated
-    * rows — bounded). The id sequence travels as an md5 of its
-    * space-joined rendering to keep the compare narrow. */
+    * [[Membership.encodeTokensBroadcast]] — the broadcast-map form every
+    * in-memory-vocab tokenizer uses: ONE scan, zero shuffle (the join
+    * form [[Membership.encodeTokens]] shuffles a row per token for the
+    * positional re-assembly; it remains the giant-vocab path and
+    * MembershipSpec pins the two equal). Vocabulary = q96's top-20 by
+    * (count desc, word), ids 1..20 in that order (the ranking window
+    * runs over 20 aggregated rows — bounded). The id sequence travels as
+    * an md5 of its space-joined rendering to keep the compare narrow. */
   val q104 = QueryDef(
     "q104_tokenize_encode",
     (s, d) => {
@@ -319,7 +321,7 @@ object TrainPrep {
           col("w"),
           row_number().over(
             graft.core.Windows.bounded(col("cnt").desc, col("w"))).as("id"))
-      Membership.encodeTokens(docs, "doc_id", TextFunctions.tokens(col("text")), vocab)
+      Membership.encodeTokensBroadcast(docs, "doc_id", TextFunctions.tokens(col("text")), vocab)
         .select(
           col("doc_id"),
           col("n_tok"),

@@ -66,6 +66,34 @@ class MembershipSpec extends SparkSuite {
       (2L, 1L, 0L, Seq(0))))
   }
 
+  test("encodeTokensBroadcast equals the join form on normal AND zero-based vocabularies") {
+    val rng = new scala.util.Random(23)
+    val vocabWords = (1 to 200).map(i => s"w$i")
+    val docs = (1L to 100L).map { id =>
+      (id, Seq.fill(5 + rng.nextInt(40))(
+        if (rng.nextInt(10) == 0) s"oov${rng.nextInt(50)}" else vocabWords(rng.nextInt(200))))
+    }.toDF("doc_id", "toks")
+    for (base <- Seq(1, 0)) { // standard and zero-based vocabularies
+      val vocab = vocabWords.zipWithIndex.map { case (w, i) => (w, i + base) }.toDF("w", "id")
+      val joinForm = Membership.encodeTokens(docs, "doc_id", col("toks"), vocab)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+      val mapForm = Membership.encodeTokensBroadcast(docs, "doc_id", col("toks"), vocab)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Seq[Int])].collect().toSeq
+      assert(mapForm == joinForm, s"paths diverged for base=$base")
+    }
+    // zero-token docs produce no row in either form
+    val empty = Seq((9L, Seq.empty[String])).toDF("doc_id", "toks")
+    val vocab1 = vocabWords.zipWithIndex.map { case (w, i) => (w, i + 1) }.toDF("w", "id")
+    assert(Membership.encodeTokensBroadcast(empty, "doc_id", col("toks"), vocab1).count() == 0)
+    // the guard refuses an over-budget vocabulary
+    val err = intercept[IllegalArgumentException] {
+      Membership.encodeTokensBroadcast(docs, "doc_id", col("toks"), vocab1, maxEntries = 10)
+    }
+    assert(err.getMessage.contains("join form"))
+  }
+
   test("mixing byWeight repeats rows and drops weight<=0") {
     val df = Seq(("a", 3), ("b", 1), ("c", 0), ("d", -2)).toDF("k", "w")
     val got = graft.ops.Mixing.byWeight(df, col("w"))
