@@ -40,6 +40,11 @@ object CorpusPipeline {
     * @param minJaccard     near-dup threshold for keep-one-per-group
     * @param maxOverlapFrac drop docs with > this fraction of their
     *                       n-grams present in the benchmark
+    * @param keepBestQuality near-dup groups keep their HIGHEST-quality
+    *                       member (ties → lowest doc_id) instead of the
+    *                       lowest doc_id — the published pipelines' keep
+    *                       rule; exact-dup groups are identical text, so
+    *                       min-id is already quality-max there
     * @param embeddings     optional SEMANTIC decontamination inputs:
     *                       (corpus embeddings, benchmark embeddings) in
     *                       [[graft.ops.Ann.prepared]]'s (vec_id, emb)
@@ -55,6 +60,7 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       minJaccard: Double = 0.8,
       maxOverlapFrac: Double = 0.5,
+      keepBestQuality: Boolean = false,
       embeddings: Option[(DataFrame, DataFrame)] = None,
       maxSemanticSim: Double = 0.95): Prepared = {
     val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated") ++
@@ -76,8 +82,22 @@ object CorpusPipeline {
       .minhashNearDupPairs(clean, textCol, "doc_id", minJaccard = minJaccard)
       .select("a_id", "b_id")
     val (labels, _) = ConnectedComponents.label(pairs)
-    val nearDupDoom = labels.filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
+    val nearDupDoom =
+      if (!keepBestQuality)
+        labels.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+      else {
+        // keep the best-quality member per component (tie -> lowest id);
+        // the window partitions by component — groups are near-dup
+        // clusters, small by construction, never a global sort
+        import org.apache.spark.sql.expressions.Window
+        val q = clean.select(
+          col("doc_id").as("id"), TextFunctions.qualityScore(col(textCol)).as("_q"))
+        val w = Window.partitionBy("comp").orderBy(col("_q").desc, col("id"))
+        labels.join(q, Seq("id"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") > 1)
+          .select(col("id").as("doc_id"))
+      }
 
     val cleanCounted = counted(docs, "input")
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)

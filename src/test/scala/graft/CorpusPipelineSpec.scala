@@ -67,6 +67,19 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(withoutSem.result.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("keepBestQuality retains the highest-quality near-dup, not the lowest id") {
+    // doc 7 extends doc 1's text by 10 tokens: shingle Jaccard ~0.89 (a
+    // near-dup) but longer -> higher quality score than doc 1
+    val extended = textA + " " + (0 until 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, textA), (7L, extended), (4L, textB)).toDF("doc_id", "text")
+    val defaultKeep = CorpusPipeline.prepare(docs, benchmark)
+      .result.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(defaultKeep == Seq(1L, 4L), s"default must keep the lowest id: $defaultKeep")
+    val bestKeep = CorpusPipeline.prepare(docs, benchmark, keepBestQuality = true)
+      .result.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bestKeep == Seq(4L, 7L), s"keepBestQuality must keep the longer doc: $bestKeep")
+  }
+
   test("the pipeline is deterministic across runs and layouts") {
     val a = CorpusPipeline.prepare(corpus.repartition(7), benchmark)
       .result.orderBy("doc_id").collect().map(_.toString).toSeq
