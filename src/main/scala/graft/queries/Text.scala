@@ -756,7 +756,44 @@ object Text {
                    ROUND(lp, 6) AS avg_logprob
             FROM sc ORDER BY doc_id"""))
 
+  /** Q125 — token-entropy quality signal (X4, the diversity measure the
+    * published heuristic filters pair with repetition): per document,
+    * the Shannon entropy of its token distribution,
+    * −Σ (tf/n)·ln(tf/n) — 0 for a one-token loop, ln(n) for all-distinct
+    * text; low entropy at high length is the template/spam signature.
+    * One keyed shuffle: explode → groupBy(doc, token) partial-aggregates
+    * map-side (one row per DISTINCT doc-token crosses the wire), then a
+    * per-doc fold using the identity H = ln n − (Σ tf·ln tf)/n — a single
+    * aggregation, no second pass for the normalizer. The oracle
+    * recomputes the direct −Σ p·ln p sum (mathematically identical;
+    * both double, ≤ ~1e2 terms — ROUND(6) far above FP noise). */
+  val q125 = QueryDef(
+    "q125_token_entropy",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy("doc_id")
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * log(col("tf"))).as("_tlogt"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          r6(log(col("n_tokens")) - col("_tlogt") / col("n_tokens")).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents),
+                 tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY doc_id, w),
+                 n AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id)
+            SELECT tf.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+                   ROUND(-SUM((tf.tf / CAST(n.n AS DOUBLE))
+                              * LN(tf.tf / CAST(n.n AS DOUBLE))), 6) AS entropy
+            FROM tf JOIN n ON tf.doc_id = n.doc_id
+            GROUP BY tf.doc_id, n.n ORDER BY tf.doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
-      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123)
+      q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
+      q125)
 }
