@@ -583,17 +583,20 @@ object Relational {
       val base = ord(s, d).select("o_orderkey", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path)
       graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path)
+      // totals scaled to millions before rounding: at sf0.1 the raw sum is
+      // ~3.7e10, where cross-engine summation-order noise (~1e-4) sits ON
+      // the ROUND(,4) boundary — the q09 hazard, bitten at scale
       val v1 = graft.io.VersionedTable.read(s, path, Some(1L))
-        .agg(count(lit(1)).as("v1_cnt"), r4(sum("o_totalprice")).as("v1_total"))
+        .agg(count(lit(1)).as("v1_cnt"), r4(sum("o_totalprice") / lit(1e6)).as("v1_total_mm"))
       val latest = graft.io.VersionedTable.read(s, path)
-        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice") / lit(1e6)).as("total_mm"))
       v1.crossJoin(latest)
     },
     Some("""SELECT
               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS v1_cnt,
-              (SELECT ROUND(SUM(o_totalprice), 4) FROM orders WHERE o_orderkey % 2 = 0) AS v1_total,
+              (SELECT ROUND(SUM(o_totalprice)/1000000.0, 4) FROM orders WHERE o_orderkey % 2 = 0) AS v1_total_mm,
               (SELECT COUNT(*) FROM orders) AS cnt,
-              (SELECT ROUND(SUM(o_totalprice), 4) FROM orders) AS total"""))
+              (SELECT ROUND(SUM(o_totalprice)/1000000.0, 4) FROM orders) AS total_mm"""))
 
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
