@@ -47,6 +47,19 @@ object ConnectedComponents {
     * session-width scheduling overhead on every round. */
   private val LoopRowsPerPartition = 4L << 20
 
+  /** Loop width scales with the GRAPH, capped by the session setting: the
+    * symmetric closure is 2x edges, so partitions ≈ 2n / target. At 100 TB
+    * the cap (cluster-sized shuffle.partitions) wins; after aggressive
+    * blocking the edge set is tiny and a session-width shuffle per round
+    * would be pure scheduling overhead. `rowsPerPartition` is
+    * conf-overridable (`spark.graft.cc.loopRowsPerPartition`) so the spec
+    * can exercise the nEdges plumbing on a small graph (see the
+    * Option-match note in [[label]]). */
+  private[graft] def loopWidth(nEdges: Long, cap: Int, rowsPerPartition: Long): Int =
+    math.max(1L, math.min(
+      cap.toLong,
+      (2 * nEdges + rowsPerPartition - 1) / rowsPerPartition)).toInt
+
   def label(
       edges: DataFrame,
       maxIter: Int = 20,
@@ -80,18 +93,18 @@ object ConnectedComponents {
     val e = ckpt(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .observe(eObs, count(lit(1)).as("n")))
+    // The map lookup yields Option[Any]: match Some(n), not a bare Number
+    // (a bare-Number match against the Option NEVER fires, silently
+    // pinning nEdges to 0 and the loop to one partition — harmless on the
+    // tiny local graphs that hid it, a serialized label loop at scale).
     val nEdges = eObs.get.get("n") match {
-      case n: Number => n.longValue()
-      case _         => 0L
+      case Some(n: Number) => n.longValue()
+      case _               => 0L
     }
-    // Loop width scales with the GRAPH, capped by the session setting: the
-    // symmetric closure is 2x edges, so partitions ≈ 2n / target. At 100 TB
-    // the cap (cluster-sized shuffle.partitions) wins; after aggressive
-    // blocking the edge set is tiny and a session-width shuffle per round
-    // would be pure scheduling overhead.
-    val loopParts = math.max(1L, math.min(
-      shufflePartitions.toLong,
-      (2 * nEdges + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
+    val rowsPerPartition = spark.conf
+      .getOption("spark.graft.cc.loopRowsPerPartition")
+      .map(_.toLong).getOrElse(LoopRowsPerPartition)
+    val loopParts = loopWidth(nEdges, shufflePartitions, rowsPerPartition)
     val idType = e.schema("src").dataType
     // Symmetric closure once; propagation then only needs src->dst flow.
     // Self-loops carry no connectivity and are dropped HERE — but their

@@ -56,4 +56,32 @@ class ConnectedComponentsSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("the label loop is sized to the observed edge count, not pinned to one partition") {
+    // guards the Observation plumbing: the map lookup yields Option[Any],
+    // and a bare-Number match silently read nEdges as 0 (width 1 always)
+    assert(ConnectedComponents.loopWidth(0L, 32, 4L) == 1)
+    assert(ConnectedComponents.loopWidth(10L, 32, 4L) == 5) // ceil(20/4)
+    assert(ConnectedComponents.loopWidth(1000L, 32, 4L) == 32) // capped
+    // end to end: 10 edges with a 4-row target must LAY OUT the loop
+    // relations across 5 partitions — only possible if the observed count
+    // actually arrived. maxIter=0 returns the initial labels frame, the
+    // one carrying the loop's frozen partitioning (later rounds hand back
+    // the groupBy output, whose width AQE owns).
+    val prev = spark.conf.getOption("spark.graft.cc.loopRowsPerPartition")
+    try {
+      spark.conf.set("spark.graft.cc.loopRowsPerPartition", "4")
+      val edges = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+      val (initial, rounds) = ConnectedComponents.label(edges, maxIter = 0)
+      assert(rounds == 0)
+      assert(initial.rdd.getNumPartitions == 5,
+        s"loop laid out at ${initial.rdd.getNumPartitions} partitions")
+      // and a full run on the same conf still labels correctly (one chain)
+      val (labels, _) = ConnectedComponents.label(edges)
+      assert(labels.select("comp").distinct().count() == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.cc.loopRowsPerPartition", v)
+      case None    => spark.conf.unset("spark.graft.cc.loopRowsPerPartition")
+    }
+  }
 }
