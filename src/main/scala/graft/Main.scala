@@ -72,11 +72,21 @@ object Main {
       val (manifests, files) = graft.io.VersionedTable.vacuum(spark, path, keepLast.toInt)
       println(s"[graft] vacuumed $manifests versions, $files data files")
       spark.stop()
+    case "table-delete" :: path :: keyCol :: keys :: Nil =>
+      // surgical purge by key list; follow with table-vacuum for the
+      // physical erasure (pre-delete snapshots time-travel until then)
+      val spark = GraftSession.local()
+      val ids = keys.split(",").toSeq.map(_.trim.toLong)
+      val (v, deleted) = graft.io.VersionedTable.deleteWhere(
+        spark, path, org.apache.spark.sql.functions.col(keyCol).isin(ids: _*))
+      println(s"[graft] deleted $deleted rows -> version $v")
+      spark.stop()
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
-          "list | table-history <path> | table-compact <path> <rowsPerFile> | " +
-          s"table-vacuum <path> <keepLast> (got: $other)")
+          "list | metrics <name> <sfDir> | table-history <path> | " +
+          "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
+          s"table-delete <path> <keyCol> <id,...> (got: $other)")
       sys.exit(1)
   }
 }
