@@ -421,6 +421,36 @@ object VersionedTable {
       .parquet(files.map(n => s"$path/data/$n"): _*)
   }
 
+  /** Incremental table mirroring, exactly-once: copy everything `srcPath`
+    * committed since the last mirror call into `dstPath`. The consumer
+    * watermark is the SOURCE VERSION, recorded as `(consumerId,
+    * srcVersion)` in the DESTINATION's txn map — so a crash between the
+    * copy and anything else replays into [[commitStreamBatch]]'s
+    * idempotency check and the mirror is exactly-once by the same
+    * machinery that makes the streaming sink exactly-once (vacuum-proof
+    * carry-forward included). Each invocation is a bounded catch-up job
+    * (the backfill-then-incremental shape): first call copies the current
+    * snapshot, later calls copy only [[changes]] windows, which requires
+    * the source history in that window to be append-only.
+    *
+    * Returns Some((fromVersion, toVersion)) for the window copied, None
+    * when the mirror is already current. */
+  def mirrorChanges(
+      spark: SparkSession, srcPath: String, dstPath: String, consumerId: String): Option[(Long, Long)] = {
+    val srcVersions = versions(spark, srcPath)
+    require(srcVersions.nonEmpty, s"no committed versions at $srcPath")
+    val now = srcVersions.last
+    val last = lastCommittedBatch(spark, dstPath, consumerId).getOrElse(0L)
+    if (now <= last) None
+    else {
+      val delta =
+        if (last == 0L) read(spark, srcPath, Some(now)) // bootstrap: full current snapshot
+        else changes(spark, srcPath, last, now)
+      commitStreamBatch(delta, dstPath, consumerId, now)
+      Some((last, now))
+    }
+  }
+
   /** One row per committed version: (version, operation, parent, nFiles,
     * txn writers) — the audit/ops view of the table (driver-side, one
     * tiny manifest read per version; run it on the ops path, not per

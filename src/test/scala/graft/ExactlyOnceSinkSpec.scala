@@ -53,6 +53,34 @@ class ExactlyOnceSinkSpec extends SparkSuite {
     assert(VersionedTable.commitStreamBatch(Seq((1L, "a")).toDF("id", "s"), tbl, "w", 0L).isEmpty)
   }
 
+  test("incremental mirroring copies exactly each source window, once") {
+    val base = Files.createTempDirectory("eos_mirror").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    def rows(tbl: String): Seq[(Long, String)] =
+      VersionedTable.read(spark, tbl).as[(Long, String)].collect().sorted.toSeq
+    VersionedTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src)
+    VersionedTable.commitAppend(Seq((3L, "c")).toDF("id", "s"), src)
+    // bootstrap: full current snapshot
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "mirror").contains((0L, 2L)))
+    assert(rows(dst) == rows(src))
+    // already current: no-op, no new destination version
+    val vs = VersionedTable.versions(spark, dst)
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "mirror").isEmpty)
+    assert(VersionedTable.versions(spark, dst) == vs)
+    // a new source append mirrors as exactly the increment
+    VersionedTable.commitAppend(Seq((4L, "d")).toDF("id", "s"), src)
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "mirror").contains((2L, 3L)))
+    assert(rows(dst) == rows(src))
+    // destination history shows the consumer's watermark advancing
+    assert(VersionedTable.lastCommittedBatch(spark, dst, "mirror").contains(3L))
+    // a source overwrite breaks the append-only window contract
+    VersionedTable.commitOverwrite(Seq((9L, "z")).toDF("id", "s"), src)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.mirrorChanges(spark, src, dst, "mirror")
+    }
+    assert(err.getMessage.contains("append-only"))
+  }
+
   test("forced micro-batch replay after a simulated crash leaves the table exactly-once") {
     val base = Files.createTempDirectory("eos_e2e").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
