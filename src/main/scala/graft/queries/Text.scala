@@ -792,8 +792,39 @@ object Text {
             FROM tf JOIN n ON tf.doc_id = n.doc_id
             GROUP BY tf.doc_id, n.n ORDER BY tf.doc_id"""))
 
+  /** Q126 — per-source contribution cap (the "domain cap" of published
+    * corpus curation: no source may dominate the mix): keep the top-5
+    * docs per language by (quality desc, doc_id), through the custom
+    * [[graft.plans.TopKPerGroup]] physical operator — bounded partial
+    * heaps, k-rows-per-group exchange, never a full per-group sort
+    * (q91 pins the operator on the relational side; this is its
+    * training-curation framing). */
+  val q126 = QueryDef(
+    "q126_source_cap",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          r6(TextFunctions.qualityScore(col("text"))).as("score"))
+      graft.ops.TopK.perGroup(
+          scored, Seq(col("lang")), Seq(col("score").desc, col("doc_id")), k = 5)
+        .select("lang", "doc_id", "score")
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH sc AS (SELECT doc_id, lang,
+                   ROUND(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+                         / len(str_split(text,' '))
+                         * LEAST(1.0, len(str_split(text,' ')) / 200.0), 6) AS score
+            FROM documents)
+            SELECT lang, doc_id, score
+            FROM (SELECT lang, doc_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY score DESC, doc_id) AS rn
+                  FROM sc)
+            WHERE rn <= 5 ORDER BY lang, doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125)
+      q125, q126)
 }
