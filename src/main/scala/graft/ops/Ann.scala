@@ -53,7 +53,7 @@ object Ann {
 
   private def bucketExpr(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(Vectors.dot(emb, planeCol) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 

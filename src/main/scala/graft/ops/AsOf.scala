@@ -63,7 +63,7 @@ object AsOf {
         if (c == key || c == time || (c == tieBreak && buildHasTieBreak)) df
         else df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
       }
-      .select(taggedProbe.columns.map(col): _*)
+      .select(taggedProbe.columns.toIndexedSeq.map(col): _*)
 
     // Build rows sort before probe rows at the same timestamp (`__is_probe`
     // asc) so a same-instant build row is visible to the probe; equal-time
@@ -80,7 +80,7 @@ object AsOf {
     carried
       .filter(col("__is_probe") === 1)
       .select(
-        (pCols.map(col) ++
+        (pCols.toIndexedSeq.map(col) ++
           valueCols.map(v => col("__carried").getField(v).as(s"asof_$v")) :+
           col("__carried").getField("__t").as(s"asof_$time")): _*)
   }
