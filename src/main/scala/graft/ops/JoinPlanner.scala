@@ -88,4 +88,34 @@ object JoinPlanner {
       (left.join(right, Seq(key)),
         Decision("shuffle", s"no replicable side (${ls.rows} x ${rs.rows} rows); AQE owns residual skew"))
   }
+
+  /** The aggregation twin of [[autoJoin]]: sum+count per key, with the
+    * two-phase salted form ([[Salt.saltedSumCount]]) chosen only when the
+    * measured stats say a single key may hold ≥ `skewFraction` of the
+    * input — the case where one reducer's partial state is fatal before
+    * AQE can see sizes. A uniform key distribution keeps the plain
+    * one-shuffle aggregate (map-side partial combine already balances
+    * it). Results are identical either way — salting is decomposable-
+    * aggregate algebra, and q79's oracle pins it. Output columns:
+    * (key, sum_<valueCol>, cnt). */
+  def autoSumCount(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      skewFraction: Double = 0.2,
+      saltBuckets: Int = 16,
+      stats: Option[SideStats] = None): (DataFrame, Decision) = {
+    val s = stats.getOrElse(gatherStats(df, key))
+    if (s.maybeSkewed(skewFraction))
+      (Salt.saltedSumCount(df, key, valueCol, saltBuckets),
+        Decision("salted-agg",
+          s"key '${s.topKey.getOrElse("?")}' holds >= ~${s.topKeyRows} of ${s.rows} rows"))
+    else
+      (df.groupBy(org.apache.spark.sql.functions.col(key))
+        .agg(
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col(valueCol))
+            .as(s"sum_$valueCol"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt")),
+        Decision("plain-agg", s"no key holds >= $skewFraction of ${s.rows} rows"))
+  }
 }

@@ -377,6 +377,25 @@ object Events {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** Q127 — stats-driven aggregation planning ([[graft.ops.JoinPlanner
+    * .autoSumCount]], q121's twin for the groupBy side): the hot
+    * `event_type` key (a handful of values over the whole table) is
+    * MEASURED skewed by the Misra-Gries pass, so the two-phase salted
+    * form is chosen — and the oracle is the plain GROUP BY, because the
+    * decision layer must not change results whichever branch fires
+    * (decomposable-aggregate algebra; q79 pins the salted form itself). */
+  val q127 = QueryDef(
+    "q127_auto_agg",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val (agg, _) = graft.ops.JoinPlanner.autoSumCount(ev, "event_type", "value")
+      agg.select(col("event_type"), r4(col("sum_value")).as("sum_value"), col("cnt"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[QueryDef] =
-    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121)
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127)
 }

@@ -75,6 +75,18 @@ class JoinPlannerSpec extends SparkSuite {
       sortedRows(uniform.join(skewed.withColumnRenamed("lv", "rv"), Seq("k"))))
   }
 
+  test("autoSumCount picks salted only under measured skew; results identical either way") {
+    val (salted, ds) = JoinPlanner.autoSumCount(skewed, "k", "lv", skewFraction = 0.2)
+    assert(ds.strategy == "salted-agg", ds)
+    val (plain, dp) = JoinPlanner.autoSumCount(uniform, "k", "lv", skewFraction = 0.2)
+    assert(dp.strategy == "plain-agg", dp)
+    // both branches equal a direct groupBy on their input
+    def direct(df: DataFrame) = sortedRows(
+      df.groupBy("k").agg(sum("lv").as("sum_lv"), count(lit(1)).as("cnt")))
+    assert(sortedRows(salted) == direct(skewed))
+    assert(sortedRows(plain) == direct(uniform))
+  }
+
   test("pre-collected stats skip measurement and drive the same decision") {
     val ls = JoinPlanner.SideStats(rows = 5000000L, topKey = None, topKeyRows = 0L, k = 32)
     val rs = JoinPlanner.SideStats(rows = 40L, topKey = None, topKeyRows = 0L, k = 32)
