@@ -111,6 +111,14 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Asymmetric containment |A∩B| / |A| — the subset-duplicate signal
+    * Jaccard misses: a short document quoted whole inside a much longer
+    * one scores near 1 here while its Jaccard stays near |A|/|B| ≈ 0.
+    * The standard second axis of near-dup detection (Broder's
+    * containment, the measure superset-dedup pipelines threshold). */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(a)
+
   /** Sliding token-window chunks: windows of `chunkTokens` tokens starting
     * every `stride` tokens (the standard context-window chunking of a
     * training-data pipeline). Returns an array of chunk strings; the tail

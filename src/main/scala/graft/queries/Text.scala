@@ -823,8 +823,55 @@ object Text {
                   FROM sc)
             WHERE rn <= 5 ORDER BY lang, doc_id"""))
 
+  /** Q128 — containment near-dup detection (X2's second axis, Broder's
+    * asymmetric measure): |probe ∩ candidate| / |probe| — a short doc
+    * quoted whole inside a longer one scores ~1 here while its Jaccard
+    * stays near zero, so superset-dedup pipelines threshold containment
+    * beside it. Same O(n) shape as q29: a FIXED-size broadcast probe set
+    * against one corpus scan, top-5 per probe. */
+  val q128 = QueryDef(
+    "q128_containment",
+    (s, d) => {
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("sh"))
+      val probes = shingled
+        .orderBy("doc_id").limit(20)
+        .select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val scored = shingled
+        .join(broadcast(probes), col("doc_id") =!= col("a_id"))
+        .select(
+          col("a_id"),
+          col("doc_id").as("b_id"),
+          r6(TextFunctions.containment(col("sha"), col("sh"))).as("cont"))
+      scored
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("a_id").orderBy(col("cont").desc, col("b_id"))))
+        .filter(col("rn") <= 5)
+        .select("a_id", "b_id", "cont")
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH dd AS (SELECT doc_id, str_split(text,' ') AS toks FROM documents),
+                 sh AS (SELECT doc_id,
+                               list_distinct([array_to_string(toks[i:i+2], ' ')
+                                              FOR i IN range(1, len(toks)-1)]) AS sh
+                        FROM dd WHERE len(toks) >= 3),
+                 p AS (SELECT doc_id AS a_id, sh AS sha FROM sh ORDER BY doc_id LIMIT 20),
+                 j AS (SELECT a_id, sh.doc_id AS b_id,
+                              ROUND(CAST(len(list_intersect(sha, sh.sh)) AS DOUBLE)
+                                    / len(sha), 6) AS cont
+                       FROM p JOIN sh ON sh.doc_id <> a_id),
+                 r AS (SELECT a_id, b_id, cont,
+                              ROW_NUMBER() OVER (PARTITION BY a_id
+                                                 ORDER BY cont DESC, b_id) AS rn
+                       FROM j)
+            SELECT a_id, b_id, cont FROM r WHERE rn <= 5 ORDER BY a_id, b_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126)
+      q125, q126, q128)
 }

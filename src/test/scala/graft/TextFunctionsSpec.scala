@@ -103,4 +103,17 @@ class TextFunctionsSpec extends SparkSuite {
       .select(TextFunctions.canonicalText(col("t")).as("c")).collect()(0)
     assert(digits.getString(0) == "a1b2c3 42")
   }
+
+  test("containment catches a subset-duplicate Jaccard misses") {
+    // a is wholly contained in b, but b is 4x larger
+    val a = (1 to 10).map(i => s"w$i")
+    val b = a ++ (11 to 40).map(i => s"w$i")
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(
+        TextFunctions.containment(col("a"), col("b")).as("cont"),
+        TextFunctions.jaccard(col("a"), col("b")).as("jac"))
+      .collect()(0)
+    assert(row.getDouble(0) == 1.0) // fully contained
+    assert(row.getDouble(1) == 0.25) // 10 / 40 — below any near-dup bar
+  }
 }
