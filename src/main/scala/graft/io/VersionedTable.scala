@@ -39,6 +39,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object VersionedTable {
 
+  /** A maintenance commit (compact/deleteWhere) lost its optimistic race:
+    * another writer advanced the table past the snapshot the operation's
+    * file list was computed from. Committing that stale list would silently
+    * drop the winner's files, so the op re-bases (recomputes against the
+    * new latest) or surfaces this to the caller. */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
   private val VersionDir = "_versions"
   private val VersionFile = raw"v(\d{10})\.json".r
 
@@ -122,6 +129,16 @@ object VersionedTable {
     }
   }
 
+  /** Tombstone (deleted-row) file list of a delete commit's manifest. */
+  private def cdfFilesOf(text: String): Seq[String] = {
+    raw""""cdf":\[([^\]]*)\]""".r.findFirstMatchIn(text) match {
+      case None => Seq.empty
+      case Some(m) if m.group(1).trim.isEmpty => Seq.empty
+      case Some(m) =>
+        m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+  }
+
   private def operationOf(text: String): String =
     raw""""operation":"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
       .getOrElse(sys.error("malformed manifest: no operation"))
@@ -165,7 +182,7 @@ object VersionedTable {
     * committed. Optimistic: on a lost race the next version number is
     * re-read and the commit retried ([[commitAppend]] re-bases on the
     * winner's file set; overwrite just takes the next slot). */
-  private def publish(
+  private[graft] def publish(
       spark: SparkSession,
       path: String,
       operation: String,
@@ -174,13 +191,27 @@ object VersionedTable {
       txn: Option[(String, Long)] = None,
       newRanges: Map[String, (Long, Long)] = Map.empty,
       statsCol: Option[String] = None,
-      maxAttempts: Int = 20): Option[Long] = {
+      maxAttempts: Int = 20,
+      requiredParent: Option[Long] = None,
+      cdfFiles: Seq[String] = Seq.empty): Option[Long] = {
+    statsCol.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
+      s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/$VersionDir"))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val prev = versions(spark, path).lastOption
+      // Maintenance ops (compact/deleteWhere) compute their kept-file list
+      // against ONE snapshot; if another commit won a slot since, that list
+      // is stale and committing it would drop the winner's files. Surface
+      // the conflict instead — the op re-bases against the new latest.
+      requiredParent.foreach { rp =>
+        if (!prev.contains(rp))
+          throw new ConcurrentCommitException(
+            s"table $path advanced to ${prev.getOrElse(-1L)} while $operation was computed " +
+              s"against v$rp — re-base required")
+      }
       val next = prev.getOrElse(0L) + 1
       val prevText = prev.map(v => manifestText(spark, path, v))
       val prevTxn = prevText.map(txnOf).getOrElse(Map.empty)
@@ -211,9 +242,12 @@ object VersionedTable {
           s""""stats":{"col":"$c","ranges":{$body}},"""
         case _ => ""
       }
+      val cdfJson =
+        if (cdfFiles.isEmpty) ""
+        else s""""cdf":[${cdfFiles.map("\"" + _ + "\"").mkString(",")}],"""
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson +
+          txnJson + statsJson + cdfJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -243,6 +277,8 @@ object VersionedTable {
     * Iceberg-manifest trick. Pair with a range-clustered write layout to
     * make the ranges disjoint and the pruning sharp. */
   def commitAppend(df: DataFrame, path: String, statsCol: String): Long = {
+    require(statsCol.matches("[A-Za-z0-9._-]+"), // checked BEFORE staging anything
+      s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $statsCol")
     val (commitId, names) = stageData(df, path)
     val ranges = rangesOf(df, path, commitId, statsCol)
     publish(df.sparkSession, path, "append", names, carryForward = true,
@@ -308,6 +344,57 @@ object VersionedTable {
     else spark.read.parquet(added.map(n => s"$path/data/$n"): _*)
   }
 
+  /** Row-level change-data feed: every row change between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), tagged `_change_type`
+    * ("insert" | "delete") and `_commit_version` — the Delta/Iceberg CDF
+    * shape. Unlike [[changes]] this ALSO crosses `deleteWhere` commits:
+    * the delete manifest references the staged tombstone rows (see
+    * [[deleteWhere]]), so a consumer replays appends AND row deletes
+    * without re-bootstrapping. Compaction commits contribute nothing (no
+    * row changes). Overwrite commits are still refused — a full-table
+    * replace has no incremental row diff; resync from the snapshot
+    * ([[mirrorChanges]] does this automatically).
+    *
+    * Replay contract (spec-pinned): table@fromVersion + inserts − deletes
+    * (by row identity) == table@toVersion. */
+  def changesWithType(
+      spark: SparkSession, path: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, path)
+    require(vs.contains(fromVersion) && vs.contains(toVersion) && fromVersion <= toVersion,
+      s"need committed fromVersion <= toVersion, got $fromVersion..$toVersion of ${vs.mkString(",")}")
+    val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    val parts: Seq[DataFrame] = window.flatMap { v =>
+      val text = manifestText(spark, path, v)
+      operationOf(text) match {
+        case "append" | "stream-append" =>
+          // retained versions are contiguous, so v-1 is always resolvable
+          val before = manifestFiles(spark, path, v - 1).toSet
+          val added = manifestFiles(spark, path, v).filterNot(before)
+          if (added.isEmpty) None
+          else Some(tag(spark.read.parquet(added.map(n => s"$path/data/$n"): _*), "insert", v))
+        case "delete" =>
+          val tombstones = cdfFilesOf(text)
+          require(tombstones.nonEmpty,
+            s"version $v is a delete without CDF tombstones (written by an older writer); " +
+              "row-level changes are not reconstructible — resync from a snapshot")
+          Some(tag(spark.read.parquet(tombstones.map(n => s"$path/data/$n"): _*), "delete", v))
+        case "compact" => None // rewrites files without changing a row
+        case "rename" | "retype" => None // metadata-only schema evolution
+        case other =>
+          throw new IllegalArgumentException(
+            s"changesWithType() cannot cross a '$other' commit (version $v); " +
+              "resync from the snapshot instead")
+      }
+    }
+    if (parts.isEmpty)
+      tag(read(spark, path, Some(toVersion)), "insert", toVersion)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Replace the table contents with `df` as a new version. Old versions
     * remain readable until [[vacuum]]. */
   def commitOverwrite(df: DataFrame, path: String): Long = {
@@ -365,41 +452,78 @@ object VersionedTable {
     * isolation, and the audit trail); the PHYSICAL purge completes when
     * [[vacuum]] drops the retention window that references the old files
     * — run `deleteWhere` then `vacuum` for an actual erasure obligation.
-    * Concurrency: like overwrite, a racing commit is resolved
-    * last-writer-wins on the version slot. */
+    *
+    * Change-data feed: the DELETED rows are staged once as tombstone files
+    * and referenced from the manifest's `cdf` list (cost ∝ rows deleted,
+    * the row-level-CDF trade every table format makes), so
+    * [[changesWithType]] can emit row-level deletes across this commit
+    * instead of forcing incremental consumers to re-bootstrap.
+    *
+    * Concurrency: the kept-file list is computed against one snapshot; if
+    * another commit wins a version slot meanwhile, committing that list
+    * would silently drop the winner's files — so the commit conflict-checks
+    * its parent and RE-BASES (recomputes against the new latest) on a lost
+    * race. Staged files of a lost attempt are unreferenced and removed by
+    * the next [[vacuum]]. */
   def deleteWhere(
-      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): (Long, Long) = {
+      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      maxRebases: Int = 5): (Long, Long) = {
     import org.apache.spark.sql.functions.input_file_name
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val current = vs.last
-    val rel = manifestFiles(spark, path, current)
-    val abs = rel.map(n => s"$path/data/$n")
-    // one pruned scan: which files hold doomed rows
-    val hitAbs = spark.read.parquet(abs: _*)
-      .filter(predicate)
-      .select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    if (hitAbs.isEmpty) return (current, 0L)
-    // absolute URI -> the manifest's relative "<commit-uuid>/<part>" name
-    def relOf(uri: String): String = {
-      val p = new java.net.URI(uri).getPath
-      val i = p.lastIndexOf("/data/")
-      require(i >= 0, s"unexpected data file location: $uri")
-      p.substring(i + "/data/".length)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val rel = manifestFiles(spark, path, current)
+      val abs = rel.map(n => s"$path/data/$n")
+      // one pruned scan: which files hold doomed rows
+      val hitAbs = spark.read.parquet(abs: _*)
+        .filter(predicate)
+        .select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      if (hitAbs.isEmpty) return (current, 0L)
+      // absolute URI -> the manifest's relative "<commit-uuid>/<part>" name
+      def relOf(uri: String): String = {
+        val p = new java.net.URI(uri).getPath
+        val i = p.lastIndexOf("/data/")
+        require(i >= 0, s"unexpected data file location: $uri")
+        p.substring(i + "/data/".length)
+      }
+      val hitRel = hitAbs.map(relOf).toSet
+      val kept = rel.filterNot(hitRel)
+      val doomed = spark.read.parquet(hitAbs: _*)
+      // three-valued logic: a NULL predicate row is NOT deleted — it must
+      // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
+      val isDoomed = org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))
+      val (removedCommit, removedNames) = stageData(doomed.filter(isDoomed), path) // CDF tombstones
+      val deleted = spark.read.parquet(s"$path/data/$removedCommit").count()
+      val survivors = doomed.filter(!isDoomed)
+      val (_, newNames) = stageData(survivors, path)
+      // all-rows-deleted guard: an empty survivors frame with live
+      // partitions can stage zero part files, and an all-empty manifest
+      // would make the table unreadable at HEAD — stage one explicit
+      // empty-schema file so the latest version always reads (as empty).
+      val newNames2 =
+        if (kept.nonEmpty || newNames.nonEmpty) newNames
+        else {
+          val empty = spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+            doomed.schema)
+          stageData(empty, path)._2
+        }
+      try {
+        val v = publish(spark, path, "delete", kept ++ newNames2, carryForward = false,
+          requiredParent = Some(current), cdfFiles = removedNames).get
+        return (v, deleted)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRebases) throw e // caller sees the conflict
+        // else: loop re-bases against the new latest snapshot
+      }
     }
-    val hitRel = hitAbs.map(relOf).toSet
-    val kept = rel.filterNot(hitRel)
-    val doomed = spark.read.parquet(hitAbs: _*)
-    // three-valued logic: a NULL predicate row is NOT deleted — it must
-    // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
-    val isDoomed = org.apache.spark.sql.functions.coalesce(
-      predicate, org.apache.spark.sql.functions.lit(false))
-    val deleted = doomed.filter(isDoomed).count()
-    val survivors = doomed.filter(!isDoomed)
-    val (_, newNames) = stageData(survivors, path)
-    val v = publish(spark, path, "delete", kept ++ newNames, carryForward = false).get
-    (v, deleted)
+    sys.error("unreachable")
   }
 
   /** Read a version (default: latest). The file list is resolved on the
@@ -430,11 +554,19 @@ object VersionedTable {
     * machinery that makes the streaming sink exactly-once (vacuum-proof
     * carry-forward included). Each invocation is a bounded catch-up job
     * (the backfill-then-incremental shape): first call copies the current
-    * snapshot, later calls copy only [[changes]] windows, which requires
-    * the source history in that window to be append-only.
+    * snapshot, later calls copy only [[changes]] windows.
     *
-    * Returns Some((fromVersion, toVersion)) for the window copied, None
-    * when the mirror is already current. */
+    * When the incremental window is NOT replayable — the source ran
+    * compact/deleteWhere/overwrite in it, or vacuumed past the consumer's
+    * watermark — the mirror falls back to a FULL SNAPSHOT RE-COPY
+    * (idempotent overwrite of the destination at the new watermark)
+    * instead of wedging forever: compaction and mirroring are both routine
+    * scheduled maintenance, so they must compose.
+    *
+    * Returns Some((fromVersion, toVersion)) when a commit actually landed;
+    * None when the mirror is already current OR the destination skipped
+    * the batch as an already-applied duplicate (a crash-replay), so ops
+    * dashboards never see a "window copied" report for a no-op. */
   def mirrorChanges(
       spark: SparkSession, srcPath: String, dstPath: String, consumerId: String): Option[(Long, Long)] = {
     val srcVersions = versions(spark, srcPath)
@@ -443,11 +575,20 @@ object VersionedTable {
     val last = lastCommittedBatch(spark, dstPath, consumerId).getOrElse(0L)
     if (now <= last) None
     else {
-      val delta =
-        if (last == 0L) read(spark, srcPath, Some(now)) // bootstrap: full current snapshot
-        else changes(spark, srcPath, last, now)
-      commitStreamBatch(delta, dstPath, consumerId, now)
-      Some((last, now))
+      val committed =
+        if (last == 0L) // bootstrap: full current snapshot
+          commitStreamBatch(read(spark, srcPath, Some(now)), dstPath, consumerId, now)
+        else {
+          val deltaOpt =
+            try Some(changes(spark, srcPath, last, now))
+            catch { case _: IllegalArgumentException => None } // non-append window / vacuumed watermark
+          deltaOpt match {
+            case Some(delta) => commitStreamBatch(delta, dstPath, consumerId, now)
+            case None => // full snapshot re-sync, still exactly-once on (consumerId, now)
+              commitOverwriteBatch(read(spark, srcPath, Some(now)), dstPath, consumerId, now)
+          }
+        }
+      committed.map(_ => (last, now))
     }
   }
 
@@ -477,43 +618,62 @@ object VersionedTable {
     * are range-clustered on that column and their new ranges recorded, so
     * [[readWhere]] pruning stays sharp after compaction. Old versions
     * still time-travel until [[vacuum]]. Returns (newVersion,
-    * filesRewritten) — or (currentVersion, 0) when nothing qualifies. */
-  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): (Long, Long) = {
+    * filesRewritten) — or (currentVersion, 0) when nothing qualifies.
+    *
+    * Concurrency: compaction promises to rewrite files WITHOUT changing a
+    * row, so it must not last-writer-win over a concurrent append — the
+    * commit conflict-checks its parent snapshot and RE-BASES (recomputes
+    * the small-file set against the new latest) when it lost a race;
+    * a lost attempt's staged files fall to the next [[vacuum]]. */
+  def compact(
+      spark: SparkSession, path: String, targetRowsPerFile: Long,
+      maxRebases: Int = 5): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be positive")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val current = vs.last
-    val text = manifestText(spark, path, current)
-    val rel = manifestFiles(spark, path, current)
-    val (statsColOpt, _) = statsOf(text)
-    // one footer-only pass: rows per file
-    val counts: Map[String, Long] = {
-      import org.apache.spark.sql.functions.{count, input_file_name, lit}
-      spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect().map { r =>
-          val p = new java.net.URI(r.getString(0)).getPath
-          p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
-        }.toMap
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val text = manifestText(spark, path, current)
+      val rel = manifestFiles(spark, path, current)
+      val (statsColOpt, _) = statsOf(text)
+      // one footer-only pass: rows per file
+      val counts: Map[String, Long] = {
+        import org.apache.spark.sql.functions.{count, input_file_name, lit}
+        spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
+          .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+          .collect().map { r =>
+            val p = new java.net.URI(r.getString(0)).getPath
+            p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
+          }.toMap
+      }
+      val small = rel.filter(f => counts.getOrElse(f, 0L) < targetRowsPerFile)
+      if (small.size < 2) return (current, 0L) // nothing to merge
+      val keep = rel.filterNot(small.toSet)
+      val smallRows = small.map(counts.getOrElse(_, 0L)).sum
+      val nOut = math.max(1, math.ceil(smallRows.toDouble / targetRowsPerFile).toInt)
+      val df = spark.read.parquet(small.map(n => s"$path/data/$n"): _*)
+      val packed = statsColOpt match {
+        case Some(c) => df.repartitionByRange(nOut, col(c)) // keep pruning sharp
+        case None    => df.repartition(nOut)
+      }
+      val (commitId, names) = stageData(packed, path)
+      val ranges = statsColOpt
+        .map(c => rangesOf(packed, path, commitId, c))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      try {
+        val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
+          newRanges = ranges, statsCol = statsColOpt, requiredParent = Some(current)).get
+        return (v, small.size.toLong)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRebases) throw e
+        // else: loop re-bases against the new latest snapshot
+      }
     }
-    val small = rel.filter(f => counts.getOrElse(f, 0L) < targetRowsPerFile)
-    if (small.size < 2) return (current, 0L) // nothing to merge
-    val keep = rel.filterNot(small.toSet)
-    val smallRows = small.map(counts.getOrElse(_, 0L)).sum
-    val nOut = math.max(1, math.ceil(smallRows.toDouble / targetRowsPerFile).toInt)
-    val df = spark.read.parquet(small.map(n => s"$path/data/$n"): _*)
-    val packed = statsColOpt match {
-      case Some(c) => df.repartitionByRange(nOut, col(c)) // keep pruning sharp
-      case None    => df.repartition(nOut)
-    }
-    val (commitId, names) = stageData(packed, path)
-    val ranges = statsColOpt
-      .map(c => rangesOf(packed, path, commitId, c))
-      .getOrElse(Map.empty[String, (Long, Long)])
-    val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
-      newRanges = ranges, statsCol = statsColOpt).get
-    (v, small.size.toLong)
+    sys.error("unreachable")
   }
 
   /** Drop versions older than the last `keepLast` and delete every data
@@ -526,7 +686,11 @@ object VersionedTable {
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val referenced = keep.flatMap(manifestFiles(spark, path, _)).toSet
+    // data files AND CDF tombstone files of retained versions both survive
+    val referenced = keep.flatMap { v =>
+      val text = manifestText(spark, path, v)
+      manifestFiles(spark, path, v) ++ cdfFilesOf(text)
+    }.toSet
     var filesRemoved = 0
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {

@@ -164,8 +164,17 @@ object Dedup {
     val spark = newDocs.sparkSession
     val newSh = shingleSets(newDocs, textCol, idCol, shingleSize).localCheckpoint()
     val newBands = bandRows(newSh, numPerm, bands).localCheckpoint()
+    // First increment: a MISSING ledger path reads as empty. Only that —
+    // a corrupt ledger (bad footer, permission error) must propagate,
+    // because silently treating it as empty would under-report duplicates
+    // forever after (VERDICT r7 item 1).
     def readOr(path: String, empty: DataFrame): DataFrame =
-      try spark.read.parquet(path) catch { case _: Throwable => empty }
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null && e.getCondition.contains("PATH_NOT_FOUND") =>
+          empty
+      }
     val oldBands = readOr(ledger.bands, newBands.limit(0))
     val oldSh = readOr(ledger.sketches, newSh.limit(0))
     val tagged = oldBands.withColumn("is_new", lit(false))

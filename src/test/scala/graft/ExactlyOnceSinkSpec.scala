@@ -73,12 +73,25 @@ class ExactlyOnceSinkSpec extends SparkSuite {
     assert(rows(dst) == rows(src))
     // destination history shows the consumer's watermark advancing
     assert(VersionedTable.lastCommittedBatch(spark, dst, "mirror").contains(3L))
-    // a source overwrite breaks the append-only window contract
+    // a source overwrite breaks the append-only window contract: the
+    // mirror must NOT wedge — it falls back to a full snapshot re-sync
+    // (overwrite at the new watermark) and stays exactly-once
     VersionedTable.commitOverwrite(Seq((9L, "z")).toDF("id", "s"), src)
-    val err = intercept[IllegalArgumentException] {
-      VersionedTable.mirrorChanges(spark, src, dst, "mirror")
-    }
-    assert(err.getMessage.contains("append-only"))
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "mirror").contains((3L, 4L)))
+    assert(rows(dst) == rows(src))
+    assert(VersionedTable.lastCommittedBatch(spark, dst, "mirror").contains(4L))
+    // same for compaction in the window — routine maintenance must compose
+    VersionedTable.commitAppend(Seq((10L, "y")).toDF("id", "s"), src)
+    VersionedTable.commitAppend(Seq((11L, "x")).toDF("id", "s"), src)
+    VersionedTable.compact(spark, src, targetRowsPerFile = 1000000)
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "mirror").contains((4L, 7L)))
+    assert(rows(dst) == rows(src))
+    // and for a vacuumed watermark: retention dropped past the consumer
+    VersionedTable.commitAppend(Seq((12L, "w")).toDF("id", "s"), src)
+    VersionedTable.commitAppend(Seq((13L, "v")).toDF("id", "s"), src)
+    VersionedTable.vacuum(spark, src, keepLast = 1)
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "mirror").isDefined)
+    assert(rows(dst) == rows(src))
   }
 
   test("forced micro-batch replay after a simulated crash leaves the table exactly-once") {

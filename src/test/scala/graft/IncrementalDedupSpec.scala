@@ -44,6 +44,22 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(sketches.count() == sketches.select("doc_id").distinct().count())
   }
 
+  test("a corrupt ledger fails loudly instead of silently reading as empty") {
+    val base = Files.createTempDirectory("dedup_ledger3").toString
+    val ledger = Dedup.DedupLedger(s"$base/bands", s"$base/sketches")
+    // a present-but-unreadable ledger: garbage bytes where parquet should be
+    Files.createDirectories(java.nio.file.Paths.get(ledger.bands))
+    Files.write(
+      java.nio.file.Paths.get(ledger.bands, "part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // silently treating this as a first increment would under-report
+    // duplicates forever — it must throw, not return an empty result
+    intercept[Exception] {
+      Dedup.ingestIncrement(docs, ledger, "text", "doc_id").collect()
+    }
+  }
+
   test("an increment of exact re-sends pairs against the ledger, not itself twice") {
     val base = Files.createTempDirectory("dedup_ledger2").toString
     val ledger = Dedup.DedupLedger(s"$base/bands", s"$base/sketches")

@@ -224,6 +224,77 @@ class VersionedTableSpec extends SparkSuite {
     assert(merged.filter(col("tag").isNull).count() == 5)
   }
 
+  test("a maintenance commit computed against a stale snapshot is refused, not committed") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    VersionedTable.commitAppend(batch(10, 20), path) // table is now at v2
+    // A compact/deleteWhere that computed its kept-file list at v1 must NOT
+    // publish it over v2 — that would silently drop v2's files.
+    val err = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.publish(spark, path, "compact", Seq.empty,
+        carryForward = false, requiredParent = Some(1L))
+    }
+    assert(err.getMessage.contains("re-base"))
+    assert(VersionedTable.versions(spark, path) == Seq(1L, 2L), "no stale commit landed")
+    // with the CURRENT parent the same publish goes through
+    val ok = VersionedTable.publish(spark, path, "compact", Seq.empty,
+      carryForward = true, requiredParent = Some(2L))
+    assert(ok.contains(3L))
+  }
+
+  test("deleteWhere matching every row leaves the table readable (and empty) at HEAD") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path)
+    val (v, deleted) = VersionedTable.deleteWhere(spark, path, col("id") >= 0)
+    assert(v == 2L && deleted == 5L)
+    val head = VersionedTable.read(spark, path)
+    assert(head.count() == 0)
+    assert(head.columns.toSeq == Seq("id", "v"), "schema survives an all-rows delete")
+    // and the table keeps working afterwards
+    VersionedTable.commitAppend(batch(100, 103), path)
+    assert(VersionedTable.read(spark, path).count() == 3)
+  }
+
+  test("changesWithType crosses delete windows; replay reaches exactly the head state") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path) // v1
+    VersionedTable.commitAppend(batch(10, 20), path) // v2
+    VersionedTable.deleteWhere(spark, path, col("id").between(5, 14)) // v3
+    VersionedTable.commitAppend(batch(20, 25), path) // v4
+    val cdf = VersionedTable.changesWithType(spark, path, 1L, 4L)
+    assert(cdf.columns.takeRight(2).toSeq == Seq("_change_type", "_commit_version"))
+    val inserts = cdf.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq
+    val deletes = cdf.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(inserts == ((10L until 20L) ++ (20L until 25L)))
+    assert(deletes == (5L to 14L))
+    // replay contract: state@1 + inserts − deletes == state@4
+    val replayed = (VersionedTable.read(spark, path, Some(1L)).select("id").as[Long].collect()
+      ++ inserts).diff(deletes).sorted.toSeq
+    val head = VersionedTable.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+    assert(replayed == head)
+    // compaction inside the window contributes no row changes
+    VersionedTable.compact(spark, path, targetRowsPerFile = 1000000) // v5
+    val cdf2 = VersionedTable.changesWithType(spark, path, 4L, 5L)
+    assert(cdf2.count() == 0)
+    // tombstone files survive vacuum while their version is retained
+    VersionedTable.vacuum(spark, path, keepLast = 3) // keeps v3 (delete), v4, v5
+    val still = VersionedTable.changesWithType(spark, path, 3L, 4L)
+    assert(still.filter(col("_change_type") === "insert").count() == 5)
+    val cdfAcrossDelete = VersionedTable.changesWithType(spark, path, 3L, 3L)
+    assert(cdfAcrossDelete.count() == 0) // empty window still answers
+  }
+
+  test("statsCol with JSON-hostile characters is refused before it corrupts a manifest") {
+    val path = freshDir()
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(batch(0, 5), path, statsCol = "id\"evil")
+    }
+    assert(err.getMessage.contains("statsCol"))
+    assert(VersionedTable.versions(spark, path).isEmpty, "nothing committed")
+  }
+
   test("deleteWhere with no matches commits nothing; NULL-predicate rows survive") {
     val path = freshDir()
     VersionedTable.commitAppend(
