@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *  - otherwise a plain keyed shuffle join, leaving residual runtime
   *    skew to AQE (AqeSkewSpec pins that path).
   *
+  * Join keys may be COMPOSITE (`Seq[String]`) — the stats job summarizes
+  * the tuple (a `\u0001`-joined string key: one Misra-Gries pass whatever
+  * the arity), salting spreads the hot tuple, and every branch joins on
+  * the full key list. Real star schemas hit this constantly
+  * (fact ⋈ dim on (part, supp), (date, store), ...).
+  *
   * The stats come from ONE aggregation job per side: total row count plus
   * a Misra-Gries top-key summary ([[HeavyHitters.MisraGriesAgg]] — O(k)
   * state per partition, never a groupBy over the key space). MG counts
@@ -26,13 +32,15 @@ import org.apache.spark.sql.functions._
   * measures when not given any.
   *
   * The decision layer never changes semantics: every branch returns
-  * exactly the rows of `left.join(right, key)` (spec-asserted per branch,
-  * and oracle-checked end-to-end as q121).
+  * exactly the rows of `left.join(right, keys)` (spec-asserted per branch
+  * on scalar AND composite keys, and oracle-checked end-to-end as
+  * q121/q129).
   */
 object JoinPlanner {
 
   /** Measured join-side statistics. `topKeyRows` is the MG estimate
-    * (lower bound within n/(k+1)) for `topKey`. */
+    * (lower bound within n/(k+1)) for `topKey` (composite keys are
+    * reported as their `\u0001`-joined form). */
   final case class SideStats(rows: Long, topKey: Option[String], topKeyRows: Long, k: Int) {
     /** Conservative skew test: true when the hot key's LOWER-bound
       * frequency plus the MG error bound crosses `fraction` of the side —
@@ -43,10 +51,18 @@ object JoinPlanner {
 
   final case class Decision(strategy: String, reason: String)
 
-  /** One-job stats: COUNT(*) + Misra-Gries summary over the key. */
-  def gatherStats(df: DataFrame, key: String, k: Int = 32): SideStats = {
+  /** The composite-key summary column: a `\u0001`-joined string of the key
+    * tuple. `concat_ws` skips NULL fields, so (1, NULL) and (1, "") fold
+    * together — acceptable for STATS (a frequency estimate), never used
+    * for the join itself. */
+  private def tupleKey(keys: Seq[String]) =
+    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+
+  /** One-job stats: COUNT(*) + Misra-Gries summary over the key tuple. */
+  def gatherStats(df: DataFrame, keys: Seq[String], k: Int = 32): SideStats = {
+    require(keys.nonEmpty, "at least one join key required")
     val mg = udaf(new HeavyHitters.MisraGriesAgg(k))
-    val row: Row = df.select(col(key).cast("string").as("k"))
+    val row: Row = df.select(tupleKey(keys).as("k"))
       .agg(count(lit(1)).as("n"), mg(col("k")).as("mg"))
       .head()
     val n = row.getLong(0)
@@ -55,7 +71,9 @@ object JoinPlanner {
     SideStats(n, top.map(_._1), top.map(_._2).getOrElse(0L), k)
   }
 
-  /** Equi-join `left ⋈ right` on `key` with a measured strategy choice.
+  def gatherStats(df: DataFrame, key: String): SideStats = gatherStats(df, Seq(key))
+
+  /** Equi-join `left ⋈ right` on `keys` with a measured strategy choice.
     * Thresholds are in ROWS (the unit the stats measure; translate from
     * bytes with your row width): `broadcastMaxRows` caps the replicated
     * side, `replicateMaxRows` caps the dimension side a salted join may
@@ -64,58 +82,61 @@ object JoinPlanner {
   def autoJoin(
       left: DataFrame,
       right: DataFrame,
-      key: String,
+      keys: Seq[String],
       broadcastMaxRows: Long = 1000000L,
       skewFraction: Double = 0.2,
       saltBuckets: Int = 16,
       replicateMaxRows: Long = 10000000L,
       leftStats: Option[SideStats] = None,
       rightStats: Option[SideStats] = None): (DataFrame, Decision) = {
-    val ls = leftStats.getOrElse(gatherStats(left, key))
-    val rs = rightStats.getOrElse(gatherStats(right, key))
+    val ls = leftStats.getOrElse(gatherStats(left, keys))
+    val rs = rightStats.getOrElse(gatherStats(right, keys))
     if (rs.rows <= broadcastMaxRows)
-      (left.join(broadcast(right), Seq(key)),
+      (left.join(broadcast(right), keys),
         Decision("broadcast-right", s"right has ${rs.rows} rows <= $broadcastMaxRows"))
     else if (ls.rows <= broadcastMaxRows)
-      (broadcast(left).join(right, Seq(key)),
+      (broadcast(left).join(right, keys),
         Decision("broadcast-left", s"left has ${ls.rows} rows <= $broadcastMaxRows"))
     else if (ls.maybeSkewed(skewFraction) && rs.rows <= replicateMaxRows)
-      (Salt.saltedJoin(left, right, key, saltBuckets),
+      (Salt.saltedJoin(left, right, keys, saltBuckets),
         Decision("salted",
           s"left key '${ls.topKey.getOrElse("?")}' holds >= ~${ls.topKeyRows} of ${ls.rows} rows; " +
             s"right (${rs.rows} rows) replicated x$saltBuckets"))
     else
-      (left.join(right, Seq(key)),
+      (left.join(right, keys),
         Decision("shuffle", s"no replicable side (${ls.rows} x ${rs.rows} rows); AQE owns residual skew"))
   }
 
-  /** The aggregation twin of [[autoJoin]]: sum+count per key, with the
-    * two-phase salted form ([[Salt.saltedSumCount]]) chosen only when the
-    * measured stats say a single key may hold ≥ `skewFraction` of the
-    * input — the case where one reducer's partial state is fatal before
-    * AQE can see sizes. A uniform key distribution keeps the plain
+  def autoJoin(left: DataFrame, right: DataFrame, key: String): (DataFrame, Decision) =
+    autoJoin(left, right, Seq(key))
+
+  /** The aggregation twin of [[autoJoin]]: sum+count per key tuple, with
+    * the two-phase salted form ([[Salt.saltedSumCount]]) chosen only when
+    * the measured stats say a single key tuple may hold ≥ `skewFraction`
+    * of the input — the case where one reducer's partial state is fatal
+    * before AQE can see sizes. A uniform key distribution keeps the plain
     * one-shuffle aggregate (map-side partial combine already balances
     * it). Results are identical either way — salting is decomposable-
     * aggregate algebra, and q79's oracle pins it. Output columns:
-    * (key, sum_<valueCol>, cnt). */
+    * (keys..., sum_<valueCol>, cnt). */
   def autoSumCount(
       df: DataFrame,
-      key: String,
+      keys: Seq[String],
       valueCol: String,
       skewFraction: Double = 0.2,
       saltBuckets: Int = 16,
       stats: Option[SideStats] = None): (DataFrame, Decision) = {
-    val s = stats.getOrElse(gatherStats(df, key))
+    val s = stats.getOrElse(gatherStats(df, keys))
     if (s.maybeSkewed(skewFraction))
-      (Salt.saltedSumCount(df, key, valueCol, saltBuckets),
+      (Salt.saltedSumCount(df, keys, valueCol, saltBuckets),
         Decision("salted-agg",
           s"key '${s.topKey.getOrElse("?")}' holds >= ~${s.topKeyRows} of ${s.rows} rows"))
     else
-      (df.groupBy(org.apache.spark.sql.functions.col(key))
-        .agg(
-          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col(valueCol))
-            .as(s"sum_$valueCol"),
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt")),
+      (df.groupBy(keys.map(col): _*)
+        .agg(sum(col(valueCol)).as(s"sum_$valueCol"), count(lit(1)).as("cnt")),
         Decision("plain-agg", s"no key holds >= $skewFraction of ${s.rows} rows"))
   }
+
+  def autoSumCount(df: DataFrame, key: String, valueCol: String): (DataFrame, Decision) =
+    autoSumCount(df, Seq(key), valueCol)
 }

@@ -396,6 +396,51 @@ object Events {
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** Q129 — stats-driven join planning on a COMPOSITE key (VERDICT r7
+    * item 1: q121 covers the scalar case; real star schemas join on
+    * multi-column keys). The fact side is lineitem keyed (l_partkey,
+    * l_suppkey); the dimension is the per-(part, supp) average price
+    * derived from the same table. The planner's one Misra-Gries stats job
+    * summarizes the TUPLE, and whichever branch fires, the result must
+    * equal the plain two-column join — the oracle is exactly that. */
+  val q129 = QueryDef(
+    "q129_auto_join_composite",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice")
+      val dim = li.groupBy("l_partkey", "l_suppkey")
+        .agg(r4(avg(col("l_extendedprice"))).as("ps_avg"))
+      val (joined, _) = graft.ops.JoinPlanner.autoJoin(li, dim, Seq("l_partkey", "l_suppkey"))
+      joined.agg(
+        count(lit(1)).as("n_rows"),
+        r4(sum(col("l_extendedprice") - col("ps_avg")) / lit(1e3)).as("dev_k"))
+    },
+    Some("""WITH dim AS (SELECT l_partkey, l_suppkey,
+                                ROUND(AVG(l_extendedprice), 4) AS ps_avg
+                         FROM lineitem GROUP BY 1, 2)
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(l.l_extendedprice - d.ps_avg)/1000.0, 4) AS dev_k
+            FROM lineitem l JOIN dim d USING (l_partkey, l_suppkey)"""))
+
+  /** Q130 — stats-driven aggregation planning on a COMPOSITE grouping key
+    * (q127's multi-column twin): events grouped by (event_type, year).
+    * The hot tuple is measured by the same one-job Misra-Gries pass; the
+    * salted two-phase form and the plain groupBy must agree with the
+    * oracle's flat GROUP BY either way. */
+  val q130 = QueryDef(
+    "q130_auto_agg_composite",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .withColumn("yr", year(col("ts")))
+      val (agg, _) = graft.ops.JoinPlanner.autoSumCount(ev, Seq("event_type", "yr"), "value")
+      agg.select(col("event_type"), col("yr"), r4(col("sum_value")).as("sum_value"), col("cnt"))
+        .orderBy("event_type", "yr")
+    },
+    Some("""SELECT event_type, CAST(EXTRACT(year FROM ts) AS INTEGER) AS yr,
+                   ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, yr ORDER BY event_type, yr"""))
+
   def all: Seq[QueryDef] =
-    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127)
+    Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
+      q129, q130)
 }

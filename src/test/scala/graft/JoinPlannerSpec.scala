@@ -48,19 +48,19 @@ class JoinPlannerSpec extends SparkSuite {
   }
 
   test("small side -> broadcast, plan-asserted, rows identical to the plain join") {
-    val (joined, d) = JoinPlanner.autoJoin(uniform, dim, "k", broadcastMaxRows = 100)
+    val (joined, d) = JoinPlanner.autoJoin(uniform, dim, Seq("k"), broadcastMaxRows = 100)
     assert(d.strategy == "broadcast-right", d)
     assert(hasBroadcast(joined))
     assert(sortedRows(joined) == sortedRows(uniform.join(dim, Seq("k"))))
     // and mirrored when the LEFT side is the small one
-    val (joinedL, dL) = JoinPlanner.autoJoin(dim, uniform, "k", broadcastMaxRows = 100)
+    val (joinedL, dL) = JoinPlanner.autoJoin(dim, uniform, Seq("k"), broadcastMaxRows = 100)
     assert(dL.strategy == "broadcast-left", dL)
     assert(sortedRows(joinedL) == sortedRows(dim.join(uniform, Seq("k"))))
   }
 
   test("hot key against a replicable dim -> salted, rows identical to the plain join") {
     val (joined, d) = JoinPlanner.autoJoin(
-      skewed, midDim, "k", broadcastMaxRows = 100, skewFraction = 0.2, saltBuckets = 8,
+      skewed, midDim, Seq("k"), broadcastMaxRows = 100, skewFraction = 0.2, saltBuckets = 8,
       replicateMaxRows = 10000)
     assert(d.strategy == "salted", d)
     assert(sortedRows(joined) == sortedRows(skewed.join(midDim, Seq("k"))))
@@ -68,7 +68,7 @@ class JoinPlannerSpec extends SparkSuite {
 
   test("no replicable side and no skew -> plain shuffle join") {
     val (joined, d) = JoinPlanner.autoJoin(
-      uniform, skewed.withColumnRenamed("lv", "rv"), "k",
+      uniform, skewed.withColumnRenamed("lv", "rv"), Seq("k"),
       broadcastMaxRows = 100, skewFraction = 0.9, replicateMaxRows = 100)
     assert(d.strategy == "shuffle", d)
     assert(sortedRows(joined) ==
@@ -76,9 +76,9 @@ class JoinPlannerSpec extends SparkSuite {
   }
 
   test("autoSumCount picks salted only under measured skew; results identical either way") {
-    val (salted, ds) = JoinPlanner.autoSumCount(skewed, "k", "lv", skewFraction = 0.2)
+    val (salted, ds) = JoinPlanner.autoSumCount(skewed, Seq("k"), "lv", skewFraction = 0.2)
     assert(ds.strategy == "salted-agg", ds)
-    val (plain, dp) = JoinPlanner.autoSumCount(uniform, "k", "lv", skewFraction = 0.2)
+    val (plain, dp) = JoinPlanner.autoSumCount(uniform, Seq("k"), "lv", skewFraction = 0.2)
     assert(dp.strategy == "plain-agg", dp)
     // both branches equal a direct groupBy on their input
     def direct(df: DataFrame) = sortedRows(
@@ -87,11 +87,59 @@ class JoinPlannerSpec extends SparkSuite {
     assert(sortedRows(plain) == direct(uniform))
   }
 
+  // composite-key fixtures: hot TUPLE (7, "x") holds half the skewed side
+  private lazy val skewed2 =
+    ((1 to 3000).map(_ => (7L, "x", 1L)) ++
+      (1 to 3000).map(i => (i % 300L + 100L, if (i % 2 == 0) "x" else "y", 2L)))
+      .toDF("k1", "k2", "lv")
+  private lazy val dim2 = (for (k1 <- 0L to 39L; k2 <- Seq("x", "y"))
+    yield (k1, k2, s"d$k1$k2")).toDF("k1", "k2", "name")
+  private lazy val midDim2 = (for (k1 <- 0L to 449L; k2 <- Seq("x", "y"))
+    yield (k1, k2, s"m$k1$k2")).toDF("k1", "k2", "name")
+
+  test("composite keys: gatherStats finds the hot tuple; tuple parts stay distinct") {
+    val s = JoinPlanner.gatherStats(skewed2, Seq("k1", "k2"))
+    assert(s.rows == 6000)
+    assert(s.topKey.contains("7\u0001x"))
+    assert(s.maybeSkewed(0.2))
+    // ("ab","c") and ("a","bc") must not fold into one stats key
+    val tricky = Seq(("ab", "c"), ("ab", "c"), ("a", "bc")).toDF("k1", "k2")
+    val t = JoinPlanner.gatherStats(tricky, Seq("k1", "k2"))
+    assert(t.topKey.contains("ab\u0001c") && t.topKeyRows == 2)
+  }
+
+  test("composite keys: every autoJoin branch returns exactly the plain join's rows") {
+    // broadcast branch
+    val (b, db) = JoinPlanner.autoJoin(skewed2, dim2, Seq("k1", "k2"), broadcastMaxRows = 100)
+    assert(db.strategy == "broadcast-right", db)
+    assert(sortedRows(b) == sortedRows(skewed2.join(dim2, Seq("k1", "k2"))))
+    // salted branch: the hot composite tuple spreads, rows identical
+    val (sj, dsj) = JoinPlanner.autoJoin(
+      skewed2, midDim2, Seq("k1", "k2"), broadcastMaxRows = 100, skewFraction = 0.2,
+      saltBuckets = 8, replicateMaxRows = 10000)
+    assert(dsj.strategy == "salted", dsj)
+    assert(sortedRows(sj) == sortedRows(skewed2.join(midDim2, Seq("k1", "k2"))))
+    // shuffle branch
+    val (pj, dpj) = JoinPlanner.autoJoin(
+      skewed2, midDim2, Seq("k1", "k2"), broadcastMaxRows = 100, skewFraction = 0.9,
+      replicateMaxRows = 100)
+    assert(dpj.strategy == "shuffle", dpj)
+    assert(sortedRows(pj) == sortedRows(skewed2.join(midDim2, Seq("k1", "k2"))))
+  }
+
+  test("composite keys: autoSumCount salts the hot tuple; results equal the direct groupBy") {
+    val (salted, d) = JoinPlanner.autoSumCount(skewed2, Seq("k1", "k2"), "lv")
+    assert(d.strategy == "salted-agg", d)
+    val direct = skewed2.groupBy("k1", "k2")
+      .agg(sum("lv").as("sum_lv"), count(lit(1)).as("cnt"))
+    assert(sortedRows(salted) == sortedRows(direct))
+  }
+
   test("pre-collected stats skip measurement and drive the same decision") {
     val ls = JoinPlanner.SideStats(rows = 5000000L, topKey = None, topKeyRows = 0L, k = 32)
     val rs = JoinPlanner.SideStats(rows = 40L, topKey = None, topKeyRows = 0L, k = 32)
     val (_, d) = JoinPlanner.autoJoin(
-      uniform, dim, "k", leftStats = Some(ls), rightStats = Some(rs))
+      uniform, dim, Seq("k"), leftStats = Some(ls), rightStats = Some(rs))
     assert(d.strategy == "broadcast-right")
   }
 }
