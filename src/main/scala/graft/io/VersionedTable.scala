@@ -139,6 +139,96 @@ object VersionedTable {
     }
   }
 
+  /** The table's LOGICAL schema recorded in a manifest (base64 of the
+    * Spark schema JSON — base64 keeps the regex-parsed manifest format
+    * free of nested-JSON escaping). Absent on legacy manifests. */
+  private def schemaOf(text: String): Option[org.apache.spark.sql.types.StructType] =
+    raw""""schema64":"([A-Za-z0-9+/=]+)"""".r.findFirstMatchIn(text).map { m =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Cumulative (oldName, newName) rename history of a manifest, oldest
+    * first. Names are regex-validated at rename time, so plain JSON. */
+  private def renamesOf(text: String): Seq[(String, String)] =
+    raw""""renames":\[((?:\[[^\]]*\],?)*)\]""".r.findFirstMatchIn(text) match {
+      case None => Seq.empty
+      case Some(m) =>
+        raw"""\["([^"]+)","([^"]+)"\]""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2)).toSeq
+    }
+
+  /** Widened merge of two schemas: shared fields take the wider numeric
+    * type (byte→short→int→long, float→double, integral→double); fields
+    * only in `incoming` append as nullable. Anything else conflicting
+    * throws — schema evolution here is additive + widening + rename, the
+    * reversible subset a long-lived table can always read back. */
+  private[graft] def mergeWiden(
+      prior: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def widen(a: DataType, b: DataType): DataType = {
+      val integralRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      val fracRank = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+      if (a == b) a
+      else if (integralRank.contains(a) && integralRank.contains(b))
+        (if (integralRank(a) >= integralRank(b)) a else b)
+      else if (fracRank.contains(a) && fracRank.contains(b))
+        (if (fracRank(a) >= fracRank(b)) a else b)
+      else if ((integralRank.contains(a) && fracRank.contains(b)) ||
+        (fracRank.contains(a) && integralRank.contains(b))) DoubleType
+      else throw new IllegalArgumentException(
+        s"cannot merge column types $a and $b (only additive/widening evolution is supported)")
+    }
+    val priorNames = prior.fieldNames.toSet
+    val merged = prior.fields.map { f =>
+      incoming.find(_.name == f.name) match {
+        case Some(g) => StructField(f.name, widen(f.dataType, g.dataType), nullable = true)
+        case None    => f.copy(nullable = true)
+      }
+    } ++ incoming.fields.filterNot(f => priorNames(f.name)).map(_.copy(nullable = true))
+    StructType(merged)
+  }
+
+  /** Read `files` under a manifest's schema metadata: the explicit read
+    * schema carries every logical column at its (possibly widened) type —
+    * the 4.x vectorized parquet reader upcasts int32→long / float→double
+    * per file and nulls missing columns, so NO footer merging is needed —
+    * plus each retired physical name from the rename history, which is
+    * then folded into its successor with `coalesce` (a pre-rename file
+    * has data under the old name and null under the new; a post-rename
+    * file the reverse). Legacy manifests (no schema metadata) read as
+    * before. */
+  private def evolvedRead(
+      spark: SparkSession, path: String, text: String, files: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val paths = files.map(n => s"$path/data/$n")
+    schemaOf(text) match {
+      case None =>
+        spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+      case Some(logical) =>
+        val renames = renamesOf(text)
+        // each retired name reads at its FINAL successor's (widened) type
+        def finalTarget(name: String, fromIdx: Int): String =
+          renames.drop(fromIdx).foldLeft(name) { case (cur, (f, t)) => if (f == cur) t else cur }
+        val logicalNames = logical.fieldNames.toSet
+        val extras = renames.zipWithIndex.flatMap { case ((from, to), i) =>
+          logical.find(_.name == finalTarget(to, i + 1))
+            .map(f => StructField(from, f.dataType, nullable = true))
+        }.filterNot(f => logicalNames(f.name)).distinctBy(_.name)
+        val physical = StructType(logical.fields.map(_.copy(nullable = true)) ++ extras)
+        var df = spark.read.schema(physical).parquet(paths: _*)
+        renames.foreach { case (from, to) =>
+          if (df.columns.contains(from))
+            df = df.withColumn(to, coalesce(col(to), col(from))).drop(from)
+        }
+        df.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   private def operationOf(text: String): String =
     raw""""operation":"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
       .getOrElse(sys.error("malformed manifest: no operation"))
@@ -193,7 +283,11 @@ object VersionedTable {
       statsCol: Option[String] = None,
       maxAttempts: Int = 20,
       requiredParent: Option[Long] = None,
-      cdfFiles: Seq[String] = Seq.empty): Option[Long] = {
+      cdfFiles: Seq[String] = Seq.empty,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      addRenames: Seq[(String, String)] = Seq.empty,
+      resetRenames: Boolean = false): Option[Long] = {
     statsCol.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -245,9 +339,28 @@ object VersionedTable {
       val cdfJson =
         if (cdfFiles.isEmpty) ""
         else s""""cdf":[${cdfFiles.map("\"" + _ + "\"").mkString(",")}],"""
+      // logical schema: explicit override (rename/retype) > widened merge
+      // of carried schema with the committed data's > plain carry. An
+      // overwrite replaces the schema and retires the rename history (no
+      // old-named files remain in its manifest).
+      val prevSchema = prevText.flatMap(schemaOf)
+      val newSchema = schemaOverride.orElse(dataSchema match {
+        case Some(ds) =>
+          Some(if (carryForward) prevSchema.map(mergeWiden(_, ds)).getOrElse(ds) else ds)
+        case None => prevSchema
+      })
+      val schemaJson = newSchema.map { s =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
+        s""""schema64":"$b64","""
+      }.getOrElse("")
+      val renames =
+        (if (resetRenames) Seq.empty else prevText.map(renamesOf).getOrElse(Seq.empty)) ++ addRenames
+      val renamesJson =
+        if (renames.isEmpty) ""
+        else s""""renames":[${renames.map { case (a, b) => s"""["$a","$b"]""" }.mkString(",")}],"""
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson + cdfJson +
+          txnJson + statsJson + cdfJson + schemaJson + renamesJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -264,10 +377,14 @@ object VersionedTable {
     sys.error(s"commit to $path failed after $maxAttempts attempts")
   }
 
-  /** Append `df` as a new version (previous files carry forward). */
+  /** Append `df` as a new version (previous files carry forward). The
+    * table's logical schema is the widened merge of the carried schema
+    * with `df`'s (additive columns + numeric widening — see
+    * [[mergeWiden]]); readers reconcile per file with no footer scans. */
   def commitAppend(df: DataFrame, path: String): Long = {
     val (_, names) = stageData(df, path)
-    publish(df.sparkSession, path, "append", names, carryForward = true).get
+    publish(df.sparkSession, path, "append", names, carryForward = true,
+      dataSchema = Some(df.schema)).get
   }
 
   /** Append with FILE-SKIPPING statistics: record each new file's
@@ -282,7 +399,7 @@ object VersionedTable {
     val (commitId, names) = stageData(df, path)
     val ranges = rangesOf(df, path, commitId, statsCol)
     publish(df.sparkSession, path, "append", names, carryForward = true,
-      newRanges = ranges, statsCol = Some(statsCol)).get
+      newRanges = ranges, statsCol = Some(statsCol), dataSchema = Some(df.schema)).get
   }
 
   /** The data files of `version` (latest by default) whose recorded
@@ -316,9 +433,11 @@ object VersionedTable {
       // preserve the schema without reading data: empty frame over v's schema
       val full = read(spark, path, version)
       full.filter(org.apache.spark.sql.functions.lit(false))
-    } else
-      spark.read.parquet(keep.map(n => s"$path/data/$n"): _*)
+    } else {
+      val v = version.getOrElse(versions(spark, path).last)
+      evolvedRead(spark, path, manifestText(spark, path, v), keep)
         .filter(col(statsCol).cast("long").between(lo, hi))
+    }
   }
 
   /** Change-data feed for append-only history: the rows added between
@@ -334,14 +453,18 @@ object VersionedTable {
       s"need committed fromVersion <= toVersion, got $fromVersion..$toVersion of ${vs.mkString(",")}")
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
     val ops = window.map(v => v -> operationOf(manifestText(spark, path, v)))
-    val bad = ops.filterNot { case (_, op) => op == "append" || op == "stream-append" }
+    // metadata-only schema commits add no files and are safe to cross
+    val bad = ops.filterNot { case (_, op) =>
+      op == "append" || op == "stream-append" || op == "rename" || op == "retype"
+    }
     require(bad.isEmpty,
       s"changes() needs an append-only window; version(s) ${bad.map(_._1).mkString(",")} " +
         s"are ${bad.map(_._2).distinct.mkString("/")}")
     val before = manifestFiles(spark, path, fromVersion).toSet
     val added = manifestFiles(spark, path, toVersion).filterNot(before)
     if (added.isEmpty) read(spark, path, Some(toVersion)).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(added.map(n => s"$path/data/$n"): _*)
+    else // the TO-version's schema view, so a window crossing a rename/widen reads uniformly
+      evolvedRead(spark, path, manifestText(spark, path, toVersion), added)
   }
 
   /** Row-level change-data feed: every row change between `fromVersion`
@@ -366,6 +489,9 @@ object VersionedTable {
     val window = vs.filter(v => v > fromVersion && v <= toVersion)
     def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    // every window slice reads through the TO-version's schema view, so a
+    // window crossing a rename/widen emits one uniform schema
+    val toText = manifestText(spark, path, toVersion)
     val parts: Seq[DataFrame] = window.flatMap { v =>
       val text = manifestText(spark, path, v)
       operationOf(text) match {
@@ -374,13 +500,13 @@ object VersionedTable {
           val before = manifestFiles(spark, path, v - 1).toSet
           val added = manifestFiles(spark, path, v).filterNot(before)
           if (added.isEmpty) None
-          else Some(tag(spark.read.parquet(added.map(n => s"$path/data/$n"): _*), "insert", v))
+          else Some(tag(evolvedRead(spark, path, toText, added), "insert", v))
         case "delete" =>
           val tombstones = cdfFilesOf(text)
           require(tombstones.nonEmpty,
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
               "row-level changes are not reconstructible — resync from a snapshot")
-          Some(tag(spark.read.parquet(tombstones.map(n => s"$path/data/$n"): _*), "delete", v))
+          Some(tag(evolvedRead(spark, path, toText, tombstones), "delete", v))
         case "compact" => None // rewrites files without changing a row
         case "rename" | "retype" => None // metadata-only schema evolution
         case other =>
@@ -399,7 +525,8 @@ object VersionedTable {
     * remain readable until [[vacuum]]. */
   def commitOverwrite(df: DataFrame, path: String): Long = {
     val (_, names) = stageData(df, path)
-    publish(df.sparkSession, path, "overwrite", names, carryForward = false).get
+    publish(df.sparkSession, path, "overwrite", names, carryForward = false,
+      dataSchema = Some(df.schema), resetRenames = true).get
   }
 
   /** Idempotent streaming append: commit `df` as `(writerId, batchId)`,
@@ -436,7 +563,8 @@ object VersionedTable {
     else {
       val (_, names) = stageData(df, path)
       publish(spark, path, operation, names, carryForward = carryForward,
-        txn = Some(writerId -> batchId))
+        txn = Some(writerId -> batchId), dataSchema = Some(df.schema),
+        resetRenames = operation == "overwrite")
     }
   }
 
@@ -475,10 +603,11 @@ object VersionedTable {
       val vs = versions(spark, path)
       require(vs.nonEmpty, s"no committed versions at $path")
       val current = vs.last
+      val text = manifestText(spark, path, current)
       val rel = manifestFiles(spark, path, current)
-      val abs = rel.map(n => s"$path/data/$n")
-      // one pruned scan: which files hold doomed rows
-      val hitAbs = spark.read.parquet(abs: _*)
+      // one pruned scan (schema-aware, so predicates on renamed/widened
+      // columns see every file): which files hold doomed rows
+      val hitAbs = evolvedRead(spark, path, text, rel)
         .filter(predicate)
         .select(input_file_name().as("f"))
         .distinct().collect().map(_.getString(0)).toSeq
@@ -492,7 +621,9 @@ object VersionedTable {
       }
       val hitRel = hitAbs.map(relOf).toSet
       val kept = rel.filterNot(hitRel)
-      val doomed = spark.read.parquet(hitAbs: _*)
+      // rewritten files are staged under the CURRENT logical schema —
+      // a delete doubles as physical schema migration for the files it touches
+      val doomed = evolvedRead(spark, path, text, rel.filter(hitRel))
       // three-valued logic: a NULL predicate row is NOT deleted — it must
       // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
       val isDoomed = org.apache.spark.sql.functions.coalesce(
@@ -538,11 +669,71 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not found at $path (have ${vs.mkString(",")})")
     val files = manifestFiles(spark, path, v)
     require(files.nonEmpty, s"version $v of $path has no data files (empty commit)")
-    // mergeSchema reconciles commits written with EVOLVED schemas (new
-    // nullable columns) at the cost of reading every file's footer — off
-    // by default, on for tables that append with schema drift.
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(n => s"$path/data/$n"): _*)
+    // Tables with schema metadata reconcile evolved commits (added
+    // columns, widened types, renames) from the MANIFEST alone — an
+    // explicit read schema, zero footer scans; `mergeSchema` only matters
+    // for legacy manifests without it.
+    evolvedRead(spark, path, manifestText(spark, path, v), files, mergeSchema)
+  }
+
+  /** Metadata-only column rename: commits a new version whose manifest
+    * carries the renamed logical schema and the (old → new) pair in the
+    * cumulative rename history — ZERO data files touched, which is the
+    * whole point at 100 TB (a rewrite-based rename would be a full-table
+    * write). Readers fold retired physical names into their successors
+    * per file (see [[evolvedRead]]); compaction and deletes migrate the
+    * files they rewrite, so the physical debt amortizes out over normal
+    * maintenance. Old versions still time-travel under their own names.
+    *
+    * `newName` must be fresh — never used before by this table (current
+    * schema OR rename history): reusing a retired name would make a
+    * pre-rename file's column ambiguous. */
+  def renameColumn(spark: SparkSession, path: String, oldName: String, newName: String): Long = {
+    require(newName.matches("[A-Za-z0-9._-]+"),
+      s"column names live in manifest JSON and must be [A-Za-z0-9._-]+, got: $newName")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, vs.last)
+    // legacy tables (no schema metadata yet) bootstrap it from a read
+    val logical = schemaOf(text).getOrElse(read(spark, path).schema)
+    require(logical.fieldNames.contains(oldName), s"no column '$oldName' in ${logical.fieldNames.toSeq}")
+    require(!logical.fieldNames.contains(newName), s"column '$newName' already exists")
+    val history = renamesOf(text).flatMap { case (a, b) => Seq(a, b) }.toSet
+    require(!history.contains(newName),
+      s"'$newName' was used before by this table; renaming onto a retired name is ambiguous")
+    val renamed = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    // conflict-checked: the override was computed from vs.last's schema,
+    // so a concurrent schema-merging append must not be overwritten
+    publish(spark, path, "rename", Seq.empty, carryForward = true,
+      schemaOverride = Some(renamed), addRenames = Seq(oldName -> newName),
+      requiredParent = Some(vs.last)).get
+  }
+
+  /** Metadata-only type widening (int→long, float→double, integral→
+    * double): commits a new version whose manifest carries the widened
+    * logical schema; the vectorized parquet reader upcasts each old file
+    * at scan time, so again zero data files are touched. Only WIDENING is
+    * allowed — narrowing would make existing rows unreadable. */
+  def widenColumn(
+      spark: SparkSession, path: String, colName: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, vs.last)
+    val logical = schemaOf(text).getOrElse(read(spark, path).schema)
+    val field = logical.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$colName' in ${logical.fieldNames.toSeq}"))
+    val widened = mergeWiden(
+      org.apache.spark.sql.types.StructType(Seq(field)),
+      org.apache.spark.sql.types.StructType(Seq(field.copy(dataType = newType))))
+    require(widened.head.dataType == newType && newType != field.dataType,
+      s"$newType does not widen ${field.dataType}")
+    val evolved = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => if (f.name == colName) f.copy(dataType = newType) else f))
+    publish(spark, path, "retype", Seq.empty, carryForward = true,
+      schemaOverride = Some(evolved), requiredParent = Some(vs.last)).get
   }
 
   /** Incremental table mirroring, exactly-once: copy everything `srcPath`
@@ -654,7 +845,9 @@ object VersionedTable {
       val keep = rel.filterNot(small.toSet)
       val smallRows = small.map(counts.getOrElse(_, 0L)).sum
       val nOut = math.max(1, math.ceil(smallRows.toDouble / targetRowsPerFile).toInt)
-      val df = spark.read.parquet(small.map(n => s"$path/data/$n"): _*)
+      // repacked files are staged under the CURRENT logical schema —
+      // compaction doubles as physical schema migration
+      val df = evolvedRead(spark, path, text, small)
       val packed = statsColOpt match {
         case Some(c) => df.repartitionByRange(nOut, col(c)) // keep pruning sharp
         case None    => df.repartition(nOut)

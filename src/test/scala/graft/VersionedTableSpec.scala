@@ -212,6 +212,80 @@ class VersionedTableSpec extends SparkSuite {
     assert(h(0).nFiles > 0 && h(1).nFiles > h(0).nFiles)
   }
 
+  test("column rename is metadata-only; appends under the new name read back merged") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1: (id, v)
+    val filesBefore = VersionedTable.read(spark, path).inputFiles.sorted.toSeq
+    val rv = VersionedTable.renameColumn(spark, path, "v", "label") // v2: zero files touched
+    assert(rv == 2L)
+    assert(VersionedTable.read(spark, path).inputFiles.sorted.toSeq == filesBefore,
+      "rename must not rewrite data files")
+    // append under the NEW name; read back reconciles old + new files
+    VersionedTable.commitAppend(
+      (5 until 8).map(i => (i.toLong, s"row_$i")).toDF("id", "label"), path) // v3
+    val merged = VersionedTable.read(spark, path)
+    assert(merged.columns.toSeq == Seq("id", "label"))
+    assert(merged.select("label").as[String].collect().sorted.toSeq ==
+      (0 until 8).map(i => s"row_$i").sorted)
+    // time travel: the pre-rename version still reads under its own name
+    assert(VersionedTable.read(spark, path, Some(1L)).columns.toSeq == Seq("id", "v"))
+    // chained rename composes
+    VersionedTable.renameColumn(spark, path, "label", "tag") // v4
+    val chained = VersionedTable.read(spark, path)
+    assert(chained.columns.toSeq == Seq("id", "tag"))
+    assert(chained.filter(col("tag").isNull).count() == 0)
+    // renaming onto a retired name is refused (would be ambiguous)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, path, "tag", "v")
+    }
+    assert(err.getMessage.contains("retired"))
+    // compaction migrates old-named files to the current physical schema
+    val (_, rewritten) = VersionedTable.compact(spark, path, targetRowsPerFile = 1000000)
+    assert(rewritten > 0)
+    val compacted = VersionedTable.read(spark, path)
+    assert(compacted.columns.toSeq == Seq("id", "tag") && compacted.count() == 8)
+    val physical = spark.read.parquet(compacted.inputFiles: _*)
+    assert(physical.columns.toSeq == Seq("id", "tag"), "compacted files carry the new name")
+  }
+
+  test("type widening is metadata-only; old int files upcast to long at scan time") {
+    val path = freshDir()
+    val ints = (0 until 5).map(i => (i, s"row_$i")).toDF("id", "v") // id: INT
+    VersionedTable.commitAppend(ints, path) // v1
+    VersionedTable.widenColumn(spark, path, "id", org.apache.spark.sql.types.LongType) // v2
+    // append with LONG ids beyond int range
+    VersionedTable.commitAppend(
+      Seq((5000000000L, "big")).toDF("id", "v"), path) // v3
+    val df = VersionedTable.read(spark, path)
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5000000000L))
+    // narrowing is refused
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, path, "id", org.apache.spark.sql.types.IntegerType)
+    }
+    // appending with a WIDER type than declared also widens automatically
+    val path2 = freshDir()
+    VersionedTable.commitAppend(ints, path2)
+    VersionedTable.commitAppend(Seq((7000000000L, "auto")).toDF("id", "v"), path2)
+    val auto = VersionedTable.read(spark, path2)
+    assert(auto.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(auto.count() == 6)
+  }
+
+  test("rename/retype commits cross changes() and changesWithType() as no-ops") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1
+    VersionedTable.renameColumn(spark, path, "v", "label") // v2
+    VersionedTable.commitAppend(
+      (5 until 8).map(i => (i.toLong, s"row_$i")).toDF("id", "label"), path) // v3
+    val delta = VersionedTable.changes(spark, path, 1L, 3L)
+    assert(delta.count() == 3)
+    assert(delta.columns.toSeq == Seq("id", "label"), "window reads in the TO-version's view")
+    val cdf = VersionedTable.changesWithType(spark, path, 1L, 3L)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 3)
+  }
+
   test("schema evolution: mergeSchema read reconciles commits with a new nullable column") {
     val path = freshDir()
     VersionedTable.commitAppend(batch(0, 5), path)
