@@ -72,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("interleave_bits", "interleave_bits(bigint x, bigint y) - Morton z-value of two non-negative keys"),
       (exprs: Seq[Expression]) => new InterleaveBits(exprs(0), exprs(1))))
 
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits_n"),
+      info("interleave_bits_n", "interleave_bits_n(bigint...) - N-dim Morton z-value (floor(63/n) bits per key)"),
+      (exprs: Seq[Expression]) => graft.functions.InterleaveBitsN(
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          exprs.map(e => org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.LongType))),
+        exprs.size)))
+
     // Column-composition functions: build the Column pipeline once per
     // call site and lower it to the underlying expression tree.
     def composed(name: String, usage: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =

@@ -14,6 +14,14 @@ object Registry {
       "interleave_bits",
       exprs => InterleaveBits(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "interleave_bits_n",
+      exprs => InterleaveBitsN(
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          exprs.map(e => org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.LongType))),
+        exprs.size),
+      "scala_udf")
     spark.udf.register("weighted_avg", udaf(WeightedAvg))
     spark.udf.register("dd_sketch", udaf(DdSketch.SketchAgg))
     spark.udf.register("dd_merge", udaf(DdSketch.MergeAgg))

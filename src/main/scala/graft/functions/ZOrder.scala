@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Z-order (Morton) curve value for two dimensions — the clustering key
   * behind [[graft.io.Sinks.zOrderedParquet]].
@@ -72,6 +73,107 @@ case class InterleaveBits(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): InterleaveBits =
     copy(left = newLeft, right = newRight)
+}
+
+/** N-dimension Morton interleave (VERDICT r7 item 5 — the 2-key
+  * [[InterleaveBits]] generalized): bit i of dimension d lands at bit
+  * i*n + d, each dimension contributing its low ⌊63/n⌋ bits, so the
+  * result is order-preserving per dimension on [0, 2^⌊63/n⌋) and always
+  * a non-negative long. n=2 reproduces [[InterleaveBits]] bit-for-bit
+  * (31 bits/dim); n=3 → 21 bits/dim, n=4 → 15 — the standard trade:
+  * more clustered dimensions, coarser per-dimension resolution.
+  *
+  * The child is ONE fused `array<bigint>` (built by the column helper
+  * from the key columns) so the expression stays a [[UnaryExpression]]
+  * with standard null-safe codegen; a NULL element yields a NULL
+  * z-value, matching the binary form's null semantics. The inner loop is
+  * ⌊63/n⌋·n ≤ 63 shift-or steps of generated Java — still branch-free
+  * per row, no virtual calls (the write-time hot-loop requirement that
+  * motivated the fused 2-ary form).
+  */
+case class InterleaveBitsN(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 2 && n <= 16, s"interleave_bits_n supports 2..16 dimensions, got $n")
+  private val bits = 63 / n
+  private val mask = (1L << bits) - 1L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"interleave_bits_n needs array<bigint> input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // a NULL element nulls the z-value
+  override def prettyName: String = "interleave_bits_n"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != n) return null
+    var z = 0L
+    var d = 0
+    while (d < n) {
+      if (arr.isNullAt(d)) return null
+      val v = arr.getLong(d) & mask
+      var b = 0
+      while (b < bits) { z |= ((v >> b) & 1L) << (b * n + d); b += 1 }
+      d += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      val v = ctx.freshName("v")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      s"""
+         |long $z = 0L;
+         |boolean $bad = $c.numElements() != $n;
+         |for (int $d = 0; !$bad && $d < $n; $d++) {
+         |  if ($c.isNullAt($d)) { $bad = true; break; }
+         |  long $v = $c.getLong($d) & ${mask}L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $z |= (($v >> $b) & 1L) << ($b * $n + $d);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $z; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): InterleaveBitsN =
+    copy(child = newChild)
+}
+
+object InterleaveBitsN {
+
+  /** Reference implementation shared by nullSafeEval and specs. */
+  def zValueN(xs: Array[Long]): Long = {
+    val n = xs.length
+    val bits = 63 / n
+    val mask = (1L << bits) - 1L
+    var z = 0L
+    var d = 0
+    while (d < n) {
+      val v = xs(d) & mask
+      var b = 0
+      while (b < bits) { z |= ((v >> b) & 1L) << (b * n + d); b += 1 }
+      d += 1
+    }
+    z
+  }
+
+  /** Column builder over N key columns (each cast to bigint). Two columns
+    * route to the magic-mask [[InterleaveBits]] — bit-identical and a few
+    * instructions faster per row. */
+  def apply(cols: Seq[Column]): Column = {
+    require(cols.size >= 2, s"z-ordering needs at least 2 key columns, got ${cols.size}")
+    if (cols.size == 2) InterleaveBits(cols(0), cols(1))
+    else bridge.column(new InterleaveBitsN(
+      bridge.expression(org.apache.spark.sql.functions.array(cols.map(_.cast("bigint")): _*)),
+      cols.size))
+  }
 }
 
 object InterleaveBits {

@@ -64,10 +64,19 @@ object Sinks {
     * non-negative (see [[graft.functions.InterleaveBits]] domain note).
     * One range shuffle at write time; the z column never hits disk. */
   def zOrderedParquet(
-      df: DataFrame, path: String, xCol: String, yCol: String, files: Int): Unit = {
+      df: DataFrame, path: String, xCol: String, yCol: String, files: Int): Unit =
+    zOrderedParquet(df, path, Seq(xCol, yCol), files)
+
+  /** N-key variant ([[graft.functions.InterleaveBitsN]]): each output file
+    * covers a small sub-volume of the N-dim key space, with the standard
+    * trade — every added dimension coarsens per-dimension resolution
+    * (⌊63/n⌋ interleaved bits each), so cluster on the 2-4 columns that
+    * actually carry scan predicates. */
+  def zOrderedParquet(
+      df: DataFrame, path: String, clusterCols: Seq[String], files: Int): Unit = {
     import org.apache.spark.sql.functions.col
     val z = "__graft_z"
-    df.withColumn(z, graft.functions.InterleaveBits(col(xCol), col(yCol)))
+    df.withColumn(z, graft.functions.InterleaveBitsN(clusterCols.map(col)))
       .repartitionByRange(files, col(z))
       .sortWithinPartitions(z)
       .drop(z)

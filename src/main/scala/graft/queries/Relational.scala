@@ -622,6 +622,32 @@ object Relational {
                         + (((CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
             FROM orders ORDER BY z, o_orderkey LIMIT 100"""))
 
+  /** Q131 — 3-key Z-order (VERDICT r7 item 5: q109 pins the 2-key magic-
+    * mask form; this pins the N-ary loop form behind the N-key
+    * [[graft.io.Sinks.zOrderedParquet]]). 21 bits per dimension, bit i of
+    * dim d at position 3i+d; the oracle recomputes the interleave
+    * bit-by-bit in SQL including the 21-bit domain mask, so a loop-bound
+    * or placement bug in [[graft.functions.InterleaveBitsN]]'s codegen
+    * hash-fails. */
+  val q131 = QueryDef(
+    "q131_zorder3_key",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          graft.functions.InterleaveBitsN(Seq(
+            col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
+            col("o_orderkey") % 1000)).as("z"))
+        .orderBy(col("z"), col("o_orderkey"))
+        .limit(100),
+    Some("""SELECT o_orderkey,
+                   CAST(list_sum(list_transform(range(0,21),
+                     i -> ((((CAST(o_custkey AS BIGINT) & 2097151) >> i) & 1) << (3*i))
+                        + ((((CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) & 2097151) >> i) & 1) << (3*i+1))
+                        + ((((CAST(o_orderkey % 1000 AS BIGINT) & 2097151) >> i) & 1) << (3*i+2)))) AS BIGINT) AS z
+            FROM orders ORDER BY z, o_orderkey LIMIT 100"""))
+
   /** Q52 — string scalar functions (SURVEY §2.8 extension set). */
   val q52 = QueryDef(
     "q52_string_funcs",
@@ -1027,5 +1053,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131)
 }
