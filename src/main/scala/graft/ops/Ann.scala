@@ -180,6 +180,57 @@ object Ann {
     n
   }
 
+  /** Cell-size health of a persisted IVF index (VERDICT r7 item 6 — the
+    * drift monitor [[appendToIvfIndex]]'s docs promise). `skew` is
+    * max/mean cell rows: ~1 on a balanced index, growing as incremental
+    * appends drift away from the frozen centroids (new data piles into a
+    * few cells, and those probes degrade toward a linear scan). */
+  final case class IvfHealth(nCells: Int, totalRows: Long, maxCell: Long, meanCell: Double) {
+    def skew: Double = if (nCells == 0) 0.0 else maxCell / meanCell
+    /** The documented rebuild trigger: max cell at `threshold`× the mean
+      * (3.0 is a reasonable default — a probe of the hot cell then costs
+      * 3× its budgeted share and recall in cold cells is decaying). */
+    def needsRebuild(threshold: Double = 3.0): Boolean = nCells > 0 && skew >= threshold
+  }
+
+  /** Measure [[IvfHealth]] from the cell-partitioned store WITHOUT
+    * reading a single vector: the scan projects only the `cell` partition
+    * column (resolved from directory paths) and counts rows from parquet
+    * row-group metadata — cost ∝ files, not vectors. Run it after each
+    * ingestion batch; rebuild ([[rebuildIvfIndex]]) when
+    * [[IvfHealth.needsRebuild]] fires. */
+  def cellSkew(spark: org.apache.spark.sql.SparkSession, path: String): IvfHealth = {
+    val counts = spark.read.parquet(s"$path/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    if (counts.isEmpty) IvfHealth(0, 0L, 0L, 0.0)
+    else IvfHealth(counts.length, counts.sum, counts.max, counts.sum.toDouble / counts.length)
+  }
+
+  /** Re-run k-means over the CURRENT contents of a persisted index and
+    * swap it in — the drift remedy. One full pass over the stored vectors
+    * (the same cost as the original build at the new size); schedule it
+    * off the query path when [[cellSkew]] crosses the bar rather than on
+    * a timer. The new layout is STAGED beside the old and swapped by
+    * directory rename (the write must not overwrite the directory its
+    * plan is lazily reading); run it from the single maintenance owner. */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, nlist: Int,
+      seed: Long = 42L): IvfHealth = {
+    import org.apache.hadoop.fs.Path
+    val vectors = spark.read.parquet(s"$path/cells").select("vec_id", "emb")
+    val staging = s"$path/_rebuild"
+    saveIvfIndex(buildIvfIndex(vectors, nlist, seed), staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (part <- Seq("cells", "centroids")) {
+      fs.delete(new Path(s"$path/$part"), true)
+      fs.rename(new Path(s"$staging/$part"), new Path(s"$path/$part"))
+    }
+    fs.delete(new Path(staging), true)
+    cellSkew(spark, path)
+  }
+
   /** Query a prebuilt index: each probe ranks only its `nprobe` nearest
     * cells — a broadcast join on cell id, ~|corpus| * nprobe / nlist
     * candidates per probe, no k-means work. */

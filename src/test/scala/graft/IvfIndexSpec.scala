@@ -83,4 +83,42 @@ class IvfIndexSpec extends SparkSuite {
     assert(top.length == 1 && top(0).getLong(1) == 300L && top(0).getDouble(2) == 1.0,
       top.mkString(","))
   }
+
+  test("cellSkew rises under a drifted append and a rebuild restores it") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Ann.saveIvfIndex(Ann.buildIvfIndex(corpus, nlist = 8), dir)
+    val healthy = Ann.cellSkew(spark, dir)
+    assert(healthy.nCells == 8 && healthy.totalRows == 400)
+    assert(healthy.skew < 2.0, s"balanced build should be near-uniform: $healthy")
+    assert(!healthy.needsRebuild())
+
+    // drift: 400 new vectors in FOUR new modes (dims 8..11, unseen at
+    // build time) sharing a small dim-0 bias — under the FROZEN centroids
+    // the bias makes cell 0 nearest for all of them, so they pile into
+    // one cell; a rebuild gives the new modes their own cells
+    val rng = new scala.util.Random(11)
+    val drifted = (1000 until 1400).map { i =>
+      val base = Array.fill(16)(0.0)
+      base(0) = 1.0
+      base(8 + i % 4) = 5.0
+      (i.toLong, (base.map(_ + rng.nextGaussian() * 0.1)).toSeq)
+    }.toDF("vec_id", "emb")
+    Ann.appendToIvfIndex(spark, dir, drifted)
+    val skewed = Ann.cellSkew(spark, dir)
+    assert(skewed.totalRows == 800)
+    assert(skewed.skew > healthy.skew * 2, s"drift must show up: $healthy -> $skewed")
+    assert(skewed.needsRebuild(), s"monitor must fire: $skewed")
+
+    // rebuild sized to the grown corpus (8 old + 4 new modes): skew back
+    // near uniform, every row retained
+    val rebuilt = Ann.rebuildIvfIndex(spark, dir, nlist = 12)
+    assert(rebuilt.totalRows == 800 && rebuilt.nCells == 12)
+    assert(rebuilt.skew < skewed.skew / 2, s"rebuild must restore balance: $skewed -> $rebuilt")
+    // the rebuilt index still answers: a drifted vector finds itself
+    val loaded = Ann.loadIvfIndex(spark, dir)
+    val probe = drifted.filter(col("vec_id") === 1200)
+      .select(lit(8888L).as("vec_id"), col("emb"))
+    val top = Ann.queryIvf(loaded, probe, k = 1, nprobe = 2).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 1200L)
+  }
 }
