@@ -35,6 +35,18 @@ object Bench {
     * phantom 2.4x swing on an untouched query in round 2). */
   val TimedPasses = 3
 
+  /** The FROZEN round-7 headline set (VERDICT r7 item 8): `shared_total`
+    * sums exactly these queries every round, so round-over-round
+    * comparison survives additions to the headline set — `value` remains
+    * the full-set total. Do not edit this list; extend the headline flags
+    * instead. */
+  val SharedSet: Set[String] = Set(
+    "q01_scan_project_sort", "q07_agg_pricing", "q16_join_revenue", "q61_tpch_q6",
+    "q14_event_gaps", "q19_tumbling_window", "q26_dedup_exact", "q27_dedup_minhash",
+    "q88_dedup_components", "q112_heavy_hitters", "q122_canonical_dedup",
+    "q21_cosine_topk", "q31_ann_topk_brute", "q111_quantile_sketch_rollup",
+    "q95_decontaminate", "q104_tokenize_encode")
+
   /** Runs warm-up + [[TimedPasses]] timed passes per query and reports the
     * per-query median; returns the JSON result line and whether every query
     * succeeded. Separated from main so the failure path is unit-testable
@@ -73,9 +85,12 @@ object Bench {
     val errors = results.collect { case (k, Left(msg)) => jsonStr(k) + ":" + jsonStr(msg) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val sharedTotal = results.collect { case (k, Right(sec)) if SharedSet(k) => sec }.sum
     val ok = results.forall(_._2.isRight)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"ok":$ok,"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","shared_total":$sharedTotal,""" +
+        s""""shared_n":${results.count(r => SharedSet(r._1) && r._2.isRight)},""" +
+        s""""queries":$qs,"errors":$errors,"ok":$ok,"sf":${jsonStr(sfDir)}}"""
     (line, ok)
   }
 

@@ -105,7 +105,9 @@ object Membership {
             }
             i += 1
           }
-          (id, ts.length.toLong, oov, ids.toSeq)
+          // unsafeWrapArray: `ids` is freshly allocated per row and never
+          // mutated again — wrapping skips one array copy per document
+          (id, ts.length.toLong, oov, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))
         }
       }
       .toDF(idCol, "n_tok", "n_oov", "ids")
