@@ -55,6 +55,17 @@ object VersionedTable {
   private def versionPath(path: String, v: Long) =
     new Path(s"$path/$VersionDir/" + f"v$v%010d.json")
 
+  /** Absolute data-file paths of a version (latest by default) — the
+    * manifest's file list only, never the plan's `inputFiles` (which also
+    * counts deletion-vector sidecar scans). For byte-level assertions and
+    * external tooling. */
+  def dataFiles(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    manifestFiles(spark, path, v).map(n => s"$path/data/$n")
+  }
+
   /** Committed versions, ascending (empty for a fresh/foreign directory). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(s"$path/$VersionDir")
@@ -113,25 +124,48 @@ object VersionedTable {
     versions(spark, path).lastOption
       .flatMap(v => txnOf(manifestText(spark, path, v)).get(writerId))
 
-  /** File-skipping statistics of one manifest: the stats column and each
-    * file's [min, max] of it (files appended without stats simply have no
-    * entry and are never pruned — safe by construction). */
-  private def statsOf(text: String): (Option[String], Map[String, (Long, Long)]) = {
-    val section = raw""""stats":\{"col":"([^"]+)","ranges":\{([^}]*)\}""".r
-    section.findFirstMatchIn(text) match {
-      case None => (None, Map.empty)
+  /** File-skipping statistics of one manifest: the recorded stats columns
+    * and each file's per-column [min, max] keyed (file, column) — files
+    * (or columns) appended without stats simply have no entry and are
+    * never pruned, safe by construction. Parses both the v2 multi-column
+    * format (`"stats2":{"cols":[...],"ranges":{"<file>|<col>":[lo,hi]}}`)
+    * and the legacy single-column one. */
+  private def statsOf(text: String): (Seq[String], Map[(String, String), (Long, Long)]) = {
+    val entryRe = raw""""([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+    val v2 = raw""""stats2":\{"cols":\[([^\]]*)\],"ranges":\{([^}]*)\}""".r
+    v2.findFirstMatchIn(text) match {
       case Some(m) =>
-        val entries = raw""""([^"]+)":\[(-?\d+),(-?\d+)\]""".r
-          .findAllMatchIn(m.group(2))
-          .map(e => e.group(1) -> (e.group(2).toLong, e.group(3).toLong))
-          .toMap
-        (Some(m.group(1)), entries)
+        val cols = raw""""([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+        val ranges = entryRe.findAllMatchIn(m.group(2)).map { e =>
+          val Array(f, c) = e.group(1).split('|')
+          (f, c) -> (e.group(2).toLong, e.group(3).toLong)
+        }.toMap
+        (cols, ranges)
+      case None =>
+        val legacy = raw""""stats":\{"col":"([^"]+)","ranges":\{([^}]*)\}""".r
+        legacy.findFirstMatchIn(text) match {
+          case None => (Seq.empty, Map.empty)
+          case Some(m) =>
+            val c = m.group(1)
+            val ranges = entryRe.findAllMatchIn(m.group(2))
+              .map(e => (e.group(1), c) -> (e.group(2).toLong, e.group(3).toLong)).toMap
+            (Seq(c), ranges)
+        }
     }
   }
 
   /** Tombstone (deleted-row) file list of a delete commit's manifest. */
-  private def cdfFilesOf(text: String): Seq[String] = {
-    raw""""cdf":\[([^\]]*)\]""".r.findFirstMatchIn(text) match {
+  private def cdfFilesOf(text: String): Seq[String] =
+    fileListOf(text, "cdf")
+
+  /** Active deletion-vector file list of a manifest (cumulative across
+    * commits; entries for files no longer in the manifest are dead and
+    * simply never match). */
+  private def dvFilesOf(text: String): Seq[String] =
+    fileListOf(text, "dv")
+
+  private def fileListOf(text: String, field: String): Seq[String] = {
+    (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(text) match {
       case None => Seq.empty
       case Some(m) if m.group(1).trim.isEmpty => Seq.empty
       case Some(m) =>
@@ -202,13 +236,37 @@ object VersionedTable {
     * before. */
   private def evolvedRead(
       spark: SparkSession, path: String, text: String, files: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col}
+      mergeSchema: Boolean = false, dvFiles: Seq[String] = Seq.empty,
+      withPosition: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, regexp_extract}
     import org.apache.spark.sql.types.{StructField, StructType}
     val paths = files.map(n => s"$path/data/$n")
+    // Row identity (relative file name, row position) comes from the
+    // scan's hidden metadata columns, which only resolve ON the scan —
+    // capture it before any projection or join. Deletion vectors anti-join
+    // on that identity; entries referencing files not being read
+    // (rewritten/compacted since) simply never match. `withPosition`
+    // callers ([[deleteWhereDV]]) get the identity back as __f/__pos.
+    val needPos = withPosition || dvFiles.nonEmpty
+    def applyDv(scan0: DataFrame): DataFrame =
+      if (!needPos) scan0
+      else {
+        val positioned = scan0
+          .withColumn("__f", regexp_extract(col("_metadata.file_path"), "/data/(.+)$", 1))
+          .withColumn("__pos", col("_metadata.row_index"))
+        if (dvFiles.isEmpty) positioned
+        else {
+          val dv = spark.read.parquet(dvFiles.map(n => s"$path/data/$n"): _*)
+            .select(col("f").as("__dv_f"), col("pos").as("__dv_pos"))
+          positioned.join(
+            dv, col("__f") === col("__dv_f") && col("__pos") === col("__dv_pos"), "left_anti")
+        }
+      }
+    val posCols = if (withPosition) Seq("__f", "__pos") else Seq.empty
     schemaOf(text) match {
       case None =>
-        spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+        val out = applyDv(spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*))
+        if (withPosition || !needPos) out else out.drop("__f", "__pos")
       case Some(logical) =>
         val renames = renamesOf(text)
         // each retired name reads at its FINAL successor's (widened) type
@@ -220,12 +278,12 @@ object VersionedTable {
             .map(f => StructField(from, f.dataType, nullable = true))
         }.filterNot(f => logicalNames(f.name)).distinctBy(_.name)
         val physical = StructType(logical.fields.map(_.copy(nullable = true)) ++ extras)
-        var df = spark.read.schema(physical).parquet(paths: _*)
+        var df = applyDv(spark.read.schema(physical).parquet(paths: _*))
         renames.foreach { case (from, to) =>
           if (df.columns.contains(from))
             df = df.withColumn(to, coalesce(col(to), col(from))).drop(from)
         }
-        df.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+        df.select((logical.fieldNames.toIndexedSeq ++ posCols).map(col): _*)
     }
   }
 
@@ -247,23 +305,30 @@ object VersionedTable {
     (commitId, names)
   }
 
-  /** Per-file [min, max] of a LONG key column over freshly staged files —
-    * ONE grouped scan of the new files only (the shardedExport manifest
-    * trick), keyed by relative file name. */
+  /** Per-file [min, max] of each LONG key column over freshly staged
+    * files — ONE grouped scan of the new files whatever the column count
+    * (every column's min/max rides the same hash aggregate, the
+    * TableStats pattern), keyed (relative file name, column). */
   private def rangesOf(
-      df: DataFrame, path: String, commitId: String, statsCol: String): Map[String, (Long, Long)] = {
+      df: DataFrame, path: String, commitId: String,
+      statsCols: Seq[String]): Map[(String, String), (Long, Long)] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val spark = df.sparkSession
+    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("long")).as(s"__lo_$i"), max(col(c).cast("long")).as(s"__hi_$i"))
+    }
     spark.read.parquet(s"$path/data/$commitId")
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol).cast("long")).as("lo"), max(col(statsCol).cast("long")).as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .flatMap { r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None // all-null file: no range, never pruned
-        else {
-          val p = new java.net.URI(r.getString(0)).getPath
-          val i = p.lastIndexOf("/data/")
-          Some(p.substring(i + "/data/".length) -> (r.getLong(1), r.getLong(2)))
+        val p = new java.net.URI(r.getString(0)).getPath
+        val i = p.lastIndexOf("/data/")
+        val f = p.substring(i + "/data/".length)
+        statsCols.zipWithIndex.flatMap { case (c, j) =>
+          // all-null file column: no range recorded, never pruned
+          if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
+          else Some((f, c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
         }
       }.toMap
   }
@@ -279,16 +344,18 @@ object VersionedTable {
       newFiles: Seq[String],
       carryForward: Boolean,
       txn: Option[(String, Long)] = None,
-      newRanges: Map[String, (Long, Long)] = Map.empty,
-      statsCol: Option[String] = None,
+      newRanges: Map[(String, String), (Long, Long)] = Map.empty,
+      statsCols: Seq[String] = Seq.empty,
       maxAttempts: Int = 20,
       requiredParent: Option[Long] = None,
       cdfFiles: Seq[String] = Seq.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
       addRenames: Seq[(String, String)] = Seq.empty,
-      resetRenames: Boolean = false): Option[Long] = {
-    statsCol.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
+      resetRenames: Boolean = false,
+      addDvFiles: Seq[String] = Seq.empty,
+      dvOverride: Option[Seq[String]] = None): Option[Long] = {
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/$VersionDir"))
@@ -325,17 +392,22 @@ object VersionedTable {
           newFiles
       // file ranges follow their files: carried files keep prior ranges
       // (restricted to files actually in this manifest), new files add
-      // theirs; the stats column sticks unless a writer redeclares it
-      val (prevCol, prevRanges) = prevText.map(statsOf).getOrElse((None, Map.empty[String, (Long, Long)]))
-      val col = statsCol.orElse(prevCol)
-      val ranges = (prevRanges ++ newRanges).view.filterKeys(files.toSet).toMap
-      val statsJson = col match {
-        case Some(c) if ranges.nonEmpty =>
-          val body = ranges.toSeq.sortBy(_._1)
-            .map { case (k, (lo, hi)) => s""""$k":[$lo,$hi]""" }.mkString(",")
-          s""""stats":{"col":"$c","ranges":{$body}},"""
-        case _ => ""
-      }
+      // theirs; recorded columns accumulate (a writer can start recording
+      // an extra column mid-history — older files just lack its entries
+      // and are never pruned on it)
+      val (prevCols, prevRanges) =
+        prevText.map(statsOf).getOrElse((Seq.empty[String], Map.empty[(String, String), (Long, Long)]))
+      val cols = (prevCols ++ statsCols).distinct
+      val fileSet = files.toSet
+      val ranges = (prevRanges ++ newRanges).view.filterKeys(k => fileSet(k._1)).toMap
+      val statsJson =
+        if (cols.isEmpty || ranges.isEmpty) ""
+        else {
+          val colsJson = cols.map("\"" + _ + "\"").mkString(",")
+          val body = ranges.toSeq.sortBy(e => (e._1._1, e._1._2))
+            .map { case ((f, c), (lo, hi)) => s""""$f|$c":[$lo,$hi]""" }.mkString(",")
+          s""""stats2":{"cols":[$colsJson],"ranges":{$body}},"""
+        }
       val cdfJson =
         if (cdfFiles.isEmpty) ""
         else s""""cdf":[${cdfFiles.map("\"" + _ + "\"").mkString(",")}],"""
@@ -358,9 +430,17 @@ object VersionedTable {
       val renamesJson =
         if (renames.isEmpty) ""
         else s""""renames":[${renames.map { case (a, b) => s"""["$a","$b"]""" }.mkString(",")}],"""
+      // deletion vectors carry forward like renames (an overwrite retires
+      // both — no prior files remain for either to refer to); a rewrite
+      // op that re-filtered the DV set replaces it outright
+      val dv = dvOverride.getOrElse(
+        (if (resetRenames) Seq.empty else prevText.map(dvFilesOf).getOrElse(Seq.empty)) ++ addDvFiles)
+      val dvJson =
+        if (dv.isEmpty) ""
+        else s""""dv":[${dv.map("\"" + _ + "\"").mkString(",")}],"""
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson + cdfJson + schemaJson + renamesJson +
+          txnJson + statsJson + cdfJson + schemaJson + renamesJson + dvJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -393,50 +473,93 @@ object VersionedTable {
     * MANIFEST alone — no footer reads, no directory listing, the
     * Iceberg-manifest trick. Pair with a range-clustered write layout to
     * make the ranges disjoint and the pruning sharp. */
-  def commitAppend(df: DataFrame, path: String, statsCol: String): Long = {
-    require(statsCol.matches("[A-Za-z0-9._-]+"), // checked BEFORE staging anything
-      s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $statsCol")
+  def commitAppend(df: DataFrame, path: String, statsCol: String): Long =
+    commitAppend(df, path, Seq(statsCol))
+
+  /** Multi-column file skipping: record [min, max] of EVERY listed column
+    * per new file — still one grouped scan (all the min/max aggregates
+    * ride the same hash aggregate) — so [[readWhere]]/[[readWhereAll]]
+    * can prune on any recorded column. Pair with a z-ordered write layout
+    * ([[graft.io.Sinks.zOrderedParquet]] on the same columns) to make
+    * EVERY column's per-file ranges tight at once — single-column range
+    * clustering gives tight ranges on one column and useless ones on the
+    * rest. */
+  def commitAppend(df: DataFrame, path: String, statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"), // BEFORE staging anything
+      s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val (commitId, names) = stageData(df, path)
-    val ranges = rangesOf(df, path, commitId, statsCol)
+    val ranges = rangesOf(df, path, commitId, statsCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
-      newRanges = ranges, statsCol = Some(statsCol), dataSchema = Some(df.schema)).get
+      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema)).get
   }
 
-  /** The data files of `version` (latest by default) whose recorded
-    * [min, max] range intersects [lo, hi] — plus any file with no
-    * recorded range (never pruned; safety over sharpness). Resolved from
-    * ONE manifest read. Relative names; exposed for plan/spec assertions. */
-  def filesForRange(
-      spark: SparkSession, path: String, lo: Long, hi: Long,
+  /** The data files of `version` (latest by default) that can hold a row
+    * satisfying EVERY predicate in `preds` (column → [lo, hi]) — a file
+    * survives only if, for each predicated column, its recorded range
+    * intersects the bound or it has no recorded range for that column
+    * (never pruned; safety over sharpness). Resolved from ONE manifest
+    * read. Relative names; exposed for plan/spec assertions. */
+  def filesForRanges(
+      spark: SparkSession, path: String, preds: Map[String, (Long, Long)],
       version: Option[Long] = None): Seq[String] = {
+    require(preds.nonEmpty, "at least one column predicate required")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = version.getOrElse(vs.last)
     val text = manifestText(spark, path, v)
     val (_, ranges) = statsOf(text)
     manifestFiles(spark, path, v).filter { f =>
-      ranges.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+      preds.forall { case (c, (lo, hi)) =>
+        ranges.get((f, c)).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+      }
     }
   }
 
+  /** Single-column [[filesForRanges]] over the table's sole recorded
+    * stats column (the original API; kept for one-key tables). */
+  def filesForRange(
+      spark: SparkSession, path: String, lo: Long, hi: Long,
+      version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val (cols, _) = statsOf(manifestText(spark, path, v))
+    require(cols.size == 1,
+      s"table records ${cols.size} stats columns (${cols.mkString(",")}); name one via filesForRanges")
+    filesForRanges(spark, path, Map(cols.head -> (lo, hi)), version)
+  }
+
   /** Key-range read using manifest-level file skipping: open only the
-    * files [[filesForRange]] keeps, then apply the exact predicate to the
-    * survivors. At 100 TB this turns a point/range lookup on the cluster
-    * key into O(files-hit) I/O with ZERO metadata reads beyond one tiny
-    * manifest. */
+    * files [[filesForRanges]] keeps, then apply the exact predicate to
+    * the survivors. At 100 TB this turns a point/range lookup on the
+    * cluster key into O(files-hit) I/O with ZERO metadata reads beyond
+    * one tiny manifest. */
   def readWhere(
       spark: SparkSession, path: String, statsCol: String, lo: Long, hi: Long,
+      version: Option[Long] = None): DataFrame =
+    readWhereAll(spark, path, Map(statsCol -> (lo, hi)), version)
+
+  /** Conjunctive multi-column range read: files pruned on EVERY
+    * predicated column's manifest ranges at once, then the exact
+    * conjunction applied to survivors. With a z-ordered layout over the
+    * same columns, each predicate independently eliminates most files —
+    * the manifest-level analog of multi-dimensional row-group pruning. */
+  def readWhereAll(
+      spark: SparkSession, path: String, preds: Map[String, (Long, Long)],
       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keep = filesForRange(spark, path, lo, hi, version)
+    val keep = filesForRanges(spark, path, preds, version)
+    val exact = preds.map { case (c, (lo, hi)) => col(c).cast("long").between(lo, hi) }
+      .reduce(_ && _)
     if (keep.isEmpty) {
       // preserve the schema without reading data: empty frame over v's schema
       val full = read(spark, path, version)
       full.filter(org.apache.spark.sql.functions.lit(false))
     } else {
       val v = version.getOrElse(versions(spark, path).last)
-      evolvedRead(spark, path, manifestText(spark, path, v), keep)
-        .filter(col(statsCol).cast("long").between(lo, hi))
+      val text = manifestText(spark, path, v)
+      evolvedRead(spark, path, text, keep, dvFiles = dvFilesOf(text)).filter(exact)
     }
   }
 
@@ -501,7 +624,7 @@ object VersionedTable {
           val added = manifestFiles(spark, path, v).filterNot(before)
           if (added.isEmpty) None
           else Some(tag(evolvedRead(spark, path, toText, added), "insert", v))
-        case "delete" =>
+        case "delete" | "delete-dv" =>
           val tombstones = cdfFilesOf(text)
           require(tombstones.nonEmpty,
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
@@ -605,9 +728,10 @@ object VersionedTable {
       val current = vs.last
       val text = manifestText(spark, path, current)
       val rel = manifestFiles(spark, path, current)
-      // one pruned scan (schema-aware, so predicates on renamed/widened
-      // columns see every file): which files hold doomed rows
-      val hitAbs = evolvedRead(spark, path, text, rel)
+      // one pruned scan (schema-aware + DV-applied, so predicates on
+      // renamed/widened columns see every file and already-deleted rows
+      // can't re-match): which files hold doomed rows
+      val hitAbs = evolvedRead(spark, path, text, rel, dvFiles = dvFilesOf(text))
         .filter(predicate)
         .select(input_file_name().as("f"))
         .distinct().collect().map(_.getString(0)).toSeq
@@ -621,9 +745,10 @@ object VersionedTable {
       }
       val hitRel = hitAbs.map(relOf).toSet
       val kept = rel.filterNot(hitRel)
-      // rewritten files are staged under the CURRENT logical schema —
-      // a delete doubles as physical schema migration for the files it touches
-      val doomed = evolvedRead(spark, path, text, rel.filter(hitRel))
+      // rewritten files are staged under the CURRENT logical schema and
+      // with active deletion vectors applied — a delete doubles as
+      // physical migration for the files it touches
+      val doomed = evolvedRead(spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
       // three-valued logic: a NULL predicate row is NOT deleted — it must
       // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
       val isDoomed = org.apache.spark.sql.functions.coalesce(
@@ -646,11 +771,90 @@ object VersionedTable {
         }
       try {
         val v = publish(spark, path, "delete", kept ++ newNames2, carryForward = false,
-          requiredParent = Some(current), cdfFiles = removedNames).get
+          requiredParent = Some(current), cdfFiles = removedNames,
+          dvOverride = prunedDv(spark, path, text, kept)).get
         return (v, deleted)
       } catch {
         case e: ConcurrentCommitException =>
           if (attempt >= maxRebases) throw e // caller sees the conflict
+        // else: loop re-bases against the new latest snapshot
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Re-filter the active DV set to entries that still reference a kept
+    * file — called by the rewrite ops (compact / deleteWhere), whose
+    * DV-applied rewrites retire every entry pointing at a file they
+    * removed. Keeps the DV sidecar from growing forever: maintenance
+    * migrates deletion vectors out the same way it migrates old schemas.
+    * Returns the replacement list (possibly empty); None when the table
+    * has no DVs. Cost ∝ DV rows. */
+  private def prunedDv(
+      spark: SparkSession, path: String, text: String,
+      keptFiles: Seq[String]): Option[Seq[String]] = {
+    val dvPrev = dvFilesOf(text)
+    if (dvPrev.isEmpty) None
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val keepDf = spark.createDataset(keptFiles)(org.apache.spark.sql.Encoders.STRING).toDF("f")
+      val active = spark.read.parquet(dvPrev.map(n => s"$path/data/$n"): _*)
+        .join(broadcast(keepDf), Seq("f"), "left_semi")
+      val (commitId, names) = stageData(active, path)
+      if (spark.read.parquet(s"$path/data/$commitId").isEmpty) Some(Seq.empty)
+      else Some(names)
+    }
+  }
+
+  /** Deletion-vector delete: mark matching rows deleted WITHOUT rewriting
+    * any data file. The commit stages (a) a deletion-vector parquet set —
+    * one (file, row position) per doomed row — and (b) the doomed rows as
+    * CDF tombstones; every data file carries into the new manifest BY
+    * REFERENCE. Readers anti-join the cumulative DV set on the scan's
+    * hidden (file, row_index) identity.
+    *
+    * This is the SCATTERED-delete shape [[deleteWhere]] handles badly:
+    * a predicate matching a few rows in every file forces the rewrite
+    * form to rewrite the whole table, while here write cost is
+    * O(rows deleted) regardless of how they spread. The trades, same as
+    * the published formats' deletion vectors: reads pay the anti-join
+    * until maintenance rewrites the files ([[compact]] and the rewrite
+    * [[deleteWhere]] both apply DVs and so migrate them out), and the
+    * PHYSICAL bytes of deleted rows remain until that rewrite + [[vacuum]]
+    * — an erasure obligation still needs the rewrite form.
+    *
+    * Returns (version, rowsDeleted). Conflict-checked and re-based like
+    * the other maintenance commits. */
+  def deleteWhereDV(
+      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      maxRebases: Int = 5): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val text = manifestText(spark, path, current)
+      val rel = manifestFiles(spark, path, current)
+      val isDoomed = coalesce(predicate, lit(false)) // NULL predicate rows survive
+      // one scan, position identity captured ON the scan (__f/__pos)
+      val doomed = evolvedRead(
+        spark, path, text, rel, dvFiles = dvFilesOf(text), withPosition = true)
+        .filter(isDoomed)
+      val (dvCommit, dvNames) = stageData(
+        doomed.select(col("__f").as("f"), col("__pos").as("pos")), path)
+      val deleted = spark.read.parquet(s"$path/data/$dvCommit").count()
+      if (deleted == 0L) return (current, 0L) // nothing matched; staged empty set falls to vacuum
+      // ...and the doomed rows themselves as CDF tombstones
+      val (_, cdfNames) = stageData(doomed.drop("__f", "__pos"), path)
+      try {
+        val v = publish(spark, path, "delete-dv", Seq.empty, carryForward = true,
+          requiredParent = Some(current), cdfFiles = cdfNames, addDvFiles = dvNames).get
+        return (v, deleted)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRebases) throw e
         // else: loop re-bases against the new latest snapshot
       }
     }
@@ -672,8 +876,10 @@ object VersionedTable {
     // Tables with schema metadata reconcile evolved commits (added
     // columns, widened types, renames) from the MANIFEST alone — an
     // explicit read schema, zero footer scans; `mergeSchema` only matters
-    // for legacy manifests without it.
-    evolvedRead(spark, path, manifestText(spark, path, v), files, mergeSchema)
+    // for legacy manifests without it. Active deletion vectors are
+    // anti-joined out.
+    val text = manifestText(spark, path, v)
+    evolvedRead(spark, path, text, files, mergeSchema, dvFiles = dvFilesOf(text))
   }
 
   /** Metadata-only column rename: commits a new version whose manifest
@@ -829,7 +1035,7 @@ object VersionedTable {
       val current = vs.last
       val text = manifestText(spark, path, current)
       val rel = manifestFiles(spark, path, current)
-      val (statsColOpt, _) = statsOf(text)
+      val (statsCols, _) = statsOf(text)
       // one footer-only pass: rows per file
       val counts: Map[String, Long] = {
         import org.apache.spark.sql.functions.{count, input_file_name, lit}
@@ -845,20 +1051,25 @@ object VersionedTable {
       val keep = rel.filterNot(small.toSet)
       val smallRows = small.map(counts.getOrElse(_, 0L)).sum
       val nOut = math.max(1, math.ceil(smallRows.toDouble / targetRowsPerFile).toInt)
-      // repacked files are staged under the CURRENT logical schema —
-      // compaction doubles as physical schema migration
-      val df = evolvedRead(spark, path, text, small)
-      val packed = statsColOpt match {
-        case Some(c) => df.repartitionByRange(nOut, col(c)) // keep pruning sharp
-        case None    => df.repartition(nOut)
-      }
+      // repacked files are staged under the CURRENT logical schema and
+      // with active deletion vectors applied (deleted rows must not be
+      // resurrected into the repacked files) — compaction doubles as
+      // physical migration for both
+      val df = evolvedRead(spark, path, text, small, dvFiles = dvFilesOf(text))
+      // repacked files re-cluster on the recorded stats columns (lexico-
+      // graphic range partitioning: tight ranges on the leading column,
+      // progressively coarser on later ones) so pruning stays sharp
+      val packed =
+        if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
+        else df.repartition(nOut)
       val (commitId, names) = stageData(packed, path)
-      val ranges = statsColOpt
-        .map(c => rangesOf(packed, path, commitId, c))
-        .getOrElse(Map.empty[String, (Long, Long)])
+      val ranges =
+        if (statsCols.isEmpty) Map.empty[(String, String), (Long, Long)]
+        else rangesOf(packed, path, commitId, statsCols)
       try {
         val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
-          newRanges = ranges, statsCol = statsColOpt, requiredParent = Some(current)).get
+          newRanges = ranges, statsCols = statsCols, requiredParent = Some(current),
+          dvOverride = prunedDv(spark, path, text, keep)).get
         return (v, small.size.toLong)
       } catch {
         case e: ConcurrentCommitException =>
@@ -879,10 +1090,11 @@ object VersionedTable {
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
-    // data files AND CDF tombstone files of retained versions both survive
+    // data files, CDF tombstones, and deletion vectors of retained
+    // versions all survive
     val referenced = keep.flatMap { v =>
       val text = manifestText(spark, path, v)
-      manifestFiles(spark, path, v) ++ cdfFilesOf(text)
+      manifestFiles(spark, path, v) ++ cdfFilesOf(text) ++ dvFilesOf(text)
     }.toSet
     var filesRemoved = 0
     val dataRoot = new Path(s"$path/data")

@@ -598,6 +598,26 @@ object Relational {
               (SELECT COUNT(*) FROM orders) AS cnt,
               (SELECT ROUND(SUM(o_totalprice)/1000000.0, 4) FROM orders) AS total_mm"""))
 
+  /** Q132 — deletion-vector delete through the oracle gate: a SCATTERED
+    * predicate (every 10th order, hits every file) is deleted by
+    * [[graft.io.VersionedTable.deleteWhereDV]] — zero data files
+    * rewritten, readers anti-join the (file, row position) vector — and
+    * the surviving aggregate must equal the oracle's plain NOT-filter.
+    * Totals scaled to millions before rounding (the q118 policy). */
+  val q132 = QueryDef(
+    "q132_delete_dv",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q132_dv").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, path)
+      graft.io.VersionedTable.deleteWhereDV(s, path, col("o_orderkey") % 10 === 0)
+      graft.io.VersionedTable.read(s, path)
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice") / lit(1e6)).as("total_mm"))
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+            FROM orders WHERE o_orderkey % 10 <> 0"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -1053,5 +1073,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132)
 }

@@ -154,6 +154,46 @@ class VersionedTableSpec extends SparkSuite {
     assert(keptAfter.size > kept.size)
   }
 
+  test("multi-column manifest stats prune on EITHER column; conjunction prunes hardest") {
+    val path = freshDir()
+    // 64x64 grid z-ordered into 16 files: each file ~a 16x16 tile, so
+    // per-file [min,max] is tight on BOTH x and y at once
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"), col("id").as("p"))
+    val clustered = grid
+      .withColumn("__z", graft.functions.InterleaveBitsN(Seq(col("x"), col("y"))))
+      .repartitionByRange(16, col("__z")).sortWithinPartitions("__z").drop("__z")
+    VersionedTable.commitAppend(clustered, path, Seq("x", "y"))
+    val total = VersionedTable.read(spark, path).inputFiles.length
+    assert(total >= 12, s"expected ~16 files, got $total")
+    val xs = VersionedTable.filesForRanges(spark, path, Map("x" -> (0L, 7L)))
+    val ys = VersionedTable.filesForRanges(spark, path, Map("y" -> (0L, 7L)))
+    val both = VersionedTable.filesForRanges(spark, path, Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    assert(xs.size < total, s"x-slab kept ${xs.size} of $total")
+    assert(ys.size < total, s"y-slab kept ${ys.size} of $total")
+    assert(both.size <= math.min(xs.size, ys.size) && both.size <= 4,
+      s"conjunction kept ${both.size} (x=${xs.size}, y=${ys.size})")
+    // exact results through the pruned read
+    val got = VersionedTable.readWhereAll(spark, path, Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+      .select("p").as[Long].collect().sorted.toSeq
+    val want = grid.filter(col("x") <= 7 && col("y") <= 7)
+      .select("p").as[Long].collect().sorted.toSeq
+    assert(got == want && got.size == 64) // the 8x8 corner
+    // the single-column legacy API refuses ambiguity on a 2-column table
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.filesForRange(spark, path, 0, 7)
+    }
+    assert(err.getMessage.contains("name one"))
+    // compaction on a multi-column table keeps both columns' pruning sharp
+    VersionedTable.commitAppend(clustered.limit(50), path, Seq("x", "y")) // small-file sprawl
+    VersionedTable.compact(spark, path, targetRowsPerFile = 300)
+    val afterTotal = VersionedTable.read(spark, path).inputFiles.length
+    val afterX = VersionedTable.filesForRanges(spark, path, Map("x" -> (0L, 7L)))
+    assert(afterX.size < afterTotal, s"post-compact x-slab kept ${afterX.size} of $afterTotal")
+    assert(VersionedTable.readWhereAll(spark, path, Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+      .count() >= 64)
+  }
+
   test("changes() returns exactly the appended increment and refuses non-append windows") {
     val path = freshDir()
     VersionedTable.commitAppend(batch(0, 10), path)
@@ -367,6 +407,63 @@ class VersionedTableSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("statsCol"))
     assert(VersionedTable.versions(spark, path).isEmpty, "nothing committed")
+  }
+
+  test("deleteWhereDV marks rows deleted without touching a single data file") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 100), path) // v1
+    VersionedTable.commitAppend(batch(100, 200), path) // v2
+    val filesBefore = VersionedTable.dataFiles(spark, path).sorted
+    // a SCATTERED predicate (every 10th row, hits every file) — the shape
+    // that forces the rewrite form to rewrite the whole table
+    val (v, deleted) = VersionedTable.deleteWhereDV(spark, path, col("id") % 10 === 0)
+    assert(v == 3L && deleted == 20L)
+    val head = VersionedTable.read(spark, path)
+    assert(VersionedTable.dataFiles(spark, path).sorted == filesBefore, "no data file rewritten")
+    val ids = head.select("id").as[Long].collect().sorted.toSeq
+    assert(ids.size == 180 && !ids.exists(_ % 10 == 0))
+    // time travel: the pre-delete snapshot still shows every row
+    assert(VersionedTable.read(spark, path, Some(2L)).count() == 200)
+    // a second DV delete composes with the first
+    val (v2, d2) = VersionedTable.deleteWhereDV(spark, path, col("id") % 10 === 1)
+    assert(v2 == 4L && d2 == 20L)
+    val ids2 = VersionedTable.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+    assert(ids2.size == 160 && !ids2.exists(i => i % 10 == 0 || i % 10 == 1))
+    // already-DV-deleted rows cannot re-match a new delete
+    val (v3, d3) = VersionedTable.deleteWhereDV(spark, path, col("id") % 10 === 0)
+    assert(v3 == 4L && d3 == 0L, "re-deleting DV'd rows must be a no-op")
+    // readWhere composes with DVs
+    assert(VersionedTable.readWhere(spark, path, "id", 0, 49).count() == 40)
+  }
+
+  test("DV deletes feed the CDF, survive vacuum, and never resurrect through maintenance") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 100), path) // v1
+    VersionedTable.deleteWhereDV(spark, path, col("id") % 10 === 0) // v2
+    VersionedTable.commitAppend(batch(100, 120), path) // v3
+    // CDF: the DV delete emits row-level deletes from its tombstones
+    val cdf = VersionedTable.changesWithType(spark, path, 1L, 3L)
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels == (0L until 100L by 10L))
+    assert(cdf.filter(col("_change_type") === "insert").count() == 20)
+    // vacuum retains the DV files of live versions: reads stay correct
+    VersionedTable.vacuum(spark, path, keepLast = 2)
+    assert(VersionedTable.read(spark, path).count() == 110)
+    // compaction applies DVs — deleted rows must NOT resurrect into the
+    // repacked files, and the compacted table reads identically
+    val (_, rewritten) = VersionedTable.compact(spark, path, targetRowsPerFile = 1000000)
+    assert(rewritten > 0)
+    val after = VersionedTable.read(spark, path).select("id").as[Long].collect().sorted.toSeq
+    assert(after.size == 110 && !after.exists(i => i < 100 && i % 10 == 0))
+    // ...and the physical files no longer need the DV (migration complete):
+    // a RAW read of the manifest's data files shows exactly the survivors
+    val raw = spark.read.parquet(VersionedTable.dataFiles(spark, path): _*)
+    assert(raw.count() == 110)
+    // the rewrite delete also composes after DVs
+    val (_, d) = VersionedTable.deleteWhere(spark, path, col("id") >= 110)
+    assert(d == 10L)
+    assert(VersionedTable.read(spark, path).count() == 100)
   }
 
   test("deleteWhere with no matches commits nothing; NULL-predicate rows survive") {
