@@ -158,6 +158,13 @@ object VersionedTable {
   private def cdfFilesOf(text: String): Seq[String] =
     fileListOf(text, "cdf")
 
+  /** Insert-side CDF file list of a merge commit's manifest: the staged
+    * upsert files, referenced a second time so [[changesWithType]] can
+    * tag exactly the inserted rows (the survivors of rewritten files are
+    * data movement, not row changes, and must NOT appear in the feed). */
+  private def cdfiFilesOf(text: String): Seq[String] =
+    fileListOf(text, "cdfi")
+
   /** Active deletion-vector file list of a manifest (cumulative across
     * commits; entries for files no longer in the manifest are dead and
     * simply never match). */
@@ -349,6 +356,7 @@ object VersionedTable {
       maxAttempts: Int = 20,
       requiredParent: Option[Long] = None,
       cdfFiles: Seq[String] = Seq.empty,
+      cdfInsertFiles: Seq[String] = Seq.empty,
       dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
       addRenames: Seq[(String, String)] = Seq.empty,
@@ -411,6 +419,9 @@ object VersionedTable {
       val cdfJson =
         if (cdfFiles.isEmpty) ""
         else s""""cdf":[${cdfFiles.map("\"" + _ + "\"").mkString(",")}],"""
+      val cdfiJson =
+        if (cdfInsertFiles.isEmpty) ""
+        else s""""cdfi":[${cdfInsertFiles.map("\"" + _ + "\"").mkString(",")}],"""
       // logical schema: explicit override (rename/retype) > widened merge
       // of carried schema with the committed data's > plain carry. An
       // overwrite replaces the schema and retires the rename history (no
@@ -440,7 +451,7 @@ object VersionedTable {
         else s""""dv":[${dv.map("\"" + _ + "\"").mkString(",")}],"""
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson + cdfJson + schemaJson + renamesJson + dvJson +
+          txnJson + statsJson + cdfJson + cdfiJson + schemaJson + renamesJson + dvJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -630,6 +641,15 @@ object VersionedTable {
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
               "row-level changes are not reconstructible — resync from a snapshot")
           Some(tag(evolvedRead(spark, path, toText, tombstones), "delete", v))
+        case "merge" =>
+          // matched target rows tombstoned as deletes, upsert files tagged
+          // as inserts; rewritten survivors are data movement, not changes
+          val dels = cdfFilesOf(text)
+          val ins = cdfiFilesOf(text)
+          (if (dels.isEmpty) None
+           else Some(tag(evolvedRead(spark, path, toText, dels), "delete", v))).toSeq ++
+            (if (ins.isEmpty) None
+             else Some(tag(evolvedRead(spark, path, toText, ins), "insert", v)))
         case "compact" => None // rewrites files without changing a row
         case "rename" | "retype" => None // metadata-only schema evolution
         case other =>
@@ -859,6 +879,140 @@ object VersionedTable {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Outcome of a [[merge]] commit: `matchedRows` target rows were
+    * replaced or deleted, `upsertRows` source rows were written,
+    * `filesRewritten` data files were rewritten and `filesKept` carried
+    * by reference untouched. */
+  final case class MergeResult(
+      version: Long, matchedRows: Long, upsertRows: Long,
+      filesRewritten: Int, filesKept: Int)
+
+  /** MERGE (CDC apply) as one atomic commit: source rows whose `keys`
+    * match a target row REPLACE it (or, with `deleteFlag` set true,
+    * DELETE it); unmatched source rows INSERT (unmatched delete-flagged
+    * rows are a no-op). The standard warehouse MERGE INTO shape, keyed by
+    * equality on `keys`.
+    *
+    * Scale shape — cost ∝ source size + files hit, never table size:
+    * candidate files come from MANIFEST key-range stats alone when the
+    * table records stats on (a subset of) the merge keys (one tiny
+    * manifest read, zero footers — unpredicated columns just don't
+    * prune); one pruned scan finds the files actually holding matched
+    * keys; ONLY those are rewritten (matched rows anti-joined out), and
+    * every untouched file carries into the new manifest by reference.
+    * The key-detection and rewrite joins broadcast the source keys
+    * whenever the CDC batch is small — the normal case — making the whole
+    * merge shuffle-free on the table side.
+    *
+    * Change-data feed: matched target rows are staged once as delete
+    * tombstones (`cdf`) and the upsert files are referenced as insert CDF
+    * (`cdfi`), so [[changesWithType]] replays a merge window row-exactly
+    * — an update appears as delete(old) + insert(new). Rewritten
+    * survivors are data movement, not row changes, and stay out of the
+    * feed.
+    *
+    * Semantics notes, all spec-pinned: source must have at most one row
+    * per key (checked in the same single aggregate that sizes the batch;
+    * a violation throws before anything stages); NULL merge keys never
+    * match (SQL equality) so null-keyed source rows always insert; reads
+    * and tombstones are deletion-vector-applied, so DV-deleted rows can't
+    * re-match, and DV entries of rewritten files are migrated out exactly
+    * as [[deleteWhere]] does; extra source columns widen the logical
+    * schema additively ([[mergeWiden]]). Conflict-checked against the
+    * snapshot it planned on and re-based on a lost race. */
+  def merge(
+      spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      deleteFlag: Option[String] = None, maxRebases: Int = 5): MergeResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, struct}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one aggregate sizes the batch AND proves key uniqueness (struct()
+      // so null-keyed rows are counted; two identical null keys flag too)
+      val sizing = src.agg(
+        count(lit(1)).as("n"),
+        count_distinct(struct(keys.map(col): _*)).as("k")).head()
+      val (srcRows, srcKeysN) = (sizing.getLong(0), sizing.getLong(1))
+      require(srcRows == srcKeysN,
+        s"merge source has duplicate keys on (${keys.mkString(",")}): $srcRows rows, $srcKeysN distinct")
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val upserts = deleteFlag match {
+        case Some(f) => src.filter(!coalesce(col(f), lit(false))).drop(f)
+        case None => src
+      }
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val vs = versions(spark, path)
+        require(vs.nonEmpty, s"no committed versions at $path")
+        val current = vs.last
+        val text = manifestText(spark, path, current)
+        val rel = manifestFiles(spark, path, current)
+        if (srcRows == 0L) return MergeResult(current, 0L, 0L, 0, rel.size)
+        // manifest-stats candidate pruning on whichever recorded columns
+        // are merge keys: one tiny agg over the source bounds each
+        val statsKeys = statsOf(text)._1.filter(keys.contains)
+        val candidates =
+          if (statsKeys.isEmpty) rel
+          else {
+            val aggs = statsKeys.flatMap(c => Seq(
+              org.apache.spark.sql.functions.min(col(c).cast("long")),
+              org.apache.spark.sql.functions.max(col(c).cast("long"))))
+            val bounds = src.agg(aggs.head, aggs.tail: _*).head()
+            val preds = statsKeys.zipWithIndex.flatMap { case (c, i) =>
+              if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) None
+              else Some(c -> (bounds.getLong(2 * i), bounds.getLong(2 * i + 1)))
+            }.toMap
+            if (preds.isEmpty) rel
+            else filesForRanges(spark, path, preds, Some(current))
+          }
+        // one pruned scan: which candidate files actually hold matched
+        // keys (file identity captured ON the scan — withPosition exposes
+        // the relative name as __f — because it cannot resolve post-join)
+        val hitRel: Set[String] =
+          if (candidates.isEmpty) Set.empty
+          else evolvedRead(
+            spark, path, text, candidates, dvFiles = dvFilesOf(text), withPosition = true)
+            .join(srcKeys, keys, "left_semi")
+            .select("__f").distinct().collect().map(_.getString(0)).toSet
+        val kept = rel.filterNot(hitRel)
+        // rewritten files: matched rows out (tombstoned), survivors kept;
+        // all three reads DV-applied so already-deleted rows can't match
+        val (matched, tombNames, survNames) =
+          if (hitRel.isEmpty) (0L, Seq.empty[String], Seq.empty[String])
+          else {
+            val hit = evolvedRead(
+              spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
+            val (tombCommit, tn) = stageData(hit.join(srcKeys, keys, "left_semi"), path)
+            val m = spark.read.parquet(s"$path/data/$tombCommit").count()
+            val (_, sn) = stageData(hit.join(srcKeys, keys, "left_anti"), path)
+            (m, tn, sn)
+          }
+        val (upCommit, upNames) = stageData(upserts, path)
+        val upCount = spark.read.parquet(s"$path/data/$upCommit").count()
+        // logical schema: widened merge of the carried schema with the
+        // upserts' (publish only auto-merges on carry-forward commits)
+        val mergedSchema = schemaOf(text) match {
+          case Some(prev) => mergeWiden(prev, upserts.schema)
+          case None => upserts.schema
+        }
+        try {
+          val v = publish(spark, path, "merge", kept ++ survNames ++ upNames,
+            carryForward = false, requiredParent = Some(current),
+            cdfFiles = tombNames, cdfInsertFiles = upNames,
+            schemaOverride = Some(mergedSchema),
+            dvOverride = prunedDv(spark, path, text, kept)).get
+          return MergeResult(v, matched, upCount, hitRel.size, kept.size)
+        } catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRebases) throw e
+          // else: loop re-bases against the new latest snapshot
+        }
+      }
+      sys.error("unreachable")
+    } finally src.unpersist()
   }
 
   /** Read a version (default: latest). The file list is resolved on the

@@ -618,6 +618,57 @@ object Relational {
                    ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
             FROM orders WHERE o_orderkey % 10 <> 0"""))
 
+  /** Q133 — MERGE (CDC apply) through the oracle gate
+    * ([[graft.io.VersionedTable.merge]]): one atomic commit applies
+    * updates (repriced every-100th key), deletes (every key ≡ 50 mod
+    * 100) and inserts (5 re-keyed rows) against a stats-carrying
+    * versioned table — manifest key ranges prune the candidate files,
+    * only files holding matched keys rewrite, everything else carries by
+    * reference. The oracle recomputes the merged state relationally, so
+    * a lost survivor, resurrected delete, or double-applied update
+    * hash-fails. Totals scaled to millions before rounding (the q118
+    * policy). MergeSpec pins the file-surgery, CDF-replay, DV and
+    * duplicate-key contracts. */
+  val q133 = QueryDef(
+    "q133_merge_cdc",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q133_merge").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("_del", lit(false))
+      val deletes = base.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("_del", lit(true))
+      val inserts = base.orderBy("o_orderkey").limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("_del", lit(false))
+      graft.io.VersionedTable.merge(
+        s, path, updates.unionByName(deletes).unionByName(inserts),
+        Seq("o_orderkey"), deleteFlag = Some("_del"))
+      graft.io.VersionedTable.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum("o_totalprice") / lit(1e6)).as("total_mm"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 merged AS (
+                   SELECT * FROM base
+                   WHERE o_orderkey % 100 <> 0 AND o_orderkey % 100 <> 50
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1
+                   FROM base WHERE o_orderkey % 100 = 0
+                   UNION ALL
+                   SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                   FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 5))
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm,
+                   MAX(o_orderkey) AS max_key
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -1073,5 +1124,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133)
 }

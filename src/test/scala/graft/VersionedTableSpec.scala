@@ -479,4 +479,127 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).select("id").as[Long].collect().sorted.toSeq ==
       Seq(2L, 3L))
   }
+
+  test("merge applies update + insert + delete in one commit; snapshot isolation holds") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 100), path) // v1
+    // update 5..9 (new payloads), delete 0..4, insert 200..204
+    val source = ((5 until 10).map(i => (i.toLong, s"upd_$i", false)) ++
+      (0 until 5).map(i => (i.toLong, null: String, true)) ++
+      (200 until 205).map(i => (i.toLong, s"new_$i", false)))
+      .toDF("id", "v", "_del")
+    val r = VersionedTable.merge(spark, path, source, Seq("id"), deleteFlag = Some("_del"))
+    assert(r.version == 2L)
+    assert(r.matchedRows == 10L, "5 updates + 5 deletes matched")
+    assert(r.upsertRows == 10L, "5 update rows + 5 insert rows written")
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows.size == 100, "100 - 5 deleted + 5 inserted")
+    (0 until 5).foreach(i => assert(!rows.contains(i.toLong)))
+    (5 until 10).foreach(i => assert(rows(i.toLong) == s"upd_$i"))
+    (10 until 100).foreach(i => assert(rows(i.toLong) == s"row_$i"))
+    (200 until 205).foreach(i => assert(rows(i.toLong) == s"new_$i"))
+    // the pre-merge snapshot still reads the old payloads
+    val v1 = VersionedTable.read(spark, path, Some(1L))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(v1.size == 100 && v1(5L) == "row_5" && v1.contains(0L))
+  }
+
+  test("merge rewrites only the files whose key range holds matched keys") {
+    val path = freshDir()
+    // three stats-carrying appends with disjoint key ranges
+    VersionedTable.commitAppend(batch(0, 100), path, "id")
+    VersionedTable.commitAppend(batch(100, 200), path, "id")
+    VersionedTable.commitAppend(batch(200, 300), path, "id")
+    val fsRoot = java.nio.file.Paths.get(path, "data")
+    def dataFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fsRoot).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+        .map(p => fsRoot.relativize(p).toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = dataFiles()
+    // matched keys live ONLY in the middle append's range; inserts are far right
+    val source = ((150 until 160).map(i => (i.toLong, s"upd_$i")) ++
+      (900 until 905).map(i => (i.toLong, s"new_$i"))).toDF("id", "v")
+    val r = VersionedTable.merge(spark, path, source, Seq("id"))
+    assert(r.matchedRows == 10L && r.upsertRows == 15L)
+    assert(r.filesRewritten >= 1 && r.filesKept >= 2,
+      s"only the middle commit's files rewrite (got $r)")
+    // untouched commits' files are byte-identical (same path, same mtime)
+    val after = dataFiles()
+    val untouched = before.keySet.filter(after.contains)
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(before(f) == after(f), s"file $f was rewritten"))
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows.size == 305)
+    (150 until 160).foreach(i => assert(rows(i.toLong) == s"upd_$i"))
+    assert(rows(0L) == "row_0" && rows(299L) == "row_299" && rows(900L) == "new_900")
+  }
+
+  test("merge CDF replays the window to exactly the head state") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 50), path) // v1
+    val source = ((10 until 15).map(i => (i.toLong, s"upd_$i", false)) ++
+      (40 until 45).map(i => (i.toLong, null: String, true)) ++
+      (300 until 303).map(i => (i.toLong, s"new_$i", false)))
+      .toDF("id", "v", "_del")
+    VersionedTable.merge(spark, path, source, Seq("id"), deleteFlag = Some("_del")) // v2
+    VersionedTable.commitAppend(batch(500, 505), path) // v3
+    val cdf = VersionedTable.changesWithType(spark, path, 1L, 3L)
+    // an update is delete(old) + insert(new); survivors of rewritten files
+    // are data movement and must NOT appear
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels == ((10L until 15L) ++ (40L until 45L)))
+    val ins = cdf.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ins == ((10L until 15L) ++ (300L until 303L) ++ (500L until 505L)))
+    // replay: v1 + inserts − deletes == head (by full row identity)
+    val v1 = VersionedTable.read(spark, path, Some(1L)).select("id", "v")
+    val insRows = cdf.filter(col("_change_type") === "insert").select("id", "v")
+    val delRows = cdf.filter(col("_change_type") === "delete").select("id", "v")
+    val replayed = v1.unionByName(insRows).exceptAll(delRows)
+      .as[(Long, String)].collect().sorted.toSeq
+    val head = VersionedTable.read(spark, path).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(replayed == head)
+  }
+
+  test("merge refuses duplicate source keys; NULL keys never match and insert") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, path, dup, Seq("id"))
+    }
+    assert(VersionedTable.versions(spark, path) == Seq(1L), "nothing committed")
+    val withNull = Seq((Some(5L), "upd_5"), (None: Option[Long], "null_key"))
+      .toDF("id", "v")
+    val r = VersionedTable.merge(spark, path, withNull, Seq("id"))
+    assert(r.matchedRows == 1L && r.upsertRows == 2L)
+    val rows = VersionedTable.read(spark, path).count()
+    assert(rows == 11, "null-keyed row inserts; matched row replaced")
+    assert(VersionedTable.read(spark, path).filter(col("id").isNull).count() == 1)
+  }
+
+  test("merge composes with deletion vectors: DV-deleted rows cannot re-match") {
+    val path = freshDir()
+    // one data file, so the merge's rewrite provably migrates the DV out
+    VersionedTable.commitAppend(batch(0, 100).coalesce(1), path) // v1
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 7L) // v2
+    // id 7 is DV-deleted: the merge must treat it as ABSENT (insert, not update)
+    val source = Seq((7L, "reborn"), (8L, "upd_8")).toDF("id", "v")
+    val r = VersionedTable.merge(spark, path, source, Seq("id"))
+    assert(r.matchedRows == 1L, "only id 8 matches; DV-deleted 7 is gone")
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows.size == 100 && rows(7L) == "reborn" && rows(8L) == "upd_8")
+    // the rewrite migrated the DV out: raw read of the manifest's data
+    // files equals the logical read (no anti-join needed anymore)
+    val raw = spark.read.parquet(VersionedTable.dataFiles(spark, path): _*)
+    assert(raw.count() == 100)
+  }
 }
