@@ -641,9 +641,10 @@ object VersionedTable {
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
               "row-level changes are not reconstructible — resync from a snapshot")
           Some(tag(evolvedRead(spark, path, toText, tombstones), "delete", v))
-        case "merge" =>
-          // matched target rows tombstoned as deletes, upsert files tagged
-          // as inserts; rewritten survivors are data movement, not changes
+        case "merge" | "replace" =>
+          // matched/replaced target rows tombstoned as deletes, new files
+          // tagged as inserts; rewritten survivors are data movement, not
+          // changes
           val dels = cdfFilesOf(text)
           val ins = cdfiFilesOf(text)
           (if (dels.isEmpty) None
@@ -1015,6 +1016,109 @@ object VersionedTable {
     } finally src.unpersist()
   }
 
+  /** Outcome of a [[replaceWhere]] commit. */
+  final case class ReplaceResult(
+      version: Long, rowsDeleted: Long, rowsInserted: Long,
+      filesRewritten: Int, filesKept: Int)
+
+  /** INSERT OVERWRITE a predicate-scoped slice in one atomic commit: rows
+    * matching `predicate` are removed and `df`'s rows take their place —
+    * the standard "reload this day's partition" ETL shape, scoped by an
+    * arbitrary predicate instead of a physical partition directory.
+    *
+    * Scale shape, same as [[deleteWhere]]: one pruned scan finds the
+    * files actually holding matching rows; ONLY those rewrite (matching
+    * rows out, survivors re-staged); every untouched file carries by
+    * reference, so cost ∝ slice size + files hit, never table size.
+    *
+    * Guardrail (the Delta `replaceWhere` contract): every `df` row must
+    * itself satisfy `predicate` — otherwise the op would smuggle rows
+    * into slices it promised not to touch, and a re-run of the same
+    * reload would not be idempotent. Violations throw BEFORE anything
+    * stages. A predicate matching nothing is a plain scoped insert (the
+    * first load of a new slice).
+    *
+    * Change-data feed: removed rows stage once as delete tombstones, the
+    * replacement files double-reference as insert CDF — a replace window
+    * replays row-exactly through [[changesWithType]], and rewritten
+    * survivors stay out of the feed. NULL-predicate rows survive (same
+    * three-valued rule as [[deleteWhere]]); reads and tombstones are
+    * DV-applied and DV entries of rewritten files migrate out.
+    * Conflict-checked against the snapshot it planned on; re-bases on a
+    * lost race. */
+  def replaceWhere(
+      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      df: DataFrame, maxRebases: Int = 5): ReplaceResult = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit}
+    val isMatch = coalesce(predicate, lit(false))
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val escapees = src.filter(!isMatch).count()
+      require(escapees == 0L,
+        s"replaceWhere: $escapees replacement rows do NOT satisfy the predicate — " +
+          "they would land outside the slice this commit promises to replace")
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val vs = versions(spark, path)
+        require(vs.nonEmpty, s"no committed versions at $path")
+        val current = vs.last
+        val text = manifestText(spark, path, current)
+        val rel = manifestFiles(spark, path, current)
+        // one pruned scan (schema-aware, DV-applied): files holding rows to replace
+        val hitAbs = evolvedRead(spark, path, text, rel, dvFiles = dvFilesOf(text))
+          .filter(isMatch)
+          .select(input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        def relOf(uri: String): String = {
+          val p = new java.net.URI(uri).getPath
+          val i = p.lastIndexOf("/data/")
+          require(i >= 0, s"unexpected data file location: $uri")
+          p.substring(i + "/data/".length)
+        }
+        val hitRel = hitAbs.map(relOf).toSet
+        val kept = rel.filterNot(hitRel)
+        val (deleted, tombNames, survNames) =
+          if (hitRel.isEmpty) (0L, Seq.empty[String], Seq.empty[String])
+          else {
+            val hit = evolvedRead(spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
+            val (tombCommit, tn) = stageData(hit.filter(isMatch), path)
+            val d = spark.read.parquet(s"$path/data/$tombCommit").count()
+            val (_, sn) = stageData(hit.filter(!isMatch), path)
+            (d, tn, sn)
+          }
+        val (insCommit, insNames) = stageData(src, path)
+        val inserted = spark.read.parquet(s"$path/data/$insCommit").count()
+        // all-rows-replaced-with-nothing guard: keep HEAD readable
+        val allNames = kept ++ survNames ++ insNames
+        val finalNames =
+          if (allNames.nonEmpty) survNames ++ insNames
+          else {
+            val empty = spark.createDataFrame(
+              spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), src.schema)
+            survNames ++ insNames ++ stageData(empty, path)._2
+          }
+        val mergedSchema = schemaOf(text) match {
+          case Some(prev) => mergeWiden(prev, src.schema)
+          case None => src.schema
+        }
+        try {
+          val v = publish(spark, path, "replace", kept ++ finalNames,
+            carryForward = false, requiredParent = Some(current),
+            cdfFiles = tombNames, cdfInsertFiles = insNames,
+            schemaOverride = Some(mergedSchema),
+            dvOverride = prunedDv(spark, path, text, kept)).get
+          return ReplaceResult(v, deleted, inserted, hitRel.size, kept.size)
+        } catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRebases) throw e
+          // else: loop re-bases against the new latest snapshot
+        }
+      }
+      sys.error("unreachable")
+    } finally src.unpersist()
+  }
+
   /** Read a version (default: latest). The file list is resolved on the
     * driver from one tiny manifest — no directory listing of the data
     * tree, so uncommitted/staged files are structurally invisible. */
@@ -1178,7 +1282,7 @@ object VersionedTable {
     * a lost attempt's staged files fall to the next [[vacuum]]. */
   def compact(
       spark: SparkSession, path: String, targetRowsPerFile: Long,
-      maxRebases: Int = 5): (Long, Long) = {
+      maxRebases: Int = 5, zOrder: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be positive")
     var attempt = 0
@@ -1210,11 +1314,23 @@ object VersionedTable {
       // resurrected into the repacked files) — compaction doubles as
       // physical migration for both
       val df = evolvedRead(spark, path, text, small, dvFiles = dvFilesOf(text))
-      // repacked files re-cluster on the recorded stats columns (lexico-
-      // graphic range partitioning: tight ranges on the leading column,
-      // progressively coarser on later ones) so pruning stays sharp
+      // repacked files re-cluster on the recorded stats columns so pruning
+      // stays sharp. Two layouts: lexicographic range partitioning (tight
+      // ranges on the leading column, progressively coarser on later ones
+      // — right when one column dominates the predicates) or, with
+      // zOrder=true and 2+ stats columns, Morton-curve clustering
+      // ([[graft.functions.InterleaveBitsN]]) so EVERY recorded column's
+      // per-file ranges tighten at once — the OPTIMIZE ZORDER BY shape for
+      // tables probed on multiple independent dimensions.
       val packed =
-        if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
+        if (zOrder && statsCols.size >= 2) {
+          val z = "__graft_z"
+          df.withColumn(z, graft.functions.InterleaveBitsN(
+              statsCols.map(c => col(c).cast("long"))))
+            .repartitionByRange(nOut, col(z))
+            .sortWithinPartitions(z)
+            .drop(z)
+        } else if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
         else df.repartition(nOut)
       val (commitId, names) = stageData(packed, path)
       val ranges =

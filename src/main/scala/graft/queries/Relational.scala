@@ -669,6 +669,43 @@ object Relational {
                    MAX(o_orderkey) AS max_key
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q134 — predicate-scoped INSERT OVERWRITE through the oracle gate
+    * ([[graft.io.VersionedTable.replaceWhere]]): reload the
+    * o_orderkey∈[1000,4999] slice with corrected (repriced, thinned)
+    * rows in one atomic commit — only files holding slice rows rewrite,
+    * the rest carries by reference. The oracle recomputes the post-reload
+    * state relationally, so a leaked old slice row, a lost out-of-slice
+    * row, or a double-applied reload hash-fails. ReplaceWhereSpec pins
+    * the file-surgery, escapee-refusal, CDF and idempotency contracts. */
+  val q134 = QueryDef(
+    "q134_replace_where",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q134_replace").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
+      val reload = base
+        .filter(col("o_orderkey").between(1000, 4999) && col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+      graft.io.VersionedTable.replaceWhere(
+        s, path, col("o_orderkey").between(1000, 4999), reload)
+      graft.io.VersionedTable.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum("o_totalprice") / lit(1e6)).as("total_mm"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 merged AS (
+                   SELECT * FROM base WHERE o_orderkey NOT BETWEEN 1000 AND 4999
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9
+                   FROM base
+                   WHERE o_orderkey BETWEEN 1000 AND 4999 AND o_orderkey % 3 <> 0)
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -1124,5 +1161,6 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
-    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133)
+    q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
+    q134)
 }

@@ -585,6 +585,111 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).filter(col("id").isNull).count() == 1)
   }
 
+  test("replaceWhere swaps exactly the predicate's slice; untouched files carry by reference") {
+    val path = freshDir()
+    // three "daily" loads with disjoint key ranges
+    VersionedTable.commitAppend(batch(0, 100), path, "id")
+    VersionedTable.commitAppend(batch(100, 200), path, "id")
+    VersionedTable.commitAppend(batch(200, 300), path, "id")
+    val fsRoot = java.nio.file.Paths.get(path, "data")
+    def dataFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fsRoot).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+        .map(p => fsRoot.relativize(p).toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = dataFiles()
+    // reload "day 2" (keys 100..199) with corrected payloads, 20 rows fewer
+    val reload = (100 until 180).map(i => (i.toLong, s"fix_$i")).toDF("id", "v")
+    val r = VersionedTable.replaceWhere(
+      spark, path, col("id").between(100, 199), reload)
+    assert(r.version == 4L && r.rowsDeleted == 100L && r.rowsInserted == 80L)
+    assert(r.filesRewritten >= 1 && r.filesKept >= 2, s"got $r")
+    val untouched = before.keySet.filter(dataFiles().contains)
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(before(f) == dataFiles()(f), s"file $f was rewritten"))
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows.size == 280)
+    assert(rows(0L) == "row_0" && rows(250L) == "row_250")
+    (100 until 180).foreach(i => assert(rows(i.toLong) == s"fix_$i"))
+    (180 until 200).foreach(i => assert(!rows.contains(i.toLong)))
+    // pre-replace snapshot intact; re-running the same reload is idempotent
+    assert(VersionedTable.read(spark, path, Some(3L)).count() == 300)
+    VersionedTable.replaceWhere(spark, path, col("id").between(100, 199), reload)
+    assert(VersionedTable.read(spark, path).count() == 280)
+  }
+
+  test("replaceWhere refuses replacement rows outside the slice; CDF replays the window") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 50), path) // v1
+    // a row outside the slice must abort BEFORE anything commits
+    val escapee = Seq((10L, "in"), (99L, "out")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      VersionedTable.replaceWhere(spark, path, col("id") < 20, escapee)
+    }
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+    // valid reload of the id<20 slice, then CDF replay across the window
+    val reload = (0 until 15).map(i => (i.toLong, s"fix_$i")).toDF("id", "v")
+    VersionedTable.replaceWhere(spark, path, col("id") < 20, reload) // v2
+    val cdf = VersionedTable.changesWithType(spark, path, 1L, 2L)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 20)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 15)
+    val v1 = VersionedTable.read(spark, path, Some(1L)).select("id", "v")
+    val ins = cdf.filter(col("_change_type") === "insert").select("id", "v")
+    val dels = cdf.filter(col("_change_type") === "delete").select("id", "v")
+    val replayed = v1.unionByName(ins).exceptAll(dels)
+      .as[(Long, String)].collect().sorted.toSeq
+    val head = VersionedTable.read(spark, path).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(replayed == head)
+    // a predicate matching nothing is a scoped first load (plain insert)
+    val r2 = VersionedTable.replaceWhere(
+      spark, path, col("id").between(1000, 1004),
+      (1000 until 1005).map(i => (i.toLong, s"new_$i")).toDF("id", "v"))
+    assert(r2.rowsDeleted == 0L && r2.rowsInserted == 5L && r2.filesRewritten == 0)
+    assert(VersionedTable.read(spark, path).count() == 50 - 20 + 15 + 5)
+  }
+
+  test("z-ordered compaction tightens per-file ranges on EVERY stats column") {
+    // a 64x64 grid committed as shuffled sprawl: per-file (x,y) ranges are
+    // useless until compaction imposes a layout
+    def grid() = spark.range(64 * 64)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y",
+        "concat('p_', id) AS payload")
+      .orderBy(expr("hash(id)")) // destroy any natural clustering
+    def build(zOrder: Boolean): String = {
+      val path = freshDir()
+      grid().repartition(16).write.mode("overwrite").parquet(path + "_stage")
+      val staged = spark.read.parquet(path + "_stage")
+      VersionedTable.commitAppend(staged, path, Seq("x", "y"))
+      val (_, rewritten) =
+        VersionedTable.compact(spark, path, targetRowsPerFile = 600, zOrder = zOrder)
+      assert(rewritten >= 2, s"compaction must actually repack, rewrote $rewritten")
+      path
+    }
+    val zPath = build(zOrder = true)
+    val lexPath = build(zOrder = false)
+    val nFiles = VersionedTable.read(spark, zPath).inputFiles.length
+    assert(nFiles >= 4, s"want enough files for pruning to mean something, got $nFiles")
+    // thin slab on the TRAILING dimension: lexicographic layout keeps y
+    // ranges wide (every file spans most of y), z-order keeps them tight
+    val zHit = VersionedTable.filesForRanges(spark, zPath, Map("y" -> (0L, 7L))).size
+    val lexHit = VersionedTable.filesForRanges(spark, lexPath, Map("y" -> (0L, 7L))).size
+    assert(zHit < lexHit,
+      s"z-order should prune the trailing dim harder: z=$zHit lex=$lexHit of $nFiles")
+    assert(zHit <= nFiles / 2, s"z-order slab read $zHit of $nFiles files")
+    // the leading dimension still prunes too (z-order trades a little
+    // leading-col sharpness for cross-column sharpness, never to zero)
+    assert(VersionedTable.filesForRanges(spark, zPath, Map("x" -> (0L, 7L))).size < nFiles)
+    // and the data is intact, readWhereAll exact on a 2-D cell
+    val cell = VersionedTable.readWhereAll(
+      spark, zPath, Map("x" -> (3L, 4L), "y" -> (5L, 6L)))
+    assert(cell.count() == 4)
+    assert(VersionedTable.read(spark, zPath).count() == 64 * 64)
+  }
+
   test("merge composes with deletion vectors: DV-deleted rows cannot re-match") {
     val path = freshDir()
     // one data file, so the merge's rewrite provably migrates the DV out
