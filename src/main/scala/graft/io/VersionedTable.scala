@@ -171,6 +171,12 @@ object VersionedTable {
   private def dvFilesOf(text: String): Seq[String] =
     fileListOf(text, "dv")
 
+  /** Bloom-sidecar file list of a manifest ([[FileBloom]]; carried
+    * forward like DVs — entries are keyed by data-file name, so rows for
+    * files a rewrite removed are dead and simply never consulted). */
+  private def bloomFilesOf(text: String): Seq[String] =
+    fileListOf(text, "blooms")
+
   private def fileListOf(text: String, field: String): Seq[String] = {
     (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(text) match {
       case None => Seq.empty
@@ -362,7 +368,8 @@ object VersionedTable {
       addRenames: Seq[(String, String)] = Seq.empty,
       resetRenames: Boolean = false,
       addDvFiles: Seq[String] = Seq.empty,
-      dvOverride: Option[Seq[String]] = None): Option[Long] = {
+      dvOverride: Option[Seq[String]] = None,
+      addBloomFiles: Seq[String] = Seq.empty): Option[Long] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -449,9 +456,18 @@ object VersionedTable {
       val dvJson =
         if (dv.isEmpty) ""
         else s""""dv":[${dv.map("\"" + _ + "\"").mkString(",")}],"""
+      // bloom sidecars carry like DVs (an overwrite retires them); dead
+      // entries (removed files) are harmless — probes key on file name
+      val blooms =
+        (if (resetRenames) Seq.empty
+         else prevText.map(bloomFilesOf).getOrElse(Seq.empty)) ++ addBloomFiles
+      val bloomJson =
+        if (blooms.isEmpty) ""
+        else s""""blooms":[${blooms.map("\"" + _ + "\"").mkString(",")}],"""
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
           txnJson + statsJson + cdfJson + cdfiJson + schemaJson + renamesJson + dvJson +
+          bloomJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -503,6 +519,121 @@ object VersionedTable {
     val ranges = rangesOf(df, path, commitId, statsCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
       newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema)).get
+  }
+
+  /** Append with file-skipping stats AND per-file Bloom filters on
+    * `bloomCols` ([[FileBloom]]): ranges answer slab predicates, blooms
+    * answer POINT probes on scattered keys — the case where every file's
+    * [min,max] spans the whole domain and range pruning keeps everything.
+    * The filters are built in one grouped pass over the staged files and
+    * stored as sidecar parquet referenced from the manifest (data files
+    * untouched; probes read the tiny sidecar, never a data footer).
+    * Sidecar cost ~12 bits/key/column (~0.2% of data size). */
+  def commitAppend(
+      df: DataFrame, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String]): Long = {
+    require(bloomCols.nonEmpty, "bloomCols must be non-empty (use the statsCols overload)")
+    (statsCols ++ bloomCols).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
+      s"stats/bloom column must be [A-Za-z0-9._-]+ (stored in manifest JSON), got: $c"))
+    val (commitId, names) = stageData(df, path)
+    val ranges =
+      if (statsCols.isEmpty) Map.empty[(String, String), (Long, Long)]
+      else rangesOf(df, path, commitId, statsCols)
+    val bloomNames = stageBlooms(df.sparkSession, path, commitId, bloomCols)
+    publish(df.sparkSession, path, "append", names, carryForward = true,
+      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
+      addBloomFiles = bloomNames).get
+  }
+
+  /** Build one [[FileBloom]] per (staged file, bloom column) — a single
+    * grouped pass over the new files; state is bounded by rows-per-file
+    * (a sane layout keeps files ≤ a few M rows → tens of MB transient
+    * per group). Returns the staged sidecar's relative file names. */
+  private def stageBlooms(
+      spark: SparkSession, path: String, commitId: String,
+      bloomCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val staged = spark.read.parquet(s"$path/data/$commitId")
+    val keyed = bloomCols.map { c =>
+      staged.select(input_file_name().as("f"), col(c).cast("long").as("key"))
+        .where(col("key").isNotNull)
+        .withColumn("c", org.apache.spark.sql.functions.lit(c))
+    }.reduce(_ unionByName _)
+    val sidecar = keyed.select("f", "c", "key").as[(String, String, Long)]
+      .groupByKey { case (f, c, _) =>
+        val p = new java.net.URI(f).getPath
+        (p.substring(p.lastIndexOf("/data/") + "/data/".length), c)
+      }
+      .mapGroups { (fc: (String, String), rows: Iterator[(String, String, Long)]) =>
+        val (m, bytes) = FileBloom.build(rows.map(_._3), 1 << 16)
+        (fc._1, fc._2, m, FileBloom.NumHashes, bytes)
+      }
+      .toDF("f", "c", "m", "k", "bits")
+    stageData(sidecar, path)._2
+  }
+
+  /** The data files of `version` (latest by default) that MAY contain at
+    * least one of `keys` in `colName`, per the manifest's bloom sidecars
+    * — None when the column carries no blooms (caller falls back to
+    * range/stats pruning or a full candidate set). Files without a bloom
+    * row (e.g. staged by a rewrite op) are always kept: safety over
+    * sharpness. The sidecar scan is distributed (one tiny parquet read,
+    * rows ∝ files); only matching FILE NAMES come back to the driver. */
+  def filesForKeys(
+      spark: SparkSession, path: String, colName: String, keys: Array[Long],
+      version: Option[Long] = None): Option[Seq[String]] = {
+    require(keys.nonEmpty, "at least one probe key required")
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    val sidecars = bloomFilesOf(text)
+    if (sidecars.isEmpty) return None
+    val rel = manifestFiles(spark, path, v)
+    val relSet = rel.toSet
+    val bloomRows = spark.read.parquet(sidecars.map(n => s"$path/data/$n"): _*)
+      .where($"c" === colName)
+      .as[(String, String, Int, Int, Array[Byte])]
+      .filter(r => relSet.contains(r._1))
+    val keysB = spark.sparkContext.broadcast(keys)
+    // covered = has a bloom row; hits = bloom admits at least one key
+    val verdicts = bloomRows.mapPartitions { it =>
+      val ks = keysB.value
+      it.map { case (f, _, m, _, bits) =>
+        (f, ks.exists(k => FileBloom.mightContain(m, bits, k)))
+      }
+    }.collect()
+    keysB.destroy()
+    if (verdicts.isEmpty) return None // column not bloom-covered at all
+    val covered = verdicts.map(_._1).toSet
+    val hits = verdicts.collect { case (f, true) => f }.toSet
+    Some(rel.filter(f => hits.contains(f) || !covered.contains(f)))
+  }
+
+  /** Point-lookup read: open only the files whose blooms admit one of
+    * `keys` (plus any uncovered files), then apply the exact membership
+    * filter. The needle-in-100TB shape: I/O ∝ keys · files-per-key, not
+    * table size — and unlike footer blooms, ZERO data-file opens are
+    * spent on pruning. Falls back to all files when the column has no
+    * blooms (still correct, just unpruned). */
+  def readKeys(
+      spark: SparkSession, path: String, colName: String, keys: Array[Long],
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val keep = filesForKeys(spark, path, colName, keys, Some(v))
+      .getOrElse(manifestFiles(spark, path, v))
+    val text = manifestText(spark, path, v)
+    if (keep.isEmpty) return read(spark, path, Some(v))
+      .filter(org.apache.spark.sql.functions.lit(false))
+    val scan = evolvedRead(spark, path, text, keep, dvFiles = dvFilesOf(text))
+    val keyDf = spark.createDataset(keys.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("__probe_key")
+    scan.join(broadcast(keyDf), col(colName).cast("long") === col("__probe_key"), "left_semi")
   }
 
   /** The data files of `version` (latest by default) that can hold a row
@@ -969,13 +1100,29 @@ object VersionedTable {
             if (preds.isEmpty) rel
             else filesForRanges(spark, path, preds, Some(current))
           }
+        // bloom point-probe pruning on top of the range cut: on a table
+        // whose merge key is SCATTERED (every file's range spans the
+        // domain), ranges keep everything but the per-file blooms bound
+        // candidates by the batch's true key footprint. Guarded to
+        // driver-collectable batch sizes — the normal CDC case; bigger
+        // batches just skip this cut (correct, less pruned).
+        val bloomCand =
+          if (candidates.isEmpty || bloomFilesOf(text).isEmpty ||
+              srcRows > 2000000L) candidates
+          else keys.iterator.map { k =>
+            val keyArr = srcKeys.select(col(k).cast("long")).na.drop()
+              .collect().map(_.getLong(0))
+            if (keyArr.isEmpty) None
+            else filesForKeys(spark, path, k, keyArr, Some(current))
+              .map(hits => candidates.filter(hits.toSet))
+          }.collectFirst { case Some(cut) => cut }.getOrElse(candidates)
         // one pruned scan: which candidate files actually hold matched
         // keys (file identity captured ON the scan — withPosition exposes
         // the relative name as __f — because it cannot resolve post-join)
         val hitRel: Set[String] =
-          if (candidates.isEmpty) Set.empty
+          if (bloomCand.isEmpty) Set.empty
           else evolvedRead(
-            spark, path, text, candidates, dvFiles = dvFilesOf(text), withPosition = true)
+            spark, path, text, bloomCand, dvFiles = dvFilesOf(text), withPosition = true)
             .join(srcKeys, keys, "left_semi")
             .select("__f").distinct().collect().map(_.getString(0)).toSet
         val kept = rel.filterNot(hitRel)
@@ -1360,11 +1507,12 @@ object VersionedTable {
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
-    // data files, CDF tombstones, and deletion vectors of retained
-    // versions all survive
+    // data files, CDF tombstones, deletion vectors, and bloom sidecars
+    // of retained versions all survive
     val referenced = keep.flatMap { v =>
       val text = manifestText(spark, path, v)
-      manifestFiles(spark, path, v) ++ cdfFilesOf(text) ++ dvFilesOf(text)
+      manifestFiles(spark, path, v) ++ cdfFilesOf(text) ++ dvFilesOf(text) ++
+        bloomFilesOf(text)
     }.toSet
     var filesRemoved = 0
     val dataRoot = new Path(s"$path/data")

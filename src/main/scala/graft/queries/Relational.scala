@@ -706,6 +706,38 @@ object Relational {
                    ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q135 — needle-in-the-table point lookup through manifest bloom
+    * sidecars ([[graft.io.VersionedTable.readKeys]]): the table commits
+    * with per-file [[graft.io.FileBloom]]s on o_orderkey; the probe opens
+    * only files whose bloom admits one of the keys — zero data-file
+    * opens spent on pruning (vs footer blooms, which cost an open per
+    * file). The oracle is a plain IN-list, so a false NEGATIVE (bloom
+    * losing a key) or a semi-join dropping/duplicating rows hash-fails.
+    * FileBloomSpec pins the no-false-negative and FPR properties;
+    * VersionedTableSpec pins scattered-key pruning and merge
+    * integration. */
+  val q135 = QueryDef(
+    "q135_bloom_point_lookup",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q135_bloom").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // two interleaved commits: every file spans the key domain, so only
+      // the blooms can prune the probe
+      graft.io.VersionedTable.commitAppend(
+        base.filter(col("o_orderkey") % 2 === 0), path, Seq("o_orderkey"), Seq("o_orderkey"))
+      graft.io.VersionedTable.commitAppend(
+        base.filter(col("o_orderkey") % 2 === 1), path, Seq("o_orderkey"), Seq("o_orderkey"))
+      val probe = Array(1L, 7L, 32L, 4000L, 15000L, 29999L, 123456789L)
+      graft.io.VersionedTable.readKeys(s, path, "o_orderkey", probe)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          r4(col("o_totalprice")).as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS price
+            FROM orders
+            WHERE o_orderkey IN (1, 7, 32, 4000, 15000, 29999, 123456789)
+            ORDER BY o_orderkey"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -1162,5 +1194,5 @@ object Relational {
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134)
+    q134, q135)
 }

@@ -585,6 +585,67 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).filter(col("id").isNull).count() == 1)
   }
 
+  // Interleaved layout: every file's [min,max] spans the whole domain, so
+  // RANGE stats can prune nothing — the case blooms exist for.
+  private def scatteredTable(): String = {
+    val path = freshDir()
+    val evens = (0 until 400 by 2).map(i => (i.toLong, s"row_$i")).toDF("id", "v").coalesce(1)
+    val odds = (1 until 400 by 2).map(i => (i.toLong, s"row_$i")).toDF("id", "v").coalesce(1)
+    VersionedTable.commitAppend(evens, path, Seq("id"), bloomCols = Seq("id"))
+    VersionedTable.commitAppend(odds, path, Seq("id"), bloomCols = Seq("id"))
+    path
+  }
+
+  test("bloom sidecars prune point probes that range stats cannot") {
+    val path = scatteredTable()
+    // ranges are useless here: both files span ~[0,399]
+    assert(VersionedTable.filesForRanges(spark, path, Map("id" -> (42L, 42L))).size == 2)
+    // the bloom knows 42 is in the evens file only
+    val hit = VersionedTable.filesForKeys(spark, path, "id", Array(42L)).get
+    assert(hit.size == 1, s"bloom should cut to the evens file, kept $hit")
+    // probing a present odd and even key keeps both files
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(42L, 43L)).get.size == 2)
+    // absent keys: overwhelmingly pruned to zero (FPR ~0.3%)
+    val absent = VersionedTable.filesForKeys(
+      spark, path, "id", Array(100001L)).get
+    assert(absent.size <= 1, s"absent key kept $absent")
+    // exact point-lookup read
+    val rows = VersionedTable.readKeys(spark, path, "id", Array(42L, 43L, 100001L))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows == Map(42L -> "row_42", 43L -> "row_43"))
+    // a column with no blooms reports None (caller falls back)
+    assert(VersionedTable.filesForKeys(spark, path, "v", Array(1L)).isEmpty)
+  }
+
+  test("bloom-less commits stay safe (never pruned); vacuum retains sidecars") {
+    val path = scatteredTable()
+    // third commit WITHOUT blooms: its file must always survive probes
+    VersionedTable.commitAppend(
+      Seq((1000L, "late")).toDF("id", "v").coalesce(1), path)
+    val keep = VersionedTable.filesForKeys(spark, path, "id", Array(42L)).get
+    assert(keep.size == 2, s"evens file + uncovered late file, got $keep")
+    assert(VersionedTable.readKeys(spark, path, "id", Array(1000L))
+      .select("v").as[String].collect().toSeq == Seq("late"))
+    // vacuum to the latest version only: sidecars survive, probes still work
+    VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(42L)).get.size == 2)
+    assert(VersionedTable.readKeys(spark, path, "id", Array(42L)).count() == 1)
+  }
+
+  test("merge prunes rewrite candidates through blooms on a scattered key") {
+    val path = scatteredTable()
+    // update 5 EVEN keys: ranges can't prune (both files span the domain),
+    // blooms cut the rewrite to the evens file alone
+    val source = Seq(10L, 20L, 30L, 40L, 50L).map(i => (i, s"upd_$i")).toDF("id", "v")
+    val r = VersionedTable.merge(spark, path, source, Seq("id"))
+    assert(r.matchedRows == 5L && r.upsertRows == 5L)
+    assert(r.filesRewritten == 1, s"blooms should bound the rewrite to the evens file: $r")
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows.size == 400)
+    assert(rows(10L) == "upd_10" && rows(11L) == "row_11" && rows(42L) == "row_42")
+  }
+
   test("replaceWhere swaps exactly the predicate's slice; untouched files carry by reference") {
     val path = freshDir()
     // three "daily" loads with disjoint key ranges
