@@ -1056,9 +1056,34 @@ object VersionedTable {
     * snapshot it planned on and re-based on a lost race. */
   def merge(
       spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
-      deleteFlag: Option[String] = None, maxRebases: Int = 5): MergeResult = {
+      deleteFlag: Option[String] = None, maxRebases: Int = 5): MergeResult =
+    mergeImpl(spark, path, source, keys, deleteFlag, maxRebases, txn = None).get
+
+  /** Exactly-once [[merge]]: the commit is gated on the manifest txn map
+    * like [[commitStreamBatch]] — a replay of an already-applied
+    * `(writerId, batchId)` returns None without changing the table, no
+    * matter which writer wins the version slot. The idempotency rung for
+    * CDC consumers and incremental view maintenance, where a crash
+    * between "merge committed" and "offset recorded" otherwise
+    * double-applies the batch. */
+  def mergeBatch(
+      spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      writerId: String, batchId: Long, deleteFlag: Option[String] = None,
+      maxRebases: Int = 5): Option[MergeResult] =
+    mergeImpl(spark, path, source, keys, deleteFlag, maxRebases,
+      txn = Some((writerId, batchId)))
+
+  private def mergeImpl(
+      spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      deleteFlag: Option[String], maxRebases: Int,
+      txn: Option[(String, Long)]): Option[MergeResult] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, struct}
     require(keys.nonEmpty, "merge needs at least one key column")
+    // cheap early duplicate check (the authoritative one re-runs inside
+    // publish's commit loop, so a racing duplicate is still caught)
+    txn.foreach { case (id, batch) =>
+      if (lastCommittedBatch(spark, path, id).exists(_ >= batch)) return None
+    }
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one aggregate sizes the batch AND proves key uniqueness (struct()
@@ -1082,7 +1107,7 @@ object VersionedTable {
         val current = vs.last
         val text = manifestText(spark, path, current)
         val rel = manifestFiles(spark, path, current)
-        if (srcRows == 0L) return MergeResult(current, 0L, 0L, 0, rel.size)
+        if (srcRows == 0L) return Some(MergeResult(current, 0L, 0L, 0, rel.size))
         // manifest-stats candidate pruning on whichever recorded columns
         // are merge keys: one tiny agg over the source bounds each
         val statsKeys = statsOf(text)._1.filter(keys.contains)
@@ -1147,12 +1172,14 @@ object VersionedTable {
           case None => upserts.schema
         }
         try {
-          val v = publish(spark, path, "merge", kept ++ survNames ++ upNames,
-            carryForward = false, requiredParent = Some(current),
+          publish(spark, path, "merge", kept ++ survNames ++ upNames,
+            carryForward = false, requiredParent = Some(current), txn = txn,
             cdfFiles = tombNames, cdfInsertFiles = upNames,
             schemaOverride = Some(mergedSchema),
-            dvOverride = prunedDv(spark, path, text, kept)).get
-          return MergeResult(v, matched, upCount, hitRel.size, kept.size)
+            dvOverride = prunedDv(spark, path, text, kept)) match {
+            case Some(v) => return Some(MergeResult(v, matched, upCount, hitRel.size, kept.size))
+            case None => return None // replay caught in-loop: already applied
+          }
         } catch {
           case e: ConcurrentCommitException =>
             if (attempt >= maxRebases) throw e

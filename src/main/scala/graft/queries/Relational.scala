@@ -738,6 +738,48 @@ object Relational {
             WHERE o_orderkey IN (1, 7, 32, 4000, 15000, 29999, 123456789)
             ORDER BY o_orderkey"""))
 
+  /** Q136 — incremental materialized-view maintenance through the oracle
+    * gate ([[graft.ops.IncrementalView.refreshDelta]]): a per-status
+    * (count, sum) view bootstraps from the source versioned table, the
+    * source then takes a MERGE (reprice every 100th key) and a DELETE
+    * (every key ≡ 50 mod 100), and ONE delta refresh folds the CDF
+    * window into the view with ZERO source scans — inserts +1, deletes
+    * −1, merged additively via the exactly-once mergeBatch. The oracle
+    * recomputes the view from the mutated relational state, so a missed
+    * tombstone, double-applied update, or ghost group hash-fails.
+    * IncrementalViewSpec pins replay, healing, and vanishing-group
+    * contracts. */
+  val q136 = QueryDef(
+    "q136_incremental_view",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q136_ivm").toString
+      val src = tmp + "/src"; val view = tmp + "/view"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, src, "o_orderkey")
+      graft.ops.IncrementalView.refreshDelta(
+        s, src, view, "ivm", Seq("o_orderstatus"), Seq("o_totalprice"))
+      graft.io.VersionedTable.merge(s, src,
+        base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+        Seq("o_orderkey"))
+      graft.io.VersionedTable.deleteWhere(s, src, col("o_orderkey") % 100 === 50)
+      graft.ops.IncrementalView.refreshDelta(
+        s, src, view, "ivm", Seq("o_orderstatus"), Seq("o_totalprice"))
+      graft.io.VersionedTable.read(s, view)
+        .select(col("o_orderstatus"), col("cnt"),
+          r4(col("sum_o_totalprice") / lit(1e6)).as("total_mm"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 merged AS (
+                   SELECT o_orderkey, o_orderstatus,
+                          CASE WHEN o_orderkey % 100 = 0
+                               THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+                   FROM base WHERE o_orderkey % 100 <> 50)
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -1194,5 +1236,5 @@ object Relational {
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135)
+    q134, q135, q136)
 }
