@@ -382,8 +382,10 @@ object VersionedTable {
       // against ONE snapshot; if another commit won a slot since, that list
       // is stale and committing it would drop the winner's files. Surface
       // the conflict instead — the op re-bases against the new latest.
+      // (-1 = "must be the FIRST commit": a maintenance/merge op planned
+      // against an empty table may not land on top of a racer's v1)
       requiredParent.foreach { rp =>
-        if (!prev.contains(rp))
+        if (prev.getOrElse(-1L) != rp)
           throw new ConcurrentCommitException(
             s"table $path advanced to ${prev.getOrElse(-1L)} while $operation was computed " +
               s"against v$rp — re-base required")
@@ -1103,7 +1105,25 @@ object VersionedTable {
       while (true) {
         attempt += 1
         val vs = versions(spark, path)
-        require(vs.nonEmpty, s"no committed versions at $path")
+        if (vs.isEmpty) {
+          // CDC bootstrap: the first batch lands as the table's first
+          // commit (no target: every surviving row inserts). Conflict-
+          // checked (parent must still be "none") so a racer's v1 is
+          // never replaced; on a lost race the loop re-bases into the
+          // normal merge path.
+          val (upCommit, upNames) = stageData(upserts, path)
+          val upCount = spark.read.parquet(s"$path/data/$upCommit").count()
+          try {
+            publish(spark, path, "merge", upNames, carryForward = false,
+              requiredParent = Some(-1L), txn = txn, cdfInsertFiles = upNames,
+              schemaOverride = Some(upserts.schema)) match {
+              case Some(v) => return Some(MergeResult(v, 0L, upCount, 0, 0))
+              case None => return None // replay of an already-applied batch
+            }
+          } catch {
+            case e: ConcurrentCommitException => if (attempt >= maxRebases) throw e
+          }
+        } else {
         val current = vs.last
         val text = manifestText(spark, path, current)
         val rel = manifestFiles(spark, path, current)
@@ -1184,6 +1204,7 @@ object VersionedTable {
           case e: ConcurrentCommitException =>
             if (attempt >= maxRebases) throw e
           // else: loop re-bases against the new latest snapshot
+        }
         }
       }
       sys.error("unreachable")

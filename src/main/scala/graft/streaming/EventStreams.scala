@@ -127,6 +127,40 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CDC apply: each micro-batch is a keyed upsert/delete set
+    * MERGED into a [[graft.io.VersionedTable]] — the Kafka-CDC-to-table
+    * landing pattern (Debezium → MERGE INTO). Rows whose `deleteFlag`
+    * column is true delete their key; other rows replace-or-insert.
+    * Exactly-once the same way [[startExactlyOnceVersionedSink]] is:
+    * foreachBatch delivery is at-least-once, and the table absorbs
+    * replays through [[graft.io.VersionedTable.mergeBatch]]'s
+    * (writerId, batchId) txn gate — a crash between merge-commit and
+    * checkpoint re-merges as a no-op. Within a batch the source must be
+    * key-unique (CDC compaction upstream: keep the LAST image per key —
+    * mergeBatch throws on duplicates rather than guessing an order).
+    * File surgery per batch is bounded by the batch's key footprint via
+    * manifest range stats and bloom sidecars when the table records
+    * them. */
+  def startCdcMergeSink(
+      stream: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      writerId: String,
+      checkpointDir: String,
+      deleteFlag: Option[String] = None,
+      onBatch: (Long, Option[graft.io.VersionedTable.MergeResult]) => Unit =
+        (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(batchId,
+          graft.io.VersionedTable.mergeBatch(
+            batch.sparkSession, tablePath, batch.toDF(), keys, writerId, batchId,
+            deleteFlag))
+      }
+      .start()
+
   /** Streaming-maintained materialized view: each micro-batch's partial
     * aggregates merge into the [[graft.ops.MaterializedRollup]] state
     * table under the batch's (writerId, batchId) txn — so the refresh is
