@@ -369,7 +369,8 @@ object VersionedTable {
       resetRenames: Boolean = false,
       addDvFiles: Seq[String] = Seq.empty,
       dvOverride: Option[Seq[String]] = None,
-      addBloomFiles: Seq[String] = Seq.empty): Option[Long] = {
+      addBloomFiles: Seq[String] = Seq.empty,
+      bloomOverride: Option[Seq[String]] = None): Option[Long] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -459,10 +460,11 @@ object VersionedTable {
         if (dv.isEmpty) ""
         else s""""dv":[${dv.map("\"" + _ + "\"").mkString(",")}],"""
       // bloom sidecars carry like DVs (an overwrite retires them); dead
-      // entries (removed files) are harmless — probes key on file name
-      val blooms =
+      // entries (removed files) are harmless — probes key on file name.
+      // Compaction passes an override: the consolidated sidecar set.
+      val blooms = bloomOverride.getOrElse(
         (if (resetRenames) Seq.empty
-         else prevText.map(bloomFilesOf).getOrElse(Seq.empty)) ++ addBloomFiles
+         else prevText.map(bloomFilesOf).getOrElse(Seq.empty)) ++ addBloomFiles)
       val bloomJson =
         if (blooms.isEmpty) ""
         else s""""blooms":[${blooms.map("\"" + _ + "\"").mkString(",")}],"""
@@ -547,6 +549,53 @@ object VersionedTable {
       addBloomFiles = bloomNames).get
   }
 
+  /** The columns this manifest's bloom sidecars cover (one tiny sidecar
+    * read), empty when the table records no blooms. Rewrite ops use it to
+    * REGENERATE blooms for the files they stage — without this, bloom
+    * coverage would decay as compaction/merge churns files out from
+    * under their sidecar rows (uncovered files are never pruned). */
+  private def bloomColsOf(spark: SparkSession, path: String, text: String): Seq[String] = {
+    val sidecars = bloomFilesOf(text)
+    if (sidecars.isEmpty) Seq.empty
+    else spark.read.parquet(sidecars.map(n => s"$path/data/$n"): _*)
+      .select("c").distinct().collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Regenerate sidecars for freshly staged data files when the table
+    * records blooms; no-op (Nil) otherwise. Called by every rewrite op
+    * on the files it stages. */
+  private def rebloom(
+      spark: SparkSession, path: String, text: String,
+      stagedNames: Seq[String]): Seq[String] = {
+    val cols = bloomColsOf(spark, path, text)
+    if (cols.isEmpty || stagedNames.isEmpty) Seq.empty
+    else stagedNames.map(_.takeWhile(_ != '/')).distinct
+      .flatMap(cid => stageBlooms(spark, path, cid, cols))
+  }
+
+  /** Compaction-time sidecar consolidation: re-filter every existing
+    * sidecar row to files still kept, merge with the repacked files' new
+    * sidecars, and stage ONE replacement set — the bloom analog of
+    * [[prunedDv]], keeping the sidecar list from growing with churn.
+    * None when the table records no blooms. */
+  private def prunedBlooms(
+      spark: SparkSession, path: String, text: String,
+      keptFiles: Seq[String], newSidecars: Seq[String]): Option[Seq[String]] = {
+    val old = bloomFilesOf(text)
+    if (old.isEmpty) None
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val keepDf = spark.createDataset(keptFiles)(org.apache.spark.sql.Encoders.STRING).toDF("f")
+      val oldLive = spark.read.parquet(old.map(n => s"$path/data/$n"): _*)
+        .join(broadcast(keepDf), Seq("f"), "left_semi")
+      val all =
+        if (newSidecars.isEmpty) oldLive
+        else oldLive.unionByName(
+          spark.read.parquet(newSidecars.map(n => s"$path/data/$n"): _*))
+      Some(stageData(all.coalesce(1), path)._2)
+    }
+  }
+
   /** Build one [[FileBloom]] per (staged file, bloom column) — a single
     * grouped pass over the new files; state is bounded by rows-per-file
     * (a sane layout keeps files ≤ a few M rows → tens of MB transient
@@ -556,8 +605,14 @@ object VersionedTable {
       bloomCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     import spark.implicits._
-    val staged = spark.read.parquet(s"$path/data/$commitId")
-    val keyed = bloomCols.map { c =>
+    val staged0 = spark.read.parquet(s"$path/data/$commitId")
+    // a rename can retire a bloom column's physical name; files staged
+    // under the new schema simply aren't covered on the old name (safe:
+    // uncovered files are never pruned)
+    val present = bloomCols.filter(staged0.columns.contains)
+    if (present.isEmpty) return Seq.empty
+    val staged = staged0
+    val keyed = present.map { c =>
       staged.select(input_file_name().as("f"), col(c).cast("long").as("key"))
         .where(col("key").isNotNull)
         .withColumn("c", org.apache.spark.sql.functions.lit(c))
@@ -926,7 +981,8 @@ object VersionedTable {
       try {
         val v = publish(spark, path, "delete", kept ++ newNames2, carryForward = false,
           requiredParent = Some(current), cdfFiles = removedNames,
-          dvOverride = prunedDv(spark, path, text, kept)).get
+          dvOverride = prunedDv(spark, path, text, kept),
+          addBloomFiles = rebloom(spark, path, text, newNames)).get
         return (v, deleted)
       } catch {
         case e: ConcurrentCommitException =>
@@ -1196,7 +1252,8 @@ object VersionedTable {
             carryForward = false, requiredParent = Some(current), txn = txn,
             cdfFiles = tombNames, cdfInsertFiles = upNames,
             schemaOverride = Some(mergedSchema),
-            dvOverride = prunedDv(spark, path, text, kept)) match {
+            dvOverride = prunedDv(spark, path, text, kept),
+            addBloomFiles = rebloom(spark, path, text, survNames ++ upNames)) match {
             case Some(v) => return Some(MergeResult(v, matched, upCount, hitRel.size, kept.size))
             case None => return None // replay caught in-loop: already applied
           }
@@ -1302,7 +1359,8 @@ object VersionedTable {
             carryForward = false, requiredParent = Some(current),
             cdfFiles = tombNames, cdfInsertFiles = insNames,
             schemaOverride = Some(mergedSchema),
-            dvOverride = prunedDv(spark, path, text, kept)).get
+            dvOverride = prunedDv(spark, path, text, kept),
+            addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
           return ReplaceResult(v, deleted, inserted, hitRel.size, kept.size)
         } catch {
           case e: ConcurrentCommitException =>
@@ -1531,10 +1589,14 @@ object VersionedTable {
       val ranges =
         if (statsCols.isEmpty) Map.empty[(String, String), (Long, Long)]
         else rangesOf(packed, path, commitId, statsCols)
+      // repacked files get fresh blooms; the whole sidecar set is
+      // consolidated to live rows (compaction = bloom maintenance too)
+      val newBlooms = rebloom(spark, path, text, names)
       try {
         val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
           newRanges = ranges, statsCols = statsCols, requiredParent = Some(current),
-          dvOverride = prunedDv(spark, path, text, keep)).get
+          dvOverride = prunedDv(spark, path, text, keep),
+          bloomOverride = prunedBlooms(spark, path, text, keep, newBlooms)).get
         return (v, small.size.toLong)
       } catch {
         case e: ConcurrentCommitException =>

@@ -245,4 +245,103 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("dist") <= maxDist)
   }
+
+  /** SPAN-level exact-substring dedup (the Lee et al., ACL'22
+    * "Deduplicating Training Data Makes Language Models Better" problem):
+    * find, per document, the maximal token spans covered by word
+    * `k`-grams that occur ≥ `minOccurrences` times across the corpus —
+    * TEMPLATED boilerplate repeated inside otherwise-unique documents,
+    * which document-level exact/near dedup cannot see.
+    *
+    * The published solution is a corpus-wide suffix array — inherently
+    * single-machine. The Spark-first re-expression: one pass computes
+    * every (doc, pos, k-gram) occurrence; one keyed shuffle counts
+    * occurrences per gram AND elects a global KEEPER occurrence (the
+    * lexicographically least (doc, pos)), so every repeated gram retains
+    * one copy; the non-keeper occurrences flow back and merge into
+    * maximal spans with a per-DOC window (never a global one). Cost:
+    * O(tokens) rows through two keyed shuffles — linear at 100 TB, no
+    * suffix array, no driver state.
+    *
+    * `hashGrams=true` shuffles 8-byte xxhash64 gram keys instead of gram
+    * strings (the scale path; a hash collision can only over-flag a span
+    * — false positives at ~2^-64 per pair, never a lost keeper).
+    * RepeatedSpanSpec pins hash/exact agreement; q137 runs the exact
+    * form against a DuckDB oracle.
+    *
+    * Returns (idCol, span_start, span_end): token positions, end
+    * exclusive, spans ≥ k tokens, non-overlapping and maximal per doc. */
+  def repeatedSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int,
+      minOccurrences: Int = 2, hashGrams: Boolean = true): DataFrame = {
+    require(k >= 2, "span k-grams need k >= 2")
+    require(minOccurrences >= 2, "a span repeats only at >= 2 occurrences")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+    val gramStr = (i: Column) => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))
+    val gramKey = (i: Column) => if (hashGrams) xxhash64(gramStr(i)) else gramStr(i)
+    val grams = toks
+      .select(
+        col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - k), gramKey)))
+      .toDF(idCol, "pos", "g")
+    // one aggregate: occurrence count + keeper election per gram. The
+    // keeper is the least (doc, pos) — min over a struct, one shuffle.
+    val repeated = grams
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col(idCol), col("pos"))).as("keep"))
+      .filter(col("n") >= minOccurrences)
+      .select(col("g"), col("keep"))
+    // non-keeper occurrences of repeated grams; a position flagged via ANY
+    // gram is in a span (distinct: several grams can flag one position)
+    val flagged = grams
+      .join(repeated, Seq("g"))
+      .filter(!(col(idCol) === col("keep")(idCol) && col("pos") === col("keep")("pos")))
+      .select(col(idCol), col("pos"))
+      .distinct()
+    // classic interval merge, windowed PER DOC: a flagged pos covers
+    // [pos, pos+k); a new span starts where pos clears every prior end
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__ns", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__sid", sum(col("__ns")).over(w))
+      .groupBy(col(idCol), col("__sid"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Rewrite documents with their repeated spans REMOVED (keeper
+    * occurrences survive, so every repeated k-gram keeps >= 1 copy in the
+    * corpus up to span-overlap edge cases — the same approximation the
+    * published dedup pipelines ship). Adds `cleaned` (the stripped text)
+    * and `spans_removed`; documents without repeats pass through intact.
+    * The span list joins back grouped per doc (bounded by doc length),
+    * and token filtering is a narrow per-row expression. */
+  def stripRepeatedSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int,
+      minOccurrences: Int = 2, hashGrams: Boolean = true): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, k, minOccurrences, hashGrams)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val toksIdx = transform(
+      TextFunctions.tokens(col(textCol)),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(
+      toksIdx,
+      x => !exists(
+        col("__spans"),
+        sp => x.getField("i") >= sp.getField("s") && x.getField("i") < sp.getField("e")))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("spans_removed", coalesce(size(col("__spans")), lit(0)))
+      .withColumn(
+        "cleaned",
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(transform(kept, _.getField("t")), " ")))
+      .drop("__spans")
+  }
 }

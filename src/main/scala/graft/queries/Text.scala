@@ -870,8 +870,66 @@ object Text {
                        FROM j)
             SELECT a_id, b_id, cont FROM r WHERE rn <= 5 ORDER BY a_id, b_id"""))
 
+  /** Q137 — span-level exact-substring dedup
+    * ([[graft.ops.Dedup.repeatedSpans]], the Lee et al. ACL'22 problem):
+    * maximal per-doc token spans covered by word 5-grams occurring ≥2
+    * times in the corpus, with one global keeper occurrence per gram
+    * elected by least (doc_id, pos). The oracle mirrors the whole
+    * algorithm relationally in DuckDB (grams → keeper election → flagged
+    * occurrences → per-doc interval merge), so a drifted tokenizer,
+    * keeper tie-break, or interval-merge boundary hash-fails. Runs the
+    * exact-gram form; RepeatedSpanSpec pins hash==exact plus constructed
+    * corpora with hand-computed spans. */
+  val q137 = QueryDef(
+    "q137_repeated_spans",
+    (s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), "text", "doc_id", 5, hashGrams = false)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"))
+        .orderBy("doc_id", "span_start"),
+    Some("""WITH dd AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+                 g0 AS (SELECT doc_id,
+                               [{'pos': i - 1,
+                                 'gram': array_to_string(toks[i:i+4], ' ')}
+                                FOR i IN range(1, len(toks) - 3)] AS gs
+                        FROM dd WHERE len(toks) >= 5),
+                 g1 AS (SELECT doc_id, unnest(gs) AS u FROM g0),
+                 g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g1),
+                 st AS (SELECT gram, MIN(doc_id * 1000000 + pos) AS keeper
+                        FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+                 f AS (SELECT DISTINCT doc_id, pos
+                       FROM g JOIN st USING (gram)
+                       WHERE doc_id * 1000000 + pos <> keeper),
+                 m AS (SELECT doc_id, pos,
+                              CASE WHEN pos > COALESCE(MAX(pos + 5) OVER
+                                     (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM f),
+                 sp AS (SELECT doc_id, pos,
+                               SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+                        FROM m)
+            SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end
+            FROM sp GROUP BY doc_id, sid
+            ORDER BY doc_id, span_start"""))
+
+  /** Q138 — the SCALE path of span dedup: same computation as q137 but
+    * shuffling 8-byte xxhash64 gram keys instead of gram strings (the
+    * form you run at 100 TB; collisions can only over-flag at ~2^-64).
+    * Engine-only by the q27 convention — RepeatedSpanSpec pins
+    * hash == exact on this very corpus, and q137 pins exact against the
+    * DuckDB oracle, so the pair closes the loop. Headline: measures the
+    * tokens → grams → two keyed shuffles → windowed merge pipeline. */
+  val q138 = QueryDef(
+    "q138_repeated_spans_hashed",
+    (s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), "text", "doc_id", 5, hashGrams = true)
+        .orderBy("doc_id", "span_start"),
+    None,
+    headline = true)
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128)
+      q125, q126, q128, q137, q138)
 }

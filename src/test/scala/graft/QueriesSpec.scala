@@ -78,7 +78,8 @@ class QueriesSpec extends SparkSuite {
       "q44_approx_quantile", "q45_sample", "q57_ml_linreg",
       "q66_approx_distinct", "q67_ann_topk_ivf", "q90_stratified_sample",
       "q105_sketch_rollup", "q107_fractional_mixing",
-      "q111_quantile_sketch_rollup", "q117_semantic_dedup")
+      "q111_quantile_sketch_rollup", "q117_semantic_dedup",
+      "q138_repeated_spans_hashed")
     SparkEntry.registry.foreach { q =>
       assert(q.oracle.isDefined != rowsOnly(q.name), s"oracle mismatch for ${q.name}")
     }

@@ -632,6 +632,36 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readKeys(spark, path, "id", Array(42L)).count() == 1)
   }
 
+  test("rewrite ops regenerate blooms: coverage survives merge, delete, and compaction") {
+    val path = scatteredTable()
+    // full coverage to start: an absent key prunes to zero files
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(999983L)).get.isEmpty)
+    // merge rewrites the evens file (tombstone 10..18, survivors re-staged)
+    VersionedTable.merge(spark, path,
+      (10 until 20 by 2).map(i => (i.toLong, s"upd_$i")).toDF("id", "v"), Seq("id"))
+    // the rewritten survivors and upsert files got FRESH blooms: an absent
+    // key still prunes to zero (no uncovered files leaked into the table)
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(999983L)).get.isEmpty,
+      "merge-staged files must be bloom-covered")
+    // and a survivor key still resolves through the new sidecars
+    assert(VersionedTable.readKeys(spark, path, "id", Array(42L))
+      .select("v").as[String].collect().toSeq == Seq("row_42"))
+    assert(VersionedTable.readKeys(spark, path, "id", Array(12L))
+      .select("v").as[String].collect().toSeq == Seq("upd_12"))
+    // deleteWhere rewrite keeps coverage too
+    VersionedTable.deleteWhere(spark, path, col("id") === 43L)
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(999983L)).get.isEmpty,
+      "delete-staged files must be bloom-covered")
+    // compaction repacks everything AND consolidates the sidecar set
+    VersionedTable.compact(spark, path, targetRowsPerFile = 1000)
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(999983L)).get.isEmpty,
+      "compacted files must be bloom-covered")
+    val rows = VersionedTable.readKeys(spark, path, "id", Array(42L, 12L, 43L))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows == Map(42L -> "row_42", 12L -> "upd_12"))
+    assert(VersionedTable.read(spark, path).count() == 399)
+  }
+
   test("merge prunes rewrite candidates through blooms on a scattered key") {
     val path = scatteredTable()
     // update 5 EVEN keys: ranges can't prune (both files span the domain),
