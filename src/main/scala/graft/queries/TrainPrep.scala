@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Fmt.r6
 import graft.functions.TextFunctions
-import graft.ops.{Decontaminate, GlobalRank, Membership, Mixing}
+import graft.ops.{Decontaminate, GlobalRank, Membership, Mixing, Packing}
 
 /** Training-data preparation queries (SURVEY.md §2.11 adjacency — the
   * corpus-level passes that sit between raw text and a tokenized training
@@ -389,5 +389,104 @@ object TrainPrep {
                    MAX(doc_id) AS id_max
             FROM a GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[QueryDef] = Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110)
+  /** Q139 — concat-and-chunk sequence packing
+    * ([[Packing.packConcat]]): documents concatenated in id order within
+    * each source shard and sliced into 64-token sequences; the output is
+    * the exploded (document × sequence) chunk map a dataloader writer
+    * consumes. Pure per-shard window arithmetic, so the DuckDB oracle is
+    * an exact relational mirror (running sum + integer division +
+    * generate_series). */
+  val q139 = QueryDef(
+    "q139_pack_concat",
+    (s, d) =>
+      Packing.packConcat(Tables.documents(s, d), "text", "doc_id", "source", 64)
+        .select(col("source"), col("doc_id"), col("seq_id").cast("long").as("seq_id"),
+          col("tok_begin").cast("long").as("tok_begin"),
+          col("tok_end").cast("long").as("tok_end"),
+          col("seq_offset").cast("long").as("seq_offset"))
+        .orderBy("source", "doc_id", "seq_id"),
+    Some("""WITH d AS (SELECT source, doc_id,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                       FROM documents),
+                 c AS (SELECT source, doc_id, n_tok,
+                              SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+                       FROM d),
+                 e AS (SELECT source, doc_id, n_tok, cum_end,
+                              cum_end - n_tok AS cum_begin
+                       FROM c),
+                 x AS (SELECT source, doc_id, cum_begin, cum_end,
+                              unnest(range(CAST(cum_begin // 64 AS BIGINT),
+                                           CAST((cum_end - 1) // 64 + 1 AS BIGINT))) AS seq_id
+                       FROM e)
+            SELECT source, doc_id, seq_id,
+                   GREATEST(cum_begin, seq_id * 64) - cum_begin AS tok_begin,
+                   LEAST(cum_end, (seq_id + 1) * 64) - cum_begin AS tok_end,
+                   GREATEST(cum_begin, seq_id * 64) - seq_id * 64 AS seq_offset
+            FROM x ORDER BY source, doc_id, seq_id"""))
+
+  /** Q140 — document-preserving greedy packing ([[Packing.packBins]],
+    * next-fit): sequences take whole documents in id order until the next
+    * would overflow 64 tokens; oversized documents sit alone in their
+    * bin. The sequential fill-and-reset state is mapped per shard through
+    * `flatMapSortedGroups` on the Spark side and mirrored EXACTLY by a
+    * recursive CTE in DuckDB — so even the imperative packer is
+    * hash-checked, not rows-only. */
+  val q140 = QueryDef(
+    "q140_pack_bins",
+    (s, d) =>
+      Packing.packBins(Tables.documents(s, d), "text", "doc_id", "source", 64)
+        .toDF()
+        .select(col("shard").as("source"), col("doc_id"), col("n_tok"),
+          col("bin"), col("bin_offset"))
+        .orderBy("source", "doc_id"),
+    Some("""WITH RECURSIVE d AS (
+              SELECT source, doc_id,
+                     CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents),
+            p AS (
+              SELECT source, doc_id, n_tok, rn,
+                     CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+                     n_tok AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.n_tok, d.rn,
+                     CASE WHEN p.fill + d.n_tok <= 64 THEN p.bin ELSE p.bin + 1 END,
+                     CASE WHEN p.fill + d.n_tok <= 64 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+                     CASE WHEN p.fill + d.n_tok <= 64 THEN p.fill + d.n_tok ELSE d.n_tok END
+              FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+            SELECT source, doc_id, n_tok, bin, bin_offset
+            FROM p ORDER BY source, doc_id"""))
+
+  /** Q141 — deterministic EPOCH SHUFFLE: the global training order for an
+    * epoch is `row_number` over a seeded per-doc hash — every worker can
+    * recompute any slice of the order from the seed alone, and changing
+    * the seed string ("epoch-3") reshuffles the corpus for the next
+    * epoch. A naive global window is the classic single-task bottleneck;
+    * this runs through [[GlobalRank.ranked]]'s two-pass bucket shape
+    * (tiny bounds aggregate → per-bucket distributed rank → O(buckets)
+    * offset stitch). The 48-bit md5 prefix is the rank key so DuckDB can
+    * mirror it exactly; doc_id breaks the (negligible) collisions into a
+    * total order. */
+  val q141 = QueryDef(
+    "q141_epoch_shuffle",
+    (s, d) => {
+      val key = conv(
+        substring(md5(concat(lit("epoch-3:"), col("doc_id").cast("string"))), 1, 12),
+        16, 10).cast("long")
+      val r = GlobalRank.ranked(
+        Tables.documents(s, d).select(col("doc_id")).withColumn("__k", key),
+        col("__k"), Seq(col("doc_id")))
+      GlobalRank.dropInternal(r.withColumn("position", col("_grn")))
+        .select(col("doc_id"), col("position"))
+        .orderBy("position")
+    },
+    Some("""SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY CAST(('0x' || substr(md5('epoch-3:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                              AS BIGINT), doc_id) AS position
+            FROM documents ORDER BY position"""))
+
+  def all: Seq[QueryDef] =
+    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141)
 }
