@@ -1393,6 +1393,63 @@ object VersionedTable {
     evolvedRead(spark, path, text, files, mergeSchema, dvFiles = dvFilesOf(text))
   }
 
+  /** The table as a PREDICATE-PRUNING DataFrame: unlike [[read]] (a fixed
+    * file list) or [[readWhere]]/[[readKeys]] (the caller names bounds or
+    * keys explicitly), this exposes the snapshot through a custom
+    * [[VersionedFileIndex]] so ORDINARY Catalyst filters prune files at
+    * physical-planning time — `table(...).filter($"id" === 42)` (or the
+    * same predicate through a SQL view) opens only the files whose
+    * manifest ranges intersect and whose bloom sidecars admit the key,
+    * exactly as Delta/Iceberg integrate with the parquet scan. The
+    * vectorized reader, row-group pushdown and column pruning are
+    * untouched — the index only decides WHICH files the scan lists, and
+    * the plan's `numFiles` metric shows the cut (spec-asserted).
+    *
+    * Active deletion vectors are anti-joined on top; filters still reach
+    * the index because left-side predicates push through a left-anti
+    * join. Tables with rename history fall back to [[read]] (retired
+    * physical names need per-column coalesce projections, behind which
+    * attribute-level pruning no longer applies cleanly — rewrite-driven
+    * migration amortizes those tables back onto the fast path). */
+  def table(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not found at $path (have ${vs.mkString(",")})")
+    val text = manifestText(spark, path, v)
+    if (renamesOf(text).nonEmpty) return read(spark, path, Some(v))
+    val rel = manifestFiles(spark, path, v)
+    require(rel.nonEmpty, s"version $v of $path has no data files (empty commit)")
+    val (_, ranges) = statsOf(text)
+    val f = fs(spark, path)
+    val statuses = rel.map(n => n -> f.getFileStatus(new Path(s"$path/data/$n"))).toMap
+    val dataSchema = schemaOf(text) match {
+      case Some(logical) =>
+        org.apache.spark.sql.types.StructType(logical.fields.map(_.copy(nullable = true)))
+      case None => spark.read.parquet(s"$path/data/${rel.head}").schema
+    }
+    val index = new VersionedFileIndex(
+      spark, path, rel, ranges, bloomFilesOf(text), statuses)
+    val relation = HadoopFsRelation(
+      index, new org.apache.spark.sql.types.StructType(), dataSchema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val scan = org.apache.spark.sql.graft.bridge.ofRows(spark, LogicalRelation(relation))
+    val dvs = dvFilesOf(text)
+    if (dvs.isEmpty) scan
+    else {
+      val dv = spark.read.parquet(dvs.map(n => s"$path/data/$n"): _*)
+        .select(col("f").as("__dv_f"), col("pos").as("__dv_pos"))
+      scan
+        .withColumn("__f", regexp_extract(col("_metadata.file_path"), "/data/(.+)$", 1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dv, col("__f") === col("__dv_f") && col("__pos") === col("__dv_pos"), "left_anti")
+        .drop("__f", "__pos")
+    }
+  }
+
   /** Metadata-only column rename: commits a new version whose manifest
     * carries the renamed logical schema and the (old → new) pair in the
     * cumulative rename history — ZERO data files touched, which is the

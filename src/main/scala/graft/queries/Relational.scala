@@ -1231,10 +1231,42 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts")),
     None)
 
+  /** Q142 — CATALYST-DRIVEN file skipping ([[graft.io.VersionedTable.table]]
+    * over [[graft.io.VersionedFileIndex]]): the query never names a range
+    * or key — it filters the table like any DataFrame (and the same works
+    * through a SQL view) and the custom FileIndex prunes files during
+    * physical planning from the manifest's key ranges, the Delta/Iceberg
+    * integration shape. Deletion vectors stay applied through the scan.
+    * The oracle recomputes the filtered aggregate relationally;
+    * VersionedTableIndexSpec pins the actual numFiles cut (range, bloom,
+    * IN-list, contradiction → zero files) that this query rides. */
+  val q142 = QueryDef(
+    "q142_fileindex_pruned_scan",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q142_idx").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // range-clustered commits so the manifest ranges are selective
+      graft.io.VersionedTable.commitAppend(
+        base.filter(col("o_orderkey") < 1000), path, Seq("o_orderkey"))
+      graft.io.VersionedTable.commitAppend(
+        base.filter(col("o_orderkey") >= 1000), path, Seq("o_orderkey"))
+      graft.io.VersionedTable.deleteWhereDV(s, path, col("o_orderkey") % 10 === 0)
+      graft.io.VersionedTable.table(s, path)
+        .filter(col("o_orderkey").between(100, 900))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice), 4) AS total
+            FROM orders
+            WHERE o_orderkey BETWEEN 100 AND 900 AND o_orderkey % 10 <> 0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136)
+    q134, q135, q136, q142)
 }
