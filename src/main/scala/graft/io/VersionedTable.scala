@@ -853,6 +853,38 @@ object VersionedTable {
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Rows appended in `(fromVersion, toVersion]`, TOLERATING maintenance
+    * commits in the window: pure append commits contribute their new
+    * files; delete/compact/merge/replace/overwrite commits contribute
+    * NOTHING (their row effects are invisible). This is the
+    * `skipChangeCommits` contract of the streaming source
+    * ([[graft.sources.VersionedTableStream]]) — an appends-only consumer
+    * that must survive routine table maintenance without wedging or
+    * re-emitting rewritten rows. For row-accurate deletes use
+    * [[changesWithType]] (the CDF mode) instead. */
+  def appendsBetween(
+      spark: SparkSession, path: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, path)
+    require(vs.contains(fromVersion) && vs.contains(toVersion) && fromVersion <= toVersion,
+      s"need committed fromVersion <= toVersion, got $fromVersion..$toVersion of ${vs.mkString(",")}")
+    val window = vs.filter(v => v > fromVersion && v <= toVersion)
+    val toText = manifestText(spark, path, toVersion)
+    val parts = window.flatMap { v =>
+      operationOf(manifestText(spark, path, v)) match {
+        case "append" | "stream-append" =>
+          val before = manifestFiles(spark, path, v - 1).toSet
+          val added = manifestFiles(spark, path, v).filterNot(before)
+          if (added.isEmpty) None
+          else Some(evolvedRead(spark, path, toText, added))
+        case _ => None
+      }
+    }
+    if (parts.isEmpty)
+      read(spark, path, Some(toVersion)).filter(lit(false))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Replace the table contents with `df` as a new version. Old versions
     * remain readable until [[vacuum]]. */
   def commitOverwrite(df: DataFrame, path: String): Long = {

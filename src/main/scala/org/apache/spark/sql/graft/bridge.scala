@@ -32,4 +32,13 @@ object bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame as a STREAMING one (isStreaming=true) for
+    * a v1 `Source.getBatch` return — the engine asserts the flag, and
+    * `internalCreateDataFrame` over the plan's RDD is the standard v1
+    * construction (execution stays lazy; the RDD is only planned here). */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
