@@ -487,6 +487,26 @@ object TrainPrep {
                               AS BIGINT), doc_id) AS position
             FROM documents ORDER BY position"""))
 
+  /** Q143 — distributed BPE vocabulary induction ([[graft.ops.Bpe]],
+    * tokenizer TRAINING): 12 merge rules learned over the documents
+    * corpus. One corpus-sized word-frequency shuffle, then every merge
+    * iteration runs on the vocabulary-sized distinct-word table with a
+    * single (pair, count) row collecting per merge. Engine-only by the
+    * sampling convention (the iterative argmax isn't one SQL query);
+    * BpeSpec pins exact agreement with an independent in-memory
+    * reference implementation, tie-breaks, greedy apply, conservation,
+    * and determinism. */
+  val q143 = QueryDef(
+    "q143_bpe_vocab",
+    (s, d) => {
+      import s.implicits._
+      graft.ops.Bpe.train(Tables.documents(s, d), "text", 12)
+        .map(r => (r.rank, r.left, r.right, r.freq))
+        .toDF("rank", "left", "right", "freq")
+        .orderBy("rank")
+    },
+    None)
+
   def all: Seq[QueryDef] =
-    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141)
+    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143)
 }
