@@ -209,5 +209,24 @@ object Similarity {
                    ROUND(ms, 6) >= 0.25 AS flagged
             FROM m ORDER BY vec_id"""))
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124)
+  /** Q145 — product-quantized ANN top-5 ([[graft.ops.Pq]]): the corpus
+    * compresses 32× (64-dim floats → 8 one-byte codes) and every probe
+    * scores the WHOLE compressed corpus via ADC table lookups with
+    * bounded per-partition heaps — the memory-bound scale path beside
+    * q31 (exact), q32 (LSH) and q67 (IVF). Rows-only by the q32
+    * convention (k-means codebooks are engine-seeded); PqSpec pins a
+    * lossless grid corpus (ADC == exact cosine), recall vs brute force,
+    * code-shape invariants, and determinism. */
+  val q145 = QueryDef(
+    "q145_ann_topk_pq",
+    (s, d) => {
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val cb = graft.ops.Pq.train(corpus, m = 8, ksub = 16)
+      val probes = corpus.orderBy("vec_id").limit(20)
+      graft.ops.Pq.queryTopK(graft.ops.Pq.encode(corpus, cb), cb, probes, 5)
+        .orderBy("probe_id", "vec_id")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145)
 }

@@ -928,8 +928,63 @@ object Text {
     None,
     headline = true)
 
+  /** Q144 — span REMOVAL ([[graft.ops.Dedup.stripRepeatedSpans]]): the
+    * rewrite half of span dedup — every doc with its repeated spans cut
+    * out (keeper occurrences survive corpus-wide) plus the removed-span
+    * count. The oracle extends q137's relational mirror with the strip:
+    * explode (pos, token), anti-join the span intervals, reassemble with
+    * an ordered string_agg — so a off-by-one span boundary or a lost
+    * passthrough doc hash-fails. */
+  val q144 = QueryDef(
+    "q144_strip_spans",
+    (s, d) =>
+      Dedup.stripRepeatedSpans(Tables.documents(s, d), "text", "doc_id", 5, hashGrams = false)
+        .select(col("doc_id"),
+          col("spans_removed").cast("long").as("spans_removed"), col("cleaned"))
+        .orderBy("doc_id"),
+    Some("""WITH dd AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+                 g0 AS (SELECT doc_id,
+                               [{'pos': i - 1,
+                                 'gram': array_to_string(toks[i:i+4], ' ')}
+                                FOR i IN range(1, len(toks) - 3)] AS gs
+                        FROM dd WHERE len(toks) >= 5),
+                 g1 AS (SELECT doc_id, unnest(gs) AS u FROM g0),
+                 g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g1),
+                 st AS (SELECT gram, MIN(doc_id * 1000000 + pos) AS keeper
+                        FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+                 f AS (SELECT DISTINCT doc_id, pos
+                       FROM g JOIN st USING (gram)
+                       WHERE doc_id * 1000000 + pos <> keeper),
+                 m AS (SELECT doc_id, pos,
+                              CASE WHEN pos > COALESCE(MAX(pos + 5) OVER
+                                     (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM f),
+                 sp AS (SELECT doc_id, pos,
+                               SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+                        FROM m),
+                 spans AS (SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + 5 AS e
+                           FROM sp GROUP BY doc_id, sid),
+                 tp AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+                               unnest(toks) AS tok
+                        FROM dd),
+                 kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                          FROM tp LEFT JOIN spans s
+                            ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+                          WHERE s.doc_id IS NULL),
+                 nsp AS (SELECT doc_id, COUNT(*) AS spans_removed FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(nsp.spans_removed, 0) AS spans_removed,
+                   COALESCE(k.cleaned, '') AS cleaned
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+            LEFT JOIN nsp USING (doc_id)
+            ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128, q137, q138)
+      q125, q126, q128, q137, q138, q144)
 }
