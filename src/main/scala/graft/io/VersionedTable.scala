@@ -196,6 +196,51 @@ object VersionedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
+  /** CHECK constraints of a manifest, (name → SQL expression), insertion
+    * order. Names are regex-validated at add time; expressions ride
+    * base64 (arbitrary SQL must not meet the regex-parsed manifest). */
+  private def checksOf(text: String): Seq[(String, String)] =
+    raw""""checks":\[((?:\[[^\]]*\],?)*)\]""".r.findFirstMatchIn(text) match {
+      case None => Seq.empty
+      case Some(m) =>
+        raw"""\["([^"]+)","([A-Za-z0-9+/=]*)"\]""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) ->
+            new String(java.util.Base64.getDecoder.decode(x.group(2)), "UTF-8")).toSeq
+    }
+
+  /** A write whose rows violate a table CHECK constraint — surfaced
+    * BEFORE anything stages, so the commit never half-happens. */
+  final class CheckViolationException(msg: String) extends RuntimeException(msg)
+
+  /** Enforce every CHECK of `path`'s latest manifest against `rows` in
+    * ONE pass (all violation counters ride the same aggregate). SQL CHECK
+    * semantics: NULL satisfies; only FALSE violates. No-op for tables
+    * without constraints or columns the batch doesn't carry (schema
+    * evolution: a check on a column the batch omits passes vacuously —
+    * the merged read sees nulls there). */
+  private def enforceChecks(spark: SparkSession, path: String, rows: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return
+    val checks = checksOf(manifestText(spark, path, vs.last))
+      .filter { case (_, e) =>
+        // vacuous pass when the batch lacks a referenced column
+        try { rows.select(expr(e)); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      }
+    if (checks.isEmpty) return
+    val counters = checks.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = rows.agg(counters.head, counters.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch
+      if (bad > 0)
+        throw new CheckViolationException(
+          s"CHECK constraint '$n' ($e) violated by $bad row(s) of the incoming batch at $path")
+    }
+  }
+
   /** Cumulative (oldName, newName) rename history of a manifest, oldest
     * first. Names are regex-validated at rename time, so plain JSON. */
   private def renamesOf(text: String): Seq[(String, String)] =
@@ -370,7 +415,8 @@ object VersionedTable {
       addDvFiles: Seq[String] = Seq.empty,
       dvOverride: Option[Seq[String]] = None,
       addBloomFiles: Seq[String] = Seq.empty,
-      bloomOverride: Option[Seq[String]] = None): Option[Long] = {
+      bloomOverride: Option[Seq[String]] = None,
+      checksOverride: Option[Seq[(String, String)]] = None): Option[Long] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -468,10 +514,23 @@ object VersionedTable {
       val bloomJson =
         if (blooms.isEmpty) ""
         else s""""blooms":[${blooms.map("\"" + _ + "\"").mkString(",")}],"""
+      // CHECK constraints are TABLE-level metadata: they carry through
+      // every op including overwrite (unlike renames/DVs, nothing about
+      // them refers to files); add/drop passes an override
+      val checks = checksOverride.getOrElse(prevText.map(checksOf).getOrElse(Seq.empty))
+      val checksJson =
+        if (checks.isEmpty) ""
+        else {
+          val body = checks.map { case (n, e) =>
+            val b64 = java.util.Base64.getEncoder.encodeToString(e.getBytes("UTF-8"))
+            s"""["$n","$b64"]"""
+          }.mkString(",")
+          s""""checks":[$body],"""
+        }
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
           txnJson + statsJson + cdfJson + cdfiJson + schemaJson + renamesJson + dvJson +
-          bloomJson +
+          bloomJson + checksJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -493,6 +552,7 @@ object VersionedTable {
     * with `df`'s (additive columns + numeric widening — see
     * [[mergeWiden]]); readers reconcile per file with no footer scans. */
   def commitAppend(df: DataFrame, path: String): Long = {
+    enforceChecks(df.sparkSession, path, df)
     val (_, names) = stageData(df, path)
     publish(df.sparkSession, path, "append", names, carryForward = true,
       dataSchema = Some(df.schema)).get
@@ -519,6 +579,7 @@ object VersionedTable {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"), // BEFORE staging anything
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
+    enforceChecks(df.sparkSession, path, df)
     val (commitId, names) = stageData(df, path)
     val ranges = rangesOf(df, path, commitId, statsCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
@@ -539,6 +600,7 @@ object VersionedTable {
     require(bloomCols.nonEmpty, "bloomCols must be non-empty (use the statsCols overload)")
     (statsCols ++ bloomCols).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"stats/bloom column must be [A-Za-z0-9._-]+ (stored in manifest JSON), got: $c"))
+    enforceChecks(df.sparkSession, path, df)
     val (commitId, names) = stageData(df, path)
     val ranges =
       if (statsCols.isEmpty) Map.empty[(String, String), (Long, Long)]
@@ -777,7 +839,8 @@ object VersionedTable {
     val ops = window.map(v => v -> operationOf(manifestText(spark, path, v)))
     // metadata-only schema commits add no files and are safe to cross
     val bad = ops.filterNot { case (_, op) =>
-      op == "append" || op == "stream-append" || op == "rename" || op == "retype"
+      op == "append" || op == "stream-append" || op == "rename" || op == "retype" ||
+        op == "constraint"
     }
     require(bad.isEmpty,
       s"changes() needs an append-only window; version(s) ${bad.map(_._1).mkString(",")} " +
@@ -840,7 +903,7 @@ object VersionedTable {
             (if (ins.isEmpty) None
              else Some(tag(evolvedRead(spark, path, toText, ins), "insert", v)))
         case "compact" => None // rewrites files without changing a row
-        case "rename" | "retype" => None // metadata-only schema evolution
+        case "rename" | "retype" | "constraint" => None // metadata-only
         case other =>
           throw new IllegalArgumentException(
             s"changesWithType() cannot cross a '$other' commit (version $v); " +
@@ -888,6 +951,7 @@ object VersionedTable {
   /** Replace the table contents with `df` as a new version. Old versions
     * remain readable until [[vacuum]]. */
   def commitOverwrite(df: DataFrame, path: String): Long = {
+    enforceChecks(df.sparkSession, path, df)
     val (_, names) = stageData(df, path)
     publish(df.sparkSession, path, "overwrite", names, carryForward = false,
       dataSchema = Some(df.schema), resetRenames = true).get
@@ -925,6 +989,7 @@ object VersionedTable {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, path, writerId).exists(_ >= batchId)) None
     else {
+      enforceChecks(spark, path, df)
       val (_, names) = stageData(df, path)
       publish(spark, path, operation, names, carryForward = carryForward,
         txn = Some(writerId -> batchId), dataSchema = Some(df.schema),
@@ -1189,6 +1254,9 @@ object VersionedTable {
         case Some(f) => src.filter(!coalesce(col(f), lit(false))).drop(f)
         case None => src
       }
+      // CHECKs gate the rows the merge will WRITE (upserts); deletes and
+      // untouched survivors can't introduce a violation
+      enforceChecks(spark, path, upserts)
       var attempt = 0
       while (true) {
         attempt += 1
@@ -1341,6 +1409,7 @@ object VersionedTable {
       require(escapees == 0L,
         s"replaceWhere: $escapees replacement rows do NOT satisfy the predicate — " +
           "they would land outside the slice this commit promises to replace")
+      enforceChecks(spark, path, src)
       var attempt = 0
       while (true) {
         attempt += 1
@@ -1480,6 +1549,50 @@ object VersionedTable {
         .join(dv, col("__f") === col("__dv_f") && col("__pos") === col("__dv_pos"), "left_anti")
         .drop("__f", "__pos")
     }
+  }
+
+  /** The table's CHECK constraints at HEAD, (name → SQL expression). */
+  def checks(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    checksOf(manifestText(spark, path, vs.last))
+  }
+
+  /** Add a CHECK constraint (Delta `ADD CONSTRAINT`): from this version
+    * on, every write path — append, stream batch, overwrite, merge
+    * upserts, replaceWhere — validates its incoming rows against `expr`
+    * BEFORE staging and refuses the whole commit on any violation
+    * ([[CheckViolationException]]), so a constraint holds by induction.
+    * The EXISTING data must already satisfy it (verified here with one
+    * scan — the same contract Delta enforces); the constraint itself is
+    * a metadata-only commit that carries through every later operation,
+    * including overwrite. SQL CHECK semantics: NULL satisfies. */
+  def addCheck(spark: SparkSession, path: String, name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"check name must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $name")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val existing = checksOf(manifestText(spark, path, vs.last))
+    require(!existing.exists(_._1 == name), s"check '$name' already exists at $path")
+    val bad = read(spark, path).filter(!coalesce(expr(exprSql), lit(true))).limit(1).count()
+    if (bad > 0)
+      throw new CheckViolationException(
+        s"cannot add CHECK '$name' ($exprSql): existing rows at $path violate it")
+    publish(spark, path, "constraint", Seq.empty, carryForward = true,
+      requiredParent = Some(vs.last),
+      checksOverride = Some(existing :+ (name -> exprSql))).get
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropCheck(spark: SparkSession, path: String, name: String): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val existing = checksOf(manifestText(spark, path, vs.last))
+    require(existing.exists(_._1 == name), s"no check '$name' at $path")
+    publish(spark, path, "constraint", Seq.empty, carryForward = true,
+      requiredParent = Some(vs.last),
+      checksOverride = Some(existing.filterNot(_._1 == name))).get
   }
 
   /** Metadata-only column rename: commits a new version whose manifest

@@ -164,4 +164,32 @@ object Pq {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), round(col("sim0"), 6).as("sim"))
   }
+
+  /** Two-stage retrieval — the production deployment of PQ: the
+    * compressed scan nominates a `shortlist` of candidates per probe
+    * (cheap, whole corpus), then ONLY those rows re-rank at full
+    * precision (exact cosine against the uncompressed vectors, a
+    * shortlist-sized semi-join — I/O ∝ probes × shortlist, not corpus).
+    * Recall converges to exact as the shortlist widens, at compressed-
+    * scan cost; the standard quality knob. */
+  def queryTopKRerank(
+      encoded: DataFrame, corpus: DataFrame, cb: Codebook, probes: DataFrame,
+      k: Int, shortlist: Int = 50): DataFrame = {
+    import graft.functions.CosineSimilarity
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = queryTopK(encoded, cb, probes, shortlist)
+      .select(col("probe_id"), col("vec_id"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val exact = cand
+      .join(corpus, "vec_id") // shortlist-sized semi-join pulls full vectors
+      .join(broadcast(p), "probe_id")
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(CosineSimilarity(col("emb"), col("p_emb")), 6).as("sim"))
+      .filter(!isnan(col("sim")))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "sim")
+  }
 }

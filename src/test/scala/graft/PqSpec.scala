@@ -74,6 +74,31 @@ class PqSpec extends SparkSuite {
     encoded.unpersist()
   }
 
+  test("exact re-rank over a PQ shortlist beats (or ties) the raw compressed scan") {
+    val corpus = Ann.prepared(Tables.embeddings(spark, sf), "embedding", "vec_id")
+    val cb = Pq.train(corpus, m = 8, ksub = 16)
+    val encoded = Pq.encode(corpus, cb).cache()
+    val probes = corpus.orderBy("vec_id").limit(20)
+    val exact = Ann.bruteForceTopK(corpus, probes, 5)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val raw = recall(Pq.queryTopK(encoded, cb, probes, 5))
+    val reranked = recall(Pq.queryTopKRerank(encoded, corpus, cb, probes, 5, shortlist = 50))
+    assert(reranked >= raw, s"re-rank recall $reranked fell below raw PQ $raw")
+    assert(reranked >= 0.6, s"50-wide shortlist + exact re-rank should be strong, got $reranked")
+    // re-ranked sims are EXACT cosine: each must match brute force where overlapping
+    val bf = Ann.bruteForceTopK(corpus, probes, 50)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    Pq.queryTopKRerank(encoded, corpus, cb, probes, 5, 50)
+      .as[(Long, Long, Double)].collect().foreach { case (p, v, s) =>
+        bf.get((p, v)).foreach(e => assert(math.abs(s - e) < 1e-6))
+      }
+    encoded.unpersist()
+  }
+
   test("training and query are deterministic run to run") {
     val corpus = Ann.prepared(Tables.embeddings(spark, sf), "embedding", "vec_id")
     def once(): Seq[(Long, Long, Double)] = {
