@@ -892,7 +892,7 @@ object VersionedTable {
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
               "row-level changes are not reconstructible — resync from a snapshot")
           Some(tag(evolvedRead(spark, path, toText, tombstones), "delete", v))
-        case "merge" | "replace" =>
+        case "merge" | "merge-dv" | "replace" =>
           // matched/replaced target rows tombstoned as deletes, new files
           // tagged as inserts; rewritten survivors are data movement, not
           // changes
@@ -1398,6 +1398,141 @@ object VersionedTable {
     * DV-applied and DV entries of rewritten files migrate out.
     * Conflict-checked against the snapshot it planned on; re-bases on a
     * lost race. */
+  /** Outcome of a [[mergeDV]] commit: `matchedRows` target rows were
+    * tombstoned via deletion vectors, `upsertRows` source rows appended —
+    * and ZERO data files were rewritten. */
+  final case class MergeDvResult(version: Long, matchedRows: Long, upsertRows: Long)
+
+  /** MERGE-ON-READ merge (the Iceberg-v2 CDC-apply shape): same
+    * semantics as [[merge]] — matched rows replaced/deleted, unmatched
+    * source rows insert — but matched target rows are tombstoned through
+    * DELETION VECTORS (cost ∝ rows matched) and the upserts append as
+    * new files, so NO existing data file is rewritten. [[merge]] is
+    * copy-on-write: write cost ∝ files hit, read path stays clean;
+    * mergeDV flips the trade — a high-frequency CDC stream lands with
+    * minimal write amplification, and the DV anti-join is the read-side
+    * price until routine [[compact]]/[[deleteWhere]] maintenance
+    * migrates the vectors out (rewrites apply + retire DVs already).
+    * Candidate files for the match scan prune through manifest key
+    * ranges and bloom sidecars exactly like [[merge]]. CDF emits
+    * delete(old)+insert(new); CHECK constraints gate the upserts. */
+  def mergeDV(
+      spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      deleteFlag: Option[String] = None, maxRebases: Int = 5): MergeDvResult =
+    mergeDVImpl(spark, path, source, keys, deleteFlag, maxRebases, txn = None).get
+
+  /** Exactly-once [[mergeDV]], gated on the (writerId, batchId) txn map
+    * like [[mergeBatch]]: a replayed batch returns None untouched. */
+  def mergeDVBatch(
+      spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      writerId: String, batchId: Long, deleteFlag: Option[String] = None,
+      maxRebases: Int = 5): Option[MergeDvResult] =
+    mergeDVImpl(spark, path, source, keys, deleteFlag, maxRebases,
+      txn = Some((writerId, batchId)))
+
+  private def mergeDVImpl(
+      spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      deleteFlag: Option[String], maxRebases: Int,
+      txn: Option[(String, Long)]): Option[MergeDvResult] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, struct}
+    require(keys.nonEmpty, "mergeDV needs at least one key column")
+    txn.foreach { case (id, batch) =>
+      if (lastCommittedBatch(spark, path, id).exists(_ >= batch)) return None
+    }
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizing = src.agg(
+        count(lit(1)).as("n"),
+        count_distinct(struct(keys.map(col): _*)).as("k")).head()
+      val (srcRows, srcKeysN) = (sizing.getLong(0), sizing.getLong(1))
+      require(srcRows == srcKeysN,
+        s"mergeDV source has duplicate keys on (${keys.mkString(",")}): $srcRows rows, $srcKeysN distinct")
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val upserts = deleteFlag match {
+        case Some(f) => src.filter(!coalesce(col(f), lit(false))).drop(f)
+        case None => src
+      }
+      enforceChecks(spark, path, upserts)
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val vs = versions(spark, path)
+        require(vs.nonEmpty,
+          s"mergeDV needs an existing table at $path — bootstrap with merge or commitAppend")
+        val current = vs.last
+        val text = manifestText(spark, path, current)
+        val rel = manifestFiles(spark, path, current)
+        val (statsCols0, _) = statsOf(text)
+        val statsKeys = keys.filter(statsCols0.contains)
+        val candidates =
+          if (statsKeys.isEmpty) rel
+          else {
+            val aggs = statsKeys.flatMap(c => Seq(
+              org.apache.spark.sql.functions.min(col(c).cast("long")),
+              org.apache.spark.sql.functions.max(col(c).cast("long"))))
+            val bounds = src.agg(aggs.head, aggs.tail: _*).head()
+            val preds = statsKeys.zipWithIndex.flatMap { case (c, i) =>
+              if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) None
+              else Some(c -> (bounds.getLong(2 * i), bounds.getLong(2 * i + 1)))
+            }.toMap
+            if (preds.isEmpty) rel
+            else filesForRanges(spark, path, preds, Some(current))
+          }
+        val bloomCand =
+          if (candidates.isEmpty || bloomFilesOf(text).isEmpty ||
+              srcRows > 2000000L) candidates
+          else keys.iterator.map { k =>
+            val keyArr = srcKeys.select(col(k).cast("long")).na.drop()
+              .collect().map(_.getLong(0))
+            if (keyArr.isEmpty) None
+            else filesForKeys(spark, path, k, keyArr, Some(current))
+              .map(hits => candidates.filter(hits.toSet))
+          }.collectFirst { case Some(cut) => cut }.getOrElse(candidates)
+        // matched rows with (file, position) identity captured on the scan;
+        // DV-applied so an already-tombstoned row can't re-match
+        val (matched, dvNames, tombNames) =
+          if (bloomCand.isEmpty) (0L, Seq.empty[String], Seq.empty[String])
+          else {
+            val m = evolvedRead(
+              spark, path, text, bloomCand, dvFiles = dvFilesOf(text), withPosition = true)
+              .join(srcKeys, keys, "left_semi")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val (dvCommit, dn) = stageData(
+                m.select(col("__f").as("f"), col("__pos").as("pos")), path)
+              val cnt = spark.read.parquet(s"$path/data/$dvCommit").count()
+              if (cnt == 0L) (0L, Seq.empty[String], Seq.empty[String]) // staged empties fall to vacuum
+              else {
+                val (_, tn) = stageData(m.drop("__f", "__pos"), path) // CDF tombstones
+                (cnt, dn, tn)
+              }
+            } finally { m.unpersist(); () }
+          }
+        val (upCommit, upNames) = stageData(upserts, path)
+        val upCount = spark.read.parquet(s"$path/data/$upCommit").count()
+        val mergedSchema = schemaOf(text) match {
+          case Some(prevS) => mergeWiden(prevS, upserts.schema)
+          case None => upserts.schema
+        }
+        try {
+          publish(spark, path, "merge-dv", upNames, carryForward = true,
+            requiredParent = Some(current), txn = txn,
+            cdfFiles = tombNames, cdfInsertFiles = upNames,
+            addDvFiles = dvNames, schemaOverride = Some(mergedSchema),
+            addBloomFiles = rebloom(spark, path, text, upNames)) match {
+            case Some(v) => return Some(MergeDvResult(v, matched, upCount))
+            case None => return None // replay caught in-loop: already applied
+          }
+        } catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRebases) throw e
+          // else: loop re-bases against the new latest snapshot
+        }
+      }
+      sys.error("unreachable")
+    } finally { src.unpersist(); () }
+  }
+
   def replaceWhere(
       spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
       df: DataFrame, maxRebases: Int = 5): ReplaceResult = {

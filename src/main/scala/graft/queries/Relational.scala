@@ -1231,6 +1231,55 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts")),
     None)
 
+  /** Q146 — MERGE-ON-READ merge through the oracle gate
+    * ([[graft.io.VersionedTable.mergeDV]]): the SAME CDC batch as q133
+    * (reprice every 100th key, delete every key ≡ 50 mod 100, insert 5
+    * re-keyed rows) lands via deletion-vector tombstones + appended
+    * files — ZERO existing data files rewritten (MergeDvSpec pins the
+    * file accounting) — and must produce the IDENTICAL relational state
+    * the copy-on-write oracle computes. A resurrected tombstone, stale
+    * matched row leaking past the DV anti-join, or lost insert
+    * hash-fails. */
+  val q146 = QueryDef(
+    "q146_merge_on_read",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q146_mdv").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("_del", lit(false))
+      val deletes = base.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("_del", lit(true))
+      val inserts = base.orderBy("o_orderkey").limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("_del", lit(false))
+      graft.io.VersionedTable.mergeDV(
+        s, path, updates.unionByName(deletes).unionByName(inserts),
+        Seq("o_orderkey"), deleteFlag = Some("_del"))
+      graft.io.VersionedTable.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum("o_totalprice") / lit(1e6)).as("total_mm"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 merged AS (
+                   SELECT * FROM base
+                   WHERE o_orderkey % 100 <> 0 AND o_orderkey % 100 <> 50
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1
+                   FROM base WHERE o_orderkey % 100 = 0
+                   UNION ALL
+                   SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                   FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 5))
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm,
+                   MAX(o_orderkey) AS max_key
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q142 — CATALYST-DRIVEN file skipping ([[graft.io.VersionedTable.table]]
     * over [[graft.io.VersionedFileIndex]]): the query never names a range
     * or key — it filters the table like any DataFrame (and the same works
@@ -1268,5 +1317,5 @@ object Relational {
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142)
+    q134, q135, q136, q142, q146)
 }
