@@ -111,21 +111,8 @@ object Pq {
     val probeRows = probes.select(col("vec_id"), col("emb").cast("array<double>"))
       .as[(Long, Array[Double])].collect()
     // tables(p)(j*ksub + code) = squared subdistance of probe p to that code
-    val tables: Array[(Long, Array[Double])] = probeRows.map { case (pid, raw) =>
-      val v = normalize(raw)
-      val t = new Array[Double](cb.m * cb.ksub)
-      var j = 0
-      while (j < cb.m) {
-        val off = j * cb.dsub; var c = 0
-        while (c < cb.ksub) {
-          val cent = cb.cents(j)(c); var d = 0.0; var i = 0
-          while (i < cb.dsub) { val x = v(off + i) - cent(i); d += x * x; i += 1 }
-          t(j * cb.ksub + c) = d; c += 1
-        }
-        j += 1
-      }
-      (pid, t)
-    }
+    val tables: Array[(Long, Array[Double])] =
+      probeRows.map { case (pid, raw) => (pid, adcTable(raw, cb)) }
     val tb = spark.sparkContext.broadcast(tables)
     val ksubL = cb.ksub
     val partial = encoded.select(col("vec_id"), col("codes"))
@@ -163,6 +150,93 @@ object Pq {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), round(col("sim0"), 6).as("sim"))
+  }
+
+  /** IVF×PQ — the full production composition (FAISS's IVFPQ): the IVF
+    * cell layout bounds WHICH candidates each probe scores (sublinear:
+    * ~corpus × nprobe / nlist rows) and PQ bounds HOW MUCH each candidate
+    * costs (m byte-code lookups, 32× less memory). Encode once against an
+    * [[Ann.IvfIndex]]; query with per-probe cell masks riding the same
+    * broadcast as the ADC tables. With nprobe = nlist this degrades to
+    * exactly the plain compressed scan (spec-pinned). */
+  def encodeIvfPq(index: Ann.IvfIndex, cb: Codebook): DataFrame =
+    encode(index.assigned, cb)
+      .join(index.assigned.select(col("vec_id"), col("cell")), "vec_id")
+
+  def queryIvfPq(
+      encodedCells: DataFrame, centroids: Array[Array[Double]], cb: Codebook,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = encodedCells.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}]")
+    val probeRows = probes.select(col("vec_id"), col("emb").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    // nprobe nearest cells per probe, by the INDEX metric (L2 on raw
+    // vectors — the same rule that assigned the corpus)
+    val cellsOf: Map[Long, Set[Int]] = probeRows.map { case (pid, emb) =>
+      val ranked = centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, emb.length)) { val t = c(j) - emb(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+      pid -> ranked.toSet
+    }.toMap
+    val wanted = cellsOf.values.flatten.toSet
+    // cell-partition pruning first: rows outside every probed cell never decode
+    val scoped = encodedCells.filter(col("cell").isin(wanted.toSeq.map(Integer.valueOf): _*))
+    val tables = probeRows.map { case (pid, raw) => (pid, adcTable(raw, cb)) }
+    val tb = spark.sparkContext.broadcast((tables, cellsOf))
+    val ksubL = cb.ksub
+    val partial = scoped.select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Seq[Int], Int)]
+      .mapPartitions { it =>
+        val (ts, masks) = tb.value
+        val heaps = ts.map { case (pid, _) =>
+          pid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) })
+        }
+        it.foreach { case (id, codes, cell) =>
+          var p = 0
+          while (p < ts.length) {
+            val (pid, t) = ts(p)
+            if (pid != id && masks(pid).contains(cell)) {
+              var d = 0.0; var j = 0
+              while (j < codes.length) { d += t(j * ksubL + codes(j)); j += 1 }
+              val sim = 1.0 - d / 2.0
+              val h = heaps(p)._2
+              if (h.size < k) h.enqueue((sim, id))
+              else if (sim > h.head._1 || (sim == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((sim, id))
+              }
+            }
+            p += 1
+          }
+        }
+        heaps.iterator.flatMap { case (pid, h) => h.iterator.map { case (s, id) => (pid, id, s) } }
+      }
+      .toDF("probe_id", "vec_id", "sim0")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim0").desc, col("vec_id"))
+    partial.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), round(col("sim0"), 6).as("sim"))
+  }
+
+  /** The (m × ksub) ADC table of one probe against the codebook. */
+  private def adcTable(raw: Array[Double], cb: Codebook): Array[Double] = {
+    val v = normalize(raw)
+    val t = new Array[Double](cb.m * cb.ksub)
+    var j = 0
+    while (j < cb.m) {
+      val off = j * cb.dsub; var c = 0
+      while (c < cb.ksub) {
+        val cent = cb.cents(j)(c); var d = 0.0; var i = 0
+        while (i < cb.dsub) { val x = v(off + i) - cent(i); d += x * x; i += 1 }
+        t(j * cb.ksub + c) = d; c += 1
+      }
+      j += 1
+    }
+    t
   }
 
   /** Two-stage retrieval — the production deployment of PQ: the

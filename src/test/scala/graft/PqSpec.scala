@@ -99,6 +99,31 @@ class PqSpec extends SparkSuite {
     encoded.unpersist()
   }
 
+  test("IVF x PQ: full-coverage probing equals the plain compressed scan; narrow probing stays sane") {
+    val corpus = Ann.prepared(Tables.embeddings(spark, sf), "embedding", "vec_id")
+    val index = Ann.buildIvfIndex(corpus, nlist = 8)
+    val cb = Pq.train(corpus, m = 8, ksub = 16)
+    val encodedCells = Pq.encodeIvfPq(index, cb).cache()
+    val probes = corpus.orderBy("vec_id").limit(10)
+    // nprobe = nlist: every cell scored -> identical to the plain PQ scan
+    val full = Pq.queryIvfPq(encodedCells, index.centroids, cb, probes, 5, nprobe = 8)
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val plain = Pq.queryTopK(Pq.encode(corpus, cb), cb, probes, 5)
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(full == plain, "nprobe == nlist must degrade to the unscoped compressed scan")
+    // narrow probing: 5 results per probe from ~nprobe/nlist of the corpus
+    val narrow = Pq.queryIvfPq(encodedCells, index.centroids, cb, probes, 5, nprobe = 3)
+    assert(narrow.groupBy("probe_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+    // candidates only ever come from probed cells: recall vs the full scan
+    // is bounded but must stay useful
+    val fullSet = full.map(t => (t._1, t._2)).toSet
+    val narrowSet = narrow.select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val agree = (narrowSet & fullSet).size.toDouble / fullSet.size
+    assert(agree >= 0.4, s"nprobe=3/8 agreement with the full scan fell to $agree")
+    encodedCells.unpersist()
+  }
+
   test("training and query are deterministic run to run") {
     val corpus = Ann.prepared(Tables.embeddings(spark, sf), "embedding", "vec_id")
     def once(): Seq[(Long, Long, Double)] = {
