@@ -196,6 +196,16 @@ object VersionedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
+  /** Per-file row counts of a manifest ("rows":{"<file>":n}). Partial:
+    * only files staged by stats-computing paths carry an entry. */
+  private def rowCountsOf(text: String): Map[String, Long] =
+    raw""""rows":\{([^}]*)\}""".r.findFirstMatchIn(text) match {
+      case None => Map.empty
+      case Some(m) =>
+        raw""""([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toLong).toMap
+    }
+
   /** CHECK constraints of a manifest, (name → SQL expression), insertion
     * order. Names are regex-validated at add time; expressions ride
     * base64 (arbitrary SQL must not meet the regex-parsed manifest). */
@@ -369,26 +379,30 @@ object VersionedTable {
     * TableStats pattern), keyed (relative file name, column). */
   private def rangesOf(
       df: DataFrame, path: String, commitId: String,
-      statsCols: Seq[String]): Map[(String, String), (Long, Long)] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      statsCols: Seq[String]): (Map[(String, String), (Long, Long)], Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val spark = df.sparkSession
     val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c).cast("long")).as(s"__lo_$i"), max(col(c).cast("long")).as(s"__hi_$i"))
-    }
-    spark.read.parquet(s"$path/data/$commitId")
+    } :+ count(lit(1)).as("__rows") // row count rides the same aggregate
+    val rows = spark.read.parquet(s"$path/data/$commitId")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .flatMap { r =>
+      .map { r =>
         val p = new java.net.URI(r.getString(0)).getPath
         val i = p.lastIndexOf("/data/")
-        val f = p.substring(i + "/data/".length)
-        statsCols.zipWithIndex.flatMap { case (c, j) =>
-          // all-null file column: no range recorded, never pruned
-          if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
-          else Some((f, c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
-        }
-      }.toMap
+        (p.substring(i + "/data/".length), r)
+      }
+    val ranges = rows.flatMap { case (f, r) =>
+      statsCols.zipWithIndex.flatMap { case (c, j) =>
+        // all-null file column: no range recorded, never pruned
+        if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
+        else Some((f, c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
+      }
+    }.toMap
+    val counts = rows.map { case (f, r) => f -> r.getLong(1 + 2 * statsCols.size) }.toMap
+    (ranges, counts)
   }
 
   /** Atomically publish `files` as the next version. Returns the version
@@ -416,7 +430,8 @@ object VersionedTable {
       dvOverride: Option[Seq[String]] = None,
       addBloomFiles: Seq[String] = Seq.empty,
       bloomOverride: Option[Seq[String]] = None,
-      checksOverride: Option[Seq[(String, String)]] = None): Option[Long] = {
+      checksOverride: Option[Seq[(String, String)]] = None,
+      newRowCounts: Map[String, Long] = Map.empty): Option[Long] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -471,6 +486,19 @@ object VersionedTable {
           val body = ranges.toSeq.sortBy(e => (e._1._1, e._1._2))
             .map { case ((f, c), (lo, hi)) => s""""$f|$c":[$lo,$hi]""" }.mkString(",")
           s""""stats2":{"cols":[$colsJson],"ranges":{$body}},"""
+        }
+      // per-file row counts follow their files like ranges: carried files
+      // keep prior counts, new files add theirs; files staged by paths
+      // that don't compute stats simply lack an entry (countRows then
+      // falls back to a scan until compaction restores full coverage)
+      val prevCounts = prevText.map(rowCountsOf).getOrElse(Map.empty)
+      val rowCounts = (prevCounts ++ newRowCounts).view.filterKeys(fileSet).toMap
+      val rowsJson =
+        if (rowCounts.isEmpty) ""
+        else {
+          val body = rowCounts.toSeq.sorted
+            .map { case (f, n) => s""""$f":$n""" }.mkString(",")
+          s""""rows":{$body},"""
         }
       val cdfJson =
         if (cdfFiles.isEmpty) ""
@@ -529,7 +557,7 @@ object VersionedTable {
         }
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson + cdfJson + cdfiJson + schemaJson + renamesJson + dvJson +
+          txnJson + statsJson + rowsJson + cdfJson + cdfiJson + schemaJson + renamesJson + dvJson +
           bloomJson + checksJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
@@ -581,9 +609,10 @@ object VersionedTable {
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     enforceChecks(df.sparkSession, path, df)
     val (commitId, names) = stageData(df, path)
-    val ranges = rangesOf(df, path, commitId, statsCols)
+    val (ranges, counts) = rangesOf(df, path, commitId, statsCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
-      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema)).get
+      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
+      newRowCounts = counts).get
   }
 
   /** Append with file-skipping stats AND per-file Bloom filters on
@@ -602,13 +631,13 @@ object VersionedTable {
       s"stats/bloom column must be [A-Za-z0-9._-]+ (stored in manifest JSON), got: $c"))
     enforceChecks(df.sparkSession, path, df)
     val (commitId, names) = stageData(df, path)
-    val ranges =
-      if (statsCols.isEmpty) Map.empty[(String, String), (Long, Long)]
+    val (ranges, counts) =
+      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
       else rangesOf(df, path, commitId, statsCols)
     val bloomNames = stageBlooms(df.sparkSession, path, commitId, bloomCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
       newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
-      addBloomFiles = bloomNames).get
+      addBloomFiles = bloomNames, newRowCounts = counts).get
   }
 
   /** The columns this manifest's bloom sidecars cover (one tiny sidecar
@@ -1629,6 +1658,37 @@ object VersionedTable {
     evolvedRead(spark, path, text, files, mergeSchema, dvFiles = dvFilesOf(text))
   }
 
+  /** Row count of a version (latest by default) from MANIFEST METADATA
+    * alone when possible: per-file counts are recorded wherever the
+    * stats pass runs (stats/bloom appends, compaction) and ride the
+    * manifest; deletion-vector tombstones subtract via one tiny sidecar
+    * read (rows ∝ deletes). At 100 TB this is corpus accounting with
+    * ZERO data-file opens — the aggregate-pushdown answer a table format
+    * owes its users. Falls back to a full scan when any manifest file
+    * lacks a recorded count (e.g. staged by a stats-free append — the
+    * next compaction restores coverage). */
+  def countRows(spark: SparkSession, path: String, version: Option[Long] = None): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    val files = manifestFiles(spark, path, v)
+    val counts = rowCountsOf(text)
+    if (!files.forall(counts.contains))
+      return read(spark, path, Some(v)).count() // partial coverage: honest scan
+    val total = files.map(counts).sum
+    val dvs = dvFilesOf(text)
+    if (dvs.isEmpty) total
+    else {
+      // only tombstones pointing at THIS version's files subtract
+      val live = files.toSet
+      val deleted = spark.read.parquet(dvs.map(n => s"$path/data/$n"): _*)
+        .filter(org.apache.spark.sql.functions.col("f").isInCollection(live))
+        .count()
+      total - deleted
+    }
+  }
+
   /** The table as a PREDICATE-PRUNING DataFrame: unlike [[read]] (a fixed
     * file list) or [[readWhere]]/[[readKeys]] (the caller names bounds or
     * keys explicitly), this exposes the snapshot through a custom
@@ -1923,15 +1983,18 @@ object VersionedTable {
         } else if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
         else df.repartition(nOut)
       val (commitId, names) = stageData(packed, path)
-      val ranges =
-        if (statsCols.isEmpty) Map.empty[(String, String), (Long, Long)]
+      val (ranges, newCounts) =
+        if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
         else rangesOf(packed, path, commitId, statsCols)
       // repacked files get fresh blooms; the whole sidecar set is
       // consolidated to live rows (compaction = bloom maintenance too)
       val newBlooms = rebloom(spark, path, text, names)
       try {
+        // kept files ride the footer-pass counts too: compaction restores
+        // full per-file count coverage even after stats-free appends
         val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
           newRanges = ranges, statsCols = statsCols, requiredParent = Some(current),
+          newRowCounts = counts ++ newCounts,
           dvOverride = prunedDv(spark, path, text, keep),
           bloomOverride = prunedBlooms(spark, path, text, keep, newBlooms)).get
         return (v, small.size.toLong)

@@ -112,6 +112,35 @@ object EventStreams {
     * output mode: each batch carries only new finalized rows (pair with a
     * watermark upstream for aggregates). `onBatch` reports (batchId,
     * Some(version) committed | None skipped-as-duplicate). */
+  /** Continuous bronze→silver TABLE MIRROR: the versioned-table stream
+    * source (`graft-vt-stream`) feeding the exactly-once versioned sink —
+    * source offsets (table versions) and destination idempotence
+    * ((consumerId, batchId) txn gate) are both engine-checkpointed, so
+    * the mirror survives crash/restart with no duplicated or lost rows.
+    * The first batch bootstraps the full snapshot; every later batch
+    * copies only the files that joined the source manifest. This is the
+    * streaming (always-on) form of [[graft.io.VersionedTable
+    * .mirrorChanges]] — use that for scheduled pull-based catch-up, this
+    * to keep a hot replica continuously current. `transform` lets the
+    * silver side reshape each batch (the medallion step) before it
+    * lands. */
+  def startTableMirror(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      consumerId: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    spark.readStream.format("graft-vt-stream").option("path", srcPath).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.io.VersionedTable.commitStreamBatch(
+          transform(batch.toDF()), dstPath, consumerId, batchId)
+        ()
+      }
+      .start()
+
   def startExactlyOnceVersionedSink(
       stream: DataFrame,
       tablePath: String,
