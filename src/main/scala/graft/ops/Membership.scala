@@ -88,29 +88,17 @@ object Membership {
       .as[(String, Int)].collect()
     require(entries.length <= maxEntries,
       s"vocab exceeds $maxEntries entries — use the join form encodeTokens")
-    val b = spark.sparkContext.broadcast(entries.toMap)
-    docs.select(col(idCol).cast("long"), toks)
-      .filter(size(toks) > 0)
-      .as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        val m = b.value
-        it.map { case (id, ts) =>
-          val ids = new Array[Int](ts.length)
-          var oov = 0L
-          var i = 0
-          ts.foreach { t =>
-            m.get(t) match {
-              case Some(v) => ids(i) = v
-              case None    => oov += 1 // counted on the miss, BEFORE the sentinel
-            }
-            i += 1
-          }
-          // unsafeWrapArray: `ids` is freshly allocated per row and never
-          // mutated again — wrapping skips one array copy per document
-          (id, ts.length.toLong, oov, scala.collection.immutable.ArraySeq.unsafeWrapArray(ids))
-        }
-      }
-      .toDF(idCol, "n_tok", "n_oov", "ids")
+    // one compiled stage: tokenize → UTF8String-keyed lookup → project.
+    // The struct column is referenced twice; whole-stage codegen's
+    // subexpression elimination evaluates it once per row.
+    val enc = graft.functions.VocabEncodeExpr(col("_toks"), entries.toSeq)
+    docs.select(col(idCol).cast("long").as(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(
+        col(idCol),
+        size(col("_toks")).cast("long").as("n_tok"),
+        enc.getField("n_oov").as("n_oov"),
+        enc.getField("ids").as("ids"))
   }
 
   /** Order-preserving stoplist removal: posexplode → broadcast LEFT ANTI
