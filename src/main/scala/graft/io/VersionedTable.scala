@@ -1746,6 +1746,73 @@ object VersionedTable {
     }
   }
 
+  /** Create an EMPTY table with a declared schema — the `CREATE TABLE`
+    * primitive (SQL DDL through [[graft.sources.VtCatalog]] lands here).
+    * One empty data file is staged so every read path (all of which
+    * require a non-empty file list) works uniformly from version 1.
+    * Fails if the table already has commits. */
+  def create(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(versions(spark, path).isEmpty, s"table already exists at $path")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), schema)
+    val (_, names) = stageData(empty, path)
+    publish(spark, path, "create", names, carryForward = false,
+      dataSchema = Some(schema), requiredParent = Some(-1L)).get
+  }
+
+  /** Replace the table contents wholesale as a new version — `INSERT
+    * OVERWRITE` / the non-streaming twin of [[commitOverwriteBatch]].
+    * Retires rename history, deletion vectors and bloom sidecars (no
+    * prior file survives for them to reference); CHECK constraints carry
+    * and are enforced on the incoming rows. Optional `statsCols` records
+    * fresh file-skipping ranges + per-file row counts. Last-writer-wins
+    * by design (that is what overwrite means). */
+  def overwrite(df: DataFrame, path: String, statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
+      s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
+    enforceChecks(spark, path, df)
+    val (commitId, names) = stageData(df, path)
+    val (ranges, counts) =
+      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+      else rangesOf(df, path, commitId, statsCols)
+    publish(spark, path, "overwrite", names, carryForward = false,
+      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
+      newRowCounts = counts, resetRenames = true).get
+  }
+
+  /** The table's logical schema at a version (latest by default), from
+    * manifest metadata when recorded (every writer since schema tracking
+    * landed records it), else one parquet footer. */
+  def tableSchema(spark: SparkSession, path: String,
+      version: Option[Long] = None): org.apache.spark.sql.types.StructType = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    schemaOf(text).getOrElse {
+      val files = manifestFiles(spark, path, v)
+      require(files.nonEmpty, s"version $v of $path has no data files (empty commit)")
+      spark.read.parquet(s"$path/data/${files.head}").schema
+    }
+  }
+
+  /** The newest version whose manifest was committed at or before
+    * `tsMillis` (epoch millis) — `TIMESTAMP AS OF` resolution. Commit
+    * time is the manifest file's modification time: the atomic
+    * create-no-overwrite IS the commit point, so its mtime is the commit
+    * instant. Throws if the table's first commit is after `tsMillis`. */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val at = vs.filter(v => f.getFileStatus(versionPath(path, v)).getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"no version at $path as of $tsMillis (first commit is later); earliest = v${vs.head}")
+    at.last
+  }
+
   /** The table's CHECK constraints at HEAD, (name → SQL expression). */
   def checks(spark: SparkSession, path: String): Seq[(String, String)] = {
     val vs = versions(spark, path)

@@ -1312,10 +1312,47 @@ object Relational {
             WHERE o_orderkey BETWEEN 100 AND 900 AND o_orderkey % 10 <> 0
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q147 — the versioned table driven ENTIRELY from SQL through
+    * [[graft.sources.VtCatalog]] (DSv2 TableCatalog): CREATE TABLE, two
+    * INSERT INTO commits, then one statement unioning a `VERSION AS OF`
+    * time-travel aggregate with the head snapshot's. The oracle
+    * recomputes both snapshots relationally from `orders` (evens-only at
+    * v2, everything at head), so a mis-resolved version, a lost insert,
+    * or a stale snapshot read hash-fails. VtCatalogSpec covers the rest
+    * of the DDL surface (overwrite, rename, checks, drop, timestamps). */
+  val q147 = QueryDef(
+    "q147_sql_catalog_time_travel",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.vtq", classOf[graft.sources.VtCatalog].getName)
+      val path = java.nio.file.Files.createTempDirectory("q147_sql").toString + "/tbl"
+      ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("q147_src")
+      s.sql(s"CREATE TABLE vtq.`$path` (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      s.sql(s"INSERT INTO vtq.`$path` SELECT * FROM q147_src WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO vtq.`$path` SELECT * FROM q147_src WHERE o_orderkey % 2 = 1")
+      s.sql(
+        s"""SELECT 'head' AS snap, o_orderstatus, COUNT(*) AS cnt,
+           |       ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+           |FROM vtq.`$path` GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'v2' AS snap, o_orderstatus, COUNT(*) AS cnt,
+           |       ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+           |FROM vtq.`$path` VERSION AS OF 2 GROUP BY o_orderstatus
+           |ORDER BY snap, o_orderstatus""".stripMargin)
+    },
+    Some("""SELECT 'head' AS snap, o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'v2' AS snap, o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+            ORDER BY snap, o_orderstatus"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146)
+    q134, q135, q136, q142, q146, q147)
 }

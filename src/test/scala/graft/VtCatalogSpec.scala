@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+
+/** SQL-first lifecycle of the versioned table through
+  * [[graft.sources.VtCatalog]]: DDL, DML, snapshot + time-travel reads,
+  * rename, constraints, and the pushed-filter translation that feeds the
+  * inner scan's file pruning. */
+class VtCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val w = Files.createTempDirectory("vt_warehouse").toString
+    spark.conf.set("spark.sql.catalog.vtt", classOf[graft.sources.VtCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtt.warehouse", w)
+    w
+  }
+
+  test("CREATE / INSERT INTO / SELECT / VERSION AS OF / TIMESTAMP AS OF round-trip") {
+    wh
+    spark.sql("CREATE TABLE vtt.t1 (id BIGINT, v STRING)")
+    assert(spark.sql("SELECT * FROM vtt.t1").count() == 0, "fresh table reads empty")
+    spark.sql("INSERT INTO vtt.t1 SELECT id, CONCAT('a', id) FROM RANGE(10)")
+    spark.sql("INSERT INTO vtt.t1 SELECT id, CONCAT('b', id) FROM RANGE(10, 15)")
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.t1").head().getLong(0) == 15)
+    // version 1 = create, 2 = first insert, 3 = second
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.t1 VERSION AS OF 2").head().getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.t1 VERSION AS OF 1").head().getLong(0) == 0)
+    // a timestamp after the last commit resolves to the latest version
+    val after = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 60000)
+    assert(spark.sql(s"SELECT COUNT(*) FROM vtt.t1 TIMESTAMP AS OF '$after'")
+      .head().getLong(0) == 15)
+    // filters + projection through the seam
+    assert(spark.sql("SELECT v FROM vtt.t1 WHERE id = 12").collect().toSeq ==
+      Seq(Row("b12")))
+  }
+
+  test("INSERT OVERWRITE replaces; the pre-overwrite snapshot still time-travels") {
+    wh
+    spark.sql("CREATE TABLE vtt.t2 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vtt.t2 SELECT id, 'x' FROM RANGE(100)")
+    spark.sql("INSERT OVERWRITE vtt.t2 SELECT id, 'y' FROM RANGE(7)")
+    assert(spark.sql("SELECT COUNT(*), MIN(v) FROM vtt.t2").head() == Row(7L, "y"))
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.t2 VERSION AS OF 2").head().getLong(0) == 100)
+  }
+
+  test("ALTER TABLE RENAME COLUMN: new name reads across old files; refusals are typed") {
+    wh
+    spark.sql("CREATE TABLE vtt.t3 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vtt.t3 SELECT id, CONCAT('r', id) FROM RANGE(5)")
+    spark.sql("ALTER TABLE vtt.t3 RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM vtt.t3 WHERE id = 3").head().getString(0) == "r3")
+    val e = intercept[Exception](spark.sql("ALTER TABLE vtt.t3 DROP COLUMN label"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("CHECK constraints enforce on SQL INSERT; time-travel identifiers refuse writes") {
+    wh
+    spark.sql("CREATE TABLE vtt.t4 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vtt.t4 SELECT id, 'ok' FROM RANGE(3)")
+    val path = s"$wh/t4"
+    VersionedTable.addCheck(spark, path, "id_nonneg", "id >= 0")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO vtt.t4 SELECT -1, 'bad'"))
+    assert(
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.getMessage != null) &&
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(t => Option(t.getMessage).exists(_.contains("id_nonneg"))),
+      s"constraint name should surface, got: ${e.getMessage}")
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.t4").head().getLong(0) == 3,
+      "refused insert must not commit")
+  }
+
+  test("path identifiers: SELECT * FROM vtt.`/abs/path` with no warehouse mapping") {
+    wh
+    val base = Files.createTempDirectory("vt_pathid").toString + "/tbl"
+    VersionedTable.commitAppend(
+      (0L until 20L).map(i => (i, s"p$i")).toDF("id", "v"), base, Seq("id"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM vtt.`$base` WHERE id < 5").head().getLong(0) == 5)
+  }
+
+  test("DROP TABLE removes; SHOW TABLES lists committed tables only") {
+    wh
+    spark.sql("CREATE TABLE vtt.t5 (id BIGINT)")
+    spark.sql("INSERT INTO vtt.t5 SELECT id FROM RANGE(2)")
+    val listed = spark.sql("SHOW TABLES IN vtt").collect().map(_.getString(1)).toSet
+    assert(listed.contains("t5"))
+    spark.sql("DROP TABLE vtt.t5")
+    assert(!spark.catalog.tableExists("vtt.t5"))
+  }
+
+  test("filter translation covers the pruning grammar; untranslatable filters pass through") {
+    import org.apache.spark.sql.sources._
+    def t(f: Filter) = graft.sources.VtTable.translate(f)
+    assert(t(EqualTo("a", 1)).isDefined)
+    assert(t(And(GreaterThan("a", 1), In("b", Array(1, 2)))).isDefined)
+    assert(t(Or(IsNull("a"), StringStartsWith("s", "x"))).isDefined)
+    assert(t(Not(LessThanOrEqual("a", 5))).isDefined)
+    assert(t(AlwaysTrue()).isEmpty, "unknown filters must fall to the residual path")
+    assert(t(And(AlwaysTrue(), EqualTo("a", 1))).isEmpty,
+      "a conjunction with an untranslatable leg drops entirely (residuals re-apply)")
+  }
+}
