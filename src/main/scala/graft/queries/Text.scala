@@ -983,8 +983,60 @@ object Text {
             LEFT JOIN nsp USING (doc_id)
             ORDER BY doc_id"""))
 
+  /** Q148 — bigram LM with Stupid Backoff ([[graft.ops.LangModel
+    * .scoreDocsBackoff]]): every document's mean log-score under a
+    * min-count-pruned bigram model of the corpus, pruned/unseen bigrams
+    * backing off to alpha × the add-one unigram — the Brants-style
+    * web-scale LM quality signal one rung above q123's unigram. One
+    * bigram-keyed shuffle trains; scoring is a pruned-model join + two
+    * vocab joins + a per-doc agg. The oracle rebuilds the identical
+    * model, pruning, and backoff arithmetic in SQL (LN both sides,
+    * ROUND(6) over ~1e2-term per-doc sums). minCount=2 makes the backoff
+    * leg load-bearing: every singleton bigram scores through it. */
+  val q148 = QueryDef(
+    "q148_bigram_backoff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = graft.ops.LangModel.unigramCounts(docs)
+      val bi = graft.ops.LangModel.bigramCounts(docs, minCount = 2L)
+      graft.ops.LangModel.scoreDocsBackoff(docs, uni, bi, alpha = 0.4)
+        .select(col("doc_id"), col("n_bigrams"), r6(col("avg_logscore")).as("avg_logscore"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+                 b0 AS (SELECT doc_id,
+                               [{'w1': toks[i], 'w2': toks[i + 1]}
+                                FOR i IN range(1, len(toks))] AS bs
+                        FROM t WHERE len(toks) >= 2),
+                 b1 AS (SELECT doc_id, unnest(bs) AS u FROM b0),
+                 b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM b1),
+                 tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+                 v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+                 s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total,
+                              CAST(COUNT(*) AS DOUBLE) AS v_size FROM v),
+                 bc AS (SELECT w1, w2, COUNT(*) AS cb FROM b
+                        GROUP BY w1, w2 HAVING COUNT(*) >= 2),
+                 dt AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b
+                        GROUP BY doc_id, w1, w2),
+                 j AS (SELECT dt.doc_id, dt.tf,
+                              CASE WHEN bc.cb IS NOT NULL AND v1.cnt IS NOT NULL
+                                   THEN LN(CAST(bc.cb AS DOUBLE) / v1.cnt)
+                                   ELSE LN(0.4 * (COALESCE(v2.cnt, 0) + 1)
+                                           / (s.n_total + s.v_size)) END AS lp
+                       FROM dt
+                       LEFT JOIN bc USING (w1, w2)
+                       LEFT JOIN v v1 ON v1.token = dt.w1
+                       LEFT JOIN v v2 ON v2.token = dt.w2
+                       CROSS JOIN s),
+                 sc AS (SELECT doc_id, SUM(tf) AS n_bigrams,
+                               SUM(tf * lp) / SUM(tf) AS lp
+                        FROM j GROUP BY doc_id)
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   ROUND(lp, 6) AS avg_logscore
+            FROM sc ORDER BY doc_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128, q137, q138, q144)
+      q125, q126, q128, q137, q138, q144, q148)
 }

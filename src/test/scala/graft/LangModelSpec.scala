@@ -45,4 +45,42 @@ class LangModelSpec extends SparkSuite {
     assert(scores(0)._3 > scores(1)._3,
       s"frequent-token doc must score higher: ${scores.toSeq}")
   }
+
+  // bigram corpus: "a b" ×2 in doc 10 and ×1 in doc 11 → cnt(a,b)=3;
+  // "b c" once → pruned at minCount=2; unigrams a:3, b:3, c:1 (N=7, V=3)
+  private lazy val bdocs =
+    Seq((10L, "a b a b"), (11L, "a b c")).toDF("doc_id", "text")
+
+  test("bigram counts zip adjacent pairs and prune at minCount") {
+    val all = LangModel.bigramCounts(bdocs).orderBy("w1", "w2")
+      .as[(String, String, Long)].collect().toSeq
+    assert(all == Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+    val pruned = LangModel.bigramCounts(bdocs, minCount = 2L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(pruned == Seq(("a", "b", 3L)), "singletons must prune")
+  }
+
+  test("stupid backoff: surviving bigrams score cb/c1, pruned ones alpha*smoothed-unigram") {
+    val uni = LangModel.unigramCounts(bdocs)
+    val bi = LangModel.bigramCounts(bdocs, minCount = 2L)
+    val got = LangModel.scoreDocsBackoff(bdocs, uni, bi, alpha = 0.4)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val sAB = math.log(3.0 / 3.0)             // cnt(a,b)/cnt(a)
+    val bo = (w2cnt: Long) => math.log(0.4 * (w2cnt + 1) / (7.0 + 3.0))
+    val expected = Seq(
+      (10L, 3L, (2 * sAB + bo(3)) / 3.0),     // a-b, b-a(pruned→backoff on a), a-b
+      (11L, 2L, (sAB + bo(1)) / 2.0))         // a-b, b-c(pruned→backoff on c)
+    got.zip(expected).foreach { case ((id, n, lp), (eid, en, elp)) =>
+      assert(id == eid && n == en && math.abs(lp - elp) < 1e-12,
+        s"doc $id: got $lp expected $elp")
+    }
+  }
+
+  test("sub-2-token documents yield no bigram row; empty docs survive the zip") {
+    val tiny = Seq((1L, "solo"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(tiny)
+    val got = LangModel.scoreDocsBackoff(tiny, uni, LangModel.bigramCounts(tiny))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
 }
