@@ -1349,10 +1349,57 @@ object Relational {
             FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
             ORDER BY snap, o_orderstatus"""))
 
+  /** Q149 — link-graph PageRank ([[graft.ops.PageRank]]): rank the
+    * customer→supplier purchase graph (orders⋈lineitem, supplier ids
+    * offset into their own key space) by 3 rounds of the un-normalized
+    * power iteration — the link-centrality quality signal crawl curation
+    * pairs with content filters. Fixed iteration count makes the result
+    * pure arithmetic: the oracle UNROLLS the same three rounds in SQL
+    * (recursive CTEs disallow aggregation), so a wrong out-degree, a
+    * dropped dangling node, or an extra iteration hash-fails. PageRankSpec
+    * pins the operator against brute force; the frozen-partitioned loop
+    * (edge side shuffles once, not per round) is the [[graft.ops
+    * .ConnectedComponents]] discipline. */
+  val q149 = QueryDef(
+    "q149_pagerank_purchase_graph",
+    (s, d) => {
+      val edges = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("dst"))
+      graft.ops.PageRank.rank(edges, damping = 0.85, iterations = 3)
+        .select(col("id"), r6(col("rank")).as("rank"))
+        .orderBy("id")
+    },
+    Some("""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                              CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+                       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+                 outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+                 n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+                 p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM n),
+                 c1 AS (SELECT e.dst AS id, SUM(p0.r / outd.od) AS f
+                        FROM e JOIN p0 ON p0.id = e.src
+                               JOIN outd ON outd.src = e.src GROUP BY e.dst),
+                 p1 AS (SELECT n.id, 0.15 + 0.85 * COALESCE(c1.f, 0) AS r
+                        FROM n LEFT JOIN c1 USING (id)),
+                 c2 AS (SELECT e.dst AS id, SUM(p1.r / outd.od) AS f
+                        FROM e JOIN p1 ON p1.id = e.src
+                               JOIN outd ON outd.src = e.src GROUP BY e.dst),
+                 p2 AS (SELECT n.id, 0.15 + 0.85 * COALESCE(c2.f, 0) AS r
+                        FROM n LEFT JOIN c2 USING (id)),
+                 c3 AS (SELECT e.dst AS id, SUM(p2.r / outd.od) AS f
+                        FROM e JOIN p2 ON p2.id = e.src
+                               JOIN outd ON outd.src = e.src GROUP BY e.dst),
+                 p3 AS (SELECT n.id, 0.15 + 0.85 * COALESCE(c3.f, 0) AS r
+                        FROM n LEFT JOIN c3 USING (id))
+            SELECT id, ROUND(r, 6) AS rank FROM p3 ORDER BY id"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147)
+    q134, q135, q136, q142, q146, q147, q149)
 }
