@@ -110,6 +110,85 @@ object JoinPlanner {
   def autoJoin(left: DataFrame, right: DataFrame, key: String): (DataFrame, Decision) =
     autoJoin(left, right, Seq(key))
 
+  /** Fact-side stats for SEVERAL key sets in ONE scan: count(*) plus one
+    * Misra-Gries summary per key set, all riding a single aggregation —
+    * the way a star join measures its fact once instead of once per
+    * dimension (at 100 TB, N fact scans for stats is the difference
+    * between planning being free and being the job). */
+  def gatherStatsMulti(df: DataFrame, keySets: Seq[Seq[String]], k: Int = 32): Seq[SideStats] = {
+    require(keySets.nonEmpty && keySets.forall(_.nonEmpty), "key sets must be non-empty")
+    val mg = udaf(new HeavyHitters.MisraGriesAgg(k))
+    val keyed = df.select(keySets.zipWithIndex.map { case (ks, i) => tupleKey(ks).as(s"k$i") }: _*)
+    val aggs = count(lit(1)).as("n") +:
+      keySets.indices.map(i => mg(col(s"k$i")).as(s"mg$i"))
+    val row: Row = keyed.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    keySets.indices.map { i =>
+      val summary = row.getAs[Map[String, Long]](s"mg$i")
+      val top = if (summary.isEmpty) None else Some(summary.maxBy(_._2))
+      SideStats(n, top.map(_._1), top.map(_._2).getOrElse(0L), k)
+    }
+  }
+
+  /** Star join: `fact ⋈ dim_1 ⋈ ... ⋈ dim_n`, each dimension on its own
+    * (possibly composite) key set sharing the fact's column names, with a
+    * measured per-dimension strategy AND a measured join ORDER:
+    *
+    *  1. every replicable dimension broadcasts FIRST — those joins add
+    *     zero exchanges, so the fact flows through them un-shuffled
+    *     however many there are (the common star: one big fact, many
+    *     small dims, no shuffle at all);
+    *  2. remaining big dimensions join in ASCENDING row-count order —
+    *     each one forces a fact shuffle on its key, and an inner join
+    *     can only shrink the fact, so the cheapest reducers run while
+    *     the fact is largest and the most expensive see the most-reduced
+    *     fact;
+    *  3. a dimension whose fact-side key is measurably skewed (and which
+    *     is itself replicable `saltBuckets`-fold) takes the planned
+    *     salted form, exactly as [[autoJoin]].
+    *
+    * Fact stats for ALL key sets come from one scan
+    * ([[gatherStatsMulti]]); each dimension costs one count. Fact-side
+    * skew stats are measured on the ORIGINAL fact — inner joins only
+    * shrink a key's count, so a stale estimate errs toward salting: the
+    * semantics-preserving direction. Every branch returns exactly the
+    * rows of the equivalent chained inner join (spec row-compared;
+    * q150 oracle-checks end-to-end). */
+  def autoStarJoin(
+      fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[String])],
+      broadcastMaxRows: Long = 1000000L,
+      skewFraction: Double = 0.2,
+      saltBuckets: Int = 16,
+      replicateMaxRows: Long = 10000000L): (DataFrame, Seq[Decision]) = {
+    require(dims.nonEmpty, "at least one dimension required")
+    val factStats = gatherStatsMulti(fact, dims.map(_._2))
+    val annotated = dims.zipWithIndex.map { case ((dim, keys), i) =>
+      (dim, keys, dim.count(), factStats(i))
+    }
+    val (small, big) = annotated.partition(_._3 <= broadcastMaxRows)
+    var acc = fact
+    val decisions = Seq.newBuilder[Decision]
+    small.foreach { case (dim, keys, n, _) =>
+      acc = acc.join(broadcast(dim), keys)
+      decisions += Decision("broadcast",
+        s"dim(${keys.mkString(",")}) has $n rows <= $broadcastMaxRows; joined pre-shuffle")
+    }
+    big.sortBy(_._3).foreach { case (dim, keys, n, fs) =>
+      if (fs.maybeSkewed(skewFraction) && n <= replicateMaxRows) {
+        acc = Salt.saltedJoin(acc, dim, keys, saltBuckets)
+        decisions += Decision("salted",
+          s"fact key '${fs.topKey.getOrElse("?")}' holds >= ~${fs.topKeyRows} of ${fs.rows} rows; " +
+            s"dim(${keys.mkString(",")}) ($n rows) replicated x$saltBuckets")
+      } else {
+        acc = acc.join(dim, keys)
+        decisions += Decision("shuffle",
+          s"dim(${keys.mkString(",")}) has $n rows; joined in ascending-size order")
+      }
+    }
+    (acc, decisions.result())
+  }
+
   /** The aggregation twin of [[autoJoin]]: sum+count per key tuple, with
     * the two-phase salted form ([[Salt.saltedSumCount]]) chosen only when
     * the measured stats say a single key tuple may hold ≥ `skewFraction`

@@ -142,4 +142,48 @@ class JoinPlannerSpec extends SparkSuite {
       uniform, dim, Seq("k"), leftStats = Some(ls), rightStats = Some(rs))
     assert(d.strategy == "broadcast-right")
   }
+
+  test("gatherStatsMulti: one scan yields per-key-set stats equal to separate passes") {
+    // fact with two key columns: k skewed on 7, k2 uniform
+    val fact = ((1 to 3000).map(i => (7L, i % 100L, 1L)) ++
+      (1 to 3000).map(i => (i % 300L + 100L, i % 100L, 2L))).toDF("k", "k2", "lv")
+    val multi = JoinPlanner.gatherStatsMulti(fact, Seq(Seq("k"), Seq("k2"), Seq("k", "k2")))
+    val single = Seq(Seq("k"), Seq("k2"), Seq("k", "k2")).map(JoinPlanner.gatherStats(fact, _))
+    multi.zip(single).foreach { case (m, s) =>
+      assert(m.rows == s.rows && m.topKey == s.topKey && m.topKeyRows == s.topKeyRows,
+        s"multi=$m single=$s")
+    }
+    assert(multi(0).maybeSkewed(0.2) && !multi(1).maybeSkewed(0.2))
+  }
+
+  test("autoStarJoin: broadcasts first, sizes the rest ascending, salts the hot key; rows exact") {
+    // skewed fact key `k` (hot 7) against mid dim; uniform `k2` against a
+    // big dim; tiny dim on `k3` broadcasts
+    val fact = ((1 to 3000).map(i => (7L, i % 600L, i % 40L, 1L)) ++
+      (1 to 3000).map(i => (i % 300L + 100L, i % 600L, i % 40L, 2L)))
+      .toDF("k", "k2", "k3", "lv")
+    val bigDim = (0L to 599L).map(j => (j, s"b$j")).toDF("k2", "b")
+    val tiny = (0L to 39L).map(j => (j, s"t$j")).toDF("k3", "t")
+    val mid = (0L to 449L).map(j => (j, s"m$j")).toDF("k", "m")
+    val (joined, ds) = JoinPlanner.autoStarJoin(
+      fact,
+      Seq((bigDim, Seq("k2")), (tiny, Seq("k3")), (mid, Seq("k"))),
+      broadcastMaxRows = 100L, skewFraction = 0.2,
+      saltBuckets = 4, replicateMaxRows = 500L)
+    assert(ds.map(_.strategy) == Seq("broadcast", "salted", "shuffle"),
+      s"expected tiny->broadcast, mid(450)->salted before bigDim(600)->shuffle: $ds")
+    val plain = fact.join(bigDim, "k2").join(tiny, "k3").join(mid, "k")
+    assert(sortedRows(joined.select("k", "k2", "k3", "lv", "b", "t", "m")) ==
+      sortedRows(plain.select("k", "k2", "k3", "lv", "b", "t", "m")))
+  }
+
+  test("autoStarJoin with every dim replicable joins the fact entirely pre-shuffle") {
+    val fact = (1 to 2000).map(i => (i % 40L, i % 30L, i.toLong)).toDF("a", "b", "lv")
+    val da = (0L to 39L).map(j => (j, s"a$j")).toDF("a", "na")
+    val db = (0L to 29L).map(j => (j, s"b$j")).toDF("b", "nb")
+    val (joined, ds) = JoinPlanner.autoStarJoin(fact, Seq((da, Seq("a")), (db, Seq("b"))))
+    assert(ds.forall(_.strategy == "broadcast"))
+    assert(hasBroadcast(joined))
+    assert(joined.count() == 2000)
+  }
 }
