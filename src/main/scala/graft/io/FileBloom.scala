@@ -64,6 +64,20 @@ object FileBloom {
     (m, bytes)
   }
 
+  /** Set one key's bits in an EXISTING m-bit array — the distributed
+    * build path ([[graft.ops.BloomJoin]]) OR-merges fixed-size partials,
+    * so it adds keys one at a time instead of going through [[build]]'s
+    * size-from-content sizing. */
+  def add(m: Int, bytes: Array[Byte], key: Long): Unit = {
+    val ps = probes(key, m)
+    var j = 0
+    while (j < NumHashes) {
+      val b = ps(j)
+      bytes(b >>> 3) = (bytes(b >>> 3) | (1 << (b & 7)).toByte).toByte
+      j += 1
+    }
+  }
+
   /** Probe side: false means DEFINITELY absent; true means maybe. */
   def mightContain(m: Int, bytes: Array[Byte], key: Long): Boolean = {
     val ps = probes(key, m)

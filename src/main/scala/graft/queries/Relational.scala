@@ -1396,10 +1396,38 @@ object Relational {
                         FROM n LEFT JOIN c3 USING (id))
             SELECT id, ROUND(r, 6) AS rank FROM p3 ORDER BY id"""))
 
+  /** Q151 — runtime Bloom semi-join reduction ([[graft.ops.BloomJoin]]):
+    * lineitem joined to a ~3%-selective orders slice, with the fact side
+    * probe-filtered against a distributed-built Bloom of the dim keys
+    * BEFORE the exchange — the explicit runtime-filter every warehouse
+    * injects for selective joins, here stated by the caller who knows the
+    * dim is a slice. Correctness gate: the join clears Bloom false
+    * positives, so the result must equal the plain join — the oracle IS
+    * the plain join. BloomJoinSpec pins the actual pre-exchange row cut
+    * and the probe's position under the shuffle. */
+  val q151 = QueryDef(
+    "q151_bloom_pruned_join",
+    (s, d) => {
+      val fact = li(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      val dim = ord(s, d).filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.BloomJoin.pruneAndJoin(fact, dim, Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / lit(1e6)).as("rev_mm"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount))/1000000.0, 4) AS rev_mm
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderkey % 37 = 0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149)
+    q134, q135, q136, q142, q146, q147, q149, q151)
 }
