@@ -508,5 +508,35 @@ object TrainPrep {
     None)
 
   def all: Seq[QueryDef] =
-    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143)
+    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152)
+
+  /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
+    * keep 10 documents per source, sampled WITHOUT replacement with
+    * probability proportional to size (n_chars+1 as the weight stand-in
+    * for a quality score) via deterministic Efraimidis–Spiliopoulos keys
+    * — reproducible cross-engine, so the oracle replays the exact
+    * md5-uniform → u^(1/w) → partitioned ROW_NUMBER pipeline in SQL. Key
+    * spread (~1e-3 between ranks) dwarfs cross-engine pow() ulp noise;
+    * a rank flip would change the selected id set and hash-fail. */
+  val q152 = QueryDef(
+    "q152_weighted_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          (col("n_chars") + 1).cast("double").as("w"))
+      graft.ops.WeightedSample.kPerGroup(docs, Seq("source"), "doc_id", "w", 10)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH a AS (SELECT source, doc_id, n_chars,
+                              POWER((CAST(('0x' || substr(md5('ws-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                          AS BIGINT) + 1) / 4294967297.0,
+                                    1.0 / (n_chars + 1)) AS k
+                       FROM documents),
+                 r AS (SELECT source, doc_id, n_chars,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                                 ORDER BY k DESC, doc_id) AS rn
+                       FROM a)
+            SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
+            ORDER BY source, doc_id"""))
 }
