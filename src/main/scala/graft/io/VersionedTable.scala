@@ -1964,6 +1964,54 @@ object VersionedTable {
     }
   }
 
+  /** Roll the table HEAD back to a retained `version` as a NEW commit —
+    * the RESTORE rung of the published table formats (the "bad batch
+    * landed, get me yesterday's corpus back NOW" operation). Nothing
+    * rewrites: the restore manifest re-references the target snapshot's
+    * data files, deletion vectors, and bloom sidecars, and re-instates
+    * its logical schema, rename history, and file statistics — so a 100 TB
+    * rollback costs ONE manifest write, and the intervening versions still
+    * time-travel until [[vacuum]].
+    *
+    * Two pieces of state are TABLE-level, not snapshot-level, and carry
+    * from the LATEST version instead: CHECK constraints (rolling back data
+    * must not silently drop a later-added invariant) and the streaming txn
+    * map (a committed (writerId, batchId) stays committed — forgetting it
+    * would double-apply on replay). For the change feeds a restore is a
+    * non-append op with no recorded row diff: [[changes]] /
+    * [[changesWithType]] windows crossing it refuse, and incremental
+    * consumers heal by full resync ([[mirrorChanges]] does this
+    * automatically). Refuses when `version` is no longer retained.
+    * Returns the new HEAD version. */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    require(vs.contains(version),
+      s"version $version is not retained at $path (have ${vs.head}..${vs.last}); " +
+        "vacuumed snapshots cannot be restored")
+    val text = manifestText(spark, path, version)
+    // A legacy target manifest (no schema metadata) under a HEAD that since
+    // adopted schema evolution cannot express a consistent restored schema
+    // (publish would carry HEAD's schema over the target's old physical
+    // names). Materialize instead of guessing.
+    if (schemaOf(text).isEmpty && schemaOf(manifestText(spark, path, vs.last)).nonEmpty)
+      throw new IllegalArgumentException(
+        s"version $version predates this table's schema metadata; restore via " +
+          "commitOverwrite(read(spark, path, Some(version)), path) instead")
+    val (targetCols, targetRanges) = statsOf(text)
+    publish(spark, path, "restore",
+      newFiles = manifestFiles(spark, path, version),
+      carryForward = false,
+      newRanges = targetRanges,
+      statsCols = targetCols,
+      schemaOverride = schemaOf(text),
+      addRenames = renamesOf(text),
+      resetRenames = true,
+      dvOverride = Some(dvFilesOf(text)),
+      bloomOverride = Some(bloomFilesOf(text)),
+      newRowCounts = rowCountsOf(text)).get
+  }
+
   /** One row per committed version: (version, operation, parent, nFiles,
     * txn writers) — the audit/ops view of the table (driver-side, one
     * tiny manifest read per version; run it on the ops path, not per

@@ -1349,6 +1349,38 @@ object Relational {
             FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
             ORDER BY snap, o_orderstatus"""))
 
+  /** Q153 — RESTORE through the oracle gate
+    * ([[graft.io.VersionedTable.restore]]): a delete commit (the "bad
+    * batch") removes every 7th order, then the table rolls back to the
+    * pre-delete snapshot as a NEW metadata-only commit — nothing
+    * rewrites, the restore manifest re-references the target's files.
+    * HEAD must equal the full orders table again, so a restore that
+    * leaked the delete (or resurrected only part of the snapshot)
+    * hash-fails against the oracle's plain full-table aggregate.
+    * VersionedTableSpec pins DV/schema/stats/txn re-instatement and the
+    * change-feed refusal. */
+  val q153 = QueryDef(
+    "q153_restore",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q153_restore").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path)
+      graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path)
+      graft.io.VersionedTable.deleteWhere(s, path, col("o_orderkey") % 7 === 0)
+      graft.io.VersionedTable.restore(s, path, 2L)
+      graft.io.VersionedTable.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum("o_totalprice") / lit(1e6)).as("total_mm"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm,
+                   MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Q149 — link-graph PageRank ([[graft.ops.PageRank]]): rank the
     * customer→supplier purchase graph (orders⋈lineitem, supplier ids
     * offset into their own key space) by 3 rounds of the un-normalized
@@ -1429,5 +1461,5 @@ object Relational {
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153)
 }

@@ -798,4 +798,89 @@ class VersionedTableSpec extends SparkSuite {
     val raw = spark.read.parquet(VersionedTable.dataFiles(spark, path): _*)
     assert(raw.count() == 100)
   }
+
+  test("restore rolls HEAD back metadata-only; intervening versions still time-travel") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path) // v1
+    VersionedTable.commitAppend(batch(10, 15), path) // v2
+    VersionedTable.deleteWhere(spark, path, col("id") < 5) // v3: the "bad batch"
+    val filesAtV2 = VersionedTable.dataFiles(spark, path, Some(2L)).sorted
+    val rv = VersionedTable.restore(spark, path, 2L)
+    assert(rv == 4L)
+    // HEAD is v2's state again, by re-reference — not a rewrite
+    assert(VersionedTable.dataFiles(spark, path).sorted == filesAtV2,
+      "restore must re-reference v2's files, not copy them")
+    assert(
+      VersionedTable.read(spark, path).select("id").as[Long].collect().sorted
+        .sameElements(0L until 15L))
+    // the rolled-past delete still time-travels
+    assert(VersionedTable.read(spark, path, Some(3L)).count() == 10)
+    assert(VersionedTable.history(spark, path).last.operation == "restore")
+  }
+
+  test("restore re-instates the target's deletion vectors and file stats") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 100).coalesce(1), path, "id") // v1, stats on id
+    VersionedTable.deleteWhereDV(spark, path, col("id") === 7L) // v2
+    VersionedTable.commitOverwrite(batch(500, 503), path) // v3 retires the DV
+    VersionedTable.restore(spark, path, 2L) // v4
+    val ids = VersionedTable.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.length == 99 && !ids.contains(7L), "v2's DV must suppress id 7 again")
+    // v1's file stats rode along: a disjoint range prunes to zero files
+    assert(VersionedTable.filesForRanges(spark, path, Map("id" -> (1000L, 2000L))).isEmpty)
+  }
+
+  test("restore re-instates the target's schema view; later renames roll back") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1: (id, v)
+    VersionedTable.renameColumn(spark, path, "v", "label") // v2
+    VersionedTable.restore(spark, path, 1L) // v3
+    assert(VersionedTable.read(spark, path).columns.toSeq == Seq("id", "v"))
+    // and forward again: restoring the post-rename snapshot re-applies it
+    VersionedTable.restore(spark, path, 2L) // v4
+    assert(VersionedTable.read(spark, path).columns.toSeq == Seq("id", "label"))
+  }
+
+  test("restore carries the txn map: a committed stream batch stays committed") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path) // v1
+    VersionedTable.commitStreamBatch(batch(10, 12), path, "ingest", 5L) // v2
+    VersionedTable.restore(spark, path, 1L) // v3: rows of batch 5 rolled back...
+    // ...but the batch REMAINS committed — a crash-replay must no-op, not
+    // double-apply into the restored table
+    assert(VersionedTable.commitStreamBatch(batch(10, 12), path, "ingest", 5L).isEmpty)
+    assert(VersionedTable.lastCommittedBatch(spark, path, "ingest").contains(5L))
+  }
+
+  test("restore refuses vacuumed versions; change feeds refuse restore windows") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), path) // v1
+    VersionedTable.commitOverwrite(batch(100, 105), path) // v2
+    VersionedTable.commitAppend(batch(105, 108), path) // v3
+    VersionedTable.vacuum(spark, path, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, path, 1L)
+    }
+    VersionedTable.restore(spark, path, 2L) // v4
+    // a window crossing the restore has no row diff: both feeds refuse
+    intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, path, 3L, 4L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.changesWithType(spark, path, 3L, 4L)
+    }
+  }
+
+  test("a mirror crossing a restore heals by full resync") {
+    val src = freshDir()
+    val dst = freshDir()
+    VersionedTable.commitAppend(batch(0, 10), src) // v1
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "m").contains((0L, 1L)))
+    VersionedTable.commitAppend(batch(10, 15), src) // v2
+    VersionedTable.restore(spark, src, 1L) // v3
+    assert(VersionedTable.mirrorChanges(spark, src, dst, "m").contains((1L, 3L)))
+    assert(
+      VersionedTable.read(spark, dst).select("id").as[Long].collect().sorted
+        .sameElements(0L until 10L))
+  }
 }
