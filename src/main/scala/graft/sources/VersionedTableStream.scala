@@ -32,7 +32,19 @@ import graft.io.VersionedTable
   *  - `option("readChangeFeed", "true")`: full row-level CDF — every row
   *    tagged `_change_type` insert/delete with `_commit_version`, crossing
   *    deletes and merges exactly ([[VersionedTable.changesWithType]]).
-  */
+  *
+  * `option("maxVersionsPerTrigger", n)` rate-limits catch-up: each
+  * micro-batch advances the offset at most `n` table versions, so a
+  * consumer resuming against a deep backlog (or tailing a hot producer)
+  * processes bounded windows instead of one giant catch-all batch — the
+  * admission-control knob every production stream over a 100 TB table
+  * sets (Delta's `maxFilesPerTrigger` family). The rate-limit base is
+  * persisted WRITE-AHEAD under the source's own checkpoint directory
+  * (the `FileStreamSource` pattern), so the engine can never hold a
+  * checkpointed offset the source has forgotten — restarts resume capped,
+  * never behind the checkpoint. The initial snapshot bootstrap is
+  * inherently one batch (a snapshot has no version seams to split on);
+  * the cap bounds every window after it. */
 final class VersionedTableStream extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-vt-stream"
 
@@ -64,11 +76,18 @@ final class VersionedTableStream extends StreamSourceProvider with DataSourceReg
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new VersionedTableStreamSource(
       spark, pathOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       cdf = cdf(parameters),
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      maxVersionsPerTrigger = maxVersions,
+      metadataPath = metadataPath)
   }
 }
 
@@ -81,16 +100,61 @@ private[sources] final case class VersionOffset(v: Long) extends Offset {
 
 private[sources] final class VersionedTableStreamSource(
     spark: SparkSession, path: String, override val schema: StructType,
-    cdf: Boolean, skipChangeCommits: Boolean)
+    cdf: Boolean, skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: String = "")
   extends Source {
 
   private def ver(o: Offset): Long = o.json.trim.toLong
 
+  // Highest version this source has handed to the engine (via either
+  // hook) — the rate-limit base. Persisted write-ahead (BEFORE the
+  // offset leaves getOffset) under the source's private checkpoint dir,
+  // so anything the engine may have checkpointed is <= the persisted
+  // value and a restart can never cap below the committed offset. An
+  // absent/unreadable marker degrades to one uncapped window (the safe
+  // direction) — never to a backwards offset.
+  private def markerFs: Option[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)] =
+    if (metadataPath.isEmpty || maxVersionsPerTrigger.isEmpty) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$metadataPath/graft-vt-last-seen")
+      Some((org.apache.hadoop.fs.FileSystem.get(
+        p.toUri, spark.sparkContext.hadoopConfiguration), p))
+    }
+
+  @volatile private var lastSeen: Option[Long] =
+    markerFs.flatMap { case (f, p) =>
+      try {
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          text.trim.toLongOption
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
+  private def advance(v: Long): Unit =
+    if (lastSeen.forall(_ < v)) {
+      markerFs.foreach { case (f, p) =>
+        val out = f.create(p, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      }
+      lastSeen = Some(v)
+    }
+
   override def getOffset: Option[Offset] =
-    VersionedTable.versions(spark, path).lastOption.map(VersionOffset)
+    VersionedTable.versions(spark, path).lastOption.map { latest =>
+      val capped = (maxVersionsPerTrigger, lastSeen) match {
+        case (Some(m), Some(l)) => math.min(latest, l + m)
+        case _ => latest
+      }
+      advance(capped)
+      VersionOffset(capped)
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = ver(end)
+    advance(to)
     val batch = start match {
       case None => // bootstrap: the full snapshot at the stream's start
         val snap = VersionedTable.read(spark, path, Some(to))

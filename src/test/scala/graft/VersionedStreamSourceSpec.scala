@@ -54,6 +54,47 @@ class VersionedStreamSourceSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 130)
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to one version's increment") {
+    val base = freshDir()
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def drainCapped(): Unit = {
+      val q = spark.readStream.format("graft-vt-stream")
+        .option("path", tbl).option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0)).toSet
+          if (ids.nonEmpty) batches.synchronized { batches += ids }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VersionedTable.commitAppend(batch(0, 10), tbl) // v1
+    drainCapped() // bootstrap: the snapshot is one batch
+    assert(batches.synchronized(batches.toSeq).map(_.size) == Seq(10))
+    // a deep backlog accumulates while the consumer is down...
+    VersionedTable.commitAppend(batch(10, 25), tbl) // v2
+    VersionedTable.commitAppend(batch(25, 45), tbl) // v3
+    VersionedTable.commitAppend(batch(45, 70), tbl) // v4
+    drainCapped()
+    // ...and drains as BOUNDED windows: the persisted rate-limit base
+    // survives the restart, so each micro-batch carries ONE version
+    val got = batches.synchronized { batches.toSeq }
+    assert(got.map(_.size) == Seq(10, 15, 20, 25),
+      s"expected one version per micro-batch, got sizes ${got.map(_.size)}")
+    assert(got.flatten.toSet == (0L until 70L).toSet, "no row lost or duplicated")
+    // steady-state after another restart: exactly once, still capped
+    VersionedTable.commitAppend(batch(70, 80), tbl) // v5
+    drainCapped()
+    val all = batches.synchronized { batches.toSeq }
+    assert(all.map(_.size) == Seq(10, 15, 20, 25, 10))
+    assert(all.flatten.toSet == (0L until 80L).toSet,
+      "restart must resume from the checkpoint and drain the new version exactly once")
+  }
+
   test("a delete in the window fails the default stream; skipChangeCommits rides through") {
     val base = freshDir()
     val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
