@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star-schema fixtures (TESTDATA.md).
   *
@@ -22,20 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Sessions built via [[GraftSession]] set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (session-wide, declared
-    * once — not mutated here per-read), so the column arrives as a raw
-    * long; truncate it to a microsecond timestamp — the same ns→µs
-    * truncation DuckDB applies when it reads the file, so both engines see
-    * identical instants.
+  /** `events.ts` normalization — the fixture generator has shipped the
+    * column two ways across rounds, and every registry query is verified
+    * against a plain `TimestampType` (UTC session), so both arrivals are
+    * canonicalized to it here:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *    [[GraftSession]] sets `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    session-wide, the column arrives as a raw long, and we truncate
+    *    ns→µs — the same truncation DuckDB applies reading the file.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it
+    *    as TIMESTAMP_NTZ, which functions like `unix_micros` reject. The
+    *    session timezone is pinned to UTC, so the NTZ→LTZ cast is
+    *    value-preserving and matches DuckDB's naive-micros view.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** The ts canonicalization alone, for callers that read the fixture
+    * through another channel (e.g. a file-source stream over a staged
+    * copy) and need the identical policy. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -410,15 +410,18 @@ object Events {
       val dim = li.groupBy("l_partkey", "l_suppkey")
         .agg(r4(avg(col("l_extendedprice"))).as("ps_avg"))
       val (joined, _) = graft.ops.JoinPlanner.autoJoin(li, dim, Seq("l_partkey", "l_suppkey"))
+      // + 0.0 normalizes IEEE signed zero: the deviation sum is ~0 by
+      // construction and the two engines' fp association can land on
+      // opposite sides of it (r8 hash mismatch was 0.0 vs -0.0).
       joined.agg(
         count(lit(1)).as("n_rows"),
-        r4(sum(col("l_extendedprice") - col("ps_avg")) / lit(1e3)).as("dev_k"))
+        (r4(sum(col("l_extendedprice") - col("ps_avg")) / lit(1e3)) + lit(0.0)).as("dev_k"))
     },
     Some("""WITH dim AS (SELECT l_partkey, l_suppkey,
                                 ROUND(AVG(l_extendedprice), 4) AS ps_avg
                          FROM lineitem GROUP BY 1, 2)
             SELECT COUNT(*) AS n_rows,
-                   ROUND(SUM(l.l_extendedprice - d.ps_avg)/1000.0, 4) AS dev_k
+                   ROUND(SUM(l.l_extendedprice - d.ps_avg)/1000.0, 4) + 0.0 AS dev_k
             FROM lineitem l JOIN dim d USING (l_partkey, l_suppkey)"""))
 
   /** Q130 — stats-driven aggregation planning on a COMPOSITE grouping key

@@ -419,9 +419,9 @@ object TrainPrep {
                                            CAST((cum_end - 1) // 64 + 1 AS BIGINT))) AS seq_id
                        FROM e)
             SELECT source, doc_id, seq_id,
-                   GREATEST(cum_begin, seq_id * 64) - cum_begin AS tok_begin,
-                   LEAST(cum_end, (seq_id + 1) * 64) - cum_begin AS tok_end,
-                   GREATEST(cum_begin, seq_id * 64) - seq_id * 64 AS seq_offset
+                   CAST(GREATEST(cum_begin, seq_id * 64) - cum_begin AS BIGINT) AS tok_begin,
+                   CAST(LEAST(cum_end, (seq_id + 1) * 64) - cum_begin AS BIGINT) AS tok_end,
+                   CAST(GREATEST(cum_begin, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_offset
             FROM x ORDER BY source, doc_id, seq_id"""))
 
   /** Q140 — document-preserving greedy packing ([[Packing.packBins]],

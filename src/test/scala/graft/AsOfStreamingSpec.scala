@@ -193,11 +193,8 @@ class AsOfStreamingSpec extends SparkSuite {
       dir.resolve("part-0.parquet"))
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
     val streamEvents = spark.readStream.schema(rawSchema).parquet(dir.toString)
-    // raw streaming read sees the nanos-as-long ts; convert like Tables.events
-    val streamFixed =
-      if (streamEvents.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        streamEvents.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else streamEvents
+    // raw streaming read sees the un-normalized ts; apply the same policy
+    val streamFixed = graft.core.Tables.normalizeEventTs(streamEvents)
     val q = EventStreams.tumblingAgg(streamFixed)
       .writeStream.outputMode("complete").format("memory").queryName("file_t").start()
     try {
