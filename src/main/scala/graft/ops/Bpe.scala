@@ -107,4 +107,28 @@ object Bpe {
       flatten(transform(
         TextFunctions.tokens(col(textCol)),
         w => rules.foldLeft(split(w, "")) { (c, r) => mergePair(c, r.left, r.right) })))
+
+  /** The SCALE path for encoding (the production shape [[segment]]'s
+    * Scaladoc points at): apply the merge chain once per DISTINCT word —
+    * the vocabulary-sized table, exactly the economics of [[train]] — and
+    * join the per-word token count back to the corpus on the word key.
+    * At 100 TB the corpus-sized work is one explode + one keyed join;
+    * the merge folds run on ≲ millions of distinct words, not trillions
+    * of corpus tokens. Returns (id, n_words, n_bpe_tokens) per row;
+    * BpeSpec pins it row-for-row against the direct [[segment]] fold. */
+  def encodeDistinct(
+      df: DataFrame, textCol: String, idCol: String,
+      rules: Seq[MergeRule]): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val perWord = words.select("w").distinct()
+      .withColumn(
+        "n_sym",
+        size(rules.foldLeft(split(col("w"), "")) { (c, r) => mergePair(c, r.left, r.right) }))
+    words
+      .join(perWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
 }

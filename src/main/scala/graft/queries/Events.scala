@@ -479,5 +479,29 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
-      q129, q130, q150)
+      q129, q130, q150, q156)
+
+  /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
+    * (event_type, hour) counts z-scored against that type's own hourly
+    * distribution, |z| ≥ 2 after 4-decimal rounding (the rounding makes
+    * the cut reproducible cross-engine). Two keyed aggregations and a
+    * broadcast of #types stats rows — no windows, nothing data-sized on
+    * the driver; the streaming twin is the watermarked tumbling roll-up
+    * in EventStreams. */
+  val q156 = QueryDef(
+    "q156_event_anomaly",
+    (s, d) =>
+      graft.ops.Anomaly.hourlyZScores(Tables.events(s, d), 2.0)
+        .select(col("event_type"), col("hour"), col("cnt"), col("z"))
+        .orderBy("event_type", "hour"),
+    Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+                 st AS (SELECT event_type, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma
+                        FROM h GROUP BY 1)
+            SELECT h.event_type, h.hour, CAST(h.cnt AS BIGINT) AS cnt,
+                   ROUND((h.cnt - st.mu) / st.sigma, 4) AS z
+            FROM h JOIN st USING (event_type)
+            WHERE st.sigma IS NOT NULL AND st.sigma > 0
+              AND ABS(ROUND((h.cnt - st.mu) / st.sigma, 4)) >= 2.0
+            ORDER BY event_type, hour"""))
 }

@@ -1456,10 +1456,41 @@ object Relational {
             WHERE o_orderkey % 37 = 0
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q157 — GROUPING SETS with `grouping()` disambiguation (the general
+    * form behind the rollup/cube family, q24/q46): detail, per-flag
+    * subtotal, and grand total in ONE pass — Spark's `Expand` operator
+    * replicates rows per grouping set before a single hash aggregate, so
+    * the plan is one shuffle, not three unioned scans. `COALESCE` +
+    * grouping flags make subtotal rows unambiguous (and dodge cross-engine
+    * NULLS FIRST/LAST defaults in the sort). */
+  val q157 = QueryDef(
+    "q157_grouping_sets",
+    (s, d) => {
+      graft.core.Tables.registerFixtures(s, d)
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                      COALESCE(l_linestatus, 'ALL') AS ls,
+                      CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                      CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                      COUNT(*) AS cnt,
+                      ROUND(SUM(l_quantity), 4) AS sum_qty
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+               ORDER BY g_rf, g_ls, rf, ls""")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            ORDER BY g_rf, g_ls, rf, ls"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151, q153)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157)
 }

@@ -228,5 +228,47 @@ object Similarity {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145)
+  /** Q158 — per-label centroid similarity matrix: the corpus-level
+    * "how close are these clusters/sources semantically" audit (the
+    * embedding-space counterpart of q154's lexical overlap). Component
+    * sums shuffle on (label, pos) — fully parallel, dimension-bounded per
+    * label — centroids assemble per label (≤ dim rows each), and the
+    * label×label cosine is a broadcast self-join over #labels rows.
+    * Nothing is ever all-pairs over VECTORS, only over labels. */
+  val q158 = QueryDef(
+    "q158_centroid_similarity",
+    (s, d) => {
+      val comp = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+      val cents = comp.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+      val a = cents.select(col("label").as("label_a"), col("c").as("ca"))
+      val b = cents.select(col("label").as("label_b"), col("c").as("cb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(
+          col("label_a"), col("label_b"),
+          round(graft.functions.Vectors.cosine(col("ca"), col("cb")), 4).as("cos"))
+        .orderBy("label_a", "label_b")
+    },
+    Some("""WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+                              CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+                 c AS (SELECT label, pos, AVG(v) AS m FROM u GROUP BY 1, 2),
+                 n AS (SELECT label, SQRT(SUM(m*m)) AS nrm FROM c GROUP BY 1),
+                 dt AS (SELECT a.label AS label_a, b.label AS label_b,
+                               SUM(a.m * b.m) AS dot
+                        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+                        GROUP BY 1, 2)
+            SELECT dt.label_a, dt.label_b,
+                   ROUND(dt.dot / (na.nrm * nb.nrm), 4) AS cos
+            FROM dt JOIN n na ON na.label = dt.label_a
+                    JOIN n nb ON nb.label = dt.label_b
+            ORDER BY label_a, label_b"""))
+
+  def all: Seq[QueryDef] =
+    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158)
 }

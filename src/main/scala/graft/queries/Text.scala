@@ -1035,8 +1035,32 @@ object Text {
                    ROUND(lp, 6) AS avg_logscore
             FROM sc ORDER BY doc_id"""))
 
+  /** Q154 — cross-source content-overlap matrix
+    * ([[graft.ops.SourceOverlap]]): |shared distinct 4-word shingles| per
+    * unordered source pair — the pre-mixing audit of source redundancy.
+    * The engine shuffles 8-byte shingle hashes and caps per-shingle
+    * source-set expansion (quadratic-blowup guard, mirrored in the
+    * oracle's HAVING); the oracle joins the shingle STRINGS — identical
+    * counts barring a 64-bit collision. */
+  val q154 = QueryDef(
+    "q154_source_overlap",
+    (s, d) =>
+      graft.ops.SourceOverlap.shingleOverlap(
+        Tables.documents(s, d), "text", "source", shingleLen = 4, maxSources = 1000)
+        .orderBy("src_a", "src_b"),
+    Some("""WITH t AS (SELECT source, str_split(text, ' ') AS tk FROM documents),
+                 i AS (SELECT source, unnest(range(len(tk) - 3)) AS i, tk
+                       FROM t WHERE len(tk) >= 4),
+                 s AS (SELECT DISTINCT source, array_to_string(tk[i+1:i+4], ' ') AS sh FROM i),
+                 f AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 1000)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_shingles
+            FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+            JOIN f ON f.sh = a.sh
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128, q137, q138, q144, q148)
+      q125, q126, q128, q137, q138, q144, q148, q154)
 }

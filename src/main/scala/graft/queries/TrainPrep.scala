@@ -507,8 +507,88 @@ object TrainPrep {
     },
     None)
 
+  /** Q155 — deterministic negative-pair sampling
+    * ([[graft.ops.Negatives]]): 3 pseudo-random contrastive negatives per
+    * document, uniform over the other n−1, drawn from a salted md5 so the
+    * oracle replays the identical arithmetic — rank via its own
+    * ROW_NUMBER, the engine via the scale-safe [[graft.ops.GlobalRank]]
+    * (the two must agree exactly for the hash to match, which also pins
+    * GlobalRank against a plain global window cross-engine). */
+  val q155 = QueryDef(
+    "q155_negative_pairs",
+    (s, d) =>
+      graft.ops.Negatives.negativePairs(Tables.documents(s, d), "doc_id", 3)
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+        .orderBy("doc_id", "j"),
+    Some("""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rnk,
+                              COUNT(*) OVER () AS n FROM documents),
+                 c AS (SELECT doc_id, t.j AS j, rnk, n,
+                              CAST(('0x' || substr(md5('neg-v1:' || CAST(doc_id AS VARCHAR) || ':' ||
+                                                   CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % (n - 1) AS cand
+                       FROM r CROSS JOIN generate_series(0, 2) AS t(j)),
+                 w AS (SELECT doc_id, j,
+                              CASE WHEN cand >= rnk THEN cand + 1 ELSE cand END AS neg_rank
+                       FROM c)
+            SELECT w.doc_id, w.j, r.doc_id AS neg_id
+            FROM w JOIN r ON r.rnk = w.neg_rank ORDER BY w.doc_id, w.j"""))
+
+  /** Q159 — token-budget corpus selection ([[graft.ops.BudgetSelect]]):
+    * highest-quality documents (integer-grid TTR proxy, exact on any
+    * engine — no float quality anywhere) until 2/5 of the corpus's token
+    * mass is spent. The oracle IS the naive global window the engine
+    * refuses to run; the two-level threshold-refinement plan must select
+    * the identical document set, pinned by per-source id sums. */
+  val q159 = QueryDef(
+    "q159_token_budget_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = expr("cast(size(split(text, ' ')) as bigint)")
+      val qgrid = expr(
+        "(1000000L * cast(size(array_distinct(split(text, ' '))) as bigint))" +
+          " div cast(size(split(text, ' ')) as bigint)")
+      graft.ops.BudgetSelect.selectByBudget(docs, qgrid, tok, "doc_id", 2, 5)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tok).as("sum_tok"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+                              (1000000 * len(list_distinct(str_split(text, ' '))))
+                                // len(str_split(text, ' ')) AS q
+                       FROM documents),
+                 b AS (SELECT (SUM(tok) * 2) // 5 AS budget FROM d),
+                 c AS (SELECT doc_id, source, tok,
+                              SUM(tok) OVER (ORDER BY q DESC, doc_id) AS cum FROM d)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(c.tok) AS BIGINT) AS sum_tok,
+                   CAST(SUM(c.doc_id) AS BIGINT) AS id_sum
+            FROM c, b WHERE c.cum <= b.budget
+            GROUP BY source ORDER BY source"""))
+
+  /** Q160 — BPE ENCODE at corpus scale ([[graft.ops.Bpe.encodeDistinct]],
+    * q143's consumer): rules trained on the corpus, then applied once per
+    * DISTINCT word and joined back — the vocabulary-sized economics of
+    * tokenizer application. Engine-only like q143 (the trained rules come
+    * from an iterative driver loop, not one SQL query); BpeSpec pins
+    * encodeDistinct row-for-row against the direct per-row segment fold
+    * and an independent in-memory reference. */
+  val q160 = QueryDef(
+    "q160_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val rules = graft.ops.Bpe.train(docs, "text", 12)
+      graft.ops.Bpe.encodeDistinct(docs, "text", "doc_id", rules)
+        .orderBy("doc_id")
+    },
+    None)
+
   def all: Seq[QueryDef] =
-    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152)
+    Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
+      q155, q159, q160)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with

@@ -79,6 +79,25 @@ class BpeSpec extends SparkSuite {
     assert(newest.length < "newest".length, s"expected fused segments, got $newest")
   }
 
+  test("encodeDistinct agrees row-for-row with the direct segment fold") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = Bpe.train(docs, "text", 8)
+    val viaDistinct = Bpe.encodeDistinct(docs, "text", "doc_id", rules)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val viaSegment = Bpe.segment(docs, "text", rules)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDistinct == viaSegment)
+    assert(viaDistinct.nonEmpty)
+    // merges strictly compress: BPE token count < character count somewhere,
+    // and never exceeds the per-word character total
+    val chars = docs
+      .select(col("doc_id"), expr("cast(length(replace(text, ' ', '')) as bigint)"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDistinct.forall { case (id, n) => n <= chars(id) })
+    assert(viaDistinct.exists { case (id, n) => n < chars(id) })
+  }
+
   test("early stop below minPairFreq and run-to-run determinism") {
     val rules = Bpe.train(classic.toDF("text"), "text", 50, minPairFreq = 8L)
     assert(rules.nonEmpty && rules.last.freq >= 8L && rules.size < 50)
