@@ -1487,10 +1487,47 @@ object Relational {
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
             ORDER BY g_rf, g_ls, rf, ls"""))
 
+  /** Q163 — SCD type-2 dimension history ([[graft.ops.Scd2]]): the
+    * per-customer order-status timeline collapsed to change rows with
+    * [valid_from, valid_to) intervals and an is_current flag — the
+    * standard warehouse versioned-dimension build, all per-key windows
+    * (one shuffle on the key, nothing global). The oracle replays the
+    * identical LAG-collapse + LEAD-close in SQL. */
+  val q163 = QueryDef(
+    "q163_scd2_history",
+    (s, d) => {
+      val ch = ord(s, d).filter(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      graft.ops.Scd2.buildHistory(
+        ch, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+    Some("""WITH ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority
+                        FROM orders WHERE o_custkey % 20 = 0),
+                 l AS (SELECT *, ROW_NUMBER() OVER w AS rn,
+                              LAG(o_orderstatus) OVER w AS ps,
+                              LAG(o_orderpriority) OVER w AS pp
+                       FROM ch
+                       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+                 c AS (SELECT * FROM l
+                       WHERE rn = 1 OR ps IS DISTINCT FROM o_orderstatus
+                          OR pp IS DISTINCT FROM o_orderpriority),
+                 v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+                              o_orderdate AS valid_from,
+                              LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                                      ORDER BY o_orderdate, o_orderkey) AS valid_to
+                       FROM c)
+            SELECT *, valid_to IS NULL AS is_current FROM v
+            ORDER BY o_custkey, valid_from, o_orderkey"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163)
 }

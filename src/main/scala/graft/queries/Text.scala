@@ -1059,8 +1059,47 @@ object Text {
             JOIN f ON f.sh = a.sh
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Q161 — declarative data-quality audit ([[graft.ops.Expectations]],
+    * Deequ-style): five expectations over `documents` — uniqueness,
+    * completeness, range conformance, language coverage, source
+    * cardinality — ALL computed in one aggregation job (single scan, any
+    * number of checks) and unpivoted to a verdict table. The oracle
+    * recomputes every measure independently and must agree on values AND
+    * pass flags. */
+  val q161 = QueryDef(
+    "q161_expectations_audit",
+    (s, d) => {
+      import graft.ops.Expectations, Expectations.{Expectation, ratio}
+      Expectations.audit(Tables.documents(s, d), Seq(
+        Expectation("doc_id_unique",
+          count_distinct(col("doc_id")).cast("double") / count(lit(1)), 1.0, 1.0),
+        Expectation("text_nonnull", ratio(col("text").isNotNull), 1.0, 1.0),
+        Expectation("n_chars_in_range", ratio(col("n_chars").between(1, 20000)), 0.99, 1.0),
+        Expectation("lang_coverage", ratio(col("lang").isNotNull), 0.5, 1.0),
+        Expectation("source_cardinality", count_distinct(col("source")).cast("double"), 1.0, 100.0)
+      )).orderBy("check_name")
+    },
+    Some("""WITH m AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)/COUNT(*) AS u,
+                              AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) AS nn,
+                              AVG(CASE WHEN n_chars BETWEEN 1 AND 20000 THEN 1.0 ELSE 0.0 END) AS rng,
+                              AVG(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) AS lc,
+                              CAST(COUNT(DISTINCT source) AS DOUBLE) AS sc
+                       FROM documents)
+            SELECT * FROM (
+              SELECT 'doc_id_unique' AS check_name, ROUND(u, 6) AS value,
+                     1.0 AS lo, 1.0 AS hi, ROUND(u, 6) BETWEEN 1.0 AND 1.0 AS pass FROM m
+              UNION ALL SELECT 'lang_coverage', ROUND(lc, 6), 0.5, 1.0,
+                     ROUND(lc, 6) BETWEEN 0.5 AND 1.0 FROM m
+              UNION ALL SELECT 'n_chars_in_range', ROUND(rng, 6), 0.99, 1.0,
+                     ROUND(rng, 6) BETWEEN 0.99 AND 1.0 FROM m
+              UNION ALL SELECT 'source_cardinality', ROUND(sc, 6), 1.0, 100.0,
+                     ROUND(sc, 6) BETWEEN 1.0 AND 100.0 FROM m
+              UNION ALL SELECT 'text_nonnull', ROUND(nn, 6), 1.0, 1.0,
+                     ROUND(nn, 6) BETWEEN 1.0 AND 1.0 FROM m)
+            ORDER BY check_name"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128, q137, q138, q144, q148, q154)
+      q125, q126, q128, q137, q138, q144, q148, q154, q161)
 }

@@ -586,9 +586,39 @@ object TrainPrep {
     },
     None)
 
+  /** Q162 — JSONL round-trip (the de-facto LLM corpus interchange
+    * format): documents written as JSON lines, read back with the
+    * DECLARED schema (no inference pass — schema-on-read at scale means
+    * one footerless scan, not two), and fingerprinted per source. The
+    * oracle aggregates the parquet originals, so any loss in the
+    * write→read trip (unicode escapes, null fields dropped from JSON
+    * objects, numeric formatting) hash-fails. */
+  val q162 = QueryDef(
+    "q162_jsonl_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("q162_jsonl").toString + "/docs"
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema(docs.schema).json(tmp)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(length(col("text")).cast("long")).as("text_len_sum"),
+          count(col("lang")).as("lang_n"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(SUM(len(text)) AS BIGINT) AS text_len_sum,
+                   CAST(COUNT(lang) AS BIGINT) AS lang_n
+            FROM documents GROUP BY source ORDER BY source"""))
+
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160)
+      q155, q159, q160, q162)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
