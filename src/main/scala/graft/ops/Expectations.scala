@@ -58,6 +58,9 @@ object Expectations {
     stacked
       .withColumn("lo", lo)
       .withColumn("hi", hi)
-      .withColumn("pass", col("value").between(col("lo"), col("hi")))
+      // an un-computable measure (null value, e.g. avg over an empty
+      // table) must FAIL the gate, not escape it as pass = NULL
+      .withColumn("pass",
+        coalesce(col("value").between(col("lo"), col("hi")), lit(false)))
   }
 }

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * the engine's hash split ([[graft.queries.TrainPrep]] q110).
   *
   * Shape: ids → scale-safe global rank ([[GlobalRank]], never an
-  * unpartitioned window) → candidate rank = md5₃₂(seed, id, j) mod (n−1)
-  * with the classic skip-self shift (cand ≥ selfRank → cand+1), which is
-  * exactly uniform over the n−1 non-self ranks → one keyed join back from
-  * rank to document id. Cost: GlobalRank's two bounded passes + one
-  * shuffle join on the rank — k is a row multiplier, not a join blowup. */
+  * unpartitioned window) → candidate rank = md5₄₈(seed, id, j) mod (n−1)
+  * with the classic skip-self shift (cand ≥ selfRank → cand+1) → one
+  * keyed join back from rank to document id. The 48-bit prefix draw
+  * (same as q141's epoch shuffle) makes the modulo bias ≤ (n−1)/2⁴⁸ —
+  * negligible up to trillions of documents, though not exactly uniform.
+  * Cost: GlobalRank's two bounded passes + one shuffle join on the
+  * rank — k is a row multiplier, not a join blowup. */
 object Negatives {
 
   /** (doc_id, j, neg_id) for j ∈ [0, k). Requires ≥ 2 rows. */
@@ -33,12 +35,20 @@ object Negatives {
         md5(concat(
           lit(s"$seed:"), col("doc_id").cast("string"),
           lit(":"), col("j").cast("string"))),
-        1, 8),
+        1, 12),
       16, 10).cast("long")
+    // the >= 2 rows precondition is enforced IN the plan (zero extra
+    // passes): assert_true yields null when the guard holds, errors the
+    // job otherwise — n - 1 = 0 would silently drop every row via the
+    // null modulo + join below
+    val guard = coalesce(
+      assert_true(col("n") >= 2,
+        lit("Negatives.negativePairs requires >= 2 rows")).cast("long"),
+      lit(0L))
     val cands = ranked
       .select(col("doc_id"), col("rnk"), col("n"),
         explode(sequence(lit(0), lit(k - 1))).as("j"))
-      .withColumn("cand", h % (col("n") - 1))
+      .withColumn("cand", (h + guard) % (col("n") - 1))
       .withColumn("neg_rank",
         when(col("cand") >= col("rnk"), col("cand") + 1).otherwise(col("cand")))
     cands

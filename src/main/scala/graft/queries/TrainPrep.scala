@@ -509,7 +509,8 @@ object TrainPrep {
 
   /** Q155 — deterministic negative-pair sampling
     * ([[graft.ops.Negatives]]): 3 pseudo-random contrastive negatives per
-    * document, uniform over the other n−1, drawn from a salted md5 so the
+    * document, near-uniform over the other n−1 (48-bit md5 prefix draw,
+    * modulo bias ≤ (n−1)/2⁴⁸), drawn from a salted md5 so the
     * oracle replays the identical arithmetic — rank via its own
     * ROW_NUMBER, the engine via the scale-safe [[graft.ops.GlobalRank]]
     * (the two must agree exactly for the hash to match, which also pins
@@ -524,7 +525,7 @@ object TrainPrep {
                               COUNT(*) OVER () AS n FROM documents),
                  c AS (SELECT doc_id, t.j AS j, rnk, n,
                               CAST(('0x' || substr(md5('neg-v1:' || CAST(doc_id AS VARCHAR) || ':' ||
-                                                   CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                                                   CAST(t.j AS VARCHAR)), 1, 12)) AS BIGINT)
                                 % (n - 1) AS cand
                        FROM r CROSS JOIN generate_series(0, 2) AS t(j)),
                  w AS (SELECT doc_id, j,
@@ -597,17 +598,33 @@ object TrainPrep {
     "q162_jsonl_roundtrip",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("q162_jsonl").toString + "/docs"
-      docs.write.mode("overwrite").json(tmp)
-      s.read.schema(docs.schema).json(tmp)
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("doc_id")).as("id_sum"),
-          sum(col("n_chars")).as("chars_sum"),
-          sum(length(col("text")).cast("long")).as("text_len_sum"),
-          count(col("lang")).as("lang_n"))
-        .orderBy("source")
+      // fixed per-JVM scratch root (not a fresh createTempDirectory per
+      // run — repeated verify/bench runs must not leak a corpus copy
+      // each); the tiny per-source aggregate is materialized EAGERLY so
+      // the directory can be deleted before the DataFrame is returned
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_scratch_q162")
+      val tmp = root.resolve("docs").toString
+      val agg =
+        try {
+          docs.write.mode("overwrite").json(tmp)
+          s.read.schema(docs.schema).json(tmp)
+            .groupBy(col("source"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("doc_id")).as("id_sum"),
+              sum(col("n_chars")).as("chars_sum"),
+              sum(length(col("text")).cast("long")).as("text_len_sum"),
+              count(col("lang")).as("lang_n"))
+            .orderBy("source")
+            .localCheckpoint(eager = true)
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(root.toFile)
+        }
+      agg
     },
     Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
