@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.bridge
 
 import graft.functions.{CosineSimilarity, InterleaveBits, MinHashSigExpr, SimHashSigExpr, TextFunctions}
-import graft.plans.ApproxSwapRule
+import graft.plans.{ApproxSwapRule, MvRewriteRule}
 
 /** Engine extension point (SURVEY.md §4: `SparkSessionExtensions` is the
   * supported way to ship functions + optimizer rules WITHOUT a session
@@ -23,7 +23,9 @@ import graft.plans.ApproxSwapRule
   *     to expressions through the bridge, so `spark.sql` users get the
   *     exact same semantics as the Scala API;
   *   - [[graft.plans.ApproxSwapRule]], the conf-gated exact->sketch
-  *     aggregate rewrite.
+  *     aggregate rewrite;
+  *   - [[graft.plans.MvRewriteRule]], the conf-gated materialized-view
+  *     auto-rewrite (`spark.graft.mvrewrite.enabled`, default off).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -95,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("graft_fingerprint", "graft_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
 
     ext.injectOptimizerRule(_ => ApproxSwapRule)
+    ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

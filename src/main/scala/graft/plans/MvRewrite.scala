@@ -2,9 +2,9 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+  Alias, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -34,45 +34,104 @@ import org.apache.spark.sql.types.DoubleType
   *     attribute-only Projects and group-key-only Filters;
   *   - grouping expressions are bare fact columns ⊆ the view's keys;
   *   - every aggregate is one of the five shapes above on the view's
-  *     value column, no DISTINCT, no FILTER clause.
+  *     value column, no DISTINCT, no FILTER clause, and the rewritten
+  *     expression's type equals the original's (decimal sums/avgs widen
+  *     per level and therefore decline).
+  *
+  * OUT OF SCOPE by design (each declines via the gates above, never
+  * rewrites wrong): joins under the aggregate (any non-Project/Filter
+  * node fails `stripToScan`), GROUPING SETS / ROLLUP / CUBE (Catalyst
+  * plans them as Aggregate-over-Expand — same gate), DISTINCT / FILTER
+  * aggregates, aggregates over any column other than the view's value
+  * column, filters touching non-key columns. MvRewriteSpec pins a
+  * decline case for each.
   *
   * Freshness is the registration contract, exactly as in commercial
-  * warehouses: register the view, keep it maintained (the incremental
-  * machinery in [[graft.ops.MaterializedRollup]] /
-  * [[graft.ops.IncrementalView]] exists for precisely that), or accept
-  * stale reads. Conf-gated OFF by default (`spark.graft.mvrewrite
-  * .enabled`); rewritten output attributes keep the original ExprIds, so
-  * parent plans are untouched. */
+  * warehouses: register the view, keep it maintained, or accept stale
+  * reads. Two maintained flavors ship with the engine:
+  *   - [[MvRewrite.materialize]] — one-shot parquet state; the state
+  *     relation is resolved ONCE at registration (no per-query reads)
+  *     and re-instanced per rewrite so repeated use in one plan cannot
+  *     collide on ExprIds.
+  *   - [[MvRewrite.registerRollup]] — state lives in a
+  *     [[graft.io.VersionedTable]] maintained incrementally
+  *     ([[graft.ops.IncrementalView.refreshRecompute]] with
+  *     [[MvRewrite.stateAggs]]); the provider re-resolves the CURRENT
+  *     version at plan time (one manifest read, zero data-file opens),
+  *     so every refresh is visible to the very next query.
+  *
+  * Conf-gated OFF by default (`spark.graft.mvrewrite.enabled`, injected
+  * by [[graft.GraftExtensions]]); rewritten output attributes keep the
+  * original ExprIds, so parent plans are untouched. */
 object MvRewrite {
 
+  /** A registered view: fact identity (relation root paths), its keys and
+    * value column, and a provider of the CURRENT state plan. The provider
+    * must return a fresh plan (fresh ExprIds) on every call. */
   final case class MvDef(
       factPaths: Set[String], groupCols: Seq[String], valueCol: String,
-      statePath: String)
+      stateId: String, state: () => LogicalPlan)
 
   private[plans] val registry = TrieMap.empty[String, MvDef]
 
-  def register(mv: MvDef): Unit = registry.put(mv.statePath, mv)
+  def register(mv: MvDef): Unit = registry.put(mv.stateId, mv)
   def clear(): Unit = registry.clear()
+
+  /** The decomposable state vector for (groupCols, valueCol) — the exact
+    * contract [[MvRewriteRule]] re-aggregates. Shared by [[materialize]]
+    * and the incremental maintenance path
+    * ([[graft.ops.IncrementalView.refreshRecompute]] takes these
+    * verbatim). */
+  def stateAggs(valueCol: String): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    count(col(valueCol)).as("n_vals"),
+    sum(col(valueCol)).as("sum_v"),
+    min(col(valueCol)).as("min_v"),
+    max(col(valueCol)).as("max_v"))
 
   /** Build + persist the state table for (factPath, groupCols, valueCol)
     * and register the view. One keyed shuffle over the fact; the state is
-    * one row per group-key tuple. */
+    * one row per group-key tuple. The state relation is resolved HERE,
+    * once — rewrites re-instance it without touching the filesystem. */
   def materialize(
       spark: SparkSession, factPath: String, groupCols: Seq[String],
       valueCol: String, statePath: String): MvDef = {
     val fact = spark.read.parquet(factPath)
+    val aggs = stateAggs(valueCol)
     fact.groupBy(groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_rows"),
-        count(col(valueCol)).as("n_vals"),
-        sum(col(valueCol)).as("sum_v"),
-        min(col(valueCol)).as("min_v"),
-        max(col(valueCol)).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(statePath)
-    val mv = MvDef(rootPathsOf(spark, factPath), groupCols, valueCol, statePath)
+    val stateRel = resolvedRelation(spark, statePath)
+    val mv = MvDef(
+      rootPathsOf(spark, factPath), groupCols, valueCol, statePath,
+      () => stateRel.newInstance())
     register(mv)
     mv
   }
+
+  /** Register an INCREMENTALLY MAINTAINED view: the fact is a
+    * [[graft.io.VersionedTable]] read through
+    * [[graft.io.VersionedTable.table]] (root path `factTablePath/data`),
+    * the state a VersionedTable at `viewPath` whose rows follow
+    * [[stateAggs]] — maintained by
+    * [[graft.ops.IncrementalView.refreshRecompute]], so refresh cost
+    * scales with the change volume, never the fact. The state provider
+    * resolves the CURRENT version per plan (one manifest read); a refresh
+    * committed between two queries is visible to the second. */
+  def registerRollup(
+      spark: SparkSession, factTablePath: String, groupCols: Seq[String],
+      valueCol: String, viewPath: String): MvDef = {
+    val mv = MvDef(
+      Set(s"$factTablePath/data"), groupCols, valueCol, viewPath,
+      () => graft.io.VersionedTable.read(spark, viewPath).queryExecution.analyzed)
+    register(mv)
+    mv
+  }
+
+  private def resolvedRelation(spark: SparkSession, path: String): LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(s"state at $path is not a file relation"))
 
   private def rootPathsOf(spark: SparkSession, path: String): Set[String] =
     spark.read.parquet(path).queryExecution.analyzed.collect {
@@ -96,12 +155,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Strip attribute-only Projects and collect Filters down to a file
-    * relation; None if anything else intervenes. */
+    * relation; None if anything else intervenes (joins, Expand from
+    * grouping sets, subqueries — all decline here). */
   private def stripToScan(
       plan: LogicalPlan,
       filters: List[Expression]): Option[(LogicalRelation, Set[String], List[Expression])] =
     plan match {
-      case p @ Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
         stripToScan(child, filters)
       case Filter(cond, child) => stripToScan(child, cond :: filters)
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -114,91 +174,90 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
       (_, paths, filters) <- stripToScan(agg.child, Nil)
       mv <- registry.values.find(_.factPaths == paths)
       plan <- rewriteWith(agg, mv, filters)
     } yield plan
-  }
 
   private def rewriteWith(
       agg: Aggregate, mv: MvDef, filters: List[Expression]): Option[LogicalPlan] = {
     val groupNames = agg.groupingExpressions.map(attrName)
     if (groupNames.exists(_.isEmpty)) return None
     if (!groupNames.flatten.forall(mv.groupCols.contains)) return None
-    // filters may reference group keys only
+    // filters may reference group keys only (partials are exact per key)
     val filterRefsOk = filters.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
     if (!filterRefsOk) return None
 
-    val spark = SparkSession.active
-    val state = spark.read.parquet(mv.statePath).queryExecution.analyzed
+    val state = mv.state()
     val stateAttr: Map[String, AttributeReference] =
       state.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+    if (!(mv.groupCols :+ "n_rows").forall(stateAttr.contains)) return None
 
     def onState(e: Expression): Expression = e.transform {
       case a: AttributeReference => stateAttr(a.name)
     }
 
-    // each original output expression gets a state-side equivalent,
-    // aliased back to the ORIGINAL name + ExprId so parents are untouched
-    def rewriteAgg(fn: Expression): Option[Expression] = fn match {
-      case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined => None
-      case AggregateExpression(Count(Seq(c)), _, false, _, _) if c.foldable =>
-        Some(Coalesce(Seq(
-          Sum(stateAttr("n_rows")).toAggregateExpression(), Literal(0L))))
-      case AggregateExpression(Count(Seq(c)), _, false, _, _)
-          if attrName(c).contains(mv.valueCol) =>
-        Some(Coalesce(Seq(
-          Sum(stateAttr("n_vals")).toAggregateExpression(), Literal(0L))))
-      case AggregateExpression(Sum(c, _), _, false, _, _)
-          if attrName(c).contains(mv.valueCol) =>
-        Some(Sum(stateAttr("sum_v")).toAggregateExpression())
-      case AggregateExpression(Min(c), _, false, _, _)
-          if attrName(c).contains(mv.valueCol) =>
-        Some(Min(stateAttr("min_v")).toAggregateExpression())
-      case AggregateExpression(Max(c), _, false, _, _)
-          if attrName(c).contains(mv.valueCol) =>
-        Some(Max(stateAttr("max_v")).toAggregateExpression())
-      case AggregateExpression(Average(c, _), _, false, _, _)
-          if attrName(c).contains(mv.valueCol) =>
-        Some(Cast(
-          Sum(Cast(stateAttr("sum_v"), DoubleType)).toAggregateExpression(), DoubleType)
-          match {
-            case s =>
-              org.apache.spark.sql.catalyst.expressions.Divide(
-                s,
-                Cast(Sum(stateAttr("n_vals")).toAggregateExpression(), DoubleType))
-          })
-      case _ => None
+    /** State-side equivalent of one fact-side aggregate, or None. The
+      * result's dataType must EQUAL the original's — re-aggregating a
+      * partial widens decimals one level further than the original would
+      * (sum(decimal(p,s)) is decimal(p+10,s), sum of that p+20), and a
+      * changed type would corrupt parents that kept the old ExprId. */
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      val rewritten: Option[Expression] = ae match {
+        case _ if ae.isDistinct || ae.filter.isDefined => None
+        case AggregateExpression(Count(Seq(c)), _, false, _, _)
+            if c.foldable && !c.nullable =>
+          // count(*) / count(lit) — a NULLABLE foldable (count(NULL)) is
+          // NOT total-row count and falls through to decline
+          Some(Coalesce(Seq(
+            Sum(stateAttr("n_rows")).toAggregateExpression(), Literal(0L))))
+        case AggregateExpression(Count(Seq(c)), _, false, _, _)
+            if attrName(c).contains(mv.valueCol) =>
+          Some(Coalesce(Seq(
+            Sum(stateAttr("n_vals")).toAggregateExpression(), Literal(0L))))
+        case AggregateExpression(Sum(c, _), _, false, _, _)
+            if attrName(c).contains(mv.valueCol) =>
+          Some(Sum(stateAttr("sum_v")).toAggregateExpression())
+        case AggregateExpression(Min(c), _, false, _, _)
+            if attrName(c).contains(mv.valueCol) =>
+          Some(Min(stateAttr("min_v")).toAggregateExpression())
+        case AggregateExpression(Max(c), _, false, _, _)
+            if attrName(c).contains(mv.valueCol) =>
+          Some(Max(stateAttr("max_v")).toAggregateExpression())
+        case AggregateExpression(Average(c, _), _, false, _, _)
+            if attrName(c).contains(mv.valueCol) =>
+          Some(Divide(
+            Sum(Cast(stateAttr("sum_v"), DoubleType)).toAggregateExpression(),
+            Cast(Sum(stateAttr("n_vals")).toAggregateExpression(), DoubleType)))
+        case _ => None
+      }
+      rewritten.filter(_.dataType == ae.dataType)
     }
 
+    /** Pre-order rewrite with Option failure: AggregateExpressions are
+      * handled as WHOLE subtrees before their children are ever visited
+      * (a naive transformUp reaches the value-column attribute inside
+      * sum(v) first and wrongly vetoes the rewrite); attribute refs
+      * OUTSIDE any aggregate must be group keys. */
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference =>
+        if (mv.groupCols.contains(a.name)) Some(stateAttr(a.name)) else None
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    // each original output expression gets a state-side equivalent,
+    // aliased back to the ORIGINAL name + ExprId so parents are untouched
     val rewrittenOut: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference if mv.groupCols.contains(a.name) =>
         Some(Alias(stateAttr(a.name), a.name)(exprId = a.exprId))
       case al @ Alias(child, name) =>
-        val hasAgg = child.exists(_.isInstanceOf[AggregateExpression])
-        if (!hasAgg) {
-          // non-aggregate projection (e.g. aliased group key)
-          if (child.references.forall(r => mv.groupCols.contains(r.name)))
-            Some(Alias(onState(child), name)(exprId = al.exprId))
-          else None
-        } else {
-          // rewrite every embedded aggregate; fail the whole alias if any
-          // embedded aggregate is unsupported
-          var ok = true
-          val newChild = child.transformUp {
-            case ae: AggregateExpression =>
-              rewriteAgg(ae) match {
-                case Some(r) => r
-                case None => ok = false; ae
-              }
-            case a: AttributeReference =>
-              if (mv.groupCols.contains(a.name)) stateAttr(a.name)
-              else { ok = false; a }
-          }
-          if (ok) Some(Alias(newChild, name)(exprId = al.exprId)) else None
-        }
+        rewriteExpr(child).map(c => Alias(c, name)(exprId = al.exprId))
       case _ => None
     }
     if (rewrittenOut.exists(_.isEmpty)) return None

@@ -1524,10 +1524,69 @@ object Relational {
             SELECT *, valid_to IS NULL AS is_current FROM v
             ORDER BY o_custkey, valid_from, o_orderkey"""))
 
+  /** Q164 — materialized-view AUTO-REWRITE through the oracle gate
+    * ([[graft.plans.MvRewrite]] + [[graft.plans.MvRewriteRule]], injected
+    * by [[graft.GraftExtensions]], VERDICT r9 item 1): a per-(returnflag,
+    * linestatus) state vector is materialized once, the rule is enabled,
+    * and the user's PLAIN aggregate over the lineitem scan — group-key
+    * filter, subset-of-keys regroup, all five aggregate shapes — is
+    * answered from the state. The `require` proves the fact scan is GONE
+    * from the optimized plan (at 100 TB: one row per group read instead
+    * of a full fact scan + shuffle), while the DuckDB oracle recomputes
+    * everything from the raw fact — a stale, mis-merged, or
+    * null-mishandling state vector hash-fails. MvRewriteSpec pins the
+    * fire/decline matrix; registration state is torn down either way. */
+  val q164 = QueryDef(
+    "q164_mv_rewrite",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val factPath = s"$d/lineitem.parquet"
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch_q164")
+      val state = root.resolve("state").toString
+      graft.plans.MvRewrite.materialize(
+        s, factPath, Seq("l_returnflag", "l_linestatus"), "l_quantity", state)
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        val df = s.read.parquet(factPath)
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("l_quantity")).as("n_qty"),
+            sum("l_quantity").as("sum_qty"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            r4(avg("l_quantity")).as("avg_qty"))
+          .orderBy("l_returnflag")
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.exists(_.endsWith("lineitem.parquet")),
+          s"MV rewrite did not fire; scans: $roots")
+        df.localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        graft.plans.MvRewrite.clear()
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(root.toFile)
+      }
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(l_quantity) AS BIGINT) AS n_qty,
+                   SUM(l_quantity) AS sum_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty
+            FROM lineitem WHERE l_linestatus = 'F'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164)
 }

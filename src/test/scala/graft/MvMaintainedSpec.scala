@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+import graft.ops.IncrementalView
+import graft.plans.MvRewrite
+
+/** End-to-end MAINTAINED materialized view (VERDICT r9 item 2): the fact
+  * is a [[VersionedTable]], its rollup state another VersionedTable kept
+  * current by [[IncrementalView.refreshRecompute]] over the CDF (touched
+  * groups only — refresh cost ∝ change volume), registered through
+  * [[MvRewrite.registerRollup]] so a user's PLAIN aggregate over
+  * [[VersionedTable.table]] is answered from the state — and stays
+  * correct across append, merge, and delete, because the state provider
+  * re-resolves the CURRENT view version at plan time. */
+class MvMaintainedSpec extends SparkSuite {
+
+  private val ConfKey = "spark.graft.mvrewrite.enabled"
+
+  private def scanRoots(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.toSet
+
+  test("refreshDelta-style maintenance loop: rewrite answer tracks the fact") {
+    val tmp = java.nio.file.Files.createTempDirectory("mv_maint").toString
+    val src = tmp + "/fact"; val view = tmp + "/view"
+    import spark.implicits._
+
+    // v = id * mult, null on every 7th row (exercises n_vals vs n_rows)
+    def fact(ids: Range, mult: Long): DataFrame =
+      ids.map(_.toLong).toDF("id")
+        .select(col("id"),
+          concat(lit("k"), (col("id") % 5).cast("string")).as("k"),
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("id") * mult).as("v"))
+
+    VersionedTable.commitAppend(fact(0 until 200, 1), src)
+    IncrementalView.refreshRecompute(
+      spark, src, view, "mv", Seq("k"), MvRewrite.stateAggs("v"))
+    MvRewrite.registerRollup(spark, src, Seq("k"), "v", view)
+    spark.conf.set(ConfKey, "true")
+    try {
+      def q() = VersionedTable.table(spark, src)
+        .groupBy("k")
+        .agg(
+          count(lit(1)).as("n"), count(col("v")).as("nv"),
+          sum("v").as("s"), min("v").as("mn"), max("v").as("mx"),
+          avg("v").as("a"))
+        .orderBy("k")
+
+      def direct() = {
+        spark.conf.set(ConfKey, "false")
+        try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      }
+
+      def assertFiredAndCorrect(): Unit = {
+        val roots = scanRoots(q())
+        assert(!roots.contains(s"$src/data"), s"fact scan survived: $roots")
+        assert(roots.exists(_.contains("/view/")), s"state scan missing: $roots")
+        assert(q().collect().toSeq == direct())
+      }
+
+      assertFiredAndCorrect()
+
+      // append new rows (new group k-member counts change)
+      VersionedTable.commitAppend(fact(200 until 260, 3), src)
+      IncrementalView.refreshRecompute(
+        spark, src, view, "mv", Seq("k"), MvRewrite.stateAggs("v"))
+      assertFiredAndCorrect()
+
+      // merge: reprice every 10th id (touched groups recompute exactly)
+      VersionedTable.merge(spark, src,
+        fact(0 until 200, 1)
+          .filter(col("id") % 10 === 0)
+          .withColumn("v", col("v") * 100),
+        Seq("id"))
+      IncrementalView.refreshRecompute(
+        spark, src, view, "mv", Seq("k"), MvRewrite.stateAggs("v"))
+      assertFiredAndCorrect()
+
+      // delete: min/max are not invertible — the recompute path must heal
+      VersionedTable.deleteWhere(spark, src, col("id") % 3 === 1)
+      IncrementalView.refreshRecompute(
+        spark, src, view, "mv", Seq("k"), MvRewrite.stateAggs("v"))
+      assertFiredAndCorrect()
+
+      // STALENESS is the registration contract: mutate WITHOUT refresh and
+      // the rewrite serves the old state; one refresh re-converges
+      VersionedTable.deleteWhere(spark, src, col("id") % 3 === 2)
+      assert(q().collect().toSeq != direct(), "expected a stale read before refresh")
+      IncrementalView.refreshRecompute(
+        spark, src, view, "mv", Seq("k"), MvRewrite.stateAggs("v"))
+      assertFiredAndCorrect()
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+}
