@@ -98,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectOptimizerRule(_ => ApproxSwapRule)
     ext.injectOptimizerRule(_ => MvRewriteRule)
+    ext.injectResolutionRule(_ => graft.sources.VtDmlRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -921,10 +921,10 @@ object VersionedTable {
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
               "row-level changes are not reconstructible — resync from a snapshot")
           Some(tag(evolvedRead(spark, path, toText, tombstones), "delete", v))
-        case "merge" | "merge-dv" | "replace" =>
-          // matched/replaced target rows tombstoned as deletes, new files
-          // tagged as inserts; rewritten survivors are data movement, not
-          // changes
+        case "merge" | "merge-dv" | "replace" | "update" =>
+          // matched/replaced/updated target rows tombstoned as deletes,
+          // new files tagged as inserts; rewritten survivors are data
+          // movement, not changes
           val dels = cdfFilesOf(text)
           val ins = cdfiFilesOf(text)
           (if (dels.isEmpty) None
@@ -1114,6 +1114,81 @@ object VersionedTable {
         case e: ConcurrentCommitException =>
           if (attempt >= maxRebases) throw e // caller sees the conflict
         // else: loop re-bases against the new latest snapshot
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Copy-on-write `UPDATE ... SET ... WHERE ...`: rewrite ONLY the files
+    * holding matching rows, applying `assignments` (column name →
+    * replacement Column over the OLD row — `SET amount = amount * 2`
+    * composes naturally) to matching rows and carrying everything else
+    * untouched — the [[deleteWhere]] file surgery with a transform instead
+    * of a drop. Old matching rows stage as CDF deletes and their updated
+    * forms as CDF inserts, so [[changesWithType]] consumers (incremental
+    * views, CDC mirrors) replay the update as the standard delete+insert
+    * pair. CHECK constraints gate the updated rows; NULL-predicate rows
+    * are NOT updated (three-valued logic, same policy as delete's
+    * survivor filter); rewritten files migrate to the current logical
+    * schema and shed applied deletion vectors, like every rewrite op.
+    * Conflict-checked and re-based like the other maintenance commits.
+    * Returns (version, rowsUpdated). SQL `UPDATE` statement text lands
+    * here through [[graft.sources.VtDmlRule]]. */
+  def updateWhere(
+      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      maxRebases: Int = 5): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val text = manifestText(spark, path, current)
+      val rel = manifestFiles(spark, path, current)
+      val schema = tableSchema(spark, path, Some(current))
+      val unknown = assignments.keys.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, s"UPDATE assigns unknown column(s): ${unknown.mkString(",")}")
+      // one pruned scan (schema-aware + DV-applied): which files hold rows
+      // to update
+      val hitAbs = evolvedRead(spark, path, text, rel, dvFiles = dvFilesOf(text))
+        .filter(predicate)
+        .select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      if (hitAbs.isEmpty) return (current, 0L)
+      def relOf(uri: String): String = {
+        val p = new java.net.URI(uri).getPath
+        val i = p.lastIndexOf("/data/")
+        require(i >= 0, s"unexpected data file location: $uri")
+        p.substring(i + "/data/".length)
+      }
+      val hitRel = hitAbs.map(relOf).toSet
+      val kept = rel.filterNot(hitRel)
+      val touched = evolvedRead(spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
+      val isHit = coalesce(predicate, lit(false))
+      val oldRows = touched.filter(isHit)
+      val (oldCommit, oldNames) = stageData(oldRows, path) // CDF delete side
+      val updatedCount = spark.read.parquet(s"$path/data/$oldCommit").count()
+      val newRows = oldRows.select(schema.fields.toSeq.map(f =>
+        assignments.get(f.name)
+          .map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))): _*)
+      enforceChecks(spark, path, newRows)
+      val (_, insNames) = stageData(newRows, path) // CDF insert side
+      val survivors = touched.filter(!isHit)
+      val (_, survNames) = stageData(survivors, path)
+      try {
+        val v = publish(spark, path, "update", kept ++ survNames ++ insNames,
+          carryForward = false, requiredParent = Some(current),
+          cdfFiles = oldNames, cdfInsertFiles = insNames,
+          dvOverride = prunedDv(spark, path, text, kept),
+          addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
+        return (v, updatedCount)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRebases) throw e
       }
     }
     sys.error("unreachable")

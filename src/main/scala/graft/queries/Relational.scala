@@ -1583,10 +1583,80 @@ object Relational {
             FROM lineitem WHERE l_linestatus = 'F'
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Q165 — SQL DML lifecycle through the oracle gate
+    * ([[graft.sources.VtDmlRule]], VERDICT r9 item 3): the q133 CDC batch
+    * — repriced updates, tombstones, high-key inserts, tagged with an
+    * `op` column — applied by `MERGE INTO ... WHEN MATCHED AND op='D'
+    * THEN DELETE / UPDATE SET * / INSERT *` STATEMENT TEXT against the
+    * [[graft.sources.VtCatalog]] path identifier, followed by an
+    * arbitrary-predicate `DELETE FROM` (modulo — beyond the V1 filter
+    * seam, so it exercises the resolution-rule path, not `SupportsDelete`)
+    * and a self-referencing `UPDATE ... SET price = price * 2`
+    * ([[graft.io.VersionedTable.updateWhere]]'s COW file surgery). The
+    * oracle replays all three mutations relationally, so a lost survivor,
+    * resurrected tombstone, double-applied update, ghost insert, or
+    * mis-scoped delete/update hash-fails. VtDmlSpec pins action order,
+    * leave-alone rows, and the fail-fast matrix. */
+  val q165 = QueryDef(
+    "q165_sql_merge_delete",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("q165_dml").toString + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("op", lit("U"))
+      val deletes = base.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("op", lit("D"))
+      val inserts = base.orderBy("o_orderkey").limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("op", lit("I"))
+      updates.unionByName(deletes).unionByName(inserts)
+        .createOrReplaceTempView("q165_cdc")
+      s.conf.set("spark.sql.catalog.vtq165", classOf[graft.sources.VtCatalog].getName)
+      s.sql(
+        s"""MERGE INTO vtq165.`$path` t USING q165_cdc b
+           |ON t.o_orderkey = b.o_orderkey
+           |WHEN MATCHED AND b.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND b.op <> 'D' THEN INSERT *
+           |""".stripMargin)
+      s.sql(s"DELETE FROM vtq165.`$path` WHERE o_orderkey % 1000 = 7")
+      s.sql(s"UPDATE vtq165.`$path` SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 1")
+      graft.io.VersionedTable.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum("o_totalprice") / lit(1e6)).as("total_mm"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 merged AS (
+                   SELECT * FROM base
+                   WHERE o_orderkey % 100 <> 0 AND o_orderkey % 100 <> 50
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1
+                   FROM base WHERE o_orderkey % 100 = 0
+                   UNION ALL
+                   SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                   FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 5)),
+                 survived AS (SELECT * FROM merged WHERE o_orderkey % 1000 <> 7),
+                 final AS (
+                   SELECT o_orderkey, o_orderstatus,
+                          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 1
+                               THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+                   FROM survived)
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm,
+                   MAX(o_orderkey) AS max_key
+            FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165)
 }

@@ -36,7 +36,17 @@ import graft.io.VersionedTable
   *   SELECT * FROM vt.events TIMESTAMP AS OF '...'
   *   ALTER TABLE vt.events RENAME COLUMN v TO label
   *   SELECT * FROM vt.`/abs/path/tbl`            -- path as identifier
+  *   DELETE FROM vt.events WHERE id % 10 = 3     -- file-surgery delete
+  *   UPDATE vt.events SET v = concat(v, '!') WHERE id < 10 -- COW update
+  *   MERGE INTO vt.events t USING batch b        -- CDC upsert+delete
+  *     ON t.id = b.id
+  *     WHEN MATCHED AND b.op = 'D' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED AND b.op <> 'D' THEN INSERT *
   * }}}
+  *
+  * DML resolves through [[VtDmlRule]] (see its scaladoc for the exact
+  * supported MERGE shape and why conditions are source-only).
   *
   * Reads go through the V1 connector bridge ([[V1Scan]] — the same public
   * seam Spark's own JDBC v2 uses): pushed filters and the pruned column
@@ -167,11 +177,29 @@ class VtCatalog extends TableCatalog {
 }
 
 /** One versioned table (optionally pinned to a time-travel version) as a
-  * DSv2 [[Table]]. See [[VtCatalog]] for the architecture. */
+  * DSv2 [[Table]]. See [[VtCatalog]] for the architecture; `MERGE INTO` /
+  * arbitrary-predicate `DELETE FROM` land via [[VtDmlRule]], while the
+  * standard [[SupportsDelete]] seam below covers V1-translatable deletes
+  * even when [[graft.GraftExtensions]] is not injected. */
 final class VtTable(path: String, identName: String, version: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private[sources] def tablePath: String = path
+  private[sources] def timeTravelVersion: Option[Long] = version
 
   private def spark: SparkSession = SparkSession.active
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => VtTable.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty, s"cannot DELETE from time-travel identifier ${name()}")
+    VersionedTable.deleteWhere(spark, path,
+      filters.flatMap(VtTable.translate).reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true)))
+    ()
+  }
 
   override def name(): String =
     version.fold(identName)(v => s"$identName@v$v")
