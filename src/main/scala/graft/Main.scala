@@ -72,6 +72,19 @@ object Main {
       val (manifests, files) = graft.io.VersionedTable.vacuum(spark, path, keepLast.toInt)
       println(s"[graft] vacuumed $manifests versions, $files data files")
       spark.stop()
+    // Layout advisor: replay a workload's headline queries over a fixture
+    // dir, record their filter shapes, and print the stats/bloom/Z-order
+    // recommendation report (report only — no table is touched).
+    case "advise" :: sfDir :: Nil =>
+      val spark = GraftSession.local()
+      graft.tools.LayoutAdvisor.clear()
+      SparkEntry.registry.filter(_.headline).foreach { q =>
+        try graft.tools.LayoutAdvisor.record(q.run(spark, sfDir))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      println(graft.tools.LayoutAdvisor.report())
+      graft.tools.LayoutAdvisor.clear()
+      spark.stop()
     case "table-delete" :: path :: keyCol :: keys :: Nil =>
       // surgical purge by key list; follow with table-vacuum for the
       // physical erasure (pre-delete snapshots time-travel until then)
@@ -84,7 +97,7 @@ object Main {
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
-          "list | metrics <name> <sfDir> | table-history <path> | " +
+          "list | metrics <name> <sfDir> | advise <sfDir> | table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
           s"table-delete <path> <keyCol> <id,...> (got: $other)")
       sys.exit(1)

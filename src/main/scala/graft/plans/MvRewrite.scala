@@ -59,6 +59,11 @@ import org.apache.spark.sql.types.DoubleType
   *     [[MvRewrite.stateAggs]]); the provider re-resolves the CURRENT
   *     version at plan time (one manifest read, zero data-file opens),
   *     so every refresh is visible to the very next query.
+  *   - [[MvRewrite.registerDeltaRollup]] — the
+  *     [[graft.ops.IncrementalView.refreshDelta]] flavor: refresh from
+  *     the CDF window alone (zero source scans); count/sum/avg rewrite,
+  *     min/max/count(v) decline because the state simply lacks those
+  *     partials — the rewriter serves what the state has.
   *
   * Conf-gated OFF by default (`spark.graft.mvrewrite.enabled`, injected
   * by [[graft.GraftExtensions]]); rewritten output attributes keep the
@@ -128,6 +133,35 @@ object MvRewrite {
     mv
   }
 
+  /** Register a DELTA-maintained view
+    * ([[graft.ops.IncrementalView.refreshDelta]] — the invertible-
+    * aggregate path whose refresh is computed from the CDF window ALONE,
+    * ZERO source scans): the view carries `(cnt, sum_<valueCol>)`, so
+    * count(*)/sum/avg rewrite and min/max/count(v) DECLINE (the partial
+    * rewriter only uses the columns the state actually has).
+    *
+    * Contract: `valueCol` must be null-free in the fact — the delta
+    * maintains a row count, not a non-null count, so the provider equates
+    * `n_vals = cnt`; a nullable value column would silently shift avg.
+    * refreshDelta also sums as DOUBLE, so the fact column must be double
+    * (any other type fails the rewriter's dataType-equality gate — a
+    * decline, never a wrong answer). */
+  def registerDeltaRollup(
+      spark: SparkSession, factTablePath: String, groupCols: Seq[String],
+      valueCol: String, viewPath: String): MvDef = {
+    val mv = MvDef(
+      Set(s"$factTablePath/data"), groupCols, valueCol, viewPath,
+      () => graft.io.VersionedTable.read(spark, viewPath)
+        .select(
+          groupCols.map(col) ++ Seq(
+            col("cnt").as("n_rows"),
+            col("cnt").as("n_vals"),
+            col(s"sum_$valueCol").as("sum_v")): _*)
+        .queryExecution.analyzed)
+    register(mv)
+    mv
+  }
+
   private def resolvedRelation(spark: SparkSession, path: String): LogicalRelation =
     spark.read.parquet(path).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
@@ -174,12 +208,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Any failure declines: an optimizer rule must never take down a
+    * query (e.g. a state table dropped after registration, or a state
+    * schema that stopped matching the contract). */
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
-    for {
-      (_, paths, filters) <- stripToScan(agg.child, Nil)
-      mv <- registry.values.find(_.factPaths == paths)
-      plan <- rewriteWith(agg, mv, filters)
-    } yield plan
+    try {
+      for {
+        (_, paths, filters) <- stripToScan(agg.child, Nil)
+        mv <- registry.values.find(_.factPaths == paths)
+        plan <- rewriteWith(agg, mv, filters)
+      } yield plan
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"MV rewrite declined on error: ${e.getMessage}")
+        None
+    }
 
   private def rewriteWith(
       agg: Aggregate, mv: MvDef, filters: List[Expression]): Option[LogicalPlan] = {
@@ -193,6 +236,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val state = mv.state()
     val stateAttr: Map[String, AttributeReference] =
       state.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+    // group keys + n_rows are the minimum contract; a state carrying only
+    // part of the aggregate vector (e.g. the delta-maintained rollup has
+    // no min_v/max_v) serves the aggregates it has and declines the rest
     if (!(mv.groupCols :+ "n_rows").forall(stateAttr.contains)) return None
 
     def onState(e: Expression): Expression = e.transform {
@@ -211,26 +257,27 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             if c.foldable && !c.nullable =>
           // count(*) / count(lit) — a NULLABLE foldable (count(NULL)) is
           // NOT total-row count and falls through to decline
-          Some(Coalesce(Seq(
-            Sum(stateAttr("n_rows")).toAggregateExpression(), Literal(0L))))
+          stateAttr.get("n_rows").map(a => Coalesce(Seq(
+            Sum(a).toAggregateExpression(), Literal(0L))))
         case AggregateExpression(Count(Seq(c)), _, false, _, _)
             if attrName(c).contains(mv.valueCol) =>
-          Some(Coalesce(Seq(
-            Sum(stateAttr("n_vals")).toAggregateExpression(), Literal(0L))))
+          stateAttr.get("n_vals").map(a => Coalesce(Seq(
+            Sum(a).toAggregateExpression(), Literal(0L))))
         case AggregateExpression(Sum(c, _), _, false, _, _)
             if attrName(c).contains(mv.valueCol) =>
-          Some(Sum(stateAttr("sum_v")).toAggregateExpression())
+          stateAttr.get("sum_v").map(a => Sum(a).toAggregateExpression())
         case AggregateExpression(Min(c), _, false, _, _)
             if attrName(c).contains(mv.valueCol) =>
-          Some(Min(stateAttr("min_v")).toAggregateExpression())
+          stateAttr.get("min_v").map(a => Min(a).toAggregateExpression())
         case AggregateExpression(Max(c), _, false, _, _)
             if attrName(c).contains(mv.valueCol) =>
-          Some(Max(stateAttr("max_v")).toAggregateExpression())
+          stateAttr.get("max_v").map(a => Max(a).toAggregateExpression())
         case AggregateExpression(Average(c, _), _, false, _, _)
             if attrName(c).contains(mv.valueCol) =>
-          Some(Divide(
-            Sum(Cast(stateAttr("sum_v"), DoubleType)).toAggregateExpression(),
-            Cast(Sum(stateAttr("n_vals")).toAggregateExpression(), DoubleType)))
+          for (s <- stateAttr.get("sum_v"); n <- stateAttr.get("n_vals"))
+            yield Divide(
+              Sum(Cast(s, DoubleType)).toAggregateExpression(),
+              Cast(Sum(n).toAggregateExpression(), DoubleType))
         case _ => None
       }
       rewritten.filter(_.dataType == ae.dataType)

@@ -266,6 +266,8 @@ object VtTable {
     * scan. Partial by design: an untranslated filter is simply not pruned
     * on (Spark re-applies everything above the seam). */
   private[graft] def translate(f: Filter): Option[Column] = f match {
+    case sources.AlwaysTrue() => Some(org.apache.spark.sql.functions.lit(true))
+    case sources.AlwaysFalse() => Some(org.apache.spark.sql.functions.lit(false))
     case sources.EqualTo(a, v) => Some(col(a) === v)
     case sources.EqualNullSafe(a, v) => Some(col(a) <=> v)
     case sources.GreaterThan(a, v) => Some(col(a) > v)

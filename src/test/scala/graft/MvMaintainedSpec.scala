@@ -101,4 +101,68 @@ class MvMaintainedSpec extends SparkSuite {
       MvRewrite.clear()
     }
   }
+
+  test("delta-maintained rollup: CDF-only refresh, partial-state declines, replay no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("mv_delta").toString
+    val src = tmp + "/fact"; val view = tmp + "/view"
+    import spark.implicits._
+
+    // integer-valued doubles: refreshDelta sums as double, values exact
+    def fact(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(_.toLong).toDF("id")
+        .select(col("id"),
+          concat(lit("k"), (col("id") % 4).cast("string")).as("k"),
+          (col("id") * 2.0).as("v"))
+
+    VersionedTable.commitAppend(fact(0 until 120), src)
+    IncrementalView.refreshDelta(spark, src, view, "mvd", Seq("k"), Seq("v"))
+    MvRewrite.registerDeltaRollup(spark, src, Seq("k"), "v", view)
+    spark.conf.set(ConfKey, "true")
+    try {
+      def covered() = VersionedTable.table(spark, src)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+        .orderBy("k")
+      def direct[A](q: () => org.apache.spark.sql.DataFrame) = {
+        spark.conf.set(ConfKey, "false")
+        try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      }
+      def assertCovered(): Unit = {
+        val roots = scanRoots(covered())
+        assert(!roots.contains(s"$src/data"), s"fact scan survived: $roots")
+        assert(covered().collect().toSeq == direct(covered _))
+      }
+      assertCovered()
+
+      // min needs min_v, which the delta state lacks: decline, stay right
+      def minQ() = VersionedTable.table(spark, src)
+        .groupBy("k").agg(min("v").as("mn")).orderBy("k")
+      assert(scanRoots(minQ()).contains(s"$src/data"), "expected decline on min")
+      assert(minQ().collect().toSeq == direct(minQ _))
+
+      // merge + delete, ONE delta refresh from the CDF window
+      VersionedTable.merge(spark, src,
+        fact(0 until 120).filter(col("id") % 6 === 0).withColumn("v", col("v") * 10),
+        Seq("id"))
+      VersionedTable.deleteWhere(spark, src, col("id") % 5 === 2)
+      IncrementalView.refreshDelta(spark, src, view, "mvd", Seq("k"), Seq("v"))
+      assertCovered()
+
+      // replayed refresh (same consumer, current version) is a no-op
+      assert(IncrementalView.refreshDelta(
+        spark, src, view, "mvd", Seq("k"), Seq("v")).isEmpty)
+      assertCovered()
+
+      // a registry entry whose state table lacks even n_rows declines
+      // instead of crashing the optimizer
+      MvRewrite.register(MvRewrite.MvDef(
+        Set(s"$src/data"), Seq("k"), "v", "broken",
+        () => VersionedTable.read(spark, view)
+          .select(col("k")).queryExecution.analyzed))
+      assert(minQ().collect().toSeq == direct(minQ _)) // still answers
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
 }

@@ -99,6 +99,12 @@ class MvRewriteSpec extends SparkSuite {
         .orderBy("k1")
       assertFired(q(), fact, state)
       assertOnEqualsOff(q _)
+      // the translated filter must reach the STATE parquet scan as an
+      // ordinary pushed predicate — the rewrite hands off to standard
+      // pushdown, it does not strand the filter above the aggregate
+      val physical = q().queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters") &&
+        physical.replaceAll("\\s", "").contains("EqualTo(k2,y)"), physical)
       // null group keys: k1 has a null — both sides keep it as its own group
       def nullGroups() = spark.read.parquet(fact).groupBy("k1", "k2")
         .agg(count(col("v")).as("nv")).orderBy("k1", "k2")

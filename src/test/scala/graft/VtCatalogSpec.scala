@@ -102,8 +102,17 @@ class VtCatalogSpec extends SparkSuite {
     assert(t(And(GreaterThan("a", 1), In("b", Array(1, 2)))).isDefined)
     assert(t(Or(IsNull("a"), StringStartsWith("s", "x"))).isDefined)
     assert(t(Not(LessThanOrEqual("a", 5))).isDefined)
-    assert(t(AlwaysTrue()).isEmpty, "unknown filters must fall to the residual path")
-    assert(t(And(AlwaysTrue(), EqualTo("a", 1))).isEmpty,
+    // AlwaysTrue/False translate since the TRUNCATE seam needs them
+    assert(t(AlwaysTrue()).isDefined)
+    assert(t(AlwaysFalse()).isDefined)
+    // a filter shape outside the grammar falls to the residual path and
+    // poisons any conjunction it sits in (Spark re-applies every pushed
+    // filter above the seam, so dropping is safe — translating a COLLATED
+    // comparison as a binary one would over-prune, declining never can)
+    val collated = CollatedEqualTo("s", "x",
+      org.apache.spark.sql.types.StringType("UTF8_LCASE"))
+    assert(t(collated).isEmpty, "unknown filters must fall to the residual path")
+    assert(t(And(collated, EqualTo("a", 1))).isEmpty,
       "a conjunction with an untranslatable leg drops entirely (residuals re-apply)")
   }
 }

@@ -152,6 +152,16 @@ class VtDmlSpec extends SparkSuite {
     assert(VersionedTable.versions(spark, path).last == v0)
   }
 
+  test("TRUNCATE TABLE empties the table through the SupportsDelete seam") {
+    val path = freshTable()
+    spark.sql(s"TRUNCATE TABLE ${cat(path)}")
+    assert(VersionedTable.read(spark, path).count() == 0L)
+    // the table stays live (readable at HEAD) and appendable
+    VersionedTable.commitAppend(
+      Seq((1000L, "x", 1L)).toDF("id", "label", "amount"), path)
+    assert(snapshot(path).keySet == Set(1000L))
+  }
+
   test("MERGE bootstraps CDF + exactly-once machinery (commit is a real version)") {
     val path = freshTable()
     val v0 = VersionedTable.versions(spark, path).last
