@@ -199,14 +199,51 @@ final case class VtMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = bridge.ofRows(spark, spec.source)
     val keyNames = spec.keys.map(_._1)
+    val flag = "__vt_del"
+
+    // FAST PATH — the common CDC shape `WHEN MATCHED THEN UPDATE SET * /
+    // WHEN NOT MATCHED THEN INSERT *` (no conditions, no DELETE, update
+    // and insert projecting the same row): every source row's fate is
+    // "upsert" regardless of matched status, so the matched-flag join —
+    // and with it a full scan of the target's key column — is skipped
+    // entirely; VersionedTable.merge's stats+bloom pruning is then the
+    // only target read.
+    val unconditional =
+      spec.matchedActions.forall {
+        case u: UpdateAction => u.condition.isEmpty
+        case d: DeleteAction => d.condition.isEmpty
+        case _ => false
+      } && spec.insertAction.forall(_.condition.isEmpty)
+    val updOnly = spec.matchedActions.collect { case u: UpdateAction => u }
+    val sameProjection = (updOnly, spec.insertAction) match {
+      case (Seq(u), Some(i)) =>
+        val um = u.assignments.map(a =>
+          a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
+        val im = i.assignments.map(a =>
+          a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
+        um.keySet == im.keySet && um.forall { case (k, v) => v.semanticEquals(im(k)) }
+      case _ => false
+    }
+    if (unconditional && sameProjection &&
+        !spec.matchedActions.exists(_.isInstanceOf[DeleteAction])) {
+      val assigns = updOnly.head.assignments.map(a =>
+        a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
+      val batch = src.select(targetSchema.fields.toSeq.map(f =>
+        bridge.column(assigns(f.name)).cast(f.dataType).as(f.name)) :+
+        lit(false).as(flag): _*)
+      VersionedTable.merge(spark, path, batch, keyNames, deleteFlag = Some(flag))
+      return Seq.empty
+    }
+
     val kCols = spec.keys.zipWithIndex.map { case ((_, e), i) =>
       bridge.column(e).as(s"__vt_k_$i")
     }
     val withKeys = src.select(col("*") +: kCols: _*)
     val joinKeys = spec.keys.indices.map(i => s"__vt_k_$i")
-    // matched/unmatched per source row: one distinct-keys semi-shape join
-    // (keys only — at CDC scale this broadcasts; the table is never
-    // materialized wide here)
+    // matched/unmatched per source row: one KEYS-ONLY broadcast-shape join
+    // — the target side is a single column-pruned scan of the key
+    // column(s), the (small) CDC source broadcasts, nothing shuffles and
+    // the table is never materialized wide here
     val tgtKeys = VersionedTable.read(spark, path)
       .select(keyNames.zipWithIndex.map { case (k, i) => col(k).as(s"__vt_k_$i") }: _*)
       .distinct()
@@ -244,7 +281,6 @@ final case class VtMergeCommand(
     val insAssigns = spec.insertAction.map(_.assignments.map(x =>
       x.key.asInstanceOf[AttributeReference].name -> x.value).toMap)
 
-    val flag = "__vt_del"
     def fullRow(assigns: Map[String, Expression], del: Boolean): Seq[Column] =
       targetSchema.fields.toSeq.map(f =>
         bridge.column(assigns(f.name)).cast(f.dataType).as(f.name)) :+

@@ -88,6 +88,24 @@ class VtDmlSpec extends SparkSuite {
     assert(!after.contains(11L))        // fell through to delete
   }
 
+  test("MERGE fast path: unconditional UPDATE SET * + INSERT * upserts without a key scan") {
+    val path = freshTable()
+    Seq((5L, "u5", 500L), (200L, "n200", 2000L))
+      .toDF("id", "label", "amount")
+      .createOrReplaceTempView("vtdml_fast")
+    spark.sql(
+      s"""MERGE INTO ${cat(path)} t USING vtdml_fast b
+         |ON t.id = b.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val after = snapshot(path)
+    assert(after(5L) == (("u5", 500L)))
+    assert(after(200L) == (("n200", 2000L)))
+    assert(after.size == 101)
+    assert(after(6L) == (("s6", 60L)))
+  }
+
   test("DELETE FROM with a non-V1-translatable predicate (modulo)") {
     val path = freshTable()
     spark.sql(s"DELETE FROM ${cat(path)} WHERE id % 10 = 3")
