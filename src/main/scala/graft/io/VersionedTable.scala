@@ -921,7 +921,7 @@ object VersionedTable {
             s"version $v is a delete without CDF tombstones (written by an older writer); " +
               "row-level changes are not reconstructible — resync from a snapshot")
           Some(tag(evolvedRead(spark, path, toText, tombstones), "delete", v))
-        case "merge" | "merge-dv" | "replace" | "update" =>
+        case "merge" | "merge-dv" | "replace" | "update" | "update-dv" =>
           // matched/replaced/updated target rows tombstoned as deletes,
           // new files tagged as inserts; rewritten survivors are data
           // movement, not changes
@@ -1186,6 +1186,66 @@ object VersionedTable {
           dvOverride = prunedDv(spark, path, text, kept),
           addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
         return (v, updatedCount)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRebases) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Deletion-vector UPDATE: the merge-on-read twin of [[updateWhere]],
+    * completing the write-amplification spectrum for updates exactly as
+    * [[mergeDV]] does for merges — matching rows are tombstoned through
+    * DELETION VECTORS and their updated forms APPENDED, rewriting ZERO
+    * existing files (write cost ∝ rows updated, however scattered), at
+    * the price of the read-side DV anti-join that routine compaction
+    * amortizes away. The scattered-update shape [[updateWhere]] handles
+    * badly: a predicate touching a few rows in every file forces the COW
+    * form to rewrite the whole table, while here only the changed rows
+    * write. CDF emits the same delete(old)+insert(new) pairs, CHECKs
+    * gate the updated rows, blooms extend over the appended files, NULL
+    * predicate rows are not updated. Returns (version, rowsUpdated). */
+  def updateWhereDV(
+      spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      maxRebases: Int = 5): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val text = manifestText(spark, path, current)
+      val rel = manifestFiles(spark, path, current)
+      val schema = tableSchema(spark, path, Some(current))
+      val unknown = assignments.keys.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, s"UPDATE assigns unknown column(s): ${unknown.mkString(",")}")
+      val isHit = coalesce(predicate, lit(false)) // NULL predicate rows survive
+      // one scan, position identity captured ON the scan (__f/__pos)
+      val hit = evolvedRead(
+        spark, path, text, rel, dvFiles = dvFilesOf(text), withPosition = true)
+        .filter(isHit)
+      val (dvCommit, dvNames) = stageData(
+        hit.select(col("__f").as("f"), col("__pos").as("pos")), path)
+      val updated = spark.read.parquet(s"$path/data/$dvCommit").count()
+      if (updated == 0L) return (current, 0L) // staged empty set falls to vacuum
+      val oldRows = hit.drop("__f", "__pos")
+      val (_, cdfNames) = stageData(oldRows, path) // CDF delete side
+      val newRows = oldRows.select(schema.fields.toSeq.map(f =>
+        assignments.get(f.name)
+          .map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))): _*)
+      enforceChecks(spark, path, newRows)
+      val (_, insNames) = stageData(newRows, path) // appended data = CDF insert side
+      try {
+        val v = publish(spark, path, "update-dv", insNames, carryForward = true,
+          requiredParent = Some(current), cdfFiles = cdfNames,
+          cdfInsertFiles = insNames, addDvFiles = dvNames,
+          addBloomFiles = rebloom(spark, path, text, insNames)).get
+        return (v, updated)
       } catch {
         case e: ConcurrentCommitException =>
           if (attempt >= maxRebases) throw e

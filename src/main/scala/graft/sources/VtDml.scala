@@ -166,7 +166,16 @@ object VtDmlRule extends Rule[LogicalPlan] {
       byName
     }
     m.matchedActions.collectFirst { case u: UpdateAction =>
-      assignMap(u.assignments.map(a => a.key -> a.value), "UPDATE SET")
+      val am = assignMap(u.assignments.map(a => a.key -> a.value), "UPDATE SET")
+      // UPDATE may not reassign a merge key: the lowering applies updates
+      // BY key, so a key-changing SET would silently retarget the row
+      // instead of updating the matched one
+      keys.foreach { case (k, e) =>
+        if (!am(k).semanticEquals(e)) fail(
+          s"UPDATE SET must not reassign merge key '$k' " +
+            s"(SET $k = ${am(k).sql}, but ON matches on ${e.sql})")
+      }
+      am
     }
     insertAction.foreach(i =>
       assignMap(i.assignments.map(a => a.key -> a.value), "INSERT"))
@@ -316,17 +325,25 @@ final case class VtDeleteCommand(path: String, cond: VtExprHolder)
 }
 
 /** `UPDATE vt.tbl SET col = expr, ... WHERE cond` →
-  * [[VersionedTable.updateWhere]]'s copy-on-write file surgery.
-  * Assignment values and the condition reference the TARGET row (SQL
-  * UPDATE semantics — `SET amount = amount * 2` reads the old value), so
-  * both rebind by name onto the table's own scan. */
+  * [[VersionedTable.updateWhere]]'s copy-on-write file surgery, or
+  * [[VersionedTable.updateWhereDV]]'s zero-rewrite deletion-vector form
+  * when `spark.graft.dml.update.mode = dv` (the scattered-update shape:
+  * write ∝ rows updated instead of files hit). Assignment values and the
+  * condition reference the TARGET row (SQL UPDATE semantics —
+  * `SET amount = amount * 2` reads the old value), so both rebind by
+  * name onto the table's own scan. */
 final case class VtUpdateCommand(path: String, spec: VtAssignHolder)
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.updateWhere(
-      spark, path, VtDml.rebindByName(spec.cond),
-      spec.assigns.map { case (k, v) => k -> VtDml.rebindByName(v) }.toMap)
+    val cond = VtDml.rebindByName(spec.cond)
+    val assigns = spec.assigns.map { case (k, v) => k -> VtDml.rebindByName(v) }.toMap
+    spark.conf.get("spark.graft.dml.update.mode", "cow") match {
+      case "dv" => VersionedTable.updateWhereDV(spark, path, cond, assigns)
+      case "cow" => VersionedTable.updateWhere(spark, path, cond, assigns)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dml.update.mode must be cow or dv, got: $other")
+    }
     Seq.empty
   }
 }

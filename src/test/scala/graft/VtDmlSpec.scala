@@ -144,6 +144,10 @@ class VtDmlSpec extends SparkSuite {
       s"""MERGE INTO ${cat(path)} t USING vtdml_bad b ON t.id = b.id
          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
       "NOT MATCHED BY SOURCE")
+    mustFail(
+      s"""MERGE INTO ${cat(path)} t USING vtdml_bad b ON t.id = b.id
+         |WHEN MATCHED THEN UPDATE SET id = b.id + 1, label = b.label, amount = b.amount""".stripMargin,
+      "must not reassign merge key")
   }
 
   test("UPDATE: COW file surgery with self-referencing assignment") {
@@ -161,6 +165,19 @@ class VtDmlSpec extends SparkSuite {
     val types = VersionedTable.changesWithType(spark, path, v0, v0 + 1)
       .groupBy("_change_type").count().as[(String, Long)].collect().toMap
     assert(types == Map("insert" -> 10L, "delete" -> 10L))
+  }
+
+  test("UPDATE in dv mode: same result, zero files rewritten") {
+    val path = freshTable()
+    val before = VersionedTable.dataFiles(spark, path, Some(1L)).toSet
+    spark.conf.set("spark.graft.dml.update.mode", "dv")
+    try spark.sql(s"UPDATE ${cat(path)} SET amount = amount + 5 WHERE id % 25 = 0")
+    finally spark.conf.unset("spark.graft.dml.update.mode")
+    val after = snapshot(path)
+    assert(after(0L) == (("s0", 5L)) && after(25L) == (("s25", 255L)))
+    assert(after.size == 100)
+    val v2 = VersionedTable.versions(spark, path).last
+    assert(before.subsetOf(VersionedTable.dataFiles(spark, path, Some(v2)).toSet))
   }
 
   test("UPDATE: no matching rows is a no-op version-wise") {
