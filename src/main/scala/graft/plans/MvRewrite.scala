@@ -210,14 +210,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   /** Any failure declines: an optimizer rule must never take down a
     * query (e.g. a state table dropped after registration, or a state
-    * schema that stopped matching the contract). */
+    * schema that stopped matching the contract). Every view registered
+    * over the matched fact is a candidate — tried FEWEST-group-keys
+    * first (smaller state = fewer rows read and a cheaper re-aggregate),
+    * stateId as the deterministic tie-break; the first that can serve
+    * the query wins, so one non-covering view never blocks another. */
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     try {
       for {
         (_, paths, filters) <- stripToScan(agg.child, Nil)
-        mv <- registry.values.find(_.factPaths == paths)
-        plan <- rewriteWith(agg, mv, filters)
-      } yield plan
+        mv <- registry.values.toSeq
+          .filter(_.factPaths == paths)
+          .sortBy(m => (m.groupCols.size, m.stateId))
+          .view.flatMap(m => rewriteWith(agg, m, filters)).headOption
+      } yield mv
     } catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"MV rewrite declined on error: ${e.getMessage}")

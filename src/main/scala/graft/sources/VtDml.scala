@@ -240,7 +240,7 @@ final case class VtMergeCommand(
       val batch = src.select(targetSchema.fields.toSeq.map(f =>
         bridge.column(assigns(f.name)).cast(f.dataType).as(f.name)) :+
         lit(false).as(flag): _*)
-      VersionedTable.merge(spark, path, batch, keyNames, deleteFlag = Some(flag))
+      VtDml.runMerge(spark, path, batch, keyNames, flag)
       return Seq.empty
     }
 
@@ -308,7 +308,7 @@ final case class VtMergeCommand(
       insAssigns.map(a => joined.filter(!matched && insWhen).select(fullRow(a, del = false): _*))
     ).flatten
     val batch = parts.reduce(_ unionAll _)
-    VersionedTable.merge(spark, path, batch, keyNames, deleteFlag = Some(flag))
+    VtDml.runMerge(spark, path, batch, keyNames, flag)
     Seq.empty
   }
 }
@@ -355,4 +355,21 @@ private[sources] object VtDml {
     bridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
+
+  /** Apply a lowered MERGE batch through the mode the session picked:
+    * copy-on-write [[VersionedTable.merge]] (default) or the
+    * zero-rewrite deletion-vector [[VersionedTable.mergeDV]]
+    * (`spark.graft.dml.merge.mode = dv` — write ∝ rows matched, the
+    * scattered-key CDC shape). */
+  def runMerge(
+      spark: SparkSession, path: String,
+      batch: org.apache.spark.sql.DataFrame, keys: Seq[String], flag: String): Unit = {
+    spark.conf.get("spark.graft.dml.merge.mode", "cow") match {
+      case "dv" => VersionedTable.mergeDV(spark, path, batch, keys, deleteFlag = Some(flag))
+      case "cow" => VersionedTable.merge(spark, path, batch, keys, deleteFlag = Some(flag))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dml.merge.mode must be cow or dv, got: $other")
+    }
+    ()
+  }
 }

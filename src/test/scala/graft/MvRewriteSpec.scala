@@ -193,6 +193,29 @@ class MvRewriteSpec extends SparkSuite {
     }
   }
 
+  test("multiple views over one fact: non-covering candidates never block, smallest wins") {
+    withFixture { (fact, state) =>
+      // a second, SMALLER view (keys = k1 only) over the same fact: it
+      // cannot serve k1+k2 groupings but must serve k1-only ones, and
+      // being smaller it must WIN for those over the (k1,k2) view
+      val tmp2 = java.nio.file.Files.createTempDirectory("mvrw_small").toString + "/state1"
+      MvRewrite.materialize(spark, fact, Seq("k1"), "v", tmp2)
+      def byBoth() = spark.read.parquet(fact).groupBy("k1", "k2")
+        .agg(sum("v").as("s")).orderBy("k1", "k2")
+      def byK1() = spark.read.parquet(fact).groupBy("k1")
+        .agg(sum("v").as("s")).orderBy("k1")
+      // (k1,k2) grouping: only the wide view covers - the narrow one
+      // must not block it
+      assertFired(byBoth(), fact, state)
+      assertOnEqualsOff(byBoth _)
+      // k1 grouping: both cover; the narrow (fewest-keys) view wins
+      assertFired(byK1(), fact, tmp2)
+      assert(!scanRoots(byK1()).exists(_.endsWith(state.stripPrefix("file:"))),
+        s"expected the smaller view to win: ${scanRoots(byK1())}")
+      assertOnEqualsOff(byK1 _)
+    }
+  }
+
   test("conf off means no rewrite even when a view is registered") {
     withFixture { (fact, _) =>
       spark.conf.set(ConfKey, "false")

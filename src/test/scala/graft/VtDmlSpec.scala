@@ -150,6 +150,29 @@ class VtDmlSpec extends SparkSuite {
       "must not reassign merge key")
   }
 
+  test("MERGE in dv mode: same result as cow, zero files rewritten") {
+    val path = freshTable()
+    val before = VersionedTable.dataFiles(spark, path, Some(1L)).toSet
+    Seq((5L, "u5", 555L, "U"), (7L, "x", 0L, "D"), (200L, "n200", 2000L, "I"))
+      .toDF("id", "label", "amount", "op")
+      .createOrReplaceTempView("vtdml_dv")
+    spark.conf.set("spark.graft.dml.merge.mode", "dv")
+    try spark.sql(
+      s"""MERGE INTO ${cat(path)} t USING vtdml_dv b
+         |ON t.id = b.id
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND b.op <> 'D' THEN INSERT *
+         |""".stripMargin)
+    finally spark.conf.unset("spark.graft.dml.merge.mode")
+    val after = snapshot(path)
+    assert(after(5L) == (("u5", 555L)) && !after.contains(7L) &&
+      after(200L) == (("n200", 2000L)) && after.size == 100)
+    val v = VersionedTable.versions(spark, path).last
+    assert(before.subsetOf(VersionedTable.dataFiles(spark, path, Some(v)).toSet),
+      "dv-mode MERGE must not rewrite existing files")
+  }
+
   test("UPDATE: COW file surgery with self-referencing assignment") {
     val path = freshTable()
     val v0 = VersionedTable.versions(spark, path).last
