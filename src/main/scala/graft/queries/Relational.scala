@@ -1653,10 +1653,82 @@ object Relational {
                    MAX(o_orderkey) AS max_key
             FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q166 — MAINTAINED materialized view through the oracle gate (the
+    * q136/q164 composition): the fact is a
+    * [[graft.io.VersionedTable]], its 5-vector state
+    * ([[graft.plans.MvRewrite.stateAggs]]) lives in a second versioned
+    * table refreshed by [[graft.ops.IncrementalView.refreshRecompute]]
+    * (touched groups only), registered via
+    * [[graft.plans.MvRewrite.registerRollup]]. The fact then takes a
+    * MERGE (reprice every 100th key) and a DELETE (every key ≡ 50 mod
+    * 100), ONE refresh folds them in, and the user's PLAIN aggregate
+    * over [[graft.io.VersionedTable.table]] is answered from the state —
+    * the `require` proves the fact scan is GONE while the oracle
+    * recomputes count/sum/min/max/avg from the mutation algebra, so a
+    * stale group, ghost row, or mis-merged partial hash-fails. */
+  val q166 = QueryDef(
+    "q166_mv_maintained",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("q166_mv").toString
+      val src = tmp + "/fact"; val view = tmp + "/view"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base, src, "o_orderkey")
+      def refresh(): Unit = {
+        graft.ops.IncrementalView.refreshRecompute(
+          s, src, view, "mv166", Seq("o_orderstatus"),
+          graft.plans.MvRewrite.stateAggs("o_totalprice"))
+        ()
+      }
+      refresh()
+      graft.plans.MvRewrite.registerRollup(
+        s, src, Seq("o_orderstatus"), "o_totalprice", view)
+      graft.io.VersionedTable.merge(s, src,
+        base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+        Seq("o_orderkey"))
+      graft.io.VersionedTable.deleteWhere(s, src, col("o_orderkey") % 100 === 50)
+      refresh()
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        val df = graft.io.VersionedTable.table(s, src)
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            r4(sum("o_totalprice") / lit(1e6)).as("total_mm"),
+            r4(min("o_totalprice")).as("min_p"),
+            r4(max("o_totalprice")).as("max_p"),
+            r4(avg("o_totalprice") / lit(1e3)).as("avg_k"))
+          .orderBy("o_orderstatus")
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.contains(s"$src/data"),
+          s"maintained-MV rewrite did not fire; scans: $roots")
+        df.localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        graft.plans.MvRewrite.clear()
+      }
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+                 mutated AS (
+                   SELECT o_orderkey, o_orderstatus,
+                          CASE WHEN o_orderkey % 100 = 0
+                               THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+                   FROM base WHERE o_orderkey % 100 <> 50)
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm,
+                   ROUND(MIN(o_totalprice), 4) AS min_p,
+                   ROUND(MAX(o_totalprice), 4) AS max_p,
+                   ROUND(AVG(o_totalprice)/1000.0, 4) AS avg_k
+            FROM mutated GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166)
 }
