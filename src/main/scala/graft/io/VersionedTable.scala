@@ -1082,39 +1082,45 @@ object VersionedTable {
       val kept = rel.filterNot(hitRel)
       // rewritten files are staged under the CURRENT logical schema and
       // with active deletion vectors applied — a delete doubles as
-      // physical migration for the files it touches
+      // physical migration for the files it touches. Persisted: the
+      // tombstone and survivor stages must see ONE evaluation (a
+      // non-deterministic predicate would otherwise tombstone different
+      // rows than it drops, and the touched files re-scan per stage).
       val doomed = evolvedRead(spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
-      // three-valued logic: a NULL predicate row is NOT deleted — it must
-      // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
-      val isDoomed = org.apache.spark.sql.functions.coalesce(
-        predicate, org.apache.spark.sql.functions.lit(false))
-      val (removedCommit, removedNames) = stageData(doomed.filter(isDoomed), path) // CDF tombstones
-      val deleted = spark.read.parquet(s"$path/data/$removedCommit").count()
-      val survivors = doomed.filter(!isDoomed)
-      val (_, newNames) = stageData(survivors, path)
-      // all-rows-deleted guard: an empty survivors frame with live
-      // partitions can stage zero part files, and an all-empty manifest
-      // would make the table unreadable at HEAD — stage one explicit
-      // empty-schema file so the latest version always reads (as empty).
-      val newNames2 =
-        if (kept.nonEmpty || newNames.nonEmpty) newNames
-        else {
-          val empty = spark.createDataFrame(
-            spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-            doomed.schema)
-          stageData(empty, path)._2
-        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val v = publish(spark, path, "delete", kept ++ newNames2, carryForward = false,
-          requiredParent = Some(current), cdfFiles = removedNames,
-          dvOverride = prunedDv(spark, path, text, kept),
-          addBloomFiles = rebloom(spark, path, text, newNames)).get
-        return (v, deleted)
-      } catch {
-        case e: ConcurrentCommitException =>
-          if (attempt >= maxRebases) throw e // caller sees the conflict
-        // else: loop re-bases against the new latest snapshot
-      }
+        // three-valued logic: a NULL predicate row is NOT deleted — it must
+        // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
+        val isDoomed = org.apache.spark.sql.functions.coalesce(
+          predicate, org.apache.spark.sql.functions.lit(false))
+        val (removedCommit, removedNames) = stageData(doomed.filter(isDoomed), path) // CDF tombstones
+        val deleted = spark.read.parquet(s"$path/data/$removedCommit").count()
+        val survivors = doomed.filter(!isDoomed)
+        val (_, newNames) = stageData(survivors, path)
+        // all-rows-deleted guard: an empty survivors frame with live
+        // partitions can stage zero part files, and an all-empty manifest
+        // would make the table unreadable at HEAD — stage one explicit
+        // empty-schema file so the latest version always reads (as empty).
+        val newNames2 =
+          if (kept.nonEmpty || newNames.nonEmpty) newNames
+          else {
+            val empty = spark.createDataFrame(
+              spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+              doomed.schema)
+            stageData(empty, path)._2
+          }
+        try {
+          val v = publish(spark, path, "delete", kept ++ newNames2, carryForward = false,
+            requiredParent = Some(current), cdfFiles = removedNames,
+            dvOverride = prunedDv(spark, path, text, kept),
+            addBloomFiles = rebloom(spark, path, text, newNames)).get
+          return (v, deleted)
+        } catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRebases) throw e // caller sees the conflict
+          // else: loop re-bases against the new latest snapshot
+        }
+      } finally doomed.unpersist()
     }
     sys.error("unreachable")
   }
@@ -1166,30 +1172,37 @@ object VersionedTable {
       }
       val hitRel = hitAbs.map(relOf).toSet
       val kept = rel.filterNot(hitRel)
+      // persisted: three consumers below (CDF stage, updated forms,
+      // survivors) must see ONE evaluation — repeated scans triple the
+      // I/O, and under a non-deterministic predicate would tombstone
+      // different rows than they rewrite
       val touched = evolvedRead(spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
-      val isHit = coalesce(predicate, lit(false))
-      val oldRows = touched.filter(isHit)
-      val (oldCommit, oldNames) = stageData(oldRows, path) // CDF delete side
-      val updatedCount = spark.read.parquet(s"$path/data/$oldCommit").count()
-      val newRows = oldRows.select(schema.fields.toSeq.map(f =>
-        assignments.get(f.name)
-          .map(_.cast(f.dataType).as(f.name))
-          .getOrElse(col(f.name))): _*)
-      enforceChecks(spark, path, newRows)
-      val (_, insNames) = stageData(newRows, path) // CDF insert side
-      val survivors = touched.filter(!isHit)
-      val (_, survNames) = stageData(survivors, path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val v = publish(spark, path, "update", kept ++ survNames ++ insNames,
-          carryForward = false, requiredParent = Some(current),
-          cdfFiles = oldNames, cdfInsertFiles = insNames,
-          dvOverride = prunedDv(spark, path, text, kept),
-          addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
-        return (v, updatedCount)
-      } catch {
-        case e: ConcurrentCommitException =>
-          if (attempt >= maxRebases) throw e
-      }
+        val isHit = coalesce(predicate, lit(false))
+        val oldRows = touched.filter(isHit)
+        val (oldCommit, oldNames) = stageData(oldRows, path) // CDF delete side
+        val updatedCount = spark.read.parquet(s"$path/data/$oldCommit").count()
+        val newRows = oldRows.select(schema.fields.toSeq.map(f =>
+          assignments.get(f.name)
+            .map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))): _*)
+        enforceChecks(spark, path, newRows)
+        val (_, insNames) = stageData(newRows, path) // CDF insert side
+        val survivors = touched.filter(!isHit)
+        val (_, survNames) = stageData(survivors, path)
+        try {
+          val v = publish(spark, path, "update", kept ++ survNames ++ insNames,
+            carryForward = false, requiredParent = Some(current),
+            cdfFiles = oldNames, cdfInsertFiles = insNames,
+            dvOverride = prunedDv(spark, path, text, kept),
+            addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
+          return (v, updatedCount)
+        } catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRebases) throw e
+        }
+      } finally touched.unpersist()
     }
     sys.error("unreachable")
   }
@@ -1224,32 +1237,39 @@ object VersionedTable {
       val unknown = assignments.keys.filterNot(schema.fieldNames.contains)
       require(unknown.isEmpty, s"UPDATE assigns unknown column(s): ${unknown.mkString(",")}")
       val isHit = coalesce(predicate, lit(false)) // NULL predicate rows survive
-      // one scan, position identity captured ON the scan (__f/__pos)
+      // one scan, position identity captured ON the scan (__f/__pos);
+      // persisted: the DV set, the CDF tombstones and the updated forms
+      // must all come from ONE evaluation — re-scanning would triple the
+      // I/O, and under a non-deterministic predicate would tombstone
+      // different rows than it re-inserts
       val hit = evolvedRead(
         spark, path, text, rel, dvFiles = dvFilesOf(text), withPosition = true)
         .filter(isHit)
-      val (dvCommit, dvNames) = stageData(
-        hit.select(col("__f").as("f"), col("__pos").as("pos")), path)
-      val updated = spark.read.parquet(s"$path/data/$dvCommit").count()
-      if (updated == 0L) return (current, 0L) // staged empty set falls to vacuum
-      val oldRows = hit.drop("__f", "__pos")
-      val (_, cdfNames) = stageData(oldRows, path) // CDF delete side
-      val newRows = oldRows.select(schema.fields.toSeq.map(f =>
-        assignments.get(f.name)
-          .map(_.cast(f.dataType).as(f.name))
-          .getOrElse(col(f.name))): _*)
-      enforceChecks(spark, path, newRows)
-      val (_, insNames) = stageData(newRows, path) // appended data = CDF insert side
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val v = publish(spark, path, "update-dv", insNames, carryForward = true,
-          requiredParent = Some(current), cdfFiles = cdfNames,
-          cdfInsertFiles = insNames, addDvFiles = dvNames,
-          addBloomFiles = rebloom(spark, path, text, insNames)).get
-        return (v, updated)
-      } catch {
-        case e: ConcurrentCommitException =>
-          if (attempt >= maxRebases) throw e
-      }
+        val (dvCommit, dvNames) = stageData(
+          hit.select(col("__f").as("f"), col("__pos").as("pos")), path)
+        val updated = spark.read.parquet(s"$path/data/$dvCommit").count()
+        if (updated == 0L) return (current, 0L) // staged empty set falls to vacuum
+        val oldRows = hit.drop("__f", "__pos")
+        val (_, cdfNames) = stageData(oldRows, path) // CDF delete side
+        val newRows = oldRows.select(schema.fields.toSeq.map(f =>
+          assignments.get(f.name)
+            .map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))): _*)
+        enforceChecks(spark, path, newRows)
+        val (_, insNames) = stageData(newRows, path) // appended data = CDF insert side
+        try {
+          val v = publish(spark, path, "update-dv", insNames, carryForward = true,
+            requiredParent = Some(current), cdfFiles = cdfNames,
+            cdfInsertFiles = insNames, addDvFiles = dvNames,
+            addBloomFiles = rebloom(spark, path, text, insNames)).get
+          return (v, updated)
+        } catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRebases) throw e
+        }
+      } finally hit.unpersist()
     }
     sys.error("unreachable")
   }

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * rank — k is a row multiplier, not a join blowup. */
 object Negatives {
 
-  /** (doc_id, j, neg_id) for j ∈ [0, k). Requires ≥ 2 rows. */
+  /** (doc_id, j, neg_id) for j ∈ [0, k). A single-row corpus errors the
+    * job (the in-plan guard below — one row has no possible partner); an
+    * EMPTY corpus yields an empty result without error (per-row asserts
+    * never evaluate, and no anchors means no pairs is the right answer). */
   def negativePairs(
       df: DataFrame, idCol: String, k: Int, seed: String = "neg-v1"): DataFrame = {
     require(k >= 1, "k must be positive")

@@ -71,11 +71,17 @@ import org.apache.spark.sql.types.DoubleType
 object MvRewrite {
 
   /** A registered view: fact identity (relation root paths), its keys and
-    * value column, and a provider of the CURRENT state plan. The provider
-    * must return a fresh plan (fresh ExprIds) on every call. */
+    * value column, a provider of the CURRENT state plan, and a gate run
+    * against the matched fact relation before rewriting. The provider
+    * must return a fresh plan (fresh ExprIds) on every call; `factGate`
+    * exists because root paths alone cannot tell a TIME-TRAVEL read from
+    * a current one — a versioned fact pinned to an old version must NOT
+    * be answered from the current state (the rollup registrations compare
+    * the scan's file list against the current version's). */
   final case class MvDef(
       factPaths: Set[String], groupCols: Seq[String], valueCol: String,
-      stateId: String, state: () => LogicalPlan)
+      stateId: String, state: () => LogicalPlan,
+      factGate: LogicalRelation => Boolean = _ => true)
 
   private[plans] val registry = TrieMap.empty[String, MvDef]
 
@@ -128,10 +134,23 @@ object MvRewrite {
       valueCol: String, viewPath: String): MvDef = {
     val mv = MvDef(
       Set(s"$factTablePath/data"), groupCols, valueCol, viewPath,
-      () => graft.io.VersionedTable.read(spark, viewPath).queryExecution.analyzed)
+      () => graft.io.VersionedTable.read(spark, viewPath).queryExecution.analyzed,
+      factGate = currentVersionGate(spark, factTablePath))
     register(mv)
     mv
   }
+
+  /** True iff the matched relation scans exactly the CURRENT version's
+    * file list — a `VERSION AS OF` / time-travel read scans an older
+    * list and must decline (the state tracks the current version only). */
+  private def currentVersionGate(
+      spark: SparkSession, factTablePath: String): LogicalRelation => Boolean =
+    lr => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.inputFiles.toSet ==
+          graft.io.VersionedTable.dataFiles(spark, factTablePath).toSet
+      case _ => false
+    }
 
   /** Register a DELTA-maintained view
     * ([[graft.ops.IncrementalView.refreshDelta]] — the invertible-
@@ -157,7 +176,8 @@ object MvRewrite {
             col("cnt").as("n_rows"),
             col("cnt").as("n_vals"),
             col(s"sum_$valueCol").as("sum_v")): _*)
-        .queryExecution.analyzed)
+        .queryExecution.analyzed,
+      factGate = currentVersionGate(spark, factTablePath))
     register(mv)
     mv
   }
@@ -218,9 +238,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     try {
       for {
-        (_, paths, filters) <- stripToScan(agg.child, Nil)
+        (lr, paths, filters) <- stripToScan(agg.child, Nil)
         mv <- registry.values.toSeq
-          .filter(_.factPaths == paths)
+          .filter(m => m.factPaths == paths && m.factGate(lr))
           .sortBy(m => (m.groupCols.size, m.stateId))
           .view.flatMap(m => rewriteWith(agg, m, filters)).headOption
       } yield mv

@@ -23,6 +23,12 @@ object Relational {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** Recursive delete for fixed per-JVM scratch roots (q162 policy:
+    * repeated verify/bench runs must not leak a table copy each run). */
+  private[queries] def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(); ()
+  }
+
   /** Q1 — scan + projection + total sort (ref: column selection
     * `reduction.scala:32-43`, ordered sink `reduction.scala:23`). */
   val q01 = QueryDef(
@@ -1600,7 +1606,11 @@ object Relational {
   val q165 = QueryDef(
     "q165_sql_merge_delete",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q165_dml").toString + "/tbl"
+      // fixed per-JVM scratch root, deleted after eager materialization
+      // (q162 policy: repeated verify/bench runs must not leak a copy each)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch_q165")
+      Relational.rmTree(root.toFile)
+      val path = root.resolve("tbl").toString
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
       val updates = base.filter(col("o_orderkey") % 100 === 0)
@@ -1624,13 +1634,15 @@ object Relational {
       s.sql(s"DELETE FROM vtq165.`$path` WHERE o_orderkey % 1000 = 7")
       s.sql(s"UPDATE vtq165.`$path` SET o_totalprice = o_totalprice * 2 " +
         "WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 1")
-      graft.io.VersionedTable.read(s, path)
+      try graft.io.VersionedTable.read(s, path)
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("cnt"),
           r4(sum("o_totalprice") / lit(1e6)).as("total_mm"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
+        .localCheckpoint(eager = true)
+      finally Relational.rmTree(root.toFile)
     },
     Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
                  merged AS (
@@ -1670,8 +1682,9 @@ object Relational {
     "q166_mv_maintained",
     (s, d) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("q166_mv").toString
-      val src = tmp + "/fact"; val view = tmp + "/view"
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch_q166")
+      Relational.rmTree(root.toFile)
+      val src = root.resolve("fact").toString; val view = root.resolve("view").toString
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, src, "o_orderkey")
       def refresh(): Unit = {
@@ -1710,6 +1723,7 @@ object Relational {
       } finally {
         s.conf.set("spark.graft.mvrewrite.enabled", "false")
         graft.plans.MvRewrite.clear()
+        Relational.rmTree(root.toFile)
       }
     },
     Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -27,6 +27,15 @@ import graft.io.VersionedTable
   * the resolved command instead reuses the library's manifest-race commit
   * paths, file-surgery pruning and CHECK enforcement verbatim).
   *
+  * The target is treated as KEYED by the ON columns — the
+  * [[VersionedTable.merge]] contract: if the owner committed duplicate
+  * rows under one key, ALL of them are replaced by the single matched
+  * source row (standard SQL would update each copy). This is the keyed-
+  * entity semantics every other merge consumer of the table already
+  * gets; neither UPDATE nor INSERT may reassign a merge key (checked at
+  * lowering — a key-changing assignment would retarget or replace a row
+  * instead of updating/inserting).
+  *
   * Supported MERGE shape (anything else fails fast with a clear error,
   * never silently mis-merges):
   *   - `ON` is a conjunction of equalities, each between one target
@@ -177,8 +186,18 @@ object VtDmlRule extends Rule[LogicalPlan] {
       }
       am
     }
-    insertAction.foreach(i =>
-      assignMap(i.assignments.map(a => a.key -> a.value), "INSERT"))
+    insertAction.foreach { i =>
+      val am = assignMap(i.assignments.map(a => a.key -> a.value), "INSERT")
+      // INSERT may not reassign a merge key either: the lowering feeds a
+      // keyed upsert, so an insert row whose key differs from the ON
+      // expression would REPLACE an existing row that happens to carry
+      // that key instead of inserting alongside it
+      keys.foreach { case (k, e) =>
+        if (!am(k).semanticEquals(e)) fail(
+          s"INSERT must not reassign merge key '$k' " +
+            s"(INSERT sets $k = ${am(k).sql}, but ON matches on ${e.sql})")
+      }
+    }
 
     VtMergeCommand(
       table.tablePath, targetSchema,

@@ -155,7 +155,10 @@ object LayoutAdvisor {
       tableOf(child)
     case Filter(_, child) => tableOf(child) // stacked filters observe per-Filter
     case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some((fs.location.rootPaths.headOption.map(_.toString).getOrElse("?"), lr))
+      // a multi-root scan (spark.read.parquet(dirA, dirB)) is ONE table
+      // identity — keying on the full sorted root set keeps its
+      // observations from being mis-attributed to an arbitrary first dir
+      Some((fs.location.rootPaths.map(_.toString).sorted.mkString(","), lr))
     case _ => None
   }
 

@@ -96,6 +96,20 @@ class MvMaintainedSpec extends SparkSuite {
       IncrementalView.refreshRecompute(
         spark, src, view, "mv", Seq("k"), MvRewrite.stateAggs("v"))
       assertFiredAndCorrect()
+
+      // TIME TRAVEL must DECLINE: a version-pinned read scans an older
+      // file list than the state tracks — answering it from the current
+      // state would silently return current-version numbers
+      def pinned() = VersionedTable.table(spark, src, Some(1L))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s")).orderBy("k")
+      assert(scanRoots(pinned()).contains(s"$src/data"),
+        "time-travel read must not be rewritten")
+      // and its answer is the VERSION-1 aggregate, not the current one
+      assert(pinned().collect().toSeq != q().collect().toSeq)
+      spark.conf.set(ConfKey, "false")
+      val pinnedDirect = try pinned().collect().toSeq
+        finally spark.conf.set(ConfKey, "true")
+      assert(pinned().collect().toSeq == pinnedDirect)
     } finally {
       spark.conf.set(ConfKey, "false")
       MvRewrite.clear()

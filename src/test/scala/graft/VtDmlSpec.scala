@@ -148,6 +148,12 @@ class VtDmlSpec extends SparkSuite {
       s"""MERGE INTO ${cat(path)} t USING vtdml_bad b ON t.id = b.id
          |WHEN MATCHED THEN UPDATE SET id = b.id + 1, label = b.label, amount = b.amount""".stripMargin,
       "must not reassign merge key")
+    // INSERT reassigning the key would keyed-REPLACE an existing row
+    // that happens to carry the new key, instead of inserting alongside
+    mustFail(
+      s"""MERGE INTO ${cat(path)} t USING vtdml_bad b ON t.id = b.id
+         |WHEN NOT MATCHED THEN INSERT (id, label, amount) VALUES (b.id + 10, b.label, b.amount)""".stripMargin,
+      "INSERT must not reassign merge key")
   }
 
   test("MERGE in dv mode: same result as cow, zero files rewritten") {
