@@ -191,7 +191,7 @@ object Misc {
   val q120 = QueryDef(
     "q120_incremental_rollup",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q120_mv").toString + "/t"
+      val path = Scratch.dir("q120") + "/t"
       val o = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_orderstatus"), year(col("o_orderdate")).as("yr"),
         col("o_totalprice"), col("o_custkey"))

@@ -23,11 +23,6 @@ object Relational {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
-  /** Recursive delete for fixed per-JVM scratch roots (q162 policy:
-    * repeated verify/bench runs must not leak a table copy each run). */
-  private[queries] def rmTree(p: java.io.File): Unit = {
-    Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(); ()
-  }
 
   /** Q1 — scan + projection + total sort (ref: column selection
     * `reduction.scala:32-43`, ordered sink `reduction.scala:23`). */
@@ -585,7 +580,7 @@ object Relational {
   val q118 = QueryDef(
     "q118_time_travel",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q118_vt").toString + "/tbl"
+      val path = Scratch.dir("q118") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path)
       graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path)
@@ -613,7 +608,7 @@ object Relational {
   val q132 = QueryDef(
     "q132_delete_dv",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q132_dv").toString + "/tbl"
+      val path = Scratch.dir("q132") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, path)
       graft.io.VersionedTable.deleteWhereDV(s, path, col("o_orderkey") % 10 === 0)
@@ -638,7 +633,7 @@ object Relational {
   val q133 = QueryDef(
     "q133_merge_cdc",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q133_merge").toString + "/tbl"
+      val path = Scratch.dir("q133") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
       val updates = base.filter(col("o_orderkey") % 100 === 0)
@@ -686,7 +681,7 @@ object Relational {
   val q134 = QueryDef(
     "q134_replace_where",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q134_replace").toString + "/tbl"
+      val path = Scratch.dir("q134") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
       val reload = base
@@ -725,7 +720,7 @@ object Relational {
   val q135 = QueryDef(
     "q135_bloom_point_lookup",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q135_bloom").toString + "/tbl"
+      val path = Scratch.dir("q135") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       // two interleaved commits: every file spans the key domain, so only
       // the blooms can prune the probe
@@ -758,7 +753,7 @@ object Relational {
   val q136 = QueryDef(
     "q136_incremental_view",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("q136_ivm").toString
+      val tmp = Scratch.dir("q136")
       val src = tmp + "/src"; val view = tmp + "/view"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, src, "o_orderkey")
@@ -1249,7 +1244,7 @@ object Relational {
   val q146 = QueryDef(
     "q146_merge_on_read",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q146_mdv").toString + "/tbl"
+      val path = Scratch.dir("q146") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
       val updates = base.filter(col("o_orderkey") % 100 === 0)
@@ -1298,7 +1293,7 @@ object Relational {
   val q142 = QueryDef(
     "q142_fileindex_pruned_scan",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q142_idx").toString + "/tbl"
+      val path = Scratch.dir("q142") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       // range-clustered commits so the manifest ranges are selective
       graft.io.VersionedTable.commitAppend(
@@ -1330,7 +1325,7 @@ object Relational {
     "q147_sql_catalog_time_travel",
     (s, d) => {
       s.conf.set("spark.sql.catalog.vtq", classOf[graft.sources.VtCatalog].getName)
-      val path = java.nio.file.Files.createTempDirectory("q147_sql").toString + "/tbl"
+      val path = Scratch.dir("q147") + "/tbl"
       ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
         .createOrReplaceTempView("q147_src")
       s.sql(s"CREATE TABLE vtq.`$path` (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
@@ -1368,7 +1363,7 @@ object Relational {
   val q153 = QueryDef(
     "q153_restore",
     (s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("q153_restore").toString + "/tbl"
+      val path = Scratch.dir("q153") + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path)
       graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path)
@@ -1547,8 +1542,8 @@ object Relational {
     (s, d) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
       val factPath = s"$d/lineitem.parquet"
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch_q164")
-      val state = root.resolve("state").toString
+      val root = Scratch.dir("q164")
+      val state = root + "/state"
       graft.plans.MvRewrite.materialize(
         s, factPath, Seq("l_returnflag", "l_linestatus"), "l_quantity", state)
       s.conf.set("spark.graft.mvrewrite.enabled", "true")
@@ -1574,10 +1569,7 @@ object Relational {
       } finally {
         s.conf.set("spark.graft.mvrewrite.enabled", "false")
         graft.plans.MvRewrite.clear()
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(root.toFile)
+        Scratch.rmTree(new java.io.File(root))
       }
     },
     Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1606,11 +1598,9 @@ object Relational {
   val q165 = QueryDef(
     "q165_sql_merge_delete",
     (s, d) => {
-      // fixed per-JVM scratch root, deleted after eager materialization
-      // (q162 policy: repeated verify/bench runs must not leak a copy each)
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch_q165")
-      Relational.rmTree(root.toFile)
-      val path = root.resolve("tbl").toString
+      // fixed scratch root, deleted after eager materialization
+      val root = Scratch.dir("q165")
+      val path = root + "/tbl"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, path, "o_orderkey")
       val updates = base.filter(col("o_orderkey") % 100 === 0)
@@ -1642,7 +1632,7 @@ object Relational {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
         .localCheckpoint(eager = true)
-      finally Relational.rmTree(root.toFile)
+      finally Scratch.rmTree(new java.io.File(root))
     },
     Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
                  merged AS (
@@ -1682,9 +1672,8 @@ object Relational {
     "q166_mv_maintained",
     (s, d) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch_q166")
-      Relational.rmTree(root.toFile)
-      val src = root.resolve("fact").toString; val view = root.resolve("view").toString
+      val root = Scratch.dir("q166")
+      val src = root + "/fact"; val view = root + "/view"
       val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.VersionedTable.commitAppend(base, src, "o_orderkey")
       def refresh(): Unit = {
@@ -1723,7 +1712,7 @@ object Relational {
       } finally {
         s.conf.set("spark.graft.mvrewrite.enabled", "false")
         graft.plans.MvRewrite.clear()
-        Relational.rmTree(root.toFile)
+        Scratch.rmTree(new java.io.File(root))
       }
     },
     Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
