@@ -81,7 +81,7 @@ object MvRewrite {
   final case class MvDef(
       factPaths: Set[String], groupCols: Seq[String], valueCol: String,
       stateId: String, state: () => LogicalPlan,
-      factGate: LogicalRelation => Boolean = _ => true)
+      factGate: LogicalPlan => Boolean = _ => true)
 
   private[plans] val registry = TrieMap.empty[String, MvDef]
 
@@ -140,17 +140,34 @@ object MvRewrite {
     mv
   }
 
-  /** True iff the matched relation scans exactly the CURRENT version's
-    * file list — a `VERSION AS OF` / time-travel read scans an older
-    * list and must decline (the state tracks the current version only). */
+  /** True iff the matched relation reads the CURRENT version — a
+    * `VERSION AS OF` / time-travel read must decline (the state tracks
+    * the current version only). Scala-path scans
+    * ([[graft.io.VersionedTable.table]], a V1 file relation pinned to a
+    * file list) compare that list against the current manifest; catalog
+    * scans ([[graft.sources.VtTable]], which always resolves the current
+    * version at execution unless a time-travel identifier pinned one)
+    * check the pin. */
   private def currentVersionGate(
-      spark: SparkSession, factTablePath: String): LogicalRelation => Boolean =
-    lr => lr.relation match {
+      spark: SparkSession, factTablePath: String): LogicalPlan => Boolean = {
+    case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
         fs.location.inputFiles.toSet ==
           graft.io.VersionedTable.dataFiles(spark, factTablePath).toSet
       case _ => false
     }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sources.VtTable => t.timeTravelVersion.isEmpty
+        case _ => false
+      }
+    case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      s.relation.table match {
+        case t: graft.sources.VtTable => t.timeTravelVersion.isEmpty
+        case _ => false
+      }
+    case _ => false
+  }
 
   /** Register a DELTA-maintained view
     * ([[graft.ops.IncrementalView.refreshDelta]] — the invertible-
@@ -208,18 +225,33 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** Strip attribute-only Projects and collect Filters down to a file
-    * relation; None if anything else intervenes (joins, Expand from
-    * grouping sets, subqueries — all decline here). */
+  /** Strip attribute-only Projects and collect Filters down to a scan —
+    * a V1 file relation, or a DSv2 [[graft.sources.VtTable]] relation
+    * (the SQL-catalog path: `SELECT ... FROM vt.t GROUP BY ...`, whose
+    * identity is the same `<table>/data` root the Scala path exposes);
+    * None if anything else intervenes (joins, Expand from grouping sets,
+    * subqueries — all decline here). */
   private def stripToScan(
       plan: LogicalPlan,
-      filters: List[Expression]): Option[(LogicalRelation, Set[String], List[Expression])] =
+      filters: List[Expression]): Option[(LogicalPlan, Set[String], List[Expression])] =
     plan match {
       case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
         stripToScan(child, filters)
       case Filter(cond, child) => stripToScan(child, cond :: filters)
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Some((lr, fs.location.rootPaths.map(_.toString).toSet, filters))
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: graft.sources.VtTable =>
+            Some((r, Set(s"${t.tablePath}/data"), filters))
+          case _ => None
+        }
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table match {
+          case t: graft.sources.VtTable =>
+            Some((s, Set(s"${t.tablePath}/data"), filters))
+          case _ => None
+        }
       case _ => None
     }
 

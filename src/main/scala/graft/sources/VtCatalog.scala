@@ -185,8 +185,8 @@ final class VtTable(path: String, identName: String, version: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  private[sources] def tablePath: String = path
-  private[sources] def timeTravelVersion: Option[Long] = version
+  private[graft] def tablePath: String = path
+  private[graft] def timeTravelVersion: Option[Long] = version
 
   private def spark: SparkSession = SparkSession.active
 

@@ -180,6 +180,48 @@ class MvMaintainedSpec extends SparkSuite {
     }
   }
 
+  test("SQL over the DSv2 catalog table rewrites; VERSION AS OF declines") {
+    val tmp = java.nio.file.Files.createTempDirectory("mv_cat").toString
+    val src = tmp + "/fact"; val view = tmp + "/view"
+    import spark.implicits._
+    VersionedTable.commitAppend(
+      (0L until 90L).map(i => (i, s"k${i % 3}", i * 2)).toDF("id", "k", "v"), src)
+    IncrementalView.refreshRecompute(
+      spark, src, view, "mvc", Seq("k"), MvRewrite.stateAggs("v"))
+    MvRewrite.registerRollup(spark, src, Seq("k"), "v", view)
+    spark.conf.set("spark.sql.catalog.mvcat", classOf[graft.sources.VtCatalog].getName)
+    spark.conf.set(ConfKey, "true")
+    try {
+      def q() = spark.sql(
+        s"SELECT k, count(*) AS n, sum(v) AS s, avg(v) AS a FROM mvcat.`$src` GROUP BY k ORDER BY k")
+      // fires: the only file scan left is the STATE's (the fact's DSv2
+      // relation is gone; the state resolves to view-path parquet files)
+      val roots = scanRoots(q())
+      assert(roots.nonEmpty && roots.forall(_.contains("/view")), roots)
+      assert(q().queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }.isEmpty, "fact DSv2 scan survived")
+      val viaSql = q().collect().toSeq
+      spark.conf.set(ConfKey, "false")
+      val direct = try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      assert(viaSql == direct)
+
+      // mutate + refresh: the catalog query tracks the view
+      VersionedTable.deleteWhere(spark, src, col("id") % 9 === 0)
+      IncrementalView.refreshRecompute(
+        spark, src, view, "mvc", Seq("k"), MvRewrite.stateAggs("v"))
+      assert(q().collect().toSeq.map(_.getLong(1)).sum == 80L)
+
+      // time travel through the catalog must DECLINE (served by the scan)
+      def pinned() = spark.sql(
+        s"SELECT k, count(*) AS n FROM mvcat.`$src` VERSION AS OF 1 GROUP BY k ORDER BY k")
+      assert(pinned().collect().map(_.getLong(1)).sum == 90L)
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+
   test("STREAMING appends through the exactly-once sink feed the maintained view") {
     val tmp = java.nio.file.Files.createTempDirectory("mv_stream").toString
     val src = tmp + "/fact"; val view = tmp + "/view"; val ckpt = tmp + "/ckpt"
