@@ -4,10 +4,14 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+  Alias, AttributeReference, AttributeSet, Cast, Coalesce, Divide, Expression, ExprId,
+  Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{
+  Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -38,13 +42,24 @@ import org.apache.spark.sql.types.DoubleType
   *     expression's type equals the original's (decimal sums/avgs widen
   *     per level and therefore decline).
   *
+  * STAR queries — the fact joined to dimension tables under the
+  * aggregate (TPC-H Q5's shape) — rewrite too, to (state ⋈ the same
+  * dims), when every fact-side column the join conditions, filters and
+  * grouping touch is a view group key; see the STAR section of
+  * [[MvRewriteRule]] for the soundness argument and the outer-join gate.
+  * GROUPING SETS / ROLLUP / CUBE (Catalyst's Aggregate-over-Expand)
+  * rewrite as well — over the bare fact or over a star join — by
+  * expanding the STATE instead of the fact and riding the partial
+  * vector through every grouping set (the GROUPING SETS section below).
+  *
   * OUT OF SCOPE by design (each declines via the gates above, never
-  * rewrites wrong): joins under the aggregate (any non-Project/Filter
-  * node fails `stripToScan`), GROUPING SETS / ROLLUP / CUBE (Catalyst
-  * plans them as Aggregate-over-Expand — same gate), DISTINCT / FILTER
-  * aggregates, aggregates over any column other than the view's value
-  * column, filters touching non-key columns. MvRewriteSpec pins a
-  * decline case for each.
+  * rewrites wrong): DISTINCT / FILTER aggregates, aggregates over any
+  * column other than the view's value column (star additionally allows
+  * pure-dim min/max), filters touching non-key fact columns, grouping
+  * by the value column (including via a grouping-set copy), full-outer
+  * joins and outer joins that preserve the dim side. MvRewriteSpec,
+  * MvStarRewriteSpec and MvExpandRewriteSpec pin a decline case for
+  * each.
   *
   * Freshness is the registration contract, exactly as in commercial
   * warehouses: register the view, keep it maintained, or accept stale
@@ -103,12 +118,18 @@ object MvRewrite {
   /** Build + persist the state table for (factPath, groupCols, valueCol)
     * and register the view. One keyed shuffle over the fact; the state is
     * one row per group-key tuple. The state relation is resolved HERE,
-    * once — rewrites re-instance it without touching the filesystem. */
+    * once — rewrites re-instance it without touching the filesystem.
+    * An EMPTY `valueCol` builds a count-only state (`n_rows` alone —
+    * the partial rewriter serves count(*) and declines the rest), the
+    * shape [[graft.tools.MvAdvisor]] recommends for count-only
+    * workloads. */
   def materialize(
       spark: SparkSession, factPath: String, groupCols: Seq[String],
       valueCol: String, statePath: String): MvDef = {
     val fact = spark.read.parquet(factPath)
-    val aggs = stateAggs(valueCol)
+    val aggs =
+      if (valueCol.isEmpty) Seq(count(lit(1)).as("n_rows"))
+      else stateAggs(valueCol)
     fact.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(statePath)
@@ -222,7 +243,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || registry.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteStar(agg))
+          .orElse(tryRewriteExpand(agg)).getOrElse(agg)
     }
 
   /** Strip attribute-only Projects and collect Filters down to a scan —
@@ -258,6 +281,50 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case _ => None
+  }
+
+  /** State-side equivalent of one fact-side aggregate, or None. The
+    * result's dataType must EQUAL the original's — re-aggregating a
+    * partial widens decimals one level further than the original would
+    * (sum(decimal(p,s)) is decimal(p+10,s), sum of that p+20), and a
+    * changed type would corrupt parents that kept the old ExprId.
+    * `isValue` decides whether an argument IS the view's value column —
+    * name-based for the single-table path, ExprId-based for the star
+    * path (a dim column that happens to share the value column's name
+    * must NOT be answered from the state partials). Shared by the
+    * single-table and star rewrites: the partial shapes are identical
+    * because an equi-join whose fact-side keys are all view group keys
+    * duplicates a state row exactly as it duplicates the fact rows the
+    * partial summarizes. */
+  private def partialAgg(
+      ae: AggregateExpression,
+      stateAttr: Map[String, AttributeReference],
+      isValue: Expression => Boolean): Option[Expression] = {
+    val rewritten: Option[Expression] = ae match {
+      case _ if ae.isDistinct || ae.filter.isDefined => None
+      case AggregateExpression(Count(Seq(c)), _, false, _, _)
+          if c.foldable && !c.nullable =>
+        // count(*) / count(lit) — a NULLABLE foldable (count(NULL)) is
+        // NOT total-row count and falls through to decline
+        stateAttr.get("n_rows").map(a => Coalesce(Seq(
+          Sum(a).toAggregateExpression(), Literal(0L))))
+      case AggregateExpression(Count(Seq(c)), _, false, _, _) if isValue(c) =>
+        stateAttr.get("n_vals").map(a => Coalesce(Seq(
+          Sum(a).toAggregateExpression(), Literal(0L))))
+      case AggregateExpression(Sum(c, _), _, false, _, _) if isValue(c) =>
+        stateAttr.get("sum_v").map(a => Sum(a).toAggregateExpression())
+      case AggregateExpression(Min(c), _, false, _, _) if isValue(c) =>
+        stateAttr.get("min_v").map(a => Min(a).toAggregateExpression())
+      case AggregateExpression(Max(c), _, false, _, _) if isValue(c) =>
+        stateAttr.get("max_v").map(a => Max(a).toAggregateExpression())
+      case AggregateExpression(Average(c, _), _, false, _, _) if isValue(c) =>
+        for (s <- stateAttr.get("sum_v"); n <- stateAttr.get("n_vals"))
+          yield Divide(
+            Sum(Cast(s, DoubleType)).toAggregateExpression(),
+            Cast(Sum(n).toAggregateExpression(), DoubleType))
+      case _ => None
+    }
+    rewritten.filter(_.dataType == ae.dataType)
   }
 
   /** Any failure declines: an optimizer rule must never take down a
@@ -303,43 +370,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference => stateAttr(a.name)
     }
 
-    /** State-side equivalent of one fact-side aggregate, or None. The
-      * result's dataType must EQUAL the original's — re-aggregating a
-      * partial widens decimals one level further than the original would
-      * (sum(decimal(p,s)) is decimal(p+10,s), sum of that p+20), and a
-      * changed type would corrupt parents that kept the old ExprId. */
-    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
-      val rewritten: Option[Expression] = ae match {
-        case _ if ae.isDistinct || ae.filter.isDefined => None
-        case AggregateExpression(Count(Seq(c)), _, false, _, _)
-            if c.foldable && !c.nullable =>
-          // count(*) / count(lit) — a NULLABLE foldable (count(NULL)) is
-          // NOT total-row count and falls through to decline
-          stateAttr.get("n_rows").map(a => Coalesce(Seq(
-            Sum(a).toAggregateExpression(), Literal(0L))))
-        case AggregateExpression(Count(Seq(c)), _, false, _, _)
-            if attrName(c).contains(mv.valueCol) =>
-          stateAttr.get("n_vals").map(a => Coalesce(Seq(
-            Sum(a).toAggregateExpression(), Literal(0L))))
-        case AggregateExpression(Sum(c, _), _, false, _, _)
-            if attrName(c).contains(mv.valueCol) =>
-          stateAttr.get("sum_v").map(a => Sum(a).toAggregateExpression())
-        case AggregateExpression(Min(c), _, false, _, _)
-            if attrName(c).contains(mv.valueCol) =>
-          stateAttr.get("min_v").map(a => Min(a).toAggregateExpression())
-        case AggregateExpression(Max(c), _, false, _, _)
-            if attrName(c).contains(mv.valueCol) =>
-          stateAttr.get("max_v").map(a => Max(a).toAggregateExpression())
-        case AggregateExpression(Average(c, _), _, false, _, _)
-            if attrName(c).contains(mv.valueCol) =>
-          for (s <- stateAttr.get("sum_v"); n <- stateAttr.get("n_vals"))
-            yield Divide(
-              Sum(Cast(s, DoubleType)).toAggregateExpression(),
-              Cast(Sum(n).toAggregateExpression(), DoubleType))
-        case _ => None
-      }
-      rewritten.filter(_.dataType == ae.dataType)
-    }
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] =
+      partialAgg(ae, stateAttr, c => attrName(c).contains(mv.valueCol))
 
     /** Pre-order rewrite with Option failure: AggregateExpressions are
       * handled as WHOLE subtrees before their children are ever visited
@@ -370,5 +402,385 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val filtered = filters.foldLeft(state) { (p, f) => Filter(onState(f), p) }
     val newGrouping = agg.groupingExpressions.map(onState)
     Some(Aggregate(newGrouping, rewrittenOut.map(_.get), filtered))
+  }
+
+  // ── STAR rewrite ──────────────────────────────────────────────────
+  //
+  // An aggregate over the fact JOINED to dimension tables (TPC-H Q5's
+  // shape: lineitem ⋈ supplier ⋈ nation GROUP BY n_name) is answered
+  // from (state ⋈ the same dims) when every fact-side column the join
+  // conditions, filters, and grouping touch is a view GROUP KEY and
+  // every aggregate is on the view's value column (or count(*), or a
+  // duplicate-insensitive min/max of pure dim columns).
+  //
+  // Soundness: a state row for key tuple k summarizes exactly the fact
+  // rows with keys k. If the join sees only key columns on the fact
+  // side, ALL those rows join identically, so the join duplicates (or
+  // drops, or semi/anti-filters) the state row exactly as it does the
+  // underlying fact rows — sum(v) = Σ sum_v, count(*) = Σ n_rows,
+  // min/max = min/max of partials, avg = Σ sum_v / Σ n_vals, all
+  // evaluated over the joined-state relation. Dim multiplicity needs no
+  // uniqueness assumption: m matches per key multiply partials and fact
+  // rows alike.
+  //
+  // Outer-join gate: the fact must sit on the row-PRESERVED side
+  // (LeftOuter → left subtree, RightOuter → right) — an unmatched DIM
+  // row on the preserved side yields one output row with NULL fact
+  // columns, which count(*) counts but Σ n_rows (NULL) would not.
+  // FullOuter declines. At 100 TB this rewrite replaces the fact scan +
+  // fact-sized join + shuffle with a groups-sized state read joined to
+  // the same dims.
+
+  /** One qualifying substitution of the registered fact inside a join
+    * tree: the tree with the fact subtree replaced by the (filtered)
+    * state, plus everything needed to remap expressions above it. */
+  private final case class StarMatch(
+      plan: LogicalPlan,
+      mv: MvDef,
+      stateAttr: Map[String, AttributeReference],
+      keyMap: Map[ExprId, AttributeReference],
+      factOut: AttributeSet,
+      valueId: Option[ExprId])
+
+  /** All candidate fact substitutions in `plan` (fewest-group-keys view
+    * first at each scan), lazily — the caller takes the first candidate
+    * the full rewrite accepts, so a view that cannot serve the join keys
+    * never blocks one that can. */
+  private def substituteFact(plan: LogicalPlan): LazyList[StarMatch] =
+    stripToScan(plan, Nil) match {
+      case Some((lr, paths, filters)) =>
+        registry.values.toSeq
+          .filter(m => m.factPaths == paths && m.factGate(lr))
+          .sortBy(m => (m.groupCols.size, m.stateId))
+          .to(LazyList).flatMap { mv =>
+            val keyed = filters.forall(
+              _.references.forall(a => mv.groupCols.contains(a.name)))
+            val state = mv.state()
+            val stateAttr = state.output
+              .map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+            if (!keyed || !(mv.groupCols :+ "n_rows").forall(stateAttr.contains)) None
+            else {
+              val keyMap = lr.output
+                .filter(a => mv.groupCols.contains(a.name))
+                .map(a => a.exprId -> stateAttr(a.name)).toMap
+              val filtered = filters.foldLeft(state) { (p, f) =>
+                Filter(f.transform {
+                  case a: AttributeReference => keyMap(a.exprId)
+                }, p)
+              }
+              Some(StarMatch(filtered, mv, stateAttr, keyMap, lr.outputSet,
+                lr.output.find(_.name == mv.valueCol).map(_.exprId)))
+            }
+          }
+      case None => plan match {
+        // attribute-only Projects between joins (USING-join dedup,
+        // column pruning) are DROPPED: they may carry the fact's value
+        // column, which no longer exists once the fact becomes the
+        // state — the enclosing Aggregate re-prunes via ColumnPruning
+        case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+          substituteFact(c)
+        // a Filter between joins stays in place: fact refs keys-only,
+        // remapped onto the state (partials are exact per key tuple)
+        case Filter(cond, c) =>
+          substituteFact(c).flatMap { m =>
+            val ok = cond.references.forall(
+              a => !m.factOut.contains(a) || m.keyMap.contains(a.exprId))
+            if (!ok) None
+            else Some(m.copy(plan = Filter(cond.transform {
+              case a: AttributeReference if m.keyMap.contains(a.exprId) =>
+                m.keyMap(a.exprId)
+            }, m.plan)))
+          }
+        case j @ Join(l, r, jt, cond, _) =>
+          val fromLeft = jt match {
+            case Inner | Cross | LeftOuter | LeftSemi | LeftAnti =>
+              substituteFact(l).map(m => m.copy(plan = j.copy(left = m.plan)))
+            case _ => LazyList.empty
+          }
+          val fromRight = jt match {
+            case Inner | Cross | RightOuter =>
+              substituteFact(r).map(m => m.copy(plan = j.copy(right = m.plan)))
+            case _ => LazyList.empty
+          }
+          (fromLeft #::: fromRight).flatMap { m =>
+            // this join's condition may touch fact KEYS only, remapped
+            val ok = cond.forall(_.references.forall(
+              a => !m.factOut.contains(a) || m.keyMap.contains(a.exprId)))
+            if (!ok) None
+            else Some(m.copy(plan = m.plan match {
+              case jj: Join => jj.copy(condition = jj.condition.map(_.transform {
+                case a: AttributeReference if m.keyMap.contains(a.exprId) =>
+                  m.keyMap(a.exprId)
+              }))
+              case other => other
+            }))
+          }
+        case _ => LazyList.empty
+      }
+    }
+
+  private def tryRewriteStar(agg: Aggregate): Option[LogicalPlan] =
+    try {
+      def strip(
+          p: LogicalPlan,
+          fs: List[Expression]): Option[(LogicalPlan, List[Expression])] = p match {
+        case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+          strip(c, fs)
+        case Filter(cond, c) => strip(c, cond :: fs)
+        case j: Join => Some((j, fs))
+        case _ => None
+      }
+      for {
+        (joinRoot, midFilters) <- strip(agg.child, Nil)
+        plan <- substituteFact(joinRoot)
+          .flatMap(m => rewriteStarWith(agg, m, midFilters)).headOption
+      } yield plan
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"MV star rewrite declined on error: ${e.getMessage}")
+        None
+    }
+
+  private def rewriteStarWith(
+      agg: Aggregate, m: StarMatch,
+      midFilters: List[Expression]): Option[LogicalPlan] = {
+
+    // filters between the aggregate and the join: dim refs free, fact
+    // refs must be keys (partials are exact per key tuple)
+    def remap(e: Expression): Option[Expression] =
+      if (e.references.exists(a => m.factOut.contains(a) && !m.keyMap.contains(a.exprId)))
+        None
+      else Some(e.transform {
+        case a: AttributeReference if m.keyMap.contains(a.exprId) => m.keyMap(a.exprId)
+      })
+
+    val filteredOpt = midFilters.foldLeft(Option(m.plan)) { (acc, f) =>
+      for (p <- acc; c <- remap(f)) yield Filter(c, p)
+    }
+
+    def isValue(e: Expression): Boolean = e match {
+      case a: AttributeReference => m.valueId.contains(a.exprId)
+      case _ => false
+    }
+
+    def rewriteAggStar(ae: AggregateExpression): Option[Expression] =
+      partialAgg(ae, m.stateAttr, isValue).orElse {
+        // a pure-dim aggregate sees each (key, dim-row) pair once via the
+        // state instead of n_rows times — only duplicate-INSENSITIVE
+        // shapes survive that change of multiplicity
+        if (ae.references.exists(m.factOut.contains) ||
+          ae.isDistinct || ae.filter.isDefined) None
+        else ae.aggregateFunction match {
+          case _: Min | _: Max => Some(ae)
+          case _ => None
+        }
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggStar(ae)
+      case a: AttributeReference =>
+        if (m.factOut.contains(a)) m.keyMap.get(a.exprId) else Some(a)
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    val groups: Seq[Option[Expression]] = agg.groupingExpressions.map {
+      case a: AttributeReference =>
+        if (m.factOut.contains(a)) (m.keyMap.get(a.exprId): Option[Expression])
+        else Some(a)
+      case _ => None // only bare columns group a star rewrite
+    }
+
+    val out: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        if (m.factOut.contains(a))
+          m.keyMap.get(a.exprId).map(s => Alias(s, a.name)(exprId = a.exprId))
+        else Some(a)
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map(c => Alias(c, name)(exprId = al.exprId))
+      case _ => None
+    }
+
+    for {
+      filtered <- filteredOpt
+      if !groups.exists(_.isEmpty) && !out.exists(_.isEmpty)
+    } yield Aggregate(groups.map(_.get), out.map(_.get), filtered)
+  }
+
+  // ── GROUPING SETS / ROLLUP / CUBE rewrite ─────────────────────────
+  //
+  // Catalyst plans grouping sets as Aggregate-over-Expand: Expand emits
+  // one copy of every input row per grouping set, with non-grouped keys
+  // replaced by NULL and a spark_grouping_id literal appended; the
+  // Aggregate then groups by the (nulled) key copies + gid. A state row
+  // standing for n_rows identical-key fact rows expands EXACTLY like
+  // those rows do — every projection touches only group keys (bare or
+  // nulled), literals, and the pass-through value column — so the same
+  // partial re-aggregation serves every grouping set at once: rewrite
+  // the Expand's input to the state, null the now-gone value slot, ride
+  // the partial columns through every projection, and map each aggregate
+  // onto them. At 100 TB a CUBE over the fact becomes a CUBE over one
+  // row per group-key tuple.
+
+  /** Inline a chain of attribute/alias Projects and Filters under an
+    * Expand (the analyzer plants `k AS k#copy` grouping copies there):
+    * returns the base plan (first node that is neither), the collected
+    * filters, and the substitution taking every chain-level attribute
+    * ExprId to the BASE attribute it carries. The base can be the fact
+    * scan itself or a whole join tree — [[substituteFact]] handles
+    * both, which is what lets ROLLUP/CUBE over a star join rewrite. */
+  private def inlineChain(plan: LogicalPlan)
+      : (LogicalPlan, List[Expression], Map[ExprId, AttributeReference]) = {
+    def go(p: LogicalPlan)
+        : Option[(LogicalPlan, List[Expression], Map[ExprId, AttributeReference])] =
+      p match {
+        case Project(exprs, c) =>
+          go(c).flatMap { case (base, fs, m) =>
+            val baseOut = base.outputSet
+            def baseOf(a: AttributeReference): Option[AttributeReference] =
+              m.get(a.exprId).orElse(if (baseOut.contains(a)) Some(a) else None)
+            val entries = exprs.map {
+              case a: AttributeReference => baseOf(a).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) => baseOf(a).map(al.exprId -> _)
+              case _ => None
+            }
+            if (entries.exists(_.isEmpty)) None
+            else Some((base, fs, m ++ entries.flatten))
+          }
+        case Filter(cond, c) =>
+          go(c).map { case (base, fs, m) => (base, cond :: fs, m) }
+        case other => Some((other, Nil, Map.empty))
+      }
+    go(plan).getOrElse((plan, Nil, Map.empty))
+  }
+
+  private def tryRewriteExpand(agg: Aggregate): Option[LogicalPlan] =
+    try {
+      agg.child match {
+        case ex: Expand =>
+          val (base, chainFilters, inline) = inlineChain(ex.child)
+          substituteFact(base)
+            .flatMap(m => rewriteExpandWith(agg, ex, m, chainFilters, inline))
+            .headOption
+        case _ => None
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"MV grouping-sets rewrite declined on error: ${e.getMessage}")
+        None
+    }
+
+  private def rewriteExpandWith(
+      agg: Aggregate, ex: Expand, m: StarMatch,
+      chainFilters: List[Expression],
+      inline: Map[ExprId, AttributeReference]): Option[LogicalPlan] = {
+
+    def toBase(e: Expression): Expression = e.transform {
+      case a: AttributeReference if inline.contains(a.exprId) => inline(a.exprId)
+    }
+
+    // chain filters: fact refs must be keys, remapped onto the state;
+    // dim refs (star base) pass through untouched
+    val filtersOk = chainFilters.forall(f => toBase(f).references.forall(
+      a => !m.factOut.contains(a) || m.keyMap.contains(a.exprId)))
+    if (!filtersOk) return None
+    val filteredBase = chainFilters.foldLeft(m.plan) { (p, f) =>
+      Filter(toBase(f).transform {
+        case a: AttributeReference if m.keyMap.contains(a.exprId) => m.keyMap(a.exprId)
+      }, p)
+    }
+
+    // the partial vector the state actually has rides through EVERY
+    // projection un-nulled; fresh output attrs carry it to the aggregate
+    val partialNames =
+      Seq("n_rows", "n_vals", "sum_v", "min_v", "max_v").filter(m.stateAttr.contains)
+    val partialOut: Map[String, AttributeReference] = partialNames.map(n =>
+      n -> AttributeReference(n, m.stateAttr(n).dataType)()).toMap
+
+    // every ExprId that carries the value column at ANY chain level
+    val valueIdsAll: Set[ExprId] = m.valueId.map(vid =>
+      inline.collect { case (id, b) if b.exprId == vid => id }.toSet + vid)
+      .getOrElse(Set.empty)
+
+    // every projection slot must be a fact group key (→ state key), the
+    // pass-through value column (→ null — sound ONLY if the matching
+    // output attr never escapes un-rewritten, enforced via `poisoned`
+    // below), a dim-backed attribute (star base — rides unchanged), or
+    // a literal (nulled keys, the gid)
+    val nulledPositions = scala.collection.mutable.Set.empty[Int]
+    val newProjections: Seq[Option[Seq[Expression]]] = ex.projections.map { proj =>
+      val slots = proj.zipWithIndex.map { case (e, i) =>
+        toBase(e) match {
+          case a: AttributeReference if m.factOut.contains(a) =>
+            if (m.keyMap.contains(a.exprId)) Some(m.keyMap(a.exprId))
+            else if (m.valueId.contains(a.exprId)) {
+              nulledPositions += i
+              Some(Literal.create(null, a.dataType))
+            } else None
+          case a: AttributeReference => Some(a)
+          case e2 if e2.references.isEmpty => Some(e2)
+          case _ => None
+        }
+      }
+      if (slots.exists(_.isEmpty)) None
+      else Some(slots.map(_.get) ++ partialNames.map(m.stateAttr))
+    }
+    if (newProjections.exists(_.isEmpty)) return None
+
+    // attrs whose slots now yield NULL: the value pass-through (any
+    // chain ExprId carrying it) AND any grouping COPY of the value
+    // column (fresh Expand-output ExprId — rollup("k1","v") groups by
+    // such a copy); the rewrite is sound only if none of them leak into
+    // the result other than through a rewritten aggregate
+    val poisoned: Set[ExprId] =
+      valueIdsAll ++ nulledPositions.map(i => ex.output(i).exprId)
+
+    def rewriteAggE(ae: AggregateExpression): Option[Expression] =
+      partialAgg(ae, partialOut, {
+        case a: AttributeReference => valueIdsAll.contains(a.exprId)
+        case _ => false
+      }).orElse {
+        // duplicate-insensitive aggregates of pure dim/key-copy outputs
+        // (min/max of a dim attr riding the star base) pass through
+        if (ae.references.exists(a => poisoned.contains(a.exprId)) ||
+          ae.isDistinct || ae.filter.isDefined) None
+        else ae.aggregateFunction match {
+          case _: Min | _: Max => Some(ae)
+          case _ => None
+        }
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggE(ae)
+      case a: AttributeReference =>
+        if (poisoned.contains(a.exprId)) None else Some(a)
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    // grouping expressions reference Expand-produced attrs (nulled key
+    // copies + gid) which survive unchanged; the value column must not
+    // appear in them — directly or via a nulled grouping copy
+    if (agg.groupingExpressions.exists(_.references.exists(
+      a => poisoned.contains(a.exprId)))) return None
+
+    val out: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        if (poisoned.contains(a.exprId)) None else Some(a)
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map(c => Alias(c, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return None
+
+    val newExpand = Expand(
+      newProjections.map(_.get),
+      ex.output ++ partialNames.map(partialOut),
+      filteredBase)
+    Some(Aggregate(agg.groupingExpressions, out.map(_.get), newExpand))
   }
 }

@@ -1728,10 +1728,140 @@ object Relational {
                    ROUND(AVG(o_totalprice)/1000.0, 4) AS avg_k
             FROM mutated GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q167 — STAR materialized-view rewrite through the oracle gate
+    * ([[graft.plans.MvRewriteRule]]'s join path, VERDICT r9 "missing"
+    * item 3): a per-supplier state vector over lineitem is materialized
+    * once, and the user's TPC-H-Q5-shaped star query — lineitem ⋈
+    * supplier ⋈ nation with a dim-side region filter, grouped by the
+    * FAR dim's attribute — is answered from (state ⋈ the same dims).
+    * The `require` proves the LINEITEM scan is GONE from the optimized
+    * plan (at 100 TB: a supplier-sized state read joined to two dims
+    * instead of a fact scan + fact-sized join), while the DuckDB oracle
+    * recomputes the whole star from the raw tables — a partial
+    * mis-merged across the join, a dropped dim filter, or multiplicity
+    * double-count hash-fails. MvStarRewriteSpec pins the fire/decline
+    * matrix (outer-join sides, non-key fact refs, dim aggregates). */
+  val q167 = QueryDef(
+    "q167_mv_star_rewrite",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val factPath = s"$d/lineitem.parquet"
+      val root = Scratch.dir("q167")
+      val state = root + "/state"
+      graft.plans.MvRewrite.materialize(
+        s, factPath, Seq("l_suppkey"), "l_extendedprice", state)
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        val lineitem = li(s, d)
+        val supplier = Tables.supplier(s, d)
+        val nation = Tables.nation(s, d)
+        val df = lineitem
+          .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+          .join(nation, supplier("s_nationkey") === nation("n_nationkey"))
+          .filter(nation("n_regionkey") =!= 3)
+          .groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum("l_extendedprice") / lit(1e6)).as("rev_mm"),
+            r4(avg("l_extendedprice")).as("avg_price"),
+            r4(min("l_extendedprice")).as("min_price"),
+            r4(max("l_extendedprice")).as("max_price"))
+          .orderBy("n_name")
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.exists(_.endsWith("lineitem.parquet")),
+          s"star MV rewrite did not fire; scans: $roots")
+        df.localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        graft.plans.MvRewrite.clear()
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_extendedprice)/1000000.0, 4) AS rev_mm,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(MIN(l_extendedprice), 4) AS min_price,
+                   ROUND(MAX(l_extendedprice), 4) AS max_price
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey <> 3
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** Q168 — GROUPING SETS materialized-view rewrite through the oracle
+    * gate ([[graft.plans.MvRewriteRule]]'s Aggregate-over-Expand path):
+    * the q157-shaped grouping-sets query — detail, per-returnflag
+    * subtotal, and grand total with `GROUPING()` markers — is answered
+    * entirely from the q164-style per-(returnflag, linestatus) state
+    * vector: the Expand's input becomes the state, partials ride through
+    * every grouping set, and each aggregate re-aggregates them. The
+    * `require` proves the LINEITEM scan is GONE (at 100 TB: a CUBE over
+    * 6 state rows instead of three passes worth of fact scan), while the
+    * DuckDB oracle recomputes every grouping set from the raw fact — a
+    * subtotal served from a wrong set, a real-null key merged into a
+    * rolled-up null, or a mis-riding partial hash-fails.
+    * MvExpandRewriteSpec pins the fire/decline matrix. */
+  val q168 = QueryDef(
+    "q168_mv_grouping_sets",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val factPath = s"$d/lineitem.parquet"
+      val root = Scratch.dir("q168")
+      val state = root + "/state"
+      graft.plans.MvRewrite.materialize(
+        s, factPath, Seq("l_returnflag", "l_linestatus"), "l_quantity", state)
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        graft.core.Tables.registerFixtures(s, d)
+        val df = s.sql(
+          """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+            |       COALESCE(l_linestatus, 'ALL') AS ls,
+            |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+            |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+            |       COUNT(*) AS cnt,
+            |       COUNT(l_quantity) AS cnt_q,
+            |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+            |       MIN(l_quantity) AS min_qty,
+            |       MAX(l_quantity) AS max_qty,
+            |       ROUND(AVG(l_quantity), 4) AS avg_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.exists(_.endsWith("lineitem.parquet")),
+          s"grouping-sets MV rewrite did not fire; scans: $roots")
+        df.localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        graft.plans.MvRewrite.clear()
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(l_quantity) AS BIGINT) AS cnt_q,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            ORDER BY g_rf, g_ls, rf, ls"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
-    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166)
+    q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
+    q167, q168)
 }

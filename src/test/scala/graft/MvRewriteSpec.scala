@@ -158,15 +158,19 @@ class MvRewriteSpec extends SparkSuite {
     }
   }
 
-  test("declines: join under the aggregate and grouping sets") {
+  test("declines: non-key join under the aggregate and grouping sets") {
     withFixture { (fact, _) =>
-      val dim = spark.range(2).selectExpr("CASE id WHEN 0 THEN 'a' ELSE 'b' END AS k1")
+      // a join on the VALUE column is not served by the star path —
+      // key-only joins now rewrite (MvStarRewriteSpec covers those)
+      val dimV = spark.range(3).selectExpr("CAST(id AS INT) AS v")
       assertDeclined(
-        spark.read.parquet(fact).join(dim, "k1").groupBy("k1").agg(sum("v").as("s")),
-        fact)
+        spark.read.parquet(fact).join(dimV, "v").groupBy("k1").agg(count(lit(1)).as("n")),
+        fact, "join-on-value")
+      // rollup over the keys alone now FIRES (MvExpandRewriteSpec); a
+      // rollup grouping by the VALUE column must still decline
       assertDeclined(
-        spark.read.parquet(fact).rollup("k1", "k2").agg(sum("v").as("s")),
-        fact)
+        spark.read.parquet(fact).rollup("k1", "v").agg(count(lit(1)).as("n")),
+        fact, "rollup-on-value")
     }
   }
 
