@@ -72,18 +72,27 @@ object Main {
       val (manifests, files) = graft.io.VersionedTable.vacuum(spark, path, keepLast.toInt)
       println(s"[graft] vacuumed $manifests versions, $files data files")
       spark.stop()
-    // Layout advisor: replay a workload's headline queries over a fixture
-    // dir, record their filter shapes, and print the stats/bloom/Z-order
-    // recommendation report (report only — no table is touched).
+    // Workload advisors: replay the headline queries over a fixture dir,
+    // record their filter AND aggregate shapes, and print both the
+    // stats/bloom/Z-order layout report and the materialized-view
+    // recommendations (report only — no table is touched).
     case "advise" :: sfDir :: Nil =>
       val spark = GraftSession.local()
       graft.tools.LayoutAdvisor.clear()
+      graft.tools.MvAdvisor.clear()
       SparkEntry.registry.filter(_.headline).foreach { q =>
-        try graft.tools.LayoutAdvisor.record(q.run(spark, sfDir))
-        catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          val df = q.run(spark, sfDir)
+          graft.tools.LayoutAdvisor.record(df)
+          graft.tools.MvAdvisor.record(df)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
+      println("== layout ==")
       println(graft.tools.LayoutAdvisor.report())
+      println("\n== materialized views ==")
+      println(graft.tools.MvAdvisor.report())
       graft.tools.LayoutAdvisor.clear()
+      graft.tools.MvAdvisor.clear()
       spark.stop()
     case "table-delete" :: path :: keyCol :: keys :: Nil =>
       // surgical purge by key list; follow with table-vacuum for the

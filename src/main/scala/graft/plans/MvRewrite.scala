@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, AttributeSet, Cast, Coalesce, Divide, Expression, ExprId,
   Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg,
+  HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{
   Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -114,6 +116,41 @@ object MvRewrite {
     sum(col(valueCol)).as("sum_v"),
     min(col(valueCol)).as("min_v"),
     max(col(valueCol)).as("max_v"))
+
+  /** [[stateAggs]] plus a per-group DataSketches HLL sketch of the value
+    * column — the DISTINCT-COUNT partial. Sketch registers are pure
+    * per-item maxes, so the union of per-key sketches carries the same
+    * information as one sketch over all rows; estimates can still drift
+    * within sketch error (the union gadget estimates composite where a
+    * directly-built sketch may be coupon-exact), so the rewriter serves
+    * BOTH `hll_sketch_agg(v, lgK)` and `approx_count_distinct(v)` only
+    * under the approx opt-in
+    * (`spark.graft.mvrewrite.approxdistinct.enabled`) — the same
+    * contract as [[graft.plans.ApproxSwapRule]]'s exact→approx swap.
+    * The column name pins lgConfigK so a query sketching at a different
+    * precision declines instead of silently serving the
+    * wrong-resolution sketch. */
+  def stateAggsSketch(valueCol: String, lgK: Int = 12): Seq[org.apache.spark.sql.Column] =
+    stateAggs(valueCol) :+
+      hll_sketch_agg(col(valueCol), lit(lgK)).as(s"hll_v_$lgK")
+
+  /** [[materialize]] with [[stateAggsSketch]] — distinct-count-capable
+    * state. */
+  def materializeWithSketch(
+      spark: SparkSession, factPath: String, groupCols: Seq[String],
+      valueCol: String, statePath: String, lgK: Int = 12): MvDef = {
+    val fact = spark.read.parquet(factPath)
+    val aggs = stateAggsSketch(valueCol, lgK)
+    fact.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(statePath)
+    val stateRel = resolvedRelation(spark, statePath)
+    val mv = MvDef(
+      rootPathsOf(spark, factPath), groupCols, valueCol, statePath,
+      () => stateRel.newInstance())
+    register(mv)
+    mv
+  }
 
   /** Build + persist the state table for (factPath, groupCols, valueCol)
     * and register the view. One keyed shuffle over the fact; the state is
@@ -322,10 +359,33 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           yield Divide(
             Sum(Cast(s, DoubleType)).toAggregateExpression(),
             Cast(Sum(n).toAggregateExpression(), DoubleType))
+      // distinct-count partials: HLL registers are per-item maxes, so
+      // unioning the per-key sketches carries the same information as
+      // one sketch over all rows — but the union gadget estimates with
+      // the composite estimator where a directly-built sketch may still
+      // be coupon-exact, so answers can drift within sketch error;
+      // serving it therefore requires the approx opt-in. The lgK-pinned
+      // state column must match the query's precision or this declines.
+      case AggregateExpression(h: HllSketchAgg, _, false, _, _)
+          if approxDistinctEnabled && isValue(h.left) =>
+        stateAttr.get(s"hll_v_${h.lgConfigK}")
+          .map(a => new HllUnionAgg(a, Literal(false)).toAggregateExpression())
+      // approx_count_distinct uses a DIFFERENT estimator (HLL++) than
+      // the DataSketches state: serving it changes the estimate within
+      // sketch error, so it requires the explicit approx opt-in — the
+      // same contract as ApproxSwapRule's exact→approx swap
+      case AggregateExpression(h: HyperLogLogPlusPlus, _, false, _, _)
+          if approxDistinctEnabled && isValue(h.child) =>
+        stateAttr.collectFirst { case (n, a) if n.startsWith("hll_v_") =>
+          HllSketchEstimate(new HllUnionAgg(a, Literal(false)).toAggregateExpression())
+        }
       case _ => None
     }
     rewritten.filter(_.dataType == ae.dataType)
   }
+
+  private def approxDistinctEnabled: Boolean =
+    conf.getConfString("spark.graft.mvrewrite.approxdistinct.enabled", "false").toBoolean
 
   /** Any failure declines: an optimizer rule must never take down a
     * query (e.g. a state table dropped after registration, or a state
@@ -692,10 +752,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       }, p)
     }
 
-    // the partial vector the state actually has rides through EVERY
-    // projection un-nulled; fresh output attrs carry it to the aggregate
+    // the partial vector the state actually has (incl. any distinct-count
+    // sketch) rides through EVERY projection un-nulled; fresh output
+    // attrs carry it to the aggregate
     val partialNames =
-      Seq("n_rows", "n_vals", "sum_v", "min_v", "max_v").filter(m.stateAttr.contains)
+      (Seq("n_rows", "n_vals", "sum_v", "min_v", "max_v") ++
+        m.stateAttr.keys.filter(_.startsWith("hll_v_")).toSeq.sorted)
+        .filter(m.stateAttr.contains)
     val partialOut: Map[String, AttributeReference] = partialNames.map(n =>
       n -> AttributeReference(n, m.stateAttr(n).dataType)()).toMap
 

@@ -477,9 +477,186 @@ object Events {
             GROUP BY p_brand, o_orderstatus
             ORDER BY p_brand, o_orderstatus"""))
 
+  /** Q170 — fixed-grid resampling with forward fill
+    * ([[graft.ops.Resample.ffill]]): per-user purchase values aligned to
+    * an hourly grid spanning each user's own [first, last] observation,
+    * empty hours carrying the last earlier value with an `is_filled`
+    * marker — the sensor/metrics alignment step before windowed feature
+    * extraction. All shuffles are keyed ((user, bucket) argmax, per-user
+    * span, co-keyed grid join, per-user fill window); the grid explodes
+    * span/step rows PER USER, so nothing is global or driver-sized. The
+    * oracle replays bucket-argmax + generate_series + IGNORE NULLS
+    * last_value in DuckDB. */
+  val q170 = QueryDef(
+    "q170_resample_ffill",
+    (s, d) => {
+      val obs = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      graft.ops.Resample
+        .ffill(obs, key = "user_id", ts = "ts", value = "value",
+          step = 3600L, tieBreak = "event_id")
+        .select(
+          col("user_id"),
+          Fmt.ts(col("bucket_ts")).as("bucket_ts"),
+          r6(col("value")).as("value"),
+          col("is_filled"))
+        .orderBy("user_id", "bucket_ts")
+    },
+    Some("""WITH obs AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+                     value, ts, event_id
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                AND value IS NOT NULL),
+            latest AS (
+              SELECT user_id, bucket, value AS v_obs FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM obs) WHERE rn = 1),
+            span AS (
+              SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+              FROM latest GROUP BY 1),
+            grid AS (
+              SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM span),
+            joined AS (
+              SELECT g.user_id, g.bucket, l.v_obs
+              FROM grid g LEFT JOIN latest l
+                ON g.user_id = l.user_id AND g.bucket = l.bucket)
+            SELECT user_id,
+                   strftime(make_timestamp(bucket * 3600000000),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   ROUND(LAST_VALUE(v_obs IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+                   v_obs IS NULL AS is_filled
+            FROM joined ORDER BY user_id, bucket"""))
+
+  /** Q171 — the linear-interpolation variant
+    * ([[graft.ops.Resample.interpolate]]): empty buckets take the
+    * straight line between the surrounding observations (trailing gaps
+    * forward-fill — nothing to interpolate toward). Same keyed-only
+    * scale shape plus one backward window; the oracle mirrors the
+    * prev/next IGNORE NULLS windows and the interpolation arithmetic. */
+  val q171 = QueryDef(
+    "q171_resample_interpolate",
+    (s, d) => {
+      val obs = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      graft.ops.Resample
+        .interpolate(obs, key = "user_id", ts = "ts", value = "value",
+          step = 3600L, tieBreak = "event_id")
+        .select(
+          col("user_id"),
+          Fmt.ts(col("bucket_ts")).as("bucket_ts"),
+          floor(col("value") * 10000 + lit(0.5)).cast("long").as("value_e4"),
+          col("is_filled"))
+        .orderBy("user_id", "bucket_ts")
+    },
+    Some("""WITH obs AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+                     value, ts, event_id
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                AND value IS NOT NULL),
+            latest AS (
+              SELECT user_id, bucket, value AS v_obs FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM obs) WHERE rn = 1),
+            span AS (
+              SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+              FROM latest GROUP BY 1),
+            grid AS (
+              SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM span),
+            joined AS (
+              SELECT g.user_id, g.bucket, l.v_obs
+              FROM grid g LEFT JOIN latest l
+                ON g.user_id = l.user_id AND g.bucket = l.bucket),
+            ctx AS (
+              SELECT user_id, bucket, v_obs,
+                     LAST_VALUE(v_obs IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+                     LAST_VALUE(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_prev,
+                     FIRST_VALUE(v_obs IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+                     FIRST_VALUE(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b_next
+              FROM joined)
+            SELECT user_id,
+                   strftime(make_timestamp(bucket * 3600000000),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   CAST(FLOOR((CASE WHEN v_obs IS NOT NULL THEN v_obs
+                              WHEN v_next IS NULL THEN v_prev
+                              ELSE v_prev + (v_next - v_prev) *
+                                   (bucket - b_prev) / (b_next - b_prev)
+                         END) * 10000 + 0.5) AS BIGINT) AS value_e4,
+                   v_obs IS NULL AS is_filled
+            FROM ctx ORDER BY user_id, bucket"""))
+
+  /** Q172 — per-node triangle counting over the user co-occurrence
+    * graph ([[graft.ops.Triangles]], Suri & Vassilvitskii's
+    * degree-ordered orientation): users co-occurring in the same
+    * (event_type, 10-minute) bucket are edges — buckets above 20 users
+    * are dropped BEFORE pair expansion (the documented hub guard: a
+    * flash-crowd bucket would otherwise emit n² pairs), exactly as the
+    * oracle drops them. Orientation bounds wedge volume at E^{3/2}
+    * regardless of degree skew; the oracle counts the same triangles
+    * with a plain a<b<c triple join and explodes the three corners for
+    * the per-node tally. */
+  val q172 = QueryDef(
+    "q172_triangle_count",
+    (s, d) => {
+      val b = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          floor(unix_micros(col("ts")) / (600L * 1000000L)).as("m"))
+        .distinct()
+      val sized = b.groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 20))
+        .select("event_type", "m")
+      val capped = b.join(sized, Seq("event_type", "m"))
+      val pairs = capped.alias("x")
+        .join(capped.alias("y"),
+          col("x.event_type") === col("y.event_type") &&
+            col("x.m") === col("y.m") &&
+            col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      graft.ops.Triangles.perNode(pairs)
+        .orderBy("node")
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id, event_type,
+                              epoch_us(ts)//600000000 AS m
+                       FROM events WHERE user_id IS NOT NULL),
+                 ok AS (SELECT event_type, m FROM
+                          (SELECT event_type, m, COUNT(*) AS n FROM b GROUP BY 1, 2)
+                        WHERE n BETWEEN 2 AND 20),
+                 pairs AS (SELECT DISTINCT x.user_id AS u, y.user_id AS v
+                           FROM b x
+                           JOIN ok ON ok.event_type = x.event_type AND ok.m = x.m
+                           JOIN b y ON x.event_type = y.event_type AND x.m = y.m
+                                   AND x.user_id < y.user_id),
+                 tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                         FROM pairs e1
+                         JOIN pairs e2 ON e1.v = e2.u
+                         JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+                 corners AS (SELECT a AS node FROM tri
+                             UNION ALL SELECT b2 FROM tri
+                             UNION ALL SELECT c FROM tri)
+            SELECT node, COUNT(*) AS n_triangles
+            FROM corners GROUP BY node ORDER BY node"""))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
-      q129, q130, q150, q156)
+      q129, q130, q150, q156, q170, q171, q172)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

@@ -1857,11 +1857,66 @@ object Relational {
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
             ORDER BY g_rf, g_ls, rf, ls"""))
 
+  /** Q169 — DISTINCT-COUNT materialized view (rows-only; the sketch
+    * union is an approximation and the DuckDB oracle cannot hash-match
+    * an estimator, so the gate is MvSketchRewriteSpec's ≤5%-of-exact
+    * tolerance matrix plus the in-query `require`s here): a per-
+    * returnflag state carrying [[graft.plans.MvRewrite.stateAggsSketch]]
+    * serves `hll_sketch_agg(l_partkey)` under the approx opt-in — the
+    * fact scan provably GONE — and the estimates are asserted within 5%
+    * of the exact distinct counts computed from the fact in the same
+    * run. At 100 TB: distinct-user/distinct-document dashboards answer
+    * from one sketch row per group instead of a fact-wide
+    * shuffle-distinct. */
+  val q169 = QueryDef(
+    "q169_mv_distinct_sketch",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val factPath = s"$d/lineitem.parquet"
+      val root = Scratch.dir("q169")
+      val state = root + "/state"
+      graft.plans.MvRewrite.materializeWithSketch(
+        s, factPath, Seq("l_returnflag"), "l_partkey", state)
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      s.conf.set("spark.graft.mvrewrite.approxdistinct.enabled", "true")
+      try {
+        val df = li(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12)))
+              .as("nd_parts"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag")
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.exists(_.endsWith("lineitem.parquet")),
+          s"sketch MV rewrite did not fire; scans: $roots")
+        val result = df.localCheckpoint(eager = true)
+        val exact = li(s, d).groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        result.collect().foreach { r =>
+          val (k, est) = (r.getString(0), r.getLong(1))
+          require(math.abs(est - exact(k)).toDouble / exact(k) < 0.05,
+            s"estimate off: k=$k est=$est exact=${exact(k)}")
+        }
+        result
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        s.conf.set("spark.graft.mvrewrite.approxdistinct.enabled", "false")
+        graft.plans.MvRewrite.clear()
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    None)
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168)
+    q167, q168, q169)
 }
