@@ -129,7 +129,11 @@ object MvRewrite {
     * contract as [[graft.plans.ApproxSwapRule]]'s exact→approx swap.
     * The column name pins lgConfigK so a query sketching at a different
     * precision declines instead of silently serving the
-    * wrong-resolution sketch. */
+    * wrong-resolution sketch. The value column must be a type
+    * `hll_sketch_agg` accepts (INT/BIGINT/STRING/BINARY — Spark's own
+    * constraint); sketches are not invertible, so a MAINTAINED sketch
+    * view refreshes via [[graft.ops.IncrementalView.refreshRecompute]]
+    * (touched groups only), never refreshDelta. */
   def stateAggsSketch(valueCol: String, lgK: Int = 12): Seq[org.apache.spark.sql.Column] =
     stateAggs(valueCol) :+
       hll_sketch_agg(col(valueCol), lit(lgK)).as(s"hll_v_$lgK")

@@ -654,9 +654,41 @@ object Events {
             SELECT node, COUNT(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node"""))
 
+  /** Q174 — first-order Markov transition matrix
+    * ([[graft.ops.Transitions]]): P(next event type | current) per
+    * user-ordered stream — one per-user LEAD window (no self-join, no
+    * global ordering) then two keyed aggregations; the matrix is
+    * |types|² rows. Probabilities quantize to `p_e6 = floor(p·10⁶+0.5)`
+    * — count ratios CAN land exactly on round-half boundaries (any
+    * denominator dividing 2·10⁶), where Spark's decimal-string round
+    * and DuckDB's binary round disagree; floor quantization is pure
+    * IEEE arithmetic both compute identically. */
+  val q174 = QueryDef(
+    "q174_markov_transitions",
+    (s, d) =>
+      graft.ops.Transitions
+        .matrix(Tables.events(s, d), key = "user_id", state = "event_type",
+          time = "ts", tieBreak = "event_id")
+        .select(
+          col("from_state"), col("to_state"), col("n"),
+          floor(col("p") * 1000000 + lit(0.5)).cast("long").as("p_e6"))
+        .orderBy("from_state", "to_state"),
+    Some("""WITH pr AS (SELECT event_type AS from_state,
+                               LEAD(event_type) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+                        FROM events),
+                 c AS (SELECT from_state, to_state, COUNT(*) AS n
+                       FROM pr WHERE to_state IS NOT NULL GROUP BY 1, 2),
+                 t AS (SELECT from_state, SUM(n) AS rt FROM c GROUP BY 1)
+            SELECT from_state, to_state, n,
+                   CAST(FLOOR((CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)) * 1000000
+                              + 0.5) AS BIGINT) AS p_e6
+            FROM c JOIN t USING (from_state)
+            ORDER BY from_state, to_state"""))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
-      q129, q130, q150, q156, q170, q171, q172)
+      q129, q130, q150, q156, q170, q171, q172, q174)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

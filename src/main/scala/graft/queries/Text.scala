@@ -1098,8 +1098,80 @@ object Text {
                      ROUND(nn, 6) BETWEEN 1.0 AND 1.0 FROM m)
             ORDER BY check_name"""))
 
+  /** Q173 — windowed co-occurrence PMI ([[graft.ops.Cooccurrence]],
+    * Church & Hanks collocation scoring): unordered token pairs within
+    * a 3-token window, pair count ≥ 5, top-50 by PMI. Pair volume is
+    * position-banded (window·T, never T²); the score is computed from
+    * exact integer products cast to double only at the final division,
+    * so both engines produce the identical bits and ROUND(·, 4) cannot
+    * straddle. The oracle replays tokenize→band-join→count→ln in
+    * DuckDB. */
+  val q173 = QueryDef(
+    "q173_cooccurrence_pmi",
+    (s, d) =>
+      graft.ops.Cooccurrence
+        .pmi(Tables.documents(s, d), "doc_id", "text", window = 3, minPairCount = 5L)
+        .select(col("w1"), col("w2"), col("c_pair"), r4(col("pmi")).as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(50),
+    Some("""WITH raw AS (
+              SELECT doc_id,
+                     unnest(str_split(text, ' ')) AS tok,
+                     unnest(range(1, len(str_split(text, ' ')) + 1)) AS i
+              FROM documents),
+            tk AS (SELECT doc_id, tok, i FROM raw WHERE tok <> ''),
+            pairs AS (
+              SELECT LEAST(a.tok, b.tok) AS w1, GREATEST(a.tok, b.tok) AS w2
+              FROM tk a JOIN tk b
+                ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3),
+            pc AS (SELECT w1, w2, COUNT(*) AS c_pair
+                   FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            uni AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+            tot AS (SELECT (SELECT COUNT(*) FROM tk) AS t,
+                           (SELECT COUNT(*) FROM pairs) AS p)
+            SELECT w1, w2, c_pair,
+                   ROUND(LN(CAST(c_pair * t * t AS DOUBLE) /
+                            CAST(p * u1.c * u2.c AS DOUBLE)), 4) AS pmi
+            FROM pc, tot
+            JOIN uni u1 ON u1.tok = w1
+            JOIN uni u2 ON u2.tok = w2
+            ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
+
+  /** Q175 — chi-square independence audit ([[graft.ops.Contingency]]):
+    * language × source cell counts against the independence expectation
+    * E = rowTotal·colTotal/N with per-cell (O−E)²/E contributions — the
+    * screen for "is this shard's language mix skewed". One keyed cell
+    * aggregation + margin joins; expected/chi² quantize via
+    * floor(x·10⁴+0.5) (rationals of integer margins can land exactly on
+    * round-half boundaries where the engines' round algorithms split). */
+  val q175 = QueryDef(
+    "q175_chi2_independence",
+    (s, d) =>
+      graft.ops.Contingency
+        .chi2(Tables.documents(s, d), "lang", "source")
+        .select(
+          col("a").as("lang"), col("b").as("source"), col("observed"),
+          floor(col("expected") * 10000 + lit(0.5)).cast("long").as("expected_e4"),
+          floor(col("chi2_term") * 10000 + lit(0.5)).cast("long").as("chi2_e4"))
+        .orderBy("lang", "source"),
+    Some("""WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS observed
+                           FROM documents
+                           WHERE lang IS NOT NULL AND source IS NOT NULL
+                           GROUP BY 1, 2),
+                 rt AS (SELECT a, SUM(observed) AS at FROM cells GROUP BY 1),
+                 ct AS (SELECT b, SUM(observed) AS bt FROM cells GROUP BY 1),
+                 nn AS (SELECT SUM(observed) AS n FROM cells),
+                 e AS (SELECT a, b, observed,
+                              CAST(at * bt AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+                       FROM cells JOIN rt USING (a) JOIN ct USING (b), nn)
+            SELECT a AS lang, b AS source, observed,
+                   CAST(FLOOR(expected * 10000 + 0.5) AS BIGINT) AS expected_e4,
+                   CAST(FLOOR((observed - expected) * (observed - expected) / expected
+                              * 10000 + 0.5) AS BIGINT) AS chi2_e4
+            FROM e ORDER BY lang, source"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128, q137, q138, q144, q148, q154, q161)
+      q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175)
 }

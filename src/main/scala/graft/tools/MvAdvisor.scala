@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Materialized-view feedback loop — the MV twin of [[LayoutAdvisor]]:
@@ -51,26 +53,76 @@ object MvAdvisor {
     val out = Seq.newBuilder[Obs]
     df.queryExecution.optimizedPlan.foreach {
       case agg: Aggregate =>
-        stripToScan(agg.child, Nil).foreach { case (root, filters) =>
-          val groupNames = agg.groupingExpressions.map {
-            case a: AttributeReference => Some(a.name)
-            case _ => None
-          }
-          val filterCols = filters.flatMap(_.references.map(_.name)).toSet
-          if (!groupNames.exists(_.isEmpty)) {
-            valueColsOf(agg) match {
-              // > 1 value column can never rewrite against a
-              // single-value state — not a servable observation
-              case Some(values) if values.size <= 1 =>
-                val keys = groupNames.flatten.toSet ++ filterCols
-                out += Obs(root, keys, values.headOption.getOrElse(""))
-              case _ => ()
+        stripToScan(agg.child, Nil) match {
+          case Some((root, filters)) =>
+            val groupNames = agg.groupingExpressions.map {
+              case a: AttributeReference => Some(a.name)
+              case _ => None
             }
-          }
+            val filterCols = filters.flatMap(_.references.map(_.name)).toSet
+            if (!groupNames.exists(_.isEmpty)) {
+              valueAttrsOf(agg) match {
+                // > 1 value column can never rewrite against a
+                // single-value state — not a servable observation
+                case Some(values) if values.size <= 1 =>
+                  val keys = groupNames.flatten.toSet ++ filterCols
+                  out += Obs(root, keys, values.headOption.map(_.name).getOrElse(""))
+                case _ => ()
+              }
+            }
+          case None => observeStar(agg).foreach(out += _)
         }
       case _ => ()
     }
     out.result()
+  }
+
+  /** STAR observation — the advisor twin of the rewriter's join path:
+    * an aggregate over inner joins where every rewritable aggregate
+    * targets ONE scan (the fact) yields an observation whose keys are
+    * the fact columns used anywhere outside the aggregates (join
+    * conditions, filters, grouping) — exactly the columns a serving
+    * view must carry. Declines (observes nothing) when the value
+    * column itself leaks into a key position. */
+  private def observeStar(agg: Aggregate): Option[Obs] = {
+    def strip(p: LogicalPlan, fs: List[Expression]): (LogicalPlan, List[Expression]) =
+      p match {
+        case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+          strip(c, fs)
+        case Filter(cond, c) => strip(c, cond :: fs)
+        case other => (other, fs)
+      }
+    def flatten(p: LogicalPlan)
+        : Option[(Seq[(String, LogicalRelation)], List[Expression])] = p match {
+      case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) => flatten(c)
+      case Filter(cond, c) => flatten(c).map { case (ls, es) => (ls, cond :: es) }
+      case Join(l, r, Inner | Cross, cond, _) =>
+        for ((ll, le) <- flatten(l); (rl, re) <- flatten(r))
+          yield (ll ++ rl, cond.toList ++ le ++ re)
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((Seq((fs.location.rootPaths.map(_.toString).sorted.mkString(","), lr)), Nil))
+      // anything else (LocalRelation dims, subquery aggregates…) is an
+      // opaque non-fact subtree; a fact buried inside one is simply not
+      // observed — conservative, never wrong
+      case _ => Some((Seq.empty, Nil))
+    }
+    val (root, midFilters) = strip(agg.child, Nil)
+    root match {
+      case j: Join =>
+        for {
+          (scans, innerExprs) <- flatten(j)
+          values <- valueAttrsOf(agg)
+          if values.size == 1
+          value = values.head
+          (factRoot, factRel) <- scans.find(_._2.outputSet.contains(value))
+          factOut = factRel.outputSet
+          keyRefs = (innerExprs ++ midFilters ++ agg.groupingExpressions)
+            .flatMap(_.references).filter(factOut.contains)
+          // the value column leaking into a key position is unservable
+          if !keyRefs.exists(_.exprId == value.exprId)
+        } yield Obs(factRoot, keyRefs.map(_.name).toSet, value.name)
+      case _ => None
+    }
   }
 
   /** Record a query into the session-level workload model. */
@@ -168,20 +220,20 @@ object MvAdvisor {
   /** The distinct bare columns aggregated over, when EVERY aggregate is
     * a rewritable shape — None otherwise. count(*) contributes no
     * column (an empty result = count-only query). */
-  private def valueColsOf(agg: Aggregate): Option[Set[String]] = {
+  private def valueAttrsOf(agg: Aggregate): Option[Set[AttributeReference]] = {
     var ok = true
-    val cols = Set.newBuilder[String]
+    val cols = Set.newBuilder[AttributeReference]
     agg.aggregateExpressions.foreach { ne =>
       def walk(e: Expression): Unit = e match {
         case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined =>
           ok = false
         case AggregateExpression(f, _, false, _, _) => f match {
           case Count(Seq(c)) if c.foldable => ()
-          case Count(Seq(a: AttributeReference)) => cols += a.name
-          case Sum(a: AttributeReference, _) => cols += a.name
-          case Min(a: AttributeReference) => cols += a.name
-          case Max(a: AttributeReference) => cols += a.name
-          case Average(a: AttributeReference, _) => cols += a.name
+          case Count(Seq(a: AttributeReference)) => cols += a
+          case Sum(a: AttributeReference, _) => cols += a
+          case Min(a: AttributeReference) => cols += a
+          case Max(a: AttributeReference) => cols += a
+          case Average(a: AttributeReference, _) => cols += a
           case _ => ok = false
         }
         case other => other.children.foreach(walk)
@@ -193,8 +245,6 @@ object MvAdvisor {
       }
     }
     val built = cols.result()
-    // a single view serves a single value column; multi-value queries
-    // are recorded once PER value column by the caller
     if (ok) Some(built) else None
   }
 }

@@ -82,6 +82,39 @@ class MvAdvisorSpec extends SparkSuite {
     }
   }
 
+  test("star workloads are observed: join keys become view keys, loop closes") {
+    withFact { fact =>
+      import spark.implicits._
+      Seq(("a", "east"), ("b", "west")).toDF("k1", "region")
+        .createOrReplaceTempView("adv_dim")
+      spark.read.parquet(fact).createOrReplaceTempView("adv_fact")
+      try {
+        def q() = spark.sql(
+          """SELECT region, sum(v) AS s, count(*) AS n
+            |FROM adv_fact f JOIN adv_dim d ON f.k1 = d.k1
+            |GROUP BY region""".stripMargin)
+        MvAdvisor.record(q()); MvAdvisor.record(q())
+        val recs = MvAdvisor.recommend()
+        assert(recs.nonEmpty, "no star recommendation")
+        assert(recs.head.valueCol == "v" && recs.head.groupCols == Seq("k1"),
+          recs.head.toString)
+        // close the loop: materialize, the star query itself rewrites
+        val mv = MvAdvisor.materializeTop(spark, fact, fact + "_star_state")
+        assert(mv.isDefined)
+        spark.conf.set("spark.graft.mvrewrite.enabled", "true")
+        assert(!scanRoots(q()).exists(_.endsWith("/fact")), scanRoots(q()))
+        // a star query whose VALUE column is also the join key is not
+        // servable and must not be recorded
+        MvAdvisor.clear()
+        MvAdvisor.record(spark.sql(
+          """SELECT region, sum(f.v) AS s
+            |FROM adv_fact f JOIN adv_dim d ON f.v = d.k1
+            |GROUP BY region""".stripMargin))
+        assert(MvAdvisor.recommend().isEmpty, MvAdvisor.report())
+      } finally Seq("adv_dim", "adv_fact").foreach(spark.catalog.dropTempView)
+    }
+  }
+
   test("minShare gates one-off shapes; count-only workloads still recommend") {
     withFact { fact =>
       val f = () => spark.read.parquet(fact)
