@@ -39,4 +39,35 @@ object Contingency {
         (col("observed") - col("expected")) * (col("observed") - col("expected"))
           / col("expected"))
   }
+
+  /** Welch's unequal-variance two-sample t-test — "do these two slices of
+    * the corpus differ in this metric" (source A vs source B document
+    * length, shard vs shard quality score) without assuming equal
+    * variances or sizes.
+    *
+    * One row out: counts, means, the t statistic, and the
+    * Welch–Satterthwaite degrees of freedom. Scale shape: a single
+    * conditional aggregation pass over the filtered input — six scalar
+    * aggregates in one whole-stage-codegen HashAggregate, no join, no
+    * second scan. */
+  def welchT(
+      df: DataFrame, groupCol: String, valueCol: String,
+      g1: String, g2: String): DataFrame = {
+    def side(g: String, f: (org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      f(when(col(groupCol) === g, col(valueCol).cast("double")))
+    val agg = df
+      .filter(col(groupCol).isin(g1, g2) && col(valueCol).isNotNull)
+      .agg(
+        side(g1, count).as("n1"), side(g2, count).as("n2"),
+        side(g1, avg).as("mean1"), side(g2, avg).as("mean2"),
+        side(g1, var_samp).as("var1"), side(g2, var_samp).as("var2"))
+    val se1 = col("var1") / col("n1")
+    val se2 = col("var2") / col("n2")
+    val se = se1 + se2
+    agg.select(
+      col("n1"), col("n2"), col("mean1"), col("mean2"),
+      ((col("mean1") - col("mean2")) / sqrt(se)).as("t_stat"),
+      ((se * se) / (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+        .as("dof"))
+  }
 }

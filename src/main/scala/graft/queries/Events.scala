@@ -688,7 +688,7 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
-      q129, q130, q150, q156, q170, q171, q172, q174)
+      q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
@@ -713,4 +713,130 @@ object Events {
             WHERE st.sigma IS NOT NULL AND st.sigma > 0
               AND ABS(ROUND((h.cnt - st.mu) / st.sigma, 4)) >= 2.0
             ORDER BY event_type, hour"""))
+
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Shared oracle CTE chain for the funnel queries: s_k = each user's
+    * earliest stage-k event strictly after their stage-(k−1) reach time —
+    * the independent k-join min-chain formulation that [[graft.ops
+    * .Funnel]]'s one-pass fold must reproduce. */
+  private val funnelCtes =
+    """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |     s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+      |            JOIN s1 USING (user_id)
+      |            WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+      |     s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+      |            JOIN s2 USING (user_id)
+      |            WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t GROUP BY 1),
+      |     s4 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+      |            JOIN s3 USING (user_id)
+      |            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t GROUP BY 1)
+      |""".stripMargin
+
+  /** Q176 — ordered funnel ([[graft.ops.Funnel]]): users reaching
+    * signup → view → click → purchase in strict time order, cumulative
+    * count per stage. Unlike q92's bespoke 3-stage window formulation,
+    * this is the GENERAL n-stage operator — one fold over each user's
+    * sorted events regardless of stage count, where the window encoding
+    * needs another cascaded min-over-frame per added stage. The oracle is
+    * the independent 4-way min-chain join. */
+  val q176 = QueryDef(
+    "q176_funnel_counts",
+    (s, d) =>
+      graft.ops.Funnel.stageCounts(
+        Tables.events(s, d), "user_id", "event_type", "ts", funnelStages)
+        .orderBy("stage_idx"),
+    Some(funnelCtes +
+      """SELECT stage_idx, stage, n_users FROM (
+        |  SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
+        |ORDER BY stage_idx""".stripMargin))
+
+  /** Q177 — funnel conversion lag: for fully-converted users, seconds from
+    * first-stage reach to last-stage reach (count/avg/min/max). Same fold
+    * as q176, so the reach TIMES (not just counts) are oracle-checked. */
+  val q177 = QueryDef(
+    "q177_funnel_conversion_lag",
+    (s, d) => {
+      val p = graft.ops.Funnel.userProgress(
+        Tables.events(s, d), "user_id", "event_type", "ts", funnelStages)
+      val lagS = (col("last_us") - col("first_us")) / lit(1e6)
+      p.filter(col("reached") === funnelStages.length)
+        .agg(
+          count(lit(1)).as("n_converted"),
+          r6(avg(lagS)).as("avg_s"),
+          r6(min(lagS)).as("min_s"),
+          r6(max(lagS)).as("max_s"))
+    },
+    Some(funnelCtes +
+      """SELECT COUNT(*) AS n_converted,
+        |       ROUND(AVG((s4.t - s1.t) / 1e6), 6) AS avg_s,
+        |       ROUND(MIN((s4.t - s1.t) / 1e6), 6) AS min_s,
+        |       ROUND(MAX((s4.t - s1.t) / 1e6), 6) AS max_s
+        |FROM s4 JOIN s1 USING (user_id)""".stripMargin))
+
+  /** Q178 — retention cohort matrix at DAY granularity: users bucketed by
+    * first-seen date, distinct actives per (cohort, day offset). The
+    * join-free twin of q93's weekly groupBy+self-join build: ONE
+    * partitioned window computes each user's cohort in the same exchange
+    * that feeds the aggregation — one shuffle on user instead of q93's
+    * aggregate + join back, the better plan when cohort assignment and
+    * activity come from the same scan. */
+  val q178 = QueryDef(
+    "q178_retention_cohorts",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("cohort", min(to_date(col("ts"))).over(w))
+        .groupBy(
+          col("cohort"),
+          datediff(to_date(col("ts")), col("cohort")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(Fmt.date(col("cohort")).as("cohort"), col("offset_days"), col("n_users"))
+        .orderBy("cohort", "offset_days")
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+           |           FROM events GROUP BY 1)
+           |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           |       CAST(datediff('day', f.cohort, CAST(e.ts AS DATE)) AS INTEGER)
+           |         AS offset_days,
+           |       COUNT(DISTINCT e.user_id) AS n_users
+           |FROM events e JOIN f USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Q179 — truncated EWMA smoothing ([[graft.ops.Smoothing]]): per-user
+    * exponential moving average of `value`, kernel cut at 10 taps so the
+    * whole operator is one partitioned window sort + codegen arithmetic.
+    * The oracle embeds the SAME weight double-literals (17 significant
+    * digits round-trips a double exactly) and sums taps in the same
+    * order, so the comparison is bit-tight before the final rounding. */
+  val q179 = QueryDef(
+    "q179_ewma_smoothing",
+    (s, d) =>
+      graft.ops.Smoothing.ewmaTruncated(
+        Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"),
+        "value", 0.3, 10)
+        .select(col("user_id"), col("event_id"), r6(col("ewma")).as("ewma"))
+        .orderBy("user_id", "event_id"),
+    Some {
+      val ws = graft.ops.Smoothing.weights(0.3, 10).map(w => f"$w%.17g")
+      def tap(j: Int) =
+        if (j == 0) "value" else s"LAG(value, $j) OVER w"
+      val num = ws.zipWithIndex
+        .map { case (w, j) =>
+          s"(CASE WHEN ${tap(j)} IS NOT NULL THEN $w * ${tap(j)} ELSE 0.0 END)" }
+        .mkString(" + ")
+      val den = ws.zipWithIndex
+        .map { case (w, j) =>
+          s"(CASE WHEN ${tap(j)} IS NOT NULL THEN $w ELSE 0.0 END)" }
+        .mkString(" + ")
+      s"""SELECT user_id, event_id,
+         |       CASE WHEN ($den) > 0 THEN ROUND(($num) / ($den), 6) END AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    })
 }

@@ -1912,11 +1912,76 @@ object Relational {
     },
     None)
 
+  /** Q180 — point-in-time (PIT) lookup against the SCD2 dimension
+    * ([[graft.ops.Scd2]], the consumer side of q163's history build): each
+    * shipped lineitem of the tracked customers is joined to the dimension
+    * version VALID AT ITS SHIP DATE — the standard "what did this
+    * dimension look like when the fact happened" warehouse join. The
+    * half-open validity intervals tile each key's timeline (duplicate
+    * `valid_from` rows collapse to empty intervals), so every probe
+    * matches exactly one version. Plan shape: equi-join on the customer
+    * key with the interval predicate as a post-join filter — at 100 TB a
+    * keyed shuffle join, never a cross product; the oracle rebuilds the
+    * identical history + interval join in SQL. */
+  val q180 = QueryDef(
+    "q180_pit_scd2_join",
+    (s, d) => {
+      val tracked = ord(s, d).filter(col("o_custkey") % 20 === 0)
+      val dim = graft.ops.Scd2.buildHistory(
+        tracked.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"))
+        .select(col("o_custkey").as("d_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("valid_from"), col("valid_to"))
+      val probe = li(s, d)
+        .join(tracked.select(col("o_orderkey").as("p_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("p_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"), col("l_quantity"),
+          col("l_extendedprice"))
+      probe
+        .join(dim,
+          col("o_custkey") === col("d_custkey") &&
+            col("l_shipdate") >= col("valid_from") &&
+            (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some("""WITH ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority
+           |            FROM orders WHERE o_custkey % 20 = 0),
+           |     l AS (SELECT *, ROW_NUMBER() OVER w AS rn,
+           |                  LAG(o_orderstatus) OVER w AS ps,
+           |                  LAG(o_orderpriority) OVER w AS pp
+           |           FROM ch
+           |           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+           |     c AS (SELECT * FROM l
+           |           WHERE rn = 1 OR ps IS DISTINCT FROM o_orderstatus
+           |              OR pp IS DISTINCT FROM o_orderpriority),
+           |     v AS (SELECT o_custkey, o_orderstatus, o_orderpriority,
+           |                  o_orderdate AS valid_from,
+           |                  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+           |                                          ORDER BY o_orderdate, o_orderkey) AS valid_to
+           |           FROM c),
+           |     probe AS (SELECT o.o_custkey, li.l_shipdate, li.l_quantity, li.l_extendedprice
+           |               FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+           |               WHERE o.o_custkey % 20 = 0)
+           |SELECT v.o_orderstatus, v.o_orderpriority, COUNT(*) AS n_items,
+           |       ROUND(SUM(p.l_quantity), 4) AS sum_qty,
+           |       ROUND(SUM(p.l_extendedprice), 4) AS sum_price
+           |FROM probe p JOIN v ON p.o_custkey = v.o_custkey
+           |  AND p.l_shipdate >= v.valid_from
+           |  AND (v.valid_to IS NULL OR p.l_shipdate < v.valid_to)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169)
+    q167, q168, q169, q180)
 }

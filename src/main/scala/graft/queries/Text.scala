@@ -1170,8 +1170,126 @@ object Text {
                               * 10000 + 0.5) AS BIGINT) AS chi2_e4
             FROM e ORDER BY lang, source"""))
 
+  /** Q181 — duplicate-cluster representative selection: q88's duplicate
+    * GROUPS (rare-trigram edges → connected components) reduced to one
+    * canonical document per cluster — keep the longest text, break ties
+    * on the smallest doc_id. This is the "keep-best" half of
+    * deduplication (q26/q88 find the duplicates; this picks the survivor
+    * by QUALITY instead of arbitrary keep-first). The argmax is a
+    * `max(struct(quality, -id))` over the label table — three scalar
+    * aggregates per cluster, no window over data-sized input; the oracle
+    * re-derives clusters with the recursive CTE and picks via
+    * ROW_NUMBER. */
+  val q181 = QueryDef(
+    "q181_cluster_representative",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      val sh = docs.select(
+        col("doc_id"),
+        explode(graft.functions.ShingleHashSetExpr(
+          TextFunctions.tokens(col("text")), 3)).as("h"))
+      val edges = sh.groupBy("h").agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("src"),
+        max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
+        .distinct()
+      val (labels, _) = ConnectedComponents.label(edges)
+      labels.select(col("id").as("doc_id"), col("comp"))
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+        .groupBy("comp")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(
+          col("comp"), (-col("m.nd")).as("rep_doc_id"),
+          col("m.c").as("rep_n_chars"), col("n_members"))
+        .orderBy("comp")
+    },
+    Some("""WITH RECURSIVE
+           |  tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+           |          WHERE len(str_split(text, ' ')) >= 3),
+           |  sh AS (SELECT DISTINCT doc_id, s FROM (
+           |           SELECT doc_id,
+           |                  UNNEST(list_transform(range(1, len(t) - 1),
+           |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |           FROM tok)),
+           |  rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) = 2),
+           |  edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |            FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+           |            WHERE a.doc_id < b.doc_id),
+           |  sym AS (SELECT src, dst FROM edges
+           |          UNION SELECT dst AS src, src AS dst FROM edges),
+           |  reach(a, b) AS (SELECT src, dst FROM sym
+           |                  UNION
+           |                  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |  comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+           |  memb AS (SELECT c.doc_id, c.comp, d.n_chars
+           |           FROM comp c JOIN documents d USING (doc_id)),
+           |  ranked AS (SELECT *, ROW_NUMBER() OVER
+           |               (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rk
+           |             FROM memb),
+           |  sizes AS (SELECT comp, COUNT(*) AS n_members FROM memb GROUP BY 1)
+           |SELECT r.comp, r.doc_id AS rep_doc_id, r.n_chars AS rep_n_chars,
+           |       s.n_members
+           |FROM ranked r JOIN sizes s USING (comp)
+           |WHERE r.rk = 1 ORDER BY r.comp""".stripMargin))
+
+  /** Q182 — Welch two-sample t-test ([[graft.ops.Contingency.welchT]]):
+    * does src0 differ from src1 in document length? One conditional
+    * aggregation pass (six scalars, no join); the oracle restates the
+    * t statistic and Welch–Satterthwaite dof from SQL aggregates. */
+  val q182 = QueryDef(
+    "q182_welch_ttest",
+    (s, d) =>
+      graft.ops.Contingency.welchT(
+        Tables.documents(s, d), "source", "n_chars", "src0", "src1")
+        .select(
+          col("n1"), col("n2"), r6(col("mean1")).as("mean1"),
+          r6(col("mean2")).as("mean2"), r4(col("t_stat")).as("t_stat"),
+          r4(col("dof")).as("dof")),
+    Some("""WITH a AS (SELECT COUNT(*) AS n1, AVG(n_chars) AS m1,
+           |                  VAR_SAMP(n_chars) AS v1
+           |           FROM documents WHERE source = 'src0'),
+           |     b AS (SELECT COUNT(*) AS n2, AVG(n_chars) AS m2,
+           |                  VAR_SAMP(n_chars) AS v2
+           |           FROM documents WHERE source = 'src1')
+           |SELECT n1, n2, ROUND(m1, 6) AS mean1, ROUND(m2, 6) AS mean2,
+           |       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+           |       ROUND(POWER(v1 / n1 + v2 / n2, 2)
+           |             / (POWER(v1 / n1, 2) / (n1 - 1)
+           |                + POWER(v2 / n2, 2) / (n2 - 1)), 4) AS dof
+           |FROM a, b""".stripMargin))
+
+  /** Q183 — overlapping token-window chunking ([[graft.ops.Chunking]]):
+    * every document split into 64-token chunks at stride 48 (16-token
+    * overlap) — the context-window preprocessing step for training
+    * samples / retrieval units. Pure codegen collection expressions, no
+    * shuffle; the oracle re-derives the same windows with
+    * generate_series + list slicing. */
+  val q183 = QueryDef(
+    "q183_token_chunks",
+    (s, d) =>
+      graft.ops.Chunking.slidingTokenChunks(
+        Tables.documents(s, d), Seq("doc_id"), "text", 64, 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+          substring(col("chunk"), 1, 40).as("chunk_head"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+           |     st AS (SELECT doc_id, t,
+           |                   UNNEST(generate_series(0, len(t) - 1, 48)) AS s
+           |            FROM tok WHERE len(t) >= 1)
+           |SELECT doc_id, CAST(s / 48 AS INTEGER) AS chunk_id,
+           |       CAST(len(t[s + 1 : s + 64]) AS INTEGER) AS n_tok,
+           |       SUBSTRING(array_to_string(t[s + 1 : s + 64], ' '), 1, 40)
+           |         AS chunk_head
+           |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
-      q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175)
+      q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
+      q181, q182, q183)
 }

@@ -274,4 +274,45 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming twin of [[graft.ops.Funnel]] — per-user ordered-funnel
+    * progress maintained incrementally across micro-batches. State per
+    * user is the SAME (reached, first, last) accumulator the batch fold
+    * carries: three numbers, bounded regardless of history length, so a
+    * 100 TB-scale funnel holds |users|·3 values of state, never events.
+    *
+    * Within a micro-batch events are sorted before folding; across
+    * batches the fold is order-sensitive by design (strict `>` progress),
+    * so the streaming result equals the batch result whenever each user's
+    * events arrive in non-decreasing time order across batches — the
+    * delivery guarantee a keyed log (e.g. Kafka partitioned by user)
+    * provides. Cross-batch REGRESSIONS (an old event arriving after a
+    * newer one advanced the funnel) are ignored, matching the batch
+    * min-chain only under in-order delivery; FunnelStreamSpec pins both
+    * the equality and the documented divergence case. */
+  final case class FunnelEvent(user_id: Long, us: Long, event_type: String)
+  final case class FunnelProgress(user_id: Long, reached: Int, first_us: Long, last_us: Long)
+
+  def streamingFunnel(
+      spark: SparkSession, events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val n = stages.length
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelProgress(user, 0, Long.MinValue, Long.MinValue))
+          var st = prev
+          batch.toSeq.sortBy(e => (e.us, e.event_type)).foreach { e =>
+            if (st.reached < n && e.event_type == stages(st.reached) && e.us > st.last_us)
+              st = FunnelProgress(
+                user, st.reached + 1,
+                if (st.reached == 0) e.us else st.first_us, e.us)
+          }
+          if (st != prev) { state.update(st); Iterator.single(st) }
+          else Iterator.empty
+      }
+  }
 }
