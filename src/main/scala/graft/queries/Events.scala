@@ -688,7 +688,8 @@ object Events {
 
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
-      q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179)
+      q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
+      q184, q185, q186, q187)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
@@ -839,4 +840,135 @@ object Events {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, event_id""".stripMargin
     })
+
+  /** Q184 — sessionization with per-event session IDs
+    * ([[graft.ops.Sessionize]]): each user's stream split at 30-minute
+    * inactivity gaps, then per-session row counts and exact microsecond
+    * durations. The per-EVENT labeling q43's session-window aggregate
+    * can't give you (that collapses a session to one row); both windows
+    * share one per-user sort. */
+  val q184 = QueryDef(
+    "q184_sessionize",
+    (s, d) =>
+      graft.ops.Sessionize.assignSessions(
+        Tables.events(s, d), "user_id", "ts", "event_id", 1800L * 1000000L)
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+        .orderBy("user_id", "session_id"),
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+           |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+           |           FROM events
+           |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (SELECT user_id, ts,
+           |                     SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                              THEN 1 ELSE 0 END)
+           |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                       AS session_id
+           |              FROM g)
+           |SELECT user_id, session_id, COUNT(*) AS n_events,
+           |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+           |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Q185 — last-touch attribution ([[graft.ops.AsOf]] as a self-join):
+    * every purchase attributed to the user's most recent click at or
+    * before it, with the exact microsecond lag; purchases with no prior
+    * click stay unattributed (null). The as-of union-window composition
+    * carries one click per user of state — no per-purchase subquery, no
+    * purchase×click product; the oracle is the independent
+    * join-then-rank formulation. */
+  val q185 = QueryDef(
+    "q185_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.AsOf.join(
+        purchases, clicks, "user_id", "ts", "event_id", Seq("event_id"))
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_event_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |     p AS (SELECT user_id, ts, event_id FROM events
+           |           WHERE event_type = 'purchase'),
+           |     ranked AS (SELECT p.event_id AS purchase_id, p.user_id,
+           |                       c.event_id AS click_id,
+           |                       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           |                       ROW_NUMBER() OVER
+           |                         (PARTITION BY p.event_id
+           |                          ORDER BY c.ts DESC, c.event_id DESC) AS rk
+           |                FROM p LEFT JOIN c
+           |                  ON p.user_id = c.user_id AND c.ts <= p.ts)
+           |SELECT purchase_id, user_id, click_id, lag_us
+           |FROM ranked WHERE rk = 1 ORDER BY purchase_id""".stripMargin))
+
+  /** Q186 — fixed-width histogram + per-type CDF: `value` binned at width
+    * 10, counts and cumulative share per event type. One keyed
+    * aggregation; the cumulative windows run over the BINNED table
+    * (|types|·|bins| rows), so the scan never sees a window. Shares
+    * quantize via floor(x·10⁶+0.5) — the established count-ratio policy
+    * (integer ratios land on round-half boundaries where the engines'
+    * double rounding disagrees). */
+  val q186 = QueryDef(
+    "q186_value_histogram",
+    (s, d) => {
+      val bins = Tables.events(s, d)
+        .groupBy(
+          col("event_type"),
+          floor(col("value") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy("event_type").orderBy("bin")
+      val totW = Window.partitionBy("event_type")
+      bins
+        .withColumn("_cum", sum(col("cnt")).over(cumW))
+        .withColumn("_tot", sum(col("cnt")).over(totW))
+        .select(
+          col("event_type"), col("bin"), col("cnt"),
+          floor(col("_cum").cast("double") / col("_tot") * 1e6 + 0.5)
+            .cast("long").as("cum_share_e6"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |                  CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           |                  COUNT(*) AS cnt
+           |           FROM events GROUP BY 1, 2)
+           |SELECT event_type, bin, cnt,
+           |       CAST(FLOOR(CAST(SUM(cnt) OVER (PARTITION BY event_type
+           |                                      ORDER BY bin) AS DOUBLE)
+           |                  / SUM(cnt) OVER (PARTITION BY event_type)
+           |                  * 1000000 + 0.5) AS BIGINT) AS cum_share_e6
+           |FROM b ORDER BY event_type, bin""".stripMargin))
+
+  /** Q187 — per-key uniform sample, exactly k rows per key
+    * ([[graft.ops.TopK]] over a hash order — the distributed equivalent
+    * of per-key reservoir sampling): 2 events per user, chosen by md5
+    * rank so the draw is uniform over each user's history yet fully
+    * deterministic. Runs through the TopKPerGroup PHYSICAL operator
+    * (partial per-partition heaps → one keyed exchange → final heaps),
+    * so per-key cost is O(k), not a sort of the key's history. */
+  val q187 = QueryDef(
+    "q187_reservoir_per_key",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          md5(col("event_id").cast("string").cast("binary")).as("draw"))
+      graft.ops.TopK.perGroup(
+        ev, Seq(col("user_id")), Seq(col("draw"), col("event_id")), k = 2)
+        .select("user_id", "event_id", "draw")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, draw FROM (
+           |  SELECT user_id, event_id, md5(CAST(event_id AS VARCHAR)) AS draw,
+           |         ROW_NUMBER() OVER (PARTITION BY user_id
+           |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+           |  FROM events)
+           |WHERE rk <= 2 ORDER BY user_id, event_id""".stripMargin))
 }

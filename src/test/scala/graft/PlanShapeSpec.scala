@@ -135,4 +135,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("ObjectHashAggregate"),
       s"edge aggregation fell back to ObjectHashAggregate:\n$plan")
   }
+
+  test("q183 chunking shuffles only for the final presentation sort") {
+    // the chunk expansion itself (split → sequence → transform/slice →
+    // posexplode) must be narrow: exactly one exchange in the whole plan,
+    // the rangepartitioning that serves the deterministic ORDER BY
+    // AQE's toString prints the Final AND Initial plans — count only the final
+    val plan = finalPlan(SparkEntry.queries("q183_token_chunks")(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val exchanges = "(?i)exchange (hash|range|single)partitioning".r
+      .findAllIn(plan).toList
+    assert(exchanges.size == 1 && exchanges.head.toLowerCase.contains("range"),
+      s"expected one range exchange, got $exchanges:\n$plan")
+  }
+
+  test("q187 per-key sample runs through the TopKPerGroup physical operator") {
+    val plan = finalPlan(SparkEntry.queries("q187_reservoir_per_key")(spark, sf0001))
+    assert(plan.contains("TopKPerGroup"), s"physical op missing:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to a window:\n$plan")
+  }
+
+  test("q179 EWMA taps share one partitioned window (single sort, no tap fan-out)") {
+    val plan = finalPlan(SparkEntry.queries("q179_ewma_smoothing")(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("hashpartitioning(user_id"), s"window not partitioned:\n$plan")
+    // 10 lag taps must collapse into ONE Window operator
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).toList
+    assert(windows.size == 1, s"expected one Window operator, got ${windows.size}:\n$plan")
+  }
+
+  test("q176 funnel is one keyed aggregation pass (no joins, no windows)") {
+    val plan = finalPlan(SparkEntry.queries("q176_funnel_counts")(spark, sf0001))
+    // the per-user fold is a groupBy(user) + aggregate(); stage counting
+    // joins only the |stages|+1-row histogram (broadcast)
+    assert(!plan.contains("SortMergeJoin"), s"data-sized join in funnel:\n$plan")
+    assert(!plan.contains("Window"), s"funnel should not window:\n$plan")
+  }
 }
