@@ -43,7 +43,35 @@ object AsOf {
       key: String,
       time: String,
       tieBreak: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    joinImpl(probe, build, key, time, tieBreak, valueCols, forward = false)
+
+  /** Forward as-of: for each probe row, the EARLIEST build row with the
+    * same `key` and `buildTime >= probeTime` (nearest-later match — "next
+    * purchase after this click", "first reading after the restart").
+    * Same-instant build rows DO match (>=). Among build rows tied on
+    * (key, time), the LOWEST `tieBreak` wins — the mirror of the backward
+    * join's highest-wins rule, so both directions pick the build row
+    * "closest" to the probe under the (time, tieBreak) total order.
+    * Identical scale shape: one keyed shuffle, one carried row of state,
+    * just scanned in descending time order. */
+  def joinForward(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      time: String,
+      tieBreak: String,
+      valueCols: Seq[String]): DataFrame =
+    joinImpl(probe, build, key, time, tieBreak, valueCols, forward = true)
+
+  private def joinImpl(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      time: String,
+      tieBreak: String,
+      valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val pCols = probe.columns
     val buildHasTieBreak = build.columns.contains(tieBreak)
 
@@ -67,10 +95,15 @@ object AsOf {
 
     // Build rows sort before probe rows at the same timestamp (`__is_probe`
     // asc) so a same-instant build row is visible to the probe; equal-time
-    // build rows order by tieBreak so the LAST (highest) one is carried.
+    // build rows order by tieBreak so the LAST one scanned (highest
+    // backward, lowest forward) is the one `last(...)` carries. Forward
+    // mode scans time DESCENDING, so "carried so far" = nearest later.
     val w = Window
       .partitionBy(key)
-      .orderBy(col(time), col("__is_probe"), col(tieBreak).asc_nulls_first)
+      .orderBy(
+        (if (forward) col(time).desc else col(time).asc),
+        col("__is_probe"),
+        (if (forward) col(tieBreak).desc_nulls_first else col(tieBreak).asc_nulls_first))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedProbe

@@ -44,9 +44,12 @@ object JoinPlanner {
   final case class SideStats(rows: Long, topKey: Option[String], topKeyRows: Long, k: Int) {
     /** Conservative skew test: true when the hot key's LOWER-bound
       * frequency plus the MG error bound crosses `fraction` of the side —
-      * i.e. the key may truly hold ≥ fraction of all rows. */
+      * i.e. the key may truly hold ≥ fraction of all rows. Stats with NO
+      * key summary (e.g. [[JoinPlanner.manifestStats]]) never claim skew:
+      * salting needs a measured pass, and "unknown" must not trigger it. */
     def maybeSkewed(fraction: Double): Boolean =
-      rows > 0 && (topKeyRows + rows / (k + 1)).toDouble / rows >= fraction
+      topKey.nonEmpty && rows > 0 &&
+        (topKeyRows + rows / (k + 1)).toDouble / rows >= fraction
   }
 
   final case class Decision(strategy: String, reason: String)
@@ -109,6 +112,22 @@ object JoinPlanner {
 
   def autoJoin(left: DataFrame, right: DataFrame, key: String): (DataFrame, Decision) =
     autoJoin(left, right, Seq(key))
+
+  /** ZERO-SCAN stats from a versioned table's manifest
+    * ([[graft.io.VersionedTable.countRows]] sums the per-file row counts
+    * every commit records — one manifest read, no data-file opens). The
+    * manifest stores no key-frequency summary, so `topKey` is empty and
+    * `maybeSkewed` stays conservatively false: manifest stats drive the
+    * BROADCAST decision (the one that matters most and needs only a row
+    * count) for free, while skew-salting still requires a measured
+    * [[gatherStats]] pass. At 100 TB this is the difference between "the
+    * planner read one small JSON" and "the planner scanned the fact". */
+  def manifestStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long] = None): SideStats =
+    SideStats(
+      graft.io.VersionedTable.countRows(spark, path, version),
+      topKey = None, topKeyRows = 0L, k = 32)
 
   /** Fact-side stats for SEVERAL key sets in ONE scan: count(*) plus one
     * Misra-Gries summary per key set, all riding a single aggregation —

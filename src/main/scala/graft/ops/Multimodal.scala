@@ -353,6 +353,37 @@ object Multimodal {
     arr
   }
 
+  /** Perceptual average-hash (aHash) of a 24bpp BMP: nearest-neighbor
+    * reduce to 8×8 ([[resizeBmpNearest]]), gray = B+G+R per cell, bit set
+    * where the cell is STRICTLY brighter than the image mean (strict >
+    * makes a constant image hash to all-zeros instead of ambiguity at the
+    * mean). Returned as a 64-char '0'/'1' string in BMP storage order
+    * (bit i = row i/8 from the bottom, column i%8) — hamming distance on
+    * these strings is the standard near-duplicate-image measure, and the
+    * banded-substring trick (split into 4 ×16-char bands, exact-match any
+    * band) gives the same pigeonhole blocking the SimHash dedup uses.
+    * All-integer arithmetic end to end, so independently recomputable. */
+  def averageHashBits(media: Array[Byte]): Option[String] =
+    resizeBmpNearest(media, 8, 8).map { small =>
+      val row = bmpRowSize(8)
+      val grays = new Array[Int](64)
+      var total = 0L
+      var i = 0
+      while (i < 64) {
+        val o = 54 + (i / 8) * row + 3 * (i % 8)
+        grays(i) = (small(o) & 0xff) + (small(o + 1) & 0xff) + (small(o + 2) & 0xff)
+        total += grays(i)
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      i = 0
+      while (i < 64) {
+        sb.append(if (grays(i) * 64L > total) '1' else '0')
+        i += 1
+      }
+      sb.toString
+    }
+
   /** Nearest-neighbor resample of a 24bpp BMP to `newW` x `newH`; None for
     * anything that isn't a well-formed 24bpp raster (header checks of
     * [[parseBmp]] plus an exact pixel-area size check). */

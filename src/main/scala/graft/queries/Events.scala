@@ -689,7 +689,7 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187)
+      q184, q185, q186, q187, q188)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
@@ -971,4 +971,41 @@ object Events {
            |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
            |  FROM events)
            |WHERE rk <= 2 ORDER BY user_id, event_id""".stripMargin))
+
+  /** Q188 — time-to-conversion ([[graft.ops.AsOf.joinForward]], the
+    * FORWARD as-of direction): every click matched to the user's earliest
+    * purchase at or after it — q185's mirror question ("how long until
+    * this touchpoint converts" vs "which touchpoint caused this
+    * conversion"). Same one-carried-row union-window shape, scanned in
+    * descending time; clicks that never convert stay null. */
+  val q188 = QueryDef(
+    "q188_time_to_purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.AsOf.joinForward(
+        clicks, purchases, "user_id", "ts", "event_id", Seq("event_id"))
+        .select(
+          col("event_id").as("click_id"), col("user_id"),
+          col("asof_event_id").as("next_purchase_id"),
+          (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("lead_us"))
+        .orderBy("click_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |     p AS (SELECT user_id, ts, event_id FROM events
+           |           WHERE event_type = 'purchase'),
+           |     ranked AS (SELECT c.event_id AS click_id, c.user_id,
+           |                       p.event_id AS next_purchase_id,
+           |                       epoch_us(p.ts) - epoch_us(c.ts) AS lead_us,
+           |                       ROW_NUMBER() OVER
+           |                         (PARTITION BY c.event_id
+           |                          ORDER BY p.ts, p.event_id) AS rk
+           |                FROM c LEFT JOIN p
+           |                  ON c.user_id = p.user_id AND p.ts >= c.ts)
+           |SELECT click_id, user_id, next_purchase_id, lead_us
+           |FROM ranked WHERE rk = 1 ORDER BY click_id""".stripMargin))
 }

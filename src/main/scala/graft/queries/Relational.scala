@@ -1977,11 +1977,53 @@ object Relational {
            |  AND (v.valid_to IS NULL OR p.l_shipdate < v.valid_to)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q189 — join planning from MANIFEST stats
+    * ([[graft.ops.JoinPlanner.manifestStats]]): both join sides live in
+    * versioned tables, and the planner's broadcast decision comes from
+    * the row counts their manifests already record — ZERO stats scans
+    * (q121/q129 pay one measuring aggregation per side; here planning
+    * cost is two small JSON reads). The `require` pins the decision to
+    * broadcast-right, and the oracle recomputes the join from the raw
+    * tables — a stale or wrong manifest count that flipped the strategy
+    * would still have to produce identical rows to pass. */
+  val q189 = QueryDef(
+    "q189_manifest_stats_join",
+    (s, d) => {
+      import graft.io.VersionedTable
+      val root = Scratch.dir("q189")
+      val factPath = s"$root/fact"
+      val dimPath = s"$root/dim"
+      VersionedTable.commitAppend(
+        ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice"), factPath)
+      VersionedTable.commitAppend(
+        Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), dimPath)
+      val (joined, decision) = graft.ops.JoinPlanner.autoJoin(
+        VersionedTable.read(s, factPath),
+        VersionedTable.read(s, dimPath),
+        Seq("o_custkey"),
+        broadcastMaxRows = 5000L,
+        leftStats = Some(graft.ops.JoinPlanner.manifestStats(s, factPath)),
+        rightStats = Some(graft.ops.JoinPlanner.manifestStats(s, dimPath)))
+      require(decision.strategy == "broadcast-right",
+        s"manifest stats mis-planned the join: $decision")
+      joined
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum(col("o_totalprice")) / lit(1e6)).as("total_mm"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+           |       ROUND(SUM(o_totalprice) / 1000000.0, 4) AS total_mm
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180)
+    q167, q168, q169, q180, q189)
 }

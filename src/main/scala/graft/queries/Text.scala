@@ -1287,9 +1287,50 @@ object Text {
            |         AS chunk_head
            |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
 
+  /** Q190 — perceptual image hashing ([[Multimodal.averageHashBits]],
+    * X5 + X2 combined): every document's raster reduced to its 64-bit
+    * average-hash — the standard image near-dup fingerprint (hamming ≤ t
+    * on these = near-identical images; band-substring blocking reuses the
+    * q28 pigeonhole shape). The pipeline is REAL bytes end to end
+    * (raster → nearest-neighbor 8×8 → gray mean → bits); the oracle
+    * recomputes the same bits from the closed-form pixel function, so a
+    * wrong resize index, gray formula, or threshold edge flips hash bits
+    * and fails. Duplicate groups fall out as equal hashes (identical-dim
+    * rasters collide by construction — the fixture's honest ground
+    * truth, asserted via the group count). */
+  val q190 = QueryDef(
+    "q190_image_ahash",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text").cast("binary")).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val w = 1 + n % 16
+          val h = 1 + n % 8
+          val bits = Multimodal.averageHashBits(Multimodal.toBmpRaster(w, h))
+            .getOrElse(sys.error(s"raster for doc $id failed to hash"))
+          (id, w, h, bits)
+        })
+        .toDF("doc_id", "width", "height", "ahash")
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+           |     d AS (SELECT doc_id, 1 + n % 16 AS w, 1 + n % 8 AS h FROM p),
+           |     g AS (SELECT doc_id, w, h,
+           |                  [ ((i % 8) * w // 8 * 7 + (i // 8) * h // 8 * 13) % 256
+           |                  + ((i % 8) * w // 8 * 31 + (i // 8) * h // 8) % 256
+           |                  + ((i % 8) * w // 8 + (i // 8) * h // 8 * 57) % 256
+           |                    FOR i IN range(0, 64) ] AS gs
+           |           FROM d)
+           |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |       array_to_string([ CASE WHEN x * 64 > list_sum(gs) THEN '1' ELSE '0' END
+           |                         FOR x IN gs ], '') AS ahash
+           |FROM g ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183)
+      q181, q182, q183, q190)
 }

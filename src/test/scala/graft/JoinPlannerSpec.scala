@@ -186,4 +186,25 @@ class JoinPlannerSpec extends SparkSuite {
     assert(hasBroadcast(joined))
     assert(joined.count() == 2000)
   }
+
+  test("manifestStats reads row counts from the manifest, no data scan, skew-conservative") {
+    val root = java.nio.file.Files.createTempDirectory("jp_manifest").toString
+    val dim = (0L to 99L).map(j => (j, s"d$j")).toDF("k", "nm")
+    val fact = (1 to 5000).map(i => (i % 100L, i.toLong)).toDF("k", "v")
+    graft.io.VersionedTable.commitAppend(dim, s"$root/dim")
+    graft.io.VersionedTable.commitAppend(fact, s"$root/fact")
+    val ds = JoinPlanner.manifestStats(spark, s"$root/dim")
+    val fs = JoinPlanner.manifestStats(spark, s"$root/fact")
+    assert(ds.rows == 100L && fs.rows == 5000L)
+    // no key summary in the manifest => never claims skew, whatever the fraction
+    assert(!fs.maybeSkewed(0.0001))
+    val (joined, decision) = JoinPlanner.autoJoin(
+      graft.io.VersionedTable.read(spark, s"$root/fact"),
+      graft.io.VersionedTable.read(spark, s"$root/dim"),
+      Seq("k"), broadcastMaxRows = 1000L,
+      leftStats = Some(fs), rightStats = Some(ds))
+    assert(decision.strategy == "broadcast-right", decision.toString)
+    assert(joined.count() == 5000)
+    graft.queries.Scratch.rmTree(new java.io.File(root))
+  }
 }
