@@ -754,7 +754,8 @@ object Events {
         |  UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
         |  UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
         |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
-        |ORDER BY stage_idx""".stripMargin))
+        |ORDER BY stage_idx""".stripMargin),
+    headline = true)
 
   /** Q177 — funnel conversion lag: for fully-converted users, seconds from
     * first-stage reach to last-stage reach (count/avg/min/max). Same fold
@@ -839,7 +840,8 @@ object Events {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, event_id""".stripMargin
-    })
+    },
+    headline = true)
 
   /** Q184 — sessionization with per-event session IDs
     * ([[graft.ops.Sessionize]]): each user's stream split at 30-minute
@@ -869,7 +871,8 @@ object Events {
            |              FROM g)
            |SELECT user_id, session_id, COUNT(*) AS n_events,
            |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
-           |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
 
   /** Q185 — last-touch attribution ([[graft.ops.AsOf]] as a self-join):
     * every purchase attributed to the user's most recent click at or

@@ -1285,7 +1285,8 @@ object Text {
            |       CAST(len(t[s + 1 : s + 64]) AS INTEGER) AS n_tok,
            |       SUBSTRING(array_to_string(t[s + 1 : s + 64], ' '), 1, 40)
            |         AS chunk_head
-           |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
+           |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+    headline = true)
 
   /** Q190 — perceptual image hashing ([[Multimodal.averageHashBits]],
     * X5 + X2 combined): every document's raster reduced to its 64-bit
@@ -1326,7 +1327,8 @@ object Text {
            |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |       array_to_string([ CASE WHEN x * 64 > list_sum(gs) THEN '1' ELSE '0' END
            |                         FOR x IN gs ], '') AS ahash
-           |FROM g ORDER BY doc_id""".stripMargin))
+           |FROM g ORDER BY doc_id""".stripMargin),
+    headline = true)
 
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
