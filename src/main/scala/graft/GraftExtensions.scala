@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => new graft.functions.CanonicalTextExpr(exprs.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      info("hamming_distance",
+        "hamming_distance(string, string) - differing positions over the common prefix + length difference"),
+      (exprs: Seq[Expression]) => graft.functions.HammingDistance(exprs(0), exprs(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(bigint x, bigint y) - Morton z-value of two non-negative keys"),
       (exprs: Seq[Expression]) => new InterleaveBits(exprs(0), exprs(1))))

@@ -11,6 +11,10 @@ object Registry {
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_distance",
+      exprs => HammingDistance(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "interleave_bits",
       exprs => InterleaveBits(exprs(0), exprs(1)),
       "scala_udf")

@@ -1330,9 +1330,79 @@ object Text {
            |FROM g ORDER BY doc_id""".stripMargin),
     headline = true)
 
+  /** Q191 — near-duplicate images by perceptual hash (q190's hashes +
+    * [[graft.functions.HammingDistance]], the engine's fused codegen
+    * expression): banded LSH blocking — 4 ×16-bit bands, two hashes
+    * within hamming ≤ 6 of each other must agree exactly on ≥1 band
+    * (pigeonhole: 7 differing bits can't hit all 4 bands) — so the join
+    * is band-keyed equality, NEVER all-pairs; candidates then pay one
+    * fused byte-loop distance each. The oracle rebuilds hashes, bands,
+    * and per-character distances in SQL — a codegen bug in the distance
+    * loop or a band-boundary off-by-one changes pairs and fails. */
+  val q191 = QueryDef(
+    "q191_image_neardup",
+    (s, d) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text").cast("binary")).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val bits = Multimodal
+            .averageHashBits(Multimodal.toBmpRaster(1 + n % 16, 1 + n % 8))
+            .getOrElse(sys.error(s"raster for doc $id failed to hash"))
+          (id, bits)
+        })
+        .toDF("doc_id", "ahash")
+      val bands = hashes.select(
+        col("doc_id"), col("ahash"),
+        posexplode(array((0 until 4).map(i =>
+          substring(col("ahash"), i * 16 + 1, 16)): _*)).as(Seq("band_no", "band")))
+      val cand = bands.as("x").join(
+        bands.as("y"),
+        col("x.band_no") === col("y.band_no") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+        .distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.HammingDistance(col("ha"), col("hb")).as("dist"))
+        .filter(col("dist") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+           |     dd AS (SELECT doc_id, 1 + n % 16 AS w, 1 + n % 8 AS h FROM p),
+           |     g AS (SELECT doc_id,
+           |                  [ ((i % 8) * w // 8 * 7 + (i // 8) * h // 8 * 13) % 256
+           |                  + ((i % 8) * w // 8 * 31 + (i // 8) * h // 8) % 256
+           |                  + ((i % 8) * w // 8 + (i // 8) * h // 8 * 57) % 256
+           |                    FOR i IN range(0, 64) ] AS gs
+           |           FROM dd),
+           |     hsh AS (SELECT doc_id,
+           |                    array_to_string([ CASE WHEN x * 64 > list_sum(gs)
+           |                                           THEN '1' ELSE '0' END
+           |                                      FOR x IN gs ], '') AS ahash
+           |             FROM g),
+           |     e AS (SELECT doc_id, ahash, UNNEST([0, 1, 2, 3]) AS band_no FROM hsh),
+           |     b AS (SELECT doc_id, ahash, band_no,
+           |                  SUBSTRING(ahash, band_no * 16 + 1, 16) AS band
+           |           FROM e),
+           |     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |                     x.ahash AS ha, y.ahash AS hb
+           |              FROM b x JOIN b y
+           |                ON x.band_no = y.band_no AND x.band = y.band
+           |               AND x.doc_id < y.doc_id),
+           |     scored AS (SELECT doc_a, doc_b,
+           |                       CAST(list_sum([ CASE WHEN ha[i] = hb[i] THEN 0 ELSE 1 END
+           |                                       FOR i IN range(1, 65) ]) AS INTEGER) AS dist
+           |                FROM cand)
+           |SELECT doc_a, doc_b, dist FROM scored
+           |WHERE dist <= 6 ORDER BY doc_a, doc_b""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190)
+      q181, q182, q183, q190, q191)
 }
