@@ -689,7 +689,7 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188)
+      q184, q185, q186, q187, q188, q192)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
@@ -1011,4 +1011,42 @@ object Events {
            |                  ON c.user_id = p.user_id AND p.ts >= c.ts)
            |SELECT click_id, user_id, next_purchase_id, lead_us
            |FROM ranked WHERE rk = 1 ORDER BY click_id""".stripMargin))
+
+  /** Q192 — autocorrelation of hourly volumes: ACF at lags 1–3 per event
+    * type over the observed hourly-count series (the periodicity probe
+    * behind seasonality-aware anomaly thresholds — q156 assumes
+    * stationarity; this measures how wrong that is). Lags are row-lags
+    * over the observed series (missing hours collapse, documented); the
+    * three taps share one partitioned window, correlations aggregate per
+    * type — the series table is |types|·|hours|, so nothing here touches
+    * data-sized rows after the first keyed count. */
+  val q192 = QueryDef(
+    "q192_hourly_autocorrelation",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hourly
+        .select(col("event_type"), col("c"),
+          lag(col("c"), 1).over(w).as("l1"),
+          lag(col("c"), 2).over(w).as("l2"),
+          lag(col("c"), 3).over(w).as("l3"))
+        .groupBy("event_type")
+        .agg(
+          r6(corr(col("c"), col("l1"))).as("acf1"),
+          r6(corr(col("c"), col("l2"))).as("acf2"),
+          r6(corr(col("c"), col("l3"))).as("acf3"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+           |                   CAST(COUNT(*) AS DOUBLE) AS c
+           |            FROM events GROUP BY 1, 2),
+           |     l AS (SELECT event_type, c,
+           |                  LAG(c, 1) OVER w AS l1, LAG(c, 2) OVER w AS l2,
+           |                  LAG(c, 3) OVER w AS l3
+           |           FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY h))
+           |SELECT event_type, ROUND(CORR(c, l1), 6) AS acf1,
+           |       ROUND(CORR(c, l2), 6) AS acf2, ROUND(CORR(c, l3), 6) AS acf3
+           |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
 }
