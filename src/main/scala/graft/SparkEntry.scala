@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Text.all ++
       graft.queries.Similarity.all ++
       graft.queries.Misc.all ++
-      graft.queries.TrainPrep.all
+      graft.queries.TrainPrep.all ++
+      graft.queries.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1054,7 +1054,6 @@ object VersionedTable {
   def deleteWhere(
       spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
       maxRebases: Int = 5): (Long, Long) = {
-    import org.apache.spark.sql.functions.input_file_name
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1065,20 +1064,15 @@ object VersionedTable {
       val rel = manifestFiles(spark, path, current)
       // one pruned scan (schema-aware + DV-applied, so predicates on
       // renamed/widened columns see every file and already-deleted rows
-      // can't re-match): which files hold doomed rows
-      val hitAbs = evolvedRead(spark, path, text, rel, dvFiles = dvFilesOf(text))
+      // can't re-match): which files hold doomed rows. File identity comes
+      // from the scan's own __f metadata column — input_file_name() is
+      // illegal above the DV anti-join (two file sources in one plan).
+      val hitRel = evolvedRead(
+          spark, path, text, rel, dvFiles = dvFilesOf(text), withPosition = true)
         .filter(predicate)
-        .select(input_file_name().as("f"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      if (hitAbs.isEmpty) return (current, 0L)
-      // absolute URI -> the manifest's relative "<commit-uuid>/<part>" name
-      def relOf(uri: String): String = {
-        val p = new java.net.URI(uri).getPath
-        val i = p.lastIndexOf("/data/")
-        require(i >= 0, s"unexpected data file location: $uri")
-        p.substring(i + "/data/".length)
-      }
-      val hitRel = hitAbs.map(relOf).toSet
+        .select(org.apache.spark.sql.functions.col("__f"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (hitRel.isEmpty) return (current, 0L)
       val kept = rel.filterNot(hitRel)
       // rewritten files are staged under the CURRENT logical schema and
       // with active deletion vectors applied — a delete doubles as
@@ -1144,7 +1138,7 @@ object VersionedTable {
       spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       maxRebases: Int = 5): (Long, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     var attempt = 0
     while (true) {
@@ -1158,19 +1152,14 @@ object VersionedTable {
       val unknown = assignments.keys.filterNot(schema.fieldNames.contains)
       require(unknown.isEmpty, s"UPDATE assigns unknown column(s): ${unknown.mkString(",")}")
       // one pruned scan (schema-aware + DV-applied): which files hold rows
-      // to update
-      val hitAbs = evolvedRead(spark, path, text, rel, dvFiles = dvFilesOf(text))
+      // to update. __f identity from the scan itself — input_file_name()
+      // is illegal above the DV anti-join (two file sources in one plan).
+      val hitRel = evolvedRead(
+          spark, path, text, rel, dvFiles = dvFilesOf(text), withPosition = true)
         .filter(predicate)
-        .select(input_file_name().as("f"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      if (hitAbs.isEmpty) return (current, 0L)
-      def relOf(uri: String): String = {
-        val p = new java.net.URI(uri).getPath
-        val i = p.lastIndexOf("/data/")
-        require(i >= 0, s"unexpected data file location: $uri")
-        p.substring(i + "/data/".length)
-      }
-      val hitRel = hitAbs.map(relOf).toSet
+        .select(org.apache.spark.sql.functions.col("__f"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (hitRel.isEmpty) return (current, 0L)
       val kept = rel.filterNot(hitRel)
       // persisted: three consumers below (CDF stage, updated forms,
       // survivors) must see ONE evaluation — repeated scans triple the
@@ -1720,7 +1709,7 @@ object VersionedTable {
   def replaceWhere(
       spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
       df: DataFrame, maxRebases: Int = 5): ReplaceResult = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val isMatch = coalesce(predicate, lit(false))
     val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1737,18 +1726,14 @@ object VersionedTable {
         val current = vs.last
         val text = manifestText(spark, path, current)
         val rel = manifestFiles(spark, path, current)
-        // one pruned scan (schema-aware, DV-applied): files holding rows to replace
-        val hitAbs = evolvedRead(spark, path, text, rel, dvFiles = dvFilesOf(text))
+        // one pruned scan (schema-aware, DV-applied): files holding rows
+        // to replace. __f identity from the scan itself — input_file_name()
+        // is illegal above the DV anti-join (two file sources in one plan).
+        val hitRel = evolvedRead(
+            spark, path, text, rel, dvFiles = dvFilesOf(text), withPosition = true)
           .filter(isMatch)
-          .select(input_file_name().as("f"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        def relOf(uri: String): String = {
-          val p = new java.net.URI(uri).getPath
-          val i = p.lastIndexOf("/data/")
-          require(i >= 0, s"unexpected data file location: $uri")
-          p.substring(i + "/data/".length)
-        }
-        val hitRel = hitAbs.map(relOf).toSet
+          .select(org.apache.spark.sql.functions.col("__f"))
+          .distinct().collect().map(_.getString(0)).toSet
         val kept = rel.filterNot(hitRel)
         val (deleted, tombNames, survNames) =
           if (hitRel.isEmpty) (0L, Seq.empty[String], Seq.empty[String])
@@ -2309,5 +2294,260 @@ object VersionedTable {
     }
     drop.foreach(v => f.delete(versionPath(path, v), false))
     (drop.size, filesRemoved)
+  }
+
+  /** Outcome of a [[purgeWhere]]: `rowsPurged` data rows physically
+    * erased, plus how many data / CDF / deletion-vector files were
+    * rewritten and how many version manifests were edited in place. */
+  final case class PurgeResult(
+      rowsPurged: Long,
+      dataFilesRewritten: Int,
+      cdfFilesRewritten: Int,
+      dvFilesRewritten: Int,
+      versionsEdited: Int)
+
+  /** Erasure purge ("right to be forgotten"): physically remove every row
+    * matching `predicate` from EVERY retained version — data files, CDF
+    * change files (tombstones/inserts carry full row payloads), and the
+    * version history itself — while every OTHER row of every version
+    * stays bit-identical, deletion-vector state included.
+    *
+    * This is the one operation the append-only log cannot express as a
+    * new commit: [[deleteWhere]] erases only from HEAD, and the old
+    * versions (the table's whole point) still serve the data. Purge is
+    * therefore an explicit HISTORY REWRITE:
+    *
+    *  1. ONE detection scan over the union of every manifest's data files
+    *     (and one over the CDF files), reading ONLY the predicate's
+    *     columns — column-pruned, so at 100 TB this reads the key column,
+    *     not the table.
+    *  2. Each affected file rewrites independently (survivors in original
+    *     row order), so the rewrite cost is O(affected files) and the
+    *     per-file jobs are embarrassingly parallel. Files the subject
+    *     never touched are not read, not rewritten, not moved.
+    *  3. Deletion vectors are POSITIONAL, so DV entries for a rewritten
+    *     file are remapped through the survivor position map (old
+    *     row_index → new row_index) — versions before a DV-delete still
+    *     show exactly their surviving rows, versions after still hide
+    *     exactly theirs.
+    *  4. Every manifest swaps old file names for new, with per-file row
+    *     counts corrected and per-file min/max stats recomputed for the
+    *     rewritten files (a purged row may have BEEN the recorded min or
+    *     max; stale bounds would leak its existence and loosen pruning).
+    *  5. The old physical files are deleted — erasure means now, not at
+    *     the next [[vacuum]].
+    *
+    * Bloom sidecars are left untouched: their entries key on the OLD file
+    * names, which no manifest references after the purge, so probes fall
+    * back to scanning the rewritten files — correct, just unpruned until
+    * the next [[compact]] re-blooms them. (Bloom bits are hashes, not
+    * values; they are not recoverable row data.)
+    *
+    * Constraints: `predicate` may only reference columns that were never
+    * renamed (the rewrite reads files RAW, under their physical schemas,
+    * so a renamed predicate column would silently miss old files — we
+    * refuse instead); rows where the predicate is NULL survive, the
+    * three-valued-logic policy every delete path here shares. Purge is an
+    * exclusive maintenance operation: it aborts before touching any
+    * manifest if the table advanced mid-purge, but it cannot detect a
+    * writer that starts after that check — run it in a maintenance
+    * window, like the equivalent history-rewrite in any log-structured
+    * format. */
+  def purgeWhere(
+      spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): PurgeResult = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val texts = vs.map(v => v -> manifestText(spark, path, v)).toMap
+    val head = texts(vs.last)
+
+    val predCols = org.apache.spark.sql.graft.bridge.lower(predicate).collect {
+      case u: UnresolvedAttribute => u.name
+      case a: AttributeReference  => a.name
+    }.distinct
+    require(predCols.nonEmpty, "purge predicate must reference at least one column")
+    val renamedEver = texts.values.flatMap(renamesOf).flatMap { case (a, b) => Seq(a, b) }.toSet
+    require(
+      predCols.forall(c => !renamedEver(c)),
+      s"purge predicate may not reference renamed columns (${predCols.filter(renamedEver).mkString(", ")})")
+
+    val headFiles = manifestFiles(spark, path, vs.last)
+    val logical = schemaOf(head).getOrElse(
+      spark.read.parquet(headFiles.map(n => s"$path/data/$n"): _*).schema)
+    val predSchema = StructType(predCols.map { c =>
+      logical.find(_.name == c)
+        .getOrElse(sys.error(s"purge predicate column $c not in table schema"))
+        .copy(nullable = true)
+    })
+    val isDoomed = coalesce(predicate, lit(false))
+
+    val allData = vs.flatMap(v => manifestFiles(spark, path, v)).distinct
+    val allCdf = vs.flatMap(v => cdfFilesOf(texts(v)) ++ cdfiFilesOf(texts(v))).distinct
+    val allDv = vs.flatMap(v => dvFilesOf(texts(v))).distinct
+
+    // 1. detection: which files hold doomed rows — predicate columns only
+    def affectedOf(files: Seq[String]): Seq[String] =
+      if (files.isEmpty) Seq.empty
+      else spark.read.schema(predSchema).parquet(files.map(n => s"$path/data/$n"): _*)
+        .filter(isDoomed)
+        .select(regexp_extract(col("_metadata.file_path"), "/data/(.+)$", 1).as("f"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val hitData = affectedOf(allData)
+    val hitCdf = affectedOf(allCdf)
+    if (hitData.isEmpty && hitCdf.isEmpty)
+      return PurgeResult(0L, 0, 0, 0, 0)
+
+    // 2. rewrite each affected file: survivors, original row order. Files
+    // may predate an additive column the predicate uses — read those with
+    // the column null-filled, stage back WITHOUT it (physical schema of
+    // the replacement matches the original exactly).
+    def rewriteRaw(fOld: String, withPos: Boolean): (DataFrame, Seq[String]) = {
+      val fpath = s"$path/data/$fOld"
+      val fileSchema = spark.read.parquet(fpath).schema
+      val missing = predSchema.fields
+        .filterNot(fld => fileSchema.fieldNames.contains(fld.name)).toSeq
+      val raw = spark.read
+        .schema(StructType(fileSchema.fields ++ missing))
+        .parquet(fpath)
+      val positioned =
+        if (withPos) raw.withColumn("__pos", col("_metadata.row_index")) else raw
+      (positioned, missing.map(_.name))
+    }
+    var rowsPurged = 0L
+    val dataRename = scala.collection.mutable.LinkedHashMap[String, String]()
+    val newCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val posMaps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (fOld <- hitData) {
+      val (raw, missing) = rewriteRaw(fOld, withPos = true)
+      val total = raw.count()
+      val surv = raw.filter(!isDoomed)
+        .coalesce(1).sortWithinPartitions("__pos")
+      val (_, names) = stageData(surv.drop(("__pos" +: missing): _*), path)
+      require(names.size == 1, s"purge rewrite of $fOld staged ${names.size} files")
+      val fNew = names.head
+      val kept = spark.read.parquet(s"$path/data/$fNew").count()
+      rowsPurged += total - kept
+      dataRename(fOld) = fNew
+      newCounts(fNew) = kept
+      if (allDv.nonEmpty)
+        posMaps += raw.filter(!isDoomed).select(col("__pos"))
+          .withColumn("__newPos", row_number().over(Window.orderBy("__pos")) - 1)
+          .select(lit(fOld).as("__oldF"), col("__pos").as("__oldPos"), col("__newPos"))
+    }
+    val cdfRename = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (fOld <- hitCdf) {
+      val (raw, missing) = rewriteRaw(fOld, withPos = false)
+      val surv = raw.filter(!isDoomed).coalesce(1)
+      val (_, names) = stageData(surv.drop(missing: _*), path)
+      require(names.size == 1, s"purge rewrite of $fOld staged ${names.size} files")
+      cdfRename(fOld) = names.head
+    }
+
+    // 3. remap deletion vectors through the survivor position maps
+    val dvRename = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (allDv.nonEmpty && dataRename.nonEmpty) {
+      import spark.implicits._
+      val renameDf = broadcast(dataRename.toSeq.toDF("__oldF", "__newF"))
+      val mapAll = posMaps.reduce(_.unionByName(_))
+      for (d <- allDv) {
+        val entries = spark.read.parquet(s"$path/data/$d")
+        val touched = entries
+          .join(renameDf, entries("f") === renameDf("__oldF"), "left_semi")
+          .limit(1).count() > 0
+        if (touched) {
+          val untouched = entries
+            .join(renameDf, entries("f") === renameDf("__oldF"), "left_anti")
+          // inner joins drop entries whose row was itself purged
+          val remapped = entries
+            .join(mapAll, entries("f") === mapAll("__oldF") && entries("pos") === mapAll("__oldPos"))
+            .join(renameDf, "__oldF")
+            .select(col("__newF").as("f"), col("__newPos").as("pos"))
+          val (_, names) = stageData(untouched.unionByName(remapped).coalesce(1), path)
+          require(names.size == 1, s"purge rewrite of DV $d staged ${names.size} files")
+          dvRename(d) = names.head
+        }
+      }
+    }
+
+    // recompute min/max stats for rewritten data files (old bounds may BE
+    // a purged value): one grouped scan over the new files, all columns
+    // that any manifest records stats for
+    val statsColsAll = texts.values.flatMap(t => statsOf(t)._1).toSeq.distinct
+    val newRanges: Map[(String, String), (Long, Long)] =
+      if (statsColsAll.isEmpty || dataRename.isEmpty) Map.empty
+      else {
+        val paths = dataRename.values.map(n => s"$path/data/$n").toSeq
+        val present = spark.read.parquet(paths: _*).columns.toSet
+        val cols = statsColsAll.filter(present)
+        if (cols.isEmpty) Map.empty
+        else {
+          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(col(c).cast("long")).as(s"__lo_$i"), max(col(c).cast("long")).as(s"__hi_$i"))
+          }
+          spark.read.parquet(paths: _*)
+            .groupBy(regexp_extract(col("_metadata.file_path"), "/data/(.+)$", 1).as("f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .flatMap { r =>
+              cols.zipWithIndex.flatMap { case (c, j) =>
+                if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
+                else Some((r.getString(0), c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
+              }
+            }.toMap
+        }
+      }
+
+    // exclusive-op check happens as late as possible, before the first
+    // irreversible step; staged-but-unpublished files a failure strands
+    // here are invisible to readers and reaped by the next vacuum
+    require(
+      versions(spark, path).lastOption.contains(vs.last),
+      s"table $path advanced during purge — re-run in a maintenance window")
+
+    // 4. manifest surgery: swap names, fix row counts, refresh stats
+    val renames = (dataRename ++ cdfRename ++ dvRename).toSeq
+    var edited = 0
+    for (v <- vs) {
+      var text = texts(v)
+      val orig = text
+      renames.foreach { case (o, n) => text = text.replace(o, n) }
+      newCounts.foreach { case (fNew, cnt) =>
+        text = text.replaceAll(
+          "\"" + java.util.regex.Pattern.quote(fNew) + "\":\\d+",
+          "\"" + fNew + "\":" + cnt)
+      }
+      newRanges.foreach { case ((fNew, c), (lo, hi)) =>
+        text = text.replaceAll(
+          "\"" + java.util.regex.Pattern.quote(s"$fNew|$c") + "\":\\[-?\\d+,-?\\d+\\]",
+          "\"" + s"$fNew|$c" + "\":[" + lo + "," + hi + "]")
+      }
+      if (text != orig) {
+        val out = f.create(versionPath(path, v), true)
+        try out.write(text.getBytes("UTF-8"))
+        finally out.close()
+        edited += 1
+      }
+    }
+
+    // 5. physical erasure of the replaced files
+    renames.foreach { case (o, _) => f.delete(new Path(s"$path/data/$o"), false) }
+
+    PurgeResult(rowsPurged, dataRename.size, cdfRename.size, dvRename.size, edited)
+  }
+
+  /** [[purgeWhere]] for the common erasure request: forget these key
+    * values everywhere. */
+  def purgeKeys(
+      spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): PurgeResult = {
+    import org.apache.spark.sql.functions.col
+    purgeWhere(spark, path, col(keyCol).isin(keys: _*))
   }
 }

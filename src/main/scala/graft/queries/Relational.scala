@@ -2019,11 +2019,43 @@ object Relational {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q197 — erasure purge across history
+    * ([[graft.io.VersionedTable.purgeWhere]]): build a three-version
+    * table (append evens → DV-delete every 10th key → append odds), then
+    * physically purge one customer-key residue class from EVERY version,
+    * and read the MIDDLE version — so the hash check proves both that the
+    * purged rows are gone from history and that the rewritten deletion
+    * vectors still hide exactly the rows version 2 deleted (positional
+    * DVs survive the file rewrite via the position remap). The oracle
+    * recomputes v2's surviving rows relationally. PurgeSpec pins the
+    * physical-erasure, CDF-scrub, stats-refresh and other-rows-untouched
+    * contracts. */
+  val q197 = QueryDef(
+    "q197_purge_history",
+    (s, d) => {
+      import graft.io.VersionedTable
+      val path = Scratch.dir("q197") + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path, "o_orderkey")
+      VersionedTable.deleteWhereDV(s, path, col("o_orderkey") % 10 === 0)
+      VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path, "o_orderkey")
+      VersionedTable.purgeWhere(s, path, col("o_custkey") % 97 === 0)
+      VersionedTable.read(s, path, version = Some(2L))
+        .agg(
+          count(lit(1)).as("cnt"),
+          r4(sum(col("o_totalprice")) / lit(1e6)).as("total_mm"))
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+           |       ROUND(SUM(o_totalprice) / 1000000.0, 4) AS total_mm
+           |FROM orders
+           |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+           |  AND o_custkey % 97 <> 0""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189)
+    q167, q168, q169, q180, q189, q197)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RobustStats, Skyline}
+
+/** Independent checks for the statistical-profiling operators behind
+  * q193-q196 (the oracle gate re-checks them against DuckDB; here we
+  * verify against brute-force / in-memory recomputations and assert the
+  * scale-relevant plan shapes).
+  */
+class StatsOpsSpec extends SparkSuite {
+
+  test("skyline matches the quadratic dominance test on sf0.001") {
+    val per = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("best_price"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = per.filter { case (_, xa, ya) =>
+      !per.exists { case (_, xb, yb) =>
+        xb >= xa && yb >= ya && (xb > xa || yb > ya)
+      }
+    }.map(t => (t._1, t._2, t._3)).sortBy(_._1)
+
+    val got = SparkEntry.queries("q196_skyline_customers")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == brute.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("skyline keeps mutually non-dominating ties on both coordinates") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 10.0), (2L, 5L, 10.0), (3L, 5L, 9.0), (4L, 4L, 11.0), (5L, 4L, 10.5))
+      .toDF("id", "x", "y")
+    val got = Skyline.maxMax2D(df, "x", "y").select("id").as[Long].collect().sorted
+    // (5,10) twice: neither strictly dominates the other; (4,11) has larger y.
+    assert(got.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("MAD outliers match an in-memory recomputation per event type") {
+    val rows = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val values = vs.map(_._2)
+      val med = medianOf(values)
+      val ads = values.map(v => math.abs(v - med))
+      val mad = medianOf(ads)
+      k -> ads.count(_ > 3 * mad).toLong
+    }
+
+    val got = RobustStats
+      .madOutliers(graft.core.Tables.events(spark, sf0001), "event_type", "value", 3.0)
+      .select("event_type", "outliers")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("equi-depth bins cover all rows with near-equal depth") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val total = li.count()
+    val bins = SparkEntry.queries("q194_equidepth_bins")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(bins.values.sum == total)
+    assert(bins.keys.forall(b => b >= 0 && b <= 9))
+    // l_quantity is a whole number in [1, 50]: ties make depths uneven, but
+    // every bin should stay within a small factor of the ideal decile.
+    val ideal = total / 10.0
+    assert(bins.values.forall(c => c < 3 * ideal), s"skewed bins: $bins")
+  }
+
+  test("correlation matrix values are in [-1, 1] and match stat.corr") {
+    val row = SparkEntry.queries("q193_correlation_matrix")(spark, sf0001).collect()(0)
+    val vals = row.schema.fieldNames.map(f => f -> row.getAs[Double](f))
+    vals.foreach { case (f, v) => assert(v >= -1.0 && v <= 1.0, s"$f = $v") }
+    val independent = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .stat.corr("l_quantity", "l_extendedprice")
+    assert(math.abs(row.getAs[Double]("corr_quantity_extendedprice") - independent) < 1e-4)
+  }
+
+  test("skyline plan: no cartesian/nested-loop self-join, threshold join broadcast") {
+    val df = SparkEntry.queries("q196_skyline_customers")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"quadratic self-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"quadratic self-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+  }
+}
