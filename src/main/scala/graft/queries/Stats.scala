@@ -122,5 +122,162 @@ object Stats {
            |    AND (b.n_orders > a.n_orders OR b.best_price > a.best_price))
            |ORDER BY a.o_custkey""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(q193, q194, q195, q196)
+  /** Q198 — per-key trend: OLS slope/intercept of daily event volume via
+    * the `regr_slope`/`regr_intercept` aggregates over the BOUNDED daily
+    * grid (calendar × event types) — the cheap "is this source growing or
+    * dying" monitor. One keyed aggregation to build the grid, one over
+    * it. */
+  val q198 = QueryDef(
+    "q198_trend_per_type",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+      daily.groupBy("event_type")
+        .agg(
+          r4(expr("regr_slope(cnt, x)")).as("slope"),
+          r4(expr("regr_intercept(cnt, x)")).as("intercept"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type,
+           |       ROUND(regr_slope(cnt, datediff('day', DATE '1970-01-01', day)), 4) AS slope,
+           |       ROUND(regr_intercept(cnt, datediff('day', DATE '1970-01-01', day)), 4) AS intercept,
+           |       COUNT(*) AS n_days
+           |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q199 — Benford first-digit audit: observed share of each leading
+    * significant digit of `o_totalprice` against the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-data screen. One narrow
+    * digit expression, one 9-row aggregate, one broadcast total. */
+  val q199 = QueryDef(
+    "q199_benford_audit",
+    (s, d) => {
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(floor(col("o_totalprice") /
+          pow(lit(10.0), floor(log10(col("o_totalprice"))))).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      val total = digits.agg(sum(col("cnt")).as("tot"))
+      digits.crossJoin(broadcast(total))
+        .select(
+          col("digit"),
+          col("cnt"),
+          r4(col("cnt") / col("tot")).as("share"),
+          r4(log10(lit(1) + lit(1.0) / col("digit"))).as("benford"))
+        .orderBy("digit")
+    },
+    Some("""WITH g AS (
+           |  SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit,
+           |         COUNT(*) AS cnt
+           |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+           |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM g)
+           |SELECT g.digit, g.cnt,
+           |       ROUND(g.cnt * 1.0 / t.tot, 4) AS share,
+           |       ROUND(LOG10(1 + 1.0 / g.digit), 4) AS benford
+           |FROM g, t ORDER BY g.digit""".stripMargin))
+
+  /** Q200 — CUSUM change-point per event type: the day where the
+    * cumulative deviation of daily volume from the type's mean peaks.
+    * The statistic is computed in EXACT integer arithmetic — scale the
+    * classic cusum_i = S_i − i·T/n by n to C_i = n·S_i − i·T (S_i =
+    * running count sum, T = total, n = #days) — so the argmax cannot
+    * drift across engines on floating-point summation order. All windows
+    * run per event type over the bounded daily grid. */
+  val q200 = QueryDef(
+    "q200_cusum_changepoint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val stepped = daily
+        .withColumn("i", row_number().over(w))
+        .withColumn("s", sum(col("cnt")).over(w))
+      val totals = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot"))
+      val scored = stepped.join(broadcast(totals), "event_type")
+        .withColumn("c", abs(col("n") * col("s") - col("i") * col("tot")).cast("long"))
+      val pick = Window.partitionBy("event_type").orderBy(col("c").desc, col("day"))
+      scored.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(
+          col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("c").as("max_cusum"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT event_type, day,
+           |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+           |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY day) AS s
+           |  FROM daily),
+           |t AS (SELECT event_type, COUNT(*) AS n, SUM(cnt) AS tot
+           |      FROM daily GROUP BY 1),
+           |c AS (
+           |  SELECT w.event_type, w.day,
+           |         CAST(ABS(t.n * w.s - w.i * t.tot) AS BIGINT) AS c,
+           |         ROW_NUMBER() OVER (PARTITION BY w.event_type
+           |                            ORDER BY ABS(t.n * w.s - w.i * t.tot) DESC, w.day) AS rn
+           |  FROM w JOIN t USING (event_type))
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c AS max_cusum
+           |FROM c WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  /** Q201 — association rules over per-user behavior baskets: for every
+    * ordered event-type pair (a → b), support, confidence and lift from
+    * the distinct (user, type) incidence. The pair join is keyed on
+    * user_id (each user contributes at most |event types|² pairs — a
+    * constant), never a cross join; the three rates derive from two
+    * keyed aggregates and one broadcast of the type counts. */
+  val q201 = QueryDef(
+    "q201_association_rules",
+    (s, d) => {
+      val inc = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val users = inc.select("user_id").distinct().count()
+      val typeCnt = inc.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = inc.as("a")
+        .join(inc.as("b"), "user_id")
+        .filter(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("antecedent"), col("b.event_type").as("consequent"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(typeCnt.withColumnRenamed("event_type", "antecedent")
+          .withColumnRenamed("n", "n_a")), "antecedent")
+        .join(broadcast(typeCnt.withColumnRenamed("event_type", "consequent")
+          .withColumnRenamed("n", "n_b")), "consequent")
+        .select(
+          col("antecedent"), col("consequent"), col("n_both"),
+          r4(col("n_both") / lit(users)).as("support"),
+          r4(col("n_both") / col("n_a")).as("confidence"),
+          r4((col("n_both") * lit(users)) / (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy("antecedent", "consequent")
+    },
+    Some("""WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+           |u AS (SELECT COUNT(DISTINCT user_id) AS users FROM inc),
+           |tc AS (SELECT event_type, COUNT(*) AS n FROM inc GROUP BY 1),
+           |p AS (
+           |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           |         COUNT(*) AS n_both
+           |  FROM inc a JOIN inc b USING (user_id)
+           |  WHERE a.event_type <> b.event_type
+           |  GROUP BY 1, 2)
+           |SELECT p.antecedent, p.consequent, p.n_both,
+           |       ROUND(p.n_both * 1.0 / u.users, 4) AS support,
+           |       ROUND(p.n_both * 1.0 / ta.n, 4) AS confidence,
+           |       ROUND(p.n_both * 1.0 * u.users / (ta.n * tb.n), 4) AS lift
+           |FROM p, u
+           |JOIN tc ta ON ta.event_type = p.antecedent
+           |JOIN tc tb ON tb.event_type = p.consequent
+           |ORDER BY 1, 2""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(q193, q194, q195, q196, q198, q199, q200, q201)
 }

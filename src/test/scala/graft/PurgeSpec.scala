@@ -132,6 +132,21 @@ class PurgeSpec extends SparkSuite {
     assert(e.getMessage.contains("renamed"))
   }
 
+  test("CDF replay after purge: subject gone, other change rows intact") {
+    val path = freshDir()
+    VersionedTable.commitAppend(base, path, "k")
+    VersionedTable.deleteWhereDV(spark, path, col("k") % 10 === 0)
+    val before = VersionedTable.changesWithType(spark, path, 1L, 2L)
+      .filter(col("user_id") =!= 3)
+      .collect().map(_.toSeq).toSet
+    VersionedTable.purgeWhere(spark, path, col("user_id") === 3)
+    val after = VersionedTable.changesWithType(spark, path, 1L, 2L)
+    assert(after.filter(col("user_id") === 3).count() == 0L,
+      "purged rows still replay through the change feed")
+    assert(after.filter(col("user_id") =!= 3).collect().map(_.toSeq).toSet == before,
+      "non-subject change rows drifted")
+  }
+
   test("purgeKeys erases listed keys and NULL-predicate rows survive") {
     val path = freshDir()
     val withNulls = base.withColumn(

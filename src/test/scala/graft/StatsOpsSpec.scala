@@ -91,6 +91,62 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("corr_quantity_extendedprice") - independent) < 1e-4)
   }
 
+  test("benford digits are 1..9 and shares sum to ~1") {
+    val rows = SparkEntry.queries("q199_benford_audit")(spark, sf0001).collect()
+    val digits = rows.map(_.getAs[Long]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.01)
+    // Benford expectation column is the closed form, independent of data
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit").toDouble
+      assert(math.abs(r.getAs[Double]("benford") - math.log10(1 + 1 / d)) < 1e-4)
+    }
+  }
+
+  test("cusum change-point matches an in-memory exact-integer recomputation") {
+    val daily = graft.core.Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").count()
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val n = sorted.length.toLong
+      var s = 0L
+      val scored = sorted.zipWithIndex.map { case ((_, day, cnt), idx) =>
+        s += cnt
+        (day, math.abs(n * s - (idx + 1) * total))
+      }
+      // argmax with earliest-day tie-break
+      val maxC = scored.map(_._2).max
+      t -> scored.filter(_._2 == maxC).minBy(_._1)
+    }
+    val got = SparkEntry.queries("q200_cusum_changepoint")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("association rules: confidence and lift consistent with counts") {
+    val rows = SparkEntry.queries("q201_association_rules")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val inc = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_type").distinct()
+    val users = inc.select("user_id").distinct().count().toDouble
+    val typeCnt = inc.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("antecedent"), r.getAs[String]("consequent"))
+      val both = r.getAs[Long]("n_both").toDouble
+      assert(math.abs(r.getAs[Double]("support") - both / users) < 1e-3)
+      assert(math.abs(r.getAs[Double]("confidence") - both / typeCnt(a)) < 1e-3)
+      assert(math.abs(r.getAs[Double]("lift") - both * users / (typeCnt(a) * typeCnt(b))) < 1e-3)
+    }
+    // rules come in symmetric-support pairs: n_both(a,b) == n_both(b,a)
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_both")).toMap
+    m.foreach { case ((a, b), n) => assert(m((b, a)) == n) }
+  }
+
   test("skyline plan: no cartesian/nested-loop self-join, threshold join broadcast") {
     val df = SparkEntry.queries("q196_skyline_customers")(spark, sf0001)
     df.collect()
