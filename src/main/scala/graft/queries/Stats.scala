@@ -279,5 +279,42 @@ object Stats {
            |JOIN tc tb ON tb.event_type = p.consequent
            |ORDER BY 1, 2""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(q193, q194, q195, q196, q198, q199, q200, q201)
+  /** Q202 — rolling-median smoothing: the 7-day trailing exact median of
+    * daily volume per event type — the robust counterpart of the EWMA
+    * smoother (q179): one outlier day barely moves it. The `median`
+    * aggregate runs AS a window function over a ROWS frame, partitioned
+    * per event type on the bounded daily grid (never the raw events).
+    * Spark refuses ordered-aggregate functions over a frame, so the
+    * 7-value window collects into an array and the median interpolates
+    * with collection expressions — constant-bounded per row, codegen. */
+  val q202 = QueryDef(
+    "q202_rolling_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("vals", array_sort(collect_list(col("cnt")).over(w)))
+        .withColumn("med7", r4(expr(
+          """CASE WHEN size(vals) % 2 = 1
+            |     THEN CAST(element_at(vals, CAST(size(vals) / 2 AS INT) + 1) AS DOUBLE)
+            |     ELSE (element_at(vals, CAST(size(vals) / 2 AS INT))
+            |           + element_at(vals, CAST(size(vals) / 2 AS INT) + 1)) / 2.0 END""".stripMargin)))
+        .select(
+          col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("med7"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+           |       ROUND(median(cnt) OVER (PARTITION BY event_type ORDER BY day
+           |                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+           |FROM daily ORDER BY 1, 2""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202)
 }

@@ -147,6 +147,26 @@ class PurgeSpec extends SparkSuite {
       "non-subject change rows drifted")
   }
 
+  test("stream replay after purge never surfaces the subject") {
+    val root = Files.createTempDirectory("purge_stream").toString
+    val path = s"$root/tbl"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    VersionedTable.commitAppend(base.filter(col("k") < 500), path, "k")
+    VersionedTable.commitAppend(base.filter(col("k") >= 500), path, "k")
+    VersionedTable.purgeWhere(spark, path, col("user_id") === 2)
+    // fresh checkpoint: the source bootstraps from v1 and tails v2 —
+    // both micro-batches must read the REWRITTEN files
+    val q = spark.readStream.format("graft-vt-stream").option("path", path)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("user_id") === 2).count() == 0L,
+      "purged rows replayed through the stream source")
+    assert(got.count() == base.filter(col("user_id") =!= 2).count())
+  }
+
   test("purgeKeys erases listed keys and NULL-predicate rows survive") {
     val path = freshDir()
     val withNulls = base.withColumn(
