@@ -103,12 +103,25 @@ object Main {
         spark, path, org.apache.spark.sql.functions.col(keyCol).isin(ids: _*))
       println(s"[graft] deleted $deleted rows -> version $v")
       spark.stop()
+    case "table-purge" :: path :: keyCol :: keys :: Nil =>
+      // erasure across ALL retained versions (right to be forgotten):
+      // rewrites every affected data/CDF/DV file and edits the manifests
+      // in place — unlike table-delete, pre-purge snapshots no longer
+      // serve the subject. Run in a maintenance window.
+      val spark = GraftSession.local()
+      val ids = keys.split(",").toSeq.map(_.trim.toLong)
+      val r = graft.io.VersionedTable.purgeKeys(spark, path, keyCol, ids)
+      println(s"[graft] purged ${r.rowsPurged} rows: " +
+        s"${r.dataFilesRewritten} data + ${r.cdfFilesRewritten} cdf + " +
+        s"${r.dvFilesRewritten} dv files rewritten, ${r.versionsEdited} manifests edited")
+      spark.stop()
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | metrics <name> <sfDir> | advise <sfDir> | table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
-          s"table-delete <path> <keyCol> <id,...> (got: $other)")
+          "table-delete <path> <keyCol> <id,...> | " +
+          s"table-purge <path> <keyCol> <id,...> (got: $other)")
       sys.exit(1)
   }
 }

@@ -120,7 +120,8 @@ object Stats {
            |  SELECT 1 FROM per b
            |  WHERE b.n_orders >= a.n_orders AND b.best_price >= a.best_price
            |    AND (b.n_orders > a.n_orders OR b.best_price > a.best_price))
-           |ORDER BY a.o_custkey""".stripMargin))
+           |ORDER BY a.o_custkey""".stripMargin),
+    headline = true)
 
   /** Q198 — per-key trend: OLS slope/intercept of daily event volume via
     * the `regr_slope`/`regr_intercept` aggregates over the BOUNDED daily
@@ -229,7 +230,8 @@ object Stats {
            |                            ORDER BY ABS(t.n * w.s - w.i * t.tot) DESC, w.day) AS rn
            |  FROM w JOIN t USING (event_type))
            |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c AS max_cusum
-           |FROM c WHERE rn = 1 ORDER BY event_type""".stripMargin))
+           |FROM c WHERE rn = 1 ORDER BY event_type""".stripMargin),
+    headline = true)
 
   /** Q201 — association rules over per-user behavior baskets: for every
     * ordered event-type pair (a → b), support, confidence and lift from
@@ -277,7 +279,8 @@ object Stats {
            |FROM p, u
            |JOIN tc ta ON ta.event_type = p.antecedent
            |JOIN tc tb ON tb.event_type = p.consequent
-           |ORDER BY 1, 2""".stripMargin))
+           |ORDER BY 1, 2""".stripMargin),
+    headline = true)
 
   /** Q202 — rolling-median smoothing: the 7-day trailing exact median of
     * daily volume per event type — the robust counterpart of the EWMA
@@ -314,7 +317,125 @@ object Stats {
            |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
            |       ROUND(median(cnt) OVER (PARTITION BY event_type ORDER BY day
            |                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
-           |FROM daily ORDER BY 1, 2""".stripMargin))
+           |FROM daily ORDER BY 1, 2""".stripMargin),
+    headline = true)
 
-  def all: Seq[QueryDef] = Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202)
+  /** Q203 — distribution drift monitor: binned two-sample KS statistic
+    * and PSI between a reference period (Jan 1–15) and a live period
+    * (Jan 16+) of event values, per event type. The KS distance is
+    * computed in EXACT integer arithmetic — max |S_ref·n_live −
+    * S_live·n_ref| over the bin-grid CDFs (same trick as q200), divided
+    * out only at the end — so the max cannot drift on fp summation
+    * order; PSI uses half-count Laplace smoothing so empty bins stay
+    * finite. Everything after the one grouped scan runs on the bounded
+    * (type × bin) grid: partitioned cumulative windows, broadcast
+    * per-type totals. */
+  val q203 = QueryDef(
+    "q203_distribution_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val binned = Tables.events(s, d)
+        .select(
+          col("event_type"),
+          when(to_date(col("ts")) < lit("2024-01-16").cast("date"), lit("ref"))
+            .otherwise(lit("live")).as("part"),
+          floor(col("value") / lit(10.0)).cast("long").as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+          sum(when(col("part") === "ref", 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("part") === "live", 1L).otherwise(0L)).as("c_live"))
+      val tot = binned.groupBy("event_type").agg(
+        sum(col("c_ref")).as("n_ref"),
+        sum(col("c_live")).as("n_live"),
+        count(lit(1)).as("n_bins"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+      val g = binned
+        .withColumn("s_ref", sum(col("c_ref")).over(w))
+        .withColumn("s_live", sum(col("c_live")).over(w))
+        .join(broadcast(tot), "event_type")
+        .withColumn("d", abs(col("s_ref") * col("n_live") - col("s_live") * col("n_ref")))
+        .withColumn("p1",
+          (col("c_ref") + lit(0.5)) / (col("n_ref") + lit(0.5) * col("n_bins")))
+        .withColumn("p2",
+          (col("c_live") + lit(0.5)) / (col("n_live") + lit(0.5) * col("n_bins")))
+      g.groupBy("event_type")
+        .agg(
+          first(col("n_ref")).as("n_ref"),
+          first(col("n_live")).as("n_live"),
+          max(col("d")).as("ks_scaled"),
+          r4(max(col("d")) / (first(col("n_ref")) * first(col("n_live")))).as("ks"),
+          r4(sum((col("p1") - col("p2")) * log(col("p1") / col("p2")))).as("psi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH binned AS (
+           |  SELECT event_type,
+           |         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+           |              THEN 'ref' ELSE 'live' END AS part,
+           |         CAST(FLOOR(value / 10.0) AS BIGINT) AS bin
+           |  FROM events),
+           |g AS (
+           |  SELECT event_type, bin,
+           |         COUNT(*) FILTER (WHERE part = 'ref') AS c_ref,
+           |         COUNT(*) FILTER (WHERE part = 'live') AS c_live
+           |  FROM binned GROUP BY 1, 2),
+           |t AS (
+           |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+           |         CAST(SUM(c_live) AS BIGINT) AS n_live,
+           |         COUNT(*) AS n_bins
+           |  FROM g GROUP BY 1),
+           |c AS (
+           |  SELECT g.event_type, g.c_ref, g.c_live, t.n_ref, t.n_live, t.n_bins,
+           |         SUM(g.c_ref) OVER (PARTITION BY g.event_type ORDER BY g.bin) AS s_ref,
+           |         SUM(g.c_live) OVER (PARTITION BY g.event_type ORDER BY g.bin) AS s_live
+           |  FROM g JOIN t USING (event_type))
+           |SELECT event_type,
+           |       ANY_VALUE(n_ref) AS n_ref, ANY_VALUE(n_live) AS n_live,
+           |       CAST(MAX(ABS(s_ref * n_live - s_live * n_ref)) AS BIGINT) AS ks_scaled,
+           |       ROUND(MAX(ABS(s_ref * n_live - s_live * n_ref)) * 1.0
+           |             / (ANY_VALUE(n_ref) * ANY_VALUE(n_live)), 4) AS ks,
+           |       ROUND(SUM(((c_ref + 0.5) / (n_ref + 0.5 * n_bins)
+           |                  - (c_live + 0.5) / (n_live + 0.5 * n_bins))
+           |                 * ln(((c_ref + 0.5) / (n_ref + 0.5 * n_bins))
+           |                      / ((c_live + 0.5) / (n_live + 0.5 * n_bins)))), 4) AS psi
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  /** Q204 — Gini coefficient of customer spend: how concentrated is
+    * revenue across customers. Needs every per-customer total globally
+    * ranked — the data-sized global sort the engine's
+    * [[graft.ops.GlobalRank]] two-pass bucket shape exists for (the
+    * oracle uses the naive single-task ROW_NUMBER window; the engine
+    * never does). One keyed aggregate, the two-pass rank, one final
+    * six-aggregate reduction. */
+  val q204 = QueryDef(
+    "q204_spend_gini",
+    (s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")).as("spend"))
+      val ranked = graft.ops.GlobalRank.ranked(per, col("spend"), Seq(col("o_custkey")))
+      ranked.agg(
+        max(col("_total")).as("n_customers"),
+        r4(sum(col("spend")) / lit(1e6)).as("total_mm"),
+        r4(lit(2.0) * sum(col("_grn") * col("spend"))
+            / (max(col("_total")) * sum(col("spend")))
+          - (max(col("_total")) + lit(1.0)) / max(col("_total"))).as("gini"))
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey, SUM(o_totalprice) AS spend
+           |  FROM orders GROUP BY 1),
+           |r AS (
+           |  SELECT spend,
+           |         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+           |         COUNT(*) OVER () AS n
+           |  FROM per)
+           |SELECT ANY_VALUE(n) AS n_customers,
+           |       ROUND(SUM(spend) / 1000000.0, 4) AS total_mm,
+           |       ROUND(2.0 * SUM(i * spend) / (ANY_VALUE(n) * SUM(spend))
+           |             - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 4) AS gini
+           |FROM r""".stripMargin),
+    headline = true)
+
+  def all: Seq[QueryDef] =
+    Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204)
 }

@@ -147,6 +147,36 @@ class StatsOpsSpec extends SparkSuite {
     m.foreach { case ((a, b), n) => assert(m((b, a)) == n) }
   }
 
+  test("drift monitor: exact-integer KS matches an in-memory recomputation") {
+    val rows = graft.core.Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val binOf = (v: Double) => math.floor(v / 10.0).toLong
+      val ref = rs.filter(_._2 < "2024-01-16").map(r => binOf(r._3))
+      val live = rs.filter(_._2 >= "2024-01-16").map(r => binOf(r._3))
+      val bins = (ref ++ live).distinct.sorted
+      val (nRef, nLive) = (ref.length.toLong, live.length.toLong)
+      var (sRef, sLive, best) = (0L, 0L, 0L)
+      bins.foreach { b =>
+        sRef += ref.count(_ == b); sLive += live.count(_ == b)
+        best = math.max(best, math.abs(sRef * nLive - sLive * nRef))
+      }
+      t -> (nRef, nLive, best)
+    }
+    val got = SparkEntry.queries("q203_distribution_drift")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // PSI is finite and non-negative-ish sane on every type
+    SparkEntry.queries("q203_distribution_drift")(spark, sf0001).collect().foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(!psi.isNaN && !psi.isInfinite && psi >= 0.0, s"psi=$psi")
+    }
+  }
+
   test("skyline plan: no cartesian/nested-loop self-join, threshold join broadcast") {
     val df = SparkEntry.queries("q196_skyline_customers")(spark, sf0001)
     df.collect()
