@@ -436,6 +436,40 @@ object Stats {
            |FROM r""".stripMargin),
     headline = true)
 
+  /** Q205 — Zipf rank-frequency fit over the corpus vocabulary: OLS
+    * slope (and R²) of ln(freq) vs ln(rank) for the top-500 words — the
+    * standard "is this corpus natural language" screen (natural text fits
+    * slope ≈ −1; templated/synthetic text doesn't). Word counts are a
+    * vocabulary-keyed shuffle; the rank window runs over the LIMITed
+    * 500-row table (bounded by construction), tokenization identical to
+    * q64's split-on-space parity rule. */
+  val q205 = QueryDef(
+    "q205_zipf_fit",
+    (s, d) => {
+      import graft.core.Windows
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val top = words.orderBy(col("cnt").desc, col("word")).limit(500)
+      top
+        .withColumn("rank",
+          row_number().over(Windows.bounded(col("cnt").desc, col("word"))))
+        .agg(
+          count(lit(1)).as("n_words"),
+          r4(expr("regr_slope(ln(cnt), ln(rank))")).as("zipf_slope"),
+          r4(expr("regr_r2(ln(cnt), ln(rank))")).as("zipf_r2"))
+    },
+    Some("""WITH w AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+           |g AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY 1),
+           |t AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+           |      FROM g ORDER BY cnt DESC, word LIMIT 500)
+           |SELECT COUNT(*) AS n_words,
+           |       ROUND(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+           |       ROUND(regr_r2(ln(cnt), ln(rank)), 4) AS zipf_r2
+           |FROM t""".stripMargin),
+    headline = true)
+
   def all: Seq[QueryDef] =
-    Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204)
+    Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -167,6 +167,22 @@ class PurgeSpec extends SparkSuite {
     assert(got.count() == base.filter(col("user_id") =!= 2).count())
   }
 
+  test("bloom pruning degrades safely after purge and compact restores it") {
+    val path = freshDir()
+    VersionedTable.commitAppend(base, path, Seq("k"), Seq("k"))
+    VersionedTable.purgeWhere(spark, path, col("user_id") === 5)
+    // rewritten files lost their bloom entries (old names) -> uncovered ->
+    // point reads scan them instead of skipping: correct, just unpruned
+    assert(VersionedTable.readKeys(spark, path, "k", Array(998L)).count() == 1L)
+    assert(VersionedTable.readKeys(spark, path, "k", Array(999L)).count() == 0L) // 999%7==5: purged
+    VersionedTable.compact(spark, path, targetRowsPerFile = 500L)
+    // compact re-blooms the files it stages -> coverage is back
+    val pruned = VersionedTable.filesForKeys(spark, path, "k", Array(998L))
+    assert(pruned.isDefined && pruned.get.nonEmpty, "bloom coverage not restored by compact")
+    assert(VersionedTable.readKeys(spark, path, "k", Array(998L)).count() == 1L)
+    assert(VersionedTable.readKeys(spark, path, "k", Array(999L)).count() == 0L)
+  }
+
   test("purgeKeys erases listed keys and NULL-predicate rows survive") {
     val path = freshDir()
     val withNulls = base.withColumn(
