@@ -2420,11 +2420,20 @@ object VersionedTable {
         if (withPos) raw.withColumn("__pos", col("_metadata.row_index")) else raw
       (positioned, missing.map(_.name))
     }
-    var rowsPurged = 0L
-    val dataRename = scala.collection.mutable.LinkedHashMap[String, String]()
-    val newCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val posMaps = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (fOld <- hitData) {
+    // Each file's rewrite is an independent Spark job; submit them
+    // CONCURRENTLY (Spark's scheduler interleaves jobs safely) so purge
+    // latency is bounded by the slowest file, not the file count — the
+    // property that matters when a subject's rows scatter across
+    // thousands of files of a 100 TB table.
+    import scala.collection.parallel.CollectionConverters._
+    import scala.collection.parallel.ForkJoinTaskSupport
+    def par[T](xs: Seq[T]) = {
+      val p = xs.par
+      p.tasksupport = new ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(8))
+      p
+    }
+    val dataResults = par(hitData).map { fOld =>
       val (raw, missing) = rewriteRaw(fOld, withPos = true)
       val total = raw.count()
       val surv = raw.filter(!isDoomed)
@@ -2433,48 +2442,57 @@ object VersionedTable {
       require(names.size == 1, s"purge rewrite of $fOld staged ${names.size} files")
       val fNew = names.head
       val kept = spark.read.parquet(s"$path/data/$fNew").count()
-      rowsPurged += total - kept
-      dataRename(fOld) = fNew
-      newCounts(fNew) = kept
-      if (allDv.nonEmpty)
-        posMaps += raw.filter(!isDoomed).select(col("__pos"))
+      val posMap =
+        if (allDv.isEmpty) None
+        else Some(raw.filter(!isDoomed).select(col("__pos"))
           .withColumn("__newPos", row_number().over(Window.orderBy("__pos")) - 1)
-          .select(lit(fOld).as("__oldF"), col("__pos").as("__oldPos"), col("__newPos"))
-    }
-    val cdfRename = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (fOld <- hitCdf) {
-      val (raw, missing) = rewriteRaw(fOld, withPos = false)
-      val surv = raw.filter(!isDoomed).coalesce(1)
-      val (_, names) = stageData(surv.drop(missing: _*), path)
-      require(names.size == 1, s"purge rewrite of $fOld staged ${names.size} files")
-      cdfRename(fOld) = names.head
-    }
+          .select(lit(fOld).as("__oldF"), col("__pos").as("__oldPos"), col("__newPos")))
+      (fOld, fNew, kept, total - kept, posMap)
+    }.seq
+    val rowsPurged = dataResults.map(_._4).sum
+    val dataRename = scala.collection.mutable.LinkedHashMap(
+      dataResults.map(r => r._1 -> r._2): _*)
+    val newCounts = scala.collection.mutable.LinkedHashMap(
+      dataResults.map(r => r._2 -> r._3): _*)
+    val posMaps = dataResults.flatMap(_._5)
+    val cdfRename = scala.collection.mutable.LinkedHashMap(
+      par(hitCdf).map { fOld =>
+        val (raw, missing) = rewriteRaw(fOld, withPos = false)
+        val surv = raw.filter(!isDoomed).coalesce(1)
+        val (_, names) = stageData(surv.drop(missing: _*), path)
+        require(names.size == 1, s"purge rewrite of $fOld staged ${names.size} files")
+        fOld -> names.head
+      }.seq: _*)
 
     // 3. remap deletion vectors through the survivor position maps
-    val dvRename = scala.collection.mutable.LinkedHashMap[String, String]()
-    if (allDv.nonEmpty && dataRename.nonEmpty) {
-      import spark.implicits._
-      val renameDf = broadcast(dataRename.toSeq.toDF("__oldF", "__newF"))
-      val mapAll = posMaps.reduce(_.unionByName(_))
-      for (d <- allDv) {
-        val entries = spark.read.parquet(s"$path/data/$d")
-        val touched = entries
-          .join(renameDf, entries("f") === renameDf("__oldF"), "left_semi")
-          .limit(1).count() > 0
-        if (touched) {
-          val untouched = entries
-            .join(renameDf, entries("f") === renameDf("__oldF"), "left_anti")
-          // inner joins drop entries whose row was itself purged
-          val remapped = entries
-            .join(mapAll, entries("f") === mapAll("__oldF") && entries("pos") === mapAll("__oldPos"))
-            .join(renameDf, "__oldF")
-            .select(col("__newF").as("f"), col("__newPos").as("pos"))
-          val (_, names) = stageData(untouched.unionByName(remapped).coalesce(1), path)
-          require(names.size == 1, s"purge rewrite of DV $d staged ${names.size} files")
-          dvRename(d) = names.head
-        }
+    val dvRename: scala.collection.mutable.LinkedHashMap[String, String] =
+      if (allDv.isEmpty || dataRename.isEmpty)
+        scala.collection.mutable.LinkedHashMap.empty
+      else {
+        import spark.implicits._
+        val renameDf = broadcast(dataRename.toSeq.toDF("__oldF", "__newF"))
+        val mapAll = posMaps.reduce(_.unionByName(_))
+        scala.collection.mutable.LinkedHashMap(
+          par(allDv).flatMap { d =>
+            val entries = spark.read.parquet(s"$path/data/$d")
+            val touched = entries
+              .join(renameDf, entries("f") === renameDf("__oldF"), "left_semi")
+              .limit(1).count() > 0
+            if (!touched) None
+            else {
+              val untouched = entries
+                .join(renameDf, entries("f") === renameDf("__oldF"), "left_anti")
+              // inner joins drop entries whose row was itself purged
+              val remapped = entries
+                .join(mapAll, entries("f") === mapAll("__oldF") && entries("pos") === mapAll("__oldPos"))
+                .join(renameDf, "__oldF")
+                .select(col("__newF").as("f"), col("__newPos").as("pos"))
+              val (_, names) = stageData(untouched.unionByName(remapped).coalesce(1), path)
+              require(names.size == 1, s"purge rewrite of DV $d staged ${names.size} files")
+              Some(d -> names.head)
+            }
+          }.seq: _*)
       }
-    }
 
     // recompute min/max stats for rewritten data files (old bounds may BE
     // a purged value): one grouped scan over the new files, all columns
