@@ -315,4 +315,65 @@ object EventStreams {
           else Iterator.empty
       }
   }
+
+  /** Streaming twin of the q203 batch drift monitor: per event type,
+    * maintain live binned value counts in keyed state and emit the
+    * binned two-sample KS statistic against a fixed REFERENCE
+    * distribution after every micro-batch — same exact-integer form
+    * (max |S_ref·n_live − S_live·n_ref|), same bin rule
+    * (`floor(value / binWidth)`).
+    *
+    * State per event type is one bin→count map — bounded by the value
+    * range over the bin width (~dozens of entries), NOT by stream
+    * length, so it needs no watermark to stay small. The reference
+    * histogram (types × bins, same bound) ships in the task closure.
+    * DriftStreamSpec pins stream-final == batch-recomputed equality. */
+  final case class ValueEvent(event_type: String, value: Double)
+  final case class DriftStat(
+      event_type: String, n_live: Long, ks_scaled: Long, ks: Double)
+
+  /** Build the reference histogram from a batch frame (two columns:
+    * type, value): the driver-side Map the streaming monitor compares
+    * against. Bounded by types × bins. */
+  def referenceBins(
+      df: DataFrame, typeCol: String, valueCol: String,
+      binWidth: Double): Map[String, Map[Long, Long]] =
+    df.select(
+        col(typeCol).as("t"),
+        floor(col(valueCol) / lit(binWidth)).cast("long").as("b"))
+      .groupBy("t", "b").count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+
+  def streamingDrift(
+      spark: SparkSession, events: Dataset[ValueEvent],
+      reference: Map[String, Map[Long, Long]],
+      binWidth: Double = 10.0): Dataset[DriftStat] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (t: String, batch: Iterator[ValueEvent], state: GroupState[Map[Long, Long]]) =>
+          val upd = batch.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (m, e) =>
+              val b = math.floor(e.value / binWidth).toLong
+              m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          state.update(upd)
+          val ref = reference.getOrElse(t, Map.empty[Long, Long])
+          val nRef = ref.values.sum
+          val nLive = upd.values.sum
+          var (sRef, sLive, best) = (0L, 0L, 0L)
+          (ref.keySet ++ upd.keySet).toSeq.sorted.foreach { b =>
+            sRef += ref.getOrElse(b, 0L)
+            sLive += upd.getOrElse(b, 0L)
+            best = math.max(best, math.abs(sRef * nLive - sLive * nRef))
+          }
+          val ks = if (nRef == 0L || nLive == 0L) 0.0
+                   else best.toDouble / (nRef.toDouble * nLive.toDouble)
+          Iterator.single(DriftStat(t, nLive, best, ks))
+      }
+  }
 }
