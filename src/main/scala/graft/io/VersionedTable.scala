@@ -2427,12 +2427,13 @@ object VersionedTable {
     // thousands of files of a 100 TB table.
     import scala.collection.parallel.CollectionConverters._
     import scala.collection.parallel.ForkJoinTaskSupport
+    val rewritePool = new java.util.concurrent.ForkJoinPool(8)
     def par[T](xs: Seq[T]) = {
       val p = xs.par
-      p.tasksupport = new ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(8))
+      p.tasksupport = new ForkJoinTaskSupport(rewritePool)
       p
     }
+    try {
     val dataResults = par(hitData).map { fOld =>
       val (raw, missing) = rewriteRaw(fOld, withPos = true)
       val total = raw.count()
@@ -2558,6 +2559,7 @@ object VersionedTable {
     renames.foreach { case (o, _) => f.delete(new Path(s"$path/data/$o"), false) }
 
     PurgeResult(rowsPurged, dataRename.size, cdfRename.size, dvRename.size, edited)
+    } finally rewritePool.shutdown()
   }
 
   /** [[purgeWhere]] for the common erasure request: forget these key

@@ -470,6 +470,75 @@ object Stats {
            |FROM t""".stripMargin),
     headline = true)
 
+  /** Q206 — categorical mix drift: chi-square statistic of the live
+    * period's event-type mix against the reference period's proportions
+    * (the categorical counterpart of q203's numeric KS). Counts are two
+    * FILTER aggregates in one grouped scan; the statistic reduces the
+    * 5-row type table. */
+  val q206 = QueryDef(
+    "q206_chi2_mix_drift",
+    (s, d) => {
+      val split = lit("2024-01-16").cast("date")
+      val g = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("day") < split, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("day") >= split, 1L).otherwise(0L)).as("c_live"))
+      val tot = g.agg(
+        sum(col("c_ref")).as("n_ref"), sum(col("c_live")).as("n_live"))
+      g.crossJoin(broadcast(tot))
+        .select(
+          col("event_type"), col("c_ref"), col("c_live"),
+          (col("c_live") - col("n_live") * col("c_ref") / col("n_ref")).as("dev"),
+          (col("n_live") * col("c_ref") / col("n_ref")).as("e"))
+        .agg(r4(sum(col("dev") * col("dev") / col("e"))).as("chi2"),
+          count(lit(1)).as("n_types"))
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type,
+           |         COUNT(*) FILTER (WHERE CAST(ts AS DATE) < DATE '2024-01-16') AS c_ref,
+           |         COUNT(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-16') AS c_live
+           |  FROM events GROUP BY 1),
+           |t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_live) AS n_live FROM g)
+           |SELECT ROUND(SUM((g.c_live - t.n_live * g.c_ref * 1.0 / t.n_ref)
+           |                 * (g.c_live - t.n_live * g.c_ref * 1.0 / t.n_ref)
+           |                 / (t.n_live * g.c_ref * 1.0 / t.n_ref)), 4) AS chi2,
+           |       COUNT(*) AS n_types
+           |FROM g, t""".stripMargin))
+
+  /** Q207 — winsorized mean per event type: exact p05/p95 bounds (one
+    * grouped `percentile` aggregate, |types| rows), broadcast back,
+    * values clamped, then the plain mean — the robust location estimate
+    * that tolerates tail corruption without dropping rows. */
+  val q207 = QueryDef(
+    "q207_winsorized_mean",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val bounds = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+          r4(avg(greatest(col("lo"), least(col("hi"), col("value"))))).as("wmean"),
+          r4(avg(col("value"))).as("mean"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |         quantile_cont(value, 0.05) AS lo,
+           |         quantile_cont(value, 0.95) AS hi
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type,
+           |       ROUND(AVG(GREATEST(b.lo, LEAST(b.hi, e.value))), 4) AS wmean,
+           |       ROUND(AVG(e.value), 4) AS mean,
+           |       COUNT(*) AS n
+           |FROM events e JOIN b USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205)
+    Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
+      q206, q207)
 }
