@@ -115,13 +115,28 @@ object Main {
         s"${r.dataFilesRewritten} data + ${r.cdfFilesRewritten} cdf + " +
         s"${r.dvFilesRewritten} dv files rewritten, ${r.versionsEdited} manifests edited")
       spark.stop()
+    case "table-verify" :: path :: Nil =>
+      // offline integrity sweep: referenced-file existence, recorded
+      // row counts, orphan census (exit 1 on corruption)
+      val spark = GraftSession.local()
+      val r = graft.io.VersionedTable.verifyIntegrity(spark, path)
+      println(s"[graft] ${r.versions} versions, ${r.filesChecked} files checked, " +
+        s"${r.missingFiles.size} missing, ${r.countMismatches.size} count mismatches, " +
+        s"${r.orphanFiles} orphans${if (r.ok) " — OK" else " — CORRUPT"}")
+      r.missingFiles.foreach(f => println(s"[graft]   missing: $f"))
+      r.countMismatches.foreach { case (v, f, rec, act) =>
+        println(s"[graft]   v$v $f: recorded $rec, actual $act")
+      }
+      spark.stop()
+      if (!r.ok) sys.exit(1)
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | metrics <name> <sfDir> | advise <sfDir> | table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
           "table-delete <path> <keyCol> <id,...> | " +
-          s"table-purge <path> <keyCol> <id,...> (got: $other)")
+          "table-purge <path> <keyCol> <id,...> | " +
+          s"table-verify <path> (got: $other)")
       sys.exit(1)
   }
 }

@@ -2296,6 +2296,90 @@ object VersionedTable {
     (drop.size, filesRemoved)
   }
 
+  /** Time-based retention ([[vacuum]] by age): drop every version whose
+    * commit time (manifest modification time, the same clock
+    * [[versionAt]] time-travels on) is at or before `cutoffMillis`,
+    * always keeping at least the latest version, then reap unreferenced
+    * files. The standard "retain N days of time travel" policy. */
+  def vacuumOlderThan(
+      spark: SparkSession, path: String, cutoffMillis: Long): (Int, Int) = {
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val old = vs.count(v =>
+      f.getFileStatus(versionPath(path, v)).getModificationTime <= cutoffMillis)
+    vacuum(spark, path, keepLast = (vs.size - old).max(1))
+  }
+
+  /** Outcome of [[verifyIntegrity]]: what a maintenance sweep found.
+    * `missingFiles` = referenced by some manifest but absent on disk
+    * (corruption — reads of that version will fail); `countMismatches` =
+    * (version, file, recorded, actual) where a manifest's per-file row
+    * count disagrees with the parquet footprint (breaks the
+    * [[countRows]] fast path); `orphanFiles` = present under `data/` but
+    * referenced by no retained manifest (harmless; next [[vacuum]]
+    * reaps them). */
+  final case class IntegrityReport(
+      versions: Int,
+      filesChecked: Int,
+      missingFiles: Seq[String],
+      countMismatches: Seq[(Long, String, Long, Long)],
+      orphanFiles: Int) {
+    def ok: Boolean = missingFiles.isEmpty && countMismatches.isEmpty
+  }
+
+  /** Offline integrity sweep of every retained version: existence of
+    * every referenced data / CDF / deletion-vector / bloom file, per-file
+    * row counts against the recorded manifest counts, and an orphan
+    * census. Metadata cost is one listing + one `exists` per distinct
+    * file; the count re-check opens each distinct counted data file once
+    * (skip with `checkCounts = false` for a metadata-only sweep). Run it
+    * after manual surgery, restores, or as a scheduled guard — it is
+    * spec-run after every [[purgeWhere]] here. */
+  def verifyIntegrity(
+      spark: SparkSession, path: String,
+      checkCounts: Boolean = true): IntegrityReport = {
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val texts = vs.map(v => v -> manifestText(spark, path, v))
+    val referenced = scala.collection.mutable.LinkedHashSet[String]()
+    texts.foreach { case (v, t) =>
+      referenced ++= manifestFiles(spark, path, v)
+      referenced ++= cdfFilesOf(t) ++= cdfiFilesOf(t) ++= dvFilesOf(t) ++= bloomFilesOf(t)
+    }
+    val exists = referenced.iterator
+      .map(n => n -> f.exists(new Path(s"$path/data/$n"))).toMap
+    val missing = referenced.filterNot(exists).toSeq
+    val actualCount = scala.collection.mutable.HashMap[String, Long]()
+    val mismatches =
+      if (!checkCounts) Seq.empty
+      else texts.flatMap { case (v, t) =>
+        val inManifest = manifestFiles(spark, path, v).toSet
+        rowCountsOf(t).toSeq.sortBy(_._1).flatMap { case (file, recorded) =>
+          if (!inManifest(file) || !exists.getOrElse(file, false)) None
+          else {
+            val actual = actualCount.getOrElseUpdate(
+              file, spark.read.parquet(s"$path/data/$file").count())
+            if (actual == recorded) None else Some((v, file, recorded, actual))
+          }
+        }
+      }
+    var orphans = 0
+    val dataRoot = new Path(s"$path/data")
+    if (f.exists(dataRoot))
+      for (dir <- f.listStatus(dataRoot) if dir.isDirectory;
+           file <- f.listStatus(dir.getPath)
+           // census only real data files: _SUCCESS markers and .crc
+           // sidecars are write-protocol artifacts, not orphans
+           if file.isFile && file.getPath.getName.endsWith(".parquet")
+             && !file.getPath.getName.startsWith(".")) {
+        val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
+        if (!referenced.contains(rel)) orphans += 1
+      }
+    IntegrityReport(vs.size, referenced.size, missing, mismatches, orphans)
+  }
+
   /** Outcome of a [[purgeWhere]]: `rowsPurged` data rows physically
     * erased, plus how many data / CDF / deletion-vector files were
     * rewritten and how many version manifests were edited in place. */
