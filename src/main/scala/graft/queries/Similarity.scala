@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Fmt.r6
+import graft.core.Fmt.{r4, r6}
 import graft.core.Tables
 import graft.ops.{Ann, Embeddings, SemDedup}
 
@@ -269,6 +269,45 @@ object Similarity {
                     JOIN n nb ON nb.label = dt.label_b
             ORDER BY label_a, label_b"""))
 
+  /** Q208 — embedding drift: per label, the cosine similarity between
+    * the centroids of two halves of the collection (vec_id parity as the
+    * period split) — the vector-space member of the drift family
+    * (q203 numeric KS, q206 categorical chi²): a label whose live
+    * embeddings moved scores below 1. ONE aggregation over the
+    * position-exploded vectors computes both centroids (FILTER-style
+    * conditional means per (label, position)), then a |labels|·dim
+    * reduction forms the cosines — no vector ever collects. */
+  val q208 = QueryDef(
+    "q208_embedding_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(
+          col("label"),
+          (col("vec_id") % 2).as("part"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      e.groupBy("label", "pos")
+        .agg(
+          avg(when(col("part") === 0, col("v"))).as("cr"),
+          avg(when(col("part") === 1, col("v"))).as("cl"))
+        .groupBy("label")
+        .agg(r4(
+          sum(col("cr") * col("cl"))
+            / (sqrt(sum(col("cr") * col("cr"))) * sqrt(sum(col("cl") * col("cl")))))
+          .as("centroid_cos"))
+        .orderBy("label")
+    },
+    Some("""WITH p AS (SELECT unnest(generate_series(1, 64)) AS pos),
+           |e AS (SELECT label, vec_id % 2 AS part, p.pos, embedding[p.pos] AS v
+           |      FROM embeddings, p),
+           |c AS (SELECT label, pos,
+           |        AVG(v) FILTER (WHERE part = 0) AS cr,
+           |        AVG(v) FILTER (WHERE part = 1) AS cl
+           |      FROM e GROUP BY 1, 2)
+           |SELECT label,
+           |       ROUND(SUM(cr * cl)
+           |             / (SQRT(SUM(cr * cr)) * SQRT(SUM(cl * cl))), 4) AS centroid_cos
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158)
+    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208)
 }
