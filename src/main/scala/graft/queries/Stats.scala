@@ -538,7 +538,49 @@ object Stats {
            |FROM events e JOIN b USING (event_type)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q209 — Pareto 80/20 concentration: how many of the top customers
+    * cover 80% of revenue. Customers rank by spend descending through
+    * [[graft.ops.GlobalRank.prefixSum]] (distributed two-pass cumulative
+    * sum — the oracle keeps the naive global window); the threshold test
+    * runs in integer arithmetic (`5·prefix < 4·total` on floored spend)
+    * so the boundary cannot drift on fp rounding. Complements q204's
+    * Gini with the operational number people actually quote. */
+  val q209 = QueryDef(
+    "q209_pareto_8020",
+    (s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")).as("spend"))
+        .withColumn("sl", floor(col("spend")).cast("long"))
+      val pre = graft.ops.GlobalRank.prefixSum(
+        per, col("sl"), -col("spend"), Seq(col("o_custkey")))
+      val tot = per.agg(
+        sum(col("sl")).as("tot"), count(lit(1)).as("n_customers"))
+      pre.crossJoin(broadcast(tot))
+        .groupBy("n_customers")
+        .agg(
+          sum(when(col("_psum") * 5 < col("tot") * 4, 1L).otherwise(0L)).as("top_cnt"),
+          r4(sum(when(col("_psum") * 5 < col("tot") * 4, 1L).otherwise(0L))
+            / first(col("n_customers"))).as("top_frac"))
+        .select("n_customers", "top_cnt", "top_frac")
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey, SUM(o_totalprice) AS spend,
+           |         CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS sl
+           |  FROM orders GROUP BY 1),
+           |w AS (
+           |  SELECT sl,
+           |         COALESCE(SUM(sl) OVER (ORDER BY spend DESC, o_custkey
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS psum
+           |  FROM per),
+           |t AS (SELECT CAST(SUM(sl) AS BIGINT) AS tot, COUNT(*) AS n FROM per)
+           |SELECT t.n AS n_customers,
+           |       COUNT(*) FILTER (WHERE w.psum * 5 < t.tot * 4) AS top_cnt,
+           |       ROUND(COUNT(*) FILTER (WHERE w.psum * 5 < t.tot * 4) * 1.0 / t.n, 4)
+           |         AS top_frac
+           |FROM w, t GROUP BY t.n""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207)
+      q206, q207, q209)
 }

@@ -71,6 +71,35 @@ object EventStreams {
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"), col("l_value"))
   }
 
+  /** Streaming non-conversion detector: left events (e.g. clicks) that
+    * saw NO right event (e.g. purchase) from the same user within
+    * `window` AFTER them — the abandoned-intent feed. Structured
+    * Streaming's stream-stream LEFT OUTER interval join holds each left
+    * row in state until the watermark passes its join window, emits the
+    * match if one arrived, and emits the row with a NULL right side
+    * otherwise; filtering the NULLs yields exactly the non-converters,
+    * with state bounded by watermark + window like every interval join.
+    * Rows only materialize after the watermark CLOSES their window, so
+    * in tests advance event time past `l_ts + window + watermark`. */
+  def unmatchedWithin(
+      left: DataFrame, right: DataFrame,
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(
+        col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id").as("l_user"), col("value").as("l_value"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"), col("user_id").as("r_user"))
+    l.join(
+        r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+      .filter(col("r_id").isNull)
+      .select(col("l_id"), col("l_user").as("user_id"), col("l_ts").as("ts"), col("l_value"))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a broadcast
     * dimension — the standard streaming enrich shape (events + user/dim
     * attributes). The static side is planned per micro-batch, so a
