@@ -1400,9 +1400,74 @@ object Text {
            |SELECT doc_a, doc_b, dist FROM scored
            |WHERE dist <= 6 ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Q210 — distinctive vocabulary per source: Monroe/Colaresi/Quinn
+    * log-odds ratio with an informative Dirichlet prior (the "Fightin'
+    * Words" statistic, Political Analysis 2008) — for each source, the
+    * 3 words most over-represented vs the rest of the corpus, by the
+    * z-scored smoothed log-odds delta. All shuffles are keyed on
+    * (source, word) / word / source; the final top-3-per-source runs
+    * through the [[graft.plans.TopKPerGroup]] physical operator, and
+    * the rank window orders 3 rows per source (bounded). Rare words
+    * (corpus count < 5) are excluded before scoring, so the prior mass
+    * α₀ = α·|scored vocabulary| is identical in both engines. */
+  val q210 = QueryDef(
+    "q210_distinctive_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val caw = words.groupBy("source", "word").agg(count(lit(1)).as("c_aw"))
+      val cw = words.groupBy("word").agg(count(lit(1)).as("c_w"))
+        .filter(col("c_w") >= 5)
+      val na = words.groupBy("source").agg(count(lit(1)).as("n_a"))
+      val tot = caw.join(cw, "word")
+        .agg(sum(col("c_aw")).as("n"), countDistinct(col("word")).as("v"))
+      val alpha = 0.5
+      val scored = caw.join(cw, "word")
+        .join(broadcast(na), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("a0", lit(alpha) * col("v"))
+        .withColumn("rest", col("c_w") - col("c_aw"))
+        .withColumn("delta",
+          log((col("c_aw") + lit(alpha)) / (col("n_a") + col("a0") - col("c_aw") - lit(alpha)))
+            - log((col("rest") + lit(alpha))
+              / (col("n") - col("n_a") + col("a0") - col("rest") - lit(alpha))))
+        .withColumn("z",
+          col("delta") / sqrt(lit(1.0) / (col("c_aw") + lit(alpha))
+            + lit(1.0) / (col("rest") + lit(alpha))))
+      graft.ops.TopK.perGroup(
+          scored, Seq(col("source")), Seq(col("z").desc, col("word")), k = 3)
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("source").orderBy(col("z").desc, col("word"))))
+        .select(col("source"), col("rank"), col("word"), col("c_aw"), r4(col("z")).as("z"))
+        .orderBy("source", "rank")
+    },
+    Some("""WITH w AS (
+           |  SELECT source, unnest(str_split(text, ' ')) AS word FROM documents),
+           |ww AS (SELECT source, word FROM w WHERE word <> ''),
+           |caw AS (SELECT source, word, COUNT(*) AS c_aw FROM ww GROUP BY 1, 2),
+           |cw AS (SELECT word, COUNT(*) AS c_w FROM ww GROUP BY 1 HAVING COUNT(*) >= 5),
+           |na AS (SELECT source, COUNT(*) AS n_a FROM ww GROUP BY 1),
+           |t AS (SELECT SUM(c_aw) AS n, COUNT(DISTINCT caw.word) AS v
+           |      FROM caw JOIN cw USING (word)),
+           |sc AS (
+           |  SELECT caw.source, caw.word, caw.c_aw,
+           |         (LN((caw.c_aw + 0.5) / (na.n_a + 0.5 * t.v - caw.c_aw - 0.5))
+           |          - LN((cw.c_w - caw.c_aw + 0.5)
+           |               / (t.n - na.n_a + 0.5 * t.v - (cw.c_w - caw.c_aw) - 0.5)))
+           |         / SQRT(1.0 / (caw.c_aw + 0.5) + 1.0 / (cw.c_w - caw.c_aw + 0.5)) AS z
+           |  FROM caw JOIN cw USING (word) JOIN na USING (source), t),
+           |r AS (
+           |  SELECT source, word, c_aw, z,
+           |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, word) AS rank
+           |  FROM sc)
+           |SELECT source, rank, word, c_aw, ROUND(z, 4) AS z
+           |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190, q191)
+      q181, q182, q183, q190, q191, q210)
 }
