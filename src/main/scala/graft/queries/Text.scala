@@ -1465,9 +1465,44 @@ object Text {
            |SELECT source, rank, word, c_aw, ROUND(z, 4) AS z
            |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin))
 
+  /** Q211 — EXACT Jaccard near-dup pairs (≥ 0.6) over 3-word-shingle
+    * sets for the whole corpus via [[graft.ops.SetSimJoin]] prefix
+    * filtering — the no-false-negative counterpart of the MinHash (q27)
+    * and SimHash (q28) approximate paths (shingles capture phrasing:
+    * random texts over a shared dictionary score ~0, true near-dups ~1).
+    * The oracle recomputes every qualifying pair from the full quadratic
+    * shingle join, so any pair the prefix filter loses hash-fails
+    * here. */
+  val q211 = QueryDef(
+    "q211_setsim_join_exact",
+    (s, d) =>
+      graft.ops.SetSimJoin
+        .selfJoin(
+          graft.ops.SetSimJoin.wordShingles(Tables.documents(s, d), "doc_id", "text", n = 3),
+          threshold = 0.6)
+        .select(col("id_a"), col("id_b"), col("inter"), r4(col("jac")).as("jac"))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH words AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           |        FROM words WHERE len(ws) >= 3),
+           |sh AS (SELECT DISTINCT doc_id,
+           |              ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+           |       FROM idx),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           |      FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b, p.inter,
+           |       ROUND(p.inter * 1.0 / (sa.n + sb.n - p.inter), 4) AS jac
+           |FROM p JOIN sz sa ON sa.doc_id = p.id_a
+           |       JOIN sz sb ON sb.doc_id = p.id_b
+           |WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.6
+           |ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190, q191, q210)
+      q181, q182, q183, q190, q191, q210, q211)
 }
