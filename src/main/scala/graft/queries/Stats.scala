@@ -580,7 +580,94 @@ object Stats {
            |         AS top_frac
            |FROM w, t GROUP BY t.n""".stripMargin))
 
+  /** Q212 — exact-dedup savings accounting: what dropping exact
+    * duplicates (by text hash, q26's key) would save, per source —
+    * duplicate docs, duplicate whitespace-tokens, and the duplicate
+    * share — the number a pipeline owner reads before scheduling the
+    * dedup pass. Two keyed aggregations (hash groups → per-source
+    * rollup), token counts via one codegen size/split expression. */
+  val q212 = QueryDef(
+    "q212_dedup_savings",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(
+          col("source"),
+          sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val groups = docs.groupBy("source", "h")
+        .agg(count(lit(1)).as("n"), first(col("toks")).as("toks"))
+      groups.groupBy("source")
+        .agg(
+          sum(col("n")).as("docs"),
+          sum(col("n") - 1).as("dup_docs"),
+          sum((col("n") - 1) * col("toks")).as("dup_tokens"),
+          r4(sum(col("n") - 1) / sum(col("n"))).as("dup_share"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (
+           |  SELECT source, sha256(text) AS h, COUNT(*) AS n,
+           |         ANY_VALUE(len(str_split(text, ' '))) AS toks
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT source,
+           |       CAST(SUM(n) AS BIGINT) AS docs,
+           |       CAST(SUM(n - 1) AS BIGINT) AS dup_docs,
+           |       CAST(SUM((n - 1) * toks) AS BIGINT) AS dup_tokens,
+           |       ROUND(SUM(n - 1) * 1.0 / SUM(n), 4) AS dup_share
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q213 — functional-dependency discovery over candidate column pairs
+    * (the Deequ/Metanome-style profiling primitive): A → B holds iff
+    * |distinct A| = |distinct (A,B)|; the violation count is their
+    * difference. All four candidates share ONE aggregation pass over
+    * orders (every count_distinct rides the same scan). */
+  val q213 = QueryDef(
+    "q213_fd_discovery",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val pairs = Seq(
+        ("o_orderkey", "o_custkey"),   // key → attribute: holds
+        ("o_orderkey", "o_orderdate"), // key → attribute: holds
+        ("o_custkey", "o_orderstatus"),// many orders per customer: fails
+        ("o_orderdate", "o_orderpriority")) // many orders per day: fails
+      val aggs = pairs.flatMap { case (a, b) =>
+        Seq(
+          countDistinct(col(a)).as(s"d_$a$b"),
+          countDistinct(col(a), col(b)).as(s"dd_$a$b"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.map { case (a, b) =>
+        struct(
+          lit(a).as("det"), lit(b).as("dep"),
+          col(s"d_$a$b").as("n_det"),
+          (col(s"dd_$a$b") - col(s"d_$a$b")).as("violations"),
+          (col(s"dd_$a$b") === col(s"d_$a$b")).as("holds"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.det", "r.dep", "r.n_det", "r.violations", "r.holds")
+        .orderBy("det", "dep")
+    },
+    Some("""WITH w AS (
+           |  SELECT COUNT(DISTINCT o_orderkey) AS d1,
+           |         COUNT(DISTINCT (o_orderkey, o_custkey)) AS dd1,
+           |         COUNT(DISTINCT o_orderkey) AS d2,
+           |         COUNT(DISTINCT (o_orderkey, o_orderdate)) AS dd2,
+           |         COUNT(DISTINCT o_custkey) AS d3,
+           |         COUNT(DISTINCT (o_custkey, o_orderstatus)) AS dd3,
+           |         COUNT(DISTINCT o_orderdate) AS d4,
+           |         COUNT(DISTINCT (o_orderdate, o_orderpriority)) AS dd4
+           |  FROM orders)
+           |SELECT * FROM (
+           |  SELECT 'o_orderkey' AS det, 'o_custkey' AS dep, d1 AS n_det,
+           |         dd1 - d1 AS violations, dd1 = d1 AS holds FROM w
+           |  UNION ALL
+           |  SELECT 'o_orderkey', 'o_orderdate', d2, dd2 - d2, dd2 = d2 FROM w
+           |  UNION ALL
+           |  SELECT 'o_custkey', 'o_orderstatus', d3, dd3 - d3, dd3 = d3 FROM w
+           |  UNION ALL
+           |  SELECT 'o_orderdate', 'o_orderpriority', d4, dd4 - d4, dd4 = d4 FROM w)
+           |ORDER BY det, dep""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209)
+      q206, q207, q209, q212, q213)
 }
