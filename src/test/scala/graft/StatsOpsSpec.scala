@@ -177,6 +177,21 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("set-sim join plan: prefix-filtered equi-joins only, no quadratic shape") {
+    val df = SparkEntry.queries("q211_setsim_join_exact")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"quadratic pair join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"quadratic pair join:\n$plan")
+  }
+
+  test("drift monitor windows are partitioned per event type") {
+    val df = SparkEntry.queries("q203_distribution_drift")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(event_type"), s"cumulative window not keyed:\n$plan")
+  }
+
   test("skyline plan: no cartesian/nested-loop self-join, threshold join broadcast") {
     val df = SparkEntry.queries("q196_skyline_customers")(spark, sf0001)
     df.collect()
