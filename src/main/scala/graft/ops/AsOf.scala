@@ -64,6 +64,36 @@ object AsOf {
       valueCols: Seq[String]): DataFrame =
     joinImpl(probe, build, key, time, tieBreak, valueCols, forward = true)
 
+  /** [[join]]/[[joinForward]] with a STALENESS BOUND (pandas
+    * `merge_asof(tolerance=...)`): matches farther than `tolerance` from
+    * the probe are nulled out — "the latest quote, but only if it is at
+    * most 5 minutes old". The bound applies as a post-filter on the
+    * carried match, so the scale shape (one keyed shuffle, one carried
+    * row of state) is unchanged; a bound can only REMOVE matches, never
+    * change which row would have matched. */
+  def joinWithin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      time: String,
+      tieBreak: String,
+      valueCols: Seq[String],
+      tolerance: String,
+      forward: Boolean = false): DataFrame = {
+    val joined = joinImpl(probe, build, key, time, tieBreak, valueCols, forward)
+    val matched = col(s"asof_$time")
+    val within =
+      if (forward) matched <= col(time) + expr(s"INTERVAL $tolerance")
+      else matched >= col(time) - expr(s"INTERVAL $tolerance")
+    val nulled = valueCols.foldLeft(joined) { (df, v) =>
+      df.withColumn(s"asof_${v}__w", when(within, col(s"asof_$v")))
+    }
+    valueCols.foldLeft(
+        nulled.withColumn(s"asof_$time", when(within, matched))) { (df, v) =>
+        df.withColumn(s"asof_$v", col(s"asof_${v}__w")).drop(s"asof_${v}__w")
+      }
+  }
+
   private def joinImpl(
       probe: DataFrame,
       build: DataFrame,

@@ -686,10 +686,48 @@ object Events {
             FROM c JOIN t USING (from_state)
             ORDER BY from_state, to_state"""))
 
+  /** Q214 — bounded-staleness attribution ([[graft.ops.AsOf.joinWithin]],
+    * the pandas `merge_asof(tolerance=...)` semantics): q185's last-touch
+    * attribution, but a click older than ONE HOUR no longer gets credit —
+    * the matched columns null out. Same one-keyed-shuffle as-of shape;
+    * the tolerance is a post-filter on the carried match. */
+  val q214 = QueryDef(
+    "q214_asof_tolerance",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.AsOf.joinWithin(
+          purchases, clicks, "user_id", "ts", "event_id", Seq("event_id"),
+          tolerance = "1 HOUR")
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_event_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |     p AS (SELECT user_id, ts, event_id FROM events
+           |           WHERE event_type = 'purchase'),
+           |     ranked AS (SELECT p.event_id AS purchase_id, p.user_id,
+           |                       c.event_id AS click_id,
+           |                       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           |                       ROW_NUMBER() OVER
+           |                         (PARTITION BY p.event_id
+           |                          ORDER BY c.ts DESC, c.event_id DESC) AS rk
+           |                FROM p LEFT JOIN c
+           |                  ON p.user_id = c.user_id AND c.ts <= p.ts
+           |                 AND c.ts >= p.ts - INTERVAL 1 HOUR)
+           |SELECT purchase_id, user_id, click_id, lag_us
+           |FROM ranked WHERE rk = 1 ORDER BY purchase_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192)
+      q184, q185, q186, q187, q188, q192, q214)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

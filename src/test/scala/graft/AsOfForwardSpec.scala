@@ -52,4 +52,23 @@ class AsOfForwardSpec extends SparkSuite {
       .select("asof_v").as[String].collect().head
     assert(back == "b10" && fwd == "b20")
   }
+
+  test("joinWithin nulls matches beyond the tolerance, keeps ones inside it") {
+    // build at t=10; probes at t=12 (within 5s) and t=30 (18s stale)
+    val probe = Seq((1L, t(12), 1L), (1L, t(30), 2L)).toDF("k", "ts", "event_id")
+    val got = AsOf.joinWithin(
+        probe, build, "k", "ts", "event_id", Seq("v"), tolerance = "5 SECONDS")
+      .select("event_id", "asof_v").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L).contains("b10"))
+    // t=30's nearest-earlier is b20/b20x at t=20 — 10s stale > 5s: nulled
+    assert(got(2L).isEmpty)
+    // forward direction mirrors: probe t=4 within 10s of t=10; t=4 with 3s is not
+    val fgot = AsOf.joinWithin(
+        Seq((1L, t(4), 9L)).toDF("k", "ts", "event_id"),
+        build, "k", "ts", "event_id", Seq("v"),
+        tolerance = "3 SECONDS", forward = true)
+      .select("asof_v").as[Option[String]].collect().head
+    assert(fgot.isEmpty)
+  }
 }
