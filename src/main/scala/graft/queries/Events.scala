@@ -724,10 +724,41 @@ object Events {
            |SELECT purchase_id, user_id, click_id, lag_us
            |FROM ranked WHERE rk = 1 ORDER BY purchase_id""".stripMargin))
 
+  /** Q215 — behavioral diversity: Shannon entropy of each user's
+    * event-type mix, averaged per activity band (total event count) —
+    * "do heavy users do more KINDS of things". Uses the exact identity
+    * H = log2(n) − (Σ c·log2 c)/n so the per-user pass is ONE keyed
+    * aggregation over (user, type) counts with no second normalization
+    * join; the band rollup is a second tiny aggregation. */
+  val q215 = QueryDef(
+    "q215_user_entropy",
+    (s, d) => {
+      val ue = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val perUser = ue.groupBy("user_id")
+        .agg(
+          sum(col("c")).as("n"),
+          (log2(sum(col("c")))
+            - sum(col("c") * log2(col("c"))) / sum(col("c"))).as("h"))
+      perUser.groupBy("n")
+        .agg(count(lit(1)).as("users"), r4(avg(col("h"))).as("avg_entropy"))
+        .orderBy("n")
+    },
+    Some("""WITH ue AS (
+           |  SELECT user_id, event_type, COUNT(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |pu AS (
+           |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+           |         LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c) AS h
+           |  FROM ue GROUP BY 1)
+           |SELECT n, COUNT(*) AS users, ROUND(AVG(h), 4) AS avg_entropy
+           |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192, q214)
+      q184, q185, q186, q187, q188, q192, q214, q215)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
