@@ -49,4 +49,35 @@ object Mixing {
       explode(when(copies >= 1, sequence(lit(1), copies))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling rule (mC4, PaLM, BLOOM): sample source i with probability
+    * `p_i ∝ n_i^α`, α ∈ (0, 1] flattening the natural size distribution so
+    * small sources are not drowned out (α = 1 recovers proportional
+    * sampling, α → 0 uniform). Given a per-row size measure (token count)
+    * and a total token budget, emits one row per source:
+    * `(group, n_tokens, p` — the α-scaled sampling probability — `, epochs`
+    * — how many passes over the source the budget implies, the number that
+    * feeds [[byFractionalWeight]]`)`.
+    *
+    * Scale shape: ONE group-keyed aggregation (map-side combined); the
+    * normalizer is a one-row aggregate over the groups-sized result,
+    * broadcast back. Nothing here ever touches rows again — the output is
+    * GROUPS-sized, the natural input to an epoch-weighting pass. */
+  def temperatureWeights(
+      df: DataFrame, groupCol: String, sizeCol: Column,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(sizeCol.cast("long")).as("n_tokens"))
+    val z = counts.agg(
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("_z"))
+    counts.crossJoin(broadcast(z))
+      .select(
+        col(groupCol),
+        col("n_tokens"),
+        (pow(col("n_tokens").cast("double"), lit(alpha)) / col("_z")).as("p"),
+        (pow(col("n_tokens").cast("double"), lit(alpha)) / col("_z") *
+          lit(budgetTokens.toDouble) / col("n_tokens").cast("double")).as("epochs"))
+  }
 }

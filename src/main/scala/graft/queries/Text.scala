@@ -1500,9 +1500,126 @@ object Text {
            |ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** Q218 — community detection by synchronous label propagation
+    * ([[graft.ops.LabelPropagation]], Raghavan 2007): q88's rare-shingle
+    * duplicate edges re-clustered by dense neighborhoods instead of bare
+    * reachability. Three deterministic synchronous rounds (self-vote +
+    * (count desc, label asc) tie-break — a pure function of the edge
+    * set), which the oracle mirrors as three unrolled SQL update steps,
+    * so a wrong join side, a missed self-vote, or a busted tie-break
+    * hash-fails. */
+  val q218 = QueryDef(
+    "q218_label_communities",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      val sh = docs.select(
+        col("doc_id"),
+        explode(graft.functions.ShingleHashSetExpr(
+          TextFunctions.tokens(col("text")), 3)).as("h"))
+      val edges = sh.groupBy("h").agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("src"),
+        max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
+        .distinct()
+      graft.ops.LabelPropagation.run(edges, iters = 3)
+        .select(col("id").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+                         WHERE len(str_split(text, ' ')) >= 3),
+                 sh AS (SELECT DISTINCT doc_id, s FROM (
+                          SELECT doc_id,
+                                 UNNEST(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                          FROM tok)),
+                 rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) = 2),
+                 edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                           FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+                           WHERE a.doc_id < b.doc_id),
+                 sym AS (SELECT src, dst FROM edges
+                         UNION SELECT dst AS src, src AS dst FROM edges),
+                 l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+                 v1 AS (SELECT s.src AS vid, p.label FROM sym s JOIN l0 p ON s.dst = p.id
+                        UNION ALL SELECT id AS vid, label FROM l0),
+                 c1 AS (SELECT vid, label, COUNT(*) AS cnt FROM v1 GROUP BY vid, label),
+                 l1 AS (SELECT vid AS id, label FROM (
+                          SELECT vid, label,
+                                 ROW_NUMBER() OVER (PARTITION BY vid
+                                                    ORDER BY cnt DESC, label) AS rk
+                          FROM c1) WHERE rk = 1),
+                 v2 AS (SELECT s.src AS vid, p.label FROM sym s JOIN l1 p ON s.dst = p.id
+                        UNION ALL SELECT id AS vid, label FROM l1),
+                 c2 AS (SELECT vid, label, COUNT(*) AS cnt FROM v2 GROUP BY vid, label),
+                 l2 AS (SELECT vid AS id, label FROM (
+                          SELECT vid, label,
+                                 ROW_NUMBER() OVER (PARTITION BY vid
+                                                    ORDER BY cnt DESC, label) AS rk
+                          FROM c2) WHERE rk = 1),
+                 v3 AS (SELECT s.src AS vid, p.label FROM sym s JOIN l2 p ON s.dst = p.id
+                        UNION ALL SELECT id AS vid, label FROM l2),
+                 c3 AS (SELECT vid, label, COUNT(*) AS cnt FROM v3 GROUP BY vid, label),
+                 l3 AS (SELECT vid AS id, label FROM (
+                          SELECT vid, label,
+                                 ROW_NUMBER() OVER (PARTITION BY vid
+                                                    ORDER BY cnt DESC, label) AS rk
+                          FROM c3) WHERE rk = 1)
+            SELECT id AS doc_id, label FROM l3 ORDER BY doc_id"""))
+
+  /** Q220 — inverted-index build (the search-index core): for the 15 most
+    * frequent corpus terms, the per-term posting list — document
+    * frequency, total term frequency, and the top-3 documents by tf with
+    * rank. Shapes: one (term, doc)-keyed tf aggregate, one term-keyed df
+    * rollup, the 15-term head broadcast back, and a term-PARTITIONED
+    * row_number — never a global window; posting lists stay distributed
+    * by term, which is exactly how a shard-by-term index is laid out at
+    * scale. Total tie-breaks ((cnt, term) and (tf, doc_id)) make the head
+    * and ranks deterministic, so the oracle hash-matches. */
+  val q220 = QueryDef(
+    "q220_inverted_index",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+      val termStats = tf.groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"))
+      val head = termStats
+        .orderBy(col("total_tf").desc, col("term"))
+        .limit(15)
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      tf.join(broadcast(head), Seq("term"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(
+          col("term"), col("df"), col("total_tf"),
+          col("doc_id"), col("tf"), col("rk"))
+        .orderBy(col("term"), col("rk"))
+    },
+    Some("""WITH tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM (
+                          SELECT doc_id, UNNEST(str_split(text, ' ')) AS term
+                          FROM documents)
+                        GROUP BY term, doc_id),
+                 ts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                               CAST(SUM(tf) AS BIGINT) AS total_tf
+                        FROM tf GROUP BY term),
+                 head AS (SELECT * FROM ts ORDER BY total_tf DESC, term LIMIT 15),
+                 r AS (SELECT h.term, h.df, h.total_tf, tf.doc_id,
+                              CAST(tf.tf AS BIGINT) AS tf,
+                              ROW_NUMBER() OVER (PARTITION BY h.term
+                                                 ORDER BY tf.tf DESC, tf.doc_id) AS rk
+                       FROM head h JOIN tf ON h.term = tf.term)
+            SELECT term, df, total_tf, doc_id, tf, CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 3 ORDER BY term, rk"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190, q191, q210, q211)
+      q181, q182, q183, q190, q191, q210, q211, q218, q220)
 }

@@ -635,7 +635,7 @@ object TrainPrep {
 
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160, q162)
+      q155, q159, q160, q162, q216, q217, q219, q221)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
@@ -666,4 +666,202 @@ object TrainPrep {
                        FROM a)
             SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
             ORDER BY source, doc_id"""))
+
+  /** Q216 — DSIR importance weights ([[graft.ops.Dsir]], Xie et al.
+    * NeurIPS 2023): score every non-English document by how English-like
+    * its hashed bag-of-words is — the log-likelihood ratio of two add-1
+    * smoothed hashed-unigram models (target = `lang = 'en'` docs, raw =
+    * the rest), k = 64 buckets for the fixture (production default 2¹⁴).
+    * The oracle replays the exact 48-bit md5 bucket hash and the same
+    * smoothing, so a bucketing / smoothing / totals bug hash-fails; the
+    * per-doc sum is `Σ cnt·ratio` over ≤ 64 terms, far inside ROUND(.,6)
+    * of cross-engine float noise. */
+  val q216 = QueryDef(
+    "q216_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.logWeights(
+        raw = docs.filter(col("lang") =!= "en"),
+        target = docs.filter(col("lang") === "en"),
+        textCol = "text", idCol = "doc_id", k = 64)
+        .select(col("doc_id"), col("n_toks"), r6(col("log_w")).as("log_w"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH rawd AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+                 tgtd AS (SELECT text FROM documents WHERE lang = 'en'),
+                 rt AS (SELECT doc_id,
+                               CAST(('0x' || substr(md5('dsir-v1:' || tok), 1, 12))
+                                    AS BIGINT) % 64 AS bucket
+                        FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
+                              FROM rawd)),
+                 tt AS (SELECT CAST(('0x' || substr(md5('dsir-v1:' || tok), 1, 12))
+                                    AS BIGINT) % 64 AS bucket
+                        FROM (SELECT UNNEST(str_split(text, ' ')) AS tok FROM tgtd)),
+                 rc AS (SELECT bucket, COUNT(*) AS r_cnt FROM rt GROUP BY bucket),
+                 tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tt GROUP BY bucket),
+                 tot AS (SELECT (SELECT COUNT(*) FROM rt) AS r_tot,
+                                (SELECT COUNT(*) FROM tt) AS t_tot),
+                 lr AS (SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                               LN((COALESCE(t_cnt, 0) + 1.0) / (t_tot + 64))
+                                 - LN((COALESCE(r_cnt, 0) + 1.0) / (r_tot + 64)) AS log_ratio
+                        FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+                        CROSS JOIN tot),
+                 per AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rt GROUP BY 1, 2)
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+                   ROUND(SUM(cnt * log_ratio), 6) AS log_w
+            FROM per JOIN lr USING (bucket)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Q217 — DSIR Gumbel top-n selection ([[graft.ops.Dsir.selectTopN]]):
+    * sample 40 of the q216-scored documents without replacement with
+    * probability ∝ exp(log_w) via deterministic Gumbel perturbation
+    * (md5-uniform, never `rand()`), ranked with [[graft.ops.GlobalRank]]
+    * — no unpartitioned window. The oracle replays draw + perturbation
+    * exactly; Gumbel spread (continuous scores) dwarfs cross-engine
+    * ln/exp ulp noise, and a rank flip would change the selected id set
+    * and hash-fail. */
+  val q217 = QueryDef(
+    "q217_dsir_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = graft.ops.Dsir.logWeights(
+        raw = docs.filter(col("lang") =!= "en"),
+        target = docs.filter(col("lang") === "en"),
+        textCol = "text", idCol = "doc_id", k = 64)
+      graft.ops.Dsir.selectTopN(w, "doc_id", 40)
+        .select(
+          col("doc_id"), col("n_toks"), r6(col("log_w")).as("log_w"),
+          col("rank"))
+        .orderBy("rank")
+    },
+    Some("""WITH rawd AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+                 tgtd AS (SELECT text FROM documents WHERE lang = 'en'),
+                 rt AS (SELECT doc_id,
+                               CAST(('0x' || substr(md5('dsir-v1:' || tok), 1, 12))
+                                    AS BIGINT) % 64 AS bucket
+                        FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok
+                              FROM rawd)),
+                 tt AS (SELECT CAST(('0x' || substr(md5('dsir-v1:' || tok), 1, 12))
+                                    AS BIGINT) % 64 AS bucket
+                        FROM (SELECT UNNEST(str_split(text, ' ')) AS tok FROM tgtd)),
+                 rc AS (SELECT bucket, COUNT(*) AS r_cnt FROM rt GROUP BY bucket),
+                 tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tt GROUP BY bucket),
+                 tot AS (SELECT (SELECT COUNT(*) FROM rt) AS r_tot,
+                                (SELECT COUNT(*) FROM tt) AS t_tot),
+                 lr AS (SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                               LN((COALESCE(t_cnt, 0) + 1.0) / (t_tot + 64))
+                                 - LN((COALESCE(r_cnt, 0) + 1.0) / (r_tot + 64)) AS log_ratio
+                        FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+                        CROSS JOIN tot),
+                 per AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rt GROUP BY 1, 2),
+                 w AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+                              SUM(cnt * log_ratio) AS log_w
+                       FROM per JOIN lr USING (bucket) GROUP BY doc_id),
+                 g AS (SELECT doc_id, n_toks, log_w,
+                              log_w - LN(-LN(
+                                (CAST(('0x' || substr(md5('dsir-sel-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                                      AS BIGINT) + 1.0) / 281474976710657.0)) AS score
+                       FROM w),
+                 r AS (SELECT doc_id, n_toks, log_w,
+                              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                       FROM g)
+            SELECT doc_id, n_toks, ROUND(log_w, 6) AS log_w,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 40 ORDER BY rank"""))
+
+  /** Q219 — temperature-scaled mixture weights
+    * ([[Mixing.temperatureWeights]], the mC4/PaLM α-sampling rule):
+    * per-source whitespace-token totals → sampling probability
+    * `p ∝ n^0.5` and the epochs a 1M-token budget implies. One group
+    * aggregate + a broadcast normalizer; output is sources-sized. The
+    * flattening property (small sources get > proportional share) is
+    * spec-asserted; the oracle replays the exact arithmetic. */
+  val q219 = QueryDef(
+    "q219_temperature_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Mixing.temperatureWeights(
+        docs, "source", TextFunctions.tokenCount(col("text")),
+        alpha = 0.5, budgetTokens = 1000000L)
+        .select(
+          col("source"), col("n_tokens"),
+          r6(col("p")).as("p"), r6(col("epochs")).as("epochs"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source,
+                              CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY source),
+                 z AS (SELECT SUM(POWER(n_tokens, 0.5)) AS z FROM c)
+            SELECT source, n_tokens,
+                   ROUND(POWER(n_tokens, 0.5) / z, 6) AS p,
+                   ROUND(POWER(n_tokens, 0.5) / z * 1000000.0 / n_tokens, 6) AS epochs
+            FROM c CROSS JOIN z ORDER BY source"""))
+
+  /** Q221 — per-source dataset card (the audit bundle every corpus release
+    * ships): document count, token total, exact-duplicate fraction
+    * (sha2 text identity), language-mix entropy, and the exact median
+    * document length. Shapes: one doc-keyed hash aggregate for dup
+    * detection, one (source, lang) aggregate for entropy, one
+    * `percentile` per source — all source-keyed; no data-sized join.
+    * The oracle recomputes each signal independently (DuckDB `median` on
+    * BIGINT interpolates like Spark's exact `percentile`). */
+  val q221 = QueryDef(
+    "q221_source_datacard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      // exact-dup fraction: docs whose text sha2 appears more than once
+      val dup = docs.select(col("source"), sha2(col("text"), 256).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+            sum(col("c"))).as("dup_frac"))
+      // language-mix Shannon entropy (bits) over the sources×langs-sized
+      // count relation — the normalizer joins back on source, never a
+      // window over data
+      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val tot = lc.groupBy("source").agg(sum(col("c")).as("t"))
+      val ent = lc.join(tot, Seq("source"))
+        .groupBy("source")
+        .agg((-sum((col("c").cast("double") / col("t")) *
+          log2(col("c").cast("double") / col("t")))).as("lang_entropy"))
+      val med = docs.groupBy("source").agg(
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      base.select(col("source"), col("n_docs"), col("n_tokens"))
+        .join(dup, Seq("source"))
+        .join(ent, Seq("source"))
+        .join(med, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          r6(col("dup_frac")).as("dup_frac"),
+          r6(col("lang_entropy")).as("lang_entropy"),
+          r6(col("median_chars")).as("median_chars"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                                 CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+                                 MEDIAN(n_chars) AS median_chars
+                          FROM documents GROUP BY source),
+                 hc AS (SELECT source, sha256(text) AS h, COUNT(*) AS c
+                        FROM documents GROUP BY source, h),
+                 dup AS (SELECT source,
+                                CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                                  / SUM(c) AS dup_frac
+                         FROM hc GROUP BY source),
+                 lc AS (SELECT source, lang, COUNT(*) AS c FROM documents
+                        GROUP BY source, lang),
+                 tot AS (SELECT source, SUM(c) AS t FROM lc GROUP BY source),
+                 ent AS (SELECT lc.source,
+                                -SUM((c / t) * LOG2(c / t)) AS lang_entropy
+                         FROM lc JOIN tot ON lc.source = tot.source
+                         GROUP BY lc.source)
+            SELECT base.source, n_docs, n_tokens,
+                   ROUND(dup_frac, 6) AS dup_frac,
+                   ROUND(lang_entropy, 6) AS lang_entropy,
+                   ROUND(median_chars, 6) AS median_chars
+            FROM base JOIN dup ON base.source = dup.source
+            JOIN ent ON base.source = ent.source
+            ORDER BY base.source"""))
 }

@@ -130,6 +130,30 @@ class MembershipSpec extends SparkSuite {
     assert(exact == Seq(("a", 3L)))
   }
 
+  test("temperatureWeights: alpha=1 is proportional, alpha<1 flattens, budget splits exactly") {
+    val df = Seq.fill(90)(("big", 10)).++(Seq.fill(10)(("small", 10)))
+      .toDF("source", "ntok")
+    def w(alpha: Double) = graft.ops.Mixing
+      .temperatureWeights(df, "source", col("ntok"), alpha, budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val prop = w(1.0)
+    assert(math.abs(prop("big")._2 - 0.9) < 1e-12)
+    assert(math.abs(prop("small")._2 - 0.1) < 1e-12)
+    // alpha=1, budget = total tokens -> exactly one epoch everywhere
+    val one = graft.ops.Mixing
+      .temperatureWeights(df, "source", col("ntok"), 1.0, budgetTokens = 1000L)
+      .collect().map(_.getDouble(3))
+    assert(one.forall(e => math.abs(e - 1.0) < 1e-12))
+    // alpha=0.5 flattens: small source's share rises, big's falls
+    val flat = w(0.5)
+    assert(flat("small")._2 > prop("small")._2 && flat("big")._2 < prop("big")._2)
+    // probabilities always sum to 1
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-12)
+    // the flattened mix gives the small source MORE epochs than the big one
+    assert(flat("small")._3 > flat("big")._3)
+  }
+
   test("oovCounts against a 10k vocab matches direct per-row counting") {
     val vocab = (0 until 10000).map(i => s"v$i").toDF("w")
     val docs = Seq(
