@@ -91,4 +91,25 @@ object JoinCard {
     val rs = summarize(right, keys, k)
     (estimate(ls, rs), ls, rs)
   }
+
+  /** Explosion guard: refuse an equi-join whose estimated output exceeds
+    * `maxRows` BEFORE any shuffle is paid — two stats passes instead of a
+    * cluster-melting join. Returns the joined frame (un-executed) plus the
+    * estimate when within bounds; throws with both sides' hot keys named
+    * when not, so the error message already contains the skew diagnosis
+    * (the key to salt, filter, or pre-aggregate). */
+  def guardedJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      maxRows: Double, k: Int = 64): (DataFrame, Double) = {
+    val (est, ls, rs) = estimateJoin(left, right, keys, k)
+    if (est > maxRows) {
+      def hot(s: KeySummary) = s.heavy.maxByOption(_._2)
+        .map { case (key, c) => s"'$key' (~$c rows)" }.getOrElse("none")
+      throw new IllegalStateException(
+        f"join on ${keys.mkString(",")} estimated at $est%.3g rows > bound $maxRows%.3g; " +
+          s"left: ${ls.rows} rows, hot key ${hot(ls)}; " +
+          s"right: ${rs.rows} rows, hot key ${hot(rs)}")
+    }
+    (left.join(right, keys), est)
+  }
 }

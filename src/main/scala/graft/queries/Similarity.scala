@@ -308,6 +308,31 @@ object Similarity {
            |             / (SQRT(SUM(cr * cr)) * SQRT(SUM(cl * cl))), 4) AS centroid_cos
            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q222 — PCA whitening of the embedding table
+    * ([[Embeddings.fitWhitening]]/[[Embeddings.whiten]]): fit the top-8
+    * whitening directions in ONE sufficient-statistics pass (O(d²) state,
+    * no shuffle of vectors), project every embedding through pure array
+    * expressions, and report per-component mean/variance of the whitened
+    * space. Rows-only by design — the oracle language has no
+    * eigendecomposition — with the identity-covariance contract pinned by
+    * WhitenSpec; this query's own output makes the contract VISIBLE
+    * (mean ≈ 0, variance ≈ 1 per kept component). */
+  val q222 = QueryDef(
+    "q222_pca_whiten",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Embeddings.fitWhitening(emb, "embedding", d = 64, components = 8)
+      Embeddings.whiten(emb, "embedding", model, "w")
+        .select(posexplode(col("w")).as(Seq("component", "v")))
+        .groupBy("component")
+        .agg(
+          count(lit(1)).as("n"),
+          r6(avg(col("v"))).as("mean_v"),
+          r6(var_samp(col("v"))).as("var_v"))
+        .orderBy("component")
+    },
+    None)
+
   def all: Seq[QueryDef] =
-    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208)
+    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222)
 }

@@ -1615,7 +1615,8 @@ object Text {
                                                  ORDER BY tf.tf DESC, tf.doc_id) AS rk
                        FROM head h JOIN tf ON h.term = tf.term)
             SELECT term, df, total_tf, doc_id, tf, CAST(rk AS INTEGER) AS rk
-            FROM r WHERE rk <= 3 ORDER BY term, rk"""))
+            FROM r WHERE rk <= 3 ORDER BY term, rk"""),
+    headline = true)
 
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,

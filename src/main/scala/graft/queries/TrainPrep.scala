@@ -710,7 +710,8 @@ object TrainPrep {
             SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
                    ROUND(SUM(cnt * log_ratio), 6) AS log_w
             FROM per JOIN lr USING (bucket)
-            GROUP BY doc_id ORDER BY doc_id"""))
+            GROUP BY doc_id ORDER BY doc_id"""),
+    headline = true)
 
   /** Q217 — DSIR Gumbel top-n selection ([[graft.ops.Dsir.selectTopN]]):
     * sample 40 of the q216-scored documents without replacement with

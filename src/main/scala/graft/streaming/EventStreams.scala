@@ -405,4 +405,72 @@ object EventStreams {
           Iterator.single(DriftStat(t, nLive, best, ks))
       }
   }
+
+  /** One (timestamp, term) occurrence on the input stream. */
+  final case class TermEvent(ts: java.sql.Timestamp, term: String)
+  /** One trending term of a CLOSED window: rank by estimated count
+    * (ties by term). */
+  final case class TrendRow(
+      window_start: java.sql.Timestamp, term: String, cnt_est: Long, rk: Int)
+
+  /** Streaming trending terms: per tumbling window, the top-k terms by
+    * frequency, emitted ONCE when the watermark closes the window.
+    *
+    * The naive shape — `groupBy(window, term).count` — keeps one state row
+    * per (window, term): at web scale that is the vocabulary, billions of
+    * rows of state per window. Here state is a Misra-Gries summary of at
+    * most `sketch` counters per OPEN window
+    * ([[graft.ops.HeavyHitters.MisraGriesAgg]]'s reduce step applied
+    * incrementally), so state is O(windows_in_flight × sketch) regardless
+    * of vocabulary — the bounded-memory contract streaming top-k needs.
+    * MG guarantee carries over: any term with frequency > n/(sketch+1) in
+    * its window survives; counts under-estimate by at most that bound
+    * (exact when the window's distinct terms fit in the sketch, which is
+    * what the spec pins). Emission is on EVENT-TIME TIMEOUT — one
+    * append-mode result set per window, late terms beyond the watermark
+    * dropped exactly like Spark's own windowed aggregation in append
+    * mode. */
+  def trendingTerms(
+      spark: SparkSession, terms: Dataset[TermEvent], windowMs: Long,
+      k: Int = 5, sketch: Int = 256,
+      watermark: String = "10 minutes"): Dataset[TrendRow] = {
+    import spark.implicits._
+    require(windowMs > 0 && k >= 1 && sketch >= k)
+    val mg = new graft.ops.HeavyHitters.MisraGriesAgg(sketch)
+    terms
+      .withWatermark("ts", watermark)
+      // the watermarked ts ATTRIBUTE must survive into the stateful
+      // operator's input (a .map to a tuple would erase the event-time
+      // marker and fail the unsupported-operations check), so the window
+      // start is added as a column beside it
+      .select(
+        col("ts"),
+        (unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(windowMs))).as("wstart"),
+        col("term"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, batch: Iterator[(java.sql.Timestamp, Long, String)],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+              .zipWithIndex.iterator.map { case ((t, c), i) =>
+                TrendRow(new java.sql.Timestamp(wstart), t, c, i + 1)
+              }
+          } else {
+            val upd = batch.foldLeft(
+              state.getOption.getOrElse(Map.empty[String, Long])) {
+              (m, e) => mg.reduce(m, e._3)
+            }
+            state.update(upd)
+            // fires when the WATERMARK passes the window end — the same
+            // close signal append-mode windowed aggregation uses
+            state.setTimeoutTimestamp(wstart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -52,6 +52,19 @@ class JoinCardSpec extends SparkSuite {
     assert(est == 0.0)
   }
 
+  test("guardedJoin passes bounded joins and refuses explosive ones by name") {
+    val a = (Seq.fill(1000)(0L) ++ (1L to 100L)).toDF("k")
+    val b = (Seq.fill(1000)(0L) ++ (1L to 100L)).toDF("k")
+    // hot key 0 alone produces ~10^6 rows
+    val e = intercept[IllegalStateException] {
+      graft.ops.JoinCard.guardedJoin(a, b, Seq("k"), maxRows = 1e5)
+    }
+    assert(e.getMessage.contains("hot key '0'"), e.getMessage)
+    val (joined, est) = graft.ops.JoinCard.guardedJoin(a, b, Seq("k"), maxRows = 1e7)
+    assert(est > 1e5)
+    assert(joined.count() == 1000L * 1000 + 100)
+  }
+
   test("composite keys summarize the tuple, not the columns") {
     val a = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("k1", "k2")
     val b = Seq((1L, "x"), (2L, "y")).toDF("k1", "k2")
