@@ -28,8 +28,9 @@ object CorpusPipeline {
 
   /** The prepared corpus plus a per-stage row-count thunk — call it after
     * ONE action has materialized `result`. Stages (in order): `input`,
-    * `quality`, `exact_dedup`, `near_dup`, `decontaminated`, and
-    * `semantic` when embeddings are supplied. */
+    * `quality`, `exact_dedup`, `near_dup`, `decontaminated`, `semantic`
+    * when embeddings are supplied, and `dsir_selected` when a DSIR
+    * target is supplied. */
   final case class Prepared(result: DataFrame, stageCounts: () => Seq[(String, Long)])
 
   /** @param docs           corpus with `doc_id` and `textCol`
@@ -52,6 +53,13 @@ object CorpusPipeline {
     *                       paraphrased leakage the n-gram stage cannot
     *                       ([[Decontaminate.semanticOverlap]])
     * @param maxSemanticSim drop docs whose max benchmark cosine ≥ this
+    * @param dsir           optional DSIR selection stage
+    *                       ([[graft.ops.Dsir]]): (target corpus sharing
+    *                       `textCol`, keepN) — after every cleaning
+    *                       stage, keep only the keepN survivors whose
+    *                       hashed bag-of-words is most target-like
+    *                       (Gumbel sampling ∝ importance weight). Runs
+    *                       its own bounded jobs like the near-dup stage.
     */
   def prepare(
       docs: DataFrame,
@@ -62,9 +70,11 @@ object CorpusPipeline {
       maxOverlapFrac: Double = 0.5,
       keepBestQuality: Boolean = false,
       embeddings: Option[(DataFrame, DataFrame)] = None,
-      maxSemanticSim: Double = 0.95): Prepared = {
+      maxSemanticSim: Double = 0.95,
+      dsir: Option[(DataFrame, Int)] = None): Prepared = {
     val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated") ++
-      (if (embeddings.isDefined) Seq("semantic") else Nil)
+      (if (embeddings.isDefined) Seq("semantic") else Nil) ++
+      (if (dsir.isDefined) Seq("dsir_selected") else Nil)
     val obs = stages.map(s => s -> new Observation(s"cp_$s")).toMap
     def counted(df: DataFrame, stage: String): DataFrame =
       df.observe(obs(stage), count(lit(1)).as("n"))
@@ -133,18 +143,44 @@ object CorpusPipeline {
 
     // Optional semantic stage: paraphrased benchmark leakage (close in
     // embedding space, disjoint in n-grams) anti-joins out the same way.
-    val semKept = embeddings.fold(decontaminated) { case (corpusEmb, benchEmb) =>
-      val doom = Decontaminate.semanticOverlap(corpusEmb, benchEmb)
-        .filter(col("max_bench_sim") >= maxSemanticSim)
-        .select(col("vec_id").as("doc_id"))
+    // The doom list is a val so the DSIR survivor twin below reuses the
+    // same frame instead of recomputing the overlap scan.
+    val semanticDoom: Option[DataFrame] = embeddings.map {
+      case (corpusEmb, benchEmb) =>
+        Decontaminate.semanticOverlap(corpusEmb, benchEmb)
+          .filter(col("max_bench_sim") >= maxSemanticSim)
+          .select(col("vec_id").as("doc_id"))
+    }
+    val semKept = semanticDoom.fold(decontaminated) { doom =>
       counted(decontaminated.join(doom, Seq("doc_id"), "left_anti"), "semantic")
+    }
+
+    // Optional DSIR selection: fit the importance model on the SURVIVOR
+    // population (an un-observed twin re-derived from the doom lists —
+    // a dropped doc must not shape the raw distribution), then keep the
+    // keepN most target-like survivors via one semi-join on doc_id.
+    val dsirKept = dsir.fold(semKept) { case (target, keepN) =>
+      val survivors = semanticDoom.toSeq
+        .foldLeft(
+          clean
+            .withColumn("content_hash", sha2(col(textCol), 256))
+            .join(keepers, Seq("content_hash"))
+            .filter(col("doc_id") === col("keep_id"))
+            .drop("content_hash", "keep_id")
+            .join(nearDupDoom, Seq("doc_id"), "left_anti")
+            .join(contaminated, Seq("doc_id"), "left_anti")) {
+          (df, doom) => df.join(doom, Seq("doc_id"), "left_anti")
+        }
+      val weights = graft.ops.Dsir.logWeights(survivors, target, textCol, "doc_id")
+      val keep = graft.ops.Dsir.selectTopN(weights, "doc_id", keepN).select("doc_id")
+      counted(semKept.join(keep, Seq("doc_id"), "left_semi"), "dsir_selected")
     }
 
     // Deterministic split (q110's function): stable under corpus growth.
     val bucket = conv(
       substring(md5(concat(lit("split-v1:"), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("int") % 100
-    val result = semKept.withColumn(
+    val result = dsirKept.withColumn(
       "split",
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
 

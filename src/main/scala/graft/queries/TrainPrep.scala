@@ -635,7 +635,7 @@ object TrainPrep {
 
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160, q162, q216, q217, q219, q221)
+      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
@@ -865,4 +865,82 @@ object TrainPrep {
             FROM base JOIN dup ON base.source = dup.source
             JOIN ent ON base.source = ent.source
             ORDER BY base.source"""))
+
+  /** Q223 — curriculum phase assignment (short-to-long length curriculum,
+    * the standard warm-up schedule): exact length quartile bounds from ONE
+    * tiny aggregate, broadcast back as three literal comparisons — each
+    * document gets phase 1-4 with zero per-row state and no global window.
+    * Both engines interpolate percentiles with the same
+    * `(1−g)·a + g·b` rule, so the bounds — and therefore every bucket
+    * decision — agree exactly. */
+  val q223 = QueryDef(
+    "q223_curriculum_phases",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.25)").as("b1"),
+        expr("percentile(n_chars, 0.50)").as("b2"),
+        expr("percentile(n_chars, 0.75)").as("b3"))
+      docs.crossJoin(broadcast(bounds))
+        .select(
+          (lit(1) +
+            when(col("n_chars") > col("b1"), 1).otherwise(0) +
+            when(col("n_chars") > col("b2"), 1).otherwise(0) +
+            when(col("n_chars") > col("b3"), 1).otherwise(0)).as("phase"),
+          col("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("phase")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          r6(avg(col("toks"))).as("avg_toks"))
+        .orderBy("phase")
+    },
+    Some("""WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+                              quantile_cont(n_chars, 0.50) AS b2,
+                              quantile_cont(n_chars, 0.75) AS b3
+                       FROM documents),
+                 p AS (SELECT 1 + CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+                               + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
+                               + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END AS phase,
+                              n_chars,
+                              len(str_split(text, ' ')) AS toks
+                       FROM documents CROSS JOIN b)
+            SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                   ROUND(AVG(toks), 6) AS avg_toks
+            FROM p GROUP BY phase ORDER BY phase"""))
+
+  /** Q224 — tokenizer fertility by language: subword-ish tokens per
+    * whitespace word ([[TextFunctions.bpeishCount]] / whitespace count),
+    * the standard multilingual-tokenizer audit (high fertility = the
+    * vocabulary serves that language badly). Pure per-row regex counting
+    * + one lang-keyed aggregate; the oracle replays the same regex. */
+  val q224 = QueryDef(
+    "q224_token_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = TextFunctions.tokenCount(col("text")).cast("double")
+      val bp = TextFunctions.bpeishCount(col("text")).cast("double")
+      docs.select(col("lang"), ws.as("ws"), bp.as("bp"))
+        .filter(col("ws") > 0)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          r6(avg(col("ws"))).as("avg_words"),
+          r6(avg(col("bp"))).as("avg_subtoks"),
+          r6(avg(col("bp") / col("ws"))).as("fertility"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (SELECT lang,
+                              CAST(len(str_split(text, ' ')) AS DOUBLE) AS ws,
+                              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                                   AS DOUBLE) AS bp
+                       FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(ws), 6) AS avg_words,
+                   ROUND(AVG(bp), 6) AS avg_subtoks,
+                   ROUND(AVG(bp / ws), 6) AS fertility
+            FROM t WHERE ws > 0 GROUP BY lang ORDER BY lang"""))
 }

@@ -67,6 +67,21 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(withoutSem.result.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("the optional DSIR stage keeps the most target-like survivors") {
+    // survivors after cleaning are docs 1 (a-words) and 4 (b-words); a
+    // target of a-words makes doc 1's importance weight dwarf doc 4's
+    // (every token scores positive vs negative), far beyond Gumbel noise
+    val target = Seq((200L, words("a"))).toDF("doc_id", "text")
+    val prepared = CorpusPipeline.prepare(corpus, benchmark, dsir = Some((target, 1)))
+    assert(prepared.result.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val counts = prepared.stageCounts().toMap
+    assert(counts("decontaminated") == 2L && counts("dsir_selected") == 1L,
+      s"stage accounting: $counts")
+    // keepN covering all survivors changes nothing
+    val all = CorpusPipeline.prepare(corpus, benchmark, dsir = Some((target, 10)))
+    assert(all.result.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("keepBestQuality retains the highest-quality near-dup, not the lowest id") {
     // doc 7 extends doc 1's text by 10 tokens: shingle Jaccard ~0.89 (a
     // near-dup) but longer -> higher quality score than doc 1
