@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT Jaccard set-similarity self-join via prefix filtering (the
@@ -15,10 +14,11 @@ import org.apache.spark.sql.functions._
   * `|x| − ⌈t·|x|⌉ + 1` elements — so the candidate join runs on PREFIX
   * elements only (dominated by rare elements with tiny frequency), never
   * on the full posting lists of ubiquitous ones. Candidates then pass a
-  * size-ratio filter (t·|x| ≤ |y| ≤ |x|/t) and an exact intersection
-  * count. Every stage is a keyed shuffle: element frequency, per-set
-  * rank windows (bounded by set size), prefix equi-join, pair-keyed
-  * intersection count.
+  * size-ratio filter (t·|x| ≤ |y| ≤ |x|/t), the PPJoin positional filter
+  * (overlap upper bound from the matched prefix positions), and an exact
+  * row-local `array_intersect` count. Every stage is a keyed shuffle:
+  * element frequency, one per-set aggregate (arrays bounded by set
+  * size), prefix equi-join, candidate-keyed array joins.
   *
   * The caller supplies the (id, w) element table — unigrams, shingles,
   * whatever defines "similar". The correctness gate is the strongest
@@ -30,31 +30,60 @@ object SetSimJoin {
 
   /** @param tok distinct (id, w) element rows (duplicates are deduped) */
   def selfJoin(tok0: DataFrame, threshold: Double): DataFrame = {
+    val t = threshold
     val tok = tok0.select(col("id"), col("w")).distinct()
     val freq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-    val perSet = Window.partitionBy("id")
-    val ordered = tok.join(freq, "w")
-      .withColumn("r", row_number().over(perSet.orderBy(col("df"), col("w"))))
-      .withColumn("sz", count(lit(1)).over(perSet))
-    val prefix = ordered
-      .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("w"), col("sz"))
+    // ONE hash aggregate builds each set sorted by the global rarest-first
+    // (df, w) order — replaces the row_number + count window pair (two
+    // sort-based WindowExec passes over every element occurrence) with a
+    // per-row array sort bounded by set size.
+    val sets = tok.join(freq, "w")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("es"))
+      .select(
+        col("id"),
+        expr("transform(es, e -> e.w)").as("ws"),
+        size(col("es")).as("sz"))
+    val prefix = sets
+      .select(
+        col("id"), col("sz"),
+        posexplode(expr(
+          s"slice(ws, 1, size(ws) - cast(ceil($t * size(ws)) as int) + 1)"))
+          .as(Seq("p0", "w")))
+      .select(col("id"), col("sz"), (col("p0") + 1).as("r"), col("w"))
+    // minoverlap(x, y) = ⌈t/(1+t)·(|x|+|y|)⌉; the 1e-9 slack keeps a
+    // floating-point product that lands a hair ABOVE an exact integer
+    // from ceil-ing one too high (which would over-prune — a false
+    // negative the oracle would catch).
+    val minOverlap = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
       .filter(col("a.id") < col("b.id"))
       .filter(
-        col("a.sz") * lit(threshold) <= col("b.sz") &&
-          col("b.sz") * lit(threshold) <= col("a.sz"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        col("a.sz") * lit(t) <= col("b.sz") &&
+          col("b.sz") * lit(t) <= col("a.sz"))
+      // PPJoin positional filter — EXACT here because both sets are
+      // sorted by the SAME global (df, w) order: the pair's first common
+      // element lies inside both prefixes (else neither prefix would
+      // hold any common element, contradicting the prefix principle),
+      // and every other common element follows it in BOTH sets, so
+      // overlap ≤ 1 + min(|x|−r_x, |y|−r_y) at its positions. Keeping
+      // any-occurrence-passes therefore never drops a qualifying pair.
+      .filter(
+        lit(1) + least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) >= minOverlap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Verification is row-local: two candidate-sized joins pull the full
+    // sorted element arrays, then array_intersect counts the EXACT
+    // overlap — no (candidates × set-size) row explosion, no pair-keyed
+    // aggregation shuffle.
     cand
-      .join(tok.select(col("id").as("id_a"), col("w")), "id_a")
-      .join(tok.select(col("id").as("id_b"), col("w")), Seq("id_b", "w"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
       .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jac") >= threshold)
+      .filter(col("jac") >= t)
       .select(col("id_a"), col("id_b"), col("inter"), col("jac"))
   }
 
