@@ -62,6 +62,45 @@ object Decontaminate {
         size(array_intersect(col("_hs"), col("_bench"))).cast("long").as("n_hit"))
   }
 
+  /** N-gram containment of each `target` document against a DATA-SIZED
+    * `reference` corpus — the case [[overlap]]'s broadcast deliberately
+    * does not cover. The canonical use is split-leakage auditing: how
+    * much of each test-split document already appears verbatim (at
+    * n-gram granularity) in the train split, where BOTH sides are the
+    * corpus itself and nothing is broadcastable.
+    *
+    * Scale shape: n-grams travel as 64-bit hashes (one fused codegen
+    * pass per side), the reference set is a distinct on the 8-byte gram
+    * key, and the probe is a keyed shuffle join gram→gram — the same
+    * partitioning both sides already hash to, with per-doc counts
+    * partial-aggregated map-side. Nothing is ever collected or
+    * broadcast, so the plan survives reference corpora of any size.
+    *
+    * Output: (idCol, n_grams, n_hit) per target doc with ≥ n tokens —
+    * same contract as [[overlap]], counts identical to string n-grams
+    * modulo 64-bit collisions. */
+  def containmentAgainst(
+      target: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val grams = (df: DataFrame) =>
+      df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
+        .select(
+          col(idCol),
+          explode(graft.functions.ShingleHashSetExpr(
+            TextFunctions.tokens(col(textCol)), n)).as("_g"))
+    val refSet = grams(reference).select(col("_g")).distinct()
+      .withColumn("_hit", lit(1L))
+    grams(target)
+      .join(refSet, Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+  }
+
   /** SEMANTIC decontamination — the complement to [[overlap]]'s n-gram
     * collision check: paraphrased benchmark leakage shares no n-grams but
     * lands close in embedding space. Each corpus vector gets its max

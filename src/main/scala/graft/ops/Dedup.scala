@@ -25,6 +25,40 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Exact dedup keeping the copy from the most-PREFERRED source — the
+    * multi-crawl reality: the same page arrives from a curated dump and
+    * three crawls, and the pipeline must keep the curated copy, not the
+    * lowest id. `priority` lists preferred sources first; unlisted
+    * sources rank after every listed one, tie-broken by (source, id) so
+    * the choice is total and deterministic.
+    *
+    * Same single groupBy-on-digest shuffle as [[exactByHash]]: the
+    * preference is folded into one `min_by` ordering struct, so choosing
+    * differently costs nothing over choosing min-id. Output: one row per
+    * distinct content — (content_hash, keep_id, keep_source, dup_cnt). */
+  def exactBySourcePriority(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      priority: Seq[String]): DataFrame = {
+    val rank = priority.zipWithIndex
+      .foldLeft(lit(priority.size)) { case (acc, (s, i)) =>
+        when(col(sourceCol) === s, i).otherwise(acc)
+      }
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(
+        min_by(
+          struct(col(idCol).as("id"), col(sourceCol).as("src")),
+          struct(rank, col(sourceCol), col(idCol))).as("_keep"),
+        count(lit(1)).as("dup_cnt"))
+      .select(
+        col("content_hash"),
+        col("_keep.id").as("keep_id"),
+        col("_keep.src").as("keep_source"),
+        col("dup_cnt"))
+  }
+
   /** Shingle base hashes: each shingle string is hashed ONCE. Reference
     * (interpreted) form — the hot path uses the fused codegen expression
     * [[graft.functions.MinHashBandKeysExpr]]; a spec asserts they agree. */

@@ -2051,11 +2051,59 @@ object Relational {
            |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
            |  AND o_custkey % 97 <> 0""".stripMargin))
 
+  /** Q229 — semantic version diff ([[graft.ops.VersionDiff]]): after
+    * q133's CDC merge plus a follow-up DELETE, summarize what NET changed
+    * between the first and last version — added / removed / changed key
+    * counts and per-column change counts — from the row-level change feed
+    * (cost ∝ changes, never table size; the "what happened since
+    * yesterday" audit). The oracle recomputes every count relationally
+    * from the same arithmetic, so a missed tombstone, a wrong
+    * first/last-event ordering, or a broken null-safe column compare
+    * hash-fails. */
+  val q229 = QueryDef(
+    "q229_version_diff",
+    (s, d) => {
+      import graft.io.VersionedTable
+      val path = Scratch.dir("q229") + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v0 = VersionedTable.commitAppend(base, path, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("_del", lit(false))
+      val deletes = base.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("_del", lit(true))
+      val inserts = base.orderBy("o_orderkey").limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("_del", lit(false))
+      VersionedTable.merge(
+        s, path, updates.unionByName(deletes).unionByName(inserts),
+        Seq("o_orderkey"), deleteFlag = Some("_del"))
+      // the +20M guard keeps the window's inserts out of this delete, so
+      // no key is transient and the oracle stays a pure base computation
+      VersionedTable.deleteWhere(
+        s, path, col("o_orderkey") % 100 === 25 && col("o_orderkey") < 20000000L)
+      val v2 = VersionedTable.versions(s, path).last
+      graft.ops.VersionDiff.summary(s, path, v0, v2, Seq("o_orderkey"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+           |SELECT
+           |  CAST((SELECT COUNT(*) FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 5))
+           |       AS BIGINT) AS n_added,
+           |  CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 100 IN (50, 25))
+           |       AS BIGINT) AS n_removed,
+           |  CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 100 = 0)
+           |       AS BIGINT) AS n_changed,
+           |  CAST(0 AS BIGINT) AS n_rewritten_same,
+           |  CAST(0 AS BIGINT) AS chg_o_orderstatus,
+           |  CAST((SELECT COUNT(*) FROM base
+           |        WHERE o_orderkey % 100 = 0 AND o_totalprice * 1.1 <> o_totalprice)
+           |       AS BIGINT) AS chg_o_totalprice""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197)
+    q167, q168, q169, q180, q189, q197, q229)
 }

@@ -667,7 +667,28 @@ object Stats {
            |  SELECT 'o_orderdate', 'o_orderpriority', d4, dd4 - d4, dd4 = d4 FROM w)
            |ORDER BY det, dep""".stripMargin))
 
+  /** Q227 — k-anonymity audit ([[graft.ops.KAnonymity]], Sweeney 2002)
+    * over the customer release surface: equivalence classes on the
+    * quasi-identifier (nation, market segment, account-balance band)
+    * with population and the k=5 anonymity verdict — the pre-release
+    * re-identification check. ONE keyed aggregation; the class table is
+    * bounded by the QI domain, not the row count. */
+  val q227 = QueryDef(
+    "q227_k_anonymity",
+    (s, d) => {
+      val qi = Tables.customer(s, d).select(
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      graft.ops.KAnonymity.audit(qi, Seq("c_nationkey", "bal_band"), 5)
+        .orderBy("c_nationkey", "bal_band")
+    },
+    Some("""SELECT c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   COUNT(*) >= 5 AS anonymous
+            FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213)
+      q206, q207, q209, q212, q213, q227)
 }

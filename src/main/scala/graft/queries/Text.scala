@@ -1618,9 +1618,124 @@ object Text {
             FROM r WHERE rk <= 3 ORDER BY term, rk"""),
     headline = true)
 
+  /** Q225 — leakage-safe train/val/test split: near-duplicate CLUSTERS
+    * (q88's rare-shingle edges closed by [[ConnectedComponents]]) are
+    * assigned to splits atomically — every doc hashes on its cluster
+    * representative, not its own id, so two near-identical documents can
+    * never straddle train and test (the classic eval-contamination bug
+    * that per-doc hashing bakes in). Singletons (no near-dup edge) keep
+    * their own id as cluster, so the split stays q110-stable for the
+    * unclustered bulk of the corpus. `n_moved` counts docs whose split
+    * CHANGED vs naive per-doc hashing — the leakage the cluster pass
+    * prevented. Cost over q110: the edge build + CC rounds, then the same
+    * one aggregation; the md5 bucket stays a row-local expression. */
+  val q225 = QueryDef(
+    "q225_cluster_safe_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(graft.functions.ShingleHashSetExpr(
+            TextFunctions.tokens(col("text")), 3)).as("h"))
+      val edges = sh.groupBy("h").agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("src"),
+        max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
+        .distinct()
+      val (labels, _) = ConnectedComponents.label(edges)
+      def bucket(c: org.apache.spark.sql.Column) = conv(
+        substring(md5(concat(lit("split-v1:"), c.cast("string"))), 1, 4),
+        16, 10).cast("int") % 100
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(bucket(c) < 80, "train").when(bucket(c) < 90, "val").otherwise("test")
+      docs
+        .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+        .select(
+          col("doc_id"), col("cluster"),
+          splitOf(col("cluster")).as("split"),
+          (splitOf(col("cluster")) =!= splitOf(col("doc_id"))).cast("long").as("moved"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("moved")).as("n_moved"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    },
+    Some("""WITH RECURSIVE
+              tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+                      WHERE len(str_split(text, ' ')) >= 3),
+              sh AS (SELECT DISTINCT doc_id, s FROM (
+                       SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                       FROM tok)),
+              rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) = 2),
+              edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                        FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+                        WHERE a.doc_id < b.doc_id),
+              sym AS (SELECT src, dst FROM edges
+                      UNION SELECT dst AS src, src AS dst FROM edges),
+              reach(a, b) AS (SELECT src, dst FROM sym
+                              UNION
+                              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+              comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+              cl AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+                     FROM documents d LEFT JOIN comp c USING (doc_id)),
+              sp AS (SELECT doc_id, cluster,
+                            CAST(('0x' || substr(md5('split-v1:' || CAST(cluster AS VARCHAR)), 1, 4))
+                                 AS INTEGER) % 100 AS bc,
+                            CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                                 AS INTEGER) % 100 AS bd
+                     FROM cl),
+              lab AS (SELECT doc_id, cluster,
+                             CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'val' ELSE 'test' END AS split,
+                             CASE WHEN (CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'val' ELSE 'test' END)
+                                  <> (CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'val' ELSE 'test' END)
+                                  THEN 1 ELSE 0 END AS moved
+                      FROM sp)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+                   CAST(SUM(moved) AS BIGINT) AS n_moved,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM lab GROUP BY 1 ORDER BY 1"""))
+
+  /** Q226 — exact dedup with SOURCE PREFERENCE
+    * ([[Dedup.exactBySourcePriority]]): within each content-identical
+    * group, keep the copy from the most-preferred source (curated dump
+    * beats crawls) instead of the lowest id — one min_by folded into the
+    * same single digest-keyed groupBy as q26, so preference costs
+    * nothing. The oracle replays the ordering as a window rank over raw
+    * text groups, so a wrong tie-break (rank, source, id) hash-fails. */
+  val q226 = QueryDef(
+    "q226_dedup_source_priority",
+    (s, d) =>
+      Dedup.exactBySourcePriority(
+        Tables.documents(s, d), "text", "doc_id", "source",
+        Seq("src13", "src5", "src2"))
+        .select("keep_id", "keep_source", "dup_cnt")
+        .orderBy("keep_id"),
+    Some("""WITH r AS (SELECT doc_id, source, text,
+                              CASE source WHEN 'src13' THEN 0 WHEN 'src5' THEN 1
+                                          WHEN 'src2' THEN 2 ELSE 3 END AS rk
+                       FROM documents),
+                 w AS (SELECT doc_id, source,
+                              ROW_NUMBER() OVER (PARTITION BY text
+                                                 ORDER BY rk, source, doc_id) AS rn,
+                              COUNT(*) OVER (PARTITION BY text) AS dup_cnt
+                       FROM r)
+            SELECT doc_id AS keep_id, source AS keep_source,
+                   CAST(dup_cnt AS BIGINT) AS dup_cnt
+            FROM w WHERE rn = 1 ORDER BY keep_id"""))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190, q191, q210, q211, q218, q220)
+      q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226)
 }

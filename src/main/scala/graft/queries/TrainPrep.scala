@@ -635,7 +635,7 @@ object TrainPrep {
 
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224)
+      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
@@ -943,4 +943,63 @@ object TrainPrep {
                    ROUND(AVG(bp), 6) AS avg_subtoks,
                    ROUND(AVG(bp / ws), 6) AS fertility
             FROM t WHERE ws > 0 GROUP BY lang ORDER BY lang"""))
+
+  /** Q228 — train→test split-leakage audit
+    * ([[graft.ops.Decontaminate.containmentAgainst]]): after the q110
+    * hash split, how much of each TEST document already appears verbatim
+    * (3-gram granularity) in the TRAIN split. Both sides are the corpus
+    * itself — nothing is broadcastable, so this exercises the data-sized
+    * reference path: distinct on the 8-byte gram hash, one keyed shuffle
+    * join, per-doc counts partial-aggregated map-side. Output buckets
+    * test docs by containment quartile band (1.0 lands in the top band).
+    * Counts match the oracle's string 3-grams modulo 64-bit collisions
+    * (q95's accepted equivalence). */
+  val q228 = QueryDef(
+    "q228_split_leakage",
+    (s, d) => {
+      val bucket = conv(
+        substring(md5(concat(lit("split-v1:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("int") % 100
+      val docs = Tables.documents(s, d).withColumn(
+        "split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      val cont = graft.ops.Decontaminate.containmentAgainst(
+        docs.filter(col("split") === "test"),
+        docs.filter(col("split") === "train"),
+        "text", "doc_id", 3)
+      cont
+        .select(col("doc_id"), (col("n_hit") / col("n_grams")).as("c"))
+        .groupBy(least(floor(col("c") * 4), lit(3L)).cast("int").as("band"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          r6(avg(col("c"))).as("avg_containment"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("band")
+    },
+    Some("""WITH s AS (SELECT doc_id, text,
+                              CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                                   AS INTEGER) % 100 AS b
+                       FROM documents),
+                 lab AS (SELECT doc_id, text,
+                                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                                     ELSE 'test' END AS sp
+                         FROM s),
+                 tok AS (SELECT doc_id, sp, str_split(text, ' ') AS t FROM lab
+                         WHERE len(str_split(text, ' ')) >= 3),
+                 sh AS (SELECT DISTINCT doc_id, sp, s3 FROM (
+                          SELECT doc_id, sp,
+                                 UNNEST(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s3
+                          FROM tok)),
+                 tr AS (SELECT DISTINCT s3, 1 AS hit FROM sh WHERE sp = 'train'),
+                 te AS (SELECT doc_id, COUNT(*) AS n_grams,
+                               SUM(COALESCE(hit, 0)) AS n_hit
+                        FROM sh LEFT JOIN tr USING (s3)
+                        WHERE sp = 'test' GROUP BY doc_id),
+                 c AS (SELECT doc_id, n_hit * 1.0 / n_grams AS c FROM te)
+            SELECT CAST(LEAST(FLOOR(c * 4), 3) AS INTEGER) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(c), 6) AS avg_containment,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM c GROUP BY 1 ORDER BY 1"""))
 }
