@@ -216,5 +216,35 @@ object Misc {
                    MAX(o_totalprice) AS max_v
             FROM orders GROUP BY 1,2 ORDER BY 1,2"""))
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120)
+  /** Q230 — trainable quality filter ([[graft.ml.QualityClassifier]],
+    * the CCNet/fastText-style linear gate): weak provenance labels
+    * (src0-4 treated as curated positives, src15-19 as crawl negatives),
+    * logistic regression over six surface features, then the WHOLE corpus
+    * scored by a pure row-local sigmoid expression (the fitted weights
+    * fold back to raw feature units — no MLlib transformer near the
+    * scan). Output: per-source doc counts + mean quality probability.
+    * ML internals → rows-only check; QualityClassifierSpec pins AUC > 0.9
+    * on a separable corpus and the expression-vs-model score equality. */
+  val q230 = QueryDef(
+    "q230_quality_classifier",
+    (s, d) => {
+      import graft.ml.QualityClassifier
+      val docs = QualityClassifier.features(Tables.documents(s, d), "text")
+      val pos = Set("src0", "src1", "src2", "src3", "src4")
+      val neg = Set("src15", "src16", "src17", "src18", "src19")
+      val labeled = docs
+        .withColumn(
+          "label",
+          when(col("source").isInCollection(pos), 1.0)
+            .when(col("source").isInCollection(neg), 0.0))
+        .filter(col("label").isNotNull)
+      val fitted = QualityClassifier.fit(s, labeled)
+      QualityClassifier.score(docs, fitted)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), r4(avg(col("quality_prob"))).as("mean_quality"))
+        .orderBy("source")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230)
 }
