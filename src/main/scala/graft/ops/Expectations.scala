@@ -63,4 +63,35 @@ object Expectations {
       .withColumn("pass",
         coalesce(col("value").between(col("lo"), col("hi")), lit(false)))
   }
+
+  /** Profile-driven expectation SUGGESTION (Deequ's "constraint
+    * suggestion" feature): one aggregation pass over the numeric columns
+    * profiles completeness, value range, and distinctness, and emits the
+    * concrete bounds a caller would freeze into an [[audit]] gate —
+    * (column, check, value) with check ∈ completeness | min | max |
+    * distinctness. Like [[audit]], the whole profile is ONE job no
+    * matter how many columns (the countDistinct measures share the same
+    * expand-distinct phase); values round to 6 decimals for
+    * reproducibility. */
+  def suggest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"), s"not an identifier: $c"))
+    val aggs = Seq(count(lit(1)).cast("double").as("_n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("double").as(s"_cnt_$c"),
+        min(col(c)).cast("double").as(s"_min_$c"),
+        max(col(c)).cast("double").as(s"_max_$c"),
+        countDistinct(col(c)).cast("double").as(s"_ndv_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.flatMap { c =>
+      Seq(
+        s"'$c', 'completeness', round(`_cnt_$c` / `_n`, 6)",
+        s"'$c', 'min', round(`_min_$c`, 6)",
+        s"'$c', 'max', round(`_max_$c`, 6)",
+        s"'$c', 'distinctness', round(`_ndv_$c` / nullif(`_cnt_$c`, 0), 6)")
+    }
+    one.select(expr(
+      s"stack(${rows.size}, ${rows.mkString(", ")}) as (column_name, check_name, value)"))
+  }
 }

@@ -688,7 +688,50 @@ object Stats {
                    COUNT(*) >= 5 AS anonymous
             FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Q231 — expectation suggestion ([[graft.ops.Expectations.suggest]],
+    * Deequ's constraint-suggestion feature): profile orders' key and
+    * measure columns in ONE aggregation job and emit the concrete
+    * completeness / range / distinctness bounds a caller would freeze
+    * into the q161-style audit gate. The oracle recomputes every
+    * suggested value relationally. */
+  val q231 = QueryDef(
+    "q231_suggest_expectations",
+    (s, d) =>
+      graft.ops.Expectations.suggest(
+        Tables.orders(s, d), Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("column_name", "check_name"),
+    Some("""WITH a AS (SELECT
+              CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(COUNT(o_orderkey) AS DOUBLE) AS c1,
+              CAST(MIN(o_orderkey) AS DOUBLE) AS mn1,
+              CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+              CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS d1,
+              CAST(COUNT(o_custkey) AS DOUBLE) AS c2,
+              CAST(MIN(o_custkey) AS DOUBLE) AS mn2,
+              CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+              CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS d2,
+              CAST(COUNT(o_totalprice) AS DOUBLE) AS c3,
+              CAST(MIN(o_totalprice) AS DOUBLE) AS mn3,
+              CAST(MAX(o_totalprice) AS DOUBLE) AS mx3,
+              CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS d3
+            FROM orders)
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS column_name, 'completeness' AS check_name,
+                     ROUND(c1 / n, 6) AS value FROM a
+              UNION ALL SELECT 'o_orderkey', 'min', ROUND(mn1, 6) FROM a
+              UNION ALL SELECT 'o_orderkey', 'max', ROUND(mx1, 6) FROM a
+              UNION ALL SELECT 'o_orderkey', 'distinctness', ROUND(d1 / NULLIF(c1, 0), 6) FROM a
+              UNION ALL SELECT 'o_custkey', 'completeness', ROUND(c2 / n, 6) FROM a
+              UNION ALL SELECT 'o_custkey', 'min', ROUND(mn2, 6) FROM a
+              UNION ALL SELECT 'o_custkey', 'max', ROUND(mx2, 6) FROM a
+              UNION ALL SELECT 'o_custkey', 'distinctness', ROUND(d2 / NULLIF(c2, 0), 6) FROM a
+              UNION ALL SELECT 'o_totalprice', 'completeness', ROUND(c3 / n, 6) FROM a
+              UNION ALL SELECT 'o_totalprice', 'min', ROUND(mn3, 6) FROM a
+              UNION ALL SELECT 'o_totalprice', 'max', ROUND(mx3, 6) FROM a
+              UNION ALL SELECT 'o_totalprice', 'distinctness', ROUND(d3 / NULLIF(c3, 0), 6) FROM a)
+            ORDER BY column_name, check_name"""))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213, q227)
+      q206, q207, q209, q212, q213, q227, q231)
 }
