@@ -781,6 +781,57 @@ object Relational {
                    ROUND(SUM(o_totalprice)/1000000.0, 4) AS total_mm
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q232 — incremental JOIN-view maintenance
+    * ([[graft.ops.IncrementalJoinView]], the star-schema IVM rule
+    * Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD): a revenue-by-segment view over
+    * orders ⋈ customer stays correct through a fact reprice, a fact
+    * delete, AND a dim segment migration — all applied as ONE signed
+    * delta merge, never a recompute. The oracle rebuilds the final join
+    * aggregate relationally, so a double-counted cross term, a missed
+    * tombstone, or a stale-dim join hash-fails.
+    * IncrementalJoinViewSpec pins replay/healing/vanishing-group. */
+  val q232 = QueryDef(
+    "q232_incremental_join_view",
+    (s, d) => {
+      import graft.io.VersionedTable
+      import graft.ops.IncrementalJoinView
+      val tmp = Scratch.dir("q232")
+      val factP = tmp + "/fact"; val dimP = tmp + "/dim"; val viewP = tmp + "/view"
+      val fact = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      VersionedTable.commitAppend(fact, factP, "o_orderkey")
+      VersionedTable.commitAppend(dim, dimP, "c_custkey")
+      val spec = IncrementalJoinView.Spec(
+        factP, dimP, fk = "o_custkey", dimKey = "c_custkey",
+        groupCols = Seq("seg"), sumCols = Seq("o_totalprice"))
+      IncrementalJoinView.refresh(s, spec, viewP, "q232") // bootstrap
+      VersionedTable.merge(s, factP,
+        fact.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+        Seq("o_orderkey"))
+      VersionedTable.deleteWhere(s, factP, col("o_orderkey") % 100 === 50)
+      VersionedTable.merge(s, dimP,
+        dim.filter(col("c_custkey") % 10 === 0).withColumn("seg", lit("MIGRATED")),
+        Seq("c_custkey"))
+      IncrementalJoinView.refresh(s, spec, viewP, "q232") // one delta merge
+      VersionedTable.read(s, viewP)
+        .select(col("seg"), col("cnt"),
+          r4(col("sum_o_totalprice") / lit(1e6)).as("total_mm"))
+        .orderBy("seg")
+    },
+    Some("""WITH f AS (SELECT o_custkey,
+                              CASE WHEN o_orderkey % 100 = 0
+                                   THEN o_totalprice * 1.1 ELSE o_totalprice END AS p
+                       FROM orders WHERE o_orderkey % 100 <> 50),
+                 d AS (SELECT c_custkey,
+                              CASE WHEN c_custkey % 10 = 0
+                                   THEN 'MIGRATED' ELSE c_mktsegment END AS seg
+                       FROM customer)
+            SELECT seg, COUNT(*) AS cnt,
+                   ROUND(SUM(p) / 1000000.0, 4) AS total_mm
+            FROM f JOIN d ON f.o_custkey = d.c_custkey
+            GROUP BY seg ORDER BY seg"""))
+
   /** Q109 — Z-order (Morton) clustering key, the layout function behind
     * [[graft.io.Sinks.zOrderedParquet]] (multi-dimension file/row-group
     * pruning at 100 TB; ZOrderSpec asserts the locality it buys). The
@@ -2105,5 +2156,5 @@ object Relational {
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197, q229)
+    q167, q168, q169, q180, q189, q197, q229, q232)
 }
