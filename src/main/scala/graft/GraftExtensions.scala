@@ -76,6 +76,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.HammingDistance(exprs(0), exprs(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio",
+        "deflate_ratio(text) - deflate-compressed bytes / raw bytes (low = repetitive junk)"),
+      (exprs: Seq[Expression]) => graft.functions.DeflateRatioExpr(exprs.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(bigint x, bigint y) - Morton z-value of two non-negative keys"),
       (exprs: Seq[Expression]) => new InterleaveBits(exprs(0), exprs(1))))

@@ -44,6 +44,18 @@ object Main {
     case "list" :: Nil =>
       SparkEntry.registry.foreach(q =>
         println(f"${q.name}%-28s oracle=${q.oracle.isDefined}%-5s headline=${q.headline}"))
+    case "lineage" :: name :: sfDir :: Nil =>
+      // column-level provenance: out_col <- table.column dependency edges
+      val spark = GraftSession.local()
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          graft.tools.ColumnLineage.of(fn(spark, sfDir)).toSeq.sortBy(_._1).foreach {
+            case (out, srcs) =>
+              println(f"$out%-28s <- ${srcs.toSeq.sorted.mkString(", ")}")
+          }
+        case None => System.err.println(s"unknown query '$name'"); sys.exit(1)
+      }
+      spark.stop()
     case "metrics" :: name :: sfDir :: Nil =>
       val spark = GraftSession.local()
       SparkEntry.queries.get(name) match {
@@ -132,7 +144,8 @@ object Main {
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
-          "list | metrics <name> <sfDir> | advise <sfDir> | table-history <path> | " +
+          "list | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
+          "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
           "table-delete <path> <keyCol> <id,...> | " +
           "table-purge <path> <keyCol> <id,...> | " +

@@ -1733,9 +1733,76 @@ object Text {
                    CAST(dup_cnt AS BIGINT) AS dup_cnt
             FROM w WHERE rn = 1 ORDER BY keep_id"""))
 
+  /** Q233 — exact phrase retrieval from the positional index
+    * ([[graft.ops.PhraseIndex]]): two phrase queries answered purely from
+    * (term, doc, pos) postings via the anchor-group trick (one shuffle
+    * per phrase, broadcast term→offset table; a repeated term like
+    * "batch batch" needs no special case and reports overlapping
+    * runs). The oracle replays the
+    * same anchor arithmetic in SQL over str_split positions, so an
+    * off-by-one in pos, a wrong distinct-offset count, or a missed
+    * overlapping occurrence hash-fails. */
+  val q233 = QueryDef(
+    "q233_phrase_search",
+    (s, d) => {
+      val post = graft.ops.PhraseIndex.postings(Tables.documents(s, d), "doc_id", "text")
+      val phrases = Seq(
+        "batch batch",
+        "the fast")
+      phrases.map { p =>
+        graft.ops.PhraseIndex.phraseOccurrences(post, p.split(" ").toSeq)
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+          .select(lit(p).as("phrase"), col("n_docs"), col("n_occurrences"), col("id_sum"))
+      }.reduce(_.unionByName(_)).orderBy("phrase")
+    },
+    Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+                 tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS term
+                         FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)),
+                 m1 AS (SELECT doc_id, pos - idx AS anchor
+                        FROM tok JOIN (VALUES ('batch', 0), ('batch', 1)) v(w, idx)
+                          ON term = w
+                        GROUP BY doc_id, pos - idx HAVING COUNT(DISTINCT idx) = 2),
+                 m2 AS (SELECT doc_id, pos - idx AS anchor
+                        FROM tok JOIN (VALUES ('the', 0), ('fast', 1)) v(w, idx)
+                          ON term = w
+                        GROUP BY doc_id, pos - idx HAVING COUNT(DISTINCT idx) = 2)
+            SELECT 'batch batch' AS phrase,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum
+            FROM m1
+            UNION ALL
+            SELECT 'the fast', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+            FROM m2
+            ORDER BY phrase"""))
+
+  /** Q234 — compression-ratio quality audit
+    * ([[graft.functions.DeflateRatio]], the Gopher/MassiveText
+    * repetitiveness gate): per-source document counts, mean deflate
+    * ratio, and how many docs compress below the junk threshold.
+    * zlib is engine-side only → rows-only check; DeflateRatioSpec pins
+    * the ordering (repetitive < prose), the empty-text contract, and
+    * eval/codegen/SQL-function agreement. */
+  val q234 = QueryDef(
+    "q234_compression_quality",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ratio", graft.functions.DeflateRatio(col("text")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          r4(avg(col("ratio"))).as("avg_ratio"),
+          sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("source"),
+    None)
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226)
+      q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234)
 }

@@ -53,6 +53,32 @@ class QualityClassifierSpec extends SparkSuite {
     assert(g("max_run") == 1.0)       // one immediate ab->ab repeat
   }
 
+  test("the fitted gate scores a STREAM (pure projection => stream-compatible as-is)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feats = QualityClassifier.features(corpus, "text")
+    val fitted = QualityClassifier.fit(spark, feats)
+    val ms = MemoryStream[(Long, String)]
+    val batchDocs = corpus.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    ms.addData(batchDocs.toIndexedSeq: _*)
+    val gated = QualityClassifier.score(
+      QualityClassifier.features(ms.toDF().toDF("doc_id", "text"), "text"), fitted)
+      .filter(col("quality_prob") >= 0.5)
+      .select("doc_id")
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("qgate_t").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qgate_t").as[Long].collect().sorted.toSeq
+      val batch = QualityClassifier.score(feats, fitted)
+        .filter(col("quality_prob") >= 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("scoring the corpus is a plain projection (no shuffle in the scored scan)") {
     val feats = QualityClassifier.features(corpus, "text")
     val fitted = QualityClassifier.fit(spark, feats)
