@@ -1703,7 +1703,8 @@ object Text {
                    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
                    CAST(SUM(moved) AS BIGINT) AS n_moved,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
-            FROM lab GROUP BY 1 ORDER BY 1"""))
+            FROM lab GROUP BY 1 ORDER BY 1"""),
+    headline = true)
 
   /** Q226 — exact dedup with SOURCE PREFERENCE
     * ([[Dedup.exactBySourcePriority]]): within each content-identical
@@ -1778,7 +1779,8 @@ object Text {
             SELECT 'the fast', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
                    CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
             FROM m2
-            ORDER BY phrase"""))
+            ORDER BY phrase"""),
+    headline = true)
 
   /** Q234 — compression-ratio quality audit
     * ([[graft.functions.DeflateRatio]], the Gopher/MassiveText
@@ -1798,7 +1800,8 @@ object Text {
           r4(avg(col("ratio"))).as("avg_ratio"),
           sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
         .orderBy("source"),
-    None)
+    None,
+    headline = true)
 
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,

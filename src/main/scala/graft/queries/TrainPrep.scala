@@ -1001,5 +1001,6 @@ object TrainPrep {
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    ROUND(AVG(c), 6) AS avg_containment,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
-            FROM c GROUP BY 1 ORDER BY 1"""))
+            FROM c GROUP BY 1 ORDER BY 1"""),
+    headline = true)
 }
