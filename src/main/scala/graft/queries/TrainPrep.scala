@@ -635,7 +635,7 @@ object TrainPrep {
 
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228)
+      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
@@ -1003,4 +1003,34 @@ object TrainPrep {
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM c GROUP BY 1 ORDER BY 1"""),
     headline = true)
+
+  /** Q235 — EXACT-count stratified split ([[graft.ops.StratifiedSplit]]):
+    * per language, exactly ⌊0.8n⌋ train / ⌊0.9n⌋−⌊0.8n⌋ val rows — the
+    * release contract the q110 hash split meets only in expectation.
+    * Scale shape: uniform 48-bit draw range-bucketed, local ranks per
+    * (stratum, bucket), strata×buckets offset table stitches exact
+    * ranks — no per-stratum window ever sees data-sized partitions. The
+    * oracle ranks with the same draw arithmetic (and the same
+    * floating-point 0.8 + 0.1 boundary product), so an off-by-one at a
+    * cut, a bucket-stitch bug, or a tie-break miss hash-fails. */
+  val q235 = QueryDef(
+    "q235_exact_stratified_split",
+    (s, d) =>
+      graft.ops.StratifiedSplit.assign(Tables.documents(s, d), "doc_id", "lang", 0.8, 0.1)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang", "split"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY CAST(('0x' || substr(md5('strat-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                                         AS BIGINT), doc_id) AS rk,
+                              COUNT(*) OVER (PARTITION BY lang) AS n
+                       FROM documents)
+            SELECT lang,
+                   CASE WHEN rk <= FLOOR(0.8 * n) THEN 'train'
+                        WHEN rk <= FLOOR((0.8 + 0.1) * n) THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
 }
