@@ -635,7 +635,7 @@ object TrainPrep {
 
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235)
+      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235, q236, q237)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
@@ -1033,4 +1033,84 @@ object TrainPrep {
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Q236 — TOKEN-budget stratified split
+    * ([[graft.ops.StratifiedSplit.assignByWeight]]): the cut is on
+    * cumulative token weight per language — "train gets 80% of the
+    * tokens" — which is how LLM data mixes are actually specified; the
+    * doc-count split (q235) can hand train 80% of rows but a skewed
+    * share of tokens. Weights are integer-valued doubles, so cumulative
+    * sums are exact in both engines regardless of addition order, and
+    * the boundary products use the identical 0.8 / 0.8+0.1 doubles. The
+    * oracle replays the cumulative-before-row window with the same
+    * 48-bit draw. */
+  val q236 = QueryDef(
+    "q236_token_budget_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.ops.StratifiedSplit.assignByWeight(docs, "doc_id", "lang", "toks", 0.8, 0.1)
+        .groupBy("lang", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("token_sum"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang", "split")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+                       FROM documents),
+                 r AS (SELECT doc_id, lang, toks,
+                              COALESCE(SUM(CAST(toks AS DOUBLE)) OVER (
+                                PARTITION BY lang
+                                ORDER BY CAST(('0x' || substr(md5('strat-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                                         AS BIGINT), doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+                              SUM(CAST(toks AS DOUBLE)) OVER (PARTITION BY lang) AS tot
+                       FROM t)
+            SELECT lang,
+                   CASE WHEN cum < 0.8 * tot THEN 'train'
+                        WHEN cum < (0.8 + 0.1) * tot THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS token_sum,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Q237 — length-grouped batching + padding-waste audit (the
+    * group_by_length trick): documents ranked by token length via
+    * [[graft.ops.GlobalRank]] (distributed two-pass, never a global
+    * window over data) and chunked into batches of 32; per batch the
+    * padding waste is n·max_len − Σlen — the tokens a pad-to-longest
+    * collator would burn. Sorted batching exists precisely to crush this
+    * number vs random batching. The oracle ranks with a plain global
+    * ROW_NUMBER and must produce identical batch boundaries, so a
+    * bucket-stitch off-by-one in GlobalRank hash-fails here too. */
+  val q237 = QueryDef(
+    "q237_length_batches",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      graft.ops.GlobalRank.ranked(docs, col("toks"), Seq(col("doc_id")))
+        .withColumn("batch", ((col("_grn") - 1) / 32).cast("long"))
+        .groupBy("batch")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("toks")).as("min_len"),
+          max(col("toks")).as("max_len"),
+          sum(col("toks")).as("token_sum"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("max_len") - col("token_sum"))
+        .orderBy("batch")
+    },
+    Some("""WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+                       FROM documents),
+                 r AS (SELECT toks,
+                              (ROW_NUMBER() OVER (ORDER BY toks, doc_id) - 1) // 32 AS batch
+                       FROM t)
+            SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(toks) AS min_len, MAX(toks) AS max_len,
+                   CAST(SUM(toks) AS BIGINT) AS token_sum,
+                   CAST(COUNT(*) * MAX(toks) - SUM(toks) AS BIGINT) AS padding_waste
+            FROM r GROUP BY 1 ORDER BY 1"""))
 }

@@ -44,6 +44,34 @@ class StratifiedSplitSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("weight boundaries: train share misses the token target by < one doc's weight") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+    val assigned = graft.ops.StratifiedSplit
+      .assignByWeight(docs, "doc_id", "lang", "toks", 0.8, 0.1)
+    val perLang = assigned.groupBy("lang", "split")
+      .agg(sum("toks").as("w"), max("toks").as("maxw"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val totals = perLang.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum).toMap
+    totals.foreach { case (lang, w) =>
+      val train = perLang.getOrElse((lang, "train"), (0L, 0L))._1
+      val maxDoc = perLang.collect { case ((l, _), (_, m)) if l == lang => m }.max
+      // the boundary row is the only slack either side of the target
+      assert(math.abs(train - 0.8 * w) <= maxDoc.toDouble,
+        s"$lang: train=$train target=${0.8 * w} maxDoc=$maxDoc")
+    }
+    // membership invariant under layout, like the count variant
+    val a = assigned.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val b = graft.ops.StratifiedSplit
+      .assignByWeight(docs.repartition(5), "doc_id", "lang", "toks", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("tiny strata: n=1 goes to test, n=2 splits train/test at 50/50") {
     import spark.implicits._
     val df = Seq(
