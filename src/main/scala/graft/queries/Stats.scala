@@ -731,7 +731,111 @@ object Stats {
               UNION ALL SELECT 'o_totalprice', 'distinctness', ROUND(d3 / NULLIF(c3, 0), 6) FROM a)
             ORDER BY column_name, check_name"""))
 
+  /** Q238 — distribution drift ACROSS TABLE VERSIONS: q203's smoothed
+    * PSI computed between two snapshots of a versioned table (v1 = the
+    * raw orders load, v2 = after a repricing merge doubled every third
+    * order), per order status. This is the release monitor a warehouse
+    * runs after every batch: "did this commit move the money
+    * distribution?". Two time-travel scans feed one (status, bin) grid;
+    * everything after runs on the bounded grid. The oracle rebuilds both
+    * snapshots relationally and replays the same smoothed-PSI formula. */
+  val q238 = QueryDef(
+    "q238_version_drift",
+    (s, d) => {
+      import graft.io.VersionedTable
+      val path = Scratch.dir("q238") + "/tbl"
+      val base = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.commitAppend(base, path, "o_orderkey")
+      VersionedTable.merge(s, path,
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"))
+      val vs = VersionedTable.versions(s, path)
+      def part(v: Long, tag: String) =
+        VersionedTable.read(s, path, Some(v))
+          .select(
+            col("o_orderstatus"),
+            lit(tag).as("part"),
+            floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bin"))
+      val binned = part(vs.head, "ref").unionByName(part(vs.last, "live"))
+        .groupBy("o_orderstatus", "bin")
+        .agg(
+          sum(when(col("part") === "ref", 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("part") === "live", 1L).otherwise(0L)).as("c_live"))
+      val tot = binned.groupBy("o_orderstatus").agg(
+        sum(col("c_ref")).as("n_ref"),
+        sum(col("c_live")).as("n_live"),
+        count(lit(1)).as("n_bins"))
+      binned.join(broadcast(tot), "o_orderstatus")
+        .withColumn("p1",
+          (col("c_ref") + lit(0.5)) / (col("n_ref") + lit(0.5) * col("n_bins")))
+        .withColumn("p2",
+          (col("c_live") + lit(0.5)) / (col("n_live") + lit(0.5) * col("n_bins")))
+        .groupBy("o_orderstatus")
+        .agg(
+          first(col("n_ref")).as("n_ref"),
+          r4(sum((col("p1") - col("p2")) * log(col("p1") / col("p2")))).as("psi"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH ref AS (SELECT o_orderstatus,
+                                CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin
+                         FROM orders),
+                 live AS (SELECT o_orderstatus,
+                                 CAST(FLOOR(CASE WHEN o_orderkey % 3 = 0
+                                                 THEN o_totalprice * 2
+                                                 ELSE o_totalprice END / 50000.0) AS BIGINT) AS bin
+                          FROM orders),
+                 g AS (SELECT o_orderstatus, bin,
+                              SUM(CASE WHEN part = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                              SUM(CASE WHEN part = 'live' THEN 1 ELSE 0 END) AS c_live
+                       FROM (SELECT o_orderstatus, bin, 'ref' AS part FROM ref
+                             UNION ALL
+                             SELECT o_orderstatus, bin, 'live' FROM live)
+                       GROUP BY 1, 2),
+                 t AS (SELECT o_orderstatus, SUM(c_ref) AS n_ref, SUM(c_live) AS n_live,
+                              COUNT(*) AS n_bins
+                       FROM g GROUP BY 1),
+                 p AS (SELECT g.o_orderstatus,
+                              t.n_ref,
+                              (c_ref + 0.5) / (t.n_ref + 0.5 * t.n_bins) AS p1,
+                              (c_live + 0.5) / (t.n_live + 0.5 * t.n_bins) AS p2
+                       FROM g JOIN t USING (o_orderstatus))
+            SELECT o_orderstatus, CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+                   ROUND(SUM((p1 - p2) * LN(p1 / p2)), 4) AS psi
+            FROM p GROUP BY 1 ORDER BY 1"""))
+
+  /** Q239 — group-median imputation (the standard numeric repair the
+    * reference's '?'→null handling stops short of): null event values
+    * fill with their event type's exact median — one tiny
+    * percentile-per-group aggregate broadcast back as a coalesce, never
+    * a window over data. Interpolation parity with quantile_cont is the
+    * q223 contract. */
+  val q239 = QueryDef(
+    "q239_impute_median",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      ev.join(broadcast(med), "event_type")
+        .withColumn("vf", coalesce(col("value"), col("med")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_imputed"),
+          r4(avg(col("vf"))).as("avg_filled"),
+          r4(first(col("med"))).as("median"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                       FROM events GROUP BY 1)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+                   ROUND(AVG(COALESCE(value, med)), 4) AS avg_filled,
+                   ROUND(MIN(med), 4) AS median
+            FROM events JOIN m USING (event_type)
+            GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213, q227, q231)
+      q206, q207, q209, q212, q213, q227, q231, q238, q239)
 }
