@@ -758,7 +758,7 @@ object Events {
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192, q214, q215)
+      q184, q185, q186, q187, q188, q192, q214, q215, q240)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
@@ -1118,4 +1118,53 @@ object Events {
            |SELECT event_type, ROUND(CORR(c, l1), 6) AS acf1,
            |       ROUND(CORR(c, l2), 6) AS acf2, ROUND(CORR(c, l3), 6) AS acf3
            |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q240 — dialogue assembly from event sessions (the SFT-prep shape:
+    * an interaction LOG becomes ordered training DIALOGUES): q184's
+    * sessionization, then each session's events collect into one
+    * rendered transcript — `array_sort(collect_list(struct(ts, id,
+    * …)))` gives a per-session total order WITHOUT a second window pass,
+    * and state is bounded by session length, never user history. Null
+    * values render as 'na' (concat would otherwise null the whole
+    * transcript). The oracle renders the same template via ordered
+    * string_agg, so a wrong sort key, a dropped turn, or a null-
+    * propagation bug hash-fails on the transcript text itself. */
+  val q240 = QueryDef(
+    "q240_dialogue_assembly",
+    (s, d) => {
+      val sess = graft.ops.Sessionize.assignSessions(
+        Tables.events(s, d).filter(col("user_id") % 29 === 0),
+        "user_id", "ts", "event_id", 1800L * 1000000L)
+      sess.groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_turns"),
+          concat_ws("\n",
+            transform(
+              array_sort(collect_list(struct(
+                unix_micros(col("ts")).as("us"),
+                col("event_id").as("eid"),
+                col("event_type").as("et"),
+                col("value").as("v")))),
+              t => concat(
+                t.getField("et"), lit(": "),
+                coalesce(round(t.getField("v"), 2).cast("string"), lit("na")))))
+            .as("dialogue"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (SELECT * FROM events WHERE user_id % 29 = 0),
+           |     g AS (SELECT user_id, ts, event_id, event_type, value,
+           |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+           |           FROM e
+           |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (SELECT user_id, ts, event_id, event_type, value,
+           |                     SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                              THEN 1 ELSE 0 END)
+           |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                       AS session_id
+           |              FROM g)
+           |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           |       string_agg(event_type || ': ' ||
+           |                  COALESCE(CAST(ROUND(value, 2) AS VARCHAR), 'na'),
+           |                  chr(10) ORDER BY ts, event_id) AS dialogue
+           |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 }

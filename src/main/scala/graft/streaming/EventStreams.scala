@@ -170,6 +170,43 @@ object EventStreams {
       }
       .start()
 
+  /** Fan ONE stream out to SEVERAL versioned tables in a single query —
+    * the medallion fanout (same batch lands as raw copy, filtered view,
+    * aggregate …) with per-destination exactly-once: each table is
+    * guarded by its own `(writerId.i, batchId)` txn gate, so a crash
+    * anywhere BETWEEN the per-table commits replays the whole batch and
+    * every destination independently absorbs (already-committed) or
+    * applies (missed) it. There is no cross-table transaction — the
+    * guarantee is convergence: after the replay, each table holds
+    * exactly one copy of every batch (spec-forced, including the
+    * crash-between-sinks window). The batch is persisted once so N
+    * destinations don't recompute the source scan N times. */
+  def startFanoutVersionedSink(
+      stream: DataFrame,
+      sinks: Seq[(String, DataFrame => DataFrame)],
+      writerId: String,
+      checkpointDir: String): StreamingQuery = {
+    require(sinks.nonEmpty, "no fanout destinations")
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyFanout(batch.toDF(), batchId, sinks, writerId)
+      }
+      .start()
+  }
+
+  /** The fanout batch body, exposed for crash-replay forcing in specs. */
+  private[graft] def applyFanout(
+      batch: DataFrame, batchId: Long,
+      sinks: Seq[(String, DataFrame => DataFrame)], writerId: String): Unit = {
+    val b = batch.persist()
+    try sinks.zipWithIndex.foreach { case ((path, transform), i) =>
+      graft.io.VersionedTable.commitStreamBatch(
+        transform(b), path, s"$writerId.$i", batchId)
+    } finally { b.unpersist(); () }
+  }
+
   def startExactlyOnceVersionedSink(
       stream: DataFrame,
       tablePath: String,
