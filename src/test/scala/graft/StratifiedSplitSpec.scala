@@ -72,6 +72,14 @@ class StratifiedSplitSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("plan shape: the offset table broadcasts; data windows key on (stratum, bucket)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = graft.ops.StratifiedSplit.assign(docs, "doc_id", "lang", 0.8, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$plan")
+    assert(plan.contains("hashpartitioning(lang"), s"data window not stratum-bucketed:\n$plan")
+  }
+
   test("tiny strata: n=1 goes to test, n=2 splits train/test at 50/50") {
     import spark.implicits._
     val df = Seq(
