@@ -2049,15 +2049,21 @@ object Relational {
       VersionedTable.commitAppend(
         Tables.customer(s, d)
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), dimPath)
+      val dimStats = graft.ops.JoinPlanner.manifestStats(s, dimPath)
       val (joined, decision) = graft.ops.JoinPlanner.autoJoin(
         VersionedTable.read(s, factPath),
         VersionedTable.read(s, dimPath),
         Seq("o_custkey"),
         broadcastMaxRows = 5000L,
         leftStats = Some(graft.ops.JoinPlanner.manifestStats(s, factPath)),
-        rightStats = Some(graft.ops.JoinPlanner.manifestStats(s, dimPath)))
-      require(decision.strategy == "broadcast-right",
-        s"manifest stats mis-planned the join: $decision")
+        rightStats = Some(dimStats))
+      // pin that the planner FOLLOWS the manifest counts at any fixture
+      // scale: under the 5000-row gate the dim broadcasts at sf<=0.01
+      // (1500 rows) and correctly falls back to shuffle at sf0.1 (15000)
+      val expected =
+        if (dimStats.rows <= 5000L) "broadcast-right" else "shuffle"
+      require(decision.strategy == expected,
+        s"manifest stats mis-planned the join: $decision (dim=${dimStats.rows} rows)")
       joined
         .groupBy("c_mktsegment")
         .agg(
