@@ -246,5 +246,35 @@ object Misc {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230)
+  /** Q241 — quality-gate evaluation ([[graft.ml.Calibration]]): q230's
+    * classifier scored on its weak-labeled subset, then precision /
+    * recall / F1 at a 9-cutoff grid — ALL cutoffs from one aggregation
+    * pass — plus the 10-bin reliability curve's ECE as a final row.
+    * ML-output-derived → rows-only; CalibrationSpec pins the confusion
+    * matrices, the one-scan plan, and known-calibration recovery. */
+  val q241 = QueryDef(
+    "q241_quality_threshold_sweep",
+    (s, d) => {
+      import graft.ml.{Calibration, QualityClassifier}
+      val docs = QualityClassifier.features(Tables.documents(s, d), "text")
+      val pos = Set("src0", "src1", "src2", "src3", "src4")
+      val neg = Set("src15", "src16", "src17", "src18", "src19")
+      val labeled = docs
+        .withColumn(
+          "label",
+          when(col("source").isInCollection(pos), 1.0)
+            .when(col("source").isInCollection(neg), 0.0))
+        .filter(col("label").isNotNull)
+      val fitted = QualityClassifier.fit(s, labeled)
+      val scored = QualityClassifier.score(labeled, fitted)
+      val sweep = Calibration.thresholdSweep(
+        scored, "label", "quality_prob", (1 to 9).map(_ / 10.0))
+      val eceRow = Calibration.ece(Calibration.reliability(scored, "label", "quality_prob"))
+      sweep
+        .withColumn("ece", round(lit(eceRow), 4))
+        .orderBy("threshold")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241)
 }
