@@ -933,10 +933,10 @@ object Events {
            |           FROM events
            |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |     sess AS (SELECT user_id, ts,
-           |                     SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                     CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
            |                              THEN 1 ELSE 0 END)
            |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           |                       AS session_id
+           |                       AS BIGINT) AS session_id
            |              FROM g)
            |SELECT user_id, session_id, COUNT(*) AS n_events,
            |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
@@ -1157,10 +1157,10 @@ object Events {
            |           FROM e
            |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |     sess AS (SELECT user_id, ts, event_id, event_type, value,
-           |                     SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                     CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
            |                              THEN 1 ELSE 0 END)
            |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           |                       AS session_id
+           |                       AS BIGINT) AS session_id
            |              FROM g)
            |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
            |       string_agg(event_type || ': ' ||

@@ -64,13 +64,13 @@ object Misc {
           sum(col("dow_5")).as("d5"), sum(col("dow_6")).as("d6"),
           sum(col("dow_7")).as("d7"))
     },
-    Some("""SELECT SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1.0 ELSE 0.0 END) AS d1,
-                   SUM(CASE WHEN dayofweek(o_orderdate) = 1 THEN 1.0 ELSE 0.0 END) AS d2,
-                   SUM(CASE WHEN dayofweek(o_orderdate) = 2 THEN 1.0 ELSE 0.0 END) AS d3,
-                   SUM(CASE WHEN dayofweek(o_orderdate) = 3 THEN 1.0 ELSE 0.0 END) AS d4,
-                   SUM(CASE WHEN dayofweek(o_orderdate) = 4 THEN 1.0 ELSE 0.0 END) AS d5,
-                   SUM(CASE WHEN dayofweek(o_orderdate) = 5 THEN 1.0 ELSE 0.0 END) AS d6,
-                   SUM(CASE WHEN dayofweek(o_orderdate) = 6 THEN 1.0 ELSE 0.0 END) AS d7
+    Some("""SELECT CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d1,
+                   CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 1 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d2,
+                   CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 2 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d3,
+                   CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 3 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d4,
+                   CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 4 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d5,
+                   CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 5 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d6,
+                   CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 6 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS d7
             FROM orders"""))
 
   /** Q90 — seeded stratified sampling (`sampleBy`: per-stratum Bernoulli

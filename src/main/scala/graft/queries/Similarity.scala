@@ -157,7 +157,7 @@ object Similarity {
                        FROM s)
             SELECT vec_id,
                    ROUND(norm, 6) AS norm,
-                   CASE WHEN norm = 0 THEN 0.0 ELSE 1.0 END AS unit_norm,
+                   CAST(CASE WHEN norm = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS unit_norm,
                    CAST(list_sum(qv) AS BIGINT) AS qsum,
                    CAST(list_aggregate(qv, 'min') AS INTEGER) AS qmin,
                    CAST(list_aggregate(qv, 'max') AS INTEGER) AS qmax

@@ -1087,7 +1087,8 @@ object Text {
                        FROM documents)
             SELECT * FROM (
               SELECT 'doc_id_unique' AS check_name, ROUND(u, 6) AS value,
-                     1.0 AS lo, 1.0 AS hi, ROUND(u, 6) BETWEEN 1.0 AND 1.0 AS pass FROM m
+                     CAST(1.0 AS DOUBLE) AS lo, CAST(1.0 AS DOUBLE) AS hi,
+                     ROUND(u, 6) BETWEEN 1.0 AND 1.0 AS pass FROM m
               UNION ALL SELECT 'lang_coverage', ROUND(lc, 6), 0.5, 1.0,
                      ROUND(lc, 6) BETWEEN 0.5 AND 1.0 FROM m
               UNION ALL SELECT 'n_chars_in_range', ROUND(rng, 6), 0.99, 1.0,

@@ -19,6 +19,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_types(con, name: str, sql: str) -> list:
+    """DuckDB widens some expressions (windowed SUM -> HUGEINT, exact
+    division -> DECIMAL) to types the driver's value hash renders
+    differently from Spark's (e.g. "1.0" vs "1"), so values that compare
+    equal here still hash-FAIL the driver gate (q139 r9, q184/q240 r10).
+    Flag any oracle result column of such a type; the fix is an explicit
+    CAST in the oracle SQL."""
+    rel = con.sql(sql)
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if any(b in str(t).upper() for b in BANNED_TYPES)]
+
+
 def cells_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -30,7 +45,7 @@ def cells_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, lint_only: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -39,6 +54,19 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    if lint_only:
+        for name in sorted(oracles):
+            try:
+                widened = lint_types(con, name, oracles[name])
+            except Exception as e:
+                print(f"FAIL {name}: {e}")
+                failures += 1
+                continue
+            if widened:
+                print(f"LINT {name}: driver-hash-unsafe types {widened}")
+                failures += 1
+        print(f"\n{failures} lint failures / {len(oracles)} oracles")
+        return 1 if failures else 0
     for name in sorted(oracles):
         sql = oracles[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -47,10 +75,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         try:
+            widened = lint_types(con, name, sql)
             spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
             duck_df = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        if widened:
+            print(f"FAIL {name}: oracle result has driver-hash-unsafe types "
+                  f"{widened} — add explicit CASTs in the oracle SQL")
             failures += 1
             continue
         if list(spark_df.columns) != list(duck_df.columns):
@@ -86,4 +120,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--lint-only"]
+    sys.exit(main(args[0], args[1], lint_only="--lint-only" in sys.argv))
