@@ -20,10 +20,11 @@ import graft.io.VersionedTable
   * Both products are delta-driven: ΔF joins the dim at its LATEST
   * version (dims are small or prunable by the delta's keys), and ΔD
   * joins the fact AT ITS OLD VERSION — at scale the expensive side, so
-  * the delta's join keys should prune it (broadcast the Δ keys, or pair
-  * the fact's fk with bloom/stats columns). Refresh cost is therefore
-  * ∝ change volume and the fact rows matching changed dims, never the
-  * full join.
+  * [[factForDimDelta]] prunes it by the delta's key set: bloom/manifest
+  * file skipping via [[VersionedTable.readKeys]] when the fk is
+  * integral, a broadcast semi-join otherwise. Refresh cost is therefore
+  * ∝ change volume and the fact FILES holding changed dim keys, never
+  * the full join.
   *
   * A dim-attribute UPDATE that migrates rows between groups needs no
   * special case: the update's tombstone (−1, old attributes) decrements
@@ -64,6 +65,43 @@ object IncrementalJoinView {
   private def joined(fact: DataFrame, dim: DataFrame, spec: Spec): DataFrame =
     fact.join(dim, fact(spec.fk) === dim(spec.dimKey))
 
+  /** A delta touching more distinct dim keys than this reads the old fact
+    * in full — when most of the dim changed, one sequential pass beats
+    * per-key bloom probes. */
+  private val MaxDeltaKeys = 10000
+
+  /** `F_old` for the ΔD-side product, pruned by the delta's key set. At
+    * 100 TB the old-fact read is the refresh's expensive side: a ten-row
+    * dim update must not cost a full fact scan. Integral fks ride
+    * [[VersionedTable.readKeys]] — bloom-sidecar/manifest file skipping
+    * plus a broadcast semi-join, so I/O ∝ files holding the changed keys;
+    * non-integral fks get the broadcast semi-join alone (row pruning
+    * without file skipping). Deltas wider than [[MaxDeltaKeys]] fall back
+    * to the unpruned read. Dropping fact rows whose fk is outside the
+    * key set is exact: the t2 product equi-joins on those very keys. */
+  private[graft] def factForDimDelta(
+      spark: SparkSession, spec: Spec, f0: Long, dD: DataFrame): DataFrame = {
+    val keyRows = dD.select(col(spec.dimKey)).where(col(spec.dimKey).isNotNull)
+      .distinct().limit(MaxDeltaKeys + 1).collect()
+    def full = VersionedTable.read(spark, spec.factPath, Some(f0))
+    if (keyRows.length > MaxDeltaKeys) return full
+    if (keyRows.isEmpty) return full.where(lit(false)) // empty/all-null Δ keys join nothing
+    val asLong: PartialFunction[Any, Long] = {
+      case l: Long  => l
+      case i: Int   => i.toLong
+      case s: Short => s.toLong
+      case b: Byte  => b.toLong
+    }
+    if (keyRows.forall(r => asLong.isDefinedAt(r.get(0))))
+      VersionedTable.readKeys(
+        spark, spec.factPath, spec.fk, keyRows.map(r => asLong(r.get(0))), Some(f0))
+    else {
+      val probes = dD.select(col(spec.dimKey).as("__probe_key"))
+        .where(col("__probe_key").isNotNull).distinct()
+      full.join(broadcast(probes), col(spec.fk) === col("__probe_key"), "left_semi")
+    }
+  }
+
   private def agged(df: DataFrame, spec: Spec): DataFrame =
     df.groupBy(spec.groupCols.map(col): _*)
       .agg(
@@ -101,9 +139,10 @@ object IncrementalJoinView {
             val t1 = joined(
               dF.withColumn("_sign", sign),
               VersionedTable.read(spark, spec.dimPath, Some(dvNow)), spec)
-            // ... + F_old ⋈ ΔD (dim sign rides along)
+            // ... + F_old ⋈ ΔD (dim sign rides along; fact pruned to the
+            // files/rows holding the delta's keys)
             val t2 = joined(
-              VersionedTable.read(spark, spec.factPath, Some(f0)),
+              factForDimDelta(spark, spec, f0, dD),
               dD.withColumn("_sign", sign), spec)
             val cols = spec.groupCols ++ spec.sumCols :+ "_sign"
             val delta = t1.select(cols.map(col): _*)

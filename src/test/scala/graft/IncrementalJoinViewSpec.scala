@@ -81,6 +81,45 @@ class IncrementalJoinViewSpec extends SparkSuite {
     assert(viewState(viewP) == Map("blue" -> (1L, 7.0)))
   }
 
+  /** Fact data files the plan will open (post bloom/manifest pruning) —
+    * the VersionedTableIndexSpec contract measured via the plan's input
+    * file set (scan metrics hide inside AQE query stages here because of
+    * the broadcast semi-join). */
+  private def factFilesScanned(df: org.apache.spark.sql.DataFrame, factP: String): Seq[String] =
+    df.inputFiles.filter(_.contains(factP)).toSeq
+
+  test("dim delta touching one key prunes the old-fact scan to matching files") {
+    import spark.implicits._
+    val (factP, dimP, viewP) = freshDirs()
+    // four single-file fact commits, one dk per file, dk bloom sidecars
+    (0 until 4).foreach { b =>
+      val rows = (0 until 50).map(i => ((b * 50 + i).toLong, (b * 10).toLong, i.toDouble))
+      VersionedTable.commitAppend(
+        rows.toDF("k", "dk", "v").coalesce(1), factP, Seq("dk"), bloomCols = Seq("dk"))
+    }
+    VersionedTable.commitAppend(
+      Seq((0L, "a"), (10L, "b"), (20L, "c"), (30L, "d")).toDF("d_id", "seg"), dimP)
+    val sp = spec(factP, dimP)
+    IncrementalJoinView.refresh(spark, sp, viewP, "c")
+
+    val f0 = VersionedTable.versions(spark, factP).last
+    VersionedTable.merge(spark, dimP, Seq((20L, "z")).toDF("d_id", "seg"), Seq("d_id"))
+    val dvs = VersionedTable.versions(spark, dimP)
+    val dD = VersionedTable.changesWithType(spark, dimP, dvs.init.last, dvs.last)
+
+    val pruned = IncrementalJoinView.factForDimDelta(spark, sp, f0, dD)
+    val all = VersionedTable.read(spark, factP, Some(f0)).inputFiles.length
+    assert(all == 4, "fixture: four fact data files")
+    assert(factFilesScanned(pruned, factP).size == 1,
+      "a delta touching one dk must open one of the four fact files")
+    assert(pruned.select("dk").distinct().collect().map(_.getLong(0)).toSeq == Seq(20L))
+
+    // end-to-end: the refresh riding the pruned path still equals recompute
+    assert(IncrementalJoinView.refresh(spark, sp, viewP, "c").isDefined)
+    assert(viewState(viewP) == expected(factP, dimP))
+    assert(viewState(viewP)("z") == (50L, 1225.0), "migrated group carries its 50 fact rows")
+  }
+
   test("an overwrite on a source heals via full resync instead of wedging") {
     import spark.implicits._
     val (factP, dimP, viewP) = freshDirs()
