@@ -106,6 +106,25 @@ object Main {
       graft.tools.LayoutAdvisor.clear()
       graft.tools.MvAdvisor.clear()
       spark.stop()
+    // Advisor MEASUREMENT loop: stage the events fixture as an unclustered
+    // versioned table, replay a hot-filter + rollup workload, apply the top
+    // layout recommendation and materialize the top view, and print the
+    // per-query PlanMetrics before/after deltas (filesRead is the number
+    // the layout levers move). Scratch dir holds the re-laid-out copy and
+    // the view state.
+    case "advise-measure" :: sfDir :: scratch :: Nil =>
+      val spark = GraftSession.local()
+      import org.apache.spark.sql.functions.{col, sum}
+      val tbl = s"$scratch/events_tbl"
+      graft.io.VersionedTable.commitAppend(
+        graft.core.Tables.events(spark, sfDir).repartition(16), tbl)
+      def t(p: String) = graft.io.VersionedTable.table(spark, p)
+      val workload: graft.tools.AdvisorLoop.Workload = Seq(
+        "user_point" -> (p => t(p).filter(col("user_id") === 777L)),
+        "user_range" -> (p => t(p).filter(col("user_id").between(1000L, 2000L))),
+        "type_rollup" -> (p => t(p).groupBy("event_type").agg(sum("value").as("total"))))
+      println(graft.tools.AdvisorLoop.measure(spark, tbl, scratch, workload).render)
+      spark.stop()
     case "table-delete" :: path :: keyCol :: keys :: Nil =>
       // surgical purge by key list; follow with table-vacuum for the
       // physical erasure (pre-delete snapshots time-travel until then)
@@ -145,6 +164,7 @@ object Main {
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
+          "advise-measure <sfDir> <scratchDir> | " +
           "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
           "table-delete <path> <keyCol> <id,...> | " +

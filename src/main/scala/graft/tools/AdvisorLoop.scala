@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+import graft.ops.IncrementalView
+import graft.plans.MvRewrite
+
+/** The advisors' missing MEASUREMENT step (VERDICT r10 item 3):
+  * [[LayoutAdvisor]] and [[MvAdvisor]] recommend; this runs the replayed
+  * workload BEFORE and AFTER applying the top recommendation and reports
+  * the [[PlanMetrics]] delta per query — filesRead is the number the
+  * layout levers move, state-vs-fact bytes the number the MV lever moves.
+  * The advisor ranks, the metrics prove: a recommendation that doesn't
+  * cut files read is rejected by its own report before anyone rewrites
+  * 100 TB.
+  *
+  * The workload is a list of (name, tablePath => DataFrame) builders so
+  * the same queries replay against the original table and the re-laid-out
+  * copy. Reads should go through [[VersionedTable.table]] — the path
+  * whose Catalyst file skipping turns manifest stats/bloom sidecars into
+  * a smaller scanned file set.
+  */
+object AdvisorLoop {
+
+  type Workload = Seq[(String, String => DataFrame)]
+
+  final case class QueryDelta(
+      name: String, before: PlanMetrics.Summary, after: PlanMetrics.Summary) {
+    def render: String =
+      f"  $name%-24s files ${before.filesRead}%3d -> ${after.filesRead}%-3d  " +
+        f"bytes ${before.bytesRead}%9d -> ${after.bytesRead}%-9d  " +
+        f"shuffleBytes ${before.shuffleBytesWritten}%8d -> ${after.shuffleBytesWritten}%-8d"
+  }
+
+  final case class Report(
+      layoutRec: Option[LayoutAdvisor.Recommendation],
+      mvRec: Option[MvAdvisor.Recommendation],
+      layoutDeltas: Seq[QueryDelta],
+      mvDeltas: Seq[QueryDelta]) {
+    def render: String = {
+      val l = layoutRec match {
+        case None => "== layout: no recommendation cleared the share gate =="
+        case Some(r) =>
+          s"== layout applied ==\n${r.render}\n" + layoutDeltas.map(_.render).mkString("\n")
+      }
+      val m = mvRec match {
+        case None => "== mv: no recommendation cleared the share gate =="
+        case Some(r) =>
+          s"== mv materialized ==\n${r.render}\n" + mvDeltas.map(_.render).mkString("\n")
+      }
+      s"$l\n\n$m"
+    }
+  }
+
+  /** Rewrite `from`'s current contents into a NEW versioned table at `to`
+    * following the recommendation: clustered by the Z-order keys when
+    * recommended (each output file covers a sub-volume of the key space)
+    * or range-clustered on the hottest stats column otherwise, committed
+    * with the recommended manifest range stats and bloom sidecars. One
+    * range shuffle; `files` bounds the output file count (at 100 TB this
+    * is a per-partition maintenance job, not one global sort). */
+  def applyLayout(
+      spark: SparkSession, from: String, to: String,
+      rec: LayoutAdvisor.Recommendation, files: Int = 16): Unit = {
+    val df = VersionedTable.read(spark, from)
+    val clustered =
+      if (rec.zOrderCols.size >= 2) {
+        val z = "__graft_z"
+        df.withColumn(z, graft.functions.InterleaveBitsN(rec.zOrderCols.map(col)))
+          .repartitionByRange(files, col(z)).sortWithinPartitions(z).drop(z)
+      } else if (rec.statsCols.nonEmpty) {
+        val lead = col(rec.statsCols.head)
+        df.repartitionByRange(files, lead).sortWithinPartitions(lead)
+      } else df
+    if (rec.bloomCols.nonEmpty)
+      VersionedTable.commitAppend(clustered, to, rec.statsCols, rec.bloomCols)
+    else if (rec.statsCols.nonEmpty)
+      VersionedTable.commitAppend(clustered, to, rec.statsCols)
+    else
+      VersionedTable.commitAppend(clustered, to)
+  }
+
+  /** Materialize the MV recommendation over the versioned fact as a
+    * MAINTAINED rollup ([[MvRewrite.registerRollup]] +
+    * [[IncrementalView.refreshRecompute]]) so the rewrite serves
+    * [[VersionedTable.table]] reads. Count-only recommendations build the
+    * n_rows-only state. */
+  def materializeMv(
+      spark: SparkSession, factTablePath: String, viewPath: String,
+      rec: MvAdvisor.Recommendation): MvRewrite.MvDef = {
+    val aggs: Seq[Column] =
+      if (rec.valueCol.isEmpty) Seq(count(lit(1)).as("n_rows"))
+      else MvRewrite.stateAggs(rec.valueCol)
+    IncrementalView.refreshRecompute(
+      spark, factTablePath, viewPath, "advisor-mv", rec.groupCols, aggs)
+    MvRewrite.registerRollup(spark, factTablePath, rec.groupCols, rec.valueCol, viewPath)
+  }
+
+  private def matchesTable(recTable: String, path: String): Boolean = {
+    def bare(s: String) = s.stripPrefix("file:")
+    recTable.split(",").exists(r => bare(r).startsWith(bare(path)))
+  }
+
+  /** The full loop: replay `workload` against the table at `tablePath`
+    * (recording both advisors + per-query metrics), apply the top layout
+    * recommendation into `scratchDir/layout` and replay against it, then
+    * materialize the top MV recommendation (state at `scratchDir/mv_view`)
+    * and replay the ORIGINAL path with the rewrite enabled. Leaves the
+    * rewrite flag and advisor state as it found them. */
+  def measure(
+      spark: SparkSession, tablePath: String, scratchDir: String,
+      workload: Workload, layoutFiles: Int = 16): Report = {
+    val confKey = "spark.graft.mvrewrite.enabled"
+    val prevFlag = spark.conf.getOption(confKey)
+    LayoutAdvisor.clear(); MvAdvisor.clear()
+    try {
+      val before = workload.map { case (n, mk) =>
+        val df = mk(tablePath)
+        LayoutAdvisor.record(df)
+        MvAdvisor.record(df)
+        n -> PlanMetrics.run(df)
+      }.toMap
+
+      val layoutRec = LayoutAdvisor.recommend().find(r => matchesTable(r.table, tablePath))
+      val layoutDeltas = layoutRec.map { r =>
+        val to = s"$scratchDir/layout"
+        applyLayout(spark, tablePath, to, r, layoutFiles)
+        workload.map { case (n, mk) => QueryDelta(n, before(n), PlanMetrics.run(mk(to))) }
+      }.getOrElse(Seq.empty)
+
+      val mvRec = MvAdvisor.recommend().find(r => matchesTable(r.table, tablePath))
+      val mvDeltas = mvRec.map { r =>
+        materializeMv(spark, tablePath, s"$scratchDir/mv_view", r)
+        spark.conf.set(confKey, "true")
+        workload.map { case (n, mk) => QueryDelta(n, before(n), PlanMetrics.run(mk(tablePath))) }
+      }.getOrElse(Seq.empty)
+
+      Report(layoutRec, mvRec, layoutDeltas, mvDeltas)
+    } finally {
+      prevFlag match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.set(confKey, "false")
+      }
+      LayoutAdvisor.clear(); MvAdvisor.clear()
+    }
+  }
+}
