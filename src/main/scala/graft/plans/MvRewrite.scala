@@ -105,6 +105,23 @@ object MvRewrite {
   def register(mv: MvDef): Unit = registry.put(mv.stateId, mv)
   def clear(): Unit = registry.clear()
 
+  // ── decline observability ─────────────────────────────────────────
+  // A declining rewrite is silent by design (the query still runs, just
+  // unserved); at scale that silence makes the feature undebuggable.
+  // With `spark.graft.mvrewrite.explain=true` every decline logs its
+  // reason AND lands in this bounded ring buffer so tooling/specs can
+  // read it back without a log appender.
+  private val declines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val MaxDeclines = 64
+  private[plans] def noteDecline(reason: String): Unit = {
+    declines.add(reason)
+    while (declines.size > MaxDeclines) declines.poll()
+  }
+  /** Recent decline reasons, oldest first. Empty unless the explain flag
+    * was on when the declining query was planned. */
+  def recentDeclines: Seq[String] = declines.toArray(Array.empty[String]).toSeq
+  def clearDeclines(): Unit = declines.clear()
+
   /** The decomposable state vector for (groupCols, valueCol) — the exact
     * contract [[MvRewriteRule]] re-aggregates. Shared by [[materialize]]
     * and the incremental maintenance path
@@ -281,6 +298,22 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   private def enabled: Boolean = conf.getConfString(ConfKey, "false").toBoolean
 
+  private val ExplainKey = "spark.graft.mvrewrite.explain"
+
+  private def explainOn: Boolean = conf.getConfString(ExplainKey, "false").toBoolean
+
+  /** Record why a candidate rewrite declined (log line + ring buffer),
+    * gated on the explain flag so the hot planning path stays free of
+    * string building. Returns None for inline use at decline sites. */
+  private def declined[T](reason: => String): Option[T] = {
+    if (explainOn) {
+      val line = s"MV rewrite declined: $reason"
+      logInfo(line)
+      MvRewrite.noteDecline(line)
+    }
+    None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || registry.isEmpty) plan
     else plan.transformUp {
@@ -342,7 +375,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       stateAttr: Map[String, AttributeReference],
       isValue: Expression => Boolean): Option[Expression] = {
     val rewritten: Option[Expression] = ae match {
-      case _ if ae.isDistinct || ae.filter.isDefined => None
+      case _ if ae.isDistinct || ae.filter.isDefined => declined(
+        s"aggregate ${ae.aggregateFunction.prettyName}" +
+          s"${if (ae.isDistinct) " DISTINCT" else " FILTER"}: state partials cannot serve it")
       case AggregateExpression(Count(Seq(c)), _, false, _, _)
           if c.foldable && !c.nullable =>
         // count(*) / count(lit) — a NULLABLE foldable (count(NULL)) is
@@ -372,8 +407,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // state column must match the query's precision or this declines.
       case AggregateExpression(h: HllSketchAgg, _, false, _, _)
           if approxDistinctEnabled && isValue(h.left) =>
-        stateAttr.get(s"hll_v_${h.lgConfigK}")
-          .map(a => new HllUnionAgg(a, Literal(false)).toAggregateExpression())
+        stateAttr.get(s"hll_v_${h.lgConfigK}") match {
+          case Some(a) => Some(new HllUnionAgg(a, Literal(false)).toAggregateExpression())
+          case None =>
+            val have = stateAttr.keys.filter(_.startsWith("hll_v_")).mkString(",")
+            declined(s"hll_sketch_agg lgK=${h.lgConfigK}: state carries " +
+              s"[${have}] — lgK mismatch (sketches of different precision don't union)")
+        }
       // approx_count_distinct uses a DIFFERENT estimator (HLL++) than
       // the DataSketches state: serving it changes the estimate within
       // sketch error, so it requires the explicit approx opt-in — the
@@ -403,7 +443,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       for {
         (lr, paths, filters) <- stripToScan(agg.child, Nil)
         mv <- registry.values.toSeq
-          .filter(m => m.factPaths == paths && m.factGate(lr))
+          .filter(m => m.factPaths == paths && (m.factGate(lr) || declined[Unit](
+            s"view ${m.stateId}: version-pinned/time-travel fact read — " +
+              "the state tracks the current version only").isDefined))
           .sortBy(m => (m.groupCols.size, m.stateId))
           .view.flatMap(m => rewriteWith(agg, m, filters)).headOption
       } yield mv
@@ -416,11 +458,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def rewriteWith(
       agg: Aggregate, mv: MvDef, filters: List[Expression]): Option[LogicalPlan] = {
     val groupNames = agg.groupingExpressions.map(attrName)
-    if (groupNames.exists(_.isEmpty)) return None
-    if (!groupNames.flatten.forall(mv.groupCols.contains)) return None
+    if (groupNames.exists(_.isEmpty)) return declined(
+      s"view ${mv.stateId}: grouping on a computed expression (bare key columns only)")
+    if (!groupNames.flatten.forall(mv.groupCols.contains)) return declined(
+      s"view ${mv.stateId}: grouping on ${groupNames.flatten.filterNot(mv.groupCols.contains).mkString(",")} " +
+        s"not covered by view keys [${mv.groupCols.mkString(",")}]")
     // filters may reference group keys only (partials are exact per key)
-    val filterRefsOk = filters.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
-    if (!filterRefsOk) return None
+    val badFilterCols = filters.flatMap(_.references.filterNot(a => mv.groupCols.contains(a.name)))
+    if (badFilterCols.nonEmpty) return declined(
+      s"view ${mv.stateId}: filter references non-key column(s) " +
+        s"${badFilterCols.map(_.name).distinct.mkString(",")} — " +
+        "key-only filters translate onto the state; a value-column filter cannot")
 
     val state = mv.state()
     val stateAttr: Map[String, AttributeReference] =
@@ -556,6 +604,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             }, m.plan)))
           }
         case j @ Join(l, r, jt, cond, _) =>
+          // join-type gate observability: a registered fact under a join
+          // side that null-extends it can never rewrite — say so
+          if (explainOn && (jt match {
+                case Inner | Cross | LeftOuter | LeftSemi | LeftAnti | RightOuter => false
+                case _ => true
+              }) && (substituteFact(l).nonEmpty || substituteFact(r).nonEmpty))
+            declined(s"join type ${jt.sql}: fact partials cannot survive a " +
+              "null-extended fact side (FULL OUTER and friends decline)")
           val fromLeft = jt match {
             case Inner | Cross | LeftOuter | LeftSemi | LeftAnti =>
               substituteFact(l).map(m => m.copy(plan = j.copy(left = m.plan)))
