@@ -87,9 +87,13 @@ object Bench {
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val sharedTotal = results.collect { case (k, Right(sec)) if SharedSet(k) => sec }.sum
     val ok = results.forall(_._2.isRight)
+    // shared_total LEADS: it is the only round-over-round-comparable
+    // number (the frozen 16-query set); `total` follows and grows with
+    // the headline set, so it must never be read as a regression signal.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","shared_total":$sharedTotal,""" +
+      s"""{"metric":"shared_total","value":$sharedTotal,"unit":"sec",""" +
         s""""shared_n":${results.count(r => SharedSet(r._1) && r._2.isRight)},""" +
+        s""""total":$total,"headline_n":${results.size},""" +
         s""""queries":$qs,"errors":$errors,"ok":$ok,"sf":${jsonStr(sfDir)}}"""
     (line, ok)
   }

@@ -23,6 +23,10 @@ class BenchSpec extends SparkSuite {
     assert(ok)
     assert(line.contains("\"ok\":true"), line)
     assert(!line.contains("\"error\""), line)
+    // shared_total LEADS the JSON (the round-over-round-comparable
+    // number); the growing full-set total rides behind with its size
+    assert(line.startsWith("{\"metric\":\"shared_total\""), line)
+    assert(line.contains("\"headline_n\":1"), line)
   }
 
   test("a broken query records error and fails the bench") {
