@@ -382,6 +382,45 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Sessionize.assignSessions]] — tag
+    * every EVENT with its 1-based session index, maintained incrementally
+    * across micro-batches. State per key is (last event time, session
+    * counter): two numbers, bounded regardless of history length — at
+    * 100 TB the state store holds |users|·2 values, never events.
+    *
+    * Within a micro-batch events sort by (us, event_id) before the fold;
+    * across batches the assignment equals the batch two-window
+    * construction whenever each key's events arrive in non-decreasing
+    * time order across batches (the keyed-log delivery guarantee). A
+    * LATE cross-batch event computes its gap against the max time seen —
+    * it joins the current session rather than re-splitting history (the
+    * batch op, seeing all events, may number differently); documented
+    * divergence, pinned by SessionizeStreamSpec alongside the in-order
+    * equality. */
+  final case class SessionEvent(user_id: Long, us: Long, event_id: Long)
+  final case class SessionizedEvent(
+      user_id: Long, us: Long, event_id: Long, session_id: Long)
+
+  def streamingSessionize(
+      spark: SparkSession, events: Dataset[SessionEvent],
+      gapUs: Long): Dataset[SessionizedEvent] = {
+    import spark.implicits._
+    require(gapUs > 0, "gap must be positive")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[(Long, Long)]) =>
+          var (lastUs, sess) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = batch.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+            if (sess == 0L || e.us - lastUs > gapUs) sess += 1
+            lastUs = math.max(lastUs, e.us)
+            SessionizedEvent(user, e.us, e.event_id, sess)
+          }
+          state.update((lastUs, sess))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the q203 batch drift monitor: per event type,
     * maintain live binned value counts in keyed state and emit the
     * binned two-sample KS statistic against a fixed REFERENCE
