@@ -20,21 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
-  /** Surface quality features per document — the q34/q80 signal family
-    * as one codegen-friendly projection. */
-  def features(docs: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The q34/q80 signal family as named row-local expressions over the
+    * text column — shared by the [[features]] projection and the inlined
+    * [[scoreColumn]] form. */
+  private def featureExprs(t: org.apache.spark.sql.Column)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
     val toks = split(t, " ")
-    docs
-      .withColumn("n_tokens", size(toks).cast("double"))
-      .withColumn("ttr", size(array_distinct(toks)) / size(toks))
-      .withColumn("avg_word_len",
-        (length(t) - size(toks) + 1) / size(toks))
-      .withColumn("digit_ratio",
-        (length(t) - length(regexp_replace(t, "[0-9]", ""))) / length(t))
-      .withColumn("nonalpha_ratio",
-        (length(t) - length(regexp_replace(t, "[^a-z ]", ""))) / length(t))
-      .withColumn("max_run", {
+    Seq(
+      "n_tokens" -> size(toks).cast("double"),
+      "ttr" -> (size(array_distinct(toks)) / size(toks)),
+      "avg_word_len" -> ((length(t) - size(toks) + 1) / size(toks)),
+      "digit_ratio" ->
+        ((length(t) - length(regexp_replace(t, "[0-9]", ""))) / length(t)),
+      "nonalpha_ratio" ->
+        ((length(t) - length(regexp_replace(t, "[^a-z ]", ""))) / length(t)),
+      "max_run" -> {
         // longest immediate-repetition run of one token, the q87 signal
         val n1 = greatest(size(toks) - 1, lit(1))
         val pairs = zip_with(
@@ -44,6 +44,13 @@ object QualityClassifier {
         coalesce(aggregate(pairs, lit(0), (acc, x) => acc + x), lit(0)).cast("double")
       })
   }
+
+  /** Surface quality features per document — the q34/q80 signal family
+    * as one codegen-friendly projection. */
+  def features(docs: DataFrame, textCol: String): DataFrame =
+    featureExprs(col(textCol)).foldLeft(docs) {
+      case (d, (name, e)) => d.withColumn(name, e)
+    }
 
   private val FeatureCols =
     Array("n_tokens", "ttr", "avg_word_len", "digit_ratio", "nonalpha_ratio", "max_run")
@@ -111,5 +118,20 @@ object QualityClassifier {
       acc + col(c) * lit(fitted.weights(c))
     }
     withFeatures.withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-linear)))
+  }
+
+  /** The fitted scorer as ONE row-local Column over the raw text — the
+    * [[features]] projection inlined into the sigmoid, so the trainable
+    * gate plugs in anywhere a quality expression is expected (e.g.
+    * `CorpusPipeline.prepare(quality = QualityClassifier.scoreColumn(_,
+    * fitted))`): still pure codegen, zero shuffles, no model object near
+    * the scan. */
+  def scoreColumn(textCol: org.apache.spark.sql.Column, fitted: Fitted)
+      : org.apache.spark.sql.Column = {
+    val exprs = featureExprs(textCol).toMap
+    val linear = FeatureCols.foldLeft(lit(fitted.intercept)) { (acc, c) =>
+      acc + exprs(c) * lit(fitted.weights(c))
+    }
+    lit(1.0) / (lit(1.0) + exp(-linear))
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -53,6 +53,15 @@ object CorpusPipeline {
     *                       paraphrased leakage the n-gram stage cannot
     *                       ([[Decontaminate.semanticOverlap]])
     * @param maxSemanticSim drop docs whose max benchmark cosine ≥ this
+    * @param quality        the quality-score expression over the text
+    *                       column; defaults to the heuristic
+    *                       [[TextFunctions.qualityScore]]. Plug a FITTED
+    *                       trainable gate here
+    *                       ([[graft.ml.QualityClassifier.scoreColumn]])
+    *                       and the same scorer drives BOTH the quality
+    *                       filter and the keep-best-quality dedup rule —
+    *                       still a row-local expression, so the one-action
+    *                       accounting and plan shape are unchanged
     * @param dsir           optional DSIR selection stage
     *                       ([[graft.ops.Dsir]]): (target corpus sharing
     *                       `textCol`, keepN) — after every cleaning
@@ -71,6 +80,7 @@ object CorpusPipeline {
       keepBestQuality: Boolean = false,
       embeddings: Option[(DataFrame, DataFrame)] = None,
       maxSemanticSim: Double = 0.95,
+      quality: Column => Column = TextFunctions.qualityScore,
       dsir: Option[(DataFrame, Int)] = None): Prepared = {
     val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated") ++
       (if (embeddings.isDefined) Seq("semantic") else Nil) ++
@@ -84,7 +94,7 @@ object CorpusPipeline {
     // UN-observed frame feeds the dedup side computations; the observed
     // main chain below re-derives the same filter, keeping each
     // CollectMetrics name exactly once in the final plan.
-    val clean = docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+    val clean = docs.filter(quality(col(textCol)) >= minQuality)
 
     // Near-dup doom list (iterative, own jobs): each group of transitive
     // near-dups keeps its smallest doc_id.
@@ -101,7 +111,7 @@ object CorpusPipeline {
         // clusters, small by construction, never a global sort
         import org.apache.spark.sql.expressions.Window
         val q = clean.select(
-          col("doc_id").as("id"), TextFunctions.qualityScore(col(textCol)).as("_q"))
+          col("doc_id").as("id"), quality(col(textCol)).as("_q"))
         val w = Window.partitionBy("comp").orderBy(col("_q").desc, col("id"))
         labels.join(q, Seq("id"))
           .withColumn("_rn", row_number().over(w))
@@ -110,7 +120,7 @@ object CorpusPipeline {
       }
 
     val cleanCounted = counted(docs, "input")
-      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .filter(quality(col(textCol)) >= minQuality)
       .transform(d => counted(d, "quality"))
 
     // Exact dedup: keep the smallest doc_id per content digest. The

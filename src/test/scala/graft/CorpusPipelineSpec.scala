@@ -95,6 +95,35 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(bestKeep == Seq(4L, 7L), s"keepBestQuality must keep the longer doc: $bestKeep")
   }
 
+  test("a fitted classifier drives the quality stage through the same accounting") {
+    import graft.ml.QualityClassifier
+    // weak labels: long diverse docs positive, degenerate short docs
+    // negative — the classifier learns to separate them on n_tokens/ttr
+    val labeled = QualityClassifier.features(
+      ((0 until 40).map(i => (words(s"p$i"), 1.0)) ++
+        (0 until 40).map(i => (s"x$i x$i x$i", 0.0))).toDF("text", "label"),
+      "text")
+    val fitted = QualityClassifier.fit(spark, labeled)
+
+    // independent expectation: which corpus docs does the scorer pass?
+    val passes = QualityClassifier
+      .score(QualityClassifier.features(corpus, "text"), fitted)
+      .filter(col("quality_prob") >= 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(passes == Seq(1L, 2L, 3L, 4L, 6L), s"classifier gate: $passes")
+
+    val prepared = CorpusPipeline.prepare(
+      corpus, benchmark, minQuality = 0.5,
+      quality = QualityClassifier.scoreColumn(_, fitted))
+    assert(prepared.result.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4L))
+    // observe counters ride the one action unchanged, quality = the gate
+    val counts = prepared.stageCounts().toMap
+    assert(counts == Map(
+      "input" -> 6L, "quality" -> 5L, "exact_dedup" -> 4L,
+      "near_dup" -> 3L, "decontaminated" -> 2L), s"stage accounting: $counts")
+  }
+
   test("the pipeline is deterministic across runs and layouts") {
     val a = CorpusPipeline.prepare(corpus.repartition(7), benchmark)
       .result.orderBy("doc_id").collect().map(_.toString).toSeq
