@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.ops.SetSimJoin
+
+/** One-shot scaling probe for the bench's heavy hitters (VERDICT r10
+  * item 4): times q211/q225/q88/q138/q137 on a given fixture dir (noop
+  * sink, one warm + one timed pass) and prints the volume drivers —
+  * q211's candidate-pair counts per filter stage and q88's duplicate-edge
+  * count — so a 10× corpus shows whether cost and candidates grow
+  * linearly or super-linearly. Diagnostics only, not contract surface. */
+object ScaleProbe {
+
+  private val Heavy = Seq(
+    "q211_setsim_join_exact", "q225_cluster_safe_split",
+    "q88_dedup_components", "q138_repeated_spans_hashed",
+    "q137_repeated_spans")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus, "scaleprobe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    println(s"[probe] dir=$sfDir docs=$nDocs cpus=$cpus")
+
+    Heavy.foreach { name =>
+      val run = SparkEntry.queries(name)
+      def exec() = run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        exec() // warm (JIT + listing)
+        val (_, sec) = timed(exec())
+        println(f"[probe] $name%-28s $sec%8.2f s")
+      } catch { case e: Throwable =>
+        println(s"[probe] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+
+    // q211 volume drivers (stage replica kept in sync with SetSimJoin by
+    // hand — same fragment as ProfileSetSim)
+    val t = 0.6
+    val tok = SetSimJoin.wordShingles(Tables.documents(spark, sfDir), "doc_id", "text", 3)
+      .select(col("id"), col("w")).distinct()
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val sets = tok.join(freq, "w")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("es"))
+      .select(col("id"), expr("transform(es, e -> e.w)").as("ws"), size(col("es")).as("sz"))
+    val prefix = sets
+      .select(col("id"), col("sz"),
+        posexplode(expr(s"slice(ws, 1, size(ws) - cast(ceil($t * size(ws)) as int) + 1)"))
+          .as(Seq("p0", "w")))
+      .select(col("id"), col("sz"), (col("p0") + 1).as("r"), col("w"))
+    val minOverlap = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val joined = prefix.as("a").join(prefix.as("b"), Seq("w"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(col("a.sz") * lit(t) <= col("b.sz") && col("b.sz") * lit(t) <= col("a.sz"))
+    val pos = joined.filter(
+      lit(1) + least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) >= minOverlap)
+    val (rawN, _) = timed(joined.count())
+    val (posN, _) = timed(pos.count())
+    val (candN, _) = timed(pos.select(col("a.id"), col("b.id")).distinct().count())
+    val (pairN, _) = timed(SetSimJoin.selfJoin(
+      SetSimJoin.wordShingles(Tables.documents(spark, sfDir), "doc_id", "text", 3), t).count())
+    println(s"[probe] q211 raw_prefix_pairs=$rawN positional=$posN " +
+      s"distinct_candidates=$candN final_pairs=$pairN")
+
+    // q88 volume driver: rare-shingle duplicate edges
+    val docs = Tables.documents(spark, sfDir)
+      .filter(TextFunctions.tokenCount(col("text")) >= 3)
+    val edges = docs.select(
+        col("doc_id"),
+        explode(graft.functions.ShingleHashSetExpr(
+          TextFunctions.tokens(col("text")), 3)).as("h"))
+      .groupBy("h").agg(
+        count(lit(1)).as("df"),
+        min(col("doc_id")).as("src"),
+        max(col("doc_id")).as("dst"))
+      .filter(col("df") === 2)
+      .select("src", "dst")
+      .distinct()
+    val (edgeN, _) = timed(edges.count())
+    println(s"[probe] q88 duplicate_edges=$edgeN")
+    spark.stop()
+  }
+}
