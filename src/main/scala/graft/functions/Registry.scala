@@ -15,6 +15,10 @@ object Registry {
       exprs => HammingDistance(exprs(0), exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler_similarity",
+      exprs => JaroWinklerSim(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "interleave_bits",
       exprs => InterleaveBits(exprs(0), exprs(1)),
       "scala_udf")

@@ -107,6 +107,25 @@ object TextFunctions {
       .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
   }
 
+  /** Fraction of n-gram positions occupied by the single MOST FREQUENT
+    * n-gram — the Gopher/MassiveText "fraction in most common n-gram"
+    * repetition signal (Rae et al. 2021 Table A1), token form. 0 when the
+    * doc has fewer than n tokens. Row-local O(g²) nested-lambda count
+    * with g bounded by doc length — pure projection, no shuffle, stays in
+    * codegen next to the other quality signals. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val toks = tokens(text)
+    val grams =
+      if (n == 1) toks
+      else transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val counts = transform(array_distinct(grams), g => size(filter(grams, y => y === g)))
+    when(size(toks) < n, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(grams))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -116,6 +116,22 @@ object Decontaminate {
     *
     * Input frames use [[Ann.prepared]]'s (vec_id, emb) shape. Output:
     * (vec_id, max_bench_sim). */
+  /** Per-PROBE max corpus cosine — the transpose of [[semanticOverlap]]:
+    * grouped on the broadcast probe ids, so "which eval/test docs leak
+    * from the corpus" reads directly (q248's split-leakage audit). Same
+    * scale shape: the corpus is scanned once, the probe set (eval-sized
+    * by design) broadcasts, and the aggregate shuffles probe-count rows. */
+  def semanticLeakage(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), col("emb").as("_p_emb"))
+    corpus
+      .crossJoin(broadcast(p))
+      .select(
+        col("probe_id"),
+        graft.functions.CosineSimilarity(col("emb"), col("_p_emb")).as("_sim"))
+      .groupBy("probe_id")
+      .agg(coalesce(max(when(!isnan(col("_sim")), col("_sim"))), lit(-1.0)).as("max_corpus_sim"))
+  }
+
   def semanticOverlap(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     val b = benchmark.select(col("emb").as("_b_emb"))
     corpus

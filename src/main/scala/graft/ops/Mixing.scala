@@ -50,6 +50,30 @@ object Mixing {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** [[byFractionalWeight]] with a PORTABLE coin: the md5-uniform the
+    * split/sampling family uses (u = first 8 md5 hex digits of
+    * `salt:id` / 2³²) instead of the Spark-specific xxhash64 — exactly
+    * reproducible in any engine with md5, which upgrades fractional
+    * mixing from rows-only to oracle-checked (q244 replays the identical
+    * arithmetic in DuckDB). Same contract otherwise: weight 2.3 = two
+    * full epochs + a third for the deterministic ~30% of ids whose coin
+    * lands under the remainder; weights ≤ 0 drop the row; still a narrow
+    * zero-shuffle op (one md5 per row). */
+  def byFractionalWeightPortable(
+      df: DataFrame, weight: Column, idCol: Column,
+      salt: String = "mix-v1", epochName: String = "epoch"): DataFrame = {
+    val w = weight.cast("double")
+    val whole = floor(w).cast("int")
+    val coin = conv(
+      substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val copies = (whole + when(coin < (w - whole.cast("double")), 1).otherwise(0))
+      .cast("int")
+    df.withColumn(epochName,
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Temperature-scaled mixture weights — the multilingual/multi-source
     * sampling rule (mC4, PaLM, BLOOM): sample source i with probability
     * `p_i ∝ n_i^α`, α ∈ (0, 1] flattening the natural size distribution so

@@ -755,10 +755,36 @@ object Events {
            |SELECT n, COUNT(*) AS users, ROUND(AVG(h), 4) AS avg_entropy
            |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q245 — salted-hash pseudonymization ([[graft.ops.Pseudonymize]]):
+    * release the events table with user_id replaced by its deterministic
+    * SHA-256 pseudonym, then prove the release still answers per-type
+    * audience questions — event counts, DISTINCT SUBJECTS (preserved
+    * exactly: the pseudonym is injective per salt), and the
+    * lexicographically first pseudonym as the determinism witness. One
+    * row-local hash per row, zero shuffles added; the oracle replays the
+    * identical salt/truncation arithmetic. */
+  val q245 = QueryDef(
+    "q245_pseudonymize",
+    (s, d) =>
+      graft.ops.Pseudonymize.table(Tables.events(s, d), "user_id", "rel-2026a")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_subjects"),
+          min(col("user_id")).as("first_pseudonym"))
+        .orderBy("event_type"),
+    Some("""WITH p AS (SELECT event_type,
+           |                  substr(sha256('rel-2026a:' || CAST(user_id AS VARCHAR)), 1, 16) AS pid
+           |           FROM events)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_subjects,
+           |       MIN(pid) AS first_pseudonym
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192, q214, q215, q240)
+      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Fmt.r4
+import graft.core.Fmt.{r4, r6}
 import graft.core.Tables
 
 /** Nondeterministic/approximate operators (oracle-excluded by design,
@@ -276,5 +276,28 @@ object Misc {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241)
+  /** Q246 — Jaro-Winkler similarity ranking
+    * ([[graft.functions.JaroWinklerSim]], the record-linkage scorer):
+    * top-20 part names by similarity to a probe string, ordered on the
+    * ROUNDED score with the key as tie-break so the cut is deterministic
+    * cross-engine. DuckDB ships the same textbook definition
+    * (`jaro_winkler_similarity`), making the custom expression
+    * oracle-exact over every fixture row — a wrong match window, missed
+    * transposition halving, or boost-threshold slip reorders the top-20
+    * and hash-fails. */
+  val q246 = QueryDef(
+    "q246_jw_topk",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"), col("p_name"),
+          r6(graft.functions.JaroWinklerSim(col("p_name"), lit("small widget"))).as("sim"))
+        .orderBy(col("sim").desc, col("p_partkey"))
+        .limit(20),
+    Some("""SELECT p_partkey, p_name,
+           |       ROUND(jaro_winkler_similarity(p_name, 'small widget'), 6) AS sim
+           |FROM part ORDER BY sim DESC, p_partkey LIMIT 20""".stripMargin))
+
+  def all: Seq[QueryDef] =
+    Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246)
 }

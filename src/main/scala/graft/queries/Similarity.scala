@@ -333,6 +333,48 @@ object Similarity {
     },
     None)
 
+  /** Q248 — SEMANTIC split-leakage audit
+    * ([[graft.ops.Decontaminate.semanticLeakage]], the embedding twin of
+    * q228's verbatim n-gram audit): after the standard hash split on
+    * vec_id, every TEST embedding's max cosine against the TRAIN split —
+    * paraphrased near-duplicates that cross the split undetected by
+    * verbatim checks. Test side broadcasts (eval-sized by design), train
+    * is scanned once, the aggregate shuffles test-count rows. Banded on
+    * the ROUNDED max so the histogram cut is deterministic cross-engine;
+    * the oracle replays the split hash and the full test×train cosine. */
+  val q248 = QueryDef(
+    "q248_semantic_split_leakage",
+    (s, d) => {
+      val bucket = conv(
+        substring(md5(concat(lit("split-v1:"), col("vec_id").cast("string"))), 1, 4),
+        16, 10).cast("int") % 100
+      val e = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+        .withColumn("b", bucket)
+      val train = e.filter(col("b") < 90).drop("b")
+      val test = e.filter(col("b") >= 90).drop("b")
+      graft.ops.Decontaminate.semanticLeakage(train, test)
+        .select(col("probe_id"), r6(col("max_corpus_sim")).as("ms"))
+        .groupBy(least(floor((col("ms") + 1) * 2), lit(3L)).cast("int").as("band"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          r6(avg(col("ms"))).as("avg_sim"),
+          sum(col("probe_id")).as("id_sum"))
+        .orderBy("band")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |                  CAST(('0x' || substr(md5('split-v1:' || CAST(vec_id AS VARCHAR)), 1, 4))
+           |                       AS INTEGER) % 100 AS b
+           |           FROM embeddings),
+           |     tr AS (SELECT vec_id, emb FROM e WHERE b < 90),
+           |     te AS (SELECT vec_id, emb FROM e WHERE b >= 90),
+           |     m AS (SELECT te.vec_id,
+           |                  ROUND(MAX(list_cosine_similarity(tr.emb, te.emb)), 6) AS ms
+           |           FROM te CROSS JOIN tr GROUP BY te.vec_id)
+           |SELECT CAST(LEAST(FLOOR((ms + 1) * 2), 3) AS INTEGER) AS band,
+           |       COUNT(*) AS n_docs, ROUND(AVG(ms), 6) AS avg_sim,
+           |       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222)
+    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248)
 }

@@ -1804,9 +1804,108 @@ object Text {
     None,
     headline = true)
 
+  /** Q242 — Gopher repetition gate
+    * ([[graft.functions.TextFunctions.topNgramFrac]], Rae et al. 2021
+    * Table A1): per doc, the fraction of token/2-gram positions occupied
+    * by the single most frequent token/2-gram, composed with q87's
+    * duplicate-3-gram fraction into the published keep/drop rule. All
+    * three signals are row-local nested-lambda counts over the token
+    * array — one projection, zero shuffles, 100 TB-safe by construction.
+    * The keep flag compares the UNROUNDED ratios (exact small-int
+    * divisions, deterministic cross-engine); the oracle replays the same
+    * list arithmetic in DuckDB. */
+  val q242 = QueryDef(
+    "q242_gopher_repetition",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          r6(TextFunctions.topNgramFrac(col("text"), 1)).as("top1_frac"),
+          r6(TextFunctions.topNgramFrac(col("text"), 2)).as("top2_frac"),
+          (TextFunctions.topNgramFrac(col("text"), 2) <= 0.18 &&
+            TextFunctions.dupNgramFrac(col("text"), 3) <= 0.3).as("keep"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |     g AS (SELECT doc_id, ws,
+           |             CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+           |               i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS g2,
+           |             CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END AS g3
+           |           FROM t),
+           |     f AS (SELECT doc_id,
+           |             CAST(list_max(list_transform(list_distinct(ws),
+           |               x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
+           |               / len(ws) AS top1,
+           |             CASE WHEN len(ws) < 2 THEN 0.0 ELSE
+           |               CAST(list_max(list_transform(list_distinct(g2),
+           |                 x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+           |                 / len(g2) END AS top2,
+           |             CASE WHEN len(ws) - 2 <= 0 THEN 0.0 ELSE
+           |               1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+           |                 / (len(ws) - 2) END AS dup3
+           |           FROM g)
+           |SELECT doc_id, ROUND(top1, 6) AS top1_frac, ROUND(top2, 6) AS top2_frac,
+           |       top2 <= 0.18 AND dup3 <= 0.3 AS keep
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  /** Q243 — perplexity bucketing (the CCNet recipe, Wenzek et al. 2020):
+    * score every doc under the q123 unigram LM, cut the corpus into
+    * head/middle/tail at the GLOBAL score terciles, and report per
+    * (lang, bucket) counts + mean score — the standard "keep the head,
+    * downsample the tail" curation signal. Terciles ride the q194
+    * construction: ONE exact-percentile aggregate broadcast as a 2-double
+    * row, bucket assignment a higher-order fold against it — no global
+    * window, no rank shuffle. Scores are rounded to 6 BEFORE the
+    * percentile so both engines cut the identical multiset. */
+  val q243 = QueryDef(
+    "q243_perplexity_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.ops.LangModel
+        .scoreDocs(docs, graft.ops.LangModel.unigramCounts(docs))
+        .select(col("doc_id"), r6(col("avg_logprob")).as("lp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      // 1D/3 forces DOUBLE division (plain 1.0/3 parses as DECIMAL(7,6),
+      // which would both fail percentile's type check and cut at a
+      // different point than DuckDB's double 1.0/3)
+      val bounds = scored.agg(expr("percentile(lp, array(1D/3, 2D/3))").as("qs"))
+      scored.crossJoin(broadcast(bounds))
+        .select(
+          col("lang"), col("lp"),
+          expr("aggregate(qs, 0, (acc, q) -> acc + IF(lp > q, 1, 0))").as("nAbove"))
+        .select(
+          col("lang"),
+          when(col("nAbove") === 2, "head")
+            .when(col("nAbove") === 1, "middle")
+            .otherwise("tail").as("bucket"),
+          col("lp"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), r4(avg(col("lp"))).as("mean_lp"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(str_split(text,' ')) AS token FROM documents),
+           |     v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+           |     s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total,
+           |                  CAST(COUNT(*) AS DOUBLE) AS v_size FROM v),
+           |     dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+           |     sc AS (SELECT doc_id,
+           |                   ROUND(SUM(tf * LN((COALESCE(v.cnt, 0) + 1)
+           |                     / (s.n_total + s.v_size))) / SUM(tf), 6) AS lp
+           |            FROM dt LEFT JOIN v USING (token) CROSS JOIN s
+           |            GROUP BY doc_id),
+           |     sl AS (SELECT sc.doc_id, sc.lp, d.lang
+           |            FROM sc JOIN documents d USING (doc_id)),
+           |     b AS (SELECT quantile_cont(lp, [1.0/3, 2.0/3]) AS qs FROM sl)
+           |SELECT lang,
+           |       CASE len(list_filter(b.qs, q -> sl.lp > q))
+           |         WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           |       COUNT(*) AS n_docs, ROUND(AVG(lp), 4) AS mean_lp
+           |FROM sl, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
-      q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234)
+      q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234,
+      q242, q243)
 }

@@ -633,9 +633,56 @@ object TrainPrep {
                    CAST(COUNT(lang) AS BIGINT) AS lang_n
             FROM documents GROUP BY source ORDER BY source"""))
 
+  /** Q244 — portable fractional epoch mixing
+    * ([[Mixing.byFractionalWeightPortable]], q107's oracle-checked
+    * upgrade): per-source repeat factors with fractional parts ("2.5
+    * epochs of src0") decided by the md5-uniform coin instead of the
+    * Spark-private hash, so the EXACT per-row copy multiset — not just
+    * its expectation — is engine-independent and DuckDB-replayable.
+    * Narrow zero-shuffle op; the oracle replays the identical hash,
+    * floor, and coin arithmetic. */
+  val q244 = QueryDef(
+    "q244_repeat_mix",
+    (s, d) => {
+      val weighted = Tables.documents(s, d).withColumn(
+        "w",
+        when(col("source") === "src0", 2.5)
+          .when(col("source") === "src1", 1.25)
+          .when(col("source") === "src2", 0.5)
+          .otherwise(1.0))
+      Mixing.byFractionalWeightPortable(weighted, col("w"), col("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("rows_after"),
+          countDistinct(col("doc_id")).as("docs"),
+          max(col("epoch")).as("max_epoch"),
+          sum(col("doc_id") * col("epoch")).as("checksum"))
+        .orderBy("source")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+           |                  CASE WHEN source = 'src0' THEN 2.5
+           |                       WHEN source = 'src1' THEN 1.25
+           |                       WHEN source = 'src2' THEN 0.5
+           |                       ELSE 1.0 END AS w,
+           |                  CAST(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           |                       AS BIGINT) / 4294967296.0 AS coin
+           |           FROM documents),
+           |     c AS (SELECT doc_id, source,
+           |                  CAST(FLOOR(w) AS INTEGER) +
+           |                    (CASE WHEN coin < w - FLOOR(w) THEN 1 ELSE 0 END) AS n
+           |           FROM w),
+           |     m AS (SELECT doc_id, source, UNNEST(generate_series(1, n)) AS epoch
+           |           FROM c WHERE n >= 1)
+           |SELECT source, COUNT(*) AS rows_after,
+           |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs,
+           |       CAST(MAX(epoch) AS INTEGER) AS max_epoch,
+           |       CAST(SUM(doc_id * epoch) AS BIGINT) AS checksum
+           |FROM m GROUP BY source ORDER BY source""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
-      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235, q236, q237)
+      q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235, q236, q237,
+      q244)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
