@@ -125,6 +125,20 @@ object Main {
         "type_rollup" -> (p => t(p).groupBy("event_type").agg(sum("value").as("total"))))
       println(graft.tools.AdvisorLoop.measure(spark, tbl, scratch, workload).render)
       spark.stop()
+    case "table-tag" :: path :: name :: rest if rest.size <= 1 =>
+      // pin a release name to a version (default: latest); tagged
+      // versions survive table-vacuum until the tag is deleted
+      val spark = GraftSession.local()
+      val v = graft.io.VersionedTable.setTag(
+        spark, path, name, rest.headOption.map(_.toLong), overwrite = true)
+      println(s"[graft] tag '$name' -> v$v")
+      spark.stop()
+    case "table-tags" :: path :: Nil =>
+      val spark = GraftSession.local()
+      graft.io.VersionedTable.tags(spark, path).toSeq.sortBy(_._1).foreach {
+        case (n, v) => println(f"$n%-24s v$v")
+      }
+      spark.stop()
     case "table-delete" :: path :: keyCol :: keys :: Nil =>
       // surgical purge by key list; follow with table-vacuum for the
       // physical erasure (pre-delete snapshots time-travel until then)

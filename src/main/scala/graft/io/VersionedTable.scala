@@ -2267,11 +2267,88 @@ object VersionedTable {
     * window — that is the point (bounded storage); run it on a schedule,
     * sized to the audit/reproducibility horizon. Returns (manifests
     * removed, data files removed). */
+  // ── named tags ─────────────────────────────────────────────────────
+  // The release-ref primitive ("v1.0", "prod-baseline"): a tag pins a
+  // human name to a version for time travel by name, and [[vacuum]]
+  // treats tagged versions as retained — a published release can never
+  // be aged out from under its name. One tiny JSON file per tag under
+  // `_tags/`; creation uses the same create(overwrite=false) atomicity
+  // as the manifest commit point, so two writers racing the same name
+  // fail loudly instead of last-write-wins.
+
+  private def tagFile(path: String, name: String) = new Path(s"$path/_tags/$name.json")
+
+  /** Pin `name` to `version` (latest by default). Re-pointing an existing
+    * tag requires `overwrite = true`. Returns the pinned version. */
+  def setTag(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None, overwrite: Boolean = false): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+ (it is a file name), got: $name")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not found at $path (have ${vs.mkString(",")})")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(s"$path/_tags"))
+    if (overwrite && f.exists(tagFile(path, name))) f.delete(tagFile(path, name), false)
+    val out =
+      try f.create(tagFile(path, name), false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists at $path (pass overwrite = true to re-point)")
+      }
+    try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** All tags as name -> version. Tags whose version was never committed
+    * (impossible through [[setTag]]) are still listed; readers validate. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_tags")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".json")) None
+      else {
+        val in = f.open(st.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+          .map(m => n.stripSuffix(".json") -> m.group(1).toLong)
+      }
+    }.toMap
+  }
+
+  /** The version a tag points at; fails if the tag does not exist. */
+  def tagVersion(spark: SparkSession, path: String, name: String): Long =
+    tags(spark, path).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $path"))
+
+  /** Time travel by name: `read` at the tagged version. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, Some(tagVersion(spark, path, name)))
+
+  /** [[table]] (predicate-pruning FileIndex path) at the tagged version. */
+  def tableTag(spark: SparkSession, path: String, name: String): DataFrame =
+    table(spark, path, Some(tagVersion(spark, path, name)))
+
+  /** Remove a tag; its version becomes vacuum-eligible again. */
+  def deleteTag(spark: SparkSession, path: String, name: String): Unit = {
+    val f = fs(spark, path)
+    require(f.exists(tagFile(path, name)), s"no tag '$name' at $path")
+    f.delete(tagFile(path, name), false)
+  }
+
   def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val f = fs(spark, path)
     val vs = versions(spark, path)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    // tagged versions are pinned: they stay readable (and their files
+    // referenced) no matter how far the retention window moves past them
+    val pinned = tags(spark, path).values.toSet
+    val (dropRaw, keepRaw) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val drop = dropRaw.filterNot(pinned)
+    val keep = keepRaw ++ dropRaw.filter(pinned)
     // data files, CDF tombstones, deletion vectors, and bloom sidecars
     // of retained versions all survive
     val referenced = keep.flatMap { v =>

@@ -69,6 +69,44 @@ object Packing {
           .as("seq_offset"))
   }
 
+  /** Materialize [[packConcat]]'s chunk map into actual packed sequences —
+    * the collator output a trainer consumes: per (shard, seq_id) the
+    * concatenated `tokens`, `segment_ids` (1-based document index within
+    * the sequence, the attention-boundary mask: attention must not cross
+    * a segment change), and `position_ids` (DOCUMENT-relative token
+    * positions, so a document straddling two sequences keeps counting —
+    * the "reset positions at document boundaries" convention).
+    *
+    * Plan shape: the chunk map joins the tokenized docs on (shard, id),
+    * each intersection slices its piece row-locally, and ONE keyed
+    * aggregate per sequence assembles the arrays via
+    * `sort_array(collect_list(struct))` — state bounded by `capacity`
+    * tokens per group, never by shard size. */
+  def packSequences(
+      df: DataFrame, textCol: String, idCol: String, shardCol: String,
+      capacity: Int): DataFrame = {
+    val m = packConcat(df, textCol, idCol, shardCol, capacity)
+    val toks = df.select(
+      col(shardCol).as("_sh"), col(idCol).as("_id"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    m.join(toks, m(shardCol) === col("_sh") && m(idCol) === col("_id"))
+      .select(
+        col(shardCol), col("seq_id"), col("seq_offset"), col("tok_begin"),
+        expr("slice(_toks, int(tok_begin) + 1, int(tok_end - tok_begin))").as("piece"))
+      .groupBy(shardCol, "seq_id")
+      .agg(sort_array(collect_list(struct(
+        col("seq_offset"), col("tok_begin"), col("piece")))).as("ps"))
+      .select(
+        col(shardCol), col("seq_id"),
+        size(col("ps")).as("n_docs"),
+        expr("flatten(transform(ps, p -> p.piece))").as("tokens"),
+        expr("flatten(transform(ps, (p, i) -> array_repeat(i + 1, size(p.piece))))")
+          .as("segment_ids"),
+        expr("flatten(transform(ps, p -> transform(p.piece, (t, j) -> int(p.tok_begin) + j)))")
+          .as("position_ids"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   final case class DocLen(shard: String, doc_id: Long, n_tok: Long)
   final case class PackedDoc(
       shard: String, doc_id: Long, n_tok: Long, bin: Long, bin_offset: Long)

@@ -2156,11 +2156,38 @@ object Relational {
            |        WHERE o_orderkey % 100 = 0 AND o_totalprice * 1.1 <> o_totalprice)
            |       AS BIGINT) AS chg_o_totalprice""".stripMargin))
 
+  /** Q249 — time travel by NAMED TAG ([[graft.io.VersionedTable.setTag]],
+    * the release-ref primitive): pin "baseline" to the half-loaded table
+    * and "full" after the second commit, then read BOTH states by name.
+    * Tags also pin their versions against vacuum (VersionedTableTagSpec);
+    * the oracle recomputes both snapshots from the raw table — q118's
+    * time-travel contract, addressed by name instead of number. */
+  val q249 = QueryDef(
+    "q249_tag_travel",
+    (s, d) => {
+      val path = Scratch.dir("q249") + "/tbl"
+      val base = ord(s, d).select("o_orderkey", "o_totalprice")
+      graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 0), path)
+      graft.io.VersionedTable.setTag(s, path, "baseline", overwrite = true)
+      graft.io.VersionedTable.commitAppend(base.filter(col("o_orderkey") % 2 === 1), path)
+      graft.io.VersionedTable.setTag(s, path, "full", overwrite = true)
+      val b = graft.io.VersionedTable.readTag(s, path, "baseline")
+        .agg(count(lit(1)).as("base_cnt"), r4(sum("o_totalprice") / lit(1e6)).as("base_total_mm"))
+      val f = graft.io.VersionedTable.readTag(s, path, "full")
+        .agg(count(lit(1)).as("cnt"), r4(sum("o_totalprice") / lit(1e6)).as("total_mm"))
+      b.crossJoin(f)
+    },
+    Some("""SELECT
+              (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS base_cnt,
+              (SELECT ROUND(SUM(o_totalprice)/1000000.0, 4) FROM orders WHERE o_orderkey % 2 = 0) AS base_total_mm,
+              (SELECT COUNT(*) FROM orders) AS cnt,
+              (SELECT ROUND(SUM(o_totalprice)/1000000.0, 4) FROM orders) AS total_mm"""))
+
   def all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197, q229, q232)
+    q167, q168, q169, q180, q189, q197, q229, q232, q249)
 }

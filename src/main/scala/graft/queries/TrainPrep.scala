@@ -679,10 +679,65 @@ object TrainPrep {
            |       CAST(SUM(doc_id * epoch) AS BIGINT) AS checksum
            |FROM m GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Q250 — materialized packed sequences ([[Packing.packSequences]]):
+    * q139's chunk map joined back to the tokens and assembled into the
+    * collator output — concatenated tokens, 1-based SEGMENT ids (the
+    * attention-boundary mask), and document-relative POSITION ids that
+    * keep counting across a straddled sequence boundary. Rendered as
+    * joined strings so the hash pins every token, segment flip, and
+    * position value; the oracle rebuilds the identical strings from the
+    * q139 window arithmetic with ordered string_agg. */
+  val q250 = QueryDef(
+    "q250_pack_sequences",
+    (s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "text", "doc_id", "source", 64)
+        .select(
+          col("source"), col("seq_id").cast("long").as("seq_id"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"),
+          concat_ws(",", col("segment_ids")).as("segs_str"),
+          concat_ws(",", col("position_ids")).as("pos_str"))
+        .orderBy("source", "seq_id"),
+    Some("""WITH d AS (SELECT source, doc_id, str_split(text, ' ') AS ws,
+           |                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+           |           FROM documents),
+           |     c AS (SELECT source, doc_id, ws, n_tok,
+           |                  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+           |           FROM d),
+           |     e AS (SELECT source, doc_id, ws, n_tok, cum_end,
+           |                  cum_end - n_tok AS cum_begin
+           |           FROM c),
+           |     x AS (SELECT source, doc_id, ws, cum_begin, cum_end,
+           |                  unnest(range(CAST(cum_begin // 64 AS BIGINT),
+           |                               CAST((cum_end - 1) // 64 + 1 AS BIGINT))) AS seq_id
+           |           FROM e),
+           |     p AS (SELECT source, seq_id,
+           |                  GREATEST(cum_begin, seq_id * 64) - cum_begin AS tb,
+           |                  LEAST(cum_end, (seq_id + 1) * 64) - cum_begin AS te,
+           |                  GREATEST(cum_begin, seq_id * 64) - seq_id * 64 AS so,
+           |                  ws
+           |           FROM x),
+           |     q AS (SELECT source, seq_id, so, tb,
+           |                  ws[CAST(tb + 1 AS BIGINT):CAST(te AS BIGINT)] AS piece,
+           |                  ROW_NUMBER() OVER (PARTITION BY source, seq_id ORDER BY so) AS seg
+           |           FROM p)
+           |SELECT source, seq_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+           |       string_agg(array_to_string(piece, ' '), ' ' ORDER BY so) AS tokens_str,
+           |       string_agg(array_to_string(
+           |         list_transform(piece, t -> CAST(seg AS VARCHAR)), ','), ',' ORDER BY so)
+           |         AS segs_str,
+           |       string_agg(array_to_string(
+           |         list_transform(range(0, len(piece)), j -> CAST(tb + j AS VARCHAR)), ','),
+           |         ',' ORDER BY so) AS pos_str
+           |FROM q GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
       q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235, q236, q237,
-      q244)
+      q244, q250)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with

@@ -101,6 +101,24 @@ class PackingSpec extends SparkSuite {
     packed.unpersist()
   }
 
+  test("packSequences: tokens in order, segments flip per doc, positions continue across a straddle") {
+    val df = Seq(
+      ("s", 1L, doc(3, "a")), // seq 0: a0 a1 a2 | b0 b1 ; seq 1: b2 b3 | c0 c1 c2 ; seq 2: c3 c4
+      ("s", 2L, doc(4, "b")),
+      ("s", 3L, doc(5, "c"))
+    ).toDF("src", "id", "text")
+    val got = Packing.packSequences(df, "text", "id", "src", 5)
+      .orderBy("seq_id")
+      .select("seq_id", "n_docs", "n_tokens", "tokens", "segment_ids", "position_ids")
+      .as[(Long, Int, Int, Seq[String], Seq[Int], Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, 2, 5, Seq("a0", "a1", "a2", "b0", "b1"), Seq(1, 1, 1, 2, 2), Seq(0, 1, 2, 0, 1)),
+      // doc 2's continuation keeps counting positions (2, 3) — the
+      // document-relative convention a straddle needs
+      (1L, 2, 5, Seq("b2", "b3", "c0", "c1", "c2"), Seq(1, 1, 2, 2, 2), Seq(2, 3, 0, 1, 2)),
+      (2L, 1, 2, Seq("c3", "c4"), Seq(1, 1), Seq(3, 4))))
+  }
+
   test("packing is deterministic across runs") {
     val docs = Tables.documents(spark, sf)
     def one(): Seq[Packing.PackedDoc] =
