@@ -2009,6 +2009,33 @@ object VersionedTable {
     * `newName` must be fresh — never used before by this table (current
     * schema OR rename history): reusing a retired name would make a
     * pre-rename file's column ambiguous. */
+  /** One schema-evolution fact between two versions. `change` is one of
+    * `added`, `removed`, `retyped`; for `retyped` both types are shown. */
+  final case class SchemaChange(column: String, change: String, from: String, to: String)
+
+  /** SCHEMA diff between two versions — the structural companion to the
+    * row-level semantic diff: which columns appeared, vanished, or
+    * changed type across a window of commits (schema-merging appends,
+    * [[widenColumn]], [[renameColumn]] — a rename surfaces as
+    * removed+added, the honest physical story since data files keep the
+    * old name). Two manifest reads, zero data-file opens. */
+  def schemaDiff(
+      spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): Seq[SchemaChange] = {
+    val a = tableSchema(spark, path, Some(fromVersion))
+    val b = tableSchema(spark, path, Some(toVersion))
+    val am = a.fields.map(f => f.name -> f.dataType).toMap
+    val bm = b.fields.map(f => f.name -> f.dataType).toMap
+    val added = bm.keySet.diff(am.keySet).toSeq.sorted
+      .map(c => SchemaChange(c, "added", "", bm(c).simpleString))
+    val removed = am.keySet.diff(bm.keySet).toSeq.sorted
+      .map(c => SchemaChange(c, "removed", am(c).simpleString, ""))
+    val retyped = am.keySet.intersect(bm.keySet).toSeq.sorted
+      .filter(c => am(c) != bm(c))
+      .map(c => SchemaChange(c, "retyped", am(c).simpleString, bm(c).simpleString))
+    (added ++ removed ++ retyped).sortBy(c => (c.column, c.change))
+  }
+
   def renameColumn(spark: SparkSession, path: String, oldName: String, newName: String): Long = {
     require(newName.matches("[A-Za-z0-9._-]+"),
       s"column names live in manifest JSON and must be [A-Za-z0-9._-]+, got: $newName")

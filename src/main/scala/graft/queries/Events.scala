@@ -781,10 +781,73 @@ object Events {
            |       MIN(pid) AS first_pseudonym
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q252 — position-based (U-shaped) multi-touch attribution, the
+    * standard upgrade over q185's last-touch: every purchase's value is
+    * credited across the clicks in its 7-day lookback — 100% to a lone
+    * click, 50/50 to a pair, else 40% first / 40% last / 20% split over
+    * the middle — then rolled up by click hour-of-day ("which hours
+    * drive revenue"). The click×purchase pairing is a user-keyed RANGE
+    * join bounded by the lookback window, so pair volume is
+    * (purchases × clicks-in-window), never all history; the position
+    * window partitions by purchase. The oracle replays the identical
+    * rank/credit arithmetic. */
+  val q252 = QueryDef(
+    "q252_attribution_ushape",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts"),
+          col("event_id").as("p_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cts"),
+          col("event_id").as("c_id"))
+      val look = 7L * 86400L * 1000000L
+      val paired = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") <= col("pts") && col("cts") > col("pts") - look)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "p_id").orderBy(col("cts"), col("c_id"))
+      val ranked = paired
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id", "p_id")))
+      val credit = when(col("n") === 1, 1.0)
+        .when(col("n") === 2, 0.5)
+        .when(col("r") === 1 || col("r") === col("n"), 0.4)
+        .otherwise(lit(0.2) / (col("n") - 2))
+      ranked
+        .groupBy(hour(timestamp_micros(col("cts"))).as("click_hour"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          r4(sum(col("value") * credit)).as("credited_value"))
+        .orderBy("click_hour")
+    },
+    Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS pts, event_id AS p_id, value
+           |           FROM events WHERE event_type = 'purchase'),
+           |     c AS (SELECT user_id, epoch_us(ts) AS cts, event_id AS c_id
+           |           FROM events WHERE event_type = 'click'),
+           |     j AS (SELECT p.user_id, p.pts, p.p_id, p.value, c.cts, c.c_id
+           |           FROM p JOIN c ON p.user_id = c.user_id
+           |             AND c.cts <= p.pts AND c.cts > p.pts - 604800000000),
+           |     r AS (SELECT *,
+           |                  ROW_NUMBER() OVER (PARTITION BY user_id, p_id
+           |                                     ORDER BY cts, c_id) AS r,
+           |                  COUNT(*) OVER (PARTITION BY user_id, p_id) AS n
+           |           FROM j),
+           |     k AS (SELECT *,
+           |                  CASE WHEN n = 1 THEN 1.0
+           |                       WHEN n = 2 THEN 0.5
+           |                       WHEN r = 1 OR r = n THEN 0.4
+           |                       ELSE 0.2 / (n - 2) END AS credit
+           |           FROM r)
+           |SELECT CAST(hour(make_timestamp(cts)) AS INTEGER) AS click_hour,
+           |       COUNT(*) AS n_touches,
+           |       ROUND(SUM(value * credit), 4) AS credited_value
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245)
+      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

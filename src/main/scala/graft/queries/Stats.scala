@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Fmt.r4
+import graft.core.Fmt.{r4, r6}
 import graft.core.Tables
 
 /** Statistical-profiling operators: correlation matrices, equi-depth
@@ -835,7 +835,46 @@ object Stats {
             FROM events JOIN m USING (event_type)
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** Q251 — day-of-week seasonal adjustment (the classical-decomposition
+    * step before any alerting on daily volumes): per event type, daily
+    * counts are de-seasonalized by subtracting their dow mean, and the
+    * variance explained by weekly seasonality (1 − var(residual)/var(raw))
+    * is reported — the number that says whether q156's z-scores need a
+    * seasonal baseline. Two keyed aggregations over day-level rows
+    * (365·types, never event-sized); the internal dow labels differ
+    * between engines (Spark 1=Sunday, DuckDB 0=Sunday) but any bijective
+    * relabeling yields the same groups, so the means agree exactly. */
+  val q251 = QueryDef(
+    "q251_seasonal_adjust",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .withColumn("dow", dayofweek(col("day")))
+      val dowMean = daily.groupBy("event_type", "dow").agg(avg("c").as("m"))
+      daily.join(dowMean, Seq("event_type", "dow"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          r4(var_pop(col("c"))).as("var_raw"),
+          r4(var_pop(col("c") - col("m"))).as("var_resid"),
+          r6(lit(1.0) - var_pop(col("c") - col("m")) / var_pop(col("c")))
+            .as("seasonality_strength"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |                      CAST(COUNT(*) AS DOUBLE) AS c
+           |               FROM events GROUP BY 1, 2),
+           |     dd AS (SELECT event_type, day, c, dayofweek(day) AS dow FROM daily),
+           |     m AS (SELECT event_type, dow, AVG(c) AS m FROM dd GROUP BY 1, 2)
+           |SELECT dd.event_type, COUNT(*) AS n_days,
+           |       ROUND(var_pop(c), 4) AS var_raw,
+           |       ROUND(var_pop(c - m.m), 4) AS var_resid,
+           |       ROUND(1.0 - var_pop(c - m.m) / var_pop(c), 6) AS seasonality_strength
+           |FROM dd JOIN m ON dd.event_type = m.event_type AND dd.dow = m.dow
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213, q227, q231, q238, q239)
+      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251)
 }
