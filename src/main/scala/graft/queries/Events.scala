@@ -844,10 +844,67 @@ object Events {
            |       ROUND(SUM(value * credit), 4) AS credited_value
            |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q254 — cumulative unique users (the growth curve): each user
+    * collapses to their FIRST-SEEN day (one keyed aggregate over the
+    * events scan), the per-day new-user counts are a calendar-bounded
+    * grid, and the running total rides a bounded window — the exact
+    * sliding-distinct answer with no distinct-over-window state anywhere. */
+  val q254 = QueryDef(
+    "q254_cumulative_uniques",
+    (s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+      firstSeen.groupBy("first_day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum("new_users").over(graft.core.Windows.bounded(col("first_day"))))
+        .select(col("first_day").cast("string").as("first_day"),
+          col("new_users"), col("cum_users"))
+        .orderBy("first_day")
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+           |           FROM events GROUP BY 1),
+           |     p AS (SELECT first_day, COUNT(*) AS new_users FROM f GROUP BY 1)
+           |SELECT CAST(first_day AS VARCHAR) AS first_day, new_users,
+           |       CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+           |FROM p ORDER BY first_day""".stripMargin))
+
+  /** Q255 — DAU / trailing-7-day WAU / stickiness, exactly: the sliding
+    * DISTINCT that naive windows cannot express at scale. Shape: the
+    * (user, day) activity grid is distinct-ed ONCE; the bounded day
+    * calendar broadcasts against it with a 7-day band condition, so WAU
+    * is a keyed count-distinct whose input is at most 7× the activity
+    * grid — never events × days, no distinct-over-window state. */
+  val q255 = QueryDef(
+    "q255_wau_stickiness",
+    (s, d) => {
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = userDays.select(col("day").as("d")).distinct()
+      val wau = userDays.join(
+          broadcast(days),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+      userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+        .join(wau, col("day") === col("d"))
+        .select(
+          col("day").cast("string").as("day"), col("dau"), col("wau"),
+          r6(col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           |     days AS (SELECT DISTINCT day AS d FROM ud),
+           |     w AS (SELECT d, COUNT(DISTINCT user_id) AS wau
+           |           FROM days JOIN ud ON ud.day BETWEEN d - 6 AND d
+           |           GROUP BY d),
+           |     a AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+           |SELECT CAST(a.day AS VARCHAR) AS day, a.dau, CAST(w.wau AS BIGINT) AS wau,
+           |       ROUND(CAST(a.dau AS DOUBLE) / w.wau, 6) AS stickiness
+           |FROM a JOIN w ON a.day = w.d ORDER BY a.day""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252)
+      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

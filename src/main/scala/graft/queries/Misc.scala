@@ -298,6 +298,52 @@ object Misc {
            |       ROUND(jaro_winkler_similarity(p_name, 'small widget'), 6) AS sim
            |FROM part ORDER BY sim DESC, p_partkey LIMIT 20""".stripMargin))
 
+  /** Q253 — CSV quarantine ingestion ([[graft.io.CsvQuarantine]]): a
+    * scratch CSV is written from the documents table with every 17th
+    * row's numeric field deliberately corrupted; the quarantine read
+    * (string scan + try_cast validation — NOT the corrupt-record column,
+    * whose filters push into the scan and mis-route; see the op's
+    * scaladoc) routes parse failures to a `bad` frame instead of nulling
+    * or crashing. The oracle never reads the CSV — it recomputes the
+    * expected routing from the SAME planted rule over the source table,
+    * so a router that drops, double-counts, or mis-splits one row
+    * hash-fails. */
+  val q253 = QueryDef(
+    "q253_csv_quarantine",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.queries.Scratch.dir("q253") + "/feed"
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 17 === 0, lit("xx"))
+            .otherwise(col("n_chars").cast("string")).as("n_chars"),
+          col("lang"))
+        .write.option("header", "true").mode("overwrite").csv(dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("lang", StringType)))
+      val routed = graft.io.CsvQuarantine.read(s, dir, schema)
+      val g = routed.good.agg(
+        count(lit(1)).as("n_good"),
+        sum(col("doc_id")).as("good_id_sum"),
+        sum(col("n_chars")).as("good_chars_sum"),
+        countDistinct(col("lang")).as("good_langs"))
+      // bad rows keep their raw fields: the quarantine audit can still
+      // total the ids that failed elsewhere in the row
+      val b = routed.bad.agg(
+        count(lit(1)).as("n_bad"),
+        sum(col("doc_id").cast("long")).as("bad_id_sum"))
+      g.crossJoin(b)
+    },
+    Some("""SELECT
+              (SELECT COUNT(*) FROM documents WHERE doc_id % 17 <> 0) AS n_good,
+              (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents WHERE doc_id % 17 <> 0) AS good_id_sum,
+              (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents WHERE doc_id % 17 <> 0) AS good_chars_sum,
+              (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents WHERE doc_id % 17 <> 0) AS good_langs,
+              (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0) AS n_bad,
+              (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents WHERE doc_id % 17 = 0) AS bad_id_sum"""))
+
   def all: Seq[QueryDef] =
-    Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246)
+    Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246, q253)
 }
