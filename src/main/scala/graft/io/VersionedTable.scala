@@ -1960,6 +1960,34 @@ object VersionedTable {
     checksOf(manifestText(spark, path, vs.last))
   }
 
+  /** DRY-RUN check enforcement: per-constraint violation counts of
+    * `candidate` against the table's CHECKs — the pre-commit audit that
+    * tells a producer WHICH contract a batch breaks and how badly,
+    * where the write path itself only fail-fasts on the first. Checks
+    * whose referenced columns are absent from the batch report -1
+    * (not evaluable — the write path treats them as vacuous). ONE
+    * aggregation job for all constraints; nothing is written. */
+  def checkReport(
+      spark: SparkSession, path: String, candidate: DataFrame): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val all = checks(spark, path)
+    if (all.isEmpty) return Seq.empty
+    val (evaluable, missing) = all.partition { case (_, e) =>
+      try { candidate.select(expr(e)); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    val counted =
+      if (evaluable.isEmpty) Seq.empty
+      else {
+        val counters = evaluable.map { case (n, e) =>
+          sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+        }
+        val row = candidate.agg(counters.head, counters.tail: _*).head()
+        evaluable.map { case (n, _) => n -> row.getAs[Long](n) }
+      }
+    (counted ++ missing.map { case (n, _) => n -> -1L }).sortBy(_._1)
+  }
+
   /** Add a CHECK constraint (Delta `ADD CONSTRAINT`): from this version
     * on, every write path — append, stream batch, overwrite, merge
     * upserts, replaceWhere — validates its incoming rows against `expr`

@@ -108,6 +108,25 @@ object Bpe {
         TextFunctions.tokens(col(textCol)),
         w => rules.foldLeft(split(w, "")) { (c, r) => mergePair(c, r.left, r.right) })))
 
+  /** Word-boundary-preserving segmentation: `bpe_words` is one token
+    * array PER WORD (array<array<string>>), the shape [[decode]] can
+    * invert — [[segment]]'s flat form loses the boundaries. Same fold,
+    * same zero-shuffle economics. */
+  def segmentWords(df: DataFrame, textCol: String, rules: Seq[MergeRule]): DataFrame =
+    df.withColumn(
+      "bpe_words",
+      transform(
+        TextFunctions.tokens(col(textCol)),
+        w => rules.foldLeft(split(w, "")) { (c, r) => mergePair(c, r.left, r.right) }))
+
+  /** Invert [[segmentWords]]: BPE merges never cross word boundaries, so
+    * joining symbols within each word and words with single spaces
+    * reconstructs the whitespace-normalized text EXACTLY — the lossless
+    * round-trip every tokenizer owes its training data (BpeSpec pins
+    * decode∘segment == normalized identity on the fixture corpus). */
+  def decode(bpeWords: Column): Column =
+    concat_ws(" ", transform(bpeWords, ws => concat_ws("", ws)))
+
   /** The SCALE path for encoding (the production shape [[segment]]'s
     * Scaladoc points at): apply the merge chain once per DISTINCT word —
     * the vocabulary-sized table, exactly the economics of [[train]] — and

@@ -344,6 +344,60 @@ object Misc {
               (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0) AS n_bad,
               (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents WHERE doc_id % 17 = 0) AS bad_id_sum"""))
 
+  /** Q256 — leave-one-out target encoding (the leakage-safe categorical
+    * feature every tabular-ML pipeline ships): each row's category is
+    * encoded as the mean target of the OTHER rows in its category,
+    * (Σy − y)/(n − 1) — the row's own label never leaks into its feature.
+    * One bounded per-category aggregate broadcast back against the scan;
+    * singleton categories encode null (no peers to average). */
+  val q256 = QueryDef(
+    "q256_target_encoding",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val stats = o.groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").as("s"), count(lit(1)).as("n"))
+      o.join(broadcast(stats), Seq("o_orderpriority"))
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          r4(when(col("n") > 1,
+            (col("s") - col("o_totalprice")) / (col("n") - 1))).as("te_loo"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH st AS (SELECT o_orderpriority, SUM(o_totalprice) AS s, COUNT(*) AS n
+           |            FROM orders GROUP BY 1)
+           |SELECT o_orderkey, o.o_orderpriority,
+           |       ROUND(CASE WHEN n > 1 THEN (s - o_totalprice) / (n - 1) END, 4) AS te_loo
+           |FROM orders o JOIN st USING (o_orderpriority)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Q257 — blocked Jaro-Winkler entity-resolution join: candidate pairs
+    * share a blocking key (first name word — the standard cheap blocker),
+    * then the fused [[graft.functions.JaroWinklerSim]] scores each pair
+    * inside the join's codegen stage and the ROUNDED score gates ≥ 0.93.
+    * Pair volume is Σ block² — bounded by the blocker's selectivity,
+    * never all-pairs; the oracle replays the identical block + score. */
+  val q257 = QueryDef(
+    "q257_jw_blocked_join",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_partkey") < col("b.p_partkey"))
+        .select(
+          col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          r6(graft.functions.JaroWinklerSim(col("a.p_name"), col("b.p_name"))).as("sim"))
+        .filter(col("sim") >= 0.93)
+        .orderBy("key_a", "key_b")
+    },
+    Some("""WITH p AS (SELECT p_partkey, p_name, str_split(p_name, ' ')[1] AS blk FROM part)
+           |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+           |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.93
+           |ORDER BY key_a, key_b""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246, q253)
+    Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246, q253,
+      q256, q257)
 }

@@ -79,6 +79,19 @@ class BpeSpec extends SparkSuite {
     assert(newest.length < "newest".length, s"expected fused segments, got $newest")
   }
 
+  test("decode inverts segmentWords exactly on the fixture corpus (lossless round-trip)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = Bpe.train(docs, "text", 12)
+    val rt = Bpe.segmentWords(docs, "text", rules)
+      .select(
+        col("doc_id"),
+        Bpe.decode(col("bpe_words")).as("decoded"),
+        concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))).as("norm"))
+    assert(rt.filter(col("decoded") =!= col("norm")).count() == 0,
+      "decode(segmentWords(text)) must equal the whitespace-normalized text")
+    assert(rt.count() == docs.count())
+  }
+
   test("encodeDistinct agrees row-for-row with the direct segment fold") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val rules = Bpe.train(docs, "text", 8)
