@@ -901,10 +901,90 @@ object Events {
            |       ROUND(CAST(a.dau AS DOUBLE) / w.wau, 6) AS stickiness
            |FROM a JOIN w ON a.day = w.d ORDER BY a.day""".stripMargin))
 
+  /** Q259 — session-bounded funnel: q92's ordered min-chain
+    * view→click→purchase, but progress must happen INSIDE one q184
+    * session (the product-analytics "did they convert in the visit" —
+    * cross-session progress does not count). [[graft.ops.Sessionize]]
+    * keys the same construction by (user, session); reported per stage
+    * as SESSIONS reaching it. Still one per-user sort shared by the
+    * session split and the chain windows; the oracle replays the session
+    * assignment and the min-chain in SQL. */
+  val q259 = QueryDef(
+    "q259_session_funnel",
+    (s, d) => {
+      val ev = graft.ops.Sessionize.assignSessions(
+        Tables.events(s, d), "user_id", "ts", "event_id", 1800L * 1000000L)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("session_id"), col("event_type"),
+          unix_micros(col("ts")).as("_us"))
+      val before = Window.partitionBy("user_id", "session_id").orderBy(col("_us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val flagged = ev
+        .withColumn("_pv", min(when(col("event_type") === "view", col("_us"))).over(before))
+        .withColumn("_c",
+          when(col("event_type") === "click" && col("_pv").isNotNull, col("_us")))
+        .withColumn("_pc", min(col("_c")).over(before))
+      val perSession = flagged.groupBy("user_id", "session_id").agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+        max(when(col("_c").isNotNull, 1).otherwise(0)).as("s2"),
+        max(when(col("event_type") === "purchase" && col("_pc").isNotNull, 1)
+          .otherwise(0)).as("s3"))
+      perSession
+        .agg(sum("s1").as("n1"), sum("s2").as("n2"), sum("s3").as("n3"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("n1").as("sessions")),
+          struct(lit("2_click_after_view").as("stage"), col("n2").as("sessions")),
+          struct(lit("3_purchase_after_click").as("stage"), col("n3").as("sessions"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.sessions").as("sessions"))
+        .orderBy("stage")
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+           |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+           |           FROM events
+           |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (SELECT user_id, ts, event_type,
+           |                     CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                              THEN 1 ELSE 0 END)
+           |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                       AS BIGINT) AS session_id
+           |              FROM g),
+           |     f AS (SELECT user_id, session_id, event_type, epoch_us(ts) AS us
+           |           FROM sess WHERE event_type IN ('view', 'click', 'purchase')),
+           |     x AS (SELECT *,
+           |                  MIN(CASE WHEN event_type = 'view' THEN us END)
+           |                    OVER w2 AS pv
+           |           FROM f
+           |           WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY us
+           |                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |     y AS (SELECT *,
+           |                  CASE WHEN event_type = 'click' AND pv IS NOT NULL
+           |                       THEN us END AS c
+           |           FROM x),
+           |     z AS (SELECT *,
+           |                  MIN(c) OVER (PARTITION BY user_id, session_id ORDER BY us
+           |                               RANGE BETWEEN UNBOUNDED PRECEDING
+           |                               AND 1 PRECEDING) AS pc
+           |           FROM y),
+           |     ps AS (SELECT user_id, session_id,
+           |                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+           |                   MAX(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+           |                   MAX(CASE WHEN event_type = 'purchase' AND pc IS NOT NULL
+           |                            THEN 1 ELSE 0 END) AS s3
+           |            FROM z GROUP BY 1, 2),
+           |     t AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+           |                  CAST(SUM(s2) AS BIGINT) AS n2,
+           |                  CAST(SUM(s3) AS BIGINT) AS n3 FROM ps)
+           |SELECT '1_view' AS stage, n1 AS sessions FROM t
+           |UNION ALL SELECT '2_click_after_view', n2 FROM t
+           |UNION ALL SELECT '3_purchase_after_click', n3 FROM t
+           |ORDER BY stage""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
-      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255)
+      q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
+      q259)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

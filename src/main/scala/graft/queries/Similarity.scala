@@ -375,6 +375,40 @@ object Similarity {
            |       CAST(SUM(vec_id) AS BIGINT) AS id_sum
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q258 — binary-embedding Hamming search (the sign-binarization ANN
+    * baseline: 32× smaller vectors, XOR-cheap distances): embeddings
+    * binarize by coordinate sign into bit-strings, and the fused
+    * [[graft.functions.HammingDistance]] expression ranks the corpus
+    * against a probe — deterministic end to end (unlike the LSH paths),
+    * so the EXACT top-10 is oracle-checked, tie-broken on id. One
+    * projection + one broadcast probe; the expression runs inside
+    * whole-stage codegen over the scan. */
+  val q258 = QueryDef(
+    "q258_hamming_topk",
+    (s, d) => {
+      val bits = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+        .select(
+          col("vec_id"),
+          array_join(expr("transform(emb, v -> IF(v >= 0, '1', '0'))"), "").as("bits"))
+      val probe = bits.filter(col("vec_id") === 0).select(col("bits").as("p_bits"))
+      bits.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(
+          col("vec_id"),
+          graft.functions.HammingDistance(col("bits"), col("p_bits")).as("ham"))
+        .orderBy(col("ham"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |     b AS (SELECT vec_id, array_to_string(list_transform(emb,
+           |                    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bits
+           |           FROM e),
+           |     p AS (SELECT bits AS pb FROM b WHERE vec_id = 0)
+           |SELECT vec_id, CAST(hamming(bits, pb) AS INTEGER) AS ham
+           |FROM b, p WHERE vec_id <> 0
+           |ORDER BY ham, vec_id LIMIT 10""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248)
+    Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248,
+      q258)
 }
