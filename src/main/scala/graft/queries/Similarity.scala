@@ -408,7 +408,53 @@ object Similarity {
            |FROM b, p WHERE vec_id <> 0
            |ORDER BY ham, vec_id LIMIT 10""".stripMargin))
 
+  /** Q260 — dimensionality-truncation recall audit (the matryoshka
+    * question: "can we store the first k dims instead of all of them?"):
+    * recall@10 of brute-force cosine search in the k-dim prefix space
+    * against the full-dimension ground truth, for k ∈ {4, 8, 16}, over a
+    * fixed 20-probe panel. Cosine is scale-invariant so truncation needs
+    * no renormalization; both ranks order on the ROUNDED similarity with
+    * id tie-break (the [[Ann.bruteForceTopK]] discipline), so the exact
+    * hit sets are engine-independent and the oracle replays the double
+    * brute force per k. */
+  val q260 = QueryDef(
+    "q260_matryoshka_recall",
+    (s, d) => {
+      val e = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      def topk(emb: org.apache.spark.sql.DataFrame) =
+        Ann.bruteForceTopK(emb, emb.orderBy("vec_id").limit(20), 10)
+          .select("probe_id", "vec_id")
+      val full = topk(e)
+      Seq(4, 8, 16).map { k =>
+        topk(e.select(col("vec_id"), expr(s"slice(emb, 1, $k)").as("emb")))
+          .join(full, Seq("probe_id", "vec_id"), "left_semi")
+          .agg(r4(count(lit(1)) / lit(200.0)).as("recall"))
+          .select(lit(k).as("k"), col("recall"))
+      }.reduce(_.unionByName(_)).orderBy("k")
+    },
+    Some {
+      def rankCte(name: String, sliceExpr: String => String) =
+        s"""$name AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |           ORDER BY ROUND(list_cosine_similarity(${sliceExpr("e.emb")},
+           |                          ${sliceExpr("p.pe")}), 6) DESC, e.vec_id) AS rn
+           |  FROM e JOIN p ON e.vec_id <> p.probe_id) WHERE rn <= 10)""".stripMargin
+      val ks = Seq(4, 8, 16)
+      val ctes = ks.map(k => rankCte(s"t$k", c => s"$c[1:$k]")).mkString(",\n")
+      val selects = ks.map(k =>
+        s"""SELECT $k AS k, ROUND(COUNT(*) / CAST(200 AS DOUBLE), 4) AS recall
+           |FROM t$k JOIN fullr USING (probe_id, vec_id)""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, emb AS pe FROM e ORDER BY vec_id LIMIT 20),
+         |${rankCte("fullr", identity)},
+         |$ctes
+         |$selects
+         |ORDER BY k""".stripMargin
+    })
+
   def all: Seq[QueryDef] =
     Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248,
-      q258)
+      q258, q260)
 }

@@ -1902,10 +1902,63 @@ object Text {
            |       COUNT(*) AS n_docs, ROUND(AVG(lp), 4) AS mean_lp
            |FROM sl, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q261 — cross-source duplication matrix ("which sources copy from
+    * each other"): q88's deterministic rare-shingle duplicate edges,
+    * attributed to their endpoints' sources and counted per unordered
+    * source pair — the provenance-level view of near-duplication that
+    * decides which FEEDS to dedup against each other (diagonal entries =
+    * intra-source duplication). Edge build is the q88 single keyed
+    * aggregation; attributing them is two doc-keyed joins on the TINY
+    * edge set. Same hash-vs-string-shingle oracle equivalence as q88. */
+  val q261 = QueryDef(
+    "q261_source_dup_matrix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      val edges = docs.select(
+          col("doc_id"),
+          explode(graft.functions.ShingleHashSetExpr(
+            TextFunctions.tokens(col("text")), 3)).as("h"))
+        .groupBy("h").agg(
+          count(lit(1)).as("df"),
+          min(col("doc_id")).as("src"),
+          max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
+        .distinct()
+      val srcOf = docs.select(col("doc_id"), col("source"))
+      edges
+        .join(srcOf.select(col("doc_id").as("src"), col("source").as("sa")), "src")
+        .join(srcOf.select(col("doc_id").as("dst"), col("source").as("sb")), "dst")
+        .select(
+          least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("dup_edges"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""WITH tok AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+           |             WHERE len(str_split(text, ' ')) >= 3),
+           |     sh AS (SELECT DISTINCT doc_id, s FROM (
+           |              SELECT doc_id,
+           |                     UNNEST(list_transform(range(1, len(t) - 1),
+           |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |              FROM tok)),
+           |     rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) = 2),
+           |     edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |               FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+           |               WHERE a.doc_id < b.doc_id),
+           |     lab AS (SELECT e.src, e.dst, ta.source AS sa, tb.source AS sb
+           |             FROM edges e JOIN tok ta ON ta.doc_id = e.src
+           |                          JOIN tok tb ON tb.doc_id = e.dst)
+           |SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+           |       COUNT(*) AS dup_edges
+           |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
       q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234,
-      q242, q243)
+      q242, q243, q261)
 }
