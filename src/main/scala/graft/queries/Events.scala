@@ -980,11 +980,34 @@ object Events {
            |UNION ALL SELECT '3_purchase_after_click', n3 FROM t
            |ORDER BY stage""".stripMargin))
 
+  /** Q262 — Markov removal-effect attribution
+    * ([[graft.ops.MarkovAttribution]]): channels credited by how much
+    * conversion probability vanishes when each is removed from the
+    * first-order journey chain — the data-driven upgrade over q185/q252's
+    * positional rules. Transition counts are one user-keyed sort + a
+    * bounded (types+2)² grid; the absorbing-chain solves run driver-side
+    * on that grid. The linear solve is engine-side → rows-only;
+    * MarkovAttributionSpec pins hand-computed counts and a hand-solved
+    * two-channel chain. */
+  val q262 = QueryDef(
+    "q262_markov_attribution",
+    (s, d) => {
+      val trans = graft.ops.MarkovAttribution.transitionCounts(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type", "purchase")
+      graft.ops.MarkovAttribution.attribute(s, trans)
+        .select(
+          col("channel"),
+          r6(col("removal_effect")).as("removal_effect"),
+          r6(col("share")).as("share"))
+        .orderBy("channel")
+    },
+    None)
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259)
+      q259, q262)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

@@ -874,7 +874,48 @@ object Stats {
            |FROM dd JOIN m ON dd.event_type = m.event_type AND dd.dow = m.dow
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q263 — shuffle-key skew profile ([[graft.ops.SkewReport]]): for
+    * each prospective join/aggregation key, the heaviest key's share,
+    * the top-5 share, and max/mean — the diagnosis in front of the
+    * salting/planning decisions (q99/q121/q189). One keyed aggregation
+    * per column; everything after is key-count-sized. The oracle replays
+    * the same counts, the (count, key)-max tie-break, and the top-5 sum
+    * (tie order inside an equal-count band cannot change a sum). */
+  val q263 = QueryDef(
+    "q263_skew_report",
+    (s, d) =>
+      graft.ops.SkewReport.profile(
+        Tables.events(s, d), Seq("event_type", "user_id"), topK = 5)
+        .orderBy("key_col"),
+    Some("""WITH c1 AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS n
+           |            FROM events GROUP BY 1),
+           |     t1 AS (SELECT SUM(n) AS n_rows, COUNT(*) AS n_keys,
+           |                   MAX(n) AS mx FROM c1),
+           |     hk1 AS (SELECT MAX(k) AS heavy_key FROM c1, t1 WHERE n = t1.mx),
+           |     tp1 AS (SELECT SUM(n) AS top_n FROM
+           |               (SELECT n FROM c1 ORDER BY n DESC, k DESC LIMIT 5)),
+           |     c2 AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+           |            FROM events GROUP BY 1),
+           |     t2 AS (SELECT SUM(n) AS n_rows, COUNT(*) AS n_keys,
+           |                   MAX(n) AS mx FROM c2),
+           |     hk2 AS (SELECT MAX(k) AS heavy_key FROM c2, t2 WHERE n = t2.mx),
+           |     tp2 AS (SELECT SUM(n) AS top_n FROM
+           |               (SELECT n FROM c2 ORDER BY n DESC, k DESC LIMIT 5))
+           |SELECT 'event_type' AS key_col, CAST(n_rows AS BIGINT) AS n_rows,
+           |       CAST(n_keys AS BIGINT) AS n_keys, heavy_key,
+           |       ROUND(CAST(mx AS DOUBLE) / n_rows, 6) AS heavy_share,
+           |       ROUND(CAST(top_n AS DOUBLE) / n_rows, 6) AS topk_share,
+           |       ROUND(CAST(mx AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
+           |FROM t1, hk1, tp1
+           |UNION ALL
+           |SELECT 'user_id', CAST(n_rows AS BIGINT), CAST(n_keys AS BIGINT), heavy_key,
+           |       ROUND(CAST(mx AS DOUBLE) / n_rows, 6),
+           |       ROUND(CAST(top_n AS DOUBLE) / n_rows, 6),
+           |       ROUND(CAST(mx AS DOUBLE) * n_keys / n_rows, 4)
+           |FROM t2, hk2, tp2
+           |ORDER BY key_col""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251)
+      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263)
 }
