@@ -1955,10 +1955,57 @@ object Text {
            |       COUNT(*) AS dup_edges
            |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q264 — content-defined chunking audit
+    * ([[graft.ops.ContentChunking]], the rsync/LBFS boundary trick):
+    * chunk where the rolling 3-token hash hits 0 mod 8, then the
+    * per-source chunk-dedup picture — total vs distinct chunks is the
+    * sub-document duplication fixed windows miss after an edit shifts
+    * alignment. The md5-uniform boundary makes the EXACT chunking
+    * DuckDB-replayable; the oracle rebuilds every boundary, chunk id,
+    * and chunk string. */
+  val q264 = QueryDef(
+    "q264_content_chunks",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.ContentChunking.chunks(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_text")).as("distinct_chunks"),
+          r6(avg(col("n_tokens"))).as("avg_len"),
+          sum(col("n_tokens")).as("tok_sum"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+           |           WHERE trim(text) <> ''),
+           |     p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+           |                  ws[CAST(i + 1 AS INT)] AS tok,
+           |                  CASE WHEN i >= 2 AND
+           |                    CAST(('0x' || substr(md5('cdc-v1:' ||
+           |                      array_to_string(ws[CAST(i - 1 AS INT):CAST(i + 1 AS INT)], ' ')),
+           |                      1, 8)) AS BIGINT) % 8 = 0
+           |                  THEN 1 ELSE 0 END AS flag
+           |           FROM t, UNNEST(range(len(ws))) AS u(i)),
+           |     c AS (SELECT doc_id, source, pos, tok,
+           |                  CAST(COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS BIGINT) AS chunk_id
+           |           FROM p),
+           |     ch AS (SELECT doc_id, source, chunk_id,
+           |                   string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           |                   COUNT(*) AS n_tok
+           |            FROM c GROUP BY 1, 2, 3)
+           |SELECT source, COUNT(*) AS n_chunks,
+           |       CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS distinct_chunks,
+           |       ROUND(AVG(n_tok), 6) AS avg_len,
+           |       CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+           |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
       q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234,
-      q242, q243, q261)
+      q242, q243, q261, q264)
 }

@@ -85,6 +85,22 @@ class VtCatalogSpec extends SparkSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM vtt.`$base` WHERE id < 5").head().getLong(0) == 5)
   }
 
+  test("CREATE TABLE AS SELECT materializes the query as a committed table") {
+    wh
+    spark.sql(
+      "CREATE TABLE vtt.ctas_t AS SELECT id, id * 2 AS v FROM range(100)")
+    assert(spark.sql("SELECT COUNT(*), SUM(v) FROM vtt.ctas_t").collect().toSeq ==
+      Seq(Row(100L, 9900L)))
+    // it is a real versioned table: history exists, further DML works
+    assert(VersionedTable.versions(spark, s"$wh/ctas_t").nonEmpty)
+    spark.sql("INSERT INTO vtt.ctas_t SELECT 200, 400")
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.ctas_t").collect()(0).getLong(0) == 101L)
+    // CTAS onto an existing table refuses
+    intercept[Exception](
+      spark.sql("CREATE TABLE vtt.ctas_t AS SELECT 1 AS x"))
+    spark.sql("DROP TABLE vtt.ctas_t")
+  }
+
   test("DROP TABLE removes; SHOW TABLES lists committed tables only") {
     wh
     spark.sql("CREATE TABLE vtt.t5 (id BIGINT)")
