@@ -1003,11 +1003,46 @@ object Events {
     },
     None)
 
+  /** Q266 — time-weighted average value per user (the TWAP / mean-state
+    * estimator for irregularly sampled series — a plain AVG over-weights
+    * bursts): each observation holds until the next one, so it weighs by
+    * its holding time; the final observation has no duration and drops.
+    * One user-keyed sort feeding a `lead`; users with one event have no
+    * held interval and are excluded. Weights are microsecond gaps ×
+    * values — per-user sums, far inside ROUND(6) of cross-engine
+    * summation noise. */
+  val q266 = QueryDef(
+    "q266_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_dt", (lead(col("_us"), 1).over(w) - col("_us")).cast("double"))
+        .filter(col("_dt").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_held"),
+          r6(sum(col("value") * col("_dt")) / sum(col("_dt"))).as("twap"),
+          r6(avg(col("value"))).as("plain_avg"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+           |     g AS (SELECT user_id, value,
+           |                  CAST(LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           |                       - us AS DOUBLE) AS dt
+           |           FROM e)
+           |SELECT user_id, COUNT(*) AS n_held,
+           |       ROUND(SUM(value * dt) / SUM(dt), 6) AS twap,
+           |       ROUND(AVG(value), 6) AS plain_avg
+           |FROM g WHERE dt IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262)
+      q259, q262, q266)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

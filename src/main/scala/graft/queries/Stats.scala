@@ -915,7 +915,49 @@ object Stats {
            |FROM t2, hk2, tp2
            |ORDER BY key_col""".stripMargin))
 
+  /** Q267 — mutual information between two categorical columns (the
+    * dependence MEASURE beside q175's chi-square TEST: MI quantifies how
+    * many nats one column tells you about the other, comparable across
+    * pairs): I = Σ p_xy · ln(p_xy / (p_x p_y)) over the bounded joint
+    * grid. One keyed aggregation builds the grid; marginals come from
+    * grid-sized window sums — nothing data-sized after the first
+    * aggregate. */
+  val q267 = QueryDef(
+    "q267_mutual_information",
+    (s, d) => {
+      val joint = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("nxy"))
+      val total = joint.agg(sum("nxy").as("n"))
+      val withMarg = joint
+        .withColumn("nx", sum("nxy").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+        .withColumn("ny", sum("nxy").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_linestatus")))
+        .crossJoin(broadcast(total))
+      withMarg
+        .agg(
+          max(col("n")).as("n_rows"),
+          count(lit(1)).as("n_cells"),
+          r6(sum((col("nxy") / col("n")) *
+            log(col("nxy") * col("n") / (col("nx") * col("ny"))))).as("mi_nats"))
+        .select(col("n_rows"), col("n_cells"), col("mi_nats"))
+    },
+    Some("""WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS nxy
+           |           FROM lineitem GROUP BY 1, 2),
+           |     t AS (SELECT SUM(nxy) AS n FROM j),
+           |     m AS (SELECT x, y, nxy,
+           |                  SUM(nxy) OVER (PARTITION BY x) AS nx,
+           |                  SUM(nxy) OVER (PARTITION BY y) AS ny
+           |           FROM j)
+           |SELECT CAST(MAX(t.n) AS BIGINT) AS n_rows,
+           |       COUNT(*) AS n_cells,
+           |       ROUND(SUM((CAST(nxy AS DOUBLE) / t.n) *
+           |             LN(CAST(nxy AS DOUBLE) * t.n / (CAST(nx AS DOUBLE) * ny))), 6)
+           |         AS mi_nats
+           |FROM m, t""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263)
+      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267)
 }

@@ -2002,10 +2002,70 @@ object Text {
            |       CAST(SUM(n_tok) AS BIGINT) AS tok_sum
            |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q265 — chunk-level dedup STRIP (the action on q264's audit, the
+    * q137→q144 pattern at chunk granularity): every repeated
+    * content-defined chunk keeps its FIRST occurrence corpus-wide
+    * ((doc_id, chunk_id)-min — deterministic) and later copies are
+    * stripped; per-source token accounting shows the savings. Keep
+    * selection is one chunk-text-keyed aggregate; the oracle rebuilds
+    * the identical chunking and first-occurrence rule. */
+  val q265 = QueryDef(
+    "q265_chunk_dedup_strip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ch = graft.ops.ContentChunking.chunks(docs, "text", "doc_id")
+      val keep = ch.groupBy("chunk_text")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+        .select(col("chunk_text"), col("k.doc_id").as("_kd"), col("k.chunk_id").as("_kc"))
+      val kept = ch.join(keep, Seq("chunk_text"))
+        .filter(col("doc_id") === col("_kd") && col("chunk_id") === col("_kc"))
+      ch.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(sum("n_tokens").as("toks_before"))
+        .join(
+          kept.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source").agg(sum("n_tokens").as("toks_after")),
+          Seq("source"), "left")
+        .select(
+          col("source"), col("toks_before"),
+          coalesce(col("toks_after"), lit(0L)).as("toks_after"),
+          r6(lit(1.0) - coalesce(col("toks_after"), lit(0L)) / col("toks_before"))
+            .as("strip_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+           |           WHERE trim(text) <> ''),
+           |     p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+           |                  ws[CAST(i + 1 AS INT)] AS tok,
+           |                  CASE WHEN i >= 2 AND
+           |                    CAST(('0x' || substr(md5('cdc-v1:' ||
+           |                      array_to_string(ws[CAST(i - 1 AS INT):CAST(i + 1 AS INT)], ' ')),
+           |                      1, 8)) AS BIGINT) % 8 = 0
+           |                  THEN 1 ELSE 0 END AS flag
+           |           FROM t, UNNEST(range(len(ws))) AS u(i)),
+           |     c AS (SELECT doc_id, source, pos, tok,
+           |                  CAST(COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS BIGINT) AS chunk_id
+           |           FROM p),
+           |     ch AS (SELECT doc_id, source, chunk_id,
+           |                   string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           |                   COUNT(*) AS n_tok
+           |            FROM c GROUP BY 1, 2, 3),
+           |     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text
+           |                      ORDER BY doc_id, chunk_id) AS rn FROM ch),
+           |     b AS (SELECT source, SUM(n_tok) AS toks_before FROM ch GROUP BY 1),
+           |     a AS (SELECT source, SUM(n_tok) AS toks_after FROM r
+           |           WHERE rn = 1 GROUP BY 1)
+           |SELECT b.source, CAST(b.toks_before AS BIGINT) AS toks_before,
+           |       CAST(COALESCE(a.toks_after, 0) AS BIGINT) AS toks_after,
+           |       ROUND(1.0 - CAST(COALESCE(a.toks_after, 0) AS DOUBLE) / b.toks_before, 6)
+           |         AS strip_frac
+           |FROM b LEFT JOIN a USING (source) ORDER BY source""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
       q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234,
-      q242, q243, q261, q264)
+      q242, q243, q261, q264, q265)
 }
