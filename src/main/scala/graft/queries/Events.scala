@@ -1038,11 +1038,60 @@ object Events {
            |FROM g WHERE dt IS NOT NULL
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q268 — retention-decay fit (the MODEL on q178's cohort curve):
+    * per signup-week cohort, log-linear fit ln(retention) ~ weeks-since
+    * via `regr_slope` over the bounded (cohort, week) grid — decay rate
+    * and half-life, the two numbers a growth forecast actually consumes.
+    * Activity grid distinct-ed once; everything after is calendar-sized.
+    * Slope sign gates the half-life (a non-decaying cohort has none). */
+  val q268 = QueryDef(
+    "q268_retention_decay",
+    (s, d) => {
+      val wk = floor(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), wk.cast("long").as("wk")).distinct()
+      val first = ud.groupBy("user_id").agg(min("wk").as("cw"))
+      val sizes = first.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+      val rates = ud.join(first, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("k"))
+        .agg(count(lit(1)).as("active"))
+        .join(sizes, "cw")
+        .select(col("cw"), col("k"),
+          (col("active").cast("double") / col("cohort_n")).as("rate"))
+      rates.filter(col("k") >= 1 && col("rate") > 0)
+        .groupBy("cw")
+        .agg(
+          count(lit(1)).as("n_weeks"),
+          expr("regr_slope(ln(rate), k)").as("_slope"))
+        .select(
+          col("cw").as("cohort_week"), col("n_weeks"),
+          r6(-col("_slope")).as("decay"),
+          r4(when(col("_slope") < 0, log(lit(2.0)) / -col("_slope"))).as("half_life_weeks"))
+        .orderBy("cohort_week")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+           |                   CAST(FLOOR(datediff('day', DATE '1970-01-01',
+           |                     CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+           |            FROM events),
+           |     f AS (SELECT user_id, MIN(wk) AS cw FROM ud GROUP BY 1),
+           |     sz AS (SELECT cw, COUNT(*) AS cohort_n FROM f GROUP BY 1),
+           |     r AS (SELECT f.cw, ud.wk - f.cw AS k,
+           |                  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(sz.cohort_n) AS rate
+           |           FROM ud JOIN f USING (user_id) JOIN sz ON sz.cw = f.cw
+           |           GROUP BY 1, 2),
+           |     g AS (SELECT cw, COUNT(*) AS n_weeks,
+           |                  regr_slope(LN(rate), k) AS s
+           |           FROM r WHERE k >= 1 AND rate > 0 GROUP BY 1)
+           |SELECT cw AS cohort_week, n_weeks,
+           |       ROUND(-s, 6) AS decay,
+           |       ROUND(CASE WHEN s < 0 THEN LN(2.0) / -s END, 4) AS half_life_weeks
+           |FROM g ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266)
+      q259, q262, q266, q268)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
