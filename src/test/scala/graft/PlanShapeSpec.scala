@@ -164,6 +164,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(windows.size == 1, s"expected one Window operator, got ${windows.size}:\n$plan")
   }
 
+  test("q255 WAU joins the bounded day calendar by broadcast, never shuffling it") {
+    val plan = finalPlan(SparkEntry.queries("q255_wau_stickiness")(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"day calendar must broadcast:\n$plan")
+  }
+
+  test("q245 pseudonymization stays a projection: no join, no window, one scan") {
+    val plan = finalPlan(SparkEntry.queries("q245_pseudonymize")(spark, sf0001))
+    // the hash is row-local; the only shuffles are the distinct-aggregate's
+    // own phases — a Join or Window would mean the pseudonym mapping was
+    // materialized as a table instead of an expression
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // count scans in the FINAL section only (AQE's toString repeats the
+    // initial plan below it)
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalSection).size == 1,
+      s"events must scan once:\n$plan")
+  }
+
+  test("q264 chunking runs one doc-keyed window and one assembly aggregation") {
+    val plan = finalPlan(SparkEntry.queries("q264_content_chunks")(spark, sf0001))
+    assert(plan.contains("hashpartitioning(doc_id"), s"chunk window must key on doc:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"source attribution should not force a second data-sized shuffle:\n$plan")
+  }
+
   test("q176 funnel is one keyed aggregation pass (no joins, no windows)") {
     val plan = finalPlan(SparkEntry.queries("q176_funnel_counts")(spark, sf0001))
     // the per-user fold is a groupBy(user) + aggregate(); stage counting
