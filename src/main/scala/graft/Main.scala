@@ -125,6 +125,15 @@ object Main {
         "type_rollup" -> (p => t(p).groupBy("event_type").agg(sum("value").as("total"))))
       println(graft.tools.AdvisorLoop.measure(spark, tbl, scratch, workload).render)
       spark.stop()
+    case "table-lookup" :: path :: keyCol :: keys :: Nil =>
+      // point lookup through the bloom-sidecar path (readKeys): the
+      // subject-access primitive — show every retained row for a key set
+      // opening only the files whose blooms admit the keys
+      val spark = GraftSession.local()
+      val ids = keys.split(",").toSeq.map(_.trim.toLong).toArray
+      graft.io.VersionedTable.readKeys(spark, path, keyCol, ids)
+        .show(1000, truncate = false)
+      spark.stop()
     case "table-tag" :: path :: name :: rest if rest.size <= 1 =>
       // pin a release name to a version (default: latest); tagged
       // versions survive table-vacuum until the tag is deleted

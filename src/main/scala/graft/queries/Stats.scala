@@ -957,7 +957,84 @@ object Stats {
            |         AS mi_nats
            |FROM m, t""".stripMargin))
 
+  /** Q269 — two-proportion z-test on an A/B split (the experiment
+    * readout q182's Welch t covers for means, here for CONVERSION
+    * rates): users split 50/50 by the portable md5 coin, conversion =
+    * ever purchased, pooled-variance z statistic and the 95% decision.
+    * One user-level aggregate then a 2-row fold — the test statistic
+    * comes from four counts, nothing data-sized after the first
+    * aggregation. */
+  val q269 = QueryDef(
+    "q269_ab_proportions",
+    (s, d) => {
+      // conversion = above-median purchase count, so the rate is interior
+      // by construction (every fixture user purchases at least once)
+      val counts = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      val med = counts.agg(expr("percentile(c, 0.5)").as("m"))
+      val users = counts.crossJoin(broadcast(med))
+        .select(col("user_id"), when(col("c") > col("m"), 1).otherwise(0).as("conv"))
+        .withColumn("arm",
+          when(conv(
+            substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))), 1, 4),
+            16, 10).cast("int") % 2 === 0, "A").otherwise("B"))
+      val g = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      val wide = g.agg(
+        max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "A", col("x"))).as("x_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"),
+        max(when(col("arm") === "B", col("x"))).as("x_b"))
+      wide.select(
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        r6(col("x_a") / col("n_a")).as("p_a"),
+        r6(col("x_b") / col("n_b")).as("p_b"),
+        r4(
+          (col("x_a") / col("n_a") - col("x_b") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z"),
+        (abs(
+          (col("x_a") / col("n_a") - col("x_b") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))) > 1.96)
+          .as("significant_95"))
+    },
+    Some("""WITH cnt AS (SELECT user_id,
+           |                    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+           |             FROM events GROUP BY 1),
+           |     md AS (SELECT quantile_cont(c, 0.5) AS m FROM cnt),
+           |     u AS (SELECT user_id,
+           |                  CASE WHEN c > md.m THEN 1 ELSE 0 END AS conv
+           |           FROM cnt, md),
+           |     a AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab-v1:' ||
+           |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 = 0
+           |                  THEN 'A' ELSE 'B' END AS arm, conv
+           |           FROM u),
+           |     g AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS x FROM a GROUP BY 1),
+           |     w AS (SELECT
+           |             CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+           |             CAST(MAX(CASE WHEN arm = 'A' THEN x END) AS BIGINT) AS x_a,
+           |             CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+           |             CAST(MAX(CASE WHEN arm = 'B' THEN x END) AS BIGINT) AS x_b
+           |           FROM g)
+           |SELECT n_a, x_a, n_b, x_b,
+           |       ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           |       ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           |       ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+           |             SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+           |                  (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+           |                  (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+           |       ABS((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+           |           SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+           |                (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+           |                (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
+           |FROM w""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267)
+      q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
+      q269)
 }
