@@ -112,7 +112,10 @@ object TextFunctions {
     * repetition signal (Rae et al. 2021 Table A1), token form. 0 when the
     * doc has fewer than n tokens. Row-local O(g²) nested-lambda count
     * with g bounded by doc length — pure projection, no shuffle, stays in
-    * codegen next to the other quality signals. */
+    * codegen next to the other quality signals. The quadratic is PER ROW:
+    * fine to ~1k-token docs (10⁶ cheap comparisons); for book-length
+    * documents switch to the exploded (doc, gram)-keyed aggregate form
+    * (one shuffle, linear work — the q87/q125 shape). */
   def topNgramFrac(text: Column, n: Int): Column = {
     require(n >= 1, "n-gram order must be >= 1")
     val toks = tokens(text)
