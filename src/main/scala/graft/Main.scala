@@ -79,6 +79,14 @@ object Main {
       val (v, rewritten) = graft.io.VersionedTable.compact(spark, path, target.toLong)
       println(s"[graft] compacted $rewritten files -> version $v")
       spark.stop()
+    case "table-vacuum-dry" :: path :: keepLast :: Nil =>
+      // what vacuum WOULD remove — run before the irreversible step
+      val spark = GraftSession.local()
+      val (vs, files, bytes) =
+        graft.io.VersionedTable.vacuumDryRun(spark, path, keepLast.toInt)
+      println(s"[graft] would drop ${vs.size} versions (${vs.mkString(",")}), " +
+        s"${files.size} files, $bytes bytes")
+      spark.stop()
     case "table-vacuum" :: path :: keepLast :: Nil =>
       val spark = GraftSession.local()
       val (manifests, files) = graft.io.VersionedTable.vacuum(spark, path, keepLast.toInt)

@@ -2394,23 +2394,52 @@ object VersionedTable {
     f.delete(tagFile(path, name), false)
   }
 
-  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+  /** What a `vacuum(keepLast)` WOULD remove: (versions, files, bytes) —
+    * the dry run every retention runbook wants before the irreversible
+    * step (pre-delete snapshots stop time-traveling once vacuum runs).
+    * Pure listing + manifest reads; nothing is touched. */
+  def vacuumDryRun(
+      spark: SparkSession, path: String, keepLast: Int): (Seq[Long], Seq[String], Long) = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val f = fs(spark, path)
+    val (drop, _, referenced) = vacuumPlan(spark, path, keepLast)
+    val victims = Seq.newBuilder[(String, Long)]
+    val dataRoot = new Path(s"$path/data")
+    if (f.exists(dataRoot)) {
+      for (dir <- f.listStatus(dataRoot) if dir.isDirectory;
+           file <- f.listStatus(dir.getPath) if file.isFile) {
+        val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
+        if (!referenced.contains(rel)) victims += ((rel, file.getLen))
+      }
+    }
+    val vs = victims.result()
+    (drop, vs.map(_._1).sorted, vs.map(_._2).sum)
+  }
+
+  /** Shared retention arithmetic: (versions to drop, versions kept,
+    * data/CDF/DV/bloom files the kept versions still reference). Tagged
+    * versions are pinned — they stay readable no matter how far the
+    * retention window moves past them. */
+  private def vacuumPlan(
+      spark: SparkSession, path: String,
+      keepLast: Int): (Seq[Long], Seq[Long], Set[String]) = {
     val vs = versions(spark, path)
-    // tagged versions are pinned: they stay readable (and their files
-    // referenced) no matter how far the retention window moves past them
     val pinned = tags(spark, path).values.toSet
     val (dropRaw, keepRaw) = vs.splitAt(math.max(0, vs.size - keepLast))
     val drop = dropRaw.filterNot(pinned)
     val keep = keepRaw ++ dropRaw.filter(pinned)
-    // data files, CDF tombstones, deletion vectors, and bloom sidecars
-    // of retained versions all survive
     val referenced = keep.flatMap { v =>
       val text = manifestText(spark, path, v)
       manifestFiles(spark, path, v) ++ cdfFilesOf(text) ++ dvFilesOf(text) ++
         bloomFilesOf(text)
     }.toSet
+    (drop, keep, referenced)
+  }
+
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val f = fs(spark, path)
+    val (drop, _, referenced) = vacuumPlan(spark, path, keepLast)
     var filesRemoved = 0
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {

@@ -2000,7 +2000,8 @@ object Text {
            |       CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS distinct_chunks,
            |       ROUND(AVG(n_tok), 6) AS avg_len,
            |       CAST(SUM(n_tok) AS BIGINT) AS tok_sum
-           |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Q265 — chunk-level dedup STRIP (the action on q264's audit, the
     * q137→q144 pattern at chunk granularity): every repeated

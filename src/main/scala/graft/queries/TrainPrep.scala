@@ -732,7 +732,8 @@ object TrainPrep {
            |       string_agg(array_to_string(
            |         list_transform(range(0, len(piece)), j -> CAST(tb + j AS VARCHAR)), ','),
            |         ',' ORDER BY so) AS pos_str
-           |FROM q GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin))
+           |FROM q GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin),
+    headline = true)
 
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,

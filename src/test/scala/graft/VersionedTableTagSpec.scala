@@ -43,6 +43,26 @@ class VersionedTableTagSpec extends SparkSuite {
     assert(VersionedTable.tagVersion(spark, path, "prod") == v2)
   }
 
+  test("vacuumDryRun predicts exactly what vacuum removes, touching nothing") {
+    val path = fresh()
+    (1 to 3).foreach(i =>
+      VersionedTable.commitAppend(Seq((i.toLong, s"r$i")).toDF("id", "v"), path))
+    // appends carry files forward (nothing to free until history rewrites);
+    // the overwrite retires every prior data file
+    VersionedTable.commitOverwrite(Seq((9L, "z")).toDF("id", "v"), path)
+    val before = VersionedTable.versions(spark, path)
+    val (dropV, dropF, bytes) = VersionedTable.vacuumDryRun(spark, path, keepLast = 1)
+    assert(dropV == before.take(3))
+    assert(dropF.count(_.endsWith(".parquet")) == 3 && bytes > 0,
+      s"files=$dropF bytes=$bytes")
+    // dry run touched nothing
+    assert(VersionedTable.versions(spark, path) == before)
+    assert(VersionedTable.read(spark, path, Some(before.head)).count() == 1)
+    // the real vacuum removes exactly the predicted set
+    val (nv, nf) = VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert((nv, nf) == ((dropV.size, dropF.size)))
+  }
+
   test("vacuum pins tagged versions; deleting the tag releases them") {
     val path = fresh()
     (1 to 5).foreach(i =>
