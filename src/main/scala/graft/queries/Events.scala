@@ -1087,11 +1087,59 @@ object Events {
            |       ROUND(CASE WHEN s < 0 THEN LN(2.0) / -s END, 4) AS half_life_weeks
            |FROM g ORDER BY 1""".stripMargin))
 
+  /** Q270 — landing/exit matrix: how sessions OPEN and CLOSE
+    * (first/last event type per q184 session) with session-length means
+    * per (landing, exit) pair — the navigation-flow summary beside the
+    * q259 in-session funnel. One per-user sort shared by the session
+    * split and the full-frame first/last window; output is a
+    * types²-bounded grid. */
+  val q270 = QueryDef(
+    "q270_landing_exit",
+    (s, d) => {
+      val sess = graft.ops.Sessionize.assignSessions(
+        Tables.events(s, d), "user_id", "ts", "event_id", 1800L * 1000000L)
+      val w = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      sess
+        .withColumn("first_t", first("event_type").over(w))
+        .withColumn("last_t", last("event_type").over(w))
+        .groupBy("user_id", "session_id", "first_t", "last_t")
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("first_t").as("landing"), col("last_t").as("exit"))
+        .agg(count(lit(1)).as("n_sessions"), r4(avg(col("len"))).as("avg_len"))
+        .orderBy("landing", "exit")
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+           |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+           |           FROM events
+           |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (SELECT user_id, ts, event_id, event_type,
+           |                     CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                              THEN 1 ELSE 0 END)
+           |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                       AS BIGINT) AS session_id
+           |              FROM g),
+           |     fl AS (SELECT user_id, session_id, event_type,
+           |                   FIRST_VALUE(event_type) OVER w2 AS first_t,
+           |                   LAST_VALUE(event_type) OVER w2 AS last_t
+           |            FROM sess
+           |            WINDOW w2 AS (PARTITION BY user_id, session_id
+           |                          ORDER BY ts, event_id
+           |                          ROWS BETWEEN UNBOUNDED PRECEDING
+           |                          AND UNBOUNDED FOLLOWING)),
+           |     per AS (SELECT user_id, session_id, first_t, last_t,
+           |                    COUNT(*) AS len
+           |             FROM fl GROUP BY 1, 2, 3, 4)
+           |SELECT first_t AS landing, last_t AS exit,
+           |       COUNT(*) AS n_sessions, ROUND(AVG(len), 4) AS avg_len
+           |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268)
+      q259, q262, q266, q268, q270)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
