@@ -2064,6 +2064,27 @@ object VersionedTable {
     (added ++ removed ++ retyped).sortBy(c => (c.column, c.change))
   }
 
+  /** ADD COLUMN as a metadata-only commit: the logical schema gains a
+    * nullable field, existing data files stay untouched (reads
+    * null-fill), and subsequent writes may populate it — the additive
+    * half of schema evolution made EXPLICIT instead of riding a
+    * schema-merging append. Fails on duplicates; the column must be
+    * nullable because history cannot be backfilled. */
+  def addColumn(spark: SparkSession, path: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(colName.matches("[A-Za-z0-9._-]+"),
+      s"column names live in manifest JSON and must be [A-Za-z0-9._-]+, got: $colName")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, vs.last)
+    val logical = schemaOf(text).getOrElse(read(spark, path).schema)
+    require(!logical.fieldNames.contains(colName), s"column '$colName' already exists")
+    val widened = org.apache.spark.sql.types.StructType(
+      logical.fields :+ org.apache.spark.sql.types.StructField(colName, dataType, nullable = true))
+    publish(spark, path, "add-column", Seq.empty, carryForward = true,
+      schemaOverride = Some(widened), requiredParent = Some(vs.last)).get
+  }
+
   def renameColumn(spark: SparkSession, path: String, oldName: String, newName: String): Long = {
     require(newName.matches("[A-Za-z0-9._-]+"),
       s"column names live in manifest JSON and must be [A-Za-z0-9._-]+, got: $newName")

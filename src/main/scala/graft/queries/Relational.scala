@@ -2183,7 +2183,53 @@ object Relational {
               (SELECT COUNT(*) FROM orders) AS cnt,
               (SELECT ROUND(SUM(o_totalprice)/1000000.0, 4) FROM orders) AS total_mm"""))
 
+  /** Q271 — referential-integrity audit across the star schema: orphan
+    * foreign keys per edge (lineitem→orders, orders→customer,
+    * customer→nation, lineitem→part/supplier) counted by LEFT ANTI join
+    * — the data-quality sweep a warehouse runs after every load, as one
+    * bounded report. Each edge is one keyed anti-join; dims broadcast
+    * where small. Zero rows on a consistent fixture IS the assertion —
+    * the oracle replays every NOT IN. */
+  val q271 = QueryDef(
+    "q271_fk_orphans",
+    (s, d) => {
+      def orphans(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+          dim: org.apache.spark.sql.DataFrame, pk: String) =
+        fact.join(dim, fact(fk) === dim(pk), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(name).as("edge"), col("orphans"))
+      Seq(
+        orphans("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        orphans("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        orphans("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        orphans("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        orphans("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .reduce(_.unionByName(_)).orderBy("edge")
+    },
+    Some("""SELECT 'customer->nation' AS edge,
+              (SELECT COUNT(*) FROM customer
+               WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS orphans
+            UNION ALL SELECT 'lineitem->orders',
+              (SELECT COUNT(*) FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            UNION ALL SELECT 'lineitem->part',
+              (SELECT COUNT(*) FROM lineitem
+               WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+            UNION ALL SELECT 'lineitem->supplier',
+              (SELECT COUNT(*) FROM lineitem
+               WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+            UNION ALL SELECT 'orders->customer',
+              (SELECT COUNT(*) FROM orders
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            ORDER BY edge"""))
+
   def all: Seq[QueryDef] = Seq(
+    q271,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

@@ -138,9 +138,14 @@ class VtCatalog extends TableCatalog {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested column renames are not supported")
         VersionedTable.renameColumn(spark, path, r.fieldNames.head, r.newName)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested column adds are not supported")
+        require(a.isNullable,
+          "added columns must be nullable (history cannot be backfilled)")
+        VersionedTable.addColumn(spark, path, a.fieldNames.head, a.dataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
-          "(supported: RENAME COLUMN; additive columns + type widening happen on write)")
+          "(supported: RENAME COLUMN, ADD COLUMN; type widening happens on write)")
     }
     load(ident, None)
   }

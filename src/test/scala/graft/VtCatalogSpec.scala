@@ -85,6 +85,24 @@ class VtCatalogSpec extends SparkSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM vtt.`$base` WHERE id < 5").head().getLong(0) == 5)
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only, old rows null-fill, writes populate") {
+    wh
+    spark.sql("CREATE TABLE vtt.addc_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vtt.addc_t SELECT 1, 'a'")
+    spark.sql("ALTER TABLE vtt.addc_t ADD COLUMN score DOUBLE")
+    // history null-fills; the new column is writable
+    assert(spark.sql("SELECT score FROM vtt.addc_t").collect()(0).isNullAt(0))
+    spark.sql("INSERT INTO vtt.addc_t SELECT 2, 'b', 9.5")
+    assert(spark.sql(
+      "SELECT COUNT(*), SUM(score) FROM vtt.addc_t").collect().toSeq ==
+      Seq(Row(2L, 9.5)))
+    // duplicates refuse; the pre-ALTER snapshot still reads the old schema
+    intercept[Exception](spark.sql("ALTER TABLE vtt.addc_t ADD COLUMN score DOUBLE"))
+    assert(spark.sql("SELECT * FROM vtt.addc_t VERSION AS OF 2").columns.toSeq ==
+      Seq("id", "v"))
+    spark.sql("DROP TABLE vtt.addc_t")
+  }
+
   test("CREATE TABLE AS SELECT materializes the query as a committed table") {
     wh
     spark.sql(
