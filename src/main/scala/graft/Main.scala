@@ -56,6 +56,29 @@ object Main {
         case None => System.err.println(s"unknown query '$name'"); sys.exit(1)
       }
       spark.stop()
+    // Impact analysis — invert column lineage over the WHOLE registry:
+    // which queries (and which of their outputs) depend on a leaf
+    // column. Driver-side plan walks only; `needle` matches the
+    // "table.column" suffix (e.g. "lineitem.l_discount" or just
+    // "l_discount").
+    case "impact" :: needle :: sfDir :: Nil =>
+      val spark = GraftSession.local()
+      var hits = 0
+      SparkEntry.registry.foreach { q =>
+        try {
+          val deps = graft.tools.ColumnLineage.of(q.run(spark, sfDir))
+          val touched = deps.toSeq.collect {
+            case (out, srcs) if srcs.exists(s => s == needle || s.endsWith(s".$needle") ||
+              s.endsWith(needle)) => out
+          }.sorted
+          if (touched.nonEmpty) {
+            hits += 1
+            println(f"${q.name}%-30s <- ${touched.mkString(", ")}")
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      println(s"[graft] $hits queries depend on '$needle'")
+      spark.stop()
     case "metrics" :: name :: sfDir :: Nil =>
       val spark = GraftSession.local()
       SparkEntry.queries.get(name) match {

@@ -1135,11 +1135,59 @@ object Events {
            |       COUNT(*) AS n_sessions, ROUND(AVG(len), 4) AS avg_len
            |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q272 — conversion by session-length bucket ("does engagement
+    * convert"): q184 sessions bucketed by event count (1, 2-4, 5-9,
+    * 10+), each session flagged converted if it contains a purchase —
+    * session counts and conversion rates per bucket. One per-user sort
+    * for the split, one session-keyed aggregate, a 4-row grid out. */
+  val q272 = QueryDef(
+    "q272_session_conversion",
+    (s, d) => {
+      val per = graft.ops.Sessionize.assignSessions(
+        Tables.events(s, d), "user_id", "ts", "event_id", 1800L * 1000000L)
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("len"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      per
+        .groupBy(
+          when(col("len") === 1, "a_1")
+            .when(col("len") <= 4, "b_2_4")
+            .when(col("len") <= 9, "c_5_9")
+            .otherwise("d_10plus").as("len_bucket"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("conv").as("n_converted"),
+          r6(avg(col("conv").cast("double"))).as("conv_rate"))
+        .orderBy("len_bucket")
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+           |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+           |           FROM events
+           |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (SELECT user_id, event_type,
+           |                     CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                              THEN 1 ELSE 0 END)
+           |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                       AS BIGINT) AS session_id
+           |              FROM g),
+           |     per AS (SELECT user_id, session_id, COUNT(*) AS len,
+           |                    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           |             FROM sess GROUP BY 1, 2)
+           |SELECT CASE WHEN len = 1 THEN 'a_1'
+           |            WHEN len <= 4 THEN 'b_2_4'
+           |            WHEN len <= 9 THEN 'c_5_9'
+           |            ELSE 'd_10plus' END AS len_bucket,
+           |       COUNT(*) AS n_sessions,
+           |       CAST(SUM(conv) AS BIGINT) AS n_converted,
+           |       ROUND(AVG(CAST(conv AS DOUBLE)), 6) AS conv_rate
+           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270)
+      q259, q262, q266, q268, q270, q272)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
