@@ -454,7 +454,30 @@ object Similarity {
          |ORDER BY k""".stripMargin
     })
 
+  /** Q273 — MMR diverse retrieval ([[graft.ops.DiverseTopK]]): the
+    * 10-result page for probe 0 selected by maximal marginal relevance
+    * (λ = 0.7) — each pick trades relevance against similarity to what
+    * is already on the page, killing near-duplicate result runs. k
+    * sequential argmax rounds (greedy is inherently sequential) →
+    * rows-only; DiverseTopKSpec hand-solves both λ regimes and pins
+    * determinism under repartitioning. */
+  val q273 = QueryDef(
+    "q273_mmr_select",
+    (s, d) => {
+      import s.implicits._
+      val e = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val probe = e.filter(col("vec_id") === 0)
+        .select("emb").collect()(0).getSeq[Double](0)
+      val scored = e.filter(col("vec_id") =!= 0)
+        .withColumn("rel",
+          graft.functions.CosineSimilarity(col("emb"), typedLit(probe)))
+      graft.ops.DiverseTopK.mmr(scored, "vec_id", "emb", "rel", k = 10, lambda = 0.7)
+        .zipWithIndex.map { case (id, i) => (i + 1, id) }
+        .toDF("rank", "vec_id")
+    },
+    None)
+
   def all: Seq[QueryDef] =
     Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248,
-      q258, q260)
+      q258, q260, q273)
 }

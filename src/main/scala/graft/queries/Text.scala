@@ -2063,10 +2063,60 @@ object Text {
            |         AS strip_frac
            |FROM b LEFT JOIN a USING (source) ORDER BY source""".stripMargin))
 
+
+  /** Q274 — duplicate-cluster size histogram: q88's connected components
+    * summarized as "how many clusters of each size" — the one-line
+    * duplication-severity readout (a corpus of pairs dedups cheaply; a
+    * few giant clusters mean template spam). Same edge build and CC
+    * loop; two bounded aggregations on the labels. The oracle extends
+    * q88's recursive-CTE components with the same double grouping. */
+  val q274 = QueryDef(
+    "q274_dup_cluster_sizes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      val edges = docs.select(
+          col("doc_id"),
+          explode(graft.functions.ShingleHashSetExpr(
+            TextFunctions.tokens(col("text")), 3)).as("h"))
+        .groupBy("h").agg(
+          count(lit(1)).as("df"),
+          min(col("doc_id")).as("src"),
+          max(col("doc_id")).as("dst"))
+        .filter(col("df") === 2)
+        .select("src", "dst")
+        .distinct()
+      val (labels, _) = ConnectedComponents.label(edges)
+      labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    },
+    Some("""WITH RECURSIVE
+           |  tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+           |          WHERE len(str_split(text, ' ')) >= 3),
+           |  sh AS (SELECT DISTINCT doc_id, s FROM (
+           |           SELECT doc_id,
+           |                  UNNEST(list_transform(range(1, len(t) - 1),
+           |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |           FROM tok)),
+           |  rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) = 2),
+           |  edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |            FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+           |            WHERE a.doc_id < b.doc_id),
+           |  sym AS (SELECT src, dst FROM edges
+           |          UNION SELECT dst AS src, src AS dst FROM edges),
+           |  reach(a, b) AS (SELECT src, dst FROM sym
+           |                  UNION
+           |                  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |  comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+           |  cs AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY 1)
+           |SELECT CAST(sz AS BIGINT) AS sz, COUNT(*) AS n_clusters
+           |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
       q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234,
-      q242, q243, q261, q264, q265)
+      q242, q243, q261, q264, q265, q274)
 }
