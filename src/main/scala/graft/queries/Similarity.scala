@@ -2,9 +2,12 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+
 import graft.core.Fmt.{r4, r6}
 import graft.core.Tables
-import graft.ops.{Ann, Embeddings, SemDedup}
+import graft.ops.{Ann, Bm25, Embeddings, SemDedup}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §2.11
   * X3 / §2.13 Q21). Exact brute-force cosine is the baseline + oracle path;
@@ -477,7 +480,95 @@ object Similarity {
     },
     None)
 
+  /** Ranks a branch's top-k result 1..k by (score desc, doc_id). The
+    * branch arrives ALREADY bounded (TakeOrdered top-20), so the global
+    * row_number is over ≤ k rows; the identity re-aggregation (ids are
+    * unique) makes that boundedness explicit to PlanShapeSpec's
+    * registry-wide unpartitioned-window guard, the same contract as the
+    * per-bucket stats stitches. */
+  private def rankTop(branch: DataFrame, score: String): DataFrame = {
+    val bounded = branch.groupBy("doc_id").agg(max(col(score)).as(score))
+    bounded.select(
+      col("doc_id"),
+      row_number().over(Window.orderBy(col(score).desc, col("doc_id"))).as("r"))
+  }
+
+  /** Q275 — reciprocal-rank-fusion hybrid retrieval: "more like item 0"
+    * answered by BOTH the lexical index (BM25 over doc 0's distinct
+    * tokens as the query) and the semantic index (cosine against
+    * embedding 0), fused with the published RRF formula
+    * Σ 1/(60 + rank) (Cormack et al., SIGIR'09) — the standard hybrid
+    * search shape behind RAG retrieval stacks. Each branch is its own
+    * scale-safe top-20 (BM25's postings-sized aggregation; the
+    * broadcast-probe cosine scan), fusion is a 20∪20-row full-outer
+    * join. The one driver read is doc 0's token set — bounded by a
+    * single document, the same contract as shipping the probe embedding.
+    * The oracle replays both scoring formulas, both rank lists, and the
+    * fusion arithmetic end-to-end. */
+  val q275 = QueryDef(
+    "q275_rrf_hybrid",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs.filter(col("doc_id") === 0)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      val lex = Bm25.topDocs(
+        docs.filter(col("doc_id") =!= 0), "text", "doc_id", terms, topK = 20)
+      val corpus = Ann.prepared(Tables.embeddings(s, d), "embedding", "vec_id")
+      val sem = Ann
+        .bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 20)
+        .select(col("vec_id").as("doc_id"), col("sim"))
+      val rl = rankTop(lex, "score").withColumnRenamed("r", "r_lex")
+      val rs = rankTop(sem, "sim").withColumnRenamed("r", "r_sem")
+      rl.join(rs, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", r6(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))))
+        .select(
+          col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0)).as("r_sem"),
+          col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH t AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id <> 0),
+           |     q AS (SELECT DISTINCT UNNEST(str_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id = 0),
+           |     dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+           |     st AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+           |     p AS (SELECT t.term, t.doc_id, COUNT(*) AS tf
+           |           FROM t JOIN q USING (term) GROUP BY 1, 2),
+           |     df AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+           |     sc AS (SELECT p.doc_id,
+           |                   ROUND(SUM(LN(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+           |                         * p.tf * (1.2 + 1.0)
+           |                         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6)
+           |                     AS score
+           |            FROM p JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+           |            GROUP BY 1),
+           |     lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+           |             FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)),
+           |     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |     pe AS (SELECT emb FROM e WHERE vec_id = 0),
+           |     sims AS (SELECT vec_id AS doc_id,
+           |                     ROUND(list_cosine_similarity(e.emb, pe.emb), 6) AS sim
+           |              FROM e, pe WHERE vec_id <> 0),
+           |     sem AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+           |             FROM (SELECT * FROM sims WHERE NOT isnan(sim)
+           |                   ORDER BY sim DESC, doc_id LIMIT 20)),
+           |     f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           |                  l.r AS r_lex, s.r AS r_sem
+           |           FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+           |SELECT doc_id,
+           |       CAST(COALESCE(r_lex, 0) AS INTEGER) AS r_lex,
+           |       CAST(COALESCE(r_sem, 0) AS INTEGER) AS r_sem,
+           |       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0)
+           |             + COALESCE(CAST(1 AS DOUBLE) / (60 + r_sem), 0), 6) AS rrf
+           |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248,
-      q258, q260, q273)
+      q258, q260, q273, q275)
 }
