@@ -2228,8 +2228,59 @@ object Relational {
                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
             ORDER BY edge"""))
 
+  /** Q277 — market-basket association rules: part pairs co-ordered in the
+    * same order, ranked by lift = P(ab)·N / (P(a)·P(b)), with support and
+    * confidence — the classic cross-sell/affinity mining shape (Agrawal &
+    * Srikant's support-confidence framework) over the TPC-H star schema.
+    * Pair generation self-joins the DISTINCT (order, part) projection on
+    * the order key, so the blow-up is bounded by the per-basket item
+    * count (≤7 in TPC-H — retail baskets, never corpus-sized), and every
+    * downstream stage is a keyed aggregation/join on pair or part keys.
+    * min-support n_ab ≥ 2 prunes the singleton-pair tail BEFORE the part
+    * joins; top-20 by (lift desc, p1, p2) is a TakeOrdered. */
+  val q277 = QueryDef(
+    "q277_association_rules",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = li.select(countDistinct(col("o")).as("n_orders"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val pc = li.groupBy("p").agg(count(lit(1)).as("n_p"))
+      pairs
+        .join(pc.select(col("p").as("p1"), col("n_p").as("n_p1")), "p1")
+        .join(pc.select(col("p").as("p2"), col("n_p").as("n_p2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(
+          col("p1"), col("p2"), col("n_ab"),
+          r6(col("n_ab") / col("n_orders")).as("support"),
+          r6(col("n_ab") / col("n_p1")).as("confidence"),
+          r6(col("n_ab").cast("double") * col("n_orders") /
+            (col("n_p1").cast("double") * col("n_p2"))).as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |     n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM d),
+           |     pr AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_ab
+           |            FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+           |            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |     pc AS (SELECT p, COUNT(*) AS n_p FROM d GROUP BY 1)
+           |SELECT p1, p2, CAST(n_ab AS BIGINT) AS n_ab,
+           |       ROUND(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+           |       ROUND(CAST(n_ab AS DOUBLE) / c1.n_p, 6) AS confidence,
+           |       ROUND(CAST(n_ab AS DOUBLE) * n_orders / (c1.n_p * c2.n_p), 6) AS lift
+           |FROM pr JOIN pc c1 ON pr.p1 = c1.p JOIN pc c2 ON pr.p2 = c2.p
+           |CROSS JOIN n
+           |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271,
+    q271, q277,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

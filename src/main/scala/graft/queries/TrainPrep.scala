@@ -735,10 +735,42 @@ object TrainPrep {
            |FROM q GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin),
     headline = true)
 
+  /** Q278 — per-source quantile normalization: each document's length
+    * score mapped to its WITHIN-SOURCE decile, the calibration step that
+    * makes quality scores comparable across heterogeneous sources before
+    * mixing ("src3's 400 chars is its top decile; src7's is median").
+    * Built on q194's one-percentile-aggregate construction PER SOURCE:
+    * the boundary table is sources × 9 doubles (bounded), broadcast back,
+    * and the decile is a row-local fold over the array — no per-source
+    * window ever sees data-sized partitions, the exact trap a
+    * `percent_rank() OVER (PARTITION BY source)` would hit when one
+    * source dominates a 100 TB corpus. */
+  val q278 = QueryDef(
+    "q278_quantile_normalize",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val taus = (1 to 9).map(_ / 10.0)
+      val bounds = docs.groupBy("source").agg(
+        expr(s"percentile(n_chars, array(${taus.mkString(",")}))").as("qs"))
+      docs.join(broadcast(bounds), "source")
+        .select(
+          col("doc_id"), col("source"), col("n_chars"),
+          expr("CAST(aggregate(qs, 0, (acc, q) -> acc + IF(n_chars > q, 1, 0)) AS INT)")
+            .as("decile"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT source, quantile_cont(n_chars,
+           |                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+           |           FROM documents GROUP BY 1)
+           |SELECT doc_id, d.source, n_chars,
+           |       CAST(len(list_filter(b.qs, q -> d.n_chars > q)) AS INTEGER) AS decile
+           |FROM documents d JOIN b ON d.source = b.source
+           |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q95, q96, q97, q98, q102, q103, q104, q107, q110, q139, q140, q141, q143, q152,
       q155, q159, q160, q162, q216, q217, q219, q221, q223, q224, q228, q235, q236, q237,
-      q244, q250)
+      q244, q250, q278)
 
   /** Q152 — quality-weighted subsampling ([[graft.ops.WeightedSample]]):
     * keep 10 documents per source, sampled WITHOUT replacement with
