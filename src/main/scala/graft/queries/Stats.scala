@@ -1075,8 +1075,59 @@ object Stats {
            |             / LOG10(1 + CAST(1 AS DOUBLE) / digit) * total, 6) AS chi2_term
            |FROM c CROSS JOIN t ORDER BY digit""".stripMargin))
 
+  /** Q279 — one-pass k-fold cross-validation of the baseline mean
+    * predictor: rows land in 5 folds via the portable md5 coin (the
+    * q269 idiom — engine-independent, so the oracle replays the exact
+    * split), and every fold's out-of-fold mean and held-out RMSE come
+    * from ONE corpus aggregation. The trick is algebraic: per-fold
+    * (n, Σy, Σy²) suffice — m_out = (S−s_k)/(N−n_k) and
+    * RMSE_k = sqrt((ss_k − 2·m_out·s_k + n_k·m_out²)/n_k) — so k-fold
+    * CV costs one scan + a 5-row grid, not k training passes (the
+    * leave-fold-out generalization of the LOO trick in q256's target
+    * encoding). l_quantity is integer-valued, so the fold sums are
+    * EXACT in doubles regardless of aggregation order. */
+  val q279 = QueryDef(
+    "q279_kfold_cv",
+    (s, d) => {
+      val rows = Tables.lineitem(s, d).select(
+        conv(substring(md5(concat(lit("cv-v1:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 4), 16, 10)
+          .cast("int").%(5).as("fold"),
+        col("l_quantity").as("y"))
+      val perFold = rows.groupBy("fold").agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      val totals = perFold.agg(
+        sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"))
+      val mOut = (col("s_tot") - col("s")) / (col("n_tot") - col("n"))
+      perFold.crossJoin(broadcast(totals))
+        .select(
+          col("fold"), col("n"),
+          r6(mOut).as("mean_out"),
+          r6(sqrt((col("ss") - lit(2.0) * mOut * col("s") + col("n") * mOut * mOut)
+            / col("n"))).as("rmse"))
+        .orderBy("fold")
+    },
+    Some("""WITH r AS (SELECT CAST(('0x' || substr(md5('cv-v1:' ||
+           |                  CAST(l_orderkey AS VARCHAR) || ':' ||
+           |                  CAST(l_linenumber AS VARCHAR)), 1, 4)) AS INTEGER) % 5
+           |                    AS fold,
+           |                  l_quantity AS y
+           |           FROM lineitem),
+           |     f AS (SELECT fold, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+           |           FROM r GROUP BY 1),
+           |     t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot, SUM(s) AS s_tot FROM f)
+           |SELECT fold, CAST(n AS BIGINT) AS n,
+           |       ROUND((s_tot - s) / (n_tot - n), 6) AS mean_out,
+           |       ROUND(SQRT((ss - 2 * ((s_tot - s) / (n_tot - n)) * s
+           |                   + n * ((s_tot - s) / (n_tot - n))
+           |                       * ((s_tot - s) / (n_tot - n))) / n), 6) AS rmse
+           |FROM f CROSS JOIN t ORDER BY fold""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q276)
+      q269, q276, q279)
 }
