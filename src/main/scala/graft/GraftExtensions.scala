@@ -112,5 +112,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectResolutionRule(_ => graft.sources.VtDmlRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // Maintenance SQL (DESCRIBE HISTORY / SHOW TAGS / VACUUM / OPTIMIZE)
+    // for versioned tables; everything else falls through to the default
+    // parser untouched.
+    ext.injectParser((_, delegate) => new graft.sources.VtSqlParser(delegate))
   }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+
+/** Maintenance SQL for versioned tables ([[graft.sources.VtSqlParser]]):
+  * DESCRIBE HISTORY / SHOW TAGS / VACUUM ... RETAIN [DRY RUN] /
+  * OPTIMIZE ... TARGET must drive the library's ops paths from plain
+  * `spark.sql`, the dry-run prediction must equal the subsequent real
+  * removal, standard SQL must fall through to the default parser
+  * untouched, and a non-vt catalog reference must refuse. */
+class VtSqlOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(nVersions: Int): String = {
+    val path = java.nio.file.Files.createTempDirectory("vtsqlops").toString + "/tbl"
+    (0 until nVersions).foreach { v =>
+      VersionedTable.commitAppend(
+        (0L until 20L).map(i => (v * 100L + i, s"v$v")).toDF("id", "label"),
+        path, "id")
+    }
+    path
+  }
+
+  private def ref(path: String): String = {
+    spark.conf.set("spark.sql.catalog.vtops", classOf[graft.sources.VtCatalog].getName)
+    s"vtops.`$path`"
+  }
+
+  test("DESCRIBE HISTORY returns one row per version with operations and parents") {
+    val path = freshTable(3)
+    val rows = spark.sql(s"DESCRIBE HISTORY ${ref(path)}")
+      .orderBy("version").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getAs[String]("operation") == "append"))
+    assert(rows.map(_.getAs[Long]("parent")).toSeq == Seq(-1L, 1L, 2L))
+    assert(rows.forall(_.getAs[Int]("n_files") > 0))
+  }
+
+  test("SHOW TAGS lists tags set through the library API") {
+    val path = freshTable(2)
+    VersionedTable.setTag(spark, path, "rc1", Some(1L))
+    VersionedTable.setTag(spark, path, "release", Some(2L))
+    val rows = spark.sql(s"SHOW TAGS ${ref(path)}").collect()
+      .map(r => (r.getAs[String]("tag"), r.getAs[Long]("version"))).toSeq
+    assert(rows == Seq(("rc1", 1L), ("release", 2L)))
+  }
+
+  test("VACUUM DRY RUN predicts; VACUUM removes exactly the prediction") {
+    val path = freshTable(4)
+    // overwrite so old versions hold files the retained ones don't reference
+    VersionedTable.overwrite(
+      (0L until 5L).map(i => (i, "ow")).toDF("id", "label"), path)
+    val dry = spark.sql(s"VACUUM ${ref(path)} RETAIN 1 VERSIONS DRY RUN").collect()(0)
+    assert(dry.getAs[Boolean]("dry_run"))
+    assert(dry.getAs[Int]("versions_removed") == 4)
+    assert(dry.getAs[Int]("files_removed") > 0)
+    assert(dry.getAs[Long]("bytes_removed") > 0L)
+    // nothing touched by the dry run: all versions still time-travel
+    assert(VersionedTable.versions(spark, path).size == 5)
+    val real = spark.sql(s"VACUUM ${ref(path)} RETAIN 1 VERSIONS").collect()(0)
+    assert(!real.getAs[Boolean]("dry_run"))
+    assert(real.getAs[Int]("versions_removed") == dry.getAs[Int]("versions_removed"))
+    assert(real.getAs[Int]("files_removed") == dry.getAs[Int]("files_removed"))
+    assert(real.getAs[Long]("bytes_removed") == dry.getAs[Long]("bytes_removed"))
+    assert(VersionedTable.versions(spark, path) == Seq(5L))
+    assert(VersionedTable.read(spark, path).count() == 5)
+  }
+
+  test("OPTIMIZE compacts the small append files into one and keeps every row") {
+    val path = freshTable(5) // five 20-row appends
+    val before = VersionedTable.read(spark, path).count()
+    val row = spark.sql(s"OPTIMIZE ${ref(path)} TARGET 1000 ROWS").collect()(0)
+    assert(row.getAs[Long]("files_rewritten") >= 5L)
+    assert(row.getAs[Long]("new_version") == 6L)
+    assert(VersionedTable.read(spark, path).count() == before)
+    val hist = spark.sql(s"DESCRIBE HISTORY ${ref(path)}")
+      .orderBy(col("version").desc).collect()
+    assert(hist.head.getAs[String]("operation") == "compact")
+  }
+
+  test("standard SQL falls through to the default parser untouched") {
+    assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getAs[Int]("two") == 2)
+    // a statement mentioning the keywords inside normal SQL still parses
+    assert(spark.sql("SELECT 'VACUUM t RETAIN 1 VERSIONS' AS s").count() == 1)
+  }
+
+  test("maintenance statements refuse non-vt catalog references") {
+    val e = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY spark_catalog.default.nope").collect()
+    }
+    assert(e.getMessage.contains("not a graft versioned-table catalog"))
+  }
+}
