@@ -1236,11 +1236,54 @@ object Events {
            |       CAST(n_days AS BIGINT) AS n_days
            |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin))
 
+  /** Q281 — time-to-convert distribution: for every user whose first
+    * `view` is followed by a `purchase`, the latency from that first
+    * view to the FIRST subsequent purchase, summarized as exact
+    * p50/p90/p99 — the funnel-latency number next to q92's conversion
+    * count (how MANY convert) and q176's step breakdown (WHERE they
+    * drop): how LONG conversion takes. Two user-keyed aggregations
+    * (first view; first purchase at-or-after it via a co-keyed join) and
+    * ONE percentile aggregate; latencies stay whole microseconds (exact
+    * longs) until the final seconds conversion, so the interpolation
+    * arithmetic is identical cross-engine. */
+  val q281 = QueryDef(
+    "q281_time_to_convert",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_us"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(firstView, "user_id")
+        .filter(col("p_us") >= col("v_us"))
+        .groupBy("user_id").agg((min(col("p_us")) - min(col("v_us"))).as("lat_us"))
+      lat.agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile(lat_us, array(0.5, 0.9, 0.99))").as("qs"))
+        .select(
+          col("n_converted"),
+          r6(element_at(col("qs"), 1) / lit(1000000.0)).as("p50_s"),
+          r6(element_at(col("qs"), 2) / lit(1000000.0)).as("p90_s"),
+          r6(element_at(col("qs"), 3) / lit(1000000.0)).as("p99_s"))
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+           |           WHERE event_type = 'view' GROUP BY 1),
+           |     l AS (SELECT e.user_id,
+           |                  MIN(epoch_us(e.ts)) - MIN(v.v_us) AS lat_us
+           |           FROM events e JOIN v USING (user_id)
+           |           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+           |           GROUP BY 1)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           |       ROUND(quantile_cont(lat_us, 0.5) / 1000000.0, 6) AS p50_s,
+           |       ROUND(quantile_cont(lat_us, 0.9) / 1000000.0, 6) AS p90_s,
+           |       ROUND(quantile_cont(lat_us, 0.99) / 1000000.0, 6) AS p99_s
+           |FROM l""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270, q272, q280)
+      q259, q262, q266, q268, q270, q272, q280, q281)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

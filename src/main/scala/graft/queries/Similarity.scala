@@ -568,7 +568,59 @@ object Similarity {
            |             + COALESCE(CAST(1 AS DOUBLE) / (60 + r_sem), 0), 6) AS rrf
            |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** Q282 — nearest-centroid classifier evaluation: per-label centroids
+    * of the embedding column, every vector classified to its nearest
+    * centroid (squared euclidean), reported as a confusion matrix — the
+    * ten-line sanity check ("are these labels even separable in
+    * embedding space?") run before spending on a real probe classifier.
+    * Centroids build from ONE (label, pos) aggregation (classes × dims
+    * rows — bounded) and broadcast back; scoring is a row-local
+    * `zip_with` fold over the 10-row centroid table, argmin via
+    * `min(struct(dist, label))` — no window, no per-class scan.
+    * Centroid components round to 6 decimals BEFORE the distance so the
+    * only cross-engine arithmetic on unrounded parallel sums is the
+    * AVG itself (error ~1e-15 against a 1e-6 grid); the fold then runs
+    * in identical index order in both engines. */
+  val q282 = QueryDef(
+    "q282_centroid_confusion",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("emb"))
+      val centroids = e
+        .select(col("label").as("c_label"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("c_label", "pos").agg(avg(col("x")).as("c"))
+        .groupBy("c_label")
+        .agg(array_sort(collect_list(struct(col("pos"), r6(col("c")).as("c"))))
+          .as("pc"))
+        .select(col("c_label"), transform(col("pc"), p => p.getField("c")).as("cemb"))
+      e.crossJoin(broadcast(centroids))
+        .withColumn("dist", aggregate(
+          zip_with(col("emb"), col("cemb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy("vec_id", "label")
+        .agg(min(struct(col("dist"), col("c_label"))).as("m"))
+        .select(col("label"), col("m.c_label").as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           |           FROM embeddings),
+           |     cp AS (SELECT e.label AS c_label, t.i AS pos, ROUND(AVG(emb[t.i]), 6) AS c
+           |            FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+           |     cl AS (SELECT c_label, list(c ORDER BY pos) AS cemb FROM cp GROUP BY 1),
+           |     sc AS (SELECT vec_id, label, c_label,
+           |                   list_sum(list_transform(range(1, 65),
+           |                     i -> (emb[i] - cemb[i]) * (emb[i] - cemb[i]))) AS dist
+           |            FROM e CROSS JOIN cl),
+           |     pr AS (SELECT label, c_label,
+           |                   ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                     ORDER BY dist, c_label) AS rn
+           |            FROM sc)
+           |SELECT label, c_label AS pred, COUNT(*) AS n
+           |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248,
-      q258, q260, q273, q275)
+      q258, q260, q273, q275, q282)
 }
