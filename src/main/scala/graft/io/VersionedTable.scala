@@ -869,7 +869,7 @@ object VersionedTable {
     // metadata-only schema commits add no files and are safe to cross
     val bad = ops.filterNot { case (_, op) =>
       op == "append" || op == "stream-append" || op == "rename" || op == "retype" ||
-        op == "constraint"
+        op == "constraint" || op == "analyze"
     }
     require(bad.isEmpty,
       s"changes() needs an append-only window; version(s) ${bad.map(_._1).mkString(",")} " +
@@ -932,7 +932,7 @@ object VersionedTable {
             (if (ins.isEmpty) None
              else Some(tag(evolvedRead(spark, path, toText, ins), "insert", v)))
         case "compact" => None // rewrites files without changing a row
-        case "rename" | "retype" | "constraint" => None // metadata-only
+        case "rename" | "retype" | "constraint" | "analyze" => None // metadata-only
         case other =>
           throw new IllegalArgumentException(
             s"changesWithType() cannot cross a '$other' commit (version $v); " +
@@ -2243,6 +2243,70 @@ object VersionedTable {
       VersionInfo(v, operationOf(text), parent,
         manifestFiles(spark, path, v).size, txnOf(text).keys.toSeq.sorted)
     }
+
+  /** Retrofit file-skipping metadata onto an EXISTING table: per-file
+    * min/max ranges for `cols` (plus per-file row counts for the
+    * [[countRows]] fast path) computed over the CURRENT snapshot's files
+    * and published as a metadata-only `analyze` version — no data file
+    * is rewritten, so the cost is one aggregate-only scan, after which
+    * [[table]]/[[readWhere]] prune predicates over `cols` exactly as if
+    * the ranges had been recorded at write time. This is the missing
+    * half of the layout-advisor loop: adopt a recommendation on a table
+    * whose history predates it without a full rewrite. Integral-typed
+    * columns only (ranges store as longs — the statsCols contract);
+    * columns entangled in a rename history refuse (physical files carry
+    * old names — compact first). DVs are fine: ranges are a safe
+    * over-approximation and [[countRows]] subtracts tombstones itself.
+    * Re-bases on a lost commit race like compaction. */
+  def analyzeStats(
+      spark: SparkSession, path: String, cols: Seq[String], maxRebases: Int = 5): Long = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    var attempt = 0
+    while (attempt <= maxRebases) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val text = manifestText(spark, path, current)
+      val renamed = renamesOf(text).flatMap { case (a, b) => Seq(a, b) }.toSet
+      val tangled = cols.filter(renamed.contains)
+      require(tangled.isEmpty,
+        s"analyze cannot retrofit stats through a rename history (${tangled.mkString(",")}) — " +
+          "compact first so every physical file carries the current names")
+      val rel = manifestFiles(spark, path, current)
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("long")).as(s"__lo_$i"), max(col(c).cast("long")).as(s"__hi_$i"))
+      } :+ count(lit(1)).as("__rows")
+      val rows = spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
+        .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val p = new java.net.URI(r.getString(0)).getPath
+          (p.substring(p.lastIndexOf("/data/") + "/data/".length), r)
+        }
+      val ranges = rows.flatMap { case (f, r) =>
+        cols.zipWithIndex.flatMap { case (c, j) =>
+          // all-null file column: no range recorded, never pruned
+          if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
+          else Some((f, c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
+        }
+      }.toMap
+      val counts = rows.map { case (f, r) => f -> r.getLong(1 + 2 * cols.size) }.toMap
+      try {
+        publish(spark, path, "analyze", Seq.empty, carryForward = true,
+          newRanges = ranges, statsCols = cols,
+          requiredParent = Some(current), newRowCounts = counts) match {
+          case Some(v) => return v
+          case None => // not reachable without txn; recompute defensively
+        }
+      } catch {
+        case _: ConcurrentCommitException if attempt <= maxRebases => // re-base
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"analyze at $path lost $maxRebases commit races — table too hot, retry later")
+  }
 
   /** Compact the current snapshot's small files into ~`targetRowsPerFile`
     * files as a new version — the log-structured write pattern (many

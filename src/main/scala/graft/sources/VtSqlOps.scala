@@ -21,6 +21,8 @@ import graft.io.VersionedTable
   *   VACUUM vt.events RETAIN 3 VERSIONS    -- physical retention (tagged versions stay pinned)
   *   VACUUM vt.events RETAIN 3 VERSIONS DRY RUN   -- prediction only, nothing touched
   *   OPTIMIZE vt.events TARGET 100000 ROWS -- small-file compaction (rebases on commit races)
+  *   ANALYZE vt.events COMPUTE STATS FOR COLUMNS id, ts
+  *                                         -- retrofit file-skipping ranges, metadata-only commit
   * }}}
   *
   * Everything else — including every statement Spark itself understands —
@@ -40,6 +42,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimize =
     """(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?\s*;?\s*""".r
+  private val analyze =
+    """(?is)\s*ANALYZE\s+(.+?)\s+COMPUTE\s+STATS\s+FOR\s+COLUMNS\s+([\w.,\s`-]+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(ident) =>
@@ -50,6 +54,9 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtVacuumCommand(parts(ident), keep.toInt, dryRun = dry != null)
     case optimize(ident, target, zorder) =>
       VtOptimizeCommand(parts(ident), target.toLong, zOrder = zorder != null)
+    case analyze(ident, cols) =>
+      VtAnalyzeCommand(parts(ident),
+        cols.split(",").map(c => c.trim.stripPrefix("`").stripSuffix("`")).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -139,6 +146,18 @@ final case class VtVacuumCommand(tableParts: Seq[String], keepLast: Int, dryRun:
     val (versions, files, bytes) = VersionedTable.vacuumDryRun(spark, path, keepLast)
     if (!dryRun) VersionedTable.vacuum(spark, path, keepLast)
     Seq(Row(versions.size, files.size, bytes, dryRun))
+  }
+}
+
+final case class VtAnalyzeCommand(tableParts: Seq[String], cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("new_version", LongType),
+    VtSqlOps.attr("columns", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val v = VersionedTable.analyzeStats(spark, path, cols)
+    Seq(Row(v, cols.mkString(",")))
   }
 }
 

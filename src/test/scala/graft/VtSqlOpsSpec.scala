@@ -81,6 +81,36 @@ class VtSqlOpsSpec extends SparkSuite {
     assert(hist.head.getAs[String]("operation") == "compact")
   }
 
+  test("ANALYZE retrofits file-skipping ranges: pruning kicks in, rows unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      val root = df.queryExecution.executedPlan
+      root.executeCollect()
+      val finals = root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      finals.flatMap(_.collect { case s: FileSourceScanExec => s })
+        .map(_.metrics("numFiles").value).sum
+    }
+    // four single-file commits with disjoint id ranges, NO stats recorded
+    val path = java.nio.file.Files.createTempDirectory("vtsqlops").toString + "/tbl"
+    (0 until 4).foreach { b =>
+      VersionedTable.commitAppend(
+        (b * 100L until (b + 1) * 100L).map(i => (i, s"r$i")).toDF("id", "label")
+          .coalesce(1), path)
+    }
+    def probe = VersionedTable.table(spark, path).filter(col("id").between(150, 160))
+    assert(filesScanned(probe) == 4, "no stats yet: every file scanned")
+    val row = spark.sql(s"ANALYZE ${ref(path)} COMPUTE STATS FOR COLUMNS id").collect()(0)
+    assert(row.getAs[Long]("new_version") == 5L)
+    assert(filesScanned(probe) == 1, "retrofitted ranges must prune to the one file")
+    assert(probe.count() == 11)
+    // metadata-only: history records 'analyze', countRows rides the new counts
+    val hist = spark.sql(s"DESCRIBE HISTORY ${ref(path)}")
+      .orderBy(col("version").desc).collect()
+    assert(hist.head.getAs[String]("operation") == "analyze")
+    assert(VersionedTable.countRows(spark, path) == 400L)
+  }
+
   test("standard SQL falls through to the default parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getAs[Int]("two") == 2)
     // a statement mentioning the keywords inside normal SQL still parses
