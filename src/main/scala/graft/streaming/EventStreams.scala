@@ -41,6 +41,28 @@ object EventStreams {
 
   /** Stateful exact dedup by event id. In streaming mode with a watermark,
     * `dropDuplicatesWithinWatermark` bounds the key state. */
+  /** Streaming latency/quality quantile monitor: per (tumbling minute,
+    * event_type) a mergeable DdSketch of `value`, finished into
+    * p50/p90/p99 — the live "is p99 degrading" dashboard feed. The
+    * sketch is the aggregation STATE, so per-window-per-type state is
+    * bounded by the value dynamic range over gamma (~hundreds of
+    * buckets), never by event count; the watermark retires closed
+    * windows. Relative-error contract is DdSketch's (±1% per bucket
+    * bound), identical in batch and streaming because both run the same
+    * Aggregator — StreamQuantilesSpec pins stream == batch equality. */
+  def quantileAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(
+        graft.functions.DdSketch.sketch(col("value")).as("sk"),
+        count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("w_start"), col("event_type"), col("n"),
+        r6(graft.functions.DdSketch.quantileOf(col("sk"), 0.5)).as("p50"),
+        r6(graft.functions.DdSketch.quantileOf(col("sk"), 0.9)).as("p90"),
+        r6(graft.functions.DdSketch.quantileOf(col("sk"), 0.99)).as("p99"))
+
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
