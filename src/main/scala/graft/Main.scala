@@ -200,6 +200,15 @@ object Main {
         s"${r.dataFilesRewritten} data + ${r.cdfFilesRewritten} cdf + " +
         s"${r.dvFilesRewritten} dv files rewritten, ${r.versionsEdited} manifests edited")
       spark.stop()
+    case "sql" :: stmt :: rest if rest.size <= 1 =>
+      // run one SQL statement (incl. the VtSqlParser maintenance surface:
+      // DESCRIBE HISTORY / SHOW TAGS / VACUUM / OPTIMIZE / ANALYZE); an
+      // optional second arg registers the fixture tables first so plain
+      // SELECTs over region/nation/.../documents work too
+      val spark = GraftSession.local()
+      rest.headOption.foreach(sfDir => graft.core.Tables.registerFixtures(spark, sfDir))
+      spark.sql(stmt).show(100, truncate = false)
+      spark.stop()
     case "table-verify" :: path :: Nil =>
       // offline integrity sweep: referenced-file existence, recorded
       // row counts, orphan census (exit 1 on corruption)
@@ -217,7 +226,7 @@ object Main {
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
-          "list | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
+          "list | sql <stmt> [sfDir] | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
           "advise-measure <sfDir> <scratchDir> | " +
           "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +

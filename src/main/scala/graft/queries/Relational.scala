@@ -2279,8 +2279,81 @@ object Relational {
            |CROSS JOIN n
            |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin))
 
+  /** Q283 — order-to-ship latency by priority: the fulfillment SLA view
+    * (does 1-URGENT actually ship faster?). Lag stays whole DAYS (exact
+    * ints) through the fact-fact join and into the percentile aggregate;
+    * the join is keyed on the order key (both sides shuffle-partitioned
+    * on it — no broadcast of a fact), and the output is one row per
+    * priority. */
+  val q283 = QueryDef(
+    "q283_ship_lag_priority",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
+        col("o_orderpriority").as("priority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("priority"), datediff(col("ship"), col("odate")).as("lag_d"))
+        .groupBy("priority")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(lag_d, array(0.5, 0.9))").as("qs"),
+          max(col("lag_d")).as("max_d"))
+        .select(
+          col("priority"), col("n"),
+          r6(element_at(col("qs"), 1)).as("p50_d"),
+          r6(element_at(col("qs"), 2)).as("p90_d"),
+          col("max_d"))
+        .orderBy("priority")
+    },
+    Some("""WITH j AS (SELECT o_orderpriority AS priority,
+           |                  date_diff('day', CAST(o_orderdate AS DATE),
+           |                            CAST(l_shipdate AS DATE)) AS lag_d
+           |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+           |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(quantile_cont(lag_d, 0.5), 6) AS p50_d,
+           |       ROUND(quantile_cont(lag_d, 0.9), 6) AS p90_d,
+           |       CAST(MAX(lag_d) AS INTEGER) AS max_d
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q284 — share-of-parent rollup: nation revenue as a fraction of its
+    * region's — the hierarchy-percentage report every BI layer renders.
+    * One star-join aggregation to the (region, nation) grid (dims
+    * broadcast), then the share via a window over the BOUNDED aggregated
+    * grid (25 rows) — the parent total is never a second scan. */
+  val q284 = QueryDef(
+    "q284_share_of_parent",
+    (s, d) => {
+      val rev = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      rev
+        .withColumn("share",
+          r6(col("rev") / sum(col("rev")).over(Window.partitionBy("region"))))
+        .select(col("region"), col("nation"), r4(col("rev")).as("revenue"), col("share"))
+        .orderBy("region", "nation")
+    },
+    Some("""WITH rev AS (SELECT r_name AS region, n_name AS nation,
+           |                    SUM(o_totalprice) AS rev
+           |             FROM orders
+           |             JOIN customer ON o_custkey = c_custkey
+           |             JOIN nation ON c_nationkey = n_nationkey
+           |             JOIN region ON n_regionkey = r_regionkey
+           |             GROUP BY 1, 2)
+           |SELECT region, nation, ROUND(rev, 4) AS revenue,
+           |       ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6) AS share
+           |FROM rev ORDER BY region, nation""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277,
+    q271, q277, q283, q284,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
