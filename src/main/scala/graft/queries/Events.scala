@@ -1183,59 +1183,6 @@ object Events {
            |       ROUND(AVG(CAST(conv AS DOUBLE)), 6) AS conv_rate
            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Q280 — CUSUM change-point detection per event type: the day where
-    * the cumulative deviation from the type's mean daily volume peaks —
-    * the classic Page/CUSUM "when did the level shift" scan behind
-    * release-impact forensics (q156 flags anomalous HOURS; this locates
-    * the structural break DAY). All heavy lifting is the one (type, day)
-    * count aggregation; the CUSUM runs over the bounded type×day grid
-    * with an EXACT integer cumulative sum (S_t), deviation computed as
-    * S_t − t·total/n_days in one double op per row — no accumulated FP
-    * drift to disagree across engines. Argmax by (|cusum| desc, day). */
-  val q280 = QueryDef(
-    "q280_cusum_changepoint",
-    (s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      val cum = daily
-        .withColumn("t", row_number().over(w))
-        .withColumn("s_t", sum(col("x")).over(w))
-        .withColumn("total", sum(col("x")).over(Window.partitionBy("event_type")))
-        .withColumn("n_days", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("cusum", r6(
-          col("s_t") - col("t") * col("total").cast("double") / col("n_days")))
-      cum
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("day"))))
-        .filter(col("rk") === 1)
-        .select(
-          col("event_type"),
-          col("day").cast("string").as("cp_day"),
-          col("cusum").as("peak_cusum"),
-          col("n_days"))
-        .orderBy("event_type")
-    },
-    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
-           |               FROM events GROUP BY 1, 2),
-           |     c AS (SELECT event_type, day,
-           |                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
-           |                  CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day)
-           |                       AS BIGINT) AS s_t,
-           |                  CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
-           |                  COUNT(*) OVER (PARTITION BY event_type) AS n_days
-           |           FROM daily),
-           |     k AS (SELECT event_type, day,
-           |                  ROUND(s_t - t * CAST(total AS DOUBLE) / n_days, 6) AS cusum,
-           |                  n_days
-           |           FROM c),
-           |     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-           |                       ORDER BY ABS(cusum) DESC, day) AS rk FROM k)
-           |SELECT event_type, CAST(day AS VARCHAR) AS cp_day, cusum AS peak_cusum,
-           |       CAST(n_days AS BIGINT) AS n_days
-           |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin))
-
   /** Q281 — time-to-convert distribution: for every user whose first
     * `view` is followed by a `purchase`, the latency from that first
     * view to the FIRST subsequent purchase, summarized as exact
@@ -1283,7 +1230,7 @@ object Events {
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270, q272, q280, q281)
+      q259, q262, q266, q268, q270, q272, q281)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

@@ -2228,18 +2228,19 @@ object Relational {
                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
             ORDER BY edge"""))
 
-  /** Q277 — market-basket association rules: part pairs co-ordered in the
-    * same order, ranked by lift = P(ab)·N / (P(a)·P(b)), with support and
-    * confidence — the classic cross-sell/affinity mining shape (Agrawal &
-    * Srikant's support-confidence framework) over the TPC-H star schema.
-    * Pair generation self-joins the DISTINCT (order, part) projection on
-    * the order key, so the blow-up is bounded by the per-basket item
-    * count (≤7 in TPC-H — retail baskets, never corpus-sized), and every
-    * downstream stage is a keyed aggregation/join on pair or part keys.
-    * min-support n_ab ≥ 2 prunes the singleton-pair tail BEFORE the part
-    * joins; top-20 by (lift desc, p1, p2) is a TakeOrdered. */
+  /** Q277 — market-basket mining over a DATA-SIZED item space: part
+    * pairs co-ordered in the same order, ranked by lift with support and
+    * confidence (Agrawal & Srikant's framework). The behavioral twin
+    * q201 mines the types²-BOUNDED event-type grid where every pair fits
+    * in one report; here the itemset space grows with the catalog, which
+    * is what forces the Apriori-style machinery: pair generation
+    * self-joins the DISTINCT (order, part) projection on the order key
+    * (blow-up bounded by per-basket item count, ≤7 in TPC-H — never
+    * corpus-sized), min-support n_ab ≥ 2 prunes the singleton-pair tail
+    * BEFORE the part joins, and the report is top-20 by (lift desc, p1,
+    * p2) via TakeOrdered — every stage a keyed aggregation/join. */
   val q277 = QueryDef(
-    "q277_association_rules",
+    "q277_market_basket",
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

@@ -1033,48 +1033,6 @@ object Stats {
            |                (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
            |FROM w""".stripMargin))
 
-  /** Q276 — Benford first-digit audit of `l_extendedprice`: observed
-    * first-significant-digit frequencies vs Benford's log10(1 + 1/d)
-    * expectation with per-digit chi-square contributions — the standard
-    * fabricated-data / unit-mixing screen for financial measures. Digit
-    * extraction goes through exact integer cents
-    * (`round(x*100) → bigint → first char`) instead of
-    * `floor(x/10^floor(log10 x))` so no cross-engine libm ulp at a
-    * power-of-ten boundary can flip a digit. ONE 9-group aggregation
-    * with map-side combine plus a 1-row total broadcast — scale-free. */
-  val q276 = QueryDef(
-    "q276_benford_audit",
-    (s, d) => {
-      val digits = Tables.lineitem(s, d)
-        .select(substring(
-          round(col("l_extendedprice") * 100, 0).cast("long").cast("string"),
-          1, 1).cast("int").as("digit"))
-      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum(col("n")).as("total"))
-      val expFrac = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
-      counts.crossJoin(broadcast(total))
-        .select(
-          col("digit"),
-          col("n"),
-          r6(col("n") / col("total")).as("obs_frac"),
-          r6(expFrac).as("exp_frac"),
-          r6(pow(col("n") / col("total") - expFrac, 2) / expFrac * col("total"))
-            .as("chi2_term"))
-        .orderBy("digit")
-    },
-    Some("""WITH dg AS (SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100, 0)
-           |                     AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-           |            FROM lineitem),
-           |     c AS (SELECT digit, COUNT(*) AS n FROM dg GROUP BY 1),
-           |     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
-           |SELECT digit, CAST(n AS BIGINT) AS n,
-           |       ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_frac,
-           |       ROUND(LOG10(1 + CAST(1 AS DOUBLE) / digit), 6) AS exp_frac,
-           |       ROUND(POWER(CAST(n AS DOUBLE) / total
-           |                   - LOG10(1 + CAST(1 AS DOUBLE) / digit), 2)
-           |             / LOG10(1 + CAST(1 AS DOUBLE) / digit) * total, 6) AS chi2_term
-           |FROM c CROSS JOIN t ORDER BY digit""".stripMargin))
-
   /** Q279 — one-pass k-fold cross-validation of the baseline mean
     * predictor: rows land in 5 folds via the portable md5 coin (the
     * q269 idiom — engine-independent, so the oracle replays the exact
@@ -1129,5 +1087,5 @@ object Stats {
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q276, q279)
+      q269, q279)
 }

@@ -26,7 +26,7 @@ class AssocQuantileSpec extends SparkSuite {
       val lift = r6d(nAb.toDouble * nOrders / (partCount(p1).toDouble * partCount(p2)))
       (p1, p2, nAb.toLong, lift)
     }.sortBy { case (p1, p2, _, lift) => (-lift, p1, p2) }.take(20)
-    val got = SparkEntry.queries("q277_association_rules")(spark, sf0001)
+    val got = SparkEntry.queries("q277_market_basket")(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
         r.getAs[Long]("n_ab"), r.getAs[Double]("lift"))).toSeq
     assert(got == expected)
@@ -37,7 +37,7 @@ class AssocQuantileSpec extends SparkSuite {
       .select("l_orderkey", "l_partkey").distinct()
     val nOrders = op.select("l_orderkey").distinct().count()
     val pc = op.collect().groupBy(_.getLong(1)).map { case (p, xs) => (p, xs.length) }
-    SparkEntry.queries("q277_association_rules")(spark, sf0001).collect().foreach { r =>
+    SparkEntry.queries("q277_market_basket")(spark, sf0001).collect().foreach { r =>
       val nAb = r.getAs[Long]("n_ab")
       assert(nAb >= 2)
       assert(math.abs(r.getAs[Double]("support") - nAb.toDouble / nOrders) < 1e-6)
