@@ -1226,11 +1226,92 @@ object Events {
            |       ROUND(quantile_cont(lat_us, 0.99) / 1000000.0, 6) AS p99_s
            |FROM l""".stripMargin))
 
+  /** Q285 — dynamic partition pruning: the fact is laid out
+    * DIRECTORY-PARTITIONED by event_type (the warehouse layout for a
+    * low-cardinality hot filter column), the dimension filter selects 2
+    * of 5 categories, and Spark's DPP turns that runtime dim result into
+    * a partition filter on the fact scan — so only the matching
+    * directories are ever read, the scan-side behavior bucketing/static
+    * pruning can't give when the filter arrives through a JOIN.
+    * PlanShapeSpec asserts the `dynamicpruning` subquery in the scan and
+    * that 2 of 5 partitions are read; the oracle replays the same join
+    * from the flat events table. */
+  val q285 = QueryDef(
+    "q285_dynamic_partition_pruning",
+    (s, d) => {
+      import s.implicits._
+      val scratch = Scratch.dir("q285_dynamic_partition_pruning")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.partitionBy("event_type").parquet(s"$scratch/fact")
+      // the dim must be a SCANNED table (not a LocalRelation) — Catalyst
+      // constant-folds a filter over local rows away, and DPP only fires
+      // on a surviving selective Filter over the filtering side
+      Seq(
+        ("click", "engagement"), ("view", "engagement"), ("error", "ops"),
+        ("signup", "conversion"), ("purchase", "conversion"))
+        .toDF("event_type", "category")
+        .write.parquet(s"$scratch/dim")
+      s.read.parquet(s"$scratch/fact")
+        .join(
+          broadcast(s.read.parquet(s"$scratch/dim")
+            .filter(col("category") === "conversion")),
+          "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 4) AS total_value
+           |FROM events WHERE event_type IN ('signup', 'purchase')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q286 — frequent session paths: the top event-type 3-grams INSIDE
+    * q184's gap sessions with their support — sequence mining one step
+    * past q174's Markov 2-gram transitions (which cannot distinguish
+    * view→click→purchase from view→click→error). One user-keyed sort is
+    * shared by the session split and both LEADs; the path space is
+    * types³-bounded so the count aggregation output is a small grid. */
+  val q286 = QueryDef(
+    "q286_session_paths",
+    (s, d) => {
+      val sess = graft.ops.Sessionize.assignSessions(
+        Tables.events(s, d), "user_id", "ts", "event_id", 1800L * 1000000L)
+      val w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+           |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+           |           FROM events
+           |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (SELECT user_id, ts, event_id, event_type,
+           |                     CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                              THEN 1 ELSE 0 END)
+           |                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                       AS BIGINT) AS session_id
+           |              FROM g),
+           |     tri AS (SELECT event_type || '>' ||
+           |                    LEAD(event_type, 1) OVER w2 || '>' ||
+           |                    LEAD(event_type, 2) OVER w2 AS path,
+           |                    LEAD(event_type, 2) OVER w2 AS t3
+           |             FROM sess
+           |             WINDOW w2 AS (PARTITION BY user_id, session_id
+           |                           ORDER BY ts, event_id))
+           |SELECT path, COUNT(*) AS n FROM tri WHERE t3 IS NOT NULL
+           |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270, q272, q281)
+      q259, q262, q266, q268, q270, q272, q281, q285, q286)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

@@ -67,6 +67,28 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q285 join filter reaches the fact scan as a dynamic partition filter") {
+    // The dim filter (2 of 5 categories) must prune fact DIRECTORIES at
+    // runtime via DPP — a plan that reads all 5 partitions and filters
+    // after the join defeats the partitioned layout.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q285_dynamic_partition_pruning")(spark, sf0001)
+    val root = df.queryExecution.executedPlan
+    root.executeCollect()
+    // AQE hides subtrees inside query stages (plan is a field, not a
+    // child) — recurse through them to reach the fact scan
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => s } ++
+        (p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan } ++
+          p.collect { case q: QueryStageExec => q.plan }).flatMap(allScans)
+    val factScan = allScans(root)
+      .find(_.toString.contains("dynamicpruning"))
+    assert(factScan.isDefined, s"no dynamicpruning partition filter in:\n$root")
+    val partsRead = factScan.get.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.contains(2L), s"expected 2 of 5 partitions read, got $partsRead")
+  }
+
   test("q50 ntile ranks the fact rows under hashpartitioning(_bkt)") {
     // The customer rows (the side that grows with SF) must flow through the
     // distributed bucket window, not a single-task global window. (The
