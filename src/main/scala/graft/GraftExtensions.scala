@@ -112,9 +112,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectResolutionRule(_ => graft.sources.VtDmlRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
-    // Maintenance SQL (DESCRIBE HISTORY / SHOW TAGS / VACUUM / OPTIMIZE)
-    // for versioned tables; everything else falls through to the default
-    // parser untouched.
+    // Maintenance SQL (DESCRIBE HISTORY / SHOW TAGS / VACUUM / OPTIMIZE /
+    // ANALYZE / RESTORE / DESCRIBE DETAIL) for versioned tables;
+    // everything else falls through to the default parser untouched.
     ext.injectParser((_, delegate) => new graft.sources.VtSqlParser(delegate))
+    // Row-level change feed as a SQL table function:
+    //   SELECT * FROM vt_changes('/path/tbl', fromVersion, toVersion)
+    // Arguments must be literals (the plan is built at analysis time);
+    // the result is changesWithType's frame — data columns plus
+    // _change_type / _commit_version.
+    ext.injectTableFunction((
+      FunctionIdentifier("vt_changes"),
+      info("vt_changes",
+        "vt_changes(path, fromVersion, toVersion) - versioned-table row-level change feed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"vt_changes(path, fromVersion, toVersion) takes 3 arguments, got ${args.length}")
+        require(args.forall(_.foldable), "vt_changes arguments must be literals")
+        val path = args.head.eval().toString
+        val from = literalInt(args(1), "vt_changes", "fromVersion").toLong
+        val to = literalInt(args(2), "vt_changes", "toVersion").toLong
+        graft.io.VersionedTable
+          .changesWithType(org.apache.spark.sql.SparkSession.active, path, from, to)
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -23,7 +23,14 @@ import graft.io.VersionedTable
   *   OPTIMIZE vt.events TARGET 100000 ROWS -- small-file compaction (rebases on commit races)
   *   ANALYZE vt.events COMPUTE STATS FOR COLUMNS id, ts
   *                                         -- retrofit file-skipping ranges, metadata-only commit
+  *   RESTORE vt.events TO VERSION 3        -- roll the table back (new commit, history kept)
+  *   DESCRIBE DETAIL vt.events             -- location / version / files / rows / columns / tags
   * }}}
+  *
+  * The row-level change feed is a TABLE FUNCTION (registered in
+  * GraftExtensions): `SELECT * FROM vt_changes('/path/tbl', 1, 3)` —
+  * CDF rows with `_change_type` / `_commit_version`, same contract as
+  * [[VersionedTable.changesWithType]].
   *
   * Everything else — including every statement Spark itself understands —
   * falls through to the delegate parser untouched, so the extension can
@@ -44,6 +51,10 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?\s*;?\s*""".r
   private val analyze =
     """(?is)\s*ANALYZE\s+(.+?)\s+COMPUTE\s+STATS\s+FOR\s+COLUMNS\s+([\w.,\s`-]+?)\s*;?\s*""".r
+  private val restore =
+    """(?is)\s*RESTORE\s+(.+?)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val describeDetail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(ident) =>
@@ -57,6 +68,10 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     case analyze(ident, cols) =>
       VtAnalyzeCommand(parts(ident),
         cols.split(",").map(c => c.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+    case restore(ident, version) =>
+      VtRestoreCommand(parts(ident), version.toLong)
+    case describeDetail(ident) =>
+      VtDescribeDetailCommand(parts(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -158,6 +173,43 @@ final case class VtAnalyzeCommand(tableParts: Seq[String], cols: Seq[String])
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val v = VersionedTable.analyzeStats(spark, path, cols)
     Seq(Row(v, cols.mkString(",")))
+  }
+}
+
+final case class VtRestoreCommand(tableParts: Seq[String], version: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("new_version", LongType),
+    VtSqlOps.attr("restored_version", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val v = VersionedTable.restore(spark, path, version)
+    Seq(Row(v, version))
+  }
+}
+
+final case class VtDescribeDetailCommand(tableParts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("location", StringType),
+    VtSqlOps.attr("current_version", LongType),
+    VtSqlOps.attr("n_versions", IntegerType),
+    VtSqlOps.attr("n_files", IntegerType),
+    VtSqlOps.attr("n_rows", LongType),
+    VtSqlOps.attr("n_columns", IntegerType),
+    VtSqlOps.attr("n_tags", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val hist = VersionedTable.history(spark, path)
+    val head = hist.last
+    // n_rows rides the manifest row counts when recorded (append/compact/
+    // analyze paths record them); tables written by stats-less paths fall
+    // back to one honest count scan — same contract as countRows itself
+    Seq(Row(
+      path, head.version, hist.size, head.nFiles,
+      VersionedTable.countRows(spark, path),
+      VersionedTable.tableSchema(spark, path, None).fields.length,
+      VersionedTable.tags(spark, path).size))
   }
 }
 

@@ -111,6 +111,37 @@ class VtSqlOpsSpec extends SparkSuite {
     assert(VersionedTable.countRows(spark, path) == 400L)
   }
 
+  test("RESTORE rolls back as a new commit; DESCRIBE DETAIL reflects it") {
+    val path = freshTable(3) // versions 1..3, 20 rows each
+    val row = spark.sql(s"RESTORE ${ref(path)} TO VERSION 1").collect()(0)
+    assert(row.getAs[Long]("restored_version") == 1L)
+    assert(row.getAs[Long]("new_version") == 4L)
+    assert(VersionedTable.read(spark, path).count() == 20)
+    // history kept: the pre-restore snapshot still time-travels
+    assert(VersionedTable.read(spark, path, Some(3L)).count() == 60)
+    val detail = spark.sql(s"DESCRIBE DETAIL ${ref(path)}").collect()(0)
+    assert(detail.getAs[String]("location") == path)
+    assert(detail.getAs[Long]("current_version") == 4L)
+    assert(detail.getAs[Int]("n_versions") == 4)
+    assert(detail.getAs[Long]("n_rows") == 20L)
+    assert(detail.getAs[Int]("n_columns") == 2)
+    assert(detail.getAs[Int]("n_tags") == 0)
+  }
+
+  test("vt_changes table function serves the row-level change feed from SQL") {
+    val path = freshTable(3)
+    val rows = spark.sql(s"SELECT * FROM vt_changes('$path', 1, 3)").collect()
+    assert(rows.length == 40) // versions 2 and 3 appended 20 rows each
+    assert(rows.forall(_.getAs[String]("_change_type") == "insert"))
+    val byVersion = rows.groupBy(_.getAs[Long]("_commit_version")).view.mapValues(_.length).toMap
+    assert(byVersion == Map(2L -> 20, 3L -> 20))
+    // literals enforced
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM vt_changes('$path', 1, (SELECT 3))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("standard SQL falls through to the default parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getAs[Int]("two") == 2)
     // a statement mentioning the keywords inside normal SQL still parses
