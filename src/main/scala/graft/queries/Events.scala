@@ -1307,11 +1307,125 @@ object Events {
            |SELECT path, COUNT(*) AS n FROM tri WHERE t3 IS NOT NULL
            |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin))
 
+  /** Q287 — cohort LTV curve: users cohorted by first-signup week,
+    * purchase revenue accumulated at week offsets since each user's own
+    * signup day — the lifetime-value triangle that prices acquisition
+    * (the revenue-weighted companion of the retention matrix). Two
+    * user-keyed aggregations (cohort day; purchases joined back), then
+    * the cumulative LTV runs over the BOUNDED (cohort, offset) grid;
+    * per-user normalization joins the broadcast cohort sizes. */
+  val q287 = QueryDef(
+    "q287_cohort_ltv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("c_day"))
+        .withColumn("c_week", to_date(date_trunc("week", col("c_day"))))
+      val sizes = cohorts.groupBy("c_week").agg(count(lit(1)).as("n_users"))
+      val grid = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("p_day"), col("value"))
+        .join(cohorts, "user_id")
+        .filter(col("p_day") >= col("c_day"))
+        .withColumn("offset_w",
+          floor(datediff(col("p_day"), col("c_day")) / 7).cast("int"))
+        .groupBy("c_week", "offset_w")
+        .agg(sum(col("value")).as("rev"))
+      grid
+        .withColumn("cum_rev",
+          sum(col("rev")).over(Window.partitionBy("c_week").orderBy("offset_w")))
+        .join(broadcast(sizes), "c_week")
+        .select(
+          col("c_week").cast("string").as("cohort_week"),
+          col("offset_w"), col("n_users"),
+          r4(col("rev")).as("revenue"),
+          r6(col("cum_rev") / col("n_users")).as("ltv_per_user"))
+        .orderBy("cohort_week", "offset_w")
+    },
+    Some("""WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS c_day
+           |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |     cw AS (SELECT user_id, c_day,
+           |                   CAST(date_trunc('week', c_day) AS DATE) AS c_week FROM c),
+           |     sz AS (SELECT c_week, COUNT(*) AS n_users FROM cw GROUP BY 1),
+           |     g AS (SELECT cw.c_week,
+           |                  CAST(FLOOR(date_diff('day', cw.c_day, CAST(e.ts AS DATE))
+           |                             / 7.0) AS INTEGER) AS offset_w,
+           |                  SUM(e.value) AS rev
+           |           FROM events e JOIN cw USING (user_id)
+           |           WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= cw.c_day
+           |           GROUP BY 1, 2)
+           |SELECT CAST(g.c_week AS VARCHAR) AS cohort_week, g.offset_w, sz.n_users,
+           |       ROUND(g.rev, 4) AS revenue,
+           |       ROUND(SUM(g.rev) OVER (PARTITION BY g.c_week ORDER BY g.offset_w)
+           |             / sz.n_users, 6) AS ltv_per_user
+           |FROM g JOIN sz USING (c_week)
+           |ORDER BY cohort_week, offset_w""".stripMargin))
+
+  /** Q288 — RFM segmentation: recency / frequency / monetary quintile
+    * scores per purchasing user, the workhorse customer-value cut. The
+    * quintiles come from ONE fused percentile aggregate (all three
+    * boundary arrays in a single pass over the user frame) broadcast
+    * back and folded row-locally — the q194 equi-depth construction ×3,
+    * so the data-sized user frame never feeds a global window (the trap
+    * a naive `NTILE(5) OVER (ORDER BY …)` per metric would hit three
+    * times over). Boundary semantics (ties share a bucket) is also
+    * tie-stable where NTILE's equal-split is arbitrary. Monetary rounds
+    * to 4 decimals BEFORE boundaries and scoring so parallel-sum FP
+    * noise cannot flip a quintile. */
+  val q288 = QueryDef(
+    "q288_rfm_segmentation",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(to_date(col("ts"))).as("now_day"))
+      val users = ev.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+          min(datediff(col("now_day"), to_date(col("ts")))).as("r_days"),
+          count(lit(1)).as("freq"),
+          r4(sum(col("value"))).as("monetary"))
+      val bounds = users.agg(
+        expr("percentile(r_days, array(0.2,0.4,0.6,0.8))").as("rb"),
+        expr("percentile(freq, array(0.2,0.4,0.6,0.8))").as("fb"),
+        expr("percentile(monetary, array(0.2,0.4,0.6,0.8))").as("mb"))
+      users.crossJoin(broadcast(bounds))
+        .select(
+          col("user_id"), col("r_days"), col("freq"), col("monetary"),
+          expr("CAST(1 + aggregate(rb, 0, (a, b) -> a + IF(b > r_days, 1, 0)) AS INT)")
+            .as("score_r"),
+          expr("CAST(1 + aggregate(fb, 0, (a, b) -> a + IF(b < freq, 1, 0)) AS INT)")
+            .as("score_f"),
+          expr("CAST(1 + aggregate(mb, 0, (a, b) -> a + IF(b < monetary, 1, 0)) AS INT)")
+            .as("score_m"))
+        .withColumn("rfm",
+          concat(col("score_r").cast("string"), col("score_f").cast("string"),
+            col("score_m").cast("string")))
+        .orderBy("user_id")
+    },
+    Some("""WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS now_day FROM events),
+           |     u AS (SELECT user_id,
+           |                  MIN(date_diff('day', CAST(ts AS DATE), a.now_day)) AS r_days,
+           |                  COUNT(*) AS freq,
+           |                  ROUND(SUM(value), 4) AS monetary
+           |           FROM events, a WHERE event_type = 'purchase' GROUP BY 1, a.now_day),
+           |     b AS (SELECT quantile_cont(r_days, [0.2,0.4,0.6,0.8]) AS rb,
+           |                  quantile_cont(freq, [0.2,0.4,0.6,0.8]) AS fb,
+           |                  quantile_cont(monetary, [0.2,0.4,0.6,0.8]) AS mb
+           |           FROM u)
+           |SELECT user_id, CAST(r_days AS INTEGER) AS r_days,
+           |       CAST(freq AS BIGINT) AS freq, monetary,
+           |       CAST(1 + len(list_filter(b.rb, x -> x > u.r_days)) AS INTEGER) AS score_r,
+           |       CAST(1 + len(list_filter(b.fb, x -> x < u.freq)) AS INTEGER) AS score_f,
+           |       CAST(1 + len(list_filter(b.mb, x -> x < u.monetary)) AS INTEGER) AS score_m,
+           |       CAST(1 + len(list_filter(b.rb, x -> x > u.r_days)) AS VARCHAR) ||
+           |       CAST(1 + len(list_filter(b.fb, x -> x < u.freq)) AS VARCHAR) ||
+           |       CAST(1 + len(list_filter(b.mb, x -> x < u.monetary)) AS VARCHAR) AS rfm
+           |FROM u CROSS JOIN b ORDER BY user_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270, q272, q281, q285, q286)
+      q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288)
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly
