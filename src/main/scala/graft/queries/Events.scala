@@ -1425,7 +1425,64 @@ object Events {
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288)
+      q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290)
+
+  /** Q290 — revenue growth accounting: each week's revenue delta split
+    * into NEW (user's first adjacent-week appearance), EXPANSION,
+    * CONTRACTION, and CHURNED (active last week, silent this week) — the
+    * SaaS revenue-bridge report. The (user, week) revenue grid joins
+    * ITSELF shifted one week (full outer, keyed on user+week — no
+    * window over users), per-cell revenue rounds to 4 BEFORE the
+    * class comparison so parallel-sum FP noise cannot flip expansion
+    * against contraction, and the bridge identity net = Δ total revenue
+    * is spec-pinned. */
+  val q290 = QueryDef(
+    "q290_growth_accounting",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .agg(r4(sum(col("value"))).as("rev"))
+      val cur = grid.select(col("user_id"), col("wk"), col("rev"))
+      val prev = grid.select(
+        col("user_id"), date_add(col("wk"), 7).as("wk"), col("rev").as("prev_rev"))
+      cur.join(prev, Seq("user_id", "wk"), "full_outer")
+        .groupBy(col("wk").cast("string").as("week"))
+        .agg(
+          r4(sum(when(col("prev_rev").isNull, col("rev")).otherwise(0.0))).as("new_rev"),
+          r4(sum(when(col("rev").isNotNull && col("prev_rev").isNotNull
+            && col("rev") > col("prev_rev"), col("rev") - col("prev_rev"))
+            .otherwise(0.0))).as("expansion_rev"),
+          r4(sum(when(col("rev").isNotNull && col("prev_rev").isNotNull
+            && col("rev") < col("prev_rev"), col("rev") - col("prev_rev"))
+            .otherwise(0.0))).as("contraction_rev"),
+          r4(sum(when(col("rev").isNull, -col("prev_rev")).otherwise(0.0)))
+            .as("churned_rev"),
+          r4(sum(coalesce(col("rev"), lit(0.0)) - coalesce(col("prev_rev"), lit(0.0))))
+            .as("net_rev"))
+        .orderBy("week")
+    },
+    Some("""WITH g AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+           |                  ROUND(SUM(value), 4) AS rev
+           |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |     p AS (SELECT user_id, wk + 7 AS wk, rev AS prev_rev FROM g),
+           |     j AS (SELECT COALESCE(g.user_id, p.user_id) AS user_id,
+           |                  COALESCE(g.wk, p.wk) AS wk, g.rev, p.prev_rev
+           |           FROM g FULL OUTER JOIN p ON g.user_id = p.user_id AND g.wk = p.wk)
+           |SELECT CAST(wk AS VARCHAR) AS week,
+           |       ROUND(SUM(CASE WHEN prev_rev IS NULL THEN rev ELSE 0 END), 4) AS new_rev,
+           |       ROUND(SUM(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+           |                       AND rev > prev_rev THEN rev - prev_rev ELSE 0 END), 4)
+           |         AS expansion_rev,
+           |       ROUND(SUM(CASE WHEN rev IS NOT NULL AND prev_rev IS NOT NULL
+           |                       AND rev < prev_rev THEN rev - prev_rev ELSE 0 END), 4)
+           |         AS contraction_rev,
+           |       ROUND(SUM(CASE WHEN rev IS NULL THEN -prev_rev ELSE 0 END), 4)
+           |         AS churned_rev,
+           |       ROUND(SUM(COALESCE(rev, 0) - COALESCE(prev_rev, 0)), 4) AS net_rev
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Q156 — hourly volume-anomaly detection ([[graft.ops.Anomaly]]): per
     * (event_type, hour) counts z-scored against that type's own hourly

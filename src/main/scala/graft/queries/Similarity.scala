@@ -620,7 +620,60 @@ object Similarity {
            |SELECT label, c_label AS pred, COUNT(*) AS n
            |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q289 — simplified silhouette by label: per vector, a = distance to
+    * its OWN label centroid, b = the nearest OTHER centroid, scored
+    * (b−a)/max(a,b) and averaged per label — the clustering-quality
+    * companion of q282's confusion matrix (silhouette says how tight and
+    * separated the label regions are, not just the argmax). The
+    * centroid-based form (Hruschka et al.) replaces the O(n²) pairwise
+    * silhouette with one broadcast fold per vector — the only version
+    * that survives 100 TB. Same rounded-centroid determinism contract as
+    * q282. */
+  val q289 = QueryDef(
+    "q289_silhouette",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("emb"))
+      val centroids = e
+        .select(col("label").as("c_label"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("c_label", "pos").agg(avg(col("x")).as("c"))
+        .groupBy("c_label")
+        .agg(array_sort(collect_list(struct(col("pos"), r6(col("c")).as("c"))))
+          .as("pc"))
+        .select(col("c_label"), transform(col("pc"), p => p.getField("c")).as("cemb"))
+      e.crossJoin(broadcast(centroids))
+        .withColumn("dist", aggregate(
+          zip_with(col("emb"), col("cemb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy("vec_id", "label")
+        .agg(
+          min(when(col("c_label") === col("label"), col("dist"))).as("a"),
+          min(when(col("c_label") =!= col("label"), col("dist"))).as("b"))
+        .select(col("label"),
+          ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), r6(avg(col("sil"))).as("mean_sil"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           |           FROM embeddings),
+           |     cp AS (SELECT e.label AS c_label, t.i AS pos, ROUND(AVG(emb[t.i]), 6) AS c
+           |            FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+           |     cl AS (SELECT c_label, list(c ORDER BY pos) AS cemb FROM cp GROUP BY 1),
+           |     sc AS (SELECT vec_id, label, c_label,
+           |                   list_sum(list_transform(range(1, 65),
+           |                     i -> (emb[i] - cemb[i]) * (emb[i] - cemb[i]))) AS dist
+           |            FROM e CROSS JOIN cl),
+           |     ab AS (SELECT vec_id, label,
+           |                   MIN(CASE WHEN c_label = label THEN dist END) AS a,
+           |                   MIN(CASE WHEN c_label <> label THEN dist END) AS b
+           |            FROM sc GROUP BY 1, 2)
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_sil
+           |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q21, q30, q31, q32, q54, q67, q89, q117, q124, q145, q158, q208, q222, q248,
-      q258, q260, q273, q275, q282)
+      q258, q260, q273, q275, q282, q289)
 }
