@@ -1425,7 +1425,87 @@ object Events {
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
-      q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290)
+      q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
+      q291, q292)
+
+  /** Q291 — time-decay attribution: every purchase's value split across
+    * its 7-day-lookback clicks with exponentially decaying credit
+    * (half-life one day, w = 2^(−age_days)), normalized per purchase —
+    * the recency-weighted member of the attribution family (q185
+    * last-touch, q252 U-shape, q262 Markov removal). Same bounded
+    * user-keyed pair join as q252; the normalizing sum runs per
+    * (user, purchase) — state bounded by the lookback's click count. */
+  val q291 = QueryDef(
+    "q291_attribution_time_decay",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts"),
+          col("event_id").as("p_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cts"),
+          col("event_id").as("c_id"))
+      val look = 7L * 86400L * 1000000L
+      val paired = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") <= col("pts") && col("cts") > col("pts") - look)
+        .withColumn("w",
+          pow(lit(2.0), -(col("pts") - col("cts")).cast("double") / lit(86400e6)))
+      paired
+        .withColumn("wsum", sum(col("w")).over(
+          Window.partitionBy("user_id", "p_id")))
+        .groupBy(hour(timestamp_micros(col("cts"))).as("click_hour"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          r4(sum(col("value") * col("w") / col("wsum"))).as("credited_value"))
+        .orderBy("click_hour")
+    },
+    Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS pts, event_id AS p_id, value
+           |           FROM events WHERE event_type = 'purchase'),
+           |     c AS (SELECT user_id, epoch_us(ts) AS cts, event_id AS c_id
+           |           FROM events WHERE event_type = 'click'),
+           |     j AS (SELECT p.user_id, p.pts, p.p_id, p.value, c.cts,
+           |                  POWER(2, -(p.pts - c.cts) / 86400000000.0) AS w
+           |           FROM p JOIN c ON p.user_id = c.user_id
+           |             AND c.cts <= p.pts AND c.cts > p.pts - 604800000000),
+           |     n AS (SELECT *, SUM(w) OVER (PARTITION BY user_id, p_id) AS wsum FROM j)
+           |SELECT CAST(hour(make_timestamp(cts)) AS INTEGER) AS click_hour,
+           |       CAST(COUNT(*) AS BIGINT) AS n_touches,
+           |       ROUND(SUM(value * w / wsum), 4) AS credited_value
+           |FROM n GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q292 — seasonal-naive forecast backtest: predict each day's volume
+    * with the same weekday LAST week (the baseline every real forecast
+    * must beat) and score MAE / MAPE / bias per event type. The
+    * forecast aligns by CALENDAR (a self-join of the bounded daily grid
+    * on day = day + 7), not by row offset — a `lag(7)` over rows would
+    * silently misalign across gap days. Counts stay integers into the
+    * error aggregates, so the averages are exact-sum-over-n. */
+  val q292 = QueryDef(
+    "q292_seasonal_naive_backtest",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val forecast = daily.select(
+        col("event_type"), date_add(col("day"), 7).as("day"), col("cnt").as("f"))
+      daily.join(forecast, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          r4(avg(abs(col("cnt") - col("f")))).as("mae"),
+          r6(avg(abs(col("cnt") - col("f")) / col("f"))).as("mape"),
+          r4(avg(col("cnt") - col("f"))).as("bias"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           |               FROM events GROUP BY 1, 2),
+           |     f AS (SELECT event_type, day + 7 AS day, cnt AS f FROM daily)
+           |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |       ROUND(AVG(ABS(cnt - f)), 4) AS mae,
+           |       ROUND(AVG(ABS(cnt - f) / CAST(f AS DOUBLE)), 6) AS mape,
+           |       ROUND(AVG(cnt - f), 4) AS bias
+           |FROM daily JOIN f USING (event_type, day)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Q290 — revenue growth accounting: each week's revenue delta split
     * into NEW (user's first adjacent-week appearance), EXPANSION,
