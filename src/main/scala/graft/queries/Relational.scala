@@ -2353,12 +2353,128 @@ object Relational {
            |       ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6) AS share
            |FROM rev ORDER BY region, nation""".stripMargin))
 
+  /** Q293 — AQE skew-join probe: the "let the engine fix it" counterpart
+    * of the salting family (q99/q121/q189 fix skew in the PLAN; AQE's
+    * skew-join fixes it at RUNTIME by splitting oversized shuffle
+    * partitions after the map stage materializes). The query funnels 90%
+    * of lineitem onto one join key, pins the join to sort-merge, lowers
+    * the skew thresholds to fixture scale, and runs EAGERLY inside a
+    * conf save/restore so the thresholds never leak into other queries;
+    * the registry result is the collected (bounded, 5-row) aggregate.
+    * PlanShapeSpec asserts the executed join actually split the hot
+    * partition (`isSkewJoin`). The oracle replays the key remap + join
+    * in SQL — AQE must never change RESULTS, only the partitioning. */
+  val q293 = QueryDef(
+    "q293_aqe_skew_join",
+    (s, d) => {
+      import s.implicits._
+      val rows = Q293.run(s, d).map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2)))
+      rows.toSeq.toDF("priority", "n", "total")
+    },
+    Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1
+           |                       ELSE l_orderkey END AS k,
+           |                  l_extendedprice AS v
+           |           FROM lineitem)
+           |SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(v), 4) AS total
+           |FROM f JOIN orders ON k = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q294 — return-rate lift by brand: share of 'R' lineitems per part
+    * brand against the global return rate, with the two-proportion z
+    * (q269's arithmetic) flagging brands whose quality genuinely
+    * deviates. One fact-dim join keyed on partkey (brand count bounded
+    * ⇒ output grid bounded), one global-rate broadcast. */
+  val q294 = QueryDef(
+    "q294_return_rate_brand",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      val brands = li
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"), sum(col("ret")).as("r"))
+      val global = li.agg(
+        count(lit(1)).as("n_all"), sum(col("ret")).as("r_all"))
+      brands.crossJoin(broadcast(global))
+        .select(
+          col("brand"), col("n"), col("r"),
+          r6(col("r") / col("n")).as("rate"),
+          r6(col("r_all") / col("n_all")).as("global_rate"),
+          r4((col("r") / col("n") - col("r_all") / col("n_all")) /
+            sqrt((col("r_all") / col("n_all")) *
+              (lit(1.0) - col("r_all") / col("n_all")) / col("n"))).as("z"))
+        .orderBy("brand")
+    },
+    Some("""WITH li AS (SELECT l_partkey,
+           |                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+           |            FROM lineitem),
+           |     b AS (SELECT p_brand AS brand, COUNT(*) AS n, SUM(ret) AS r
+           |           FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           |     g AS (SELECT COUNT(*) AS n_all, CAST(SUM(ret) AS BIGINT) AS r_all FROM li)
+           |SELECT brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+           |       ROUND(CAST(r AS DOUBLE) / n, 6) AS rate,
+           |       ROUND(CAST(r_all AS DOUBLE) / n_all, 6) AS global_rate,
+           |       ROUND((CAST(r AS DOUBLE) / n - CAST(r_all AS DOUBLE) / n_all) /
+           |             SQRT((CAST(r_all AS DOUBLE) / n_all) *
+           |                  (1.0 - CAST(r_all AS DOUBLE) / n_all) / n), 4) AS z
+           |FROM b CROSS JOIN g ORDER BY brand""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284,
+    q271, q277, q283, q284, q293, q294,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
     q167, q168, q169, q180, q189, q197, q229, q232, q249)
+}
+
+/** q293's eager skew-join execution, shared with PlanShapeSpec (which
+  * asserts the runtime split on the SAME plan the query ran). Conf
+  * save/restore keeps the fixture-scale skew thresholds and the
+  * disabled broadcast from leaking into the session's other queries. */
+private[graft] object Q293 {
+  import org.apache.spark.sql.{Row, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  def run(s: SparkSession, d: String): Array[Row] = runWithPlan(s, d)._1
+
+  def runWithPlan(s: SparkSession, d: String): (Array[Row], String) = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "2")
+      s.conf.set(keys(1), "1kb")
+      s.conf.set(keys(2), "1kb")
+      s.conf.set(keys(3), "-1") // pin to sort-merge: skew-split is SMJ-side
+      // the skew split's unit is a MAP output chunk — a single-file scan
+      // feeds the shuffle from ONE mapper and the hot partition becomes
+      // unsplittable, so spread the map side first (at cluster scale the
+      // scan already has thousands of mappers; the fixture needs help)
+      val fact = graft.core.Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 10 < 9, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_extendedprice").as("v"))
+        .repartition(16)
+      val dim = graft.core.Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("priority"))
+      val joined = fact.join(dim, "k")
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("total"))
+        .orderBy("priority")
+      val rows = joined.collect()
+      (rows, joined.queryExecution.executedPlan.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

@@ -89,6 +89,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(partsRead.contains(2L), s"expected 2 of 5 partitions read, got $partsRead")
   }
 
+  test("q293 AQE actually splits the hot partition at runtime (skew join)") {
+    val (rows, plan) = graft.queries.Q293.runWithPlan(spark, sf0001)
+    assert(rows.length == 5)
+    // the SMJ must carry the runtime skew-split marker; a plan without it
+    // means the funneled key ran through ONE oversized task
+    assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+      s"no runtime skew split in:\n$plan")
+  }
+
   test("q50 ntile ranks the fact rows under hashpartitioning(_bkt)") {
     // The customer rows (the side that grows with SF) must flow through the
     // distributed bucket window, not a single-task global window. (The
