@@ -2308,6 +2308,60 @@ object VersionedTable {
       s"analyze at $path lost $maxRebases commit races — table too hot, retry later")
   }
 
+  /** Bloom companion of [[analyzeStats]]: build [[FileBloom]] sidecars
+    * for `cols` over the CURRENT snapshot's files and publish them as a
+    * metadata-only `analyze` commit — point-lookup pruning
+    * ([[filesForKeys]], [[readKeys]]) retrofitted onto a table whose
+    * writes never recorded blooms, without rewriting a data file. Keys
+    * hash through the same long cast as write-time blooms. Re-running
+    * leaves the older sidecar rows in place (a file covered twice prunes
+    * on the union — safe, just redundant); compaction regenerates a
+    * single clean set. Races re-base like [[analyzeStats]]. */
+  def analyzeBlooms(
+      spark: SparkSession, path: String, cols: Seq[String], maxRebases: Int = 5): Long = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    import spark.implicits._
+    var attempt = 0
+    while (attempt <= maxRebases) {
+      attempt += 1
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      val current = vs.last
+      val rel = manifestFiles(spark, path, current)
+      val data = spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
+      val present = cols.filter(data.columns.contains)
+      require(present.nonEmpty, s"none of ${cols.mkString(",")} exist in the data schema")
+      val keyed = present.map { c =>
+        data.select(input_file_name().as("f"), col(c).cast("long").as("key"))
+          .where(col("key").isNotNull)
+          .withColumn("c", lit(c))
+      }.reduce(_ unionByName _)
+      val sidecar = keyed.select("f", "c", "key").as[(String, String, Long)]
+        .groupByKey { case (f, c, _) =>
+          val p = new java.net.URI(f).getPath
+          (p.substring(p.lastIndexOf("/data/") + "/data/".length), c)
+        }
+        .mapGroups { (fc: (String, String), rows: Iterator[(String, String, Long)]) =>
+          val (m, bytes) = FileBloom.build(rows.map(_._3), 1 << 16)
+          (fc._1, fc._2, m, FileBloom.NumHashes, bytes)
+        }
+        .toDF("f", "c", "m", "k", "bits")
+      val names = stageData(sidecar, path)._2
+      try {
+        publish(spark, path, "analyze", Seq.empty, carryForward = true,
+          addBloomFiles = names, requiredParent = Some(current)) match {
+          case Some(v) => return v
+          case None =>
+        }
+      } catch {
+        case _: ConcurrentCommitException if attempt <= maxRebases => // re-base
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"analyze at $path lost $maxRebases commit races — table too hot, retry later")
+  }
+
   /** Compact the current snapshot's small files into ~`targetRowsPerFile`
     * files as a new version — the log-structured write pattern (many
     * stream/append commits) eventually sprawls into thousands of tiny

@@ -23,6 +23,8 @@ import graft.io.VersionedTable
   *   OPTIMIZE vt.events TARGET 100000 ROWS -- small-file compaction (rebases on commit races)
   *   ANALYZE vt.events COMPUTE STATS FOR COLUMNS id, ts
   *                                         -- retrofit file-skipping ranges, metadata-only commit
+  *   ANALYZE vt.events COMPUTE BLOOMS FOR COLUMNS id
+  *                                         -- retrofit point-lookup bloom sidecars, no rewrite
   *   RESTORE vt.events TO VERSION 3        -- roll the table back (new commit, history kept)
   *   DESCRIBE DETAIL vt.events             -- location / version / files / rows / columns / tags
   * }}}
@@ -51,6 +53,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?\s*;?\s*""".r
   private val analyze =
     """(?is)\s*ANALYZE\s+(.+?)\s+COMPUTE\s+STATS\s+FOR\s+COLUMNS\s+([\w.,\s`-]+?)\s*;?\s*""".r
+  private val analyzeBlooms =
+    """(?is)\s*ANALYZE\s+(.+?)\s+COMPUTE\s+BLOOMS\s+FOR\s+COLUMNS\s+([\w.,\s`-]+?)\s*;?\s*""".r
   private val restore =
     """(?is)\s*RESTORE\s+(.+?)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val describeDetail =
@@ -67,6 +71,9 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtOptimizeCommand(parts(ident), target.toLong, zOrder = zorder != null)
     case analyze(ident, cols) =>
       VtAnalyzeCommand(parts(ident),
+        cols.split(",").map(c => c.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+    case analyzeBlooms(ident, cols) =>
+      VtAnalyzeBloomsCommand(parts(ident),
         cols.split(",").map(c => c.trim.stripPrefix("`").stripSuffix("`")).toSeq)
     case restore(ident, version) =>
       VtRestoreCommand(parts(ident), version.toLong)
@@ -172,6 +179,18 @@ final case class VtAnalyzeCommand(tableParts: Seq[String], cols: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val v = VersionedTable.analyzeStats(spark, path, cols)
+    Seq(Row(v, cols.mkString(",")))
+  }
+}
+
+final case class VtAnalyzeBloomsCommand(tableParts: Seq[String], cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("new_version", LongType),
+    VtSqlOps.attr("columns", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val v = VersionedTable.analyzeBlooms(spark, path, cols)
     Seq(Row(v, cols.mkString(",")))
   }
 }

@@ -111,6 +111,28 @@ class VtSqlOpsSpec extends SparkSuite {
     assert(VersionedTable.countRows(spark, path) == 400L)
   }
 
+  test("ANALYZE BLOOMS retrofits point-lookup pruning without a rewrite") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtsqlops").toString + "/tbl"
+    (0 until 4).foreach { b =>
+      VersionedTable.commitAppend(
+        (b * 100L until (b + 1) * 100L).map(i => (i, s"r$i")).toDF("id", "label")
+          .coalesce(1), path)
+    }
+    assert(VersionedTable.filesForKeys(spark, path, "id", Array(150L)).isEmpty,
+      "no blooms yet: filesForKeys must report uncovered")
+    val row = spark.sql(s"ANALYZE ${ref(path)} COMPUTE BLOOMS FOR COLUMNS id").collect()(0)
+    assert(row.getAs[Long]("new_version") == 5L)
+    val pruned = VersionedTable.filesForKeys(spark, path, "id", Array(150L))
+    assert(pruned.isDefined && pruned.get.size == 1,
+      s"bloom should admit exactly the one file holding 150, got $pruned")
+    // rows unchanged, commit is metadata+sidecar only
+    assert(VersionedTable.read(spark, path).count() == 400)
+    val hist = spark.sql(s"DESCRIBE HISTORY ${ref(path)}")
+      .orderBy(col("version").desc).collect()
+    assert(hist.head.getAs[String]("operation") == "analyze")
+  }
+
   test("RESTORE rolls back as a new commit; DESCRIBE DETAIL reflects it") {
     val path = freshTable(3) // versions 1..3, 20 rows each
     val row = spark.sql(s"RESTORE ${ref(path)} TO VERSION 1").collect()(0)
