@@ -68,8 +68,7 @@ object Main {
         try {
           val deps = graft.tools.ColumnLineage.of(q.run(spark, sfDir))
           val touched = deps.toSeq.collect {
-            case (out, srcs) if srcs.exists(s => s == needle || s.endsWith(s".$needle") ||
-              s.endsWith(needle)) => out
+            case (out, srcs) if srcs.exists(s => s == needle || s.endsWith(s".$needle")) => out
           }.sorted
           if (touched.nonEmpty) {
             hits += 1

@@ -869,7 +869,7 @@ object VersionedTable {
     // metadata-only schema commits add no files and are safe to cross
     val bad = ops.filterNot { case (_, op) =>
       op == "append" || op == "stream-append" || op == "rename" || op == "retype" ||
-        op == "constraint" || op == "analyze"
+        op == "constraint" || op == "analyze" || op == "add-column"
     }
     require(bad.isEmpty,
       s"changes() needs an append-only window; version(s) ${bad.map(_._1).mkString(",")} " +
@@ -932,7 +932,7 @@ object VersionedTable {
             (if (ins.isEmpty) None
              else Some(tag(evolvedRead(spark, path, toText, ins), "insert", v)))
         case "compact" => None // rewrites files without changing a row
-        case "rename" | "retype" | "constraint" | "analyze" => None // metadata-only
+        case "rename" | "retype" | "constraint" | "analyze" | "add-column" => None // metadata-only
         case other =>
           throw new IllegalArgumentException(
             s"changesWithType() cannot cross a '$other' commit (version $v); " +
@@ -2484,14 +2484,31 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not found at $path (have ${vs.mkString(",")})")
     val f = fs(spark, path)
     f.mkdirs(new Path(s"$path/_tags"))
-    if (overwrite && f.exists(tagFile(path, name))) f.delete(tagFile(path, name), false)
-    val out =
-      try f.create(tagFile(path, name), false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalStateException(
-          s"tag '$name' already exists at $path (pass overwrite = true to re-point)")
-      }
+    if (!overwrite && f.exists(tagFile(path, name)))
+      throw new IllegalStateException(
+        s"tag '$name' already exists at $path (pass overwrite = true to re-point)")
+    // stage to a temp name and rename over the target: a re-point never
+    // leaves a window where the tag is absent (a concurrent vacuum seeing
+    // the version unpinned could reap it mid-re-point).
+    val tmp = new Path(s"$path/_tags/.$name.json.tmp")
+    val out = f.create(tmp, true)
     try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
+    if (overwrite && f.exists(tagFile(path, name))) f.delete(tagFile(path, name), false)
+    if (!f.rename(tmp, tagFile(path, name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        if (f.exists(tagFile(path, name)))
+          s"tag '$name' already exists at $path (pass overwrite = true to re-point)"
+        else s"could not publish tag '$name' at $path")
+    }
+    // the vs.contains check above races a concurrent vacuum: re-validate
+    // AFTER the tag is durable, so a tag can never silently pin an
+    // already-reaped version whose reads would fail later.
+    if (!f.exists(versionPath(path, v))) {
+      f.delete(tagFile(path, name), false)
+      throw new IllegalStateException(
+        s"version $v vanished (concurrent vacuum?) while tagging '$name' at $path")
+    }
     v
   }
 
@@ -2576,24 +2593,37 @@ object VersionedTable {
   }
 
   def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    val (versions, files, _) = vacuumWithStats(spark, path, keepLast)
+    (versions.size, files.size)
+  }
+
+  /** [[vacuum]], reporting exactly what THIS run removed: (versions,
+    * files, bytes). One plan drives both the deletes and the report, so
+    * a commit or tag landing between a separate dry run and the vacuum
+    * can never make the report lie about what was deleted. */
+  def vacuumWithStats(
+      spark: SparkSession, path: String, keepLast: Int): (Seq[Long], Seq[String], Long) = {
     require(keepLast >= 1, "vacuum must keep at least the latest version")
     val f = fs(spark, path)
     val (drop, _, referenced) = vacuumPlan(spark, path, keepLast)
-    var filesRemoved = 0
+    val removed = Seq.newBuilder[(String, Long)]
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {
       for (dir <- f.listStatus(dataRoot) if dir.isDirectory) {
         for (file <- f.listStatus(dir.getPath) if file.isFile) {
           val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
           if (!referenced.contains(rel)) {
-            f.delete(file.getPath, false); filesRemoved += 1
+            val len = file.getLen
+            f.delete(file.getPath, false)
+            removed += ((rel, len))
           }
         }
         if (f.listStatus(dir.getPath).isEmpty) f.delete(dir.getPath, true)
       }
     }
     drop.foreach(v => f.delete(versionPath(path, v), false))
-    (drop.size, filesRemoved)
+    val rm = removed.result()
+    (drop, rm.map(_._1).sorted, rm.map(_._2).sum)
   }
 
   /** Time-based retention ([[vacuum]] by age): drop every version whose

@@ -65,9 +65,12 @@ object MarkovAttribution {
     * states — driver-side, bounded by the type vocabulary. */
   private def convProbability(
       trans: Map[(String, String), Long], removed: Option[String]): Double = {
-    val redirected = trans.map { case ((a, b), n) =>
+    // toSeq BEFORE remapping: redirecting (s, removedChannel) -> (s, Null)
+    // can collide with an existing (s, Null) edge, and Map.map would
+    // last-write-wins drop one of the counts before the groupBy-sum.
+    val redirected = trans.toSeq.map { case ((a, b), n) =>
       (a, if (removed.contains(b)) Null else b) -> n
-    }.groupBy(_._1).map { case (k, m) => k -> m.values.sum }
+    }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
       .filterNot { case ((a, _), _) => removed.contains(a) }
     val states = (redirected.keys.flatMap { case (a, b) => Seq(a, b) }.toSet -
       Conv - Null).toSeq.sorted
@@ -100,9 +103,28 @@ object MarkovAttribution {
     else a(idx(Start))(n) / a(idx(Start))(idx(Start))
   }
 
-  /** Removal effect + normalized credit share per channel. */
-  def attribute(spark: SparkSession, trans: DataFrame): DataFrame = {
+  /** Removal effect + normalized credit share per channel.
+    *
+    * Driver-memory envelope: the transition grid collected here is at
+    * most `states²` rows (two short strings + a long each, ≤ ~2 MB at
+    * the default cap of 256), and the removal-effect pass runs
+    * `channels + 1` Gaussian solves at O(states³) — ~4×10⁹ flops at the
+    * cap, seconds on the driver. Channel attribution's states are event
+    * TYPES, so real inputs sit far below the cap; a data-sized state
+    * column (user ids, URLs) would make the collect and the solves
+    * data-proportional, so the operator refuses it loudly instead of
+    * degrading — pass a larger `maxStates` only for a genuinely bounded
+    * vocabulary. (Same envelope-documentation pattern as
+    * [[SetSimJoin]]'s Θ(n²·p) note.) */
+  def attribute(spark: SparkSession, trans: DataFrame, maxStates: Int = 256): DataFrame = {
     import spark.implicits._
+    val nStates = trans.select(col("from_state").as("s"))
+      .union(trans.select(col("to_state").as("s"))).distinct().count()
+    require(nStates <= maxStates,
+      s"MarkovAttribution.attribute: $nStates distinct states exceeds maxStates=$maxStates " +
+        "— the transition matrix (states² counts) is collected to the driver and solved " +
+        "per-channel at O(states³); states must be a bounded channel vocabulary, not a " +
+        "data-sized key. Raise maxStates only if the vocabulary is genuinely bounded.")
     val t = trans.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val base = convProbability(t, None)

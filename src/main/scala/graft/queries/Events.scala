@@ -1083,7 +1083,7 @@ object Events {
            |                  regr_slope(LN(rate), k) AS s
            |           FROM r WHERE k >= 1 AND rate > 0 GROUP BY 1)
            |SELECT cw AS cohort_week, n_weeks,
-           |       ROUND(-s, 6) AS decay,
+           |       ROUND(-s, 6) + 0 AS decay,
            |       ROUND(CASE WHEN s < 0 THEN LN(2.0) / -s END, 4) AS half_life_weeks
            |FROM g ORDER BY 1""".stripMargin))
 

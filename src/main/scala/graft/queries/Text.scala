@@ -788,7 +788,7 @@ object Text {
                  n AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id)
             SELECT tf.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
                    ROUND(-SUM((tf.tf / CAST(n.n AS DOUBLE))
-                              * LN(tf.tf / CAST(n.n AS DOUBLE))), 6) AS entropy
+                              * LN(tf.tf / CAST(n.n AS DOUBLE))), 6) + 0 AS entropy
             FROM tf JOIN n ON tf.doc_id = n.doc_id
             GROUP BY tf.doc_id, n.n ORDER BY tf.doc_id"""))
 

@@ -326,6 +326,25 @@ class VersionedTableSpec extends SparkSuite {
     assert(cdf.filter(col("_change_type") === "insert").count() == 3)
   }
 
+  test("an add-column commit crosses changes() and changesWithType() as a no-op") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1
+    VersionedTable.addColumn(spark, path, "score",
+      org.apache.spark.sql.types.DoubleType) // v2, metadata-only
+    VersionedTable.commitAppend(
+      (5 until 8).map(i => (i.toLong, s"row_$i", i * 1.5)).toDF("id", "v", "score"),
+      path) // v3
+    // an incremental consumer whose window crosses the ALTER must not throw
+    val delta = VersionedTable.changes(spark, path, 1L, 3L)
+    assert(delta.count() == 3)
+    assert(delta.columns.toSeq == Seq("id", "v", "score"),
+      "window reads in the TO-version's (widened) view")
+    val cdf = VersionedTable.changesWithType(spark, path, 1L, 3L)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 3)
+    assert(VersionedTable.changes(spark, path, 1L, 2L).count() == 0,
+      "the add-column commit itself contributes no rows")
+  }
+
   test("schema evolution: mergeSchema read reconciles commits with a new nullable column") {
     val path = freshDir()
     VersionedTable.commitAppend(batch(0, 5), path)

@@ -41,6 +41,11 @@ class VersionedTableTagSpec extends SparkSuite {
     assert(VersionedTable.tagVersion(spark, path, "prod") == v1)
     VersionedTable.setTag(spark, path, "prod", Some(v2), overwrite = true)
     assert(VersionedTable.tagVersion(spark, path, "prod") == v2)
+    // the re-point staged through a temp file + rename: no temp debris,
+    // and the tag stayed continuously present (never delete-then-create)
+    val tags = new java.io.File(s"$path/_tags").list().toSeq.sorted
+      .filterNot(_.endsWith(".crc")) // hadoop local-fs checksum sidecars
+    assert(tags == Seq("prod.json"), s"unexpected _tags contents: $tags")
   }
 
   test("vacuumDryRun predicts exactly what vacuum removes, touching nothing") {

@@ -34,15 +34,77 @@ def lint_types(con, name: str, sql: str) -> list:
             if any(b in str(t).upper() for b in BANNED_TYPES)]
 
 
+def render(v) -> str:
+    """Render a cell the way the driver's value hash does: floats keep
+    their sign (so -0.0 != 0.0) and their float-ness (so 1.0 != 1).
+    float(a)==float(b) compares were blind to exactly these divergences
+    (q139 r9, q184/q240 r10, q268 r11)."""
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    import numpy as np
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return str(v)
+
+
 def cells_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return float(a) == float(b)
-        except (TypeError, ValueError):
-            return False
-    return str(a) == str(b)
+    return render(a) == render(b)
+
+
+def lint_neg_zero(con, sql: str) -> list:
+    """Run the oracle and flag any float cell rendering as -0.0: DuckDB
+    preserves IEEE signed zero (e.g. ROUND(-s, 6) of an exact-zero slope)
+    while Spark's round normalizes through BigDecimal, so the driver hash
+    sees '-0.0' vs '0.0' (q268 r11). Fix: `expr + 0` in the oracle SQL."""
+    df = con.sql(sql).df()
+    hits = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind != "f":
+            continue
+        for i, v in enumerate(col):
+            if v == 0.0 and not pd.isna(v) and repr(float(v)).startswith("-"):
+                hits.append(f"{c}[row {i}]")
+                break
+    return hits
+
+
+def self_test() -> int:
+    """Seeded regression for the render-divergence class: the compare and
+    the lint must both see IEEE -0.0 and int-vs-float divergences that
+    float() equality is blind to."""
+    con = duckdb.connect()
+    checks = [
+        # NB: a bare -0.0 literal parses as DECIMAL and loses the sign;
+        # a DOUBLE expression (like regr_slope) negated to zero keeps it.
+        ("lint flags a seeded -0.0 oracle",
+         bool(lint_neg_zero(con, "SELECT -CAST(0.0 AS DOUBLE) AS z"))),
+        ("lint flags ROUND(-s,6) of an exact-zero slope",
+         bool(lint_neg_zero(
+             con, "SELECT ROUND(-regr_slope(y, x), 6) AS decay "
+                  "FROM (VALUES (1.0, 1.0), (1.0, 2.0)) t(y, x)"))),
+        ("lint passes a normalized (+0) oracle",
+         not lint_neg_zero(
+             con, "SELECT ROUND(-regr_slope(y, x), 6) + 0 AS decay "
+                  "FROM (VALUES (1.0, 1.0), (1.0, 2.0)) t(y, x)")),
+        ("compare: -0.0 != 0.0", not cells_equal(-0.0, 0.0)),
+        ("compare: 1.0 != 1 (float-ness is part of the render)",
+         not cells_equal(1.0, 1)),
+        ("compare: 0.5 == 0.5", cells_equal(0.5, 0.5)),
+        ("compare: nulls equal", cells_equal(float("nan"), None)),
+    ]
+    bad = [name for name, ok in checks if not ok]
+    for name, ok in checks:
+        print(f"{'PASS' if ok else 'FAIL'} {name}")
+    print(f"\nself-test: {len(checks) - len(bad)}/{len(checks)} checks pass")
+    return 1 if bad else 0
 
 
 def main(sf_dir: str, out_dir: str, lint_only: bool = False) -> int:
@@ -58,12 +120,17 @@ def main(sf_dir: str, out_dir: str, lint_only: bool = False) -> int:
         for name in sorted(oracles):
             try:
                 widened = lint_types(con, name, oracles[name])
+                negz = lint_neg_zero(con, oracles[name])
             except Exception as e:
                 print(f"FAIL {name}: {e}")
                 failures += 1
                 continue
             if widened:
                 print(f"LINT {name}: driver-hash-unsafe types {widened}")
+                failures += 1
+            if negz:
+                print(f"LINT {name}: oracle emits IEEE -0.0 at {negz} — "
+                      f"normalize with `expr + 0` in the oracle SQL")
                 failures += 1
         print(f"\n{failures} lint failures / {len(oracles)} oracles")
         return 1 if failures else 0
@@ -120,5 +187,7 @@ def main(sf_dir: str, out_dir: str, lint_only: bool = False) -> int:
 
 
 if __name__ == "__main__":
+    if "--self-test" in sys.argv:
+        sys.exit(self_test())
     args = [a for a in sys.argv[1:] if a != "--lint-only"]
     sys.exit(main(args[0], args[1], lint_only="--lint-only" in sys.argv))
