@@ -142,7 +142,7 @@ object Main {
     // per-query PlanMetrics before/after deltas (filesRead is the number
     // the layout levers move). Scratch dir holds the re-laid-out copy and
     // the view state.
-    case "advise-measure" :: sfDir :: scratch :: Nil =>
+    case "advise-measure" :: sfDir :: scratch :: rest if rest.size <= 1 =>
       val spark = GraftSession.local()
       import org.apache.spark.sql.functions.{col, sum}
       val tbl = s"$scratch/events_tbl"
@@ -153,7 +153,14 @@ object Main {
         "user_point" -> (p => t(p).filter(col("user_id") === 777L)),
         "user_range" -> (p => t(p).filter(col("user_id").between(1000L, 2000L))),
         "type_rollup" -> (p => t(p).groupBy("event_type").agg(sum("value").as("total"))))
-      println(graft.tools.AdvisorLoop.measure(spark, tbl, scratch, workload).render)
+      val report = graft.tools.AdvisorLoop.measure(spark, tbl, scratch, workload)
+      println(report.render)
+      // optional 4th arg: write the machine-readable artifact a workload
+      // CI diffs round-over-round (recommendations + measured deltas)
+      rest.headOption.foreach { out =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), report.toJson)
+        println(s"[graft] wrote $out")
+      }
       spark.stop()
     case "table-lookup" :: path :: keyCol :: keys :: Nil =>
       // point lookup through the bloom-sidecar path (readKeys): the
@@ -226,7 +233,7 @@ object Main {
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | sql <stmt> [sfDir] | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
-          "advise-measure <sfDir> <scratchDir> | " +
+          "advise-measure <sfDir> <scratchDir> [jsonOut] | " +
           "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
           "table-delete <path> <keyCol> <id,...> | " +

@@ -103,6 +103,7 @@ object MvRewrite {
   private[plans] val registry = TrieMap.empty[String, MvDef]
 
   def register(mv: MvDef): Unit = registry.put(mv.stateId, mv)
+  def unregister(stateId: String): Boolean = registry.remove(stateId).isDefined
   def clear(): Unit = registry.clear()
 
   // ── decline observability ─────────────────────────────────────────

@@ -980,28 +980,46 @@ object Events {
            |UNION ALL SELECT '3_purchase_after_click', n3 FROM t
            |ORDER BY stage""".stripMargin))
 
-  /** Q262 — Markov removal-effect attribution
-    * ([[graft.ops.MarkovAttribution]]): channels credited by how much
-    * conversion probability vanishes when each is removed from the
-    * first-order journey chain — the data-driven upgrade over q185/q252's
-    * positional rules. Transition counts are one user-keyed sort + a
-    * bounded (types+2)² grid; the absorbing-chain solves run driver-side
-    * on that grid. The linear solve is engine-side → rows-only;
-    * MarkovAttributionSpec pins hand-computed counts and a hand-solved
-    * two-channel chain. */
+  /** Q262 — Markov attribution's JOURNEY transition grid
+    * ([[graft.ops.MarkovAttribution.transitionCounts]]): the distributed
+    * half of removal-effect attribution, now ORACLE-GATED (VERDICT r11
+    * item 7) — the oracle replays the journey semantics exactly (a
+    * journey restarts after each conversion; `(start)` precedes the
+    * first touch; a non-absorbing tail emits `state → (null)`), so a
+    * mis-split journey, lost tail, or off-by-one restart hash-fails.
+    * The absorbing-chain SOLVE over this bounded (types+2)² grid is
+    * driver-side linear algebra — pinned in MarkovAttributionSpec
+    * against a hand-solved two-channel chain, a redirect-collision
+    * chain, and the fixture normalization invariants — while this entry
+    * proves the part that actually touches data. One user-keyed sort
+    * shared by the journey split and the adjacency lag. */
   val q262 = QueryDef(
-    "q262_markov_attribution",
-    (s, d) => {
-      val trans = graft.ops.MarkovAttribution.transitionCounts(
+    "q262_markov_journeys",
+    (s, d) =>
+      graft.ops.MarkovAttribution.transitionCounts(
         Tables.events(s, d), "user_id", "ts", "event_id", "event_type", "purchase")
-      graft.ops.MarkovAttribution.attribute(s, trans)
-        .select(
-          col("channel"),
-          r6(col("removal_effect")).as("removal_effect"),
-          r6(col("share")).as("share"))
-        .orderBy("channel")
-    },
-    None)
+        .orderBy("from_state", "to_state"),
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+           |                  CASE WHEN event_type = 'purchase' THEN '(conv)'
+           |                       ELSE event_type END AS st,
+           |                  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+           |                                         THEN 1 ELSE 0 END)
+           |                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                          ROWS BETWEEN UNBOUNDED PRECEDING
+           |                               AND 1 PRECEDING) AS BIGINT), 0) AS j
+           |           FROM events),
+           |     w AS (SELECT st,
+           |                  LAG(st) OVER (PARTITION BY user_id, j
+           |                                ORDER BY ts, event_id) AS prev,
+           |                  LEAD(st) OVER (PARTITION BY user_id, j
+           |                                 ORDER BY ts, event_id) AS nxt
+           |           FROM e),
+           |     t AS (SELECT COALESCE(prev, '(start)') AS from_state, st AS to_state
+           |           FROM w
+           |           UNION ALL
+           |           SELECT st, '(null)' FROM w WHERE nxt IS NULL AND st <> '(conv)')
+           |SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Q266 — time-weighted average value per user (the TWAP / mean-state
     * estimator for irregularly sampled series — a plain AVG over-weights

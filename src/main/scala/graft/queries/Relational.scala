@@ -2423,8 +2423,60 @@ object Relational {
            |                  (1.0 - CAST(r_all AS DOUBLE) / n_all) / n), 4) AS z
            |FROM b CROSS JOIN g ORDER BY brand""".stripMargin))
 
+  /** Q295 — the FULL statement-text MV lifecycle
+    * ([[graft.sources.VtCreateMvCommand]], VERDICT r11 item 3): the view
+    * is created by `CREATE MATERIALIZED VIEW ... AS SELECT ... GROUP BY`
+    * STATEMENT TEXT, and a statement-text aggregate over the same fact —
+    * with a filter on a group key and a RICHER aggregate set than the
+    * definition listed (the state vector serves count/sum/min/max/avg
+    * alike) — is answered from the state: the plan assert proves the
+    * lineitem scan is GONE. The oracle replays the aggregate over the
+    * raw fact, so a wrong-state rewrite hash-fails. */
+  val q295 = QueryDef(
+    "q295_sql_create_mv",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val factPath = s"$d/lineitem.parquet"
+      val root = Scratch.dir("q295")
+      val state = root + "/state"
+      val created = s.sql(
+        s"""CREATE MATERIALIZED VIEW `$state` AS
+           |SELECT l_returnflag, l_linestatus, SUM(l_quantity)
+           |FROM parquet.`$factPath` GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        .collect()(0)
+      require(created.getAs[String]("value_col") == "l_quantity" &&
+        !created.getAs[Boolean]("maintained"))
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        val df = s.sql(
+          s"""SELECT l_returnflag, COUNT(*) AS n,
+             |       SUM(l_quantity) AS sum_qty,
+             |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             |       ROUND(AVG(l_quantity), 4) AS avg_qty
+             |FROM parquet.`$factPath` WHERE l_linestatus = 'F'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.exists(_.endsWith("lineitem.parquet")),
+          s"statement-created MV did not serve the statement query; scans: $roots")
+        df.localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        s.sql(s"DROP MATERIALIZED VIEW `$state`")
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |       SUM(l_quantity) AS sum_qty,
+           |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           |       ROUND(AVG(l_quantity), 4) AS avg_qty
+           |FROM lineitem WHERE l_linestatus = 'F'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294,
+    q271, q277, q283, q284, q293, q294, q295,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

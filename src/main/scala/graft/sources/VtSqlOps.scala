@@ -59,6 +59,12 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+(.+?)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val describeDetail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
+  private val createMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+AS\s+(SELECT\s.+?)\s*;?\s*""".r
+  private val refreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+)\s*;?\s*""".r
+  private val dropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(ident) =>
@@ -79,6 +85,13 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtRestoreCommand(parts(ident), version.toLong)
     case describeDetail(ident) =>
       VtDescribeDetailCommand(parts(ident))
+    case createMv(ident, select) =>
+      val spec = MvSql.extract(delegate, select)
+      VtCreateMvCommand(parts(ident), spec)
+    case refreshMv(ident) =>
+      VtRefreshMvCommand(parts(ident))
+    case dropMv(ident) =>
+      VtDropMvCommand(parts(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -162,11 +175,11 @@ final case class VtVacuumCommand(tableParts: Seq[String], keepLast: Int, dryRun:
     VtSqlOps.attr("dry_run", BooleanType))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
-    // bytes come from the dry-run listing either way; the real vacuum
-    // then deletes exactly that prediction (VersionedTableSpec pins the
-    // prediction == removal contract).
-    val (versions, files, bytes) = VersionedTable.vacuumDryRun(spark, path, keepLast)
-    if (!dryRun) VersionedTable.vacuum(spark, path, keepLast)
+    // a real vacuum reports ITS OWN removals (one plan drives delete and
+    // report); only the dry run uses the pure-listing prediction.
+    val (versions, files, bytes) =
+      if (dryRun) VersionedTable.vacuumDryRun(spark, path, keepLast)
+      else VersionedTable.vacuumWithStats(spark, path, keepLast)
     Seq(Row(versions.size, files.size, bytes, dryRun))
   }
 }
@@ -229,6 +242,190 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       VersionedTable.countRows(spark, path),
       VersionedTable.tableSchema(spark, path, None).fields.length,
       VersionedTable.tags(spark, path).size))
+  }
+}
+
+/** The statement-level materialized-view surface — the one catalog
+  * statement that was Scala-only (`MvRewrite.materialize*` /
+  * `registerRollup`). Grammar (deliberately the canonical rollup shape —
+  * the rewriter serves richer queries AGAINST it, including filters,
+  * partial agg sets, and star joins, but the DEFINITION is one clean
+  * fact rollup):
+  *
+  * {{{
+  *   CREATE MATERIALIZED VIEW vt.daily AS
+  *     SELECT k1, k2, SUM(v) FROM vt.fact GROUP BY k1, k2
+  *   REFRESH MATERIALIZED VIEW vt.daily   -- vt-fact views: CDF-driven touched-group refresh
+  *   DROP MATERIALIZED VIEW vt.daily      -- unregister + delete the state
+  * }}}
+  *
+  * Fact forms: `parquet.`/abs/path`` (one-shot state via
+  * [[graft.plans.MvRewrite.materialize]]) or a vt reference (MAINTAINED:
+  * state bootstrapped through
+  * [[graft.ops.IncrementalView.refreshRecompute]] and registered via
+  * [[graft.plans.MvRewrite.registerRollup]], so REFRESH cost scales with
+  * the change volume, never the fact). The definition is persisted at
+  * `<view>/_mv.json`, so REFRESH — and re-registration in a NEW session
+  * — need only the view name. Aggregates may use COUNT/SUM/MIN/MAX/AVG
+  * over at most ONE value column (the decomposable state vector);
+  * WHERE/JOIN/ordinals in the DEFINITION refuse with a pointed message
+  * rather than registering a view the rewriter would serve wrongly. */
+private[sources] object MvSql {
+
+  final case class Spec(factParts: Seq[String], groupCols: Seq[String], valueCol: String)
+
+  private val AllowedAggs = Set("count", "sum", "min", "max", "avg")
+
+  def extract(parser: ParserInterface, select: String): Spec = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+    def refuse(msg: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW: $msg — the definition must be " +
+        "`SELECT <keys>, <COUNT/SUM/MIN/MAX/AVG over one column> FROM <fact> GROUP BY <keys>` " +
+        "(filters, joins and richer aggregates belong in the QUERIES the view serves, " +
+        "not in its definition)")
+    parser.parsePlan(select) match {
+      case Aggregate(grouping, aggList, child, _) =>
+        val factParts = child match {
+          case r: UnresolvedRelation => r.multipartIdentifier
+          case SubqueryAlias(_, r: UnresolvedRelation) => r.multipartIdentifier
+          case _ => refuse("the FROM clause must be a single fact table (no WHERE/JOIN/subquery)")
+        }
+        val groupCols = grouping.map {
+          case a: UnresolvedAttribute => a.name
+          case other => refuse(s"GROUP BY must list column names, got: ${other.sql}")
+        }
+        def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+          case Alias(c, _) => strip(c)
+          case UnresolvedAlias(c, _) => strip(c)
+          case c => c
+        }
+        val valueCols = aggList.map(strip).flatMap {
+          case a: UnresolvedAttribute =>
+            if (!groupCols.contains(a.name)) refuse(s"non-aggregated column ${a.name}")
+            Seq.empty
+          case e =>
+            val fn = e match {
+              case f: UnresolvedFunction => f
+              case other => refuse(s"unsupported select expression: ${other.sql}")
+            }
+            val name = fn.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            if (!AllowedAggs.contains(name))
+              refuse(s"aggregate $name is not decomposable over the state vector")
+            if (fn.isDistinct) refuse("DISTINCT aggregates are not decomposable")
+            fn.arguments.flatMap(_.collect { case a: UnresolvedAttribute => a.name })
+        }.distinct
+        if (valueCols.exists(groupCols.contains))
+          refuse("aggregating a GROUP BY key")
+        if (valueCols.size > 1)
+          refuse(s"aggregates reference ${valueCols.size} columns (${valueCols.mkString(", ")}); " +
+            "one state vector covers one value column — create one view per column")
+        Spec(factParts, groupCols, valueCols.headOption.getOrElse(""))
+      case _ => refuse("the definition must be a GROUP BY aggregate")
+    }
+  }
+
+  private def specFile(viewPath: String) = new org.apache.hadoop.fs.Path(s"$viewPath/_mv.json")
+
+  def writeSpec(spark: SparkSession, viewPath: String, factRef: String, spec: Spec,
+      maintained: Boolean): Unit = {
+    val f = specFile(viewPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = f.create(specFile(viewPath), true)
+    try out.write(
+      (s"""{"fact":"$factRef","group_cols":[${spec.groupCols.map(c => s""""$c"""").mkString(",")}],""" +
+        s""""value_col":"${spec.valueCol}","maintained":$maintained}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (factRef, groupCols, valueCol, maintained) from `<view>/_mv.json`. */
+  def readSpec(spark: SparkSession, viewPath: String): (String, Seq[String], String, Boolean) = {
+    val f = specFile(viewPath).getFileSystem(spark.sessionState.newHadoopConf())
+    require(f.exists(specFile(viewPath)),
+      s"no materialized view at $viewPath (missing _mv.json — was it created by " +
+        "CREATE MATERIALIZED VIEW?)")
+    val in = f.open(specFile(viewPath))
+    val text =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        bytes.toString("UTF-8")
+      } finally in.close()
+    def field(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(text)
+      .getOrElse(sys.error(s"malformed _mv.json at $viewPath")).group(1)
+    val groups = """"group_cols":\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .getOrElse(sys.error(s"malformed _mv.json at $viewPath")).group(1)
+      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    (field("fact"), groups, field("value_col"), text.contains(""""maintained":true"""))
+  }
+
+  def stateAggsFor(valueCol: String): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{count, lit}
+    if (valueCol.isEmpty) Seq(count(lit(1)).as("n_rows"))
+    else graft.plans.MvRewrite.stateAggs(valueCol)
+  }
+}
+
+final case class VtCreateMvCommand(viewParts: Seq[String], spec: MvSql.Spec)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("view", StringType), VtSqlOps.attr("fact", StringType),
+    VtSqlOps.attr("group_cols", StringType), VtSqlOps.attr("value_col", StringType),
+    VtSqlOps.attr("maintained", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val viewPath = VtSqlOps.resolvePath(spark, viewParts)
+    val (factRef, maintained) = spec.factParts match {
+      case Seq(fmt, path) if fmt.equalsIgnoreCase("parquet") =>
+        // plain parquet fact: one-shot state + registration
+        graft.plans.MvRewrite.materialize(
+          spark, path, spec.groupCols, spec.valueCol, viewPath)
+        (path, false)
+      case _ =>
+        // versioned fact: bootstrap the state table through the CDF
+        // refresher, then register — REFRESH keeps it current
+        val factPath = VtSqlOps.resolvePath(spark, spec.factParts)
+        graft.ops.IncrementalView.refreshRecompute(
+          spark, factPath, viewPath, "sql-mv", spec.groupCols,
+          MvSql.stateAggsFor(spec.valueCol))
+        graft.plans.MvRewrite.registerRollup(
+          spark, factPath, spec.groupCols, spec.valueCol, viewPath)
+        (factPath, true)
+    }
+    MvSql.writeSpec(spark, viewPath, factRef, spec, maintained)
+    Seq(Row(viewPath, factRef, spec.groupCols.mkString(","), spec.valueCol, maintained))
+  }
+}
+
+final case class VtRefreshMvCommand(viewParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("view", StringType), VtSqlOps.attr("refreshed", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val viewPath = VtSqlOps.resolvePath(spark, viewParts)
+    val (factRef, groupCols, valueCol, maintained) = MvSql.readSpec(spark, viewPath)
+    require(maintained,
+      s"materialized view at $viewPath is a one-shot parquet view — re-create it " +
+        "(REFRESH serves vt-fact maintained views)")
+    val refreshed = graft.ops.IncrementalView.refreshRecompute(
+      spark, factRef, viewPath, "sql-mv", groupCols, MvSql.stateAggsFor(valueCol))
+    // re-register: also heals a NEW session where the registry is empty
+    graft.plans.MvRewrite.registerRollup(spark, factRef, groupCols, valueCol, viewPath)
+    Seq(Row(viewPath, refreshed.isDefined))
+  }
+}
+
+final case class VtDropMvCommand(viewParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("view", StringType), VtSqlOps.attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val viewPath = VtSqlOps.resolvePath(spark, viewParts)
+    val existed = graft.plans.MvRewrite.unregister(viewPath)
+    val p = new org.apache.hadoop.fs.Path(viewPath)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val deleted = f.exists(p) && f.delete(p, true)
+    Seq(Row(viewPath, existed || deleted))
   }
 }
 

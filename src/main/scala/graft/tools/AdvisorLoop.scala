@@ -52,6 +52,38 @@ object AdvisorLoop {
       }
       s"$l\n\n$m"
     }
+
+    /** The whole report as ONE machine-readable JSON object (VERDICT r11
+      * item 8) so a workload CI can diff rounds:
+      * `{"layout": {"recommendation": {...}|null, "deltas": [...]},
+      *   "mv": {...}}` — each delta carries the full before/after
+      * [[PlanMetrics.Summary]] (files/bytes/rows/shuffle/spill). */
+    def toJson: String = {
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      def strArr(xs: Seq[String]) = xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+      def summary(s: PlanMetrics.Summary) =
+        s"""{"files_read":${s.filesRead},"bytes_read":${s.bytesRead},""" +
+          s""""output_rows":${s.outputRows},"shuffle_bytes":${s.shuffleBytesWritten},""" +
+          s""""shuffle_records":${s.shuffleRecordsWritten},"spill_bytes":${s.spillBytes}}"""
+      def deltas(ds: Seq[QueryDelta]) = ds.map(d =>
+        s"""{"query":"${esc(d.name)}","before":${summary(d.before)},""" +
+          s""""after":${summary(d.after)}}""").mkString("[", ",", "]")
+      val layout = layoutRec.map(r =>
+        s"""{"table":"${esc(r.table)}","stats_cols":${strArr(r.statsCols)},""" +
+          s""""bloom_cols":${strArr(r.bloomCols)},"zorder_cols":${strArr(r.zOrderCols)}}""")
+        .getOrElse("null")
+      val mv = mvRec.map(r =>
+        s"""{"table":"${esc(r.table)}","group_cols":${strArr(r.groupCols)},""" +
+          s""""value_col":"${esc(r.valueCol)}","covered":${r.covered},""" +
+          s""""observed":${r.observed}}""").getOrElse("null")
+      s"""{"layout":{"recommendation":$layout,"deltas":${deltas(layoutDeltas)}},""" +
+        s""""mv":{"recommendation":$mv,"deltas":${deltas(mvDeltas)}}}"""
+    }
   }
 
   /** Rewrite `from`'s current contents into a NEW versioned table at `to`

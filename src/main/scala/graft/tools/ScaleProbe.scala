@@ -18,7 +18,10 @@ object ScaleProbe {
   private val Heavy = Seq(
     "q211_setsim_join_exact", "q225_cluster_safe_split",
     "q88_dedup_components", "q138_repeated_spans_hashed",
-    "q137_repeated_spans")
+    "q137_repeated_spans",
+    // r12: the per-token-explode family (VERDICT r11 item 6) — the one
+    // new shape without measured scaling evidence
+    "q264_content_chunks", "q265_chunk_dedup_strip", "q250_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

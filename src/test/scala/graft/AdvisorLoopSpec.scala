@@ -54,5 +54,25 @@ class AdvisorLoopSpec extends SparkSuite {
 
     // rendered report carries the deltas for the human in the loop
     assert(rep.render.contains("layout applied") && rep.render.contains("mv materialized"))
+
+    // the ONE machine-readable artifact (VERDICT r11 item 8): valid JSON
+    // whose parsed fields agree with the typed report, so a workload CI
+    // can diff recommendations and measured deltas round-over-round
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(rep.toJson).toDS)
+    assert(parsed.count() == 1 && !parsed.columns.contains("_corrupt_record"),
+      rep.toJson)
+    val row = parsed.selectExpr(
+      "layout.recommendation.stats_cols[0]",
+      "size(layout.deltas)",
+      "mv.recommendation.group_cols[0]", "mv.recommendation.value_col",
+      "size(mv.deltas)").collect()(0)
+    assert(row.getString(0) == "id" && row.getInt(1) == workload.size)
+    assert(row.getString(2) == "cat" && row.getString(3) == "v" &&
+      row.getInt(4) == workload.size)
+    val pointBefore = parsed.selectExpr(
+      "filter(layout.deltas, d -> d.query = 'point')[0].before.files_read",
+      "filter(layout.deltas, d -> d.query = 'point')[0].after.files_read").collect()(0)
+    assert(pointBefore.getLong(0) == 8L && pointBefore.getLong(1) < 8L)
   }
 }

@@ -33,6 +33,28 @@ class DiverseTopKSpec extends SparkSuite {
     assert(DiverseTopK.mmr(df.repartition(5), "vec_id", "emb", "rel", 10, 0.5) == all)
   }
 
+  test("shortlist >= corpus size reproduces the exact selection") {
+    // 60-vector corpus with clustered directions so diversity matters
+    val big = (0L until 60L).map { i =>
+      val angle = (i % 6) * 0.5
+      (i, Seq(math.cos(angle), math.sin(angle)), 1.0 - i * 0.01)
+    }.toDF("vec_id", "emb", "rel")
+    for (lam <- Seq(0.3, 0.7)) {
+      val exact = DiverseTopK.mmr(big, "vec_id", "emb", "rel", k = 8, lambda = lam)
+      assert(DiverseTopK.mmr(
+        big, "vec_id", "emb", "rel", k = 8, lambda = lam, shortlist = 60) == exact)
+      assert(DiverseTopK.mmr(
+        big, "vec_id", "emb", "rel", k = 8, lambda = lam, shortlist = 500) == exact)
+    }
+    // a shortlist below k is a contract violation, not a silent truncation
+    intercept[IllegalArgumentException](
+      DiverseTopK.mmr(big, "vec_id", "emb", "rel", k = 8, shortlist = 4))
+    // bounded pool: selection comes from the relevance top-N only
+    val pooled = DiverseTopK.mmr(
+      big, "vec_id", "emb", "rel", k = 3, lambda = 1.0, shortlist = 10)
+    assert(pooled.forall(_ < 10L), pooled.toString)
+  }
+
   test("score ties break on the lower id") {
     val tied = Seq(
       (7L, Seq(1.0, 0.0), 0.5),

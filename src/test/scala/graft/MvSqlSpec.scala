@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+import graft.plans.MvRewrite
+
+/** Statement-text materialized views ([[graft.sources.VtCreateMvCommand]]
+  * family, VERDICT r11 item 3): CREATE over a parquet fact and over a
+  * versioned fact, SQL queries provably served from the state, REFRESH
+  * through the CDF (and across a registry wipe, i.e. a new session), DROP
+  * unregisters and deletes, and the definition grammar refuses the shapes
+  * the rewriter could not serve correctly. */
+class MvSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ConfKey = "spark.graft.mvrewrite.enabled"
+
+  private def scanRoots(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.toSet
+
+  test("CREATE over a parquet fact: statement query served, DROP stops it") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_pq").toString
+    val fact = tmp + "/fact.parquet"
+    (0L until 300L).map(i => (i, s"k${i % 4}", i * 2.0)).toDF("id", "k", "v")
+      .write.parquet(fact)
+    val view = tmp + "/state"
+    val created = spark.sql(
+      s"CREATE MATERIALIZED VIEW `$view` AS SELECT k, SUM(v) FROM parquet.`$fact` GROUP BY k")
+      .collect()(0)
+    assert(created.getAs[String]("group_cols") == "k")
+    assert(created.getAs[String]("value_col") == "v")
+    assert(!created.getAs[Boolean]("maintained"))
+    spark.conf.set(ConfKey, "true")
+    try {
+      def q() = spark.sql(
+        s"SELECT k, count(*) AS n, sum(v) AS s, avg(v) AS a FROM parquet.`$fact` GROUP BY k ORDER BY k")
+      val direct = { // the truth, computed with the rewriter off
+        spark.conf.set(ConfKey, "false")
+        try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      }
+      assert(!scanRoots(q()).exists(_.endsWith("fact.parquet")),
+        s"fact scan survived: ${scanRoots(q())}")
+      assert(q().collect().toSeq == direct)
+
+      val dropped = spark.sql(s"DROP MATERIALIZED VIEW `$view`").collect()(0)
+      assert(dropped.getAs[Boolean]("dropped"))
+      assert(scanRoots(q()).exists(_.endsWith("fact.parquet")),
+        "rewrite must stop after DROP")
+      assert(!new java.io.File(view).exists(), "DROP must delete the state")
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+
+  test("CREATE over a vt fact: maintained; REFRESH tracks the fact across a new session") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_vt").toString
+    val src = tmp + "/fact"; val view = tmp + "/view"
+    def rows(ids: Range) =
+      ids.map(i => (i.toLong, s"k${i % 3}", i * 2.0)).toDF("id", "k", "v")
+    VersionedTable.commitAppend(rows(0 until 90), src)
+    spark.conf.set("spark.sql.catalog.vtmv", classOf[graft.sources.VtCatalog].getName)
+    val created = spark.sql(
+      s"CREATE MATERIALIZED VIEW `$view` AS SELECT k, SUM(v), COUNT(*) FROM vtmv.`$src` GROUP BY k")
+      .collect()(0)
+    assert(created.getAs[Boolean]("maintained"))
+    spark.conf.set(ConfKey, "true")
+    try {
+      def q() = spark.sql(
+        s"SELECT k, count(*) AS n, sum(v) AS s FROM vtmv.`$src` GROUP BY k ORDER BY k")
+      def direct() = {
+        spark.conf.set(ConfKey, "false")
+        try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      }
+      def served() = q().queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      }.isEmpty
+      assert(served(), "fact DSv2 scan survived")
+      assert(q().collect().toSeq == direct())
+      assert(q().collect().map(_.getLong(1)).sum == 90L)
+
+      // fact moves on; REFRESH re-converges through the CDF
+      VersionedTable.commitAppend(rows(90 until 120), src)
+      val r = spark.sql(s"REFRESH MATERIALIZED VIEW `$view`").collect()(0)
+      assert(r.getAs[Boolean]("refreshed"))
+      assert(served() && q().collect().map(_.getLong(1)).sum == 120L)
+      assert(q().collect().toSeq == direct())
+
+      // a NEW session has an empty registry: REFRESH alone re-registers
+      // (the definition rides in <view>/_mv.json)
+      MvRewrite.clear()
+      assert(!served(), "cleared registry must not rewrite")
+      spark.sql(s"REFRESH MATERIALIZED VIEW `$view`")
+      assert(served() && q().collect().toSeq == direct())
+
+      // current-version no-op refresh reports refreshed=false
+      assert(!spark.sql(s"REFRESH MATERIALIZED VIEW `$view`")
+        .collect()(0).getAs[Boolean]("refreshed"))
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+
+  test("definition grammar refuses what the rewriter could not serve") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_bad").toString
+    val fact = tmp + "/f.parquet"
+    Seq((1L, "a", 2.0, 3.0)).toDF("id", "k", "v", "w").write.parquet(fact)
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](spark.sql(sql))
+      assert(e.getMessage.contains(needle), s"$sql → ${e.getMessage}")
+    }
+    val mk = s"CREATE MATERIALIZED VIEW `$tmp/x` AS"
+    refuse(s"$mk SELECT k, SUM(v) FROM parquet.`$fact` WHERE v > 0 GROUP BY k",
+      "single fact table")
+    refuse(s"$mk SELECT k, SUM(v), MAX(w) FROM parquet.`$fact` GROUP BY k",
+      "one state vector covers one value column")
+    refuse(s"$mk SELECT k, SUM(v) FROM parquet.`$fact` GROUP BY 1",
+      "column names")
+    refuse(s"$mk SELECT k, COUNT(DISTINCT v) FROM parquet.`$fact` GROUP BY k",
+      "DISTINCT")
+    refuse(s"$mk SELECT k, STDDEV(v) FROM parquet.`$fact` GROUP BY k",
+      "not decomposable")
+    refuse(s"$mk SELECT k, SUM(k) FROM parquet.`$fact` GROUP BY k",
+      "GROUP BY key")
+    refuse(s"$mk SELECT k, v FROM parquet.`$fact`",
+      "GROUP BY aggregate")
+    // REFRESH needs a created view; a bare directory refuses loudly
+    refuse(s"REFRESH MATERIALIZED VIEW `$tmp`", "_mv.json")
+  }
+
+  test("count-only definition serves count(*) and declines value aggregates") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_cnt").toString
+    val fact = tmp + "/fact.parquet"
+    (0L until 100L).map(i => (i, s"k${i % 5}", i * 1.0)).toDF("id", "k", "v")
+      .write.parquet(fact)
+    val view = tmp + "/state"
+    val created = spark.sql(
+      s"CREATE MATERIALIZED VIEW `$view` AS SELECT k, COUNT(*) FROM parquet.`$fact` GROUP BY k")
+      .collect()(0)
+    assert(created.getAs[String]("value_col") == "")
+    spark.conf.set(ConfKey, "true")
+    try {
+      def counts() = spark.sql(
+        s"SELECT k, count(*) AS n FROM parquet.`$fact` GROUP BY k ORDER BY k")
+      assert(!scanRoots(counts()).exists(_.endsWith("fact.parquet")))
+      assert(counts().collect().map(_.getLong(1)).sum == 100L)
+      // sum needs state the view does not carry: decline, stay correct
+      def sums() = spark.sql(
+        s"SELECT k, sum(v) AS s FROM parquet.`$fact` GROUP BY k ORDER BY k")
+      assert(scanRoots(sums()).exists(_.endsWith("fact.parquet")), "expected decline")
+      assert(sums().collect().map(_.getDouble(1)).sum == (0 until 100).map(_ * 1.0).sum)
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+}

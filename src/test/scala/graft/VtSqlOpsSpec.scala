@@ -69,6 +69,25 @@ class VtSqlOpsSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).count() == 5)
   }
 
+  test("VACUUM reports its OWN removals when commits land after a dry run") {
+    val path = freshTable(2)
+    VersionedTable.overwrite(
+      (0L until 5L).map(i => (i, "ow")).toDF("id", "label"), path) // v3
+    val dry = spark.sql(s"VACUUM ${ref(path)} RETAIN 1 VERSIONS DRY RUN").collect()(0)
+    assert(dry.getAs[Int]("versions_removed") == 2)
+    // another overwrite lands between the dry run and the real vacuum:
+    // the real run must report what IT deleted (3 versions now), not
+    // replay the stale prediction (2).
+    VersionedTable.overwrite(
+      (0L until 5L).map(i => (i, "ow2")).toDF("id", "label"), path) // v4
+    val real = spark.sql(s"VACUUM ${ref(path)} RETAIN 1 VERSIONS").collect()(0)
+    assert(real.getAs[Int]("versions_removed") == 3)
+    assert(real.getAs[Long]("bytes_removed") > dry.getAs[Long]("bytes_removed"))
+    assert(VersionedTable.versions(spark, path) == Seq(4L))
+    assert(VersionedTable.read(spark, path).select("label").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ow2"))
+  }
+
   test("OPTIMIZE compacts the small append files into one and keeps every row") {
     val path = freshTable(5) // five 20-row appends
     val before = VersionedTable.read(spark, path).count()
