@@ -1439,12 +1439,79 @@ object Events {
            |       CAST(1 + len(list_filter(b.mb, x -> x < u.monetary)) AS VARCHAR) AS rfm
            |FROM u CROSS JOIN b ORDER BY user_id""".stripMargin))
 
+  /** Q296 — Kaplan-Meier time-to-convert ([[graft.ops.Survival]]): the
+    * right-censored survival curve from first view to first subsequent
+    * purchase, censoring never-converters at the observation horizon —
+    * the estimator q281's raw percentiles cannot replace once
+    * not-yet-converted users exist (dropping them biases fast, censoring
+    * them into the average biases slow; KM is the unbiased curve).
+    * Scale shape: subjects collapse to ONE row each via two keyed
+    * aggregations (entry = first view; event = first at-or-after-entry
+    * purchase); the risk-set arithmetic and the cumulative product run
+    * on the calendar-bounded duration grid ([[graft.core.Windows]]
+    * contract). The oracle replays risk sets and the exp∘Σ∘ln product
+    * exactly, so an off-by-one risk set or a dropped censor hash-fails. */
+  val q296 = QueryDef(
+    "q296_kaplan_meier",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .join(entry, "user_id")
+        .filter(col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val horizon = ev.agg(max(col("us")).as("h_us"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          expr("(coalesce(conv_us, h_us) - entry_us) DIV 86400000000").as("t_days"),
+          col("conv_us").isNotNull.cast("long").as("is_event"))
+      graft.ops.Survival.kaplanMeier(subjects, "t_days", "is_event")
+        .select(
+          col("t").as("t_days"), col("n_risk"), col("events"),
+          r6(col("survival")).as("survival"))
+        .orderBy("t_days")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
+           |            FROM e JOIN en USING (user_id)
+           |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
+           |     h AS (SELECT MAX(us) AS h_us FROM e),
+           |     s AS (SELECT (COALESCE(conv_us, h_us) - entry_us) // 86400000000
+           |                    AS t_days,
+           |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS is_event
+           |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |     g AS (SELECT t_days, SUM(is_event) AS d, COUNT(*) AS leaving
+           |           FROM s GROUP BY 1),
+           |     t AS (SELECT COUNT(*) AS n_tot FROM s),
+           |     r AS (SELECT t_days, d,
+           |                  n_tot - COALESCE(SUM(leaving) OVER
+           |                    (ORDER BY t_days
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS n_risk
+           |           FROM g CROSS JOIN t),
+           |     k AS (SELECT t_days, n_risk, d,
+           |                  CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           |                              OVER (ORDER BY t_days) = 1 THEN 0.0
+           |                       ELSE EXP(SUM(CASE WHEN d < n_risk
+           |                                 THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+           |                                 END) OVER (ORDER BY t_days))
+           |                  END AS surv
+           |           FROM r WHERE d > 0)
+           |SELECT CAST(t_days AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           |       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
+           |FROM k ORDER BY t_days""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292)
+      q291, q292, q296)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

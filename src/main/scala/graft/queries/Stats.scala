@@ -1084,8 +1084,87 @@ object Stats {
            |                       * ((s_tot - s) / (n_tot - n))) / n), 6) AS rmse
            |FROM f CROSS JOIN t ORDER BY fold""".stripMargin))
 
+  /** Q297 — CUPED variance reduction (Deng et al. WSDM 2013): the
+    * standard A/B-test trick — regress the experiment-period metric on
+    * its PRE-period value and analyze the residualized metric, cutting
+    * variance by the squared pre/post correlation at zero bias (θ is
+    * pooled, so E[Y_cuped] per arm = E[Y] shifted by a constant).
+    * Everything — θ, adjusted means, per-arm variances, the reduction
+    * share — derives from ONE (n, Σx, Σy, Σxy, Σx², Σy²) aggregation
+    * per arm plus its pooled rollup: the q279 closed-from-sums pattern,
+    * no second scan, no per-row adjustment materialized. Arms come from
+    * the md5 coin (engine-replayable); the oracle replays the full
+    * moment algebra, so a wrong θ pool or a mixed-up arm hash-fails. */
+  val q297 = QueryDef(
+    "q297_cuped_ab",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+      val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid_us"))
+      val users = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("us") < col("mid_us"), col("v")).otherwise(lit(0.0))).as("x"),
+          sum(when(col("us") >= col("mid_us"), col("v")).otherwise(lit(0.0))).as("y"))
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2)
+      val pooled = users.agg(
+        count(lit(1)).as("n_g"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val arms = users.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum("x").as("ax"), sum("y").as("ay"),
+        sum(col("x") * col("y")).as("axy"), sum(col("x") * col("x")).as("axx"),
+        sum(col("y") * col("y")).as("ayy"))
+      val theta = (col("sxy") - col("sx") * col("sy") / col("n_g")) /
+        (col("sxx") - col("sx") * col("sx") / col("n_g"))
+      val mx = col("ax") / col("n"); val my = col("ay") / col("n")
+      val covA = col("axy") / col("n") - mx * my
+      val vx = col("axx") / col("n") - mx * mx
+      val vy = col("ayy") / col("n") - my * my
+      arms.crossJoin(broadcast(pooled))
+        .select(
+          col("arm"), col("n"),
+          r6(my).as("mean_y"),
+          r6(my - theta * (mx - col("sx") / col("n_g"))).as("mean_cuped"),
+          r4(vy).as("var_y"),
+          r4(vy - lit(2.0) * theta * covA + theta * theta * vx).as("var_cuped"),
+          r4((lit(2.0) * theta * covA - theta * theta * vx) / vy).as("var_reduction"))
+        .orderBy("arm")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, COALESCE(value, 0) AS v
+           |           FROM events),
+           |     m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM e),
+           |     u AS (SELECT user_id,
+           |                  SUM(CASE WHEN us < mid_us THEN v ELSE 0 END) AS x,
+           |                  SUM(CASE WHEN us >= mid_us THEN v ELSE 0 END) AS y
+           |           FROM e CROSS JOIN m GROUP BY 1),
+           |     ua AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                  x, y FROM u),
+           |     g AS (SELECT COUNT(*) AS n_g, SUM(x) AS sx, SUM(y) AS sy,
+           |                  SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM ua),
+           |     t AS (SELECT n_g, sx,
+           |                  (sxy - sx*sy/n_g) / (sxx - sx*sx/n_g) AS theta FROM g),
+           |     a AS (SELECT arm, COUNT(*) AS n, SUM(x) AS ax, SUM(y) AS ay,
+           |                  SUM(x*y) AS axy, SUM(x*x) AS axx, SUM(y*y) AS ayy
+           |           FROM ua GROUP BY 1),
+           |     c AS (SELECT arm, n, ax/n AS mx, ay/n AS my,
+           |                  axy/n - (ax/n)*(ay/n) AS cov_a,
+           |                  axx/n - (ax/n)*(ax/n) AS vx,
+           |                  ayy/n - (ay/n)*(ay/n) AS vy
+           |           FROM a)
+           |SELECT arm, CAST(n AS BIGINT) AS n,
+           |       ROUND(my, 6) AS mean_y,
+           |       ROUND(my - theta * (mx - sx/n_g), 6) AS mean_cuped,
+           |       ROUND(vy, 4) AS var_y,
+           |       ROUND(vy - 2*theta*cov_a + theta*theta*vx, 4) + 0 AS var_cuped,
+           |       ROUND((2*theta*cov_a - theta*theta*vx) / vy, 4) + 0 AS var_reduction
+           |FROM c CROSS JOIN t ORDER BY arm""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279)
+      q269, q279, q297)
 }

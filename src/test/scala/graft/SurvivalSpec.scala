@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Survival
+
+/** [[Survival.kaplanMeier]] — hand-computed risk sets and survival
+  * products on the textbook right-censored example, censoring-only
+  * degeneracy, and layout determinism. */
+class SurvivalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("KM curve matches the hand-computed example with interleaved censoring") {
+    // durations: 1(event) 2(censor) 3(event) 4(event) 5(censor)
+    // t=1: n=5 d=1 S=4/5=0.8
+    // t=3: n=3 d=1 S=0.8*2/3=0.5333...
+    // t=4: n=2 d=1 S=0.5333*1/2=0.2666...
+    val subjects = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
+      .toDF("t_days", "is_event")
+    val got = Survival.kaplanMeier(subjects, "t_days", "is_event")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 5L, 1L), (3L, 3L, 1L), (4L, 2L, 1L)))
+    val s = got.map(_._4)
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.8 * 2 / 3) < 1e-12)
+    assert(math.abs(s(2) - 0.8 * 2 / 3 * 0.5) < 1e-12)
+  }
+
+  test("ties at one time collapse into one step; censors at an event time leave AFTER it") {
+    // t=2: 2 events + 1 censor out of 4 at risk -> S = (1 - 2/4) = 0.5
+    // (the censor at t=2 was still at risk at t=2 — standard convention)
+    val subjects = Seq((2L, 1), (2L, 1), (2L, 0), (7L, 0)).toDF("t", "e")
+    val got = Survival.kaplanMeier(subjects, "t", "e").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 2L)
+    assert(math.abs(got(0).getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("an absorbing step (every at-risk subject converts) lands survival exactly 0") {
+    val subjects = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("t", "e")
+    val got = Survival.kaplanMeier(subjects, "t", "e").orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq.map(g => (g._1, g._2, g._3)) == Seq((1L, 3L, 1L), (2L, 2L, 2L)))
+    assert(math.abs(got(0)._4 - 2.0 / 3) < 1e-12)
+    assert(got(1)._4 == 0.0)
+  }
+
+  test("all-censored input yields an empty curve; result is layout-proof") {
+    val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
+    assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
+    val subjects = (1L to 400L).map(i => (i % 37, (i % 3 == 0, 1, 0) match {
+      case (true, a, _) => a; case (false, _, b) => b
+    })).toDF("t", "e")
+    val a = Survival.kaplanMeier(subjects, "t", "e").orderBy("t").collect().toSeq
+    val b = Survival.kaplanMeier(subjects.repartition(13), "t", "e")
+      .orderBy("t").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
