@@ -1163,8 +1163,91 @@ object Stats {
            |       ROUND((2*theta*cov_a - theta*theta*vx) / vy, 4) + 0 AS var_reduction
            |FROM c CROSS JOIN t ORDER BY arm""".stripMargin))
 
+  /** Q298 — grouped closed-form OLS: per-brand regression of quantity on
+    * discount (the promo-elasticity read), slope/intercept/R² derived
+    * from the same ONE (n, Σx, Σy, Σxy, Σx², Σy²) pass as q297/q279 —
+    * per-group regression WITHOUT per-group model fitting, the shape
+    * that turns "train 25 models" into one keyed aggregation over a
+    * broadcast-joined fact. Degenerate groups (zero x- or y-variance)
+    * emit null slope/R² via the same CASE both engines evaluate. */
+  val q298 = QueryDef(
+    "q298_grouped_ols",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_discount").as("x"), col("l_quantity").as("y"))
+      val sums = li
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val cxy = col("sxy") - col("sx") * col("sy") / col("n")
+      val cxx = col("sxx") - col("sx") * col("sx") / col("n")
+      val cyy = col("syy") - col("sy") * col("sy") / col("n")
+      val slope = when(cxx > 0, cxy / cxx)
+      sums.select(
+        col("brand"), col("n"),
+        r6(slope).as("slope"),
+        r6(col("sy") / col("n") - slope * col("sx") / col("n")).as("intercept"),
+        r6(when(cxx > 0 && cyy > 0, cxy * cxy / (cxx * cyy))).as("r2"))
+        .orderBy("brand")
+    },
+    Some("""WITH j AS (SELECT p_brand AS brand, l_discount AS x, l_quantity AS y
+           |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |     s AS (SELECT brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |                  SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+           |           FROM j GROUP BY 1),
+           |     c AS (SELECT brand, n,
+           |                  sxy - sx*sy/n AS cxy,
+           |                  sxx - sx*sx/n AS cxx,
+           |                  syy - sy*sy/n AS cyy,
+           |                  sx/n AS mx, sy/n AS my
+           |           FROM s)
+           |SELECT brand, CAST(n AS BIGINT) AS n,
+           |       ROUND(CASE WHEN cxx > 0 THEN cxy / cxx END, 6) AS slope,
+           |       ROUND(my - (CASE WHEN cxx > 0 THEN cxy / cxx END) * mx, 6)
+           |         AS intercept,
+           |       ROUND(CASE WHEN cxx > 0 AND cyy > 0
+           |                  THEN cxy * cxy / (cxx * cyy) END, 6) AS r2
+           |FROM c ORDER BY brand""".stripMargin))
+
+  /** Q299 — hash-subsample stability (m-out-of-n, Politis-Romano): B
+    * half-sample replicates of the mean order value, every replicate's
+    * membership decided by the md5 coin over (replicate, order key) —
+    * the deterministic, engine-replayable stand-in for bootstrap SEs.
+    * Scale shape: the explode is CPU-only fan-out; the per-replicate
+    * aggregation partial-aggregates map-side, so the shuffle carries
+    * B×partitions part-rows, never B×data — subsample CI at the cost of
+    * one scan's worth of hashing. */
+  val q299 = QueryDef(
+    "q299_subsample_ci",
+    (s, d) => {
+      val B = 20
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0), lit(B - 1))).as("rep"))
+        .filter(conv(substring(md5(concat(lit("ci-v1:"), col("rep").cast("string"),
+          lit(":"), col("o_orderkey").cast("string"))), 1, 4), 16, 10)
+          .cast("int") % 2 === 0)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n"), r4(avg(col("o_totalprice"))).as("mean_total"))
+        .orderBy("rep")
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_totalprice, b.rep
+           |           FROM orders CROSS JOIN
+           |                (SELECT UNNEST(range(20)) AS rep) b
+           |           WHERE CAST(('0x' || substr(md5('ci-v1:' ||
+           |                  CAST(b.rep AS VARCHAR) || ':' ||
+           |                  CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 2 = 0)
+           |SELECT CAST(rep AS INTEGER) AS rep, COUNT(*) AS n,
+           |       ROUND(AVG(o_totalprice), 4) AS mean_total
+           |FROM r GROUP BY rep ORDER BY rep""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297)
+      q269, q279, q297, q298, q299)
 }
