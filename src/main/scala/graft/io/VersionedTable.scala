@@ -261,6 +261,15 @@ object VersionedTable {
           .map(x => x.group(1) -> x.group(2)).toSeq
     }
 
+  /** Names retired by DROP COLUMN, cumulative (reset by overwrite — no
+    * old files remain, so resurrection is impossible afterwards). */
+  private def droppedOf(text: String): Seq[String] =
+    raw""""dropped":\[([^\]]*)\]""".r.findFirstMatchIn(text) match {
+      case None => Seq.empty
+      case Some(m) =>
+        raw""""([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+
   /** Widened merge of two schemas: shared fields take the wider numeric
     * type (byte→short→int→long, float→double, integral→double); fields
     * only in `incoming` append as nullable. Anything else conflicting
@@ -426,6 +435,7 @@ object VersionedTable {
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
       addRenames: Seq[(String, String)] = Seq.empty,
       resetRenames: Boolean = false,
+      addDropped: Seq[String] = Seq.empty,
       addDvFiles: Seq[String] = Seq.empty,
       dvOverride: Option[Seq[String]] = None,
       addBloomFiles: Seq[String] = Seq.empty,
@@ -525,6 +535,14 @@ object VersionedTable {
       val renamesJson =
         if (renames.isEmpty) ""
         else s""""renames":[${renames.map { case (a, b) => s"""["$a","$b"]""" }.mkString(",")}],"""
+      // dropped-name tombstones carry like renames (overwrite retires
+      // them: no prior files remain, so a re-added name cannot resurrect)
+      val dropped =
+        (if (resetRenames) Seq.empty else prevText.map(droppedOf).getOrElse(Seq.empty)) ++
+          addDropped
+      val droppedJson =
+        if (dropped.isEmpty) ""
+        else s""""dropped":[${dropped.map("\"" + _ + "\"").mkString(",")}],"""
       // deletion vectors carry forward like renames (an overwrite retires
       // both — no prior files remain for either to refer to); a rewrite
       // op that re-filtered the DV set replaces it outright
@@ -557,7 +575,8 @@ object VersionedTable {
         }
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson + rowsJson + cdfJson + cdfiJson + schemaJson + renamesJson + dvJson +
+          txnJson + statsJson + rowsJson + cdfJson + cdfiJson + schemaJson + renamesJson +
+          droppedJson + dvJson +
           bloomJson + checksJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
@@ -869,7 +888,7 @@ object VersionedTable {
     // metadata-only schema commits add no files and are safe to cross
     val bad = ops.filterNot { case (_, op) =>
       op == "append" || op == "stream-append" || op == "rename" || op == "retype" ||
-        op == "constraint" || op == "analyze" || op == "add-column"
+        op == "constraint" || op == "analyze" || op == "add-column" || op == "drop-column"
     }
     require(bad.isEmpty,
       s"changes() needs an append-only window; version(s) ${bad.map(_._1).mkString(",")} " +
@@ -932,7 +951,8 @@ object VersionedTable {
             (if (ins.isEmpty) None
              else Some(tag(evolvedRead(spark, path, toText, ins), "insert", v)))
         case "compact" => None // rewrites files without changing a row
-        case "rename" | "retype" | "constraint" | "analyze" | "add-column" => None // metadata-only
+        case "rename" | "retype" | "constraint" | "analyze" | "add-column" |
+             "drop-column" => None // metadata-only
         case other =>
           throw new IllegalArgumentException(
             s"changesWithType() cannot cross a '$other' commit (version $v); " +
@@ -2079,10 +2099,51 @@ object VersionedTable {
     val text = manifestText(spark, path, vs.last)
     val logical = schemaOf(text).getOrElse(read(spark, path).schema)
     require(!logical.fieldNames.contains(colName), s"column '$colName' already exists")
+    // re-adding a DROPPED name would resurrect its old values: reads are
+    // name-based and the pre-drop files still hold the column
+    require(!droppedOf(text).contains(colName),
+      s"column '$colName' was previously dropped at $path and cannot be re-added " +
+        "(old data files still hold its values and name-based reads would resurrect " +
+        "them); use a new name, or overwrite the table to retire the history")
     val widened = org.apache.spark.sql.types.StructType(
       logical.fields :+ org.apache.spark.sql.types.StructField(colName, dataType, nullable = true))
     publish(spark, path, "add-column", Seq.empty, carryForward = true,
       schemaOverride = Some(widened), requiredParent = Some(vs.last)).get
+  }
+
+  /** DROP COLUMN as a metadata-only commit — the destructive half of
+    * schema evolution done REVERSIBLY: data files are untouched (time
+    * travel to any pre-drop version still reads the column), only the
+    * logical schema loses the field, so every current-version read
+    * projects it out. The name lands in a tombstone list carried by
+    * every subsequent manifest: re-ADDing it is refused, because
+    * name-based reads over the surviving old files would silently
+    * resurrect the dropped values (an overwrite retires the tombstones —
+    * no old files remain). Refuses columns referenced by CHECK
+    * constraints or recorded stats columns rather than leaving dangling
+    * metadata. */
+  def dropColumn(spark: SparkSession, path: String, colName: String): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, vs.last)
+    val logical = schemaOf(text).getOrElse(read(spark, path).schema)
+    require(logical.fieldNames.contains(colName), s"column '$colName' does not exist")
+    require(logical.fields.length > 1, "cannot drop the last column")
+    val tangledChecks = checksOf(text).collect {
+      case (n, e) if e.matches(s".*\\b${java.util.regex.Pattern.quote(colName)}\\b.*") => n
+    }
+    require(tangledChecks.isEmpty,
+      s"column '$colName' is referenced by CHECK constraint(s) ${tangledChecks.mkString(",")} " +
+        "— drop the constraint first")
+    val (statCols, _) = statsOf(text)
+    require(!statCols.contains(colName),
+      s"column '$colName' has recorded file-skipping stats — compact or overwrite first " +
+        "(dropping it would leave pruning metadata pointing at a phantom column)")
+    val narrowed = org.apache.spark.sql.types.StructType(
+      logical.fields.filterNot(_.name == colName))
+    publish(spark, path, "drop-column", Seq.empty, carryForward = true,
+      schemaOverride = Some(narrowed), addDropped = Seq(colName),
+      requiredParent = Some(vs.last)).get
   }
 
   def renameColumn(spark: SparkSession, path: String, oldName: String, newName: String): Long = {

@@ -104,6 +104,7 @@ object MvRewrite {
 
   def register(mv: MvDef): Unit = registry.put(mv.stateId, mv)
   def unregister(stateId: String): Boolean = registry.remove(stateId).isDefined
+  def registeredIds: Set[String] = registry.keySet.toSet
   def clear(): Unit = registry.clear()
 
   // ── decline observability ─────────────────────────────────────────

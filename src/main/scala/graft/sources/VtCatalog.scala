@@ -143,9 +143,12 @@ class VtCatalog extends TableCatalog {
         require(a.isNullable,
           "added columns must be nullable (history cannot be backfilled)")
         VersionedTable.addColumn(spark, path, a.fieldNames.head, a.dataType)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested column drops are not supported")
+        VersionedTable.dropColumn(spark, path, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
-          "(supported: RENAME COLUMN, ADD COLUMN; type widening happens on write)")
+          "(supported: RENAME COLUMN, ADD COLUMN, DROP COLUMN; type widening happens on write)")
     }
     load(ident, None)
   }

@@ -27,6 +27,10 @@ import graft.io.VersionedTable
   *                                         -- retrofit point-lookup bloom sidecars, no rewrite
   *   RESTORE vt.events TO VERSION 3        -- roll the table back (new commit, history kept)
   *   DESCRIBE DETAIL vt.events             -- location / version / files / rows / columns / tags
+  *   CREATE MATERIALIZED VIEW vt.daily AS SELECT k, SUM(v) FROM vt.fact GROUP BY k
+  *   REFRESH MATERIALIZED VIEW vt.daily    -- CDF refresh + re-register (fresh sessions too)
+  *   DROP MATERIALIZED VIEW vt.daily       -- unregister + delete the state
+  *   SHOW MATERIALIZED VIEWS IN vt         -- discover _mv.json definitions + registration
   * }}}
   *
   * The row-level change feed is a TABLE FUNCTION (registered in
@@ -65,6 +69,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+)\s*;?\s*""".r
   private val dropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*;?\s*""".r
+  private val showMvs =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+(\S+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(ident) =>
@@ -92,6 +98,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtRefreshMvCommand(parts(ident))
     case dropMv(ident) =>
       VtDropMvCommand(parts(ident))
+    case showMvs(ident) =>
+      VtShowMvsCommand(parts(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -426,6 +434,44 @@ final case class VtDropMvCommand(viewParts: Seq[String]) extends LeafRunnableCom
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     val deleted = f.exists(p) && f.delete(p, true)
     Seq(Row(viewPath, existed || deleted))
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS IN <catalog-or-dir>`: every `_mv.json`
+  * definition one directory level under the warehouse (or an explicit
+  * path), with whether it is registered with the CURRENT session's
+  * rewriter — the discovery statement that makes `REFRESH MATERIALIZED
+  * VIEW` usable from a fresh session without remembering view names. */
+final case class VtShowMvsCommand(dirParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("view", StringType), VtSqlOps.attr("fact", StringType),
+    VtSqlOps.attr("group_cols", StringType), VtSqlOps.attr("value_col", StringType),
+    VtSqlOps.attr("maintained", BooleanType), VtSqlOps.attr("registered", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir =
+      if (dirParts.length == 1 && dirParts.head.startsWith("/")) dirParts.head
+      else {
+        val cat = dirParts.head
+        require(dirParts.length == 1, s"expected a catalog name or /path, got: $dirParts")
+        val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+        require(impl.contains(classOf[VtCatalog].getName),
+          s"'$cat' is not a graft versioned-table catalog")
+        spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse").getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog '$cat' has no warehouse configured"))
+      }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) return Seq.empty
+    val registered = graft.plans.MvRewrite.registeredIds
+    f.listStatus(p).filter(_.isDirectory).toSeq.flatMap { d =>
+      val vp = d.getPath.toUri.getPath
+      if (!f.exists(new org.apache.hadoop.fs.Path(s"$vp/_mv.json"))) None
+      else {
+        val (fact, groups, valueCol, maintained) = MvSql.readSpec(spark, vp)
+        Some(Row(vp, fact, groups.mkString(","), valueCol, maintained, registered(vp)))
+      }
+    }.sortBy(_.getString(0))
   }
 }
 

@@ -136,6 +136,29 @@ class MvSqlSpec extends SparkSuite {
     refuse(s"REFRESH MATERIALIZED VIEW `$tmp`", "_mv.json")
   }
 
+  test("SHOW MATERIALIZED VIEWS discovers definitions and session registration") {
+    val wh = java.nio.file.Files.createTempDirectory("mvsql_show").toString
+    val fact = wh + "/fact.parquet"
+    (0L until 60L).map(i => (i, s"k${i % 3}", i * 1.0)).toDF("id", "k", "v")
+      .write.parquet(fact)
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW `$wh/mv1` AS SELECT k, SUM(v) FROM parquet.`$fact` GROUP BY k")
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW `$wh/mv2` AS SELECT k, COUNT(*) FROM parquet.`$fact` GROUP BY k")
+    try {
+      def rows() = spark.sql(s"SHOW MATERIALIZED VIEWS IN `$wh`").collect()
+        .map(r => (r.getString(0).split('/').last, r.getString(3), r.getBoolean(5)))
+      assert(rows().toSeq == Seq(("mv1", "v", true), ("mv2", "", true)))
+      // a fresh session (empty registry) sees the definitions, unregistered
+      MvRewrite.clear()
+      assert(rows().toSeq == Seq(("mv1", "v", false), ("mv2", "", false)))
+      // the catalog form resolves through the warehouse conf
+      spark.conf.set("spark.sql.catalog.vtshow", classOf[graft.sources.VtCatalog].getName)
+      spark.conf.set("spark.sql.catalog.vtshow.warehouse", wh)
+      assert(spark.sql("SHOW MATERIALIZED VIEWS IN vtshow").count() == 2)
+    } finally MvRewrite.clear()
+  }
+
   test("count-only definition serves count(*) and declines value aggregates") {
     val tmp = java.nio.file.Files.createTempDirectory("mvsql_cnt").toString
     val fact = tmp + "/fact.parquet"

@@ -345,6 +345,33 @@ class VersionedTableSpec extends SparkSuite {
       "the add-column commit itself contributes no rows")
   }
 
+  test("drop-column: CDC windows cross it; stats/check tangles refuse") {
+    val path = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1: (id, v)
+    VersionedTable.dropColumn(spark, path, "v") // v2, metadata-only
+    VersionedTable.commitAppend((5L until 8L).toDF("id"), path) // v3
+    val delta = VersionedTable.changes(spark, path, 1L, 3L)
+    assert(delta.columns.toSeq == Seq("id") && delta.count() == 3)
+    assert(VersionedTable.read(spark, path).columns.toSeq == Seq("id"))
+    // pre-drop version still reads the column
+    assert(VersionedTable.read(spark, path, Some(1L)).columns.toSeq == Seq("id", "v"))
+    // the last column cannot be dropped
+    intercept[IllegalArgumentException](VersionedTable.dropColumn(spark, path, "id"))
+
+    // a recorded stats column refuses (phantom pruning metadata)
+    val p2 = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), p2, "id")
+    val e1 = intercept[IllegalArgumentException](VersionedTable.dropColumn(spark, p2, "id"))
+    assert(e1.getMessage.contains("file-skipping stats"))
+
+    // a CHECK-referenced column refuses (dangling constraint)
+    val p3 = freshDir()
+    VersionedTable.commitAppend(batch(0, 5), p3)
+    VersionedTable.addCheck(spark, p3, "v_nonnull", "v IS NOT NULL")
+    val e2 = intercept[IllegalArgumentException](VersionedTable.dropColumn(spark, p3, "v"))
+    assert(e2.getMessage.contains("CHECK constraint"))
+  }
+
   test("schema evolution: mergeSchema read reconciles commits with a new nullable column") {
     val path = freshDir()
     VersionedTable.commitAppend(batch(0, 5), path)

@@ -55,8 +55,31 @@ class VtCatalogSpec extends SparkSuite {
     spark.sql("INSERT INTO vtt.t3 SELECT id, CONCAT('r', id) FROM RANGE(5)")
     spark.sql("ALTER TABLE vtt.t3 RENAME COLUMN v TO label")
     assert(spark.sql("SELECT label FROM vtt.t3 WHERE id = 3").head().getString(0) == "r3")
-    val e = intercept[Exception](spark.sql("ALTER TABLE vtt.t3 DROP COLUMN label"))
-    assert(e.getMessage.contains("not supported"))
+    val e = intercept[Exception](spark.sql("ALTER TABLE vtt.t3 DROP COLUMN nope"))
+    assert(e.getMessage.contains("UNRESOLVED_COLUMN"), e.getMessage)
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only, time travel keeps it, re-add refused") {
+    wh
+    spark.sql("CREATE TABLE vtt.dropc_t (id BIGINT, v STRING, score DOUBLE)")
+    spark.sql("INSERT INTO vtt.dropc_t SELECT 1, 'a', 2.5")
+    spark.sql("ALTER TABLE vtt.dropc_t DROP COLUMN score")
+    assert(spark.sql("SELECT * FROM vtt.dropc_t").columns.toSeq == Seq("id", "v"))
+    // data files untouched: the pre-drop snapshot still reads the column
+    assert(spark.sql("SELECT score FROM vtt.dropc_t VERSION AS OF 2")
+      .head().getDouble(0) == 2.5)
+    // writes continue in the narrowed schema
+    spark.sql("INSERT INTO vtt.dropc_t SELECT 2, 'b'")
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.dropc_t").head().getLong(0) == 2)
+    // re-adding the dropped name would resurrect old values: refused
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE vtt.dropc_t ADD COLUMN score DOUBLE"))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // a fresh name is fine
+    spark.sql("ALTER TABLE vtt.dropc_t ADD COLUMN score2 DOUBLE")
+    assert(spark.sql("SELECT * FROM vtt.dropc_t").columns.toSeq ==
+      Seq("id", "v", "score2"))
+    spark.sql("DROP TABLE vtt.dropc_t")
   }
 
   test("CHECK constraints enforce on SQL INSERT; time-travel identifiers refuse writes") {
