@@ -504,6 +504,57 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of the q200 CUSUM change-point monitor — but ONLINE:
+    * q200 is retrospective (the statistic needs the series total, so the
+    * answer exists only after the fact); the streaming form is the
+    * Page (1954) one-sided pair against a FIXED reference rate learned
+    * from a calibration period ([[referenceRate]]), which is how a
+    * production volume monitor actually runs. Same exact-integer trick
+    * as q200/q203: scale everything by the reference day-count n so
+    * deviation = cnt·n − Σref, slack and threshold scale once — no FP in
+    * state, so stream == batch-fold equality is EXACT across any
+    * micro-batch slicing.
+    *
+    * State per event type is two longs (the one-sided sums) — O(types),
+    * no watermark needed. Input is the per-window count stream an
+    * upstream tumbling aggregation produces; within one type, windows
+    * are folded in day order per micro-batch (same in-order-delivery
+    * contract as [[streamingSessionize]], spec-pinned). */
+  final case class DayCount(event_type: String, day_idx: Long, cnt: Long)
+  final case class CusumStat(
+      event_type: String, day_idx: Long, s_pos: Long, s_neg: Long, alarm: Boolean)
+
+  /** Per-type (Σcnt, n) over a calibration batch frame: the reference
+    * rate the monitor scales against. Bounded by the type vocabulary. */
+  def referenceRate(df: DataFrame, typeCol: String, cntCol: String): Map[String, (Long, Long)] =
+    df.groupBy(col(typeCol).as("t"))
+      .agg(sum(col(cntCol)).cast("long").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  def streamingCusum(
+      spark: SparkSession, counts: Dataset[DayCount],
+      reference: Map[String, (Long, Long)],
+      slack: Double = 0.0, threshold: Double = 5.0): Dataset[CusumStat] = {
+    import spark.implicits._
+    counts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (t: String, batch: Iterator[DayCount], state: GroupState[(Long, Long)]) =>
+          val (refSum, refN) = reference.getOrElse(t, (0L, 1L))
+          val slackScaled = math.round(slack * refN)
+          val hScaled = math.round(threshold * refN)
+          var (sp, sn) = state.getOption.getOrElse((0L, 0L))
+          val out = batch.toSeq.sortBy(_.day_idx).map { e =>
+            val dev = e.cnt * refN - refSum
+            sp = math.max(0L, sp + dev - slackScaled)
+            sn = math.max(0L, sn - dev - slackScaled)
+            CusumStat(t, e.day_idx, sp, sn, sp > hScaled || sn > hScaled)
+          }
+          state.update((sp, sn))
+          out.iterator
+      }
+  }
+
   /** One (timestamp, term) occurrence on the input stream. */
   final case class TermEvent(ts: java.sql.Timestamp, term: String)
   /** One trending term of a CLOSED window: rank by estimated count
