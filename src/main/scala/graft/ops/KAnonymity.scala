@@ -35,4 +35,19 @@ object KAnonymity {
       audit(df, qiCols, k).filter(col("anonymous")).select(qiCols.map(col): _*),
       qiCols,
       "left_semi")
+
+  /** l-diversity audit (Machanavajjhala 2007) — the attack k-anonymity
+    * misses: a class can be large yet have ONE sensitive value, so
+    * membership alone discloses it (homogeneity attack). Every QI class
+    * must carry at least l DISTINCT sensitive values. Same one-keyed-
+    * aggregation shape as [[audit]] (count distinct rides the same
+    * grouped pass); classes bounded by the QI domain, not row count. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, "l must be positive")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

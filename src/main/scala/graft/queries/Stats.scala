@@ -1246,8 +1246,67 @@ object Stats {
            |       ROUND(AVG(o_totalprice), 4) AS mean_total
            |FROM r GROUP BY rep ORDER BY rep""".stripMargin))
 
+  /** Q300 — l-diversity audit ([[graft.ops.KAnonymity.lDiversity]]):
+    * q227's homogeneity-attack complement — a (segment, balance-band)
+    * class can be comfortably k-anonymous and still disclose every
+    * member's nation if all of them share one. One keyed aggregation;
+    * the class table is QI-domain-bounded. */
+  val q300 = QueryDef(
+    "q300_l_diversity",
+    (s, d) => {
+      val rel = Tables.customer(s, d).select(
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+        col("c_nationkey"))
+      graft.ops.KAnonymity.lDiversity(
+        rel, Seq("c_mktsegment", "bal_band"), "c_nationkey", 3)
+        .orderBy("c_mktsegment", "bal_band")
+    },
+    Some("""SELECT c_mktsegment,
+           |       CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+           |       COUNT(DISTINCT c_nationkey) >= 3 AS diverse
+           |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Q301 — Laplace-mechanism release of the event-type counts, with a
+    * HASH-SEEDED noise stream so the release is reproducible and
+    * engine-replayable (the mechanism — sensitivity-1 counts, scale
+    * b = 1/ε, inverse-CDF sampling — is the production shape; a real
+    * deployment swaps the md5 uniform for a secret-seeded RNG, since a
+    * public seed leaks the noise). u comes from 8 md5 hex digits
+    * (+0.5 keeps it off the ln(0) pole exactly), noise =
+    * −b·sign(u−½)·ln(1−2|u−½|). Per-type, one aggregation. */
+  val q301 = QueryDef(
+    "q301_dp_counts",
+    (s, d) => {
+      val b = 2.0 // eps = 0.5, sensitivity 1
+      val counts = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val u = (conv(substring(md5(concat(lit("dp-v1:"), col("event_type"))), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val noise = lit(-b) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      counts.select(
+        col("event_type"), col("n"),
+        r6(col("n") + noise).as("noisy_n"),
+        r6(abs(noise)).as("abs_err"))
+        .orderBy("event_type")
+    },
+    Some("""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+           |     s AS (SELECT event_type, n,
+           |                  (CAST(('0x' || substr(md5('dp-v1:' || event_type), 1, 8))
+           |                        AS BIGINT) + 0.5) / 4294967296.0 AS u
+           |           FROM c)
+           |SELECT event_type, n,
+           |       ROUND(n + (-2.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)), 6)
+           |         AS noisy_n,
+           |       ROUND(ABS((-2.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))), 6)
+           |         AS abs_err
+           |FROM s ORDER BY event_type""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297, q298, q299)
+      q269, q279, q297, q298, q299, q300, q301)
 }

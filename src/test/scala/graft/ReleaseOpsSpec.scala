@@ -33,6 +33,24 @@ class ReleaseOpsSpec extends SparkSuite {
     assert(KAnonymity.suppress(df, Seq("seg", "band"), 1).count() == 6L)
   }
 
+  test("lDiversity flags the homogeneity attack k-anonymity misses") {
+    import spark.implicits._
+    // class (a,1) is 3-anonymous but every member shares nation 7:
+    // membership alone discloses the sensitive value
+    val df = Seq(
+      ("a", 1, 7), ("a", 1, 7), ("a", 1, 7),
+      ("b", 1, 1), ("b", 1, 2), ("b", 1, 3))
+      .toDF("seg", "band", "nation")
+    assert(KAnonymity.audit(df, Seq("seg", "band"), 3)
+      .collect().forall(_.getBoolean(3)), "both classes are k-anonymous")
+    val ld = KAnonymity.lDiversity(df, Seq("seg", "band"), "nation", 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(ld("a") == ((3L, 1L, false)), "homogeneous class must fail")
+    assert(ld("b") == ((3L, 3L, true)))
+  }
+
   test("exactBySourcePriority keeps the preferred-source copy, with total tie-breaks") {
     import spark.implicits._
     val df = Seq(
