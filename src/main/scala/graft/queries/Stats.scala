@@ -1305,8 +1305,76 @@ object Stats {
            |         AS abs_err
            |FROM s ORDER BY event_type""".stripMargin))
 
+  /** Q302 — split-conformal prediction interval (Papadopoulos 2002 /
+    * Lei 2018): the distribution-free interval every production
+    * regression ships with — fit on TRAIN, take the α-quantile of
+    * absolute residuals on CALIBRATION, report coverage on TEST. Fully
+    * distributed: the md5 coin 4-ways the rows, the OLS fit is the
+    * q298 closed-from-sums scalar (broadcast back), calibration rides
+    * Spark's exact `percentile` aggregate, coverage is one more fold.
+    * Coefficients round to 6 decimals BEFORE scoring on BOTH engines so
+    * every residual is bit-identical cross-engine and the
+    * threshold comparison can never flip on last-ulp fit noise. */
+  val q302 = QueryDef(
+    "q302_conformal_interval",
+    (s, d) => {
+      val rows = Tables.lineitem(s, d).select(
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+        (conv(substring(md5(concat(lit("cp-v1:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 4), 16, 10)
+          .cast("int") % 4).as("split"))
+      val fit = rows.filter(col("split") <= 1).agg(
+        count(lit(1)).as("n_train"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val slope = r6((col("sxy") - col("sx") * col("sy") / col("n_train")) /
+        (col("sxx") - col("sx") * col("sx") / col("n_train")))
+      val coefs = fit.select(
+        col("n_train"), slope.as("b"),
+        r6(col("sy") / col("n_train") - slope * col("sx") / col("n_train")).as("a"))
+      val scored = rows.filter(col("split") >= 2).crossJoin(broadcast(coefs))
+        .select(col("split"), col("n_train"),
+          abs(col("y") - col("a") - col("b") * col("x")).as("r"))
+      val qhat = scored.filter(col("split") === 2)
+        .agg(count(lit(1)).as("n_cal"), expr("percentile(r, 0.9)").as("q90"))
+      scored.filter(col("split") === 3).crossJoin(broadcast(qhat))
+        .groupBy("n_train", "n_cal")
+        .agg(
+          count(lit(1)).as("n_test"),
+          r4(first(col("q90"))).as("q_alpha"),
+          r4(avg((col("r") <= col("q90")).cast("double"))).as("coverage"))
+        .select("n_train", "n_cal", "n_test", "q_alpha", "coverage")
+    },
+    Some("""WITH r0 AS (SELECT l_quantity AS x, l_extendedprice AS y,
+           |                   CAST(('0x' || substr(md5('cp-v1:' ||
+           |                     CAST(l_orderkey AS VARCHAR) || ':' ||
+           |                     CAST(l_linenumber AS VARCHAR)), 1, 4)) AS INTEGER) % 4
+           |                     AS split
+           |            FROM lineitem),
+           |     f AS (SELECT COUNT(*) AS n_train, SUM(x) AS sx, SUM(y) AS sy,
+           |                  SUM(x*y) AS sxy, SUM(x*x) AS sxx
+           |           FROM r0 WHERE split <= 1),
+           |     c AS (SELECT n_train,
+           |                  ROUND((sxy - sx*sy/n_train) / (sxx - sx*sx/n_train), 6) AS b,
+           |                  ROUND(sy/n_train -
+           |                        ROUND((sxy - sx*sy/n_train) / (sxx - sx*sx/n_train), 6)
+           |                          * sx/n_train, 6) AS a
+           |           FROM f),
+           |     sc AS (SELECT split, ABS(y - a - b * x) AS r
+           |            FROM r0 CROSS JOIN c WHERE split >= 2),
+           |     q AS (SELECT COUNT(*) AS n_cal, quantile_cont(r, 0.9) AS q90
+           |           FROM sc WHERE split = 2)
+           |SELECT CAST(c.n_train AS BIGINT) AS n_train,
+           |       CAST(q.n_cal AS BIGINT) AS n_cal,
+           |       CAST(COUNT(*) AS BIGINT) AS n_test,
+           |       ROUND(MIN(q.q90), 4) AS q_alpha,
+           |       ROUND(AVG(CASE WHEN sc.r <= q.q90 THEN 1.0 ELSE 0.0 END), 4)
+           |         AS coverage
+           |FROM sc CROSS JOIN q CROSS JOIN c WHERE sc.split = 3
+           |GROUP BY 1, 2""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297, q298, q299, q300, q301)
+      q269, q279, q297, q298, q299, q300, q301, q302)
 }
