@@ -605,6 +605,95 @@ object VersionedTable {
       dataSchema = Some(df.schema)).get
   }
 
+  /** A write-audit-publish handle: `files` exist on disk under
+    * `data/staging-<id>/` but NO manifest references them, so every
+    * reader — current, time travel, CDF, streaming — is blind to them
+    * until [[publishStaged]] adopts them. */
+  final case class StagedCommit(id: String, files: Seq[String])
+
+  /** Stage a batch for WRITE-AUDIT-PUBLISH (the Iceberg WAP workflow):
+    * the data files land physically (full write cost paid, zero-copy
+    * from here on) but stay INVISIBLE — audit them with [[readStaged]]
+    * (row counts, expectations, drift) and then [[publishStaged]] (one
+    * metadata commit adopts the same files) or [[abortStaged]] (delete).
+    * Table CHECK constraints are enforced at stage time (fail before
+    * paying the write) AND re-checked at publish (a constraint added
+    * in between still gates).
+    *
+    * Staged dirs are named `staging-<uuid>`: [[vacuum]] skips them (an
+    * unpublished stage must not be reaped mid-audit); abandoned stages
+    * are reclaimed explicitly by [[vacuumStaging]]. */
+  def stageAppend(df: DataFrame, path: String): StagedCommit = {
+    enforceChecks(df.sparkSession, path, df)
+    val commitId = "staging-" + UUID.randomUUID().toString
+    val dataDir = s"$path/data/$commitId"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val f = fs(df.sparkSession, path)
+    val names = f.listStatus(new Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$commitId/${s.getPath.getName}")
+      .sorted.toSeq
+    StagedCommit(commitId, names)
+  }
+
+  /** The audit surface: read EXACTLY the staged files (invisible to
+    * every other read path). */
+  def readStaged(spark: SparkSession, path: String, staged: StagedCommit): DataFrame =
+    spark.read.parquet(s"$path/data/${staged.id}")
+
+  /** Adopt a staged batch as a normal append — metadata-only (the files
+    * do not move; the manifest references them under their staging
+    * name). Re-runs CHECK constraints against the staged files, records
+    * file-skipping stats when requested, refuses a double publish. */
+  def publishStaged(
+      spark: SparkSession, path: String, staged: StagedCommit,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val f = fs(spark, path)
+    require(f.exists(new Path(s"$path/data/${staged.id}")),
+      s"staged commit ${staged.id} not found at $path (aborted or already reclaimed?)")
+    require(!versions(spark, path).exists(v =>
+        manifestFiles(spark, path, v).exists(staged.files.toSet)),
+      s"staged commit ${staged.id} is already published at $path")
+    val df = readStaged(spark, path, staged)
+    enforceChecks(spark, path, df)
+    val (ranges, counts) =
+      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+      else rangesOf(df, path, staged.id, statsCols)
+    publish(spark, path, "append", staged.files, carryForward = true,
+      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
+      newRowCounts = counts).get
+  }
+
+  /** Drop an unpublished stage (the audit said no). Refuses to touch a
+    * PUBLISHED stage — those files belong to the table now. */
+  def abortStaged(spark: SparkSession, path: String, staged: StagedCommit): Unit = {
+    require(!versions(spark, path).exists(v =>
+        manifestFiles(spark, path, v).exists(staged.files.toSet)),
+      s"staged commit ${staged.id} was published — abort would corrupt the table")
+    fs(spark, path).delete(new Path(s"$path/data/${staged.id}"), true)
+  }
+
+  /** Reap ABANDONED stages: unreferenced `staging-*` dirs older than
+    * `cutoffMillis` (regular [[vacuum]] deliberately skips them). */
+  def vacuumStaging(spark: SparkSession, path: String, cutoffMillis: Long): Int = {
+    val f = fs(spark, path)
+    val dataRoot = new Path(s"$path/data")
+    if (!f.exists(dataRoot)) return 0
+    // a published-then-overwritten stage can vanish from the LATEST
+    // manifest while older retained versions still time-travel to it:
+    // every retained manifest pins its staging dirs
+    val referenced = versions(spark, path)
+      .flatMap(v => manifestFiles(spark, path, v).map(_.split("/").head))
+      .toSet
+    val victims = f.listStatus(dataRoot).filter { d =>
+      d.isDirectory && d.getPath.getName.startsWith("staging-") &&
+        !referenced(d.getPath.getName) &&
+        d.getModificationTime <= cutoffMillis
+    }
+    victims.foreach(d => f.delete(d.getPath, true))
+    victims.length
+  }
+
   /** Append with FILE-SKIPPING statistics: record each new file's
     * [min, max] of the long key `statsCol` in the manifest (one grouped
     * scan of the new files), so [[readWhere]] can prune files from the
@@ -2623,7 +2712,10 @@ object VersionedTable {
     val victims = Seq.newBuilder[(String, Long)]
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {
-      for (dir <- f.listStatus(dataRoot) if dir.isDirectory;
+      for (dir <- f.listStatus(dataRoot) if dir.isDirectory
+           if !(dir.getPath.getName.startsWith("staging-") &&
+             !f.listStatus(dir.getPath).exists(s =>
+               referenced.contains(s"${dir.getPath.getName}/${s.getPath.getName}")));
            file <- f.listStatus(dir.getPath) if file.isFile) {
         val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
         if (!referenced.contains(rel)) victims += ((rel, file.getLen))
@@ -2670,7 +2762,13 @@ object VersionedTable {
     val removed = Seq.newBuilder[(String, Long)]
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {
-      for (dir <- f.listStatus(dataRoot) if dir.isDirectory) {
+      for (dir <- f.listStatus(dataRoot) if dir.isDirectory
+           // unpublished WAP stages are mid-audit, not garbage — they are
+           // reclaimed explicitly by vacuumStaging. Once PUBLISHED their
+           // files are referenced and age out like any other commit dir.
+           if !(dir.getPath.getName.startsWith("staging-") &&
+             !f.listStatus(dir.getPath).exists(s =>
+               referenced.contains(s"${dir.getPath.getName}/${s.getPath.getName}")))) {
         for (file <- f.listStatus(dir.getPath) if file.isFile) {
           val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
           if (!referenced.contains(rel)) {

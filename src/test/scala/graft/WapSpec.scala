@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+
+/** Write-audit-publish ([[VersionedTable.stageAppend]] family): staged
+  * files are invisible to every reader until publish adopts them
+  * metadata-only; audits gate the publish; vacuum never reaps a stage
+  * mid-audit; abandoned stages reclaim explicitly. */
+class WapSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("wap").toString + "/tbl"
+
+  private def batch(a: Int, b: Int) =
+    (a until b).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+
+  test("staged batch is invisible; publish adopts it metadata-only; abort deletes") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 10), path) // v1
+    val staged = VersionedTable.stageAppend(batch(10, 15), path)
+    // invisible everywhere: current read, version chain
+    assert(VersionedTable.read(spark, path).count() == 10)
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+    // the audit surface sees exactly the staged rows
+    assert(VersionedTable.readStaged(spark, path, staged).count() == 5)
+
+    val v = VersionedTable.publishStaged(spark, path, staged)
+    assert(v == 2L && VersionedTable.read(spark, path).count() == 15)
+    // metadata-only adoption: the manifest references the staging dir
+    assert(VersionedTable.read(spark, path).filter(col("id") >= 10).count() == 5)
+    // double publish refused; abort-after-publish refused
+    intercept[IllegalArgumentException](VersionedTable.publishStaged(spark, path, staged))
+    intercept[IllegalArgumentException](VersionedTable.abortStaged(spark, path, staged))
+    assert(VersionedTable.read(spark, path).count() == 15, "failed abort touched nothing")
+
+    // a rejected stage aborts cleanly
+    val bad = VersionedTable.stageAppend(batch(100, 105), path)
+    VersionedTable.abortStaged(spark, path, bad)
+    assert(!new java.io.File(s"$path/data/${bad.id}").exists())
+    assert(VersionedTable.read(spark, path).count() == 15)
+    intercept[IllegalArgumentException](VersionedTable.publishStaged(spark, path, bad))
+  }
+
+  test("a CHECK constraint added between stage and publish still gates") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 5), path)
+    val staged = VersionedTable.stageAppend(
+      Seq((-1L, "neg")).toDF("id", "v"), path) // fine at stage time
+    VersionedTable.addCheck(spark, path, "id_nonneg", "id >= 0")
+    val e = intercept[Exception](VersionedTable.publishStaged(spark, path, staged))
+    assert(e.getMessage.contains("id_nonneg"))
+    assert(VersionedTable.read(spark, path).count() == 5, "refused publish committed nothing")
+  }
+
+  test("vacuum skips an unpublished stage; vacuumStaging reclaims abandoned ones") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 5), path)
+    VersionedTable.commitOverwrite(batch(0, 3), path) // makes v1 files reclaimable
+    val staged = VersionedTable.stageAppend(batch(50, 60), path)
+    val (_, files, _) = VersionedTable.vacuumWithStats(spark, path, keepLast = 1)
+    assert(files.nonEmpty, "the overwritten v1 files must be reclaimed")
+    assert(!files.exists(_.startsWith(staged.id)), "mid-audit stage must survive vacuum")
+    assert(VersionedTable.readStaged(spark, path, staged).count() == 10)
+    // explicit reclamation with a future cutoff reaps the abandoned stage
+    assert(VersionedTable.vacuumStaging(
+      spark, path, System.currentTimeMillis() + 60000) == 1)
+    assert(!new java.io.File(s"$path/data/${staged.id}").exists())
+    // a PUBLISHED stage is never touched, even with a future cutoff
+    val keep = VersionedTable.stageAppend(batch(60, 62), path)
+    VersionedTable.publishStaged(spark, path, keep)
+    assert(VersionedTable.vacuumStaging(
+      spark, path, System.currentTimeMillis() + 60000) == 0)
+    assert(VersionedTable.read(spark, path).filter(col("id") >= 60).count() == 2)
+  }
+
+  test("publish with statsCols records file-skipping ranges for the adopted files") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 10).repartition(1), path, "id")
+    val staged = VersionedTable.stageAppend(
+      batch(1000, 1100).repartition(2), path)
+    VersionedTable.publishStaged(spark, path, staged, statsCols = Seq("id"))
+    // a pruned read on the far range opens only the staged files
+    val pruned = VersionedTable.readWhere(spark, path, "id", 1000L, 1099L)
+    assert(pruned.count() == 100)
+    assert(pruned.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains(staged.id)), "pre-existing file must prune away")
+  }
+}
