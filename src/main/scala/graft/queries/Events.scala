@@ -1506,12 +1506,40 @@ object Events {
            |       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
            |FROM k ORDER BY t_days""".stripMargin))
 
+  /** Q303 — sliding-window distinct via MERGEABLE SKETCHES: the 100 TB
+    * path for q255's trailing-7-day WAU. q255 is exact but ships the
+    * (user, day) activity grid into a 7-way band join — at web scale
+    * that grid is billions of rows shipped 7×. Here each day collapses
+    * to ONE ~KB DataSketches HLL (`hll_sketch_agg`), the band join
+    * ships ≤7 sketches per output day, and `hll_union_agg` merges them
+    * — state and shuffle are O(days × KB) regardless of user count.
+    * Sketch estimates are engine-specific → rows-only; HllWauSpec pins
+    * the estimate against q255's exact WAU within the lgK=12 error
+    * envelope on the fixture. */
+  val q303 = QueryDef(
+    "q303_wau_hll",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val days = daily.select(col("day").as("d"))
+      daily.join(
+          broadcast(days),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy("d")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("wau_est"))
+        .select(col("d").cast("string").as("day"), col("wau_est"))
+        .orderBy("day")
+    },
+    None)
+
   def all: Seq[QueryDef] =
     Seq(q14, q19, q20, q40, q43, q49, q51, q56, q59, q68, q79, q92, q93, q99, q121, q127,
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292, q296)
+      q291, q292, q296, q303)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit
