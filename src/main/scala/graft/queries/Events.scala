@@ -1506,6 +1506,139 @@ object Events {
            |       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
            |FROM k ORDER BY t_days""".stripMargin))
 
+  private def cooccurrenceEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val b = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("user_id"), col("event_type"),
+        floor(unix_micros(col("ts")) / (600L * 1000000L)).as("m"))
+      .distinct()
+    val sized = b.groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 20))
+      .select("event_type", "m")
+    val capped = b.join(sized, Seq("event_type", "m"))
+    capped.alias("x")
+      .join(capped.alias("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.m") === col("y.m") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct()
+  }
+
+  /** Q304 — degree assortativity (Newman 2002) over the q172
+    * co-occurrence graph: the Pearson correlation of endpoint degrees
+    * across symmetrized edges — do well-connected users co-occur with
+    * each other (r > 0, social shape) or with leaves (r < 0, hub shape)?
+    * Degrees and all six correlation sums are EXACT integers (two keyed
+    * joins + one aggregation); only the final ratio is floating point,
+    * computed from identical integer sums on both engines — the q298
+    * closed-from-sums discipline applied to a graph metric. */
+  val q304 = QueryDef(
+    "q304_degree_assortativity",
+    (s, d) => {
+      val edges = cooccurrenceEdges(s, d)
+      val deg = edges.select(col("a").as("u"))
+        .union(edges.select(col("b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val endp = sym
+        .join(deg.select(col("u").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("u").as("dst"), col("deg").as("y")), "dst")
+      val sums = endp.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val mx = col("sx") / nD; val my = col("sy") / nD
+      val r = (col("sxy") / nD - mx * my) /
+        sqrt((col("sxx") / nD - mx * mx) * (col("syy") / nD - my * my))
+      sums.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .select(
+          col("n_nodes"),
+          (col("n") / 2).cast("long").as("n_edges"),
+          r4(r).as("assortativity"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id, event_type,
+           |                  epoch_us(ts)//600000000 AS m
+           |           FROM events WHERE user_id IS NOT NULL),
+           |     ok AS (SELECT event_type, m FROM
+           |              (SELECT event_type, m, COUNT(*) AS n FROM b GROUP BY 1, 2)
+           |            WHERE n BETWEEN 2 AND 20),
+           |     pairs AS (SELECT DISTINCT x.user_id AS u, y.user_id AS v
+           |               FROM b x
+           |               JOIN ok ON ok.event_type = x.event_type AND ok.m = x.m
+           |               JOIN b y ON x.event_type = y.event_type AND x.m = y.m
+           |                       AND x.user_id < y.user_id),
+           |     deg AS (SELECT u, COUNT(*) AS d
+           |             FROM (SELECT u FROM pairs UNION ALL SELECT v FROM pairs) t(u)
+           |             GROUP BY 1),
+           |     sym AS (SELECT u AS s, v AS t FROM pairs
+           |             UNION ALL SELECT v, u FROM pairs),
+           |     e AS (SELECT d1.d AS x, d2.d AS y
+           |           FROM sym JOIN deg d1 ON d1.u = sym.s
+           |                    JOIN deg d2 ON d2.u = sym.t),
+           |     ms AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           |                   CAST(SUM(x*y) AS DOUBLE) AS sxy,
+           |                   CAST(SUM(x*x) AS DOUBLE) AS sxx,
+           |                   CAST(SUM(y*y) AS DOUBLE) AS syy
+           |            FROM e)
+           |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           |       CAST(n / 2 AS BIGINT) AS n_edges,
+           |       ROUND((sxy/n - (sx/n)*(sy/n)) /
+           |             SQRT((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))), 4)
+           |         AS assortativity
+           |FROM ms""".stripMargin))
+
+  /** Q305 — global clustering coefficient: 3·triangles / wedges over
+    * the same graph (triangles from [[graft.ops.Triangles]]'s
+    * degree-ordered orientation — Σ per-node counts = 3T; wedges =
+    * Σ deg·(deg−1)/2, one aggregation over the degree table). Every
+    * input to the final ratio is an exact integer; the oracle recounts
+    * triangles with the plain a<b<c triple join. */
+  val q305 = QueryDef(
+    "q305_clustering_coefficient",
+    (s, d) => {
+      val edges = cooccurrenceEdges(s, d)
+      val tri3 = graft.ops.Triangles.perNode(edges.select(col("a"), col("b")))
+        .agg(coalesce(sum("n_triangles"), lit(0L)).as("t3"))
+      val deg = edges.select(col("a").as("u"))
+        .union(edges.select(col("b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(
+        sum(col("deg") * (col("deg") - 1) / lit(2)).cast("long").as("wedges"))
+      tri3.crossJoin(broadcast(wedges))
+        .select(
+          (col("t3") / 3).cast("long").as("n_triangles"),
+          col("wedges"),
+          r6(col("t3").cast("double") / col("wedges")).as("clustering"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id, event_type,
+           |                  epoch_us(ts)//600000000 AS m
+           |           FROM events WHERE user_id IS NOT NULL),
+           |     ok AS (SELECT event_type, m FROM
+           |              (SELECT event_type, m, COUNT(*) AS n FROM b GROUP BY 1, 2)
+           |            WHERE n BETWEEN 2 AND 20),
+           |     pairs AS (SELECT DISTINCT x.user_id AS u, y.user_id AS v
+           |               FROM b x
+           |               JOIN ok ON ok.event_type = x.event_type AND ok.m = x.m
+           |               JOIN b y ON x.event_type = y.event_type AND x.m = y.m
+           |                       AND x.user_id < y.user_id),
+           |     tri AS (SELECT COUNT(*) AS t FROM pairs e1
+           |             JOIN pairs e2 ON e1.v = e2.u
+           |             JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |     deg AS (SELECT u, COUNT(*) AS d
+           |             FROM (SELECT u FROM pairs UNION ALL SELECT v FROM pairs) t(u)
+           |             GROUP BY 1),
+           |     w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+           |SELECT CAST(t AS BIGINT) AS n_triangles, wedges,
+           |       ROUND(CAST(3 * t AS DOUBLE) / wedges, 6) AS clustering
+           |FROM tri CROSS JOIN w""".stripMargin))
+
   /** Q303 — sliding-window distinct via MERGEABLE SKETCHES: the 100 TB
     * path for q255's trailing-7-day WAU. q255 is exact but ships the
     * (user, day) activity grid into a 7-way band join — at web scale
@@ -1539,7 +1672,7 @@ object Events {
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292, q296, q303)
+      q291, q292, q296, q303, q304, q305)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit
