@@ -1639,6 +1639,71 @@ object Events {
            |       ROUND(CAST(3 * t AS DOUBLE) / wedges, 6) AS clustering
            |FROM tri CROSS JOIN w""".stripMargin))
 
+  /** Q309 — Holt double-exponential smoothing per event type (the
+    * trend-aware upgrade over q179's EWMA; q251/q292 handle the seasonal
+    * axis): level/trend recurrence l' = αx + (1−α)(l+b),
+    * b' = β(l'−l) + (1−β)b folded over the CALENDAR-BOUNDED daily-count
+    * series with the `aggregate` higher-order function — the recurrence
+    * is sequential by nature, so it runs as a row-local fold over each
+    * type's bounded array (one keyed aggregation builds the arrays;
+    * state never touches a window or the driver). The recurrence is
+    * LINEARIZED on both engines to the identical single-reference form
+    * l' = 0.5x + 0.5l + 0.5b, b' = 0.15x − 0.15l + 0.85b, so every step
+    * is the same IEEE expression; the oracle replays it with a
+    * recursive CTE walking the row-numbered series (depth = #days,
+    * calendar-bounded). NOT via DuckDB `list_reduce`: its struct
+    * accumulator mutates FIELD-BY-FIELD mid-lambda (the b field sees
+    * the already-updated l), discovered while building this oracle. */
+  val q309 = QueryDef(
+    "q309_holt_smoothing",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(day, cnt))), e -> CAST(e.cnt AS DOUBLE))")
+          .as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .withColumn("st", expr(
+          """aggregate(
+             |  slice(xs, 2, size(xs) - 1),
+             |  named_struct('l', element_at(xs, 1),
+             |               'b', element_at(xs, 2) - element_at(xs, 1)),
+             |  (acc, x) -> named_struct(
+             |    'l', 0.5 * x + 0.5 * acc.l + 0.5 * acc.b,
+             |    'b', 0.15 * x - 0.15 * acc.l + 0.85 * acc.b))""".stripMargin))
+        .select(
+          col("event_type"), size(col("xs")).as("n_days"),
+          r6(col("st.l")).as("level"), r6(col("st.b")).as("trend"),
+          r6(col("st.l") + lit(7.0) * col("st.b")).as("forecast_7d"))
+        .orderBy("event_type")
+    },
+    Some("""WITH RECURSIVE
+           |  daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           |            FROM events GROUP BY 1, 2),
+           |  idx AS (SELECT event_type, CAST(cnt AS DOUBLE) AS x,
+           |                 ROW_NUMBER() OVER (PARTITION BY event_type
+           |                                    ORDER BY day) AS i
+           |          FROM daily),
+           |  nn AS (SELECT event_type, MAX(i) AS n FROM idx GROUP BY 1),
+           |  holt AS (
+           |    SELECT a.event_type, CAST(2 AS BIGINT) AS i, a.x AS l, b.x - a.x AS b
+           |    FROM idx a JOIN idx b ON a.event_type = b.event_type
+           |    WHERE a.i = 1 AND b.i = 2
+           |    UNION ALL
+           |    SELECT h.event_type, h.i + 1,
+           |           0.5 * e.x + 0.5 * h.l + 0.5 * h.b,
+           |           0.15 * e.x - 0.15 * h.l + 0.85 * h.b
+           |    FROM holt h JOIN idx e
+           |      ON e.event_type = h.event_type AND e.i = h.i)
+           |SELECT h.event_type, CAST(nn.n AS BIGINT) AS n_days,
+           |       ROUND(h.l, 6) AS level, ROUND(h.b, 6) AS trend,
+           |       ROUND(h.l + 7.0 * h.b, 6) AS forecast_7d
+           |FROM holt h JOIN nn ON nn.event_type = h.event_type
+           |WHERE h.i = nn.n + 1
+           |ORDER BY h.event_type""".stripMargin))
+
   /** Q303 — sliding-window distinct via MERGEABLE SKETCHES: the 100 TB
     * path for q255's trailing-7-day WAU. q255 is exact but ships the
     * (user, day) activity grid into a 7-way band join — at web scale
@@ -1672,7 +1737,7 @@ object Events {
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292, q296, q303, q304, q305)
+      q291, q292, q296, q303, q304, q305, q309)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

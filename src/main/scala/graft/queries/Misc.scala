@@ -397,7 +397,65 @@ object Misc {
            |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.93
            |ORDER BY key_a, key_b""".stripMargin))
 
+  /** Q308 — JSONL quarantine ingestion ([[graft.io.JsonQuarantine]]):
+    * q253's twin for the other ubiquitous feed format, exercising
+    * JSON's EXTRA failure mode — a syntactically malformed line (CSV
+    * cannot express one). The scratch feed plants both classes: every
+    * 13th row's numeric field is the text "xx" (type corruption; a
+    * PERMISSIVE read would silently null just that field) and every
+    * 29th row gets a trailing '{' (malformed; PERMISSIVE nulls all).
+    * The oracle never reads the JSONL — it recomputes the routing from
+    * the same planted rules over the source table, so a router that
+    * mis-classifies either class, drops a row, or double-counts the
+    * 13·29 overlap hash-fails. */
+  val q308 = QueryDef(
+    "q308_json_quarantine",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.queries.Scratch.dir("q308") + "/feed"
+      Tables.documents(s, d)
+        .select(concat(
+          // a LEADING '{' guarantees a parse failure (trailing garbage
+          // can be silently ignored by lenient parsers); lines are built
+          // by hand so good rows carry a real JSON NUMBER (a quoted
+          // number would test the parser's string coercion, not routing)
+          when(col("doc_id") % 29 === 0, lit("{")).otherwise(lit("")),
+          lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"n_chars\":"),
+          when(col("doc_id") % 13 === 0, lit("\"xx\""))
+            .otherwise(col("n_chars").cast("string")),
+          lit(",\"lang\":\""), col("lang"), lit("\"}")).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("lang", StringType)))
+      val routed = graft.io.JsonQuarantine.read(s, dir, schema)
+      val g = routed.good.agg(
+        count(lit(1)).as("n_good"),
+        sum(col("doc_id")).as("good_id_sum"),
+        sum(col("n_chars")).as("good_chars_sum"))
+      // well-formed bad rows keep raw fields for the audit; malformed
+      // lines have no fields at all — both still count
+      val b = routed.bad.agg(
+        count(lit(1)).as("n_bad"),
+        sum(when(col("is_malformed"), 1L).otherwise(0L)).as("n_malformed"),
+        sum(col("raw_doc_id").cast("long")).as("bad_id_sum"))
+      g.crossJoin(b)
+    },
+    Some("""SELECT
+           |  (SELECT COUNT(*) FROM documents
+           |   WHERE doc_id % 13 <> 0 AND doc_id % 29 <> 0) AS n_good,
+           |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+           |   WHERE doc_id % 13 <> 0 AND doc_id % 29 <> 0) AS good_id_sum,
+           |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+           |   WHERE doc_id % 13 <> 0 AND doc_id % 29 <> 0) AS good_chars_sum,
+           |  (SELECT COUNT(*) FROM documents
+           |   WHERE doc_id % 13 = 0 OR doc_id % 29 = 0) AS n_bad,
+           |  (SELECT COUNT(*) FROM documents WHERE doc_id % 29 = 0) AS n_malformed,
+           |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+           |   WHERE doc_id % 13 = 0 AND doc_id % 29 <> 0) AS bad_id_sum""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246, q253,
-      q256, q257)
+      q256, q257, q308)
 }

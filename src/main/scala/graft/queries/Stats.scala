@@ -1373,8 +1373,101 @@ object Stats {
            |FROM sc CROSS JOIN q CROSS JOIN c WHERE sc.split = 3
            |GROUP BY 1, 2""".stripMargin))
 
+  /** Q306 — Theil T inequality index over positive account balances:
+    * the decomposable companion to q204's Gini (Theil splits exactly
+    * into within/between-group terms, which Gini cannot). Identity
+    * T = (Σ x·ln x)/Σx − ln(Σx/n) puts the whole index in TWO sums —
+    * one aggregation, no sort (Gini needs the rank pass), so at 100 TB
+    * this is the cheap inequality probe. Oracle replays the identity. */
+  val q306 = QueryDef(
+    "q306_theil_inequality",
+    (s, d) => {
+      val x = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_acctbal").as("x"))
+      x.agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum(col("x") * log(col("x"))).as("sxlx"))
+        .select(
+          col("n"),
+          r4(col("sx") / col("n")).as("mean_bal"),
+          r6(col("sxlx") / col("sx") - log(col("sx") / col("n"))).as("theil_t"))
+    },
+    Some("""WITH a AS (SELECT COUNT(*) AS n, SUM(c_acctbal) AS sx,
+           |                  SUM(c_acctbal * LN(c_acctbal)) AS sxlx
+           |           FROM customer WHERE c_acctbal > 0)
+           |SELECT n, ROUND(sx / n, 4) AS mean_bal,
+           |       ROUND(sxlx / sx - LN(sx / n), 6) AS theil_t
+           |FROM a""".stripMargin))
+
+  /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
+    * means with the DiD estimate and its large-sample SE — the
+    * quasi-experimental counterpart of q297's CUPED (no pre-period
+    * covariate model, just the parallel-trends subtraction). One
+    * aggregation onto the 4-cell grid; arms from the md5 coin, the
+    * period split at the observation midpoint — both engine-replayable.
+    * SE = sqrt(Σ var_cell/n_cell) from the same moment sums. */
+  val q307 = QueryDef(
+    "q307_diff_in_diff",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+      val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid_us"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .select(
+          (conv(substring(md5(concat(lit("did-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).as("arm"),
+          when(col("us") >= col("mid_us"), 1).otherwise(0).as("post"),
+          col("v"))
+        .groupBy("arm", "post")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum(col("v") * col("v")).as("svv"))
+      val m = col("sv") / col("n")
+      val varTerm = (col("svv") / col("n") - m * m) / col("n")
+      val wide = cells.select(
+        when(col("arm") === 1 && col("post") === 1, m).as("m_t1"),
+        when(col("arm") === 1 && col("post") === 0, m).as("m_t0"),
+        when(col("arm") === 0 && col("post") === 1, m).as("m_c1"),
+        when(col("arm") === 0 && col("post") === 0, m).as("m_c0"),
+        varTerm.as("vt"))
+        .agg(
+          first(col("m_t1"), ignoreNulls = true).as("m_t1"),
+          first(col("m_t0"), ignoreNulls = true).as("m_t0"),
+          first(col("m_c1"), ignoreNulls = true).as("m_c1"),
+          first(col("m_c0"), ignoreNulls = true).as("m_c0"),
+          sum("vt").as("var_sum"))
+      wide.select(
+        r6(col("m_t1")).as("mean_treat_post"), r6(col("m_t0")).as("mean_treat_pre"),
+        r6(col("m_c1")).as("mean_ctrl_post"), r6(col("m_c0")).as("mean_ctrl_pre"),
+        r6(col("m_t1") - col("m_t0") - (col("m_c1") - col("m_c0"))).as("did"),
+        r6(sqrt(col("var_sum"))).as("se"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, COALESCE(value, 0) AS v
+           |           FROM events),
+           |     m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM e),
+           |     c AS (SELECT CAST(('0x' || substr(md5('did-v1:' ||
+           |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                  CASE WHEN us >= mid_us THEN 1 ELSE 0 END AS post, v
+           |           FROM e CROSS JOIN m),
+           |     g AS (SELECT arm, post, COUNT(*) AS n, SUM(v) AS sv,
+           |                  SUM(v*v) AS svv
+           |           FROM c GROUP BY 1, 2),
+           |     w AS (SELECT
+           |             MAX(CASE WHEN arm=1 AND post=1 THEN sv/n END) AS m_t1,
+           |             MAX(CASE WHEN arm=1 AND post=0 THEN sv/n END) AS m_t0,
+           |             MAX(CASE WHEN arm=0 AND post=1 THEN sv/n END) AS m_c1,
+           |             MAX(CASE WHEN arm=0 AND post=0 THEN sv/n END) AS m_c0,
+           |             SUM((svv/n - (sv/n)*(sv/n)) / n) AS var_sum
+           |           FROM g)
+           |SELECT ROUND(m_t1, 6) AS mean_treat_post, ROUND(m_t0, 6) AS mean_treat_pre,
+           |       ROUND(m_c1, 6) AS mean_ctrl_post, ROUND(m_c0, 6) AS mean_ctrl_pre,
+           |       ROUND(m_t1 - m_t0 - (m_c1 - m_c0), 6) + 0 AS did,
+           |       ROUND(SQRT(var_sum), 6) AS se
+           |FROM w""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297, q298, q299, q300, q301, q302)
+      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307)
 }
