@@ -1916,6 +1916,29 @@ object VersionedTable {
     * owes its users. Falls back to a full scan when any manifest file
     * lacks a recorded count (e.g. staged by a stats-free append — the
     * next compaction restores coverage). */
+  /** Metadata-only planner statistics for a snapshot: (data bytes on
+    * disk, exact row count when every file has a recorded count and no
+    * deletion vectors complicate it). NEVER scans — a planner asking for
+    * stats must not trigger a job — so `rows` is None on partial
+    * coverage instead of falling back like [[countRows]] does. */
+  def plannerStats(
+      spark: SparkSession, path: String,
+      version: Option[Long] = None): (Long, Option[Long]) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    val files = manifestFiles(spark, path, v)
+    val f = fs(spark, path)
+    val bytes = files.map(n => f.getFileStatus(new Path(s"$path/data/$n")).getLen).sum
+    val counts = rowCountsOf(text)
+    val rows =
+      if (files.forall(counts.contains) && dvFilesOf(text).isEmpty)
+        Some(files.map(counts).sum)
+      else None
+    (bytes, rows)
+  }
+
   def countRows(spark: SparkSession, path: String, version: Option[Long] = None): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")

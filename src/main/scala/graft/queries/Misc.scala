@@ -455,7 +455,45 @@ object Misc {
            |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
            |   WHERE doc_id % 13 = 0 AND doc_id % 29 <> 0) AS bad_id_sum""".stripMargin))
 
+  /** Q310 — ORC round-trip with pushdown parity: Spark's OTHER built-in
+    * columnar format must carry the same planner guarantees as parquet —
+    * the closure writes the fact as ORC, re-reads with a selective
+    * predicate, and REQUIRES the filter to appear in the ORC scan's
+    * PushedFilters and the projection to prune ReadSchema to 3 columns
+    * (a format whose scan decodes all 11 columns for a 3-column
+    * aggregate would be silently 4× slower at 100 TB). The oracle
+    * replays the aggregate from the parquet source — a lossy or
+    * row-dropping format conversion hash-fails. */
+  val q310 = QueryDef(
+    "q310_orc_roundtrip",
+    (s, d) => {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val dir = graft.queries.Scratch.dir("q310") + "/orc"
+      Tables.lineitem(s, d).write.mode("overwrite").orc(dir)
+      val scan = s.read.orc(dir)
+        .filter(col("l_quantity") >= 45)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      val meta = scan.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f.metadata
+      }.getOrElse(sys.error("no file scan in the ORC plan"))
+      require(meta("PushedFilters").contains("l_quantity"),
+        s"predicate did not push into the ORC scan: ${meta("PushedFilters")}")
+      require(!meta("ReadSchema").contains("l_orderkey"),
+        s"projection did not prune the ORC read schema: ${meta("ReadSchema")}")
+      scan.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+           |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+           |       ROUND(SUM(l_extendedprice), 4) AS sum_price
+           |FROM lineitem WHERE l_quantity >= 45
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q44, q45, q57, q58, q90, q105, q111, q116, q120, q230, q241, q246, q253,
-      q256, q257, q308)
+      q256, q257, q308, q310)
 }

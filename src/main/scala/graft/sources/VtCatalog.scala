@@ -236,7 +236,22 @@ final class VtTable(path: String, identName: String, version: Option[Long])
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        // Manifest-derived stats let Catalyst pick a broadcast join for a
+        // small vt dim at PLAN time (without them a DSv2 relation defaults
+        // to spark.sql.defaultSizeInBytes = Long.Max — never broadcast
+        // until AQE re-plans). Metadata-only: file lengths + recorded row
+        // counts; rows absent on partial coverage rather than scanning.
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+          val (bytes, rows) = VersionedTable.plannerStats(spark, path, version)
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(bytes)
+            override def numRows(): java.util.OptionalLong =
+              rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          }
+        }
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           new BaseRelation with TableScan {
