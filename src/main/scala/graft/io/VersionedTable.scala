@@ -664,6 +664,28 @@ object VersionedTable {
       newRowCounts = counts).get
   }
 
+  /** [[publishStaged]] under a (writerId, batchId) idempotency txn — the
+    * streaming flavor: a REPLAYED batch (crash between publish and
+    * checkpoint) returns None instead of double-appending; the caller
+    * aborts the replayed stage (its fresh files were never adopted). */
+  def publishStagedBatch(
+      spark: SparkSession, path: String, staged: StagedCommit,
+      writerId: String, batchId: Long,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    val f = fs(spark, path)
+    require(f.exists(new Path(s"$path/data/${staged.id}")),
+      s"staged commit ${staged.id} not found at $path (aborted or already reclaimed?)")
+    val df = readStaged(spark, path, staged)
+    enforceChecks(spark, path, df)
+    val (ranges, counts) =
+      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+      else rangesOf(df, path, staged.id, statsCols)
+    publish(spark, path, "stream-append", staged.files, carryForward = true,
+      txn = Some((writerId, batchId)),
+      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
+      newRowCounts = counts)
+  }
+
   /** Drop an unpublished stage (the audit said no). Refuses to touch a
     * PUBLISHED stage — those files belong to the table now. */
   def abortStaged(spark: SparkSession, path: String, staged: StagedCommit): Unit = {

@@ -244,6 +244,57 @@ object EventStreams {
       }
       .start()
 
+  /** AUDITED exactly-once sink — write-audit-publish per micro-batch
+    * ([[graft.io.VersionedTable.stageAppend]] family): every batch lands
+    * as an INVISIBLE stage, the caller's `audit` runs against exactly
+    * the staged rows, and only a clean batch publishes (metadata-only
+    * adoption under the (writerId, batchId) txn — replays after a crash
+    * converge like [[startExactlyOnceVersionedSink]]'s, the replayed
+    * stage aborted). A failing batch routes WHOLE to the quarantine
+    * table with its violation messages, under the same txn discipline —
+    * so the main table only ever contains audited data and nothing is
+    * lost or double-counted either way. An audit that THROWS aborts the
+    * stage and fails the query (no orphan files). */
+  def startAuditedVersionedSink(
+      stream: DataFrame,
+      tablePath: String,
+      quarantinePath: String,
+      writerId: String,
+      checkpointDir: String,
+      audit: DataFrame => Seq[String],
+      onBatch: (Long, Either[Seq[String], Option[Long]]) => Unit =
+        (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import graft.io.VersionedTable
+        val spark = batch.sparkSession
+        val staged = VersionedTable.stageAppend(batch.toDF(), tablePath)
+        val violations =
+          try audit(VersionedTable.readStaged(spark, tablePath, staged))
+          catch {
+            case t: Throwable =>
+              VersionedTable.abortStaged(spark, tablePath, staged)
+              throw t
+          }
+        if (violations.isEmpty) {
+          val v = VersionedTable.publishStagedBatch(
+            spark, tablePath, staged, writerId, batchId)
+          if (v.isEmpty) // replayed batch: already adopted once
+            VersionedTable.abortStaged(spark, tablePath, staged)
+          onBatch(batchId, Right(v))
+        } else {
+          VersionedTable.commitStreamBatch(
+            VersionedTable.readStaged(spark, tablePath, staged)
+              .withColumn("_audit_failures", lit(violations.mkString("; "))),
+            quarantinePath, writerId, batchId)
+          VersionedTable.abortStaged(spark, tablePath, staged)
+          onBatch(batchId, Left(violations))
+        }
+      }
+      .start()
+
   /** Streaming CDC apply: each micro-batch is a keyed upsert/delete set
     * MERGED into a [[graft.io.VersionedTable]] — the Kafka-CDC-to-table
     * landing pattern (Debezium → MERGE INTO). Rows whose `deleteFlag`
