@@ -521,6 +521,19 @@ object VersionedTable {
       // overwrite replaces the schema and retires the rename history (no
       // old-named files remain in its manifest).
       val prevSchema = prevText.flatMap(schemaOf)
+      // dropped-name tombstones also guard the APPEND path: a batch that
+      // carries a dropped column would re-enter it through the widening
+      // merge and resurrect the old files' values on read
+      val prevDropped =
+        if (resetRenames) Seq.empty
+        else prevText.map(droppedOf).getOrElse(Seq.empty)
+      if (carryForward) dataSchema.foreach { ds =>
+        val bad = ds.fieldNames.filter(prevDropped.contains)
+        require(bad.isEmpty,
+          s"batch carries previously dropped column(s) ${bad.mkString(",")} at $path — " +
+            "name-based reads over surviving pre-drop files would resurrect their " +
+            "values; use a new name, or overwrite the table to retire the history")
+      }
       val newSchema = schemaOverride.orElse(dataSchema match {
         case Some(ds) =>
           Some(if (carryForward) prevSchema.map(mergeWiden(_, ds)).getOrElse(ds) else ds)
@@ -537,9 +550,7 @@ object VersionedTable {
         else s""""renames":[${renames.map { case (a, b) => s"""["$a","$b"]""" }.mkString(",")}],"""
       // dropped-name tombstones carry like renames (overwrite retires
       // them: no prior files remain, so a re-added name cannot resurrect)
-      val dropped =
-        (if (resetRenames) Seq.empty else prevText.map(droppedOf).getOrElse(Seq.empty)) ++
-          addDropped
+      val dropped = prevDropped ++ addDropped
       val droppedJson =
         if (dropped.isEmpty) ""
         else s""""dropped":[${dropped.map("\"" + _ + "\"").mkString(",")}],"""
@@ -675,6 +686,9 @@ object VersionedTable {
     val f = fs(spark, path)
     require(f.exists(new Path(s"$path/data/${staged.id}")),
       s"staged commit ${staged.id} not found at $path (aborted or already reclaimed?)")
+    require(!versions(spark, path).exists(v =>
+        manifestFiles(spark, path, v).exists(staged.files.toSet)),
+      s"staged commit ${staged.id} is already published at $path")
     val df = readStaged(spark, path, staged)
     enforceChecks(spark, path, df)
     val (ranges, counts) =

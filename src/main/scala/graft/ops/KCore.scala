@@ -23,7 +23,12 @@ object KCore {
     * an undirected edge list with columns (a, b), one row per edge. */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int): (DataFrame, Int) = {
     require(k >= 1, "k must be positive")
-    var cur = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // canonicalize: (a,b) and (b,a) are the SAME undirected edge —
+    // without least/greatest normalization a both-orientations input
+    // would double-count every degree
+    var cur = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(eager = true)

@@ -20,6 +20,7 @@ import graft.io.VersionedTable
   *   SHOW TAGS vt.events                   -- release name → pinned version
   *   VACUUM vt.events RETAIN 3 VERSIONS    -- physical retention (tagged versions stay pinned)
   *   VACUUM vt.events RETAIN 3 VERSIONS DRY RUN   -- prediction only, nothing touched
+  *   VACUUM STAGING vt.events OLDER THAN 24 HOURS -- reclaim abandoned WAP stages
   *   OPTIMIZE vt.events TARGET 100000 ROWS -- small-file compaction (rebases on commit races)
   *   ANALYZE vt.events COMPUTE STATS FOR COLUMNS id, ts
   *                                         -- retrofit file-skipping ranges, metadata-only commit
@@ -51,6 +52,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val showTags =
     """(?is)\s*SHOW\s+TAGS\s+(.+?)\s*;?\s*""".r
+  private val vacuumStaging =
+    """(?is)\s*VACUUM\s+STAGING\s+(.+?)\s+OLDER\s+THAN\s+(\d+)\s+HOURS\s*;?\s*""".r
   private val vacuum =
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimize =
@@ -77,6 +80,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtHistoryCommand(parts(ident))
     case showTags(ident) =>
       VtShowTagsCommand(parts(ident))
+    case vacuumStaging(ident, hours) =>
+      VtVacuumStagingCommand(parts(ident), hours.toInt)
     case vacuum(ident, keep, dry) =>
       VtVacuumCommand(parts(ident), keep.toInt, dryRun = dry != null)
     case optimize(ident, target, zorder) =>
@@ -189,6 +194,20 @@ final case class VtVacuumCommand(tableParts: Seq[String], keepLast: Int, dryRun:
       if (dryRun) VersionedTable.vacuumDryRun(spark, path, keepLast)
       else VersionedTable.vacuumWithStats(spark, path, keepLast)
     Seq(Row(versions.size, files.size, bytes, dryRun))
+  }
+}
+
+/** `VACUUM STAGING vt.t OLDER THAN 24 HOURS`: reclaim ABANDONED
+  * write-audit-publish stages (regular VACUUM deliberately skips
+  * unreferenced `staging-*` dirs — a stage mid-audit must survive). */
+final case class VtVacuumStagingCommand(tableParts: Seq[String], olderThanHours: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("stages_removed", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val cutoff = System.currentTimeMillis() - olderThanHours * 3600L * 1000L
+    Seq(Row(VersionedTable.vacuumStaging(spark, path, cutoff)))
   }
 }
 

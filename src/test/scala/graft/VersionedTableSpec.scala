@@ -357,6 +357,16 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path, Some(1L)).columns.toSeq == Seq("id", "v"))
     // the last column cannot be dropped
     intercept[IllegalArgumentException](VersionedTable.dropColumn(spark, path, "id"))
+    // resurrection guards: neither re-ADD nor an APPEND carrying the
+    // dropped name may re-enter it (old files still hold its values)
+    intercept[IllegalArgumentException](
+      VersionedTable.addColumn(spark, path, "v", org.apache.spark.sql.types.StringType))
+    val sneak = intercept[IllegalArgumentException](
+      VersionedTable.commitAppend(Seq((99L, "zombie")).toDF("id", "v"), path))
+    assert(sneak.getMessage.contains("resurrect"))
+    // an overwrite retires the tombstones: the name becomes usable again
+    VersionedTable.commitOverwrite(Seq((1L, "fresh")).toDF("id", "v"), path)
+    assert(VersionedTable.read(spark, path).columns.toSeq == Seq("id", "v"))
 
     // a recorded stats column refuses (phantom pruning metadata)
     val p2 = freshDir()

@@ -88,6 +88,26 @@ class VtSqlOpsSpec extends SparkSuite {
       .map(_.getString(0)).toSeq == Seq("ow2"))
   }
 
+  test("VACUUM STAGING reclaims only abandoned stages past the age cutoff") {
+    val path = freshTable(1)
+    val abandoned = VersionedTable.stageAppend(
+      (0L until 5L).map(i => (i, "s")).toDF("id", "label"), path)
+    val published = VersionedTable.stageAppend(
+      (5L until 8L).map(i => (i, "p")).toDF("id", "label"), path)
+    VersionedTable.publishStaged(spark, path, published)
+    // age 0 hours: reclaims the abandoned stage, never the published one
+    val r = spark.sql(s"VACUUM STAGING ${ref(path)} OLDER THAN 0 HOURS").collect()(0)
+    assert(r.getAs[Int]("stages_removed") == 1)
+    assert(!new java.io.File(s"$path/data/${abandoned.id}").exists())
+    assert(VersionedTable.read(spark, path).count() == 23) // 20 + 3 published
+    // plain VACUUM still ignores staging dirs entirely (regression guard)
+    val again = VersionedTable.stageAppend(
+      (9L until 11L).map(i => (i, "x")).toDF("id", "label"), path)
+    spark.sql(s"VACUUM ${ref(path)} RETAIN 1 VERSIONS").collect()
+    assert(new java.io.File(s"$path/data/${again.id}").exists())
+    assert(VersionedTable.readStaged(spark, path, again).count() == 2)
+  }
+
   test("OPTIMIZE compacts the small append files into one and keeps every row") {
     val path = freshTable(5) // five 20-row appends
     val before = VersionedTable.read(spark, path).count()
