@@ -2590,7 +2590,8 @@ object VersionedTable {
     * a lost attempt's staged files fall to the next [[vacuum]]. */
   def compact(
       spark: SparkSession, path: String, targetRowsPerFile: Long,
-      maxRebases: Int = 5, zOrder: Boolean = false): (Long, Long) = {
+      maxRebases: Int = 5, zOrder: Boolean = false,
+      scope: Option[(String, Long, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be positive")
     var attempt = 0
@@ -2601,18 +2602,34 @@ object VersionedTable {
       val current = vs.last
       val text = manifestText(spark, path, current)
       val rel = manifestFiles(spark, path, current)
-      val (statsCols, _) = statsOf(text)
-      // one footer-only pass: rows per file
-      val counts: Map[String, Long] = {
-        import org.apache.spark.sql.functions.{count, input_file_name, lit}
-        spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
-          .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-          .collect().map { r =>
-            val p = new java.net.URI(r.getString(0)).getPath
-            p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
-          }.toMap
+      val (statsCols, recRanges) = statsOf(text)
+      // predicate-scoped compaction: only files whose RECORDED range on
+      // the scope column intersects [lo, hi] are candidates — at 100 TB
+      // maintenance compacts the hot ingest range, not the whole table.
+      // Files without a recorded range are conservatively IN scope.
+      val inScope: String => Boolean = scope match {
+        case None => _ => true
+        case Some((c, lo, hi)) =>
+          require(statsCols.contains(c),
+            s"scoped compaction needs recorded stats on '$c' (have: ${statsCols.mkString(",")})")
+          f => recRanges.get((f, c)).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
-      val small = rel.filter(f => counts.getOrElse(f, 0L) < targetRowsPerFile)
+      // candidate selection is METADATA-ONLY when the manifest records
+      // every file's row count (append/compact/analyze paths do); only a
+      // stats-less history pays the footer pass
+      val recorded = rowCountsOf(text)
+      val counts: Map[String, Long] =
+        if (rel.forall(recorded.contains)) recorded
+        else {
+          import org.apache.spark.sql.functions.{count, input_file_name, lit}
+          spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
+            .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+            .collect().map { r =>
+              val p = new java.net.URI(r.getString(0)).getPath
+              p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
+            }.toMap
+        }
+      val small = rel.filter(f => counts.getOrElse(f, 0L) < targetRowsPerFile && inScope(f))
       if (small.size < 2) return (current, 0L) // nothing to merge
       val keep = rel.filterNot(small.toSet)
       val smallRows = small.map(counts.getOrElse(_, 0L)).sum

@@ -22,6 +22,9 @@ import graft.io.VersionedTable
   *   VACUUM vt.events RETAIN 3 VERSIONS DRY RUN   -- prediction only, nothing touched
   *   VACUUM STAGING vt.events OLDER THAN 24 HOURS -- reclaim abandoned WAP stages
   *   OPTIMIZE vt.events TARGET 100000 ROWS -- small-file compaction (rebases on commit races)
+  *   OPTIMIZE vt.events TARGET 100000 ROWS WHERE id BETWEEN 0 AND 999
+  *                                         -- scoped: compact only files whose recorded
+  *                                            range intersects (the hot-ingest-range shape)
   *   ANALYZE vt.events COMPUTE STATS FOR COLUMNS id, ts
   *                                         -- retrofit file-skipping ranges, metadata-only commit
   *   ANALYZE vt.events COMPUTE BLOOMS FOR COLUMNS id
@@ -57,7 +60,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val vacuum =
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimize =
-    """(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?""" +
+      """(?:\s+WHERE\s+([\w.-]+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?\s*;?\s*""").r
   private val analyze =
     """(?is)\s*ANALYZE\s+(.+?)\s+COMPUTE\s+STATS\s+FOR\s+COLUMNS\s+([\w.,\s`-]+?)\s*;?\s*""".r
   private val analyzeBlooms =
@@ -84,8 +88,9 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtVacuumStagingCommand(parts(ident), hours.toInt)
     case vacuum(ident, keep, dry) =>
       VtVacuumCommand(parts(ident), keep.toInt, dryRun = dry != null)
-    case optimize(ident, target, zorder) =>
-      VtOptimizeCommand(parts(ident), target.toLong, zOrder = zorder != null)
+    case optimize(ident, target, zorder, scopeCol, lo, hi) =>
+      VtOptimizeCommand(parts(ident), target.toLong, zOrder = zorder != null,
+        scope = Option(scopeCol).map(c => (c, lo.toLong, hi.toLong)))
     case analyze(ident, cols) =>
       VtAnalyzeCommand(parts(ident),
         cols.split(",").map(c => c.trim.stripPrefix("`").stripSuffix("`")).toSeq)
@@ -494,14 +499,17 @@ final case class VtShowMvsCommand(dirParts: Seq[String]) extends LeafRunnableCom
   }
 }
 
-final case class VtOptimizeCommand(tableParts: Seq[String], targetRows: Long, zOrder: Boolean)
+final case class VtOptimizeCommand(
+    tableParts: Seq[String], targetRows: Long, zOrder: Boolean,
+    scope: Option[(String, Long, Long)] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     VtSqlOps.attr("new_version", LongType),
     VtSqlOps.attr("files_rewritten", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
-    val (v, rewritten) = VersionedTable.compact(spark, path, targetRows, zOrder = zOrder)
+    val (v, rewritten) =
+      VersionedTable.compact(spark, path, targetRows, zOrder = zOrder, scope = scope)
     Seq(Row(v, rewritten))
   }
 }

@@ -120,6 +120,30 @@ class VtSqlOpsSpec extends SparkSuite {
     assert(hist.head.getAs[String]("operation") == "compact")
   }
 
+  test("OPTIMIZE ... WHERE compacts only files whose recorded range intersects") {
+    val path = java.nio.file.Files.createTempDirectory("vtsqlops").toString + "/tbl"
+    // four disjoint id slabs, one small file each, ranges recorded
+    for (s <- 0 until 4)
+      VersionedTable.commitAppend(
+        (s * 100L until s * 100L + 20L).map(i => (i, s"s$s")).toDF("id", "label")
+          .coalesce(1),
+        path, "id")
+    val before = VersionedTable.read(spark, path).count()
+    val row = spark.sql(
+      s"OPTIMIZE ${ref(path)} TARGET 1000 ROWS WHERE id BETWEEN 0 AND 150").collect()(0)
+    // only the two slabs intersecting [0, 150] rewrite
+    assert(row.getAs[Long]("files_rewritten") == 2L, row.toString)
+    assert(VersionedTable.read(spark, path).count() == before)
+    // out-of-scope slabs kept their ORIGINAL files (same relative names)
+    val hist = spark.sql(s"DESCRIBE HISTORY ${ref(path)}")
+      .orderBy(col("version").desc).collect()
+    assert(hist.head.getAs[String]("operation") == "compact")
+    // a scope column without recorded stats refuses
+    val e = intercept[Exception](spark.sql(
+      s"OPTIMIZE ${ref(path)} TARGET 1000 ROWS WHERE label BETWEEN 0 AND 1").collect())
+    assert(e.getMessage.contains("recorded stats"), e.getMessage)
+  }
+
   test("ANALYZE retrofits file-skipping ranges: pruning kicks in, rows unchanged") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
