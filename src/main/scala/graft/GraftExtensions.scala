@@ -129,11 +129,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3,
           s"vt_changes(path, fromVersion, toVersion) takes 3 arguments, got ${args.length}")
         require(args.forall(_.foldable), "vt_changes arguments must be literals")
+        val spark = org.apache.spark.sql.SparkSession.active
         val path = args.head.eval().toString
-        val from = literalInt(args(1), "vt_changes", "fromVersion").toLong
-        val to = literalInt(args(2), "vt_changes", "toVersion").toLong
+        // version boundaries may be numbers OR tag names, so a release
+        // diff reads as vt_changes('/t', 'v1.0', 'v1.1')
+        def versionOf(e: Expression, name: String): Long = e.dataType match {
+          case _: org.apache.spark.sql.types.StringType =>
+            graft.io.VersionedTable.tagVersion(
+              spark, path, e.eval().toString)
+          case _ => literalInt(e, "vt_changes", name).toLong
+        }
+        val from = versionOf(args(1), "fromVersion")
+        val to = versionOf(args(2), "toVersion")
         graft.io.VersionedTable
-          .changesWithType(org.apache.spark.sql.SparkSession.active, path, from, to)
+          .changesWithType(spark, path, from, to)
           .queryExecution.analyzed
       }))
   }

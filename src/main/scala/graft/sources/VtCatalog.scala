@@ -105,12 +105,19 @@ class VtCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <n>` — Spark hands the literal through as a string. */
+  /** `VERSION AS OF <n | 'tag'>` — Spark hands the literal through as a
+    * string; a non-numeric literal resolves as a NAMED TAG (release
+    * pins), so `SELECT ... VERSION AS OF 'v1.0'` reads what the release
+    * shipped. */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(
       try version.toLong
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF takes a version number for '$catalogName' tables, got: $version") }))
+      catch { case _: NumberFormatException =>
+        try VersionedTable.tagVersion(spark, pathOf(ident), version)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"VERSION AS OF takes a version number or a tag name for " +
+            s"'$catalogName' tables; '$version' is neither (${e.getMessage})") }
+      }))
 
   /** `TIMESTAMP AS OF <ts>` — micros since epoch, resolved against
     * manifest commit times ([[VersionedTable.versionAt]]). */

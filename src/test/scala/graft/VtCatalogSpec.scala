@@ -82,6 +82,27 @@ class VtCatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE vtt.dropc_t")
   }
 
+  test("VERSION AS OF resolves named tags; vt_changes accepts tag boundaries") {
+    wh
+    spark.sql("CREATE TABLE vtt.tagt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO vtt.tagt SELECT 1, 'a'") // v2
+    val path = s"$wh/tagt"
+    VersionedTable.setTag(spark, path, "rel-1")
+    spark.sql("INSERT INTO vtt.tagt SELECT 2, 'b'") // v3
+    VersionedTable.setTag(spark, path, "rel-2")
+    assert(spark.sql("SELECT COUNT(*) FROM vtt.tagt VERSION AS OF 'rel-1'")
+      .head().getLong(0) == 1)
+    // release diff purely by names
+    val diff = spark.sql(s"SELECT * FROM vt_changes('$path', 'rel-1', 'rel-2')")
+      .collect()
+    assert(diff.length == 1 && diff(0).getAs[Long]("id") == 2L &&
+      diff(0).getAs[String]("_change_type") == "insert")
+    val e = intercept[Exception](
+      spark.sql("SELECT COUNT(*) FROM vtt.tagt VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("neither") || e.getMessage.contains("nope"))
+    spark.sql("DROP TABLE vtt.tagt")
+  }
+
   test("CHECK constraints enforce on SQL INSERT; time-travel identifiers refuse writes") {
     wh
     spark.sql("CREATE TABLE vtt.t4 (id BIGINT, v STRING)")
