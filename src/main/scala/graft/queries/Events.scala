@@ -1453,27 +1453,12 @@ object Events {
     * exactly, so an off-by-one risk set or a dropped censor hash-fails. */
   val q296 = QueryDef(
     "q296_kaplan_meier",
-    (s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val entry = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
-      val firstConv = ev.filter(col("event_type") === "purchase")
-        .join(entry, "user_id")
-        .filter(col("us") >= col("entry_us"))
-        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
-      val horizon = ev.agg(max(col("us")).as("h_us"))
-      val subjects = entry.join(firstConv, Seq("user_id"), "left")
-        .crossJoin(broadcast(horizon))
-        .select(
-          expr("(coalesce(conv_us, h_us) - entry_us) DIV 86400000000").as("t_days"),
-          col("conv_us").isNotNull.cast("long").as("is_event"))
-      graft.ops.Survival.kaplanMeier(subjects, "t_days", "is_event")
+    (s, d) =>
+      graft.ops.Survival.kaplanMeier(convSubjects(s, d), "t_days", "is_event")
         .select(
           col("t").as("t_days"), col("n_risk"), col("events"),
           r6(col("survival")).as("survival"))
-        .orderBy("t_days")
-    },
+        .orderBy("t_days"),
     Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
            |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
            |            WHERE event_type = 'view' GROUP BY 1),
@@ -1505,6 +1490,143 @@ object Events {
            |SELECT CAST(t_days AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
            |       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
            |FROM k ORDER BY t_days""".stripMargin))
+
+  /** q296/q311/q312's shared subject derivation: one row per user with
+    * a view — (user_id, t_days to first at-or-after-entry purchase or
+    * censoring horizon, is_event). */
+  private def convSubjects(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .join(entry, "user_id")
+      .filter(col("us") >= col("entry_us"))
+      .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+    val horizon = ev.agg(max(col("us")).as("h_us"))
+    entry.join(firstConv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("user_id"),
+        expr("(coalesce(conv_us, h_us) - entry_us) DIV 86400000000").as("t_days"),
+        col("conv_us").isNotNull.cast("long").as("is_event"))
+  }
+
+  /** Q311 — STRATIFIED Kaplan-Meier: q296's curve split by the md5 A/B
+    * arm ([[graft.ops.Survival.kaplanMeierBy]]) — every window is
+    * PARTITIONED by the stratum, so unlike the pooled estimator this
+    * shape distributes over any number of strata with no bounded-window
+    * caveat at all. The oracle replays q296's risk-set SQL with
+    * PARTITION BY arm. */
+  val q311 = QueryDef(
+    "q311_km_stratified",
+    (s, d) => {
+      val subjects = convSubjects(s, d).select(
+        (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+          1, 4), 16, 10).cast("int") % 2).as("arm"),
+        col("t_days"), col("is_event"))
+      graft.ops.Survival.kaplanMeierBy(subjects, "arm", "t_days", "is_event")
+        .select(
+          col("g").as("arm"), col("t").as("t_days"), col("n_risk"), col("events"),
+          r6(col("survival")).as("survival"))
+        .orderBy("arm", "t_days")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
+           |            FROM e JOIN en USING (user_id)
+           |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
+           |     h AS (SELECT MAX(us) AS h_us FROM e),
+           |     s AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                  (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t_days,
+           |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS is_event
+           |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |     g AS (SELECT arm, t_days, SUM(is_event) AS d, COUNT(*) AS leaving
+           |           FROM s GROUP BY 1, 2),
+           |     t AS (SELECT arm, COUNT(*) AS n_tot FROM s GROUP BY 1),
+           |     r AS (SELECT g.arm, t_days, d,
+           |                  n_tot - COALESCE(SUM(leaving) OVER
+           |                    (PARTITION BY g.arm ORDER BY t_days
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS n_risk
+           |           FROM g JOIN t ON g.arm = t.arm),
+           |     k AS (SELECT arm, t_days, n_risk, d,
+           |                  CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           |                              OVER (PARTITION BY arm ORDER BY t_days) = 1
+           |                       THEN 0.0
+           |                       ELSE EXP(SUM(CASE WHEN d < n_risk
+           |                                 THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+           |                                 END) OVER (PARTITION BY arm ORDER BY t_days))
+           |                  END AS surv
+           |           FROM r WHERE d > 0)
+           |SELECT arm, CAST(t_days AS BIGINT) AS t_days,
+           |       CAST(n_risk AS BIGINT) AS n_risk,
+           |       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
+           |FROM k ORDER BY arm, t_days""".stripMargin))
+
+  /** Q312 — two-sample log-rank ([[graft.ops.Survival.logRank]]): does
+    * arm 1's time-to-convert distribution differ from arm 0's — the
+    * survival-analysis counterpart of q269's proportion z-test, built on
+    * exact integer risk sets over the pooled event-time grid (band join
+    * of two calendar-bounded grids — censor-only leaving times count
+    * against at-risk, the subtlety a window over the event grid alone
+    * would miss). Only the hypergeometric E/V terms are FP; the oracle
+    * replays them from the same integer grid. */
+  val q312 = QueryDef(
+    "q312_logrank",
+    (s, d) => {
+      val subjects = convSubjects(s, d).select(
+        (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+          1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+        col("t_days"), col("is_event"))
+      graft.ops.Survival.logRank(subjects, "arm", "t_days", "is_event", focal = "1")
+        .select(
+          col("n_times"), col("obs_a"),
+          r6(col("exp_a")).as("exp_a"), r6(col("var_sum")).as("var_sum"),
+          r6(col("chi2")).as("chi2"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
+           |            FROM e JOIN en USING (user_id)
+           |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
+           |     h AS (SELECT MAX(us) AS h_us FROM e),
+           |     s AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                  (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |     lv AS (SELECT arm, t, SUM(ev) AS d, COUNT(*) AS leaving
+           |            FROM s GROUP BY 1, 2),
+           |     tot AS (SELECT arm, COUNT(*) AS n_tot FROM s GROUP BY 1),
+           |     times AS (SELECT t FROM (SELECT t, SUM(d) AS da FROM lv GROUP BY 1)
+           |               WHERE da > 0),
+           |     ar AS (SELECT times.t, tot.arm, tot.n_tot,
+           |                   COALESCE(SUM(CASE WHEN lv.t < times.t
+           |                                     THEN lv.leaving END), 0) AS gone,
+           |                   COALESCE(SUM(CASE WHEN lv.t = times.t THEN lv.d END), 0)
+           |                     AS d
+           |            FROM times CROSS JOIN tot
+           |            LEFT JOIN lv ON lv.arm = tot.arm AND lv.t <= times.t
+           |            GROUP BY 1, 2, 3),
+           |     bt AS (SELECT t, SUM(d) AS d_t, SUM(n_tot - gone) AS n_t,
+           |                   SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d_a,
+           |                   SUM(CASE WHEN arm = 1 THEN n_tot - gone ELSE 0 END) AS n_a
+           |            FROM ar GROUP BY 1),
+           |     f AS (SELECT COUNT(*) AS n_times,
+           |                  CAST(SUM(d_a) AS BIGINT) AS obs_a,
+           |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)) AS exp_a,
+           |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)
+           |                      * (1.0 - CAST(n_a AS DOUBLE) / n_t)
+           |                      * CAST(n_t - d_t AS DOUBLE) / (n_t - 1)) AS var_sum
+           |           FROM bt WHERE n_t > 1)
+           |SELECT n_times, obs_a, ROUND(exp_a, 6) AS exp_a,
+           |       ROUND(var_sum, 6) AS var_sum,
+           |       ROUND((obs_a - exp_a) * (obs_a - exp_a) / var_sum, 6) AS chi2
+           |FROM f""".stripMargin))
 
   private def cooccurrenceEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val b = Tables.events(s, d)
@@ -1737,7 +1859,7 @@ object Events {
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292, q296, q303, q304, q305, q309)
+      q291, q292, q296, q303, q304, q305, q309, q311, q312)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -45,6 +45,44 @@ class SurvivalSpec extends SparkSuite {
     assert(got(1)._4 == 0.0)
   }
 
+  test("stratified KM reproduces each group's standalone curve") {
+    val subjects = (
+      Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0)).map { case (t, e) => ("A", t, e) } ++
+        Seq((1L, 1), (2L, 1), (2L, 1)).map { case (t, e) => ("B", t, e) })
+      .toDF("grp", "t", "e")
+    val got = Survival.kaplanMeierBy(subjects, "grp", "t", "e")
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val a = got.filter(_._1 == "A")
+    assert(a.map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((1L, 5L, 1L), (3L, 3L, 1L), (4L, 2L, 1L)))
+    assert(math.abs(a(2)._5 - 0.8 * 2 / 3 * 0.5) < 1e-12)
+    val b = got.filter(_._1 == "B")
+    assert(b.map(x => (x._2, x._3, x._4)).toSeq == Seq((1L, 3L, 1L), (2L, 2L, 2L)))
+    assert(b(1)._5 == 0.0, "absorbing step per group")
+  }
+
+  test("log-rank matches the hand-computed two-group table") {
+    // A: events at 1, 2; B: events at 2, 3
+    // t=1: n=4 d=1 dA=1 nA=2 -> E=.5 V=.25
+    // t=2: n=3 d=2 dA=1 nA=1 -> E=2/3 V=2/9
+    // t=3: n=1 -> excluded (variance needs n>1)
+    // chi2 = (2 - 7/6)^2 / (0.25 + 2/9) = 1.470588...
+    val subjects = Seq(
+      ("A", 1L, 1), ("A", 2L, 1), ("B", 2L, 1), ("B", 3L, 1))
+      .toDF("grp", "t", "e")
+    val r = Survival.logRank(subjects, "grp", "t", "e", focal = "A").collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 7.0 / 6) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (0.25 + 2.0 / 9)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.4705882352941178) < 1e-9)
+    // identical groups score ~zero
+    val same = Seq(("A", 1L, 1), ("A", 3L, 1), ("B", 1L, 1), ("B", 3L, 1))
+      .toDF("grp", "t", "e")
+    assert(Survival.logRank(same, "grp", "t", "e", "A").collect()(0).getDouble(4) < 1e-12)
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
