@@ -1975,6 +1975,43 @@ object VersionedTable {
     (bytes, rows)
   }
 
+  /** Clustering-depth report over the RECORDED ranges of `column` —
+    * the metadata-only diagnostic behind the "should I OPTIMIZE ZORDER
+    * this table" decision: when file ranges barely overlap a point
+    * predicate opens ~1 file, when every file spans the whole domain it
+    * opens all of them, and no scan can tell you which without paying
+    * for it. Returns (files_with_ranges, avg_overlaps_per_file,
+    * max_concurrent_overlap): a well-clustered table sits near (F, 0,
+    * 1), a round-robin one near (F, F−1, F). Driver cost is one sweep
+    * over the manifest's range entries — O(F log F), no data touched. */
+  def clusteringDepth(
+      spark: SparkSession, path: String, column: String): (Int, Double, Int) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, vs.last)
+    val (cols, ranges) = statsOf(text)
+    require(cols.contains(column),
+      s"no recorded stats for '$column' at $path (have: ${cols.mkString(",")}) — " +
+        "run ANALYZE ... COMPUTE STATS first")
+    val live = manifestFiles(spark, path, vs.last).toSet
+    val ivs = ranges.collect { case ((f, c), (lo, hi)) if c == column && live(f) => (lo, hi) }
+      .toSeq.sortBy(_._1)
+    if (ivs.isEmpty) return (0, 0.0, 0)
+    // sweep: when an interval starts, every still-open interval overlaps
+    // it — counting pairs once — and the open count tracks max depth
+    val byLo = ivs
+    var pairs = 0L
+    var maxDepth = 1
+    val openHis = scala.collection.mutable.PriorityQueue.empty[Long](Ordering[Long].reverse)
+    byLo.foreach { case (lo, hi) =>
+      while (openHis.nonEmpty && openHis.head < lo) openHis.dequeue()
+      pairs += openHis.size
+      openHis.enqueue(hi)
+      maxDepth = math.max(maxDepth, openHis.size)
+    }
+    (ivs.size, 2.0 * pairs / ivs.size, maxDepth)
+  }
+
   def countRows(spark: SparkSession, path: String, version: Option[Long] = None): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")

@@ -71,4 +71,31 @@ class TableStatsSpec extends SparkSuite {
       .select("column").as[String].collect().toSet
     assert(candidates == Set("rid"))
   }
+
+  test("clusteringDepth: disjoint slabs read ~1-deep, round-robin reads ~F-deep") {
+    import graft.io.VersionedTable
+    val tmp = java.nio.file.Files.createTempDirectory("clustdepth").toString
+    // four disjoint id slabs: every file overlaps only itself
+    val good = tmp + "/good"
+    for (s <- 0 until 4)
+      VersionedTable.commitAppend(
+        (s * 100L until s * 100L + 50L).map(i => (i, s"r$i")).toDF("id", "v")
+          .coalesce(1),
+        good, "id")
+    val (fG, avgG, maxG) = VersionedTable.clusteringDepth(spark, good, "id")
+    assert(fG == 4 && avgG == 0.0 && maxG == 1, s"($fG, $avgG, $maxG)")
+
+    // round-robin: every file spans the whole domain
+    val bad = tmp + "/bad"
+    VersionedTable.commitAppend(
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v").repartition(4),
+      bad, "id")
+    val (fB, avgB, maxB) = VersionedTable.clusteringDepth(spark, bad, "id")
+    assert(fB == 4 && avgB == 3.0 && maxB == 4, s"($fB, $avgB, $maxB)")
+
+    // a column without recorded stats refuses with the remediation hint
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.clusteringDepth(spark, bad, "v"))
+    assert(e.getMessage.contains("ANALYZE"))
+  }
 }
