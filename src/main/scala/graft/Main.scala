@@ -179,6 +179,15 @@ object Main {
         spark, path, name, rest.headOption.map(_.toLong), overwrite = true)
       println(s"[graft] tag '$name' -> v$v")
       spark.stop()
+    case "table-depth" :: path :: column :: Nil =>
+      // clustering-depth diagnostic from manifest ranges alone: decide
+      // whether OPTIMIZE ZORDER is worth a rewrite WITHOUT scanning
+      val spark = GraftSession.local()
+      val (files, avg, maxD) =
+        graft.io.VersionedTable.clusteringDepth(spark, path, column)
+      println(f"[graft] $column: $files files, avg overlaps/file $avg%.2f, max depth $maxD" +
+        (if (avg > 1.0) "  -> consider OPTIMIZE ... ZORDER" else "  (well clustered)"))
+      spark.stop()
     case "table-tags" :: path :: Nil =>
       val spark = GraftSession.local()
       graft.io.VersionedTable.tags(spark, path).toSeq.sortBy(_._1).foreach {
@@ -236,6 +245,7 @@ object Main {
           "advise-measure <sfDir> <scratchDir> [jsonOut] | " +
           "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
+          "table-depth <path> <column> | " +
           "table-delete <path> <keyCol> <id,...> | " +
           "table-purge <path> <keyCol> <id,...> | " +
           s"table-verify <path> (got: $other)")
