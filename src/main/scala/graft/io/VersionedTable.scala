@@ -709,6 +709,21 @@ object VersionedTable {
     fs(spark, path).delete(new Path(s"$path/data/${staged.id}"), true)
   }
 
+  /** Unpublished (pending) stages: `staging-*` dirs no retained
+    * manifest references — the "is an audit stuck" observability
+    * number. Metadata-only. */
+  def stagedPending(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val dataRoot = new Path(s"$path/data")
+    if (!f.exists(dataRoot)) return 0
+    val referenced = versions(spark, path)
+      .flatMap(v => manifestFiles(spark, path, v).map(_.split("/").head))
+      .toSet
+    f.listStatus(dataRoot).count(d =>
+      d.isDirectory && d.getPath.getName.startsWith("staging-") &&
+        !referenced(d.getPath.getName))
+  }
+
   /** Reap ABANDONED stages: unreferenced `staging-*` dirs older than
     * `cutoffMillis` (regular [[vacuum]] deliberately skips them). */
   def vacuumStaging(spark: SparkSession, path: String, cutoffMillis: Long): Int = {

@@ -261,7 +261,8 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
     VtSqlOps.attr("n_files", IntegerType),
     VtSqlOps.attr("n_rows", LongType),
     VtSqlOps.attr("n_columns", IntegerType),
-    VtSqlOps.attr("n_tags", IntegerType))
+    VtSqlOps.attr("n_tags", IntegerType),
+    VtSqlOps.attr("n_staged", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val hist = VersionedTable.history(spark, path)
@@ -273,7 +274,9 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       path, head.version, hist.size, head.nFiles,
       VersionedTable.countRows(spark, path),
       VersionedTable.tableSchema(spark, path, None).fields.length,
-      VersionedTable.tags(spark, path).size))
+      VersionedTable.tags(spark, path).size,
+      // pending (unpublished) WAP stages — the "is an audit stuck" signal
+      VersionedTable.stagedPending(spark, path)))
   }
 }
 

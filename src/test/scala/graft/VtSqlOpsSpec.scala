@@ -211,6 +211,15 @@ class VtSqlOpsSpec extends SparkSuite {
     assert(detail.getAs[Long]("n_rows") == 20L)
     assert(detail.getAs[Int]("n_columns") == 2)
     assert(detail.getAs[Int]("n_tags") == 0)
+    assert(detail.getAs[Int]("n_staged") == 0)
+    // a pending WAP stage is visible; publishing clears the signal
+    val staged = VersionedTable.stageAppend(
+      (0L until 3L).map(i => (i, "w")).toDF("id", "label"), path)
+    assert(spark.sql(s"DESCRIBE DETAIL ${ref(path)}").collect()(0)
+      .getAs[Int]("n_staged") == 1)
+    VersionedTable.publishStaged(spark, path, staged)
+    assert(spark.sql(s"DESCRIBE DETAIL ${ref(path)}").collect()(0)
+      .getAs[Int]("n_staged") == 0)
   }
 
   test("vt_changes table function serves the row-level change feed from SQL") {
