@@ -1628,6 +1628,136 @@ object Events {
            |       ROUND((obs_a - exp_a) * (obs_a - exp_a) / var_sum, 6) AS chi2
            |FROM f""".stripMargin))
 
+  /** Q313 — Weibull fit of the conversion survival curve: regress
+    * ln(−ln S) on ln t over q296's KM grid (S(t) = exp(−(t/λ)^k) makes
+    * that line exact with slope k and intercept −k·ln λ) — the
+    * reliability-engineering readout of WHEN conversions happen (k < 1
+    * burn-in / k ≈ 1 memoryless / k > 1 wear-out). Composes three r12
+    * pieces: the survival grid, the q298 closed-from-sums OLS, all on
+    * the calendar-bounded grid. Degenerate points (t = 0, S ∉ (0,1))
+    * are excluded identically on both engines. */
+  val q313 = QueryDef(
+    "q313_weibull_fit",
+    (s, d) => {
+      val km = graft.ops.Survival.kaplanMeier(convSubjects(s, d), "t_days", "is_event")
+      val pts = km
+        .filter(col("t") >= 1 && col("survival") > 0.0 && col("survival") < 1.0)
+        .select(
+          log(col("t").cast("double")).as("x"),
+          log(-log(col("survival"))).as("y"))
+      val sums = pts.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val k = (col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n"))
+      val intercept = col("sy") / col("n") - k * col("sx") / col("n")
+      sums.select(
+        col("n").as("n_points"),
+        r6(k).as("shape_k"),
+        r4(exp(-intercept / k)).as("scale_days"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
+           |            FROM e JOIN en USING (user_id)
+           |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
+           |     h AS (SELECT MAX(us) AS h_us FROM e),
+           |     s AS (SELECT (COALESCE(conv_us, h_us) - entry_us) // 86400000000
+           |                    AS t_days,
+           |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS is_event
+           |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |     g AS (SELECT t_days, SUM(is_event) AS d, COUNT(*) AS leaving
+           |           FROM s GROUP BY 1),
+           |     t AS (SELECT COUNT(*) AS n_tot FROM s),
+           |     r AS (SELECT t_days, d,
+           |                  n_tot - COALESCE(SUM(leaving) OVER
+           |                    (ORDER BY t_days
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS n_risk
+           |           FROM g CROSS JOIN t),
+           |     k AS (SELECT t_days,
+           |                  CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           |                              OVER (ORDER BY t_days) = 1 THEN 0.0
+           |                       ELSE EXP(SUM(CASE WHEN d < n_risk
+           |                                 THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+           |                                 END) OVER (ORDER BY t_days))
+           |                  END AS surv
+           |           FROM r WHERE d > 0),
+           |     p AS (SELECT LN(CAST(t_days AS DOUBLE)) AS x, LN(-LN(surv)) AS y
+           |           FROM k WHERE t_days >= 1 AND surv > 0.0 AND surv < 1.0),
+           |     m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |                  SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM p)
+           |SELECT n AS n_points,
+           |       ROUND((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS shape_k,
+           |       ROUND(EXP(-(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx/n)
+           |                 / ((sxy - sx*sy/n) / (sxx - sx*sx/n))), 4) AS scale_days
+           |FROM m""".stripMargin))
+
+  /** Q314 — restricted mean survival time (RMST): the area under q296's
+    * KM step curve up to the observation horizon — "average conversion-
+    * free days per user", the single-number summary clinicians quote
+    * when hazards are not proportional. Pure step integration over the
+    * calendar-bounded event grid (one bounded lead window), exact from
+    * the same survival values the oracle replays. */
+  val q314 = QueryDef(
+    "q314_rmst",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+      val km = graft.ops.Survival.kaplanMeier(subjects, "t_days", "is_event")
+      val tau = subjects.agg(max(col("t_days")).as("tau"))
+      val w = graft.core.Windows.bounded(col("t"))
+      val steps = km.crossJoin(broadcast(tau))
+        .withColumn("next_t", coalesce(lead(col("t"), 1).over(w), col("tau")))
+        .select(
+          col("t"), col("survival"), col("next_t"),
+          (col("survival") * (col("next_t") - col("t")).cast("double")).as("area"))
+      val firstT = km.agg(min(col("t")).as("t1"))
+      steps.agg(sum(col("area")).as("tail_area"))
+        .crossJoin(broadcast(firstT))
+        .crossJoin(broadcast(tau))
+        .select(
+          col("tau").as("horizon_days"),
+          r6(col("t1").cast("double") + col("tail_area")).as("rmst_days"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
+           |            FROM e JOIN en USING (user_id)
+           |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
+           |     h AS (SELECT MAX(us) AS h_us FROM e),
+           |     s AS (SELECT (COALESCE(conv_us, h_us) - entry_us) // 86400000000
+           |                    AS t_days,
+           |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS is_event
+           |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |     g AS (SELECT t_days, SUM(is_event) AS d, COUNT(*) AS leaving
+           |           FROM s GROUP BY 1),
+           |     t AS (SELECT COUNT(*) AS n_tot FROM s),
+           |     r AS (SELECT t_days, d,
+           |                  n_tot - COALESCE(SUM(leaving) OVER
+           |                    (ORDER BY t_days
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS n_risk
+           |           FROM g CROSS JOIN t),
+           |     k AS (SELECT t_days,
+           |                  CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           |                              OVER (ORDER BY t_days) = 1 THEN 0.0
+           |                       ELSE EXP(SUM(CASE WHEN d < n_risk
+           |                                 THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+           |                                 END) OVER (ORDER BY t_days))
+           |                  END AS surv
+           |           FROM r WHERE d > 0),
+           |     tau AS (SELECT MAX(t_days) AS tau FROM s),
+           |     steps AS (SELECT surv *
+           |                      CAST(COALESCE(LEAD(t_days) OVER (ORDER BY t_days),
+           |                                    tau) - t_days AS DOUBLE) AS area
+           |               FROM k CROSS JOIN tau),
+           |     t1 AS (SELECT MIN(t_days) AS t1 FROM k)
+           |SELECT (SELECT CAST(tau AS BIGINT) FROM tau) AS horizon_days,
+           |       ROUND((SELECT CAST(t1 AS DOUBLE) FROM t1)
+           |             + (SELECT SUM(area) FROM steps), 6) AS rmst_days""".stripMargin))
+
   private def cooccurrenceEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val b = Tables.events(s, d)
       .filter(col("user_id").isNotNull)
@@ -1859,7 +1989,7 @@ object Events {
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292, q296, q303, q304, q305, q309, q311, q312)
+      q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit
