@@ -1466,8 +1466,54 @@ object Stats {
            |       ROUND(SQRT(var_sum), 6) AS se
            |FROM w""".stripMargin))
 
+  /** Q315 — dispersion index of daily volumes per event type
+    * (variance-to-mean ratio): the is-it-really-Poisson check that
+    * decides whether q269-style count models or rate alarms can assume
+    * Var = Mean — bursty types (D ≫ 1, overdispersed) need negative-
+    * binomial-grade thresholds, not Poisson ones. Closed-from-sums on
+    * the calendar-bounded daily grid. */
+  val q315 = QueryDef(
+    "q315_dispersion_index",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = col("sc") / col("n")
+      daily.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cnt")).as("sc"),
+          sum(col("cnt") * col("cnt")).as("scc"))
+        .select(
+          col("event_type"), col("n").as("n_days"),
+          r6(m).as("mean_daily"),
+          r6(col("scc") / col("n") - m * m).as("var_daily"),
+          r6((col("scc") / col("n") - m * m) / m).as("dispersion"),
+          ((col("scc") / col("n") - m * m) / m > 1.5).as("overdispersed"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |                      COUNT(*) AS cnt
+           |               FROM events GROUP BY 1, 2),
+           |     g AS (SELECT event_type, COUNT(*) AS n,
+           |                  CAST(SUM(cnt) AS BIGINT) AS sc,
+           |                  CAST(SUM(cnt * cnt) AS BIGINT) AS scc
+           |           FROM daily GROUP BY 1)
+           |SELECT event_type, n AS n_days,
+           |       ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_daily,
+           |       ROUND(CAST(scc AS DOUBLE) / n
+           |             - (CAST(sc AS DOUBLE)/n) * (CAST(sc AS DOUBLE)/n), 6)
+           |         AS var_daily,
+           |       ROUND((CAST(scc AS DOUBLE) / n
+           |              - (CAST(sc AS DOUBLE)/n) * (CAST(sc AS DOUBLE)/n))
+           |             / (CAST(sc AS DOUBLE) / n), 6) AS dispersion,
+           |       (CAST(scc AS DOUBLE) / n
+           |        - (CAST(sc AS DOUBLE)/n) * (CAST(sc AS DOUBLE)/n))
+           |         / (CAST(sc AS DOUBLE) / n) > 1.5 AS overdispersed
+           |FROM g ORDER BY event_type""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307)
+      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315)
 }
