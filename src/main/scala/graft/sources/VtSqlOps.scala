@@ -35,6 +35,7 @@ import graft.io.VersionedTable
   *   REFRESH MATERIALIZED VIEW vt.daily    -- CDF refresh + re-register (fresh sessions too)
   *   DROP MATERIALIZED VIEW vt.daily       -- unregister + delete the state
   *   SHOW MATERIALIZED VIEWS IN vt         -- discover _mv.json definitions + registration
+  *   REFRESH MATERIALIZED VIEWS IN vt      -- the cron statement: refresh + re-register all
   * }}}
   *
   * The row-level change feed is a TABLE FUNCTION (registered in
@@ -72,6 +73,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val createMv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+AS\s+(SELECT\s.+?)\s*;?\s*""".r
+  private val refreshAllMvs =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEWS\s+IN\s+(\S+)\s*;?\s*""".r
   private val refreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+)\s*;?\s*""".r
   private val dropMv =
@@ -104,6 +107,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     case createMv(ident, select) =>
       val spec = MvSql.extract(delegate, select)
       VtCreateMvCommand(parts(ident), spec)
+    case refreshAllMvs(ident) =>
+      VtRefreshAllMvsCommand(parts(ident))
     case refreshMv(ident) =>
       VtRefreshMvCommand(parts(ident))
     case dropMv(ident) =>
@@ -448,6 +453,30 @@ final case class VtRefreshMvCommand(viewParts: Seq[String]) extends LeafRunnable
     // re-register: also heals a NEW session where the registry is empty
     graft.plans.MvRewrite.registerRollup(spark, factRef, groupCols, valueCol, viewPath)
     Seq(Row(viewPath, refreshed.isDefined))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEWS IN <catalog|/dir>`: the cron statement —
+  * every MAINTAINED `_mv.json` view under the warehouse refreshes
+  * through the CDF and re-registers (healing a fresh session in one
+  * statement); one-shot parquet views are listed as skipped. */
+final case class VtRefreshAllMvsCommand(dirParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("view", StringType), VtSqlOps.attr("maintained", BooleanType),
+    VtSqlOps.attr("refreshed", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    VtShowMvsCommand(dirParts).run(spark).map { r =>
+      val viewPath = r.getString(0)
+      val maintained = r.getBoolean(4)
+      if (!maintained) Row(viewPath, false, false)
+      else {
+        val (factRef, groupCols, valueCol, _) = MvSql.readSpec(spark, viewPath)
+        val refreshed = graft.ops.IncrementalView.refreshRecompute(
+          spark, factRef, viewPath, "sql-mv", groupCols, MvSql.stateAggsFor(valueCol))
+        graft.plans.MvRewrite.registerRollup(spark, factRef, groupCols, valueCol, viewPath)
+        Row(viewPath, true, refreshed.isDefined)
+      }
+    }
   }
 }
 

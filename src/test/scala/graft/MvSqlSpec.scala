@@ -159,6 +159,43 @@ class MvSqlSpec extends SparkSuite {
     } finally MvRewrite.clear()
   }
 
+  test("REFRESH MATERIALIZED VIEWS IN refreshes every maintained view in one statement") {
+    val wh = java.nio.file.Files.createTempDirectory("mvsql_all").toString
+    def rows(ids: Range, k: Int) =
+      ids.map(i => (i.toLong, s"k${i % k}", i * 1.0)).toDF("id", "k", "v")
+    VersionedTable.commitAppend(rows(0 until 30, 3), wh + "/f1")
+    VersionedTable.commitAppend(rows(0 until 40, 4), wh + "/f2")
+    spark.conf.set("spark.sql.catalog.vtall", classOf[graft.sources.VtCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtall.warehouse", wh)
+    spark.sql(s"CREATE MATERIALIZED VIEW `$wh/mv1` AS SELECT k, SUM(v) FROM vtall.`$wh/f1` GROUP BY k")
+    spark.sql(s"CREATE MATERIALIZED VIEW `$wh/mv2` AS SELECT k, COUNT(*) FROM vtall.`$wh/f2` GROUP BY k")
+    // plus a one-shot parquet view: listed as skipped, never refreshed
+    val fact = wh + "/fact.parquet"
+    rows(0 until 10, 2).write.parquet(fact)
+    spark.sql(s"CREATE MATERIALIZED VIEW `$wh/mv3` AS SELECT k, SUM(v) FROM parquet.`$fact` GROUP BY k")
+    try {
+      // facts move on; a fresh session (cleared registry) heals in ONE statement
+      VersionedTable.commitAppend(rows(30 until 60, 3), wh + "/f1")
+      VersionedTable.commitAppend(rows(40 until 50, 4), wh + "/f2")
+      MvRewrite.clear()
+      val out = spark.sql("REFRESH MATERIALIZED VIEWS IN vtall").collect()
+        .map(r => (r.getString(0).split('/').last, r.getBoolean(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      assert(out.toSeq == Seq(("mv1", true, true), ("mv2", true, true), ("mv3", false, false)))
+      spark.conf.set(ConfKey, "true")
+      val served = spark.sql(
+        s"SELECT k, count(*) AS n, sum(v) AS s FROM vtall.`$wh/f1` GROUP BY k")
+      assert(served.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      }.isEmpty, "refreshed view must serve after the registry wipe")
+      assert(served.collect().map(_.getLong(1)).sum == 60L)
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+
   test("count-only definition serves count(*) and declines value aggregates") {
     val tmp = java.nio.file.Files.createTempDirectory("mvsql_cnt").toString
     val fact = tmp + "/fact.parquet"
