@@ -64,6 +64,20 @@ object Expectations {
         coalesce(col("value").between(col("lo"), col("hi")), lit(false)))
   }
 
+  /** Adapter for the audited streaming sink
+    * ([[graft.streaming.EventStreams.startAuditedVersionedSink]]'s
+    * `audit` parameter): run the declared expectations against the
+    * staged micro-batch and return the FAILING checks as violation
+    * messages — one aggregation per batch, the same one-scan economics
+    * as [[audit]]. */
+  def asAudit(expectations: Seq[Expectation]): DataFrame => Seq[String] =
+    df => audit(df, expectations)
+      .filter(!col("pass"))
+      .collect()
+      .map(r => s"${r.getAs[String]("check_name")}=" +
+        s"${r.getAs[Any]("value")} outside [${r.getDouble(2)}, ${r.getDouble(3)}]")
+      .toSeq
+
   /** Profile-driven expectation SUGGESTION (Deequ's "constraint
     * suggestion" feature): one aggregation pass over the numeric columns
     * profiles completeness, value range, and distinctness, and emits the

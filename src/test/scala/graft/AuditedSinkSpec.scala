@@ -52,6 +52,28 @@ class AuditedSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Expectations.asAudit plugs the declarative gate straight into the sink") {
+    import graft.ops.Expectations
+    import graft.ops.Expectations.Expectation
+    val tmp = java.nio.file.Files.createTempDirectory("auditsink4").toString
+    val tbl = tmp + "/tbl"; val quar = tmp + "/quarantine"; val ckpt = tmp + "/ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gate = Expectations.asAudit(Seq(
+      Expectation("nonneg_share", Expectations.ratio(col("v") >= 0), 1.0, 1.0),
+      Expectation("batch_rows", count(lit(1)).cast("double"), 1, 100)))
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventStreams.startAuditedVersionedSink(
+      mem.toDF().toDF("id", "v"), tbl, quar, "gatekeeper", ckpt, gate)
+    try {
+      mem.addData((1L, 1.0)); q.processAllAvailable() // passes both checks
+      mem.addData((2L, -2.0), (3L, 3.0)); q.processAllAvailable() // nonneg_share fails
+      assert(VersionedTable.read(spark, tbl).count() == 1)
+      val bad = VersionedTable.read(spark, quar).select("_audit_failures")
+        .distinct().collect()
+      assert(bad.length == 1 && bad(0).getString(0).contains("nonneg_share"))
+    } finally q.stop()
+  }
+
   test("a replayed batch publishes once; the replayed stage is aborted") {
     val tmp = java.nio.file.Files.createTempDirectory("auditsink2").toString
     val tbl = tmp + "/tbl"; val quar = tmp + "/quarantine"
