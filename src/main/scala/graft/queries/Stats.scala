@@ -1512,8 +1512,55 @@ object Stats {
            |         / (CAST(sc AS DOUBLE) / n) > 1.5 AS overdispersed
            |FROM g ORDER BY event_type""".stripMargin))
 
+  /** Q316 — weekday seasonality STRENGTH per event type: the share of
+    * daily-volume variance explained by day-of-week means (the one-way
+    * ANOVA η² on the calendar grid) — the number that decides whether
+    * q251's seasonal adjustment is worth applying before q200/q292-style
+    * monitoring. Between-group and total sums of squares both derive
+    * from ONE (type, dow) grid of (n, Σ, Σ²) — no second scan, grids
+    * bounded by types × 7. */
+  val q316 = QueryDef(
+    "q316_seasonality_strength",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(
+          col("event_type"), to_date(col("ts")).as("day"),
+          dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+      val cells = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("sc"),
+          sum(col("cnt") * col("cnt")).as("scc"))
+      val m = col("sc_t") / col("n_t")
+      cells.groupBy("event_type")
+        .agg(
+          sum("n").as("n_t"), sum("sc").as("sc_t"), sum("scc").as("scc_t"),
+          sum(col("sc") * col("sc") / col("n")).as("sgs"))
+        .select(
+          col("event_type"), col("n_t").as("n_days"),
+          r6((col("sgs") - col("sc_t") * m) /
+            (col("scc_t") - col("sc_t") * m)).as("eta_sq"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |                      dayofweek(ts) + 1 AS dow, COUNT(*) AS cnt
+           |               FROM events GROUP BY 1, 2, 3),
+           |     cells AS (SELECT event_type, dow, COUNT(*) AS n,
+           |                      CAST(SUM(cnt) AS BIGINT) AS sc,
+           |                      CAST(SUM(cnt * cnt) AS BIGINT) AS scc
+           |               FROM daily GROUP BY 1, 2),
+           |     g AS (SELECT event_type,
+           |                  CAST(SUM(n) AS BIGINT) AS n_t,
+           |                  CAST(SUM(sc) AS BIGINT) AS sc_t,
+           |                  CAST(SUM(scc) AS BIGINT) AS scc_t,
+           |                  SUM(CAST(sc AS DOUBLE) * sc / n) AS sgs
+           |           FROM cells GROUP BY 1)
+           |SELECT event_type, n_t AS n_days,
+           |       ROUND((sgs - sc_t * (CAST(sc_t AS DOUBLE) / n_t))
+           |             / (scc_t - sc_t * (CAST(sc_t AS DOUBLE) / n_t)), 6) AS eta_sq
+           |FROM g ORDER BY event_type""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315)
+      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316)
 }
