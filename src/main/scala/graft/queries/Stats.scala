@@ -1559,8 +1559,98 @@ object Stats {
            |             / (scc_t - sc_t * (CAST(sc_t AS DOUBLE) / n_t)), 6) AS eta_sq
            |FROM g ORDER BY event_type""".stripMargin))
 
+  /** Q317 — revenue trend per market segment: grouped OLS (q298's
+    * closed-from-sums) of weekly order totals on the week index — five
+    * trend lines from one keyed moment aggregation over a broadcast
+    * customer join, the "which segment is growing" readout. Weeks are
+    * integer epoch-day DIV 7 and revenue is summed in integer CENTS, so
+    * every regression sum is EXACT — a raw double mean here actually
+    * hash-failed on a ROUND(4) half-point during development (the
+    * cross-engine sum-order class the exact-integer discipline
+    * exists for). */
+  val q317 = QueryDef(
+    "q317_segment_trend",
+    (s, d) => {
+      val weekly = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("c_mktsegment").as("segment"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') DIV 7").as("wk"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val sums = weekly.groupBy("segment").agg(
+        count(lit(1)).as("n"),
+        sum("wk").as("sx"), sum("rev_c").as("sy"),
+        sum(col("wk") * col("rev_c")).as("sxy"),
+        sum(col("wk") * col("wk")).as("sxx"))
+      val slope = (col("sxy") - col("sx").cast("double") * col("sy") / col("n")) /
+        (col("sxx") - col("sx").cast("double") * col("sx") / col("n")) / lit(100.0)
+      sums.select(
+        col("segment"), col("n").as("n_weeks"),
+        r4(col("sy").cast("double") / col("n") / lit(100.0)).as("mean_weekly_rev"),
+        r4(slope).as("trend_per_week"))
+        .orderBy("segment")
+    },
+    Some("""WITH w AS (SELECT c_mktsegment AS segment,
+           |                  date_diff('day', DATE '1970-01-01',
+           |                            CAST(o_orderdate AS DATE)) // 7 AS wk,
+           |                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           |                       AS BIGINT) AS rev_c
+           |           FROM orders JOIN customer ON o_custkey = c_custkey
+           |           GROUP BY 1, 2),
+           |     m AS (SELECT segment, COUNT(*) AS n,
+           |                  CAST(SUM(wk) AS BIGINT) AS sx,
+           |                  CAST(SUM(rev_c) AS BIGINT) AS sy,
+           |                  CAST(SUM(wk * rev_c) AS BIGINT) AS sxy,
+           |                  CAST(SUM(wk * wk) AS BIGINT) AS sxx
+           |           FROM w GROUP BY 1)
+           |SELECT segment, n AS n_weeks,
+           |       ROUND(CAST(sy AS DOUBLE) / n / 100.0, 4) AS mean_weekly_rev,
+           |       ROUND((sxy - CAST(sx AS DOUBLE) * sy / n)
+           |             / (sxx - CAST(sx AS DOUBLE) * sx / n) / 100.0, 4)
+           |         AS trend_per_week
+           |FROM m ORDER BY segment""".stripMargin))
+
+  /** Q318 — weekly brand concentration (Herfindahl-Hirschman index):
+    * Σ share² of brand revenue per week — the market-concentration
+    * complement to q204/q306's user-level inequality (HHI > 0.25 reads
+    * "concentrated" in antitrust practice). Shares derive from the
+    * (week, brand) grid and its week rollup — two keyed aggregations
+    * over a broadcast part join, never a window over data. */
+  val q318 = QueryDef(
+    "q318_weekly_hhi",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') DIV 7").as("wk"),
+          col("p_brand"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val weekTot = li.groupBy("wk").agg(
+        sum("rev").as("tot"), count(lit(1)).as("n_brands"))
+      li.join(weekTot, "wk")
+        .groupBy("wk", "n_brands")
+        .agg(r6(sum((col("rev") / col("tot")) * (col("rev") / col("tot")))).as("hhi"))
+        .select(col("wk").as("week"), col("n_brands"), col("hhi"))
+        .orderBy("week")
+    },
+    Some("""WITH b AS (SELECT date_diff('day', DATE '1970-01-01',
+           |                            CAST(l_shipdate AS DATE)) // 7 AS wk,
+           |                  p_brand, SUM(l_extendedprice) AS rev
+           |           FROM lineitem JOIN part ON l_partkey = p_partkey
+           |           GROUP BY 1, 2),
+           |     t AS (SELECT wk, SUM(rev) AS tot, COUNT(*) AS n_brands
+           |           FROM b GROUP BY 1)
+           |SELECT b.wk AS week, CAST(t.n_brands AS BIGINT) AS n_brands,
+           |       ROUND(SUM((b.rev / t.tot) * (b.rev / t.tot)), 6) AS hhi
+           |FROM b JOIN t USING (wk)
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
-      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316)
+      q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
+      q317, q318)
 }
