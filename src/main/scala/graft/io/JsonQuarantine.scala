@@ -28,6 +28,12 @@ object JsonQuarantine {
   /** Read JSONL at `path` against `schema`; route malformed lines and
     * rows with unparseable fields to `bad` (raw line intact). */
   def read(spark: SparkSession, path: String, schema: StructType): Routed = {
+    // the injected corrupt-record column must not collide with a declared
+    // field — a duplicate field in rawSchema would make malformedness
+    // detection read the user's data
+    require(!schema.fieldNames.contains("_corrupt"),
+      "declared schema must not contain a field named _corrupt (reserved for " +
+        "the injected corrupt-record column)")
     // from_json never returns NULL for a malformed line — it yields a row
     // of nulls (indistinguishable from "{}") — so malformedness must come
     // from the corrupt-record column, which from_json (a per-row
@@ -41,18 +47,23 @@ object JsonQuarantine {
     val withBoth = lines
       .withColumn("_raw", from_json(col("value"), rawSchema, opts))
       .withColumn("_typed", from_json(col("value"), schema))
-    val malformed = col("_raw._corrupt").isNotNull
+    // struct fields via getField, never `col("_raw.<name>")` — a field
+    // name containing a dot would resolve as a NESTED path there and
+    // silently mis-detect corruption
+    def raw(n: String) = col("_raw").getField(n)
+    def typed(n: String) = col("_typed").getField(n)
+    val malformed = raw("_corrupt").isNotNull
     val fieldCorrupt = schema.fields
       .filterNot(_.dataType == StringType)
-      .map(f => col(s"_raw.${f.name}").isNotNull && col(s"_typed.${f.name}").isNull)
+      .map(f => raw(f.name).isNotNull && typed(f.name).isNull)
       .reduceOption(_ || _).getOrElse(lit(false))
     Routed(
       good = withBoth.filter(!malformed && !fieldCorrupt)
-        .select(schema.fieldNames.map(n => col(s"_typed.$n").as(n)): _*),
+        .select(schema.fieldNames.map(n => typed(n).as(n)).toSeq: _*),
       bad = withBoth.filter(malformed || fieldCorrupt)
         .select(Seq(
           col("value").as("raw_line"),
           malformed.as("is_malformed")) ++
-          schema.fieldNames.map(n => col(s"_raw.$n").as(s"raw_$n")): _*))
+          schema.fieldNames.map(n => raw(n).as(s"raw_$n")): _*))
   }
 }

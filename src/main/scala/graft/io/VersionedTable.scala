@@ -670,10 +670,28 @@ object VersionedTable {
     val (ranges, counts) =
       if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
       else rangesOf(df, path, staged.id, statsCols)
-    publish(spark, path, "append", staged.files, carryForward = true,
+    val v = publish(spark, path, "append", staged.files, carryForward = true,
       newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
       newRowCounts = counts).get
+    markPublished(f, path, staged.id)
+    v
   }
+
+  /** Marker recording that a stage was ADOPTED by a publish. Without it,
+    * a published stage whose referencing manifests later age out
+    * (overwrite + retention) is indistinguishable from a mid-audit stage:
+    * [[vacuum]] would skip it forever (unbounded leak) and
+    * [[stagedPending]] would miscount it as a stuck audit. Underscore
+    * prefix keeps it invisible to parquet readers. Crash between publish
+    * and marker is healed lazily: [[vacuumWithStats]] re-marks any
+    * staging dir it observes with manifest-referenced files. */
+  private val PublishedMarker = "_published"
+
+  private def markPublished(f: FileSystem, path: String, stageId: String): Unit =
+    f.create(new Path(s"$path/data/$stageId/$PublishedMarker"), true).close()
+
+  private def isMarkedPublished(f: FileSystem, dir: Path): Boolean =
+    f.exists(new Path(dir, PublishedMarker))
 
   /** [[publishStaged]] under a (writerId, batchId) idempotency txn — the
     * streaming flavor: a REPLAYED batch (crash between publish and
@@ -694,10 +712,13 @@ object VersionedTable {
     val (ranges, counts) =
       if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
       else rangesOf(df, path, staged.id, statsCols)
-    publish(spark, path, "stream-append", staged.files, carryForward = true,
+    val v = publish(spark, path, "stream-append", staged.files, carryForward = true,
       txn = Some((writerId, batchId)),
       newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
       newRowCounts = counts)
+    // a REPLAYED batch (None) was never adopted — the caller aborts it
+    if (v.isDefined) markPublished(f, path, staged.id)
+    v
   }
 
   /** Drop an unpublished stage (the audit said no). Refuses to touch a
@@ -710,8 +731,10 @@ object VersionedTable {
   }
 
   /** Unpublished (pending) stages: `staging-*` dirs no retained
-    * manifest references — the "is an audit stuck" observability
-    * number. Metadata-only. */
+    * manifest references AND no published marker — the "is an audit
+    * stuck" observability number. Published-then-expired stages (marker
+    * present, references aged out) are vacuum's business, not a pending
+    * audit. Metadata-only. */
   def stagedPending(spark: SparkSession, path: String): Int = {
     val f = fs(spark, path)
     val dataRoot = new Path(s"$path/data")
@@ -721,7 +744,7 @@ object VersionedTable {
       .toSet
     f.listStatus(dataRoot).count(d =>
       d.isDirectory && d.getPath.getName.startsWith("staging-") &&
-        !referenced(d.getPath.getName))
+        !referenced(d.getPath.getName) && !isMarkedPublished(f, d.getPath))
   }
 
   /** Reap ABANDONED stages: unreferenced `staging-*` dirs older than
@@ -739,6 +762,9 @@ object VersionedTable {
     val victims = f.listStatus(dataRoot).filter { d =>
       d.isDirectory && d.getPath.getName.startsWith("staging-") &&
         !referenced(d.getPath.getName) &&
+        // published stages — even expired ones — are regular [[vacuum]]'s
+        // job; this statement only reaps audits that never concluded
+        !isMarkedPublished(f, d.getPath) &&
         d.getModificationTime <= cutoffMillis
     }
     victims.foreach(d => f.delete(d.getPath, true))
@@ -2765,19 +2791,48 @@ object VersionedTable {
     if (!overwrite && f.exists(tagFile(path, name)))
       throw new IllegalStateException(
         s"tag '$name' already exists at $path (pass overwrite = true to re-point)")
-    // stage to a temp name and rename over the target: a re-point never
-    // leaves a window where the tag is absent (a concurrent vacuum seeing
-    // the version unpinned could reap it mid-re-point).
+    // stage to a temp name, then rename over the target. Where the FS
+    // supports rename-over-existing (POSIX semantics) a re-point is
+    // atomic: no window where the tag is absent. Where it does not
+    // (e.g. strict HDFS rename), fall back to delete+rename — and on a
+    // rename failure RESTORE the previous pin from its captured bytes,
+    // so a failed re-point can never leave the old version unpinned for
+    // a concurrent vacuum to reap.
     val tmp = new Path(s"$path/_tags/.$name.json.tmp")
     val out = f.create(tmp, true)
     try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
-    if (overwrite && f.exists(tagFile(path, name))) f.delete(tagFile(path, name), false)
-    if (!f.rename(tmp, tagFile(path, name))) {
+    val target = tagFile(path, name)
+    val oldBytes: Option[Array[Byte]] =
+      if (overwrite && f.exists(target)) {
+        val in = f.open(target)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](4096)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          Some(buf.toByteArray)
+        } finally in.close()
+      } else None
+    val renamed = f.rename(tmp, target) || {
+      // rename-over-existing unsupported here: delete, retry, restore on
+      // failure (the non-atomic path — the absent-tag window is bounded
+      // by these two calls and healed by the restore)
+      oldBytes.isDefined && {
+        f.delete(target, false)
+        f.rename(tmp, target) || {
+          val o = f.create(target, true)
+          try o.write(oldBytes.get) finally o.close()
+          false
+        }
+      }
+    }
+    if (!renamed) {
       f.delete(tmp, false)
       throw new IllegalStateException(
-        if (f.exists(tagFile(path, name)))
+        if (f.exists(target) && oldBytes.isEmpty)
           s"tag '$name' already exists at $path (pass overwrite = true to re-point)"
-        else s"could not publish tag '$name' at $path")
+        else s"could not publish tag '$name' at $path" +
+          (if (oldBytes.isDefined) " (previous pin restored)" else ""))
     }
     // the vs.contains check above races a concurrent vacuum: re-validate
     // AFTER the tag is durable, so a tag can never silently pin an
@@ -2841,10 +2896,9 @@ object VersionedTable {
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {
       for (dir <- f.listStatus(dataRoot) if dir.isDirectory
-           if !(dir.getPath.getName.startsWith("staging-") &&
-             !f.listStatus(dir.getPath).exists(s =>
-               referenced.contains(s"${dir.getPath.getName}/${s.getPath.getName}")));
-           file <- f.listStatus(dir.getPath) if file.isFile) {
+           if !isMidAuditStage(f, dir.getPath, referenced);
+           file <- f.listStatus(dir.getPath)
+           if file.isFile && file.getPath.getName != PublishedMarker) {
         val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
         if (!referenced.contains(rel)) victims += ((rel, file.getLen))
       }
@@ -2852,6 +2906,15 @@ object VersionedTable {
     val vs = victims.result()
     (drop, vs.map(_._1).sorted, vs.map(_._2).sum)
   }
+
+  /** A staging dir that is mid-audit — unpublished (no marker) and with
+    * no manifest-referenced files. These are the ONLY dirs vacuum skips:
+    * published stages (marker, or referenced files from a publish that
+    * predates the marker) age out like any commit dir. */
+  private def isMidAuditStage(f: FileSystem, dir: Path, referenced: Set[String]): Boolean =
+    dir.getName.startsWith("staging-") && !isMarkedPublished(f, dir) &&
+      !f.listStatus(dir).exists(s =>
+        referenced.contains(s"${dir.getName}/${s.getPath.getName}"))
 
   /** Shared retention arithmetic: (versions to drop, versions kept,
     * data/CDF/DV/bloom files the kept versions still reference). Tagged
@@ -2892,12 +2955,18 @@ object VersionedTable {
     if (f.exists(dataRoot)) {
       for (dir <- f.listStatus(dataRoot) if dir.isDirectory
            // unpublished WAP stages are mid-audit, not garbage — they are
-           // reclaimed explicitly by vacuumStaging. Once PUBLISHED their
-           // files are referenced and age out like any other commit dir.
-           if !(dir.getPath.getName.startsWith("staging-") &&
-             !f.listStatus(dir.getPath).exists(s =>
-               referenced.contains(s"${dir.getPath.getName}/${s.getPath.getName}")))) {
-        for (file <- f.listStatus(dir.getPath) if file.isFile) {
+           // reclaimed explicitly by vacuumStaging. Once PUBLISHED (marker
+           // from publishStaged, or referenced files from a publish that
+           // predates the marker) they age out like any other commit dir —
+           // even after every referencing manifest expires.
+           if !isMidAuditStage(f, dir.getPath, referenced)) {
+        // heal the marker on legacy published stages observed here, so a
+        // later vacuum still recognizes the dir after its references age out
+        if (dir.getPath.getName.startsWith("staging-") &&
+            !isMarkedPublished(f, dir.getPath))
+          markPublished(f, path, dir.getPath.getName)
+        for (file <- f.listStatus(dir.getPath)
+             if file.isFile && file.getPath.getName != PublishedMarker) {
           val rel = s"${dir.getPath.getName}/${file.getPath.getName}"
           if (!referenced.contains(rel)) {
             val len = file.getLen
@@ -2905,7 +2974,9 @@ object VersionedTable {
             removed += ((rel, len))
           }
         }
-        if (f.listStatus(dir.getPath).isEmpty) f.delete(dir.getPath, true)
+        // reclaim the dir once only the marker (or nothing) remains
+        if (f.listStatus(dir.getPath).forall(_.getPath.getName == PublishedMarker))
+          f.delete(dir.getPath, true)
       }
     }
     drop.foreach(v => f.delete(versionPath(path, v), false))

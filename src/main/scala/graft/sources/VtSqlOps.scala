@@ -485,10 +485,22 @@ final case class VtDropMvCommand(viewParts: Seq[String]) extends LeafRunnableCom
     VtSqlOps.attr("view", StringType), VtSqlOps.attr("dropped", BooleanType))
   override def run(spark: SparkSession): Seq[Row] = {
     val viewPath = VtSqlOps.resolvePath(spark, viewParts)
-    val existed = graft.plans.MvRewrite.unregister(viewPath)
     val p = new org.apache.hadoop.fs.Path(viewPath)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val deleted = f.exists(p) && f.delete(p, true)
+    // DROP recursively deletes — so the target must PROVE it is a
+    // materialized view before anything is removed: either the persisted
+    // `_mv.json` spec exists, or the path is registered with this
+    // session's rewriter (Scala-registered views have no spec file).
+    // Without this, `DROP MATERIALIZED VIEW vt.events` against a plain
+    // versioned table would destroy the whole table.
+    val isMv = f.exists(new org.apache.hadoop.fs.Path(s"$viewPath/_mv.json")) ||
+      graft.plans.MvRewrite.registeredIds(viewPath)
+    require(!f.exists(p) || isMv,
+      s"$viewPath is not a materialized view (no _mv.json and not registered with " +
+        "the rewriter) — refusing to delete; use the table-maintenance surface to " +
+        "drop plain tables")
+    val existed = graft.plans.MvRewrite.unregister(viewPath)
+    val deleted = isMv && f.exists(p) && f.delete(p, true)
     Seq(Row(viewPath, existed || deleted))
   }
 }

@@ -591,7 +591,13 @@ object EventStreams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (t: String, batch: Iterator[DayCount], state: GroupState[(Long, Long)]) =>
-          val (refSum, refN) = reference.getOrElse(t, (0L, 1L))
+          // an uncalibrated type must fail LOUDLY: defaulting to a zero
+          // reference rate would make its deviation equal its raw count
+          // and alarm immediately with meaningless scaling
+          require(reference.contains(t),
+            s"event type '$t' has no calibration reference — recalibrate " +
+              "(referenceRate over a period that covers it) before monitoring")
+          val (refSum, refN) = reference(t)
           val slackScaled = math.round(slack * refN)
           val hScaled = math.round(threshold * refN)
           var (sp, sn) = state.getOption.getOrElse((0L, 0L))

@@ -67,6 +67,22 @@ class CusumStreamSpec extends SparkSuite {
     assert(got.filter(_.alarm).map(_.day_idx).headOption.contains(7L), got.toString)
   }
 
+  test("an uncalibrated event type fails loudly instead of alarming on a zero reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[DayCount]
+    val name = s"cusum_uncal_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = EventStreams.streamingCusum(
+      spark, ms.toDS(), Map("known" -> ((30L, 3L))), 1.0, 5.0)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      ms.addData(DayCount("unknown", 0L, 7L))
+      val e = intercept[Throwable](q.processAllAvailable())
+      val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(messages.contains("calibration"), messages)
+    } finally q.stop()
+  }
+
   test("referenceRate learns (sum, n) per type from a calibration frame") {
     val cal = Seq(("a", 5L), ("a", 7L), ("b", 1L)).toDF("t", "c")
     assert(EventStreams.referenceRate(cal, "t", "c") ==

@@ -44,4 +44,26 @@ class JsonQuarantineSpec extends SparkSuite {
     assert(corrupt.getAs[String]("raw_id") == "2" &&
       corrupt.getAs[String]("raw_n") == "xx")
   }
+
+  test("a declared _corrupt field refuses (reserved for the injected column)") {
+    val e = intercept[IllegalArgumentException](JsonQuarantine.read(
+      spark, "/tmp/nowhere",
+      StructType(Seq(StructField("_corrupt", StringType), StructField("x", LongType)))))
+    assert(e.getMessage.contains("_corrupt"))
+  }
+
+  test("field names containing dots resolve as struct fields, not nested paths") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonq_dot").toString + "/feed"
+    Seq(
+      """{"a.b":1,"v":10}""", // valid
+      """{"a.b":2,"v":"zz"}""" // v type-corrupt
+    ).toDF("value").coalesce(1).write.text(dir)
+    val dotted = StructType(Seq(StructField("a.b", LongType), StructField("v", LongType)))
+    val routed = JsonQuarantine.read(spark, dir, dotted)
+    val good = routed.good.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(good.toSeq == Seq((1L, 10L)), "dotted field must not mis-detect corruption")
+    val bad = routed.bad.collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("raw_a.b") == "2" &&
+      bad(0).getAs[String]("raw_v") == "zz")
+  }
 }

@@ -59,6 +59,24 @@ class MvSqlSpec extends SparkSuite {
     }
   }
 
+  test("DROP refuses a target that is not a materialized view — the table survives") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_drop").toString
+    val tbl = tmp + "/events"
+    VersionedTable.commitAppend(
+      (0L until 50L).map(i => (i, s"r$i")).toDF("id", "v"), tbl)
+    // a plain versioned table has no _mv.json and no rewriter registration:
+    // DROP MATERIALIZED VIEW against it must refuse, not recursively delete
+    val e = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW `$tbl`").collect())
+    assert(e.getMessage.contains("not a materialized view"))
+    assert(VersionedTable.read(spark, tbl).count() == 50, "table must be untouched")
+    // same for an arbitrary non-MV directory
+    val dir = tmp + "/plain"
+    (0 until 5).toDF("x").write.parquet(dir)
+    val e2 = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW `$dir`").collect())
+    assert(e2.getMessage.contains("not a materialized view"))
+    assert(new java.io.File(dir).exists())
+  }
+
   test("CREATE over a vt fact: maintained; REFRESH tracks the fact across a new session") {
     val tmp = java.nio.file.Files.createTempDirectory("mvsql_vt").toString
     val src = tmp + "/fact"; val view = tmp + "/view"

@@ -76,6 +76,45 @@ class WapSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).filter(col("id") >= 60).count() == 2)
   }
 
+  test("published stage whose references age out is reclaimed by vacuum, not counted pending") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1
+    val staged = VersionedTable.stageAppend(batch(10, 20), path)
+    VersionedTable.publishStaged(spark, path, staged) // v2 adopts
+    assert(VersionedTable.stagedPending(spark, path) == 0, "published is not pending")
+    VersionedTable.commitOverwrite(batch(0, 3), path) // v3 drops the reference at HEAD
+    // retention trims every manifest that referenced the stage: without
+    // the published marker this dir would leak forever (vacuum would skip
+    // it as mid-audit) and miscount as a stuck audit
+    val (_, files, _) = VersionedTable.vacuumWithStats(spark, path, keepLast = 1)
+    assert(files.exists(_.startsWith(staged.id)),
+      "published-then-expired stage files must be reclaimable by vacuum")
+    assert(!new java.io.File(s"$path/data/${staged.id}").exists(),
+      "stage dir reclaimed once only the marker remains")
+    assert(VersionedTable.stagedPending(spark, path) == 0)
+    assert(VersionedTable.read(spark, path).count() == 3)
+  }
+
+  test("vacuum heals the published marker on a stage published before the marker existed") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 5), path)
+    val staged = VersionedTable.stageAppend(batch(10, 20), path)
+    VersionedTable.publishStaged(spark, path, staged)
+    val marker = new java.io.File(s"$path/data/${staged.id}/_published")
+    assert(marker.exists(), "publish records adoption")
+    assert(marker.delete()) // simulate a pre-marker publish
+    // while references hold, it is still not pending and not reapable —
+    // and vacuum re-marks it from the manifest evidence
+    assert(VersionedTable.stagedPending(spark, path) == 0)
+    VersionedTable.vacuumWithStats(spark, path, keepLast = 10)
+    assert(marker.exists(), "vacuum heals the marker from manifest evidence")
+    assert(VersionedTable.readStaged(spark, path, staged).count() == 10,
+      "marker is invisible to parquet reads of the staged dir")
+    // vacuumStaging never touches it, even with a future cutoff
+    assert(VersionedTable.vacuumStaging(
+      spark, path, System.currentTimeMillis() + 60000) == 0)
+  }
+
   test("publish with statsCols records file-skipping ranges for the adopted files") {
     val path = fresh()
     VersionedTable.commitAppend(batch(0, 10).repartition(1), path, "id")
