@@ -51,7 +51,15 @@ object Bench {
     * per-query median; returns the JSON result line and whether every query
     * succeeded. Separated from main so the failure path is unit-testable
     * with a deliberately-broken QueryDef.
-    */
+    *
+    * Beside each wall-time median the line carries the query's
+    * DETERMINISTIC executed-plan metrics ([[graft.tools.PlanMetrics]]:
+    * files/bytes scanned, shuffle bytes/records, spill) from one extra
+    * execution after the timed passes. Wall time alone cannot adjudicate
+    * a regression — a 2× median swing on untouched code (q225, round 12)
+    * is unanswerable without knowing whether the PLAN moved; these
+    * numbers answer that: same files+shuffle ⇒ environment noise, moved
+    * numbers ⇒ a real plan change to chase. */
   def run(spark: SparkSession, sfDir: String, headline: Seq[QueryDef]): (String, Boolean) = {
     // Warm-up execution per query (JIT + codegen cache + file listing).
     // Failures are ignored HERE only because the timed passes below run the
@@ -78,6 +86,22 @@ object Bench {
         Right(sorted(sorted.size / 2))
       }
     }
+    // deterministic plan metrics per succeeded query (one extra
+    // execution each, AFTER the timed passes so it cannot skew them)
+    val plans: Map[String, graft.tools.PlanMetrics.Summary] = results.collect {
+      case (name, Right(_)) =>
+        val q = headline.find(_.name == name).get
+        // a metrics failure must not fail a bench whose timed passes were
+        // clean — the query's entry is simply omitted from "plan"
+        scala.util.Try(name -> graft.tools.PlanMetrics.run(q.run(spark, sfDir)))
+    }.collect { case scala.util.Success(kv) => kv }.toMap
+    val planJson = results.collect { case (k, Right(_)) if plans.contains(k) =>
+      val p = plans(k)
+      jsonStr(k) + ":" + s"""{"files":${p.filesRead},"bytes":${p.bytesRead},""" +
+        s""""shuffle_bytes":${p.shuffleBytesWritten},""" +
+        s""""shuffle_records":${p.shuffleRecordsWritten},"spill":${p.spillBytes},""" +
+        s""""rows":${p.outputRows}}"""
+    }.mkString("{", ",", "}")
     val qs = results.map {
       case (k, Right(sec)) => jsonStr(k) + ":" + sec
       case (k, Left(_))    => jsonStr(k) + ":\"error\""
@@ -94,7 +118,7 @@ object Bench {
       s"""{"metric":"shared_total","value":$sharedTotal,"unit":"sec",""" +
         s""""shared_n":${results.count(r => SharedSet(r._1) && r._2.isRight)},""" +
         s""""total":$total,"headline_n":${results.size},""" +
-        s""""queries":$qs,"errors":$errors,"ok":$ok,"sf":${jsonStr(sfDir)}}"""
+        s""""queries":$qs,"plan":$planJson,"errors":$errors,"ok":$ok,"sf":${jsonStr(sfDir)}}"""
     (line, ok)
   }
 

@@ -32,4 +32,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin)).toMap
+
+  /** Queries DELIBERATELY exempt from the DuckDB oracle (sketch
+    * estimates, seeded sampling, learned models — shapes SQL cannot
+    * replay exactly; each is spec-gated instead). Emitted by [[Verify]]
+    * as `rows_only.json` so the driver's `no_oracle` entries are
+    * auditable from the artifact alone; QueriesSpec pins this set
+    * against a hand-maintained allowlist so an entry cannot silently
+    * drop its oracle. */
+  def rowsOnly: Seq[String] =
+    registry.filter(_.oracle.isEmpty).map(_.name).sorted
 }

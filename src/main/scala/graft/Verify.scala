@@ -16,6 +16,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.quietLogs() // setLogLevel rebuilt levels; re-apply
     new java.io.File(outDir).mkdirs()
+    // a FULL run owns the artifact: remove stale query dumps from a
+    // reused outDir (e.g. a renamed query's old name) — they would read
+    // as undeclared no-oracle queries in the rows-only audit
+    if (only.isEmpty) {
+      val known = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("q\\d+.*") && !known(f.getName))
+        .foreach { f =>
+          System.err.println(s"[verify] removing stale dump ${f.getName}")
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -40,6 +55,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the rows-only exemption, self-described: every name here is
+    // oracle-less BY DESIGN (sketch/seed/model shapes, spec-gated), so a
+    // `no_oracle` correctness entry is auditable from this artifact alone
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"),
+      SparkEntry.rowsOnly.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

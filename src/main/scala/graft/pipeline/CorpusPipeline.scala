@@ -195,10 +195,116 @@ object CorpusPipeline {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
 
     Prepared(result, () => stages.map { s =>
-      s -> (obs(s).get("n") match {
+      s -> (obs(s).get.getOrElse("n",
+        sys.error(s"stage '$s' collected no count metric — was the result " +
+          "materialized by an action that executes the observed plan?")) match {
         case n: Number => n.longValue()
-        case other     => sys.error(s"unexpected count metric for $s: $other")
+        case other => sys.error(s"unexpected count metric for $s: $other")
       })
     })
+  }
+
+  /** Outcome of one [[ingestAudited]] increment: the published version
+    * (None when the increment quarantined), the per-stage row counts the
+    * audit judged, and the violations (empty on publish). */
+  final case class IngestReport(
+      published: Option[Long],
+      stageCounts: Seq[(String, Long)],
+      violations: Seq[String])
+
+  /** Incremental corpus ingestion with [[prepare]]'s cleaning gates as
+    * the WRITE-AUDIT-PUBLISH audit — the composition of the two flagship
+    * pieces: prepare produces the increment's clean rows AND its
+    * per-stage accounting; the staged write materializes both in ONE
+    * action; the audit judges the accounting against declared keep-rate
+    * expectations; then either one metadata-only publish adopts the
+    * staged files, or the RAW increment routes WHOLE to the quarantine
+    * table with the per-stage violation messages and the stage aborts.
+    * The main table is untouched on the failure path by construction —
+    * staged files are invisible until publish
+    * ([[graft.io.VersionedTable.stageAppend]]).
+    *
+    * `checks` are (stage, minKeepFrac): each stage must retain at least
+    * the fraction of the PREVIOUS stage's rows ([[Prepared.stageCounts]]
+    * order) — the "did this increment suddenly go 90% duplicate/spam"
+    * alarm that batch corpus ingestion needs. An empty increment fails
+    * every declared check (0-row input cannot prove anything).
+    *
+    * Streaming twin: run this body inside `foreachBatch` — it composes
+    * with the (writerId, batchId) txn via
+    * [[graft.io.VersionedTable.publishStagedBatch]] the same way
+    * [[graft.streaming.EventStreams.startAuditedVersionedSink]] does.
+    *
+    * Scale shape: everything rides prepare's plan (keyed shuffles +
+    * broadcasts); the audit reads ONLY the observation counters (zero
+    * extra jobs); publish is one manifest write. */
+  def ingestAudited(
+      increment: DataFrame,
+      benchmark: DataFrame,
+      tablePath: String,
+      quarantinePath: String,
+      checks: Seq[(String, Double)],
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      minJaccard: Double = 0.8,
+      maxOverlapFrac: Double = 0.5): IngestReport = {
+    import graft.io.VersionedTable
+    val spark = increment.sparkSession
+    // Pin the increment ONCE (bounded — increment-sized, never corpus-
+    // sized): the quarantine path re-reads exactly these rows, and a
+    // statically-foldable increment (a LocalRelation fixture) would
+    // otherwise let the optimizer fold the quality filter + dedup join to
+    // <empty> at PLAN time and erase the upstream CollectMetrics nodes
+    // with the folded subtree — silently losing the very counters the
+    // audit judges. A LogicalRDD is never constant-folded.
+    val inc = increment.localCheckpoint(eager = true)
+    val prepared = prepare(
+      inc, benchmark, textCol,
+      minQuality = minQuality, minJaccard = minJaccard,
+      maxOverlapFrac = maxOverlapFrac)
+    // ONE action: the eager localCheckpoint executes the observed plan —
+    // populating the stage counters — and pins the survivor rows, so the
+    // staged write below re-reads the computed partitions instead of
+    // recomputing the pipeline. It runs with AQE OFF: when an increment
+    // audits toward zero rows (exactly the case the audit exists for),
+    // AQE's runtime empty-relation propagation replans the dedup join as
+    // <empty> and cancels the not-yet-finished upstream stages — the
+    // input/quality CollectMetrics then never execute and their counters
+    // silently vanish. The action is increment-sized, so runtime
+    // re-planning has nothing to offer it anyway.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val survivors =
+      try prepared.result.localCheckpoint(eager = true)
+      finally spark.conf.set(aqeKey, aqeWas)
+    val counts = prepared.stageCounts()
+    // lands the clean rows on disk, INVISIBLE (no manifest reference)
+    val staged = VersionedTable.stageAppend(survivors, tablePath)
+    val byStage = counts.toMap
+    val prevOf = counts.map(_._1).zip("" +: counts.map(_._1)).toMap
+    val violations = checks.flatMap { case (stage, minKeep) =>
+      val prev = prevOf.getOrElse(stage,
+        sys.error(s"unknown audit stage: $stage (have ${counts.map(_._1).mkString(", ")})"))
+      val n = byStage(stage)
+      val base = byStage.getOrElse(prev, 0L)
+      val kept = if (base == 0L) 0.0 else n.toDouble / base
+      if (base > 0L && kept >= minKeep) None
+      else Some(f"$stage: kept $n of $base ($kept%.4f) < $minKeep%.4f after ${
+        if (prev.isEmpty) "input" else prev}")
+    }
+    if (violations.isEmpty) {
+      val v = VersionedTable.publishStaged(spark, tablePath, staged)
+      IngestReport(Some(v), counts, Nil)
+    } else {
+      // the WHOLE raw increment quarantines (an analyst wants the rows
+      // that FAILED the gates, not the survivors), stamped with every
+      // per-stage violation; then the stage aborts — main table untouched
+      VersionedTable.commitAppend(
+        inc.withColumn("_audit_failures", lit(violations.mkString("; "))),
+        quarantinePath)
+      VersionedTable.abortStaged(spark, tablePath, staged)
+      IngestReport(None, counts, violations)
+    }
   }
 }

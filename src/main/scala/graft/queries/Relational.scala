@@ -2475,8 +2475,79 @@ object Relational {
            |FROM lineitem WHERE l_linestatus = 'F'
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Q319 — STAR definitions through `CREATE MATERIALIZED VIEW`
+    * (VERDICT r12 item 2): the statement takes the classic dim-joined
+    * rollup — `SELECT n_name, SUM(l_extendedprice) FROM lineitem JOIN
+    * supplier ON ... JOIN nation ON ... GROUP BY n_name` — and LOWERS it
+    * to the fact-rollup state keyed by the fact-side join key
+    * ([[graft.sources.VtCreateMvCommand.lowerStar]]: l_suppkey; the
+    * dim-dim snowflake link and the dim group key contribute no state
+    * keys). A statement-text star query with a dim filter and a richer
+    * aggregate set is then served from that state — the plan assert
+    * proves the LINEITEM scan is GONE (at 100 TB: the fact is read once
+    * at CREATE, never per query; dims stay broadcast-size). The oracle
+    * replays the whole star aggregate from the raw tables, so a
+    * mis-keyed lowering (wrong join key, dim key leaking into the
+    * state) hash-fails, not just plan-fails. */
+  val q319 = QueryDef(
+    "q319_sql_create_mv_star",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val factPath = s"$d/lineitem.parquet"
+      val suppPath = s"$d/supplier.parquet"
+      val nationPath = s"$d/nation.parquet"
+      val root = Scratch.dir("q319")
+      val state = root + "/state"
+      val created = s.sql(
+        s"""CREATE MATERIALIZED VIEW `$state` AS
+           |SELECT n_name, SUM(l_extendedprice)
+           |FROM parquet.`$factPath`
+           |JOIN parquet.`$suppPath` ON l_suppkey = s_suppkey
+           |JOIN parquet.`$nationPath` ON s_nationkey = n_nationkey
+           |GROUP BY n_name""".stripMargin).collect()(0)
+      require(created.getAs[String]("group_cols") == "l_suppkey",
+        s"star lowering must key the state by the fact-side join key, " +
+          s"got: ${created.getAs[String]("group_cols")}")
+      require(created.getAs[String]("value_col") == "l_extendedprice")
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        val df = s.sql(
+          s"""SELECT n_name, COUNT(*) AS n,
+             |       ROUND(SUM(l_extendedprice) / 1000000.0, 4) AS rev_mm,
+             |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+             |       ROUND(MIN(l_extendedprice), 4) AS min_price,
+             |       ROUND(MAX(l_extendedprice), 4) AS max_price
+             |FROM parquet.`$factPath`
+             |JOIN parquet.`$suppPath` ON l_suppkey = s_suppkey
+             |JOIN parquet.`$nationPath` ON s_nationkey = n_nationkey
+             |WHERE n_regionkey <> 3
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        val roots = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        require(!roots.exists(_.endsWith("lineitem.parquet")),
+          s"SQL-created star MV did not serve the star query; scans: $roots")
+        df.localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        s.sql(s"DROP MATERIALIZED VIEW `$state`")
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_extendedprice)/1000000.0, 4) AS rev_mm,
+           |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           |       ROUND(MIN(l_extendedprice), 4) AS min_price,
+           |       ROUND(MAX(l_extendedprice), 4) AS max_price
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE n_regionkey <> 3
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295,
+    q271, q277, q283, q284, q293, q294, q295, q319,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

@@ -1401,6 +1401,64 @@ object Stats {
            |       ROUND(sxlx / sx - LN(sx / n), 6) AS theil_t
            |FROM a""".stripMargin))
 
+  /** Q320 — Theil between/within decomposition (completes q306, VERDICT
+    * r12 item 5): the whole reason to pick Theil over Gini at scale is
+    * the exact additive split T = T_between + T_within over groups —
+    * "how much balance inequality lives ACROSS nations vs INSIDE them".
+    * T_between = Σ_g (s_g/S)·ln(μ_g/μ), T_within = Σ_g (s_g/S)·T_g, all
+    * closed-from-sums: ONE per-nation moment aggregation (n_g, Σx,
+    * Σx·ln x over a broadcast nation join), one 25-row rollup to the
+    * global sums, one 25-row reduce to the components — shuffle is one
+    * keyed agg regardless of corpus size. The emitted `identity_gap` =
+    * ROUND(T − T_b − T_w, 6) + 0 pins the algebraic identity at exactly
+    * 0.0 in BOTH engines (the subtraction is ~1e-16 float noise; the
+    * `+ 0` guard kills IEEE −0.0, the q268 render class). */
+  val q320 = QueryDef(
+    "q320_theil_decomposition",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .join(
+          broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_acctbal").as("x"))
+      val g = c.groupBy("n_name").agg(
+        count(lit(1)).as("ng"),
+        sum("x").as("sg"),
+        sum(col("x") * log(col("x"))).as("sxlxg"))
+      val tot = g.agg(
+        sum("ng").as("n"), sum("sg").as("sx"), sum("sxlxg").as("sxlx"),
+        count(lit(1)).as("n_groups"))
+      g.crossJoin(broadcast(tot))
+        .groupBy("n_groups", "n")
+        .agg(
+          sum((col("sg") / col("sx")) *
+            log((col("sg") / col("ng")) / (col("sx") / col("n")))).as("bw"),
+          sum((col("sg") / col("sx")) *
+            (col("sxlxg") / col("sg") - log(col("sg") / col("ng")))).as("wi"),
+          max(col("sxlx") / col("sx") - log(col("sx") / col("n"))).as("tt"))
+        .select(
+          col("n_groups"), col("n"),
+          r6(col("bw")).as("theil_between"),
+          r6(col("wi")).as("theil_within"),
+          (round(col("tt") - col("bw") - col("wi"), 6) + lit(0.0)).as("identity_gap"))
+    },
+    Some("""WITH g AS (SELECT n_name, COUNT(*) AS ng, SUM(c_acctbal) AS sg,
+           |                  SUM(c_acctbal * LN(c_acctbal)) AS sxlxg
+           |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |           WHERE c_acctbal > 0 GROUP BY n_name),
+           |     t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS sx,
+           |                  SUM(sxlxg) AS sxlx, COUNT(*) AS n_groups FROM g),
+           |     p AS (SELECT t.n_groups, t.n,
+           |                  SUM((g.sg / t.sx) * LN((g.sg / g.ng) / (t.sx / t.n))) AS bw,
+           |                  SUM((g.sg / t.sx) * (g.sxlxg / g.sg - LN(g.sg / g.ng))) AS wi,
+           |                  MAX(t.sxlx / t.sx - LN(t.sx / t.n)) AS tt
+           |           FROM g CROSS JOIN t GROUP BY 1, 2)
+           |SELECT n_groups, n, ROUND(bw, 6) AS theil_between,
+           |       ROUND(wi, 6) AS theil_within,
+           |       ROUND(tt - bw - wi, 6) + 0 AS identity_gap
+           |FROM p""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -1652,5 +1710,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318)
+      q317, q318, q320)
 }

@@ -287,14 +287,17 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
 
 /** The statement-level materialized-view surface — the one catalog
   * statement that was Scala-only (`MvRewrite.materialize*` /
-  * `registerRollup`). Grammar (deliberately the canonical rollup shape —
-  * the rewriter serves richer queries AGAINST it, including filters,
-  * partial agg sets, and star joins, but the DEFINITION is one clean
-  * fact rollup):
+  * `registerRollup`). Grammar: the canonical fact rollup, or the classic
+  * dim-joined STAR rollup (the rewriter serves richer queries AGAINST
+  * either — filters, partial agg sets, other dim groupings):
   *
   * {{{
   *   CREATE MATERIALIZED VIEW vt.daily AS
   *     SELECT k1, k2, SUM(v) FROM vt.fact GROUP BY k1, k2
+  *   CREATE MATERIALIZED VIEW vt.by_region AS        -- star: lowered to the
+  *     SELECT d_region, SUM(v) FROM vt.fact          -- fact rollup keyed by
+  *     JOIN vt.dim ON fact_fk = dim_pk               -- the fact-side join
+  *     GROUP BY d_region                             -- keys (see lowerStar)
   *   REFRESH MATERIALIZED VIEW vt.daily   -- vt-fact views: CDF-driven touched-group refresh
   *   DROP MATERIALIZED VIEW vt.daily      -- unregister + delete the state
   * }}}
@@ -306,34 +309,84 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
   * [[graft.plans.MvRewrite.registerRollup]], so REFRESH cost scales with
   * the change volume, never the fact). The definition is persisted at
   * `<view>/_mv.json`, so REFRESH — and re-registration in a NEW session
-  * — need only the view name. Aggregates may use COUNT/SUM/MIN/MAX/AVG
-  * over at most ONE value column (the decomposable state vector);
-  * WHERE/JOIN/ordinals in the DEFINITION refuse with a pointed message
+  * — need only the view name (a star definition persists its LOWERED
+  * fact-rollup spec, so refresh/show/drop are identical for both forms).
+  * Aggregates may use COUNT/SUM/MIN/MAX/AVG over at most ONE value
+  * column (the decomposable state vector); WHERE/ordinals/outer or
+  * non-equi joins in the DEFINITION refuse with a pointed message
   * rather than registering a view the rewriter would serve wrongly. */
 private[sources] object MvSql {
 
   final case class Spec(factParts: Seq[String], groupCols: Seq[String], valueCol: String)
 
+  /** A star definition: `SELECT keys, aggs FROM fact JOIN dim ON ... GROUP
+    * BY keys`. The FROM clause's LEFT-MOST relation is the fact; dims hang
+    * off it (or off each other — snowflake) through INNER equi-joins. The
+    * lowering does NOT materialize the join: the state is the FACT rolled
+    * up by its join keys (+ any fact-side group keys), and
+    * [[graft.plans.MvRewrite]]'s star path serves the dim-grouped queries
+    * from it at query time — same economics as the Scala registration
+    * (oracle q167). `condSides` carries each equi-condition's two
+    * attribute name-parts; fact-vs-dim attribution needs schemas, so it
+    * happens in [[VtCreateMvCommand.run]]. */
+  final case class StarSpec(
+      factParts: Seq[String],
+      condSides: Seq[(Seq[String], Seq[String])],
+      groupCols: Seq[String],
+      valueCol: String)
+
   private val AllowedAggs = Set("count", "sum", "min", "max", "avg")
 
-  def extract(parser: ParserInterface, select: String): Spec = {
+  def extract(parser: ParserInterface, select: String): Either[Spec, StarSpec] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.Inner
     def refuse(msg: String): Nothing = throw new IllegalArgumentException(
       s"CREATE MATERIALIZED VIEW: $msg — the definition must be " +
-        "`SELECT <keys>, <COUNT/SUM/MIN/MAX/AVG over one column> FROM <fact> GROUP BY <keys>` " +
-        "(filters, joins and richer aggregates belong in the QUERIES the view serves, " +
+        "`SELECT <keys>, <COUNT/SUM/MIN/MAX/AVG over one column> FROM <fact> " +
+        "[JOIN <dim> ON <fact_key> = <dim_key> ...] GROUP BY <keys>` " +
+        "(filters and richer aggregates belong in the QUERIES the view serves, " +
         "not in its definition)")
+    // a FROM-clause join tree: left-most relation is the fact, every join
+    // INNER with a conjunction of column equi-predicates
+    def splitConj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitConj(l) ++ splitConj(r)
+      case other => Seq(other)
+    }
+    def walkJoins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (Seq[String], Seq[(Seq[String], Seq[String])]) = p match {
+      case r: UnresolvedRelation => (r.multipartIdentifier, Seq.empty)
+      case SubqueryAlias(_, c) => walkJoins(c)
+      case Join(l, r, Inner, cond, _) =>
+        val (fact, lConds) = walkJoins(l)
+        r match {
+          case _: UnresolvedRelation | SubqueryAlias(_, _: UnresolvedRelation) => ()
+          case _ => refuse("each JOIN's right side must be a dim table (no subqueries)")
+        }
+        val conds = splitConj(cond.getOrElse(
+          refuse("star JOINs need an ON clause of column equalities"))).map {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+            (a.nameParts, b.nameParts)
+          case other => refuse(s"star JOIN conditions must be column equalities, got: ${other.sql}")
+        }
+        (fact, lConds ++ conds)
+      case Join(_, _, jt, _, _) =>
+        refuse(s"star definitions take INNER joins only, got: ${jt.sql}")
+      case _ => refuse("the FROM clause must be a fact table, optionally INNER-joined to dims")
+    }
     parser.parsePlan(select) match {
       case Aggregate(grouping, aggList, child, _) =>
-        val factParts = child match {
-          case r: UnresolvedRelation => r.multipartIdentifier
-          case SubqueryAlias(_, r: UnresolvedRelation) => r.multipartIdentifier
-          case _ => refuse("the FROM clause must be a single fact table (no WHERE/JOIN/subquery)")
+        val (factParts, condSides) = child match {
+          case r: UnresolvedRelation => (r.multipartIdentifier, Seq.empty)
+          case SubqueryAlias(_, r: UnresolvedRelation) => (r.multipartIdentifier, Seq.empty)
+          case j: Join => walkJoins(j)
+          case _ => refuse("the FROM clause must be a fact table, optionally INNER-joined to dims (no WHERE/subquery)")
         }
         val groupCols = grouping.map {
-          case a: UnresolvedAttribute => a.name
+          case a: UnresolvedAttribute => a.nameParts.last
           case other => refuse(s"GROUP BY must list column names, got: ${other.sql}")
         }
         def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -344,7 +397,8 @@ private[sources] object MvSql {
         }
         val valueCols = aggList.map(strip).flatMap {
           case a: UnresolvedAttribute =>
-            if (!groupCols.contains(a.name)) refuse(s"non-aggregated column ${a.name}")
+            if (!groupCols.contains(a.nameParts.last))
+              refuse(s"non-aggregated column ${a.name}")
             Seq.empty
           case e =>
             val fn = e match {
@@ -355,14 +409,18 @@ private[sources] object MvSql {
             if (!AllowedAggs.contains(name))
               refuse(s"aggregate $name is not decomposable over the state vector")
             if (fn.isDistinct) refuse("DISTINCT aggregates are not decomposable")
-            fn.arguments.flatMap(_.collect { case a: UnresolvedAttribute => a.name })
+            fn.arguments.flatMap(_.collect {
+              case a: UnresolvedAttribute => a.nameParts.last
+            })
         }.distinct
         if (valueCols.exists(groupCols.contains))
           refuse("aggregating a GROUP BY key")
         if (valueCols.size > 1)
           refuse(s"aggregates reference ${valueCols.size} columns (${valueCols.mkString(", ")}); " +
             "one state vector covers one value column — create one view per column")
-        Spec(factParts, groupCols, valueCols.headOption.getOrElse(""))
+        val valueCol = valueCols.headOption.getOrElse("")
+        if (condSides.isEmpty) Left(Spec(factParts, groupCols, valueCol))
+        else Right(StarSpec(factParts, condSides, groupCols, valueCol))
       case _ => refuse("the definition must be a GROUP BY aggregate")
     }
   }
@@ -409,14 +467,54 @@ private[sources] object MvSql {
   }
 }
 
-final case class VtCreateMvCommand(viewParts: Seq[String], spec: MvSql.Spec)
+final case class VtCreateMvCommand(
+    viewParts: Seq[String], definition: Either[MvSql.Spec, MvSql.StarSpec])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     VtSqlOps.attr("view", StringType), VtSqlOps.attr("fact", StringType),
     VtSqlOps.attr("group_cols", StringType), VtSqlOps.attr("value_col", StringType),
     VtSqlOps.attr("maintained", BooleanType))
+
+  /** Lower a star definition to the fact-rollup state that serves it: the
+    * state's keys are the FACT-side join keys plus any fact-side GROUP BY
+    * columns; dim-side group keys ride the join at query time through
+    * [[graft.plans.MvRewrite]]'s star path. Attribution is by fact-schema
+    * membership (names are TPC-H-style unambiguous; a condition whose two
+    * sides BOTH live in the fact schema refuses as ambiguous). A column
+    * that exists in both fact and a dim only over-attributes: an extra
+    * state key makes the state finer, never wrong. */
+  private def lowerStar(spark: SparkSession, star: MvSql.StarSpec): MvSql.Spec = {
+    def refuse(msg: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW (star): $msg")
+    val factSchema: Set[String] = (star.factParts match {
+      case Seq(fmt, path) if fmt.equalsIgnoreCase("parquet") =>
+        spark.read.parquet(path).schema
+      case _ =>
+        VersionedTable.tableSchema(
+          spark, VtSqlOps.resolvePath(spark, star.factParts), None)
+    }).fieldNames.toSet
+    val joinKeys = star.condSides.flatMap { case (l, r) =>
+      (factSchema.contains(l.last), factSchema.contains(r.last)) match {
+        case (true, true) => refuse(
+          s"both sides of ${l.mkString(".")} = ${r.mkString(".")} are fact columns — " +
+            "a star join links the fact to a dim")
+        case (true, false) => Some(l.last)
+        case (false, true) => Some(r.last)
+        case (false, false) => None // dim-dim link (snowflake) — no state key
+      }
+    }
+    if (joinKeys.isEmpty)
+      refuse("no join condition links the fact to a dim (every equality is dim-dim)")
+    if (star.valueCol.nonEmpty && !factSchema.contains(star.valueCol))
+      refuse(s"aggregated column ${star.valueCol} is not a fact column — " +
+        "dim-column aggregates belong in the queries the view serves")
+    val stateKeys = (joinKeys ++ star.groupCols.filter(factSchema.contains)).distinct
+    MvSql.Spec(star.factParts, stateKeys, star.valueCol)
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val viewPath = VtSqlOps.resolvePath(spark, viewParts)
+    val spec = definition.fold(identity, lowerStar(spark, _))
     val (factRef, maintained) = spec.factParts match {
       case Seq(fmt, path) if fmt.equalsIgnoreCase("parquet") =>
         // plain parquet fact: one-shot state + registration

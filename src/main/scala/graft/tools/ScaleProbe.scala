@@ -21,20 +21,31 @@ object ScaleProbe {
     "q137_repeated_spans",
     // r12: the per-token-explode family (VERDICT r11 item 6) — the one
     // new shape without measured scaling evidence
-    "q264_content_chunks", "q265_chunk_dedup_strip", "q250_pack_sequences")
+    "q264_content_chunks", "q265_chunk_dedup_strip", "q250_pack_sequences",
+    // r13: the survival/stats shapes with band-join/explode fan-out
+    // (VERDICT r12 item 6) — events- and orders-backed, so probe them
+    // with a name filter against an events/orders replica fixture
+    "q296_kaplan_meier", "q299_subsample_ci")
 
+  /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
+    * restricts to the named queries and skips the q211/q88 volume-driver
+    * sections (which read the documents table; an events/orders-only
+    * probe fixture has none). */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val onlyNames = args.drop(1).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus, "scaleprobe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val nDocs = Tables.documents(spark, sfDir).count()
-    println(s"[probe] dir=$sfDir docs=$nDocs cpus=$cpus")
+    if (onlyNames.isEmpty) {
+      val nDocs = Tables.documents(spark, sfDir).count()
+      println(s"[probe] dir=$sfDir docs=$nDocs cpus=$cpus")
+    } else println(s"[probe] dir=$sfDir cpus=$cpus only=${onlyNames.get.mkString(",")}")
 
-    Heavy.foreach { name =>
+    Heavy.filter(n => onlyNames.forall(_.contains(n))).foreach { name =>
       val run = SparkEntry.queries(name)
       def exec() = run(spark, sfDir).write.format("noop").mode("overwrite").save()
       try {
@@ -45,6 +56,8 @@ object ScaleProbe {
         println(s"[probe] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
+
+    if (onlyNames.isDefined) { spark.stop(); return }
 
     // q211 volume drivers (stage replica kept in sync with SetSimJoin by
     // hand — same fragment as ProfileSetSim)

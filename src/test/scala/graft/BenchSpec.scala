@@ -27,6 +27,10 @@ class BenchSpec extends SparkSuite {
     // number); the growing full-set total rides behind with its size
     assert(line.startsWith("{\"metric\":\"shared_total\""), line)
     assert(line.contains("\"headline_n\":1"), line)
+    // deterministic plan metrics ride beside the median: a regression in a
+    // later round is attributable (files/shuffle moved vs pure wall noise)
+    assert(line.contains("\"plan\":{\"bench_good\":{\"files\":"), line)
+    assert(line.contains("\"shuffle_bytes\":"), line)
   }
 
   test("a broken query records error and fails the bench") {
@@ -37,5 +41,8 @@ class BenchSpec extends SparkSuite {
     // the good query still reports a real time
     assert(line.contains("\"bench_good\":"), line)
     assert(!line.contains("\"bench_good\":\"error\""), line)
+    // the broken query has no plan entry; the good one still does
+    assert(!line.contains("\"plan\":{\"bench_broken\""), line)
+    assert(line.contains("\"bench_good\":{\"files\":"), line)
   }
 }

@@ -48,6 +48,50 @@ class CorpusPipelineSpec extends SparkSuite {
       "near_dup" -> 3L, "decontaminated" -> 2L), s"stage accounting: $counts")
   }
 
+  test("ingestAudited: good increment publishes metadata-only; bad one quarantines whole") {
+    import graft.io.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("cp_wap").toString
+    val tbl = root + "/corpus"; val quar = root + "/quarantine"
+    val checks = Seq("quality" -> 0.5, "decontaminated" -> 0.5)
+
+    // good increment: prepare keeps 2 of 6 but every checked stage holds
+    val r1 = CorpusPipeline.ingestAudited(corpus, benchmark, tbl, quar, checks)
+    assert(r1.published.contains(1L) && r1.violations.isEmpty)
+    assert(r1.stageCounts.toMap.apply("input") == 6L)
+    assert(VersionedTable.read(spark, tbl).count() == 2)
+    // metadata-only adoption: the published files still live under their
+    // staging dir name — publish moved a manifest, not bytes
+    assert(VersionedTable.dataFiles(spark, tbl).forall(_.contains("staging-")))
+
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tbl))
+        .map(f => f.getPath.stripPrefix(tbl) -> f.length()).toMap
+    }
+    val before = snapshot()
+
+    // bad increment: all junk — the quality gate keeps 0, the audit
+    // refuses, the WHOLE raw increment quarantines with the messages
+    val junk = (10L until 16L).map(i => (i, "x x x")).toDF("doc_id", "text")
+    val r2 = CorpusPipeline.ingestAudited(junk, benchmark, tbl, quar, checks)
+    assert(r2.published.isEmpty)
+    assert(r2.violations.exists(_.startsWith("quality: kept 0 of 6")), r2.violations)
+    assert(snapshot() == before,
+      "main table must be byte-identical after a quarantined increment")
+    val q = VersionedTable.read(spark, quar)
+    assert(q.count() == 6)
+    val msg = q.select("_audit_failures").distinct().collect()
+    assert(msg.length == 1 && msg(0).getString(0).contains("quality"), msg.toSeq)
+
+    // the failure leaves the table publishable: the next good increment lands
+    val more = Seq((20L, words("d")), (21L, words("e"))).toDF("doc_id", "text")
+    val r3 = CorpusPipeline.ingestAudited(more, benchmark, tbl, quar, checks)
+    assert(r3.published.contains(2L))
+    assert(VersionedTable.read(spark, tbl).count() == 4)
+    assert(VersionedTable.stagedPending(spark, tbl) == 0, "no stuck audits")
+  }
+
   test("the optional semantic stage drops paraphrased leakage the n-gram stage missed") {
     // doc 4 paraphrases the benchmark: disjoint tokens (textB vs textC),
     // but its embedding is nearly identical to the benchmark's — only the

@@ -137,7 +137,7 @@ class MvSqlSpec extends SparkSuite {
     }
     val mk = s"CREATE MATERIALIZED VIEW `$tmp/x` AS"
     refuse(s"$mk SELECT k, SUM(v) FROM parquet.`$fact` WHERE v > 0 GROUP BY k",
-      "single fact table")
+      "no WHERE/subquery")
     refuse(s"$mk SELECT k, SUM(v), MAX(w) FROM parquet.`$fact` GROUP BY k",
       "one state vector covers one value column")
     refuse(s"$mk SELECT k, SUM(v) FROM parquet.`$fact` GROUP BY 1",
@@ -152,6 +152,109 @@ class MvSqlSpec extends SparkSuite {
       "GROUP BY aggregate")
     // REFRESH needs a created view; a bare directory refuses loudly
     refuse(s"REFRESH MATERIALIZED VIEW `$tmp`", "_mv.json")
+  }
+
+  test("star CREATE: dim-joined definition lowers to a fact rollup and serves star queries") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_star").toString
+    val fact = tmp + "/fact.parquet"; val dim = tmp + "/dim.parquet"
+    (0L until 200L).map(i => (i, i % 7, i * 1.5)).toDF("id", "fk", "v")
+      .write.parquet(fact)
+    (0L until 7L).map(k => (k, s"name_${k % 3}", if (k < 4) "east" else "west"))
+      .toDF("d_k", "d_name", "d_region").write.parquet(dim)
+    val view = tmp + "/state"
+    val created = spark.sql(
+      s"""CREATE MATERIALIZED VIEW `$view` AS
+         |SELECT d_name, SUM(v) FROM parquet.`$fact`
+         |JOIN parquet.`$dim` ON fk = d_k GROUP BY d_name""".stripMargin).collect()(0)
+    // the LOWERED spec: state keyed by the fact-side join key, never the dim key
+    assert(created.getAs[String]("group_cols") == "fk")
+    assert(created.getAs[String]("value_col") == "v")
+    spark.conf.set(ConfKey, "true")
+    try {
+      // a DIFFERENT star query than the definition: dim filter + richer aggs
+      def q() = spark.sql(
+        s"""SELECT d_name, count(*) AS n, sum(v) AS s, round(avg(v), 6) AS a
+           |FROM parquet.`$fact` JOIN parquet.`$dim` ON fk = d_k
+           |WHERE d_region = 'east' GROUP BY d_name ORDER BY d_name""".stripMargin)
+      val direct = {
+        spark.conf.set(ConfKey, "false")
+        try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      }
+      assert(!scanRoots(q()).exists(_.endsWith("fact.parquet")),
+        s"fact scan survived the star rewrite: ${scanRoots(q())}")
+      assert(q().collect().toSeq == direct)
+      // SHOW lists the lowered spec like any rollup
+      val shown = spark.sql(s"SHOW MATERIALIZED VIEWS IN `$tmp`").collect()
+      assert(shown.length == 1 && shown(0).getString(2) == "fk")
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+
+  test("star CREATE over a vt fact is maintained; fact-side group keys join the state keys") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_star_vt").toString
+    val src = tmp + "/fact"; val dim = tmp + "/dim.parquet"; val view = tmp + "/view"
+    def rows(ids: Range) =
+      ids.map(i => (i.toLong, i % 5L, s"f${i % 2}", i * 1.0)).toDF("id", "fk", "fcat", "v")
+    VersionedTable.commitAppend(rows(0 until 100), src)
+    (0L until 5L).map(k => (k, s"d${k % 2}")).toDF("d_k", "d_name").write.parquet(dim)
+    spark.conf.set("spark.sql.catalog.vtstar", classOf[graft.sources.VtCatalog].getName)
+    val created = spark.sql(
+      s"""CREATE MATERIALIZED VIEW `$view` AS
+         |SELECT d_name, fcat, SUM(v) FROM vtstar.`$src`
+         |JOIN parquet.`$dim` ON fk = d_k GROUP BY d_name, fcat""".stripMargin).collect()(0)
+    assert(created.getAs[Boolean]("maintained"))
+    // join key + the FACT-side group key; the dim group key stays out
+    assert(created.getAs[String]("group_cols") == "fk,fcat")
+    spark.conf.set(ConfKey, "true")
+    try {
+      def q() = spark.sql(
+        s"""SELECT d_name, fcat, count(*) AS n, sum(v) AS s
+           |FROM vtstar.`$src` JOIN parquet.`$dim` ON fk = d_k
+           |GROUP BY d_name, fcat ORDER BY d_name, fcat""".stripMargin)
+      def factScanGone() = q().queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      }.isEmpty
+      val direct = {
+        spark.conf.set(ConfKey, "false")
+        try q().collect().toSeq finally spark.conf.set(ConfKey, "true")
+      }
+      assert(factScanGone(), "vt fact scan survived the star rewrite")
+      assert(q().collect().toSeq == direct)
+      // the fact moves; REFRESH re-converges the star state through the CDF
+      VersionedTable.commitAppend(rows(100 until 140), src)
+      assert(spark.sql(s"REFRESH MATERIALIZED VIEW `$view`")
+        .collect()(0).getAs[Boolean]("refreshed"))
+      assert(factScanGone() && q().collect().map(_.getLong(2)).sum == 140L)
+    } finally {
+      spark.conf.set(ConfKey, "false")
+      MvRewrite.clear()
+    }
+  }
+
+  test("star grammar refuses outer joins, non-equi links, dim aggregates, fact-fact links") {
+    val tmp = java.nio.file.Files.createTempDirectory("mvsql_star_bad").toString
+    val fact = tmp + "/fact.parquet"; val dim = tmp + "/dim.parquet"
+    Seq((1L, 2L, 3.0)).toDF("id", "fk", "v").write.parquet(fact)
+    Seq((2L, "a", 9.0)).toDF("d_k", "d_name", "d_val").write.parquet(dim)
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](spark.sql(sql).collect())
+      assert(e.getMessage.contains(needle), s"$sql → ${e.getMessage}")
+    }
+    val mk = s"CREATE MATERIALIZED VIEW `$tmp/x` AS"
+    val from = s"FROM parquet.`$fact` "
+    refuse(s"$mk SELECT d_name, SUM(v) $from LEFT JOIN parquet.`$dim` ON fk = d_k GROUP BY d_name",
+      "INNER joins only")
+    refuse(s"$mk SELECT d_name, SUM(v) $from JOIN parquet.`$dim` ON fk < d_k GROUP BY d_name",
+      "column equalities")
+    refuse(s"$mk SELECT d_name, SUM(d_val) $from JOIN parquet.`$dim` ON fk = d_k GROUP BY d_name",
+      "not a fact column")
+    refuse(s"$mk SELECT d_name, SUM(v) $from JOIN parquet.`$dim` ON id = fk GROUP BY d_name",
+      "both sides")
+    refuse(s"$mk SELECT d_name, SUM(v) $from JOIN parquet.`$dim` ON d_name = d_val GROUP BY d_name",
+      "no join condition links the fact")
   }
 
   test("SHOW MATERIALIZED VIEWS discovers definitions and session registration") {

@@ -86,5 +86,10 @@ class QueriesSpec extends SparkSuite {
     SparkEntry.registry.foreach { q =>
       assert(q.oracle.isDefined != rowsOnly(q.name), s"oracle mismatch for ${q.name}")
     }
+    // the artifact and this allowlist share one source of truth: what
+    // Verify writes to rows_only.json is exactly this set
+    assert(SparkEntry.rowsOnly.toSet == rowsOnly,
+      s"rows_only artifact drifted from the allowlist: ${
+        (SparkEntry.rowsOnly.toSet diff rowsOnly) ++ (rowsOnly diff SparkEntry.rowsOnly.toSet)}")
   }
 }

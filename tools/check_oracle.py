@@ -182,6 +182,20 @@ def main(sf_dir: str, out_dir: str, lint_only: bool = False) -> int:
         files = glob.glob(f"{out_dir}/{n}/*.parquet")
         rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         print(f"ROWS {n}: {rows} (no oracle)")
+    # every oracle-less dump must be DECLARED rows-only in the artifact
+    # Verify writes beside the dumps — an undeclared one is a query that
+    # silently lost its oracle, which is a failure here, not a footnote
+    ro_path = f"{out_dir}/rows_only.json"
+    if os.path.exists(ro_path):
+        declared = set(json.load(open(ro_path)))
+        undeclared = sorted(set(names_no_oracle) - declared)
+        stale = sorted(declared - set(names_no_oracle))
+        for n in undeclared:
+            print(f"FAIL {n}: no oracle and NOT declared rows-only")
+            failures += 1
+        for n in stale:
+            print(f"FAIL rows_only.json declares {n} but no such dump exists")
+            failures += 1
     print(f"\n{failures} failures / {len(oracles)} oracle-checked")
     return 1 if failures else 0
 
