@@ -837,6 +837,47 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, zPath).count() == 64 * 64)
   }
 
+  test("scoped z-order compaction rewrites only the in-scope slab; 2-key pruning holds there") {
+    // the realistic maintenance job: "re-cluster yesterday's partition on
+    // (x, y)" — OPTIMIZE ... ZORDER ... WHERE. Two slabs of small shuffled
+    // files; the scope predicate (not file size) must pick the victims.
+    val path = freshDir()
+    def slab(x0: Long) = spark.range(64 * 64)
+      .selectExpr(s"id % 64 + $x0 AS x", "id DIV 64 AS y", "concat('p_', id) AS payload")
+      .orderBy(expr("hash(id)")) // destroy natural clustering
+    def commitShuffled(x0: Long): Unit = {
+      val stage = path + s"_stage_$x0"
+      slab(x0).repartition(8).write.mode("overwrite").parquet(stage)
+      VersionedTable.commitAppend(spark.read.parquet(stage), path, Seq("x", "y"))
+    }
+    commitShuffled(0) // the old slab, x in [0, 63] — equally small files
+    commitShuffled(64) // "yesterday", x in [64, 127]
+    def rel(full: Seq[String]) = full.map(_.stripPrefix(s"$path/data/")).toSet
+    val oldSlab = rel(VersionedTable.dataFiles(
+      spark, path, Some(VersionedTable.versions(spark, path).head)))
+    val (_, rewritten) = VersionedTable.compact(
+      spark, path, targetRowsPerFile = 600, zOrder = true,
+      scope = Some(("x", 64L, 127L)))
+    assert(rewritten == 8, s"exactly yesterday's 8 small files, got $rewritten")
+    val after = rel(VersionedTable.dataFiles(spark, path))
+    assert(oldSlab.subsetOf(after),
+      "out-of-scope files must survive the scoped rewrite BY NAME (zero bytes moved)")
+    val fresh = after -- oldSlab
+    assert(fresh.size >= 4, s"want a repacked slab with several files, got ${fresh.size}")
+    // two-key pruning on the REWRITTEN slab: an (x, y) box inside
+    // yesterday's range prunes the old slab via x stats and, thanks to
+    // the Morton layout, hits only a corner of the fresh files
+    val hit = VersionedTable.filesForRanges(
+      spark, path, Map("x" -> (64L, 71L), "y" -> (0L, 7L))).toSet
+    assert(hit.subsetOf(fresh), s"old slab must prune away entirely: ${hit -- fresh}")
+    assert(hit.size <= fresh.size / 2,
+      s"z-order box should prune the fresh slab: hit ${hit.size} of ${fresh.size}")
+    // rows intact; an exact 2-D cell reads correctly from the new layout
+    assert(VersionedTable.read(spark, path).count() == 2L * 64 * 64)
+    assert(VersionedTable.readWhereAll(
+      spark, path, Map("x" -> (67L, 68L), "y" -> (5L, 6L))).count() == 4)
+  }
+
   test("merge composes with deletion vectors: DV-deleted rows cannot re-match") {
     val path = freshDir()
     // one data file, so the merge's rewrite provably migrates the DV out
