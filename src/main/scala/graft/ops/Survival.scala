@@ -46,14 +46,14 @@ object Survival {
       .select(col("g"), col("t"), col("n_risk"), col("events"), col("survival"))
   }
 
-  /** Two-sample log-rank test (Mantel-Haenszel): at every POOLED event
-    * time, the focal group's observed vs hypergeometric-expected event
-    * counts; chi² = (ΣO − ΣE)² / ΣV. All risk sets are exact integers
-    * built on the pooled calendar-bounded time grid (zero-filled per
-    * group, partitioned windows); only the E/V terms are FP. Returns
-    * ONE row: (n_times, obs_a, exp_a, var_sum, chi2) for `focal` = the
-    * group the O/E is reported for. */
-  def logRank(
+  /** The pooled two-sample risk-set grid every test below shares: one
+    * row per POOLED event time with (t, d_t, n_t, d_a, n_a) — total and
+    * focal-group events/at-risk. Each group's at-risk at a pooled time
+    * must subtract ALL its prior leavings — including censor-only times
+    * absent from the event grid — so the risk sets come from a band join
+    * of two calendar-bounded grids, not a window over the (incomplete)
+    * event grid. Exact integers throughout. */
+  private def pooledByTime(
       subjects: DataFrame, gCol: String, tCol: String, eventCol: String,
       focal: String): DataFrame = {
     val leavings = subjects.groupBy(col(gCol).as("g"), col(tCol).cast("long").as("t"))
@@ -61,11 +61,6 @@ object Survival {
         sum(col(eventCol).cast("long")).as("d"),
         count(lit(1)).as("leaving"))
     val totals = subjects.groupBy(col(gCol).as("g")).agg(count(lit(1)).as("n_tot"))
-    // pooled event-time grid × groups; each group's at-risk at a pooled
-    // time must subtract ALL its prior leavings — including censor-only
-    // times absent from the event grid — so the risk sets come from a
-    // band join of two calendar-bounded grids, not a window over the
-    // (incomplete) event grid
     val times = leavings.groupBy("t").agg(sum(col("d")).as("d_all"))
       .filter(col("d_all") > 0).select("t")
     val lv = leavings.select(
@@ -77,12 +72,24 @@ object Survival {
         coalesce(sum(when(col("lt") < col("t"), col("leaving"))), lit(0L)).as("gone"),
         coalesce(sum(when(col("lt") === col("t"), col("d0"))), lit(0L)).as("d"))
       .withColumn("n_risk", col("n_tot") - col("gone"))
-    val byTime = atRisk.groupBy("t").agg(
+    atRisk.groupBy("t").agg(
       sum(col("d")).as("d_t"), sum(col("n_risk")).as("n_t"),
       sum(when(col("g") === focal, col("d")).otherwise(lit(0L))).as("d_a"),
       sum(when(col("g") === focal, col("n_risk")).otherwise(lit(0L))).as("n_a"))
+  }
+
+  /** Two-sample log-rank test (Mantel-Haenszel): at every POOLED event
+    * time, the focal group's observed vs hypergeometric-expected event
+    * counts; chi² = (ΣO − ΣE)² / ΣV. All risk sets are exact integers
+    * built on the pooled calendar-bounded time grid (zero-filled per
+    * group, partitioned windows); only the E/V terms are FP. Returns
+    * ONE row: (n_times, obs_a, exp_a, var_sum, chi2) for `focal` = the
+    * group the O/E is reported for. */
+  def logRank(
+      subjects: DataFrame, gCol: String, tCol: String, eventCol: String,
+      focal: String): DataFrame = {
     val pa = col("n_a").cast("double") / col("n_t")
-    byTime
+    pooledByTime(subjects, gCol, tCol, eventCol, focal)
       .filter(col("n_t") > 1) // variance term needs n_t - 1 > 0
       .agg(
         count(lit(1)).as("n_times"),
@@ -94,6 +101,87 @@ object Survival {
         col("n_times"), col("obs_a"), col("exp_a"), col("var_sum"),
         (((col("obs_a") - col("exp_a")) * (col("obs_a") - col("exp_a"))) /
           col("var_sum")).as("chi2"))
+  }
+
+  /** Log-rank AND Gehan-Wilcoxon statistics from ONE pass over the
+    * pooled grid. The Gehan variant weights each time by the pooled
+    * at-risk n_t, so EARLY differences dominate — the right test when a
+    * treatment's effect fades (crossing hazards dilute the unweighted
+    * log-rank). Z_w = Σ w(d_a − E_a), V_w = Σ w²·V_t, chi² = Z²/V with
+    * w = 1 (log-rank) and w = n_t (Gehan). One row:
+    * (n_times, chi2_logrank, chi2_gehan). */
+  def logRankWeighted(
+      subjects: DataFrame, gCol: String, tCol: String, eventCol: String,
+      focal: String): DataFrame = {
+    val pa = col("n_a").cast("double") / col("n_t")
+    val oe = col("d_a") - col("d_t") * pa
+    val v = col("d_t") * pa * (lit(1.0) - pa) *
+      (col("n_t") - col("d_t")).cast("double") / (col("n_t") - 1)
+    val w = col("n_t").cast("double")
+    pooledByTime(subjects, gCol, tCol, eventCol, focal)
+      .filter(col("n_t") > 1)
+      .agg(
+        count(lit(1)).as("n_times"),
+        sum(oe).as("z1"), sum(v).as("v1"),
+        sum(w * oe).as("zw"), sum(w * w * v).as("vw"))
+      .select(
+        col("n_times"),
+        (col("z1") * col("z1") / col("v1")).as("chi2_logrank"),
+        (col("zw") * col("zw") / col("vw")).as("chi2_gehan"))
+  }
+
+  /** Cox proportional-hazards fit for ONE binary covariate (focal group
+    * vs rest, Breslow tie handling) — the hazard-ratio ESTIMATE the
+    * log-rank test (its score test at β = 0) cannot give. With a binary
+    * covariate the partial likelihood depends on the data ONLY through
+    * the pooled grid's (d_t, n_t, d_a, n_a): the risk-set sum of e^{βx}
+    * is n_a·e^β + (n_t − n_a), so
+    * U(β) = Σ_t [d_a − d_t·n_a e^β / (n_a e^β + n_0)] and
+    * I(β) = Σ_t [d_t·n_a e^β·n_0 / (n_a e^β + n_0)²].
+    *
+    * Scale shape: the DISTRIBUTED work is exactly [[logRank]]'s grid
+    * build (keyed aggs + band join); the Newton solve then runs on the
+    * driver over the COLLECTED grid — bounded by distinct event times
+    * (the observation calendar), enforced by `maxTimes` as a declared-
+    * judgement refusal (the [[MarkovAttribution]] discipline: a bounded
+    * driver solve is honest when the bound is stated and checked).
+    * Fixed `iters` Newton steps from β = 0 — deterministic, and at
+    * quadratic convergence 8 steps land on the root to machine
+    * precision, so a DuckDB recursive-CTE replay matches to 1e-12
+    * regardless of each engine's grid-sum order. Returns one row:
+    * (n_times, beta, hazard_ratio, se, wald_chi2). */
+  def coxTwoGroup(
+      subjects: DataFrame, gCol: String, tCol: String, eventCol: String,
+      focal: String, iters: Int = 8, maxTimes: Int = 100000): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val grid = pooledByTime(subjects, gCol, tCol, eventCol, focal)
+      .select("t", "d_t", "n_t", "d_a", "n_a")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(identity)
+    require(grid.length <= maxTimes,
+      s"cox grid has ${grid.length} event times > maxTimes=$maxTimes — the driver " +
+        "solve is bounded by declared judgement; coarsen the duration unit or raise " +
+        "the cap knowingly")
+    def sums(b: Double): (Double, Double) = {
+      var u = 0.0; var i2 = 0.0
+      grid.foreach { case (dt, nt, da, na) =>
+        val n0 = (nt - na).toDouble
+        val ea = na * math.exp(b)
+        u += da - dt * ea / (ea + n0)
+        i2 += dt * ea * n0 / ((ea + n0) * (ea + n0))
+      }
+      (u, i2)
+    }
+    var beta = 0.0
+    for (_ <- 1 to iters) { val (u, i2) = sums(beta); beta += u / i2 }
+    // SE and Wald use the information AT the final beta (what the oracle
+    // replay computes), not at the last pre-update point
+    val info = sums(beta)._2
+    Seq((grid.length.toLong, beta, math.exp(beta), 1.0 / math.sqrt(info),
+      beta * beta * info))
+      .toDF("n_times", "beta", "hazard_ratio", "se", "wald_chi2")
   }
 
   /** KM curve over per-subject rows: `tCol` integral duration,

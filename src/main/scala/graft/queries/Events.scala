@@ -1566,6 +1566,47 @@ object Events {
            |       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
            |FROM k ORDER BY arm, t_days""".stripMargin))
 
+  /** q312/q321/q322's shared arm assignment: the md5 A/B coin over
+    * user_id, replayable in both engines. */
+  private def armSubjects(s: org.apache.spark.sql.SparkSession, d: String) =
+    convSubjects(s, d).select(
+      (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+        1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+      col("t_days"), col("is_event"))
+
+  /** The q312 oracle's subject + pooled-grid CTE chain, shared by the
+    * weighted log-rank and Cox oracles (identical through `bt`). */
+  private val GridSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
+      |            FROM e JOIN en USING (user_id)
+      |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
+      |     h AS (SELECT MAX(us) AS h_us FROM e),
+      |     s AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+      |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+      |                  (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+      |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+      |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+      |     lv AS (SELECT arm, t, SUM(ev) AS d, COUNT(*) AS leaving
+      |            FROM s GROUP BY 1, 2),
+      |     tot AS (SELECT arm, COUNT(*) AS n_tot FROM s GROUP BY 1),
+      |     times AS (SELECT t FROM (SELECT t, SUM(d) AS da FROM lv GROUP BY 1)
+      |               WHERE da > 0),
+      |     ar AS (SELECT times.t, tot.arm, tot.n_tot,
+      |                   COALESCE(SUM(CASE WHEN lv.t < times.t
+      |                                     THEN lv.leaving END), 0) AS gone,
+      |                   COALESCE(SUM(CASE WHEN lv.t = times.t THEN lv.d END), 0)
+      |                     AS d
+      |            FROM times CROSS JOIN tot
+      |            LEFT JOIN lv ON lv.arm = tot.arm AND lv.t <= times.t
+      |            GROUP BY 1, 2, 3),
+      |     bt AS (SELECT t, SUM(d) AS d_t, SUM(n_tot - gone) AS n_t,
+      |                   SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d_a,
+      |                   SUM(CASE WHEN arm = 1 THEN n_tot - gone ELSE 0 END) AS n_a
+      |            FROM ar GROUP BY 1)""".stripMargin
+
   /** Q312 — two-sample log-rank ([[graft.ops.Survival.logRank]]): does
     * arm 1's time-to-convert distribution differ from arm 0's — the
     * survival-analysis counterpart of q269's proportion z-test, built on
@@ -1576,57 +1617,105 @@ object Events {
     * replays them from the same integer grid. */
   val q312 = QueryDef(
     "q312_logrank",
-    (s, d) => {
-      val subjects = convSubjects(s, d).select(
-        (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
-          1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
-        col("t_days"), col("is_event"))
-      graft.ops.Survival.logRank(subjects, "arm", "t_days", "is_event", focal = "1")
+    (s, d) =>
+      graft.ops.Survival.logRank(
+        armSubjects(s, d), "arm", "t_days", "is_event", focal = "1")
         .select(
           col("n_times"), col("obs_a"),
           r6(col("exp_a")).as("exp_a"), r6(col("var_sum")).as("var_sum"),
-          r6(col("chi2")).as("chi2"))
-    },
-    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
-           |            WHERE event_type = 'view' GROUP BY 1),
-           |     cv AS (SELECT e.user_id, MIN(us) AS conv_us
-           |            FROM e JOIN en USING (user_id)
-           |            WHERE event_type = 'purchase' AND us >= entry_us GROUP BY 1),
-           |     h AS (SELECT MAX(us) AS h_us FROM e),
-           |     s AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
-           |                    CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
-           |                  (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
-           |                  CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
-           |           FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
-           |     lv AS (SELECT arm, t, SUM(ev) AS d, COUNT(*) AS leaving
-           |            FROM s GROUP BY 1, 2),
-           |     tot AS (SELECT arm, COUNT(*) AS n_tot FROM s GROUP BY 1),
-           |     times AS (SELECT t FROM (SELECT t, SUM(d) AS da FROM lv GROUP BY 1)
-           |               WHERE da > 0),
-           |     ar AS (SELECT times.t, tot.arm, tot.n_tot,
-           |                   COALESCE(SUM(CASE WHEN lv.t < times.t
-           |                                     THEN lv.leaving END), 0) AS gone,
-           |                   COALESCE(SUM(CASE WHEN lv.t = times.t THEN lv.d END), 0)
-           |                     AS d
-           |            FROM times CROSS JOIN tot
-           |            LEFT JOIN lv ON lv.arm = tot.arm AND lv.t <= times.t
-           |            GROUP BY 1, 2, 3),
-           |     bt AS (SELECT t, SUM(d) AS d_t, SUM(n_tot - gone) AS n_t,
-           |                   SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d_a,
-           |                   SUM(CASE WHEN arm = 1 THEN n_tot - gone ELSE 0 END) AS n_a
-           |            FROM ar GROUP BY 1),
-           |     f AS (SELECT COUNT(*) AS n_times,
-           |                  CAST(SUM(d_a) AS BIGINT) AS obs_a,
-           |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)) AS exp_a,
-           |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)
-           |                      * (1.0 - CAST(n_a AS DOUBLE) / n_t)
-           |                      * CAST(n_t - d_t AS DOUBLE) / (n_t - 1)) AS var_sum
-           |           FROM bt WHERE n_t > 1)
-           |SELECT n_times, obs_a, ROUND(exp_a, 6) AS exp_a,
-           |       ROUND(var_sum, 6) AS var_sum,
-           |       ROUND((obs_a - exp_a) * (obs_a - exp_a) / var_sum, 6) AS chi2
-           |FROM f""".stripMargin))
+          r6(col("chi2")).as("chi2")),
+    Some(GridSql +
+      """,
+        |     f AS (SELECT COUNT(*) AS n_times,
+        |                  CAST(SUM(d_a) AS BIGINT) AS obs_a,
+        |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)) AS exp_a,
+        |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)
+        |                      * (1.0 - CAST(n_a AS DOUBLE) / n_t)
+        |                      * CAST(n_t - d_t AS DOUBLE) / (n_t - 1)) AS var_sum
+        |           FROM bt WHERE n_t > 1)
+        |SELECT n_times, obs_a, ROUND(exp_a, 6) AS exp_a,
+        |       ROUND(var_sum, 6) AS var_sum,
+        |       ROUND((obs_a - exp_a) * (obs_a - exp_a) / var_sum, 6) AS chi2
+        |FROM f""".stripMargin))
+
+  /** Q321 — log-rank AND Gehan-Wilcoxon from one grid pass
+    * ([[graft.ops.Survival.logRankWeighted]]): the Gehan variant weights
+    * each pooled event time by the at-risk count n_t, so EARLY arm
+    * differences dominate — the companion test when effects fade
+    * (crossing hazards dilute the unweighted statistic). Identical
+    * distributed shape to q312 (the grids are THE SAME frame); the
+    * oracle recomputes both weighted sums from the replayed grid. */
+  val q321 = QueryDef(
+    "q321_logrank_weighted",
+    (s, d) =>
+      graft.ops.Survival.logRankWeighted(
+        armSubjects(s, d), "arm", "t_days", "is_event", focal = "1")
+        .select(
+          col("n_times"),
+          r6(col("chi2_logrank")).as("chi2_logrank"),
+          r6(col("chi2_gehan")).as("chi2_gehan")),
+    Some(GridSql +
+      """,
+        |     f AS (SELECT COUNT(*) AS n_times,
+        |                  SUM(d_a - d_t * (CAST(n_a AS DOUBLE) / n_t)) AS z1,
+        |                  SUM(d_t * (CAST(n_a AS DOUBLE) / n_t)
+        |                      * (1.0 - CAST(n_a AS DOUBLE) / n_t)
+        |                      * CAST(n_t - d_t AS DOUBLE) / (n_t - 1)) AS v1,
+        |                  SUM(n_t * (d_a - d_t * (CAST(n_a AS DOUBLE) / n_t))) AS zw,
+        |                  SUM(CAST(n_t AS DOUBLE) * n_t
+        |                      * d_t * (CAST(n_a AS DOUBLE) / n_t)
+        |                      * (1.0 - CAST(n_a AS DOUBLE) / n_t)
+        |                      * CAST(n_t - d_t AS DOUBLE) / (n_t - 1)) AS vw
+        |           FROM bt WHERE n_t > 1)
+        |SELECT n_times, ROUND(z1 * z1 / v1, 6) AS chi2_logrank,
+        |       ROUND(zw * zw / vw, 6) AS chi2_gehan
+        |FROM f""".stripMargin))
+
+  /** Q322 — Cox proportional-hazards fit, arm vs control
+    * ([[graft.ops.Survival.coxTwoGroup]]): the hazard-ratio ESTIMATE
+    * behind q312's test. Distributed work = the SAME pooled grid; the
+    * Newton solve runs on the driver over the collected calendar-bounded
+    * grid (declared-judgement bound, refusal above the cap — the Markov
+    * discipline). The oracle replays the full 8-step Newton in a
+    * recursive CTE — DOUBLE-anchored (`CAST(0 AS DOUBLE)`: a bare 0.0
+    * anchor types the whole fold DECIMAL(2,1) and silently rounds every
+    * iterate, the r12-documented DuckDB trap) — so a wrong grid, a wrong
+    * score/information formula, or a drifting iterate hash-fails. */
+  val q322 = QueryDef(
+    "q322_cox_hazard",
+    (s, d) =>
+      graft.ops.Survival.coxTwoGroup(
+        armSubjects(s, d), "arm", "t_days", "is_event", focal = "1")
+        .select(
+          col("n_times"),
+          r6(col("beta")).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          r6(col("wald_chi2")).as("wald_chi2")),
+    Some(GridSql +
+      """,
+        |     it AS (
+        |       WITH RECURSIVE nw(i, beta) AS (
+        |         SELECT 0, CAST(0 AS DOUBLE)
+        |         UNION ALL
+        |         SELECT i + 1,
+        |                beta + (SELECT SUM(d_a - d_t * (n_a * EXP(beta))
+        |                                   / (n_a * EXP(beta) + (n_t - n_a)))
+        |                        FROM bt)
+        |                     / (SELECT SUM(d_t * (n_a * EXP(beta) * (n_t - n_a))
+        |                                   / POWER(n_a * EXP(beta) + (n_t - n_a), 2))
+        |                        FROM bt)
+        |         FROM nw WHERE i < 8)
+        |       SELECT beta FROM nw WHERE i = 8),
+        |     inf AS (SELECT (SELECT COUNT(*) FROM bt) AS n_times, beta,
+        |                    (SELECT SUM(d_t * (n_a * EXP(beta) * (n_t - n_a))
+        |                                / POWER(n_a * EXP(beta) + (n_t - n_a), 2))
+        |                     FROM bt) AS fi
+        |             FROM it)
+        |SELECT n_times, ROUND(beta, 6) AS beta, ROUND(EXP(beta), 6) AS hazard_ratio,
+        |       ROUND(1.0 / SQRT(fi), 6) AS se,
+        |       ROUND(beta * beta * fi, 6) AS wald_chi2
+        |FROM inf""".stripMargin))
 
   /** Q313 — Weibull fit of the conversion survival curve: regress
     * ln(−ln S) on ln t over q296's KM grid (S(t) = exp(−(t/λ)^k) makes
@@ -1989,7 +2078,8 @@ object Events {
       q129, q130, q150, q156, q170, q171, q172, q174, q176, q177, q178, q179,
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
-      q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314)
+      q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
+      q321, q322)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -83,6 +83,60 @@ class SurvivalSpec extends SparkSuite {
     assert(Survival.logRank(same, "grp", "t", "e", "A").collect()(0).getDouble(4) < 1e-12)
   }
 
+  test("weighted log-rank matches the hand-computed Gehan table") {
+    // same fixture as the log-rank test; Gehan weights w = n_t:
+    // t=1: w=4, OE=0.5, V=.25; t=2: w=3, OE=1/3, V=2/9
+    // Zw = 4*.5 + 3/3 = 3; Vw = 16*.25 + 9*2/9 = 6; chi2_gehan = 9/6 = 1.5
+    val subjects = Seq(
+      ("A", 1L, 1), ("A", 2L, 1), ("B", 2L, 1), ("B", 3L, 1))
+      .toDF("grp", "t", "e")
+    val r = Survival.logRankWeighted(subjects, "grp", "t", "e", focal = "A").collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - 1.4705882352941178) < 1e-9,
+      "w = 1 column must equal the unweighted statistic")
+    assert(math.abs(r.getDouble(2) - 1.5) < 1e-12)
+  }
+
+  test("Cox two-group fit: Newton lands the score root; symmetric groups give beta 0") {
+    // skewed fixture: A events early, B late + censoring
+    val subjects = Seq(
+      ("A", 1L, 1), ("A", 1L, 1), ("A", 2L, 1), ("A", 4L, 0),
+      ("B", 2L, 1), ("B", 3L, 1), ("B", 4L, 1), ("B", 4L, 0))
+      .toDF("grp", "t", "e")
+    val r = Survival.coxTwoGroup(subjects, "grp", "t", "e", focal = "A").collect()(0)
+    val beta = r.getDouble(1)
+    // independent check: fold the SAME pooled grid sequentially and
+    // assert the returned beta zeroes the score (the defining property)
+    def grid(): Seq[(Long, Long, Long, Long)] = {
+      val subs = Seq(("A", 1L, 1), ("A", 1L, 1), ("A", 2L, 1), ("A", 4L, 0),
+        ("B", 2L, 1), ("B", 3L, 1), ("B", 4L, 1), ("B", 4L, 0))
+      val times = subs.filter(_._3 == 1).map(_._2).distinct.sorted
+      times.map { t =>
+        val atRisk = subs.filter(_._2 >= t)
+        val d = subs.count(s => s._2 == t && s._3 == 1)
+        val dA = subs.count(s => s._1 == "A" && s._2 == t && s._3 == 1)
+        val nA = atRisk.count(_._1 == "A")
+        (d.toLong, atRisk.size.toLong, dA.toLong, nA.toLong)
+      }
+    }
+    val u = grid().map { case (dt, nt, da, na) =>
+      val n0 = (nt - na).toDouble; val ea = na * math.exp(beta)
+      da - dt * ea / (ea + n0)
+    }.sum
+    assert(math.abs(u) < 1e-9, s"score at the fitted beta must be ~0, got $u")
+    assert(beta > 0, "A events earlier -> higher hazard -> positive log-HR")
+    assert(math.abs(r.getDouble(2) - math.exp(beta)) < 1e-12)
+    assert(r.getDouble(3) > 0 && r.getDouble(4) >= 0)
+    // exactly mirrored groups: beta is 0 by symmetry (U(0) = 0 exactly)
+    val same = Seq(("A", 1L, 1), ("A", 3L, 1), ("B", 1L, 1), ("B", 3L, 1))
+      .toDF("grp", "t", "e")
+    assert(Survival.coxTwoGroup(same, "grp", "t", "e", "A").collect()(0).getDouble(1) == 0.0)
+    // the declared-judgement cap refuses instead of collecting unbounded grids
+    val e = intercept[IllegalArgumentException](
+      Survival.coxTwoGroup(subjects, "grp", "t", "e", "A", maxTimes = 2).collect())
+    assert(e.getMessage.contains("maxTimes"))
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
