@@ -721,6 +721,56 @@ object VersionedTable {
     v
   }
 
+  /** Recover a [[StagedCommit]] handle from its id alone — the crash-
+    * recovery / SQL-surface path (`PUBLISH STAGE '<id>'`): a writer that
+    * died between stage and publish leaves only the dir on disk, and
+    * audit/publish/abort all need the handle. The file list is rebuilt
+    * exactly the way [[stageAppend]] built it (sorted parquet names). */
+  def stagedCommit(spark: SparkSession, path: String, stageId: String): StagedCommit = {
+    require(stageId.startsWith("staging-") && stageId.matches("[A-Za-z0-9-]+"),
+      s"not a stage id: $stageId")
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/data/$stageId")
+    require(f.exists(dir), s"no stage $stageId at $path (aborted or reclaimed?)")
+    val names = f.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$stageId/${s.getPath.getName}")
+      .sorted.toSeq
+    StagedCommit(stageId, names)
+  }
+
+  /** One staging dir's observability row. `published` = adopted by some
+    * publish (marker, or healed evidence); `referenced` = some RETAINED
+    * manifest still references its files (false once retention moves
+    * past it); pending = neither. */
+  final case class StageInfo(
+      id: String, files: Int, bytes: Long,
+      published: Boolean, referenced: Boolean, modifiedMs: Long)
+
+  /** Every staging dir under the table, newest first — the `SHOW STAGES`
+    * surface. Metadata-only (one listing + the retained manifests). */
+  def stages(spark: SparkSession, path: String): Seq[StageInfo] = {
+    val f = fs(spark, path)
+    val dataRoot = new Path(s"$path/data")
+    if (!f.exists(dataRoot)) return Seq.empty
+    val referenced = versions(spark, path)
+      .flatMap(v => manifestFiles(spark, path, v).map(_.split("/").head))
+      .toSet
+    f.listStatus(dataRoot)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("staging-"))
+      .map { d =>
+        val id = d.getPath.getName
+        val fileStats = f.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        StageInfo(
+          id, fileStats.length, fileStats.map(_.getLen).sum,
+          published = isMarkedPublished(f, d.getPath) || referenced(id),
+          referenced = referenced(id),
+          modifiedMs = d.getModificationTime)
+      }
+      .sortBy(-_.modifiedMs).toSeq
+  }
+
   /** Drop an unpublished stage (the audit said no). Refuses to touch a
     * PUBLISHED stage — those files belong to the table now. */
   def abortStaged(spark: SparkSession, path: String, staged: StagedCommit): Unit = {

@@ -36,6 +36,9 @@ import graft.io.VersionedTable
   *   DROP MATERIALIZED VIEW vt.daily       -- unregister + delete the state
   *   SHOW MATERIALIZED VIEWS IN vt         -- discover _mv.json definitions + registration
   *   REFRESH MATERIALIZED VIEWS IN vt      -- the cron statement: refresh + re-register all
+  *   SHOW STAGES IN vt.events              -- WAP observability: pending/published stages
+  *   PUBLISH STAGE 'staging-<id>' IN vt.events  -- adopt a pending stage (crash recovery)
+  *   ABORT STAGE 'staging-<id>' IN vt.events    -- drop a pending stage (audit said no)
   * }}}
   *
   * The row-level change feed is a TABLE FUNCTION (registered in
@@ -81,6 +84,12 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*;?\s*""".r
   private val showMvs =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+(\S+)\s*;?\s*""".r
+  private val showStages =
+    """(?is)\s*SHOW\s+STAGES\s+IN\s+(\S+)\s*;?\s*""".r
+  private val publishStage =
+    """(?is)\s*PUBLISH\s+STAGE\s+'([\w-]+)'\s+IN\s+(\S+)\s*;?\s*""".r
+  private val abortStage =
+    """(?is)\s*ABORT\s+STAGE\s+'([\w-]+)'\s+IN\s+(\S+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeHistory(ident) =>
@@ -115,6 +124,12 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtDropMvCommand(parts(ident))
     case showMvs(ident) =>
       VtShowMvsCommand(parts(ident))
+    case showStages(ident) =>
+      VtShowStagesCommand(parts(ident))
+    case publishStage(id, ident) =>
+      VtPublishStageCommand(parts(ident), id)
+    case abortStage(id, ident) =>
+      VtAbortStageCommand(parts(ident), id)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -638,6 +653,65 @@ final case class VtShowMvsCommand(dirParts: Seq[String]) extends LeafRunnableCom
         Some(Row(vp, fact, groups.mkString(","), valueCol, maintained, registered(vp)))
       }
     }.sortBy(_.getString(0))
+  }
+}
+
+/** `SHOW STAGES IN <tbl>`: every WAP staging dir with its adoption
+  * status — the "which audits are stuck / which writers died mid-WAP"
+  * console. `pending` stages are candidates for `PUBLISH STAGE` (the
+  * audit passed but the writer crashed before publish) or
+  * `ABORT STAGE` / `VACUUM STAGING` (it did not). */
+final case class VtShowStagesCommand(tableParts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("stage_id", StringType), VtSqlOps.attr("files", IntegerType),
+    VtSqlOps.attr("bytes", LongType), VtSqlOps.attr("status", StringType),
+    VtSqlOps.attr("modified", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    VersionedTable.stages(spark, path).map { s =>
+      val status =
+        if (!s.published) "pending"
+        else if (s.referenced) "published"
+        else "published-expired" // vacuum's to reclaim
+      Row(s.id, s.files, s.bytes, status, s.modifiedMs)
+    }
+  }
+}
+
+/** `PUBLISH STAGE '<id>' IN <tbl>`: adopt a pending stage from its id
+  * alone — the crash-recovery statement (writer died between a passing
+  * audit and publish; the handle object is gone, the dir is not).
+  * Metadata-only, same CHECK re-enforcement and double-publish refusal
+  * as [[graft.io.VersionedTable.publishStaged]]. */
+final case class VtPublishStageCommand(tableParts: Seq[String], stageId: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("stage_id", StringType), VtSqlOps.attr("new_version", LongType),
+    VtSqlOps.attr("rows_added", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val staged = VersionedTable.stagedCommit(spark, path, stageId)
+    val rows = VersionedTable.readStaged(spark, path, staged).count()
+    val v = VersionedTable.publishStaged(spark, path, staged)
+    Seq(Row(stageId, v, rows))
+  }
+}
+
+/** `ABORT STAGE '<id>' IN <tbl>`: drop a pending stage by id; refuses a
+  * published one (those files belong to the table). */
+final case class VtAbortStageCommand(tableParts: Seq[String], stageId: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("stage_id", StringType), VtSqlOps.attr("aborted", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val staged = VersionedTable.stagedCommit(spark, path, stageId)
+    // refuse published-then-EXPIRED too (abortStaged itself only refuses
+    // manifest-referenced stages): an adopted stage is vacuum's business
+    require(VersionedTable.stages(spark, path).find(_.id == stageId).exists(!_.published),
+      s"stage $stageId was published — VACUUM reclaims it once its references expire")
+    VersionedTable.abortStaged(spark, path, staged)
+    Seq(Row(stageId, true))
   }
 }
 

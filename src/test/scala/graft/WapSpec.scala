@@ -115,6 +115,41 @@ class WapSpec extends SparkSuite {
       spark, path, System.currentTimeMillis() + 60000) == 0)
   }
 
+  test("stage SQL surface: SHOW STAGES, PUBLISH STAGE by id, ABORT STAGE refusals") {
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 10), path) // v1
+    // a writer stages twice and "crashes" — only the ids remain knowable
+    val good = VersionedTable.stageAppend(batch(10, 15), path)
+    val bad = VersionedTable.stageAppend(batch(100, 103), path)
+
+    def show() = spark.sql(s"SHOW STAGES IN `$path`").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(show() == Map(good.id -> "pending", bad.id -> "pending"))
+
+    // crash recovery: publish from the id alone (no handle object)
+    val pub = spark.sql(s"PUBLISH STAGE '${good.id}' IN `$path`").collect()(0)
+    assert(pub.getLong(1) == 2L && pub.getLong(2) == 5L)
+    assert(VersionedTable.read(spark, path).count() == 15)
+    assert(show() == Map(good.id -> "published", bad.id -> "pending"))
+
+    // double publish refused; abort of a published stage refused
+    intercept[Exception](spark.sql(s"PUBLISH STAGE '${good.id}' IN `$path`").collect())
+    val e = intercept[Exception](
+      spark.sql(s"ABORT STAGE '${good.id}' IN `$path`").collect())
+    assert(e.getMessage.contains("published"))
+    assert(VersionedTable.read(spark, path).count() == 15)
+
+    // abort the failed audit's stage by id
+    assert(spark.sql(s"ABORT STAGE '${bad.id}' IN `$path`").collect()(0).getBoolean(1))
+    assert(show() == Map(good.id -> "published"))
+    intercept[Exception](spark.sql(s"PUBLISH STAGE '${bad.id}' IN `$path`").collect())
+
+    // a published stage whose references age out reads published-expired
+    VersionedTable.commitOverwrite(batch(0, 3), path)
+    VersionedTable.vacuumWithStats(spark, path, keepLast = 1)
+    assert(!show().contains(good.id), "vacuum reclaimed the expired stage")
+  }
+
   test("publish with statsCols records file-skipping ranges for the adopted files") {
     val path = fresh()
     VersionedTable.commitAppend(batch(0, 10).repartition(1), path, "id")
