@@ -184,6 +184,48 @@ object Survival {
       .toDF("n_times", "beta", "hazard_ratio", "se", "wald_chi2")
   }
 
+  /** Aalen-Johansen cumulative incidence for TWO competing causes —
+    * "what fraction has CONVERTED by day t vs CHURNED by day t" when
+    * each subject can only do one first. 1 − KM treats the competing
+    * cause as censoring and OVERSTATES both incidences (subjects who
+    * churned can never convert — they are not interchangeable with the
+    * still-at-risk); Aalen-Johansen allocates the any-cause survival
+    * mass correctly: CIF_k(t) = Σ_{s≤t} S(s⁻)·d_k(s)/n(s) with S the
+    * ANY-cause KM, and CIF_1 + CIF_2 = 1 − S always.
+    *
+    * `causeCol`: 1 / 2 = causes, 0 = right-censored. Same scale shape
+    * as [[kaplanMeier]] — one aggregation onto the calendar-bounded
+    * duration grid, then bounded-window arithmetic over it. Returns one
+    * row per time with any event: (t, n_risk, d1, d2, cif1, cif2). */
+  def competingRisks(subjects: DataFrame, tCol: String, causeCol: String): DataFrame = {
+    val grid = subjects.groupBy(col(tCol).cast("long").as("t"))
+      .agg(
+        sum(when(col(causeCol) === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(causeCol) === 2, 1L).otherwise(0L)).as("d2"),
+        count(lit(1)).as("leaving"))
+    val total = subjects.agg(count(lit(1)).as("n_tot"))
+    val before = graft.core.Windows.bounded(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = graft.core.Windows.bounded(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = col("d1") + col("d2")
+    // an absorbing any-cause step (d = n_risk) self-terminates the grid —
+    // nobody remains to leave later, so no later rows exist and the
+    // guarded ln never sees 0; censor-only times contribute ln(1) = 0
+    val lnFactor = when(d < col("n_risk") && d > 0,
+      log(lit(1.0) - d.cast("double") / col("n_risk"))).otherwise(lit(0.0))
+    grid.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_tot") - coalesce(sum(col("leaving")).over(before), lit(0L)))
+      .withColumn("s_prev", exp(coalesce(sum(lnFactor).over(before), lit(0.0))))
+      .withColumn("cif1",
+        sum(col("s_prev") * col("d1").cast("double") / col("n_risk")).over(upTo))
+      .withColumn("cif2",
+        sum(col("s_prev") * col("d2").cast("double") / col("n_risk")).over(upTo))
+      .filter(d > 0)
+      .select(col("t"), col("n_risk"), col("d1"), col("d2"), col("cif1"), col("cif2"))
+  }
+
   /** KM curve over per-subject rows: `tCol` integral duration,
     * `eventCol` 1 = event observed, 0 = right-censored. Returns one row
     * per EVENT time: (t, n_risk, events, survival). */

@@ -1717,6 +1717,89 @@ object Events {
         |       ROUND(beta * beta * fi, 6) AS wald_chi2
         |FROM inf""".stripMargin))
 
+  /** Q323 — competing-risks cumulative incidence
+    * ([[graft.ops.Survival.competingRisks]], Aalen-Johansen): first
+    * purchase vs first error after entry — each user does only one
+    * FIRST, so "1 − KM with the other cause censored" overstates both;
+    * AJ allocates the any-cause survival mass so CIF_p + CIF_e =
+    * 1 − S_any exactly. Same distributed shape as q296 (one keyed agg
+    * onto the calendar-bounded grid + bounded windows); the oracle
+    * replays subjects, grid, S(s⁻) and both running CIF sums. */
+  val q323 = QueryDef(
+    "q323_competing_risks",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firsts = ev.join(entry, "user_id")
+        .filter(col("us") >= col("entry_us") &&
+          col("event_type").isin("purchase", "error"))
+        .groupBy("user_id").agg(
+          min(when(col("event_type") === "purchase", col("us"))).as("p_us"),
+          min(when(col("event_type") === "error", col("us"))).as("x_us"))
+      val horizon = ev.agg(max(col("us")).as("h_us"))
+      val subjects = entry.join(firsts, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("p_us").isNotNull &&
+            (col("x_us").isNull || col("p_us") <= col("x_us")), 1)
+            .when(col("x_us").isNotNull, 2).otherwise(0).as("cause"),
+          expr("(coalesce(least(p_us, x_us), p_us, x_us, h_us) - entry_us) " +
+            "DIV 86400000000").as("t_days"))
+      graft.ops.Survival.competingRisks(subjects, "t_days", "cause")
+        .select(
+          col("t").as("t_days"), col("n_risk"),
+          col("d1").as("d_purchase"), col("d2").as("d_error"),
+          r6(col("cif1")).as("cif_purchase"), r6(col("cif2")).as("cif_error"))
+        .orderBy("t_days")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |     en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |     fe AS (SELECT e.user_id,
+           |                   MIN(CASE WHEN event_type = 'purchase' THEN us END) AS p_us,
+           |                   MIN(CASE WHEN event_type = 'error' THEN us END) AS x_us
+           |            FROM e JOIN en USING (user_id) WHERE us >= entry_us
+           |              AND event_type IN ('purchase', 'error')
+           |            GROUP BY 1),
+           |     h AS (SELECT MAX(us) AS h_us FROM e),
+           |     s AS (SELECT en.user_id,
+           |                  CASE WHEN p_us IS NOT NULL
+           |                            AND (x_us IS NULL OR p_us <= x_us) THEN 1
+           |                       WHEN x_us IS NOT NULL THEN 2 ELSE 0 END AS cause,
+           |                  (COALESCE(LEAST(p_us, x_us), p_us, x_us, h_us)
+           |                    - entry_us) // 86400000000 AS t
+           |           FROM en LEFT JOIN fe USING (user_id) CROSS JOIN h),
+           |     g AS (SELECT t, SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+           |                  SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2,
+           |                  COUNT(*) AS leaving
+           |           FROM s GROUP BY 1),
+           |     tt AS (SELECT COUNT(*) AS n_tot FROM s),
+           |     r AS (SELECT t, d1, d2, leaving,
+           |                  n_tot - COALESCE(SUM(leaving) OVER (ORDER BY t
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS n_risk
+           |           FROM g CROSS JOIN tt),
+           |     k AS (SELECT t, d1, d2, n_risk,
+           |                  EXP(COALESCE(SUM(CASE WHEN d1 + d2 < n_risk AND d1 + d2 > 0
+           |                        THEN LN(1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk)
+           |                        ELSE 0 END)
+           |                      OVER (ORDER BY t
+           |                            ROWS BETWEEN UNBOUNDED PRECEDING
+           |                                 AND 1 PRECEDING), 0)) AS s_prev
+           |           FROM r),
+           |     cif AS (SELECT t, n_risk, d1, d2,
+           |                    SUM(s_prev * CAST(d1 AS DOUBLE) / n_risk)
+           |                      OVER (ORDER BY t) AS cif1,
+           |                    SUM(s_prev * CAST(d2 AS DOUBLE) / n_risk)
+           |                      OVER (ORDER BY t) AS cif2
+           |             FROM k)
+           |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           |       CAST(d1 AS BIGINT) AS d_purchase, CAST(d2 AS BIGINT) AS d_error,
+           |       ROUND(cif1, 6) AS cif_purchase, ROUND(cif2, 6) AS cif_error
+           |FROM cif WHERE d1 + d2 > 0 ORDER BY t_days""".stripMargin))
+
   /** Q313 — Weibull fit of the conversion survival curve: regress
     * ln(−ln S) on ln t over q296's KM grid (S(t) = exp(−(t/λ)^k) makes
     * that line exact with slope k and intercept −k·ln λ) — the
@@ -2079,7 +2162,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322)
+      q321, q322, q323)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

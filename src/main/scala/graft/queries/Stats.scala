@@ -1459,6 +1459,76 @@ object Stats {
            |       ROUND(tt - bw - wi, 6) + 0 AS identity_gap
            |FROM p""".stripMargin))
 
+  /** Q324 — Mann-Whitney U (Wilcoxon rank-sum) on per-user activity by
+    * arm: the NONPARAMETRIC two-sample test the t-shaped comparisons
+    * (q297/q307) cannot replace when the metric is heavy-tailed count
+    * data. Midranks come from the VALUE GRID, not from ranking rows: a
+    * per-user activity count has a domain-bounded set of distinct values
+    * (like q296's duration grid), so the cumulative window runs over
+    * that bounded grid under the `Windows.bounded` discipline while the
+    * data-sized work stays in two keyed aggregations. Exact integers
+    * throughout: 2·midrank = 2·cumLess + n_v + 1, so the doubled rank
+    * sum and U are BIGINT-exact; only the final z is FP. Tie-corrected
+    * variance: σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))). */
+  val q324 = QueryDef(
+    "q324_mann_whitney",
+    (s, d) => {
+      import graft.core.Windows
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("v"))
+        .select(
+          col("v"),
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).as("arm"))
+      val grid = perUser.groupBy("v").agg(
+        count(lit(1)).as("n_v"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_av"))
+      val before = Windows.bounded(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranked = grid
+        .withColumn("cum_less", coalesce(sum(col("n_v")).over(before), lit(0L)))
+        .withColumn("mid2", lit(2L) * col("cum_less") + col("n_v") + lit(1L))
+      val sums = ranked.agg(
+        sum("n_v").as("n"), sum("n_av").as("n_a"),
+        sum(col("n_av") * col("mid2")).as("r2a"),
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("ties"))
+      val nb = col("n") - col("n_a")
+      val u2 = col("r2a") - col("n_a") * (col("n_a") + 1)
+      val sigma2 = (col("n_a") * nb).cast("double") / 12.0 *
+        ((col("n") + 1).cast("double") -
+          col("ties").cast("double") / (col("n") * (col("n") - 1)).cast("double"))
+      sums.select(
+        col("n_a"), nb.as("n_b"),
+        (u2.cast("double") / 2.0).as("u_a"),
+        r6((u2.cast("double") / 2.0 - (col("n_a") * nb).cast("double") / 2.0) /
+          sqrt(sigma2)).as("z"))
+    },
+    Some("""WITH pu AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                     CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                   COUNT(*) AS v
+           |            FROM events GROUP BY user_id),
+           |     g AS (SELECT v, COUNT(*) AS n_v,
+           |                  SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_av
+           |           FROM pu GROUP BY v),
+           |     rk AS (SELECT v, n_v, n_av,
+           |                   COALESCE(SUM(n_v) OVER (ORDER BY v
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                     AS cum_less
+           |            FROM g),
+           |     f AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+           |                  CAST(SUM(n_av) AS BIGINT) AS n_a,
+           |                  CAST(SUM(n_av * (2 * cum_less + n_v + 1)) AS BIGINT) AS r2a,
+           |                  CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+           |           FROM rk)
+           |SELECT n_a, n - n_a AS n_b,
+           |       CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           |       ROUND((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+           |              - CAST(n_a * (n - n_a) AS DOUBLE) / 2.0)
+           |             / SQRT(CAST(n_a * (n - n_a) AS DOUBLE) / 12.0
+           |                    * ((n + 1) - CAST(ties AS DOUBLE) / (n * (n - 1)))), 6)
+           |         AS z
+           |FROM f""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -1710,5 +1780,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320)
+      q317, q318, q320, q324)
 }

@@ -137,6 +137,31 @@ class SurvivalSpec extends SparkSuite {
     assert(e.getMessage.contains("maxTimes"))
   }
 
+  test("competing risks match the hand-computed Aalen-Johansen table and the AJ identity") {
+    // (t, cause): cause 1/2 compete, 0 censors
+    // t=1: n=5 d1=1 d2=1 -> S(0-)=1, cif1=.2 cif2=.2, S(1)=.6
+    // t=2: n=3 d1=1 (plus one censor) -> cif1=.2+.6/3=.4, cif2=.2, S(2)=.4
+    // identity: cif1+cif2 = 1 - S_any at every step
+    val subjects = Seq((1L, 1), (1L, 2), (2L, 0), (2L, 1), (3L, 0))
+      .toDF("t", "cause")
+    val got = Survival.competingRisks(subjects, "t", "cause")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq ==
+      Seq((1L, 5L, 1L, 1L), (2L, 3L, 1L, 0L)))
+    assert(math.abs(got(0)._5 - 0.2) < 1e-12 && math.abs(got(0)._6 - 0.2) < 1e-12)
+    assert(math.abs(got(1)._5 - 0.4) < 1e-12 && math.abs(got(1)._6 - 0.2) < 1e-12)
+    // AJ identity against the any-cause KM on the same subjects
+    val anyCause = subjects.selectExpr("t", "CAST(cause > 0 AS INT) AS e")
+    val km = Survival.kaplanMeier(anyCause, "t", "e")
+      .orderBy("t").collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got.foreach { case (t, _, _, _, c1, c2) =>
+      assert(math.abs((c1 + c2) - (1.0 - km(t))) < 1e-12,
+        s"CIF1+CIF2 must equal 1 - S_any at t=$t")
+    }
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
