@@ -270,6 +270,22 @@ object VersionedTable {
         raw""""([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
     }
 
+  /** The manifest's hash-bucketing claim: (key column, bucket count),
+    * present only when every file in the manifest was written by
+    * [[commitBucketed]] under this exact layout. */
+  private def bucketingOf(text: String): Option[(String, Int)] =
+    raw""""bucketing":\{"key":"([^"]+)","n":(\d+)\}""".r.findFirstMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toInt)
+
+  /** Public read of the bucketing claim — what [[table]] will report and
+    * what a co-bucketed join partner must match. */
+  def bucketing(spark: SparkSession, path: String, version: Option[Long] = None)
+      : Option[(String, Int)] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    bucketingOf(manifestText(spark, path, version.getOrElse(vs.last)))
+  }
+
   /** Widened merge of two schemas: shared fields take the wider numeric
     * type (byte→short→int→long, float→double, integral→double); fields
     * only in `incoming` append as nullable. Anything else conflicting
@@ -441,7 +457,8 @@ object VersionedTable {
       addBloomFiles: Seq[String] = Seq.empty,
       bloomOverride: Option[Seq[String]] = None,
       checksOverride: Option[Seq[(String, String)]] = None,
-      newRowCounts: Map[String, Long] = Map.empty): Option[Long] = {
+      newRowCounts: Map[String, Long] = Map.empty,
+      bucketing: Option[(String, Int)] = None): Option[Long] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -584,11 +601,19 @@ object VersionedTable {
           }.mkString(",")
           s""""checks":[$body],"""
         }
+      // bucketing is NEVER carried implicitly: the claim is only valid
+      // when THIS manifest's whole file set is consistently bucketed, so
+      // only [[commitBucketed]] (which validates the prior layout) passes
+      // it — any other operation on a bucketed table silently drops the
+      // claim and reads fall back to the always-correct unbucketed scan
+      val bucketingJson = bucketing.map { case (k, n) =>
+        s""""bucketing":{"key":"$k","n":$n},"""
+      }.getOrElse("")
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
           txnJson + statsJson + rowsJson + cdfJson + cdfiJson + schemaJson + renamesJson +
           droppedJson + dvJson +
-          bloomJson + checksJson +
+          bloomJson + checksJson + bucketingJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       try {
         // create(..., overwrite = false) IS the commit point: exactly one
@@ -614,6 +639,68 @@ object VersionedTable {
     val (_, names) = stageData(df, path)
     publish(df.sparkSession, path, "append", names, carryForward = true,
       dataSchema = Some(df.schema)).get
+  }
+
+  /** Append under a HASH-BUCKETED layout — the shuffle-free-join
+    * primitive. Rows shuffle ONCE at write time into `nBuckets` hash
+    * buckets of `key` (Spark's own `HashPartitioning`: pmod(murmur3,
+    * n)), one file per bucket named with Spark's bucket-id suffix, and
+    * the manifest records the claim; [[table]] then hands the scan a
+    * `BucketSpec`, so the scan REPORTS `HashPartitioning(key, n)` and a
+    * join (or aggregation) on `key` between two tables bucketed the same
+    * way plans with ZERO exchanges — at 100 TB, the fact-to-fact join
+    * shuffle is paid once at ingest and never again per query
+    * (spec-asserted plan shape in BucketedJoinSpec).
+    *
+    * Layout discipline: the first bucketed commit must own the table
+    * (empty path); later bucketed appends must match (key, n) exactly
+    * — each append adds one file per bucket, and the bucketed read
+    * groups every bucket's files into one partition. ANY other commit
+    * path (plain append, delete, compact, overwrite) drops the claim in
+    * its manifest, and reads fall back to the always-correct unbucketed
+    * scan. DV-carrying tables keep the claim (the anti-join rides above
+    * the scan), but the join key ordering benefit applies to the scan
+    * output, not post-join state. */
+  def commitBucketed(df: DataFrame, path: String, key: String, nBuckets: Int): Long = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    require(df.schema.fieldNames.contains(key), s"no column '$key' in the batch")
+    val spark = df.sparkSession
+    enforceChecks(spark, path, df)
+    versions(spark, path).lastOption.foreach { v =>
+      val prior = bucketingOf(manifestText(spark, path, v))
+      require(prior.contains((key, nBuckets)),
+        s"table at $path is not bucketed by ($key, $nBuckets) — current layout: " +
+          s"${prior.fold("unbucketed")(b => s"(${b._1}, ${b._2})")}. Bucketed appends " +
+          "require a matching layout; start from an empty table")
+    }
+    val commitId = UUID.randomUUID().toString
+    val dataDir = s"$path/data/$commitId"
+    // explicit numPartitions => AQE never coalesces; partition index IS
+    // the bucket id (pmod(murmur3(key), n) — the same hash the bucketed
+    // scan's HashPartitioning claims)
+    df.repartition(nBuckets, df.col(key))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val f = fs(spark, path)
+    val partIdx = "part-(\\d+)".r
+    val names = f.listStatus(new Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val nm = s.getPath.getName
+        val idx = partIdx.findFirstMatchIn(nm).map(_.group(1).toInt).getOrElse(
+          sys.error(s"unexpected staged file name: $nm"))
+        require(idx < nBuckets, s"partition index $idx >= $nBuckets for $nm")
+        // inject Spark's bucket-id suffix where BucketingUtils.getBucketId
+        // finds it: before the first extension dot
+        val dot = nm.indexOf('.')
+        val renamed = nm.substring(0, dot) +
+          f"_$idx%05d" + nm.substring(dot)
+        require(f.rename(s.getPath, new Path(s"$dataDir/$renamed")),
+          s"rename $nm -> $renamed failed")
+        s"$commitId/$renamed"
+      }
+      .sorted.toSeq
+    publish(spark, path, "bucketed-append", names, carryForward = true,
+      dataSchema = Some(df.schema), bucketing = Some((key, nBuckets))).get
   }
 
   /** A write-audit-publish handle: `files` exist on disk under
@@ -2165,8 +2252,16 @@ object VersionedTable {
     }
     val index = new VersionedFileIndex(
       spark, path, rel, ranges, bloomFilesOf(text), statuses)
+    // a manifest-claimed bucketing becomes a BucketSpec: the scan then
+    // REPORTS HashPartitioning(key, n) and groups each bucket's files
+    // into one partition, so co-bucketed joins/aggregations on the key
+    // plan with zero exchanges (Spark's native bucketed-read machinery —
+    // file names carry the bucket-id suffix commitBucketed wrote)
+    val bucketSpec = bucketingOf(text).map { case (k, n) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(k), Nil)
+    }
     val relation = HadoopFsRelation(
-      index, new org.apache.spark.sql.types.StructType(), dataSchema, None,
+      index, new org.apache.spark.sql.types.StructType(), dataSchema, bucketSpec,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val scan = org.apache.spark.sql.graft.bridge.ofRows(spark, LogicalRelation(relation))
     val dvs = dvFilesOf(text)

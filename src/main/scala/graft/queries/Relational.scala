@@ -2546,8 +2546,69 @@ object Relational {
            |WHERE n_regionkey <> 3
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  /** Q325 — co-bucketed versioned-table join
+    * ([[graft.io.VersionedTable.commitBucketed]]): lineitem and orders
+    * land once each as hash-bucketed tables on the order key, and the
+    * fact-to-fact join then plans with ZERO exchanges — REQUIREd on the
+    * executed (post-AQE) plan, broadcast disabled so the assert can't be
+    * satisfied by a broadcast instead. At 100 TB this is THE join
+    * economics lever: the shuffle is paid once at ingest (when the data
+    * moves anyway), not per query. The oracle replays join + rollup from
+    * the raw fixtures — bucketing is layout-only, so any row lost or
+    * duplicated by the bucket plumbing (misassigned file, dropped empty
+    * bucket, suffix misparse) hash-fails. */
+  val q325 = QueryDef(
+    "q325_bucketed_join",
+    (s, d) => {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = Scratch.dir("q325")
+      val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = root + "/li"; val ord = root + "/ord"
+        graft.io.VersionedTable.commitBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+          li, "l_orderkey", 16)
+        graft.io.VersionedTable.commitBucketed(
+          Tables.orders(s, d).select(
+            col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          ord, "l_orderkey", 16)
+        val joined = graft.io.VersionedTable.table(s, li)
+          .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
+        joined.write.format("noop").mode("overwrite").save()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val nShuffles = walk(joined.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"co-bucketed join must plan exchange-free, got $nShuffles shuffles:\n" +
+            joined.queryExecution.executedPlan)
+        joined
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+              .as("rev_mm"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4)
+           |         AS rev_mm
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295, q319,
+    q271, q277, q283, q284, q293, q294, q295, q319, q325,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

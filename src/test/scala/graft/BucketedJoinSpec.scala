@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+
+/** Hash-bucketed versioned tables ([[VersionedTable.commitBucketed]]):
+  * the write-once-shuffle layout. Two tables bucketed the same way join
+  * on the key with ZERO exchanges (the 100 TB fact-to-fact shape);
+  * appends accumulate per-bucket files; any non-bucketed commit drops
+  * the claim and reads fall back to the unbucketed scan — correctness
+  * never depends on the layout. */
+class BucketedJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("vt_bucket").toString + "/tbl"
+
+  private def rows(ids: Range, p: String) =
+    ids.map(i => (i.toLong, s"${p}_$i")).toDF("id", "v")
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // force AQE final plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+    walk(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeExec])
+  }
+
+  test("co-bucketed tables join on the key with zero exchanges; rows exact") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 1000, "a"), a, "id", 8)
+    VersionedTable.commitBucketed(rows(500 until 1500, "b"), b, "id", 8)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 8)))
+
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ shape
+    try {
+      val joined = VersionedTable.table(spark, a).as("a")
+        .join(VersionedTable.table(spark, b).as("b"), "id")
+        .select(col("id"), col("a.v").as("va"), col("b.v").as("vb"))
+      assert(shuffles(joined) == 0,
+        s"co-bucketed join must plan with zero exchanges:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 500)
+      // the unbucketed control pays two exchanges on the same data
+      val pa = fresh(); val pb = fresh()
+      VersionedTable.commitAppend(rows(0 until 1000, "a"), pa)
+      VersionedTable.commitAppend(rows(500 until 1500, "b"), pb)
+      val plain = VersionedTable.table(spark, pa).as("a")
+        .join(VersionedTable.table(spark, pb).as("b"), "id")
+      assert(shuffles(plain) > 0, "control: unbucketed join must shuffle")
+      // a single-table aggregation on the bucket key also skips its shuffle
+      val agg = VersionedTable.table(spark, a).groupBy("id").agg(count(lit(1)))
+      assert(shuffles(agg) == 0, "groupBy on the bucket key must not exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+  }
+
+  test("bucketed appends accumulate per-bucket files; mismatched layout refuses") {
+    val path = fresh()
+    VersionedTable.commitBucketed(rows(0 until 300, "x"), path, "id", 4)
+    VersionedTable.commitBucketed(rows(300 until 600, "y"), path, "id", 4)
+    assert(VersionedTable.read(spark, path).count() == 600)
+    assert(VersionedTable.table(spark, path).count() == 600)
+    // every key lands in exactly one bucket across commits: group by id
+    // over the bucketed scan stays exchange-free AND exact
+    val g = VersionedTable.table(spark, path).groupBy("id").count()
+    assert(g.filter(col("count") =!= 1).count() == 0)
+    // mismatched n or key refuses loudly
+    val e1 = intercept[IllegalArgumentException](
+      VersionedTable.commitBucketed(rows(0 until 10, "z"), path, "id", 8))
+    assert(e1.getMessage.contains("not bucketed by"))
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.commitBucketed(
+        Seq((1L, "q")).toDF("id", "v"), path, "v", 4))
+    assert(e2.getMessage.contains("not bucketed by"))
+    // bucketed-append onto a PLAIN table refuses (carried files are unbucketed)
+    val plain = fresh()
+    VersionedTable.commitAppend(rows(0 until 10, "p"), plain)
+    intercept[IllegalArgumentException](
+      VersionedTable.commitBucketed(rows(10 until 20, "p"), plain, "id", 4))
+  }
+
+  test("a non-bucketed commit drops the claim; reads stay correct unbucketed") {
+    val path = fresh()
+    VersionedTable.commitBucketed(rows(0 until 200, "x"), path, "id", 4)
+    VersionedTable.commitAppend(rows(200 until 250, "plain"), path)
+    assert(VersionedTable.bucketing(spark, path).isEmpty,
+      "a plain append must drop the bucketing claim")
+    assert(VersionedTable.table(spark, path).count() == 250)
+    assert(VersionedTable.read(spark, path).count() == 250)
+    // time travel to the bucketed version still reports the claim
+    assert(VersionedTable.bucketing(spark, path, Some(1L)).contains(("id", 4)))
+  }
+}
