@@ -1529,6 +1529,215 @@ object Stats {
            |         AS z
            |FROM f""".stripMargin))
 
+  /** Two-sided normal p-value from a z-score via Abramowitz-Stegun
+    * 7.1.26 (|error| < 7.5e-8) — Spark SQL has no Φ, so the SAME fixed
+    * polynomial is spelled out here and in the oracle SQL: deterministic
+    * in both engines, accuracy pinned by the p(1.96) ≈ 0.05 spec. */
+  private[graft] def pNormTwoSided(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * a)
+    lit(2.0) * (exp(-a * a / 2.0) / math.sqrt(2.0 * math.Pi) *
+      (lit(0.319381530) * t - lit(0.356563782) * pow(t, 2) +
+        lit(1.781477937) * pow(t, 3) - lit(1.821255978) * pow(t, 4) +
+        lit(1.330274429) * pow(t, 5)))
+  }
+
+  /** Q326 — Benjamini-Hochberg FDR control over the q294-style per-brand
+    * return-rate z-scores: with 25 simultaneous brand tests, "p < 0.05"
+    * yields ~1.25 false alarms PER SWEEP; BH bounds the expected FALSE
+    * DISCOVERY share instead — the correction every metrics sweep at
+    * scale needs. p-values via the fixed A&S polynomial (same arithmetic
+    * both engines); the rank/threshold windows run over the brand grid
+    * (domain-bounded, `Windows.bounded`); the data-sized work is one
+    * broadcast-join aggregation. Emits (brand, z, p, k, discovery) with
+    * discovery = k ≤ k* = max{k : p_(k) ≤ α·k/m}, α = 0.05. */
+  val q326 = QueryDef(
+    "q326_bh_fdr",
+    (s, d) => {
+      import graft.core.Windows
+      val W = org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      val b = li.join(
+          broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"), sum("ret").as("r"))
+      val g = b.agg(sum("n").as("n_all"), sum("r").as("r_all"))
+      val rate = col("r_all").cast("double") / col("n_all")
+      val zv = (col("r").cast("double") / col("n") - rate) /
+        sqrt(rate * (lit(1.0) - rate) / col("n"))
+      val p = b.crossJoin(broadcast(g))
+        .select(col("brand"), zv.as("zv"))
+        .withColumn("pv", pNormTwoSided(col("zv")))
+      val w = Windows.bounded(col("pv"), col("brand"))
+      val full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      p.withColumn("k", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(full))
+        .withColumn("kstar", coalesce(
+          max(when(col("pv") <= lit(0.05) * col("k") / col("m"), col("k"))).over(full),
+          lit(0L)))
+        .select(
+          col("brand"), r4(col("zv")).as("z"), r6(col("pv")).as("p"),
+          col("k").cast("long").as("k"), (col("k") <= col("kstar")).as("discovery"))
+        .orderBy("brand")
+    },
+    Some("""WITH li AS (SELECT l_partkey,
+           |                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+           |            FROM lineitem),
+           |     b AS (SELECT p_brand AS brand, COUNT(*) AS n, SUM(ret) AS r
+           |           FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1),
+           |     g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+           |                  CAST(SUM(r) AS BIGINT) AS r_all FROM b),
+           |     z AS (SELECT brand,
+           |                  (CAST(r AS DOUBLE) / n - CAST(r_all AS DOUBLE) / n_all)
+           |                  / SQRT((CAST(r_all AS DOUBLE) / n_all)
+           |                         * (1.0 - CAST(r_all AS DOUBLE) / n_all) / n) AS zv
+           |           FROM b CROSS JOIN g),
+           |     p AS (SELECT brand, zv,
+           |                  2.0 * (EXP(-ABS(zv)*ABS(zv)/2.0) / SQRT(2.0*PI())
+           |                    * (0.319381530 * (1.0/(1.0+0.2316419*ABS(zv)))
+           |                       - 0.356563782 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 2)
+           |                       + 1.781477937 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 3)
+           |                       - 1.821255978 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 4)
+           |                       + 1.330274429 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 5)))
+           |                    AS pv
+           |           FROM z),
+           |     rk AS (SELECT brand, zv, pv,
+           |                   ROW_NUMBER() OVER (ORDER BY pv, brand) AS k,
+           |                   COUNT(*) OVER () AS m
+           |            FROM p),
+           |     ks AS (SELECT COALESCE(MAX(CASE WHEN pv <= 0.05 * k / m
+           |                                     THEN k END), 0) AS kstar
+           |            FROM rk)
+           |SELECT brand, ROUND(zv, 4) AS z, ROUND(pv, 6) AS p,
+           |       CAST(k AS BIGINT) AS k, k <= kstar AS discovery
+           |FROM rk CROSS JOIN ks ORDER BY brand""".stripMargin))
+
+  /** Q327 — Spearman rank correlation between per-user activity and
+    * per-user purchases, via midranks on the VALUE GRIDS (the q324
+    * discipline): both metrics have domain-bounded distinct values, so
+    * the rank windows run over bounded grids while the data-sized work
+    * is one keyed aggregation + two grid joins. Doubled midranks keep
+    * every rank sum BIGINT-exact; ρ = Pearson over the doubled midranks
+    * (scaling both by 2 leaves the correlation unchanged). The rank
+    * correlation survives the monotone transforms and heavy tails that
+    * break raw Pearson on count data. */
+  val q327 = QueryDef(
+    "q327_spearman",
+    (s, d) => {
+      import graft.core.Windows
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = Tables.events(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      def mid2(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+        val grid = df.groupBy(v).agg(count(lit(1)).as("n_v"))
+        val before = Windows.bounded(col(v)).rowsBetween(W.unboundedPreceding, -1)
+        grid.withColumn(out,
+          lit(2L) * coalesce(sum(col("n_v")).over(before), lit(0L)) +
+            col("n_v") + lit(1L))
+          .select(col(v), col(out))
+      }
+      val j = pu
+        .join(mid2(pu, "a", "ra2"), "a")
+        .join(mid2(pu, "b", "rb2"), "b")
+      val m = j.agg(
+        count(lit(1)).as("n"),
+        sum("ra2").as("sa"), sum("rb2").as("sb"),
+        sum(col("ra2").cast("double") * col("rb2")).as("sab"),
+        sum(col("ra2").cast("double") * col("ra2")).as("saa"),
+        sum(col("rb2").cast("double") * col("rb2")).as("sbb"))
+      m.select(
+        col("n"),
+        r6((col("sab") - col("sa").cast("double") * col("sb") / col("n")) /
+          sqrt((col("saa") - col("sa").cast("double") * col("sa") / col("n")) *
+            (col("sbb") - col("sb").cast("double") * col("sb") / col("n"))))
+          .as("spearman_rho"))
+    },
+    Some("""WITH pu AS (SELECT user_id, COUNT(*) AS a,
+           |                   SUM(CASE WHEN event_type = 'purchase'
+           |                            THEN 1 ELSE 0 END) AS b
+           |            FROM events GROUP BY 1),
+           |     ga AS (SELECT a, COUNT(*) AS na FROM pu GROUP BY 1),
+           |     ra AS (SELECT a, 2 * COALESCE(SUM(na) OVER (ORDER BY a
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                     + na + 1 AS ra2 FROM ga),
+           |     gb AS (SELECT b, COUNT(*) AS nb FROM pu GROUP BY 1),
+           |     rb AS (SELECT b, 2 * COALESCE(SUM(nb) OVER (ORDER BY b
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                     + nb + 1 AS rb2 FROM gb),
+           |     j AS (SELECT pu.user_id, ra.ra2, rb.rb2
+           |           FROM pu JOIN ra USING (a) JOIN rb USING (b)),
+           |     m AS (SELECT COUNT(*) AS n, SUM(ra2) AS sa, SUM(rb2) AS sb,
+           |                  SUM(CAST(ra2 AS DOUBLE) * rb2) AS sab,
+           |                  SUM(CAST(ra2 AS DOUBLE) * ra2) AS saa,
+           |                  SUM(CAST(rb2 AS DOUBLE) * rb2) AS sbb
+           |           FROM j)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |       ROUND((sab - CAST(sa AS DOUBLE) * sb / n)
+           |             / SQRT((saa - CAST(sa AS DOUBLE) * sa / n)
+           |                    * (sbb - CAST(sb AS DOUBLE) * sb / n)), 6)
+           |         AS spearman_rho
+           |FROM m""".stripMargin))
+
+  /** Q328 — delta-method CI for a RATIO metric (value per event across
+    * users): ratio metrics violate the i.i.d.-rows assumption (the unit
+    * of randomization is the USER, numerator and denominator are
+    * correlated within user), so the naive per-row SE is wrong; the
+    * delta method gives Var(x̄/ȳ) ≈ (s_xx − 2R·s_xy + R²·s_yy)/(n·ȳ²)
+    * from ONE per-user moment aggregation — the standard CTR/ARPU
+    * interval at any scale. */
+  val q328 = QueryDef(
+    "q328_ratio_ci",
+    (s, d) => {
+      val pu = Tables.events(s, d).groupBy("user_id").agg(
+        sum(coalesce(col("value"), lit(0.0))).as("x"),
+        count(lit(1)).cast("double").as("y"))
+      val m = pu.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val n = col("n").cast("double")
+      val ratio = col("sx") / col("sy")
+      val my = col("sy") / n
+      val vxx = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+      val vyy = (col("syy") - col("sy") * col("sy") / n) / (n - 1)
+      val vxy = (col("sxy") - col("sx") * col("sy") / n) / (n - 1)
+      val se = sqrt((vxx - lit(2.0) * ratio * vxy + ratio * ratio * vyy) /
+        (n * my * my))
+      m.select(
+        col("n"), r6(ratio).as("ratio"), r6(se).as("se"),
+        r6(ratio - lit(1.959963984540054) * se).as("ci_lo"),
+        r6(ratio + lit(1.959963984540054) * se).as("ci_hi"))
+    },
+    Some("""WITH pu AS (SELECT user_id, SUM(COALESCE(value, 0.0)) AS x,
+           |                   CAST(COUNT(*) AS DOUBLE) AS y
+           |            FROM events GROUP BY 1),
+           |     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+           |                  SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+           |                  SUM(x*y) AS sxy
+           |           FROM pu)
+           |SELECT n, ROUND(sx / sy, 6) AS ratio,
+           |       ROUND(SQRT(((sxx - sx*sx/n) / (n-1)
+           |                   - 2.0 * (sx/sy) * ((sxy - sx*sy/n) / (n-1))
+           |                   + (sx/sy) * (sx/sy) * ((syy - sy*sy/n) / (n-1)))
+           |                  / (n * (sy/n) * (sy/n))), 6) AS se,
+           |       ROUND(sx / sy - 1.959963984540054 *
+           |             SQRT(((sxx - sx*sx/n) / (n-1)
+           |                   - 2.0 * (sx/sy) * ((sxy - sx*sy/n) / (n-1))
+           |                   + (sx/sy) * (sx/sy) * ((syy - sy*sy/n) / (n-1)))
+           |                  / (n * (sy/n) * (sy/n))), 6) AS ci_lo,
+           |       ROUND(sx / sy + 1.959963984540054 *
+           |             SQRT(((sxx - sx*sx/n) / (n-1)
+           |                   - 2.0 * (sx/sy) * ((sxy - sx*sy/n) / (n-1))
+           |                   + (sx/sy) * (sx/sy) * ((syy - sy*sy/n) / (n-1)))
+           |                  / (n * (sy/n) * (sy/n))), 6) AS ci_hi
+           |FROM m""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -1780,5 +1989,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324)
+      q317, q318, q320, q324, q326, q327, q328)
 }
