@@ -662,10 +662,42 @@ object VersionedTable {
     * the scan), but the join key ordering benefit applies to the scan
     * output, not post-join state. */
   def commitBucketed(df: DataFrame, path: String, key: String, nBuckets: Int): Long = {
-    require(nBuckets >= 2, "nBuckets must be at least 2")
-    require(df.schema.fieldNames.contains(key), s"no column '$key' in the batch")
     val spark = df.sparkSession
     enforceChecks(spark, path, df)
+    requireBucketLayout(spark, path, df, key, nBuckets)
+    publish(spark, path, "bucketed-append", stageBucketed(df, path, key, nBuckets),
+      carryForward = true,
+      dataSchema = Some(df.schema), bucketing = Some((key, nBuckets))).get
+  }
+
+  /** [[commitBucketed]] under the (writerId, batchId) idempotency txn —
+    * the streaming flavor: each micro-batch adds one file per bucket,
+    * the layout claim persists across batches, and a replayed batch
+    * returns None instead of double-appending. The continuous-ingest
+    * shape for a table that must stay JOIN-READY without a nightly
+    * re-cluster. */
+  def commitBucketedBatch(
+      df: DataFrame, path: String, key: String, nBuckets: Int,
+      writerId: String, batchId: Long): Option[Long] = {
+    require(writerId.matches("[A-Za-z0-9._-]+"),
+      s"writerId must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $writerId")
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, path, writerId).exists(_ >= batchId)) None
+    else {
+      enforceChecks(spark, path, df)
+      requireBucketLayout(spark, path, df, key, nBuckets)
+      publish(spark, path, "bucketed-stream-append",
+        stageBucketed(df, path, key, nBuckets), carryForward = true,
+        txn = Some((writerId, batchId)),
+        dataSchema = Some(df.schema), bucketing = Some((key, nBuckets)))
+    }
+  }
+
+  private def requireBucketLayout(
+      spark: SparkSession, path: String, df: DataFrame,
+      key: String, nBuckets: Int): Unit = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    require(df.schema.fieldNames.contains(key), s"no column '$key' in the batch")
     versions(spark, path).lastOption.foreach { v =>
       val prior = bucketingOf(manifestText(spark, path, v))
       require(prior.contains((key, nBuckets)),
@@ -673,16 +705,22 @@ object VersionedTable {
           s"${prior.fold("unbucketed")(b => s"(${b._1}, ${b._2})")}. Bucketed appends " +
           "require a matching layout; start from an empty table")
     }
+  }
+
+  /** Stage one hash-bucketed commit dir: explicit numPartitions so AQE
+    * never coalesces; partition index IS the bucket id (pmod(murmur3(
+    * key), n) — the same hash the bucketed scan's HashPartitioning
+    * claims); each file renamed with Spark's bucket-id suffix. */
+  private def stageBucketed(
+      df: DataFrame, path: String, key: String, nBuckets: Int): Seq[String] = {
+    val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString
     val dataDir = s"$path/data/$commitId"
-    // explicit numPartitions => AQE never coalesces; partition index IS
-    // the bucket id (pmod(murmur3(key), n) — the same hash the bucketed
-    // scan's HashPartitioning claims)
     df.repartition(nBuckets, df.col(key))
       .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     val f = fs(spark, path)
     val partIdx = "part-(\\d+)".r
-    val names = f.listStatus(new Path(dataDir))
+    f.listStatus(new Path(dataDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map { s =>
         val nm = s.getPath.getName
@@ -699,8 +737,6 @@ object VersionedTable {
         s"$commitId/$renamed"
       }
       .sorted.toSeq
-    publish(spark, path, "bucketed-append", names, carryForward = true,
-      dataSchema = Some(df.schema), bucketing = Some((key, nBuckets))).get
   }
 
   /** A write-audit-publish handle: `files` exist on disk under

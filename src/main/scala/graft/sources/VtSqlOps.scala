@@ -282,7 +282,8 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
     VtSqlOps.attr("n_rows", LongType),
     VtSqlOps.attr("n_columns", IntegerType),
     VtSqlOps.attr("n_tags", IntegerType),
-    VtSqlOps.attr("n_staged", IntegerType))
+    VtSqlOps.attr("n_staged", IntegerType),
+    VtSqlOps.attr("bucketing", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val hist = VersionedTable.history(spark, path)
@@ -296,7 +297,10 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       VersionedTable.tableSchema(spark, path, None).fields.length,
       VersionedTable.tags(spark, path).size,
       // pending (unpublished) WAP stages — the "is an audit stuck" signal
-      VersionedTable.stagedPending(spark, path)))
+      VersionedTable.stagedPending(spark, path),
+      // the join-layout claim ("key:n"), or the explicit absence marker
+      VersionedTable.bucketing(spark, path)
+        .map { case (k, n) => s"$k:$n" }.getOrElse("unbucketed")))
   }
 }
 

@@ -244,6 +244,30 @@ object EventStreams {
       }
       .start()
 
+  /** Exactly-once sink into a HASH-BUCKETED versioned table
+    * ([[graft.io.VersionedTable.commitBucketedBatch]]): each micro-batch
+    * shuffles once into the table's bucket layout and adds one file per
+    * bucket, so the table stays JOIN-READY continuously — downstream
+    * co-bucketed joins keep planning with zero exchanges while the
+    * stream runs, no nightly re-cluster. Same (writerId, batchId) replay
+    * absorption as [[startExactlyOnceVersionedSink]]. */
+  def startBucketedVersionedSink(
+      stream: DataFrame,
+      tablePath: String,
+      key: String,
+      nBuckets: Int,
+      writerId: String,
+      checkpointDir: String,
+      onBatch: (Long, Option[Long]) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        onBatch(batchId, graft.io.VersionedTable.commitBucketedBatch(
+          batch.toDF(), tablePath, key, nBuckets, writerId, batchId))
+      }
+      .start()
+
   /** AUDITED exactly-once sink — write-audit-publish per micro-batch
     * ([[graft.io.VersionedTable.stageAppend]] family): every batch lands
     * as an INVISIBLE stage, the caller's `audit` runs against exactly

@@ -86,6 +86,41 @@ class BucketedJoinSpec extends SparkSuite {
       VersionedTable.commitBucketed(rows(10 until 20, "p"), plain, "id", 4))
   }
 
+  test("streaming bucketed sink keeps the table join-ready; replays absorb; DESCRIBE shows it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh()
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bk_ckpt").toString
+    val q = graft.streaming.EventStreams.startBucketedVersionedSink(
+      ms.toDS().toDF("id", "v"), path, "id", 4, "bkw", ckpt)
+    try {
+      ms.addData((0L until 100L).map(i => (i, s"a_$i")): _*); q.processAllAvailable()
+      ms.addData((100L until 160L).map(i => (i, s"b_$i")): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedTable.bucketing(spark, path).contains(("id", 4)),
+      "the claim must persist across micro-batches")
+    assert(VersionedTable.read(spark, path).count() == 160)
+    // joins against the streamed table stay exchange-free
+    val other = fresh()
+    VersionedTable.commitBucketed(rows(0 until 200, "o"), other, "id", 4)
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = VersionedTable.table(spark, path)
+        .join(VersionedTable.table(spark, other), "id")
+      assert(shuffles(j) == 0, "streamed bucketed table must stay join-ready")
+      assert(j.count() == 160)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    // a replayed micro-batch (crash between commit and checkpoint) no-ops
+    val replay = VersionedTable.commitBucketedBatch(
+      rows(0 until 100, "a"), path, "id", 4, "bkw", 0L)
+    assert(replay.isEmpty && VersionedTable.read(spark, path).count() == 160)
+    // DESCRIBE DETAIL surfaces the layout claim
+    val det = spark.sql(s"DESCRIBE DETAIL `$path`").collect()(0)
+    assert(det.getAs[String]("bucketing") == "id:4")
+  }
+
   test("a non-bucketed commit drops the claim; reads stay correct unbucketed") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 200, "x"), path, "id", 4)
