@@ -67,6 +67,13 @@ object GraftSession {
       // mutated per-read) so every nanos column in the session reads as a
       // raw long and the ns→µs policy lives in one place (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bucketed scans CLAIM their per-bucket sort order only behind this
+      // flag (Spark turned it off by default because the single-file-per-
+      // bucket check lists files at planning). The only bucketed relations
+      // in a graft session are VersionedTable's own (written sorted by
+      // commitBucketed), so the claim is always sound here — and it is
+      // what lets a compacted co-bucketed SMJ skip its sorts entirely.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Engine functions + the conf-gated approx-aggregate rule ride the
       // standard extension point, so they exist in every session created
       // from this builder (and in spark-submit'd clusters that set the

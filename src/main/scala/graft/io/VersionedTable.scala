@@ -707,16 +707,42 @@ object VersionedTable {
     }
   }
 
+  /** Re-cluster a BUCKETED table to one sorted file per bucket — the
+    * maintenance op that restores the SORT claim appends dilute: Spark
+    * only reports the per-bucket sort order when each bucket holds at
+    * most one file, so after k bucketed appends a join still skips its
+    * EXCHANGES but pays its SORTS; one compactBucketed makes the next
+    * co-bucketed SMJ completely exchange-AND-sort-free again. A claimed
+    * table has no DVs and no renames by construction (any such op drops
+    * the claim), so the rewrite is a plain read → re-stage → replace
+    * under the same rebase discipline as [[compact]]. */
+  def compactBucketed(spark: SparkSession, path: String): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val current = vs.last
+    val (key, n) = bucketingOf(manifestText(spark, path, current)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path carries no bucketing claim — use compact() for " +
+          "size-based repacking"))
+    val df = read(spark, path, Some(current))
+    publish(spark, path, "bucketed-compact", stageBucketed(df, path, key, n),
+      carryForward = false, requiredParent = Some(current),
+      dataSchema = Some(df.schema), bucketing = Some((key, n))).get
+  }
+
   /** Stage one hash-bucketed commit dir: explicit numPartitions so AQE
     * never coalesces; partition index IS the bucket id (pmod(murmur3(
     * key), n) — the same hash the bucketed scan's HashPartitioning
-    * claims); each file renamed with Spark's bucket-id suffix. */
+    * claims); rows sort by the key WITHIN each bucket (so single-file
+    * buckets also skip the SMJ sort); each file renamed with Spark's
+    * bucket-id suffix. */
   private def stageBucketed(
       df: DataFrame, path: String, key: String, nBuckets: Int): Seq[String] = {
     val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString
     val dataDir = s"$path/data/$commitId"
     df.repartition(nBuckets, df.col(key))
+      .sortWithinPartitions(key)
       .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     val f = fs(spark, path)
     val partIdx = "part-(\\d+)".r
@@ -2293,8 +2319,12 @@ object VersionedTable {
     // into one partition, so co-bucketed joins/aggregations on the key
     // plan with zero exchanges (Spark's native bucketed-read machinery —
     // file names carry the bucket-id suffix commitBucketed wrote)
+    // sortColumnNames: every bucketed write sorts within the bucket, and
+    // Spark only CLAIMS the order when each bucket holds one file — so
+    // fresh/compacted tables skip the SMJ sort and appended ones degrade
+    // to exchange-free-but-sorting automatically
     val bucketSpec = bucketingOf(text).map { case (k, n) =>
-      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(k), Nil)
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(k), Seq(k))
     }
     val relation = HadoopFsRelation(
       index, new org.apache.spark.sql.types.StructType(), dataSchema, bucketSpec,

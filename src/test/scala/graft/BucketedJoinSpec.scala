@@ -61,6 +61,52 @@ class BucketedJoinSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
   }
 
+  test("sorted buckets: fresh tables skip the SMJ sort; compactBucketed restores it") {
+    def sorts(df: DataFrame): Int = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+      walk(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    }
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 500, "a"), a, "id", 4)
+    VersionedTable.commitBucketed(rows(0 until 500, "b"), b, "id", 4)
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined() = VersionedTable.table(spark, a).as("x")
+        .join(VersionedTable.table(spark, b).as("y"), "id")
+        .select(col("id"), col("x.v"))
+      // one file per bucket: the SMJ runs with ZERO sorts and zero exchanges
+      assert(shuffles(joined()) == 0 && sorts(joined()) == 0,
+        s"single-file buckets must skip both:\n${joined().queryExecution.executedPlan}")
+      // an append dilutes to >1 file per bucket: exchanges still zero,
+      // sorts come back (Spark drops the order claim, never correctness)
+      VersionedTable.commitBucketed(rows(500 until 700, "a"), a, "id", 4)
+      assert(shuffles(joined()) == 0)
+      assert(sorts(joined()) > 0, "multi-file buckets must re-sort")
+      assert(joined().count() == 500)
+      // the maintenance op restores one sorted file per bucket
+      VersionedTable.compactBucketed(spark, a)
+      assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+      assert(shuffles(joined()) == 0 && sorts(joined()) == 0,
+        "compactBucketed must restore the sort-free join")
+      assert(joined().count() == 500)
+      assert(VersionedTable.read(spark, a).count() == 700)
+      // unbucketed tables refuse the bucketed compactor
+      val plain = fresh()
+      VersionedTable.commitAppend(rows(0 until 10, "p"), plain)
+      val e = intercept[IllegalArgumentException](
+        VersionedTable.compactBucketed(spark, plain))
+      assert(e.getMessage.contains("no bucketing claim"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+  }
+
   test("bucketed appends accumulate per-bucket files; mismatched layout refuses") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 300, "x"), path, "id", 4)
