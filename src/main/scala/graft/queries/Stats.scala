@@ -1738,6 +1738,77 @@ object Stats {
            |                  / (n * (sy/n) * (sy/n))), 6) AS ci_hi
            |FROM m""".stripMargin))
 
+  /** Q329 — Kruskal-Wallis H across three md5 segments of per-user
+    * activity: the k-group extension of q324's rank test (one-way ANOVA
+    * without normality). Same midrank-on-the-bounded-value-grid
+    * discipline — the data-sized work is one keyed aggregation onto the
+    * (value, segment) grid; doubled midranks keep every per-segment rank
+    * sum BIGINT-exact until the final H combine. Tie-corrected:
+    * H / (1 − Σ(t³−t)/(N³−N)). */
+  val q329 = QueryDef(
+    "q329_kruskal_wallis",
+    (s, d) => {
+      import graft.core.Windows
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("v"))
+        .select(
+          col("v"),
+          (conv(substring(md5(concat(lit("kw-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 3).as("seg"))
+      val grid = pu.groupBy("v", "seg").agg(count(lit(1)).as("n_gv"))
+      val marginal = grid.groupBy("v").agg(sum("n_gv").as("n_v"))
+      val before = Windows.bounded(col("v")).rowsBetween(W.unboundedPreceding, -1)
+      val mid = marginal
+        .withColumn("mid2",
+          lit(2L) * coalesce(sum(col("n_v")).over(before), lit(0L)) +
+            col("n_v") + lit(1L))
+      val perSeg = grid.join(mid, "v")
+        .groupBy("seg")
+        .agg(sum("n_gv").as("n_g"), sum(col("n_gv") * col("mid2")).as("r2g"))
+      val tot = mid.agg(
+        sum("n_v").as("n"),
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("ties"))
+      val h = perSeg.crossJoin(broadcast(tot))
+        .groupBy("n", "ties")
+        .agg(
+          count(lit(1)).as("k"),
+          sum((col("r2g").cast("double") / 2.0) * (col("r2g").cast("double") / 2.0) /
+            col("n_g")).as("srr"))
+      h.select(
+        col("k").cast("long").as("k_groups"), col("n"),
+        r6((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) * col("srr") -
+          lit(3.0) * (col("n") + 1)) /
+          (lit(1.0) - col("ties").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") - col("n"))))
+          .as("h_stat"))
+    },
+    Some("""WITH pu AS (SELECT CAST(('0x' || substr(md5('kw-v1:' ||
+           |                     CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 3 AS seg,
+           |                   COUNT(*) AS v
+           |            FROM events GROUP BY user_id),
+           |     g AS (SELECT v, seg, COUNT(*) AS n_gv FROM pu GROUP BY 1, 2),
+           |     mg AS (SELECT v, SUM(n_gv) AS n_v FROM g GROUP BY 1),
+           |     mid AS (SELECT v, n_v,
+           |                    2 * COALESCE(SUM(n_v) OVER (ORDER BY v
+           |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                      + n_v + 1 AS mid2
+           |             FROM mg),
+           |     ps AS (SELECT seg, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+           |                   CAST(SUM(n_gv * mid2) AS BIGINT) AS r2g
+           |            FROM g JOIN mid USING (v) GROUP BY 1),
+           |     t AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+           |                  CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+           |           FROM mid),
+           |     f AS (SELECT t.n, t.ties, COUNT(*) AS k,
+           |                  SUM((CAST(r2g AS DOUBLE) / 2.0)
+           |                      * (CAST(r2g AS DOUBLE) / 2.0) / n_g) AS srr
+           |           FROM ps CROSS JOIN t GROUP BY 1, 2)
+           |SELECT CAST(k AS BIGINT) AS k_groups, n,
+           |       ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srr - 3.0 * (n + 1))
+           |             / (1.0 - CAST(ties AS DOUBLE)
+           |                      / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat
+           |FROM f""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -1989,5 +2060,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324, q326, q327, q328)
+      q317, q318, q320, q324, q326, q327, q328, q329)
 }
