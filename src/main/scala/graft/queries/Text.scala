@@ -2113,10 +2113,75 @@ object Text {
            |SELECT CAST(sz AS BIGINT) AS sz, COUNT(*) AS n_clusters
            |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q330 — PII redaction audit ([[graft.ops.PiiScrub]]): the scrub
+    * stage a corpus release runs between quality filtering and packing —
+    * emails / phones / IPv4 to stable placeholders, with per-document
+    * redaction counts as the audit trail. The fixture text carries no
+    * PII, so the query INJECTS it deterministically from doc_id (CASE
+    * order mirrored in the oracle) and the oracle replays injection,
+    * counting, and the ordered three-pass replacement byte-for-byte —
+    * the patterns live in the RE2 ∩ Java regex subset precisely so this
+    * cross-engine replay is possible. Row-local codegen end to end:
+    * zero shuffles added to any pipeline this stage joins. */
+  val q330 = QueryDef(
+    "q330_pii_redaction",
+    (s, d) => {
+      import graft.ops.PiiScrub
+      val injected = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("t2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" call +1 555-123-4567 or ping 10.0."),
+                (col("doc_id") % 256).cast("string"), lit(".7 ok")))
+            .otherwise(col("text")))
+      injected.select(
+          col("doc_id"),
+          PiiScrub.countEmails(col("t2")).cast("long").as("n_emails"),
+          PiiScrub.countPhones(col("t2")).cast("long").as("n_phones"),
+          PiiScrub.countIpv4(col("t2")).cast("long").as("n_ips"),
+          PiiScrub.redact(col("t2")).as("red"))
+        .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+        .select(
+          col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          expr("right(red, 40)").as("redacted_tail"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (SELECT doc_id,
+           |                    CASE WHEN doc_id % 7 = 0
+           |                         THEN text || ' contact user' ||
+           |                              CAST(doc_id AS VARCHAR) || '@example.com now'
+           |                         WHEN doc_id % 11 = 0
+           |                         THEN text || ' call +1 555-123-4567 or ping 10.0.' ||
+           |                              CAST(doc_id % 256 AS VARCHAR) || '.7 ok'
+           |                         ELSE text END AS t2
+           |             FROM documents),
+           |     c AS (SELECT doc_id,
+           |                  CAST(len(regexp_extract_all(t2,
+           |                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |                    AS BIGINT) AS n_emails,
+           |                  CAST(len(regexp_extract_all(t2,
+           |                    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}([- ][0-9]{3,4})?'))
+           |                    AS BIGINT) AS n_phones,
+           |                  CAST(len(regexp_extract_all(t2,
+           |                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           |                    AS BIGINT) AS n_ips,
+           |                  regexp_replace(regexp_replace(regexp_replace(t2,
+           |                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |                    '<EMAIL>', 'g'),
+           |                    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}([- ][0-9]{3,4})?',
+           |                    '<PHONE>', 'g'),
+           |                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           |                    '<IP>', 'g') AS red
+           |           FROM inj)
+           |SELECT doc_id, n_emails, n_phones, n_ips, right(red, 40) AS redacted_tail
+           |FROM c WHERE n_emails + n_phones + n_ips > 0 ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q22, q26, q27, q28, q29, q33, q34, q35, q36, q37, q73, q74, q80, q83,
       q84, q85, q86, q87, q88, q101, q106, q108, q112, q113, q114, q115, q119, q122, q123,
       q125, q126, q128, q137, q138, q144, q148, q154, q161, q173, q175,
       q181, q182, q183, q190, q191, q210, q211, q218, q220, q225, q226, q233, q234,
-      q242, q243, q261, q264, q265, q274)
+      q242, q243, q261, q264, q265, q274, q330)
 }
