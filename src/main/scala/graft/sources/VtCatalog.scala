@@ -283,7 +283,15 @@ final class VtTable(path: String, identName: String, version: Option[Long])
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwriteFlag: Boolean) => {
             if (overwrite || overwriteFlag) VersionedTable.overwrite(data, path)
-            else VersionedTable.commitAppend(data, path)
+            else VersionedTable.bucketing(spark, path) match {
+              // a SQL INSERT INTO a bucketed table must HONOR the layout:
+              // a plain append would silently drop the claim and cost
+              // every downstream co-bucketed join its exchange-free plan
+              // (the Scala commitAppend keeps its documented drop
+              // semantics — SQL users have no other writer to choose)
+              case Some((k, n)) => VersionedTable.commitBucketed(data, path, k, n)
+              case None => VersionedTable.commitAppend(data, path)
+            }
             ()
           }
       }

@@ -167,6 +167,20 @@ class BucketedJoinSpec extends SparkSuite {
     assert(det.getAs[String]("bucketing") == "id:4")
   }
 
+  test("SQL INSERT INTO a bucketed table honors the layout instead of dropping it") {
+    val path = fresh()
+    VersionedTable.commitBucketed(rows(0 until 100, "x"), path, "id", 4)
+    spark.conf.set("spark.sql.catalog.vtbk", classOf[graft.sources.VtCatalog].getName)
+    spark.sql(s"INSERT INTO vtbk.`$path` SELECT id + 100, concat('s_', id) FROM range(50)")
+    assert(VersionedTable.bucketing(spark, path).contains(("id", 4)),
+      "SQL append must keep the table join-ready")
+    assert(VersionedTable.read(spark, path).count() == 150)
+    // INSERT OVERWRITE replaces the layout along with the data (documented)
+    spark.sql(s"INSERT OVERWRITE vtbk.`$path` SELECT id, concat('o_', id) FROM range(10)")
+    assert(VersionedTable.bucketing(spark, path).isEmpty)
+    assert(VersionedTable.read(spark, path).count() == 10)
+  }
+
   test("a non-bucketed commit drops the claim; reads stay correct unbucketed") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 200, "x"), path, "id", 4)
