@@ -25,7 +25,10 @@ object ScaleProbe {
     // r13: the survival/stats shapes with band-join/explode fan-out
     // (VERDICT r12 item 6) — events- and orders-backed, so probe them
     // with a name filter against an events/orders replica fixture
-    "q296_kaplan_meier", "q299_subsample_ci")
+    "q296_kaplan_meier", "q299_subsample_ci",
+    // r13: the bucketed-join shape (write-once-shuffle): the probe times
+    // BOTH bucketed ingests and the exchange-free join
+    "q325_bucketed_join")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver
