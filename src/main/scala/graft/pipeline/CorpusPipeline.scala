@@ -62,6 +62,14 @@ object CorpusPipeline {
     *                       filter and the keep-best-quality dedup rule —
     *                       still a row-local expression, so the one-action
     *                       accounting and plan shape are unchanged
+    * @param redactPii      scrub structured PII (emails/phones/IPv4 →
+    *                       placeholder tokens, [[graft.ops.PiiScrub]])
+    *                       BEFORE anything else, so quality scoring,
+    *                       dedup hashing and the emitted corpus all see
+    *                       the redacted text — the production order (a
+    *                       post-dedup scrub would let two docs differing
+    *                       only in PII escape the exact-dup gate).
+    *                       Row-local codegen; plan shape unchanged
     * @param dsir           optional DSIR selection stage
     *                       ([[graft.ops.Dsir]]): (target corpus sharing
     *                       `textCol`, keepN) — after every cleaning
@@ -71,7 +79,7 @@ object CorpusPipeline {
     *                       its own bounded jobs like the near-dup stage.
     */
   def prepare(
-      docs: DataFrame,
+      docsRaw: DataFrame,
       benchmark: DataFrame,
       textCol: String = "text",
       minQuality: Double = 0.3,
@@ -81,7 +89,11 @@ object CorpusPipeline {
       embeddings: Option[(DataFrame, DataFrame)] = None,
       maxSemanticSim: Double = 0.95,
       quality: Column => Column = TextFunctions.qualityScore,
-      dsir: Option[(DataFrame, Int)] = None): Prepared = {
+      dsir: Option[(DataFrame, Int)] = None,
+      redactPii: Boolean = false): Prepared = {
+    val docs =
+      if (!redactPii) docsRaw
+      else docsRaw.withColumn(textCol, graft.ops.PiiScrub.redact(col(textCol)))
     val stages = Seq("input", "quality", "exact_dedup", "near_dup", "decontaminated") ++
       (if (embeddings.isDefined) Seq("semantic") else Nil) ++
       (if (dsir.isDefined) Seq("dsir_selected") else Nil)

@@ -1809,6 +1809,71 @@ object Stats {
            |                      / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat
            |FROM f""".stripMargin))
 
+  /** Q331 — two-sample Kolmogorov-Smirnov between the md5 arms on
+    * per-user activity: "are the DISTRIBUTIONS different at all" — the
+    * companion to the mean (q297), rank (q324) and k-group (q329)
+    * comparisons that catches variance/shape-only effects all of them
+    * miss. Same exact-integer trick as q203's drift monitor, applied
+    * two-sample: D = max|cum_a·n_b − cum_b·n_a| / (n_a·n_b), the max
+    * taken over BIGINT-exact scaled gaps on the bounded value grid — FP
+    * enters only in the final division. Also emits the scaled statistic
+    * √(n_a·n_b/N)·D (reject at α=.05 above ~1.358). */
+  val q331 = QueryDef(
+    "q331_ks_two_sample",
+    (s, d) => {
+      import graft.core.Windows
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("v"))
+        .select(
+          col("v"),
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).as("arm"))
+      val grid = pu.groupBy("v").agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb_v"))
+      val upTo = Windows.bounded(col("v")).rowsBetween(W.unboundedPreceding, 0)
+      val full = Windows.bounded(col("v"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      grid
+        .withColumn("ca", sum(col("na_v")).over(upTo))
+        .withColumn("cb", sum(col("nb_v")).over(upTo))
+        .withColumn("na", sum(col("na_v")).over(full))
+        .withColumn("nb", sum(col("nb_v")).over(full))
+        .select(
+          col("na"), col("nb"),
+          abs(col("ca") * col("nb") - col("cb") * col("na")).as("gap2"))
+        .groupBy("na", "nb")
+        .agg(max("gap2").as("d2"))
+        .select(
+          col("na").as("n_a"), col("nb").as("n_b"),
+          r6(col("d2").cast("double") / (col("na") * col("nb"))).as("ks_d"),
+          r6(sqrt((col("na") * col("nb")).cast("double") / (col("na") + col("nb"))) *
+            (col("d2").cast("double") / (col("na") * col("nb")))).as("ks_scaled"))
+    },
+    Some("""WITH pu AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                     CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                   COUNT(*) AS v
+           |            FROM events GROUP BY user_id),
+           |     g AS (SELECT v,
+           |                  SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS na_v,
+           |                  SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nb_v
+           |           FROM pu GROUP BY v),
+           |     c AS (SELECT v, na_v, nb_v,
+           |                  SUM(na_v) OVER (ORDER BY v
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           |                  SUM(nb_v) OVER (ORDER BY v
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           |                  SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+           |           FROM g),
+           |     f AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |                  CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d2
+           |           FROM c GROUP BY 1, 2)
+           |SELECT n_a, n_b,
+           |       ROUND(CAST(d2 AS DOUBLE) / (n_a * n_b), 6) AS ks_d,
+           |       ROUND(SQRT(CAST(n_a * n_b AS DOUBLE) / (n_a + n_b))
+           |             * CAST(d2 AS DOUBLE) / (n_a * n_b), 6) AS ks_scaled
+           |FROM f""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -2060,5 +2125,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324, q326, q327, q328, q329)
+      q317, q318, q320, q324, q326, q327, q328, q329, q331)
 }

@@ -92,6 +92,28 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(VersionedTable.stagedPending(spark, tbl) == 0, "no stuck audits")
   }
 
+  test("redactPii scrubs BEFORE dedup, so PII-only-differing copies collapse") {
+    // two docs identical except for the embedded email: after redaction
+    // they are EXACT duplicates and the dedup gate keeps one
+    val docs = Seq(
+      (1L, textA + " contact alice@example.com"),
+      (2L, textA + " contact bob@example.com"),
+      (3L, textB)).toDF("doc_id", "text")
+    val prepared = CorpusPipeline.prepare(docs, benchmark, redactPii = true)
+    val rows = prepared.result.select("doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "PII-only variants must collapse to the smallest doc_id")
+    assert(rows.forall(!_.getString(1).contains("@")),
+      "emitted corpus must carry the redacted text")
+    assert(rows.exists(_.getString(1).contains("<EMAIL>")))
+    val counts = prepared.stageCounts().toMap
+    assert(counts("exact_dedup") == 2L, s"accounting sees the collapse: $counts")
+    // without redaction the same corpus keeps both variants
+    val plain = CorpusPipeline.prepare(docs, benchmark)
+    plain.result.collect()
+    assert(plain.stageCounts().toMap.apply("exact_dedup") == 3L)
+  }
+
   test("the optional semantic stage drops paraphrased leakage the n-gram stage missed") {
     // doc 4 paraphrases the benchmark: disjoint tokens (textB vs textC),
     // but its embedding is nearly identical to the benchmark's — only the
