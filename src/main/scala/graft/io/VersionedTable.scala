@@ -665,9 +665,26 @@ object VersionedTable {
     val spark = df.sparkSession
     enforceChecks(spark, path, df)
     requireBucketLayout(spark, path, df, key, nBuckets)
-    publish(spark, path, "bucketed-append", stageBucketed(df, path, key, nBuckets),
+    val names = stageBucketed(df, path, key, nBuckets)
+    publish(spark, path, "bucketed-append", names,
       carryForward = true,
-      dataSchema = Some(df.schema), bucketing = Some((key, nBuckets))).get
+      dataSchema = Some(df.schema), bucketing = Some((key, nBuckets)),
+      newRowCounts = stagedCounts(spark, path, names)).get
+  }
+
+  /** Per-file row counts of freshly staged files — one grouped scan of
+    * the new files only. Bucketed commits always record them: they feed
+    * [[countRows]]'s no-scan path and make [[bucketSkew]] metadata-only. */
+  private def stagedCounts(
+      spark: SparkSession, path: String, names: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    if (names.isEmpty) Map.empty
+    else spark.read.parquet(names.map(n => s"$path/data/$n"): _*)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        val p = new java.net.URI(r.getString(0)).getPath
+        p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
+      }.toMap
   }
 
   /** [[commitBucketed]] under the (writerId, batchId) idempotency txn —
@@ -686,10 +703,12 @@ object VersionedTable {
     else {
       enforceChecks(spark, path, df)
       requireBucketLayout(spark, path, df, key, nBuckets)
+      val names = stageBucketed(df, path, key, nBuckets)
       publish(spark, path, "bucketed-stream-append",
-        stageBucketed(df, path, key, nBuckets), carryForward = true,
+        names, carryForward = true,
         txn = Some((writerId, batchId)),
-        dataSchema = Some(df.schema), bucketing = Some((key, nBuckets)))
+        dataSchema = Some(df.schema), bucketing = Some((key, nBuckets)),
+        newRowCounts = stagedCounts(spark, path, names))
     }
   }
 
@@ -725,9 +744,39 @@ object VersionedTable {
         s"table at $path carries no bucketing claim — use compact() for " +
           "size-based repacking"))
     val df = read(spark, path, Some(current))
-    publish(spark, path, "bucketed-compact", stageBucketed(df, path, key, n),
+    val names = stageBucketed(df, path, key, n)
+    publish(spark, path, "bucketed-compact", names,
       carryForward = false, requiredParent = Some(current),
-      dataSchema = Some(df.schema), bucketing = Some((key, n))).get
+      dataSchema = Some(df.schema), bucketing = Some((key, n)),
+      newRowCounts = stagedCounts(spark, path, names)).get
+  }
+
+  /** Bucket-skew diagnostic for a claimed table: (bucket id → rows),
+    * max/mean ratio. A hot key concentrates in ONE bucket (hashing
+    * cannot split equal values), so a ratio far above ~2 says the
+    * bucket layout is fighting the data — either bucket a compound key
+    * or fall back to the salted-join machinery ([[graft.ops.Salt]]),
+    * which handles per-key skew bucketing cannot. Metadata-only when
+    * the manifest records per-file row counts (bucketed commits do);
+    * the bucket id parses from the file suffix the writer stamped. */
+  def bucketSkew(spark: SparkSession, path: String): (Map[Int, Long], Double) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, vs.last)
+    val (key, n) = bucketingOf(text).getOrElse(throw new IllegalArgumentException(
+      s"table at $path carries no bucketing claim"))
+    val counts = rowCountsOf(text)
+    val files = manifestFiles(spark, path, vs.last)
+    val suffix = "_(\\d+)\\.".r
+    val perBucket = files.groupBy { f =>
+      suffix.findFirstMatchIn(f).map(_.group(1).toInt).getOrElse(
+        sys.error(s"bucketed manifest carries an unsuffixed file: $f"))
+    }.map { case (b, fs) =>
+      b -> fs.map(f => counts.getOrElse(f,
+        sys.error(s"no recorded row count for $f — bucketed commits always record"))).sum
+    }
+    val mean = perBucket.values.sum.toDouble / n // over DECLARED buckets: empties count
+    (perBucket, if (mean == 0.0) 0.0 else perBucket.values.max / mean)
   }
 
   /** Stage one hash-bucketed commit dir: explicit numPartitions so AQE

@@ -181,6 +181,29 @@ class BucketedJoinSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).count() == 10)
   }
 
+  test("bucketSkew flags a hot key; counts ride the manifest (metadata-only)") {
+    val path = fresh()
+    // 900 of 1000 rows share one key -> one bucket holds >= 90%
+    val skewed = (0 until 1000).map(i => (if (i < 900) 7L else i.toLong, s"r$i"))
+      .toDF("id", "v")
+    VersionedTable.commitBucketed(skewed, path, "id", 4)
+    val (perBucket, ratio) = VersionedTable.bucketSkew(spark, path)
+    assert(perBucket.values.sum == 1000L)
+    assert(perBucket.values.max >= 900L, s"hot bucket must carry the hot key: $perBucket")
+    assert(ratio >= 3.5, s"skew ratio must flag it (got $ratio)")
+    // counts recorded at commit: countRows takes the no-scan path and agrees
+    assert(VersionedTable.countRows(spark, path) == 1000L)
+    // a balanced table reads near 1
+    val even = fresh()
+    VersionedTable.commitBucketed(rows(0 until 1000, "e"), even, "id", 4)
+    val (_, r2) = VersionedTable.bucketSkew(spark, even)
+    assert(r2 < 1.5, s"balanced layout must not flag (got $r2)")
+    // unbucketed tables refuse
+    val plain = fresh()
+    VersionedTable.commitAppend(rows(0 until 10, "p"), plain)
+    intercept[IllegalArgumentException](VersionedTable.bucketSkew(spark, plain))
+  }
+
   test("a non-bucketed commit drops the claim; reads stay correct unbucketed") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 200, "x"), path, "id", 4)
