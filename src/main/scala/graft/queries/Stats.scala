@@ -1874,6 +1874,76 @@ object Stats {
            |             * CAST(d2 AS DOUBLE) / (n_a * n_b), 6) AS ks_scaled
            |FROM f""".stripMargin))
 
+  /** Q333 — winsorized mean per arm (10% each tail), computed EXACTLY
+    * from the bounded value grid: the robust location estimate heavy-
+    * tailed metrics need (one whale user should not decide an
+    * experiment). No row-level sort anywhere: per-arm cumulative counts
+    * over the grid locate the k-th and (n−k)-th order statistics, tail
+    * contributions clamp via LEAST/GREATEST arithmetic on counts, and
+    * everything stays BIGINT until the final division. Emits raw vs
+    * winsorized mean per arm so the whale influence is the visible
+    * delta. */
+  val q333 = QueryDef(
+    "q333_winsorized_mean",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("v"))
+        .select(
+          col("v"),
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).as("arm"))
+      val g = pu.groupBy("arm", "v").agg(count(lit(1)).as("n_v"))
+      val before = W.partitionBy("arm").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val full = W.partitionBy("arm")
+      val c = g
+        .withColumn("cb", coalesce(sum(col("n_v")).over(before), lit(0L)))
+        .withColumn("n", sum(col("n_v")).over(full))
+        .withColumn("kk", expr("n DIV 10"))
+      val w = c.groupBy("arm", "n", "kk").agg(
+        sum(col("v") * col("n_v")).as("s_all"),
+        sum(col("v") * least(col("n_v"), greatest(lit(0L), col("kk") - col("cb"))))
+          .as("s_lo"),
+        sum(col("v") * least(col("n_v"),
+          greatest(lit(0L), col("kk") - (col("n") - col("cb") - col("n_v")))))
+          .as("s_hi"),
+        min(when(col("cb") + col("n_v") >= col("kk") + 1, col("v"))).as("v_lo"),
+        min(when(col("cb") + col("n_v") >= col("n") - col("kk"), col("v"))).as("v_hi"))
+      w.select(
+          col("arm"), col("n"), col("kk").as("k_trim"),
+          r6((col("s_all") - col("s_lo") - col("s_hi") +
+            col("kk") * col("v_lo") + col("kk") * col("v_hi")).cast("double") /
+            col("n")).as("winsorized_mean"),
+          r6(col("s_all").cast("double") / col("n")).as("raw_mean"))
+        .orderBy("arm")
+    },
+    Some("""WITH pu AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                     CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 AS arm,
+           |                   COUNT(*) AS v
+           |            FROM events GROUP BY user_id),
+           |     g AS (SELECT arm, v, COUNT(*) AS n_v FROM pu GROUP BY 1, 2),
+           |     c AS (SELECT arm, v, n_v,
+           |                  COALESCE(SUM(n_v) OVER (PARTITION BY arm ORDER BY v
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                    AS cb,
+           |                  SUM(n_v) OVER (PARTITION BY arm) AS n
+           |           FROM g),
+           |     k AS (SELECT arm, v, n_v, cb, n, n // 10 AS kk FROM c),
+           |     w AS (SELECT arm, CAST(n AS BIGINT) AS n, CAST(kk AS BIGINT) AS k_trim,
+           |                  SUM(v * n_v) AS s_all,
+           |                  SUM(v * LEAST(n_v, GREATEST(0, kk - cb))) AS s_lo,
+           |                  SUM(v * LEAST(n_v,
+           |                      GREATEST(0, kk - (n - cb - n_v)))) AS s_hi,
+           |                  MIN(CASE WHEN cb + n_v >= kk + 1 THEN v END) AS v_lo,
+           |                  MIN(CASE WHEN cb + n_v >= n - kk THEN v END) AS v_hi
+           |           FROM k GROUP BY 1, 2, 3)
+           |SELECT CAST(arm AS INTEGER) AS arm, n, k_trim,
+           |       ROUND(CAST(s_all - s_lo - s_hi
+           |                  + k_trim * v_lo + k_trim * v_hi AS DOUBLE) / n, 6)
+           |         AS winsorized_mean,
+           |       ROUND(CAST(s_all AS DOUBLE) / n, 6) AS raw_mean
+           |FROM w ORDER BY arm""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -2125,5 +2195,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324, q326, q327, q328, q329, q331)
+      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333)
 }
