@@ -1688,7 +1688,7 @@ object Events {
         armSubjects(s, d), "arm", "t_days", "is_event", focal = "1")
         .select(
           col("n_times"),
-          r6(col("beta")).as("beta"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
           r6(col("hazard_ratio")).as("hazard_ratio"),
           r6(col("se")).as("se"),
           r6(col("wald_chi2")).as("wald_chi2")),
@@ -1712,7 +1712,7 @@ object Events {
         |                                / POWER(n_a * EXP(beta) + (n_t - n_a), 2))
         |                     FROM bt) AS fi
         |             FROM it)
-        |SELECT n_times, ROUND(beta, 6) AS beta, ROUND(EXP(beta), 6) AS hazard_ratio,
+        |SELECT n_times, ROUND(beta, 6) + 0 AS beta, ROUND(EXP(beta), 6) AS hazard_ratio,
         |       ROUND(1.0 / SQRT(fi), 6) AS se,
         |       ROUND(beta * beta * fi, 6) AS wald_chi2
         |FROM inf""".stripMargin))
@@ -1845,7 +1845,7 @@ object Events {
             |            + 0.8 * element_at(acc.s, 1)))))""".stripMargin))
         .select(
           col("event_type"), size(col("xs")).cast("long").as("n_days"),
-          r6(col("st.l")).as("level"), r6(col("st.b")).as("trend"),
+          r6(col("st.l")).as("level"), (r6(col("st.b")) + lit(0.0)).as("trend"),
           r6(col("st.l") + col("st.b") + element_at(col("st.s"), 1)).as("forecast_next"))
         .orderBy("event_type")
     },
@@ -1886,7 +1886,7 @@ object Events {
            |              + 0.8 * h.s[1]])
            |    FROM hw h JOIN idx e ON e.event_type = h.event_type AND e.i = h.i + 1)
            |SELECT h.event_type, CAST(n.n AS BIGINT) AS n_days, ROUND(h.l, 6) AS level,
-           |       ROUND(h.b, 6) AS trend,
+           |       ROUND(h.b, 6) + 0 AS trend,
            |       ROUND(h.l + h.b + h.s[1], 6) AS forecast_next
            |FROM hw h JOIN nn n ON h.event_type = n.event_type AND h.i = n.n
            |ORDER BY h.event_type""".stripMargin))

@@ -1579,7 +1579,7 @@ object Stats {
           max(when(col("pv") <= lit(0.05) * col("k") / col("m"), col("k"))).over(full),
           lit(0L)))
         .select(
-          col("brand"), r4(col("zv")).as("z"), r6(col("pv")).as("p"),
+          col("brand"), (r4(col("zv")) + lit(0.0)).as("z"), r6(col("pv")).as("p"),
           col("k").cast("long").as("k"), (col("k") <= col("kstar")).as("discovery"))
         .orderBy("brand")
     },
@@ -1611,7 +1611,7 @@ object Stats {
            |     ks AS (SELECT COALESCE(MAX(CASE WHEN pv <= 0.05 * k / m
            |                                     THEN k END), 0) AS kstar
            |            FROM rk)
-           |SELECT brand, ROUND(zv, 4) AS z, ROUND(pv, 6) AS p,
+           |SELECT brand, ROUND(zv, 4) + 0 AS z, ROUND(pv, 6) AS p,
            |       CAST(k AS BIGINT) AS k, k <= kstar AS discovery
            |FROM rk CROSS JOIN ks ORDER BY brand""".stripMargin))
 
