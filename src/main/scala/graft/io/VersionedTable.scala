@@ -2371,10 +2371,19 @@ object VersionedTable {
     // sortColumnNames: every bucketed write sorts within the bucket, and
     // Spark only CLAIMS the order when each bucket holds one file — so
     // fresh/compacted tables skip the SMJ sort and appended ones degrade
-    // to exchange-free-but-sorting automatically
-    val bucketSpec = bucketingOf(text).map { case (k, n) =>
-      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(k), Seq(k))
-    }
+    // to exchange-free-but-sorting automatically.
+    // DEFENSIVE: the spec attaches only when EVERY manifest file parses a
+    // bucket id in range — a claim over a file the bucketed scan cannot
+    // place (hand-edited manifest, foreign file) must degrade to the
+    // correct unbucketed read, never throw or misgroup at scan time.
+    val bucketSuffix = "_(\\d+)\\.".r
+    val bucketSpec = bucketingOf(text)
+      .filter { case (_, n) =>
+        rel.forall(f => bucketSuffix.findFirstMatchIn(f).exists(_.group(1).toInt < n))
+      }
+      .map { case (k, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(k), Seq(k))
+      }
     val relation = HadoopFsRelation(
       index, new org.apache.spark.sql.types.StructType(), dataSchema, bucketSpec,
       new ParquetFileFormat(), Map.empty[String, String])(spark)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan,
   GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 
@@ -53,7 +54,10 @@ object LayoutAdvisor {
   private val byPair = TrieMap.empty[(String, (String, String)), Long]
   private val colType = TrieMap.empty[(String, String), DataType]
 
-  def clear(): Unit = { byCol.clear(); byPair.clear(); colType.clear() }
+  def clear(): Unit = {
+    byCol.clear(); byPair.clear(); colType.clear()
+    byJoin.clear(); rootSize.clear()
+  }
 
   /** One query's filter observations: (table root, column, isEquality). */
   def observe(df: DataFrame): Seq[(String, String, Boolean)] = {
@@ -146,6 +150,88 @@ object LayoutAdvisor {
       case "" => "(no filter observations recorded)"
       case s => s
     }
+
+  // ---- bucketing advisor (r13) ------------------------------------------
+  //
+  // The filter advisor above picks SKIPPING levers; this one picks the
+  // SHUFFLE lever: repeated equi-joins between the same two big tables on
+  // the same key are the workload shape [[graft.io.VersionedTable
+  // .commitBucketed]] exists for — bucket both sides once and every such
+  // join stops exchanging. Observation is the same optimized-plan walk
+  // (Join nodes whose both sides strip to scans, attr=attr conjuncts with
+  // one side from each scan); side sizes come from the relations' own
+  // statistics, so the recommendation is metadata-only.
+
+  /** (sorted root pair, "leftKey=rightKey") -> times observed. */
+  private val byJoin = TrieMap.empty[((String, String), String), Long]
+  private val rootSize = TrieMap.empty[String, Long]
+
+  /** Record a query's equi-joins into the workload model. Returns the
+    * observations for callers that want them. */
+  def recordJoins(df: DataFrame): Seq[(String, String, String)] = {
+    val out = Seq.newBuilder[(String, String, String)]
+    df.queryExecution.optimizedPlan.foreach {
+      case Join(l, r, Inner, Some(cond), _) =>
+        for ((lroot, lrel) <- tableOf(l); (rroot, rrel) <- tableOf(r)) {
+          rootSize.put(lroot, lrel.relation.sizeInBytes)
+          rootSize.put(rroot, rrel.relation.sizeInBytes)
+          conjuncts(cond).foreach {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              val (la, rb) =
+                if (lrel.outputSet.contains(a) && rrel.outputSet.contains(b)) (Some(a), Some(b))
+                else if (lrel.outputSet.contains(b) && rrel.outputSet.contains(a)) (Some(b), Some(a))
+                else (None, None)
+              for (x <- la; y <- rb) {
+                val (roots, key) =
+                  if (lroot <= rroot) ((lroot, rroot), s"${x.name}=${y.name}")
+                  else ((rroot, lroot), s"${y.name}=${x.name}")
+                byJoin.updateWith((roots, key)) {
+                  case Some(n) => Some(n + 1); case None => Some(1L)
+                }
+                out += ((roots._1, roots._2, key))
+              }
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
+    out.result()
+  }
+
+  final case class BucketingRec(
+      tableA: String, tableB: String, keys: String, timesSeen: Long,
+      bytesA: Long, bytesB: Long, nBuckets: Int) {
+    /** What ONE such join stops shuffling once both sides are bucketed:
+      * both inputs crossed the wire before, neither does after. */
+    def shuffleBytesSavedPerQuery: Long = bytesA + bytesB
+    def render: String =
+      f"bucket both on [$keys] into $nBuckets: $tableA%s (${bytesA}B) ⋈ $tableB%s " +
+        f"(${bytesB}B), seen $timesSeen×, ~${shuffleBytesSavedPerQuery}B shuffle saved/query"
+  }
+
+  /** Recommend bucket layouts: join pairs seen ≥ `minTimes` where BOTH
+    * sides exceed `minSideBytes` (below that, broadcasting the small side
+    * is strictly better than re-laying out either — say so by omission).
+    * `nBuckets` sizes buckets at ~`targetBucketBytes` of the LARGER side,
+    * rounded up to a power of two, floor 8 — a stable explicit number
+    * both writers must share. */
+  def recommendBucketing(
+      minTimes: Long = 2,
+      minSideBytes: Long = 10L * 1024 * 1024,
+      targetBucketBytes: Long = 256L * 1024 * 1024): Seq[BucketingRec] =
+    byJoin.toSeq.collect {
+      case (((a, b), keys), n)
+          if n >= minTimes &&
+            rootSize.getOrElse(a, 0L) > minSideBytes &&
+            rootSize.getOrElse(b, 0L) > minSideBytes =>
+        val big = math.max(rootSize(a), rootSize(b))
+        val raw = math.max(8L, (big + targetBucketBytes - 1) / targetBucketBytes)
+        val pow2 = Integer.highestOneBit(raw.min(Int.MaxValue >> 1).toInt) match {
+          case h if h.toLong == raw => h
+          case h => h << 1
+        }
+        BucketingRec(a, b, keys, n, rootSize(a), rootSize(b), pow2)
+    }.sortBy(r => (-r.timesSeen * r.shuffleBytesSavedPerQuery, r.tableA))
 
   // ---- plan walking ----------------------------------------------------
 

@@ -204,6 +204,35 @@ class BucketedJoinSpec extends SparkSuite {
     intercept[IllegalArgumentException](VersionedTable.bucketSkew(spark, plain))
   }
 
+  test("a claim over an unparseable file degrades to the unbucketed scan, never throws") {
+    val path = fresh()
+    VersionedTable.commitBucketed(rows(0 until 100, "x"), path, "id", 4)
+    // simulate a foreign file under the claim (manifest surgery): strip
+    // one file's bucket suffix on disk and in the version manifest
+    val vfile = new java.io.File(s"$path/_versions").listFiles()
+      .filter(_.getName.endsWith(".json")).minBy(_.getName)
+    val text = new String(java.nio.file.Files.readAllBytes(vfile.toPath), "UTF-8")
+    val suffixed = "_(\\d{5})\\.".r.findFirstIn(text)
+    assert(suffixed.isDefined, "fixture must have suffixed files")
+    val victim = "\"([^\"]+_\\d{5}[^\"]*)\"".r.findFirstMatchIn(text).get.group(1)
+    val renamed = victim.replaceAll("_\\d{5}", "")
+    assert(new java.io.File(s"$path/data/$victim")
+      .renameTo(new java.io.File(s"$path/data/$renamed")))
+    // crc sidecar would fail the checksum read after a content-preserving
+    // rename of the manifest; drop it (test-only surgery)
+    new java.io.File(s"$path/_versions/.${vfile.getName}.crc").delete()
+    java.nio.file.Files.write(vfile.toPath,
+      text.replace(victim, renamed).getBytes("UTF-8"))
+    // claim still present, but the scan must fall back rather than throw
+    assert(VersionedTable.bucketing(spark, path).contains(("id", 4)))
+    assert(VersionedTable.table(spark, path).count() == 100)
+    assert(VersionedTable.table(spark, path)
+      .queryExecution.sparkPlan.toString.contains("Bucketed: false") ||
+      !VersionedTable.table(spark, path)
+        .queryExecution.sparkPlan.toString.contains("Bucketed: true"),
+      "guarded scan must not claim bucketing over an unparseable file")
+  }
+
   test("a non-bucketed commit drops the claim; reads stay correct unbucketed") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 200, "x"), path, "id", 4)

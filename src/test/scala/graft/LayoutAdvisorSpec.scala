@@ -49,6 +49,37 @@ class LayoutAdvisorSpec extends SparkSuite {
     } finally LayoutAdvisor.clear()
   }
 
+  test("repeated big-big equi-joins earn a bucketing recommendation; small sides do not") {
+    val root = java.nio.file.Files.createTempDirectory("layout_bk").toString
+    val a = root + "/a"; val b = root + "/b"; val tiny = root + "/tiny"
+    spark.range(2000).selectExpr("id", "id * 2 AS va").write.parquet(a)
+    spark.range(1500).selectExpr("id", "id * 3 AS vb").write.parquet(b)
+    spark.range(10).selectExpr("id", "id AS vt").write.parquet(tiny)
+    LayoutAdvisor.clear()
+    try {
+      val ta = spark.read.parquet(a); val tb = spark.read.parquet(b)
+      val tt = spark.read.parquet(tiny)
+      // the repeated fact-to-fact join (3x) and a one-off (1x)
+      (1 to 3).foreach(_ => LayoutAdvisor.recordJoins(ta.join(tb, "id")))
+      LayoutAdvisor.recordJoins(ta.join(tt, "id"))
+      // threshold below the fixture sizes so the big-big pair qualifies
+      val recs = LayoutAdvisor.recommendBucketing(
+        minTimes = 2, minSideBytes = 1024, targetBucketBytes = 256L * 1024 * 1024)
+      assert(recs.size == 1, s"exactly the repeated big-big pair: $recs")
+      val r = recs.head
+      assert(r.keys == "id=id" && r.timesSeen == 3)
+      assert(Set(r.tableA, r.tableB).exists(_.endsWith("/a")) &&
+        Set(r.tableA, r.tableB).exists(_.endsWith("/b")))
+      assert(r.nBuckets == 8, "floor of 8 buckets for small fixtures")
+      assert(r.shuffleBytesSavedPerQuery == r.bytesA + r.bytesB)
+      // the tiny side never qualifies even when repeated: broadcast wins
+      (1 to 3).foreach(_ => LayoutAdvisor.recordJoins(ta.join(tt, "id")))
+      val recs2 = LayoutAdvisor.recommendBucketing(
+        minTimes = 2, minSideBytes = 10000) // above the 10-row table, below a/b
+      assert(recs2.size == 1, "small-side joins recommend by omission")
+    } finally LayoutAdvisor.clear()
+  }
+
   test("no z-order recommendation without a co-filtered pair") {
     val dir = java.nio.file.Files.createTempDirectory("layout_adv2").toString + "/t"
     spark.range(100).selectExpr("id", "id % 7 AS a", "id % 11 AS b")
