@@ -2407,13 +2407,42 @@ object VersionedTable {
     * require a non-empty file list) works uniformly from version 1.
     * Fails if the table already has commits. */
   def create(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): Long = {
+      schema: org.apache.spark.sql.types.StructType): Long =
+    create(spark, path, schema, None)
+
+  /** [[create]] with an optional BUCKET layout — the `CREATE TABLE ...
+    * CLUSTERED BY (key) INTO n BUCKETS` primitive: the empty table
+    * carries the claim from version 1, so the first `INSERT INTO`
+    * (routed bucketed by [[graft.sources.VtCatalog]]) and every later
+    * one keep it join-ready. The empty seed file is staged with a
+    * bucket-0 suffix so the claim's every-file-parses invariant holds
+    * from the start. */
+  def create(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketing: Option[(String, Int)]): Long = {
     require(versions(spark, path).isEmpty, s"table already exists at $path")
+    bucketing.foreach { case (k, n) =>
+      require(n >= 2, "nBuckets must be at least 2")
+      require(schema.fieldNames.contains(k), s"no column '$k' in the schema")
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), schema)
-    val (_, names) = stageData(empty, path)
+    val (commitId, staged) = stageData(empty, path)
+    val names = bucketing.fold(staged) { _ =>
+      val f = fs(spark, path)
+      staged.map { rel =>
+        val nm = rel.stripPrefix(s"$commitId/")
+        val dot = nm.indexOf('.')
+        val renamed = nm.substring(0, dot) + "_00000" + nm.substring(dot)
+        require(f.rename(
+          new Path(s"$path/data/$rel"),
+          new Path(s"$path/data/$commitId/$renamed")), s"rename $nm failed")
+        s"$commitId/$renamed"
+      }
+    }
     publish(spark, path, "create", names, carryForward = false,
-      dataSchema = Some(schema), requiredParent = Some(-1L)).get
+      dataSchema = Some(schema), requiredParent = Some(-1L),
+      bucketing = bucketing).get
   }
 
   /** Replace the table contents wholesale as a new version — `INSERT

@@ -130,11 +130,25 @@ class VtCatalog extends TableCatalog {
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft versioned tables cluster via statsCols/Z-order, not PARTITIONED BY")
+    // the one physical-layout DDL the engine accepts: CLUSTERED BY (key)
+    // INTO n BUCKETS — the table carries the bucket claim from v1, every
+    // INSERT routes through the bucketed writer, and co-bucketed joins
+    // plan exchange-free. Hive-style PARTITIONED BY still refuses: range
+    // and multi-dim clustering go through statsCols/Z-order instead.
+    val bucketing: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if org.apache.spark.sql.graft.bridge.bucketTransform(t)
+          .exists(_._2.length == 1) =>
+        org.apache.spark.sql.graft.bridge.bucketTransform(t)
+          .map { case (n, cols) => (cols.head, n) }
+      case _ => throw new UnsupportedOperationException(
+        "graft versioned tables take CLUSTERED BY (col) INTO n BUCKETS or no " +
+          "partitioning (range/multi-dim clustering goes via statsCols/Z-order, " +
+          "not PARTITIONED BY)")
+    }
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    VersionedTable.create(spark, path, schema)
+    VersionedTable.create(spark, path, schema, bucketing)
     new VtTable(path, ident.toString, None)
   }
 

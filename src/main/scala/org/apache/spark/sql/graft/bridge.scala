@@ -33,6 +33,17 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Decompose a DSv2 bucket transform (`CLUSTERED BY ... INTO n
+    * BUCKETS` arrives as one) — the extractor object is `private[sql]`. */
+  def bucketTransform(
+      t: org.apache.spark.sql.connector.expressions.Transform): Option[(Int, Seq[String])] =
+    t match {
+      case org.apache.spark.sql.connector.expressions.BucketTransform(n, cols, sorted)
+          if sorted.isEmpty =>
+        Some((n, cols.map(_.fieldNames.mkString("."))))
+      case _ => None
+    }
+
   /** Re-wrap a batch DataFrame as a STREAMING one (isStreaming=true) for
     * a v1 `Source.getBatch` return — the engine asserts the flag, and
     * `internalCreateDataFrame` over the plan's RDD is the standard v1

@@ -233,6 +233,35 @@ class BucketedJoinSpec extends SparkSuite {
       "guarded scan must not claim bucketing over an unparseable file")
   }
 
+  test("CREATE TABLE CLUSTERED BY INTO BUCKETS: the claim holds from v1 through SQL inserts") {
+    spark.conf.set("spark.sql.catalog.vtddl", classOf[graft.sources.VtCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("vt_ddl").toString
+    spark.conf.set("spark.sql.catalog.vtddl.warehouse", wh)
+    spark.sql(
+      "CREATE TABLE vtddl.orders (id BIGINT, v STRING) CLUSTERED BY (id) INTO 4 BUCKETS")
+    assert(VersionedTable.bucketing(spark, s"$wh/orders").contains(("id", 4)),
+      "the claim must exist from version 1")
+    spark.sql("INSERT INTO vtddl.orders SELECT id, concat('r_', id) FROM range(300)")
+    spark.sql("INSERT INTO vtddl.orders SELECT id + 300, concat('s_', id) FROM range(100)")
+    assert(VersionedTable.bucketing(spark, s"$wh/orders").contains(("id", 4)))
+    assert(VersionedTable.read(spark, s"$wh/orders").count() == 400)
+    // the DDL-created table joins exchange-free against a Scala-bucketed one
+    val other = fresh()
+    VersionedTable.commitBucketed(rows(0 until 200, "o"), other, "id", 4)
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = VersionedTable.table(spark, s"$wh/orders")
+        .join(VersionedTable.table(spark, other), "id")
+      assert(shuffles(j) == 0, "DDL-created bucketed table must be join-ready")
+      assert(j.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    // hive-style PARTITIONED BY still refuses with a pointed message
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE vtddl.bad (id BIGINT, d STRING) PARTITIONED BY (d)"))
+    assert(e.getMessage.contains("CLUSTERED BY"))
+  }
+
   test("a non-bucketed commit drops the claim; reads stay correct unbucketed") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 200, "x"), path, "id", 4)
