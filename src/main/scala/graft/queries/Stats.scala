@@ -1944,6 +1944,72 @@ object Stats {
            |       ROUND(CAST(s_all AS DOUBLE) / n, 6) AS raw_mean
            |FROM w ORDER BY arm""".stripMargin))
 
+  /** Q334 — standardized effect size between arms (Cohen's d with the
+    * Hedges small-sample correction): the tests in this family answer
+    * "is there a difference"; d answers "is it big enough to matter" —
+    * the number a launch review actually reads. d = (x̄₁ − x̄₀)/s_pooled
+    * with s²_pooled = ((n₁−1)s₁² + (n₀−1)s₀²)/(n₁+n₀−2), Hedges g =
+    * d·(1 − 3/(4(n₁+n₀)−9)). Everything closed-from-sums: one per-arm
+    * moment aggregation over per-user order value, two rows reduced to
+    * one. */
+  val q334 = QueryDef(
+    "q334_effect_size",
+    (s, d) => {
+      val pu = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("x"))
+        .select(
+          col("x"),
+          (conv(substring(md5(concat(lit("ab-v1:"), col("o_custkey").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).as("arm"))
+      val m = pu.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      val wide = m.agg(
+        sum(when(col("arm") === 1, col("n"))).as("n1"),
+        sum(when(col("arm") === 1, col("sx"))).as("s1"),
+        sum(when(col("arm") === 1, col("sxx"))).as("q1"),
+        sum(when(col("arm") === 0, col("n"))).as("n0"),
+        sum(when(col("arm") === 0, col("sx"))).as("s0"),
+        sum(when(col("arm") === 0, col("sxx"))).as("q0"))
+      val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+      val v0 = (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1)
+      val sp = sqrt(((col("n1") - 1) * v1 + (col("n0") - 1) * v0) /
+        (col("n1") + col("n0") - 2))
+      val dEff = (col("s1") / col("n1") - col("s0") / col("n0")) / sp
+      wide.select(
+        col("n1"), col("n0"),
+        (r6(dEff) + lit(0.0)).as("cohens_d"),
+        (r6(dEff * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n0")) - 9)))
+          + lit(0.0)).as("hedges_g"),
+        r6(sp).as("pooled_sd"))
+    },
+    Some("""WITH pu AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |                     CAST(o_custkey AS VARCHAR)), 1, 4)) AS INTEGER) % 2
+           |                     AS arm,
+           |                   SUM(o_totalprice) AS x
+           |            FROM orders GROUP BY o_custkey),
+           |     m AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+           |           FROM pu GROUP BY 1),
+           |     w AS (SELECT CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+           |                  SUM(CASE WHEN arm = 1 THEN sx END) AS s1,
+           |                  SUM(CASE WHEN arm = 1 THEN sxx END) AS q1,
+           |                  CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+           |                  SUM(CASE WHEN arm = 0 THEN sx END) AS s0,
+           |                  SUM(CASE WHEN arm = 0 THEN sxx END) AS q0
+           |           FROM m),
+           |     f AS (SELECT n1, n0,
+           |                  (s1 / n1 - s0 / n0)
+           |                  / SQRT(((n1 - 1) * ((q1 - s1*s1/n1) / (n1 - 1))
+           |                          + (n0 - 1) * ((q0 - s0*s0/n0) / (n0 - 1)))
+           |                         / (n1 + n0 - 2)) AS d,
+           |                  SQRT(((n1 - 1) * ((q1 - s1*s1/n1) / (n1 - 1))
+           |                        + (n0 - 1) * ((q0 - s0*s0/n0) / (n0 - 1)))
+           |                       / (n1 + n0 - 2)) AS sp
+           |           FROM w)
+           |SELECT n1, n0, ROUND(d, 6) + 0 AS cohens_d,
+           |       ROUND(d * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9)), 6) + 0 AS hedges_g,
+           |       ROUND(sp, 6) AS pooled_sd
+           |FROM f""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -2195,5 +2261,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333)
+      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334)
 }
