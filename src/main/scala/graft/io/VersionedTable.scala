@@ -863,6 +863,15 @@ object VersionedTable {
     require(!versions(spark, path).exists(v =>
         manifestFiles(spark, path, v).exists(staged.files.toSet)),
       s"staged commit ${staged.id} is already published at $path")
+    // the manifest check above cannot see a published stage whose
+    // referencing manifests have since AGED OUT (overwrite + retention —
+    // the 'published-expired' state SHOW STAGES reports); the adoption
+    // marker can. Re-adopting one would silently duplicate every row it
+    // carried the first time.
+    require(!isMarkedPublished(f, new Path(s"$path/data/${staged.id}")),
+      s"staged commit ${staged.id} was already published at $path (its referencing " +
+        "manifests have since expired) — re-publishing would duplicate its rows; " +
+        "VACUUM reclaims the expired stage")
     val df = readStaged(spark, path, staged)
     enforceChecks(spark, path, df)
     val (ranges, counts) =
@@ -905,6 +914,13 @@ object VersionedTable {
     require(!versions(spark, path).exists(v =>
         manifestFiles(spark, path, v).exists(staged.files.toSet)),
       s"staged commit ${staged.id} is already published at $path")
+    // same published-expired guard as [[publishStaged]]: the txn record
+    // that makes replays idempotent lives in the manifests and ages out
+    // WITH them, so the adoption marker is the only durable witness
+    require(!isMarkedPublished(f, new Path(s"$path/data/${staged.id}")),
+      s"staged commit ${staged.id} was already published at $path (its referencing " +
+        "manifests have since expired) — re-publishing would duplicate its rows; " +
+        "VACUUM reclaims the expired stage")
     val df = readStaged(spark, path, staged)
     enforceChecks(spark, path, df)
     val (ranges, counts) =
@@ -2440,9 +2456,15 @@ object VersionedTable {
         s"$commitId/$renamed"
       }
     }
+    // the seed file's row count (0) is recorded like any bucketed
+    // commit's: without it, the seed carries forward into every later
+    // bucketed manifest and [[bucketSkew]]'s "bucketed commits always
+    // record" invariant (and [[countRows]]'s no-scan path) would break
+    // on every CREATE-first table
     publish(spark, path, "create", names, carryForward = false,
       dataSchema = Some(schema), requiredParent = Some(-1L),
-      bucketing = bucketing).get
+      bucketing = bucketing,
+      newRowCounts = names.map(_ -> 0L).toMap).get
   }
 
   /** Replace the table contents wholesale as a new version — `INSERT

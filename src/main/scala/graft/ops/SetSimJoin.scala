@@ -89,6 +89,13 @@ object SetSimJoin {
         lit(1) + least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      // Candidate-pair cardinality rides the executed plan as an observed
+      // metric (surfaced by PlanMetrics → the bench "plan" map): this is
+      // the Θ(n²·p) number from the scaling envelope above, so a corpus
+      // drift toward the quadratic regime is attributable from the bench
+      // artifact alone. Pass-through for results; one name per query (the
+      // registry uses selfJoin at most once per query plan).
+      .observe("setsim", count(lit(1)).as("candidates"))
     // Verification is row-local: two candidate-sized joins pull the full
     // sorted element arrays, then array_intersect counts the EXACT
     // overlap — no (candidates × set-size) row explosion, no pair-keyed

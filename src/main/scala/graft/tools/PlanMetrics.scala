@@ -32,7 +32,14 @@ object PlanMetrics {
       outputRows: Long,
       shuffleBytesWritten: Long,
       shuffleRecordsWritten: Long,
-      spillBytes: Long)
+      spillBytes: Long,
+      /** `Dataset.observe` metrics the query declared on INTERIOR
+        * relations, flattened to `observationName.column -> value`.
+        * Operator-internal cardinalities (e.g. [[graft.ops.SetSimJoin]]'s
+        * candidate-pair count) live here — a corpus-shape drift toward a
+        * quadratic regime is attributable from the bench artifact alone,
+        * without re-profiling. Numeric columns only. */
+      observed: Map[String, Long] = Map.empty)
 
   /** Pre-order walk that descends through the AQE wrappers `collect`
     * cannot see past: AdaptiveSparkPlanExec holds its final plan out of
@@ -68,7 +75,20 @@ object PlanMetrics {
         .flatMap(_.metrics.get("numOutputRows")).getOrElse(0L),
       shuffleBytesWritten = total((_, k) => k == "shuffleBytesWritten"),
       shuffleRecordsWritten = total((_, k) => k == "shuffleRecordsWritten"),
-      spillBytes = total((_, k) => k == "spillSize"))
+      spillBytes = total((_, k) => k == "spillSize"),
+      observed = df.queryExecution.observedMetrics.toSeq.flatMap {
+        case (name, row) =>
+          row.schema.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+            if (row.isNullAt(i)) None
+            else row.get(i) match {
+              case l: Long  => Some(s"$name.${f.name}" -> l)
+              case n: Int   => Some(s"$name.${f.name}" -> n.toLong)
+              case s: Short => Some(s"$name.${f.name}" -> s.toLong)
+              case b: Byte  => Some(s"$name.${f.name}" -> b.toLong)
+              case _        => None
+            }
+          }
+      }.toMap)
   }
 
   def render(s: Summary): String = {

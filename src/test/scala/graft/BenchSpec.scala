@@ -2,9 +2,18 @@ package graft
 
 import graft.queries.QueryDef
 
-/** Bench integrity guard (VERDICT r1 item 2): a crashing headline query
-  * must FAIL the bench run — recorded as "error" with ok=false — never be
-  * swallowed into a ~0 s time that improves the total.
+/** Bench integrity guards:
+  *
+  *  - (VERDICT r1 item 2) a crashing headline query must FAIL the bench
+  *    run — recorded as "error" with ok=false — never be swallowed into
+  *    a ~0 s time that improves the total;
+  *  - (VERDICT r13 item 1) the bench emits TWO lines — detail first,
+  *    compact LAST — so a bounded TAIL capture of stdout always keeps the
+  *    round-over-round gate (`"metric":"shared_total"` + per-query
+  *    medians of the frozen shared set). In round 13 the plan-metrics map
+  *    pushed the timings out of the recorded artifact; the compact line
+  *    carries no plan map, and its size is asserted here against the
+  *    driver's 2,000-char tail window at the full shared-set width.
   */
 class BenchSpec extends SparkSuite {
 
@@ -18,31 +27,68 @@ class BenchSpec extends SparkSuite {
     (s, _) => s.read.parquet("/nonexistent/path/never.parquet"),
     None)
 
-  test("all-green bench reports ok=true and numeric times") {
-    val (line, ok) = Bench.run(spark, sf0001, Seq(good))
+  test("all-green bench reports ok=true and numeric times on both lines") {
+    val (detail, compact, ok) = Bench.run(spark, sf0001, Seq(good))
     assert(ok)
-    assert(line.contains("\"ok\":true"), line)
-    assert(!line.contains("\"error\""), line)
-    // shared_total LEADS the JSON (the round-over-round-comparable
-    // number); the growing full-set total rides behind with its size
-    assert(line.startsWith("{\"metric\":\"shared_total\""), line)
-    assert(line.contains("\"headline_n\":1"), line)
-    // deterministic plan metrics ride beside the median: a regression in a
-    // later round is attributable (files/shuffle moved vs pure wall noise)
-    assert(line.contains("\"plan\":{\"bench_good\":{\"files\":"), line)
-    assert(line.contains("\"shuffle_bytes\":"), line)
+    for (line <- Seq(detail, compact)) {
+      assert(line.contains("\"ok\":true"), line)
+      assert(!line.contains("\"error\""), line)
+      assert(line.contains("\"headline_n\":1"), line)
+    }
+    // the COMPACT line is the gate line: shared_total leads and it is
+    // the LAST printed (main prints detail then compact)
+    assert(compact.startsWith("{\"metric\":\"shared_total\""), compact)
+    assert(detail.startsWith("{\"metric\":\"bench_detail\""), detail)
+    // deterministic plan metrics ride the DETAIL line only: a regression
+    // in a later round is attributable (files/shuffle moved vs pure wall
+    // noise) without bloating the tail-captured gate line
+    assert(detail.contains("\"plan\":{\"bench_good\":{\"files\":"), detail)
+    assert(detail.contains("\"shuffle_bytes\":"), detail)
+    assert(!compact.contains("\"plan\""), compact)
   }
 
   test("a broken query records error and fails the bench") {
-    val (line, ok) = Bench.run(spark, sf0001, Seq(good, broken))
+    val (detail, compact, ok) = Bench.run(spark, sf0001, Seq(good, broken))
     assert(!ok)
-    assert(line.contains("\"bench_broken\":\"error\""), line)
-    assert(line.contains("\"ok\":false"), line)
-    // the good query still reports a real time
-    assert(line.contains("\"bench_good\":"), line)
-    assert(!line.contains("\"bench_good\":\"error\""), line)
+    for (line <- Seq(detail, compact)) {
+      assert(line.contains("\"bench_broken\":\"error\""), line)
+      assert(line.contains("\"ok\":false"), line)
+    }
+    // the good query still reports a real time on the detail line
+    assert(detail.contains("\"bench_good\":"), detail)
+    assert(!detail.contains("\"bench_good\":\"error\""), detail)
     // the broken query has no plan entry; the good one still does
-    assert(!line.contains("\"plan\":{\"bench_broken\""), line)
-    assert(line.contains("\"bench_good\":{\"files\":"), line)
+    assert(!detail.contains("\"plan\":{\"bench_broken\""), detail)
+    assert(detail.contains("\"bench_good\":{\"files\":"), detail)
+  }
+
+  test("compact line fits the driver's 2,000-char tail at full shared-set width") {
+    // Upper-bound simulation: every shared-set query present with a
+    // worst-case-width median (double with full precision), plus the
+    // fixed fields. Rather than run 16 real queries, budget-check the
+    // format arithmetic: name + median entry per shared query.
+    val perQuery = Bench.SharedSet.toSeq.map(n => s""""$n":0.123456789012345""")
+    val simulated =
+      s"""{"metric":"shared_total","value":12.345678901234567,"unit":"sec",""" +
+        s""""shared_n":16,"total":99.99999999999999,"headline_n":60,""" +
+        s""""queries":${perQuery.mkString("{", ",", "}")},"errors":{},""" +
+        s""""ok":true,"sf":"/root/testdata/sf0.1"}"""
+    assert(simulated.length < 1900, s"compact line ${simulated.length} chars")
+  }
+
+  test("observed metrics surface in the detail plan map") {
+    // a query carrying a Dataset.observe must land its counters under
+    // "observed" — this is how q211's candidate-pair cardinality stays
+    // visible in the bench artifact (VERDICT r13 item 8)
+    val observed = QueryDef(
+      "bench_observed",
+      (s, d) =>
+        graft.core.Tables.region(s, d)
+          .observe("probe", org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows_seen")),
+      None)
+    val (detail, _, ok) = Bench.run(spark, sf0001, Seq(observed))
+    assert(ok)
+    assert(detail.contains("\"observed\":{\"probe.rows_seen\":"), detail)
   }
 }
