@@ -655,12 +655,14 @@ object VersionedTable {
     * Layout discipline: the first bucketed commit must own the table
     * (empty path); later bucketed appends must match (key, n) exactly
     * — each append adds one file per bucket, and the bucketed read
-    * groups every bucket's files into one partition. ANY other commit
-    * path (plain append, delete, compact, overwrite) drops the claim in
-    * its manifest, and reads fall back to the always-correct unbucketed
-    * scan. DV-carrying tables keep the claim (the anti-join rides above
-    * the scan), but the join key ordering benefit applies to the scan
-    * output, not post-join state. */
+    * groups every bucket's files into one partition. [[deleteWhere]] and
+    * [[compact]] re-stage their rewritten files through the bucketed
+    * writer and KEEP the claim (one delete must not re-impose the full
+    * join shuffle on a 100 TB fact table); every other commit path
+    * (plain append, DV-adding ops, update, merge, overwrite) drops the
+    * claim in its manifest — a claimed table therefore never carries
+    * deletion vectors — and reads fall back to the always-correct
+    * unbucketed scan. */
   def commitBucketed(df: DataFrame, path: String, key: String, nBuckets: Int): Long = {
     val spark = df.sparkSession
     enforceChecks(spark, path, df)
@@ -1524,6 +1526,16 @@ object VersionedTable {
         .distinct().collect().map(_.getString(0)).toSet
       if (hitRel.isEmpty) return (current, 0L)
       val kept = rel.filterNot(hitRel)
+      // a claimed bucketing layout SURVIVES the delete: the rewrite
+      // touches only the files holding doomed rows, and their survivors
+      // re-stage through the bucketed writer (same key, same n — rows
+      // hash back to their original buckets), so one delete on a 100 TB
+      // bucketed fact table does NOT re-impose the full join shuffle
+      // until the next re-cluster. Untouched files keep their bucket
+      // suffixes; a claimed table has no DVs by construction (every
+      // DV-adding op drops the claim), so the DV prune below is a no-op
+      // under a claim.
+      val claim = bucketingOf(text)
       // rewritten files are staged under the CURRENT logical schema and
       // with active deletion vectors applied — a delete doubles as
       // physical migration for the files it touches. Persisted: the
@@ -1540,24 +1552,30 @@ object VersionedTable {
         val (removedCommit, removedNames) = stageData(doomed.filter(isDoomed), path) // CDF tombstones
         val deleted = spark.read.parquet(s"$path/data/$removedCommit").count()
         val survivors = doomed.filter(!isDoomed)
-        val (_, newNames) = stageData(survivors, path)
+        val newNames = claim match {
+          case Some((bk, bn)) => stageBucketed(survivors, path, bk, bn)
+          case None           => stageData(survivors, path)._2
+        }
         // all-rows-deleted guard: an empty survivors frame with live
         // partitions can stage zero part files, and an all-empty manifest
         // would make the table unreadable at HEAD — stage one explicit
         // empty-schema file so the latest version always reads (as empty).
         val newNames2 =
           if (kept.nonEmpty || newNames.nonEmpty) newNames
-          else {
-            val empty = spark.createDataFrame(
-              spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-              doomed.schema)
-            stageData(empty, path)._2
-          }
+          else stageEmptySeed(spark, path, doomed.schema, bucketSuffix = claim.isDefined)
         try {
+          // under a claim the new files' row counts are recorded like any
+          // bucketed commit's (zero-defaulted: an empty staged file never
+          // appears in the grouped count scan) — bucketSkew/countRows
+          // stay metadata-only across deletes
+          val newCounts =
+            if (claim.isEmpty) Map.empty[String, Long]
+            else newNames2.map(_ -> 0L).toMap ++ stagedCounts(spark, path, newNames2)
           val v = publish(spark, path, "delete", kept ++ newNames2, carryForward = false,
             requiredParent = Some(current), cdfFiles = removedNames,
             dvOverride = prunedDv(spark, path, text, kept),
-            addBloomFiles = rebloom(spark, path, text, newNames)).get
+            addBloomFiles = rebloom(spark, path, text, newNames),
+            bucketing = claim, newRowCounts = newCounts).get
           return (v, deleted)
         } catch {
           case e: ConcurrentCommitException =>
@@ -2441,10 +2459,33 @@ object VersionedTable {
       require(n >= 2, "nBuckets must be at least 2")
       require(schema.fieldNames.contains(k), s"no column '$k' in the schema")
     }
+    val names = stageEmptySeed(spark, path, schema, bucketSuffix = bucketing.isDefined)
+    // the seed file's row count (0) is recorded like any bucketed
+    // commit's: without it, the seed carries forward into every later
+    // bucketed manifest and [[bucketSkew]]'s "bucketed commits always
+    // record" invariant (and [[countRows]]'s no-scan path) would break
+    // on every CREATE-first table
+    publish(spark, path, "create", names, carryForward = false,
+      dataSchema = Some(schema), requiredParent = Some(-1L),
+      bucketing = bucketing,
+      newRowCounts = names.map(_ -> 0L).toMap).get
+  }
+
+  /** Stage one explicit EMPTY data file under a fresh commit dir — the
+    * all-rows-gone guard shared by [[create]] and [[deleteWhere]]: every
+    * read path requires a non-empty file list, so the latest version
+    * must always carry at least one (possibly empty) file. With
+    * `bucketSuffix` the file is renamed with the bucket-0 suffix so a
+    * carried bucketing claim's every-file-parses invariant holds. */
+  private def stageEmptySeed(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketSuffix: Boolean): Seq[String] = {
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), schema)
     val (commitId, staged) = stageData(empty, path)
-    val names = bucketing.fold(staged) { _ =>
+    if (!bucketSuffix) staged
+    else {
       val f = fs(spark, path)
       staged.map { rel =>
         val nm = rel.stripPrefix(s"$commitId/")
@@ -2456,15 +2497,6 @@ object VersionedTable {
         s"$commitId/$renamed"
       }
     }
-    // the seed file's row count (0) is recorded like any bucketed
-    // commit's: without it, the seed carries forward into every later
-    // bucketed manifest and [[bucketSkew]]'s "bucketed commits always
-    // record" invariant (and [[countRows]]'s no-scan path) would break
-    // on every CREATE-first table
-    publish(spark, path, "create", names, carryForward = false,
-      dataSchema = Some(schema), requiredParent = Some(-1L),
-      bucketing = bucketing,
-      newRowCounts = names.map(_ -> 0L).toMap).get
   }
 
   /** Replace the table contents wholesale as a new version — `INSERT
@@ -3045,20 +3077,44 @@ object VersionedTable {
       // ([[graft.functions.InterleaveBitsN]]) so EVERY recorded column's
       // per-file ranges tighten at once — the OPTIMIZE ZORDER BY shape for
       // tables probed on multiple independent dimensions.
-      val packed =
-        if (zOrder && statsCols.size >= 2) {
-          val z = "__graft_z"
-          df.withColumn(z, graft.functions.InterleaveBitsN(
-              statsCols.map(c => col(c).cast("long"))))
-            .repartitionByRange(nOut, col(z))
-            .sortWithinPartitions(z)
-            .drop(z)
-        } else if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
-        else df.repartition(nOut)
-      val (commitId, names) = stageData(packed, path)
+      // a claimed bucketing layout SURVIVES compaction: placement is
+      // hash-determined (same key, same n), so repacked rows go back
+      // through the bucketed writer and the claim — and its shuffle-free
+      // joins — outlive maintenance; range/z-order re-clustering does not
+      // apply under a claim (the bucket layout IS the layout; rows still
+      // sort by the key within each bucket). [[compactBucketed]] remains
+      // the stronger op that restores the one-file-per-bucket SORT claim.
+      val claim = bucketingOf(text)
+      val (commitId, names) = claim match {
+        case Some((bk, bn)) =>
+          // zero staged files (all-empty smalls) degrades to one suffixed
+          // empty seed so the manifest never goes file-less at HEAD
+          val ns0 = stageBucketed(df, path, bk, bn)
+          val ns =
+            if (ns0.nonEmpty) ns0
+            else stageEmptySeed(spark, path, df.schema, bucketSuffix = true)
+          (ns.head.takeWhile(_ != '/'), ns)
+        case None =>
+          val packed =
+            if (zOrder && statsCols.size >= 2) {
+              val z = "__graft_z"
+              df.withColumn(z, graft.functions.InterleaveBitsN(
+                  statsCols.map(c => col(c).cast("long"))))
+                .repartitionByRange(nOut, col(z))
+                .sortWithinPartitions(z)
+                .drop(z)
+            } else if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
+            else df.repartition(nOut)
+          stageData(packed, path)
+      }
       val (ranges, newCounts) =
-        if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
-        else rangesOf(packed, path, commitId, statsCols)
+        if (statsCols.isEmpty)
+          (Map.empty[(String, String), (Long, Long)],
+            // claimed tables keep full count coverage even without stats
+            // columns (bucketSkew/countRows stay metadata-only)
+            if (claim.isEmpty) Map.empty[String, Long]
+            else names.map(_ -> 0L).toMap ++ stagedCounts(spark, path, names))
+        else rangesOf(df, path, commitId, statsCols)
       // repacked files get fresh blooms; the whole sidecar set is
       // consolidated to live rows (compaction = bloom maintenance too)
       val newBlooms = rebloom(spark, path, text, names)
@@ -3067,7 +3123,7 @@ object VersionedTable {
         // full per-file count coverage even after stats-free appends
         val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
           newRanges = ranges, statsCols = statsCols, requiredParent = Some(current),
-          newRowCounts = counts ++ newCounts,
+          newRowCounts = counts ++ newCounts, bucketing = claim,
           dvOverride = prunedDv(spark, path, text, keep),
           bloomOverride = prunedBlooms(spark, path, text, keep, newBlooms)).get
         return (v, small.size.toLong)

@@ -2607,8 +2607,81 @@ object Relational {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Q335 — the bucketing claim SURVIVES table maintenance
+    * ([[graft.io.VersionedTable.deleteWhere]]/[[graft.io.VersionedTable.compact]]
+    * re-stage rewritten files through the bucketed writer, r14): two
+    * bucketed appends, a predicate delete, and a small-file compaction
+    * later, the fact-to-fact join STILL plans with zero exchanges —
+    * REQUIREd on the executed plan with broadcast disabled. Without
+    * claim preservation, one routine delete on a 100 TB bucketed fact
+    * table silently re-imposes the full join shuffle on every
+    * subsequent query until a manual re-bucket. The oracle replays
+    * join + rollup from the raw fixtures with the delete as a WHERE
+    * clause — any survivor row lost or duplicated by the bucketed
+    * rewrite hash-fails. */
+  val q335 = QueryDef(
+    "q335_bucketed_maintenance_join",
+    (s, d) => {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = Scratch.dir("q335")
+      val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = root + "/li"; val ord = root + "/ord"
+        val liRows = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        // two bucketed appends → >1 file per bucket → compact has work
+        graft.io.VersionedTable.commitBucketed(
+          liRows.filter(col("l_orderkey") % 2 === 0), li, "l_orderkey", 16)
+        graft.io.VersionedTable.commitBucketed(
+          liRows.filter(col("l_orderkey") % 2 =!= 0), li, "l_orderkey", 16)
+        graft.io.VersionedTable.commitBucketed(
+          Tables.orders(s, d).select(
+            col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          ord, "l_orderkey", 16)
+        // maintenance: delete the high-discount rows, then repack — the
+        // claim must survive BOTH rewrites
+        graft.io.VersionedTable.deleteWhere(s, li, col("l_discount") > 0.05)
+        graft.io.VersionedTable.compact(s, li, targetRowsPerFile = 10000000L)
+        require(graft.io.VersionedTable.bucketing(s, li).contains(("l_orderkey", 16)),
+          "maintenance dropped the bucketing claim")
+        val joined = graft.io.VersionedTable.table(s, li)
+          .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
+        joined.write.format("noop").mode("overwrite").save()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val nShuffles = walk(joined.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"post-maintenance co-bucketed join must plan exchange-free, got $nShuffles:\n" +
+            joined.queryExecution.executedPlan)
+        joined
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+              .as("rev_mm"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4)
+           |         AS rev_mm
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE NOT (l_discount > 0.05)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295, q319, q325,
+    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

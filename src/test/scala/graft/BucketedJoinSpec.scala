@@ -273,4 +273,88 @@ class BucketedJoinSpec extends SparkSuite {
     // time travel to the bucketed version still reports the claim
     assert(VersionedTable.bucketing(spark, path, Some(1L)).contains(("id", 4)))
   }
+
+  test("deleteWhere preserves the claim: the post-delete co-bucketed join plans zero exchanges") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 1000, "a"), a, "id", 8)
+    VersionedTable.commitBucketed(rows(0 until 1000, "b"), b, "id", 8)
+    // delete rewrites only the files holding doomed keys; survivors go
+    // back through the bucketed writer so the claim — and the
+    // shuffle-free join — survives (VERDICT r13 item 2: one delete must
+    // not re-impose the full join shuffle on a bucketed fact table)
+    val (_, deleted) = VersionedTable.deleteWhere(spark, a, col("id") < 100L)
+    assert(deleted == 100L)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 8)),
+      "deleteWhere must keep the bucketing claim")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a).as("a")
+        .join(VersionedTable.table(spark, b).as("b"), "id")
+        .select(col("id"), col("a.v").as("va"), col("b.v").as("vb"))
+      assert(shuffles(joined) == 0,
+        s"post-delete co-bucketed join must plan with zero exchanges:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 900)
+      // rows exact: the deleted keys are gone, every survivor intact
+      assert(VersionedTable.read(spark, a).count() == 900)
+      assert(VersionedTable.read(spark, a).agg(min(col("id"))).head.getLong(0) == 100L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    // bucket accounting stays metadata-only after the rewrite (every
+    // manifest file carries a recorded count)
+    val (perBucket, _) = VersionedTable.bucketSkew(spark, a)
+    assert(perBucket.values.sum == 900L)
+  }
+
+  test("compact preserves the claim; repacked rows land back in their buckets") {
+    val a = fresh(); val b = fresh()
+    // several small bucketed appends → many small per-bucket files
+    (0 until 4).foreach { k =>
+      VersionedTable.commitBucketed(rows(k * 100 until (k + 1) * 100, "a"), a, "id", 4)
+    }
+    VersionedTable.commitBucketed(rows(0 until 400, "b"), b, "id", 4)
+    val (_, rewritten) = VersionedTable.compact(spark, a, targetRowsPerFile = 1000L)
+    assert(rewritten > 0, "small per-bucket files must be compaction candidates")
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "compact must keep the bucketing claim")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a)
+        .join(VersionedTable.table(spark, b), "id")
+      assert(shuffles(joined) == 0,
+        s"post-compact co-bucketed join must plan with zero exchanges:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 400)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    val (perBucket, _) = VersionedTable.bucketSkew(spark, a)
+    assert(perBucket.values.sum == 400L)
+  }
+
+  test("delete-everything on a claimed table keeps the table readable and claimed") {
+    val a = fresh()
+    VersionedTable.commitBucketed(rows(0 until 50, "a"), a, "id", 4)
+    val (_, deleted) = VersionedTable.deleteWhere(spark, a, lit(true))
+    assert(deleted == 50L)
+    assert(VersionedTable.read(spark, a).count() == 0)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "the empty seed is bucket-suffixed, so the claim holds")
+    // and a fresh bucketed append keeps working against the kept layout
+    VersionedTable.commitBucketed(rows(0 until 10, "z"), a, "id", 4)
+    assert(VersionedTable.read(spark, a).count() == 10)
+  }
+
+  test("CREATE-first bucketed table: bucketSkew and countRows stay metadata-only") {
+    val a = fresh()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    VersionedTable.create(spark, a, schema, Some(("id", 4)))
+    // the seed file's zero count is recorded at create (ADVICE r13): the
+    // skew probe must not error on a CREATE-first table
+    val (empty, ratio) = VersionedTable.bucketSkew(spark, a)
+    assert(empty.values.sum == 0L && ratio == 0.0)
+    VersionedTable.commitBucketed(rows(0 until 100, "a"), a, "id", 4)
+    val (perBucket, _) = VersionedTable.bucketSkew(spark, a)
+    assert(perBucket.values.sum == 100L)
+    assert(VersionedTable.countRows(spark, a) == 100L)
+  }
 }
