@@ -184,6 +184,163 @@ object Survival {
       .toDF("n_times", "beta", "hazard_ratio", "se", "wald_chi2")
   }
 
+  /** MULTI-covariate Cox proportional hazards (Breslow ties, matrix
+    * Newton-Raphson) — the general form [[coxTwoGroup]] special-cases:
+    * hazard h(t|x) = h₀(t)·e^{βᵀx} with p arbitrary (binary OR
+    * continuous) covariates fit jointly, so each hazard ratio is
+    * ADJUSTED for the others — the question "does the treatment arm
+    * still convert faster once activity level is controlled for" that
+    * no sequence of two-group fits can answer.
+    *
+    * Scale shape: each Newton iteration is ONE keyed aggregation over
+    * the persisted subject frame — per distinct observed time u, the
+    * leaving-mass sums a0(u)=Σ_{T=u} w, a1_k(u)=Σ x_k w,
+    * a2_kl(u)=Σ x_k x_l w with w=e^{βᵀx}, plus the β-independent event
+    * sums (d, Σ_event x_k). Risk-set sums then come from a DESCENDING
+    * cumulative over the collected calendar-bounded grid (R_t = all
+    * subjects leaving at u ≥ t), never from a times×subjects join: the
+    * data-sized work per iteration is one hash aggregate, the driver
+    * holds grid-sized state only (`maxTimes`-capped, the
+    * declared-judgement refusal discipline), and the p×p solve is
+    * driver-side Gaussian elimination. Fixed `iters` steps from β = 0 —
+    * deterministic, quadratically convergent, oracle-replayable.
+    *
+    * Returns one row per covariate: (covariate, n_times, beta,
+    * hazard_ratio, se, wald_chi2) with se from the inverse information
+    * at the final β. */
+  def coxPH(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      iters: Int = 8, maxTimes: Int = 100000): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val p = xCols.length
+    require(p >= 1, "coxPH needs at least one covariate")
+    val subj = subjects.select(
+      col(tCol).cast("long").as("t") +:
+        col(eventCol).cast("int").as("ev") +:
+        xCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"x$i") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = (for { k <- 0 until p; l <- k until p } yield (k, l)).toArray
+      // one aggregation pass at the current β: per observed time, the
+      // event sums and the e^{βᵀx}-weighted leaving-mass moments
+      def gridAt(beta: Array[Double])
+          : Array[(Long, Long, Array[Double], Double, Array[Double], Array[Double])] = {
+        val wExpr = exp((0 until p).map(i => col(s"x$i") * lit(beta(i)))
+          .reduce(_ + _))
+        val aggs =
+          sum(col("ev")).cast("long").as("d") +: (
+            (0 until p).map(k =>
+              sum(when(col("ev") === 1, col(s"x$k")).otherwise(lit(0.0))).as(s"sx$k")) ++
+            Seq(sum(col("w")).as("a0")) ++
+            (0 until p).map(k => sum(col(s"x$k") * col("w")).as(s"a1_$k")) ++
+            pairs.toSeq.map { case (k, l) =>
+              sum(col(s"x$k") * col(s"x$l") * col("w")).as(s"a2_${k}_$l")
+            })
+        val rows = subj.withColumn("w", wExpr)
+          .groupBy("t").agg(aggs.head, aggs.tail: _*)
+          .collect()
+        require(rows.length <= maxTimes,
+          s"cox grid has ${rows.length} observed times > maxTimes=$maxTimes — the " +
+            "driver solve is bounded by declared judgement; coarsen the duration " +
+            "unit or raise the cap knowingly")
+        rows.map { r =>
+          (r.getLong(0), r.getLong(1),
+            Array.tabulate(p)(k => r.getDouble(2 + k)),
+            r.getDouble(2 + p),
+            Array.tabulate(p)(k => r.getDouble(3 + p + k)),
+            Array.tabulate(pairs.length)(i => r.getDouble(3 + 2 * p + i)))
+        }.sortBy(-_._1) // descending: the cumulative IS the risk-set sum
+      }
+      // score U and information I at β from one grid pass
+      def scoreInfo(grid: Array[(Long, Long, Array[Double], Double, Array[Double], Array[Double])])
+          : (Array[Double], Array[Array[Double]], Long) = {
+        val u = Array.fill(p)(0.0)
+        val inf = Array.fill(p, p)(0.0)
+        var s0 = 0.0
+        val s1 = Array.fill(p)(0.0)
+        val s2 = Array.fill(pairs.length)(0.0)
+        var nTimes = 0L
+        grid.foreach { case (_, d, sx, a0, a1, a2) =>
+          s0 += a0
+          var k = 0; while (k < p) { s1(k) += a1(k); k += 1 }
+          var i = 0; while (i < pairs.length) { s2(i) += a2(i); i += 1 }
+          if (d > 0) {
+            nTimes += 1
+            var kk = 0
+            while (kk < p) { u(kk) += sx(kk) - d * s1(kk) / s0; kk += 1 }
+            var ii = 0
+            while (ii < pairs.length) {
+              val (k1, l1) = pairs(ii)
+              val v = d * (s2(ii) / s0 - s1(k1) * s1(l1) / (s0 * s0))
+              inf(k1)(l1) += v
+              if (k1 != l1) inf(l1)(k1) += v
+              ii += 1
+            }
+          }
+        }
+        (u, inf, nTimes)
+      }
+      // driver-side p×p solve: Gaussian elimination with partial
+      // pivoting (p is the covariate count — single digits)
+      def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+        val n = b0.length
+        val a = a0.map(_.clone()); val b = b0.clone()
+        var c = 0
+        while (c < n) {
+          var piv = c
+          var r = c + 1
+          while (r < n) { if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r; r += 1 }
+          require(math.abs(a(piv)(c)) > 1e-300,
+            "singular information matrix — collinear covariates?")
+          val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+          val tb = b(c); b(c) = b(piv); b(piv) = tb
+          var r2 = c + 1
+          while (r2 < n) {
+            val m = a(r2)(c) / a(c)(c)
+            var cc = c
+            while (cc < n) { a(r2)(cc) -= m * a(c)(cc); cc += 1 }
+            b(r2) -= m * b(c)
+            r2 += 1
+          }
+          c += 1
+        }
+        val x = Array.fill(n)(0.0)
+        var r3 = n - 1
+        while (r3 >= 0) {
+          var s = b(r3)
+          var cc = r3 + 1
+          while (cc < n) { s -= a(r3)(cc) * x(cc); cc += 1 }
+          x(r3) = s / a(r3)(r3)
+          r3 -= 1
+        }
+        x
+      }
+      def inverse(a: Array[Array[Double]]): Array[Array[Double]] = {
+        val n = a.length
+        val cols = (0 until n).map { j =>
+          solve(a, Array.tabulate(n)(i => if (i == j) 1.0 else 0.0))
+        }
+        Array.tabulate(n, n)((i, j) => cols(j)(i))
+      }
+      val beta = Array.fill(p)(0.0)
+      for (_ <- 1 to iters) {
+        val (u, inf, _) = scoreInfo(gridAt(beta))
+        val step = solve(inf, u)
+        var k = 0; while (k < p) { beta(k) += step(k); k += 1 }
+      }
+      // SE and Wald from the information AT the final β (what an oracle
+      // replay computes), not at the last pre-update point
+      val (_, infFinal, nTimes) = scoreInfo(gridAt(beta))
+      val cov = inverse(infFinal)
+      (0 until p).map { k =>
+        val se = math.sqrt(cov(k)(k))
+        (xCols(k), nTimes, beta(k), math.exp(beta(k)), se,
+          beta(k) * beta(k) / cov(k)(k))
+      }.toDF("covariate", "n_times", "beta", "hazard_ratio", "se", "wald_chi2")
+    } finally subj.unpersist()
+  }
+
   /** Aalen-Johansen cumulative incidence for TWO competing causes —
     * "what fraction has CONVERTED by day t vs CHURNED by day t" when
     * each subject can only do one first. 1 − KM treats the competing

@@ -162,6 +162,47 @@ class SurvivalSpec extends SparkSuite {
     }
   }
 
+  test("coxPH with one binary covariate reproduces coxTwoGroup exactly") {
+    // the matrix Newton must special-case to the scalar fit: same grid,
+    // same Breslow handling, same 8 steps from beta = 0
+    val subjects = (1L to 300L).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val t = (i % 17) + (if (g == "a") 2 else 0)
+      val e = if (i % 3 == 0) 0 else 1
+      (g, t, e, if (g == "a") 1.0 else 0.0)
+    }.toDF("g", "t", "e", "x")
+    val two = Survival.coxTwoGroup(subjects, "g", "t", "e", focal = "a")
+      .select("beta", "se", "wald_chi2").head
+    val multi = Survival.coxPH(subjects, Seq("x"), "t", "e")
+      .select("beta", "se", "wald_chi2").head
+    assert(math.abs(two.getDouble(0) - multi.getDouble(0)) < 1e-9,
+      s"beta: two-group ${two.getDouble(0)} vs matrix ${multi.getDouble(0)}")
+    assert(math.abs(two.getDouble(1) - multi.getDouble(1)) < 1e-9)
+    assert(math.abs(two.getDouble(2) - multi.getDouble(2)) < 1e-9)
+  }
+
+  test("coxPH: two covariates recover signs on a constructed effect; collinear input refuses") {
+    // x1 strongly accelerates events (smaller t), x2 is pure noise
+    val rnd = new scala.util.Random(7)
+    val subjects = (1 to 500).map { _ =>
+      val x1 = if (rnd.nextBoolean()) 1.0 else 0.0
+      val x2 = rnd.nextDouble()
+      val base = 5.0 + 10.0 * rnd.nextDouble()
+      val t = math.max(1L, (base * (if (x1 > 0) 0.4 else 1.0)).toLong)
+      (t, 1, x1, x2)
+    }.toDF("t", "e", "x1", "x2")
+    val fit = Survival.coxPH(subjects, Seq("x1", "x2"), "t", "e")
+      .orderBy("covariate").collect()
+    val b1 = fit.find(_.getString(0) == "x1").get.getDouble(2)
+    assert(b1 > 0.5, s"accelerating covariate must fit a positive log-hazard, got $b1")
+    assert(fit.forall(r => r.getDouble(4) > 0.0), "SEs must be positive")
+    // perfectly collinear covariates make the information singular
+    val dup = subjects.withColumn("x3", org.apache.spark.sql.functions.col("x1"))
+    val e = intercept[IllegalArgumentException](
+      Survival.coxPH(dup, Seq("x1", "x3"), "t", "e").collect())
+    assert(e.getMessage.contains("singular"))
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
