@@ -86,6 +86,96 @@ object AdvisorLoop {
     }
   }
 
+  /** A two-table join workload for [[measureBucketing]]: each builder
+    * takes BOTH table paths so the same queries replay against the
+    * original pair and the bucketed pair. */
+  type JoinWorkload = Seq[(String, (String, String) => DataFrame)]
+
+  final case class BucketingReport(
+      rec: Option[LayoutAdvisor.BucketingRec],
+      deltas: Seq[QueryDelta]) {
+    def render: String = rec match {
+      case None => "== bucketing: no join pair cleared the gates =="
+      case Some(r) =>
+        s"== bucketing applied ==\n${r.render}\n" + deltas.map(_.render).mkString("\n")
+    }
+    def toJson: String = {
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      def summary(s: PlanMetrics.Summary) =
+        s"""{"files_read":${s.filesRead},"bytes_read":${s.bytesRead},""" +
+          s""""output_rows":${s.outputRows},"shuffle_bytes":${s.shuffleBytesWritten},""" +
+          s""""shuffle_records":${s.shuffleRecordsWritten},"spill_bytes":${s.spillBytes}}"""
+      val r = rec.map(r =>
+        s"""{"table_a":"${esc(r.tableA)}","table_b":"${esc(r.tableB)}",""" +
+          s""""keys":"${esc(r.keys)}","times_seen":${r.timesSeen},""" +
+          s""""n_buckets":${r.nBuckets}}""").getOrElse("null")
+      val ds = deltas.map(d =>
+        s"""{"query":"${esc(d.name)}","before":${summary(d.before)},""" +
+          s""""after":${summary(d.after)}}""").mkString("[", ",", "]")
+      s"""{"bucketing":{"recommendation":$r,"deltas":$ds}}"""
+    }
+  }
+
+  /** Apply a [[LayoutAdvisor.BucketingRec]]: rewrite both sides into NEW
+    * versioned tables bucketed on the recommended join keys with the
+    * recommended (shared) bucket count — the one write-time shuffle each
+    * that every later join on the key stops paying. The rec's key pair
+    * is matched to the sides by table identity, so `a.k1 = b.k2` buckets
+    * each table on ITS OWN column. */
+  def applyBucketing(
+      spark: SparkSession, fromA: String, fromB: String,
+      toA: String, toB: String, rec: LayoutAdvisor.BucketingRec): Unit = {
+    val parts = rec.keys.split("=", 2)
+    require(parts.length == 2, s"unparseable key pair: ${rec.keys}")
+    val (keyForA, keyForB) =
+      if (matchesTable(rec.tableA, fromA)) (parts(0), parts(1)) else (parts(1), parts(0))
+    VersionedTable.commitBucketed(
+      VersionedTable.read(spark, fromA), toA, keyForA, rec.nBuckets)
+    VersionedTable.commitBucketed(
+      VersionedTable.read(spark, fromB), toB, keyForB, rec.nBuckets)
+  }
+
+  /** The bucketing advisor's measurement loop — the shuffle-lever
+    * counterpart of [[measure]] (VERDICT r13 item 4): replay the join
+    * workload against (pathA, pathB) recording the joins, apply the top
+    * recommendation matching the pair into `scratchDir`, replay against
+    * the bucketed pair, and report per-query [[PlanMetrics]] deltas.
+    * shuffle_bytes is the number this lever moves — a co-bucketed join
+    * plans with zero exchanges, so a recommendation that doesn't zero it
+    * is rejected by its own report before anyone rewrites 100 TB. The
+    * gates are parameterized so fixture-scale specs can exercise the
+    * loop below the production 10 MB side floor. */
+  def measureBucketing(
+      spark: SparkSession, pathA: String, pathB: String, scratchDir: String,
+      workload: JoinWorkload,
+      minTimes: Long = 2, minSideBytes: Long = 10L * 1024 * 1024): BucketingReport = {
+    LayoutAdvisor.clear()
+    try {
+      val before = workload.map { case (n, mk) =>
+        val df = mk(pathA, pathB)
+        LayoutAdvisor.recordJoins(df)
+        n -> PlanMetrics.run(df)
+      }.toMap
+      val rec = LayoutAdvisor.recommendBucketing(minTimes, minSideBytes)
+        .find(r =>
+          (matchesTable(r.tableA, pathA) && matchesTable(r.tableB, pathB)) ||
+            (matchesTable(r.tableA, pathB) && matchesTable(r.tableB, pathA)))
+      val deltas = rec.map { r =>
+        val toA = s"$scratchDir/bucket_a"; val toB = s"$scratchDir/bucket_b"
+        applyBucketing(spark, pathA, pathB, toA, toB, r)
+        workload.map { case (n, mk) =>
+          QueryDelta(n, before(n), PlanMetrics.run(mk(toA, toB)))
+        }
+      }.getOrElse(Seq.empty)
+      BucketingReport(rec, deltas)
+    } finally LayoutAdvisor.clear()
+  }
+
   /** Rewrite `from`'s current contents into a NEW versioned table at `to`
     * following the recommendation: clustered by the Z-order keys when
     * recommended (each output file covers a sub-volume of the key space)

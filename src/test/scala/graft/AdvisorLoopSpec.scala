@@ -75,4 +75,64 @@ class AdvisorLoopSpec extends SparkSuite {
       "filter(layout.deltas, d -> d.query = 'point')[0].after.files_read").collect()(0)
     assert(pointBefore.getLong(0) == 8L && pointBefore.getLong(1) < 8L)
   }
+
+  test("bucketing rec measured end-to-end: exchanges drop to zero, rows identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("advbucket").toString
+    val fact = tmp + "/fact"; val dim = tmp + "/other"
+    VersionedTable.commitAppend(
+      spark.range(2000).select(col("id").as("fk"), (col("id") * 3.0).as("v")), fact)
+    VersionedTable.commitAppend(
+      spark.range(1500).select(col("id").as("k"), (col("id") % 7).cast("string").as("c")),
+      dim)
+
+    def t(p: String) = VersionedTable.table(spark, p)
+    // the same fact⋈other shape twice (different downstream) → the
+    // advisor's minTimes=2 repeat gate clears
+    val workload: AdvisorLoop.JoinWorkload = Seq(
+      "join_count" -> ((a, b) => {
+        val fa = t(a); val fb = t(b)
+        fa.join(fb, fa("fk") === fb("k")).groupBy("c").agg(count(lit(1)).as("n"))
+      }),
+      "join_sum" -> ((a, b) => {
+        val fa = t(a); val fb = t(b)
+        fa.join(fb, fa("fk") === fb("k")).agg(sum("v").as("s"))
+      }))
+
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ: the shuffle is visible
+    try {
+      val rep = AdvisorLoop.measureBucketing(
+        spark, fact, dim, tmp + "/scratch", workload, minSideBytes = 0L)
+      // the advisor recommended THIS pair on THIS key
+      assert(rep.rec.exists(_.keys == "fk=k"), rep.render)
+      assert(rep.rec.exists(_.timesSeen == 2), rep.render)
+      assert(rep.deltas.size == workload.size)
+      rep.deltas.foreach { d =>
+        // before: both sides crossed the wire; after: the join itself is
+        // exchange-free (the only shuffles left are the tiny final aggs)
+        assert(d.before.shuffleBytesWritten > 0, d.render)
+        assert(d.after.shuffleBytesWritten < d.before.shuffleBytesWritten, d.render)
+        assert(d.after.outputRows == d.before.outputRows, d.render)
+      }
+      // strongest form on the raw join: re-plan against the bucketed pair
+      // and count exchanges on the executed plan — ZERO
+      val ba = tmp + "/scratch/bucket_a"; val bb = tmp + "/scratch/bucket_b"
+      val fba = t(ba); val fbb = t(bb)
+      val joined = fba.join(fbb, fba("fk") === fbb("k"))
+      val m = graft.tools.PlanMetrics.run(joined)
+      assert(m.shuffleBytesWritten == 0 && m.shuffleRecordsWritten == 0,
+        s"co-bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      assert(!m.nodes.exists(_.node.contains("Exchange")),
+        s"no exchange of any kind expected:\n${m.nodes.map(_.node).mkString(", ")}")
+      assert(joined.count() == 1500)
+      // JSON artifact parses and carries the rec + deltas
+      val parsed = spark.read.json(Seq(rep.toJson).toDS)
+      assert(!parsed.columns.contains("_corrupt_record"), rep.toJson)
+      val row = parsed.selectExpr(
+        "bucketing.recommendation.keys", "bucketing.recommendation.n_buckets",
+        "size(bucketing.deltas)").collect()(0)
+      assert(row.getString(0) == "fk=k" && row.getLong(1) >= 8L && row.getInt(2) == 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+  }
 }
