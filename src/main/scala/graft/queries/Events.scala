@@ -1927,39 +1927,15 @@ object Events {
     * so the 20+-step trajectories agree bit-for-bit before ROUND(6). */
   val q332 = QueryDef(
     "q332_holt_winters",
-    (s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      daily.groupBy("event_type")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(day, cnt))), e -> CAST(e.cnt AS DOUBLE))")
-          .as("xs"))
-        .filter(size(col("xs")) >= 15)
-        .withColumn("l0",
-          expr("aggregate(slice(xs, 1, 7), 0.0D, (a, v) -> a + v) / 7.0"))
-        .withColumn("b0", expr(
-          "(aggregate(slice(xs, 8, 7), 0.0D, (a, v) -> a + v) " +
-            "- aggregate(slice(xs, 1, 7), 0.0D, (a, v) -> a + v)) / 49.0"))
-        .withColumn("s0", expr("transform(slice(xs, 1, 7), v -> v - l0)"))
-        .withColumn("st", expr(
-          """aggregate(
-            |  slice(xs, 8, size(xs) - 7),
-            |  named_struct('l', l0, 'b', b0, 's', s0),
-            |  (acc, x) -> named_struct(
-            |    'l', 0.3 * (x - element_at(acc.s, 1)) + 0.7 * (acc.l + acc.b),
-            |    'b', 0.1 * ((0.3 * (x - element_at(acc.s, 1))
-            |                 + 0.7 * (acc.l + acc.b)) - acc.l) + 0.9 * acc.b,
-            |    's', concat(slice(acc.s, 2, 6),
-            |      array(0.2 * (x - (0.3 * (x - element_at(acc.s, 1))
-            |                        + 0.7 * (acc.l + acc.b)))
-            |            + 0.8 * element_at(acc.s, 1)))))""".stripMargin))
+    (s, d) =>
+      graft.ops.HoltWinters.fit(
+          hwDaily(s, d), "event_type", "day", "cnt", multiplicative = false)
         .select(
-          col("event_type"), size(col("xs")).cast("long").as("n_days"),
-          r6(col("st.l")).as("level"), (r6(col("st.b")) + lit(0.0)).as("trend"),
-          r6(col("st.l") + col("st.b") + element_at(col("st.s"), 1)).as("forecast_next"))
-        .orderBy("event_type")
-    },
+          col("event_type"), col("n_days"),
+          r6(col("level")).as("level"),
+          (r6(col("trend")) + lit(0.0)).as("trend"),
+          r6(col("forecast_next")).as("forecast_next"))
+        .orderBy("event_type"),
     Some("""WITH RECURSIVE
            |  daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
            |            FROM events GROUP BY 1, 2),
@@ -1999,6 +1975,75 @@ object Events {
            |SELECT h.event_type, CAST(n.n AS BIGINT) AS n_days, ROUND(h.l, 6) AS level,
            |       ROUND(h.b, 6) + 0 AS trend,
            |       ROUND(h.l + h.b + h.s[1], 6) AS forecast_next
+           |FROM hw h JOIN nn n ON h.event_type = n.event_type AND h.i = n.n
+           |ORDER BY h.event_type""".stripMargin))
+
+  /** q332/q337's shared per-type daily count series. */
+  private def hwDaily(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q337 — Holt-Winters MULTIPLICATIVE ([[graft.ops.HoltWinters]],
+    * VERDICT r13 item 5): q332's additive fold with ratios instead of
+    * differences — seasonality as a constant PERCENTAGE of the level,
+    * the right form when amplitude scales with volume (every count
+    * series that grows). Identical distributed shape (one keyed agg to
+    * the calendar-bounded array, one row-local HOF fold); the LIST
+    * recursive-CTE oracle carries over with `/` for the de-seasonalize
+    * and `(l+b)·s` for the forecast. The additive==multiplicative
+    * coincidence on zero-trend constant-season series is spec-asserted
+    * in HoltWintersSpec. */
+  val q337 = QueryDef(
+    "q337_holt_winters_mult",
+    (s, d) =>
+      graft.ops.HoltWinters.fit(
+          hwDaily(s, d), "event_type", "day", "cnt", multiplicative = true)
+        .select(
+          col("event_type"), col("n_days"),
+          r6(col("level")).as("level"),
+          (r6(col("trend")) + lit(0.0)).as("trend"),
+          r6(col("forecast_next")).as("forecast_next"))
+        .orderBy("event_type"),
+    Some("""WITH RECURSIVE
+           |  daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           |            FROM events GROUP BY 1, 2),
+           |  idx AS (SELECT event_type, CAST(cnt AS DOUBLE) AS x,
+           |                 ROW_NUMBER() OVER (PARTITION BY event_type
+           |                                    ORDER BY day) AS i
+           |          FROM daily),
+           |  nn AS (SELECT event_type, MAX(i) AS n FROM idx GROUP BY 1),
+           |  agg AS (SELECT event_type,
+           |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                   list(x ORDER BY i) FILTER (WHERE i <= 7)),
+           |                   (a, v) -> a + v) / 7.0 AS l0,
+           |                 (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                    list(x ORDER BY i) FILTER (WHERE i BETWEEN 8 AND 14)),
+           |                    (a, v) -> a + v)
+           |                  - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                      list(x ORDER BY i) FILTER (WHERE i <= 7)),
+           |                      (a, v) -> a + v)) / 49.0 AS b0,
+           |                 list(x ORDER BY i) FILTER (WHERE i <= 7) AS xs7
+           |          FROM idx GROUP BY 1 HAVING MAX(i) >= 15),
+           |  init AS (SELECT event_type, CAST(l0 AS DOUBLE) AS l0,
+           |                  CAST(b0 AS DOUBLE) AS b0,
+           |                  list_transform(xs7, v -> v / l0) AS s0
+           |           FROM agg),
+           |  hw AS (
+           |    SELECT event_type, CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b, s0 AS s
+           |    FROM init
+           |    UNION ALL
+           |    SELECT h.event_type, h.i + 1,
+           |           0.3 * (e.x / h.s[1]) + 0.7 * (h.l + h.b),
+           |           0.1 * ((0.3 * (e.x / h.s[1]) + 0.7 * (h.l + h.b)) - h.l)
+           |             + 0.9 * h.b,
+           |           list_concat(h.s[2:],
+           |             [0.2 * (e.x / (0.3 * (e.x / h.s[1]) + 0.7 * (h.l + h.b)))
+           |              + 0.8 * h.s[1]])
+           |    FROM hw h JOIN idx e ON e.event_type = h.event_type AND e.i = h.i + 1)
+           |SELECT h.event_type, CAST(n.n AS BIGINT) AS n_days, ROUND(h.l, 6) AS level,
+           |       ROUND(h.b, 6) + 0 AS trend,
+           |       ROUND((h.l + h.b) * h.s[1], 6) AS forecast_next
            |FROM hw h JOIN nn n ON h.event_type = n.event_type AND h.i = n.n
            |ORDER BY h.event_type""".stripMargin))
 
@@ -2364,7 +2409,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336)
+      q321, q322, q323, q332, q336, q337)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit
