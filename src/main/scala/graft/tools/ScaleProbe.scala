@@ -28,7 +28,16 @@ object ScaleProbe {
     "q296_kaplan_meier", "q299_subsample_ci",
     // r13: the bucketed-join shape (write-once-shuffle): the probe times
     // BOTH bucketed ingests and the exchange-free join
-    "q325_bucketed_join")
+    "q325_bucketed_join",
+    // r14: the r13/r14 statistics family (VERDICT r13 item 6) — all
+    // closed-from-moments / calendar-grid shapes on paper; probed so the
+    // claim is measured, not assumed (q299's B×hash fan-out hid in an
+    // identical-looking shape). Probe fixture: events/orders/customer/
+    // lineitem replicated 10× with key offsets, nation/part shared.
+    "q320_theil_decomposition", "q322_cox_hazard", "q324_mann_whitney",
+    "q326_bh_fdr", "q327_spearman", "q328_ratio_ci", "q329_kruskal_wallis",
+    "q331_ks_two_sample", "q332_holt_winters", "q333_winsorized_mean",
+    "q334_effect_size", "q336_cox_multivariate", "q337_holt_winters_mult")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver
