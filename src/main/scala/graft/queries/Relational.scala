@@ -2680,8 +2680,92 @@ object Relational {
            |WHERE NOT (l_discount > 0.05)
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Q338 — MV rewrite OVER a bucketed fact (VERDICT r13 item 7): the
+    * two layout levers compose instead of colliding. One bucketed fact
+    * (order-key layout) carries a maintained rollup state keyed by the
+    * star join key; then (a) a star query grouped by nation is served
+    * from the STATE (plan-asserted: no fact root in the optimized scan
+    * set) — the MV lever; (b) an order-key aggregation is a base-table
+    * MISS the view must NOT serve (asserted), and the BucketSpec scan
+    * plans it with ZERO exchanges — the bucket lever. At 100 TB the
+    * composition means dim-rollups cost one state read while bucket-key
+    * work still never shuffles; a rewrite that matched only unbucketed
+    * scans, or a BucketSpec lost under the MV machinery, fails the
+    * REQUIREs. The oracle replays the star rollup from the raw fixtures
+    * with the miss-side totals folded in (any row lost by the bucketed
+    * ingest or double-counted by the rewrite hash-fails). */
+  val q338 = QueryDef(
+    "q338_mv_over_bucketed_fact",
+    (s, d) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = Scratch.dir("q338")
+      val fact = root + "/fact"; val view = root + "/view"
+      graft.io.VersionedTable.commitBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice"),
+        fact, "l_orderkey", 16)
+      graft.ops.IncrementalView.refreshRecompute(
+        s, fact, view, "q338-mv", Seq("l_suppkey"),
+        graft.plans.MvRewrite.stateAggs("l_extendedprice"))
+      val mv = graft.plans.MvRewrite.registerRollup(
+        s, fact, Seq("l_suppkey"), "l_extendedprice", view)
+      val flagWas = s.conf.getOption("spark.graft.mvrewrite.enabled")
+      s.conf.set("spark.graft.mvrewrite.enabled", "true")
+      try {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        def roots(df: DataFrame): Seq[String] = df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        // (b) bucket-key aggregation: a base-table MISS (l_orderkey is
+        // not a view key) that must scan the FACT and plan shuffle-free
+        val miss = graft.io.VersionedTable.table(s, fact)
+          .groupBy("l_orderkey").agg(sum(col("l_extendedprice")).as("rev"))
+        miss.write.format("noop").mode("overwrite").save()
+        require(roots(miss).exists(_.contains("/fact/data")),
+          s"the bucket-key miss must scan the fact, got: ${roots(miss)}")
+        val nShuffles = walk(miss.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"bucket-key aggregation must plan exchange-free over the BucketSpec " +
+            s"scan, got $nShuffles:\n${miss.queryExecution.executedPlan}")
+        // (a) the star rollup: served from the STATE, not the fact
+        val star = graft.io.VersionedTable.table(s, fact)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_extendedprice")) / 1e6).as("rev_mm"),
+            r4(avg(col("l_extendedprice"))).as("avg_price"))
+        require(!roots(star).exists(_.contains("/fact/data")),
+          s"the star rollup must be served from the MV state, scans: ${roots(star)}")
+        star.orderBy("n_name").localCheckpoint(eager = true)
+      } finally {
+        flagWas match {
+          case Some(v) => s.conf.set("spark.graft.mvrewrite.enabled", v)
+          case None => s.conf.set("spark.graft.mvrewrite.enabled", "false")
+        }
+        graft.plans.MvRewrite.unregister(mv.stateId)
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_extendedprice)/1000000.0, 4) AS rev_mm,
+           |       ROUND(AVG(l_extendedprice), 4) AS avg_price
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335,
+    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
