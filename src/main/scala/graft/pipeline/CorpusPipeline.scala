@@ -261,6 +261,15 @@ object CorpusPipeline {
       minJaccard: Double = 0.8,
       maxOverlapFrac: Double = 0.5): IngestReport = {
     import graft.io.VersionedTable
+    // a keep-ratio check on the FIRST stage can never pass: its baseline
+    // is the synthesized empty predecessor (count 0), so every increment
+    // would quarantine regardless of content — refuse at declaration
+    // time (a loud config error) instead of silently eating ingests.
+    // "input" has no upstream to be a ratio OF; gate later stages.
+    require(!checks.exists(_._1 == "input"),
+      "a minKeep check on the 'input' stage has no baseline (it is the " +
+        "pipeline's first counter) — declare checks on downstream stages " +
+        "(quality, exact_dedup, near_dup, decontaminated, ...)")
     val spark = increment.sparkSession
     // Pin the increment ONCE (bounded — increment-sized, never corpus-
     // sized): the quarantine path re-reads exactly these rows, and a

@@ -596,8 +596,13 @@ object EventStreams {
     * are folded in day order per micro-batch (same in-order-delivery
     * contract as [[streamingSessionize]], spec-pinned). */
   final case class DayCount(event_type: String, day_idx: Long, cnt: Long)
+  /** `calibrated = false` marks a DEAD-LETTER row: the type arrived with
+    * no calibration reference, so no statistic exists — `alarm` rides
+    * true (an unmonitorable type IS an operational incident and must
+    * page) but s_pos/s_neg are zero, not a fake statistic. */
   final case class CusumStat(
-      event_type: String, day_idx: Long, s_pos: Long, s_neg: Long, alarm: Boolean)
+      event_type: String, day_idx: Long, s_pos: Long, s_neg: Long, alarm: Boolean,
+      calibrated: Boolean = true)
 
   /** Per-type (Σcnt, n) over a calibration batch frame: the reference
     * rate the monitor scales against. Bounded by the type vocabulary. */
@@ -615,12 +620,19 @@ object EventStreams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (t: String, batch: Iterator[DayCount], state: GroupState[(Long, Long)]) =>
-          // an uncalibrated type must fail LOUDLY: defaulting to a zero
-          // reference rate would make its deviation equal its raw count
-          // and alarm immediately with meaningless scaling
-          require(reference.contains(t),
-            s"event type '$t' has no calibration reference — recalibrate " +
-              "(referenceRate over a period that covers it) before monitoring")
+          // an uncalibrated type must not be monitored against a zero
+          // reference (its deviation would equal its raw count and alarm
+          // with meaningless scaling) — but it must not kill the QUERY
+          // either: a require here throws in a task and takes down drift
+          // monitoring for every calibrated type too (one novel type in
+          // production event data = total blast radius). Instead each of
+          // its rows becomes a DEAD-LETTER alarm (calibrated = false),
+          // its state stays untouched, and the calibrated types keep
+          // monitoring; recalibrate and restart to adopt the type.
+          if (!reference.contains(t)) {
+            batch.map(e => CusumStat(t, e.day_idx, 0L, 0L, alarm = true,
+              calibrated = false))
+          } else {
           val (refSum, refN) = reference(t)
           val slackScaled = math.round(slack * refN)
           val hScaled = math.round(threshold * refN)
@@ -633,6 +645,7 @@ object EventStreams {
           }
           state.update((sp, sn))
           out.iterator
+          }
       }
   }
 

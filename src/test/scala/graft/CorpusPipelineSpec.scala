@@ -92,6 +92,20 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(VersionedTable.stagedPending(spark, tbl) == 0, "no stuck audits")
   }
 
+  test("ingestAudited refuses a check on the 'input' stage at declaration time") {
+    // ADVICE r13: input's synthesized baseline is 0, so such a check
+    // would silently quarantine EVERY increment — it must be a loud
+    // config error before any work runs
+    val root = java.nio.file.Files.createTempDirectory("cp_wap_in").toString
+    val e = intercept[IllegalArgumentException](
+      CorpusPipeline.ingestAudited(
+        corpus, benchmark, root + "/t", root + "/q", Seq("input" -> 0.5)))
+    assert(e.getMessage.contains("input"), e.getMessage)
+    // nothing was staged or quarantined
+    assert(!new java.io.File(root + "/t").exists())
+    assert(!new java.io.File(root + "/q").exists())
+  }
+
   test("redactPii scrubs BEFORE dedup, so PII-only-differing copies collapse") {
     // two docs identical except for the embedded email: after redaction
     // they are EXACT duplicates and the dedup gate keeps one

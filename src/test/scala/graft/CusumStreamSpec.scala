@@ -67,7 +67,12 @@ class CusumStreamSpec extends SparkSuite {
     assert(got.filter(_.alarm).map(_.day_idx).headOption.contains(7L), got.toString)
   }
 
-  test("an uncalibrated event type fails loudly instead of alarming on a zero reference") {
+  test("an uncalibrated type dead-letters per row; calibrated types keep monitoring") {
+    // ADVICE r13: a require in the task would take down the WHOLE query —
+    // every calibrated type included — on one novel type. Instead the
+    // unknown type's rows surface as calibrated=false alarms (an
+    // unmonitorable type must still page) with no fake statistic, while
+    // the calibrated type in the SAME stream monitors on undisturbed.
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[DayCount]
     val name = s"cusum_uncal_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -75,11 +80,19 @@ class CusumStreamSpec extends SparkSuite {
       spark, ms.toDS(), Map("known" -> ((30L, 3L))), 1.0, 5.0)
       .writeStream.outputMode("update").format("memory").queryName(name).start()
     try {
-      ms.addData(DayCount("unknown", 0L, 7L))
-      val e = intercept[Throwable](q.processAllAvailable())
-      val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-        .flatMap(t => Option(t.getMessage)).mkString("\n")
-      assert(messages.contains("calibration"), messages)
+      ms.addData(DayCount("unknown", 0L, 7L), DayCount("known", 0L, 10L))
+      q.processAllAvailable()
+      ms.addData(DayCount("unknown", 1L, 9L), DayCount("known", 1L, 10L))
+      q.processAllAvailable()
+      val got = spark.table(name).as[CusumStat].collect().toSeq
+      val dead = got.filter(_.event_type == "unknown")
+      assert(dead.size == 2 && dead.forall(d =>
+        !d.calibrated && d.alarm && d.s_pos == 0L && d.s_neg == 0L), got.toString)
+      // the calibrated type's statistic is exactly the batch fold (10/day
+      // on a 10/day reference with slack 1: both sums pinned at 0)
+      val known = got.filter(_.event_type == "known").sortBy(_.day_idx)
+      assert(known.size == 2 && known.forall(k =>
+        k.calibrated && !k.alarm && k.s_pos == 0L && k.s_neg == 0L), got.toString)
     } finally q.stop()
   }
 

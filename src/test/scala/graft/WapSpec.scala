@@ -95,6 +95,36 @@ class WapSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).count() == 3)
   }
 
+  test("re-publishing a published-expired stage refuses (marker outlives the manifests)") {
+    // ADVICE r13: once every manifest referencing an adopted stage ages
+    // out, the retained-manifest double-publish check can no longer see
+    // the adoption — only the marker can. Re-adopting would duplicate
+    // every row the stage carried the first time.
+    val path = fresh()
+    VersionedTable.commitAppend(batch(0, 5), path) // v1
+    val staged = VersionedTable.stageAppend(batch(10, 20), path)
+    VersionedTable.publishStaged(spark, path, staged) // v2 adopts
+    VersionedTable.commitOverwrite(batch(0, 3), path) // v3 drops the reference at HEAD
+    // simulate retention trimming v1/v2 WITHOUT reclaiming the stage dir
+    // (the window SHOW STAGES reports as 'published-expired')
+    (1L to 2L).foreach { v =>
+      val f = new java.io.File(path + f"/_versions/v$v%010d.json")
+      assert(f.delete(), s"trim $f")
+      new java.io.File(path + f"/_versions/.v$v%010d.json.crc").delete()
+    }
+    assert(new java.io.File(s"$path/data/${staged.id}/_published").exists())
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.publishStaged(spark, path, staged))
+    assert(e.getMessage.contains("already published"), e.getMessage)
+    // the batch flavor refuses identically (its txn record aged out with
+    // the manifests, so the marker is its only witness too)
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.publishStagedBatch(spark, path, staged, "w1", 1L))
+    assert(e2.getMessage.contains("already published"), e2.getMessage)
+    // table content untouched by the refusals
+    assert(VersionedTable.read(spark, path).count() == 3)
+  }
+
   test("vacuum heals the published marker on a stage published before the marker existed") {
     val path = fresh()
     VersionedTable.commitAppend(batch(0, 5), path)
