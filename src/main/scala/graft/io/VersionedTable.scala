@@ -655,14 +655,15 @@ object VersionedTable {
     * Layout discipline: the first bucketed commit must own the table
     * (empty path); later bucketed appends must match (key, n) exactly
     * — each append adds one file per bucket, and the bucketed read
-    * groups every bucket's files into one partition. [[deleteWhere]] and
-    * [[compact]] re-stage their rewritten files through the bucketed
-    * writer and KEEP the claim (one delete must not re-impose the full
+    * groups every bucket's files into one partition. The copy-on-write
+    * maintenance ops — [[deleteWhere]], [[updateWhere]], [[compact]] —
+    * re-stage their rewritten files through the bucketed writer and KEEP
+    * the claim (one routine delete/update must not re-impose the full
     * join shuffle on a 100 TB fact table); every other commit path
-    * (plain append, DV-adding ops, update, merge, overwrite) drops the
-    * claim in its manifest — a claimed table therefore never carries
-    * deletion vectors — and reads fall back to the always-correct
-    * unbucketed scan. */
+    * (plain append, DV-adding ops, merge, overwrite) drops the claim in
+    * its manifest — a claimed table therefore never carries deletion
+    * vectors — and reads fall back to the always-correct unbucketed
+    * scan. */
   def commitBucketed(df: DataFrame, path: String, key: String, nBuckets: Int): Long = {
     val spark = df.sparkSession
     enforceChecks(spark, path, df)
@@ -1637,6 +1638,13 @@ object VersionedTable {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val isHit = coalesce(predicate, lit(false))
+        // the bucketing claim survives the copy-on-write update exactly
+        // as it does deleteWhere/compact: survivors AND updated forms
+        // re-stage through the bucketed writer (an assignment may even
+        // REWRITE the bucket key — rows re-hash to their new buckets),
+        // so routine updates never re-impose the join shuffle. A claimed
+        // table has no DVs by construction.
+        val claim = bucketingOf(text)
         val oldRows = touched.filter(isHit)
         val (oldCommit, oldNames) = stageData(oldRows, path) // CDF delete side
         val updatedCount = spark.read.parquet(s"$path/data/$oldCommit").count()
@@ -1645,13 +1653,25 @@ object VersionedTable {
             .map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(f.name))): _*)
         enforceChecks(spark, path, newRows)
-        val (_, insNames) = stageData(newRows, path) // CDF insert side
+        // CDF insert side (also data files under a claim, bucket-staged)
+        val insNames = claim match {
+          case Some((bk, bn)) => stageBucketed(newRows, path, bk, bn)
+          case None           => stageData(newRows, path)._2
+        }
         val survivors = touched.filter(!isHit)
-        val (_, survNames) = stageData(survivors, path)
+        val survNames = claim match {
+          case Some((bk, bn)) => stageBucketed(survivors, path, bk, bn)
+          case None           => stageData(survivors, path)._2
+        }
+        val newCounts =
+          if (claim.isEmpty) Map.empty[String, Long]
+          else (survNames ++ insNames).map(_ -> 0L).toMap ++
+            stagedCounts(spark, path, survNames ++ insNames)
         try {
           val v = publish(spark, path, "update", kept ++ survNames ++ insNames,
             carryForward = false, requiredParent = Some(current),
             cdfFiles = oldNames, cdfInsertFiles = insNames,
+            bucketing = claim, newRowCounts = newCounts,
             dvOverride = prunedDv(spark, path, text, kept),
             addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
           return (v, updatedCount)

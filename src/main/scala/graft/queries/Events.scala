@@ -1828,6 +1828,121 @@ object Events {
            |       ROUND(b1*b1*(i00*i11-i01*i01)/i00,6) FROM fin
            |ORDER BY covariate""".stripMargin))
 
+  /** Q339 — STRATIFIED multi-covariate Cox PH
+    * ([[graft.ops.Survival.coxPH]] with `strataCol`): q336's joint fit
+    * with a per-stratum baseline hazard (an md5 3-way cohort coin) —
+    * risk sets never cross strata, so stratum-level rate differences
+    * cannot bias the coefficients, while arm and activity are still fit
+    * jointly across ALL strata (score/information sum over the
+    * per-stratum grids; the partial likelihood is a product). The
+    * distributed shape only re-keys the per-iteration aggregation by
+    * (stratum, time). The oracle replays the stratified vector Newton —
+    * the risk-set join constrained within strata — so a cross-stratum
+    * leak in either engine's risk sets hash-fails. */
+  val q339 = QueryDef(
+    "q339_cox_stratified",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("nc"))
+      val subjects = convSubjects(s, d)
+        .join(clicks, Seq("user_id"), "left")
+        .select(
+          (conv(substring(md5(concat(lit("strata-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 3).cast("string").as("cohort"),
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          log(lit(1.0) + coalesce(col("nc"), lit(0L))).as("lnclicks"),
+          col("t_days"), col("is_event"))
+      graft.ops.Survival.coxPH(
+          subjects, Seq("arm", "lnclicks"), "t_days", "is_event",
+          strataCol = Some("cohort"))
+        .select(
+          col("covariate"), col("n_times"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          r6(col("wald_chi2")).as("wald_chi2"))
+        .orderBy("covariate")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |ck AS (SELECT user_id, COUNT(*) AS nc FROM e
+           |       WHERE event_type='click' GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('strata-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 3
+           |             AS VARCHAR) AS str,
+           |             CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             LN(1.0 + COALESCE(nc, 0)) AS x1,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id)
+           |           LEFT JOIN ck USING (user_id) CROSS JOIN h),
+           |times AS (SELECT str, t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0,
+           |                 SUM(CASE WHEN ev=1 THEN x1 ELSE 0.0 END) AS sx1
+           |          FROM s GROUP BY 1, 2 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.str, tm.t AS tt, tm.d, s.x0, s.x1
+           |       FROM times tm JOIN s ON s.str = tm.str AND s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b0, b1) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1,
+           |           b0 + (g.i11*g.u0 - g.i01*g.u1)/(g.i00*g.i11 - g.i01*g.i01),
+           |           b1 + (g.i00*g.u1 - g.i01*g.u0)/(g.i00*g.i11 - g.i01*g.i01)
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1x0/s0) AS u0,
+           |             (SELECT SUM(sx1) FROM times) - SUM(d*s1x1/s0) AS u1,
+           |             SUM(d*(s2x00/s0 - (s1x0/s0)*(s1x0/s0))) AS i00,
+           |             SUM(d*(s2x01/s0 - (s1x0/s0)*(s1x1/s0))) AS i01,
+           |             SUM(d*(s2x11/s0 - (s1x1/s0)*(s1x1/s0))) AS i11
+           |      FROM (SELECT str, tt, d,
+           |                   SUM(EXP(b0*x0 + b1*x1)) AS s0,
+           |                   SUM(x0*EXP(b0*x0 + b1*x1)) AS s1x0,
+           |                   SUM(x1*EXP(b0*x0 + b1*x1)) AS s1x1,
+           |                   SUM(x0*x0*EXP(b0*x0 + b1*x1)) AS s2x00,
+           |                   SUM(x0*x1*EXP(b0*x0 + b1*x1)) AS s2x01,
+           |                   SUM(x1*x1*EXP(b0*x0 + b1*x1)) AS s2x11
+           |            FROM rs GROUP BY str, tt, d) gg
+           |    ) g
+           |    WHERE i < 8
+           |  )
+           |  SELECT b0, b1 FROM nw WHERE i = 8),
+           |fin AS (
+           |  SELECT b0, b1, (SELECT COUNT(*) FROM times) AS n_times,
+           |         g.i00, g.i01, g.i11
+           |  FROM it, LATERAL (
+           |    SELECT SUM(d*(s2x00/s0 - (s1x0/s0)*(s1x0/s0))) AS i00,
+           |           SUM(d*(s2x01/s0 - (s1x0/s0)*(s1x1/s0))) AS i01,
+           |           SUM(d*(s2x11/s0 - (s1x1/s0)*(s1x1/s0))) AS i11
+           |    FROM (SELECT str, tt, d,
+           |                 SUM(EXP(b0*x0 + b1*x1)) AS s0,
+           |                 SUM(x0*EXP(b0*x0 + b1*x1)) AS s1x0,
+           |                 SUM(x1*EXP(b0*x0 + b1*x1)) AS s1x1,
+           |                 SUM(x0*x0*EXP(b0*x0 + b1*x1)) AS s2x00,
+           |                 SUM(x0*x1*EXP(b0*x0 + b1*x1)) AS s2x01,
+           |                 SUM(x1*x1*EXP(b0*x0 + b1*x1)) AS s2x11
+           |          FROM rs GROUP BY str, tt, d) gg
+           |  ) g)
+           |SELECT 'arm' AS covariate, CAST(n_times AS BIGINT) AS n_times,
+           |       ROUND(b0,6)+0 AS beta, ROUND(EXP(b0),6) AS hazard_ratio,
+           |       ROUND(SQRT(i11/(i00*i11-i01*i01)),6) AS se,
+           |       ROUND(b0*b0*(i00*i11-i01*i01)/i11,6) AS wald_chi2 FROM fin
+           |UNION ALL
+           |SELECT 'lnclicks', CAST(n_times AS BIGINT),
+           |       ROUND(b1,6)+0, ROUND(EXP(b1),6),
+           |       ROUND(SQRT(i00/(i00*i11-i01*i01)),6),
+           |       ROUND(b1*b1*(i00*i11-i01*i01)/i00,6) FROM fin
+           |ORDER BY covariate""".stripMargin))
+
   /** Q323 — competing-risks cumulative incidence
     * ([[graft.ops.Survival.competingRisks]], Aalen-Johansen): first
     * purchase vs first error after entry — each user does only one
@@ -2409,7 +2524,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337)
+      q321, q322, q323, q332, q336, q337, q339)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

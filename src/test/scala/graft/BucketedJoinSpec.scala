@@ -329,6 +329,32 @@ class BucketedJoinSpec extends SparkSuite {
     assert(perBucket.values.sum == 400L)
   }
 
+  test("updateWhere preserves the claim, even when the assignment rewrites the bucket key") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 500, "a"), a, "id", 4)
+    VersionedTable.commitBucketed(rows(0 until 500, "b"), b, "id", 4)
+    // shift a slice of keys by 1000: the updated rows must re-hash to
+    // their NEW buckets for the claim to stay truthful
+    val (_, updated) = VersionedTable.updateWhere(
+      spark, a, col("id") < 100L, Map("id" -> (col("id") + lit(1000L))))
+    assert(updated == 100L)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "updateWhere must keep the bucketing claim")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a)
+        .join(VersionedTable.table(spark, b), "id")
+      assert(shuffles(joined) == 0,
+        s"post-update co-bucketed join must plan with zero exchanges:\n${joined.queryExecution.executedPlan}")
+      // keys 0..99 moved to 1000..1099 (no match in b); 100..499 still match
+      assert(joined.count() == 400)
+      assert(VersionedTable.read(spark, a).count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    val (perBucket, _) = VersionedTable.bucketSkew(spark, a)
+    assert(perBucket.values.sum == 500L)
+  }
+
   test("delete-everything on a claimed table keeps the table readable and claimed") {
     val a = fresh()
     VersionedTable.commitBucketed(rows(0 until 50, "a"), a, "id", 4)

@@ -203,6 +203,39 @@ class SurvivalSpec extends SparkSuite {
     assert(e.getMessage.contains("singular"))
   }
 
+  test("coxPH stratified: one stratum ≡ unstratified; strata absorb baseline confounding") {
+    val rnd = new scala.util.Random(11)
+    val subjects = (1 to 400).map { _ =>
+      val x = if (rnd.nextBoolean()) 1.0 else 0.0
+      val t = math.max(1L, (8.0 + 10.0 * rnd.nextDouble() - 4.0 * x).toLong)
+      ("only", t, 1, x)
+    }.toDF("g", "t", "e", "x")
+    val flat = Survival.coxPH(subjects, Seq("x"), "t", "e")
+      .select("beta", "se").head
+    val strat = Survival.coxPH(subjects, Seq("x"), "t", "e", strataCol = Some("g"))
+      .select("beta", "se").head
+    assert(math.abs(flat.getDouble(0) - strat.getDouble(0)) < 1e-9,
+      "a single stratum must reproduce the unstratified fit exactly")
+    assert(math.abs(flat.getDouble(1) - strat.getDouble(1)) < 1e-9)
+
+    // confounding: stratum "fast" converts much sooner AND holds most of
+    // the x=1 subjects; x has NO effect within either stratum. The
+    // pooled fit blames x for the stratum's speed; the stratified fit
+    // must not.
+    val confounded = ((1 to 300).map { i =>
+      ("fast", (1 + i % 4).toLong, 1, if (i % 10 < 8) 1.0 else 0.0)
+    } ++ (1 to 300).map { i =>
+      ("slow", (20 + i % 4).toLong, 1, if (i % 10 < 2) 1.0 else 0.0)
+    }).toDF("g", "t", "e", "x")
+    val pooled = Survival.coxPH(confounded, Seq("x"), "t", "e")
+      .select("beta").head.getDouble(0)
+    val perStratum = Survival.coxPH(confounded, Seq("x"), "t", "e",
+      strataCol = Some("g")).select("beta").head.getDouble(0)
+    assert(pooled > 0.5, s"pooled fit must show the spurious effect, got $pooled")
+    assert(math.abs(perStratum) < 0.15,
+      s"stratified fit must absorb the baseline difference, got $perStratum")
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
