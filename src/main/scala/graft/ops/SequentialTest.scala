@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group-sequential A/B monitoring — the "peek every day without lying
+  * to yourself" machinery (Pocock 1977, O'Brien & Fleming 1979): a
+  * running two-proportion z statistic per look day, compared against the
+  * O'Brien-Fleming-shaped boundary b_k = z_α/2 · √(K/k) for look k of K
+  * — very conservative early (when the statistic is noisy and peeking is
+  * most tempting), relaxing to the nominal critical value at the final
+  * look. A fixed-horizon test evaluated daily inflates false positives
+  * several-fold; the boundary sequence is what makes daily monitoring
+  * honest.
+  *
+  * Scale shape: subjects arrive as one row each (arm, entry day,
+  * conversion day) — the upstream keyed aggregation owns the data-sized
+  * work. This op aggregates them onto the LOOK GRID (the observation
+  * calendar, bounded by design) and runs cumulative windows + the z/
+  * boundary arithmetic over that grid ([[graft.core.Windows]]
+  * discipline: per-arm windows over a calendar-bounded input).
+  *
+  * Contract: `looks` must cover every entry and conversion day (pass the
+  * observation calendar) — a day missing from it would silently drop its
+  * counts from every later look. */
+object SequentialTest {
+
+  /** One row per qualifying look (both arms ≥ `minPerArm` subjects):
+    * (day, k, n_a, conv_a, n_b, conv_b, z, boundary, crossed) where
+    * arm `focal` is the A side. `z` is the pooled two-proportion
+    * statistic of cumulative conversion at the look; `crossed` is
+    * |z| > boundary. k/K count qualifying looks only (looks before
+    * `minPerArm` are previews, not tests — spending alpha on them would
+    * be wasted on unstable denominators). */
+  def obfMonitor(
+      subjects: DataFrame, armCol: String, entryCol: String, convCol: String,
+      looks: DataFrame, lookCol: String, focal: String,
+      zAlpha: Double = 1.96, minPerArm: Long = 30L): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val ent = subjects.groupBy(arm.as("arm"), col(entryCol).as("day"))
+      .agg(count(lit(1)).as("en"))
+    val cv = subjects.filter(col(convCol).isNotNull)
+      .groupBy(arm.as("arm"), col(convCol).as("day"))
+      .agg(count(lit(1)).as("cn"))
+    val arms = subjects.select(arm.as("arm")).distinct()
+    val grid = looks.select(col(lookCol).as("day")).distinct()
+      .crossJoin(broadcast(arms)) // calendar × arm count
+      .join(ent, Seq("arm", "day"), "left")
+      .join(cv, Seq("arm", "day"), "left")
+      .select(
+        col("arm"), col("day"),
+        coalesce(col("en"), lit(0L)).as("en"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val byArm = Window.partitionBy("arm").orderBy("day")
+    val cum = grid
+      .withColumn("n", sum("en").over(byArm))
+      .withColumn("c", sum("cn").over(byArm))
+    val a = cum.filter(col("arm") === focal)
+      .select(col("day"), col("n").as("n_a"), col("c").as("conv_a"))
+    val b = cum.filter(col("arm") =!= focal)
+      .select(col("day"), col("n").as("n_b"), col("c").as("conv_b"))
+    val qualifying = a.join(b, "day")
+      .filter(col("n_a") >= minPerArm && col("n_b") >= minPerArm)
+    // k/K over the qualifying look grid (calendar-bounded single task —
+    // the Windows.bounded judgement; kept as explicit Window.orderBy
+    // inside the op so the boundary math reads in one place)
+    val lookW = graft.core.Windows.bounded(col("day"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    qualifying
+      .withColumn("k", row_number().over(lookW).cast("long"))
+      .withColumn("bigk", count(lit(1)).over(
+        lookW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("z", when(se > 0.0, (pa - pb) / se).otherwise(lit(0.0)))
+      .withColumn("boundary",
+        lit(zAlpha) * sqrt(col("bigk").cast("double") / col("k")))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+      .select("day", "k", "n_a", "conv_a", "n_b", "conv_b", "z", "boundary", "crossed")
+  }
+}

@@ -2010,6 +2010,91 @@ object Stats {
            |       ROUND(sp, 6) AS pooled_sd
            |FROM f""".stripMargin))
 
+  /** Q340 — group-sequential A/B monitoring
+    * ([[graft.ops.SequentialTest.obfMonitor]]): the running
+    * two-proportion z per look DAY against the O'Brien-Fleming-shaped
+    * boundary z_α/2·√(K/k) — the "peek every day without inflating
+    * false positives" discipline a fixed-horizon z test evaluated daily
+    * destroys. Looks qualify once both arms hold ≥ 30 subjects (alpha is
+    * not spent on unstable denominators). Everything is exact integer
+    * counts until the final z/boundary arithmetic (cumulative windows of
+    * longs over the calendar grid), so both engines compute
+    * bit-identical statistics and the `crossed` BOOLEAN itself is
+    * oracle-comparable — no knife-edge. */
+  val q340 = QueryDef(
+    "q340_sequential_monitor",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .select(
+          (conv(
+            substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          to_date(timestamp_micros(col("conv_us"))).as("conv_day"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      graft.ops.SequentialTest.obfMonitor(
+          subjects, "arm", "entry_day", "conv_day", looks, "day", focal = "1")
+        .select(
+          col("day").cast("string").as("day"), col("k"),
+          col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          (r6(col("z")) + lit(0.0)).as("z"),
+          r6(col("boundary")).as("boundary"), col("crossed"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS entry_day,
+           |             CASE WHEN conv_us IS NULL THEN NULL
+           |                  ELSE CAST(make_timestamp(conv_us) AS DATE) END AS conv_day
+           |      FROM en LEFT JOIN cv USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |ent AS (SELECT arm, entry_day AS day, COUNT(*) AS en FROM s GROUP BY 1,2),
+           |cvv AS (SELECT arm, conv_day AS day, COUNT(*) AS cn FROM s
+           |        WHERE conv_day IS NOT NULL GROUP BY 1,2),
+           |arms AS (SELECT DISTINCT arm FROM s),
+           |grid AS (SELECT a.arm, l.day, COALESCE(en,0) AS en, COALESCE(cn,0) AS cn
+           |         FROM looks l CROSS JOIN arms a
+           |         LEFT JOIN ent ON ent.arm=a.arm AND ent.day=l.day
+           |         LEFT JOIN cvv ON cvv.arm=a.arm AND cvv.day=l.day),
+           |cum AS (SELECT arm, day,
+           |               SUM(en) OVER (PARTITION BY arm ORDER BY day) AS n,
+           |               SUM(cn) OVER (PARTITION BY arm ORDER BY day) AS c
+           |        FROM grid),
+           |j AS (SELECT a.day, a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+           |      FROM cum a JOIN cum b ON a.day = b.day AND a.arm='1' AND b.arm='0'
+           |      WHERE a.n >= 30 AND b.n >= 30),
+           |q AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS k,
+           |             COUNT(*) OVER () AS bigk, n_a, conv_a, n_b, conv_b
+           |      FROM j),
+           |z AS (SELECT *,
+           |             (CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
+           |             / NULLIF(SQRT((CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b))
+           |                           * (1.0 - CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b))
+           |                           * (1.0/n_a + 1.0/n_b)), 0.0) AS zz,
+           |             1.96 * SQRT(CAST(bigk AS DOUBLE)/k) AS boundary
+           |      FROM q)
+           |SELECT CAST(day AS VARCHAR) AS day, CAST(k AS BIGINT) AS k,
+           |       CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           |       ROUND(COALESCE(zz, 0.0), 6) + 0 AS z,
+           |       ROUND(boundary, 6) AS boundary,
+           |       ABS(COALESCE(zz, 0.0)) > boundary AS crossed
+           |FROM z ORDER BY day""".stripMargin))
+
   /** Q307 — difference-in-differences: the 2×2 (arm × period) cell
     * means with the DiD estimate and its large-sample SE — the
     * quasi-experimental counterpart of q297's CUPED (no pre-period
@@ -2261,5 +2346,5 @@ object Stats {
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334)
+      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SequentialTest
+
+/** [[SequentialTest.obfMonitor]] — constructed cohorts with known
+  * conversion rates against the O'Brien-Fleming-shaped boundary. */
+class SequentialTestSpec extends SparkSuite {
+  import spark.implicits._
+
+  // n subjects per arm per day over `days` days; arm "1" converts at
+  // pA on the entry day, arm "0" at pB (deterministic: the first
+  // round(p*n) subjects of each cohort convert)
+  private def cohorts(days: Int, perDay: Int, pA: Double, pB: Double) = {
+    val rows = for {
+      d <- 0 until days
+      arm <- Seq("1", "0")
+      i <- 0 until perDay
+    } yield {
+      val p = if (arm == "1") pA else pB
+      val converts = i < math.round(p * perDay)
+      (arm, d, if (converts) Some(d) else None)
+    }
+    rows.toDF("arm", "entry_day", "conv_day")
+  }
+
+  private def looksOf(days: Int) = (0 until days).toDF("day")
+
+  test("boundary is OBF-shaped: strictly decreasing, ending at the nominal z") {
+    val out = SequentialTest.obfMonitor(
+      cohorts(10, 50, 0.3, 0.3), "arm", "entry_day", "conv_day",
+      looksOf(10), "day", focal = "1", minPerArm = 30L)
+      .orderBy("day").collect()
+    assert(out.length == 10)
+    val bounds = out.map(_.getAs[Double]("boundary"))
+    assert(bounds.sliding(2).forall(w => w(0) > w(1)), bounds.mkString(","))
+    assert(math.abs(bounds.last - 1.96) < 1e-9,
+      s"final look must use the nominal critical value, got ${bounds.last}")
+    // K=10, k=1 → 1.96·√10
+    assert(math.abs(bounds.head - 1.96 * math.sqrt(10.0)) < 1e-9)
+  }
+
+  test("a null effect never crosses; a strong effect crosses once evidence accrues") {
+    val calm = SequentialTest.obfMonitor(
+      cohorts(10, 50, 0.3, 0.3), "arm", "entry_day", "conv_day",
+      looksOf(10), "day", focal = "1", minPerArm = 30L).collect()
+    assert(calm.forall(!_.getAs[Boolean]("crossed")),
+      "identical rates must never cross")
+    assert(calm.forall(r => math.abs(r.getAs[Double]("z")) < 1e-9),
+      "deterministic equal cohorts have z = 0 exactly")
+
+    val eff = SequentialTest.obfMonitor(
+      cohorts(12, 60, 0.5, 0.2), "arm", "entry_day", "conv_day",
+      looksOf(12), "day", focal = "1", minPerArm = 30L)
+      .orderBy("day").collect()
+    val firstCross = eff.indexWhere(_.getAs[Boolean]("crossed"))
+    assert(firstCross > 0,
+      s"a 30-point lift must cross, but not at the very first look: " +
+        eff.map(r => (r.getAs[Double]("z"), r.getAs[Double]("boundary"))).mkString(","))
+    // once crossed under a constant effect, it stays crossed (evidence
+    // only accrues, the boundary only relaxes)
+    assert(eff.drop(firstCross).forall(_.getAs[Boolean]("crossed")))
+  }
+
+  test("looks below minPerArm are previews, not tests: k counts qualifying looks only") {
+    // 10 subjects/arm/day: the 30-per-arm gate clears at day 2 (cumulative 30)
+    val out = SequentialTest.obfMonitor(
+      cohorts(8, 10, 0.4, 0.4), "arm", "entry_day", "conv_day",
+      looksOf(8), "day", focal = "1", minPerArm = 30L)
+      .orderBy("day").collect()
+    assert(out.length == 6, out.mkString(","))
+    assert(out.head.getAs[Int]("day") == 2)
+    assert(out.head.getAs[Long]("k") == 1L)
+    assert(out.last.getAs[Long]("k") == 6L)
+  }
+}
