@@ -603,9 +603,14 @@ object VersionedTable {
         }
       // bucketing is NEVER carried implicitly: the claim is only valid
       // when THIS manifest's whole file set is consistently bucketed, so
-      // only [[commitBucketed]] (which validates the prior layout) passes
-      // it — any other operation on a bucketed table silently drops the
-      // claim and reads fall back to the always-correct unbucketed scan
+      // every caller that keeps it DECIDES to — bucketed writers
+      // (commitBucketed, after validating the prior layout), rewrite ops
+      // that re-bucket their output (deleteWhere/updateWhere/compact),
+      // metadata-only commits whose file set is untouched (constraint,
+      // analyze, add/drop/retype column away from the key, restore of a
+      // claimed version). Everything else (plain append, DV ops, merge,
+      // overwrite, rename) omits it, the claim drops, and reads fall
+      // back to the always-correct unbucketed scan
       val bucketingJson = bucketing.map { case (k, n) =>
         s""""bucketing":{"key":"$k","n":$n},"""
       }.getOrElse("")
@@ -656,14 +661,18 @@ object VersionedTable {
     * (empty path); later bucketed appends must match (key, n) exactly
     * — each append adds one file per bucket, and the bucketed read
     * groups every bucket's files into one partition. The copy-on-write
-    * maintenance ops — [[deleteWhere]], [[updateWhere]], [[compact]] —
-    * re-stage their rewritten files through the bucketed writer and KEEP
-    * the claim (one routine delete/update must not re-impose the full
-    * join shuffle on a 100 TB fact table); every other commit path
-    * (plain append, DV-adding ops, merge, overwrite) drops the claim in
-    * its manifest — a claimed table therefore never carries deletion
-    * vectors — and reads fall back to the always-correct unbucketed
-    * scan. */
+    * ops — [[deleteWhere]], [[updateWhere]], [[compact]], [[merge]],
+    * [[replaceWhere]] — re-stage their rewritten files through the
+    * bucketed writer and KEEP the claim (routine maintenance and CDC
+    * upserts must not re-impose the full join shuffle on a 100 TB fact
+    * table; merge/replace additionally require the schema widen to leave
+    * the key's TYPE untouched — murmur3 hashes int and long
+    * differently). Metadata-only commits (constraints, ANALYZE, non-key
+    * schema changes) and RESTORE of a claimed version carry it too.
+    * Everything else (plain append, DV-adding ops, rename, overwrite)
+    * drops the claim in its manifest — a claimed table therefore never
+    * carries deletion vectors — and reads fall back to the
+    * always-correct unbucketed scan. */
   def commitBucketed(df: DataFrame, path: String, key: String, nBuckets: Int): Long = {
     val spark = df.sparkSession
     enforceChecks(spark, path, df)
@@ -1988,6 +1997,29 @@ object VersionedTable {
             .join(srcKeys, keys, "left_semi")
             .select("__f").distinct().collect().map(_.getString(0)).toSet
         val kept = rel.filterNot(hitRel)
+        // logical schema: widened merge of the carried schema with the
+        // upserts' (publish only auto-merges on carry-forward commits)
+        val mergedSchema = schemaOf(text) match {
+          case Some(prev) => mergeWiden(prev, upserts.schema)
+          case None => upserts.schema
+        }
+        // the bucketing claim survives a COW merge (see commitBucketed's
+        // scaladoc) — the CDC-upsert op is THE routine write on a fact
+        // table, and paying the full join shuffle after every merge
+        // would defeat the layout. Survivors and upserts re-stage
+        // through the bucketed writer. Guard: the widen must leave the
+        // bucket KEY's type untouched (murmur3 hashes int and long
+        // differently — a widened key would claim a partitioning the
+        // kept files were never written under).
+        val claim = bucketingOf(text).filter { case (bk, _) =>
+          schemaOf(text).exists(prev =>
+            prev.fields.find(_.name == bk).map(_.dataType) ==
+              mergedSchema.fields.find(_.name == bk).map(_.dataType))
+        }
+        def stageMaybeBucketed(df: DataFrame): Seq[String] = claim match {
+          case Some((bk, bn)) => stageBucketed(df, path, bk, bn)
+          case None           => stageData(df, path)._2
+        }
         // rewritten files: matched rows out (tombstoned), survivors kept;
         // all three reads DV-applied so already-deleted rows can't match
         val (matched, tombNames, survNames) =
@@ -1997,22 +2029,24 @@ object VersionedTable {
               spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
             val (tombCommit, tn) = stageData(hit.join(srcKeys, keys, "left_semi"), path)
             val m = spark.read.parquet(s"$path/data/$tombCommit").count()
-            val (_, sn) = stageData(hit.join(srcKeys, keys, "left_anti"), path)
+            val sn = stageMaybeBucketed(hit.join(srcKeys, keys, "left_anti"))
             (m, tn, sn)
           }
-        val (upCommit, upNames) = stageData(upserts, path)
-        val upCount = spark.read.parquet(s"$path/data/$upCommit").count()
-        // logical schema: widened merge of the carried schema with the
-        // upserts' (publish only auto-merges on carry-forward commits)
-        val mergedSchema = schemaOf(text) match {
-          case Some(prev) => mergeWiden(prev, upserts.schema)
-          case None => upserts.schema
-        }
+        val upNames = stageMaybeBucketed(upserts)
+        val upCount =
+          if (upNames.isEmpty) 0L
+          else spark.read.parquet(
+            s"$path/data/${upNames.head.takeWhile(_ != '/')}").count()
+        val newCounts =
+          if (claim.isEmpty) Map.empty[String, Long]
+          else (survNames ++ upNames).map(_ -> 0L).toMap ++
+            stagedCounts(spark, path, survNames ++ upNames)
         try {
           publish(spark, path, "merge", kept ++ survNames ++ upNames,
             carryForward = false, requiredParent = Some(current), txn = txn,
             cdfFiles = tombNames, cdfInsertFiles = upNames,
             schemaOverride = Some(mergedSchema),
+            bucketing = claim, newRowCounts = newCounts,
             dvOverride = prunedDv(spark, path, text, kept),
             addBloomFiles = rebloom(spark, path, text, survNames ++ upNames)) match {
             case Some(v) => return Some(MergeResult(v, matched, upCount, hitRel.size, kept.size))
@@ -2223,35 +2257,51 @@ object VersionedTable {
           .select(org.apache.spark.sql.functions.col("__f"))
           .distinct().collect().map(_.getString(0)).toSet
         val kept = rel.filterNot(hitRel)
+        val mergedSchema = schemaOf(text) match {
+          case Some(prev) => mergeWiden(prev, src.schema)
+          case None => src.schema
+        }
+        // same claim-survival rule as merge: survivors and replacement
+        // rows re-stage bucketed when the widen leaves the key's type
+        // untouched (see mergeInto for the murmur3 type rationale)
+        val claim = bucketingOf(text).filter { case (bk, _) =>
+          schemaOf(text).exists(prev =>
+            prev.fields.find(_.name == bk).map(_.dataType) ==
+              mergedSchema.fields.find(_.name == bk).map(_.dataType))
+        }
+        def stageMaybeBucketed(d0: DataFrame): Seq[String] = claim match {
+          case Some((bk, bn)) => stageBucketed(d0, path, bk, bn)
+          case None           => stageData(d0, path)._2
+        }
         val (deleted, tombNames, survNames) =
           if (hitRel.isEmpty) (0L, Seq.empty[String], Seq.empty[String])
           else {
             val hit = evolvedRead(spark, path, text, rel.filter(hitRel), dvFiles = dvFilesOf(text))
             val (tombCommit, tn) = stageData(hit.filter(isMatch), path)
             val d = spark.read.parquet(s"$path/data/$tombCommit").count()
-            val (_, sn) = stageData(hit.filter(!isMatch), path)
+            val sn = stageMaybeBucketed(hit.filter(!isMatch))
             (d, tn, sn)
           }
-        val (insCommit, insNames) = stageData(src, path)
-        val inserted = spark.read.parquet(s"$path/data/$insCommit").count()
+        val insNames = stageMaybeBucketed(src)
+        val inserted =
+          if (insNames.isEmpty) 0L
+          else spark.read.parquet(
+            s"$path/data/${insNames.head.takeWhile(_ != '/')}").count()
         // all-rows-replaced-with-nothing guard: keep HEAD readable
         val allNames = kept ++ survNames ++ insNames
         val finalNames =
           if (allNames.nonEmpty) survNames ++ insNames
-          else {
-            val empty = spark.createDataFrame(
-              spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), src.schema)
-            survNames ++ insNames ++ stageData(empty, path)._2
-          }
-        val mergedSchema = schemaOf(text) match {
-          case Some(prev) => mergeWiden(prev, src.schema)
-          case None => src.schema
-        }
+          else survNames ++ insNames ++
+            stageEmptySeed(spark, path, src.schema, bucketSuffix = claim.isDefined)
+        val newCounts =
+          if (claim.isEmpty) Map.empty[String, Long]
+          else finalNames.map(_ -> 0L).toMap ++ stagedCounts(spark, path, finalNames)
         try {
           val v = publish(spark, path, "replace", kept ++ finalNames,
             carryForward = false, requiredParent = Some(current),
             cdfFiles = tombNames, cdfInsertFiles = insNames,
             schemaOverride = Some(mergedSchema),
+            bucketing = claim, newRowCounts = newCounts,
             dvOverride = prunedDv(spark, path, text, kept),
             addBloomFiles = rebloom(spark, path, text, survNames ++ insNames)).get
           return ReplaceResult(v, deleted, inserted, hitRel.size, kept.size)
@@ -2621,14 +2671,18 @@ object VersionedTable {
       s"check name must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $name")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
-    val existing = checksOf(manifestText(spark, path, vs.last))
+    val text = manifestText(spark, path, vs.last)
+    val existing = checksOf(text)
     require(!existing.exists(_._1 == name), s"check '$name' already exists at $path")
     val bad = read(spark, path).filter(!coalesce(expr(exprSql), lit(true))).limit(1).count()
     if (bad > 0)
       throw new CheckViolationException(
         s"cannot add CHECK '$name' ($exprSql): existing rows at $path violate it")
+    // metadata-only: the file set is untouched, so a bucketing claim
+    // carries (dropping it here would cost a bucketed fact its
+    // shuffle-free joins for adding a constraint)
     publish(spark, path, "constraint", Seq.empty, carryForward = true,
-      requiredParent = Some(vs.last),
+      requiredParent = Some(vs.last), bucketing = bucketingOf(text),
       checksOverride = Some(existing :+ (name -> exprSql))).get
   }
 
@@ -2636,10 +2690,11 @@ object VersionedTable {
   def dropCheck(spark: SparkSession, path: String, name: String): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
-    val existing = checksOf(manifestText(spark, path, vs.last))
+    val text = manifestText(spark, path, vs.last)
+    val existing = checksOf(text)
     require(existing.exists(_._1 == name), s"no check '$name' at $path")
     publish(spark, path, "constraint", Seq.empty, carryForward = true,
-      requiredParent = Some(vs.last),
+      requiredParent = Some(vs.last), bucketing = bucketingOf(text),
       checksOverride = Some(existing.filterNot(_._1 == name))).get
   }
 
@@ -2705,8 +2760,11 @@ object VersionedTable {
         "them); use a new name, or overwrite the table to retire the history")
     val widened = org.apache.spark.sql.types.StructType(
       logical.fields :+ org.apache.spark.sql.types.StructField(colName, dataType, nullable = true))
+    // metadata-only, and the new column cannot be the bucket key — the
+    // claim carries
     publish(spark, path, "add-column", Seq.empty, carryForward = true,
-      schemaOverride = Some(widened), requiredParent = Some(vs.last)).get
+      schemaOverride = Some(widened), requiredParent = Some(vs.last),
+      bucketing = bucketingOf(text)).get
   }
 
   /** DROP COLUMN as a metadata-only commit — the destructive half of
@@ -2739,9 +2797,12 @@ object VersionedTable {
         "(dropping it would leave pruning metadata pointing at a phantom column)")
     val narrowed = org.apache.spark.sql.types.StructType(
       logical.fields.filterNot(_.name == colName))
+    // metadata-only: the claim carries UNLESS the dropped column IS the
+    // bucket key (a layout keyed on a phantom column is meaningless)
     publish(spark, path, "drop-column", Seq.empty, carryForward = true,
       schemaOverride = Some(narrowed), addDropped = Seq(colName),
-      requiredParent = Some(vs.last)).get
+      requiredParent = Some(vs.last),
+      bucketing = bucketingOf(text).filterNot(_._1 == colName)).get
   }
 
   def renameColumn(spark: SparkSession, path: String, oldName: String, newName: String): Long = {
@@ -2788,8 +2849,14 @@ object VersionedTable {
       s"$newType does not widen ${field.dataType}")
     val evolved = org.apache.spark.sql.types.StructType(
       logical.fields.map(f => if (f.name == colName) f.copy(dataType = newType) else f))
+    // metadata-only: the claim carries UNLESS the retyped column IS the
+    // bucket key — murmur3 hashes int and long inputs DIFFERENTLY, so a
+    // widened key would make the scan report a HashPartitioning the
+    // files were never written under (wrong join results, not just a
+    // lost optimization)
     publish(spark, path, "retype", Seq.empty, carryForward = true,
-      schemaOverride = Some(evolved), requiredParent = Some(vs.last)).get
+      schemaOverride = Some(evolved), requiredParent = Some(vs.last),
+      bucketing = bucketingOf(text).filterNot(_._1 == colName)).get
   }
 
   /** Incremental table mirroring, exactly-once: copy everything `srcPath`
@@ -2884,6 +2951,9 @@ object VersionedTable {
       resetRenames = true,
       dvOverride = Some(dvFilesOf(text)),
       bloomOverride = Some(bloomFilesOf(text)),
+      // the restored HEAD is exactly the target version's file set, so
+      // the target's bucketing claim is exactly right for it
+      bucketing = bucketingOf(text),
       newRowCounts = rowCountsOf(text)).get
   }
 
@@ -2953,8 +3023,9 @@ object VersionedTable {
       }.toMap
       val counts = rows.map { case (f, r) => f -> r.getLong(1 + 2 * cols.size) }.toMap
       try {
+        // metadata-only (file set untouched): the bucketing claim carries
         publish(spark, path, "analyze", Seq.empty, carryForward = true,
-          newRanges = ranges, statsCols = cols,
+          newRanges = ranges, statsCols = cols, bucketing = bucketingOf(text),
           requiredParent = Some(current), newRowCounts = counts) match {
           case Some(v) => return v
           case None => // not reachable without txn; recompute defensively
@@ -2987,6 +3058,7 @@ object VersionedTable {
       val vs = versions(spark, path)
       require(vs.nonEmpty, s"no committed versions at $path")
       val current = vs.last
+      val text = manifestText(spark, path, current)
       val rel = manifestFiles(spark, path, current)
       val data = spark.read.parquet(rel.map(n => s"$path/data/$n"): _*)
       val present = cols.filter(data.columns.contains)
@@ -3008,8 +3080,10 @@ object VersionedTable {
         .toDF("f", "c", "m", "k", "bits")
       val names = stageData(sidecar, path)._2
       try {
+        // metadata-only (file set untouched): the bucketing claim carries
         publish(spark, path, "analyze", Seq.empty, carryForward = true,
-          addBloomFiles = names, requiredParent = Some(current)) match {
+          addBloomFiles = names, bucketing = bucketingOf(text),
+          requiredParent = Some(current)) match {
           case Some(v) => return v
           case None =>
         }

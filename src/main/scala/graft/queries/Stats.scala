@@ -2020,7 +2020,9 @@ object Stats {
     * counts until the final z/boundary arithmetic (cumulative windows of
     * longs over the calendar grid), so both engines compute
     * bit-identical statistics and the `crossed` BOOLEAN itself is
-    * oracle-comparable — no knife-edge. */
+    * oracle-comparable — no knife-edge. The fixture gate is 5/arm (the
+    * sf0.001 smoke corpus holds only ~15 subjects; the op's production
+    * default stays 30). */
   val q340 = QueryDef(
     "q340_sequential_monitor",
     (s, d) => {
@@ -2040,7 +2042,8 @@ object Stats {
           to_date(timestamp_micros(col("conv_us"))).as("conv_day"))
       val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
       graft.ops.SequentialTest.obfMonitor(
-          subjects, "arm", "entry_day", "conv_day", looks, "day", focal = "1")
+          subjects, "arm", "entry_day", "conv_day", looks, "day", focal = "1",
+          minPerArm = 5L)
         .select(
           col("day").cast("string").as("day"), col("k"),
           col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
@@ -2076,7 +2079,7 @@ object Stats {
            |        FROM grid),
            |j AS (SELECT a.day, a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
            |      FROM cum a JOIN cum b ON a.day = b.day AND a.arm='1' AND b.arm='0'
-           |      WHERE a.n >= 30 AND b.n >= 30),
+           |      WHERE a.n >= 5 AND b.n >= 5),
            |q AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS k,
            |             COUNT(*) OVER () AS bigk, n_a, conv_a, n_b, conv_b
            |      FROM j),

@@ -368,6 +368,102 @@ class BucketedJoinSpec extends SparkSuite {
     assert(VersionedTable.read(spark, a).count() == 10)
   }
 
+  test("mergeInto and replaceWhere preserve the claim; a key-widening merge drops it") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 400, "a"), a, "id", 4)
+    VersionedTable.commitBucketed(rows(0 until 400, "b"), b, "id", 4)
+    // CDC upsert: 50 updates + 50 inserts — THE routine fact-table write
+    val src = rows(350 until 450, "upd")
+    val res = VersionedTable.merge(spark, a, src, Seq("id"))
+    assert(res.matchedRows == 50L, res.toString)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "mergeInto must keep the bucketing claim")
+    // replaceWhere a slice
+    VersionedTable.replaceWhere(
+      spark, a, col("id") < 10L, rows(0 until 10, "repl"))
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "replaceWhere must keep the bucketing claim")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a).select("id", "v")
+        .join(VersionedTable.table(spark, b).select(col("id"), col("v").as("vb")), "id")
+      assert(shuffles(joined) == 0,
+        s"post-merge/replace co-bucketed join must plan with zero exchanges:\n" +
+          joined.queryExecution.executedPlan)
+      // 0..399 existing, 400..449 inserted; b holds 0..399 → 400 matches
+      assert(joined.count() == 400)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    assert(VersionedTable.bucketSkew(spark, a)._1.values.sum == 450L)
+    // a merge whose source WIDENS the key type must drop the claim:
+    // murmur3(int) != murmur3(long), the kept files' layout no longer
+    // matches the claimed partitioning
+    val c = fresh()
+    VersionedTable.commitBucketed(
+      spark.range(100).select(col("id").cast("int").as("k"), col("id").as("v")),
+      c, "k", 4)
+    VersionedTable.merge(
+      spark, c, spark.range(90, 110).select(col("id").as("k"), (col("id") * 2).as("v")),
+      Seq("k"))
+    assert(VersionedTable.bucketing(spark, c).isEmpty,
+      "a key-widening merge must drop the claim")
+    assert(VersionedTable.read(spark, c).count() == 110)
+  }
+
+  test("metadata-only commits carry the claim; key-touching schema changes drop it") {
+    val a = fresh()
+    VersionedTable.commitBucketed(
+      rows(0 until 200, "a").withColumn("note", lit("x")), a, "id", 4)
+    // constraint add/drop, ANALYZE, ADD COLUMN, non-key DROP/RETYPE: the
+    // file set is untouched, so the shuffle-free layout must survive
+    VersionedTable.addCheck(spark, a, "pos_id", "id >= 0")
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)), "addCheck")
+    VersionedTable.dropCheck(spark, a, "pos_id")
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)), "dropCheck")
+    VersionedTable.analyzeStats(spark, a, Seq("id"))
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)), "analyzeStats")
+    VersionedTable.analyzeBlooms(spark, a, Seq("id"))
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)), "analyzeBlooms")
+    VersionedTable.addColumn(spark, a, "extra",
+      org.apache.spark.sql.types.LongType)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)), "addColumn")
+    VersionedTable.dropColumn(spark, a, "note")
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)), "non-key dropColumn")
+    // the claimed read still joins exchange-free after the whole chain
+    val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 200, "b"), b, "id", 4)
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a).select("id", "v")
+        .join(VersionedTable.table(spark, b).select(col("id"), col("v").as("vb")), "id")
+      assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    // RETYPING THE KEY drops the claim: murmur3 hashes int and long
+    // differently, so carrying it would claim a partitioning the files
+    // were never written under — a correctness cliff, not an optimization
+    val c = fresh()
+    VersionedTable.commitBucketed(
+      spark.range(100).select(col("id").cast("int").as("k"), col("id").as("v")),
+      c, "k", 4)
+    VersionedTable.widenColumn(spark, c, "k", org.apache.spark.sql.types.LongType)
+    assert(VersionedTable.bucketing(spark, c).isEmpty,
+      "retyping the bucket key must drop the claim")
+    assert(VersionedTable.read(spark, c).count() == 100)
+  }
+
+  test("RESTORE to a claimed version restores its claim") {
+    val a = fresh()
+    VersionedTable.commitBucketed(rows(0 until 100, "a"), a, "id", 4) // v1 claimed
+    VersionedTable.commitAppend(rows(100 until 120, "p"), a) // v2 drops it
+    assert(VersionedTable.bucketing(spark, a).isEmpty)
+    VersionedTable.restore(spark, a, 1L) // v3 = v1's exact file set
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "the restored HEAD is the claimed version's file set — claim restored")
+    assert(VersionedTable.read(spark, a).count() == 100)
+  }
+
   test("CREATE-first bucketed table: bucketSkew and countRows stay metadata-only") {
     val a = fresh()
     val schema = org.apache.spark.sql.types.StructType(Seq(
