@@ -81,4 +81,43 @@ object SequentialTest {
       .withColumn("crossed", abs(col("z")) > col("boundary"))
       .select("day", "k", "n_a", "conv_a", "n_b", "conv_b", "z", "boundary", "crossed")
   }
+
+  /** Always-valid p-values over an [[obfMonitor]] grid — the mixture
+    * SPRT (Johari, Pekelis & Walsh 2017, "Peeking at A/B tests"): the
+    * mixture likelihood ratio for the cumulative conversion difference
+    * Δ_k with estimated variance V_k,
+    *   Λ_k = √(V/(V+τ²)) · exp(Δ²τ²/(2·V·(V+τ²))),
+    * gives p_k = min(1, min_{j≤k} 1/Λ_j) — a p-value that stays valid
+    * UNDER CONTINUOUS MONITORING with no pre-declared number of looks,
+    * the property the OBF boundary buys only for a fixed look schedule.
+    * Nonincreasing by construction (the running min), so a dashboard
+    * can ship it directly. τ is the mixture scale: the effect-size
+    * magnitude the test is most sensitive to (default 0.1 ≈ ten-point
+    * conversion lifts).
+    *
+    * Same scale shape as the monitor: arithmetic over the qualifying
+    * look grid plus one more bounded running-max window. Carried in LOG
+    * form (`log_lambda`): Λ itself overflows rounding comparability once
+    * the exponent grows (e^50-scale values round at ulp granularity, not
+    * 1e-6), while ln Λ stays modest and p = min(1, e^{−max ln Λ}) stays
+    * in [0,1] — both deterministically comparable across engines.
+    * Degenerate V = 0 looks (both arms all- or never-converted) carry
+    * ln Λ = 0. */
+  def alwaysValidP(monitor: DataFrame, tau: Double = 0.1): DataFrame = {
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val v = pa * (lit(1.0) - pa) / col("n_a") + pb * (lit(1.0) - pb) / col("n_b")
+    val t2 = lit(tau * tau)
+    val delta = pa - pb
+    val logLambda = when(v > 0.0,
+      lit(0.5) * log(v / (v + t2)) +
+        delta * delta * t2 / (lit(2.0) * v * (v + t2)))
+      .otherwise(lit(0.0))
+    val runMax = graft.core.Windows.bounded(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monitor
+      .withColumn("log_lambda", logLambda)
+      .withColumn("p_always_valid",
+        least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
+  }
 }

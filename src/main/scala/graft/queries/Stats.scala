@@ -2345,9 +2345,169 @@ object Stats {
            |FROM b JOIN t USING (wk)
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
+  /** Q341 — Welch's one-way ANOVA (Welch 1951): do the k = 25 nations'
+    * customer balances share a mean, WITHOUT assuming equal variances
+    * (classic ANOVA's equal-variance assumption is exactly what skewed
+    * per-group financial data violates) — the parametric companion to
+    * q329's rank-based Kruskal-Wallis. Everything closed-from-moments:
+    * one per-nation (n, Σx, Σx²) aggregation, then the weighted F*
+    * statistic and Welch–Satterthwaite df over the 25-row grid — the
+    * grid reduce is itself one aggregation, no driver state, no
+    * collect. */
+  val q341 = QueryDef(
+    "q341_welch_anova",
+    (s, d) => {
+      val g = Tables.customer(s, d).groupBy(col("c_nationkey").as("g"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("c_acctbal")).as("sx"),
+          sum(col("c_acctbal") * col("c_acctbal")).as("sxx"))
+        .select(
+          col("g"), col("n"),
+          (col("sx") / col("n")).as("m"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("s2"))
+        .withColumn("w", col("n") / col("s2"))
+      val red = g.agg(
+        count(lit(1)).cast("double").as("k"),
+        sum(col("n")).as("ntot"),
+        sum(col("w")).as("bigw"),
+        sum(col("w") * col("m")).as("wm"))
+      val joined = g.crossJoin(broadcast(red))
+        .agg(
+          first(col("k")).as("k"),
+          first(col("ntot")).as("ntot"),
+          sum(col("w") * (col("m") - col("wm") / col("bigw"))
+            * (col("m") - col("wm") / col("bigw"))).as("num"),
+          sum((lit(1.0) - col("w") / col("bigw"))
+            * (lit(1.0) - col("w") / col("bigw")) / (col("n") - 1)).as("lam"))
+      joined.select(
+        col("k").cast("long").as("k_groups"),
+        col("ntot").cast("long").as("n"),
+        r6((col("num") / (col("k") - 1)) /
+          (lit(1.0) + lit(2.0) * (col("k") - 2) / (col("k") * col("k") - 1) * col("lam")))
+          .as("f_stat"),
+        r6((col("k") * col("k") - 1) / (lit(3.0) * col("lam"))).as("df2"))
+    },
+    Some("""WITH g AS (SELECT c_nationkey AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+           |                  SUM(c_acctbal) AS sx, SUM(c_acctbal * c_acctbal) AS sxx
+           |           FROM customer GROUP BY 1),
+           |m AS (SELECT g, n, sx / n AS m,
+           |             (sxx - sx * sx / n) / (n - 1) AS s2
+           |      FROM g),
+           |w AS (SELECT g, n, m, n / s2 AS w FROM m),
+           |r AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS ntot,
+           |             SUM(w) AS bigw, SUM(w * m) AS wm
+           |      FROM w),
+           |f AS (SELECT r.k, r.ntot,
+           |             SUM(w * (m - wm / bigw) * (m - wm / bigw)) AS num,
+           |             SUM((1.0 - w / bigw) * (1.0 - w / bigw) / (n - 1)) AS lam
+           |      FROM w CROSS JOIN r GROUP BY 1, 2)
+           |SELECT CAST(k AS BIGINT) AS k_groups, CAST(ntot AS BIGINT) AS n,
+           |       ROUND((num / (k - 1))
+           |             / (1.0 + 2.0 * (k - 2) / (k * k - 1) * lam), 6) AS f_stat,
+           |       ROUND((k * k - 1) / (3.0 * lam), 6) AS df2
+           |FROM f""".stripMargin))
+
+  /** Q342 — always-valid p-values (mixture SPRT — Johari, Pekelis &
+    * Walsh 2017) over q340's look grid
+    * ([[graft.ops.SequentialTest.alwaysValidP]]): p_k = min(1,
+    * e^{−max_{j≤k} ln Λ_j}) stays a valid p-value under CONTINUOUS
+    * monitoring with no pre-declared look schedule — the property
+    * q340's OBF boundary buys only for fixed looks. Carried in LOG form
+    * (ln Λ is rounding-comparable across engines; Λ itself reaches
+    * e^50-scale where 1e-6 rounding is below one ulp) and nonincreasing
+    * by construction, so a dashboard ships it directly. Same cumulative
+    * exact-integer grid as q340; the oracle extends that replay with
+    * ln Λ and the running max. */
+  val q342 = QueryDef(
+    "q342_always_valid_p",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .select(
+          (conv(
+            substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          to_date(timestamp_micros(col("conv_us"))).as("conv_day"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      val monitor = graft.ops.SequentialTest.obfMonitor(
+        subjects, "arm", "entry_day", "conv_day", looks, "day", focal = "1",
+        minPerArm = 5L)
+      graft.ops.SequentialTest.alwaysValidP(monitor, tau = 0.1)
+        .select(
+          col("day").cast("string").as("day"), col("k"),
+          col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          (r6(col("log_lambda")) + lit(0.0)).as("log_lambda"),
+          r6(col("p_always_valid")).as("p_always_valid"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS entry_day,
+           |             CASE WHEN conv_us IS NULL THEN NULL
+           |                  ELSE CAST(make_timestamp(conv_us) AS DATE) END AS conv_day
+           |      FROM en LEFT JOIN cv USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |ent AS (SELECT arm, entry_day AS day, COUNT(*) AS en FROM s GROUP BY 1,2),
+           |cvv AS (SELECT arm, conv_day AS day, COUNT(*) AS cn FROM s
+           |        WHERE conv_day IS NOT NULL GROUP BY 1,2),
+           |arms AS (SELECT DISTINCT arm FROM s),
+           |grid AS (SELECT a.arm, l.day, COALESCE(en,0) AS en, COALESCE(cn,0) AS cn
+           |         FROM looks l CROSS JOIN arms a
+           |         LEFT JOIN ent ON ent.arm=a.arm AND ent.day=l.day
+           |         LEFT JOIN cvv ON cvv.arm=a.arm AND cvv.day=l.day),
+           |cum AS (SELECT arm, day,
+           |               SUM(en) OVER (PARTITION BY arm ORDER BY day) AS n,
+           |               SUM(cn) OVER (PARTITION BY arm ORDER BY day) AS c
+           |        FROM grid),
+           |j AS (SELECT a.day, a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+           |      FROM cum a JOIN cum b ON a.day = b.day AND a.arm='1' AND b.arm='0'
+           |      WHERE a.n >= 5 AND b.n >= 5),
+           |q AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS k,
+           |             n_a, conv_a, n_b, conv_b,
+           |             CAST(conv_a AS DOUBLE)/n_a AS pa,
+           |             CAST(conv_b AS DOUBLE)/n_b AS pb
+           |      FROM j),
+           |v AS (SELECT *,
+           |             pa*(1.0-pa)/n_a + pb*(1.0-pb)/n_b AS vv,
+           |             0.01 AS t2
+           |      FROM q),
+           |ll AS (SELECT *,
+           |              CASE WHEN vv > 0.0
+           |                   THEN 0.5*LN(vv/(vv+t2))
+           |                        + (pa-pb)*(pa-pb)*t2/(2.0*vv*(vv+t2))
+           |                   ELSE 0.0 END AS log_lambda
+           |       FROM v),
+           |p AS (SELECT *,
+           |             LEAST(1.0, EXP(-MAX(log_lambda) OVER (ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pav
+           |      FROM ll)
+           |SELECT CAST(day AS VARCHAR) AS day, CAST(k AS BIGINT) AS k,
+           |       CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           |       ROUND(log_lambda, 6) + 0 AS log_lambda,
+           |       ROUND(pav, 6) AS p_always_valid
+           |FROM p ORDER BY day""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
-      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340)
+      q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
+      q341, q342)
 }

@@ -63,6 +63,26 @@ class SequentialTestSpec extends SparkSuite {
     assert(eff.drop(firstCross).forall(_.getAs[Boolean]("crossed")))
   }
 
+  test("always-valid p: nonincreasing; null effect stays high, strong effect sinks") {
+    def pSeries(pA: Double, pB: Double) = {
+      val m = SequentialTest.obfMonitor(
+        cohorts(12, 60, pA, pB), "arm", "entry_day", "conv_day",
+        looksOf(12), "day", focal = "1", minPerArm = 30L)
+      SequentialTest.alwaysValidP(m)
+        .orderBy("day").collect().map(_.getAs[Double]("p_always_valid"))
+    }
+    val calm = pSeries(0.3, 0.3)
+    // p is a RUNNING min of a positive quantity — nonincreasing always
+    assert(calm.sliding(2).forall(w => w(1) <= w(0) + 1e-15), calm.mkString(","))
+    // equal rates: ln Λ < 0 (the √(V/(V+τ²)) deficit with Δ = 0), p stays 1
+    assert(calm.forall(_ == 1.0), calm.mkString(","))
+    val eff = pSeries(0.5, 0.2)
+    assert(eff.sliding(2).forall(w => w(1) <= w(0) + 1e-15), eff.mkString(","))
+    assert(eff.last < 0.05,
+      s"a 30-point lift must reach significance under always-valid monitoring: " +
+        eff.mkString(","))
+  }
+
   test("looks below minPerArm are previews, not tests: k counts qualifying looks only") {
     // 10 subjects/arm/day: the 30-per-arm gate clears at day 2 (cumulative 30)
     val out = SequentialTest.obfMonitor(
