@@ -3174,11 +3174,19 @@ object VersionedTable {
       // a claimed bucketing layout SURVIVES compaction: placement is
       // hash-determined (same key, same n), so repacked rows go back
       // through the bucketed writer and the claim — and its shuffle-free
-      // joins — outlive maintenance; range/z-order re-clustering does not
-      // apply under a claim (the bucket layout IS the layout; rows still
-      // sort by the key within each bucket). [[compactBucketed]] remains
-      // the stronger op that restores the one-file-per-bucket SORT claim.
+      // joins — outlive maintenance; range re-clustering does not apply
+      // under a claim (the bucket layout IS the layout; rows still sort
+      // by the key within each bucket). [[compactBucketed]] remains the
+      // stronger op that restores the one-file-per-bucket SORT claim.
       val claim = bucketingOf(text)
+      // an explicit Z-ORDER request on a claimed table must refuse, not
+      // silently hash-bucket instead: the two layouts are exclusive and
+      // the user asked for one the table cannot hold without giving up
+      // its shuffle-free joins
+      require(claim.isEmpty || !zOrder,
+        s"table at $path is hash-bucketed (${claim.get._1}:${claim.get._2}) — " +
+          "Z-ORDER would replace the layout that makes its joins shuffle-free. " +
+          "Drop the claim first (commitOverwrite) or compact without ZORDER")
       val (commitId, names) = claim match {
         case Some((bk, bn)) =>
           // zero staged files (all-empty smalls) degrades to one suffixed

@@ -74,6 +74,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+(.+?)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val describeDetail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
+  private val describeBuckets =
+    """(?is)\s*DESCRIBE\s+BUCKETS\s+(.+?)\s*;?\s*""".r
   private val createMv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+AS\s+(SELECT\s.+?)\s*;?\s*""".r
   private val refreshAllMvs =
@@ -113,6 +115,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtRestoreCommand(parts(ident), version.toLong)
     case describeDetail(ident) =>
       VtDescribeDetailCommand(parts(ident))
+    case describeBuckets(ident) =>
+      VtDescribeBucketsCommand(parts(ident))
     case createMv(ident, select) =>
       val spec = MvSql.extract(delegate, select)
       VtCreateMvCommand(parts(ident), spec)
@@ -301,6 +305,33 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       // the join-layout claim ("key:n"), or the explicit absence marker
       VersionedTable.bucketing(spark, path)
         .map { case (k, n) => s"$k:$n" }.getOrElse("unbucketed")))
+  }
+}
+
+/** `DESCRIBE BUCKETS <tbl>`: the per-bucket row distribution of a
+  * CLAIMED table straight from manifest metadata
+  * ([[graft.io.VersionedTable.bucketSkew]] — zero data reads), one row
+  * per declared bucket plus the skew summary every row repeats. A hot
+  * key concentrates in one bucket (hashing cannot split equal values):
+  * `skew_ratio` far above ~2 says the layout is fighting the data —
+  * re-bucket on a compound key or fall back to salted joins. Empty
+  * declared buckets report zero rows (they matter: the join still plans
+  * n partitions). Refuses an unbucketed table. */
+final case class VtDescribeBucketsCommand(tableParts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("bucket", IntegerType),
+    VtSqlOps.attr("n_rows", LongType),
+    VtSqlOps.attr("bucket_key", StringType),
+    VtSqlOps.attr("n_buckets", IntegerType),
+    VtSqlOps.attr("skew_ratio", org.apache.spark.sql.types.DoubleType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val (key, n) = VersionedTable.bucketing(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path carries no bucketing claim — DESCRIBE DETAIL shows layout"))
+    val (perBucket, ratio) = VersionedTable.bucketSkew(spark, path)
+    (0 until n).map(b => Row(b, perBucket.getOrElse(b, 0L), key, n, ratio))
   }
 }
 

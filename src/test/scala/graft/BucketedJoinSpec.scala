@@ -453,6 +453,28 @@ class BucketedJoinSpec extends SparkSuite {
     assert(VersionedTable.read(spark, c).count() == 100)
   }
 
+  test("DESCRIBE BUCKETS reports the per-bucket distribution; ZORDER on a claim refuses") {
+    val a = fresh()
+    VersionedTable.commitBucketed(rows(0 until 400, "a"), a, "id", 4)
+    val rows4 = spark.sql(s"DESCRIBE BUCKETS `$a`").orderBy("bucket").collect()
+    assert(rows4.length == 4)
+    assert(rows4.map(_.getLong(1)).sum == 400L)
+    assert(rows4.forall(r => r.getString(2) == "id" && r.getInt(3) == 4))
+    assert(rows4.forall(_.getDouble(4) > 0.0))
+    // unbucketed table refuses with a pointer to DESCRIBE DETAIL
+    val plain = fresh()
+    VersionedTable.commitAppend(rows(0 until 10, "p"), plain)
+    val e = intercept[Exception](spark.sql(s"DESCRIBE BUCKETS `$plain`").collect())
+    assert(e.getMessage.contains("no bucketing claim"), e.getMessage)
+    // an explicit Z-ORDER on the claimed table refuses rather than
+    // silently hash-bucketing (the layouts are exclusive); plain
+    // compaction still works and keeps the claim
+    val ez = intercept[IllegalArgumentException](
+      VersionedTable.compact(spark, a, 1000L, zOrder = true))
+    assert(ez.getMessage.contains("hash-bucketed"), ez.getMessage)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+  }
+
   test("RESTORE to a claimed version restores its claim") {
     val a = fresh()
     VersionedTable.commitBucketed(rows(0 until 100, "a"), a, "id", 4) // v1 claimed
