@@ -37,7 +37,9 @@ object ScaleProbe {
     "q320_theil_decomposition", "q322_cox_hazard", "q324_mann_whitney",
     "q326_bh_fdr", "q327_spearman", "q328_ratio_ci", "q329_kruskal_wallis",
     "q331_ks_two_sample", "q332_holt_winters", "q333_winsorized_mean",
-    "q334_effect_size", "q336_cox_multivariate", "q337_holt_winters_mult")
+    "q334_effect_size", "q336_cox_multivariate", "q337_holt_winters_mult",
+    "q339_cox_stratified", "q340_sequential_monitor", "q341_welch_anova",
+    "q342_always_valid_p")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver
