@@ -410,6 +410,33 @@ class BucketedJoinSpec extends SparkSuite {
     assert(VersionedTable.read(spark, c).count() == 110)
   }
 
+  test("a non-key schema-widening merge keeps the claim; old bucket files null-fill") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 200, "a"), a, "id", 4)
+    VersionedTable.commitBucketed(rows(0 until 200, "b"), b, "id", 4)
+    // source carries an EXTRA column: the widen touches the schema but
+    // not the key's type, so the claim holds and pre-merge bucket files
+    // read the new column as null
+    val src = (180L until 220L).map(i => (i, s"upd_$i", i * 10.0))
+      .toDF("id", "v", "score")
+    VersionedTable.merge(spark, a, src, Seq("id"))
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "a non-key widen must keep the claim")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ta = VersionedTable.table(spark, a)
+      assert(ta.columns.contains("score"))
+      val joined = ta.join(VersionedTable.table(spark, b).select(
+        col("id"), col("v").as("vb")), "id")
+      assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 200)
+      // null-fill on untouched files, real values on merged rows
+      assert(ta.filter(col("score").isNotNull).count() == 40)
+      assert(ta.filter(col("id") < 180L && col("score").isNotNull).count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+  }
+
   test("metadata-only commits carry the claim; key-touching schema changes drop it") {
     val a = fresh()
     VersionedTable.commitBucketed(
