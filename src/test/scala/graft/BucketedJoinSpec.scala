@@ -502,6 +502,31 @@ class BucketedJoinSpec extends SparkSuite {
     assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
   }
 
+  test("bucketed micro-batches keep landing after mid-stream maintenance") {
+    // the continuous-ingest lifecycle: batch 0 → deleteWhere → batch 1 →
+    // compact → batch 2. requireBucketLayout validates each append
+    // against the CURRENT claim, so maintenance preserving the claim is
+    // exactly what keeps the stream alive without a re-cluster.
+    val a = fresh()
+    assert(VersionedTable.commitBucketedBatch(
+      rows(0 until 100, "b0"), a, "id", 4, "w1", 0L).isDefined)
+    VersionedTable.deleteWhere(spark, a, col("id") < 10L)
+    assert(VersionedTable.commitBucketedBatch(
+      rows(100 until 200, "b1"), a, "id", 4, "w1", 1L).isDefined,
+      "a bucketed append after a claim-preserving delete must land")
+    VersionedTable.compact(spark, a, targetRowsPerFile = 100000L)
+    assert(VersionedTable.commitBucketedBatch(
+      rows(200 until 300, "b2"), a, "id", 4, "w1", 2L).isDefined,
+      "a bucketed append after a claim-preserving compact must land")
+    // replay stays idempotent across the maintenance commits
+    assert(VersionedTable.commitBucketedBatch(
+      rows(200 until 300, "b2"), a, "id", 4, "w1", 2L).isEmpty,
+      "replayed batch must be refused by the txn map")
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+    assert(VersionedTable.read(spark, a).count() == 290)
+    assert(VersionedTable.bucketSkew(spark, a)._1.values.sum == 290L)
+  }
+
   test("RESTORE to a claimed version restores its claim") {
     val a = fresh()
     VersionedTable.commitBucketed(rows(0 until 100, "a"), a, "id", 4) // v1 claimed
