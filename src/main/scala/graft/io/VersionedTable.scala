@@ -318,6 +318,30 @@ object VersionedTable {
     StructType(merged)
   }
 
+  /** Project `df` onto `target`: each target field resolves from `df`
+    * case-insensitively and casts to the target type; fields `df` lacks
+    * null-fill. Bucketed RE-staging of an external frame MUST pass
+    * through this: murmur3 hashes int and long differently, so a source
+    * whose bucket-key column arrives NARROWER than the claimed type
+    * (mergeWiden keeps the claimed type, so the claim guard passes) would
+    * otherwise repartition on the raw narrow column and land its rows in
+    * the wrong buckets — the scan still reports HashPartitioning, the
+    * reader upcasts int32→long, and co-bucketed joins silently misgroup.
+    * A source missing the key column entirely would crash in
+    * stageBucketed; here it null-fills (nulls hash to one deterministic
+    * bucket, consistent with any bucketed write of null keys). */
+  private def conformTo(target: org.apache.spark.sql.types.StructType)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val byName = df.schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    df.select(target.fields.toSeq.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None      => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
   /** Read `files` under a manifest's schema metadata: the explicit read
     * schema carries every logical column at its (possibly widened) type —
     * the 4.x vectorized parquet reader upcasts int32→long / float→double
@@ -2016,8 +2040,13 @@ object VersionedTable {
             prev.fields.find(_.name == bk).map(_.dataType) ==
               mergedSchema.fields.find(_.name == bk).map(_.dataType))
         }
+        // conformTo is load-bearing, not cosmetic: the guard above keeps
+        // the claim when mergedSchema's key type equals the claimed type,
+        // which includes sources whose key is NARROWER (or absent) — those
+        // must cast/null-fill to the claimed type BEFORE repartitioning or
+        // murmur3 buckets them wrong (see conformTo's doc).
         def stageMaybeBucketed(df: DataFrame): Seq[String] = claim match {
-          case Some((bk, bn)) => stageBucketed(df, path, bk, bn)
+          case Some((bk, bn)) => stageBucketed(conformTo(mergedSchema)(df), path, bk, bn)
           case None           => stageData(df, path)._2
         }
         // rewritten files: matched rows out (tombstoned), survivors kept;
@@ -2269,8 +2298,11 @@ object VersionedTable {
             prev.fields.find(_.name == bk).map(_.dataType) ==
               mergedSchema.fields.find(_.name == bk).map(_.dataType))
         }
+        // conformTo for the same reason as mergeInto: a replacement frame
+        // with a narrower/absent bucket key passes the guard (mergeWiden
+        // keeps the claimed type) and must cast before repartitioning.
         def stageMaybeBucketed(d0: DataFrame): Seq[String] = claim match {
-          case Some((bk, bn)) => stageBucketed(d0, path, bk, bn)
+          case Some((bk, bn)) => stageBucketed(conformTo(mergedSchema)(d0), path, bk, bn)
           case None           => stageData(d0, path)._2
         }
         val (deleted, tombNames, survNames) =
@@ -3216,7 +3248,16 @@ object VersionedTable {
             // columns (bucketSkew/countRows stay metadata-only)
             if (claim.isEmpty) Map.empty[String, Long]
             else names.map(_ -> 0L).toMap ++ stagedCounts(spark, path, names))
-        else rangesOf(df, path, commitId, statsCols)
+        else {
+          // rangesOf's grouped scan never sees EMPTY staged bucket files
+          // (Spark writes the part file even for an empty bucket), so
+          // under a claim zero-default every staged name first — a bucket
+          // with no recorded count would break the 'bucketed commits
+          // always record' invariant that bucketSkew/DESCRIBE BUCKETS
+          // enforce.
+          val (r, c) = rangesOf(df, path, commitId, statsCols)
+          (r, if (claim.isEmpty) c else names.map(_ -> 0L).toMap ++ c)
+        }
       // repacked files get fresh blooms; the whole sidecar set is
       // consolidated to live rows (compaction = bloom maintenance too)
       val newBlooms = rebloom(spark, path, text, names)

@@ -44,6 +44,16 @@ object SequentialTest {
       .groupBy(arm.as("arm"), col(convCol).as("day"))
       .agg(count(lit(1)).as("cn"))
     val arms = subjects.select(arm.as("arm")).distinct()
+    // Two-arm contract enforced, not assumed: the B side below is "every
+    // non-focal arm", so a third arm would join one row PER ARM per look
+    // day, duplicating days and making k/bigk (row_number over day)
+    // ambiguous. limit(3) bounds the check collect at three rows.
+    val armVals = arms.limit(3).collect().map(_.getString(0)).toSeq
+    require(armVals.size == 2,
+      s"obfMonitor is a two-arm test; found arms ${armVals.sorted.mkString(", ")}" +
+        (if (armVals.size == 3) " (and possibly more)" else ""))
+    require(armVals.contains(focal),
+      s"focal arm '$focal' not present; arms are ${armVals.sorted.mkString(", ")}")
     val grid = looks.select(col(lookCol).as("day")).distinct()
       .crossJoin(broadcast(arms)) // calendar × arm count
       .join(ent, Seq("arm", "day"), "left")

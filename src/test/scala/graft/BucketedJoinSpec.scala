@@ -553,4 +553,82 @@ class BucketedJoinSpec extends SparkSuite {
     assert(perBucket.values.sum == 100L)
     assert(VersionedTable.countRows(spark, a) == 100L)
   }
+
+  test("a NARROWER-key merge keeps the claim and buckets the upserts correctly") {
+    // claimed key type long; the CDC source arrives with an INT key.
+    // mergeWiden keeps long, the claim guard passes — so the staged
+    // upserts MUST cast to long before the bucketed repartition
+    // (murmur3 hashes int and long differently; without the cast the
+    // rows land in the wrong buckets and the co-bucketed join silently
+    // loses them while the scan still reports HashPartitioning).
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 200, "a"), a, "id", 4)
+    VersionedTable.commitBucketed(rows(0 until 300, "b"), b, "id", 4)
+    val src = spark.range(180, 260).select(
+      col("id").cast("int").as("id"), concat(lit("upd_"), col("id")).as("v"))
+    val res = VersionedTable.merge(spark, a, src, Seq("id"))
+    assert(res.matchedRows == 20L, res.toString)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "a narrower source key conforms to the claimed type — claim must hold")
+    assert(VersionedTable.tableSchema(spark, a).apply("id").dataType ==
+      org.apache.spark.sql.types.LongType, "logical key type must stay long")
+    // replaceWhere with the same narrow-keyed shape
+    VersionedTable.replaceWhere(spark, a, col("id") < 5L,
+      spark.range(0, 5).select(col("id").cast("int").as("id"), lit("repl").as("v")))
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a).select("id", "v")
+        .join(VersionedTable.table(spark, b).select(col("id"), col("v").as("vb")), "id")
+      assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+      // a holds 0..259, b holds 0..299 → every key must meet its partner
+      assert(joined.count() == 260)
+      // the upserted AND replaced slices specifically — the rows that land
+      // in the wrong buckets when the narrow key is hashed raw
+      assert(joined.filter(col("id") >= 180L).count() == 80)
+      assert(joined.filter(col("v") === "repl").count() == 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    assert(VersionedTable.bucketSkew(spark, a)._1.values.sum == 260L)
+  }
+
+  test("a merge source MISSING the bucket key null-fills it instead of crashing") {
+    // merge keys need not include the bucket key: a source that lacks the
+    // key column entirely passes the claim guard (mergeWiden keeps the
+    // prior type) and must stage with a null-filled key — one
+    // deterministic bucket — not crash in the bucketed writer.
+    val a = fresh()
+    val base = spark.range(100).select(
+      col("id"), concat(lit("c"), col("id")).as("code"), lit("old").as("v"))
+    VersionedTable.commitBucketed(base, a, "id", 4)
+    val src = Seq(("c5", "new"), ("cX", "ins")).toDF("code", "v")
+    val res = VersionedTable.merge(spark, a, src, Seq("code"))
+    assert(res.matchedRows == 1L, res.toString)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)),
+      "absent key = additive-evolution null, not a claim drop")
+    val t = VersionedTable.table(spark, a)
+    assert(t.count() == 101)
+    assert(t.filter(col("id").isNull).count() == 2,
+      "replaced + inserted rows carry the null-filled bucket key")
+    assert(VersionedTable.bucketSkew(spark, a)._1.values.sum == 101L)
+  }
+
+  test("compact with recorded stats zero-defaults empty staged buckets under a claim") {
+    // every row hashes to ONE bucket, so compaction's bucketed re-stage
+    // writes empty part files for the other three; with stats columns
+    // recorded, rangesOf's grouped scan never sees them — they must still
+    // get 0-counts or bucketSkew/DESCRIBE BUCKETS break the 'bucketed
+    // commits always record' invariant.
+    val a = fresh()
+    val one = (0 until 30).map(i => (7L, s"x$i")).toDF("id", "v")
+    VersionedTable.commitBucketed(one, a, "id", 4)
+    VersionedTable.commitBucketed(one, a, "id", 4)
+    VersionedTable.analyzeStats(spark, a, Seq("id"))
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+    val (_, merged) = VersionedTable.compact(spark, a, targetRowsPerFile = 1000L)
+    assert(merged >= 2, s"expected the small bucket files to repack, got $merged")
+    val (perBucket, _) = VersionedTable.bucketSkew(spark, a)
+    assert(perBucket.values.sum == 60L)
+    assert(VersionedTable.read(spark, a).count() == 60)
+  }
 }

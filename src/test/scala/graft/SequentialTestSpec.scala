@@ -94,4 +94,24 @@ class SequentialTestSpec extends SparkSuite {
     assert(out.head.getAs[Long]("k") == 1L)
     assert(out.last.getAs[Long]("k") == 6L)
   }
+
+  test("a third arm refuses: the non-focal side would duplicate look days") {
+    // with 3+ arms the B side (every non-focal arm) joins one row per arm
+    // per day, making k/bigk ambiguous — the op must refuse, not emit a
+    // corrupted monitor
+    val three = cohorts(4, 10, 0.4, 0.4)
+      .union(Seq(("2", 0, Some(0))).toDF("arm", "entry_day", "conv_day"))
+    val e = intercept[IllegalArgumentException] {
+      SequentialTest.obfMonitor(
+        three, "arm", "entry_day", "conv_day", looksOf(4), "day", focal = "1")
+    }
+    assert(e.getMessage.contains("two-arm"), e.getMessage)
+    // and a focal arm that is not present refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      SequentialTest.obfMonitor(
+        cohorts(4, 10, 0.4, 0.4), "arm", "entry_day", "conv_day",
+        looksOf(4), "day", focal = "treated")
+    }
+    assert(e2.getMessage.contains("focal"), e2.getMessage)
+  }
 }
