@@ -143,6 +143,25 @@ object Bench {
     (detail, compact, ok)
   }
 
+  /** Persist the detail line to a file. The stdout artifact is a bounded
+    * TAIL: the compact gate line survives it, but the plan-metrics map —
+    * the regression adjudicator — mostly does not (round 14: only 10 of
+    * 38 queries' plan entries were comparable between rounds, and
+    * `observed.setsim.candidates` never reached the archived artifact at
+    * all). A committed `bench_detail.json` makes every round's full plan
+    * map diffable from artifacts alone. */
+  def persistDetail(detail: String, path: String): Unit =
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch {
+      // a failed file write must not fail a bench whose runs were clean —
+      // the detail line still went to stdout
+      case e: Throwable => System.err.println(s"bench_detail write failed: $e")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -160,6 +179,8 @@ object Bench {
     // pushed the timings out of the recorded artifact).
     println(detail)
     println(compact)
+    persistDetail(detail,
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json"))
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -184,8 +184,9 @@ object Survival {
       .toDF("n_times", "beta", "hazard_ratio", "se", "wald_chi2")
   }
 
-  /** MULTI-covariate Cox proportional hazards (Breslow ties, matrix
-    * Newton-Raphson) — the general form [[coxTwoGroup]] special-cases:
+  /** MULTI-covariate Cox proportional hazards (Efron ties by default,
+    * Breslow available; matrix Newton-Raphson) — the general form
+    * [[coxTwoGroup]] special-cases:
     * hazard h(t|x) = h₀(t)·e^{βᵀx} with p arbitrary (binary OR
     * continuous) covariates fit jointly, so each hazard ratio is
     * ADJUSTED for the others — the question "does the treatment arm
@@ -215,17 +216,44 @@ object Survival {
     * aggregation keys by (stratum, time) instead of (time); `maxTimes`
     * caps the TOTAL collected grid.
     *
+    * TIES (`ties`): durations here are integer-granular, so tied event
+    * times are the NORM, and the approximation chosen for them is not a
+    * detail — Breslow treats all d tied events as sharing the full
+    * risk-set denominator S₀^d, which biases β toward 0 as tie density
+    * grows; Efron (the default, as in R's `coxph`) lets the j-th tied
+    * event see the risk set with j/d of the tied events' own mass
+    * removed: denominator Π_j (S₀ − (j/d)·E₀) where E₀ is the
+    * e^{βᵀx}-mass of the events AT that time. The per-iteration
+    * aggregation just adds the event-weighted moments (E₀, E₁_k, E₂_kl)
+    * to the same single pass; the driver loop then costs Σ_t d_t (=
+    * total events) arithmetic per iteration instead of n_times — flops,
+    * not memory (state stays grid-sized), the same loop every standard
+    * implementation runs. `ties = "breslow"` keeps the closed form.
+    *
+    * SEPARATION: a covariate that perfectly orders the event times makes
+    * the partial likelihood MONOTONE in its β — Newton walks β toward
+    * ±∞, the information flattens, and the "estimate" after any fixed
+    * iteration count is an artifact of the cutoff with a meaningless
+    * Wald CI. The fit REFUSES rather than reports: after the fixed
+    * Newton steps the final step length must be below 1e-6·(1+max|β|)
+    * (a quadratically-convergent fit lands at machine precision; a
+    * monotone likelihood keeps stepping), and any non-finite iterate
+    * refuses immediately, naming the diverging covariate.
+    *
     * Returns one row per covariate: (covariate, n_times, beta,
     * hazard_ratio, se, wald_chi2) with se from the inverse information
     * at the final β. */
   def coxPH(
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       iters: Int = 8, maxTimes: Int = 100000,
-      strataCol: Option[String] = None): DataFrame = {
+      strataCol: Option[String] = None, ties: String = "efron"): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
     val p = xCols.length
     require(p >= 1, "coxPH needs at least one covariate")
+    require(ties == "efron" || ties == "breslow",
+      s"ties must be 'efron' or 'breslow', got '$ties'")
+    val efron = ties == "efron"
     val subj = subjects.select(
       strataCol.fold(lit("__all"))(c => col(c).cast("string")).as("g") +:
         col(tCol).cast("long").as("t") +:
@@ -235,12 +263,17 @@ object Survival {
     try {
       val pairs = (for { k <- 0 until p; l <- k until p } yield (k, l)).toArray
       // one aggregation pass at the current β: per (stratum, observed
-      // time), the event sums and the e^{βᵀx}-weighted leaving-mass
-      // moments
-      def gridAt(beta: Array[Double])
-          : Array[(String, Long, Long, Array[Double], Double, Array[Double], Array[Double])] = {
+      // time), the event sums, the e^{βᵀx}-weighted leaving-mass moments
+      // (a*), and the event-only weighted moments (e*) Efron's within-tie
+      // subtraction needs — all in the SAME hash aggregate
+      final case class Cell(
+          g: String, t: Long, d: Long, sx: Array[Double],
+          a0: Double, a1: Array[Double], a2: Array[Double],
+          e0: Double, e1: Array[Double], e2: Array[Double])
+      def gridAt(beta: Array[Double]): Array[Cell] = {
         val wExpr = exp((0 until p).map(i => col(s"x$i") * lit(beta(i)))
           .reduce(_ + _))
+        val evW = when(col("ev") === 1, col("w")).otherwise(lit(0.0))
         val aggs =
           sum(col("ev")).cast("long").as("d") +: (
             (0 until p).map(k =>
@@ -249,6 +282,11 @@ object Survival {
             (0 until p).map(k => sum(col(s"x$k") * col("w")).as(s"a1_$k")) ++
             pairs.toSeq.map { case (k, l) =>
               sum(col(s"x$k") * col(s"x$l") * col("w")).as(s"a2_${k}_$l")
+            } ++
+            Seq(sum(evW).as("e0")) ++
+            (0 until p).map(k => sum(col(s"x$k") * evW).as(s"e1_$k")) ++
+            pairs.toSeq.map { case (k, l) =>
+              sum(col(s"x$k") * col(s"x$l") * evW).as(s"e2_${k}_$l")
             })
         val rows = subj.withColumn("w", wExpr)
           .groupBy("g", "t").agg(aggs.head, aggs.tail: _*)
@@ -257,18 +295,24 @@ object Survival {
           s"cox grid has ${rows.length} (stratum, time) cells > maxTimes=$maxTimes — " +
             "the driver solve is bounded by declared judgement; coarsen the duration " +
             "unit or raise the cap knowingly")
+        val q = pairs.length
         rows.map { r =>
-          (r.getString(0), r.getLong(1), r.getLong(2),
+          Cell(r.getString(0), r.getLong(1), r.getLong(2),
             Array.tabulate(p)(k => r.getDouble(3 + k)),
             r.getDouble(3 + p),
             Array.tabulate(p)(k => r.getDouble(4 + p + k)),
-            Array.tabulate(pairs.length)(i => r.getDouble(4 + 2 * p + i)))
-        }.sortBy { case (g, t, _, _, _, _, _) => (g, -t) }
+            Array.tabulate(q)(i => r.getDouble(4 + 2 * p + i)),
+            r.getDouble(4 + 2 * p + q),
+            Array.tabulate(p)(k => r.getDouble(5 + 2 * p + q + k)),
+            Array.tabulate(q)(i => r.getDouble(5 + 3 * p + q + i)))
+        }.sortBy(c => (c.g, -c.t))
         // within each stratum, descending time: the running cumulative IS
         // that stratum's risk-set sum (risk sets never cross strata)
       }
-      // score U and information I at β from one grid pass
-      def scoreInfo(grid: Array[(String, Long, Long, Array[Double], Double, Array[Double], Array[Double])])
+      // score U and information I at β from one grid pass. Driver cost:
+      // Breslow touches each event TIME once; Efron's inner j-loop totals
+      // Σ_t d_t = total events per pass — arithmetic, not memory.
+      def scoreInfo(grid: Array[Cell])
           : (Array[Double], Array[Array[Double]], Long) = {
         val u = Array.fill(p)(0.0)
         val inf = Array.fill(p, p)(0.0)
@@ -277,27 +321,55 @@ object Survival {
         val s2 = Array.fill(pairs.length)(0.0)
         var nTimes = 0L
         var stratum: String = null
-        grid.foreach { case (g, _, d, sx, a0, a1, a2) =>
-          if (g != stratum) { // new stratum: fresh risk-set accumulators
-            stratum = g
+        grid.foreach { c =>
+          if (c.g != stratum) { // new stratum: fresh risk-set accumulators
+            stratum = c.g
             s0 = 0.0
             java.util.Arrays.fill(s1, 0.0)
             java.util.Arrays.fill(s2, 0.0)
           }
-          s0 += a0
-          var k = 0; while (k < p) { s1(k) += a1(k); k += 1 }
-          var i = 0; while (i < pairs.length) { s2(i) += a2(i); i += 1 }
+          s0 += c.a0
+          var k = 0; while (k < p) { s1(k) += c.a1(k); k += 1 }
+          var i = 0; while (i < pairs.length) { s2(i) += c.a2(i); i += 1 }
+          val d = c.d
           if (d > 0) {
             nTimes += 1
-            var kk = 0
-            while (kk < p) { u(kk) += sx(kk) - d * s1(kk) / s0; kk += 1 }
-            var ii = 0
-            while (ii < pairs.length) {
-              val (k1, l1) = pairs(ii)
-              val v = d * (s2(ii) / s0 - s1(k1) * s1(l1) / (s0 * s0))
-              inf(k1)(l1) += v
-              if (k1 != l1) inf(l1)(k1) += v
-              ii += 1
+            if (!efron) {
+              // Breslow closed form (kept verbatim: q336/q339's oracle
+              // replays match this arithmetic term-for-term)
+              var kk = 0
+              while (kk < p) { u(kk) += c.sx(kk) - d * s1(kk) / s0; kk += 1 }
+              var ii = 0
+              while (ii < pairs.length) {
+                val (k1, l1) = pairs(ii)
+                val v = d * (s2(ii) / s0 - s1(k1) * s1(l1) / (s0 * s0))
+                inf(k1)(l1) += v
+                if (k1 != l1) inf(l1)(k1) += v
+                ii += 1
+              }
+            } else {
+              // Efron: the j-th of d tied events sees the risk set with
+              // j/d of the tied events' own e^{βᵀx} mass removed
+              var kk = 0
+              while (kk < p) { u(kk) += c.sx(kk); kk += 1 }
+              var j = 0L
+              while (j < d) {
+                val frac = j.toDouble / d
+                val s0j = s0 - frac * c.e0
+                kk = 0
+                while (kk < p) { u(kk) -= (s1(kk) - frac * c.e1(kk)) / s0j; kk += 1 }
+                var ii = 0
+                while (ii < pairs.length) {
+                  val (k1, l1) = pairs(ii)
+                  val s1k = s1(k1) - frac * c.e1(k1)
+                  val s1l = s1(l1) - frac * c.e1(l1)
+                  val v = (s2(ii) - frac * c.e2(ii)) / s0j - s1k * s1l / (s0j * s0j)
+                  inf(k1)(l1) += v
+                  if (k1 != l1) inf(l1)(k1) += v
+                  ii += 1
+                }
+                j += 1
+              }
             }
           }
         }
@@ -346,14 +418,33 @@ object Survival {
         Array.tabulate(n, n)((i, j) => cols(j)(i))
       }
       val beta = Array.fill(p)(0.0)
+      def refuseSeparation(maxStep: Double): Nothing = {
+        val worst = (0 until p).maxBy(k => math.abs(beta(k)))
+        throw new IllegalArgumentException(
+          s"cox Newton did not converge in $iters iterations " +
+            f"(final |Δβ| = $maxStep%.3g; β = ${beta.map(b => f"$b%.3f").mkString(", ")}): " +
+            s"monotone partial likelihood — covariate '${xCols(worst)}' " +
+            "(the largest |β|) likely separates the event order perfectly, so its " +
+            "MLE is infinite and any fixed-iteration estimate is an artifact of the " +
+            "cutoff. Remove, coarsen, or bound the covariate; a Wald CI is " +
+            "meaningless under separation")
+      }
       for (_ <- 1 to iters) {
         val (u, inf, _) = scoreInfo(gridAt(beta))
         val step = solve(inf, u)
         var k = 0; while (k < p) { beta(k) += step(k); k += 1 }
+        // a non-finite iterate means exp(βᵀx) already over/underflowed —
+        // refuse NOW, before the next grid pass turns it into NaN soup
+        if (!beta.forall(java.lang.Double.isFinite)) refuseSeparation(Double.PositiveInfinity)
       }
       // SE and Wald from the information AT the final β (what an oracle
-      // replay computes), not at the last pre-update point
-      val (_, infFinal, nTimes) = scoreInfo(gridAt(beta))
+      // replay computes), not at the last pre-update point. The same pass
+      // yields the would-be NEXT step: a quadratically-convergent fit has
+      // landed at machine precision by now, so a step still moving is the
+      // separation signature, not slow convergence.
+      val (uFinal, infFinal, nTimes) = scoreInfo(gridAt(beta))
+      val finalStep = solve(infFinal, uFinal).map(math.abs).max
+      if (finalStep > 1e-6 * (1.0 + beta.map(math.abs).max)) refuseSeparation(finalStep)
       val cov = inverse(infFinal)
       (0 until p).map { k =>
         val se = math.sqrt(cov(k)(k))

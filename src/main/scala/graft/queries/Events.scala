@@ -1745,8 +1745,11 @@ object Events {
             1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
           log(lit(1.0) + coalesce(col("nc"), lit(0L))).as("lnclicks"),
           col("t_days"), col("is_event"))
+      // ties = breslow EXPLICITLY: this oracle replays the Breslow
+      // closed form term-for-term; the Efron default is pinned by q343
       graft.ops.Survival.coxPH(
-          subjects, Seq("arm", "lnclicks"), "t_days", "is_event")
+          subjects, Seq("arm", "lnclicks"), "t_days", "is_event",
+          ties = "breslow")
         .select(
           col("covariate"), col("n_times"),
           (r6(col("beta")) + lit(0.0)).as("beta"),
@@ -1855,9 +1858,10 @@ object Events {
             1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
           log(lit(1.0) + coalesce(col("nc"), lit(0L))).as("lnclicks"),
           col("t_days"), col("is_event"))
+      // ties = breslow EXPLICITLY: the oracle replays the Breslow form
       graft.ops.Survival.coxPH(
           subjects, Seq("arm", "lnclicks"), "t_days", "is_event",
-          strataCol = Some("cohort"))
+          strataCol = Some("cohort"), ties = "breslow")
         .select(
           col("covariate"), col("n_times"),
           (r6(col("beta")) + lit(0.0)).as("beta"),
@@ -1942,6 +1946,103 @@ object Events {
            |       ROUND(SQRT(i00/(i00*i11-i01*i01)),6),
            |       ROUND(b1*b1*(i00*i11-i01*i01)/i00,6) FROM fin
            |ORDER BY covariate""".stripMargin))
+
+  /** Q343 — Cox PH with EFRON tie correction
+    * ([[graft.ops.Survival.coxPH]], the default `ties`): integer-day
+    * durations make tied event times the NORM here, and Breslow's
+    * shared-denominator approximation biases β toward 0 as tie density
+    * grows — Efron lets the j-th of d tied events see the risk set with
+    * j/d of the tied events' own e^{βx} mass removed, which is why R's
+    * `coxph` defaults to it. Same distributed shape as q336 (one keyed
+    * aggregation per Newton iteration, now also carrying the event-only
+    * weighted moments); the driver loop costs Σd (total events) flops
+    * per pass instead of n_times — arithmetic, not memory. The oracle
+    * replays the full 8-step Efron Newton in a recursive CTE with the
+    * within-tie j-expansion as an UNNEST(generate_series) per event
+    * time, so a wrong frac term, a wrong event-moment, or a drifting
+    * iterate hash-fails. On this grid Efron and Breslow genuinely
+    * disagree (β −0.194 vs −0.192 at sf0.01) — the query pins the
+    * correction, not just the plumbing. */
+  val q343 = QueryDef(
+    "q343_cox_efron_ties",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          col("t_days"), col("is_event"))
+      graft.ops.Survival.coxPH(subjects, Seq("arm"), "t_days", "is_event")
+        .select(
+          col("covariate"), col("n_times"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          r6(col("wald_chi2")).as("wald_chi2"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0
+           |          FROM s GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, s.x0,
+           |              (s.t = tm.t AND s.ev = 1) AS ise
+           |       FROM times tm JOIN s ON s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times)
+           |               - SUM((s1 - frac*e1)/(s0 - frac*e0)) AS u,
+           |             SUM((s2 - frac*e2)/(s0 - frac*e0)
+           |                 - ((s1 - frac*e1)/(s0 - frac*e0))
+           |                   * ((s1 - frac*e1)/(s0 - frac*e0))) AS fi
+           |      FROM (SELECT tt, d, s0, s1, s2, e0, e1, e2,
+           |                   CAST(UNNEST(generate_series(0, CAST(d-1 AS BIGINT)))
+           |                        AS DOUBLE)/d AS frac
+           |            FROM (SELECT tt, d,
+           |                         SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                         SUM(x0*x0*EXP(b*x0)) AS s2,
+           |                         SUM(CASE WHEN ise THEN EXP(b*x0) ELSE 0.0 END) AS e0,
+           |                         SUM(CASE WHEN ise THEN x0*EXP(b*x0) ELSE 0.0 END) AS e1,
+           |                         SUM(CASE WHEN ise THEN x0*x0*EXP(b*x0) ELSE 0.0 END) AS e2
+           |                  FROM rs GROUP BY tt, d) g0) g1
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |fin AS (
+           |  SELECT b, (SELECT COUNT(*) FROM times) AS n_times, g.fi
+           |  FROM it, LATERAL (
+           |      SELECT SUM((s2 - frac*e2)/(s0 - frac*e0)
+           |                 - ((s1 - frac*e1)/(s0 - frac*e0))
+           |                   * ((s1 - frac*e1)/(s0 - frac*e0))) AS fi
+           |      FROM (SELECT tt, d, s0, s1, s2, e0, e1, e2,
+           |                   CAST(UNNEST(generate_series(0, CAST(d-1 AS BIGINT)))
+           |                        AS DOUBLE)/d AS frac
+           |            FROM (SELECT tt, d,
+           |                         SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                         SUM(x0*x0*EXP(b*x0)) AS s2,
+           |                         SUM(CASE WHEN ise THEN EXP(b*x0) ELSE 0.0 END) AS e0,
+           |                         SUM(CASE WHEN ise THEN x0*EXP(b*x0) ELSE 0.0 END) AS e1,
+           |                         SUM(CASE WHEN ise THEN x0*x0*EXP(b*x0) ELSE 0.0 END) AS e2
+           |                  FROM rs GROUP BY tt, d) g0) g1
+           |  ) g)
+           |SELECT 'arm' AS covariate, CAST(n_times AS BIGINT) AS n_times,
+           |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
+           |       ROUND(1.0/SQRT(fi),6) AS se,
+           |       ROUND(b*b*fi,6) AS wald_chi2
+           |FROM fin""".stripMargin))
 
   /** Q323 — competing-risks cumulative incidence
     * ([[graft.ops.Survival.competingRisks]], Aalen-Johansen): first
@@ -2524,7 +2625,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339)
+      q321, q322, q323, q332, q336, q337, q339, q343)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -45,6 +45,15 @@ class BenchSpec extends SparkSuite {
     assert(detail.contains("\"plan\":{\"bench_good\":{\"files\":"), detail)
     assert(detail.contains("\"shuffle_bytes\":"), detail)
     assert(!compact.contains("\"plan\""), compact)
+    // VERDICT r14 item 1: the detail line persists to a file so the full
+    // plan map survives outside the bounded stdout tail
+    val f = java.nio.file.Files.createTempFile("bench_detail", ".json")
+    Bench.persistDetail(detail, f.toString)
+    val back = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(back == detail + "\n")
+    // an unwritable path must NOT throw (stdout already carried the line)
+    Bench.persistDetail(detail, "/nonexistent-dir/nope/bench_detail.json")
   }
 
   test("a broken query records error and fails the bench") {

@@ -173,7 +173,7 @@ class SurvivalSpec extends SparkSuite {
     }.toDF("g", "t", "e", "x")
     val two = Survival.coxTwoGroup(subjects, "g", "t", "e", focal = "a")
       .select("beta", "se", "wald_chi2").head
-    val multi = Survival.coxPH(subjects, Seq("x"), "t", "e")
+    val multi = Survival.coxPH(subjects, Seq("x"), "t", "e", ties = "breslow")
       .select("beta", "se", "wald_chi2").head
     assert(math.abs(two.getDouble(0) - multi.getDouble(0)) < 1e-9,
       s"beta: two-group ${two.getDouble(0)} vs matrix ${multi.getDouble(0)}")
@@ -234,6 +234,65 @@ class SurvivalSpec extends SparkSuite {
     assert(pooled > 0.5, s"pooled fit must show the spurious effect, got $pooled")
     assert(math.abs(perStratum) < 0.15,
       s"stratified fit must absorb the baseline difference, got $perStratum")
+  }
+
+  test("coxPH ties: Efron ≡ Breslow on tie-free data; they genuinely differ under ties") {
+    // tie-free: every subject a distinct duration — Efron's j-loop runs
+    // exactly one j=0 term per time (frac = 0), so both methods solve the
+    // SAME score equation
+    val rnd = new scala.util.Random(13)
+    val tieFree = (1 to 200).map { i =>
+      (1000L + i * 3 + (i % 2), if (rnd.nextBoolean()) 1 else 0,
+        if (i % 2 == 0) 1.0 else 0.0, rnd.nextDouble())
+    }.toDF("t", "e", "x1", "x2")
+    val ef = Survival.coxPH(tieFree, Seq("x1", "x2"), "t", "e", ties = "efron")
+      .orderBy("covariate").collect()
+    val br = Survival.coxPH(tieFree, Seq("x1", "x2"), "t", "e", ties = "breslow")
+      .orderBy("covariate").collect()
+    ef.zip(br).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-12,
+        s"tie-free beta: efron ${a.getDouble(2)} vs breslow ${b.getDouble(2)}")
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-12, "se")
+    }
+    // heavy ties: integer-granular durations — the methods must DISAGREE
+    // (if they did not, the Efron path would not be exercising its math)
+    // and Efron must sit FARTHER from 0 (Breslow attenuates toward 0)
+    val tied = (1 to 400).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val t = math.max(1L, ((i % 5) + 1 + (if (x > 0) 0 else 2)).toLong)
+      (t, 1, x)
+    }.toDF("t", "e", "x")
+    val efT = Survival.coxPH(tied, Seq("x"), "t", "e", ties = "efron")
+      .select("beta").head.getDouble(0)
+    val brT = Survival.coxPH(tied, Seq("x"), "t", "e", ties = "breslow")
+      .select("beta").head.getDouble(0)
+    assert(math.abs(efT - brT) > 1e-4,
+      s"heavy ties must separate the methods: efron $efT vs breslow $brT")
+    assert(math.abs(efT) > math.abs(brT),
+      s"Breslow biases toward 0 under ties: efron $efT vs breslow $brT")
+    // an invalid ties value refuses by name
+    val bad = intercept[IllegalArgumentException](
+      Survival.coxPH(tied, Seq("x"), "t", "e", ties = "exact"))
+    assert(bad.getMessage.contains("ties"))
+  }
+
+  test("coxPH refuses a perfectly separating covariate with the diagnosis named") {
+    // x = 1 subjects ALL convert before every x = 0 subject: the partial
+    // likelihood is monotone in beta (its MLE is +inf) — any fixed
+    // iteration count reports an artifact, so the fit must refuse and
+    // name the covariate
+    val separated = ((1 to 100).map(i => ((i % 10) + 1L, 1, 1.0)) ++
+      (1 to 100).map(i => ((i % 10) + 50L, 1, 0.0))).toDF("t", "e", "xsep")
+    val e = intercept[IllegalArgumentException](
+      Survival.coxPH(separated, Seq("xsep"), "t", "e").collect())
+    assert(e.getMessage.contains("xsep"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("separat"), e.getMessage)
+    // positive control: a strong-but-finite effect converges fine in the
+    // same 8 steps (overlapping event ranges keep the MLE finite)
+    val strong = ((1 to 100).map(i => ((i % 20) + 1L, 1, 1.0)) ++
+      (1 to 100).map(i => ((i % 30) + 5L, 1, 0.0))).toDF("t", "e", "x")
+    val fit = Survival.coxPH(strong, Seq("x"), "t", "e").select("beta").head.getDouble(0)
+    assert(fit > 0.5, s"strong effect must fit, got $fit")
   }
 
   test("all-censored input yields an empty curve; result is layout-proof") {
