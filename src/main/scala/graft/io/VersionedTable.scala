@@ -1305,6 +1305,64 @@ object VersionedTable {
     filesForRanges(spark, path, Map(cols.head -> (lo, hi)), version)
   }
 
+  /** The bucket a point value lands in under a claim — evaluated through
+    * Spark's OWN `HashPartitioning.partitionIdExpression` (pmod(murmur3(
+    * value), n)), so the arithmetic can never drift from what the
+    * bucketed writer and the bucketed scan use. The literal must carry
+    * the CLAIMED key type: murmur3 hashes int and long differently. */
+  private[graft] def bucketIdOf(
+      value: Any, keyType: org.apache.spark.sql.types.DataType, n: Int): Int =
+    org.apache.spark.sql.catalyst.plans.physical
+      .HashPartitioning(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(value, keyType)), n)
+      .partitionIdExpression
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+
+  /** Bucket-point file cut: when the table is CLAIMED on `bk` and the
+    * predicate pins `bk` to one value, only the files of that value's
+    * murmur3 bucket can hold it — 1/n of the candidates drop for free,
+    * the standard point-lookup win on a bucketed fact. Returns `keep`
+    * unchanged unless the claim applies cleanly: the value must FIT the
+    * claimed key type (an out-of-range literal hashes a wrapped value —
+    * harmless for correctness here since the exact filter still runs,
+    * but the cut would keep the wrong file) and every candidate must
+    * parse a bucket id (the same defensive rule as [[table]]'s
+    * BucketSpec attach). [[table]] gets the equivalent cut natively —
+    * Spark's FileSourceStrategy derives a bucket set from `key = lit` /
+    * `key IN (...)` filters over the attached BucketSpec and
+    * createReadRDD skips the other buckets' files (spec-asserted; note
+    * the scan's `numFiles` METRIC is set before that cut, so read the
+    * FilePartitions, not the metric). */
+  private def bucketPointCut(
+      text: String, preds: Map[String, (Long, Long)], keep: Seq[String]): Seq[String] =
+    bucketingOf(text) match {
+      case Some((bk, n)) =>
+        preds.get(bk) match {
+          case Some((lo, hi)) if lo == hi =>
+            import org.apache.spark.sql.types._
+            val valueAtType: Option[(Any, DataType)] =
+              schemaOf(text).flatMap(_.fields.find(_.name == bk)).map(_.dataType).flatMap {
+                case LongType => Some((lo, LongType))
+                case IntegerType if lo.isValidInt => Some((lo.toInt, IntegerType))
+                case ShortType if lo.isValidShort => Some((lo.toShort, ShortType))
+                case ByteType if lo.isValidByte => Some((lo.toByte, ByteType))
+                case _ => None
+              }
+            val suffix = "_(\\d+)\\.".r
+            valueAtType match {
+              case Some((v0, t))
+                  if keep.forall(f =>
+                    suffix.findFirstMatchIn(f).exists(_.group(1).toInt < n)) =>
+                val b = bucketIdOf(v0, t, n)
+                keep.filter(f => suffix.findFirstMatchIn(f).exists(_.group(1).toInt == b))
+              case _ => keep
+            }
+          case _ => keep
+        }
+      case None => keep
+    }
+
   /** Key-range read using manifest-level file skipping: open only the
     * files [[filesForRanges]] keeps, then apply the exact predicate to
     * the survivors. At 100 TB this turns a point/range lookup on the
@@ -1319,21 +1377,27 @@ object VersionedTable {
     * predicated column's manifest ranges at once, then the exact
     * conjunction applied to survivors. With a z-ordered layout over the
     * same columns, each predicate independently eliminates most files —
-    * the manifest-level analog of multi-dimensional row-group pruning. */
+    * the manifest-level analog of multi-dimensional row-group pruning.
+    * On a CLAIMED table, a point predicate on the bucket key further
+    * cuts to that value's single murmur3 bucket ([[bucketPointCut]]). */
   def readWhereAll(
       spark: SparkSession, path: String, preds: Map[String, (Long, Long)],
       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keep = filesForRanges(spark, path, preds, version)
+    val v = version.getOrElse {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      vs.last
+    }
+    val text = manifestText(spark, path, v)
+    val keep = bucketPointCut(text, preds, filesForRanges(spark, path, preds, Some(v)))
     val exact = preds.map { case (c, (lo, hi)) => col(c).cast("long").between(lo, hi) }
       .reduce(_ && _)
     if (keep.isEmpty) {
       // preserve the schema without reading data: empty frame over v's schema
-      val full = read(spark, path, version)
+      val full = read(spark, path, Some(v))
       full.filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      val v = version.getOrElse(versions(spark, path).last)
-      val text = manifestText(spark, path, v)
       evolvedRead(spark, path, text, keep, dvFiles = dvFilesOf(text)).filter(exact)
     }
   }

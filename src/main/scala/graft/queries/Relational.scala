@@ -2764,8 +2764,71 @@ object Relational {
            |JOIN nation ON s_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  /** Q344 — bucket pruning on a bucket-key point lookup (VERDICT r14
+    * item 3): a claimed table knows key → murmur3 bucket, so
+    * `key = lit` must OPEN one bucket's files, not all 16 — the point-
+    * lookup win that makes a claimed 100 TB fact serve single-key
+    * queries at 1/n of the I/O with zero index structures. Spark's own
+    * FileSourceStrategy derives the bucket set from the equality filter
+    * over [[graft.io.VersionedTable.table]]'s attached BucketSpec; the
+    * REQUIRE reads the executed FilePartitions (what tasks actually
+    * open — the `numFiles` metric is set BEFORE the cut) and pins every
+    * opened file to [[graft.io.VersionedTable.bucketIdOf]]'s bucket.
+    * The oracle replays the lookup's aggregate over the raw fixture, so
+    * a cut that dropped the wrong files (or a hash drifting from the
+    * writer's) loses rows and hash-fails. */
+  val q344 = QueryDef(
+    "q344_bucket_point_lookup",
+    (s, d) => {
+      val root = Scratch.dir("q344")
+      try {
+        val li = root + "/li"
+        graft.io.VersionedTable.commitBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
+          li, "l_orderkey", 16)
+        val key = Tables.lineitem(s, d)
+          .agg(min(col("l_orderkey"))).head().getLong(0)
+        val q = graft.io.VersionedTable.table(s, li)
+          .filter(col("l_orderkey") === key)
+        q.write.format("noop").mode("overwrite").save()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val opened = walk(q.queryExecution.executedPlan)
+          .collect { case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+          .flatMap(_.inputRDD.partitions.toSeq.flatMap[String] {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(f => new java.net.URI(f.urlEncodedPath).getPath)
+            case _ => Seq.empty
+          })
+        val expected = graft.io.VersionedTable.bucketIdOf(
+          key, org.apache.spark.sql.types.LongType, 16)
+        val suffix = "_(\\d+)\\.".r
+        require(opened.nonEmpty &&
+          opened.forall(f => suffix.findFirstMatchIn(f.split("/").last)
+            .exists(_.group(1).toInt == expected)),
+          s"point lookup on the claimed key must open only bucket $expected's " +
+            s"files, opened: ${opened.map(_.split("/").last).mkString(", ")}")
+        q.groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_quantity"))).as("sum_qty"),
+            r4(sum(col("l_extendedprice"))).as("sum_price"))
+          .localCheckpoint(eager = true)
+      } finally Scratch.rmTree(new java.io.File(root))
+    },
+    Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+           |       ROUND(SUM(l_extendedprice), 4) AS sum_price
+           |FROM lineitem
+           |WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
+           |GROUP BY l_orderkey""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338,
+    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
