@@ -270,12 +270,21 @@ object VersionedTable {
         raw""""([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
     }
 
-  /** The manifest's hash-bucketing claim: (key column, bucket count),
+  /** The manifest's hash-bucketing claim: (key column(s), bucket count),
     * present only when every file in the manifest was written by
-    * [[commitBucketed]] under this exact layout. */
+    * [[commitBucketed]] under this exact layout. A COMPOSITE key is
+    * recorded comma-joined ("k1,k2" — column names are comma-free by
+    * [[commitBucketed]]'s validation), so single-key manifests from
+    * every earlier version parse unchanged; [[splitKeys]] recovers the
+    * column list wherever per-key treatment matters. */
   private def bucketingOf(text: String): Option[(String, Int)] =
     raw""""bucketing":\{"key":"([^"]+)","n":(\d+)\}""".r.findFirstMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toInt)
+
+  /** The claim's key columns — one entry for a single-column layout,
+    * several for a composite one. */
+  private[graft] def splitKeys(key: String): Seq[String] =
+    key.split(',').toSeq
 
   /** Public read of the bucketing claim — what [[table]] will report and
     * what a co-bucketed join partner must match. */
@@ -708,6 +717,31 @@ object VersionedTable {
       newRowCounts = stagedCounts(spark, path, names)).get
   }
 
+  /** [[commitBucketed]] on a COMPOSITE key: the layout hashes the key
+    * TUPLE (Spark's multi-column `HashPartitioning` — the same murmur3
+    * the multi-column BucketSpec scan claims), so a fact whose natural
+    * co-location key is composite — (customer, day), (doc, shard) —
+    * joins its co-bucketed partners on the full key with zero exchanges.
+    * Key order matters: (a, b) and (b, a) hash differently and are
+    * DIFFERENT layouts. The claim carries through the full maintenance
+    * lifecycle exactly like the single-key form (the claim string is
+    * the comma-join of the keys; every guard checks each key), and a
+    * type widen of ANY key column drops it. */
+  def commitBucketed(df: DataFrame, path: String, keys: Seq[String], nBuckets: Int): Long =
+    commitBucketed(df, path, joinKeys(keys, df.schema.fieldNames), nBuckets)
+
+  /** Validate + comma-join a composite key list for the manifest. */
+  private def joinKeys(keys: Seq[String], have: Seq[String]): String = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    require(keys.distinct == keys, s"duplicate bucket keys: ${keys.mkString(",")}")
+    keys.foreach { k =>
+      require(k.matches("[A-Za-z0-9._-]+"),
+        s"bucket key must be [A-Za-z0-9._-]+ (it is stored comma-joined in manifest JSON), got: $k")
+      require(have.contains(k), s"no column '$k' in the batch")
+    }
+    keys.mkString(",")
+  }
+
   /** Per-file row counts of freshly staged files — one grouped scan of
     * the new files only. Bucketed commits always record them: they feed
     * [[countRows]]'s no-scan path and make [[bucketSkew]] metadata-only. */
@@ -729,6 +763,14 @@ object VersionedTable {
     * returns None instead of double-appending. The continuous-ingest
     * shape for a table that must stay JOIN-READY without a nightly
     * re-cluster. */
+  /** [[commitBucketedBatch]] on a COMPOSITE key (see the composite
+    * [[commitBucketed]] overload for layout semantics). */
+  def commitBucketedBatch(
+      df: DataFrame, path: String, keys: Seq[String], nBuckets: Int,
+      writerId: String, batchId: Long): Option[Long] =
+    commitBucketedBatch(
+      df, path, joinKeys(keys, df.schema.fieldNames), nBuckets, writerId, batchId)
+
   def commitBucketedBatch(
       df: DataFrame, path: String, key: String, nBuckets: Int,
       writerId: String, batchId: Long): Option[Long] = {
@@ -752,7 +794,8 @@ object VersionedTable {
       spark: SparkSession, path: String, df: DataFrame,
       key: String, nBuckets: Int): Unit = {
     require(nBuckets >= 2, "nBuckets must be at least 2")
-    require(df.schema.fieldNames.contains(key), s"no column '$key' in the batch")
+    splitKeys(key).foreach(k =>
+      require(df.schema.fieldNames.contains(k), s"no column '$k' in the batch"))
     versions(spark, path).lastOption.foreach { v =>
       val prior = bucketingOf(manifestText(spark, path, v))
       require(prior.contains((key, nBuckets)),
@@ -785,6 +828,106 @@ object VersionedTable {
       carryForward = false, requiredParent = Some(current),
       dataSchema = Some(df.schema), bucketing = Some((key, n)),
       newRowCounts = stagedCounts(spark, path, names)).get
+  }
+
+  /** Outcome of a [[rebucket]]: the restored layout, how many files
+    * carried by reference from the claimed era, and how many files of
+    * the unclaimed tail were rewritten through the bucketed writer. */
+  final case class RebucketResult(
+      version: Long, key: String, nBuckets: Int, filesCarried: Int, filesRewritten: Int)
+
+  /** INCREMENTAL claim recovery (VERDICT r14 item 8): a single plain
+    * append drops the bucketing claim forever (by design — see
+    * [[commitBucketed]]), and until now the only way back was a FULL
+    * `commitBucketed` rewrite of the table. `rebucket` restores the most
+    * recent retained claimed layout by rewriting ONLY the unclaimed
+    * tail: every current file that was already part of a claimed
+    * manifest under the same layout is physically correct (files are
+    * immutable; bucket placement is hash-determined) and CARRIES BY
+    * REFERENCE; only files added since — plus any file deletion vectors
+    * now point into, since a claimed table carries no DVs — re-stage
+    * through the bucketed writer. Cost ∝ the unbucketed tail, not table
+    * size: on a 100 TB fact where someone fat-fingered one plain append,
+    * recovery costs one append's worth of shuffle, not a table rewrite.
+    *
+    * Refuses (rather than silently rewriting everything) when no
+    * retained version carries a claim, or when any bucket-key column's
+    * TYPE changed since the claimed era — the carried files were hashed
+    * at the old type, so the old layout cannot be honestly restored
+    * (murmur3 hashes int and long differently); a full [[commitBucketed]]
+    * is the only correct path there. */
+  def rebucket(spark: SparkSession, path: String): RebucketResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val current = vs.last
+    val text = manifestText(spark, path, current)
+    bucketingOf(text).foreach { case (k, n) =>
+      return RebucketResult(current, k, n, manifestFiles(spark, path, current).size, 0)
+    }
+    // newest retained ancestor with a claim owns the layout to restore
+    val claimed = vs.reverse.iterator
+      .map(v => v -> manifestText(spark, path, v))
+      .collectFirst { case (v, t) if bucketingOf(t).isDefined =>
+        (v, t, bucketingOf(t).get)
+      }
+    val (ancV, ancText, (key, n)) = claimed.getOrElse(throw new IllegalArgumentException(
+      s"no retained version of $path carries a bucketing claim — nothing to " +
+        "recover; lay the table out with commitBucketed"))
+    // the key types must be UNCHANGED since the claimed era: carried
+    // files were hashed at the old types
+    val currSchema = tableSchema(spark, path, Some(current))
+    val ancSchema = schemaOf(ancText).getOrElse(currSchema)
+    val retyped = splitKeys(key).filter { k1 =>
+      ancSchema.fields.find(_.name == k1).map(_.dataType) !=
+        currSchema.fields.find(_.name == k1).map(_.dataType)
+    }
+    require(retyped.isEmpty,
+      s"bucket key column(s) ${retyped.mkString(",")} changed type since claimed " +
+        s"version $ancV — the old layout cannot be restored (murmur3 hashes each " +
+        "type differently); rewrite with commitBucketed")
+    val rel = manifestFiles(spark, path, current)
+    val ancFiles = manifestFiles(spark, path, ancV).toSet
+    // DV'd files must rewrite: a claimed table carries no deletion
+    // vectors, so their tombstoned rows materialize out here
+    val dvs = dvFilesOf(text)
+    val dvTouched: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs.map(nm => s"$path/data/$nm"): _*)
+        .select("f").distinct()
+        .collect().map(_.getString(0)).toSet
+    val suffix = "_(\\d+)\\.".r
+    val carried = rel.filter(f =>
+      ancFiles(f) && !dvTouched(f) &&
+        suffix.findFirstMatchIn(f).exists(_.group(1).toInt < n))
+    val tail = rel.filterNot(carried.toSet)
+    val newNames =
+      if (tail.isEmpty) Seq.empty
+      else stageBucketed(
+        conformTo(currSchema)(
+          evolvedRead(spark, path, text, tail, dvFiles = dvs)),
+        path, key, n)
+    val allNames = carried ++ newNames
+    val finalNames =
+      if (allNames.nonEmpty) allNames
+      else stageEmptySeed(spark, path, currSchema, bucketSuffix = true)
+    // full count coverage: carried files keep their recorded counts (the
+    // claimed era always recorded; prefer the CURRENT manifest's map in
+    // case a later footer pass refreshed them), staged files record now
+    val priorCounts = rowCountsOf(ancText) ++ rowCountsOf(text)
+    val counts = finalNames.map(_ -> 0L).toMap ++
+      carried.flatMap(f => priorCounts.get(f).map(f -> _)).toMap ++
+      stagedCounts(spark, path, newNames)
+    require(carried.forall(counts.contains),
+      "carried claimed-era files must have recorded row counts")
+    val newBlooms = rebloom(spark, path, text, newNames)
+    val v = publish(spark, path, "rebucket", finalNames,
+      carryForward = false, requiredParent = Some(current),
+      schemaOverride = Some(currSchema), bucketing = Some((key, n)),
+      newRowCounts = counts,
+      dvOverride = Some(Seq.empty), // tail rewrite materialized them out
+      bloomOverride = prunedBlooms(spark, path, text, carried, newBlooms)
+        .orElse(if (newBlooms.isEmpty) None else Some(newBlooms))).get
+    RebucketResult(v, key, n, carried.size, tail.size)
   }
 
   /** Bucket-skew diagnostic for a claimed table: (bucket id → rows),
@@ -826,8 +969,9 @@ object VersionedTable {
     val spark = df.sparkSession
     val commitId = UUID.randomUUID().toString
     val dataDir = s"$path/data/$commitId"
-    df.repartition(nBuckets, df.col(key))
-      .sortWithinPartitions(key)
+    val keys = splitKeys(key) // composite claims repartition on the TUPLE
+    df.repartition(nBuckets, keys.map(df.col): _*)
+      .sortWithinPartitions(keys.head, keys.tail: _*)
       .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     val f = fs(spark, path)
     val partIdx = "part-(\\d+)".r
@@ -1312,9 +1456,16 @@ object VersionedTable {
     * the CLAIMED key type: murmur3 hashes int and long differently. */
   private[graft] def bucketIdOf(
       value: Any, keyType: org.apache.spark.sql.types.DataType, n: Int): Int =
+    bucketIdOfTuple(Seq((value, keyType)), n)
+
+  /** [[bucketIdOf]] for a composite key: the claim hashes the TUPLE. */
+  private[graft] def bucketIdOfTuple(
+      values: Seq[(Any, org.apache.spark.sql.types.DataType)], n: Int): Int =
     org.apache.spark.sql.catalyst.plans.physical
       .HashPartitioning(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(value, keyType)), n)
+        values.map { case (v, t) =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v, t)
+        }, n)
       .partitionIdExpression
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
       .asInstanceOf[Int]
@@ -1338,28 +1489,27 @@ object VersionedTable {
       text: String, preds: Map[String, (Long, Long)], keep: Seq[String]): Seq[String] =
     bucketingOf(text) match {
       case Some((bk, n)) =>
-        preds.get(bk) match {
-          case Some((lo, hi)) if lo == hi =>
-            import org.apache.spark.sql.types._
-            val valueAtType: Option[(Any, DataType)] =
-              schemaOf(text).flatMap(_.fields.find(_.name == bk)).map(_.dataType).flatMap {
-                case LongType => Some((lo, LongType))
-                case IntegerType if lo.isValidInt => Some((lo.toInt, IntegerType))
-                case ShortType if lo.isValidShort => Some((lo.toShort, ShortType))
-                case ByteType if lo.isValidByte => Some((lo.toByte, ByteType))
-                case _ => None
-              }
-            val suffix = "_(\\d+)\\.".r
-            valueAtType match {
-              case Some((v0, t))
-                  if keep.forall(f =>
-                    suffix.findFirstMatchIn(f).exists(_.group(1).toInt < n)) =>
-                val b = bucketIdOf(v0, t, n)
-                keep.filter(f => suffix.findFirstMatchIn(f).exists(_.group(1).toInt == b))
-              case _ => keep
+        import org.apache.spark.sql.types._
+        // EVERY key of the claim must be pinned to one value — a
+        // composite layout hashes the tuple, so a partial point tells
+        // you nothing about the bucket
+        def pin(k: String): Option[(Any, DataType)] =
+          preds.get(k).filter { case (lo, hi) => lo == hi }.flatMap { case (lo, _) =>
+            schemaOf(text).flatMap(_.fields.find(_.name == k)).map(_.dataType).flatMap {
+              case LongType => Some((lo, LongType))
+              case IntegerType if lo.isValidInt => Some((lo.toInt: Any, IntegerType))
+              case ShortType if lo.isValidShort => Some((lo.toShort: Any, ShortType))
+              case ByteType if lo.isValidByte => Some((lo.toByte: Any, ByteType))
+              case _ => None
             }
-          case _ => keep
-        }
+          }
+        val pins = splitKeys(bk).map(pin)
+        val suffix = "_(\\d+)\\.".r
+        if (pins.forall(_.isDefined) &&
+            keep.forall(f => suffix.findFirstMatchIn(f).exists(_.group(1).toInt < n))) {
+          val b = bucketIdOfTuple(pins.map(_.get), n)
+          keep.filter(f => suffix.findFirstMatchIn(f).exists(_.group(1).toInt == b))
+        } else keep
       case None => keep
     }
 
@@ -2100,9 +2250,11 @@ object VersionedTable {
         // differently — a widened key would claim a partitioning the
         // kept files were never written under).
         val claim = bucketingOf(text).filter { case (bk, _) =>
-          schemaOf(text).exists(prev =>
-            prev.fields.find(_.name == bk).map(_.dataType) ==
-              mergedSchema.fields.find(_.name == bk).map(_.dataType))
+          // EVERY key of a composite claim must keep its type: one
+          // widened key column re-hashes the whole tuple
+          splitKeys(bk).forall(k1 => schemaOf(text).exists(prev =>
+            prev.fields.find(_.name == k1).map(_.dataType) ==
+              mergedSchema.fields.find(_.name == k1).map(_.dataType)))
         }
         // conformTo is load-bearing, not cosmetic: the guard above keeps
         // the claim when mergedSchema's key type equals the claimed type,
@@ -2358,9 +2510,11 @@ object VersionedTable {
         // rows re-stage bucketed when the widen leaves the key's type
         // untouched (see mergeInto for the murmur3 type rationale)
         val claim = bucketingOf(text).filter { case (bk, _) =>
-          schemaOf(text).exists(prev =>
-            prev.fields.find(_.name == bk).map(_.dataType) ==
-              mergedSchema.fields.find(_.name == bk).map(_.dataType))
+          // EVERY key of a composite claim must keep its type: one
+          // widened key column re-hashes the whole tuple
+          splitKeys(bk).forall(k1 => schemaOf(text).exists(prev =>
+            prev.fields.find(_.name == k1).map(_.dataType) ==
+              mergedSchema.fields.find(_.name == k1).map(_.dataType)))
         }
         // conformTo for the same reason as mergeInto: a replacement frame
         // with a narrower/absent bucket key passes the guard (mergeWiden
@@ -2582,7 +2736,10 @@ object VersionedTable {
         rel.forall(f => bucketSuffix.findFirstMatchIn(f).exists(_.group(1).toInt < n))
       }
       .map { case (k, n) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(k), Seq(k))
+        // composite claims attach the full key list: the scan reports
+        // HashPartitioning over the tuple and sorts within each bucket
+        // in key order (the order stageBucketed wrote)
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, splitKeys(k), splitKeys(k))
       }
     val relation = HadoopFsRelation(
       index, new org.apache.spark.sql.types.StructType(), dataSchema, bucketSpec,
@@ -2623,7 +2780,8 @@ object VersionedTable {
     require(versions(spark, path).isEmpty, s"table already exists at $path")
     bucketing.foreach { case (k, n) =>
       require(n >= 2, "nBuckets must be at least 2")
-      require(schema.fieldNames.contains(k), s"no column '$k' in the schema")
+      splitKeys(k).foreach(k1 =>
+        require(schema.fieldNames.contains(k1), s"no column '$k1' in the schema"))
     }
     val names = stageEmptySeed(spark, path, schema, bucketSuffix = bucketing.isDefined)
     // the seed file's row count (0) is recorded like any bucketed
@@ -2898,7 +3056,7 @@ object VersionedTable {
     publish(spark, path, "drop-column", Seq.empty, carryForward = true,
       schemaOverride = Some(narrowed), addDropped = Seq(colName),
       requiredParent = Some(vs.last),
-      bucketing = bucketingOf(text).filterNot(_._1 == colName)).get
+      bucketing = bucketingOf(text).filterNot(c => splitKeys(c._1).contains(colName))).get
   }
 
   def renameColumn(spark: SparkSession, path: String, oldName: String, newName: String): Long = {
@@ -2952,7 +3110,7 @@ object VersionedTable {
     // lost optimization)
     publish(spark, path, "retype", Seq.empty, carryForward = true,
       schemaOverride = Some(evolved), requiredParent = Some(vs.last),
-      bucketing = bucketingOf(text).filterNot(_._1 == colName)).get
+      bucketing = bucketingOf(text).filterNot(c => splitKeys(c._1).contains(colName))).get
   }
 
   /** Incremental table mirroring, exactly-once: copy everything `srcPath`

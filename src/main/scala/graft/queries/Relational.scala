@@ -2827,8 +2827,78 @@ object Relational {
            |WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
            |GROUP BY l_orderkey""".stripMargin))
 
+  /** Q345 — COMPOSITE-key co-bucketed join (VERDICT r14 item 4): two
+    * facts whose natural co-location key is the PAIR (l_partkey,
+    * l_suppkey) — the partsupp shape — bucketed on the tuple via
+    * [[graft.io.VersionedTable.commitBucketed]]'s Seq overload, joined
+    * on the full key with ZERO exchanges (REQUIREd on the executed plan,
+    * broadcast disabled). Before r15 a composite key couldn't use the
+    * claim at all; now the claim string comma-joins the keys, the scan
+    * attaches the multi-column BucketSpec, and every maintenance guard
+    * checks each key. The oracle replays the same filtered self-join
+    * from the raw fixture, so a tuple-hash mismatch between the two
+    * writers (or a misgrouped bucket) loses join matches and
+    * hash-fails. */
+  val q345 = QueryDef(
+    "q345_composite_bucket_join",
+    (s, d) => {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = Scratch.dir("q345")
+      val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ta = root + "/a"; val tb = root + "/b"
+        val li = Tables.lineitem(s, d)
+        graft.io.VersionedTable.commitBucketed(
+          li.filter(col("l_orderkey") % 2 === 0)
+            .select("l_partkey", "l_suppkey", "l_quantity"),
+          ta, Seq("l_partkey", "l_suppkey"), 16)
+        graft.io.VersionedTable.commitBucketed(
+          li.filter(col("l_orderkey") % 2 =!= 0)
+            .select("l_partkey", "l_suppkey", "l_extendedprice"),
+          tb, Seq("l_partkey", "l_suppkey"), 16)
+        require(graft.io.VersionedTable.bucketing(s, ta)
+          .contains(("l_partkey,l_suppkey", 16)), "composite claim missing")
+        val joined = graft.io.VersionedTable.table(s, ta)
+          .join(graft.io.VersionedTable.table(s, tb), Seq("l_partkey", "l_suppkey"))
+        joined.write.format("noop").mode("overwrite").save()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val nShuffles = walk(joined.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"composite co-bucketed join must plan exchange-free, got $nShuffles:\n" +
+            joined.queryExecution.executedPlan)
+        joined
+          .groupBy((col("l_partkey") % 10).as("pk_mod"))
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_quantity"))).as("sum_qty"),
+            r4(sum(col("l_extendedprice")) / 1e6).as("sum_price_mm"))
+          .orderBy("pk_mod")
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""WITH a AS (SELECT l_partkey, l_suppkey, l_quantity
+           |           FROM lineitem WHERE l_orderkey % 2 = 0),
+           |     b AS (SELECT l_partkey, l_suppkey, l_extendedprice
+           |           FROM lineitem WHERE l_orderkey % 2 <> 0)
+           |SELECT l_partkey % 10 AS pk_mod, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+           |       ROUND(SUM(l_extendedprice) / 1000000.0, 4) AS sum_price_mm
+           |FROM a JOIN b USING (l_partkey, l_suppkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344,
+    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344, q345,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

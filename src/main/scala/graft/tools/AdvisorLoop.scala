@@ -130,14 +130,22 @@ object AdvisorLoop {
   def applyBucketing(
       spark: SparkSession, fromA: String, fromB: String,
       toA: String, toB: String, rec: LayoutAdvisor.BucketingRec): Unit = {
-    val parts = rec.keys.split("=", 2)
-    require(parts.length == 2, s"unparseable key pair: ${rec.keys}")
-    val (keyForA, keyForB) =
-      if (matchesTable(rec.tableA, fromA)) (parts(0), parts(1)) else (parts(1), parts(0))
+    // a composite rec is "x1=y1,x2=y2" (one pair per equi-conjunct, in
+    // the advisor's canonical order): each side buckets on ITS OWN
+    // columns IN THAT ORDER — the tuple hash only matches when both
+    // writers share the key order the rec names
+    val pairs = rec.keys.split(",").toSeq.map { kv =>
+      val parts = kv.split("=", 2)
+      require(parts.length == 2, s"unparseable key pair: $kv in ${rec.keys}")
+      (parts(0), parts(1))
+    }
+    val (keysForA, keysForB) =
+      if (matchesTable(rec.tableA, fromA)) (pairs.map(_._1), pairs.map(_._2))
+      else (pairs.map(_._2), pairs.map(_._1))
     VersionedTable.commitBucketed(
-      VersionedTable.read(spark, fromA), toA, keyForA, rec.nBuckets)
+      VersionedTable.read(spark, fromA), toA, keysForA, rec.nBuckets)
     VersionedTable.commitBucketed(
-      VersionedTable.read(spark, fromB), toB, keyForB, rec.nBuckets)
+      VersionedTable.read(spark, fromB), toB, keysForB, rec.nBuckets)
   }
 
   /** The bucketing advisor's measurement loop — the shuffle-lever

@@ -175,22 +175,34 @@ object LayoutAdvisor {
         for ((lroot, lrel) <- tableOf(l); (rroot, rrel) <- tableOf(r)) {
           rootSize.put(lroot, lrel.relation.sizeInBytes)
           rootSize.put(rroot, rrel.relation.sizeInBytes)
-          conjuncts(cond).foreach {
+          // ALL equi-conjuncts of this join are ONE observation: a join
+          // on (x AND y) co-locates through a layout hashed on the
+          // composite tuple — recording x and y separately would
+          // recommend two single-key layouts neither of which removes
+          // this join's exchange ([[graft.io.VersionedTable]] hashes
+          // int≠long per column and tuples as a whole, so the layout
+          // must match the FULL key set)
+          val pairs = conjuncts(cond).flatMap {
             case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              val (la, rb) =
-                if (lrel.outputSet.contains(a) && rrel.outputSet.contains(b)) (Some(a), Some(b))
-                else if (lrel.outputSet.contains(b) && rrel.outputSet.contains(a)) (Some(b), Some(a))
-                else (None, None)
-              for (x <- la; y <- rb) {
-                val (roots, key) =
-                  if (lroot <= rroot) ((lroot, rroot), s"${x.name}=${y.name}")
-                  else ((rroot, lroot), s"${y.name}=${x.name}")
-                byJoin.updateWith((roots, key)) {
-                  case Some(n) => Some(n + 1); case None => Some(1L)
-                }
-                out += ((roots._1, roots._2, key))
-              }
-            case _ => ()
+              if (lrel.outputSet.contains(a) && rrel.outputSet.contains(b)) Some((a, b))
+              else if (lrel.outputSet.contains(b) && rrel.outputSet.contains(a)) Some((b, a))
+              else None
+            case _ => None
+          }
+          if (pairs.nonEmpty) {
+            // canonical order: lexicographic on the left-side names, so
+            // the same composite join always records the same key string
+            // (both writers must share one key ORDER — the rec names it)
+            val sortedPairs = pairs.sortBy(_._1.name)
+            val (roots, key) =
+              if (lroot <= rroot)
+                ((lroot, rroot), sortedPairs.map { case (x, y) => s"${x.name}=${y.name}" }.mkString(","))
+              else
+                ((rroot, lroot), sortedPairs.map { case (x, y) => s"${y.name}=${x.name}" }.mkString(","))
+            byJoin.updateWith((roots, key)) {
+              case Some(n) => Some(n + 1); case None => Some(1L)
+            }
+            out += ((roots._1, roots._2, key))
           }
         }
       case _ => ()

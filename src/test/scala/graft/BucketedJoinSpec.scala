@@ -631,4 +631,188 @@ class BucketedJoinSpec extends SparkSuite {
     assert(perBucket.values.sum == 60L)
     assert(VersionedTable.read(spark, a).count() == 60)
   }
+
+  private def rows2(ids: Range, p: String) =
+    ids.map(i => (i.toLong % 50, (i % 7).toLong, s"${p}_$i")).toDF("cust", "day", "v")
+
+  test("composite bucket keys: co-bucketed join on the FULL key plans zero exchanges") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows2(0 until 1000, "a"), a, Seq("cust", "day"), 8)
+    VersionedTable.commitBucketed(rows2(0 until 1000, "b"), b, Seq("cust", "day"), 8)
+    assert(VersionedTable.bucketing(spark, a).contains(("cust,day", 8)))
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a).as("a")
+        .join(VersionedTable.table(spark, b).as("b"), Seq("cust", "day"))
+        .select(col("cust"), col("day"), col("a.v").as("va"), col("b.v").as("vb"))
+      assert(shuffles(joined) == 0,
+        s"composite co-bucketed join must plan exchange-free:\n${joined.queryExecution.executedPlan}")
+      // every (cust, day) cell: |a-cell| * |b-cell| pairs; compare against
+      // the plain-join oracle on the same frames
+      val expected = rows2(0 until 1000, "a").as("a")
+        .join(rows2(0 until 1000, "b").as("b"), Seq("cust", "day")).count()
+      assert(joined.count() == expected)
+      // aggregation on the FULL key also skips its exchange
+      val agg = VersionedTable.table(spark, a).groupBy("cust", "day").agg(count(lit(1)))
+      assert(shuffles(agg) == 0, "groupBy on the composite key must not exchange")
+      // a join on a PARTIAL key must still shuffle (tuple hash tells you
+      // nothing about single-column placement)
+      val partial = VersionedTable.table(spark, a).select("cust", "v")
+        .join(VersionedTable.table(spark, b).select(col("cust"), col("v").as("vb")), "cust")
+      assert(shuffles(partial) > 0, "partial-key join must exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+  }
+
+  test("composite claim survives the maintenance lifecycle; widening ANY key drops it") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows2(0 until 600, "a"), a, Seq("cust", "day"), 4)
+    VersionedTable.commitBucketed(rows2(0 until 600, "b"), b, Seq("cust", "day"), 4)
+    VersionedTable.deleteWhere(spark, a, col("v") === "a_5")
+    assert(VersionedTable.bucketing(spark, a).contains(("cust,day", 4)), "deleteWhere")
+    VersionedTable.updateWhere(spark, a, col("v") === "a_7",
+      Map("v" -> lit("a_7x")))
+    assert(VersionedTable.bucketing(spark, a).contains(("cust,day", 4)), "updateWhere")
+    VersionedTable.compact(spark, a, targetRowsPerFile = 1000000L)
+    assert(VersionedTable.bucketing(spark, a).contains(("cust,day", 4)), "compact")
+    // merge keyed on the composite key (CDC upsert)
+    val src = Seq((3L, 2L, "m1"), (60L, 1L, "m2")).toDF("cust", "day", "v")
+    VersionedTable.merge(spark, a, src, Seq("cust", "day", "v"))
+    assert(VersionedTable.bucketing(spark, a).contains(("cust,day", 4)), "merge")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a)
+        .join(VersionedTable.table(spark, b).select(
+          col("cust"), col("day"), col("v").as("vb")), Seq("cust", "day"))
+      assert(shuffles(joined) == 0,
+        s"post-maintenance composite join must stay exchange-free:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    // widening ONE of the keys re-hashes the tuple: claim must drop
+    val c = fresh()
+    VersionedTable.commitBucketed(
+      spark.range(100).select(
+        col("id").cast("int").as("cust"), (col("id") % 7).as("day"),
+        col("id").cast("string").as("v")),
+      c, Seq("cust", "day"), 4)
+    VersionedTable.merge(spark, c,
+      spark.range(90, 110).select(
+        col("id").as("cust"), (col("id") % 7).as("day"),
+        col("id").cast("string").as("v")),
+      Seq("cust", "day"))
+    assert(VersionedTable.bucketing(spark, c).isEmpty,
+      "widening one composite key must drop the claim")
+    // and retyping one key via DDL drops it too
+    val e = fresh()
+    VersionedTable.commitBucketed(
+      spark.range(100).select(
+        col("id").cast("int").as("cust"), (col("id") % 7).cast("int").as("day"),
+        col("id").cast("string").as("v")),
+      e, Seq("cust", "day"), 4)
+    VersionedTable.widenColumn(spark, e, "day", org.apache.spark.sql.types.LongType)
+    assert(VersionedTable.bucketing(spark, e).isEmpty,
+      "retyping one composite key must drop the claim")
+  }
+
+  test("composite point lookup: readWhereAll cuts to one bucket only when EVERY key is pinned") {
+    val a = fresh()
+    VersionedTable.commitBucketed(rows2(0 until 1000, "a"), a, Seq("cust", "day"), 8)
+    val q = VersionedTable.readWhereAll(spark, a,
+      Map("cust" -> ((3L, 3L)), "day" -> ((3L, 3L))))
+    q.collect()
+    def opened(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case ad: AdaptiveSparkPlanExec => walk(ad.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => qs +: walk(qs.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+      walk(df.queryExecution.executedPlan)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .flatMap(_.inputRDD.partitions.toSeq.flatMap[Int] {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(f => "_(\\d+)\\.".r
+              .findFirstMatchIn(new java.net.URI(f.urlEncodedPath).getPath.split("/").last)
+              .get.group(1).toInt)
+          case _ => Seq.empty
+        })
+    }
+    import org.apache.spark.sql.types.LongType
+    val want = VersionedTable.bucketIdOfTuple(Seq((3L, LongType), (3L, LongType)), 8)
+    val got = opened(q)
+    assert(got.nonEmpty && got.forall(_ == want), s"full pin must cut to bucket $want: $got")
+    // pinning only ONE key of the tuple must NOT cut
+    val partial = VersionedTable.readWhereAll(spark, a, Map("cust" -> ((3L, 3L))))
+    assert(opened(partial).toSet.size > 1, "partial pin must not bucket-cut")
+  }
+
+  test("rebucket restores the claim by rewriting ONLY the unclaimed tail") {
+    val a = fresh(); val b = fresh()
+    VersionedTable.commitBucketed(rows(0 until 400, "a"), a, "id", 4)
+    VersionedTable.commitBucketed(rows(0 until 400, "b"), b, "id", 4)
+    val claimedEraFiles = VersionedTable.read(spark, a).inputFiles.toSet
+    // the fat-fingered plain append that drops the claim forever
+    VersionedTable.commitAppend(rows(400 until 450, "p"), a)
+    assert(VersionedTable.bucketing(spark, a).isEmpty)
+    val res = VersionedTable.rebucket(spark, a)
+    assert(res.key == "id" && res.nBuckets == 4)
+    assert(res.filesCarried == 4, res.toString)
+    assert(res.filesRewritten >= 1, res.toString)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+    // carry-by-reference: every claimed-era file is STILL the same
+    // physical file in the restored manifest (cost ∝ tail, not table)
+    val nowFiles = VersionedTable.read(spark, a).inputFiles.toSet
+    assert(claimedEraFiles.subsetOf(nowFiles),
+      s"claimed-era files must carry by reference; missing: ${claimedEraFiles -- nowFiles}")
+    assert(VersionedTable.read(spark, a).count() == 450)
+    // the co-bucketed join is exchange-free again and row-exact
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, a).select("id", "v")
+        .join(VersionedTable.table(spark, b).select(col("id"), col("v").as("vb")), "id")
+      assert(shuffles(joined) == 0,
+        s"post-rebucket join must plan exchange-free:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 400)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    assert(VersionedTable.bucketSkew(spark, a)._1.values.sum == 450L)
+    // already claimed: a no-op that reports full carry
+    val again = VersionedTable.rebucket(spark, a)
+    assert(again.filesRewritten == 0 && again.filesCarried > 0)
+    // appends keep working against the restored layout
+    VersionedTable.commitBucketed(rows(450 until 460, "z"), a, "id", 4)
+    assert(VersionedTable.read(spark, a).count() == 460)
+  }
+
+  test("rebucket rewrites DV'd claimed-era files and refuses honest-impossibility cases") {
+    // DVs added during the unclaimed era point INTO claimed-era files: a
+    // claimed table carries no deletion vectors, so those files must
+    // rewrite (tombstones materialize out), while untouched ones carry
+    val a = fresh()
+    VersionedTable.commitBucketed(rows(0 until 400, "a"), a, "id", 4)
+    VersionedTable.commitAppend(rows(400 until 420, "p"), a)
+    VersionedTable.deleteWhereDV(spark, a, col("id") === 7L)
+    val res = VersionedTable.rebucket(spark, a)
+    assert(VersionedTable.bucketing(spark, a).contains(("id", 4)))
+    assert(res.filesCarried < 4, s"the DV'd bucket file must rewrite: $res")
+    assert(VersionedTable.read(spark, a).count() == 419)
+    assert(VersionedTable.table(spark, a).filter(col("id") === 7L).count() == 0)
+    assert(VersionedTable.bucketSkew(spark, a)._1.values.sum == 419L)
+    // no claimed ancestor: refuse by name
+    val plain = fresh()
+    VersionedTable.commitAppend(rows(0 until 10, "x"), plain)
+    val e1 = intercept[IllegalArgumentException](VersionedTable.rebucket(spark, plain))
+    assert(e1.getMessage.contains("no retained version"), e1.getMessage)
+    // key retyped since the claimed era: the old layout is unrecoverable
+    val c = fresh()
+    VersionedTable.commitBucketed(
+      spark.range(100).select(col("id").cast("int").as("k"), col("id").as("v")),
+      c, "k", 4)
+    VersionedTable.widenColumn(spark, c, "k", org.apache.spark.sql.types.LongType)
+    assert(VersionedTable.bucketing(spark, c).isEmpty)
+    val e2 = intercept[IllegalArgumentException](VersionedTable.rebucket(spark, c))
+    assert(e2.getMessage.contains("changed type"), e2.getMessage)
+  }
 }
