@@ -2044,6 +2044,109 @@ object Events {
            |       ROUND(b*b*fi,6) AS wald_chi2
            |FROM fin""".stripMargin))
 
+  /** Q346 — CUPED variance-reduced experiment analysis
+    * ([[graft.ops.Cuped.cuped]], VERDICT r14 item 5): the md5-coin A/B
+    * arms' post-period purchase counts adjusted by each user's
+    * PRE-period click count — θ from one pooled moments aggregation,
+    * y′ = y − θ(x − x̄), the Deng/Xu/Kohavi/Walker 2013 estimator every
+    * real experimentation platform ships because pre-period activity
+    * predicts post-period activity (ρ² of the metric's variance is
+    * removed without touching the effect estimate's expectation). One
+    * aggregation over the subject frame computes every moment
+    * (conditional sums, single output row); the rest is closed-form.
+    * The moments are sums of integer-valued doubles, EXACT in both
+    * engines, and the oracle mirrors the closed form's operation order,
+    * so every output — θ, both deltas, both SEs, the variance
+    * reduction — is deterministically comparable at 6 decimals. */
+  val q346 = QueryDef(
+    "q346_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+      val subjects = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click" && col("us") <= col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("x"),
+          sum(when(col("event_type") === "purchase" && col("us") > col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("y"))
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+          col("x"), col("y"))
+      graft.ops.Cuped.cuped(subjects, "arm", "y", "x", focal = "1")
+        .select(
+          col("n_a"), col("n_b"),
+          r6(col("theta")).as("theta"),
+          r6(col("delta_raw")).as("delta_raw"),
+          r6(col("se_raw")).as("se_raw"),
+          r6(col("delta_cuped")).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          r6(col("var_reduction")).as("var_reduction"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS VARCHAR) AS arm,
+           |             CAST(SUM(CASE WHEN event_type='click' AND us <= mid
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+           |             CAST(SUM(CASE WHEN event_type='purchase' AND us > mid
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) AS y
+           |      FROM e CROSS JOIN m GROUP BY user_id,
+           |           CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |             CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) % 2 AS VARCHAR)),
+           |mo AS (SELECT
+           |  SUM(CASE WHEN arm='1' THEN 1 ELSE 0 END) AS n_a,
+           |  SUM(CASE WHEN arm<>'1' THEN 1 ELSE 0 END) AS n_b,
+           |  SUM(CASE WHEN arm='1' THEN x ELSE 0.0 END) AS sx_a,
+           |  SUM(CASE WHEN arm='1' THEN y ELSE 0.0 END) AS sy_a,
+           |  SUM(CASE WHEN arm='1' THEN x*x ELSE 0.0 END) AS sxx_a,
+           |  SUM(CASE WHEN arm='1' THEN y*y ELSE 0.0 END) AS syy_a,
+           |  SUM(CASE WHEN arm='1' THEN x*y ELSE 0.0 END) AS sxy_a,
+           |  SUM(CASE WHEN arm<>'1' THEN x ELSE 0.0 END) AS sx_b,
+           |  SUM(CASE WHEN arm<>'1' THEN y ELSE 0.0 END) AS sy_b,
+           |  SUM(CASE WHEN arm<>'1' THEN x*x ELSE 0.0 END) AS sxx_b,
+           |  SUM(CASE WHEN arm<>'1' THEN y*y ELSE 0.0 END) AS syy_b,
+           |  SUM(CASE WHEN arm<>'1' THEN x*y ELSE 0.0 END) AS sxy_b
+           |  FROM s),
+           |c1 AS (SELECT *,
+           |  CAST(n_a + n_b AS DOUBLE) AS n,
+           |  sx_a + sx_b AS sx, sy_a + sy_b AS sy,
+           |  sxx_a + sxx_b AS sxx, sxy_a + sxy_b AS sxy
+           |  FROM mo),
+           |c2 AS (SELECT *,
+           |  sx / n AS mx,
+           |  CASE WHEN (sxx - sx*sx/n) > 0.0
+           |       THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) ELSE 0.0 END AS theta
+           |  FROM c1),
+           |c3 AS (SELECT *,
+           |  sy_a / n_a AS my_a, sx_a / n_a AS mx_a,
+           |  (syy_a - sy_a*sy_a/n_a) / (n_a - 1) AS vy_a,
+           |  (sxx_a - sx_a*sx_a/n_a) / (n_a - 1) AS vx_a,
+           |  (sxy_a - sx_a*sy_a/n_a) / (n_a - 1) AS cxy_a,
+           |  sy_b / n_b AS my_b, sx_b / n_b AS mx_b,
+           |  (syy_b - sy_b*sy_b/n_b) / (n_b - 1) AS vy_b,
+           |  (sxx_b - sx_b*sx_b/n_b) / (n_b - 1) AS vx_b,
+           |  (sxy_b - sx_b*sy_b/n_b) / (n_b - 1) AS cxy_b
+           |  FROM c2),
+           |c4 AS (SELECT *,
+           |  vy_a - 2*theta*cxy_a + theta*theta*vx_a AS va_a,
+           |  vy_b - 2*theta*cxy_b + theta*theta*vx_b AS va_b,
+           |  SQRT(vy_a/n_a + vy_b/n_b) AS se_r
+           |  FROM c3),
+           |c5 AS (SELECT *, SQRT(va_a/n_a + va_b/n_b) AS se_c FROM c4)
+           |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |  ROUND(theta, 6) + 0 AS theta,
+           |  ROUND(my_a - my_b, 6) + 0 AS delta_raw,
+           |  ROUND(se_r, 6) AS se_raw,
+           |  ROUND((my_a - theta*(mx_a - mx)) - (my_b - theta*(mx_b - mx)), 6) + 0
+           |    AS delta_cuped,
+           |  ROUND(se_c, 6) AS se_cuped,
+           |  ROUND(1.0 - (se_c*se_c)/(se_r*se_r), 6) + 0 AS var_reduction
+           |FROM c5""".stripMargin))
+
   /** Q323 — competing-risks cumulative incidence
     * ([[graft.ops.Survival.competingRisks]], Aalen-Johansen): first
     * purchase vs first error after entry — each user does only one
@@ -2625,7 +2728,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339, q343)
+      q321, q322, q323, q332, q336, q337, q339, q343, q346)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

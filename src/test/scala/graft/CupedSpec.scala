@@ -2,72 +2,83 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** q297 CUPED — the closed-from-sums algebra against a from-scratch
-  * driver recomputation (per-user pre/post sums, md5 arms, pooled θ,
-  * residualized means/variances), plus the CUPED invariants: the
-  * adjusted arm DIFFERENCE is unbiased and variance never increases. */
-class CupedSpec extends SparkSuite {
+import graft.ops.Cuped
 
-  private def md5ArmOf(userId: Long): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"ab-v1:$userId".getBytes("UTF-8"))
-    val hex = d.map(b => f"$b%02x").mkString
-    Integer.parseInt(hex.substring(0, 4), 16) % 2
+/** [[Cuped.cuped]] — variance-reduced A/B estimation on constructed
+  * cohorts with known structure. */
+class CupedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("perfectly predictive pre-period: theta exact, variance fully removed") {
+    // x independent of arm; y = 3x + 5*arm (no noise): the adjusted
+    // metric is constant within each arm, so CUPED removes ALL variance
+    // and both estimators land the true effect 5 exactly
+    val subjects = (0 until 400).map { i =>
+      val arm = (i / 20) % 2
+      val x = (i % 20).toDouble
+      (arm.toString, x, 3.0 * x + 5.0 * arm)
+    }.toDF("arm", "x", "y")
+    val r = Cuped.cuped(subjects, "arm", "y", "x", focal = "1").head()
+    assert(r.getAs[Long]("n_a") == 200 && r.getAs[Long]("n_b") == 200)
+    assert(math.abs(r.getAs[Double]("theta") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("delta_raw") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("delta_cuped") - 5.0) < 1e-12)
+    // moment-form variance cancels catastrophically at exactly-zero
+    // residuals — anything at e-8 scale IS the zero here (se_raw ~ 0.9)
+    assert(r.getAs[Double]("se_cuped") < 1e-6,
+      s"zero residual variance expected, got ${r.getAs[Double]("se_cuped")}")
+    assert(r.getAs[Double]("var_reduction") > 0.999999)
   }
 
-  test("q297 matches a from-scratch recomputation; variance never increases") {
-    val got = SparkEntry.queries("q297_cuped_ab")(spark, sf0001)
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
-    assert(got.keySet == Set(0, 1))
+  test("pre-period imbalance: CUPED pulls the estimate toward truth, variance shrinks") {
+    // arm correlated with x (odd i → arm 1 → higher x): the raw delta is
+    // biased to 5 + 3·(x̄_A − x̄_B) = 8; the adjustment removes most of
+    // the imbalance and ALWAYS shrinks the standard error
+    val subjects = (1 to 400).map { i =>
+      val arm = i % 2
+      val x = (i % 20).toDouble
+      (arm.toString, x, 3.0 * x + 5.0 * arm)
+    }.toDF("arm", "x", "y")
+    val r = Cuped.cuped(subjects, "arm", "y", "x", focal = "1").head()
+    assert(math.abs(r.getAs[Double]("delta_raw") - 8.0) < 1e-12,
+      s"raw delta must carry the imbalance: ${r.getAs[Double]("delta_raw")}")
+    assert(math.abs(r.getAs[Double]("delta_cuped") - 5.0) <
+      math.abs(r.getAs[Double]("delta_raw") - 5.0),
+      "adjusted estimate must sit closer to the true effect")
+    assert(r.getAs[Double]("se_cuped") < r.getAs[Double]("se_raw"))
+    assert(r.getAs[Double]("var_reduction") > 0.5)
+  }
 
-    // from scratch: collect the fixture events (sf0.001 — bounded)
-    val ev = graft.core.Tables.events(spark, sf0001)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        coalesce(col("value"), lit(0.0)).as("v"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
-    val users = ev.groupBy(_._1).map { case (u, rows) =>
-      val x = rows.filter(_._2 < mid).map(_._3).sum
-      val y = rows.filter(_._2 >= mid).map(_._3).sum
-      (md5ArmOf(u), x, y)
-    }.toSeq
-    val nG = users.size.toDouble
-    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
-    val sxy = users.map(t => t._2 * t._3).sum
-    val sxx = users.map(t => t._2 * t._2).sum
-    val theta = (sxy - sx * sy / nG) / (sxx - sx * sx / nG)
-    for (arm <- Seq(0, 1)) {
-      val us = users.filter(_._1 == arm)
-      val n = us.size.toDouble
-      val mx = us.map(_._2).sum / n; val my = us.map(_._3).sum / n
-      val vy = us.map(t => t._3 * t._3).sum / n - my * my
-      val covA = us.map(t => t._2 * t._3).sum / n - mx * my
-      val vx = us.map(t => t._2 * t._2).sum / n - mx * mx
-      val (gn, gMeanY, gMeanCuped, gVarY, gVarCuped, gRed) = got(arm)
-      assert(gn == us.size)
-      assert(math.abs(gMeanY - my) < 1e-5, s"arm $arm mean_y")
-      assert(math.abs(gMeanCuped - (my - theta * (mx - sx / nG))) < 1e-5, s"arm $arm cuped")
-      assert(math.abs(gVarY - vy) < 1e-3, s"arm $arm var_y")
-      assert(math.abs(gVarCuped - (vy - 2 * theta * covA + theta * theta * vx)) < 1e-3)
-      assert(math.abs(gRed - (2 * theta * covA - theta * theta * vx) / vy) < 1e-3)
-    }
+  test("uninformative covariate: theta ~ 0 and CUPED degrades gracefully to raw") {
+    // y depends on arm plus a deterministic pseudo-noise uncorrelated
+    // with x — adjustment buys (almost) nothing but must not hurt
+    val subjects = (1 to 500).map { i =>
+      val arm = (i / 25) % 2
+      val x = ((i * 7) % 13).toDouble
+      val noise = ((i * 31) % 11).toDouble
+      (arm.toString, x, 2.0 * arm + noise)
+    }.toDF("arm", "x", "y")
+    val r = Cuped.cuped(subjects, "arm", "y", "x", focal = "1").head()
+    assert(math.abs(r.getAs[Double]("delta_cuped") - r.getAs[Double]("delta_raw")) < 0.2)
+    assert(r.getAs[Double]("var_reduction") > -0.05 && r.getAs[Double]("var_reduction") < 0.2)
+    // constant covariate: theta is exactly 0 and CUPED == raw exactly
+    val const = subjects.withColumn("x", lit(1.0))
+    val rc = Cuped.cuped(const, "arm", "y", "x", focal = "1").head()
+    assert(rc.getAs[Double]("theta") == 0.0)
+    assert(rc.getAs[Double]("delta_cuped") == rc.getAs[Double]("delta_raw"))
+    assert(rc.getAs[Double]("var_reduction") == 0.0)
+  }
 
-    // invariants: the arm DIFFERENCE of adjusted means equals the raw
-    // difference shifted by theta*(mx0 - mx1) — i.e. both arms were
-    // shifted with the SAME pooled theta (per-arm thetas would bias);
-    // and CUPED can only help in aggregate (pooled theta is the OLS
-    // argmin of pooled residual variance)
-    val pooledVarY = {
-      val my = users.map(_._3).sum / nG
-      users.map(t => t._3 * t._3).sum / nG - my * my
-    }
-    val pooledVarCuped = {
-      val adj = users.map(t => t._3 - theta * (t._2 - sx / nG))
-      val m = adj.sum / nG
-      adj.map(a => a * a).sum / nG - m * m
-    }
-    assert(pooledVarCuped <= pooledVarY + 1e-12)
+  test("a third arm refuses; tiny arms refuse") {
+    val three = Seq(("0", 1.0, 1.0), ("1", 2.0, 2.0), ("2", 3.0, 3.0),
+      ("0", 2.0, 1.0), ("1", 1.0, 2.0), ("2", 2.0, 3.0))
+      .toDF("arm", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      Cuped.cuped(three, "arm", "y", "x", focal = "1"))
+    assert(e.getMessage.contains("two-arm"), e.getMessage)
+    val tiny = Seq(("0", 1.0, 1.0), ("1", 2.0, 2.0)).toDF("arm", "x", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Cuped.cuped(tiny, "arm", "y", "x", focal = "1"))
+    assert(e2.getMessage.contains("subjects per arm"), e2.getMessage)
   }
 }
