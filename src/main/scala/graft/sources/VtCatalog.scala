@@ -130,19 +130,21 @@ class VtCatalog extends TableCatalog {
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // the one physical-layout DDL the engine accepts: CLUSTERED BY (key)
-    // INTO n BUCKETS — the table carries the bucket claim from v1, every
-    // INSERT routes through the bucketed writer, and co-bucketed joins
-    // plan exchange-free. Hive-style PARTITIONED BY still refuses: range
-    // and multi-dim clustering go through statsCols/Z-order instead.
+    // the one physical-layout DDL the engine accepts: CLUSTERED BY
+    // (key, ...) INTO n BUCKETS — the table carries the bucket claim
+    // (single OR composite: the tuple hashes as a whole, key order
+    // matters) from v1, every INSERT routes through the bucketed writer,
+    // and co-bucketed joins plan exchange-free. Hive-style PARTITIONED BY
+    // still refuses: range and multi-dim clustering go through
+    // statsCols/Z-order instead.
     val bucketing: Option[(String, Int)] = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if org.apache.spark.sql.graft.bridge.bucketTransform(t)
-          .exists(_._2.length == 1) =>
+          .exists(_._2.nonEmpty) =>
         org.apache.spark.sql.graft.bridge.bucketTransform(t)
-          .map { case (n, cols) => (cols.head, n) }
+          .map { case (n, cols) => (cols.mkString(","), n) }
       case _ => throw new UnsupportedOperationException(
-        "graft versioned tables take CLUSTERED BY (col) INTO n BUCKETS or no " +
+        "graft versioned tables take CLUSTERED BY (col, ...) INTO n BUCKETS or no " +
           "partitioning (range/multi-dim clustering goes via statsCols/Z-order, " +
           "not PARTITIONED BY)")
     }

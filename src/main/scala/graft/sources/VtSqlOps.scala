@@ -25,6 +25,8 @@ import graft.io.VersionedTable
   *   OPTIMIZE vt.events TARGET 100000 ROWS WHERE id BETWEEN 0 AND 999
   *                                         -- scoped: compact only files whose recorded
   *                                            range intersects (the hot-ingest-range shape)
+  *   OPTIMIZE vt.events REBUCKET           -- restore a dropped bucket claim by rewriting
+  *                                            only the unclaimed tail (claimed files carry)
   *   ANALYZE vt.events COMPUTE STATS FOR COLUMNS id, ts
   *                                         -- retrofit file-skipping ranges, metadata-only commit
   *   ANALYZE vt.events COMPUTE BLOOMS FOR COLUMNS id
@@ -66,6 +68,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val optimize =
     ("""(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?""" +
       """(?:\s+WHERE\s+([\w.-]+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?\s*;?\s*""").r
+  private val rebucketStmt =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s+REBUCKET\s*;?\s*""".r
   private val analyze =
     """(?is)\s*ANALYZE\s+(.+?)\s+COMPUTE\s+STATS\s+FOR\s+COLUMNS\s+([\w.,\s`-]+?)\s*;?\s*""".r
   private val analyzeBlooms =
@@ -102,6 +106,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtVacuumStagingCommand(parts(ident), hours.toInt)
     case vacuum(ident, keep, dry) =>
       VtVacuumCommand(parts(ident), keep.toInt, dryRun = dry != null)
+    case rebucketStmt(ident) =>
+      VtRebucketCommand(parts(ident))
     case optimize(ident, target, zorder, scopeCol, lo, hi) =>
       VtOptimizeCommand(parts(ident), target.toLong, zOrder = zorder != null,
         scope = Option(scopeCol).map(c => (c, lo.toLong, hi.toLong)))
@@ -332,6 +338,30 @@ final case class VtDescribeBucketsCommand(tableParts: Seq[String])
         s"table at $path carries no bucketing claim — DESCRIBE DETAIL shows layout"))
     val (perBucket, ratio) = VersionedTable.bucketSkew(spark, path)
     (0 until n).map(b => Row(b, perBucket.getOrElse(b, 0L), key, n, ratio))
+  }
+}
+
+/** `OPTIMIZE <tbl> REBUCKET`: incremental bucket-claim recovery
+  * ([[graft.io.VersionedTable.rebucket]]) — after a plain append
+  * dropped the claim, restore the most recent retained claimed layout
+  * by rewriting ONLY the unclaimed tail; claimed-era files carry by
+  * reference. Cost ∝ the tail, not table size. Refuses when no retained
+  * version carries a claim or a key column's type changed since (the
+  * old murmur3 layout cannot be honestly restored — rewrite with a
+  * fresh bucketed commit instead). One row: the restored layout and the
+  * carried/rewritten file split. */
+final case class VtRebucketCommand(tableParts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("version", LongType),
+    VtSqlOps.attr("bucket_key", StringType),
+    VtSqlOps.attr("n_buckets", IntegerType),
+    VtSqlOps.attr("files_carried", IntegerType),
+    VtSqlOps.attr("files_rewritten", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val r = VersionedTable.rebucket(spark, path)
+    Seq(Row(r.version, r.key, r.nBuckets, r.filesCarried, r.filesRewritten))
   }
 }
 

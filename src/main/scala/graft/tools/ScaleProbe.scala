@@ -39,7 +39,15 @@ object ScaleProbe {
     "q331_ks_two_sample", "q332_holt_winters", "q333_winsorized_mean",
     "q334_effect_size", "q336_cox_multivariate", "q337_holt_winters_mult",
     "q339_cox_stratified", "q340_sequential_monitor", "q341_welch_anova",
-    "q342_always_valid_p")
+    "q342_always_valid_p",
+    // r15: the layout-composition queries (VERDICT r14 item 6 named
+    // q335/q338 explicitly — their maintenance rewrites and MV refresh
+    // are the parts that could scale badly) plus the round's new
+    // operators (Efron Cox, bucket point lookup, composite bucketing,
+    // CUPED)
+    "q335_bucketed_maintenance_join", "q338_mv_over_bucketed_fact",
+    "q343_cox_efron_ties", "q344_bucket_point_lookup",
+    "q345_composite_bucket_join", "q346_cuped")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

@@ -815,4 +815,39 @@ class BucketedJoinSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](VersionedTable.rebucket(spark, c))
     assert(e2.getMessage.contains("changed type"), e2.getMessage)
   }
+
+  test("composite CLUSTERED BY DDL and OPTIMIZE REBUCKET drive the new layout ops from SQL") {
+    spark.conf.set("spark.sql.catalog.vtc2", classOf[graft.sources.VtCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("vt_ddl2").toString
+    spark.conf.set("spark.sql.catalog.vtc2.warehouse", wh)
+    spark.sql(
+      "CREATE TABLE vtc2.fact (cust BIGINT, day BIGINT, v STRING) " +
+        "CLUSTERED BY (cust, day) INTO 4 BUCKETS")
+    assert(VersionedTable.bucketing(spark, s"$wh/fact").contains(("cust,day", 4)),
+      "composite DDL claim must exist from version 1")
+    spark.sql(
+      "INSERT INTO vtc2.fact SELECT id % 50, id % 7, concat('r_', id) FROM range(400)")
+    assert(VersionedTable.bucketing(spark, s"$wh/fact").contains(("cust,day", 4)),
+      "SQL INSERT must honor the composite layout")
+    assert(VersionedTable.read(spark, s"$wh/fact").count() == 400)
+    // DESCRIBE BUCKETS reports the comma-joined key
+    val db = spark.sql(s"DESCRIBE BUCKETS vtc2.`$wh/fact`").collect()
+    assert(db.length == 4 && db.forall(_.getAs[String]("bucket_key") == "cust,day"))
+    // drop the claim with a plain append, then recover it from SQL
+    VersionedTable.commitAppend(
+      spark.range(400, 450).select(
+        (col("id") % 50).as("cust"), (col("id") % 7).as("day"),
+        concat(lit("p_"), col("id")).as("v")),
+      s"$wh/fact")
+    assert(VersionedTable.bucketing(spark, s"$wh/fact").isEmpty)
+    val r = spark.sql(s"OPTIMIZE vtc2.`$wh/fact` REBUCKET").collect()(0)
+    assert(r.getAs[String]("bucket_key") == "cust,day")
+    assert(r.getAs[Int]("n_buckets") == 4)
+    // 5 = the INSERT's 4 bucket files + the CREATE's bucket-suffixed
+    // empty seed, all claimed-era
+    assert(r.getAs[Int]("files_carried") == 5, r.toString)
+    assert(r.getAs[Int]("files_rewritten") >= 1, r.toString)
+    assert(VersionedTable.bucketing(spark, s"$wh/fact").contains(("cust,day", 4)))
+    assert(VersionedTable.read(spark, s"$wh/fact").count() == 450)
+  }
 }
