@@ -57,7 +57,15 @@ import graft.io.VersionedTable
   * re-applies every pushed filter above the seam (they are reported as
   * residuals), so a translation gap can only lose pruning, never rows.
   * Scala-native callers keep [[VersionedTable.table]] for a zero-seam
-  * scan; SQL gets the full lifecycle.
+  * scan; SQL gets the full lifecycle. NOTE the seam also erases the
+  * scan's reported PARTITIONING: a co-bucketed join written against
+  * `vt.` catalog references still shuffles (the bucket-key FILE pruning
+  * survives — it runs inside the inner plan — but the
+  * HashPartitioning claim does not cross an RDD boundary). For
+  * exchange-free SQL joins on claimed tables, register a temp view over
+  * [[VersionedTable.table]] (`table(spark, p).createOrReplaceTempView`)
+  * — the view keeps the BucketSpec scan and plans like the Scala path
+  * (spec-pinned in BucketPruneSpec).
   *
   * Writes are exactly the library's commit paths ([[VersionedTable
   * .commitAppend]] / [[VersionedTable.overwrite]]): CHECK constraints

@@ -117,4 +117,77 @@ class BucketPruneSpec extends SparkSuite {
     assert(openedC.forall(f => bucketOf(f) == expectedInt),
       s"int key must hash at int: $openedC vs bucket $expectedInt")
   }
+
+  /** Task-level input bytes of everything `f` executes — the only
+    * honest probe through the catalog's V1 seam, where the inner
+    * FileSourceScan's plan (and its metrics) are invisible to the outer
+    * query. Waits for the async listener bus to drain by polling the
+    * accumulator to stability. */
+  private def inputBytes(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      var last = -1L; var i = 0
+      while (acc.get != last && i < 50) { last = acc.get; Thread.sleep(100); i += 1 }
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.get
+  }
+
+  test("SQL surfaces: catalog point lookup prunes I/O through the V1 seam; a temp view keeps the join layout") {
+    val a = fresh(); val b = fresh()
+    // payload column inflates bytes so the 1/8 cut is unambiguous
+    val rows = (0L until 4000L).map(i => (i, ("x" * 200) + i)).toDF("id", "v")
+    VersionedTable.commitBucketed(rows, a, "id", 8)
+    VersionedTable.commitBucketed(rows.select(col("id"), col("v").as("vb")), b, "id", 8)
+    spark.conf.set("spark.sql.catalog.vtbp", classOf[graft.sources.VtCatalog].getName)
+    val full = inputBytes {
+      spark.sql(s"SELECT count(*) AS n, sum(length(v)) AS s FROM vtbp.`$a`").collect()
+    }
+    val point = inputBytes {
+      val r = spark.sql(s"SELECT v FROM vtbp.`$a` WHERE id = 42").collect()
+      assert(r.length == 1)
+    }
+    assert(point > 0 && point < full / 3,
+      s"catalog point lookup must read ~1/8 of the bytes: point=$point full=$full")
+    // the catalog join pays the V1 seam: partitioning does not cross an
+    // RDD boundary, so the exchange is BACK (documented in VtCatalog) —
+    // file pruning survives, the layout claim does not
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val seamJoin = spark.sql(
+        s"SELECT count(*) AS n FROM vtbp.`$a` x JOIN vtbp.`$b` y ON x.id = y.id")
+      assert(seamJoin.collect()(0).getAs[Long]("n") == 4000L)
+      // the documented recipe for exchange-free SQL joins on claimed
+      // tables: a temp view over table() keeps the BucketSpec scan
+      VersionedTable.table(spark, a).createOrReplaceTempView("bp_view_a")
+      VersionedTable.table(spark, b).createOrReplaceTempView("bp_view_b")
+      val viewJoin = spark.sql(
+        "SELECT bp_view_a.id, v, vb FROM bp_view_a JOIN bp_view_b " +
+          "ON bp_view_a.id = bp_view_b.id")
+      def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p match {
+            case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(ad.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => qs +: walk(qs.plan)
+            case other => other +: other.children.flatMap(walk)
+          }
+        walk(df.queryExecution.executedPlan)
+          .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      }
+      assert(countShuffles(viewJoin) == 0,
+        s"temp-view SQL join must keep the layout:\n${viewJoin.queryExecution.executedPlan}")
+      assert(viewJoin.count() == 4000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+      spark.catalog.dropTempView("bp_view_a")
+      spark.catalog.dropTempView("bp_view_b")
+    }
+  }
 }
