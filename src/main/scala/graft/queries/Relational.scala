@@ -2897,8 +2897,81 @@ object Relational {
            |FROM a JOIN b USING (l_partkey, l_suppkey)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q347 — incremental claim recovery under the oracle gate
+    * ([[graft.io.VersionedTable.rebucket]], VERDICT r14 item 8): a
+    * bucketed fact takes the fat-fingered plain append that drops the
+    * claim, then `rebucket` restores it by rewriting ONLY the appended
+    * tail — REQUIREd: all 16 claimed-era files carry by reference
+    * (filesCarried == 16), at least one tail file rewrites, and the
+    * co-bucketed join plans with ZERO exchanges again (broadcast
+    * disabled). The aggregate then oracle-compares against the raw
+    * fixture join, so a recovery that lost or duplicated tail rows —
+    * or re-staged them into wrong buckets (the join would drop their
+    * matches) — hash-fails. */
+  val q347 = QueryDef(
+    "q347_rebucket_recovery_join",
+    (s, d) => {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = Scratch.dir("q347")
+      val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = root + "/li"; val ord = root + "/ord"
+        val liRows = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        graft.io.VersionedTable.commitBucketed(
+          liRows.filter(col("l_orderkey") % 2 === 0), li, "l_orderkey", 16)
+        graft.io.VersionedTable.commitBucketed(
+          Tables.orders(s, d).select(
+            col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          ord, "l_orderkey", 16)
+        // the fat-fingered plain append: the odd half lands unbucketed
+        graft.io.VersionedTable.commitAppend(
+          liRows.filter(col("l_orderkey") % 2 =!= 0), li)
+        require(graft.io.VersionedTable.bucketing(s, li).isEmpty,
+          "a plain append must drop the claim")
+        val res = graft.io.VersionedTable.rebucket(s, li)
+        require(res.filesCarried == 16,
+          s"all claimed-era bucket files must carry by reference: $res")
+        require(res.filesRewritten >= 1, s"the appended tail must rewrite: $res")
+        require(graft.io.VersionedTable.bucketing(s, li)
+          .contains(("l_orderkey", 16)), "rebucket must restore the claim")
+        val joined = graft.io.VersionedTable.table(s, li)
+          .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
+        joined.write.format("noop").mode("overwrite").save()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val nShuffles = walk(joined.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"post-rebucket co-bucketed join must plan exchange-free, got $nShuffles:\n" +
+            joined.queryExecution.executedPlan)
+        joined
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+              .as("rev_mm"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4)
+           |         AS rev_mm
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344, q345,
+    q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344, q345, q347,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
     q16, q17, q18, q18b, q18c, q23, q24, q25, q38, q39, q41, q42, q46, q47,
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,

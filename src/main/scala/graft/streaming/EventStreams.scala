@@ -268,6 +268,18 @@ object EventStreams {
       }
       .start()
 
+  /** [[startBucketedVersionedSink]] on a COMPOSITE key: the micro-batches
+    * land tuple-hashed (see [[graft.io.VersionedTable.commitBucketed]]'s
+    * Seq overload — key order matters), so a continuously-ingested fact
+    * whose natural co-location key is composite stays join-ready too. */
+  def startBucketedVersionedSink(
+      stream: DataFrame, tablePath: String, keys: Seq[String], nBuckets: Int,
+      writerId: String, checkpointDir: String): StreamingQuery = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    startBucketedVersionedSink(
+      stream, tablePath, keys.mkString(","), nBuckets, writerId, checkpointDir)
+  }
+
   /** AUDITED exactly-once sink — write-audit-publish per micro-batch
     * ([[graft.io.VersionedTable.stageAppend]] family): every batch lands
     * as an INVISIBLE stage, the caller's `audit` runs against exactly

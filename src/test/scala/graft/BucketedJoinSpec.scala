@@ -850,4 +850,35 @@ class BucketedJoinSpec extends SparkSuite {
     assert(VersionedTable.bucketing(spark, s"$wh/fact").contains(("cust,day", 4)))
     assert(VersionedTable.read(spark, s"$wh/fact").count() == 450)
   }
+
+  test("streaming bucketed sink on a COMPOSITE key keeps the table join-ready") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh()
+    val ms = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bk_ckpt2").toString
+    val q = graft.streaming.EventStreams.startBucketedVersionedSink(
+      ms.toDS().toDF("cust", "day", "v"), path, Seq("cust", "day"), 4, "bkw2", ckpt)
+    try {
+      ms.addData((0 until 200).map(i => (i.toLong % 50, (i % 7).toLong, s"a_$i")): _*)
+      q.processAllAvailable()
+      ms.addData((200 until 300).map(i => (i.toLong % 50, (i % 7).toLong, s"b_$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedTable.bucketing(spark, path).contains(("cust,day", 4)),
+      "composite claim must survive micro-batches")
+    assert(VersionedTable.read(spark, path).count() == 300)
+    val other = fresh()
+    VersionedTable.commitBucketed(rows2(0 until 600, "o"), other, Seq("cust", "day"), 4)
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = VersionedTable.table(spark, path)
+        .join(VersionedTable.table(spark, other).select(
+          col("cust"), col("day"), col("v").as("vo")), Seq("cust", "day"))
+      assert(shuffles(joined) == 0,
+        s"stream-built composite table must join exchange-free:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+  }
 }
