@@ -2678,7 +2678,8 @@ object Relational {
            |         AS rev_mm
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE NOT (l_discount > 0.05)
-           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    headline = true)
 
   /** Q338 — MV rewrite OVER a bucketed fact (VERDICT r13 item 7): the
     * two layout levers compose instead of colliding. One bucketed fact
@@ -2895,7 +2896,8 @@ object Relational {
            |       ROUND(SUM(l_quantity), 4) AS sum_qty,
            |       ROUND(SUM(l_extendedprice) / 1000000.0, 4) AS sum_price_mm
            |FROM a JOIN b USING (l_partkey, l_suppkey)
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Q347 — incremental claim recovery under the oracle gate
     * ([[graft.io.VersionedTable.rebucket]], VERDICT r14 item 8): a
@@ -2968,7 +2970,8 @@ object Relational {
            |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4)
            |         AS rev_mm
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    headline = true)
 
   def all: Seq[QueryDef] = Seq(
     q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344, q345, q347,
