@@ -240,13 +240,31 @@ object Survival {
     * monotone likelihood keeps stepping), and any non-finite iterate
     * refuses immediately, naming the diverging covariate.
     *
+    * FIRTH (`firth = true`): instead of refusing, ESTIMATE under
+    * separation with Firth's penalized partial likelihood
+    * l*(β) = l(β) + ½·log|I(β)| (Heinze & Schemper 2001, the `coxphf`
+    * estimator): the Jeffreys-prior penalty pulls the mode back from
+    * ±∞, so a separated covariate gets a finite, first-order-unbiased
+    * β with a usable (if still Wald) SE. The modified score is
+    * U*_k = U_k + ½·tr(I⁻¹·∂I/∂β_k), and ∂I/∂β_k is the risk-set
+    * distribution's THIRD central moment — the same single aggregation
+    * pass simply also carries the third weighted moments (a3_klm =
+    * Σ x_k x_l x_m·w, plus the event-only e3 under Efron); the extra
+    * C(p+2,3) agg columns exist only when `firth` is on. Newton steps
+    * on (I, U*); SE stays √diag(I⁻¹) at the penalized estimate, as in
+    * coxphf. The convergence discipline is UNCHANGED (the penalized
+    * likelihood always has a finite maximizer, so a fit that still
+    * steps after `iters` iterations is a genuine non-convergence and
+    * still refuses).
+    *
     * Returns one row per covariate: (covariate, n_times, beta,
     * hazard_ratio, se, wald_chi2) with se from the inverse information
     * at the final β. */
   def coxPH(
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       iters: Int = 8, maxTimes: Int = 100000,
-      strataCol: Option[String] = None, ties: String = "efron"): DataFrame = {
+      strataCol: Option[String] = None, ties: String = "efron",
+      firth: Boolean = false): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
     val p = xCols.length
@@ -262,14 +280,27 @@ object Survival {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pairs = (for { k <- 0 until p; l <- k until p } yield (k, l)).toArray
+      // symmetric flat indices: pIdx(k)(l) into `pairs`; tIdx(k)(l)(m)
+      // into `triples` (third moments, Firth only)
+      val pIdx = Array.fill(p, p)(0)
+      pairs.zipWithIndex.foreach { case ((k, l), i) => pIdx(k)(l) = i; pIdx(l)(k) = i }
+      val triples =
+        (for { k <- 0 until p; l <- k until p; m <- l until p } yield (k, l, m)).toArray
+      val tIdx = Array.fill(p, p, p)(0)
+      triples.zipWithIndex.foreach { case ((k, l, m), i) =>
+        Seq((k, l, m), (k, m, l), (l, k, m), (l, m, k), (m, k, l), (m, l, k))
+          .foreach { case (x, y, z) => tIdx(x)(y)(z) = i }
+      }
       // one aggregation pass at the current β: per (stratum, observed
       // time), the event sums, the e^{βᵀx}-weighted leaving-mass moments
-      // (a*), and the event-only weighted moments (e*) Efron's within-tie
-      // subtraction needs — all in the SAME hash aggregate
+      // (a*), the event-only weighted moments (e*) Efron's within-tie
+      // subtraction needs, and — Firth only — the third weighted moments
+      // (a3/e3) the penalty's ∂I/∂β needs: all in the SAME hash aggregate
       final case class Cell(
           g: String, t: Long, d: Long, sx: Array[Double],
           a0: Double, a1: Array[Double], a2: Array[Double],
-          e0: Double, e1: Array[Double], e2: Array[Double])
+          e0: Double, e1: Array[Double], e2: Array[Double],
+          a3: Array[Double], e3: Array[Double])
       def gridAt(beta: Array[Double]): Array[Cell] = {
         val wExpr = exp((0 until p).map(i => col(s"x$i") * lit(beta(i)))
           .reduce(_ + _))
@@ -287,7 +318,15 @@ object Survival {
             (0 until p).map(k => sum(col(s"x$k") * evW).as(s"e1_$k")) ++
             pairs.toSeq.map { case (k, l) =>
               sum(col(s"x$k") * col(s"x$l") * evW).as(s"e2_${k}_$l")
-            })
+            } ++
+            (if (!firth) Seq.empty
+             else triples.toSeq.map { case (k, l, m) =>
+               sum(col(s"x$k") * col(s"x$l") * col(s"x$m") * col("w"))
+                 .as(s"a3_${k}_${l}_$m")
+             } ++ triples.toSeq.map { case (k, l, m) =>
+               sum(col(s"x$k") * col(s"x$l") * col(s"x$m") * evW)
+                 .as(s"e3_${k}_${l}_$m")
+             }))
         val rows = subj.withColumn("w", wExpr)
           .groupBy("g", "t").agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -296,6 +335,7 @@ object Survival {
             "the driver solve is bounded by declared judgement; coarsen the duration " +
             "unit or raise the cap knowingly")
         val q = pairs.length
+        val r3 = triples.length
         rows.map { r =>
           Cell(r.getString(0), r.getLong(1), r.getLong(2),
             Array.tabulate(p)(k => r.getDouble(3 + k)),
@@ -304,33 +344,68 @@ object Survival {
             Array.tabulate(q)(i => r.getDouble(4 + 2 * p + i)),
             r.getDouble(4 + 2 * p + q),
             Array.tabulate(p)(k => r.getDouble(5 + 2 * p + q + k)),
-            Array.tabulate(q)(i => r.getDouble(5 + 3 * p + q + i)))
+            Array.tabulate(q)(i => r.getDouble(5 + 3 * p + q + i)),
+            if (!firth) Array.emptyDoubleArray
+            else Array.tabulate(r3)(i => r.getDouble(5 + 3 * p + 2 * q + i)),
+            if (!firth) Array.emptyDoubleArray
+            else Array.tabulate(r3)(i => r.getDouble(5 + 3 * p + 2 * q + r3 + i)))
         }.sortBy(c => (c.g, -c.t))
         // within each stratum, descending time: the running cumulative IS
         // that stratum's risk-set sum (risk sets never cross strata)
       }
-      // score U and information I at β from one grid pass. Driver cost:
-      // Breslow touches each event TIME once; Efron's inner j-loop totals
+      // score U and information I at β from one grid pass — plus, when
+      // Firth is on, the penalty's ∂I/∂β_m tensor (the risk-set
+      // distribution's third CENTRAL moments). Driver cost: Breslow
+      // touches each event TIME once; Efron's inner j-loop totals
       // Σ_t d_t = total events per pass — arithmetic, not memory.
       def scoreInfo(grid: Array[Cell])
-          : (Array[Double], Array[Array[Double]], Long) = {
+          : (Array[Double], Array[Array[Double]], Array[Array[Array[Double]]], Long) = {
         val u = Array.fill(p)(0.0)
         val inf = Array.fill(p, p)(0.0)
+        val dInf = if (firth) Array.fill(p, p, p)(0.0) else Array.empty[Array[Array[Double]]]
         var s0 = 0.0
         val s1 = Array.fill(p)(0.0)
         val s2 = Array.fill(pairs.length)(0.0)
+        val s3 = Array.fill(triples.length)(0.0)
         var nTimes = 0L
         var stratum: String = null
+        // ∂I_kl/∂β_m of a weighted risk-set distribution with raw moments
+        // μ1/μ2/μ3 (all scaled by the same z0): the third central moment
+        // μ3_klm − μ2_kl·μ1_m − μ2_km·μ1_l − μ2_lm·μ1_k + 2·μ1_k·μ1_l·μ1_m
+        def addCentral3(
+            z0: Double, z1: Int => Double, z2: Array[Double], z3: Array[Double],
+            scale: Double): Unit = {
+          var ii = 0
+          while (ii < pairs.length) {
+            val (k1, l1) = pairs(ii)
+            var m = 0
+            while (m < p) {
+              val c3 = z3(tIdx(k1)(l1)(m)) / z0 -
+                (z2(pIdx(k1)(l1)) / z0) * (z1(m) / z0) -
+                (z2(pIdx(k1)(m)) / z0) * (z1(l1) / z0) -
+                (z2(pIdx(l1)(m)) / z0) * (z1(k1) / z0) +
+                2.0 * (z1(k1) / z0) * (z1(l1) / z0) * (z1(m) / z0)
+              dInf(m)(k1)(l1) += scale * c3
+              if (k1 != l1) dInf(m)(l1)(k1) += scale * c3
+              m += 1
+            }
+            ii += 1
+          }
+        }
         grid.foreach { c =>
           if (c.g != stratum) { // new stratum: fresh risk-set accumulators
             stratum = c.g
             s0 = 0.0
             java.util.Arrays.fill(s1, 0.0)
             java.util.Arrays.fill(s2, 0.0)
+            java.util.Arrays.fill(s3, 0.0)
           }
           s0 += c.a0
           var k = 0; while (k < p) { s1(k) += c.a1(k); k += 1 }
           var i = 0; while (i < pairs.length) { s2(i) += c.a2(i); i += 1 }
+          if (firth) {
+            var i3 = 0; while (i3 < triples.length) { s3(i3) += c.a3(i3); i3 += 1 }
+          }
           val d = c.d
           if (d > 0) {
             nTimes += 1
@@ -347,6 +422,7 @@ object Survival {
                 if (k1 != l1) inf(l1)(k1) += v
                 ii += 1
               }
+              if (firth) addCentral3(s0, s1(_), s2, s3, d.toDouble)
             } else {
               // Efron: the j-th of d tied events sees the risk set with
               // j/d of the tied events' own e^{βᵀx} mass removed
@@ -368,12 +444,19 @@ object Survival {
                   if (k1 != l1) inf(l1)(k1) += v
                   ii += 1
                 }
+                if (firth) {
+                  // the adjusted sums s* = s − frac·e differentiate to the
+                  // adjusted third moments (d/dβ_m of each w is x_m·w)
+                  val s2j = Array.tabulate(pairs.length)(i2 => s2(i2) - frac * c.e2(i2))
+                  val s3j = Array.tabulate(triples.length)(i3 => s3(i3) - frac * c.e3(i3))
+                  addCentral3(s0j, k2 => s1(k2) - frac * c.e1(k2), s2j, s3j, 1.0)
+                }
                 j += 1
               }
             }
           }
         }
-        (u, inf, nTimes)
+        (u, inf, dInf, nTimes)
       }
       // driver-side p×p solve: Gaussian elimination with partial
       // pivoting (p is the covariate count — single digits)
@@ -420,18 +503,39 @@ object Survival {
       val beta = Array.fill(p)(0.0)
       def refuseSeparation(maxStep: Double): Nothing = {
         val worst = (0 until p).maxBy(k => math.abs(beta(k)))
+        val firthHint =
+          if (firth) "the FIRTH-penalized fit still stepping after the fixed " +
+            "iterations is genuine non-convergence — raise `iters`"
+          else "Remove, coarsen, or bound the covariate, or refit with " +
+            "`firth = true`; a Wald CI is meaningless under separation"
         throw new IllegalArgumentException(
           s"cox Newton did not converge in $iters iterations " +
             f"(final |Δβ| = $maxStep%.3g; β = ${beta.map(b => f"$b%.3f").mkString(", ")}): " +
             s"monotone partial likelihood — covariate '${xCols(worst)}' " +
             "(the largest |β|) likely separates the event order perfectly, so its " +
             "MLE is infinite and any fixed-iteration estimate is an artifact of the " +
-            "cutoff. Remove, coarsen, or bound the covariate; a Wald CI is " +
-            "meaningless under separation")
+            s"cutoff. $firthHint")
       }
+      // Firth-modified score: U*_k = U_k + ½·tr(I⁻¹·∂I/∂β_k)
+      def effScore(u: Array[Double], inf: Array[Array[Double]],
+          dInf: Array[Array[Array[Double]]]): Array[Double] =
+        if (!firth) u
+        else {
+          val invI = inverse(inf)
+          Array.tabulate(p) { k =>
+            var tr = 0.0
+            var a = 0
+            while (a < p) {
+              var b = 0
+              while (b < p) { tr += invI(a)(b) * dInf(k)(b)(a); b += 1 }
+              a += 1
+            }
+            u(k) + 0.5 * tr
+          }
+        }
       for (_ <- 1 to iters) {
-        val (u, inf, _) = scoreInfo(gridAt(beta))
-        val step = solve(inf, u)
+        val (u, inf, dInf, _) = scoreInfo(gridAt(beta))
+        val step = solve(inf, effScore(u, inf, dInf))
         var k = 0; while (k < p) { beta(k) += step(k); k += 1 }
         // a non-finite iterate means exp(βᵀx) already over/underflowed —
         // refuse NOW, before the next grid pass turns it into NaN soup
@@ -441,9 +545,11 @@ object Survival {
       // replay computes), not at the last pre-update point. The same pass
       // yields the would-be NEXT step: a quadratically-convergent fit has
       // landed at machine precision by now, so a step still moving is the
-      // separation signature, not slow convergence.
-      val (uFinal, infFinal, nTimes) = scoreInfo(gridAt(beta))
-      val finalStep = solve(infFinal, uFinal).map(math.abs).max
+      // separation signature (or, under Firth, true non-convergence), not
+      // slow convergence.
+      val (uFinal, infFinal, dInfFinal, nTimes) = scoreInfo(gridAt(beta))
+      val finalStep = solve(infFinal, effScore(uFinal, infFinal, dInfFinal))
+        .map(math.abs).max
       if (finalStep > 1e-6 * (1.0 + beta.map(math.abs).max)) refuseSeparation(finalStep)
       val cov = inverse(infFinal)
       (0 until p).map { k =>

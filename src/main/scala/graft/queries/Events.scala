@@ -2044,6 +2044,87 @@ object Events {
            |       ROUND(b*b*fi,6) AS wald_chi2
            |FROM fin""".stripMargin))
 
+  /** Q348 — FIRTH-penalized Cox PH ([[graft.ops.Survival.coxPH]] with
+    * `firth = true`, the Heinze-Schemper/`coxphf` estimator): maximizes
+    * l(β) + ½·log|I(β)| — the Jeffreys-prior penalty that keeps a
+    * separating covariate's estimate FINITE and removes the MLE's
+    * first-order small-sample bias. The modified score adds
+    * ½·tr(I⁻¹·∂I/∂β), and ∂I/∂β is the risk-set distribution's third
+    * central moment — the same one-aggregation-per-iteration shape as
+    * q336, carrying one extra third-moment column. The oracle replays
+    * the full 8-step penalized Newton in a recursive CTE: per iteration
+    * the per-time sums s0..s3, then U, I, and T = Σd·(μ₃ − 3μ₂μ₁ + 2μ₁³)
+    * feed step (U + ½·T/I)/I — a wrong third-moment term, a wrong
+    * penalty sign, or a drifting iterate hash-fails. Breslow ties keep
+    * the oracle's closed form exact; q343 pins Efron, SurvivalSpec's
+    * finite-difference Newton pins the Efron+Firth composition. */
+  val q348 = QueryDef(
+    "q348_cox_firth",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          col("t_days"), col("is_event"))
+      graft.ops.Survival.coxPH(subjects, Seq("arm"), "t_days", "is_event",
+          ties = "breslow", firth = true)
+        .select(
+          col("covariate"), col("n_times"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          r6(col("wald_chi2")).as("wald_chi2"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0
+           |          FROM s GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, s.x0
+           |       FROM times tm JOIN s ON s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + (g.u + 0.5*g.t3/g.fi)/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi,
+           |             SUM(d*(s3/s0 - 3.0*(s2/s0)*(s1/s0)
+           |                    + 2.0*(s1/s0)*(s1/s0)*(s1/s0))) AS t3
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2,
+           |                   SUM(x0*x0*x0*EXP(b*x0)) AS s3
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |fin AS (
+           |  SELECT b, (SELECT COUNT(*) FROM times) AS n_times, g.fi
+           |  FROM it, LATERAL (
+           |      SELECT SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |  ) g)
+           |SELECT 'arm' AS covariate, CAST(n_times AS BIGINT) AS n_times,
+           |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
+           |       ROUND(1.0/SQRT(fi),6) AS se,
+           |       ROUND(b*b*fi,6) AS wald_chi2
+           |FROM fin""".stripMargin))
+
   /** Q346 — CUPED variance-reduced experiment analysis
     * ([[graft.ops.Cuped.cuped]], VERDICT r14 item 5): the md5-coin A/B
     * arms' post-period purchase counts adjusted by each user's
@@ -2728,7 +2809,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339, q343, q346)
+      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

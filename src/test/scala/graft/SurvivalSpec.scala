@@ -295,6 +295,110 @@ class SurvivalSpec extends SparkSuite {
     assert(fit > 0.5, s"strong effect must fit, got $fit")
   }
 
+  test("coxPH firth: matches a finite-difference Firth Newton (Breslow and Efron, p=1)") {
+    // independent replay: U and I computed directly from the subject
+    // list; the penalty term ½·I'(β)/I(β) via CENTRAL DIFFERENCE of I —
+    // if the engine's closed-form third-central-moment tensor were wrong
+    // in any term, the two Newtons would land on different β
+    val data = (1 to 60).map { i =>
+      val x = if (i % 3 == 0) 1.0 else 0.0
+      val t = ((i % 7) + 1 + (if (x > 0) 0 else 3)).toLong
+      (t, if (i % 5 == 0) 0 else 1, x)
+    }
+    def fdFirth(efron: Boolean): Double = {
+      val times = data.filter(_._2 == 1).map(_._1).distinct.sorted
+      def sums(b: Double, t: Long): (Double, Double, Double) = {
+        val rs = data.filter(_._1 >= t)
+        (rs.map(s => math.exp(b * s._3)).sum,
+          rs.map(s => s._3 * math.exp(b * s._3)).sum,
+          rs.map(s => s._3 * s._3 * math.exp(b * s._3)).sum)
+      }
+      def esums(b: Double, t: Long): (Double, Double, Double) = {
+        val ev = data.filter(s => s._1 == t && s._2 == 1)
+        (ev.map(s => math.exp(b * s._3)).sum,
+          ev.map(s => s._3 * math.exp(b * s._3)).sum,
+          ev.map(s => s._3 * s._3 * math.exp(b * s._3)).sum)
+      }
+      def ui(b: Double): (Double, Double) = {
+        var u = 0.0; var fi = 0.0
+        times.foreach { t =>
+          val ev = data.filter(s => s._1 == t && s._2 == 1)
+          val d = ev.length
+          val sx = ev.map(_._3).sum
+          val (s0, s1, s2) = sums(b, t)
+          if (!efron) {
+            u += sx - d * s1 / s0
+            fi += d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+          } else {
+            val (e0, e1, e2) = esums(b, t)
+            u += sx
+            (0 until d).foreach { j =>
+              val f = j.toDouble / d
+              val (z0, z1, z2) = (s0 - f * e0, s1 - f * e1, s2 - f * e2)
+              u -= z1 / z0
+              fi += z2 / z0 - (z1 / z0) * (z1 / z0)
+            }
+          }
+        }
+        (u, fi)
+      }
+      var b = 0.0
+      val h = 1e-5
+      (1 to 8).foreach { _ =>
+        val (u, fi) = ui(b)
+        val dI = (ui(b + h)._2 - ui(b - h)._2) / (2 * h)
+        b += (u + 0.5 * dI / fi) / fi
+      }
+      b
+    }
+    val df = data.toDF("t", "e", "x")
+    val brEngine = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow",
+      firth = true).select("beta").head.getDouble(0)
+    assert(math.abs(brEngine - fdFirth(efron = false)) < 1e-6,
+      s"breslow firth: engine $brEngine vs finite-difference ${fdFirth(efron = false)}")
+    val efEngine = Survival.coxPH(df, Seq("x"), "t", "e", ties = "efron",
+      firth = true).select("beta").head.getDouble(0)
+    assert(math.abs(efEngine - fdFirth(efron = true)) < 1e-6,
+      s"efron firth: engine $efEngine vs finite-difference ${fdFirth(efron = true)}")
+    // and the penalty genuinely moved the estimate off the MLE
+    val mle = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow")
+      .select("beta").head.getDouble(0)
+    assert(math.abs(mle - brEngine) > 1e-4,
+      s"firth must differ from the MLE here: $mle vs $brEngine")
+  }
+
+  test("coxPH firth: a separating covariate gets a FINITE estimate; MLE-friendly data stays close") {
+    // the same construction the refusal spec uses: x = 1 subjects all
+    // convert before every x = 0 subject — the unpenalized MLE is +inf
+    // (and coxPH refuses); Firth's Jeffreys penalty gives a finite mode
+    val separated = ((1 to 100).map(i => ((i % 10) + 1L, 1, 1.0)) ++
+      (1 to 100).map(i => ((i % 10) + 50L, 1, 0.0))).toDF("t", "e", "xsep")
+    val fit = Survival.coxPH(separated, Seq("xsep"), "t", "e",
+      iters = 20, firth = true).head
+    val beta = fit.getDouble(2)
+    assert(java.lang.Double.isFinite(beta) && beta > 1.0,
+      s"penalized estimate must be finite and strongly positive, got $beta")
+    assert(fit.getDouble(4) > 0.0 && java.lang.Double.isFinite(fit.getDouble(4)),
+      "SE must be finite under the penalty")
+    // well-conditioned data: Firth is a small-bias correction, not a new
+    // answer — estimates agree to first order (and the p=2 tensor path
+    // converges under the default Efron ties)
+    val rnd = new scala.util.Random(17)
+    val strong = (1 to 400).map { _ =>
+      val x1 = if (rnd.nextBoolean()) 1.0 else 0.0
+      val x2 = rnd.nextDouble()
+      val t = math.max(1L, (6.0 + 8.0 * rnd.nextDouble() - 3.0 * x1).toLong)
+      (t, 1, x1, x2)
+    }.toDF("t", "e", "x1", "x2")
+    val mle = Survival.coxPH(strong, Seq("x1", "x2"), "t", "e")
+      .orderBy("covariate").collect().map(_.getDouble(2))
+    val penalized = Survival.coxPH(strong, Seq("x1", "x2"), "t", "e",
+      firth = true).orderBy("covariate").collect().map(_.getDouble(2))
+    mle.zip(penalized).foreach { case (m, f) =>
+      assert(math.abs(m - f) < 0.1, s"firth must stay near the MLE: $m vs $f")
+    }
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
