@@ -40,6 +40,68 @@ object Contingency {
           / col("expected"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the assignment-integrity gate
+    * every experimentation platform runs BEFORE reading any metric: a
+    * chi-square goodness-of-fit of the observed arm counts against the
+    * DECLARED allocation. A randomizer bug, a bot filter that eats one
+    * arm, or a logging drop skews the split, and every downstream
+    * comparison (q269/q340/q346/q349) silently inherits the selection
+    * bias — the standard alarm threshold is p < 0.001 (Fabijan et al.
+    * 2019), deliberately strict because assignment is supposed to be
+    * EXACTLY right.
+    *
+    * Scale shape: one keyed aggregation over the subject frame (arm
+    * grid out), a broadcast join against the declared ratios, and
+    * grid-sized arithmetic — no data-sized collect (the undeclared-arm
+    * probe is a limit-3 collect, the [[SequentialTest]] refusal
+    * discipline). The chi-square upper-tail p uses the Wilson-Hilferty
+    * cube-root normalization and the SAME fixed A&S 7.1.26 polynomial
+    * as the rest of the p-value family — deterministic in both engines,
+    * any dof.
+    *
+    * @param expected declared (arm, ratio) allocation; ratios must sum
+    *                 to 1. An OBSERVED arm missing from the declaration
+    *                 refuses (that IS the config/logging bug SRM exists
+    *                 to catch); a declared arm with zero observed rows
+    *                 counts as 0 and inflates χ² — as it should. */
+  def srm(df: DataFrame, armCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.size >= 2, "srm needs at least two declared arms")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"declared ratios must sum to 1, got ${expected.map(_._2).sum}")
+    require(expected.forall(_._2 > 0.0), "declared ratios must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decl = expected.toDF("arm", "ratio")
+    val counts = df.groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("obs"))
+    val undeclared = counts.join(broadcast(decl), Seq("arm"), "left_anti")
+      .select("arm").limit(3).collect().map(_.getString(0))
+    require(undeclared.isEmpty,
+      s"observed arms not in the declared allocation: ${undeclared.mkString(", ")} — " +
+        "an undeclared arm IS the assignment bug SRM exists to catch; declare it " +
+        "or fix the randomizer")
+    val grid = broadcast(decl).join(counts, Seq("arm"), "left")
+      .na.fill(0L, Seq("obs"))
+    val tot = grid.agg(sum("obs").as("n"), count(lit(1)).as("k"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .withColumn("exp_n", col("n").cast("double") * col("ratio"))
+      .withColumn("term",
+        (col("obs") - col("exp_n")) * (col("obs") - col("exp_n")) / col("exp_n"))
+    val agg = terms.agg(
+      first("n").as("n"), first("k").as("k"), sum("term").as("chi2"))
+    val nu = (col("k") - 1).cast("double")
+    // Wilson-Hilferty: (χ²/ν)^(1/3) ≈ N(1 − 2/(9ν), 2/(9ν))
+    val z = (pow(col("chi2") / nu, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * nu))) /
+      sqrt(lit(2.0) / (lit(9.0) * nu))
+    val pTwo = graft.queries.Stats.pNormTwoSided(z)
+    val pUpper = when(z >= 0, pTwo / 2.0).otherwise(lit(1.0) - pTwo / 2.0)
+    agg.select(
+      col("n"), (col("k") - 1).as("dof"), col("chi2"),
+      pUpper.as("p_srm"),
+      (pUpper < 0.001).as("srm"))
+  }
+
   /** Welch's unequal-variance two-sample t-test — "do these two slices of
     * the corpus differ in this metric" (source A vs source B document
     * length, shard vs shard quality score) without assuming equal

@@ -2125,6 +2125,88 @@ object Events {
            |       ROUND(b*b*fi,6) AS wald_chi2
            |FROM fin""".stripMargin))
 
+  /** Q349 — Bayesian A/B analysis ([[graft.ops.BayesAb.betaBinomial]]):
+    * Beta-Binomial posteriors on the md5-coin arms' 7-day conversion,
+    * reporting P(treat beats control) and both arms' EXPECTED LOSSES —
+    * the quantities a Bayesian ship rule thresholds on, complementing
+    * the frequentist family (q269/q340/q346). One keyed aggregation
+    * (two rows out), then Evan Miller's EXACT closed-form sums in log
+    * space — the oracle replays every term with generate_series +
+    * lgamma, so a wrong beta-function identity, a wrong loss mean-shift,
+    * or an off-by-one sum bound hash-fails. The exact path is bounded by
+    * declared judgement (`maxExact`); `method = "normal"` is the
+    * documented at-scale fallback (spec-pinned to agree to 1e-2). */
+  val q349 = QueryDef(
+    "q349_bayes_ab",
+    (s, d) => {
+      val subjects = convSubjects(s, d).select(
+        when((conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+          1, 4), 16, 10).cast("int") % 2) === 1, lit("treat")).otherwise(lit("ctrl"))
+          .as("arm"),
+        ((col("is_event") === 1) && (col("t_days") < 7)).cast("int").as("conv"))
+      graft.ops.BayesAb.betaBinomial(subjects, "arm", "conv", focal = "treat")
+        .select(
+          col("n_focal"), col("conv_focal"), col("n_ctrl"), col("conv_ctrl"),
+          r6(col("post_mean_focal")).as("post_mean_focal"),
+          r6(col("post_mean_ctrl")).as("post_mean_ctrl"),
+          (r6(col("lift")) + lit(0.0)).as("lift"),
+          r6(col("prob_focal_beats")).as("prob_focal_beats"),
+          r6(col("exp_loss_focal")).as("exp_loss_focal"),
+          r6(col("exp_loss_ctrl")).as("exp_loss_ctrl"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |s AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2 AS armbit,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                   AND (conv_us - entry_us) // 86400000000 < 7
+           |                  THEN 1 ELSE 0 END AS conv
+           |      FROM en LEFT JOIN cv USING (user_id)),
+           |p AS (SELECT
+           |        CAST(SUM(CASE WHEN armbit=1 THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+           |        CAST(SUM(CASE WHEN armbit=1 THEN conv ELSE 0 END) AS BIGINT) AS sf,
+           |        CAST(SUM(CASE WHEN armbit=0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |        CAST(SUM(CASE WHEN armbit=0 THEN conv ELSE 0 END) AS BIGINT) AS sc
+           |      FROM s),
+           |q AS (SELECT nf, sf, nc, sc,
+           |             CAST(1 + sf AS DOUBLE) AS af, CAST(1 + nf - sf AS DOUBLE) AS bf,
+           |             CAST(1 + sc AS DOUBLE) AS ac, CAST(1 + nc - sc AS DOUBLE) AS bc
+           |      FROM p),
+           |roles AS (
+           |  SELECT 'prob' AS role, af AS ab, bf AS bb, ac AS aa, bc AS ba FROM q
+           |  UNION ALL SELECT 'lf1', ac+1, bc, af, bf FROM q
+           |  UNION ALL SELECT 'lf2', ac, bc, af+1, bf FROM q
+           |  UNION ALL SELECT 'lc1', af+1, bf, ac, bc FROM q
+           |  UNION ALL SELECT 'lc2', af, bf, ac+1, bc FROM q),
+           |ex AS (SELECT role, aa, ba, bb,
+           |              CAST(UNNEST(generate_series(0, CAST(ab-1 AS BIGINT)))
+           |                   AS DOUBLE) AS i
+           |       FROM roles),
+           |hs AS (SELECT role,
+           |              SUM(EXP( lgamma(aa+i) + lgamma(ba+bb) - lgamma(aa+i+ba+bb)
+           |                     - LN(bb+i)
+           |                     - (lgamma(1+i) + lgamma(bb) - lgamma(1+i+bb))
+           |                     - (lgamma(aa) + lgamma(ba) - lgamma(aa+ba)) )) AS h
+           |       FROM ex GROUP BY role),
+           |hv AS (SELECT
+           |        MAX(CASE WHEN role='prob' THEN h END) AS hprob,
+           |        MAX(CASE WHEN role='lf1' THEN h END) AS hlf1,
+           |        MAX(CASE WHEN role='lf2' THEN h END) AS hlf2,
+           |        MAX(CASE WHEN role='lc1' THEN h END) AS hlc1,
+           |        MAX(CASE WHEN role='lc2' THEN h END) AS hlc2
+           |       FROM hs)
+           |SELECT nf AS n_focal, sf AS conv_focal, nc AS n_ctrl, sc AS conv_ctrl,
+           |       ROUND(af/(af+bf), 6) AS post_mean_focal,
+           |       ROUND(ac/(ac+bc), 6) AS post_mean_ctrl,
+           |       ROUND(af/(af+bf) - ac/(ac+bc), 6) + 0 AS lift,
+           |       ROUND(hprob, 6) AS prob_focal_beats,
+           |       ROUND((ac/(ac+bc))*hlf1 - (af/(af+bf))*hlf2, 6) AS exp_loss_focal,
+           |       ROUND((af/(af+bf))*hlc1 - (ac/(ac+bc))*hlc2, 6) AS exp_loss_ctrl
+           |FROM q, hv""".stripMargin))
+
   /** Q346 — CUPED variance-reduced experiment analysis
     * ([[graft.ops.Cuped.cuped]], VERDICT r14 item 5): the md5-coin A/B
     * arms' post-period purchase counts adjusted by each user's
@@ -2809,7 +2891,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348)
+      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

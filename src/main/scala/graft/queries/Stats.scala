@@ -2504,10 +2504,69 @@ object Stats {
            |       ROUND(pav, 6) AS p_always_valid
            |FROM p ORDER BY day""".stripMargin))
 
+  /** Q350 — sample-ratio-mismatch check ([[graft.ops.Contingency.srm]]):
+    * the assignment-integrity gate that must run BEFORE any experiment
+    * readout — chi-square goodness-of-fit of the md5-coin THREE-way
+    * split against its declared ⅓/⅓/⅓ allocation, alarm at p < 0.001
+    * (the deliberately strict platform convention: assignment is
+    * supposed to be exactly right). One keyed aggregation to the arm
+    * grid, broadcast join to the declared ratios, grid-sized
+    * arithmetic; the upper-tail p via Wilson-Hilferty + the same fixed
+    * A&S polynomial as q326/q294 — every step replayed by the oracle,
+    * so a wrong expected count, a wrong dof, or a drifting cube-root
+    * normalization hash-fails. */
+  val q350 = QueryDef(
+    "q350_srm_check",
+    (s, d) => {
+      val subjects = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .select(concat(lit("arm"),
+          conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 3).as("arm"))
+      graft.ops.Contingency.srm(subjects, "arm",
+          Seq("arm0" -> (1.0 / 3.0), "arm1" -> (1.0 / 3.0), "arm2" -> (1.0 / 3.0)))
+        .select(
+          col("n"), col("dof"),
+          r6(col("chi2")).as("chi2"),
+          r6(col("p_srm")).as("p_srm"),
+          col("srm"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |a AS (SELECT CAST(('0x' || substr(md5('ab-v1:' ||
+           |             CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) % 3 AS armbit
+           |      FROM u),
+           |g AS (SELECT armbit, COUNT(*) AS obs FROM a GROUP BY 1),
+           |t AS (SELECT SUM(obs) AS n, COUNT(*) AS k FROM g),
+           |c AS (SELECT t.n, t.k,
+           |             SUM((g.obs - CAST(t.n AS DOUBLE)*(1.0/3.0))
+           |                 * (g.obs - CAST(t.n AS DOUBLE)*(1.0/3.0))
+           |                 / (CAST(t.n AS DOUBLE)*(1.0/3.0))) AS chi2
+           |      FROM g, t GROUP BY t.n, t.k),
+           |z AS (SELECT n, k, chi2,
+           |             (POWER(chi2/(k-1.0), 1.0/3.0)
+           |              - (1.0 - 2.0/(9.0*(k-1.0)))) / SQRT(2.0/(9.0*(k-1.0))) AS zv
+           |      FROM c),
+           |p AS (SELECT n, k, chi2, zv,
+           |             2.0 * (EXP(-ABS(zv)*ABS(zv)/2.0) / SQRT(2.0*PI())
+           |               * (0.319381530 * (1.0/(1.0+0.2316419*ABS(zv)))
+           |                  - 0.356563782 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 2)
+           |                  + 1.781477937 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 3)
+           |                  - 1.821255978 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 4)
+           |                  + 1.330274429 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 5)))
+           |               AS ptwo
+           |      FROM z)
+           |SELECT CAST(n AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS dof,
+           |       ROUND(chi2, 6) AS chi2,
+           |       ROUND(CASE WHEN zv >= 0 THEN ptwo/2.0 ELSE 1.0 - ptwo/2.0 END, 6)
+           |         AS p_srm,
+           |       (CASE WHEN zv >= 0 THEN ptwo/2.0 ELSE 1.0 - ptwo/2.0 END) < 0.001
+           |         AS srm
+           |FROM p""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342)
+      q341, q342, q350)
 }
