@@ -90,16 +90,25 @@ object Contingency {
         (col("obs") - col("exp_n")) * (col("obs") - col("exp_n")) / col("exp_n"))
     val agg = terms.agg(
       first("n").as("n"), first("k").as("k"), sum("term").as("chi2"))
-    val nu = (col("k") - 1).cast("double")
-    // Wilson-Hilferty: (χ²/ν)^(1/3) ≈ N(1 − 2/(9ν), 2/(9ν))
-    val z = (pow(col("chi2") / nu, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * nu))) /
-      sqrt(lit(2.0) / (lit(9.0) * nu))
-    val pTwo = graft.queries.Stats.pNormTwoSided(z)
-    val pUpper = when(z >= 0, pTwo / 2.0).otherwise(lit(1.0) - pTwo / 2.0)
+    val pUpper = chi2UpperP(col("chi2"), (col("k") - 1).cast("double"))
     agg.select(
       col("n"), (col("k") - 1).as("dof"), col("chi2"),
       pUpper.as("p_srm"),
       (pUpper < 0.001).as("srm"))
+  }
+
+  /** Chi-square upper-tail p for any dof: Wilson-Hilferty cube-root
+    * normalization (χ²/ν)^(1/3) ≈ N(1 − 2/(9ν), 2/(9ν)), then the same
+    * fixed A&S 7.1.26 polynomial as the rest of the p-value family —
+    * deterministic in both engines, accurate where the alarm tail lives
+    * (its LEFT tail at 1 dof is soft: p(0) ≈ 0.95, not 1 — spec-noted). */
+  private[graft] def chi2UpperP(
+      chi2: org.apache.spark.sql.Column,
+      nu: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val z = (pow(chi2 / nu, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * nu))) /
+      sqrt(lit(2.0) / (lit(9.0) * nu))
+    val pTwo = graft.queries.Stats.pNormTwoSided(z)
+    when(z >= 0, pTwo / 2.0).otherwise(lit(1.0) - pTwo / 2.0)
   }
 
   /** Welch's unequal-variance two-sample t-test — "do these two slices of

@@ -661,6 +661,60 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Contingency.srm]] — the
+    * sample-ratio-mismatch monitor run CONTINUOUSLY: per tumbling
+    * window, the chi-square goodness-of-fit of observed arm counts
+    * against the declared allocation, with the Wilson-Hilferty
+    * upper-tail p and the platform-standard p < 0.001 alarm. An SRM
+    * caught a window after the randomizer breaks is a bug contained; an
+    * SRM caught at readout time is a week of corrupted metrics.
+    *
+    * Scale shape: ONE stateful windowed aggregation — the declared arm
+    * list is fixed at declaration, so each arm is a CONDITIONAL COUNTER
+    * column (whole-stage-codegen sums, no per-arm state growth), state
+    * is one row per open window, and the watermark closes it. The
+    * chi-square/p arithmetic is plain column math on the closed row.
+    *
+    * An UNDECLARED arm cannot refuse mid-stream (a task-side require
+    * would take down monitoring for every declared arm — the
+    * [[streamingCusum]] dead-letter reasoning): it lands in
+    * `undeclared_n`, FORCES the alarm, and the declared-arm statistic
+    * stays honest (computed over declared counts only). A window with
+    * no declared-arm rows emits null chi2/p (no statistic exists) with
+    * the alarm riding on `undeclared_n`. */
+  def streamingSrm(
+      events: DataFrame, armCol: String, tsCol: String,
+      expected: Seq[(String, Double)],
+      windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    require(expected.size >= 2, "streamingSrm needs at least two declared arms")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"declared ratios must sum to 1, got ${expected.map(_._2).sum}")
+    require(expected.forall(_._2 > 0.0), "declared ratios must be positive")
+    val arm = col(armCol).cast("string")
+    val obsCols = expected.zipWithIndex.map { case ((a, _), i) =>
+      sum(when(arm === a, 1L).otherwise(0L)).as(s"obs_$i")
+    }
+    val und = sum(when(!arm.isin(expected.map(_._1): _*), 1L).otherwise(0L))
+      .as("undeclared_n")
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(obsCols.head, (obsCols.tail :+ und): _*)
+    val n = expected.indices.map(i => col(s"obs_$i")).reduce(_ + _)
+    val chi2Raw = expected.zipWithIndex.map { case ((_, r), i) =>
+      val e = n.cast("double") * lit(r)
+      (col(s"obs_$i") - e) * (col(s"obs_$i") - e) / e
+    }.reduce(_ + _)
+    val chi2 = when(n > 0, chi2Raw)
+    val p = when(n > 0,
+      graft.ops.Contingency.chi2UpperP(chi2Raw, lit((expected.size - 1).toDouble)))
+    agg.select(
+      col("window.start").as("w_start"), col("window.end").as("w_end"),
+      n.as("n"), col("undeclared_n"),
+      chi2.as("chi2"), p.as("p_srm"),
+      (coalesce(p < 0.001, lit(false)) || col("undeclared_n") > 0).as("srm"))
+  }
+
   /** One (timestamp, term) occurrence on the input stream. */
   final case class TermEvent(ts: java.sql.Timestamp, term: String)
   /** One trending term of a CLOSED window: rank by estimated count

@@ -47,7 +47,11 @@ object ScaleProbe {
     // CUPED)
     "q335_bucketed_maintenance_join", "q338_mv_over_bucketed_fact",
     "q343_cox_efron_ties", "q344_bucket_point_lookup",
-    "q345_composite_bucket_join", "q346_cuped")
+    "q345_composite_bucket_join", "q346_cuped",
+    // r15 (second batch): Firth Cox (third-moment agg columns), the
+    // Bayesian A/B sums (driver flops ∝ conversions — the one shape
+    // whose cost grows with the DATA, not the grid), SRM
+    "q348_cox_firth", "q349_bayes_ab", "q350_srm_check")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver
