@@ -267,6 +267,96 @@ object Survival {
       firth: Boolean = false): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
+    val (beta, cov, nTimes, _) =
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties, firth)
+    xCols.indices.map { k =>
+      val se = math.sqrt(cov(k)(k))
+      (xCols(k), nTimes, beta(k), math.exp(beta(k)), se,
+        beta(k) * beta(k) / cov(k)(k))
+    }.toDF("covariate", "n_times", "beta", "hazard_ratio", "se", "wald_chi2")
+  }
+
+  /** Baseline cumulative hazard + ADJUSTED survival curves from the
+    * fitted Cox model — the `survfit(coxph(...))` analog: what a
+    * survival analysis actually reports to a reader ("the adjusted
+    * conversion curve per arm, covariates held at the profile"). The
+    * baseline estimator matches the tie handling of the fit: Breslow
+    * dH₀(u) = d_u / S₀(u, β̂); Efron dH₀(u) = Σ_{j<d} 1/(S₀ − (j/d)·E₀)
+    * (the same within-tie mass removal the score used). Each profile's
+    * curve is S(t|x) = exp(−H₀(t)·e^{β̂ᵀx}); stratified fits get one
+    * baseline PER STRATUM (that is the point of stratifying).
+    *
+    * Scale shape: identical to [[coxPH]] — the baseline reads the SAME
+    * final-β grid the SE pass already collected (no extra aggregation),
+    * and the output is (event times × profiles), grid-sized under the
+    * `maxTimes` discipline.
+    *
+    * @param profiles (name, covariate vector) pairs, e.g.
+    *                 `Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0))`.
+    * @return one row per (stratum, event time, profile):
+    *         (stratum, t, profile, h0_cum, survival). */
+  def coxSurvival(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      profiles: Seq[(String, Seq[Double])],
+      iters: Int = 8, maxTimes: Int = 100000,
+      strataCol: Option[String] = None, ties: String = "efron",
+      firth: Boolean = false): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    require(profiles.nonEmpty, "coxSurvival needs at least one covariate profile")
+    require(profiles.forall(_._2.length == xCols.length),
+      s"every profile must supply ${xCols.length} covariate value(s)")
+    require(profiles.map(_._1).distinct.size == profiles.size,
+      "profile names must be distinct")
+    val (beta, _, _, grid) =
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties, firth)
+    val efron = ties == "efron"
+    // grid is sorted (stratum, t DESC): the running a0 sum IS S₀(t)
+    val increments = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    var stratum: String = null
+    var s0 = 0.0
+    grid.foreach { case (g, t, d, a0, e0) =>
+      if (g != stratum) { stratum = g; s0 = 0.0 }
+      s0 += a0
+      if (d > 0) {
+        val dH =
+          if (!efron) d.toDouble / s0
+          else {
+            var acc = 0.0
+            var j = 0L
+            while (j < d) { acc += 1.0 / (s0 - (j.toDouble / d) * e0); j += 1 }
+            acc
+          }
+        increments += ((g, t, dH))
+      }
+    }
+    val curves = increments.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        var h = 0.0
+        rs.sortBy(_._2).map { case (_, t, dH) => h += dH; (g, t, h) }
+    }
+    curves.flatMap { case (g, t, h0) =>
+      profiles.map { case (name, x) =>
+        val lp = x.zip(beta).map { case (xi, bi) => xi * bi }.sum
+        (g, t, name, h0, math.exp(-h0 * math.exp(lp)))
+      }
+    }.toDF("stratum", "t", "profile", "h0_cum", "survival")
+  }
+
+  /** The shared Newton fit behind [[coxPH]] and [[coxSurvival]]:
+    * returns (β̂, I⁻¹ at β̂, n event times, final-β grid rows
+    * (stratum, t, d, leaving-mass a0, event-only mass e0) sorted
+    * (stratum, t DESC)) — the grid is captured from the SAME final
+    * aggregation pass the SE already uses, so exposing it costs
+    * nothing. All arithmetic is exactly [[coxPH]]'s pre-r15 body; the
+    * q336/q339/q343/q348 oracles replay it term for term. */
+  private def coxFit(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      iters: Int, maxTimes: Int,
+      strataCol: Option[String], ties: String, firth: Boolean)
+      : (Array[Double], Array[Array[Double]], Long,
+         Array[(String, Long, Long, Double, Double)]) = {
+    val spark = subjects.sparkSession
     val p = xCols.length
     require(p >= 1, "coxPH needs at least one covariate")
     require(ties == "efron" || ties == "breslow",
@@ -547,16 +637,13 @@ object Survival {
       // landed at machine precision by now, so a step still moving is the
       // separation signature (or, under Firth, true non-convergence), not
       // slow convergence.
-      val (uFinal, infFinal, dInfFinal, nTimes) = scoreInfo(gridAt(beta))
+      val gridFinal = gridAt(beta)
+      val (uFinal, infFinal, dInfFinal, nTimes) = scoreInfo(gridFinal)
       val finalStep = solve(infFinal, effScore(uFinal, infFinal, dInfFinal))
         .map(math.abs).max
       if (finalStep > 1e-6 * (1.0 + beta.map(math.abs).max)) refuseSeparation(finalStep)
       val cov = inverse(infFinal)
-      (0 until p).map { k =>
-        val se = math.sqrt(cov(k)(k))
-        (xCols(k), nTimes, beta(k), math.exp(beta(k)), se,
-          beta(k) * beta(k) / cov(k)(k))
-      }.toDF("covariate", "n_times", "beta", "hazard_ratio", "se", "wald_chi2")
+      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0)))
     } finally subj.unpersist()
   }
 

@@ -2125,6 +2125,81 @@ object Events {
            |       ROUND(b*b*fi,6) AS wald_chi2
            |FROM fin""".stripMargin))
 
+  /** Q351 — adjusted survival curves from the fitted Cox model
+    * ([[graft.ops.Survival.coxSurvival]], the `survfit(coxph(...))`
+    * analog): Breslow baseline cumulative hazard
+    * H₀(t) = Σ_{u≤t} d_u/S₀(u, β̂) from the SAME final-β grid the SE
+    * pass already collects (no extra aggregation), then one curve per
+    * covariate profile S(t|x) = exp(−H₀(t)·e^{β̂ᵀx}) — here the ctrl
+    * (x=0) and treat (x=1) arms of the q343/q348 conversion model. The
+    * oracle replays the full 8-step Breslow Newton in a recursive CTE
+    * and then the baseline: per event time S₀ at the final β, an
+    * ascending windowed cumulative for H₀, and the profile cross join —
+    * a wrong denominator, a wrong cumulative direction, or a profile
+    * mix-up hash-fails. */
+  val q351 = QueryDef(
+    "q351_cox_survival",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          col("t_days"), col("is_event"))
+      graft.ops.Survival.coxSurvival(subjects, Seq("arm"), "t_days", "is_event",
+          profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)),
+          ties = "breslow")
+        .select(
+          col("stratum"), col("t"), col("profile"),
+          r6(col("h0_cum")).as("h0_cum"),
+          r6(col("survival")).as("survival"))
+        .orderBy("t", "profile")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0
+           |          FROM s GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, s.x0
+           |       FROM times tm JOIN s ON s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |base AS (SELECT tt, d, SUM(EXP(b*x0)) AS s0, ANY_VALUE(b) AS b
+           |         FROM rs, it GROUP BY tt, d),
+           |cum AS (SELECT tt, b,
+           |               SUM(CAST(d AS DOUBLE)/s0) OVER (ORDER BY tt
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0
+           |        FROM base),
+           |prof AS (SELECT 'ctrl' AS profile, 0.0 AS x
+           |         UNION ALL SELECT 'treat', 1.0)
+           |SELECT '__all' AS stratum, CAST(tt AS BIGINT) AS t, profile,
+           |       ROUND(h0, 6) AS h0_cum,
+           |       ROUND(EXP(-h0*EXP(b*x)), 6) AS survival
+           |FROM cum CROSS JOIN prof
+           |ORDER BY t, profile""".stripMargin))
+
   /** Q349 — Bayesian A/B analysis ([[graft.ops.BayesAb.betaBinomial]]):
     * Beta-Binomial posteriors on the md5-coin arms' 7-day conversion,
     * reporting P(treat beats control) and both arms' EXPECTED LOSSES —
@@ -2891,7 +2966,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349)
+      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

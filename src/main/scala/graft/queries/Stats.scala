@@ -2563,10 +2563,151 @@ object Stats {
            |         AS srm
            |FROM p""".stripMargin))
 
+  /** Q352 — experiment power/MDE design
+    * ([[graft.ops.PowerAnalysis.mdeTwoSample]]): "what relative lift can
+    * an A/B over THESE users detect at α=0.05 / power 0.8, and how many
+    * users does a 2% lift need" — the design arithmetic every test must
+    * clear before it runs (an underpowered 'win' overstates the effect;
+    * q340's sequential machinery contains peeking, this contains
+    * wishful sizing). ONE aggregation over the per-user activity frame
+    * (single row out), then closed-form column arithmetic; Φ⁻¹ via the
+    * fixed A&S 26.2.23 rational polynomial — replayed digit-for-digit
+    * by the oracle, so a wrong constant, a wrong design-variance factor,
+    * or a floor-vs-ceil on required n hash-fails. */
+  val q352 = QueryDef(
+    "q352_power_mde",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).cast("double").as("v"))
+      graft.ops.PowerAnalysis.mdeTwoSample(perUser, "v")
+        .select(
+          col("n"), r6(col("mean")).as("mean"),
+          r6(col("variance")).as("variance"),
+          r6(col("z_alpha")).as("z_alpha"), r6(col("z_power")).as("z_power"),
+          r6(col("mde_abs")).as("mde_abs"), r6(col("mde_rel")).as("mde_rel"),
+          col("n_needed"))
+    },
+    Some("""WITH pu AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS v
+           |            FROM events GROUP BY 1),
+           |a AS (SELECT COUNT(v) AS n, AVG(v) AS mean, VAR_SAMP(v) AS variance
+           |      FROM pu),
+           |ps AS (SELECT 'a' AS role, SQRT(-2.0*LN(0.025)) AS t
+           |       UNION ALL SELECT 'b', SQRT(-2.0*LN(0.2))),
+           |zs AS (SELECT role,
+           |              t - (2.515517 + 0.802853*t + 0.010328*t*t)
+           |                  / (1.0 + 1.432788*t + 0.189269*t*t + 0.001308*t*t*t)
+           |                AS z
+           |       FROM ps),
+           |zz AS (SELECT MAX(CASE WHEN role='a' THEN z END) AS za,
+           |              MAX(CASE WHEN role='b' THEN z END) AS zb
+           |       FROM zs)
+           |SELECT CAST(n AS BIGINT) AS n, ROUND(mean, 6) AS mean,
+           |       ROUND(variance, 6) AS variance,
+           |       ROUND(za, 6) AS z_alpha, ROUND(zb, 6) AS z_power,
+           |       ROUND((za+zb)*SQRT(variance*4.0/n), 6) AS mde_abs,
+           |       ROUND((za+zb)*SQRT(variance*4.0/n)/mean, 6) AS mde_rel,
+           |       CAST(CEIL((za+zb)*(za+zb)*variance*4.0
+           |                 /((0.02*mean)*(0.02*mean))) AS BIGINT) AS n_needed
+           |FROM a, zz""".stripMargin))
+
+  /** Q353 — treatment-effect homogeneity across segments
+    * ([[graft.ops.Hte.homogeneity]]): the subgroup-fishing gate — the
+    * inverse-variance pooled lift of the md5-coin arms' 1-DAY conversion
+    * across two md5 segments, with Cochran's Q ~ χ²(k−1) and I². A
+    * significant Q says "the pooled number is not the story"; reading
+    * per-segment lifts without it is how false subgroup wins ship. One
+    * conditional keyed aggregation to the segment grid, grid-sized
+    * arithmetic, the shared Wilson-Hilferty + A&S upper tail — every
+    * step (weights, one-pass Q form, I² clamp) replayed by the oracle. */
+  val q353 = QueryDef(
+    "q353_hte_homogeneity",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .join(entry, "user_id")
+        .filter(col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .select(
+          concat(lit("seg"),
+            conv(substring(md5(concat(lit("seg-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 2).as("segment"),
+          when((conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2) === 1, lit("treat")).otherwise(lit("ctrl"))
+            .as("arm"),
+          (col("conv_us").isNotNull &&
+            (col("conv_us") - col("entry_us")) / lit(86400000000L) < 1)
+            .cast("int").as("conv"))
+      graft.ops.Hte.homogeneity(subjects, "segment", "arm", "conv", focal = "treat")
+        .select(
+          col("k"), r6(col("pooled_delta")).as("pooled_delta"),
+          r6(col("q_stat")).as("q_stat"), col("dof"),
+          r6(col("p_homogeneity")).as("p_homogeneity"),
+          r6(col("i2")).as("i2"), col("heterogeneous"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |s AS (SELECT
+           |        CAST(('0x' || substr(md5('seg-v1:' ||
+           |          CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2 AS seg,
+           |        CAST(('0x' || substr(md5('ab-v1:' ||
+           |          CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2 AS armbit,
+           |        CASE WHEN conv_us IS NOT NULL
+           |              AND (conv_us - entry_us) // 86400000000 < 1
+           |             THEN 1 ELSE 0 END AS conv
+           |      FROM en LEFT JOIN cv USING (user_id)),
+           |g AS (SELECT seg,
+           |             SUM(CASE WHEN armbit=1 THEN 1 ELSE 0 END) AS n_f,
+           |             SUM(CASE WHEN armbit=1 THEN conv ELSE 0 END) AS s_f,
+           |             SUM(CASE WHEN armbit=0 THEN 1 ELSE 0 END) AS n_c,
+           |             SUM(CASE WHEN armbit=0 THEN conv ELSE 0 END) AS s_c
+           |      FROM s GROUP BY 1),
+           |w AS (SELECT seg,
+           |             CAST(s_f AS DOUBLE)/n_f - CAST(s_c AS DOUBLE)/n_c AS delta,
+           |             1.0 / ((CAST(s_f AS DOUBLE)/n_f)*(1.0 - CAST(s_f AS DOUBLE)/n_f)/n_f
+           |                    + (CAST(s_c AS DOUBLE)/n_c)*(1.0 - CAST(s_c AS DOUBLE)/n_c)/n_c)
+           |               AS wt
+           |      FROM g),
+           |p AS (SELECT COUNT(*) AS k,
+           |             SUM(wt*delta) AS swd, SUM(wt) AS sw,
+           |             SUM(wt*delta*delta) AS swd2
+           |      FROM w),
+           |q AS (SELECT k, swd/sw AS pooled_delta,
+           |             swd2 - swd*swd/sw AS qs, k - 1.0 AS nu
+           |      FROM p),
+           |z AS (SELECT k, pooled_delta, qs, nu,
+           |             (POWER(qs/nu, 1.0/3.0) - (1.0 - 2.0/(9.0*nu)))
+           |               / SQRT(2.0/(9.0*nu)) AS zv
+           |      FROM q),
+           |pp AS (SELECT k, pooled_delta, qs, nu, zv,
+           |              2.0 * (EXP(-ABS(zv)*ABS(zv)/2.0) / SQRT(2.0*PI())
+           |                * (0.319381530 * (1.0/(1.0+0.2316419*ABS(zv)))
+           |                   - 0.356563782 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 2)
+           |                   + 1.781477937 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 3)
+           |                   - 1.821255978 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 4)
+           |                   + 1.330274429 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 5)))
+           |                AS ptwo
+           |       FROM z)
+           |SELECT CAST(k AS BIGINT) AS k, ROUND(pooled_delta, 6) AS pooled_delta,
+           |       ROUND(qs, 6) AS q_stat, CAST(k - 1 AS BIGINT) AS dof,
+           |       ROUND(CASE WHEN zv >= 0 THEN ptwo/2.0 ELSE 1.0 - ptwo/2.0 END, 6)
+           |         AS p_homogeneity,
+           |       ROUND(CASE WHEN qs > 0 THEN GREATEST(0.0, (qs - nu)/qs)
+           |                  ELSE 0.0 END, 6) AS i2,
+           |       (CASE WHEN zv >= 0 THEN ptwo/2.0 ELSE 1.0 - ptwo/2.0 END) < 0.05
+           |         AS heterogeneous
+           |FROM pp""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350)
+      q341, q342, q350, q352, q353)
 }

@@ -51,7 +51,11 @@ object ScaleProbe {
     // r15 (second batch): Firth Cox (third-moment agg columns), the
     // Bayesian A/B sums (driver flops ∝ conversions — the one shape
     // whose cost grows with the DATA, not the grid), SRM
-    "q348_cox_firth", "q349_bayes_ab", "q350_srm_check")
+    "q348_cox_firth", "q349_bayes_ab", "q350_srm_check",
+    // r15 (third batch): adjusted survival curves (grid-sized baseline
+    // off the existing final pass), power/MDE (one moments agg),
+    // Cochran's Q homogeneity (segment-grid agg + two guard probes)
+    "q351_cox_survival", "q352_power_mde", "q353_hte_homogeneity")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

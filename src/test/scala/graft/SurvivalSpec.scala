@@ -399,6 +399,106 @@ class SurvivalSpec extends SparkSuite {
     }
   }
 
+  test("coxSurvival: Breslow baseline matches a direct replica; curves behave") {
+    // independent replica: fit beta via coxTwoGroup (== coxPH breslow,
+    // pinned above), then compute S0 per event time and the Breslow
+    // H0 cumulative in plain Scala — engine rows must match to 1e-9
+    val data = (1 to 80).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      (((i % 9) + 1 + (if (x > 0) 0 else 2)).toLong, if (i % 7 == 0) 0 else 1, x,
+        if (x > 0) "a" else "b")
+    }
+    val df = data.map(d => (d._1, d._2, d._3)).toDF("t", "e", "x")
+    val beta = Survival.coxTwoGroup(
+      data.map(d => (d._4, d._1, d._2)).toDF("g", "t", "e"), "g", "t", "e", focal = "a")
+      .select("beta").head.getDouble(0)
+    val times = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    var h = 0.0
+    val expected = times.map { t =>
+      val s0 = data.filter(_._1 >= t).map(s => math.exp(beta * s._3)).sum
+      val d = data.count(s => s._1 == t && s._2 == 1)
+      h += d / s0
+      t -> h
+    }.toMap
+    val got = Survival.coxSurvival(df, Seq("x"), "t", "e",
+      profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)), ties = "breslow")
+      .collect()
+    assert(got.length == times.size * 2)
+    got.foreach { r =>
+      val t = r.getAs[Long]("t")
+      assert(math.abs(r.getAs[Double]("h0_cum") - expected(t)) < 1e-9,
+        s"h0 at t=$t: ${r.getAs[Double]("h0_cum")} vs ${expected(t)}")
+      val lp = if (r.getAs[String]("profile") == "treat") beta else 0.0
+      assert(math.abs(r.getAs[Double]("survival") -
+        math.exp(-expected(t) * math.exp(lp))) < 1e-9)
+    }
+    // curve sanity: survival in (0,1], nonincreasing in t per profile,
+    // and the higher-risk profile sits strictly below at every time
+    val byProfile = got.groupBy(_.getAs[String]("profile"))
+    byProfile.values.foreach { rows =>
+      val s = rows.sortBy(_.getAs[Long]("t")).map(_.getAs[Double]("survival"))
+      assert(s.forall(v => v > 0.0 && v <= 1.0))
+      assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-12 })
+    }
+    if (beta > 0) {
+      val treatByT = byProfile("treat").map(r => r.getAs[Long]("t") ->
+        r.getAs[Double]("survival")).toMap
+      byProfile("ctrl").foreach { r =>
+        assert(treatByT(r.getAs[Long]("t")) < r.getAs[Double]("survival"))
+      }
+    }
+  }
+
+  test("coxSurvival: Efron baseline differs under ties, agrees tie-free; strata get own baselines") {
+    val tied = (1 to 200).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      (((i % 4) + 1 + (if (x > 0) 0 else 1)).toLong, 1, x)
+    }.toDF("t", "e", "x")
+    val prof = Seq("base" -> Seq(0.0))
+    val ef = Survival.coxSurvival(tied, Seq("x"), "t", "e", prof, ties = "efron")
+      .orderBy("t").collect().map(_.getAs[Double]("h0_cum"))
+    val br = Survival.coxSurvival(tied, Seq("x"), "t", "e", prof, ties = "breslow")
+      .orderBy("t").collect().map(_.getAs[Double]("h0_cum"))
+    assert(ef.zip(br).exists { case (a, b) => math.abs(a - b) > 1e-6 },
+      "heavy ties must separate the Efron and Breslow baselines")
+    // (no ordering claim: each baseline rides its OWN fitted β — the
+    // per-time "Efron ≥ Breslow" inequality only holds at matched β)
+    val tieFree = (1 to 60).map { i =>
+      (1000L + i * 7, if (i % 5 == 0) 0 else 1, if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("t", "e", "x")
+    val ef2 = Survival.coxSurvival(tieFree, Seq("x"), "t", "e", prof, ties = "efron")
+      .orderBy("t").collect().map(_.getAs[Double]("h0_cum"))
+    val br2 = Survival.coxSurvival(tieFree, Seq("x"), "t", "e", prof, ties = "breslow")
+      .orderBy("t").collect().map(_.getAs[Double]("h0_cum"))
+    ef2.zip(br2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+
+    // stratified: each stratum carries its OWN baseline — the fast
+    // stratum's survival at its last event time is far below the slow's
+    val strat = ((1 to 100).map(i => ("fast", (1 + i % 3).toLong, 1,
+      if (i % 2 == 0) 1.0 else 0.0)) ++
+      (1 to 100).map(i => ("slow", (30 + i % 3).toLong, 1,
+        if (i % 2 == 0) 1.0 else 0.0))).toDF("g", "t", "e", "x")
+    val curves = Survival.coxSurvival(strat, Seq("x"), "t", "e", prof,
+      strataCol = Some("g")).collect()
+    assert(curves.map(_.getAs[String]("stratum")).toSet == Set("fast", "slow"))
+    val lastByStratum = curves.groupBy(_.getAs[String]("stratum")).map {
+      case (g, rows) => g -> rows.maxBy(_.getAs[Long]("t")).getAs[Double]("survival")
+    }
+    assert(lastByStratum("fast") < 0.2 && lastByStratum("slow") < 0.2,
+      "all-events strata must drive survival low by their last event")
+    // refusals
+    assert(intercept[IllegalArgumentException](
+      Survival.coxSurvival(tieFree, Seq("x"), "t", "e", Seq.empty))
+      .getMessage.contains("profile"))
+    assert(intercept[IllegalArgumentException](
+      Survival.coxSurvival(tieFree, Seq("x"), "t", "e", Seq("p" -> Seq(1.0, 2.0))))
+      .getMessage.contains("covariate value"))
+    assert(intercept[IllegalArgumentException](
+      Survival.coxSurvival(tieFree, Seq("x"), "t", "e",
+        Seq("p" -> Seq(0.0), "p" -> Seq(1.0))))
+      .getMessage.contains("distinct"))
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
