@@ -85,6 +85,11 @@ object BayesAb {
         perArm.map(_.getString(0)).sorted.mkString(", "))
     val byArm = perArm.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     require(byArm.contains(focal), s"focal arm '$focal' not present in $armCol")
+    byArm.foreach { case (arm, (n, s)) =>
+      require(s >= 0 && s <= n,
+        s"convCol must be 0/1 per subject: arm '$arm' sums to $s over $n subjects — " +
+          "a count-valued metric belongs in the t/CUPED family, not a Beta-Binomial")
+    }
     val (nF, sF) = byArm(focal)
     val (nC, sC) = byArm.find(_._1 != focal).get._2
     val (aF, bF) = (priorAlpha + sF, (priorBeta + nF - sF).toDouble)

@@ -45,6 +45,16 @@ object Hte {
         sum(when(isF, col(convCol).cast("long")).otherwise(0L)).as("s_f"),
         sum(when(!isF, 1L).otherwise(0L)).as("n_c"),
         sum(when(!isF, col(convCol).cast("long")).otherwise(0L)).as("s_c"))
+    // conv outside 0/1 makes rates leave [0,1] and variance go negative —
+    // refuse by name rather than let a count-metric masquerade as a rate
+    val nonBinary = grid.filter(
+      col("s_f") < 0 || col("s_f") > col("n_f") ||
+        col("s_c") < 0 || col("s_c") > col("n_c"))
+      .select("segment").limit(3).collect().map(_.getString(0))
+    require(nonBinary.isEmpty,
+      s"convCol must be 0/1 per subject (segment(s) ${nonBinary.mkString(", ")} sum " +
+        "past their subject counts) — a count-valued metric belongs in the " +
+        "t/CUPED family, not a rate contrast")
     // a segment missing an arm has no within-segment contrast — that is
     // a design/logging defect, not a zero: refuse naming it
     val oneArmed = grid.filter(col("n_f") === 0 || col("n_c") === 0)

@@ -53,14 +53,18 @@ object PowerAnalysis {
     val zB = probitUpper(lit(1.0 - power))
     val designVar = col("variance") * (lit(1.0 / split) + lit(1.0 / (1.0 - split)))
     val mdeAbs = (zA + zB) * sqrt(designVar / col("n"))
-    val nNeeded = ceil((zA + zB) * (zA + zB) * designVar /
-      ((lit(targetRelLift) * col("mean")) * (lit(targetRelLift) * col("mean"))))
-      .cast("long")
+    // a RELATIVE lift target is meaningless against a non-positive mean
+    // (and ANSI would throw casting the resulting ∞ to long) — those
+    // columns go honestly null instead
+    val nNeeded = when(col("mean") > 0,
+      ceil((zA + zB) * (zA + zB) * designVar /
+        ((lit(targetRelLift) * col("mean")) * (lit(targetRelLift) * col("mean"))))
+        .cast("long"))
     agg.select(
       col("n"), col("mean"), col("variance"),
       zA.as("z_alpha"), zB.as("z_power"),
       mdeAbs.as("mde_abs"),
-      (mdeAbs / col("mean")).as("mde_rel"),
+      when(col("mean") > 0, mdeAbs / col("mean")).as("mde_rel"),
       nNeeded.as("n_needed"))
   }
 }

@@ -82,5 +82,10 @@ class BayesAbSpec extends SparkSuite {
     // and the normal method itself has no cap
     assert(BayesAb.betaBinomial(two, "arm", "conv", focal = "a",
       method = "normal", maxExact = 3).count() == 1)
+    // a count-valued metric smuggled in as conv refuses by arm name
+    val counts = Seq(("a", 3), ("b", 0)).toDF("arm", "conv")
+    val e4 = intercept[IllegalArgumentException](
+      BayesAb.betaBinomial(counts, "arm", "conv", focal = "a"))
+    assert(e4.getMessage.contains("0/1") && e4.getMessage.contains("'a'"), e4.getMessage)
   }
 }

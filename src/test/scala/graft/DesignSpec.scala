@@ -100,5 +100,18 @@ class DesignSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](
       Hte.homogeneity(df, "segment", "arm", "conv", "zzz"))
       .getMessage.contains("focal"))
+    val countMetric = (seg("A", 100, 40) ++ Seq(("E", "t", 5), ("E", "c", 0)))
+      .toDF("segment", "arm", "conv")
+    assert(intercept[IllegalArgumentException](
+      Hte.homogeneity(countMetric, "segment", "arm", "conv", "t").collect())
+      .getMessage.contains("0/1"))
+  }
+
+  test("mde: a non-positive mean nulls the relative columns instead of ANSI-crashing") {
+    val zeros = (1 to 100).map(_ => Tuple1(0.0)).toDF("v")
+    val r = PowerAnalysis.mdeTwoSample(zeros, "v").head
+    assert(r.getAs[Double]("mde_abs") == 0.0) // zero variance, zero MDE
+    assert(r.isNullAt(r.fieldIndex("mde_rel")))
+    assert(r.isNullAt(r.fieldIndex("n_needed")))
   }
 }
