@@ -2200,6 +2200,35 @@ object Events {
            |FROM cum CROSS JOIN prof
            |ORDER BY t, profile""".stripMargin))
 
+  /** Q354 — isolation-forest anomaly screen
+    * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
+    * vectors (event count, mean/spread of value, type diversity) scored
+    * by a 100-tree forest — the JOINT-shape anomaly detector next to
+    * the single-metric family (q156 rate z-scores, q195 MAD, q200
+    * CUSUM). Training touches a deterministic md5-ranked ψ·T sample
+    * (one distributed TopK), trees are driver-built and broadcast,
+    * scoring is row-local traversal — no shuffle beyond the feature
+    * aggregation. A random forest of random splits has no SQL oracle;
+    * the gate is rows-only with IsolationForestSpec pinning planted
+    * outliers, determinism, and the c(n) closed form. */
+  val q354 = QueryDef(
+    "q354_isolation_forest",
+    (s, d) => {
+      val feats = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).cast("double").as("n_ev"),
+          avg(col("value")).as("mean_v"),
+          coalesce(stddev_samp(col("value")), lit(0.0)).as("sd_v"),
+          countDistinct(col("event_type")).cast("double").as("n_types"))
+      graft.ops.IsolationForest.score(
+          feats, "user_id", Seq("n_ev", "mean_v", "sd_v", "n_types"))
+        .orderBy(desc("if_score"), col("user_id"))
+        .limit(10)
+        .select(col("user_id"), r6(col("if_score")).as("if_score"))
+    },
+    None)
+
   /** Q349 — Bayesian A/B analysis ([[graft.ops.BayesAb.betaBinomial]]):
     * Beta-Binomial posteriors on the md5-coin arms' 7-day conversion,
     * reporting P(treat beats control) and both arms' EXPECTED LOSSES —
@@ -2966,7 +2995,7 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351)
+      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -55,7 +55,10 @@ object ScaleProbe {
     // r15 (third batch): adjusted survival curves (grid-sized baseline
     // off the existing final pass), power/MDE (one moments agg),
     // Cochran's Q homogeneity (segment-grid agg + two guard probes)
-    "q351_cox_survival", "q352_power_mde", "q353_hte_homogeneity")
+    "q351_cox_survival", "q352_power_mde", "q353_hte_homogeneity",
+    // r15: isolation forest — the ψ·T sample TopK is the only
+    // data-sized stage; scoring is row-local broadcast traversal
+    "q354_isolation_forest")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

@@ -82,7 +82,8 @@ class QueriesSpec extends SparkSuite {
       "q138_repeated_spans_hashed", "q143_bpe_vocab", "q145_ann_topk_pq",
       "q160_bpe_encode", "q169_mv_distinct_sketch", "q222_pca_whiten",
       "q230_quality_classifier", "q234_compression_quality",
-      "q241_quality_threshold_sweep", "q273_mmr_select", "q303_wau_hll")
+      "q241_quality_threshold_sweep", "q273_mmr_select", "q303_wau_hll",
+      "q354_isolation_forest")
     SparkEntry.registry.foreach { q =>
       assert(q.oracle.isDefined != rowsOnly(q.name), s"oracle mismatch for ${q.name}")
     }
