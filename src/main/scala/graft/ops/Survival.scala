@@ -257,6 +257,21 @@ object Survival {
     * steps after `iters` iterations is a genuine non-convergence and
     * still refuses).
     *
+    * COUNTING-PROCESS input (`startCol`): rows become (start, stop]
+    * risk intervals — the Andersen-Gill form behind the two asks a
+    * plain duration column cannot express: TIME-VARYING covariates
+    * (split a subject at each covariate change; only the interval
+    * covering an event time contributes its x to that risk set — the
+    * honest fix for immortal-time bias, where coding "ever treated" as
+    * a baseline covariate credits treatment with the survival time
+    * spent untreated before it) and LEFT TRUNCATION (delayed entry:
+    * a subject enters the risk set only after start). Entry is the
+    * same descending grid walk with NEGATIVE mass at the start times
+    * (risk set at u = Σ_{stop≥u} − Σ_{start≥u}), so Efron/Breslow,
+    * strata, Firth, and the maxTimes discipline all apply unchanged;
+    * a row whose start equals an event time is NOT yet at risk there
+    * (strict entry), and start < stop is enforced.
+    *
     * Returns one row per covariate: (covariate, n_times, beta,
     * hazard_ratio, se, wald_chi2) with se from the inverse information
     * at the final β. */
@@ -264,11 +279,12 @@ object Survival {
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       iters: Int = 8, maxTimes: Int = 100000,
       strataCol: Option[String] = None, ties: String = "efron",
-      firth: Boolean = false): DataFrame = {
+      firth: Boolean = false, startCol: Option[String] = None): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
     val (beta, cov, nTimes, _) =
-      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties, firth)
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
+        firth, startCol)
     xCols.indices.map { k =>
       val se = math.sqrt(cov(k)(k))
       (xCols(k), nTimes, beta(k), math.exp(beta(k)), se,
@@ -300,7 +316,7 @@ object Survival {
       profiles: Seq[(String, Seq[Double])],
       iters: Int = 8, maxTimes: Int = 100000,
       strataCol: Option[String] = None, ties: String = "efron",
-      firth: Boolean = false): DataFrame = {
+      firth: Boolean = false, startCol: Option[String] = None): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
     require(profiles.nonEmpty, "coxSurvival needs at least one covariate profile")
@@ -309,7 +325,8 @@ object Survival {
     require(profiles.map(_._1).distinct.size == profiles.size,
       "profile names must be distinct")
     val (beta, _, _, grid) =
-      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties, firth)
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
+        firth, startCol)
     val efron = ties == "efron"
     // grid is sorted (stratum, t DESC): the running a0 sum IS S₀(t)
     val increments = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
@@ -353,7 +370,8 @@ object Survival {
   private def coxFit(
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       iters: Int, maxTimes: Int,
-      strataCol: Option[String], ties: String, firth: Boolean)
+      strataCol: Option[String], ties: String, firth: Boolean,
+      startCol: Option[String] = None)
       : (Array[Double], Array[Array[Double]], Long,
          Array[(String, Long, Long, Double, Double)]) = {
     val spark = subjects.sparkSession
@@ -362,12 +380,35 @@ object Survival {
     require(ties == "efron" || ties == "breslow",
       s"ties must be 'efron' or 'breslow', got '$ties'")
     val efron = ties == "efron"
-    val subj = subjects.select(
-      strataCol.fold(lit("__all"))(c => col(c).cast("string")).as("g") +:
-        col(tCol).cast("long").as("t") +:
-        col(eventCol).cast("int").as("ev") +:
-        xCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"x$i") }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // COUNTING-PROCESS input (startCol defined): each (start, stop]
+    // interval enters the risk set strictly AFTER start and leaves at
+    // stop. The descending grid walk already accumulates leaving-mass
+    // at stop; entry is the SAME walk with NEGATIVE mass at start
+    // (risk set at u = Σ_{stop ≥ u} − Σ_{start ≥ u}: a row whose start
+    // equals the event time is NOT yet at risk there) — so the interval
+    // form is the plain frame unioned with sign = −1 echoes at the
+    // start times, and every downstream formula is untouched. The plain
+    // path multiplies by a literal 1.0 (bitwise identity — the
+    // q336/q339/q343/q348 oracle replays are unaffected).
+    def frame(t: org.apache.spark.sql.Column, ev: org.apache.spark.sql.Column,
+        sign: Double) =
+      subjects.select(
+        strataCol.fold(lit("__all"))(c => col(c).cast("string")).as("g") +:
+          t.cast("long").as("t") +:
+          ev.cast("int").as("ev") +:
+          lit(sign).as("sign") +:
+          xCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"x$i") }: _*)
+    val subj = (startCol match {
+      case None => frame(col(tCol), col(eventCol), 1.0)
+      case Some(sc) =>
+        val bad = subjects.filter(col(sc).cast("long") >= col(tCol).cast("long"))
+          .limit(3).count()
+        require(bad == 0,
+          s"counting-process intervals need $sc < $tCol on every row — " +
+            s"$bad (or more) rows violate it; zero-length intervals carry no risk time")
+        frame(col(tCol), col(eventCol), 1.0)
+          .unionAll(frame(col(sc), lit(0), -1.0))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pairs = (for { k <- 0 until p; l <- k until p } yield (k, l)).toArray
       // symmetric flat indices: pIdx(k)(l) into `pairs`; tIdx(k)(l)(m)
@@ -394,15 +435,18 @@ object Survival {
       def gridAt(beta: Array[Double]): Array[Cell] = {
         val wExpr = exp((0 until p).map(i => col(s"x$i") * lit(beta(i)))
           .reduce(_ + _))
+        // sw = sign·w: the counting-process entry echoes subtract; the
+        // plain path multiplies by literal 1.0 (bitwise identity). Event
+        // sums stay on w — events live only on sign=+1 stop rows.
         val evW = when(col("ev") === 1, col("w")).otherwise(lit(0.0))
         val aggs =
           sum(col("ev")).cast("long").as("d") +: (
             (0 until p).map(k =>
               sum(when(col("ev") === 1, col(s"x$k")).otherwise(lit(0.0))).as(s"sx$k")) ++
-            Seq(sum(col("w")).as("a0")) ++
-            (0 until p).map(k => sum(col(s"x$k") * col("w")).as(s"a1_$k")) ++
+            Seq(sum(col("sw")).as("a0")) ++
+            (0 until p).map(k => sum(col(s"x$k") * col("sw")).as(s"a1_$k")) ++
             pairs.toSeq.map { case (k, l) =>
-              sum(col(s"x$k") * col(s"x$l") * col("w")).as(s"a2_${k}_$l")
+              sum(col(s"x$k") * col(s"x$l") * col("sw")).as(s"a2_${k}_$l")
             } ++
             Seq(sum(evW).as("e0")) ++
             (0 until p).map(k => sum(col(s"x$k") * evW).as(s"e1_$k")) ++
@@ -411,13 +455,14 @@ object Survival {
             } ++
             (if (!firth) Seq.empty
              else triples.toSeq.map { case (k, l, m) =>
-               sum(col(s"x$k") * col(s"x$l") * col(s"x$m") * col("w"))
+               sum(col(s"x$k") * col(s"x$l") * col(s"x$m") * col("sw"))
                  .as(s"a3_${k}_${l}_$m")
              } ++ triples.toSeq.map { case (k, l, m) =>
                sum(col(s"x$k") * col(s"x$l") * col(s"x$m") * evW)
                  .as(s"e3_${k}_${l}_$m")
              }))
         val rows = subj.withColumn("w", wExpr)
+          .withColumn("sw", col("sign") * col("w"))
           .groupBy("g", "t").agg(aggs.head, aggs.tail: _*)
           .collect()
         require(rows.length <= maxTimes,

@@ -2200,6 +2200,111 @@ object Events {
            |FROM cum CROSS JOIN prof
            |ORDER BY t, profile""".stripMargin))
 
+  /** Q355 — Cox with a TIME-VARYING covariate (counting-process input,
+    * [[graft.ops.Survival.coxPH]] with `startCol`): "does having clicked
+    * raise the conversion hazard" asked HONESTLY — the exposure switches
+    * on at each user's first-click day, so the user contributes an
+    * unexposed (−1, c] interval and an exposed (c, t] interval, and
+    * only the interval covering an event time joins that risk set.
+    * Coding 'ever clicked' at baseline instead would credit the click
+    * with the pre-click survival (immortal-time bias —
+    * SurvivalSpec pins the naive-vs-split contrast on a constructed
+    * null). Entry is the same descending grid walk with NEGATIVE mass
+    * at interval starts; the oracle replays the full 8-step Breslow
+    * Newton against the interval risk set (start < u ≤ stop join), so
+    * a wrong entry boundary (≤ vs <), a dropped echo row, or a
+    * double-counted interval hash-fails. */
+  val q355 = QueryDef(
+    "q355_cox_time_varying",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .join(entry, "user_id").filter(col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val firstClick = ev.filter(col("event_type") === "click")
+        .join(entry, "user_id").filter(col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("click_us"))
+      val horizon = ev.agg(max(col("us")).as("h_us"))
+      val base = entry
+        .join(firstConv, Seq("user_id"), "left")
+        .join(firstClick, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          expr("(coalesce(conv_us, h_us) - entry_us) DIV 86400000000").as("t"),
+          expr("(click_us - entry_us) DIV 86400000000").as("c"),
+          col("conv_us").isNotNull.cast("int").as("ev"))
+      val splitUsers = base.filter(col("c").isNotNull && col("c") < col("t"))
+      val intervals =
+        base.filter(col("c").isNull || col("c") >= col("t"))
+          .select(lit(-1L).as("t0"), col("t"), col("ev"), lit(0.0).as("x"))
+          .unionAll(splitUsers.select(lit(-1L).as("t0"), col("c").as("t"),
+            lit(0).as("ev"), lit(0.0).as("x")))
+          .unionAll(splitUsers.select(col("c").as("t0"), col("t"),
+            col("ev"), lit(1.0).as("x")))
+      graft.ops.Survival.coxPH(intervals, Seq("x"), "t", "ev",
+          ties = "breslow", startCol = Some("t0"))
+        .select(
+          col("covariate"), col("n_times"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          r6(col("wald_chi2")).as("wald_chi2"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |ck AS (SELECT e.user_id, MIN(us) AS click_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='click' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |b AS (SELECT (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             (click_us - entry_us) // 86400000000 AS c,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id)
+           |           LEFT JOIN ck USING (user_id) CROSS JOIN h),
+           |iv AS (
+           |  SELECT -1 AS t0, t, ev, 0.0 AS x FROM b WHERE c IS NULL OR c >= t
+           |  UNION ALL SELECT -1, c, 0, 0.0 FROM b WHERE c IS NOT NULL AND c < t
+           |  UNION ALL SELECT c, t, ev, 1.0 FROM b WHERE c IS NOT NULL AND c < t),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x ELSE 0.0 END) AS sx0
+           |          FROM iv GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, iv.x AS x0
+           |       FROM times tm JOIN iv ON iv.t0 < tm.t AND tm.t <= iv.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |fin AS (
+           |  SELECT b, (SELECT COUNT(*) FROM times) AS n_times, g.fi
+           |  FROM it, LATERAL (
+           |      SELECT SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |  ) g)
+           |SELECT 'x' AS covariate, CAST(n_times AS BIGINT) AS n_times,
+           |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
+           |       ROUND(1.0/SQRT(fi),6) AS se,
+           |       ROUND(b*b*fi,6) AS wald_chi2
+           |FROM fin""".stripMargin))
+
   /** Q354 — isolation-forest anomaly screen
     * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
     * vectors (event count, mean/spread of value, type diversity) scored
@@ -2995,7 +3100,8 @@ object Events {
       q184, q185, q186, q187, q188, q192, q214, q215, q240, q245, q252, q254, q255,
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
-      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354)
+      q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
+      q355)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

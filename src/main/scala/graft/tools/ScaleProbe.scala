@@ -58,7 +58,10 @@ object ScaleProbe {
     "q351_cox_survival", "q352_power_mde", "q353_hte_homogeneity",
     // r15: isolation forest — the ψ·T sample TopK is the only
     // data-sized stage; scoring is row-local broadcast traversal
-    "q354_isolation_forest")
+    "q354_isolation_forest",
+    // r15: counting-process Cox — the doubled (entry-echo) frame is the
+    // scale question: same one-agg-per-iteration shape, 2× rows
+    "q355_cox_time_varying")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

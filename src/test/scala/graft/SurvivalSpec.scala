@@ -499,6 +499,97 @@ class SurvivalSpec extends SparkSuite {
       .getMessage.contains("distinct"))
   }
 
+  test("coxPH counting-process: matches an interval-risk-set replica; start=0 ≡ plain") {
+    // independent replica on random (start, stop] interval data, p=1
+    // Breslow: risk set at u = {start < u ≤ stop}, 8 Newton steps —
+    // if the signed entry-mass walk dropped or double-counted any
+    // interval, the two fits would land on different β
+    val rnd = new scala.util.Random(23)
+    val data = (1 to 150).map { i =>
+      val start = rnd.nextInt(6).toLong
+      val stop = start + 1 + rnd.nextInt(10)
+      (start, stop, if (rnd.nextDouble() < 0.8) 1 else 0,
+        if (i % 2 == 0) 1.0 else 0.0)
+    }
+    def replica(): Double = {
+      val times = data.filter(_._3 == 1).map(_._2).distinct.sorted
+      def ui(b: Double): (Double, Double) = {
+        var u = 0.0; var fi = 0.0
+        times.foreach { t =>
+          val ev = data.filter(s => s._2 == t && s._3 == 1)
+          val rs = data.filter(s => s._1 < t && t <= s._2)
+          val d = ev.length
+          val s0 = rs.map(s => math.exp(b * s._4)).sum
+          val s1 = rs.map(s => s._4 * math.exp(b * s._4)).sum
+          val s2 = rs.map(s => s._4 * s._4 * math.exp(b * s._4)).sum
+          u += ev.map(_._4).sum - d * s1 / s0
+          fi += d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+        }
+        (u, fi)
+      }
+      var b = 0.0
+      (1 to 8).foreach { _ => val (u, fi) = ui(b); b += u / fi }
+      b
+    }
+    val df = data.toDF("t0", "t", "e", "x")
+    val got = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow",
+      startCol = Some("t0")).select("beta").head.getDouble(0)
+    assert(math.abs(got - replica()) < 1e-9,
+      s"counting-process beta: engine $got vs replica ${replica()}")
+    // start = 0 on 1-based event times ≡ the plain duration fit, exactly
+    // (and under the default Efron ties + Firth too — same code path)
+    val plainData = (1 to 120).map { i =>
+      (0L, ((i % 9) + 1).toLong, if (i % 6 == 0) 0 else 1,
+        if (i % 3 == 0) 1.0 else 0.0)
+    }
+    val pdf = plainData.toDF("t0", "t", "e", "x")
+    Seq(("efron", false), ("breslow", false), ("efron", true)).foreach {
+      case (ties, firth) =>
+        val a = Survival.coxPH(pdf, Seq("x"), "t", "e", ties = ties, firth = firth)
+          .select("beta", "se").head
+        val b = Survival.coxPH(pdf, Seq("x"), "t", "e", ties = ties, firth = firth,
+          startCol = Some("t0")).select("beta", "se").head
+        assert(math.abs(a.getDouble(0) - b.getDouble(0)) < 1e-12, s"$ties/$firth beta")
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-12, s"$ties/$firth se")
+    }
+    // zero-length interval refuses
+    val bad = Seq((5L, 5L, 1, 1.0)).toDF("t0", "t", "e", "x")
+    assert(intercept[IllegalArgumentException](
+      Survival.coxPH(bad, Seq("x"), "t", "e", startCol = Some("t0")))
+      .getMessage.contains("intervals"))
+  }
+
+  test("coxPH counting-process: kills immortal-time bias that the naive coding creates") {
+    // null world: NOBODY's hazard depends on treatment, but treatment is
+    // RANDOMIZED at day 5 among subjects still at risk then. Coding
+    // 'ever treated' as a baseline covariate credits treatment with the
+    // guaranteed pre-treatment survival (immortal time) — a spurious
+    // protective effect; splitting each treated subject at day 5 (x=0
+    // before, x=1 after) removes it.
+    val rnd = new scala.util.Random(31)
+    val subjects = (1 to 800).map { _ =>
+      val t = 1L + rnd.nextInt(14) // uniform event days, no true effect
+      val treated = t > 5 && rnd.nextBoolean() // coin among day-5 survivors
+      (t, 1, treated)
+    }
+    val naive = Survival.coxPH(
+      subjects.map(s => (s._1, s._2, if (s._3) 1.0 else 0.0)).toDF("t", "e", "x"),
+      Seq("x"), "t", "e").select("beta").head.getDouble(0)
+    assert(naive < -0.4,
+      s"the naive ever-treated fit must show the spurious protection, got $naive")
+    // counting-process: everyone (0, min(t,5)] untreated; treated
+    // subjects add (5, t] with x = 1, never-treated survivors add it
+    // with x = 0
+    val split = subjects.flatMap { case (t, e, treated) =>
+      if (t <= 5) Seq((0L, t, e, 0.0))
+      else Seq((0L, 5L, 0, 0.0), (5L, t, e, if (treated) 1.0 else 0.0))
+    }.toDF("t0", "t", "e", "x")
+    val honest = Survival.coxPH(split, Seq("x"), "t", "e", startCol = Some("t0"))
+      .select("beta").head.getDouble(0)
+    assert(math.abs(honest) < 0.25,
+      s"the counting-process fit must see (near) no effect, got $honest")
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
