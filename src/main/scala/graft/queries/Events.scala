@@ -2042,7 +2042,7 @@ object Events {
            |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
            |       ROUND(1.0/SQRT(fi),6) AS se,
            |       ROUND(b*b*fi,6) AS wald_chi2
-           |FROM fin""".stripMargin))
+           |FROM fin""".stripMargin), headline = true)
 
   /** Q348 — FIRTH-penalized Cox PH ([[graft.ops.Survival.coxPH]] with
     * `firth = true`, the Heinze-Schemper/`coxphf` estimator): maximizes
@@ -2123,7 +2123,7 @@ object Events {
            |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
            |       ROUND(1.0/SQRT(fi),6) AS se,
            |       ROUND(b*b*fi,6) AS wald_chi2
-           |FROM fin""".stripMargin))
+           |FROM fin""".stripMargin), headline = true)
 
   /** Q351 — adjusted survival curves from the fitted Cox model
     * ([[graft.ops.Survival.coxSurvival]], the `survfit(coxph(...))`
@@ -2198,7 +2198,7 @@ object Events {
            |       ROUND(h0, 6) AS h0_cum,
            |       ROUND(EXP(-h0*EXP(b*x)), 6) AS survival
            |FROM cum CROSS JOIN prof
-           |ORDER BY t, profile""".stripMargin))
+           |ORDER BY t, profile""".stripMargin), headline = true)
 
   /** Q355 — Cox with a TIME-VARYING covariate (counting-process input,
     * [[graft.ops.Survival.coxPH]] with `startCol`): "does having clicked
@@ -2303,7 +2303,7 @@ object Events {
            |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
            |       ROUND(1.0/SQRT(fi),6) AS se,
            |       ROUND(b*b*fi,6) AS wald_chi2
-           |FROM fin""".stripMargin))
+           |FROM fin""".stripMargin), headline = true)
 
   /** Q354 — isolation-forest anomaly screen
     * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
@@ -2332,7 +2332,7 @@ object Events {
         .limit(10)
         .select(col("user_id"), r6(col("if_score")).as("if_score"))
     },
-    None)
+    None, headline = true)
 
   /** Q349 — Bayesian A/B analysis ([[graft.ops.BayesAb.betaBinomial]]):
     * Beta-Binomial posteriors on the md5-coin arms' 7-day conversion,
