@@ -97,8 +97,8 @@ object BayesAb {
     val muF = aF / (aF + bF); val muC = aC / (aC + bC)
     val (prob, lossF, lossC) =
       if (method == "exact") {
-        require(2 * (aF + aC) + 1 <= maxExact,
-          s"exact Beta sums need ${2 * (aF + aC) + 1} terms > maxExact=$maxExact — " +
+        require(3 * aF + 2 * aC + 2 <= maxExact,
+          s"exact Beta sums need ${3 * aF + 2 * aC + 2} terms > maxExact=$maxExact — " +
             "the driver arithmetic is bounded by declared judgement; at this many " +
             "conversions use method = \"normal\" (its error is far below any " +
             "decision threshold) or raise the cap knowingly")

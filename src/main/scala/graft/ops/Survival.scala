@@ -360,6 +360,34 @@ object Survival {
     }.toDF("stratum", "t", "profile", "h0_cum", "survival")
   }
 
+  /** Restricted mean survival time per (stratum, profile) from
+    * [[coxSurvival]] curves — "how many event-free days does each arm
+    * average by day τ", the readout a hazard ratio alone cannot give
+    * (and the honest summary when proportionality is doubtful). Step
+    * integration of the right-continuous curve: S = 1 on [0, t₁), then
+    * each step contributes S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ) — q314's KM
+    * convention, applied to ADJUSTED curves. The window is PARTITIONED
+    * by (stratum, profile) — distributes over any profile count; the
+    * input is already the grid-sized [[coxSurvival]] output. Returns
+    * (stratum, profile, horizon, rmst). */
+  def rmstFromCurves(curves: DataFrame, horizon: Long): DataFrame = {
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum", "profile").orderBy("t")
+    curves
+      .filter(col("t") <= horizon)
+      .withColumn("next_t",
+        least(coalesce(lead(col("t"), 1).over(w), lit(horizon)), lit(horizon)))
+      .withColumn("area",
+        col("survival") * (col("next_t") - col("t")).cast("double"))
+      .groupBy("stratum", "profile")
+      .agg(min(col("t")).as("t1"), sum(col("area")).as("tail_area"))
+      .select(
+        col("stratum"), col("profile"), lit(horizon).as("horizon"),
+        (least(col("t1"), lit(horizon)).cast("double") + col("tail_area"))
+          .as("rmst"))
+  }
+
   /** The shared Newton fit behind [[coxPH]] and [[coxSurvival]]:
     * returns (β̂, I⁻¹ at β̂, n event times, final-β grid rows
     * (stratum, t, d, leaving-mass a0, event-only mass e0) sorted

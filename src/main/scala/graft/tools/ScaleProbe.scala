@@ -61,7 +61,9 @@ object ScaleProbe {
     "q354_isolation_forest",
     // r15: counting-process Cox — the doubled (entry-echo) frame is the
     // scale question: same one-agg-per-iteration shape, 2× rows
-    "q355_cox_time_varying")
+    "q355_cox_time_varying",
+    // r15: adjusted RMST — the q351 fit + a grid-sized partitioned window
+    "q356_adjusted_rmst")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

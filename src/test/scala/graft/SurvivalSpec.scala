@@ -590,6 +590,24 @@ class SurvivalSpec extends SparkSuite {
       s"the counting-process fit must see (near) no effect, got $honest")
   }
 
+  test("rmstFromCurves: hand-computed step integration, horizon clamp, per-profile isolation") {
+    val curves = Seq(
+      ("__all", 2L, "p", 0.3, 0.8), ("__all", 5L, "p", 0.9, 0.5),
+      ("__all", 3L, "q", 0.2, 0.9)).toDF("stratum", "t", "profile", "h0_cum", "survival")
+    val full = Survival.rmstFromCurves(curves, horizon = 10L)
+      .collect().map(r => r.getAs[String]("profile") -> r.getAs[Double]("rmst")).toMap
+    // p: 1·2 + 0.8·(5−2) + 0.5·(10−5) = 6.9 ; q: 1·3 + 0.9·(10−3) = 9.3
+    assert(math.abs(full("p") - 6.9) < 1e-12, s"got ${full("p")}")
+    assert(math.abs(full("q") - 9.3) < 1e-12, s"got ${full("q")}")
+    // horizon clamp drops later points and truncates the last segment
+    val clamped = Survival.rmstFromCurves(curves, horizon = 4L)
+      .collect().map(r => r.getAs[String]("profile") -> r.getAs[Double]("rmst")).toMap
+    assert(math.abs(clamped("p") - (2.0 + 0.8 * 2)) < 1e-12)
+    assert(math.abs(clamped("q") - (3.0 + 0.9 * 1)) < 1e-12)
+    assert(intercept[IllegalArgumentException](
+      Survival.rmstFromCurves(curves, 0L)).getMessage.contains("horizon"))
+  }
+
   test("all-censored input yields an empty curve; result is layout-proof") {
     val none = Seq((1L, 0), (5L, 0)).toDF("t", "e")
     assert(Survival.kaplanMeier(none, "t", "e").count() == 0)
