@@ -279,17 +279,135 @@ object Survival {
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       iters: Int = 8, maxTimes: Int = 100000,
       strataCol: Option[String] = None, ties: String = "efron",
-      firth: Boolean = false, startCol: Option[String] = None): DataFrame = {
+      firth: Boolean = false, startCol: Option[String] = None,
+      clusterCol: Option[String] = None): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
-    val (beta, cov, nTimes, _) =
+    clusterCol.foreach { _ =>
+      require(ties == "breslow",
+        "cluster-robust SEs use Breslow score residuals — refit with " +
+          "ties = \"breslow\" (Efron-weighted residuals would not sum to zero " +
+          "at the Efron MLE, silently mis-sizing the sandwich)")
+    }
+    val (beta, cov, nTimes, grid) =
       coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
         firth, startCol)
+    val robustSe: Option[Array[Double]] = clusterCol.map { cc =>
+      val meat = sandwichMeat(subjects, xCols, tCol, eventCol, strataCol,
+        startCol, cc, beta, grid)
+      val p = xCols.length
+      // V = I⁻¹·M·I⁻¹ (cov IS I⁻¹)
+      val mi = Array.tabulate(p, p)((i, j) =>
+        (0 until p).map(a => meat(i)(a) * cov(a)(j)).sum)
+      Array.tabulate(p)(k =>
+        math.sqrt((0 until p).map(a => cov(k)(a) * mi(a)(k)).sum))
+    }
     xCols.indices.map { k =>
       val se = math.sqrt(cov(k)(k))
       (xCols(k), nTimes, beta(k), math.exp(beta(k)), se,
+        robustSe.map(_(k)).getOrElse(se),
         beta(k) * beta(k) / cov(k)(k))
-    }.toDF("covariate", "n_times", "beta", "hazard_ratio", "se", "wald_chi2")
+    }.toDF("covariate", "n_times", "beta", "hazard_ratio", "se", "robust_se",
+        "wald_chi2") match {
+      case df if clusterCol.isEmpty => df.drop("robust_se")
+      case df => df
+    }
+  }
+
+  /** The Lin-Wei/Lee-Wei-Amato sandwich "meat" Σ_clusters C·Cᵀ with
+    * C = Σ_{rows in cluster} U_i and U_i the per-row Breslow score
+    * residual. Everything data-sized stays declarative: the grid prefix
+    * table (event times × (H₀, x̄, G_k = Σ dH₀·x̄_k) per stratum) is
+    * grid-sized driver arithmetic broadcast back through TWO as-of
+    * joins (at each row's stop and — counting-process only — start), the
+    * residual is pure column math (U = ev·(x − x̄(stop)) −
+    * w·(x·ΔH₀ − ΔG)), and the cluster fold is one keyed aggregation
+    * followed by a p²-sized reduce. */
+  private def sandwichMeat(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      strataCol: Option[String], startCol: Option[String], clusterCol: String,
+      beta: Array[Double],
+      grid: Array[(String, Long, Long, Double, Double, Array[Double])])
+      : Array[Array[Double]] = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val p = xCols.length
+    // event-time prefix table per stratum: descending walk rebuilds
+    // S₀/S₁ (exactly the fit's arithmetic), ascending walk accumulates
+    // H₀ and G_k = Σ (d/S₀)·(S₁_k/S₀)
+    val cells = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Array[Double])] // (g, t, dh, xbar)
+    var stratum: String = null
+    var s0 = 0.0
+    val s1 = Array.fill(p)(0.0)
+    grid.foreach { case (g, t, d, a0, _, a1) =>
+      if (g != stratum) {
+        stratum = g; s0 = 0.0; java.util.Arrays.fill(s1, 0.0)
+      }
+      s0 += a0
+      var k = 0; while (k < p) { s1(k) += a1(k); k += 1 }
+      if (d > 0) cells += ((g, t, d.toDouble / s0, Array.tabulate(p)(s1(_) / s0)))
+    }
+    val prefix = cells.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      var h0 = 0.0
+      val gk = Array.fill(p)(0.0)
+      rs.sortBy(_._2).map { case (_, t, dh, xbar) =>
+        h0 += dh
+        var k = 0; while (k < p) { gk(k) += dh * xbar(k); k += 1 }
+        (g, t, h0, xbar.toSeq, gk.clone().toSeq)
+      }
+    }.toDF("g", "t", "h0", "xbar", "gk")
+    val probe = subjects.select(
+      strataCol.fold(lit("__all"))(c => col(c).cast("string")).as("g") +:
+        col(tCol).cast("long").as("t") +:
+        col(eventCol).cast("int").as("ev") +:
+        col(clusterCol).cast("string").as("cl") +:
+        xCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"x$i") }
+          :+ startCol.fold(lit(Long.MinValue))(c => col(c).cast("long")).as("t0"): _*)
+    val zeros = array(Seq.fill(p)(lit(0.0)): _*)
+    val atStop = AsOf.join(probe, prefix, "g", "t", "t",
+      Seq("h0", "xbar", "gk"))
+      .withColumnRenamed("asof_h0", "h0_stop")
+      .withColumnRenamed("asof_xbar", "xbar_stop")
+      .withColumnRenamed("asof_gk", "gk_stop")
+      .drop("asof_t")
+    val both =
+      if (startCol.isEmpty)
+        atStop.withColumn("h0_start", lit(0.0)).withColumn("gk_start", zeros)
+      else {
+        val renamed = atStop.withColumnRenamed("t", "t_stop")
+          .withColumnRenamed("t0", "t")
+        AsOf.join(renamed, prefix, "g", "t", "t", Seq("h0", "gk"))
+          .withColumn("h0_start", coalesce(col("asof_h0"), lit(0.0)))
+          .withColumn("gk_start", coalesce(col("asof_gk"), zeros))
+          .drop("asof_h0", "asof_gk", "asof_t")
+      }
+    val w = exp((0 until p).map(i => col(s"x$i") * lit(beta(i))).reduce(_ + _))
+    val us = (0 until p).map { k =>
+      val xk = col(s"x$k")
+      val evTerm = col("ev").cast("double") *
+        (xk - coalesce(element_at(col("xbar_stop"), k + 1), lit(0.0)))
+      val dH = coalesce(col("h0_stop"), lit(0.0)) - col("h0_start")
+      val dG = coalesce(element_at(col("gk_stop"), k + 1), lit(0.0)) -
+        element_at(col("gk_start"), k + 1)
+      (evTerm - w * (xk * dH - dG)).as(s"u$k")
+    }
+    val perCluster = both.select(col("cl") +: us: _*)
+      .groupBy("cl")
+      .agg(sum(col("u0")).as("c0"),
+        (1 until p).map(k => sum(col(s"u$k")).as(s"c$k")): _*)
+    val pairs = for { k <- 0 until p; l <- k until p } yield (k, l)
+    val mRow = perCluster.agg(
+      sum(col("c0") * col("c0")).as("m_0_0"),
+      pairs.tail.map { case (k, l) =>
+        sum(col(s"c$k") * col(s"c$l")).as(s"m_${k}_$l")
+      }: _*).head()
+    val m = Array.fill(p, p)(0.0)
+    pairs.zipWithIndex.foreach { case ((k, l), i) =>
+      val v = mRow.getDouble(i)
+      m(k)(l) = v; m(l)(k) = v
+    }
+    m
   }
 
   /** Baseline cumulative hazard + ADJUSTED survival curves from the
@@ -332,7 +450,7 @@ object Survival {
     val increments = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     var stratum: String = null
     var s0 = 0.0
-    grid.foreach { case (g, t, d, a0, e0) =>
+    grid.foreach { case (g, t, d, a0, e0, _) =>
       if (g != stratum) { stratum = g; s0 = 0.0 }
       s0 += a0
       if (d > 0) {
@@ -401,7 +519,7 @@ object Survival {
       strataCol: Option[String], ties: String, firth: Boolean,
       startCol: Option[String] = None)
       : (Array[Double], Array[Array[Double]], Long,
-         Array[(String, Long, Long, Double, Double)]) = {
+         Array[(String, Long, Long, Double, Double, Array[Double])]) = {
     val spark = subjects.sparkSession
     val p = xCols.length
     require(p >= 1, "coxPH needs at least one covariate")
@@ -716,7 +834,7 @@ object Survival {
         .map(math.abs).max
       if (finalStep > 1e-6 * (1.0 + beta.map(math.abs).max)) refuseSeparation(finalStep)
       val cov = inverse(infFinal)
-      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0)))
+      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0, c.a1)))
     } finally subj.unpersist()
   }
 

@@ -2389,6 +2389,152 @@ object Events {
            |GROUP BY profile
            |ORDER BY profile""".stripMargin))
 
+  /** Q357 — recurrent-event Cox (Andersen-Gill) with CLUSTER-ROBUST SEs
+    * ([[graft.ops.Survival.coxPH]] with `startCol` + `clusterCol`): each
+    * user contributes ONE interval per purchase gap ((prev purchase,
+    * this purchase], plus a censored tail to the horizon), so the model
+    * reads repeat-purchase intensity — and because one user's gaps are
+    * CORRELATED, the model-based SE is dishonest; the Lin-Wei/LWA
+    * sandwich clusters the score residuals by user. The residual
+    * pipeline stays declarative: a grid-sized prefix table (H₀, x̄, G)
+    * broadcast back through two as-of joins, pure column math for
+    * U = ev·(x − x̄(stop)) − w·(x·ΔH₀ − ΔG), one keyed cluster fold.
+    * The oracle replays ALL of it — interval construction, the 8-step
+    * Breslow Newton on the interval risk set, the prefix cumulative,
+    * both LATERAL as-of lookups, the per-cluster fold, and
+    * robust_se = √M/I — so a wrong residual term, a wrong entry
+    * boundary, or a cluster mis-fold hash-fails. SurvivalSpec pins the
+    * exact duplicate-cluster invariance the sandwich must satisfy. */
+  val q357 = QueryDef(
+    "q357_cox_robust_cluster",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val horizon = ev.agg(max(col("us")).as("h_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .join(entry, "user_id").filter(col("us") >= col("entry_us"))
+        .select(col("user_id"),
+          expr("(us - entry_us) DIV 86400000000").as("day"))
+        .distinct()
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("nc"))
+      val base = entry.join(clicks, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          log(lit(1.0) + coalesce(col("nc"), lit(0L)).cast("double")).as("x"),
+          expr("(h_us - entry_us) DIV 86400000000").as("uh"))
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      val gaps = purch
+        .withColumn("t0", coalesce(lag(col("day"), 1).over(wU), lit(-1L)))
+        .select(col("user_id"), col("t0"), col("day").as("t"), lit(1).as("ev"))
+      val lastP = purch.groupBy("user_id").agg(max(col("day")).as("last_day"))
+      val tail = base.join(lastP, Seq("user_id"), "left")
+        .withColumn("t0", coalesce(col("last_day"), lit(-1L)))
+        .filter(col("uh") > col("t0"))
+        .select(col("user_id"), col("t0"), col("uh").as("t"), lit(0).as("ev"))
+      val intervals = gaps.unionAll(tail).join(base.select("user_id", "x"), "user_id")
+      graft.ops.Survival.coxPH(intervals, Seq("x"), "t", "ev",
+          ties = "breslow", startCol = Some("t0"),
+          clusterCol = Some("user_id"))
+        .select(
+          col("covariate"), col("n_times"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          r6(col("robust_se")).as("robust_se"),
+          r6(col("wald_chi2")).as("wald_chi2"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |pd AS (SELECT DISTINCT e.user_id,
+           |              (us - entry_us) // 86400000000 AS day
+           |       FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us),
+           |ck AS (SELECT user_id, COUNT(*) AS nc FROM e
+           |       WHERE event_type='click' GROUP BY 1),
+           |b AS (SELECT en.user_id,
+           |             LN(1.0 + COALESCE(nc, 0)) AS x,
+           |             (h_us - entry_us) // 86400000000 AS uh
+           |      FROM en LEFT JOIN ck USING (user_id) CROSS JOIN h),
+           |gaps AS (SELECT user_id,
+           |                COALESCE(LAG(day) OVER (PARTITION BY user_id
+           |                  ORDER BY day), -1) AS t0,
+           |                day AS t, 1 AS ev
+           |         FROM pd),
+           |lastp AS (SELECT user_id, MAX(day) AS last_day FROM pd GROUP BY 1),
+           |tails AS (SELECT b.user_id, COALESCE(last_day, -1) AS t0,
+           |                 uh AS t, 0 AS ev
+           |          FROM b LEFT JOIN lastp USING (user_id)
+           |          WHERE uh > COALESCE(last_day, -1)),
+           |iv AS (SELECT i.user_id, i.t0, i.t, i.ev, b.x
+           |       FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) i
+           |       JOIN b USING (user_id)),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x ELSE 0.0 END) AS sx0
+           |          FROM iv GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, iv.x AS x0
+           |       FROM times tm JOIN iv ON iv.t0 < tm.t AND tm.t <= iv.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |pre0 AS (SELECT tt, d, SUM(EXP(b*x0)) AS s0,
+           |                SUM(x0*EXP(b*x0)) AS s1, ANY_VALUE(b) AS b
+           |         FROM rs, it GROUP BY tt, d),
+           |pre AS (SELECT tt, b,
+           |               s1/s0 AS xbar,
+           |               SUM(CAST(d AS DOUBLE)/s0) OVER (ORDER BY tt
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0,
+           |               SUM((CAST(d AS DOUBLE)/s0)*(s1/s0)) OVER (ORDER BY tt
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gk
+           |        FROM pre0),
+           |res AS (SELECT iv.user_id,
+           |               iv.ev*(iv.x - COALESCE(st.xbar, 0.0))
+           |               - EXP((SELECT b FROM it)*iv.x)
+           |                 * (iv.x*(COALESCE(st.h0, 0.0) - COALESCE(sa.h0, 0.0))
+           |                    - (COALESCE(st.gk, 0.0) - COALESCE(sa.gk, 0.0))) AS u
+           |        FROM iv
+           |        LEFT JOIN LATERAL (SELECT h0, gk, xbar FROM pre
+           |                           WHERE pre.tt <= iv.t
+           |                           ORDER BY tt DESC LIMIT 1) st ON TRUE
+           |        LEFT JOIN LATERAL (SELECT h0, gk FROM pre
+           |                           WHERE pre.tt <= iv.t0
+           |                           ORDER BY tt DESC LIMIT 1) sa ON TRUE),
+           |cl AS (SELECT user_id, SUM(u) AS c FROM res GROUP BY 1),
+           |m AS (SELECT SUM(c*c) AS meat FROM cl),
+           |fin AS (
+           |  SELECT b, (SELECT COUNT(*) FROM times) AS n_times, g.fi,
+           |         (SELECT meat FROM m) AS meat
+           |  FROM it, LATERAL (
+           |      SELECT SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |  ) g)
+           |SELECT 'x' AS covariate, CAST(n_times AS BIGINT) AS n_times,
+           |       ROUND(b,6)+0 AS beta, ROUND(EXP(b),6) AS hazard_ratio,
+           |       ROUND(1.0/SQRT(fi),6) AS se,
+           |       ROUND(SQRT(meat)/fi,6) AS robust_se,
+           |       ROUND(b*b*fi,6) AS wald_chi2
+           |FROM fin""".stripMargin))
+
   /** Q354 — isolation-forest anomaly screen
     * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
     * vectors (event count, mean/spread of value, type diversity) scored
@@ -3185,7 +3331,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356)
+      q355, q356, q357)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -63,7 +63,10 @@ object ScaleProbe {
     // scale question: same one-agg-per-iteration shape, 2× rows
     "q355_cox_time_varying",
     // r15: adjusted RMST — the q351 fit + a grid-sized partitioned window
-    "q356_adjusted_rmst")
+    "q356_adjusted_rmst",
+    // r15: recurrent-event Cox with the cluster sandwich — the residual
+    // pass adds two as-of joins + one keyed fold on top of the fit
+    "q357_cox_robust_cluster")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

@@ -590,6 +590,67 @@ class SurvivalSpec extends SparkSuite {
       s"the counting-process fit must see (near) no effect, got $honest")
   }
 
+  test("coxPH cluster-robust: exact duplicate-cluster invariance; sane on independent subjects") {
+    val rnd = new scala.util.Random(41)
+    val subjects = (1 to 300).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      (i.toLong, math.max(1L, (7.0 + 9.0 * rnd.nextDouble() - 2.5 * x).toLong),
+        if (i % 8 == 0) 0 else 1, x)
+    }
+    val df = subjects.toDF("id", "t", "e", "x")
+    val one = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow",
+      clusterCol = Some("id")).head
+    // each subject duplicated 4x UNDER THE SAME CLUSTER ID: beta is
+    // unchanged, the model SE halves (wrongly — the rows are not
+    // independent), and the cluster-robust SE is EXACTLY invariant
+    // (I x4, per-cluster score x4, M x16 → V unchanged)
+    val dup = subjects.flatMap(s => Seq.fill(4)(s)).toDF("id", "t", "e", "x")
+    val four = Survival.coxPH(dup, Seq("x"), "t", "e", ties = "breslow",
+      clusterCol = Some("id")).head
+    assert(math.abs(one.getAs[Double]("beta") - four.getAs[Double]("beta")) < 1e-9)
+    assert(math.abs(four.getAs[Double]("se") - one.getAs[Double]("se") / 2.0) < 1e-9,
+      s"model SE must (wrongly) halve: ${one.getAs[Double]("se")} vs ${four.getAs[Double]("se")}")
+    assert(math.abs(four.getAs[Double]("robust_se") - one.getAs[Double]("robust_se")) < 1e-9,
+      s"cluster-robust SE must be invariant: ${one.getAs[Double]("robust_se")} vs " +
+        s"${four.getAs[Double]("robust_se")}")
+    // independent subjects: robust ≈ model (the sandwich collapses)
+    val ratio = one.getAs[Double]("robust_se") / one.getAs[Double]("se")
+    assert(ratio > 0.65 && ratio < 1.5, s"robust/model ratio $ratio")
+    // no cluster column → schema unchanged (no robust_se)
+    assert(!Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow")
+      .columns.contains("robust_se"))
+    // Efron + cluster refuses by name
+    assert(intercept[IllegalArgumentException](
+      Survival.coxPH(df, Seq("x"), "t", "e", clusterCol = Some("id")))
+      .getMessage.contains("breslow"))
+  }
+
+  test("coxPH cluster-robust composes with counting-process recurrent events") {
+    // Andersen-Gill shape: users contribute several purchase-gap
+    // intervals under ONE cluster id — the analysis robust SEs exist for
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 120).flatMap { u =>
+      val x = if (u % 2 == 0) 1.0 else 0.0
+      var t = 0L
+      val k = 1 + rnd.nextInt(4)
+      (1 to k).map { _ =>
+        val gap = 1 + rnd.nextInt(6)
+        val r = (u.toLong, t, t + gap, 1, x)
+        t += gap
+        r
+      } :+ ((u.toLong, t, t + 1 + rnd.nextInt(3), 0, x))
+    }
+    val df = rows.toDF("id", "t0", "t", "e", "x")
+    val fit = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow",
+      startCol = Some("t0"), clusterCol = Some("id")).head
+    assert(java.lang.Double.isFinite(fit.getAs[Double]("robust_se")) &&
+      fit.getAs[Double]("robust_se") > 0.0)
+    assert(java.lang.Double.isFinite(fit.getAs[Double]("beta")))
+    // within-cluster correlation (repeated gaps per user) should move
+    // the robust SE off the independence SE
+    assert(math.abs(fit.getAs[Double]("robust_se") - fit.getAs[Double]("se")) > 1e-6)
+  }
+
   test("rmstFromCurves: hand-computed step integration, horizon clamp, per-profile isolation") {
     val curves = Seq(
       ("__all", 2L, "p", 0.3, 0.8), ("__all", 5L, "p", 0.9, 0.5),
