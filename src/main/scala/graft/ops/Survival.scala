@@ -327,7 +327,7 @@ object Survival {
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       strataCol: Option[String], startCol: Option[String], clusterCol: String,
       beta: Array[Double],
-      grid: Array[(String, Long, Long, Double, Double, Array[Double])])
+      grid: Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double])])
       : Array[Array[Double]] = {
     val spark = subjects.sparkSession
     import spark.implicits._
@@ -340,7 +340,7 @@ object Survival {
     var stratum: String = null
     var s0 = 0.0
     val s1 = Array.fill(p)(0.0)
-    grid.foreach { case (g, t, d, a0, _, a1) =>
+    grid.foreach { case (g, t, d, a0, _, a1, _, _) =>
       if (g != stratum) {
         stratum = g; s0 = 0.0; java.util.Arrays.fill(s1, 0.0)
       }
@@ -450,7 +450,7 @@ object Survival {
     val increments = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     var stratum: String = null
     var s0 = 0.0
-    grid.foreach { case (g, t, d, a0, e0, _) =>
+    grid.foreach { case (g, t, d, a0, e0, _, _, _) =>
       if (g != stratum) { stratum = g; s0 = 0.0 }
       s0 += a0
       if (d > 0) {
@@ -488,6 +488,100 @@ object Survival {
     * by (stratum, profile) — distributes over any profile count; the
     * input is already the grid-sized [[coxSurvival]] output. Returns
     * (stratum, profile, horizon, rmst). */
+  /** Proportional-hazards ASSUMPTION test (the `cox.zph` analog) — the
+    * diagnostic every Cox readout should clear before its hazard ratio
+    * is quoted: a SCORE TEST of β_k(t) = β_k + θ_k·g(t) at θ = 0 with
+    * the identity time transform g(t) = t, per covariate with the
+    * others held at β̂. A significant θ means the effect DRIFTS with
+    * time and the single hazard ratio is an average over a moving
+    * target (report strata, a time-varying term via `startCol`
+    * splitting, or RMST instead).
+    *
+    * All arithmetic is GRID-sized off the fitted model's final pass:
+    * U_k = Σ_t g_t·(Σ_event x_k − d_t·x̄_k(t)) and the effective
+    * information A_kk − B_k·I⁻¹·B_kᵀ with A = Σ g²V(t), B = Σ g·V(t),
+    * I = Σ V(t) (the per-time information increments the fit already
+    * sums) — no subject-sized work beyond the fit itself. Breslow ties
+    * by construction (the per-time residual decomposition). 1-dof
+    * upper-tail p via the exact √χ² normal identity (same fixed A&S
+    * polynomial both engines).
+    *
+    * @return one row per covariate:
+    *         (covariate, chi2, p_ph, violated @ p < 0.05). */
+  def phAssumption(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      iters: Int = 8, maxTimes: Int = 100000,
+      strataCol: Option[String] = None,
+      startCol: Option[String] = None): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val p = xCols.length
+    val (_, cov, _, grid) =
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol,
+        "breslow", firth = false, startCol)
+    val pairs = (for { k <- 0 until p; l <- k until p } yield (k, l)).toArray
+    val pIdx = Array.fill(p, p)(0)
+    pairs.zipWithIndex.foreach { case ((k, l), i) => pIdx(k)(l) = i; pIdx(l)(k) = i }
+    val u = Array.fill(p)(0.0)
+    val aDiag = Array.fill(p)(0.0)
+    val bMat = Array.fill(p, p)(0.0)
+    var stratum: String = null
+    var s0 = 0.0
+    val s1 = Array.fill(p)(0.0)
+    val s2 = Array.fill(pairs.length)(0.0)
+    grid.foreach { case (g, t, d, a0, _, a1, a2, sx) =>
+      if (g != stratum) {
+        stratum = g; s0 = 0.0
+        java.util.Arrays.fill(s1, 0.0); java.util.Arrays.fill(s2, 0.0)
+      }
+      s0 += a0
+      var k = 0; while (k < p) { s1(k) += a1(k); k += 1 }
+      var i = 0; while (i < pairs.length) { s2(i) += a2(i); i += 1 }
+      if (d > 0) {
+        val gt = t.toDouble
+        var kk = 0
+        while (kk < p) {
+          u(kk) += gt * (sx(kk) - d * s1(kk) / s0)
+          kk += 1
+        }
+        var ii = 0
+        while (ii < pairs.length) {
+          val (k1, l1) = pairs(ii)
+          val v = d * (s2(ii) / s0 - s1(k1) * s1(l1) / (s0 * s0))
+          bMat(k1)(l1) += gt * v
+          if (k1 != l1) bMat(l1)(k1) += gt * v
+          if (k1 == l1) aDiag(k1) += gt * gt * v
+          ii += 1
+        }
+      }
+    }
+    // Φ via the family's fixed A&S 7.1.26 polynomial (scalar form); a
+    // 1-dof chi-square upper tail is EXACTLY the two-sided normal p of √χ²
+    def pOf(chi2: Double): Double = {
+      val a = math.sqrt(chi2)
+      val tt = 1.0 / (1.0 + 0.2316419 * a)
+      2.0 * (math.exp(-a * a / 2.0) / math.sqrt(2.0 * math.Pi) *
+        (0.319381530 * tt - 0.356563782 * tt * tt + 1.781477937 * tt * tt * tt -
+          1.821255978 * tt * tt * tt * tt + 1.330274429 * tt * tt * tt * tt * tt))
+    }
+    (0 until p).map { k =>
+      // effective information for θ_k: A_kk − B_k·I⁻¹·B_kᵀ (cov IS I⁻¹)
+      var proj = 0.0
+      var a = 0
+      while (a < p) {
+        var b = 0
+        while (b < p) { proj += bMat(k)(a) * cov(a)(b) * bMat(k)(b); b += 1 }
+        a += 1
+      }
+      val denom = aDiag(k) - proj
+      require(denom > 0,
+        s"degenerate PH-test information for '${xCols(k)}' — a single event " +
+          "time (or collinear g) leaves the drift direction unidentified")
+      val chi2 = u(k) * u(k) / denom
+      (xCols(k), chi2, pOf(chi2), pOf(chi2) < 0.05)
+    }.toDF("covariate", "chi2", "p_ph", "violated")
+  }
+
   def rmstFromCurves(curves: DataFrame, horizon: Long): DataFrame = {
     require(horizon > 0, s"horizon must be positive, got $horizon")
     val w = org.apache.spark.sql.expressions.Window
@@ -519,7 +613,7 @@ object Survival {
       strataCol: Option[String], ties: String, firth: Boolean,
       startCol: Option[String] = None)
       : (Array[Double], Array[Array[Double]], Long,
-         Array[(String, Long, Long, Double, Double, Array[Double])]) = {
+         Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double])]) = {
     val spark = subjects.sparkSession
     val p = xCols.length
     require(p >= 1, "coxPH needs at least one covariate")
@@ -834,7 +928,7 @@ object Survival {
         .map(math.abs).max
       if (finalStep > 1e-6 * (1.0 + beta.map(math.abs).max)) refuseSeparation(finalStep)
       val cov = inverse(infFinal)
-      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0, c.a1)))
+      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0, c.a1, c.a2, c.sx)))
     } finally subj.unpersist()
   }
 

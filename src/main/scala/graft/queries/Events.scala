@@ -2535,6 +2535,87 @@ object Events {
            |       ROUND(b*b*fi,6) AS wald_chi2
            |FROM fin""".stripMargin))
 
+  /** Q358 — proportional-hazards assumption test
+    * ([[graft.ops.Survival.phAssumption]], the `cox.zph` analog): before
+    * quoting q343/q348's hazard ratio, test whether the arm effect
+    * DRIFTS with time — a score test of β(t) = β + θ·t at θ = 0, whose
+    * U/A/B/I pieces are all per-event-time sums off the fitted model's
+    * grid (no subject-sized work beyond the fit). The oracle replays the
+    * Newton, the per-time information increments, the g-weighted sums,
+    * the I⁻¹ projection, and the exact 1-dof √χ² normal tail — a wrong
+    * residual, projection, or transform hash-fails (the VIOLATED boolean
+    * is compared too). */
+  val q358 = QueryDef(
+    "q358_cox_ph_test",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          col("t_days"), col("is_event"))
+      graft.ops.Survival.phAssumption(subjects, Seq("arm"), "t_days", "is_event")
+        .select(
+          col("covariate"),
+          r6(col("chi2")).as("chi2"),
+          r6(col("p_ph")).as("p_ph"),
+          col("violated"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0
+           |          FROM s GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, tm.sx0, s.x0
+           |       FROM times tm JOIN s ON s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |pt AS (SELECT tt, d, ANY_VALUE(sx0) AS sx0,
+           |              SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |              SUM(x0*x0*EXP(b*x0)) AS s2
+           |       FROM rs, it GROUP BY tt, d),
+           |agg AS (SELECT
+           |          SUM(tt*(sx0 - d*s1/s0)) AS u,
+           |          SUM(tt*tt*d*(s2/s0 - (s1/s0)*(s1/s0))) AS a,
+           |          SUM(tt*d*(s2/s0 - (s1/s0)*(s1/s0))) AS bb,
+           |          SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |        FROM pt),
+           |c AS (SELECT u*u/(a - bb*bb/fi) AS chi2 FROM agg),
+           |pp AS (SELECT chi2,
+           |              2.0 * (EXP(-chi2/2.0) / SQRT(2.0*PI())
+           |                * (0.319381530 * (1.0/(1.0+0.2316419*SQRT(chi2)))
+           |                   - 0.356563782 * POWER(1.0/(1.0+0.2316419*SQRT(chi2)), 2)
+           |                   + 1.781477937 * POWER(1.0/(1.0+0.2316419*SQRT(chi2)), 3)
+           |                   - 1.821255978 * POWER(1.0/(1.0+0.2316419*SQRT(chi2)), 4)
+           |                   + 1.330274429 * POWER(1.0/(1.0+0.2316419*SQRT(chi2)), 5)))
+           |                AS p
+           |       FROM c)
+           |SELECT 'arm' AS covariate, ROUND(chi2, 6) AS chi2,
+           |       ROUND(p, 6) AS p_ph, p < 0.05 AS violated
+           |FROM pp""".stripMargin))
+
   /** Q354 — isolation-forest anomaly screen
     * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
     * vectors (event count, mean/spread of value, type diversity) scored
@@ -3331,7 +3412,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356, q357)
+      q355, q356, q357, q358)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -66,7 +66,9 @@ object ScaleProbe {
     "q356_adjusted_rmst",
     // r15: recurrent-event Cox with the cluster sandwich — the residual
     // pass adds two as-of joins + one keyed fold on top of the fit
-    "q357_cox_robust_cluster")
+    "q357_cox_robust_cluster",
+    // r15: PH-assumption score test — grid arithmetic off the fit
+    "q358_cox_ph_test")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

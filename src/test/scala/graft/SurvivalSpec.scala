@@ -651,6 +651,42 @@ class SurvivalSpec extends SparkSuite {
     assert(math.abs(fit.getAs[Double]("robust_se") - fit.getAs[Double]("se")) > 1e-6)
   }
 
+  test("phAssumption: quiet when hazards are proportional, fires when the effect drifts") {
+    // PH holds EXACTLY for exponentials: scaling time = scaling the
+    // constant hazard. Deterministic inverse-CDF draws keep the spec
+    // stable: t = ceil(−ln(u)·scale) with u on a uniform grid
+    val propo = (1 to 400).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val uu = (i % 200 + 0.5) / 200.0
+      (math.max(1L, math.ceil(-math.log(uu) * (if (x > 0) 8.0 else 16.0)).toLong),
+        1, x)
+    }.toDF("t", "e", "x")
+    val ok = Survival.phAssumption(propo, Seq("x"), "t", "e").head
+    assert(ok.getAs[Double]("p_ph") > 0.05,
+      s"proportional hazards must not fire, p = ${ok.getAs[Double]("p_ph")}")
+    assert(!ok.getAs[Boolean]("violated"))
+    // drifting effect: x=1 converts fast EARLY then plateaus; x=0 is
+    // uniform throughout — beta(t) decays, the score test must fire
+    val drift = ((1 to 200).map { i =>
+      val early = i % 4 != 0 // 75% of treated events land in days 1-5
+      ((if (early) 1 + i % 5 else 30 + i % 20).toLong, 1, 1.0)
+    } ++ (1 to 200).map(i => ((1 + i % 40).toLong, 1, 0.0))).toDF("t", "e", "x")
+    val bad = Survival.phAssumption(drift, Seq("x"), "t", "e").head
+    assert(bad.getAs[Boolean]("violated"),
+      s"drifting effect must fire, p = ${bad.getAs[Double]("p_ph")}")
+    assert(bad.getAs[Double]("p_ph") < 0.01)
+    // multi-covariate: the drifting one is named, the clean one is not
+    val rnd = new scala.util.Random(47)
+    val two = ((1 to 200).map { i =>
+      val early = i % 4 != 0
+      ((if (early) 1 + i % 5 else 30 + i % 20).toLong, 1, 1.0, rnd.nextDouble())
+    } ++ (1 to 200).map(i => ((1 + i % 40).toLong, 1, 0.0, rnd.nextDouble())))
+      .toDF("t", "e", "x", "noise")
+    val rows = Survival.phAssumption(two, Seq("x", "noise"), "t", "e")
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("violated")).toMap
+    assert(rows("x") && !rows("noise"), rows.toString)
+  }
+
   test("rmstFromCurves: hand-computed step integration, horizon clamp, per-profile isolation") {
     val curves = Seq(
       ("__all", 2L, "p", 0.3, 0.8), ("__all", 5L, "p", 0.9, 0.5),
