@@ -715,6 +715,84 @@ object EventStreams {
       (coalesce(p < 0.001, lit(false)) || col("undeclared_n") > 0).as("srm"))
   }
 
+  /** Continuous EXPERIMENT SCORECARD: per closed tumbling window, the
+    * two-arm readout a platform dashboard shows — arm/conversion counts,
+    * lift with its large-sample SE and z, and the SRM integrity check —
+    * appended EXACTLY-ONCE to a versioned table (the
+    * (writerId, batchId) txn gate absorbs foreachBatch replays, same as
+    * [[startExactlyOnceVersionedSink]]). The windowed aggregation is the
+    * [[streamingSrm]] shape: declared arms are fixed CONDITIONAL COUNTER
+    * columns (codegen sums, one state row per open window, watermark
+    * closes it); the scorecard arithmetic is plain column math on the
+    * closed row. Undeclared arms dead-letter into `undeclared_n` and
+    * force the alarm; a window missing an arm lands with null
+    * lift/se/z (no contrast exists) rather than being dropped — the
+    * GAP is information. Downstream, the table is time-travelable
+    * history of the experiment (q238-style drift reads apply). */
+  def startExperimentScorecardSink(
+      events: DataFrame, armCol: String, convCol: String, tsCol: String,
+      focal: String, control: String, focalShare: Double,
+      tablePath: String, writerId: String, checkpointDir: String,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"): StreamingQuery = {
+    val scorecard = experimentScorecard(
+      events, armCol, convCol, tsCol, focal, control, focalShare,
+      windowLen, watermark)
+    scorecard.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.io.VersionedTable.commitStreamBatch(
+          batch.toDF(), tablePath, writerId, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The scorecard TRANSFORM alone (works on a batch frame too — the
+    * spec pins streaming == batch on the same rows). */
+  private[graft] def experimentScorecard(
+      events: DataFrame, armCol: String, convCol: String, tsCol: String,
+      focal: String, control: String, focalShare: Double,
+      windowLen: String, watermark: String): DataFrame = {
+    require(focal != control, "focal and control must differ")
+    require(focalShare > 0 && focalShare < 1,
+      s"focalShare must be in (0,1), got $focalShare")
+    val arm = col(armCol).cast("string")
+    val conv = col(convCol).cast("long")
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        sum(when(arm === focal, 1L).otherwise(0L)).as("n_f"),
+        sum(when(arm === focal, conv).otherwise(0L)).as("conv_f"),
+        sum(when(arm === control, 1L).otherwise(0L)).as("n_c"),
+        sum(when(arm === control, conv).otherwise(0L)).as("conv_c"),
+        sum(when(arm =!= focal && arm =!= control, 1L).otherwise(0L))
+          .as("undeclared_n"))
+    val pF = col("conv_f").cast("double") / col("n_f")
+    val pC = col("conv_c").cast("double") / col("n_c")
+    val haveBoth = col("n_f") > 0 && col("n_c") > 0
+    val lift = when(haveBoth, pF - pC)
+    val se = when(haveBoth,
+      sqrt(pF * (lit(1.0) - pF) / col("n_f") + pC * (lit(1.0) - pC) / col("n_c")))
+    val n = (col("n_f") + col("n_c")).cast("double")
+    val expF = n * lit(focalShare)
+    val expC = n * lit(1.0 - focalShare)
+    val chi2 = when(n > 0,
+      (col("n_f") - expF) * (col("n_f") - expF) / expF +
+        (col("n_c") - expC) * (col("n_c") - expC) / expC)
+    val pSrm = when(n > 0,
+      graft.ops.Contingency.chi2UpperP(chi2, lit(1.0)))
+    agg.select(
+      col("window.start").as("w_start"), col("window.end").as("w_end"),
+      col("n_f"), col("conv_f"), col("n_c"), col("conv_c"),
+      col("undeclared_n"),
+      lift.as("lift"), se.as("se"),
+      when(se > 0, lift / se).as("z"),
+      chi2.as("srm_chi2"), pSrm.as("p_srm"),
+      (coalesce(pSrm < 0.001, lit(false)) || col("undeclared_n") > 0).as("srm"))
+  }
+
   /** One (timestamp, term) occurrence on the input stream. */
   final case class TermEvent(ts: java.sql.Timestamp, term: String)
   /** One trending term of a CLOSED window: rank by estimated count

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+import graft.streaming.EventStreams
+
+/** [[EventStreams.startExperimentScorecardSink]] — the continuous
+  * experiment readout must equal the batch transform on the same rows,
+  * land exactly-once in the versioned table under forced foreachBatch
+  * replay, and carry the dead-letter/one-armed semantics. */
+class ScorecardSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  // window 10:00 balanced with a real lift; window 11:00 heavily skewed
+  // assignment (SRM must fire); one undeclared arm row in window 10
+  private val rows: Seq[(Timestamp, String, Int)] =
+    (1 to 100).map(i => (t(f"2024-01-01 10:00:${i % 60}%02d"), "treat",
+      if (i <= 40) 1 else 0)) ++
+      (1 to 100).map(i => (t(f"2024-01-01 10:01:${i % 60}%02d"), "ctrl",
+        if (i <= 25) 1 else 0)) ++
+      Seq((t("2024-01-01 10:02:03"), "mystery", 1)) ++
+      (1 to 190).map(i => (t(f"2024-01-01 11:00:${i % 60}%02d"), "treat", i % 3 min 1)) ++
+      (1 to 10).map(i => (t(f"2024-01-01 11:01:${i % 60}%02d"), "ctrl", i % 2))
+
+  test("streaming scorecard == batch transform; exactly-once under forced replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_ck").toString
+    val ms = MemoryStream[(Timestamp, String, Int)]
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv"), "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes")
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark past both windows
+      ms.addData((t("2024-01-02 09:00:00"), "treat", 0))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 2, s"two closed windows expected, got ${got.length}")
+      val batch = EventStreams.experimentScorecard(
+        rows.toDF("ts", "arm", "conv"), "arm", "conv", "ts",
+        "treat", "ctrl", 0.5, "1 hour", "10 minutes")
+        .orderBy("w_start").collect()
+      got.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq == b.toSeq, s"stream row $s != batch row $b")
+      }
+      val Array(w10, w11) = got
+      // hand numbers: 100/100, 40 vs 25 conversions, one dead-letter
+      assert(w10.getAs[Long]("n_f") == 100 && w10.getAs[Long]("n_c") == 100)
+      assert(w10.getAs[Long]("undeclared_n") == 1)
+      assert(math.abs(w10.getAs[Double]("lift") - 0.15) < 1e-12)
+      assert(w10.getAs[Boolean]("srm"), "the dead-letter row must force the alarm")
+      // 190 vs 10 on a declared 50/50: chi2 = 2*90^2/100 = 162 → alarm
+      assert(math.abs(w11.getAs[Double]("srm_chi2") - 162.0) < 1e-9)
+      assert(w11.getAs[Boolean]("srm"))
+      assert(w11.getAs[Double]("p_srm") < 1e-9)
+
+      // forced replay of an already-committed batch is absorbed by the
+      // (writerId, batchId) txn gate — the table does not grow
+      val before = VersionedTable.table(spark, path).count()
+      val replay = EventStreams.experimentScorecard(
+        rows.toDF("ts", "arm", "conv"), "arm", "conv", "ts",
+        "treat", "ctrl", 0.5, "1 hour", "10 minutes")
+      // batchIds 0..n were consumed by the query; replaying ANY of them is a no-op
+      (0L to 2L).foreach { bid =>
+        VersionedTable.commitStreamBatch(replay, path, "scorecard-spec", bid)
+      }
+      assert(VersionedTable.table(spark, path).count() == before,
+        "replayed batches must be absorbed, not re-applied")
+    } finally q.stop()
+  }
+
+  test("a window missing an arm lands with null lift but real counts; refusals at declaration") {
+    implicit val sqlCtx = spark.sqlContext
+    val oneArm = ((1 to 30).map(i => (t(f"2024-01-01 10:00:${i % 60}%02d"), "treat", i % 2)))
+      .toDF("ts", "arm", "conv")
+    val r = EventStreams.experimentScorecard(
+      oneArm, "arm", "conv", "ts", "treat", "ctrl", 0.5, "1 hour", "10 minutes")
+      .collect()(0)
+    assert(r.getAs[Long]("n_f") == 30 && r.getAs[Long]("n_c") == 0)
+    assert(r.isNullAt(r.fieldIndex("lift")) && r.isNullAt(r.fieldIndex("se")))
+    // all-one-arm IS the worst ratio mismatch: chi2 = n, alarm on
+    assert(math.abs(r.getAs[Double]("srm_chi2") - 30.0) < 1e-9)
+    assert(r.getAs[Boolean]("srm"))
+    assert(intercept[IllegalArgumentException](
+      EventStreams.experimentScorecard(oneArm, "arm", "conv", "ts",
+        "treat", "treat", 0.5, "1 hour", "10 minutes"))
+      .getMessage.contains("differ"))
+    assert(intercept[IllegalArgumentException](
+      EventStreams.experimentScorecard(oneArm, "arm", "conv", "ts",
+        "treat", "ctrl", 1.0, "1 hour", "10 minutes"))
+      .getMessage.contains("focalShare"))
+  }
+}
