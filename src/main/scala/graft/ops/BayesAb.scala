@@ -79,10 +79,13 @@ object BayesAb {
     val perArm = subjects.groupBy(col(armCol).cast("string").as("arm")).agg(
       count(lit(1)).as("n"),
       sum(col(convCol).cast("long")).as("s"))
-      .collect() // arm-count-sized: two rows under the contract below
+      .limit(3).collect() // bounded probe: a wrong (high-cardinality)
+    // arm column must not collect its whole grid before refusing
     require(perArm.length == 2,
-      s"bayesAb is a two-arm analysis, got ${perArm.length} arms: " +
-        perArm.map(_.getString(0)).sorted.mkString(", "))
+      s"bayesAb is a two-arm analysis, got ${
+        if (perArm.length >= 3) "3+" else perArm.length.toString} arms" +
+        (if (perArm.length < 3) s": ${perArm.map(_.getString(0)).sorted.mkString(", ")}"
+         else ""))
     val byArm = perArm.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     require(byArm.contains(focal), s"focal arm '$focal' not present in $armCol")
     byArm.foreach { case (arm, (n, s)) =>
