@@ -2616,6 +2616,125 @@ object Events {
            |       ROUND(p, 6) AS p_ph, p < 0.05 AS violated
            |FROM pp""".stripMargin))
 
+  /** Q359 — MULTI-covariate CUPED ([[graft.ops.Cuped.cupedMulti]]):
+    * q346's variance reduction with TWO pre-period covariates (clicks
+    * AND views before the calendar midpoint) adjusting the post-period
+    * purchase metric — θ = VarX⁻¹·Cov(X,y) pooled, strictly more
+    * variance removed than either covariate alone (spec-pinned; the
+    * p = 1 case reproduces q346's estimator exactly). Moments are
+    * integer-valued sums (exact in both engines); the oracle solves the
+    * 2×2 system in closed form (det/adjugate) and mirrors the per-arm
+    * adjusted-variance arithmetic term for term, so a wrong cross-term,
+    * a per-arm θ, or a flipped adjugate sign hash-fails. */
+  val q359 = QueryDef(
+    "q359_cuped_multi",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+      val subjects = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click" && col("us") <= col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("x1"),
+          sum(when(col("event_type") === "view" && col("us") <= col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("x2"),
+          sum(when(col("event_type") === "purchase" && col("us") > col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("y"))
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+          col("x1"), col("x2"), col("y"))
+      graft.ops.Cuped.cupedMulti(subjects, "arm", "y", Seq("x1", "x2"), focal = "1")
+        .select(
+          col("n_a"), col("n_b"),
+          r6(element_at(col("theta"), 1)).as("theta_1"),
+          (r6(element_at(col("theta"), 2)) + lit(0.0)).as("theta_2"),
+          (r6(col("delta_raw")) + lit(0.0)).as("delta_raw"),
+          r6(col("se_raw")).as("se_raw"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          r6(col("var_reduction")).as("var_reduction"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS VARCHAR) AS arm,
+           |             CAST(SUM(CASE WHEN event_type='click' AND us <= mid
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) AS x1,
+           |             CAST(SUM(CASE WHEN event_type='view' AND us <= mid
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) AS x2,
+           |             CAST(SUM(CASE WHEN event_type='purchase' AND us > mid
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) AS y
+           |      FROM e CROSS JOIN m GROUP BY user_id,
+           |           CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |             CAST(user_id AS VARCHAR)),1,4)) AS INTEGER) % 2 AS VARCHAR)),
+           |mo AS (SELECT
+           |  CAST(SUM(CASE WHEN arm='1' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |  CAST(SUM(CASE WHEN arm='0' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |  SUM(CASE WHEN arm='1' THEN y ELSE 0 END) AS sy_a,
+           |  SUM(CASE WHEN arm='1' THEN y*y ELSE 0 END) AS syy_a,
+           |  SUM(CASE WHEN arm='1' THEN x1 ELSE 0 END) AS sx1_a,
+           |  SUM(CASE WHEN arm='1' THEN x2 ELSE 0 END) AS sx2_a,
+           |  SUM(CASE WHEN arm='1' THEN x1*x1 ELSE 0 END) AS s11_a,
+           |  SUM(CASE WHEN arm='1' THEN x1*x2 ELSE 0 END) AS s12_a,
+           |  SUM(CASE WHEN arm='1' THEN x2*x2 ELSE 0 END) AS s22_a,
+           |  SUM(CASE WHEN arm='1' THEN x1*y ELSE 0 END) AS sy1_a,
+           |  SUM(CASE WHEN arm='1' THEN x2*y ELSE 0 END) AS sy2_a,
+           |  SUM(CASE WHEN arm='0' THEN y ELSE 0 END) AS sy_b,
+           |  SUM(CASE WHEN arm='0' THEN y*y ELSE 0 END) AS syy_b,
+           |  SUM(CASE WHEN arm='0' THEN x1 ELSE 0 END) AS sx1_b,
+           |  SUM(CASE WHEN arm='0' THEN x2 ELSE 0 END) AS sx2_b,
+           |  SUM(CASE WHEN arm='0' THEN x1*x1 ELSE 0 END) AS s11_b,
+           |  SUM(CASE WHEN arm='0' THEN x1*x2 ELSE 0 END) AS s12_b,
+           |  SUM(CASE WHEN arm='0' THEN x2*x2 ELSE 0 END) AS s22_b,
+           |  SUM(CASE WHEN arm='0' THEN x1*y ELSE 0 END) AS sy1_b,
+           |  SUM(CASE WHEN arm='0' THEN x2*y ELSE 0 END) AS sy2_b
+           | FROM s),
+           |th AS (SELECT *,
+           |  CAST(n_a + n_b AS DOUBLE) AS n,
+           |  (s11_a + s11_b) - (sx1_a + sx1_b)*(sx1_a + sx1_b)/CAST(n_a + n_b AS DOUBLE) AS a11,
+           |  (s12_a + s12_b) - (sx1_a + sx1_b)*(sx2_a + sx2_b)/CAST(n_a + n_b AS DOUBLE) AS a12,
+           |  (s22_a + s22_b) - (sx2_a + sx2_b)*(sx2_a + sx2_b)/CAST(n_a + n_b AS DOUBLE) AS a22,
+           |  (sy1_a + sy1_b) - (sx1_a + sx1_b)*(sy_a + sy_b)/CAST(n_a + n_b AS DOUBLE) AS b1,
+           |  (sy2_a + sy2_b) - (sx2_a + sx2_b)*(sy_a + sy_b)/CAST(n_a + n_b AS DOUBLE) AS b2
+           | FROM mo),
+           |tt AS (SELECT *,
+           |  (a22*b1 - a12*b2)/(a11*a22 - a12*a12) AS t1,
+           |  (a11*b2 - a12*b1)/(a11*a22 - a12*a12) AS t2
+           | FROM th),
+           |fin AS (SELECT *,
+           |  sy_a/n_a - sy_b/n_b AS delta_raw,
+           |  (sy_a/n_a - (t1*(sx1_a/n_a - (sx1_a+sx1_b)/n)
+           |               + t2*(sx2_a/n_a - (sx2_a+sx2_b)/n)))
+           |  - (sy_b/n_b - (t1*(sx1_b/n_b - (sx1_a+sx1_b)/n)
+           |                 + t2*(sx2_b/n_b - (sx2_a+sx2_b)/n))) AS delta_cuped,
+           |  (syy_a - sy_a*sy_a/n_a)/(n_a - 1.0) AS vy_a,
+           |  (syy_b - sy_b*sy_b/n_b)/(n_b - 1.0) AS vy_b,
+           |  ((syy_a - sy_a*sy_a/n_a)/(n_a - 1.0)
+           |   - 2*t1*((sy1_a - sx1_a*sy_a/n_a)/(n_a - 1.0))
+           |   - 2*t2*((sy2_a - sx2_a*sy_a/n_a)/(n_a - 1.0))
+           |   + t1*t1*((s11_a - sx1_a*sx1_a/n_a)/(n_a - 1.0))
+           |   + 2*t1*t2*((s12_a - sx1_a*sx2_a/n_a)/(n_a - 1.0))
+           |   + t2*t2*((s22_a - sx2_a*sx2_a/n_a)/(n_a - 1.0))) AS va_a,
+           |  ((syy_b - sy_b*sy_b/n_b)/(n_b - 1.0)
+           |   - 2*t1*((sy1_b - sx1_b*sy_b/n_b)/(n_b - 1.0))
+           |   - 2*t2*((sy2_b - sx2_b*sy_b/n_b)/(n_b - 1.0))
+           |   + t1*t1*((s11_b - sx1_b*sx1_b/n_b)/(n_b - 1.0))
+           |   + 2*t1*t2*((s12_b - sx1_b*sx2_b/n_b)/(n_b - 1.0))
+           |   + t2*t2*((s22_b - sx2_b*sx2_b/n_b)/(n_b - 1.0))) AS va_b
+           | FROM tt)
+           |SELECT n_a, n_b,
+           |  ROUND(t1, 6) AS theta_1, ROUND(t2, 6) + 0 AS theta_2,
+           |  ROUND(delta_raw, 6) + 0 AS delta_raw,
+           |  ROUND(SQRT(vy_a/n_a + vy_b/n_b), 6) AS se_raw,
+           |  ROUND(delta_cuped, 6) + 0 AS delta_cuped,
+           |  ROUND(SQRT(va_a/n_a + va_b/n_b), 6) AS se_cuped,
+           |  ROUND(1.0 - (va_a/n_a + va_b/n_b)/(vy_a/n_a + vy_b/n_b), 6)
+           |    AS var_reduction
+           |FROM fin""".stripMargin))
+
   /** Q354 — isolation-forest anomaly screen
     * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
     * vectors (event count, mean/spread of value, type diversity) scored
@@ -3412,7 +3531,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356, q357, q358)
+      q355, q356, q357, q358, q359)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

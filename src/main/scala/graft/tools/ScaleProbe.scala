@@ -68,7 +68,9 @@ object ScaleProbe {
     // pass adds two as-of joins + one keyed fold on top of the fit
     "q357_cox_robust_cluster",
     // r15: PH-assumption score test — grid arithmetic off the fit
-    "q358_cox_ph_test")
+    "q358_cox_ph_test",
+    // r15: multi-covariate CUPED — one wider moments pass, p×p driver solve
+    "q359_cuped_multi")
 
   /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
     * restricts to the named queries and skips the q211/q88 volume-driver

@@ -69,6 +69,44 @@ class CupedSpec extends SparkSuite {
     assert(rc.getAs[Double]("var_reduction") == 0.0)
   }
 
+  test("cupedMulti: p=1 reproduces cuped exactly; a second informative covariate only helps") {
+    val rnd = new scala.util.Random(53)
+    val subjects = (1 to 600).map { i =>
+      val arm = if (i % 2 == 0) "1" else "0"
+      val x1 = rnd.nextInt(20).toDouble
+      val x2 = rnd.nextInt(10).toDouble
+      // y depends on BOTH pre-period metrics plus a true effect of 1
+      val y = 0.5 * x1 + 0.8 * x2 + (if (arm == "1") 1.0 else 0.0) +
+        rnd.nextGaussian()
+      (arm, x1, x2, y)
+    }.toDF("arm", "x1", "x2", "y")
+    val single = Cuped.cuped(subjects, "arm", "y", "x1", focal = "1").head
+    val multi1 = Cuped.cupedMulti(subjects, "arm", "y", Seq("x1"), focal = "1").head
+    Seq("delta_raw", "se_raw", "delta_cuped", "se_cuped", "var_reduction")
+      .foreach { c =>
+        assert(math.abs(single.getAs[Double](c) - multi1.getAs[Double](c)) < 1e-12,
+          s"$c: ${single.getAs[Double](c)} vs ${multi1.getAs[Double](c)}")
+      }
+    assert(math.abs(single.getAs[Double]("theta") -
+      multi1.getAs[Seq[Double]]("theta").head) < 1e-12)
+    val multi2 = Cuped.cupedMulti(subjects, "arm", "y", Seq("x1", "x2"),
+      focal = "1").head
+    assert(multi2.getAs[Double]("se_cuped") < multi1.getAs[Double]("se_cuped"),
+      "a second informative covariate must shrink the SE further")
+    assert(multi2.getAs[Double]("var_reduction") >
+      multi1.getAs[Double]("var_reduction"))
+    // both estimators still recover the planted effect of 1
+    assert(math.abs(multi2.getAs[Double]("delta_cuped") - 1.0) <
+      4 * multi2.getAs[Double]("se_cuped"))
+    // a collinear covariate refuses by name
+    val dup = subjects.withColumn("x3",
+      org.apache.spark.sql.functions.col("x1") * 2.0)
+    val e = intercept[IllegalArgumentException](
+      Cuped.cupedMulti(dup, "arm", "y", Seq("x1", "x3"), focal = "1"))
+    assert(e.getMessage.contains("collinear") || e.getMessage.contains("singular"),
+      e.getMessage)
+  }
+
   test("a third arm refuses; tiny arms refuse") {
     val three = Seq(("0", 1.0, 1.0), ("1", 2.0, 2.0), ("2", 3.0, 3.0),
       ("0", 2.0, 1.0), ("1", 1.0, 2.0), ("2", 2.0, 3.0))
