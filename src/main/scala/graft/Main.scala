@@ -252,9 +252,13 @@ object Main {
       val firstConv = ev.filter(col("event_type") === "purchase")
         .join(entry, "user_id").filter(col("us") >= col("entry_us"))
         .groupBy("user_id").agg(min(col("us")).as("conv_us"))
-      val clicks = ev.groupBy("user_id").agg(count(lit(1)).as("activity"))
+      // PRE-period activity only: a CUPED covariate must be fixed before
+      // the unit enters the experiment, or it absorbs part of the effect
+      // (post-treatment adjustment) — count events strictly before entry
+      val clicks = ev.join(entry, "user_id").filter(col("us") < col("entry_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("activity"))
       val subjects = entry.join(firstConv, Seq("user_id"), "left")
-        .join(clicks, "user_id")
+        .join(clicks, Seq("user_id"), "left")
         .select(
           col("user_id"),
           when((conv(substring(md5(concat(lit("ab-v1:"),
@@ -266,7 +270,7 @@ object Main {
           ((col("conv_us").isNotNull) &&
             (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
             .cast("int").as("conv"),
-          col("activity").cast("double").as("activity"))
+          coalesce(col("activity"), lit(0L)).cast("double").as("activity"))
         .cache()
       // a section's REFUSAL is its honest answer (e.g. degenerate
       // subgroups at tiny SF) — print the diagnosis, keep reporting

@@ -37,6 +37,13 @@ object Hte {
       s"homogeneity is a two-arm analysis, got ${arms.length} arms: " +
         arms.sorted.mkString(", "))
     require(arms.contains(focal), s"focal arm '$focal' not present in $armCol")
+    // one segment means zero heterogeneity dof — Q is identically 0 and
+    // p would be the 0/0 NaN; refuse like every other degenerate design
+    val segs = subjects.select(col(segmentCol).cast("string").as("s"))
+      .distinct().limit(2).collect()
+    require(segs.length >= 2,
+      s"homogeneity needs at least two segments in $segmentCol (k - 1 dof); " +
+        "a single segment has no cross-segment contrast to test")
     val isF = col(armCol).cast("string") === focal
     val grid = subjects
       .groupBy(col(segmentCol).cast("string").as("segment"))

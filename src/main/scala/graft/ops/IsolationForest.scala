@@ -104,15 +104,22 @@ object IsolationForest {
 
   /** Append `if_score` ∈ (0,1) to `df`. `idCol` seeds the deterministic
     * sample ranking (any stable unique-ish column); `featureCols` must
-    * be numeric and non-null (null features refuse at cast time under
-    * ANSI — impute first, q239-style). */
+    * be numeric and non-null — a null feature REFUSES at the row via an
+    * explicit `raise_error` guard (a bare cast would pass the null
+    * through and the array unboxing would silently impute 0.0, scoring
+    * a point that was never observed there — impute first, q239-style). */
   def score(
       df: DataFrame, idCol: String, featureCols: Seq[String],
       nTrees: Int = 100, sampleSize: Int = 256, seed: Long = 42L): DataFrame = {
     require(featureCols.nonEmpty, "isolation forest needs at least one feature")
     require(nTrees >= 1 && sampleSize >= 2,
       s"need nTrees >= 1 and sampleSize >= 2, got $nTrees / $sampleSize")
-    val feats = array(featureCols.map(c => col(c).cast("double")): _*)
+    val feats = array(featureCols.map(c =>
+      when(col(c).isNull, raise_error(lit(
+        s"isolation forest feature '$c' is null — features must be imputed " +
+          "before scoring (zero-imputation would score a point that was " +
+          "never observed)")))
+        .otherwise(col(c).cast("double"))): _*)
     // deterministic sample: one distributed TopK on the md5 rank
     val sample = df
       .select(feats.as("fv"),

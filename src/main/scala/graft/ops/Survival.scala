@@ -155,8 +155,13 @@ object Survival {
       focal: String, iters: Int = 8, maxTimes: Int = 100000): DataFrame = {
     val spark = subjects.sparkSession
     import spark.implicits._
+    // the cap is IN the plan (CollectLimit), not just checked after: the
+    // driver never receives more than maxTimes + 1 rows even when the
+    // refusal fires — the bound must protect against exactly the grid it
+    // refuses (the BayesAb.arm-probe idiom)
     val grid = pooledByTime(subjects, gCol, tCol, eventCol, focal)
       .select("t", "d_t", "n_t", "d_a", "n_a")
+      .limit(maxTimes + 1)
       .collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(identity)
@@ -478,16 +483,6 @@ object Survival {
     }.toDF("stratum", "t", "profile", "h0_cum", "survival")
   }
 
-  /** Restricted mean survival time per (stratum, profile) from
-    * [[coxSurvival]] curves — "how many event-free days does each arm
-    * average by day τ", the readout a hazard ratio alone cannot give
-    * (and the honest summary when proportionality is doubtful). Step
-    * integration of the right-continuous curve: S = 1 on [0, t₁), then
-    * each step contributes S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ) — q314's KM
-    * convention, applied to ADJUSTED curves. The window is PARTITIONED
-    * by (stratum, profile) — distributes over any profile count; the
-    * input is already the grid-sized [[coxSurvival]] output. Returns
-    * (stratum, profile, horizon, rmst). */
   /** Proportional-hazards ASSUMPTION test (the `cox.zph` analog) — the
     * diagnostic every Cox readout should clear before its hazard ratio
     * is quoted: a SCORE TEST of β_k(t) = β_k + θ_k·g(t) at θ = 0 with
@@ -582,11 +577,24 @@ object Survival {
     }.toDF("covariate", "chi2", "p_ph", "violated")
   }
 
+  /** Restricted mean survival time per (stratum, profile) from
+    * [[coxSurvival]] curves — "how many event-free days does each arm
+    * average by day τ", the readout a hazard ratio alone cannot give
+    * (and the honest summary when proportionality is doubtful). Step
+    * integration of the right-continuous curve: S = 1 on [0, t₁), then
+    * each step contributes S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ) — q314's KM
+    * convention, applied to ADJUSTED curves. A group whose FIRST event
+    * time already exceeds the horizon has S = 1 on all of [0, τ] and
+    * reports rmst = τ exactly (the distinct group keys are joined back
+    * rather than silently dropped by the horizon filter). The window is
+    * PARTITIONED by (stratum, profile) — distributes over any profile
+    * count; the input is already the grid-sized [[coxSurvival]] output.
+    * Returns (stratum, profile, horizon, rmst). */
   def rmstFromCurves(curves: DataFrame, horizon: Long): DataFrame = {
     require(horizon > 0, s"horizon must be positive, got $horizon")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum", "profile").orderBy("t")
-    curves
+    val integrated = curves
       .filter(col("t") <= horizon)
       .withColumn("next_t",
         least(coalesce(lead(col("t"), 1).over(w), lit(horizon)), lit(horizon)))
@@ -594,10 +602,13 @@ object Survival {
         col("survival") * (col("next_t") - col("t")).cast("double"))
       .groupBy("stratum", "profile")
       .agg(min(col("t")).as("t1"), sum(col("area")).as("tail_area"))
+    curves.select("stratum", "profile").distinct()
+      .join(integrated, Seq("stratum", "profile"), "left")
       .select(
         col("stratum"), col("profile"), lit(horizon).as("horizon"),
-        (least(col("t1"), lit(horizon)).cast("double") + col("tail_area"))
-          .as("rmst"))
+        coalesce(
+          least(col("t1"), lit(horizon)).cast("double") + col("tail_area"),
+          lit(horizon.toDouble)).as("rmst"))
   }
 
   /** The shared Newton fit behind [[coxPH]] and [[coxSurvival]]:
@@ -630,25 +641,47 @@ object Survival {
     // start times, and every downstream formula is untouched. The plain
     // path multiplies by a literal 1.0 (bitwise identity — the
     // q336/q339/q343/q348 oracle replays are unaffected).
-    def frame(t: org.apache.spark.sql.Column, ev: org.apache.spark.sql.Column,
-        sign: Double) =
-      subjects.select(
+    def frame(src: DataFrame, t: org.apache.spark.sql.Column,
+        ev: org.apache.spark.sql.Column, sign: Double) =
+      src.select(
         strataCol.fold(lit("__all"))(c => col(c).cast("string")).as("g") +:
           t.cast("long").as("t") +:
           ev.cast("int").as("ev") +:
           lit(sign).as("sign") +:
           xCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"x$i") }: _*)
+    // Interval-validity check rides the FIRST Newton pass as an
+    // Observation (the QualityGate zero-extra-job discipline) instead of
+    // a separate probe job: the stop-row leg observes the violation
+    // count, and the require fires right after the first grid collect —
+    // before any result can leave the fit — while costing zero jobs.
+    val cpObs = startCol.map(_ =>
+      new org.apache.spark.sql.Observation(
+        s"cox-cp-validity-${java.util.UUID.randomUUID()}"))
     val subj = (startCol match {
-      case None => frame(col(tCol), col(eventCol), 1.0)
+      case None => frame(subjects, col(tCol), col(eventCol), 1.0)
       case Some(sc) =>
-        val bad = subjects.filter(col(sc).cast("long") >= col(tCol).cast("long"))
-          .limit(3).count()
-        require(bad == 0,
-          s"counting-process intervals need $sc < $tCol on every row — " +
-            s"$bad (or more) rows violate it; zero-length intervals carry no risk time")
-        frame(col(tCol), col(eventCol), 1.0)
-          .unionAll(frame(col(sc), lit(0), -1.0))
+        // the observation attaches BELOW the stop-leg projection (which
+        // drops the start column), so the observed aggregate still sees it
+        val observed = subjects.observe(cpObs.get,
+          coalesce(org.apache.spark.sql.functions.sum(
+            when(col(sc).cast("long") >= col(tCol).cast("long"), 1L)
+              .otherwise(0L)), lit(0L)).as("bad"))
+        frame(observed, col(tCol), col(eventCol), 1.0)
+          .unionAll(frame(subjects, col(sc), lit(0), -1.0))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cpChecked = false
+    def checkIntervals(): Unit =
+      if (!cpChecked) {
+        cpChecked = true
+        (startCol, cpObs) match {
+          case (Some(sc), Some(obs)) =>
+            val bad = obs.get("bad").asInstanceOf[Long]
+            require(bad == 0,
+              s"counting-process intervals need $sc < $tCol on every row — " +
+                s"$bad rows violate it; zero-length intervals carry no risk time")
+          case _ => ()
+        }
+      }
     try {
       val pairs = (for { k <- 0 until p; l <- k until p } yield (k, l)).toArray
       // symmetric flat indices: pIdx(k)(l) into `pairs`; tIdx(k)(l)(m)
@@ -701,10 +734,16 @@ object Survival {
                sum(col(s"x$k") * col(s"x$l") * col(s"x$m") * evW)
                  .as(s"e3_${k}_${l}_$m")
              }))
+        // `.limit(maxTimes + 1)` puts the declared-judgement cap IN the
+        // plan: a pathological (microsecond-granular) grid refuses after
+        // the driver has received maxTimes + 1 rows, never the full grid
         val rows = subj.withColumn("w", wExpr)
           .withColumn("sw", col("sign") * col("w"))
           .groupBy("g", "t").agg(aggs.head, aggs.tail: _*)
+          .limit(maxTimes + 1)
           .collect()
+        checkIntervals() // first pass materialized subj: the observed
+                         // validity count is now available, zero jobs
         require(rows.length <= maxTimes,
           s"cox grid has ${rows.length} (stratum, time) cells > maxTimes=$maxTimes — " +
             "the driver solve is bounded by declared judgement; coarsen the duration " +

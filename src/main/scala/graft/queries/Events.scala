@@ -2753,7 +2753,7 @@ object Events {
         .groupBy("user_id")
         .agg(
           count(lit(1)).cast("double").as("n_ev"),
-          avg(col("value")).as("mean_v"),
+          coalesce(avg(col("value")), lit(0.0)).as("mean_v"),
           coalesce(stddev_samp(col("value")), lit(0.0)).as("sd_v"),
           countDistinct(col("event_type")).cast("double").as("n_types"))
       graft.ops.IsolationForest.score(

@@ -114,4 +114,13 @@ class DesignSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("mde_rel")))
     assert(r.isNullAt(r.fieldIndex("n_needed")))
   }
+
+  test("homogeneity: a single segment refuses (zero heterogeneity dof)") {
+    import spark.implicits._
+    val one = Seq(("s1", "t", 1), ("s1", "c", 0), ("s1", "t", 0), ("s1", "c", 1))
+      .toDF("segment", "arm", "conv")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Hte.homogeneity(one, "segment", "arm", "conv", "t"))
+    assert(e.getMessage.contains("two segments"), e.getMessage)
+  }
 }

@@ -59,4 +59,16 @@ class IsolationForestSpec extends SparkSuite {
       IsolationForest.score(df, "id", Seq("x"), sampleSize = 1))
       .getMessage.contains("sampleSize"))
   }
+
+  test("a null feature refuses by name instead of silently imputing zero") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0), 2.0), (2L, None: Option[Double], 3.0),
+      (3L, Some(4.0), 5.0)).toDF("id", "a", "b")
+    val e = intercept[Exception](
+      IsolationForest.score(df, "id", Seq("a", "b"), nTrees = 2, sampleSize = 2)
+        .collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("'a' is null"), msgs)
+  }
 }

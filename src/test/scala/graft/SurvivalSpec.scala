@@ -716,4 +716,79 @@ class SurvivalSpec extends SparkSuite {
       .orderBy("t").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("the maxTimes refusal is plan-bounded: the grid collect carries CollectLimit maxTimes+1") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // ResultQueryStage is a leaf wrapper, so node-class traversal stops
+    // above the limit — the executed plan STRING carries the whole tree
+    val limits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val t = qe.executedPlan.treeString
+        if (t.contains("HashAggregate")) limits.add(t)
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // pathological microsecond-granular grid: 400 distinct event times
+      val fine = (1 to 400).map(i => (i.toLong, 1, (i % 7).toDouble, if (i % 2 == 0) "A" else "B"))
+        .toDF("t", "e", "x", "grp")
+      val e1 = intercept[IllegalArgumentException](
+        Survival.coxPH(fine, Seq("x"), "t", "e", maxTimes = 5))
+      assert(e1.getMessage.contains("maxTimes"))
+      val e2 = intercept[IllegalArgumentException](
+        Survival.coxTwoGroup(fine, "grp", "t", "e", "A", maxTimes = 5))
+      assert(e2.getMessage.contains("maxTimes"))
+      // listener delivery is async: poll until the collect plans arrive
+      val deadline = System.nanoTime() + 15000000000L
+      while (limits.size() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val got = limits.asScala.toList
+      assert(got.count(_.contains("CollectLimit 6")) >= 2,
+        s"both grid collects must be CollectLimit 6 (maxTimes+1) plans; saw " +
+          s"${got.size} aggregate plans, heads: ${got.map(_.linesIterator.take(4).mkString(" | ")).mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("counting-process validity probe rides the first Newton pass: zero extra jobs") {
+    def countJobs(group: String)(action: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try action
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 120).map { i =>
+      (1L + i % 13, if (rnd.nextBoolean()) 1 else 0, (i % 3).toDouble)
+    }
+    val plain = rows.toDF("t", "e", "x")
+    val iv = rows.map { case (t, e, x) => (-1L, t, e, x) }.toDF("t0", "t", "e", "x")
+    val plainJobs = countJobs("cox_plain")(
+      Survival.coxPH(plain, Seq("x"), "t", "e", ties = "breslow").collect())
+    val cpJobs = countJobs("cox_cp")(
+      Survival.coxPH(iv, Seq("x"), "t", "e", ties = "breslow",
+        startCol = Some("t0")).collect())
+    assert(cpJobs == plainJobs,
+      s"counting-process fit must add no probe job: plain=$plainJobs cp=$cpJobs")
+    // the observed check still refuses zero-length intervals, by count
+    val bad = Seq((5L, 5L, 1, 1.0), (-1L, 3L, 1, 0.0), (-1L, 4L, 0, 1.0))
+      .toDF("t0", "t", "e", "x")
+    val e = intercept[IllegalArgumentException](
+      Survival.coxPH(bad, Seq("x"), "t", "e", ties = "breslow",
+        startCol = Some("t0")).collect())
+    assert(e.getMessage.contains("zero-length"), e.getMessage)
+  }
+
+  test("rmstFromCurves: a group whose first event exceeds the horizon reports rmst = horizon") {
+    val curves = Seq(
+      ("__all", 2L, "p", 0.3, 0.8),
+      ("__all", 9L, "q", 0.2, 0.9)).toDF("stratum", "t", "profile", "h0_cum", "survival")
+    val r = Survival.rmstFromCurves(curves, horizon = 5L)
+      .collect().map(r => r.getAs[String]("profile") -> r.getAs[Double]("rmst")).toMap
+    assert(math.abs(r("p") - (2.0 + 0.8 * 3)) < 1e-12)
+    assert(r("q") == 5.0,
+      s"S = 1 through the horizon must integrate to the horizon, got ${r("q")}")
+  }
 }
