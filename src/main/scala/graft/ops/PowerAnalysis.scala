@@ -67,4 +67,75 @@ object PowerAnalysis {
       when(col("mean") > 0, mdeAbs / col("mean")).as("mde_rel"),
       nNeeded.as("n_needed"))
   }
+
+  /** CLUSTER-randomized design arithmetic: when the experiment assigns
+    * whole clusters (geos, stores, accounts), the iid [[mdeTwoSample]]
+    * numbers are optimistic by the DESIGN EFFECT deff = V̂_cl(ȳ)·n/σ²
+    * (the Kish factor, ≈ 1 + (n̄_c − 1)·ICC): subjects within a cluster
+    * co-move, so each additional subject buys less than one subject of
+    * information. V̂_cl(ȳ) is the one-way cluster-robust variance of
+    * the overall mean — m/(m−1)·Σ_c (S_c − n_c·ȳ)²/n² from per-cluster
+    * SUMS, the same Liang-Zeger fold as [[Cuped]]'s clustered SEs — and
+    * an arm holding fraction q of the m clusters has variance
+    * V̂_cl(ȳ)/q, so MDE = (z_{α/2}+z_{power})·√(V̂_cl·(1/q+1/(1−q)))
+    * and the required totals scale by deff. Scale shape: ONE keyed
+    * aggregation to the cluster grid, ONE global aggregation over it,
+    * closed-form column arithmetic — no collect.
+    *
+    * One row: (n, m, mean, variance, var_cluster_mean, deff, z_alpha,
+    * z_power, mde_abs, mde_rel, n_needed, m_needed) — `n_needed` total
+    * SUBJECTS, `m_needed` total CLUSTERS (at the observed mean cluster
+    * size) for `targetRelLift` at this α/power. */
+  def mdeTwoSampleClustered(
+      df: DataFrame, valueCol: String, clusterCol: String,
+      alpha: Double = 0.05, power: Double = 0.8, split: Double = 0.5,
+      targetRelLift: Double = 0.02): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(power >= 0.5 && power < 1,
+      s"power must be in [0.5, 1) (the probit approximation's domain), got $power")
+    require(split > 0 && split < 1, s"split must be in (0,1), got $split")
+    require(targetRelLift > 0, s"targetRelLift must be positive, got $targetRelLift")
+    val v = col(valueCol).cast("double")
+    val grid = df.groupBy(col(clusterCol).cast("string").as("cl"))
+      .agg(count(v).as("n_c"), sum(v).as("s_c"), sum(v * v).as("ss_c"))
+    val agg = grid.agg(
+      sum(col("n_c")).as("n"), count(lit(1)).as("m"),
+      sum(col("s_c")).as("sy"), sum(col("ss_c")).as("syy"),
+      sum(col("s_c") * col("s_c")).as("cyy"),
+      sum(col("s_c") * col("n_c")).as("cyn"),
+      sum(col("n_c") * col("n_c")).as("nn"))
+    val mean = col("sy") / col("n")
+    val variance = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
+    // a single cluster has no between-cluster variance to estimate —
+    // the m−1 denominator is the refusal, surfaced by name; the guard
+    // lives INSIDE the reported column so pruning can never drop it
+    val varClusterMean = when(col("m") < 2, raise_error(lit(
+        "mdeTwoSampleClustered needs at least 2 clusters — one cluster " +
+          "has no between-cluster variance (check the cluster column)")))
+      .otherwise(col("m").cast("double") / (col("m") - 1) *
+        (col("cyy") - lit(2.0) * mean * col("cyn") + mean * mean * col("nn")) /
+        (col("n") * col("n")))
+    val zA = probitUpper(lit(alpha / 2.0))
+    val zB = probitUpper(lit(1.0 - power))
+    val designVar = varClusterMean * (lit(1.0 / split) + lit(1.0 / (1.0 - split)))
+    val mdeAbs = (zA + zB) * sqrt(designVar)
+    val nNeeded = when(col("mean") > 0,
+      ceil((col("z_alpha") + col("z_power")) * (col("z_alpha") + col("z_power")) *
+        col("n") * col("var_cluster_mean") *
+        lit(1.0 / split + 1.0 / (1.0 - split)) /
+        ((lit(targetRelLift) * col("mean")) * (lit(targetRelLift) * col("mean"))))
+        .cast("long"))
+    agg
+      .select(
+        col("n"), col("m"), mean.as("mean"), variance.as("variance"),
+        varClusterMean.as("var_cluster_mean"),
+        (varClusterMean * col("n") / variance).as("deff"),
+        zA.as("z_alpha"), zB.as("z_power"),
+        mdeAbs.as("mde_abs"))
+      .withColumn("mde_rel", when(col("mean") > 0, col("mde_abs") / col("mean")))
+      .withColumn("n_needed", nNeeded)
+      .withColumn("m_needed",
+        when(col("mean") > 0,
+          ceil(col("n_needed") * col("m") / col("n")).cast("long")))
+  }
 }

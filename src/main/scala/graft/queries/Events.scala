@@ -2735,6 +2735,151 @@ object Events {
            |    AS var_reduction
            |FROM fin""".stripMargin))
 
+  /** Q360 — CLUSTER-randomized CUPED ([[graft.ops.Cuped.cuped]] with
+    * `clusterCol`, VERDICT r15 item 2): users fold into GEO clusters
+    * (user_id mod 29) and the arm is assigned per CLUSTER (parity — a
+    * deterministic stand-in for the cluster-level coin that stays
+    * populated at sf0.001's 15 users), so the
+    * within-cluster correlation that makes iid Welch SEs dishonest is
+    * structurally present; the Liang-Zeger one-way fold reports
+    * robust_se_raw/robust_se_cuped beside them from per-cluster SUMS —
+    * ONE keyed aggregation to the cluster grid, ONE global pass, no
+    * collect (the q357 sandwich discipline for the mean-difference
+    * family). All moments are integer-valued doubles (counts), so both
+    * engines' sums are EXACT and every closed-form output — θ, both
+    * deltas, iid and robust SEs — replays deterministically: the oracle
+    * mirrors the cluster fold term for term (T_c = sy_c − θ·sx_c,
+    * V = m/(m−1)·(ΣT² − 2t̄ΣTn + t̄²Σn²)/n²). CupedSpec pins the
+    * structural invariances (singleton clusters ≡ iid exactly; 4×
+    * within-cluster duplication halves the iid SE but leaves the robust
+    * SE unchanged; both-arm clusters refuse). */
+  val q360 = QueryDef(
+    "q360_cuped_cluster",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid"))
+      val subjects = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click" && col("us") <= col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("x"),
+          sum(when(col("event_type") === "purchase" && col("us") > col("mid"), 1L)
+            .otherwise(0L)).cast("double").as("y"))
+        .select(
+          (col("user_id") % 29).cast("string").as("cl"),
+          ((col("user_id") % 29) % 2).cast("string").as("arm"),
+          col("x"), col("y"))
+      graft.ops.Cuped.cuped(subjects, "arm", "y", "x", focal = "1",
+          clusterCol = Some("cl"))
+        .select(
+          col("n_a"), col("n_b"), col("m_a"), col("m_b"),
+          (r6(col("theta")) + lit(0.0)).as("theta"),
+          (r6(col("delta_raw")) + lit(0.0)).as("delta_raw"),
+          r6(col("se_raw")).as("se_raw"),
+          r6(col("robust_se_raw")).as("robust_se_raw"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          r6(col("robust_se_cuped")).as("robust_se_cuped"),
+          (r6(col("var_reduction")) + lit(0.0)).as("var_reduction"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+           |pu AS (SELECT user_id, CAST(user_id % 29 AS VARCHAR) AS cl,
+           |         CAST(CAST((user_id % 29) % 2 AS VARCHAR) AS VARCHAR) AS arm,
+           |         CAST(SUM(CASE WHEN event_type='click' AND us <= mid
+           |                       THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+           |         CAST(SUM(CASE WHEN event_type='purchase' AND us > mid
+           |                       THEN 1 ELSE 0 END) AS DOUBLE) AS y
+           |       FROM e CROSS JOIN m GROUP BY 1, 2, 3),
+           |cg AS (SELECT cl, arm,
+           |         COUNT(*) AS n_c, SUM(y) AS sy, SUM(x) AS sx,
+           |         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+           |       FROM pu GROUP BY 1, 2),
+           |mo AS (SELECT
+           |  CAST(SUM(CASE WHEN arm='1' THEN 1 ELSE 0 END) AS BIGINT) AS m_a,
+           |  CAST(SUM(CASE WHEN arm<>'1' THEN 1 ELSE 0 END) AS BIGINT) AS m_b,
+           |  CAST(SUM(CASE WHEN arm='1' THEN n_c ELSE 0 END) AS BIGINT) AS n_a,
+           |  CAST(SUM(CASE WHEN arm<>'1' THEN n_c ELSE 0 END) AS BIGINT) AS n_b,
+           |  SUM(CASE WHEN arm='1' THEN CAST(n_c*n_c AS DOUBLE) ELSE 0.0 END) AS nn_a,
+           |  SUM(CASE WHEN arm<>'1' THEN CAST(n_c*n_c AS DOUBLE) ELSE 0.0 END) AS nn_b,
+           |  SUM(CASE WHEN arm='1' THEN sy ELSE 0.0 END) AS sy_a,
+           |  SUM(CASE WHEN arm='1' THEN sx ELSE 0.0 END) AS sx_a,
+           |  SUM(CASE WHEN arm='1' THEN sxx ELSE 0.0 END) AS sxx_a,
+           |  SUM(CASE WHEN arm='1' THEN syy ELSE 0.0 END) AS syy_a,
+           |  SUM(CASE WHEN arm='1' THEN sxy ELSE 0.0 END) AS sxy_a,
+           |  SUM(CASE WHEN arm='1' THEN sy*sy ELSE 0.0 END) AS cyy_a,
+           |  SUM(CASE WHEN arm='1' THEN sx*sx ELSE 0.0 END) AS cxx_a,
+           |  SUM(CASE WHEN arm='1' THEN sy*sx ELSE 0.0 END) AS cyx_a,
+           |  SUM(CASE WHEN arm='1' THEN sy*n_c ELSE 0.0 END) AS cyn_a,
+           |  SUM(CASE WHEN arm='1' THEN sx*n_c ELSE 0.0 END) AS cxn_a,
+           |  SUM(CASE WHEN arm<>'1' THEN sy ELSE 0.0 END) AS sy_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sx ELSE 0.0 END) AS sx_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sxx ELSE 0.0 END) AS sxx_b,
+           |  SUM(CASE WHEN arm<>'1' THEN syy ELSE 0.0 END) AS syy_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sxy ELSE 0.0 END) AS sxy_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sy*sy ELSE 0.0 END) AS cyy_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sx*sx ELSE 0.0 END) AS cxx_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sy*sx ELSE 0.0 END) AS cyx_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sy*n_c ELSE 0.0 END) AS cyn_b,
+           |  SUM(CASE WHEN arm<>'1' THEN sx*n_c ELSE 0.0 END) AS cxn_b
+           |  FROM cg),
+           |c1 AS (SELECT *,
+           |  CAST(n_a + n_b AS DOUBLE) AS n,
+           |  sx_a + sx_b AS sx, sy_a + sy_b AS sy,
+           |  sxx_a + sxx_b AS sxx, sxy_a + sxy_b AS sxy
+           |  FROM mo),
+           |c2 AS (SELECT *,
+           |  sx / n AS mx,
+           |  CASE WHEN (sxx - sx*sx/n) > 0.0
+           |       THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) ELSE 0.0 END AS theta
+           |  FROM c1),
+           |c3 AS (SELECT *,
+           |  sy_a / n_a AS my_a, sx_a / n_a AS mx_a,
+           |  (syy_a - sy_a*sy_a/n_a) / (n_a - 1) AS vy_a,
+           |  (sxx_a - sx_a*sx_a/n_a) / (n_a - 1) AS vx_a,
+           |  (sxy_a - sx_a*sy_a/n_a) / (n_a - 1) AS cxy_a,
+           |  sy_b / n_b AS my_b, sx_b / n_b AS mx_b,
+           |  (syy_b - sy_b*sy_b/n_b) / (n_b - 1) AS vy_b,
+           |  (sxx_b - sx_b*sx_b/n_b) / (n_b - 1) AS vx_b,
+           |  (sxy_b - sx_b*sy_b/n_b) / (n_b - 1) AS cxy_b
+           |  FROM c2),
+           |c4 AS (SELECT *,
+           |  vy_a - 2*theta*cxy_a + theta*theta*vx_a AS va_a,
+           |  vy_b - 2*theta*cxy_b + theta*theta*vx_b AS va_b,
+           |  SQRT(vy_a/n_a + vy_b/n_b) AS se_r
+           |  FROM c3),
+           |c5 AS (SELECT *, SQRT(va_a/n_a + va_b/n_b) AS se_c FROM c4),
+           |rb AS (SELECT *,
+           |  CAST(m_a AS DOUBLE)/(m_a - 1) *
+           |    (cyy_a - 2*(sy_a/n_a)*cyn_a + (sy_a/n_a)*(sy_a/n_a)*nn_a) /
+           |    (CAST(n_a AS DOUBLE)*n_a) AS vr0_a,
+           |  CAST(m_b AS DOUBLE)/(m_b - 1) *
+           |    (cyy_b - 2*(sy_b/n_b)*cyn_b + (sy_b/n_b)*(sy_b/n_b)*nn_b) /
+           |    (CAST(n_b AS DOUBLE)*n_b) AS vr0_b,
+           |  CAST(m_a AS DOUBLE)/(m_a - 1) *
+           |    ((cyy_a - 2*theta*cyx_a + theta*theta*cxx_a)
+           |     - 2*((sy_a - theta*sx_a)/n_a)*(cyn_a - theta*cxn_a)
+           |     + ((sy_a - theta*sx_a)/n_a)*((sy_a - theta*sx_a)/n_a)*nn_a) /
+           |    (CAST(n_a AS DOUBLE)*n_a) AS vrc_a,
+           |  CAST(m_b AS DOUBLE)/(m_b - 1) *
+           |    ((cyy_b - 2*theta*cyx_b + theta*theta*cxx_b)
+           |     - 2*((sy_b - theta*sx_b)/n_b)*(cyn_b - theta*cxn_b)
+           |     + ((sy_b - theta*sx_b)/n_b)*((sy_b - theta*sx_b)/n_b)*nn_b) /
+           |    (CAST(n_b AS DOUBLE)*n_b) AS vrc_b
+           |  FROM c5)
+           |SELECT n_a, n_b, m_a, m_b,
+           |  ROUND(theta, 6) + 0 AS theta,
+           |  ROUND(my_a - my_b, 6) + 0 AS delta_raw,
+           |  ROUND(se_r, 6) AS se_raw,
+           |  ROUND(SQRT(vr0_a + vr0_b), 6) AS robust_se_raw,
+           |  ROUND((my_a - theta*(mx_a - mx)) - (my_b - theta*(mx_b - mx)), 6) + 0
+           |    AS delta_cuped,
+           |  ROUND(se_c, 6) AS se_cuped,
+           |  ROUND(SQRT(vrc_a + vrc_b), 6) AS robust_se_cuped,
+           |  ROUND(1.0 - (se_c*se_c)/(se_r*se_r), 6) + 0 AS var_reduction
+           |FROM rb""".stripMargin))
+
   /** Q354 — isolation-forest anomaly screen
     * ([[graft.ops.IsolationForest.score]]): per-user behavioral feature
     * vectors (event count, mean/spread of value, type diversity) scored
@@ -3531,7 +3676,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356, q357, q358, q359)
+      q355, q356, q357, q358, q359, q360)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -2610,6 +2610,75 @@ object Stats {
            |                 /((0.02*mean)*(0.02*mean))) AS BIGINT) AS n_needed
            |FROM a, zz""".stripMargin))
 
+  /** Q361 — CLUSTER-randomized design arithmetic
+    * ([[graft.ops.PowerAnalysis.mdeTwoSampleClustered]], VERDICT r15
+    * item 2): the q352 MDE/required-n pair made honest for experiments
+    * that assign whole clusters (users fold into geo clusters,
+    * user_id mod 53) — the cluster-robust variance of the overall mean
+    * (the same Liang-Zeger fold as q360) replaces σ²/n, the design
+    * effect deff = V̂_cl·n/σ² quantifies how much each extra subject is
+    * discounted, and the required totals come back in BOTH units
+    * (subjects AND clusters). Two aggregations (cluster grid, then
+    * global), closed-form column arithmetic, the shared fixed A&S
+    * 26.2.23 probit — the oracle replays the cluster fold and every
+    * design formula term for term. */
+  val q361 = QueryDef(
+    "q361_mde_cluster",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).cast("double").as("v"))
+        .withColumn("cl", col("user_id") % 53)
+      graft.ops.PowerAnalysis.mdeTwoSampleClustered(perUser, "v", "cl")
+        .select(
+          col("n"), col("m"), r6(col("mean")).as("mean"),
+          r6(col("variance")).as("variance"),
+          r6(col("var_cluster_mean")).as("var_cluster_mean"),
+          r6(col("deff")).as("deff"),
+          r6(col("z_alpha")).as("z_alpha"), r6(col("z_power")).as("z_power"),
+          r6(col("mde_abs")).as("mde_abs"), r6(col("mde_rel")).as("mde_rel"),
+          col("n_needed"), col("m_needed"))
+    },
+    Some("""WITH pu AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS v
+           |            FROM events GROUP BY 1),
+           |cg AS (SELECT user_id % 53 AS cl, COUNT(v) AS n_c,
+           |              SUM(v) AS s_c, SUM(v*v) AS ss_c
+           |       FROM pu GROUP BY 1),
+           |a AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+           |             CAST(COUNT(*) AS BIGINT) AS m,
+           |             SUM(s_c) AS sy, SUM(ss_c) AS syy,
+           |             SUM(s_c*s_c) AS cyy, SUM(s_c*n_c) AS cyn,
+           |             SUM(CAST(n_c*n_c AS DOUBLE)) AS nn
+           |      FROM cg),
+           |ps AS (SELECT 'a' AS role, SQRT(-2.0*LN(0.025)) AS t
+           |       UNION ALL SELECT 'b', SQRT(-2.0*LN(0.2))),
+           |zs AS (SELECT role,
+           |              t - (2.515517 + 0.802853*t + 0.010328*t*t)
+           |                  / (1.0 + 1.432788*t + 0.189269*t*t + 0.001308*t*t*t)
+           |                AS z
+           |       FROM ps),
+           |zz AS (SELECT MAX(CASE WHEN role='a' THEN z END) AS za,
+           |              MAX(CASE WHEN role='b' THEN z END) AS zb
+           |       FROM zs),
+           |c AS (SELECT *, sy/n AS mean,
+           |        (syy - sy*sy/n)/(n - 1) AS variance,
+           |        CAST(m AS DOUBLE)/(m - 1) *
+           |          (cyy - 2.0*(sy/n)*cyn + (sy/n)*(sy/n)*nn) /
+           |          (CAST(n AS DOUBLE)*n) AS vcm
+           |      FROM a),
+           |c2 AS (SELECT *,
+           |        CAST(CEIL((za+zb)*(za+zb)*n*vcm*4.0
+           |                  /((0.02*mean)*(0.02*mean))) AS BIGINT) AS n_needed
+           |       FROM c, zz)
+           |SELECT n, m, ROUND(mean, 6) AS mean, ROUND(variance, 6) AS variance,
+           |       ROUND(vcm, 6) AS var_cluster_mean,
+           |       ROUND(vcm*n/variance, 6) AS deff,
+           |       ROUND(za, 6) AS z_alpha, ROUND(zb, 6) AS z_power,
+           |       ROUND((za+zb)*SQRT(vcm*4.0), 6) AS mde_abs,
+           |       ROUND((za+zb)*SQRT(vcm*4.0)/mean, 6) AS mde_rel,
+           |       n_needed,
+           |       CAST(CEIL(n_needed*m/n) AS BIGINT) AS m_needed
+           |FROM c2""".stripMargin))
+
   /** Q353 — treatment-effect homogeneity across segments
     * ([[graft.ops.Hte.homogeneity]]): the subgroup-fishing gate — the
     * inverse-variance pooled lift of the md5-coin arms' 1-DAY conversion
@@ -2709,5 +2778,5 @@ object Stats {
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353)
+      q341, q342, q350, q352, q353, q361)
 }

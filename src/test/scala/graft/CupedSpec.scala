@@ -119,4 +119,71 @@ class CupedSpec extends SparkSuite {
       Cuped.cuped(tiny, "arm", "y", "x", focal = "1"))
     assert(e2.getMessage.contains("subjects per arm"), e2.getMessage)
   }
+
+  test("clustered: singleton clusters reproduce the iid SEs exactly; points unchanged") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 120).map { i =>
+      val arm = if (i % 2 == 0) "1" else "0"
+      val x = (i % 7).toDouble
+      val y = x * 2 + (if (arm == "1") 1.0 else 0.0) + rnd.nextInt(5)
+      (s"u$i", arm, x, y)
+    }.toDF("cl", "arm", "x", "y")
+    val iid = Cuped.cuped(df, "arm", "y", "x", focal = "1").head
+    val cl = Cuped.cuped(df, "arm", "y", "x", focal = "1", clusterCol = Some("cl")).head
+    // one-row-per-cluster: m/(m-1) * sum((y-ybar)^2)/n^2 IS var_samp/n
+    assert(math.abs(cl.getAs[Double]("robust_se_raw") - iid.getAs[Double]("se_raw")) < 1e-12)
+    assert(math.abs(cl.getAs[Double]("robust_se_cuped") - iid.getAs[Double]("se_cuped")) < 1e-12)
+    assert(math.abs(cl.getAs[Double]("theta") - iid.getAs[Double]("theta")) < 1e-15)
+    assert(math.abs(cl.getAs[Double]("delta_cuped") - iid.getAs[Double]("delta_cuped")) < 1e-15)
+    assert(math.abs(cl.getAs[Double]("se_raw") - iid.getAs[Double]("se_raw")) < 1e-15)
+    // multi path, p = 1, same invariance
+    val clM = Cuped.cupedMulti(df, "arm", "y", Seq("x"), focal = "1",
+      clusterCol = Some("cl")).head
+    assert(math.abs(clM.getAs[Double]("robust_se_raw") - iid.getAs[Double]("se_raw")) < 1e-12)
+    assert(math.abs(clM.getAs[Double]("robust_se_cuped") - iid.getAs[Double]("se_cuped")) < 1e-12)
+  }
+
+  test("clustered: 4x within-cluster duplication wrongly halves the iid SE, robust SE invariant") {
+    val rnd = new scala.util.Random(23)
+    val base = (1 to 40).flatMap { c =>
+      val arm = if (c % 2 == 0) "1" else "0"
+      (1 to 3).map { j =>
+        val x = ((c * 7 + j) % 5).toDouble
+        (s"c$c", arm, x, x + rnd.nextInt(4) + (if (arm == "1") 0.5 else 0.0))
+      }
+    }
+    val once = base.toDF("cl", "arm", "x", "y")
+    val dup4 = (base ++ base ++ base ++ base).toDF("cl", "arm", "x", "y")
+    val r1 = Cuped.cuped(once, "arm", "y", "x", "1", Some("cl")).head
+    val r4 = Cuped.cuped(dup4, "arm", "y", "x", "1", Some("cl")).head
+    // same clusters, same per-cluster means: cluster-level information
+    // did not grow, and the robust SE says so
+    assert(math.abs(r4.getAs[Double]("robust_se_raw") - r1.getAs[Double]("robust_se_raw")) < 1e-12)
+    assert(math.abs(r4.getAs[Double]("robust_se_cuped") - r1.getAs[Double]("robust_se_cuped")) < 1e-12)
+    // while the iid SE wrongly claims half the uncertainty (ratio -> 1/2
+    // up to the n/(n-1) correction)
+    val shrink = r4.getAs[Double]("se_raw") / r1.getAs[Double]("se_raw")
+    assert(shrink < 0.52 && shrink > 0.48, s"iid shrink was $shrink")
+    assert(r4.getAs[Long]("m_a") == r1.getAs[Long]("m_a"))
+    assert(r4.getAs[Long]("n_a") == 4 * r1.getAs[Long]("n_a"))
+  }
+
+  test("clustered: a cluster seen in both arms refuses by name; <2 clusters per arm refuses") {
+    val broken = Seq(
+      ("g1", "1", 1.0, 2.0), ("g1", "0", 2.0, 3.0),
+      ("g2", "1", 1.0, 2.0), ("g2", "1", 2.0, 4.0),
+      ("g3", "0", 1.0, 2.0), ("g3", "0", 3.0, 4.0),
+      ("g4", "1", 2.0, 2.0), ("g5", "0", 2.0, 5.0))
+      .toDF("cl", "arm", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      Cuped.cuped(broken, "arm", "y", "x", "1", Some("cl")))
+    assert(e.getMessage.contains("BOTH arms") && e.getMessage.contains("g1"), e.getMessage)
+    val oneCluster = Seq(
+      ("g1", "1", 1.0, 2.0), ("g1", "1", 2.0, 3.0), ("g1", "1", 2.5, 3.0),
+      ("g2", "0", 1.0, 2.0), ("g2", "0", 3.0, 4.0), ("g3", "0", 2.0, 2.0))
+      .toDF("cl", "arm", "x", "y")
+    val e2 = intercept[IllegalArgumentException](
+      Cuped.cuped(oneCluster, "arm", "y", "x", "1", Some("cl")))
+    assert(e2.getMessage.contains("clusters per arm"), e2.getMessage)
+  }
 }

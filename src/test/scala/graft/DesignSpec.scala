@@ -123,4 +123,37 @@ class DesignSpec extends SparkSuite {
       graft.ops.Hte.homogeneity(one, "segment", "arm", "conv", "t"))
     assert(e.getMessage.contains("two segments"), e.getMessage)
   }
+
+  test("mdeTwoSampleClustered: singleton clusters give deff exactly 1; iid numbers match") {
+    import spark.implicits._
+    val df = (1 to 90).map(i => (s"u$i", ((i * 13) % 7).toDouble + 1.0))
+      .toDF("cl", "v")
+    val iid = PowerAnalysis.mdeTwoSample(df, "v").head
+    val cl = PowerAnalysis.mdeTwoSampleClustered(df, "v", "cl").head
+    assert(math.abs(cl.getAs[Double]("deff") - 1.0) < 1e-12)
+    assert(math.abs(cl.getAs[Double]("mde_abs") - iid.getAs[Double]("mde_abs")) < 1e-12)
+    assert(cl.getAs[Long]("n_needed") == iid.getAs[Long]("n_needed"))
+    assert(cl.getAs[Long]("m") == 90L && cl.getAs[Long]("n") == 90L)
+  }
+
+  test("mdeTwoSampleClustered: cluster co-movement inflates the MDE; one cluster refuses") {
+    import spark.implicits._
+    // strong cluster effect: within-cluster values identical
+    val clustered = (1 to 30).flatMap { c =>
+      (1 to 4).map(_ => (s"g$c", ((c * 11) % 9).toDouble))
+    }.toDF("cl", "v")
+    val iid = PowerAnalysis.mdeTwoSample(clustered, "v").head
+    val cl = PowerAnalysis.mdeTwoSampleClustered(clustered, "v", "cl").head
+    assert(cl.getAs[Double]("deff") > 3.0,
+      s"4 identical subjects per cluster must push deff toward 4, got ${cl.getAs[Double]("deff")}")
+    assert(cl.getAs[Double]("mde_abs") > iid.getAs[Double]("mde_abs"))
+    assert(cl.getAs[Long]("n_needed") > iid.getAs[Long]("n_needed"))
+    assert(cl.getAs[Long]("m_needed") > 0L)
+    val one = (1 to 5).map(i => ("only", i.toDouble)).toDF("cl", "v")
+    val e = intercept[Exception](
+      PowerAnalysis.mdeTwoSampleClustered(one, "v", "cl").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("at least 2 clusters"), msgs)
+  }
 }
