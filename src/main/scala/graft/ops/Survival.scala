@@ -611,6 +611,113 @@ object Survival {
           lit(horizon.toDouble)).as("rmst"))
   }
 
+  /** Adjusted RMST per (stratum, profile) WITH uncertainty — the
+    * readout [[rmstFromCurves]] cannot support a decision without: the
+    * same step integral of S(t|x) = exp(−H₀(t)·e^{β̂ᵀx}) up to
+    * `horizon`, plus its standard error and 95% Wald CI from the
+    * Greenwood-type variance of the integrated survival. The baseline
+    * increments dH₀(t_j) have (martingale-independent) variance
+    * v_j = d_j/S₀(t_j)² (Breslow; the within-tie sum of 1/(S₀−(l/d)E₀)²
+    * under Efron), a perturbation at t_j scales every later S by
+    * −e^{β̂ᵀx}, so ∂RMST/∂dH_j = −e^{β̂ᵀx}·A_j with A_j the curve's
+    * TAIL AREA from t_j, and
+    * var(RMST) = e^{2β̂ᵀx}·Σ_j A_j²·v_j — every term rides the SAME
+    * final-β grid the fit already collected (no extra pass; β̂
+    * uncertainty is second-order here and ignored, as in the standard
+    * survfit first term). A (stratum, profile) whose first event
+    * exceeds the horizon is S = 1 throughout: rmst = horizon, se = 0.
+    * Strata are independent fits — the walk is per-stratum, grid-sized,
+    * under the `maxTimes` discipline.
+    *
+    * @return one row per (stratum, profile): (stratum, profile,
+    *         horizon, rmst, se, ci_lo, ci_hi). */
+  def rmstAdjusted(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      profiles: Seq[(String, Seq[Double])], horizon: Long,
+      iters: Int = 8, maxTimes: Int = 100000,
+      strataCol: Option[String] = None, ties: String = "efron",
+      firth: Boolean = false, startCol: Option[String] = None): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    require(profiles.nonEmpty, "rmstAdjusted needs at least one covariate profile")
+    require(profiles.forall(_._2.length == xCols.length),
+      s"every profile must supply ${xCols.length} covariate value(s)")
+    require(profiles.map(_._1).distinct.size == profiles.size,
+      "profile names must be distinct")
+    val (beta, _, _, grid) =
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
+        firth, startCol)
+    val efron = ties == "efron"
+    // per-stratum event cells (t, dH₀ increment, its variance increment),
+    // from the descending-grid S₀ walk the baseline already uses
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double)]
+    var stratum: String = null
+    var s0 = 0.0
+    grid.foreach { case (g, t, d, a0, e0, _, _, _) =>
+      if (g != stratum) { stratum = g; s0 = 0.0 }
+      s0 += a0
+      if (d > 0) {
+        val (dH, v) =
+          if (!efron) (d.toDouble / s0, d.toDouble / (s0 * s0))
+          else {
+            var acc = 0.0
+            var accV = 0.0
+            var j = 0L
+            while (j < d) {
+              val s0j = s0 - (j.toDouble / d) * e0
+              acc += 1.0 / s0j
+              accV += 1.0 / (s0j * s0j)
+              j += 1
+            }
+            (acc, accV)
+          }
+        cells += ((g, t, dH, v))
+      }
+    }
+    // strata enumerate from the full grid (censor-only strata still get
+    // their S = 1 rows), not just from event cells
+    val strata = grid.map(_._1).distinct.sorted.toSeq
+    val out = strata.flatMap { g =>
+      val asc = cells.filter(c => c._1 == g && c._2 <= horizon).sortBy(_._2)
+      profiles.map { case (name, x) =>
+        val lp = x.zip(beta).map { case (xi, bi) => xi * bi }.sum
+        val r = math.exp(lp)
+        if (asc.isEmpty) (g, name, horizon, horizon.toDouble, 0.0,
+          horizon.toDouble, horizon.toDouble)
+        else {
+          val k = asc.length
+          var h0 = 0.0
+          val area = Array.fill(k)(0.0)
+          val v = Array.fill(k)(0.0)
+          var j = 0
+          while (j < k) {
+            h0 += asc(j)._3
+            val next = if (j + 1 < k) math.min(asc(j + 1)._2, horizon) else horizon
+            area(j) = math.exp(-h0 * r) * (next - asc(j)._2)
+            v(j) = asc(j)._4
+            j += 1
+          }
+          var rmst = math.min(asc(0)._2, horizon).toDouble
+          j = 0
+          while (j < k) { rmst += area(j); j += 1 }
+          // suffix tail areas A_j, then the Greenwood-type sum
+          var tail = 0.0
+          var sumA2v = 0.0
+          j = k - 1
+          while (j >= 0) {
+            tail += area(j)
+            sumA2v += tail * tail * v(j)
+            j -= 1
+          }
+          val se = math.sqrt(r * r * sumA2v)
+          (g, name, horizon, rmst, se, rmst - 1.959964 * se, rmst + 1.959964 * se)
+        }
+      }
+    }
+    out.toDF("stratum", "profile", "horizon", "rmst", "se", "ci_lo", "ci_hi")
+  }
+
   /** The shared Newton fit behind [[coxPH]] and [[coxSurvival]]:
     * returns (β̂, I⁻¹ at β̂, n event times, final-β grid rows
     * (stratum, t, d, leaving-mass a0, event-only mass e0) sorted

@@ -791,4 +791,47 @@ class SurvivalSpec extends SparkSuite {
     assert(r("q") == 5.0,
       s"S = 1 through the horizon must integrate to the horizon, got ${r("q")}")
   }
+
+  test("rmstAdjusted: CI covers the discrete-exponential truth on simulated PH arms") {
+    // D = ceil(Exp(lam)) has P(D > k) = e^(-lam k) at integer k, so the
+    // step-curve truth is closed-form: sum_{k<tau} e^(-lam k)
+    val rnd = new scala.util.Random(5)
+    val lam0 = 0.02; val hr = 1.6; val tau = 60L
+    def draw(lam: Double, arm: Double, n: Int) = (1 to n).map { _ =>
+      val d = math.ceil(-math.log(rnd.nextDouble()) / lam).toLong
+      (arm, math.min(d, tau), if (d <= tau) 1 else 0)
+    }
+    val subjects = (draw(lam0, 0.0, 250) ++ draw(lam0 * hr, 1.0, 250))
+      .toDF("arm", "t", "e")
+    val r = Survival.rmstAdjusted(subjects, Seq("arm"), "t", "e",
+      profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)),
+      horizon = tau, ties = "breslow")
+      .collect().map(x => x.getAs[String]("profile") -> x).toMap
+    def truth(lam: Double) = (1 - math.exp(-lam * tau)) / (1 - math.exp(-lam))
+    Seq("ctrl" -> lam0, "treat" -> lam0 * hr).foreach { case (p, lam) =>
+      val row = r(p)
+      val (lo, hi) = (row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+      assert(row.getAs[Double]("se") > 0)
+      assert(lo < truth(lam) && truth(lam) < hi,
+        s"$p: CI [$lo, $hi] must cover ${truth(lam)}")
+      assert(hi - lo < 8.0, s"$p CI absurdly wide: [$lo, $hi]")
+      assert(math.abs((lo + hi) / 2 - row.getAs[Double]("rmst")) < 1e-9)
+    }
+    assert(r("ctrl").getAs[Double]("rmst") > r("treat").getAs[Double]("rmst"),
+      "higher hazard must lose event-free time")
+  }
+
+  test("rmstAdjusted: a horizon before the first event gives rmst = horizon, se = 0") {
+    val subjects = Seq((0.0, 5L, 1), (1.0, 6L, 1), (0.0, 7L, 0), (1.0, 8L, 0),
+      (0.0, 9L, 1), (1.0, 9L, 0)).toDF("arm", "t", "e")
+    val rows = Survival.rmstAdjusted(subjects, Seq("arm"), "t", "e",
+      profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)),
+      horizon = 3L, ties = "breslow").collect()
+    assert(rows.length == 2)
+    rows.foreach { row =>
+      assert(row.getAs[Double]("rmst") == 3.0 && row.getAs[Double]("se") == 0.0 &&
+        row.getAs[Double]("ci_lo") == 3.0 && row.getAs[Double]("ci_hi") == 3.0,
+        row.toString)
+    }
+  }
 }
