@@ -154,6 +154,38 @@ object VersionedTable {
     }
   }
 
+  /** TYPED file-skipping statistics of one manifest (the v3 channel):
+    * string / date / timestamp min-max that the long-only [[statsOf]]
+    * channel cannot carry — `"stats3":{"types":{"<col>":"string|date|
+    * timestamp"},"ranges":{"<file>|<col>":["<b64lo>","<b64hi>"]}}`.
+    * Payloads are base64 of UTF-8 (raw value for strings; decimal epoch
+    * DAYS for dates; decimal epoch MICROS for timestamps) so the
+    * regex-parsed manifest format stays free of string escaping. Files
+    * or columns without an entry are never pruned — same safety rule as
+    * the long channel. Returns (column → type, (file, column) →
+    * decoded (lo, hi)). */
+  private def typedStatsOf(
+      text: String): (Map[String, String], Map[(String, String), (String, String)]) = {
+    val v3 = raw""""stats3":\{"types":\{([^}]*)\},"ranges":\{([^}]*)\}""".r
+    v3.findFirstMatchIn(text) match {
+      case None => (Map.empty, Map.empty)
+      case Some(m) =>
+        val types = raw""""([^"]+)":"([^"]+)"""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2)).toMap
+        def dec(s: String) =
+          new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+        val entryRe =
+          raw""""([^"]+)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)"\]""".r
+        val ranges = entryRe.findAllMatchIn(m.group(2)).map { e =>
+          val k = e.group(1)
+          val cut = k.lastIndexOf('|')
+          (k.substring(0, cut), k.substring(cut + 1)) ->
+            (dec(e.group(2)), dec(e.group(3)))
+        }.toMap
+        (types, ranges)
+    }
+  }
+
   /** Tombstone (deleted-row) file list of a delete commit's manifest. */
   private def cdfFilesOf(text: String): Seq[String] =
     fileListOf(text, "cdf")
@@ -431,19 +463,97 @@ object VersionedTable {
     (commitId, names)
   }
 
-  /** Per-file [min, max] of each LONG key column over freshly staged
-    * files — ONE grouped scan of the new files whatever the column count
-    * (every column's min/max rides the same hash aggregate, the
-    * TableStats pattern), keyed (relative file name, column). */
+  /** One staged commit's file-skipping statistics + per-file row counts:
+    * long ranges (stats2), typed ranges (stats3), the column lists each
+    * channel records, all from ONE grouped scan. */
+  private[graft] final case class CommitStats(
+      ranges: Map[(String, String), (Long, Long)],
+      counts: Map[String, Long],
+      typedRanges: Map[(String, String), (String, String)],
+      typedCols: Map[String, String],
+      longCols: Seq[String])
+  private object CommitStats {
+    val empty: CommitStats = CommitStats(Map.empty, Map.empty, Map.empty, Map.empty, Seq.empty)
+  }
+
+  /** Classify stats columns by the SCAN schema's dtype into min/max agg
+    * slots — the shared plan behind [[rangesOf]] and the purge stats
+    * recompute. Integral/float columns keep the LONG fast path exactly
+    * as before (cast-to-long, stats2); STRING records raw min/max, DATE
+    * epoch days, TIMESTAMP epoch micros in the typed channel (stats3).
+    * A timestamp column records BOTH — its long (epoch-seconds) entry
+    * keeps the existing [[readWhere]] surface working while the typed
+    * entry prunes micro-exactly through [[readWhereTyped]]. */
+  private def statsSlots(
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String]): Seq[(String, Char)] = {
+    import org.apache.spark.sql.types._
+    statsCols.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) => Seq((c, 'S'))
+        case Some(DateType) => Seq((c, 'D'))
+        case Some(TimestampType) => Seq((c, 'L'), (c, 'T'))
+        case _ => Seq((c, 'L'))
+      }
+    }
+  }
+
+  private def slotAggs(slots: Seq[(String, Char)]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, max, min, unix_date, unix_micros}
+    slots.zipWithIndex.flatMap { case ((c, k), i) =>
+      val e = k match {
+        case 'S' => col(c)
+        case 'D' => unix_date(col(c)).cast("long")
+        case 'T' => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
+      Seq(min(e).as(s"__lo_$i"), max(e).as(s"__hi_$i"))
+    }
+  }
+
+  /** Decode one file's agg row into (long entries, typed entries);
+    * `base` is the row index of the first slot column. All-null file
+    * columns record nothing and are never pruned. */
+  private def decodeSlots(
+      slots: Seq[(String, Char)], f: String, r: org.apache.spark.sql.Row, base: Int)
+      : (Seq[((String, String), (Long, Long))],
+         Seq[((String, String), (String, String))]) = {
+    val longs = Seq.newBuilder[((String, String), (Long, Long))]
+    val typed = Seq.newBuilder[((String, String), (String, String))]
+    slots.zipWithIndex.foreach { case ((c, k), j) =>
+      val lo = base + 2 * j
+      val hi = base + 2 * j + 1
+      if (!r.isNullAt(lo) && !r.isNullAt(hi)) k match {
+        case 'S' => typed += ((f, c) -> (r.getString(lo), r.getString(hi)))
+        case 'D' | 'T' =>
+          typed += ((f, c) -> (r.getLong(lo).toString, r.getLong(hi).toString))
+        case _ => longs += ((f, c) -> (r.getLong(lo), r.getLong(hi)))
+      }
+    }
+    (longs.result(), typed.result())
+  }
+
+  private def slotTypes(slots: Seq[(String, Char)]): Map[String, String] =
+    slots.collect {
+      case (c, 'S') => c -> "string"
+      case (c, 'D') => c -> "date"
+      case (c, 'T') => c -> "timestamp"
+    }.toMap
+
+  /** Per-file [min, max] of each key column over freshly staged files —
+    * ONE grouped scan of the new files whatever the column count (every
+    * column's min/max rides the same hash aggregate, the TableStats
+    * pattern), keyed (relative file name, column). Long and typed
+    * channels fill from the same pass ([[statsSlots]]). */
   private def rangesOf(
       df: DataFrame, path: String, commitId: String,
-      statsCols: Seq[String]): (Map[(String, String), (Long, Long)], Map[String, Long]) = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      statsCols: Seq[String]): CommitStats = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
     val spark = df.sparkSession
-    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("long")).as(s"__lo_$i"), max(col(c).cast("long")).as(s"__hi_$i"))
-    } :+ count(lit(1)).as("__rows") // row count rides the same aggregate
-    val rows = spark.read.parquet(s"$path/data/$commitId")
+    val scan = spark.read.parquet(s"$path/data/$commitId")
+    val slots = statsSlots(scan.schema, statsCols)
+    val aggs = slotAggs(slots) :+ count(lit(1)).as("__rows")
+    val rows = scan
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -452,15 +562,16 @@ object VersionedTable {
         val i = p.lastIndexOf("/data/")
         (p.substring(i + "/data/".length), r)
       }
-    val ranges = rows.flatMap { case (f, r) =>
-      statsCols.zipWithIndex.flatMap { case (c, j) =>
-        // all-null file column: no range recorded, never pruned
-        if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
-        else Some((f, c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
-      }
-    }.toMap
-    val counts = rows.map { case (f, r) => f -> r.getLong(1 + 2 * statsCols.size) }.toMap
-    (ranges, counts)
+    val longs = Map.newBuilder[(String, String), (Long, Long)]
+    val typed = Map.newBuilder[(String, String), (String, String)]
+    rows.foreach { case (f, r) =>
+      val (l, t) = decodeSlots(slots, f, r, 1)
+      longs ++= l
+      typed ++= t
+    }
+    val counts = rows.map { case (f, r) => f -> r.getLong(1 + 2 * slots.size) }.toMap
+    CommitStats(longs.result(), counts, typed.result(), slotTypes(slots),
+      slots.collect { case (c, 'L') => c }.distinct)
   }
 
   /** Atomically publish `files` as the next version. Returns the version
@@ -491,7 +602,9 @@ object VersionedTable {
       bloomOverride: Option[Seq[String]] = None,
       checksOverride: Option[Seq[(String, String)]] = None,
       newRowCounts: Map[String, Long] = Map.empty,
-      bucketing: Option[(String, Int)] = None): Option[Long] = {
+      bucketing: Option[(String, Int)] = None,
+      newTypedRanges: Map[(String, String), (String, String)] = Map.empty,
+      typedStatsCols: Map[String, String] = Map.empty): Option[Long] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     val f = fs(spark, path)
@@ -546,6 +659,26 @@ object VersionedTable {
           val body = ranges.toSeq.sortBy(e => (e._1._1, e._1._2))
             .map { case ((f, c), (lo, hi)) => s""""$f|$c":[$lo,$hi]""" }.mkString(",")
           s""""stats2":{"cols":[$colsJson],"ranges":{$body}},"""
+        }
+      // the TYPED channel follows the same carry rule: carried files keep
+      // prior entries (restricted to this manifest's files), new files
+      // add theirs, recorded column types accumulate
+      val (prevTypes, prevTyped) = prevText.map(typedStatsOf)
+        .getOrElse((Map.empty[String, String], Map.empty[(String, String), (String, String)]))
+      val typedTypes = prevTypes ++ typedStatsCols
+      val typedRanges =
+        (prevTyped ++ newTypedRanges).view.filterKeys(k => fileSet(k._1)).toMap
+      val stats3Json =
+        if (typedTypes.isEmpty || typedRanges.isEmpty) ""
+        else {
+          def enc(s: String) =
+            java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+          val typesJson = typedTypes.toSeq.sorted
+            .map { case (c, t) => s""""$c":"$t"""" }.mkString(",")
+          val body = typedRanges.toSeq.sortBy(e => (e._1._1, e._1._2))
+            .map { case ((f, c), (lo, hi)) => s""""$f|$c":["${enc(lo)}","${enc(hi)}"]""" }
+            .mkString(",")
+          s""""stats3":{"types":{$typesJson},"ranges":{$body}},"""
         }
       // per-file row counts follow their files like ranges: carried files
       // keep prior counts, new files add theirs; files staged by paths
@@ -649,7 +782,7 @@ object VersionedTable {
       }.getOrElse("")
       val body =
         s"""{"version":$next,"operation":"$operation","parent":${prev.getOrElse(-1L)},""" +
-          txnJson + statsJson + rowsJson + cdfJson + cdfiJson + schemaJson + renamesJson +
+          txnJson + statsJson + stats3Json + rowsJson + cdfJson + cdfiJson + schemaJson + renamesJson +
           droppedJson + dvJson +
           bloomJson + checksJson + bucketingJson +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
@@ -1054,12 +1187,13 @@ object VersionedTable {
         "VACUUM reclaims the expired stage")
     val df = readStaged(spark, path, staged)
     enforceChecks(spark, path, df)
-    val (ranges, counts) =
-      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+    val st =
+      if (statsCols.isEmpty) CommitStats.empty
       else rangesOf(df, path, staged.id, statsCols)
     val v = publish(spark, path, "append", staged.files, carryForward = true,
-      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
-      newRowCounts = counts).get
+      newRanges = st.ranges, statsCols = st.longCols, dataSchema = Some(df.schema),
+      newRowCounts = st.counts, newTypedRanges = st.typedRanges,
+      typedStatsCols = st.typedCols).get
     markPublished(f, path, staged.id)
     v
   }
@@ -1103,13 +1237,14 @@ object VersionedTable {
         "VACUUM reclaims the expired stage")
     val df = readStaged(spark, path, staged)
     enforceChecks(spark, path, df)
-    val (ranges, counts) =
-      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+    val st =
+      if (statsCols.isEmpty) CommitStats.empty
       else rangesOf(df, path, staged.id, statsCols)
     val v = publish(spark, path, "stream-append", staged.files, carryForward = true,
       txn = Some((writerId, batchId)),
-      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
-      newRowCounts = counts)
+      newRanges = st.ranges, statsCols = st.longCols, dataSchema = Some(df.schema),
+      newRowCounts = st.counts, newTypedRanges = st.typedRanges,
+      typedStatsCols = st.typedCols)
     // a REPLAYED batch (None) was never adopted — the caller aborts it
     if (v.isDefined) markPublished(f, path, staged.id)
     v
@@ -1238,10 +1373,11 @@ object VersionedTable {
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     enforceChecks(df.sparkSession, path, df)
     val (commitId, names) = stageData(df, path)
-    val (ranges, counts) = rangesOf(df, path, commitId, statsCols)
+    val st = rangesOf(df, path, commitId, statsCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
-      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
-      newRowCounts = counts).get
+      newRanges = st.ranges, statsCols = st.longCols, dataSchema = Some(df.schema),
+      newRowCounts = st.counts, newTypedRanges = st.typedRanges,
+      typedStatsCols = st.typedCols).get
   }
 
   /** Append with file-skipping stats AND per-file Bloom filters on
@@ -1260,13 +1396,14 @@ object VersionedTable {
       s"stats/bloom column must be [A-Za-z0-9._-]+ (stored in manifest JSON), got: $c"))
     enforceChecks(df.sparkSession, path, df)
     val (commitId, names) = stageData(df, path)
-    val (ranges, counts) =
-      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+    val st =
+      if (statsCols.isEmpty) CommitStats.empty
       else rangesOf(df, path, commitId, statsCols)
     val bloomNames = stageBlooms(df.sparkSession, path, commitId, bloomCols)
     publish(df.sparkSession, path, "append", names, carryForward = true,
-      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
-      addBloomFiles = bloomNames, newRowCounts = counts).get
+      newRanges = st.ranges, statsCols = st.longCols, dataSchema = Some(df.schema),
+      addBloomFiles = bloomNames, newRowCounts = st.counts,
+      newTypedRanges = st.typedRanges, typedStatsCols = st.typedCols).get
   }
 
   /** The columns this manifest's bloom sidecars cover (one tiny sidecar
@@ -1551,6 +1688,122 @@ object VersionedTable {
       evolvedRead(spark, path, text, keep, dvFiles = dvFilesOf(text)).filter(exact)
     }
   }
+
+  /** Canonical comparable form of a typed predicate bound under the
+    * recorded column type: UTF-8 bytes for strings (matches Spark's
+    * UTF8String binary ordering exactly), epoch days for dates, epoch
+    * micros for timestamps. Refuses a bound whose runtime type the
+    * recorded column type cannot interpret — a silently mis-typed bound
+    * would prune the WRONG files. */
+  private def typedBound(tpe: String, colName: String, v: Any): Either[Array[Byte], Long] =
+    (tpe, v) match {
+      case ("string", s: String) => Left(s.getBytes("UTF-8"))
+      case ("date", d: java.sql.Date) => Right(d.toLocalDate.toEpochDay)
+      case ("date", d: java.time.LocalDate) => Right(d.toEpochDay)
+      case ("date", s: String) => Right(java.time.LocalDate.parse(s).toEpochDay)
+      case ("timestamp", t: java.sql.Timestamp) =>
+        Right(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case ("timestamp", i: java.time.Instant) =>
+        Right(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case ("timestamp", l: Long) => Right(l) // epoch micros
+      case _ => throw new IllegalArgumentException(
+        s"predicate bound ${v.getClass.getSimpleName} cannot be compared against " +
+          s"'$colName' recorded as $tpe stats — pass a ${
+            if (tpe == "string") "String"
+            else if (tpe == "date") "java.sql.Date / LocalDate / ISO string"
+            else "java.sql.Timestamp / Instant / epoch-micros Long"}")
+    }
+
+  /** [[filesForRanges]] over the TYPED (stats3) channel: the data files
+    * of `version` that can hold a row satisfying every string / date /
+    * timestamp range predicate (column → [lo, hi], inclusive). Columns
+    * without recorded typed stats fall back to the LONG channel when the
+    * bound is a Long (so one call prunes a mixed predicate set); files
+    * without an entry on a predicated column always survive — safety
+    * over sharpness, same rule as the long channel. */
+  def filesForRangesTyped(
+      spark: SparkSession, path: String, preds: Map[String, (Any, Any)],
+      version: Option[Long] = None): Seq[String] = {
+    require(preds.nonEmpty, "at least one column predicate required")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    val (types, typed) = typedStatsOf(text)
+    val (_, longRanges) = statsOf(text)
+    manifestFiles(spark, path, v).filter { f =>
+      preds.forall { case (c, (lo, hi)) =>
+        types.get(c) match {
+          case Some(t) =>
+            typed.get((f, c)).forall { case (flo, fhi) =>
+              (typedBound(t, c, lo), typedBound(t, c, hi)) match {
+                case (Left(lob), Left(hib)) =>
+                  java.util.Arrays.compareUnsigned(fhi.getBytes("UTF-8"), lob) >= 0 &&
+                    java.util.Arrays.compareUnsigned(flo.getBytes("UTF-8"), hib) <= 0
+                case (Right(lol), Right(hil)) =>
+                  fhi.toLong >= lol && flo.toLong <= hil
+                case _ => true // mixed bound forms: never prune
+              }
+            }
+          case None => (lo, hi) match {
+            case (lol: Long, hil: Long) =>
+              longRanges.get((f, c)).forall { case (flo, fhi) =>
+                fhi >= lol && flo <= hil
+              }
+            case _ => throw new IllegalArgumentException(
+              s"column '$c' has no recorded typed stats at $path — commitAppend " +
+                "with it in statsCols first (long bounds still prune via stats2)")
+          }
+        }
+      }
+    }
+  }
+
+  /** [[readWhereAll]] for string / date / timestamp keys: files pruned
+    * on the typed manifest ranges, then the exact typed conjunction
+    * applied to the survivors. Bounds: String for string columns;
+    * java.sql.Date / java.time.LocalDate / ISO string for date columns;
+    * java.sql.Timestamp / java.time.Instant / epoch-micros Long for
+    * timestamp columns; plain Long for columns recorded on the long
+    * channel. At 100 TB this turns a doc-id range lookup on a
+    * string-keyed corpus into O(files-hit) I/O with ZERO metadata reads
+    * beyond one tiny manifest — exactly what the long-only channel could
+    * not do for text-corpus tables. */
+  def readWhereTyped(
+      spark: SparkSession, path: String, preds: Map[String, (Any, Any)],
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros, to_date}
+    val v = version.getOrElse {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no committed versions at $path")
+      vs.last
+    }
+    val text = manifestText(spark, path, v)
+    val (types, _) = typedStatsOf(text)
+    val keep = filesForRangesTyped(spark, path, preds, Some(v))
+    def asLit(c: String, bound: Any): org.apache.spark.sql.Column =
+      (types.get(c), bound) match {
+        case (Some("date"), s: String) => to_date(lit(s))
+        case (Some("timestamp"), l: Long) => timestamp_micros(lit(l))
+        case _ => lit(bound)
+      }
+    val exact = preds.map { case (c, (lo, hi)) =>
+      if (types.contains(c)) col(c).between(asLit(c, lo), asLit(c, hi))
+      else col(c).cast("long").between(lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+    }.reduce(_ && _)
+    if (keep.isEmpty) {
+      val full = read(spark, path, Some(v))
+      full.filter(org.apache.spark.sql.functions.lit(false))
+    } else {
+      evolvedRead(spark, path, text, keep, dvFiles = dvFilesOf(text)).filter(exact)
+    }
+  }
+
+  /** Single-string-column [[readWhereTyped]] — the doc-id range read. */
+  def readWhereString(
+      spark: SparkSession, path: String, colName: String, lo: String, hi: String,
+      version: Option[Long] = None): DataFrame =
+    readWhereTyped(spark, path, Map(colName -> (lo, hi)), version)
 
   /** Change-data feed for append-only history: the rows added between
     * `fromVersion` (exclusive) and `toVersion` (inclusive) — exactly the
@@ -2836,12 +3089,13 @@ object VersionedTable {
       s"statsCol must be [A-Za-z0-9._-]+ (it is stored in manifest JSON), got: $c"))
     enforceChecks(spark, path, df)
     val (commitId, names) = stageData(df, path)
-    val (ranges, counts) =
-      if (statsCols.isEmpty) (Map.empty[(String, String), (Long, Long)], Map.empty[String, Long])
+    val st =
+      if (statsCols.isEmpty) CommitStats.empty
       else rangesOf(df, path, commitId, statsCols)
     publish(spark, path, "overwrite", names, carryForward = false,
-      newRanges = ranges, statsCols = statsCols, dataSchema = Some(df.schema),
-      newRowCounts = counts, resetRenames = true).get
+      newRanges = st.ranges, statsCols = st.longCols, dataSchema = Some(df.schema),
+      newRowCounts = st.counts, resetRenames = true,
+      newTypedRanges = st.typedRanges, typedStatsCols = st.typedCols).get
   }
 
   /** The table's logical schema at a version (latest by default), from
@@ -3046,7 +3300,7 @@ object VersionedTable {
       s"column '$colName' is referenced by CHECK constraint(s) ${tangledChecks.mkString(",")} " +
         "— drop the constraint first")
     val (statCols, _) = statsOf(text)
-    require(!statCols.contains(colName),
+    require(!statCols.contains(colName) && !typedStatsOf(text)._1.contains(colName),
       s"column '$colName' has recorded file-skipping stats — compact or overwrite first " +
         "(dropping it would leave pruning metadata pointing at a phantom column)")
     val narrowed = org.apache.spark.sql.types.StructType(
@@ -3195,11 +3449,14 @@ object VersionedTable {
         s"version $version predates this table's schema metadata; restore via " +
           "commitOverwrite(read(spark, path, Some(version)), path) instead")
     val (targetCols, targetRanges) = statsOf(text)
+    val (targetTypedCols, targetTypedRanges) = typedStatsOf(text)
     publish(spark, path, "restore",
       newFiles = manifestFiles(spark, path, version),
       carryForward = false,
       newRanges = targetRanges,
       statsCols = targetCols,
+      newTypedRanges = targetTypedRanges,
+      typedStatsCols = targetTypedCols,
       schemaOverride = schemaOf(text),
       addRenames = renamesOf(text),
       resetRenames = true,
@@ -3381,6 +3638,10 @@ object VersionedTable {
       val text = manifestText(spark, path, current)
       val rel = manifestFiles(spark, path, current)
       val (statsCols, recRanges) = statsOf(text)
+      // recompute BOTH channels' stats for repacked files: the long cols
+      // stats2 records plus the typed (string/date/timestamp) cols
+      val typedColsRec = typedStatsOf(text)._1
+      val recomputeCols = (statsCols ++ typedColsRec.keys.toSeq.sorted).distinct
       // predicate-scoped compaction: only files whose RECORDED range on
       // the scope column intersects [lo, hi] are candidates — at 100 TB
       // maintenance compacts the hot ingest range, not the whole table.
@@ -3459,17 +3720,22 @@ object VersionedTable {
                 .repartitionByRange(nOut, col(z))
                 .sortWithinPartitions(z)
                 .drop(z)
-            } else if (statsCols.nonEmpty) df.repartitionByRange(nOut, statsCols.map(col): _*)
+            } else if (recomputeCols.nonEmpty)
+              // typed stats columns range-cluster too: a string-keyed
+              // table's files stay tight on the key through maintenance
+              df.repartitionByRange(nOut, recomputeCols.map(col): _*)
             else df.repartition(nOut)
           stageData(packed, path)
       }
-      val (ranges, newCounts) =
-        if (statsCols.isEmpty)
-          (Map.empty[(String, String), (Long, Long)],
-            // claimed tables keep full count coverage even without stats
-            // columns (bucketSkew/countRows stay metadata-only)
-            if (claim.isEmpty) Map.empty[String, Long]
-            else names.map(_ -> 0L).toMap ++ stagedCounts(spark, path, names))
+      val st =
+        if (recomputeCols.isEmpty) CommitStats.empty
+        else rangesOf(df, path, commitId, recomputeCols)
+      val newCounts =
+        if (recomputeCols.isEmpty)
+          // claimed tables keep full count coverage even without stats
+          // columns (bucketSkew/countRows stay metadata-only)
+          if (claim.isEmpty) Map.empty[String, Long]
+          else names.map(_ -> 0L).toMap ++ stagedCounts(spark, path, names)
         else {
           // rangesOf's grouped scan never sees EMPTY staged bucket files
           // (Spark writes the part file even for an empty bucket), so
@@ -3477,8 +3743,8 @@ object VersionedTable {
           // with no recorded count would break the 'bucketed commits
           // always record' invariant that bucketSkew/DESCRIBE BUCKETS
           // enforce.
-          val (r, c) = rangesOf(df, path, commitId, statsCols)
-          (r, if (claim.isEmpty) c else names.map(_ -> 0L).toMap ++ c)
+          if (claim.isEmpty) st.counts
+          else names.map(_ -> 0L).toMap ++ st.counts
         }
       // repacked files get fresh blooms; the whole sidecar set is
       // consolidated to live rows (compaction = bloom maintenance too)
@@ -3487,8 +3753,9 @@ object VersionedTable {
         // kept files ride the footer-pass counts too: compaction restores
         // full per-file count coverage even after stats-free appends
         val v = publish(spark, path, "compact", keep ++ names, carryForward = false,
-          newRanges = ranges, statsCols = statsCols, requiredParent = Some(current),
+          newRanges = st.ranges, statsCols = st.longCols, requiredParent = Some(current),
           newRowCounts = counts ++ newCounts, bucketing = claim,
+          newTypedRanges = st.typedRanges, typedStatsCols = st.typedCols,
           dvOverride = prunedDv(spark, path, text, keep),
           bloomOverride = prunedBlooms(spark, path, text, keep, newBlooms)).get
         return (v, small.size.toLong)
@@ -4009,30 +4276,34 @@ object VersionedTable {
       }
 
     // recompute min/max stats for rewritten data files (old bounds may BE
-    // a purged value): one grouped scan over the new files, all columns
-    // that any manifest records stats for
-    val statsColsAll = texts.values.flatMap(t => statsOf(t)._1).toSeq.distinct
-    val newRanges: Map[(String, String), (Long, Long)] =
-      if (statsColsAll.isEmpty || dataRename.isEmpty) Map.empty
+    // a purged value — in BOTH channels: a string doc-id bound leaks the
+    // purged id just as a long bound does): one grouped scan over the
+    // new files, all columns any manifest records stats for
+    val statsColsAll = (texts.values.flatMap(t => statsOf(t)._1) ++
+      texts.values.flatMap(t => typedStatsOf(t)._1.keys)).toSeq.distinct
+    val (newRanges, newTypedRanges): (Map[(String, String), (Long, Long)],
+        Map[(String, String), (String, String)]) =
+      if (statsColsAll.isEmpty || dataRename.isEmpty) (Map.empty, Map.empty)
       else {
         val paths = dataRename.values.map(n => s"$path/data/$n").toSeq
-        val present = spark.read.parquet(paths: _*).columns.toSet
-        val cols = statsColsAll.filter(present)
-        if (cols.isEmpty) Map.empty
+        val scan = spark.read.parquet(paths: _*)
+        val cols = statsColsAll.filter(scan.columns.toSet)
+        if (cols.isEmpty) (Map.empty, Map.empty)
         else {
-          val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-            Seq(min(col(c).cast("long")).as(s"__lo_$i"), max(col(c).cast("long")).as(s"__hi_$i"))
-          }
-          spark.read.parquet(paths: _*)
+          val slots = statsSlots(scan.schema, cols)
+          val aggs = slotAggs(slots)
+          val longsB = Map.newBuilder[(String, String), (Long, Long)]
+          val typedB = Map.newBuilder[(String, String), (String, String)]
+          scan
             .groupBy(regexp_extract(col("_metadata.file_path"), "/data/(.+)$", 1).as("f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect()
-            .flatMap { r =>
-              cols.zipWithIndex.flatMap { case (c, j) =>
-                if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
-                else Some((r.getString(0), c) -> (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
-              }
-            }.toMap
+            .foreach { r =>
+              val (l, t) = decodeSlots(slots, r.getString(0), r, 1)
+              longsB ++= l
+              typedB ++= t
+            }
+          (longsB.result(), typedB.result())
         }
       }
 
@@ -4059,6 +4330,14 @@ object VersionedTable {
         text = text.replaceAll(
           "\"" + java.util.regex.Pattern.quote(s"$fNew|$c") + "\":\\[-?\\d+,-?\\d+\\]",
           "\"" + s"$fNew|$c" + "\":[" + lo + "," + hi + "]")
+      }
+      newTypedRanges.foreach { case ((fNew, c), (lo, hi)) =>
+        def enc(x: String) =
+          java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+        text = text.replaceAll(
+          "\"" + java.util.regex.Pattern.quote(s"$fNew|$c") +
+            "\":\\[\"[A-Za-z0-9+/=]*\",\"[A-Za-z0-9+/=]*\"\\]",
+          "\"" + s"$fNew|$c" + "\":[\"" + enc(lo) + "\",\"" + enc(hi) + "\"]")
       }
       if (text != orig) {
         val out = f.create(versionPath(path, v), true)

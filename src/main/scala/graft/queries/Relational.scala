@@ -670,6 +670,52 @@ object Relational {
                    MAX(o_orderkey) AS max_key
             FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Q363 — TYPED manifest file-skipping through the oracle gate
+    * ([[graft.io.VersionedTable.readWhereString]], VERDICT r15 item 4):
+    * the documents corpus keyed by a STRING doc key — exactly the table
+    * shape the long-only stats channel could never prune (string casts
+    * recorded nothing). The range-clustered commit records stats3
+    * string min/max per file; a stats-less second commit (rows INSIDE
+    * the queried range) pins the safety rule — files without entries
+    * always survive, so its rows MUST appear in the result. The oracle
+    * recomputes both slices relationally; a dropped stats-less file, a
+    * wrong UTF-8 range cut, or an off-by-one inclusive bound
+    * hash-fails. TypedStatsSpec pins file-level pruning selectivity,
+    * date/timestamp channels, compaction carry, and the purge refresh. */
+  val q363 = QueryDef(
+    "q363_typed_prune",
+    (s, d) => {
+      val path = Scratch.dir("q363") + "/tbl"
+      val base = Tables.documents(s, d).select(
+        concat(lit("D"), lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+        col("lang"), col("n_chars"))
+      graft.io.VersionedTable.commitAppend(
+        base.repartitionByRange(4, col("doc_key")), path, Seq("doc_key"))
+      // stats-less control commit: rows inside the queried range that
+      // pruning must NOT drop
+      graft.io.VersionedTable.commitAppend(
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 0).select(
+          concat(lit("D"), lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+          col("lang"), (col("n_chars") + 1000L).as("n_chars")),
+        path)
+      graft.io.VersionedTable.readWhereString(
+          s, path, "doc_key", "D00000010", "D00000099")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH base AS (SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+                                 lang, n_chars
+                          FROM documents),
+                 extra AS (SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+                                  lang, n_chars + 1000 AS n_chars
+                           FROM documents WHERE doc_id % 7 = 0),
+                 uni AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+            SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM uni
+            WHERE doc_key BETWEEN 'D00000010' AND 'D00000099'
+            GROUP BY lang ORDER BY lang"""))
+
   /** Q134 — predicate-scoped INSERT OVERWRITE through the oracle gate
     * ([[graft.io.VersionedTable.replaceWhere]]): reload the
     * o_orderkey∈[1000,4999] slice with corrected (repriced, thinned)
@@ -2980,7 +3026,7 @@ object Relational {
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197, q229, q232, q249)
+    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363)
 }
 
 /** q293's eager skew-join execution, shared with PlanShapeSpec (which
