@@ -91,6 +91,15 @@ object VersionedTable {
   }
 
   /** Relative data-file list of one committed version. */
+  /** The data files (relative names) a version's manifest references —
+    * latest by default; the spec/plan-assertion surface behind
+    * [[filesForRanges]]'s trimmed result. */
+  def filesOf(spark: SparkSession, path: String, version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    manifestFiles(spark, path, version.getOrElse(vs.last))
+  }
+
   private def manifestFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
     // Our own writer produced this: uuid-dir/part-file names, no escapes.
     val files = raw""""files":\[([^\]]*)\]""".r
@@ -1061,6 +1070,113 @@ object VersionedTable {
       bloomOverride = prunedBlooms(spark, path, text, carried, newBlooms)
         .orElse(if (newBlooms.isEmpty) None else Some(newBlooms))).get
     RebucketResult(v, key, n, carried.size, tail.size)
+  }
+
+  /** Outcome of a [[rebucketInto]]: the new layout, whether the change
+    * ran as per-bucket LOCAL splits (power-of-two growth) or as a full
+    * bucketed rewrite, and how many files were written. */
+  final case class RebucketIntoResult(
+      version: Long, key: String, nBuckets: Int, local: Boolean, filesWritten: Int)
+
+  /** Bucket-count evolution (VERDICT r15 item 5) — `OPTIMIZE t REBUCKET
+    * INTO m BUCKETS` for a claimed table that outgrew its layout.
+    * POWER-OF-TWO GROWTH is a per-bucket LOCAL operation: murmur3 mod
+    * 2n REFINES mod n (a row in old bucket b lands in child b or b+n),
+    * so doubling re-reads each old bucket's files ONCE and splits them
+    * into exactly its children — no shuffle, no cross-bucket movement,
+    * cost spread evenly per bucket; k doublings compose (n → n·2^k in
+    * one pass, children b + j·n). Any other target (non-power multiple,
+    * shrink) cannot be expressed bucket-locally and falls back to one
+    * full bucketed rewrite — stated in the result, never silent.
+    *
+    * Old versions are untouched (their manifests keep referencing the
+    * old files — file-identity time travel, spec-pinned); the new
+    * manifest claims (key, m) so co-bucketed joins against m-bucketed
+    * partners plan exchange-free immediately. Each child file is
+    * written sorted by the key (one file per child per old bucket), so
+    * the SORT claim survives growth too. At 100 TB: doubling a
+    * 1000-file fact costs each executor one local read+split of its
+    * buckets — the nightly-maintenance shape, not a table migration. */
+  def rebucketInto(spark: SparkSession, path: String, newN: Int): RebucketIntoResult = {
+    require(newN >= 2, "newN must be at least 2")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val current = vs.last
+    val text = manifestText(spark, path, current)
+    val (key, n) = bucketingOf(text).getOrElse(throw new IllegalArgumentException(
+      s"table at $path carries no bucketing claim — rebucket() restores a dropped " +
+        "claim; rebucketInto changes the count of a CLAIMED layout"))
+    if (newN == n)
+      return RebucketIntoResult(current, key, n, local = true, 0)
+    val factor = newN / n
+    val isPow2Growth = newN % n == 0 &&
+      factor >= 2 && (factor & (factor - 1)) == 0
+    val currSchema = tableSchema(spark, path, Some(current))
+    val keys = splitKeys(key)
+    val f = fs(spark, path)
+    if (!isPow2Growth) {
+      // full rewrite: the only honest path for shrink / non-power growth
+      val df = read(spark, path, Some(current))
+      val names0 = stageBucketed(df, path, key, newN)
+      val names =
+        if (names0.nonEmpty) names0
+        else stageEmptySeed(spark, path, currSchema, bucketSuffix = true)
+      val v = publish(spark, path, "rebucket-into", names,
+        carryForward = false, requiredParent = Some(current),
+        dataSchema = Some(currSchema), bucketing = Some((key, newN)),
+        newRowCounts = names.map(_ -> 0L).toMap ++ stagedCounts(spark, path, names)).get
+      return RebucketIntoResult(v, key, newN, local = false, names.size)
+    }
+    // LOCAL split: per old bucket, one narrow read -> per-child files.
+    // partitionBy on the child id splits WITHIN the task (no shuffle);
+    // coalesce(1) + sortWithinPartitions keeps each child file sorted.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val commitId = UUID.randomUUID().toString
+    val dataDir = s"$path/data/$commitId"
+    f.mkdirs(new Path(dataDir))
+    val rel = manifestFiles(spark, path, current)
+    val suffix = "_(\\d+)\\.".r
+    val byBucket = rel.groupBy(fl =>
+      suffix.findFirstMatchIn(fl).map(_.group(1).toInt).getOrElse(
+        sys.error(s"bucketed manifest carries an unsuffixed file: $fl")))
+    require(byBucket.keys.forall(_ < n), s"file suffix >= declared n=$n at $path")
+    val childCol = "__graft_child"
+    val names = byBucket.toSeq.sortBy(_._1).flatMap { case (b, filesB) =>
+      val tmp = s"$dataDir/_split_$b"
+      conformTo(currSchema)(evolvedRead(spark, path, text, filesB))
+        .coalesce(1)
+        .sortWithinPartitions(keys.head, keys.tail: _*)
+        .withColumn(childCol, pmod(hash(keys.map(col): _*), lit(newN)))
+        .write.partitionBy(childCol).parquet(tmp)
+      val out = f.listStatus(new Path(tmp))
+        .filter(_.isDirectory)
+        .flatMap { d =>
+          val c = d.getPath.getName.stripPrefix(s"$childCol=").toInt
+          require(c % n == b && c < newN,
+            s"local split of bucket $b produced child $c — mod-$newN must refine mod-$n")
+          f.listStatus(d.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map { s =>
+              val renamed = f"part-$b%05d-$commitId" + f"_$c%05d.parquet"
+              require(f.rename(s.getPath, new Path(s"$dataDir/$renamed")),
+                s"rename ${s.getPath.getName} -> $renamed failed")
+              s"$commitId/$renamed"
+            }
+        }
+      f.delete(new Path(tmp), true)
+      out
+    }
+    val finalNames =
+      if (names.nonEmpty) names
+      else stageEmptySeed(spark, path, currSchema, bucketSuffix = true)
+    val v = publish(spark, path, "rebucket-into", finalNames,
+      carryForward = false, requiredParent = Some(current),
+      schemaOverride = Some(currSchema), bucketing = Some((key, newN)),
+      newRowCounts = finalNames.map(_ -> 0L).toMap ++
+        stagedCounts(spark, path, names),
+      dvOverride = Some(Seq.empty),
+      bloomOverride = prunedBlooms(spark, path, text, Seq.empty, Seq.empty)).get
+    RebucketIntoResult(v, key, newN, local = true, names.size)
   }
 
   /** Bucket-skew diagnostic for a claimed table: (bucket id → rows),

@@ -3019,6 +3019,71 @@ object Relational {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     headline = true)
 
+  /** Q364 — bucket-count evolution through the oracle gate
+    * ([[graft.io.VersionedTable.rebucketInto]], VERDICT r15 item 5): a
+    * fact laid out at 8 buckets grows to 16 via the per-bucket LOCAL
+    * split (murmur3 mod 16 refines mod 8 — the result asserts the local
+    * path ran), then joins a 16-bucketed partner; the executed plan must
+    * show ZERO exchanges (asserted on the SAME plan the query ran) and
+    * the aggregate must equal the oracle's plain relational join. A
+    * wrong child placement surfaces as lost/duplicated join rows —
+    * hash-fail; BucketEvolveSpec pins the per-file refinement, version
+    * file-identity, composite keys, the full-rewrite fallback, and the
+    * SQL statement. */
+  val q364 = QueryDef(
+    "q364_bucket_double_join",
+    (s, d) => {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = Scratch.dir("q364")
+      val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = root + "/li"; val ord = root + "/ord"
+        graft.io.VersionedTable.commitBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+          li, "l_orderkey", 8)
+        graft.io.VersionedTable.commitBucketed(
+          Tables.orders(s, d).select(
+            col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          ord, "l_orderkey", 16)
+        val res = graft.io.VersionedTable.rebucketInto(s, li, 16)
+        require(res.local, s"8 -> 16 must take the per-bucket local path: $res")
+        require(graft.io.VersionedTable.bucketing(s, li)
+          .contains(("l_orderkey", 16)), "the grown claim must hold")
+        val joined = graft.io.VersionedTable.table(s, li)
+          .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
+        joined.write.format("noop").mode("overwrite").save()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        val nShuffles = walk(joined.queryExecution.executedPlan)
+          .count(_.isInstanceOf[ShuffleExchangeExec])
+        require(nShuffles == 0,
+          s"post-growth co-bucketed join must plan exchange-free, got $nShuffles:\n" +
+            joined.queryExecution.executedPlan)
+        joined
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+              .as("rev_mm"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+        Scratch.rmTree(new java.io.File(root))
+      }
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4)
+           |         AS rev_mm
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     q271, q277, q283, q284, q293, q294, q295, q319, q325, q335, q338, q344, q345, q347,
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q15,
@@ -3026,7 +3091,7 @@ object Relational {
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363)
+    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363, q364)
 }
 
 /** q293's eager skew-join execution, shared with PlanShapeSpec (which

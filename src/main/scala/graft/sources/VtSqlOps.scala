@@ -68,6 +68,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val optimize =
     ("""(?is)\s*OPTIMIZE\s+(.+?)\s+TARGET\s+(\d+)\s+ROWS(\s+ZORDER)?""" +
       """(?:\s+WHERE\s+([\w.-]+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?\s*;?\s*""").r
+  private val rebucketIntoStmt =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s+REBUCKET\s+INTO\s+(\d+)\s+BUCKETS\s*;?\s*""".r
   private val rebucketStmt =
     """(?is)\s*OPTIMIZE\s+(.+?)\s+REBUCKET\s*;?\s*""".r
   private val analyze =
@@ -106,6 +108,8 @@ final class VtSqlParser(delegate: ParserInterface) extends ParserInterface {
       VtVacuumStagingCommand(parts(ident), hours.toInt)
     case vacuum(ident, keep, dry) =>
       VtVacuumCommand(parts(ident), keep.toInt, dryRun = dry != null)
+    case rebucketIntoStmt(ident, m) =>
+      VtRebucketIntoCommand(parts(ident), m.toInt)
     case rebucketStmt(ident) =>
       VtRebucketCommand(parts(ident))
     case optimize(ident, target, zorder, scopeCol, lo, hi) =>
@@ -362,6 +366,27 @@ final case class VtRebucketCommand(tableParts: Seq[String])
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val r = VersionedTable.rebucket(spark, path)
     Seq(Row(r.version, r.key, r.nBuckets, r.filesCarried, r.filesRewritten))
+  }
+}
+
+/** `OPTIMIZE <tbl> REBUCKET INTO <m> BUCKETS`: bucket-count evolution
+  * ([[graft.io.VersionedTable.rebucketInto]]) — power-of-two growth
+  * splits each old bucket LOCALLY into its children (murmur3 mod 2n
+  * refines mod n: no shuffle, no cross-bucket movement); any other
+  * target runs one full bucketed rewrite and the `local` column says
+  * which path ran. One row: the new layout, the path, files written. */
+final case class VtRebucketIntoCommand(tableParts: Seq[String], newN: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    VtSqlOps.attr("version", LongType),
+    VtSqlOps.attr("bucket_key", StringType),
+    VtSqlOps.attr("n_buckets", IntegerType),
+    VtSqlOps.attr("local", BooleanType),
+    VtSqlOps.attr("files_written", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VtSqlOps.resolvePath(spark, tableParts)
+    val r = VersionedTable.rebucketInto(spark, path, newN)
+    Seq(Row(r.version, r.key, r.nBuckets, r.local, r.filesWritten))
   }
 }
 
