@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
   GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery,
@@ -733,10 +733,11 @@ object EventStreams {
       events: DataFrame, armCol: String, convCol: String, tsCol: String,
       focal: String, control: String, focalShare: Double,
       tablePath: String, writerId: String, checkpointDir: String,
-      windowLen: String = "1 hour", watermark: String = "10 minutes"): StreamingQuery = {
+      windowLen: String = "1 hour", watermark: String = "10 minutes",
+      preCovariate: Option[(DataFrame, String, String)] = None): StreamingQuery = {
     val scorecard = experimentScorecard(
       events, armCol, convCol, tsCol, focal, control, focalShare,
-      windowLen, watermark)
+      windowLen, watermark, preCovariate)
     scorecard.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -749,26 +750,63 @@ object EventStreams {
   }
 
   /** The scorecard TRANSFORM alone (works on a batch frame too — the
-    * spec pins streaming == batch on the same rows). */
+    * spec pins streaming == batch on the same rows).
+    *
+    * `preCovariate = Some((dim, subjectCol, xCol))` turns on CUPED
+    * variance reduction (VERDICT r15 item 6): the PRE-period covariate
+    * joins as a static broadcast dim per micro-batch (the
+    * [[enrichWithDim]] shape — stream-static joins before a windowed
+    * aggregation are fully supported), the windowed aggregation carries
+    * the per-arm CUPED moments as extra conditional sums on the SAME
+    * state row, and the closed window reports theta / lift_cuped /
+    * se_cuped / z_cuped / var_reduction beside the raw readout —
+    * arithmetic IDENTICAL to [[graft.ops.Cuped.cuped]] on that window's
+    * subjects (spec-pinned to 1e-12; var_reduction uses the
+    * sample-variance Welch raw SE exactly as the batch estimator does).
+    * Subjects missing from the dim adjust with x = 0; windows with
+    * fewer than 2 subjects in an arm land with null adjusted columns
+    * (no honest variance exists). State stays one row per open window. */
   private[graft] def experimentScorecard(
       events: DataFrame, armCol: String, convCol: String, tsCol: String,
       focal: String, control: String, focalShare: Double,
-      windowLen: String, watermark: String): DataFrame = {
+      windowLen: String, watermark: String,
+      preCovariate: Option[(DataFrame, String, String)] = None): DataFrame = {
     require(focal != control, "focal and control must differ")
     require(focalShare > 0 && focalShare < 1,
       s"focalShare must be in (0,1), got $focalShare")
     val arm = col(armCol).cast("string")
     val conv = col(convCol).cast("long")
-    val agg = events
+    val src = preCovariate match {
+      case None => events
+      case Some((dim, subjectCol, xCol)) =>
+        events.join(
+          broadcast(dim.select(col(subjectCol),
+            col(xCol).cast("double").as("__graft_x"))),
+          Seq(subjectCol), "left")
+          .withColumn("__graft_x", coalesce(col("__graft_x"), lit(0.0)))
+    }
+    val x = col("__graft_x")
+    val y = conv.cast("double")
+    def sideSum(cond: Column, e: Column, nm: String) =
+      sum(when(cond, e).otherwise(lit(0.0))).as(nm)
+    val cupedAggs =
+      if (preCovariate.isEmpty) Seq.empty
+      else Seq(
+        sideSum(arm === focal, x, "sx_f"), sideSum(arm === focal, x * x, "sxx_f"),
+        sideSum(arm === focal, x * y, "sxy_f"), sideSum(arm === focal, y * y, "syy_f"),
+        sideSum(arm === control, x, "sx_c"), sideSum(arm === control, x * x, "sxx_c"),
+        sideSum(arm === control, x * y, "sxy_c"), sideSum(arm === control, y * y, "syy_c"))
+    val baseAggs = Seq(
+      sum(when(arm === focal, 1L).otherwise(0L)).as("n_f"),
+      sum(when(arm === focal, conv).otherwise(0L)).as("conv_f"),
+      sum(when(arm === control, 1L).otherwise(0L)).as("n_c"),
+      sum(when(arm === control, conv).otherwise(0L)).as("conv_c"),
+      sum(when(arm =!= focal && arm =!= control, 1L).otherwise(0L))
+        .as("undeclared_n")) ++ cupedAggs
+    val agg = src
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
-      .agg(
-        sum(when(arm === focal, 1L).otherwise(0L)).as("n_f"),
-        sum(when(arm === focal, conv).otherwise(0L)).as("conv_f"),
-        sum(when(arm === control, 1L).otherwise(0L)).as("n_c"),
-        sum(when(arm === control, conv).otherwise(0L)).as("conv_c"),
-        sum(when(arm =!= focal && arm =!= control, 1L).otherwise(0L))
-          .as("undeclared_n"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
     val pF = col("conv_f").cast("double") / col("n_f")
     val pC = col("conv_c").cast("double") / col("n_c")
     val haveBoth = col("n_f") > 0 && col("n_c") > 0
@@ -783,7 +821,7 @@ object EventStreams {
         (col("n_c") - expC) * (col("n_c") - expC) / expC)
     val pSrm = when(n > 0,
       graft.ops.Contingency.chi2UpperP(chi2, lit(1.0)))
-    agg.select(
+    val baseCols = Seq(
       col("window.start").as("w_start"), col("window.end").as("w_end"),
       col("n_f"), col("conv_f"), col("n_c"), col("conv_c"),
       col("undeclared_n"),
@@ -791,6 +829,52 @@ object EventStreams {
       when(se > 0, lift / se).as("z"),
       chi2.as("srm_chi2"), pSrm.as("p_srm"),
       (coalesce(pSrm < 0.001, lit(false)) || col("undeclared_n") > 0).as("srm"))
+    val cupedCols =
+      if (preCovariate.isEmpty) Seq.empty
+      else {
+        // Cuped.cuped's closed form, verbatim, as window-row column math
+        val ready = col("n_f") >= 2 && col("n_c") >= 2
+        val nF = col("n_f").cast("double")
+        val nC = col("n_c").cast("double")
+        val syF = col("conv_f").cast("double")
+        val syC = col("conv_c").cast("double")
+        val nn = nF + nC
+        val sx = col("sx_f") + col("sx_c")
+        val sy = syF + syC
+        val sxx = col("sxx_f") + col("sxx_c")
+        val sxy = col("sxy_f") + col("sxy_c")
+        val mx = sx / nn
+        val varXn = sxx - sx * sx / nn
+        val theta = when(varXn > 0.0, (sxy - sx * sy / nn) / varXn)
+          .otherwise(lit(0.0))
+        def armStats(nA: Column, syA: Column, sxA: Column, sxxA: Column,
+            syyA: Column, sxyA: Column): (Column, Column, Column, Column) = {
+          val meanY = syA / nA
+          val meanX = sxA / nA
+          val varY = (syyA - syA * syA / nA) / (nA - 1)
+          val varX = (sxxA - sxA * sxA / nA) / (nA - 1)
+          val covXY = (sxyA - sxA * syA / nA) / (nA - 1)
+          (meanY, meanX, varY,
+            varY - lit(2.0) * theta * covXY + theta * theta * varX)
+        }
+        val (myF, mxF, varYF, varAdjF) =
+          armStats(nF, syF, col("sx_f"), col("sxx_f"), col("syy_f"), col("sxy_f"))
+        val (myC, mxC, varYC, varAdjC) =
+          armStats(nC, syC, col("sx_c"), col("sxx_c"), col("syy_c"), col("sxy_c"))
+        val liftCuped = (myF - theta * (mxF - mx)) - (myC - theta * (mxC - mx))
+        val seRawSample = sqrt(varYF / nF + varYC / nC)
+        val seCuped = sqrt(varAdjF / nF + varAdjC / nC)
+        val varReduction = when(seRawSample > 0.0,
+          lit(1.0) - (seCuped * seCuped) / (seRawSample * seRawSample))
+          .otherwise(lit(0.0))
+        Seq(
+          when(ready, theta).as("theta"),
+          when(ready, liftCuped).as("lift_cuped"),
+          when(ready, seCuped).as("se_cuped"),
+          when(ready && seCuped > 0, liftCuped / seCuped).as("z_cuped"),
+          when(ready, varReduction).as("var_reduction"))
+      }
+    agg.select(baseCols ++ cupedCols: _*)
   }
 
   /** One (timestamp, term) occurrence on the input stream. */

@@ -70,14 +70,93 @@ object ScaleProbe {
     // r15: PH-assumption score test — grid arithmetic off the fit
     "q358_cox_ph_test",
     // r15: multi-covariate CUPED — one wider moments pass, p×p driver solve
-    "q359_cuped_multi")
+    "q359_cuped_multi",
+    // r16: cluster-robust CUPED / clustered MDE (one extra keyed agg to
+    // the cluster grid), RMST with the Greenwood-type variance (grid
+    // arithmetic off the existing fit), typed-stats pruning and bucket
+    // doubling (both build scratch versioned tables — the probe times
+    // the WHOLE lifecycle, ingest included)
+    "q360_cuped_cluster", "q361_mde_cluster", "q362_rmst_ci",
+    "q363_typed_prune", "q364_bucket_double_join")
 
-  /** `ScaleProbe <fixtureDir> [names,csv]` — the optional second arg
-    * restricts to the named queries and skips the q211/q88 volume-driver
-    * sections (which read the documents table; an events/orders-only
-    * probe fixture has none). */
+  /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
+    * 20-micro-batch file stream through [[graft.streaming.EventStreams
+    * .streamingSrm]] and the CUPED scorecard sink, and report wall
+    * time, throughput and — the scale claim itself — the MAX stateful
+    * rows the run ever held. Both operators keep ONE state row per open
+    * window (arms are conditional counter COLUMNS, the CUPED moments
+    * ride the same row), so a 10× replay must show ~10× rows at the
+    * SAME state size: state is O(windows × arms), never O(rows). The
+    * watermark is set beyond the fixture's calendar so unordered file
+    * replay drops nothing — every window stays open, which is the
+    * WORST-CASE state bound. */
+  private def probeStreaming(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("probe_stream").toString
+    val ev = Tables.events(spark, sfDir).select(
+      col("ts"), col("user_id"),
+      when((conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+        1, 4), 16, 10).cast("int") % 2) === 1, lit("treat")).otherwise(lit("ctrl"))
+        .as("arm"),
+      (col("event_type") === "purchase").cast("int").as("conv"))
+    val srcDir = s"$tmp/src"
+    ev.repartition(20).write.parquet(srcDir)
+    val nRows = spark.read.parquet(srcDir).count()
+    val schema = spark.read.parquet(srcDir).schema
+    def fileStream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    def runStream(name: String)(start: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val t0 = System.nanoTime()
+      val q = start(fileStream())
+      try {
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateMax = q.recentProgress
+          .flatMap(p => p.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        println(f"[probe] $name%-28s rows=$nRows%9d batches=$batches%3d " +
+          f"wall=$sec%7.2f s state_rows_max=$stateMax%6d " +
+          f"rows_per_sec=${nRows / math.max(sec, 1e-9)}%.0f")
+      } finally q.stop()
+    }
+    runStream("streaming_srm") { src =>
+      graft.streaming.EventStreams.streamingSrm(
+        src, "arm", "ts", Seq("ctrl" -> 0.5, "treat" -> 0.5),
+        windowLen = "1 hour", watermark = "3650 days")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$tmp/ck_srm")
+        .outputMode("append").start()
+    }
+    // the CUPED dim: one pre-period covariate row per user, broadcast
+    // into every micro-batch (the enrichWithDim shape)
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).cast("double").as("pre_x"))
+      .localCheckpoint(true)
+    runStream("scorecard_sink_cuped") { src =>
+      graft.streaming.EventStreams.startExperimentScorecardSink(
+        src, "arm", "conv", "ts", focal = "treat", control = "ctrl",
+        focalShare = 0.5, tablePath = s"$tmp/scorecard",
+        writerId = "probe", checkpointDir = s"$tmp/ck_sc",
+        windowLen = "1 hour", watermark = "3650 days",
+        preCovariate = Some((dim, "user_id", "pre_x")))
+    }
+    graft.queries.Scratch.rmTree(new java.io.File(tmp))
+  }
+
+  /** `ScaleProbe <fixtureDir> [names,csv|streaming]` — the optional
+    * second arg restricts to the named queries (skipping the q211/q88
+    * volume-driver sections, which read the documents table), or runs
+    * the STREAMING probe when it is the literal `streaming`. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.drop(1).headOption.contains("streaming")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val s = graft.core.GraftSession.builder(s"local[$cpus0]", cpus0, "scaleprobe").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      println(s"[probe] dir=$sfDir cpus=$cpus0 mode=streaming")
+      probeStreaming(s, sfDir)
+      s.stop()
+      return
+    }
     val onlyNames = args.drop(1).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus, "scaleprobe").getOrCreate()

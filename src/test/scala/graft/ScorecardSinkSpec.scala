@@ -102,4 +102,75 @@ class ScorecardSinkSpec extends SparkSuite {
         "treat", "ctrl", 1.0, "1 hour", "10 minutes"))
       .getMessage.contains("focalShare"))
   }
+
+  test("CUPED-adjusted scorecard: streaming window row equals batch Cuped.cuped to 1e-12") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_cuped")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_cuped_ck").toString
+    // one event per subject; pre-period activity predicts conversion
+    val rnd = new scala.util.Random(13)
+    val subjects: Seq[(Timestamp, String, Int, Long)] = (1 to 240).map { i =>
+      val armName = if (i % 2 == 0) "treat" else "ctrl"
+      val pre = i % 9
+      val conv = if (rnd.nextDouble() < 0.1 + 0.06 * pre + (if (armName == "treat") 0.08 else 0.0)) 1 else 0
+      val w = if (i <= 120) "10" else "11"
+      (t(s"2024-01-01 $w:00:${f"${i % 60}%02d"}"), armName, conv, i.toLong)
+    }
+    val dim = subjects.map { case (_, _, _, uid) => (uid, (uid % 9).toDouble) }
+      .toDF("uid", "pre_x")
+    val ms = MemoryStream[(Timestamp, String, Int, Long)]
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "uid"), "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-cuped-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes",
+      preCovariate = Some((dim, "uid", "pre_x")))
+    try {
+      ms.addData(subjects: _*)
+      q.processAllAvailable()
+      ms.addData((t("2024-01-02 09:00:00"), "treat", 0, 999999L))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 2, s"two closed windows expected, got ${got.length}")
+      got.foreach { row =>
+        val ws = row.getAs[Timestamp]("w_start")
+        val winSubjects = subjects.filter { case (ts0, _, _, _) =>
+          ts0.getTime >= ws.getTime && ts0.getTime < ws.getTime + 3600000L
+        }.map { case (_, a, c, uid) => (a, c.toDouble, (uid % 9).toDouble) }
+          .toDF("arm", "y", "x")
+        val b = graft.ops.Cuped.cuped(winSubjects, "arm", "y", "x", focal = "treat").head
+        assert(row.getAs[Long]("n_f") == b.getAs[Long]("n_a"))
+        assert(math.abs(row.getAs[Double]("theta") - b.getAs[Double]("theta")) < 1e-12)
+        assert(math.abs(row.getAs[Double]("lift") - b.getAs[Double]("delta_raw")) < 1e-12)
+        assert(math.abs(row.getAs[Double]("lift_cuped") - b.getAs[Double]("delta_cuped")) < 1e-12)
+        assert(math.abs(row.getAs[Double]("se_cuped") - b.getAs[Double]("se_cuped")) < 1e-12)
+        assert(math.abs(row.getAs[Double]("var_reduction") - b.getAs[Double]("var_reduction")) < 1e-12)
+        assert(row.getAs[Double]("var_reduction") > 0.0,
+          "a predictive pre-period covariate must remove variance")
+      }
+      // streaming == the batch transform with the same dim, full schema
+      val batch = EventStreams.experimentScorecard(
+        subjects.toDF("ts", "arm", "conv", "uid"), "arm", "conv", "ts",
+        "treat", "ctrl", 0.5, "1 hour", "10 minutes",
+        preCovariate = Some((dim, "uid", "pre_x")))
+        .orderBy("w_start").collect()
+      got.zip(batch).foreach { case (sr, br) =>
+        assert(sr.toSeq == br.toSeq, s"stream row $sr != batch row $br")
+      }
+    } finally q.stop()
+  }
+
+  test("CUPED scorecard: a window with a thin arm lands null adjusted columns, raw intact") {
+    val thin = (1 to 30).map(i => (t(f"2024-01-01 10:00:${i % 60}%02d"),
+      if (i == 1) "ctrl" else "treat", i % 2, i.toLong))
+      .toDF("ts", "arm", "conv", "uid")
+    val dim = (1 to 30).map(i => (i.toLong, (i % 5).toDouble)).toDF("uid", "pre_x")
+    val r = EventStreams.experimentScorecard(
+      thin, "arm", "conv", "ts", "treat", "ctrl", 0.5, "1 hour", "10 minutes",
+      preCovariate = Some((dim, "uid", "pre_x"))).collect()(0)
+    assert(r.getAs[Long]("n_c") == 1 && r.getAs[Long]("n_f") == 29)
+    assert(!r.isNullAt(r.fieldIndex("lift")), "raw lift exists with 1 subject")
+    Seq("theta", "lift_cuped", "se_cuped", "z_cuped", "var_reduction").foreach(c =>
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c must be null on a <2-subject arm"))
+  }
 }
