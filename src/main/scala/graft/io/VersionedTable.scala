@@ -1740,6 +1740,18 @@ object VersionedTable {
     * FilePartitions, not the metric). */
   private def bucketPointCut(
       text: String, preds: Map[String, (Long, Long)], keep: Seq[String]): Seq[String] =
+    bucketPointCutTyped(
+      text, preds.map { case (c, (lo, hi)) => c -> ((lo: Any, hi: Any)) }, keep)
+
+  /** The typed form of the bucket-point file cut: STRING bucket keys
+    * pin too (a doc-id point lookup on a doc-keyed claimed corpus cuts
+    * to 1/n of the candidates — the text-table twin of the integer
+    * point cut). The pinned literal must carry the CLAIMED key type:
+    * murmur3 hashes each type differently, and a bound whose runtime
+    * type the column cannot interpret simply declines the cut (the
+    * exact filter still runs — safety unchanged). */
+  private def bucketPointCutTyped(
+      text: String, preds: Map[String, (Any, Any)], keep: Seq[String]): Seq[String] =
     bucketingOf(text) match {
       case Some((bk, n)) =>
         import org.apache.spark.sql.types._
@@ -1748,12 +1760,15 @@ object VersionedTable {
         // you nothing about the bucket
         def pin(k: String): Option[(Any, DataType)] =
           preds.get(k).filter { case (lo, hi) => lo == hi }.flatMap { case (lo, _) =>
-            schemaOf(text).flatMap(_.fields.find(_.name == k)).map(_.dataType).flatMap {
-              case LongType => Some((lo, LongType))
-              case IntegerType if lo.isValidInt => Some((lo.toInt: Any, IntegerType))
-              case ShortType if lo.isValidShort => Some((lo.toShort: Any, ShortType))
-              case ByteType if lo.isValidByte => Some((lo.toByte: Any, ByteType))
-              case _ => None
+            schemaOf(text).flatMap(_.fields.find(_.name == k)).map(_.dataType).flatMap { dt =>
+              (dt, lo) match {
+                case (StringType, s: String) => Some((s: Any, StringType))
+                case (LongType, l: Long) => Some((l: Any, LongType))
+                case (IntegerType, l: Long) if l.isValidInt => Some((l.toInt: Any, IntegerType))
+                case (ShortType, l: Long) if l.isValidShort => Some((l.toShort: Any, ShortType))
+                case (ByteType, l: Long) if l.isValidByte => Some((l.toByte: Any, ByteType))
+                case _ => None
+              }
             }
           }
         val pins = splitKeys(bk).map(pin)
@@ -1830,6 +1845,40 @@ object VersionedTable {
             else "java.sql.Timestamp / Instant / epoch-micros Long"}")
     }
 
+
+  /** Manifest-stats candidate pruning for merge-shaped ops: ONE tiny
+    * aggregation over the SOURCE batch bounds every recorded merge key —
+    * LONG keys through the stats2 channel (as before) and STRING keys
+    * through the typed stats3 channel, so a doc-keyed corpus merge
+    * prunes too (VERDICT r15 item 4's consumer). Keys without usable
+    * bounds prune nothing; no recorded key returns `rel` unchanged. */
+  private def mergeCandidateCut(
+      spark: SparkSession, path: String, text: String, current: Long,
+      src: DataFrame, keys: Seq[String], rel: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val longKeys = statsOf(text)._1.filter(keys.contains)
+    val typedT = typedStatsOf(text)._1
+    val stringKeys = keys
+      .filter(k => typedT.get(k).contains("string"))
+      .filterNot(longKeys.contains)
+    val all = longKeys.map(k => (k, 'L')) ++ stringKeys.map(k => (k, 'S'))
+    if (all.isEmpty) return rel
+    val aggs = all.flatMap { case (c, t) =>
+      val e = if (t == 'L') col(c).cast("long") else col(c)
+      Seq(min(e), max(e))
+    }
+    val bounds = src.agg(aggs.head, aggs.tail: _*).head()
+    val preds: Map[String, (Any, Any)] = all.zipWithIndex.flatMap { case ((c, t), i) =>
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) None
+      else if (t == 'L')
+        Some(c -> ((bounds.getLong(2 * i): Any, bounds.getLong(2 * i + 1): Any)))
+      else Some(c -> ((bounds.getString(2 * i): Any, bounds.getString(2 * i + 1): Any)))
+    }.toMap
+    if (preds.isEmpty) rel
+    else filesForRangesTyped(spark, path, preds, Some(current))
+  }
+
+
   /** [[filesForRanges]] over the TYPED (stats3) channel: the data files
     * of `version` that can hold a row satisfying every string / date /
     * timestamp range predicate (column → [lo, hi], inclusive). Columns
@@ -1866,9 +1915,9 @@ object VersionedTable {
               longRanges.get((f, c)).forall { case (flo, fhi) =>
                 fhi >= lol && flo <= hil
               }
-            case _ => throw new IllegalArgumentException(
-              s"column '$c' has no recorded typed stats at $path — commitAppend " +
-                "with it in statsCols first (long bounds still prune via stats2)")
+            // no recorded stats under this bound form: never prune (the
+            // bucket point cut and the exact filter still apply)
+            case _ => true
           }
         }
       }
@@ -1896,7 +1945,8 @@ object VersionedTable {
     }
     val text = manifestText(spark, path, v)
     val (types, _) = typedStatsOf(text)
-    val keep = filesForRangesTyped(spark, path, preds, Some(v))
+    val keep = bucketPointCutTyped(
+      text, preds, filesForRangesTyped(spark, path, preds, Some(v)))
     def asLit(c: String, bound: Any): org.apache.spark.sql.Column =
       (types.get(c), bound) match {
         case (Some("date"), s: String) => to_date(lit(s))
@@ -1904,8 +1954,11 @@ object VersionedTable {
         case _ => lit(bound)
       }
     val exact = preds.map { case (c, (lo, hi)) =>
-      if (types.contains(c)) col(c).between(asLit(c, lo), asLit(c, hi))
-      else col(c).cast("long").between(lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+      (types.contains(c), lo, hi) match {
+        case (true, _, _) => col(c).between(asLit(c, lo), asLit(c, hi))
+        case (false, lol: Long, hil: Long) => col(c).cast("long").between(lol, hil)
+        case _ => col(c).between(lit(lo), lit(hi))
+      }
     }.reduce(_ && _)
     if (keep.isEmpty) {
       val full = read(spark, path, Some(v))
@@ -2563,21 +2616,7 @@ object VersionedTable {
         if (srcRows == 0L) return Some(MergeResult(current, 0L, 0L, 0, rel.size))
         // manifest-stats candidate pruning on whichever recorded columns
         // are merge keys: one tiny agg over the source bounds each
-        val statsKeys = statsOf(text)._1.filter(keys.contains)
-        val candidates =
-          if (statsKeys.isEmpty) rel
-          else {
-            val aggs = statsKeys.flatMap(c => Seq(
-              org.apache.spark.sql.functions.min(col(c).cast("long")),
-              org.apache.spark.sql.functions.max(col(c).cast("long"))))
-            val bounds = src.agg(aggs.head, aggs.tail: _*).head()
-            val preds = statsKeys.zipWithIndex.flatMap { case (c, i) =>
-              if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) None
-              else Some(c -> (bounds.getLong(2 * i), bounds.getLong(2 * i + 1)))
-            }.toMap
-            if (preds.isEmpty) rel
-            else filesForRanges(spark, path, preds, Some(current))
-          }
+        val candidates = mergeCandidateCut(spark, path, text, current, src, keys, rel)
         // bloom point-probe pruning on top of the range cut: on a table
         // whose merge key is SCATTERED (every file's range spans the
         // domain), ranges keep everything but the per-file blooms bound
@@ -2771,22 +2810,7 @@ object VersionedTable {
         val current = vs.last
         val text = manifestText(spark, path, current)
         val rel = manifestFiles(spark, path, current)
-        val (statsCols0, _) = statsOf(text)
-        val statsKeys = keys.filter(statsCols0.contains)
-        val candidates =
-          if (statsKeys.isEmpty) rel
-          else {
-            val aggs = statsKeys.flatMap(c => Seq(
-              org.apache.spark.sql.functions.min(col(c).cast("long")),
-              org.apache.spark.sql.functions.max(col(c).cast("long"))))
-            val bounds = src.agg(aggs.head, aggs.tail: _*).head()
-            val preds = statsKeys.zipWithIndex.flatMap { case (c, i) =>
-              if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) None
-              else Some(c -> (bounds.getLong(2 * i), bounds.getLong(2 * i + 1)))
-            }.toMap
-            if (preds.isEmpty) rel
-            else filesForRanges(spark, path, preds, Some(current))
-          }
+        val candidates = mergeCandidateCut(spark, path, text, current, src, keys, rel)
         val bloomCand =
           if (candidates.isEmpty || bloomFilesOf(text).isEmpty ||
               srcRows > 2000000L) candidates

@@ -332,7 +332,7 @@ object Survival {
       subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
       strataCol: Option[String], startCol: Option[String], clusterCol: String,
       beta: Array[Double],
-      grid: Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double])])
+      grid: Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double], Array[Double])])
       : Array[Array[Double]] = {
     val spark = subjects.sparkSession
     import spark.implicits._
@@ -345,7 +345,7 @@ object Survival {
     var stratum: String = null
     var s0 = 0.0
     val s1 = Array.fill(p)(0.0)
-    grid.foreach { case (g, t, d, a0, _, a1, _, _) =>
+    grid.foreach { case (g, t, d, a0, _, a1, _, _, _) =>
       if (g != stratum) {
         stratum = g; s0 = 0.0; java.util.Arrays.fill(s1, 0.0)
       }
@@ -455,7 +455,7 @@ object Survival {
     val increments = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     var stratum: String = null
     var s0 = 0.0
-    grid.foreach { case (g, t, d, a0, e0, _, _, _) =>
+    grid.foreach { case (g, t, d, a0, e0, _, _, _, _) =>
       if (g != stratum) { stratum = g; s0 = 0.0 }
       s0 += a0
       if (d > 0) {
@@ -524,7 +524,7 @@ object Survival {
     var s0 = 0.0
     val s1 = Array.fill(p)(0.0)
     val s2 = Array.fill(pairs.length)(0.0)
-    grid.foreach { case (g, t, d, a0, _, a1, a2, sx) =>
+    grid.foreach { case (g, t, d, a0, _, a1, _, a2, sx) =>
       if (g != stratum) {
         stratum = g; s0 = 0.0
         java.util.Arrays.fill(s1, 0.0); java.util.Arrays.fill(s2, 0.0)
@@ -621,10 +621,11 @@ object Survival {
     * under Efron), a perturbation at t_j scales every later S by
     * −e^{β̂ᵀx}, so ∂RMST/∂dH_j = −e^{β̂ᵀx}·A_j with A_j the curve's
     * TAIL AREA from t_j, and
-    * var(RMST) = e^{2β̂ᵀx}·Σ_j A_j²·v_j — every term rides the SAME
-    * final-β grid the fit already collected (no extra pass; β̂
-    * uncertainty is second-order here and ignored, as in the standard
-    * survfit first term). A (stratum, profile) whose first event
+    * var(RMST) = e^{2β̂ᵀx}·Σ_j A_j²·v_j, PLUS the delta-method β̂ term
+    * Dᵀ·I⁻¹·D with D_k = r·Σ_j A_j·(m_jk − dH_j·x_k) and m = −∂dH/∂β
+    * (the two sources are asymptotically independent) — every term
+    * rides the SAME final-β grid the fit already collected (no extra
+    * pass). A (stratum, profile) whose first event
     * exceeds the horizon is S = 1 throughout: rmst = horizon, se = 0.
     * Strata are independent fits — the walk is per-stratum, grid-sized,
     * under the `maxTimes` discipline.
@@ -645,36 +646,10 @@ object Survival {
       s"every profile must supply ${xCols.length} covariate value(s)")
     require(profiles.map(_._1).distinct.size == profiles.size,
       "profile names must be distinct")
-    val (beta, _, _, grid) =
+    val (beta, cov, _, grid) =
       coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
         firth, startCol)
-    val efron = ties == "efron"
-    // per-stratum event cells (t, dH₀ increment, its variance increment),
-    // from the descending-grid S₀ walk the baseline already uses
-    val cells = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double)]
-    var stratum: String = null
-    var s0 = 0.0
-    grid.foreach { case (g, t, d, a0, e0, _, _, _) =>
-      if (g != stratum) { stratum = g; s0 = 0.0 }
-      s0 += a0
-      if (d > 0) {
-        val (dH, v) =
-          if (!efron) (d.toDouble / s0, d.toDouble / (s0 * s0))
-          else {
-            var acc = 0.0
-            var accV = 0.0
-            var j = 0L
-            while (j < d) {
-              val s0j = s0 - (j.toDouble / d) * e0
-              acc += 1.0 / s0j
-              accV += 1.0 / (s0j * s0j)
-              j += 1
-            }
-            (acc, accV)
-          }
-        cells += ((g, t, dH, v))
-      }
-    }
+    val cells = baselineCells(grid, ties == "efron", xCols.length)
     // strata enumerate from the full grid (censor-only strata still get
     // their S = 1 rows), not just from event cells
     val strata = grid.map(_._1).distinct.sorted.toSeq
@@ -686,36 +661,198 @@ object Survival {
         if (asc.isEmpty) (g, name, horizon, horizon.toDouble, 0.0,
           horizon.toDouble, horizon.toDouble)
         else {
-          val k = asc.length
-          var h0 = 0.0
-          val area = Array.fill(k)(0.0)
-          val v = Array.fill(k)(0.0)
-          var j = 0
-          while (j < k) {
-            h0 += asc(j)._3
-            val next = if (j + 1 < k) math.min(asc(j + 1)._2, horizon) else horizon
-            area(j) = math.exp(-h0 * r) * (next - asc(j)._2)
-            v(j) = asc(j)._4
-            j += 1
-          }
-          var rmst = math.min(asc(0)._2, horizon).toDouble
-          j = 0
-          while (j < k) { rmst += area(j); j += 1 }
-          // suffix tail areas A_j, then the Greenwood-type sum
+          val (rmst, area) = rmstAreas(asc, horizon, r)
+          // suffix tail areas A_j: the Greenwood-type H0 term plus the
+          // beta-gradient D_k = r * sum_j A_j * (m_jk - dH_j * x_k) for
+          // the delta-method var(beta-hat) term (FIRST-order for any
+          // profile off the baseline; the two terms are asymptotically
+          // independent)
+          val p = xCols.length
           var tail = 0.0
           var sumA2v = 0.0
-          j = k - 1
+          val dSum = Array.fill(p)(0.0)
+          var j = asc.length - 1
           while (j >= 0) {
             tail += area(j)
-            sumA2v += tail * tail * v(j)
+            sumA2v += tail * tail * asc(j)._4
+            var k = 0
+            while (k < p) {
+              dSum(k) += tail * (asc(j)._5(k) - asc(j)._3 * x(k))
+              k += 1
+            }
             j -= 1
           }
-          val se = math.sqrt(r * r * sumA2v)
+          var vb = 0.0
+          var k = 0
+          while (k < p) {
+            var l = 0
+            while (l < p) {
+              vb += (r * dSum(k)) * cov(k)(l) * (r * dSum(l))
+              l += 1
+            }
+            k += 1
+          }
+          val se = math.sqrt(r * r * sumA2v + vb)
           (g, name, horizon, rmst, se, rmst - 1.959964 * se, rmst + 1.959964 * se)
         }
       }
     }
     out.toDF("stratum", "profile", "horizon", "rmst", "se", "ci_lo", "ci_hi")
+  }
+
+  /** RMST CONTRAST between two covariate profiles with SE and 95% CI —
+    * the decision statistic ("how many extra event-free days does treat
+    * buy by day τ, and is that distinguishable from zero"). Both arms'
+    * curves ride the SAME baseline-hazard increments, so the
+    * difference's variance must carry their COVARIANCE:
+    * ∂(rmst₁ − rmst₀)/∂dH_j = −(r₁·A_j⁽¹⁾ − r₀·A_j⁽⁰⁾), hence
+    * var = Σ_j (r₁A_j⁽¹⁾ − r₀A_j⁽⁰⁾)²·v_j — strictly LESS than the
+    * naive per-arm variance sum (the shared baseline noise cancels in
+    * the contrast; spec-pinned), which is why differencing the q362
+    * rows and root-sum-squaring their SEs would be wrong. Same grid
+    * arithmetic, zero extra passes. Returns one row per stratum:
+    * (stratum, horizon, rmst_focal, rmst_ref, diff, se, ci_lo,
+    * ci_hi). */
+  def rmstDiffAdjusted(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      focalProfile: Seq[Double], refProfile: Seq[Double], horizon: Long,
+      iters: Int = 8, maxTimes: Int = 100000,
+      strataCol: Option[String] = None, ties: String = "efron",
+      firth: Boolean = false, startCol: Option[String] = None): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    require(focalProfile.length == xCols.length && refProfile.length == xCols.length,
+      s"both profiles must supply ${xCols.length} covariate value(s)")
+    require(focalProfile != refProfile, "profiles must differ (the contrast is zero)")
+    val (beta, cov, _, grid) =
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
+        firth, startCol)
+    val p = xCols.length
+    val cells = baselineCells(grid, ties == "efron", p)
+    val strata = grid.map(_._1).distinct.sorted.toSeq
+    val r1 = math.exp(focalProfile.zip(beta).map { case (xi, bi) => xi * bi }.sum)
+    val r0 = math.exp(refProfile.zip(beta).map { case (xi, bi) => xi * bi }.sum)
+    val out = strata.map { g =>
+      val asc = cells.filter(c => c._1 == g && c._2 <= horizon).sortBy(_._2).toSeq
+      if (asc.isEmpty) (g, horizon, horizon.toDouble, horizon.toDouble, 0.0, 0.0, 0.0, 0.0)
+      else {
+        val (rmst1, a1) = rmstAreas(asc, horizon, r1)
+        val (rmst0, a0) = rmstAreas(asc, horizon, r0)
+        // contrast gradient: D_k = r1*sum A1(m - dH x1) - r0*sum A0(m - dH x0)
+        // — the beta term is FIRST-order for a contrast (the arms differ
+        // exactly through beta-hat), which is why the H0-only variance
+        // would be dishonestly narrow here
+        var t1 = 0.0
+        var t0 = 0.0
+        var s = 0.0
+        val d1 = Array.fill(p)(0.0)
+        val d0 = Array.fill(p)(0.0)
+        var j = asc.length - 1
+        while (j >= 0) {
+          t1 += a1(j)
+          t0 += a0(j)
+          val d = r1 * t1 - r0 * t0
+          s += d * d * asc(j)._4
+          var k = 0
+          while (k < p) {
+            d1(k) += t1 * (asc(j)._5(k) - asc(j)._3 * focalProfile(k))
+            d0(k) += t0 * (asc(j)._5(k) - asc(j)._3 * refProfile(k))
+            k += 1
+          }
+          j -= 1
+        }
+        var vb = 0.0
+        var k = 0
+        while (k < p) {
+          var l = 0
+          while (l < p) {
+            vb += (r1 * d1(k) - r0 * d0(k)) * cov(k)(l) * (r1 * d1(l) - r0 * d0(l))
+            l += 1
+          }
+          k += 1
+        }
+        val diff = rmst1 - rmst0
+        val se = math.sqrt(s + vb)
+        (g, horizon, rmst1, rmst0, diff, se, diff - 1.959964 * se, diff + 1.959964 * se)
+      }
+    }
+    out.toDF("stratum", "horizon", "rmst_focal", "rmst_ref", "diff", "se",
+      "ci_lo", "ci_hi")
+  }
+
+  /** Per-stratum baseline event cells (stratum, t, dH₀ increment, its
+    * martingale variance increment v_j, and the β-GRADIENT coefficient
+    * m_k = −∂dH_j/∂β_k) from the fit's final-β grid — the shared input
+    * of [[rmstAdjusted]] and [[rmstDiffAdjusted]]: Breslow dH = d/S₀,
+    * v = d/S₀², m_k = dH·x̄_k; Efron sums within the tie (m_k =
+    * Σ_l (S₁_k − (l/d)E₁_k)/S₀ₗ², the exact derivative of its
+    * denominator sum). */
+  private def baselineCells(
+      grid: Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double], Array[Double])],
+      efron: Boolean, p: Int)
+      : scala.collection.mutable.ArrayBuffer[(String, Long, Double, Double, Array[Double])] = {
+    val cells =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double, Array[Double])]
+    var stratum: String = null
+    var s0 = 0.0
+    val s1 = Array.fill(p)(0.0)
+    grid.foreach { case (g, t, d, a0, e0, a1, e1, _, _) =>
+      if (g != stratum) { stratum = g; s0 = 0.0; java.util.Arrays.fill(s1, 0.0) }
+      s0 += a0
+      var k = 0
+      while (k < p) { s1(k) += a1(k); k += 1 }
+      if (d > 0) {
+        val (dH, v, m) =
+          if (!efron) {
+            val dh = d.toDouble / s0
+            (dh, d.toDouble / (s0 * s0), Array.tabulate(p)(k2 => dh * (s1(k2) / s0)))
+          } else {
+            var acc = 0.0
+            var accV = 0.0
+            val accM = Array.fill(p)(0.0)
+            var j = 0L
+            while (j < d) {
+              val frac = j.toDouble / d
+              val s0j = s0 - frac * e0
+              acc += 1.0 / s0j
+              accV += 1.0 / (s0j * s0j)
+              var k2 = 0
+              while (k2 < p) {
+                accM(k2) += (s1(k2) - frac * e1(k2)) / (s0j * s0j)
+                k2 += 1
+              }
+              j += 1
+            }
+            (acc, accV, accM)
+          }
+        cells += ((g, t, dH, v, m))
+      }
+    }
+    cells
+  }
+
+  /** One stratum-profile curve at risk score r over the ascending cells
+    * `asc` (already horizon-filtered): the step-integral RMST and each
+    * cell's step area. */
+  private def rmstAreas(
+      asc: scala.collection.Seq[(String, Long, Double, Double, Array[Double])],
+      horizon: Long, r: Double)
+      : (Double, Array[Double]) = {
+    val k = asc.length
+    var h0 = 0.0
+    val area = Array.fill(k)(0.0)
+    var j = 0
+    while (j < k) {
+      h0 += asc(j)._3
+      val next = if (j + 1 < k) math.min(asc(j + 1)._2, horizon) else horizon
+      area(j) = math.exp(-h0 * r) * (next - asc(j)._2)
+      j += 1
+    }
+    var rmst = math.min(asc(0)._2, horizon).toDouble
+    j = 0
+    while (j < k) { rmst += area(j); j += 1 }
+    (rmst, area)
   }
 
   /** The shared Newton fit behind [[coxPH]] and [[coxSurvival]]:
@@ -731,7 +868,7 @@ object Survival {
       strataCol: Option[String], ties: String, firth: Boolean,
       startCol: Option[String] = None)
       : (Array[Double], Array[Array[Double]], Long,
-         Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double])]) = {
+         Array[(String, Long, Long, Double, Double, Array[Double], Array[Double], Array[Double], Array[Double])]) = {
     val spark = subjects.sparkSession
     val p = xCols.length
     require(p >= 1, "coxPH needs at least one covariate")
@@ -1074,7 +1211,7 @@ object Survival {
         .map(math.abs).max
       if (finalStep > 1e-6 * (1.0 + beta.map(math.abs).max)) refuseSeparation(finalStep)
       val cov = inverse(infFinal)
-      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0, c.a1, c.a2, c.sx)))
+      (beta, cov, nTimes, gridFinal.map(c => (c.g, c.t, c.d, c.a0, c.e0, c.a1, c.e1, c.a2, c.sx)))
     } finally subj.unpersist()
   }
 

@@ -2452,27 +2452,35 @@ object Events {
            |    ) g
            |    WHERE i < 8)
            |  SELECT b FROM nw WHERE i = 8),
-           |base AS (SELECT tt, d, SUM(EXP(b*x0)) AS s0, ANY_VALUE(b) AS b
+           |base AS (SELECT tt, d, SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                ANY_VALUE(b) AS b
            |         FROM rs, it GROUP BY tt, d),
+           |fib AS (SELECT SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |        FROM (SELECT tt, d, SUM(EXP(b*x0)) AS s0,
+           |                     SUM(x0*EXP(b*x0)) AS s1,
+           |                     SUM(x0*x0*EXP(b*x0)) AS s2
+           |              FROM rs, it GROUP BY tt, d) gg),
            |cum AS (SELECT tt, b,
            |               SUM(CAST(d AS DOUBLE)/s0) OVER (ORDER BY tt
            |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0,
-           |               CAST(d AS DOUBLE)/(s0*s0) AS v
+           |               CAST(d AS DOUBLE)/(s0*s0) AS v,
+           |               CAST(d AS DOUBLE)/s0 AS dh,
+           |               (CAST(d AS DOUBLE)/s0)*(s1/s0) AS m
            |        FROM base),
            |prof AS (SELECT 'ctrl' AS profile, 0.0 AS x
            |         UNION ALL SELECT 'treat', 1.0),
-           |curves AS (SELECT profile, x, tt, b, v,
+           |curves AS (SELECT profile, x, tt, b, v, dh, m,
            |                  EXP(-h0*EXP(b*x)) AS surv
            |           FROM cum CROSS JOIN prof),
-           |steps AS (SELECT profile, x, tt, b, v, surv,
+           |steps AS (SELECT profile, x, tt, b, v, dh, m, surv,
            |                 LEAST(COALESCE(LEAD(tt) OVER (PARTITION BY profile
            |                   ORDER BY tt), tau.tau), tau.tau) AS next_t
            |          FROM curves CROSS JOIN tau
            |          WHERE tt <= tau.tau),
-           |areas AS (SELECT profile, x, tt, b, v,
+           |areas AS (SELECT profile, x, tt, b, v, dh, m,
            |                 surv * (next_t - tt) AS area
            |          FROM steps),
-           |tails AS (SELECT profile, x, tt, b, v, area,
+           |tails AS (SELECT profile, x, tt, b, v, dh, m, area,
            |                 SUM(area) OVER (PARTITION BY profile ORDER BY tt
            |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
            |                   AS a_tail
@@ -2482,9 +2490,14 @@ object Events {
            |                 + SUM(area) AS rmst,
            |               SQRT((EXP(ANY_VALUE(b)*ANY_VALUE(x))
            |                     * EXP(ANY_VALUE(b)*ANY_VALUE(x)))
-           |                    * SUM(a_tail*a_tail*v)) AS se,
+           |                    * SUM(a_tail*a_tail*v)
+           |                  + (EXP(ANY_VALUE(b)*ANY_VALUE(x))
+           |                     * SUM(a_tail*(m - dh*x)))
+           |                    * (1.0/ANY_VALUE(fib.fi))
+           |                    * (EXP(ANY_VALUE(b)*ANY_VALUE(x))
+           |                       * SUM(a_tail*(m - dh*x)))) AS se,
            |               CAST(ANY_VALUE(tau.tau) AS BIGINT) AS horizon
-           |        FROM tails CROSS JOIN tau
+           |        FROM tails CROSS JOIN tau CROSS JOIN fib
            |        GROUP BY profile)
            |SELECT '__all' AS stratum, profile, horizon,
            |       ROUND(rmst, 6) AS rmst, ROUND(se, 6) AS se,
@@ -2492,6 +2505,136 @@ object Events {
            |       ROUND(rmst + 1.959964*se, 6) AS ci_hi
            |FROM fin
            |ORDER BY profile""".stripMargin))
+
+  /** Q365 — RMST arm CONTRAST with SE/CI
+    * ([[graft.ops.Survival.rmstDiffAdjusted]]): the decision statistic
+    * q362's per-arm rows cannot honestly yield — both arms' curves ride
+    * the SAME baseline increments, so the contrast's variance carries
+    * their covariance (Σ(r₁A⁽¹⁾ − r₀A⁽⁰⁾)²·v, strictly tighter than
+    * root-sum-squaring the per-arm SEs; SurvivalSpec pins the
+    * inequality). The oracle extends q362's replay with the pivoted
+    * two-profile tail fold, so a dropped covariance term (the
+    * naive-sum mistake) hash-fails. */
+  val q365 = QueryDef(
+    "q365_rmst_diff",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          col("t_days"), col("is_event"))
+      val horizon = subjects.agg(max(col("t_days"))).head.getLong(0)
+      graft.ops.Survival.rmstDiffAdjusted(
+          subjects, Seq("arm"), "t_days", "is_event",
+          focalProfile = Seq(1.0), refProfile = Seq(0.0),
+          horizon = horizon, ties = "breslow")
+        .select(
+          col("stratum"), col("horizon"),
+          r6(col("rmst_focal")).as("rmst_focal"),
+          r6(col("rmst_ref")).as("rmst_ref"),
+          (r6(col("diff")) + lit(0.0)).as("diff"),
+          r6(col("se")).as("se"),
+          (r6(col("ci_lo")) + lit(0.0)).as("ci_lo"),
+          (r6(col("ci_hi")) + lit(0.0)).as("ci_hi"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |tau AS (SELECT MAX(t) AS tau FROM s),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0
+           |          FROM s GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, s.x0
+           |       FROM times tm JOIN s ON s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |base AS (SELECT tt, d, SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                ANY_VALUE(b) AS b
+           |         FROM rs, it GROUP BY tt, d),
+           |fib AS (SELECT SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |        FROM (SELECT tt, d, SUM(EXP(b*x0)) AS s0,
+           |                     SUM(x0*EXP(b*x0)) AS s1,
+           |                     SUM(x0*x0*EXP(b*x0)) AS s2
+           |              FROM rs, it GROUP BY tt, d) gg),
+           |cum AS (SELECT tt, b,
+           |               SUM(CAST(d AS DOUBLE)/s0) OVER (ORDER BY tt
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0,
+           |               CAST(d AS DOUBLE)/(s0*s0) AS v,
+           |               CAST(d AS DOUBLE)/s0 AS dh,
+           |               (CAST(d AS DOUBLE)/s0)*(s1/s0) AS m
+           |        FROM base),
+           |prof AS (SELECT 'ctrl' AS profile, 0.0 AS x
+           |         UNION ALL SELECT 'treat', 1.0),
+           |curves AS (SELECT profile, x, tt, b, v, dh, m,
+           |                  EXP(-h0*EXP(b*x)) AS surv
+           |           FROM cum CROSS JOIN prof),
+           |steps AS (SELECT profile, x, tt, b, v, dh, m, surv,
+           |                 LEAST(COALESCE(LEAD(tt) OVER (PARTITION BY profile
+           |                   ORDER BY tt), tau.tau), tau.tau) AS next_t
+           |          FROM curves CROSS JOIN tau
+           |          WHERE tt <= tau.tau),
+           |areas AS (SELECT profile, x, tt, b, v, dh, m,
+           |                 surv * (next_t - tt) AS area
+           |          FROM steps),
+           |tails AS (SELECT profile, x, tt, b, v, dh, m, area,
+           |                 SUM(area) OVER (PARTITION BY profile ORDER BY tt
+           |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           |                   AS a_tail
+           |          FROM areas),
+           |fin AS (SELECT profile,
+           |               CAST(LEAST(MIN(tt), ANY_VALUE(tau.tau)) AS DOUBLE)
+           |                 + SUM(area) AS rmst,
+           |               CAST(ANY_VALUE(tau.tau) AS BIGINT) AS horizon
+           |        FROM tails CROSS JOIN tau
+           |        GROUP BY profile),
+           |pv AS (SELECT tt, ANY_VALUE(v) AS v, ANY_VALUE(b) AS b,
+           |              ANY_VALUE(dh) AS dh, ANY_VALUE(m) AS m,
+           |              MAX(CASE WHEN profile='treat' THEN a_tail END) AS a1,
+           |              MAX(CASE WHEN profile='ctrl' THEN a_tail END) AS a0
+           |       FROM tails GROUP BY tt),
+           |vr AS (SELECT SUM((EXP(b*1.0)*a1 - EXP(b*0.0)*a0)
+           |                  * (EXP(b*1.0)*a1 - EXP(b*0.0)*a0) * v) AS s2,
+           |              ANY_VALUE(b) AS b,
+           |              SUM(a1*(m - dh*1.0)) AS d1,
+           |              SUM(a0*(m - dh*0.0)) AS d0
+           |       FROM pv),
+           |vv AS (SELECT SQRT(s2 +
+           |                (EXP(b*1.0)*d1 - EXP(b*0.0)*d0) * (1.0/fib.fi)
+           |                * (EXP(b*1.0)*d1 - EXP(b*0.0)*d0)) AS se
+           |       FROM vr CROSS JOIN fib),
+           |pp AS (SELECT MAX(CASE WHEN profile='treat' THEN rmst END) AS r1,
+           |              MAX(CASE WHEN profile='ctrl' THEN rmst END) AS r0,
+           |              ANY_VALUE(horizon) AS horizon
+           |       FROM fin)
+           |SELECT '__all' AS stratum, horizon,
+           |       ROUND(r1, 6) AS rmst_focal, ROUND(r0, 6) AS rmst_ref,
+           |       ROUND(r1 - r0, 6) + 0 AS diff,
+           |       ROUND(se, 6) AS se,
+           |       ROUND((r1 - r0) - 1.959964*se, 6) + 0 AS ci_lo,
+           |       ROUND((r1 - r0) + 1.959964*se, 6) + 0 AS ci_hi
+           |FROM pp, vv""".stripMargin))
 
   /** Q357 — recurrent-event Cox (Andersen-Gill) with CLUSTER-ROBUST SEs
     * ([[graft.ops.Survival.coxPH]] with `startCol` + `clusterCol`): each
@@ -3780,7 +3923,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356, q357, q358, q359, q360, q362)
+      q355, q356, q357, q358, q359, q360, q362, q365)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

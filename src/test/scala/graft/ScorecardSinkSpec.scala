@@ -173,4 +173,73 @@ class ScorecardSinkSpec extends SparkSuite {
     Seq("theta", "lift_cuped", "se_cuped", "z_cuped", "var_reduction").foreach(c =>
       assert(r.isNullAt(r.fieldIndex(c)), s"$c must be null on a <2-subject arm"))
   }
+
+  test("clustered scorecard: robust SEs equal batch Cuped clustered to 1e-12; mixed clusters null them") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_cl")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_cl_ck").toString
+    val rnd = new scala.util.Random(31)
+    // cluster-randomized: arm is a function of the GEO cluster
+    val subjects: Seq[(Timestamp, String, Int, Long, String)] = (1 to 300).map { i =>
+      val geo = i % 25
+      val armName = if (geo % 2 == 0) "treat" else "ctrl"
+      val pre = geo % 7
+      val conv = if (rnd.nextDouble() < 0.1 + 0.05 * pre + (if (armName == "treat") 0.1 else 0.0)) 1 else 0
+      (t(f"2024-01-01 10:00:${i % 60}%02d"), armName, conv, i.toLong, s"g$geo")
+    }
+    val dim = subjects.map { case (_, _, _, uid, geo) =>
+      (uid, (geo.drop(1).toInt % 7).toDouble)
+    }.distinct.toDF("uid", "pre_x")
+    val ms = MemoryStream[(Timestamp, String, Int, Long, String)]
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "uid", "geo"), "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-cl-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes",
+      preCovariate = Some((dim, "uid", "pre_x")),
+      clusterCol = Some("geo"))
+    try {
+      ms.addData(subjects: _*)
+      q.processAllAvailable()
+      ms.addData((t("2024-01-02 09:00:00"), "treat", 0, 999999L, "g0"))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 1)
+      val row = got(0)
+      assert(row.getAs[Long]("mixed_cluster_n") == 0L)
+      assert(row.getAs[Long]("m_f") == 13L && row.getAs[Long]("m_c") == 12L)
+      val b = graft.ops.Cuped.cuped(
+        subjects.map { case (_, a, c, _, geo) =>
+          (a, c.toDouble, (geo.drop(1).toInt % 7).toDouble, geo)
+        }.toDF("arm", "y", "x", "geo"),
+        "arm", "y", "x", focal = "treat", clusterCol = Some("geo")).head
+      assert(row.getAs[Long]("n_f") == b.getAs[Long]("n_a"))
+      Seq("theta" -> "theta", "lift_cuped" -> "delta_cuped",
+        "se_cuped" -> "se_cuped", "var_reduction" -> "var_reduction",
+        "robust_se_raw" -> "robust_se_raw",
+        "robust_se_cuped" -> "robust_se_cuped").foreach { case (sc, bc) =>
+        assert(math.abs(row.getAs[Double](sc) - b.getAs[Double](bc)) < 1e-12,
+          s"$sc: stream ${row.getAs[Double](sc)} != batch ${b.getAs[Double](bc)}")
+      }
+      // duplicated clusters invariance carries over: the robust SE came
+      // from cluster sums, so it must differ from the iid one here
+      assert(row.getAs[Double]("robust_se_raw") != row.getAs[Double]("se"))
+    } finally q.stop()
+  }
+
+  test("clustered scorecard: a both-arm cluster nulls the robust columns and is counted") {
+    val mixed = (1 to 40).map { i =>
+      // cluster g0 deliberately receives BOTH arms
+      val geo = if (i <= 4) "g0" else s"g${i % 10}"
+      val armName = if (i <= 2 || (i > 4 && (i % 10) % 2 == 0)) "treat" else "ctrl"
+      (t(f"2024-01-01 10:00:${i % 60}%02d"), armName, i % 2, i.toLong, geo)
+    }.toDF("ts", "arm", "conv", "uid", "geo")
+    val r = EventStreams.experimentScorecard(
+      mixed, "arm", "conv", "ts", "treat", "ctrl", 0.5, "1 hour", "10 minutes",
+      clusterCol = Some("geo")).collect()(0)
+    assert(r.getAs[Long]("mixed_cluster_n") >= 1L)
+    assert(r.isNullAt(r.fieldIndex("robust_se_raw")),
+      "a mixed cluster must null the robust readout")
+    assert(!r.isNullAt(r.fieldIndex("lift")), "the iid readout survives")
+  }
 }

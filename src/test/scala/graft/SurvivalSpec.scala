@@ -834,4 +834,39 @@ class SurvivalSpec extends SparkSuite {
         row.toString)
     }
   }
+
+  test("rmstDiffAdjusted: covers the true contrast; covariance makes it tighter than the naive sum") {
+    val rnd = new scala.util.Random(5)
+    val lam0 = 0.02; val hr = 1.6; val tau = 60L
+    def draw(lam: Double, arm: Double, n: Int) = (1 to n).map { _ =>
+      val d = math.ceil(-math.log(rnd.nextDouble()) / lam).toLong
+      (arm, math.min(d, tau), if (d <= tau) 1 else 0)
+    }
+    val subjects = (draw(lam0, 0.0, 250) ++ draw(lam0 * hr, 1.0, 250))
+      .toDF("arm", "t", "e")
+    val d = Survival.rmstDiffAdjusted(subjects, Seq("arm"), "t", "e",
+      focalProfile = Seq(1.0), refProfile = Seq(0.0),
+      horizon = tau, ties = "breslow").head
+    def truth(lam: Double) = (1 - math.exp(-lam * tau)) / (1 - math.exp(-lam))
+    val trueDiff = truth(lam0 * hr) - truth(lam0)
+    assert(d.getAs[Double]("diff") < 0, "higher hazard loses event-free time")
+    assert(d.getAs[Double]("ci_lo") < trueDiff && trueDiff < d.getAs[Double]("ci_hi"),
+      s"CI [${d.getAs[Double]("ci_lo")}, ${d.getAs[Double]("ci_hi")}] must cover $trueDiff")
+    // the per-arm rows' diff matches; the contrast SE is strictly tighter
+    // than root-sum-squaring them (shared baseline noise cancels)
+    val per = Survival.rmstAdjusted(subjects, Seq("arm"), "t", "e",
+      profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)),
+      horizon = tau, ties = "breslow")
+      .collect().map(r => r.getAs[String]("profile") -> r).toMap
+    val naive = math.sqrt(
+      math.pow(per("treat").getAs[Double]("se"), 2) +
+        math.pow(per("ctrl").getAs[Double]("se"), 2))
+    assert(math.abs(d.getAs[Double]("diff") -
+      (per("treat").getAs[Double]("rmst") - per("ctrl").getAs[Double]("rmst"))) < 1e-12)
+    assert(d.getAs[Double]("se") < naive,
+      s"contrast se ${d.getAs[Double]("se")} must be tighter than naive $naive")
+    assert(intercept[IllegalArgumentException](
+      Survival.rmstDiffAdjusted(subjects, Seq("arm"), "t", "e",
+        Seq(1.0), Seq(1.0), tau)).getMessage.contains("differ"))
+  }
 }

@@ -129,4 +129,35 @@ class TypedStatsSpec extends SparkSuite {
     assert(VersionedTable.readWhereString(spark, path, "doc_id", "p00090", "p00099")
       .count() == 9)
   }
+
+  test("string bucket key: a point lookup cuts to the key's single bucket file") {
+    val path = scratch("bpt")
+    val docs = (0 until 400).map(i => (f"doc$i%05d", i.toLong)).toDF("doc_id", "v")
+    VersionedTable.commitBucketed(docs, path, "doc_id", 8)
+    val got = VersionedTable.readWhereTyped(
+      spark, path, Map("doc_id" -> ("doc00123", "doc00123")))
+    assert(got.count() == 1 && got.head.getAs[Long]("v") == 123L)
+    assert(got.inputFiles.length == 1,
+      s"point lookup on a string bucket key must read 1 of 8 files, read ${got.inputFiles.length}")
+    // a RANGE (not a point) cannot use the claim: all files survive
+    val range = VersionedTable.readWhereTyped(
+      spark, path, Map("doc_id" -> ("doc00100", "doc00149")))
+    assert(range.count() == 50 && range.inputFiles.length == 8)
+  }
+
+  test("merge candidate pruning cuts on STRING keys through the typed channel") {
+    val path = scratch("mrg")
+    val docs = (0 until 400).map(i => (f"doc$i%05d", i.toLong)).toDF("doc_id", "v")
+    VersionedTable.commitAppend(
+      docs.repartitionByRange(8, col("doc_id")), path, Seq("doc_id"))
+    val batch = Seq(("doc00123", 999L), ("doc00130", 998L)).toDF("doc_id", "v")
+    val r = VersionedTable.merge(spark, path, batch, Seq("doc_id"))
+    assert(r.filesRewritten <= 2 && r.filesKept >= 6,
+      s"a 2-key batch on 8 range-clustered files must rewrite <=2: $r")
+    val vals = VersionedTable.read(spark, path)
+      .filter(col("doc_id").isin("doc00123", "doc00130"))
+      .orderBy("doc_id").select("v").collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(999L, 998L))
+    assert(VersionedTable.read(spark, path).count() == 400)
+  }
 }
