@@ -1141,31 +1141,42 @@ object VersionedTable {
         sys.error(s"bucketed manifest carries an unsuffixed file: $fl")))
     require(byBucket.keys.forall(_ < n), s"file suffix >= declared n=$n at $path")
     val childCol = "__graft_child"
-    val names = byBucket.toSeq.sortBy(_._1).flatMap { case (b, filesB) =>
-      val tmp = s"$dataDir/_split_$b"
-      conformTo(currSchema)(evolvedRead(spark, path, text, filesB))
-        .coalesce(1)
-        .sortWithinPartitions(keys.head, keys.tail: _*)
-        .withColumn(childCol, pmod(hash(keys.map(col): _*), lit(newN)))
-        .write.partitionBy(childCol).parquet(tmp)
-      val out = f.listStatus(new Path(tmp))
-        .filter(_.isDirectory)
-        .flatMap { d =>
-          val c = d.getPath.getName.stripPrefix(s"$childCol=").toInt
-          require(c % n == b && c < newN,
-            s"local split of bucket $b produced child $c — mod-$newN must refine mod-$n")
-          f.listStatus(d.getPath)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map { s =>
-              val renamed = f"part-$b%05d-$commitId" + f"_$c%05d.parquet"
-              require(f.rename(s.getPath, new Path(s"$dataDir/$renamed")),
-                s"rename ${s.getPath.getName} -> $renamed failed")
-              s"$commitId/$renamed"
-            }
-        }
-      f.delete(new Path(tmp), true)
-      out
-    }
+    // per-bucket splits run CONCURRENTLY from the driver (the purge
+    // rewrite-pool discipline): each job is tiny and bucket-local, so a
+    // 1000-bucket fact's doubling is bounded by cluster capacity, not
+    // by a serial driver loop
+    import scala.collection.parallel.CollectionConverters._
+    import scala.collection.parallel.ForkJoinTaskSupport
+    val splitPool = new java.util.concurrent.ForkJoinPool(8)
+    val names = try {
+      val buckets = byBucket.toSeq.sortBy(_._1).par
+      buckets.tasksupport = new ForkJoinTaskSupport(splitPool)
+      buckets.map { case (b, filesB) =>
+        val tmp = s"$dataDir/_split_$b"
+        conformTo(currSchema)(evolvedRead(spark, path, text, filesB))
+          .coalesce(1)
+          .sortWithinPartitions(keys.head, keys.tail: _*)
+          .withColumn(childCol, pmod(hash(keys.map(col): _*), lit(newN)))
+          .write.partitionBy(childCol).parquet(tmp)
+        val out = f.listStatus(new Path(tmp))
+          .filter(_.isDirectory)
+          .flatMap { d =>
+            val c = d.getPath.getName.stripPrefix(s"$childCol=").toInt
+            require(c % n == b && c < newN,
+              s"local split of bucket $b produced child $c — mod-$newN must refine mod-$n")
+            f.listStatus(d.getPath)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .map { s =>
+                val renamed = f"part-$b%05d-$commitId" + f"_$c%05d.parquet"
+                require(f.rename(s.getPath, new Path(s"$dataDir/$renamed")),
+                  s"rename ${s.getPath.getName} -> $renamed failed")
+                s"$commitId/$renamed"
+              }
+          }
+        f.delete(new Path(tmp), true)
+        out.toSeq
+      }.seq.flatten
+    } finally splitPool.shutdown()
     val finalNames =
       if (names.nonEmpty) names
       else stageEmptySeed(spark, path, currSchema, bucketSuffix = true)
