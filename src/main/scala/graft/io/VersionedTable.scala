@@ -1912,13 +1912,17 @@ object VersionedTable {
         types.get(c) match {
           case Some(t) =>
             typed.get((f, c)).forall { case (flo, fhi) =>
+              // a column's bound form is DETERMINED by its recorded type
+              // (string → bytes, date/timestamp → long), so both bounds
+              // always land on the same side; anything else is a bug
               (typedBound(t, c, lo), typedBound(t, c, hi)) match {
                 case (Left(lob), Left(hib)) =>
                   java.util.Arrays.compareUnsigned(fhi.getBytes("UTF-8"), lob) >= 0 &&
                     java.util.Arrays.compareUnsigned(flo.getBytes("UTF-8"), hib) <= 0
                 case (Right(lol), Right(hil)) =>
                   fhi.toLong >= lol && flo.toLong <= hil
-                case _ => true // mixed bound forms: never prune
+                case other => sys.error(
+                  s"typedBound returned mixed forms $other for '$c' ($t)")
               }
             }
           case None => (lo, hi) match {

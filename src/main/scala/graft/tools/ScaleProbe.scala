@@ -139,6 +139,23 @@ object ScaleProbe {
         windowLen = "1 hour", watermark = "3650 days",
         preCovariate = Some((dim, "user_id", "pre_x")))
     }
+    // the CLUSTERED scorecard chains two stateful aggregations: state is
+    // O(windows × clusters) — with a fixed 97-geo clustering a 10× replay
+    // must hold state constant (windows × 97 at the first operator,
+    // windows at the second)
+    runStream("scorecard_sink_clustered") { src =>
+      graft.streaming.EventStreams.startExperimentScorecardSink(
+        src.withColumn("geo", pmod(col("user_id"), lit(97)).cast("string"))
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(97)) % 2 === 1, lit("treat"))
+              .otherwise(lit("ctrl"))),
+        "arm", "conv", "ts", focal = "treat", control = "ctrl",
+        focalShare = 0.5, tablePath = s"$tmp/scorecard_cl",
+        writerId = "probe-cl", checkpointDir = s"$tmp/ck_sc_cl",
+        windowLen = "1 hour", watermark = "3650 days",
+        preCovariate = Some((dim, "user_id", "pre_x")),
+        clusterCol = Some("geo"))
+    }
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 
