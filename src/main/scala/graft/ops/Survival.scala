@@ -483,6 +483,74 @@ object Survival {
     }.toDF("stratum", "t", "profile", "h0_cum", "survival")
   }
 
+  /** Adjusted survival curves WITH pointwise 95% confidence bands —
+    * what [[coxSurvival]]'s point curves cannot support a reading of
+    * ("is the day-30 gap real or noise"). The curve's cumulative hazard
+    * H(t|x) = H₀(t)·e^{β̂ᵀx} carries two independent noise sources:
+    * the baseline martingale term e^{2β̂ᵀx}·V(t) with V(t) = Σ_{u≤t}
+    * v_u (the same per-increment variances the RMST family uses) and
+    * the delta-method β̂ term gᵀI⁻¹g with
+    * g_k = r·(x_k·H₀(t) − M_k(t)), M_k(t) = Σ_{u≤t} m_uk = −Σ ∂dH/∂β_k.
+    * Bands come from the hazard scale (always inside (0, 1] without
+    * ad-hoc clamping at the low end): ci = exp(−(H ∓ z·se_H));
+    * `se` is reported on the survival scale (S·se_H). All arithmetic
+    * rides the final-β grid — zero passes beyond the fit. Returns one
+    * row per (stratum, event time, profile): (stratum, t, profile,
+    * h0_cum, survival, se, ci_lo, ci_hi). */
+  def coxSurvivalBands(
+      subjects: DataFrame, xCols: Seq[String], tCol: String, eventCol: String,
+      profiles: Seq[(String, Seq[Double])],
+      iters: Int = 8, maxTimes: Int = 100000,
+      strataCol: Option[String] = None, ties: String = "efron",
+      firth: Boolean = false, startCol: Option[String] = None): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    require(profiles.nonEmpty, "coxSurvivalBands needs at least one covariate profile")
+    require(profiles.forall(_._2.length == xCols.length),
+      s"every profile must supply ${xCols.length} covariate value(s)")
+    require(profiles.map(_._1).distinct.size == profiles.size,
+      "profile names must be distinct")
+    val (beta, cov, _, grid) =
+      coxFit(subjects, xCols, tCol, eventCol, iters, maxTimes, strataCol, ties,
+        firth, startCol)
+    val p = xCols.length
+    val cells = baselineCells(grid, ties == "efron", p)
+    val rs = profiles.map { case (name, x) =>
+      (name, x, math.exp(x.zip(beta).map { case (xi, bi) => xi * bi }.sum))
+    }
+    val out = cells.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, cs) =>
+      var h = 0.0
+      var vC = 0.0
+      val mC = Array.fill(p)(0.0)
+      cs.sortBy(_._2).flatMap { case (_, t, dH, v, m) =>
+        h += dH
+        vC += v
+        var k = 0
+        while (k < p) { mC(k) += m(k); k += 1 }
+        rs.map { case (name, x, r) =>
+          var vb = 0.0
+          var a = 0
+          while (a < p) {
+            val ga = r * (x(a) * h - mC(a))
+            var b = 0
+            while (b < p) {
+              vb += ga * cov(a)(b) * (r * (x(b) * h - mC(b)))
+              b += 1
+            }
+            a += 1
+          }
+          val seH = math.sqrt(r * r * vC + vb)
+          val s = math.exp(-h * r)
+          (g, t, name, h, s, s * seH,
+            math.exp(-(h * r + 1.959964 * seH)),
+            math.min(1.0, math.exp(-(h * r - 1.959964 * seH))))
+        }
+      }
+    }
+    out.toDF("stratum", "t", "profile", "h0_cum", "survival", "se",
+      "ci_lo", "ci_hi")
+  }
+
   /** Proportional-hazards ASSUMPTION test (the `cox.zph` analog) — the
     * diagnostic every Cox readout should clear before its hazard ratio
     * is quoted: a SCORE TEST of β_k(t) = β_k + θ_k·g(t) at θ = 0 with

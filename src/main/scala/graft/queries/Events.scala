@@ -2506,6 +2506,98 @@ object Events {
            |FROM fin
            |ORDER BY profile""".stripMargin))
 
+  /** Q366 — adjusted survival curves with pointwise 95% bands
+    * ([[graft.ops.Survival.coxSurvivalBands]]): q351's per-arm curves
+    * made readable — each (t, profile) point carries the hazard-scale
+    * band exp(−(H ∓ z·se_H)) from the martingale V(t) PLUS the
+    * delta-method β̂ term (g = r·(x·H₀ − M), M = −Σ∂dH/∂β), all off
+    * the final-β grid. The oracle extends the q362 replay with the
+    * THREE running sums (H₀, V, M) and the per-point gradient fold, so
+    * a dropped β term, a wrong cumulative boundary, or a mis-scaled
+    * band hash-fails. */
+  val q366 = QueryDef(
+    "q366_survival_bands",
+    (s, d) => {
+      val subjects = convSubjects(s, d)
+        .select(
+          (conv(substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+            1, 4), 16, 10).cast("int") % 2).cast("double").as("arm"),
+          col("t_days"), col("is_event"))
+      graft.ops.Survival.coxSurvivalBands(
+          subjects, Seq("arm"), "t_days", "is_event",
+          profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)),
+          ties = "breslow")
+        .select(
+          col("stratum"), col("t"), col("profile"),
+          r6(col("h0_cum")).as("h0_cum"),
+          r6(col("survival")).as("survival"),
+          r6(col("se")).as("se"),
+          r6(col("ci_lo")).as("ci_lo"), r6(col("ci_hi")).as("ci_hi"))
+        .orderBy("t", "profile")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |h AS (SELECT MAX(us) AS h_us FROM e),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS DOUBLE) AS x0,
+           |             (COALESCE(conv_us, h_us) - entry_us) // 86400000000 AS t,
+           |             CASE WHEN conv_us IS NULL THEN 0 ELSE 1 END AS ev
+           |      FROM en LEFT JOIN cv USING (user_id) CROSS JOIN h),
+           |times AS (SELECT t, SUM(ev) AS d,
+           |                 SUM(CASE WHEN ev=1 THEN x0 ELSE 0.0 END) AS sx0
+           |          FROM s GROUP BY 1 HAVING SUM(ev) > 0),
+           |rs AS (SELECT tm.t AS tt, tm.d, s.x0
+           |       FROM times tm JOIN s ON s.t >= tm.t),
+           |it AS (
+           |  WITH RECURSIVE nw(i, b) AS (
+           |    SELECT 0, CAST(0 AS DOUBLE)
+           |    UNION ALL
+           |    SELECT i+1, b + g.u/g.fi
+           |    FROM nw, LATERAL (
+           |      SELECT (SELECT SUM(sx0) FROM times) - SUM(d*s1/s0) AS u,
+           |             SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |      FROM (SELECT tt, d,
+           |                   SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                   SUM(x0*x0*EXP(b*x0)) AS s2
+           |            FROM rs GROUP BY tt, d) gg
+           |    ) g
+           |    WHERE i < 8)
+           |  SELECT b FROM nw WHERE i = 8),
+           |base AS (SELECT tt, d, SUM(EXP(b*x0)) AS s0, SUM(x0*EXP(b*x0)) AS s1,
+           |                ANY_VALUE(b) AS b
+           |         FROM rs, it GROUP BY tt, d),
+           |fib AS (SELECT SUM(d*(s2/s0 - (s1/s0)*(s1/s0))) AS fi
+           |        FROM (SELECT tt, d, SUM(EXP(b*x0)) AS s0,
+           |                     SUM(x0*EXP(b*x0)) AS s1,
+           |                     SUM(x0*x0*EXP(b*x0)) AS s2
+           |              FROM rs, it GROUP BY tt, d) gg),
+           |cum AS (SELECT tt, b,
+           |               SUM(CAST(d AS DOUBLE)/s0) OVER w AS h0,
+           |               SUM(CAST(d AS DOUBLE)/(s0*s0)) OVER w AS vc,
+           |               SUM((CAST(d AS DOUBLE)/s0)*(s1/s0)) OVER w AS mc
+           |        FROM base
+           |        WINDOW w AS (ORDER BY tt
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |prof AS (SELECT 'ctrl' AS profile, 0.0 AS x
+           |         UNION ALL SELECT 'treat', 1.0),
+           |pts AS (SELECT tt, profile, x, b, h0,
+           |               SQRT(EXP(b*x)*EXP(b*x)*vc
+           |                  + (EXP(b*x)*(x*h0 - mc)) * (1.0/fib.fi)
+           |                    * (EXP(b*x)*(x*h0 - mc))) AS seh
+           |        FROM cum CROSS JOIN prof CROSS JOIN fib)
+           |SELECT '__all' AS stratum, tt AS t, profile,
+           |       ROUND(h0, 6) AS h0_cum,
+           |       ROUND(EXP(-h0*EXP(b*x)), 6) AS survival,
+           |       ROUND(EXP(-h0*EXP(b*x)) * seh, 6) AS se,
+           |       ROUND(EXP(-(h0*EXP(b*x) + 1.959964*seh)), 6) AS ci_lo,
+           |       ROUND(LEAST(1.0, EXP(-(h0*EXP(b*x) - 1.959964*seh))), 6) AS ci_hi
+           |FROM pts
+           |ORDER BY t, profile""".stripMargin))
+
   /** Q365 — RMST arm CONTRAST with SE/CI
     * ([[graft.ops.Survival.rmstDiffAdjusted]]): the decision statistic
     * q362's per-arm rows cannot honestly yield — both arms' curves ride
@@ -3923,7 +4015,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356, q357, q358, q359, q360, q362, q365)
+      q355, q356, q357, q358, q359, q360, q362, q365, q366)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

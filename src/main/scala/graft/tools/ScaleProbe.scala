@@ -77,7 +77,10 @@ object ScaleProbe {
     // doubling (both build scratch versioned tables — the probe times
     // the WHOLE lifecycle, ingest included)
     "q360_cuped_cluster", "q361_mde_cluster", "q362_rmst_ci",
-    "q363_typed_prune", "q364_bucket_double_join")
+    "q363_typed_prune", "q364_bucket_double_join",
+    // r16 (second batch): RMST contrast + survival bands (grid
+    // arithmetic off the fit, like q362)
+    "q365_rmst_diff", "q366_survival_bands")
 
   /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
     * 20-micro-batch file stream through [[graft.streaming.EventStreams

@@ -869,4 +869,47 @@ class SurvivalSpec extends SparkSuite {
       Survival.rmstDiffAdjusted(subjects, Seq("arm"), "t", "e",
         Seq(1.0), Seq(1.0), tau)).getMessage.contains("differ"))
   }
+
+  test("coxSurvivalBands: bands cover the true exponential-PH survival; degenerate checks") {
+    val rnd = new scala.util.Random(5)
+    val lam0 = 0.02; val hr = 1.6; val tau = 60L
+    def draw(lam: Double, arm: Double, n: Int) = (1 to n).map { _ =>
+      val d = math.ceil(-math.log(rnd.nextDouble()) / lam).toLong
+      (arm, math.min(d, tau), if (d <= tau) 1 else 0)
+    }
+    val subjects = (draw(lam0, 0.0, 250) ++ draw(lam0 * hr, 1.0, 250))
+      .toDF("arm", "t", "e")
+    val rows = Survival.coxSurvivalBands(subjects, Seq("arm"), "t", "e",
+      profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)), ties = "breslow")
+      .collect()
+    assert(rows.nonEmpty)
+    def sTrue(lam: Double, t: Long) = math.exp(-lam * t)
+    var covered = 0
+    var total = 0
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t")
+      val lam = if (r.getAs[String]("profile") == "treat") lam0 * hr else lam0
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo > 0 && hi <= 1.0 + 1e-12 && lo <= r.getAs[Double]("survival") &&
+        r.getAs[Double]("survival") <= hi, r.toString)
+      assert(r.getAs[Double]("se") >= 0)
+      if (t < tau) { // at the censor horizon the step curve is biased by design
+        total += 1
+        if (lo <= sTrue(lam, t) && sTrue(lam, t) <= hi) covered += 1
+      }
+    }
+    // pointwise 95% bands: on ~110 grid points expect >= 85% coverage
+    assert(covered.toDouble / total > 0.85,
+      s"bands covered only $covered/$total true points")
+    // the ctrl profile's beta term must still be nonzero (xbar != 0) and
+    // the point estimates must match coxSurvival exactly
+    val point = Survival.coxSurvival(subjects, Seq("arm"), "t", "e",
+      profiles = Seq("ctrl" -> Seq(0.0), "treat" -> Seq(1.0)), ties = "breslow")
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[String]("profile")) ->
+        r.getAs[Double]("survival")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("t"), r.getAs[String]("profile"))
+      assert(math.abs(r.getAs[Double]("survival") - point(k)) < 1e-12)
+    }
+  }
 }
