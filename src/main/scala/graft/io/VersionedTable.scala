@@ -91,6 +91,20 @@ object VersionedTable {
   }
 
   /** Relative data-file list of one committed version. */
+  /** The file-skipping stats columns a version's manifest records, per
+    * channel: (long-channel columns, typed column → type). The
+    * discoverability surface behind `DESCRIBE DETAIL`'s stats_columns —
+    * a reader deciding whether `readWhere`/`readWhereTyped` can prune
+    * asks this instead of parsing manifests. */
+  def statsColumns(
+      spark: SparkSession, path: String,
+      version: Option[Long] = None): (Seq[String], Map[String, String]) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val text = manifestText(spark, path, version.getOrElse(vs.last))
+    (statsOf(text)._1, typedStatsOf(text)._1)
+  }
+
   /** The data files (relative names) a version's manifest references —
     * latest by default; the spec/plan-assertion surface behind
     * [[filesForRanges]]'s trimmed result. */

@@ -297,11 +297,19 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
     VtSqlOps.attr("n_columns", IntegerType),
     VtSqlOps.attr("n_tags", IntegerType),
     VtSqlOps.attr("n_staged", IntegerType),
-    VtSqlOps.attr("bucketing", StringType))
+    VtSqlOps.attr("bucketing", StringType),
+    VtSqlOps.attr("stats_columns", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val hist = VersionedTable.history(spark, path)
     val head = hist.last
+    // both pruning channels, human-readable: "id:long, doc_id:string"
+    val (longCols, typedCols) = VersionedTable.statsColumns(spark, path)
+    val statsDesc = (longCols.sorted.map(c => s"$c:long") ++
+      typedCols.toSeq.sorted.map { case (c, t) => s"$c:$t" }) match {
+      case Nil => "none"
+      case xs => xs.mkString(", ")
+    }
     // n_rows rides the manifest row counts when recorded (append/compact/
     // analyze paths record them); tables written by stats-less paths fall
     // back to one honest count scan — same contract as countRows itself
@@ -314,7 +322,8 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       VersionedTable.stagedPending(spark, path),
       // the join-layout claim ("key:n"), or the explicit absence marker
       VersionedTable.bucketing(spark, path)
-        .map { case (k, n) => s"$k:$n" }.getOrElse("unbucketed")))
+        .map { case (k, n) => s"$k:$n" }.getOrElse("unbucketed"),
+      statsDesc))
   }
 }
 

@@ -160,4 +160,22 @@ class TypedStatsSpec extends SparkSuite {
     assert(vals == Seq(999L, 998L))
     assert(VersionedTable.read(spark, path).count() == 400)
   }
+
+  test("DESCRIBE DETAIL reports both pruning channels; statsColumns is the API") {
+    spark.conf.set("spark.sql.catalog.vtts", classOf[graft.sources.VtCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("vt_ts_sql").toString
+    spark.conf.set("spark.sql.catalog.vtts.warehouse", wh)
+    val path = s"$wh/docs"
+    val docs = (0 until 50).map(i => (f"d$i%04d", i.toLong)).toDF("doc_id", "v")
+    VersionedTable.commitAppend(docs, path, Seq("doc_id", "v"))
+    val (longCols, typedCols) = VersionedTable.statsColumns(spark, path)
+    assert(longCols == Seq("v") && typedCols == Map("doc_id" -> "string"))
+    val d = spark.sql(s"DESCRIBE DETAIL vtts.`$path`").collect()(0)
+    assert(d.getAs[String]("stats_columns") == "v:long, doc_id:string", d.toString)
+    // a stats-less table says so
+    val plain = s"$wh/plain"
+    VersionedTable.commitAppend(docs, plain)
+    assert(spark.sql(s"DESCRIBE DETAIL vtts.`$plain`").collect()(0)
+      .getAs[String]("stats_columns") == "none")
+  }
 }
