@@ -506,7 +506,16 @@ object VersionedTable {
     * epoch days, TIMESTAMP epoch micros in the typed channel (stats3).
     * A timestamp column records BOTH — its long (epoch-seconds) entry
     * keeps the existing [[readWhere]] surface working while the typed
-    * entry prunes micro-exactly through [[readWhereTyped]]. */
+    * entry prunes micro-exactly through [[readWhereTyped]]. FLOAT/DOUBLE
+    * columns likewise record both: the truncated long entry keeps the
+    * legacy [[readWhere]] surface, and an 'F' (exact double) typed entry
+    * makes fractional predicates (`score > 0.98`) prune sharply —
+    * aggregated as x + 0.0 so −0.0 normalizes to 0.0 (the D domain's
+    * total order must not split a value Spark's equality treats as one);
+    * NaN passes through and sorts greatest, exactly as Spark compares.
+    * DECIMAL stays long-only by design: a >53-bit-precision decimal
+    * rounded to double could record a min ABOVE the true min and prune a
+    * live file — long truncation is sound, double rounding is not. */
   private def statsSlots(
       schema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String]): Seq[(String, Char)] = {
@@ -516,18 +525,20 @@ object VersionedTable {
         case Some(StringType) => Seq((c, 'S'))
         case Some(DateType) => Seq((c, 'D'))
         case Some(TimestampType) => Seq((c, 'L'), (c, 'T'))
+        case Some(DoubleType) | Some(FloatType) => Seq((c, 'L'), (c, 'F'))
         case _ => Seq((c, 'L'))
       }
     }
   }
 
   private def slotAggs(slots: Seq[(String, Char)]): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, max, min, unix_date, unix_micros}
+    import org.apache.spark.sql.functions.{col, lit, max, min, unix_date, unix_micros}
     slots.zipWithIndex.flatMap { case ((c, k), i) =>
       val e = k match {
         case 'S' => col(c)
         case 'D' => unix_date(col(c)).cast("long")
         case 'T' => unix_micros(col(c))
+        case 'F' => col(c).cast("double") + lit(0.0)
         case _ => col(c).cast("long")
       }
       Seq(min(e).as(s"__lo_$i"), max(e).as(s"__hi_$i"))
@@ -550,6 +561,11 @@ object VersionedTable {
         case 'S' => typed += ((f, c) -> (r.getString(lo), r.getString(hi)))
         case 'D' | 'T' =>
           typed += ((f, c) -> (r.getLong(lo).toString, r.getLong(hi).toString))
+        case 'F' =>
+          // Double.toString round-trips exactly (incl. NaN/Infinity)
+          typed += ((f, c) ->
+            (java.lang.Double.toString(r.getDouble(lo)),
+              java.lang.Double.toString(r.getDouble(hi))))
         case _ => longs += ((f, c) -> (r.getLong(lo), r.getLong(hi)))
       }
     }
@@ -561,6 +577,7 @@ object VersionedTable {
       case (c, 'S') => c -> "string"
       case (c, 'D') => c -> "date"
       case (c, 'T') => c -> "timestamp"
+      case (c, 'F') => c -> "double"
     }.toMap
 
   /** Per-file [min, max] of each key column over freshly staged files —
@@ -1556,7 +1573,22 @@ object VersionedTable {
     val sidecars = bloomFilesOf(text)
     if (sidecars.isEmpty) Seq.empty
     else spark.read.parquet(sidecars.map(n => s"$path/data/$n"): _*)
-      .select("c").distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select("c").distinct().collect()
+      // sidecar rows carry the SCHEME name (`#s:<col>` for hashed string
+      // keys); regeneration needs the LOGICAL column — stageBlooms
+      // re-derives the scheme from the staged schema
+      .map(_.getString(0).stripPrefix("#s:")).distinct.toSeq.sorted
+  }
+
+  /** The LOGICAL columns the table's bloom sidecars cover — the
+    * discoverability accessor behind `DESCRIBE DETAIL`'s pruning report
+    * (string columns are listed under their own name even though their
+    * sidecar rows key the hashed `#s:` scheme). */
+  def bloomColumns(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    bloomColsOf(spark, path, manifestText(spark, path, version.getOrElse(vs.last)))
   }
 
   /** Regenerate sidecars for freshly staged data files when the table
@@ -1594,6 +1626,34 @@ object VersionedTable {
     }
   }
 
+  /** Sidecar column name + key expression of one bloom column: LONG-ish
+    * columns key on cast-to-long under their own name (the original
+    * scheme); STRING columns key on xxhash64 of the value under the
+    * marker name `#s:<col>` — the marker keeps the two schemes from ever
+    * meeting (a legacy long probe on a string column finds no rows under
+    * the bare name → uncovered → never prunes), and xxhash64 is
+    * Catalyst's own, so [[VersionedFileIndex]]'s driver-side probe hash
+    * can never drift from the build. */
+  private def bloomKey(
+      schema: org.apache.spark.sql.types.StructType,
+      c: String): (String, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.StringType) => (s"#s:$c", xxhash64(col(c)))
+      case _ => (c, col(c).cast("long"))
+    }
+  }
+
+  /** The xxhash64 a STRING bloom probe needs, evaluated through the SAME
+    * Catalyst expression the sidecar builder aggregates — seed and
+    * byte-walk identical by construction. */
+  private[io] def stringBloomKey(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+
   /** Build one [[FileBloom]] per (staged file, bloom column) — a single
     * grouped pass over the new files; state is bounded by rows-per-file
     * (a sane layout keeps files ≤ a few M rows → tens of MB transient
@@ -1611,9 +1671,10 @@ object VersionedTable {
     if (present.isEmpty) return Seq.empty
     val staged = staged0
     val keyed = present.map { c =>
-      staged.select(input_file_name().as("f"), col(c).cast("long").as("key"))
+      val (name, keyExpr) = bloomKey(staged.schema, c)
+      staged.select(input_file_name().as("f"), keyExpr.as("key"))
         .where(col("key").isNotNull)
-        .withColumn("c", org.apache.spark.sql.functions.lit(c))
+        .withColumn("c", org.apache.spark.sql.functions.lit(name))
     }.reduce(_ unionByName _)
     val sidecar = keyed.select("f", "c", "key").as[(String, String, Long)]
       .groupByKey { case (f, c, _) =>
@@ -1689,6 +1750,65 @@ object VersionedTable {
     val keyDf = spark.createDataset(keys.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("__probe_key")
     scan.join(broadcast(keyDf), col(colName).cast("long") === col("__probe_key"), "left_semi")
+  }
+
+  /** [[filesForKeys]] for a STRING key column: probes the hashed sidecar
+    * scheme (`#s:<col>`, xxhash64 keys) the writers build for string
+    * bloom columns. None when the column carries no string-scheme blooms
+    * (caller falls back to typed range pruning or the full set). */
+  def filesForKeysString(
+      spark: SparkSession, path: String, colName: String, keys: Array[String],
+      version: Option[Long] = None): Option[Seq[String]] = {
+    require(keys.nonEmpty, "at least one probe key required")
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val text = manifestText(spark, path, v)
+    val sidecars = bloomFilesOf(text)
+    if (sidecars.isEmpty) return None
+    val rel = manifestFiles(spark, path, v)
+    val relSet = rel.toSet
+    val probeCol = s"#s:$colName"
+    val hashed = keys.map(stringBloomKey)
+    val bloomRows = spark.read.parquet(sidecars.map(n => s"$path/data/$n"): _*)
+      .where($"c" === probeCol)
+      .as[(String, String, Int, Int, Array[Byte])]
+      .filter(r => relSet.contains(r._1))
+    val keysB = spark.sparkContext.broadcast(hashed)
+    val verdicts = bloomRows.mapPartitions { it =>
+      val ks = keysB.value
+      it.map { case (f, _, m, _, bits) =>
+        (f, ks.exists(k => FileBloom.mightContain(m, bits, k)))
+      }
+    }.collect()
+    keysB.destroy()
+    if (verdicts.isEmpty) return None // column not string-bloom-covered
+    val covered = verdicts.map(_._1).toSet
+    val hits = verdicts.collect { case (f, true) => f }.toSet
+    Some(rel.filter(f => hits.contains(f) || !covered.contains(f)))
+  }
+
+  /** [[readKeys]] for STRING keys — the doc-id point lookup on a
+    * string-keyed corpus: open only the files whose hashed blooms admit
+    * one of `keys` (plus uncovered files), then apply the exact
+    * membership filter. I/O ∝ keys · files-per-key, not corpus size. */
+  def readKeysString(
+      spark: SparkSession, path: String, colName: String, keys: Array[String],
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val keep = filesForKeysString(spark, path, colName, keys, Some(v))
+      .getOrElse(manifestFiles(spark, path, v))
+    val text = manifestText(spark, path, v)
+    if (keep.isEmpty) return read(spark, path, Some(v))
+      .filter(org.apache.spark.sql.functions.lit(false))
+    val scan = evolvedRead(spark, path, text, keep, dvFiles = dvFilesOf(text))
+    val keyDf = spark.createDataset(keys.toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("__probe_key")
+    scan.join(broadcast(keyDf), col(colName) === col("__probe_key"), "left_semi")
   }
 
   /** The data files of `version` (latest by default) that can hold a row
@@ -1846,27 +1966,34 @@ object VersionedTable {
   }
 
   /** Canonical comparable form of a typed predicate bound under the
-    * recorded column type: UTF-8 bytes for strings (matches Spark's
-    * UTF8String binary ordering exactly), epoch days for dates, epoch
-    * micros for timestamps. Refuses a bound whose runtime type the
+    * recorded column type ([[StatBound]], the domain the FileIndex
+    * shares): UTF-8 bytes for strings (matches Spark's UTF8String binary
+    * ordering exactly), epoch days for dates, epoch micros for
+    * timestamps, normalized IEEE doubles (−0.0 → 0.0, java total order)
+    * for double-channel columns. Refuses a bound whose runtime type the
     * recorded column type cannot interpret — a silently mis-typed bound
     * would prune the WRONG files. */
-  private def typedBound(tpe: String, colName: String, v: Any): Either[Array[Byte], Long] =
+  private def typedBound(tpe: String, colName: String, v: Any): StatBound =
     (tpe, v) match {
-      case ("string", s: String) => Left(s.getBytes("UTF-8"))
-      case ("date", d: java.sql.Date) => Right(d.toLocalDate.toEpochDay)
-      case ("date", d: java.time.LocalDate) => Right(d.toEpochDay)
-      case ("date", s: String) => Right(java.time.LocalDate.parse(s).toEpochDay)
+      case ("string", s: String) => StatBound.S(s.getBytes("UTF-8"))
+      case ("date", d: java.sql.Date) => StatBound.L(d.toLocalDate.toEpochDay)
+      case ("date", d: java.time.LocalDate) => StatBound.L(d.toEpochDay)
+      case ("date", s: String) => StatBound.L(java.time.LocalDate.parse(s).toEpochDay)
       case ("timestamp", t: java.sql.Timestamp) =>
-        Right(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+        StatBound.L(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
       case ("timestamp", i: java.time.Instant) =>
-        Right(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      case ("timestamp", l: Long) => Right(l) // epoch micros
+        StatBound.L(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case ("timestamp", l: Long) => StatBound.L(l) // epoch micros
+      case ("double", d: Double) => StatBound.D(StatBound.normD(d))
+      case ("double", f: Float) => StatBound.D(StatBound.normD(f.toDouble))
+      case ("double", l: Long) => StatBound.D(l.toDouble)
+      case ("double", i: Int) => StatBound.D(i.toDouble)
       case _ => throw new IllegalArgumentException(
         s"predicate bound ${v.getClass.getSimpleName} cannot be compared against " +
           s"'$colName' recorded as $tpe stats — pass a ${
             if (tpe == "string") "String"
             else if (tpe == "date") "java.sql.Date / LocalDate / ISO string"
+            else if (tpe == "double") "Double / Float / integral"
             else "java.sql.Timestamp / Instant / epoch-micros Long"}")
     }
 
@@ -1926,18 +2053,15 @@ object VersionedTable {
         types.get(c) match {
           case Some(t) =>
             typed.get((f, c)).forall { case (flo, fhi) =>
-              // a column's bound form is DETERMINED by its recorded type
-              // (string → bytes, date/timestamp → long), so both bounds
-              // always land on the same side; anything else is a bug
-              (typedBound(t, c, lo), typedBound(t, c, hi)) match {
-                case (Left(lob), Left(hib)) =>
-                  java.util.Arrays.compareUnsigned(fhi.getBytes("UTF-8"), lob) >= 0 &&
-                    java.util.Arrays.compareUnsigned(flo.getBytes("UTF-8"), hib) <= 0
-                case (Right(lol), Right(hil)) =>
-                  fhi.toLong >= lol && flo.toLong <= hil
-                case other => sys.error(
-                  s"typedBound returned mixed forms $other for '$c' ($t)")
+              // decode the file's recorded bounds into the same domain
+              // the predicate bounds resolve to; cmp refuses mixed forms
+              def fdec(raw: String): StatBound = t match {
+                case "string" => StatBound.S(raw.getBytes("UTF-8"))
+                case "double" => StatBound.D(StatBound.normD(raw.toDouble))
+                case _ => StatBound.L(raw.toLong)
               }
+              StatBound.cmp(fdec(fhi), typedBound(t, c, lo)) >= 0 &&
+                StatBound.cmp(fdec(flo), typedBound(t, c, hi)) <= 0
             }
           case None => (lo, hi) match {
             case (lol: Long, hil: Long) =>
@@ -1980,12 +2104,17 @@ object VersionedTable {
       (types.get(c), bound) match {
         case (Some("date"), s: String) => to_date(lit(s))
         case (Some("timestamp"), l: Long) => timestamp_micros(lit(l))
+        case (Some("double"), n: Number) => lit(n.doubleValue)
         case _ => lit(bound)
       }
     val exact = preds.map { case (c, (lo, hi)) =>
-      (types.contains(c), lo, hi) match {
-        case (true, _, _) => col(c).between(asLit(c, lo), asLit(c, hi))
-        case (false, lol: Long, hil: Long) => col(c).cast("long").between(lol, hil)
+      (types.get(c), lo, hi) match {
+        // double channel: compare in double (the recorded domain), so a
+        // FLOAT column's fractional bound doesn't silently int-truncate
+        case (Some("double"), _, _) =>
+          col(c).cast("double").between(asLit(c, lo), asLit(c, hi))
+        case (Some(_), _, _) => col(c).between(asLit(c, lo), asLit(c, hi))
+        case (None, lol: Long, hil: Long) => col(c).cast("long").between(lol, hil)
         case _ => col(c).between(lit(lo), lit(hi))
       }
     }.reduce(_ && _)
@@ -2656,11 +2785,24 @@ object VersionedTable {
           if (candidates.isEmpty || bloomFilesOf(text).isEmpty ||
               srcRows > 2000000L) candidates
           else keys.iterator.map { k =>
-            val keyArr = srcKeys.select(col(k).cast("long")).na.drop()
-              .collect().map(_.getLong(0))
-            if (keyArr.isEmpty) None
-            else filesForKeys(spark, path, k, keyArr, Some(current))
-              .map(hits => candidates.filter(hits.toSet))
+            // string merge keys probe the hashed (#s:) sidecar scheme;
+            // everything else keeps the long cast — either way a key
+            // column without covering sidecars cuts nothing (None)
+            val isString = srcKeys.schema.fields.find(_.name == k)
+              .exists(_.dataType == org.apache.spark.sql.types.StringType)
+            val cut =
+              if (isString) {
+                val keyArr = srcKeys.select(col(k)).na.drop()
+                  .collect().map(_.getString(0))
+                if (keyArr.isEmpty) None
+                else filesForKeysString(spark, path, k, keyArr, Some(current))
+              } else {
+                val keyArr = srcKeys.select(col(k).cast("long")).na.drop()
+                  .collect().map(_.getLong(0))
+                if (keyArr.isEmpty) None
+                else filesForKeys(spark, path, k, keyArr, Some(current))
+              }
+            cut.map(hits => candidates.filter(hits.toSet))
           }.collectFirst { case Some(cut) => cut }.getOrElse(candidates)
         // one pruned scan: which candidate files actually hold matched
         // keys (file identity captured ON the scan — withPosition exposes
@@ -2844,11 +2986,24 @@ object VersionedTable {
           if (candidates.isEmpty || bloomFilesOf(text).isEmpty ||
               srcRows > 2000000L) candidates
           else keys.iterator.map { k =>
-            val keyArr = srcKeys.select(col(k).cast("long")).na.drop()
-              .collect().map(_.getLong(0))
-            if (keyArr.isEmpty) None
-            else filesForKeys(spark, path, k, keyArr, Some(current))
-              .map(hits => candidates.filter(hits.toSet))
+            // string merge keys probe the hashed (#s:) sidecar scheme;
+            // everything else keeps the long cast — either way a key
+            // column without covering sidecars cuts nothing (None)
+            val isString = srcKeys.schema.fields.find(_.name == k)
+              .exists(_.dataType == org.apache.spark.sql.types.StringType)
+            val cut =
+              if (isString) {
+                val keyArr = srcKeys.select(col(k)).na.drop()
+                  .collect().map(_.getString(0))
+                if (keyArr.isEmpty) None
+                else filesForKeysString(spark, path, k, keyArr, Some(current))
+              } else {
+                val keyArr = srcKeys.select(col(k).cast("long")).na.drop()
+                  .collect().map(_.getLong(0))
+                if (keyArr.isEmpty) None
+                else filesForKeys(spark, path, k, keyArr, Some(current))
+              }
+            cut.map(hits => candidates.filter(hits.toSet))
           }.collectFirst { case Some(cut) => cut }.getOrElse(candidates)
         // matched rows with (file, position) identity captured on the scan;
         // DV-applied so an already-tombstoned row can't re-match
@@ -3130,6 +3285,7 @@ object VersionedTable {
     val rel = manifestFiles(spark, path, v)
     require(rel.nonEmpty, s"version $v of $path has no data files (empty commit)")
     val (_, ranges) = statsOf(text)
+    val (typedTypes, typedRanges) = typedStatsOf(text)
     val f = fs(spark, path)
     val statuses = rel.map(n => n -> f.getFileStatus(new Path(s"$path/data/$n"))).toMap
     val dataSchema = schemaOf(text) match {
@@ -3138,7 +3294,7 @@ object VersionedTable {
       case None => spark.read.parquet(s"$path/data/${rel.head}").schema
     }
     val index = new VersionedFileIndex(
-      spark, path, rel, ranges, bloomFilesOf(text), statuses)
+      spark, path, rel, ranges, typedTypes, typedRanges, bloomFilesOf(text), statuses)
     // a manifest-claimed bucketing becomes a BucketSpec: the scan then
     // REPORTS HashPartitioning(key, n) and groups each bucket's files
     // into one partition, so co-bucketed joins/aggregations on the key
@@ -3744,9 +3900,12 @@ object VersionedTable {
       val present = cols.filter(data.columns.contains)
       require(present.nonEmpty, s"none of ${cols.mkString(",")} exist in the data schema")
       val keyed = present.map { c =>
-        data.select(input_file_name().as("f"), col(c).cast("long").as("key"))
+        // same scheme switch as write-time blooms: string columns hash
+        // under the #s: marker, everything else casts to long
+        val (name, keyExpr) = bloomKey(data.schema, c)
+        data.select(input_file_name().as("f"), keyExpr.as("key"))
           .where(col("key").isNotNull)
-          .withColumn("c", lit(c))
+          .withColumn("c", lit(name))
       }.reduce(_ unionByName _)
       val sidecar = keyed.select("f", "c", "key").as[(String, String, Long)]
         .groupByKey { case (f, c, _) =>

@@ -716,6 +716,102 @@ object Relational {
             WHERE doc_key BETWEEN 'D00000010' AND 'D00000099'
             GROUP BY lang ORDER BY lang"""))
 
+  /** Q367 — TYPED manifest pruning through the CATALYST read path
+    * ([[graft.io.VersionedTable.table]] + the string stats3 channel —
+    * VERDICT r16 item 1): the same doc-keyed corpus as q363, but the
+    * predicates are ORDINARY DataFrame filters (a BETWEEN range and a
+    * startsWith prefix) over `table()`, so the pruning decision is made
+    * by [[graft.io.VersionedFileIndex]] at physical-planning time, not
+    * by a caller naming bounds. A stats-less second commit (rows INSIDE
+    * both predicates) pins the safety rule on the planner path: files
+    * without typed entries must always survive. The oracle recomputes
+    * both slices relationally; TypedIndexSpec pins the file-count cuts
+    * (numFiles) this query's plan makes. */
+  val q367 = QueryDef(
+    "q367_table_typed_prune",
+    (s, d) => {
+      val path = Scratch.dir("q367") + "/tbl"
+      val base = Tables.documents(s, d).select(
+        concat(lit("D"), lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+        col("lang"), col("n_chars"))
+      graft.io.VersionedTable.commitAppend(
+        base.repartitionByRange(4, col("doc_key")), path, Seq("doc_key"))
+      graft.io.VersionedTable.commitAppend(
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 0).select(
+          concat(lit("D"), lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+          col("lang"), (col("n_chars") + 1000L).as("n_chars")),
+        path)
+      val t = graft.io.VersionedTable.table(s, path)
+      val ranged = t.filter(col("doc_key").between("D00000010", "D00000099"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .withColumn("cut", lit("range"))
+      val prefixed = t.filter(col("doc_key").startsWith("D000001"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .withColumn("cut", lit("prefix"))
+      ranged.unionByName(prefixed).orderBy("cut", "lang")
+    },
+    Some("""WITH base AS (SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+                                 lang, n_chars
+                          FROM documents),
+                 extra AS (SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+                                  lang, n_chars + 1000 AS n_chars
+                           FROM documents WHERE doc_id % 7 = 0),
+                 uni AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+            SELECT lang, cnt, chars, cut FROM (
+              SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     'range' AS cut
+              FROM uni WHERE doc_key BETWEEN 'D00000010' AND 'D00000099'
+              GROUP BY lang
+              UNION ALL
+              SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     'prefix' AS cut
+              FROM uni WHERE doc_key LIKE 'D000001%'
+              GROUP BY lang)
+            ORDER BY cut, lang"""))
+
+  /** Q368 — FRACTIONAL (double, stats3 'F' channel) manifest pruning
+    * through the Catalyst read path (VERDICT r16 item 3): a corpus
+    * scored with a deterministic quality column in [0,1), range-
+    * clustered on the score so per-file double bounds are tight, plus a
+    * stats-less control commit whose rows sit INSIDE the queried band.
+    * The query is a quality-threshold corpus cut — `quality > 0.8435`,
+    * a bound the long channel's integer truncation could never express
+    * (every file's truncated range is [0,0]) — through an ordinary
+    * DataFrame filter over `table()`. The oracle recomputes both slices;
+    * TypedIndexSpec pins the plan's file cut and the −0.0/NaN total-
+    * order rules. */
+  val q368 = QueryDef(
+    "q368_double_prune",
+    (s, d) => {
+      val path = Scratch.dir("q368") + "/tbl"
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        ((col("doc_id") % 1000).cast("double") / lit(1000.0)).as("quality"))
+      graft.io.VersionedTable.commitAppend(
+        scored.repartitionByRange(4, col("quality")), path, Seq("quality"))
+      // stats-less control: high-quality rows pruning must NOT drop
+      graft.io.VersionedTable.commitAppend(
+        scored.filter(col("doc_id") % 9 === 0)
+          .withColumn("quality", col("quality") * lit(0.1) + lit(0.9)),
+        path)
+      graft.io.VersionedTable.table(s, path)
+        .filter(col("quality") > 0.8435)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH scored AS (SELECT doc_id, lang, n_chars,
+                                   CAST(doc_id % 1000 AS DOUBLE) / 1000.0 AS quality
+                            FROM documents),
+                 extra AS (SELECT doc_id, lang, n_chars, quality * 0.1 + 0.9 AS quality
+                           FROM scored WHERE doc_id % 9 = 0),
+                 uni AS (SELECT * FROM scored UNION ALL SELECT * FROM extra)
+            SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM uni WHERE quality > 0.8435
+            GROUP BY lang ORDER BY lang"""))
+
   /** Q134 — predicate-scoped INSERT OVERWRITE through the oracle gate
     * ([[graft.io.VersionedTable.replaceWhere]]): reload the
     * o_orderkey∈[1000,4999] slice with corrected (repriced, thinned)
@@ -3091,7 +3187,7 @@ object Relational {
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363, q364)
+    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363, q364, q367, q368)
 }
 
 /** q293's eager skew-join execution, shared with PlanShapeSpec (which

@@ -298,7 +298,8 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
     VtSqlOps.attr("n_tags", IntegerType),
     VtSqlOps.attr("n_staged", IntegerType),
     VtSqlOps.attr("bucketing", StringType),
-    VtSqlOps.attr("stats_columns", StringType))
+    VtSqlOps.attr("stats_columns", StringType),
+    VtSqlOps.attr("planner_pruning", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = VtSqlOps.resolvePath(spark, tableParts)
     val hist = VersionedTable.history(spark, path)
@@ -309,6 +310,22 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       typedCols.toSeq.sorted.map { case (c, t) => s"$c:$t" }) match {
       case Nil => "none"
       case xs => xs.mkString(", ")
+    }
+    // what an ORDINARY Catalyst predicate prunes per column, operator-
+    // readable: every stats column prunes ranges in its recorded domain
+    // (typed channel wins for columns recorded in both — a timestamp
+    // prunes micro-exactly, a double fractionally), and bloom-covered
+    // columns add point-probe pruning. This is the planner-path truth:
+    // readWhere*/readKeys* prune the same columns programmatically.
+    val bloomCols = VersionedTable.bloomColumns(spark, path).toSet
+    val plannerDesc = {
+      val domains = longCols.map(c => c -> "long").toMap ++ typedCols
+      (domains.toSeq.sorted.map { case (c, t) =>
+        s"$c:ranges($t)" + (if (bloomCols.contains(c)) "+bloom" else "")
+      } ++ (bloomCols -- domains.keySet).toSeq.sorted.map(c => s"$c:bloom")) match {
+        case Nil => "none"
+        case xs => xs.mkString(", ")
+      }
     }
     // n_rows rides the manifest row counts when recorded (append/compact/
     // analyze paths record them); tables written by stats-less paths fall
@@ -323,7 +340,7 @@ final case class VtDescribeDetailCommand(tableParts: Seq[String])
       // the join-layout claim ("key:n"), or the explicit absence marker
       VersionedTable.bucketing(spark, path)
         .map { case (k, n) => s"$k:$n" }.getOrElse("unbucketed"),
-      statsDesc))
+      statsDesc, plannerDesc))
   }
 }
 

@@ -222,6 +222,26 @@ class VtSqlOpsSpec extends SparkSuite {
       .getAs[Int]("n_staged") == 0)
   }
 
+  test("DESCRIBE DETAIL reports per-column planner pruning (both channels + blooms)") {
+    val path = java.nio.file.Files.createTempDirectory("vtsqlops").toString + "/tbl"
+    VersionedTable.commitAppend(
+      (0L until 20L).map(i => (i, f"D$i%04d", i / 20.0)).toDF("id", "doc_key", "score"),
+      path, Seq("id", "doc_key", "score"), bloomCols = Seq("id", "doc_key"))
+    val detail = spark.sql(s"DESCRIBE DETAIL ${ref(path)}").collect()(0)
+    // stats_columns names both channels...
+    assert(detail.getAs[String]("stats_columns") ==
+      "id:long, score:long, doc_key:string, score:double")
+    // ...and planner_pruning states what an ORDINARY filter prunes: the
+    // typed domain wins where both channels record, blooms add points
+    assert(detail.getAs[String]("planner_pruning") ==
+      "doc_key:ranges(string)+bloom, id:ranges(long)+bloom, score:ranges(double)")
+    // a stats-less, bloom-less table reports none
+    val bare = java.nio.file.Files.createTempDirectory("vtsqlops").toString + "/tbl"
+    VersionedTable.commitAppend((0L until 5L).map(i => (i, s"x$i")).toDF("id", "v"), bare)
+    assert(spark.sql(s"DESCRIBE DETAIL ${ref(bare)}").collect()(0)
+      .getAs[String]("planner_pruning") == "none")
+  }
+
   test("vt_changes table function serves the row-level change feed from SQL") {
     val path = freshTable(3)
     val rows = spark.sql(s"SELECT * FROM vt_changes('$path', 1, 3)").collect()
