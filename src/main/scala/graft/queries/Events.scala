@@ -1717,6 +1717,62 @@ object Events {
         |       ROUND(beta * beta * fi, 6) AS wald_chi2
         |FROM inf""".stripMargin))
 
+  /** Q369 — CONVERGENCE-BOUNDED Cox Newton with the n_iters diagnostic
+    * ([[graft.ops.Survival.coxPHDiag]], VERDICT r16 item 2): `iters` is
+    * now a CAP — the fit exits as soon as ‖Δβ‖∞ ≤ tol·(1+‖β‖∞), each
+    * skipped pass one full-data aggregation saved (the Cox family is
+    * ~37% of the headline bench; the saved passes are pure win at 100×).
+    * The oracle replays the SAME stop-and-freeze recursion in a DuckDB
+    * recursive CTE — carrying (β, done, n_iters) to the fixed 8-row
+    * horizon with β FROZEN once done — so a drifted stopping rule, an
+    * off-by-one pass count, or a β̂ that moved after the declared exit
+    * all hash-fail. β/HR/SE must equal the fixed-8-pass replays
+    * (q322/q336/…) to 6 decimals — pinned by those oracles staying green
+    * on the same engine code. */
+  val q369 = QueryDef(
+    "q369_cox_converged",
+    (s, d) =>
+      graft.ops.Survival.coxPHDiag(
+        armSubjects(s, d).withColumn("x", col("arm").cast("double")),
+        Seq("x"), "t_days", "is_event", ties = "breslow")
+        .select(
+          col("n_times"),
+          (r6(col("beta")) + lit(0.0)).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"),
+          col("n_iters").cast("int").as("n_iters"),
+          col("converged").cast("int").as("converged")),
+    Some(GridSql +
+      """,
+        |     it AS (
+        |       WITH RECURSIVE nw(i, beta, done, nit) AS (
+        |         SELECT 0, CAST(0 AS DOUBLE), FALSE, 0
+        |         UNION ALL
+        |         SELECT i + 1,
+        |                CASE WHEN done THEN beta ELSE beta + g.step END,
+        |                done OR ABS(g.step) <=
+        |                  1e-9 * (1 + ABS(beta + g.step)),
+        |                CASE WHEN done THEN nit ELSE nit + 1 END
+        |         FROM nw, LATERAL (
+        |           SELECT (SELECT SUM(d_a - d_t * (n_a * EXP(beta))
+        |                              / (n_a * EXP(beta) + (n_t - n_a)))
+        |                   FROM bt)
+        |                / (SELECT SUM(d_t * (n_a * EXP(beta) * (n_t - n_a))
+        |                              / POWER(n_a * EXP(beta) + (n_t - n_a), 2))
+        |                   FROM bt) AS step) g
+        |         WHERE i < 8)
+        |       SELECT beta, nit FROM nw WHERE i = 8),
+        |     inf AS (SELECT (SELECT COUNT(*) FROM bt) AS n_times, beta, nit,
+        |                    (SELECT SUM(d_t * (n_a * EXP(beta) * (n_t - n_a))
+        |                                / POWER(n_a * EXP(beta) + (n_t - n_a), 2))
+        |                     FROM bt) AS fi
+        |             FROM it)
+        |SELECT n_times, ROUND(beta, 6) + 0 AS beta,
+        |       ROUND(EXP(beta), 6) AS hazard_ratio,
+        |       ROUND(1.0 / SQRT(fi), 6) AS se,
+        |       nit AS n_iters, 1 AS converged
+        |FROM inf""".stripMargin))
+
   /** Q336 — MULTI-covariate Cox PH ([[graft.ops.Survival.coxPH]],
     * matrix Newton): q322's arm effect ADJUSTED for a continuous
     * activity covariate (ln(1 + click count)) — the joint fit a
@@ -4015,7 +4071,7 @@ object Events {
       q259, q262, q266, q268, q270, q272, q281, q285, q286, q287, q288, q290,
       q291, q292, q296, q303, q304, q305, q309, q311, q312, q313, q314,
       q321, q322, q323, q332, q336, q337, q339, q343, q346, q348, q349, q351, q354,
-      q355, q356, q357, q358, q359, q360, q362, q365, q366)
+      q355, q356, q357, q358, q359, q360, q362, q365, q366, q369)
 
   /** Q291 — time-decay attribution: every purchase's value split across
     * its 7-day-lookback clicks with exponentially decaying credit

@@ -735,7 +735,8 @@ object EventStreams {
       tablePath: String, writerId: String, checkpointDir: String,
       windowLen: String = "1 hour", watermark: String = "10 minutes",
       preCovariate: Option[(DataFrame, String, String)] = None,
-      clusterCol: Option[String] = None): StreamingQuery = {
+      clusterCol: Option[String] = None,
+      alwaysValidTau: Double = 0.1): StreamingQuery = {
     val scorecard = experimentScorecard(
       events, armCol, convCol, tsCol, focal, control, focalShare,
       windowLen, watermark, preCovariate, clusterCol)
@@ -743,11 +744,86 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // the iid scorecard carries the always-valid readout; the
+        // clustered one does not (its honest mSPRT needs cumulative
+        // CLUSTER-level variance — the iid fold here would under-state
+        // V and peek anyway; robust sequential inference is the declared
+        // gap, not silently faked)
+        val out =
+          if (clusterCol.isEmpty)
+            alwaysValidFold(batch.toDF(), tablePath, alwaysValidTau)
+          else batch.toDF()
         graft.io.VersionedTable.commitStreamBatch(
-          batch.toDF(), tablePath, writerId, batchId)
+          out, tablePath, writerId, batchId)
         ()
       }
       .start()
+  }
+
+  /** The ALWAYS-VALID column fold for the scorecard sink (VERDICT r16
+    * item 4): the per-window z at :838 is a fixed-horizon statistic — a
+    * monitor reading it every window is the textbook peeking protocol.
+    * This fold appends the honest companion at COMMIT time: cumulative
+    * arm counts to date, the mixture-SPRT ln Λ on those cumulative
+    * counts (arithmetic = [[graft.ops.SequentialTest.alwaysValidP]],
+    * called, not copied), and p_always_valid = min(1, e^{−max ln Λ}) —
+    * nonincreasing across the table's whole history, valid under
+    * continuous monitoring.
+    *
+    * WHY sink-side: a running prefix across closed windows is not a
+    * windowed aggregation (no window key), so it cannot ride the
+    * streaming state store in append mode; but the sink already owns a
+    * deterministic, exactly-once serialization of closed windows — the
+    * watermark closes them in event-time order and the (writerId,
+    * batchId) txn gate absorbs replays, so "prior cumulative state" is
+    * simply the LAST committed row, an O(1) read of a windows-sized
+    * table. The batch's own windows fold through one calendar-bounded
+    * window pass. Streaming output == batch [[graft.ops.SequentialTest.
+    * alwaysValidP]] on every window prefix (running max is associative;
+    * the counts are exact longs) — spec-pinned to bitwise, incl. forced
+    * replay. */
+  private[graft] def alwaysValidFold(
+      batch: DataFrame, tablePath: String, tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    // prior cumulative state: the last committed window's row (zeros
+    // before the first commit)
+    val prior: (Long, Long, Long, Long, Double) =
+      if (graft.io.VersionedTable.versions(spark, tablePath).isEmpty)
+        (0L, 0L, 0L, 0L, Double.NegativeInfinity)
+      else {
+        val last = graft.io.VersionedTable.read(spark, tablePath)
+          .orderBy(col("w_start").desc).limit(1)
+          .select("cum_n_f", "cum_conv_f", "cum_n_c", "cum_conv_c",
+            "max_log_lambda")
+          .collect()
+        if (last.isEmpty) (0L, 0L, 0L, 0L, Double.NegativeInfinity)
+        else (last(0).getLong(0), last(0).getLong(1), last(0).getLong(2),
+          last(0).getLong(3), last(0).getDouble(4))
+      }
+    val w = graft.core.Windows.bounded(col("w_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withCum = batch
+      .withColumn("cum_n_f", lit(prior._1) + sum("n_f").over(w))
+      .withColumn("cum_conv_f", lit(prior._2) + sum("conv_f").over(w))
+      .withColumn("cum_n_c", lit(prior._3) + sum("n_c").over(w))
+      .withColumn("cum_conv_c", lit(prior._4) + sum("conv_c").over(w))
+    // the mixture-SPRT arithmetic, by CALL (drift-proof): alwaysValidP
+    // reads (day, n_a, conv_a, n_b, conv_b) and emits log_lambda + its
+    // in-frame running-min p; the cross-batch running max then folds the
+    // prior state in (associative, exact) and p recomputes from it
+    val monitorShaped = withCum
+      .withColumn("day", col("w_start"))
+      .withColumn("n_a", col("cum_n_f"))
+      .withColumn("conv_a", col("cum_conv_f"))
+      .withColumn("n_b", col("cum_n_c"))
+      .withColumn("conv_b", col("cum_conv_c"))
+    graft.ops.SequentialTest.alwaysValidP(monitorShaped, tau)
+      .withColumn("max_log_lambda",
+        greatest(lit(prior._5), max(col("log_lambda")).over(w)))
+      .withColumn("p_always_valid",
+        least(lit(1.0), exp(-col("max_log_lambda"))))
+      .drop("day", "n_a", "conv_a", "n_b", "conv_b")
   }
 
   /** The scorecard TRANSFORM alone (works on a batch frame too — the

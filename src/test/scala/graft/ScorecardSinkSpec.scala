@@ -48,11 +48,15 @@ class ScorecardSinkSpec extends SparkSuite {
       q.processAllAvailable()
       val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
       assert(got.length == 2, s"two closed windows expected, got ${got.length}")
-      val batch = EventStreams.experimentScorecard(
+      val batchDf = EventStreams.experimentScorecard(
         rows.toDF("ts", "arm", "conv"), "arm", "conv", "ts",
         "treat", "ctrl", 0.5, "1 hour", "10 minutes")
-        .orderBy("w_start").collect()
-      got.zip(batch).foreach { case (s, b) =>
+      val batch = batchDf.orderBy("w_start").collect()
+      // the sink table carries the always-valid columns ON TOP of the
+      // batch transform's — project to the shared schema for equality
+      val gotProj = VersionedTable.table(spark, path)
+        .select(batchDf.columns.map(col).toSeq: _*).orderBy("w_start").collect()
+      gotProj.zip(batch).foreach { case (s, b) =>
         assert(s.toSeq == b.toSeq, s"stream row $s != batch row $b")
       }
       val Array(w10, w11) = got
@@ -148,15 +152,90 @@ class ScorecardSinkSpec extends SparkSuite {
         assert(row.getAs[Double]("var_reduction") > 0.0,
           "a predictive pre-period covariate must remove variance")
       }
-      // streaming == the batch transform with the same dim, full schema
-      val batch = EventStreams.experimentScorecard(
+      // streaming == the batch transform with the same dim, on the
+      // transform's columns (the sink adds the always-valid ones on top)
+      val batchDf = EventStreams.experimentScorecard(
         subjects.toDF("ts", "arm", "conv", "uid"), "arm", "conv", "ts",
         "treat", "ctrl", 0.5, "1 hour", "10 minutes",
         preCovariate = Some((dim, "uid", "pre_x")))
-        .orderBy("w_start").collect()
-      got.zip(batch).foreach { case (sr, br) =>
+      val batch = batchDf.orderBy("w_start").collect()
+      val gotProj = VersionedTable.table(spark, path)
+        .select(batchDf.columns.map(col).toSeq: _*).orderBy("w_start").collect()
+      gotProj.zip(batch).foreach { case (sr, br) =>
         assert(sr.toSeq == br.toSeq, s"stream row $sr != batch row $br")
       }
+    } finally q.stop()
+  }
+
+  test("always-valid p: streaming fold == batch SequentialTest on every prefix; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_av")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_av_ck").toString
+    val ms = MemoryStream[(Timestamp, String, Int)]
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv"), "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-av-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes")
+    val w10 = (1 to 80).map(i => (t(f"2024-01-01 10:00:${i % 60}%02d"), "treat",
+      if (i <= 40) 1 else 0)) ++
+      (1 to 80).map(i => (t(f"2024-01-01 10:01:${i % 60}%02d"), "ctrl",
+        if (i <= 20) 1 else 0))
+    val closer10 = (t("2024-01-01 11:30:00"), "treat", 0) // joins window 11
+    val w11 = (1 to 60).map(i => (t(f"2024-01-01 11:05:${i % 60}%02d"),
+      if (i % 2 == 0) "treat" else "ctrl", i % 3 min 1))
+    val closer11 = (t("2024-01-01 12:40:00"), "treat", 0)
+    try {
+      // three separate commits: w10 closes in a DIFFERENT foreachBatch
+      // than w11, so the prior-cumulative state crosses commits
+      ms.addData(w10 ++ w11: _*)
+      q.processAllAvailable()
+      ms.addData(closer10)
+      q.processAllAvailable() // closes window 10
+      ms.addData(closer11)
+      q.processAllAvailable() // closes window 11 (incl. closer10's row)
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 2, s"expected 2 closed windows, got ${got.length}")
+      // batch comparator: cumulative counts per window prefix ->
+      // SequentialTest.alwaysValidP on the same monitor grid
+      val allRows = w10 ++ w11 :+ closer10 :+ closer11
+      val windows = EventStreams.experimentScorecard(
+        allRows.toDF("ts", "arm", "conv"), "arm", "conv", "ts",
+        "treat", "ctrl", 0.5, "1 hour", "10 minutes")
+        .orderBy("w_start").collect().take(2)
+      val cums = windows.scanLeft((0L, 0L, 0L, 0L)) { (acc, r) =>
+        (acc._1 + r.getAs[Long]("n_f"), acc._2 + r.getAs[Long]("conv_f"),
+          acc._3 + r.getAs[Long]("n_c"), acc._4 + r.getAs[Long]("conv_c"))
+      }.tail
+      val monitor = windows.zip(cums).map { case (r, (nf, cf, nc, cc)) =>
+        (r.getAs[Timestamp]("w_start"), nf, cf, nc, cc)
+      }.toSeq.toDF("day", "n_a", "conv_a", "n_b", "conv_b")
+      val expected = graft.ops.SequentialTest.alwaysValidP(monitor)
+        .orderBy("day").collect()
+      got.zip(expected).zip(cums).foreach { case ((s, e), (nf, cf, nc, cc)) =>
+        assert(s.getAs[Long]("cum_n_f") == nf && s.getAs[Long]("cum_conv_f") == cf)
+        assert(s.getAs[Long]("cum_n_c") == nc && s.getAs[Long]("cum_conv_c") == cc)
+        assert(s.getAs[Double]("log_lambda") == e.getAs[Double]("log_lambda"),
+          s"log_lambda: stream ${s.getAs[Double]("log_lambda")} != batch ${e.getAs[Double]("log_lambda")}")
+        assert(s.getAs[Double]("p_always_valid") == e.getAs[Double]("p_always_valid"),
+          s"p_av: stream ${s.getAs[Double]("p_always_valid")} != batch ${e.getAs[Double]("p_always_valid")}")
+      }
+      // nonincreasing by construction across the table history
+      assert(got(1).getAs[Double]("p_always_valid")
+        <= got(0).getAs[Double]("p_always_valid"))
+      // forced replay of a consumed batchId: the fold recomputes but the
+      // txn gate absorbs the commit — table unchanged
+      val before = VersionedTable.table(spark, path).collect().toSeq
+      val replayBatch = EventStreams.experimentScorecard(
+        allRows.toDF("ts", "arm", "conv"), "arm", "conv", "ts",
+        "treat", "ctrl", 0.5, "1 hour", "10 minutes").limit(1)
+      (0L to 2L).foreach { bid =>
+        VersionedTable.commitStreamBatch(
+          EventStreams.alwaysValidFold(replayBatch, path, 0.1),
+          path, "scorecard-av-spec", bid)
+      }
+      assert(VersionedTable.table(spark, path).collect().toSeq == before,
+        "replayed batches must be absorbed, not re-applied")
     } finally q.stop()
   }
 

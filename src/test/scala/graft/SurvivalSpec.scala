@@ -781,6 +781,54 @@ class SurvivalSpec extends SparkSuite {
     assert(e.getMessage.contains("zero-length"), e.getMessage)
   }
 
+  test("convergence-bounded Newton: early exit saves full-data passes, beta unchanged") {
+    def countJobs(group: String)(action: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try action
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    // well-conditioned two-arm PH fixture: lands in far fewer than 8 passes
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      val x = (i % 2).toDouble
+      val t = 1L + (-math.log(rnd.nextDouble()) / (0.05 * math.exp(0.4 * x))).toLong
+      (math.min(t, 80L), if (t <= 80L) 1 else 0, x)
+    }
+    val df = rows.toDF("t", "e", "x")
+    // tol = 0 disables the exit (the fixed-8-pass control); the default
+    // tol must spend strictly fewer jobs on the same data
+    val fixedJobs = countJobs("cox_fixed")(
+      Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow", tol = 0.0).collect())
+    val earlyJobs = countJobs("cox_early")(
+      Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow").collect())
+    assert(earlyJobs < fixedJobs,
+      s"early exit must save full-data passes: early=$earlyJobs fixed=$fixedJobs")
+    // and the answer is the SAME answer (quadratic convergence: the
+    // skipped passes move beta by O(tol^2), far below 1e-9)
+    val bE = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow")
+      .collect()(0).getAs[Double]("beta")
+    val bF = Survival.coxPH(df, Seq("x"), "t", "e", ties = "breslow", tol = 0.0)
+      .collect()(0).getAs[Double]("beta")
+    assert(math.abs(bE - bF) < 1e-9, s"early=$bE fixed=$bF")
+    // the diagnostic reports the pass count under the cap
+    val diag = Survival.coxPHDiag(df, Seq("x"), "t", "e", ties = "breslow")
+      .collect()(0)
+    assert(diag.getAs[Int]("n_iters") < 8 && diag.getAs[Boolean]("converged"),
+      s"n_iters=${diag.getAs[Int]("n_iters")}")
+    // the two-group fit stops under the same rule and agrees
+    val two = Survival.coxTwoGroup(
+      df.withColumn("grp",
+        org.apache.spark.sql.functions.col("x").cast("int").cast("string")),
+      "grp", "t", "e", focal = "1")
+      .collect()(0).getAs[Double]("beta")
+    assert(math.abs(two - bE) < 1e-8, s"two-group=$two matrix=$bE")
+    // Efron default converges under the cap too (the diag is not
+    // breslow-specific)
+    val diagE = Survival.coxPHDiag(df, Seq("x"), "t", "e").collect()(0)
+    assert(diagE.getAs[Int]("n_iters") <= 8 && diagE.getAs[Boolean]("converged"))
+  }
+
   test("rmstFromCurves: a group whose first event exceeds the horizon reports rmst = horizon") {
     val curves = Seq(
       ("__all", 2L, "p", 0.3, 0.8),
