@@ -239,61 +239,22 @@ object Main {
       spark.stop()
       if (!r.ok) sys.exit(1)
     case "experiment-report" :: sfDir :: Nil =>
-      // the full A/B readout pipeline in the order a platform runs it:
-      // assignment integrity FIRST (a failed SRM voids everything after),
-      // then design context, the raw vs variance-reduced lift, the
-      // Bayesian decision quantities, and the subgroup-honesty gate
-      import org.apache.spark.sql.functions._
+      // the full A/B readout pipeline in the order a platform runs it —
+      // the analysis lives in graft.tools.ExperimentReport (spec-pinned
+      // against the underlying operators); this case only formats.
+      // A section's REFUSAL is its honest answer (e.g. degenerate
+      // subgroups at tiny SF) — print the diagnosis, keep reporting.
       val spark = GraftSession.local()
-      val ev = graft.core.Tables.events(spark, sfDir).select(
-        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val entry = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
-      val firstConv = ev.filter(col("event_type") === "purchase")
-        .join(entry, "user_id").filter(col("us") >= col("entry_us"))
-        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
-      // PRE-period activity only: a CUPED covariate must be fixed before
-      // the unit enters the experiment, or it absorbs part of the effect
-      // (post-treatment adjustment) — count events strictly before entry
-      val clicks = ev.join(entry, "user_id").filter(col("us") < col("entry_us"))
-        .groupBy("user_id").agg(count(lit(1)).as("activity"))
-      val subjects = entry.join(firstConv, Seq("user_id"), "left")
-        .join(clicks, Seq("user_id"), "left")
-        .select(
-          col("user_id"),
-          when((conv(substring(md5(concat(lit("ab-v1:"),
-            col("user_id").cast("string"))), 1, 4), 16, 10).cast("int") % 2) === 1,
-            lit("treat")).otherwise(lit("ctrl")).as("arm"),
-          concat(lit("seg"),
-            conv(substring(md5(concat(lit("seg-v1:"), col("user_id").cast("string"))),
-              1, 4), 16, 10).cast("int") % 2).as("segment"),
-          ((col("conv_us").isNotNull) &&
-            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
-            .cast("int").as("conv"),
-          coalesce(col("activity"), lit(0L)).cast("double").as("activity"))
-        .cache()
-      // a section's REFUSAL is its honest answer (e.g. degenerate
-      // subgroups at tiny SF) — print the diagnosis, keep reporting
-      def section(title: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
-        println(s"== $title ==")
-        try body.show(truncate = false)
-        catch {
-          case e: IllegalArgumentException =>
-            println(s"[refused] ${e.getMessage}")
-        }
+      val subjects = graft.tools.ExperimentReport.subjects(spark, sfDir).cache()
+      graft.tools.ExperimentReport.sections(subjects).foreach {
+        case (title, body) =>
+          println(s"== $title ==")
+          try body().show(truncate = false)
+          catch {
+            case e: IllegalArgumentException =>
+              println(s"[refused] ${e.getMessage}")
+          }
       }
-      section("1. assignment integrity (SRM)")(
-        graft.ops.Contingency.srm(subjects, "arm",
-          Seq("ctrl" -> 0.5, "treat" -> 0.5)))
-      section("2. design: what lift could this population detect")(
-        graft.ops.PowerAnalysis.mdeTwoSample(subjects, "activity"))
-      section("3. lift: raw vs CUPED (pre-period activity as covariate)")(
-        graft.ops.Cuped.cuped(subjects, "arm", "conv", "activity", focal = "treat"))
-      section("4. Bayesian decision quantities")(
-        graft.ops.BayesAb.betaBinomial(subjects, "arm", "conv", focal = "treat"))
-      section("5. subgroup honesty: is the pooled lift the whole story?")(
-        graft.ops.Hte.homogeneity(subjects, "segment", "arm", "conv",
-          focal = "treat"))
       spark.stop()
     case other =>
       System.err.println(

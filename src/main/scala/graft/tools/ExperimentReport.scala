@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `experiment-report` CLI's analysis, extracted so a spec can pin
+  * every section's values against the underlying operators (the CLI
+  * itself only formats; nothing statistical lives in `Main`).
+  *
+  * The report runs in the order a platform runs it: assignment
+  * integrity FIRST (a failed SRM voids everything after), then design
+  * context, the raw vs variance-reduced lift, the Bayesian decision
+  * quantities, and the subgroup-honesty gate. Two designs are read out
+  * side by side on the SAME population:
+  *
+  *   - the iid design (arm hashed per USER) — sections 1-5; and
+  *   - a cluster-randomized design (users fold into geo clusters,
+  *     `user_id % 53`, and the ARM is hashed per GEO — what a
+  *     market-level rollout actually does) — sections 2b/3b, where the
+  *     iid Welch SE is dishonest and the Liang-Zeger readout plus the
+  *     design effect deff = (robust_se/se)² are the decision-grade
+  *     numbers. deff > 1 says each subject carries less than one
+  *     subject's worth of information; the clustered MDE's `m_needed`
+  *     prices the experiment in CLUSTERS, the unit that actually
+  *     randomizes.
+  *
+  * Scale shape: the subject build is three keyed aggregations over
+  * events + two joins, cached once and shared by every section; each
+  * section is the underlying operator's own 1-2 aggregation contract. */
+object ExperimentReport {
+
+  /** Per-user subject frame: entry (first view), 7-day conversion,
+    * STRICTLY pre-entry activity (a CUPED covariate fixed after entry
+    * absorbs part of the effect), the per-user iid arm, a hash segment,
+    * the geo cluster (`user_id % 53`) and the per-GEO arm. */
+  def subjects(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, sfDir).select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .join(entry, "user_id").filter(col("us") >= col("entry_us"))
+      .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+    val clicks = ev.join(entry, "user_id").filter(col("us") < col("entry_us"))
+      .groupBy("user_id").agg(count(lit(1)).as("activity"))
+    def hashBit(salt: String, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+        .cast("int") % 2
+    entry.join(firstConv, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(hashBit("ab-v1:", col("user_id")) === 1, lit("treat"))
+          .otherwise(lit("ctrl")).as("arm"),
+        concat(lit("seg"), hashBit("seg-v1:", col("user_id"))).as("segment"),
+        (col("user_id") % 53).as("geo"),
+        when(hashBit("geo-arm-v1:", col("user_id") % 53) === 1, lit("treat"))
+          .otherwise(lit("ctrl")).as("arm_geo"),
+        ((col("conv_us").isNotNull) &&
+          (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+          .cast("int").as("conv"),
+        coalesce(col("activity"), lit(0L)).cast("double").as("activity"))
+  }
+
+  /** Section 3b: the cluster-randomized lift — [[graft.ops.Cuped.cuped]]
+    * with the geo cluster, plus the design effect each SE pair implies.
+    * The Cuped columns pass through UNCHANGED (spec-pinned equal to the
+    * direct call); this only appends deff_raw/deff_cuped =
+    * (robust_se/se)² so the readout names the iid dishonesty factor. */
+  def clusteredLift(subjects: DataFrame): DataFrame =
+    graft.ops.Cuped.cuped(subjects, "arm_geo", "conv", "activity",
+        focal = "treat", clusterCol = Some("geo"))
+      .withColumn("deff_raw",
+        col("robust_se_raw") * col("robust_se_raw")
+          / (col("se_raw") * col("se_raw")))
+      .withColumn("deff_cuped",
+        col("robust_se_cuped") * col("robust_se_cuped")
+          / (col("se_cuped") * col("se_cuped")))
+
+  /** Section 2b: the clustered design arithmetic —
+    * [[graft.ops.PowerAnalysis.mdeTwoSampleClustered]] on the geo
+    * grid. `m_needed` is the report's honest price tag: clusters, not
+    * subjects, are what a geo experiment buys. */
+  def clusteredDesign(subjects: DataFrame): DataFrame =
+    graft.ops.PowerAnalysis.mdeTwoSampleClustered(
+      subjects, "activity", "geo")
+
+  /** Every section in print order: (title, frame). A section's REFUSAL
+    * is its honest answer (e.g. degenerate subgroups at tiny SF) — the
+    * CLI prints the diagnosis and keeps reporting. */
+  def sections(subjects: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "1. assignment integrity (SRM)" -> (() =>
+      graft.ops.Contingency.srm(subjects, "arm",
+        Seq("ctrl" -> 0.5, "treat" -> 0.5))),
+    "2. design: what lift could this population detect" -> (() =>
+      graft.ops.PowerAnalysis.mdeTwoSample(subjects, "activity")),
+    "2b. clustered design (geo-randomized): deff-adjusted MDE, price in clusters" -> (() =>
+      clusteredDesign(subjects)),
+    "3. lift: raw vs CUPED (pre-period activity as covariate)" -> (() =>
+      graft.ops.Cuped.cuped(subjects, "arm", "conv", "activity",
+        focal = "treat")),
+    "3b. cluster-randomized lift (arm per geo): Liang-Zeger SEs + design effect" -> (() =>
+      clusteredLift(subjects)),
+    "4. Bayesian decision quantities" -> (() =>
+      graft.ops.BayesAb.betaBinomial(subjects, "arm", "conv",
+        focal = "treat")),
+    "5. subgroup honesty: is the pooled lift the whole story?" -> (() =>
+      graft.ops.Hte.homogeneity(subjects, "segment", "arm", "conv",
+        focal = "treat")))
+}
