@@ -1175,10 +1175,18 @@ object VersionedTable {
     // per-bucket splits run CONCURRENTLY from the driver (the purge
     // rewrite-pool discipline): each job is tiny and bucket-local, so a
     // 1000-bucket fact's doubling is bounded by cluster capacity, not
-    // by a serial driver loop
+    // by a serial driver loop. Width is conf-tunable: each in-flight
+    // split holds one job slot + one open writer per child, so size it
+    // to the cluster's concurrent-job headroom (8 suits local[32]; a
+    // real cluster doubling hundreds of buckets wants executor-count/2)
     import scala.collection.parallel.CollectionConverters._
     import scala.collection.parallel.ForkJoinTaskSupport
-    val splitPool = new java.util.concurrent.ForkJoinPool(8)
+    val splitPoolWidth = spark.conf
+      .getOption("spark.graft.rebucket.splitPoolWidth")
+      .map(_.toInt).getOrElse(8)
+    require(splitPoolWidth >= 1,
+      s"spark.graft.rebucket.splitPoolWidth must be >= 1, got $splitPoolWidth")
+    val splitPool = new java.util.concurrent.ForkJoinPool(splitPoolWidth)
     val names = try {
       val buckets = byBucket.toSeq.sortBy(_._1).par
       buckets.tasksupport = new ForkJoinTaskSupport(splitPool)

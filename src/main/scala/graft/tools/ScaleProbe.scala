@@ -162,12 +162,110 @@ object ScaleProbe {
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 
-  /** `ScaleProbe <fixtureDir> [names,csv|streaming]` — the optional
-    * second arg restricts to the named queries (skipping the q211/q88
-    * volume-driver sections, which read the documents table), or runs
-    * the STREAMING probe when it is the literal `streaming`. */
+  /** REFRESH probe (VERDICT r16 item 6): the incremental corpus-refresh
+    * capstone's scale claim is "work ∝ increment, NOT resident corpus" —
+    * so refresh the SAME increment against a ~10% resident and the full
+    * resident and compare walls. The bootstrap (whole-resident sign +
+    * k-means) is timed separately: it SHOULD grow with the resident;
+    * the increment refresh should not (the ledger-side band rows grow,
+    * but they are 3-column longs riding one keyed shuffle — the
+    * deployment contract buckets that side). */
+  private def probeRefresh(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sfDir)
+    val increment = docs.filter(col("doc_id") % 10 === 0).localCheckpoint()
+    val residentLarge = docs.filter(col("doc_id") % 10 =!= 0)
+    val residentSmall = residentLarge.filter(col("doc_id") % 10 === 1)
+    val nInc = increment.count()
+    for ((label, resident) <- Seq(
+        "resident_small" -> residentSmall, "resident_large" -> residentLarge)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"probe_refresh_$label").toString
+      val table = s"$tmp/corpus"
+      val ledger = graft.ops.Dedup.DedupLedger(s"$tmp/bands", s"$tmp/sketches")
+      val nRes = resident.count()
+      val v1 = graft.io.VersionedTable.commitAppend(resident, table)
+      val (_, bootSec) = timed(graft.pipeline.CorpusRefresh.refresh(
+        spark, table, None, ledger, ivfPath = Some(s"$tmp/ivf"),
+        embeddings = Some(emb), embVecCol = "embedding",
+        minJaccard = 0.8, ivfNlist = 64))
+      graft.io.VersionedTable.commitAppend(increment, table)
+      val ((rep, _), incSec) = timed(graft.pipeline.CorpusRefresh.refresh(
+        spark, table, Some(v1), ledger, ivfPath = Some(s"$tmp/ivf"),
+        embeddings = Some(emb), embVecCol = "embedding",
+        minJaccard = 0.8, ivfNlist = 64))
+      println(f"[probe] refresh_$label%-22s resident=$nRes%8d increment=$nInc%7d " +
+        f"bootstrap=$bootSec%7.2f s increment_refresh=$incSec%7.2f s " +
+        f"pairs=${rep.nearDupPairs}%6d survivors=${rep.survivors}%7d " +
+        f"ivf_appended=${rep.vectorsAppended}%7d")
+      graft.queries.Scratch.rmTree(new java.io.File(tmp))
+    }
+  }
+
+  /** REBUCKET probe (VERDICT r16 item 7): a REALISTIC bucket count.
+    * The lifecycle spec covers 8 → 32; the declared at-scale bound ("a
+    * 1000-bucket doubling is bounded by cluster capacity") rests on the
+    * conf-width split pool and per-bucket single-task sorts — so
+    * measure a 256 → 512 doubling on lineitem and report wall AND the
+    * max single task duration (the per-bucket sort+split is one task;
+    * its max is what an executor core actually pays, pool width only
+    * schedules them). */
+  private def probeRebucket(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("probe_rebucket").toString
+    val table = s"$tmp/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val n = li.count()
+    val t0 = System.nanoTime()
+    graft.io.VersionedTable.commitBucketed(li, table, "l_orderkey", 256)
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = te.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t1 = System.nanoTime()
+    val r = graft.io.VersionedTable.rebucketInto(spark, table, 512)
+    val wallSec = (System.nanoTime() - t1) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    val width = spark.conf.getOption("spark.graft.rebucket.splitPoolWidth").getOrElse("8")
+    println(f"[probe] rebucket_256_to_512        rows=$n%9d ingest=$ingestSec%7.2f s " +
+      f"wall=$wallSec%7.2f s max_task=${maxTaskMs.get()}%6d ms " +
+      f"files=${r.filesWritten}%4d local=${r.local} pool_width=$width")
+    graft.queries.Scratch.rmTree(new java.io.File(tmp))
+  }
+
+  /** `ScaleProbe <fixtureDir> [names,csv|streaming|refresh|rebucket]` —
+    * the optional second arg restricts to the named queries (skipping
+    * the q211/q88 volume-driver sections, which read the documents
+    * table), or runs the STREAMING / incremental-REFRESH / REBUCKET
+    * probe when it is that literal. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.drop(1).headOption.contains("rebucket")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val s = graft.core.GraftSession.builder(s"local[$cpus0]", cpus0, "scaleprobe").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      println(s"[probe] dir=$sfDir cpus=$cpus0 mode=rebucket")
+      probeRebucket(s, sfDir)
+      s.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("refresh")) {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val s = graft.core.GraftSession.builder(s"local[$cpus0]", cpus0, "scaleprobe").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      println(s"[probe] dir=$sfDir cpus=$cpus0 mode=refresh")
+      probeRefresh(s, sfDir)
+      s.stop()
+      return
+    }
     if (args.drop(1).headOption.contains("streaming")) {
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
       val s = graft.core.GraftSession.builder(s"local[$cpus0]", cpus0, "scaleprobe").getOrCreate()

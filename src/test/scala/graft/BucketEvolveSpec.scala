@@ -90,6 +90,31 @@ class BucketEvolveSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
   }
 
+  test("split-pool width is conf-tunable; fallback under the conf still states local = false") {
+    val path = fresh()
+    VersionedTable.commitBucketed(rows(0 until 900, "x"), path, "id", 4)
+    val before = VersionedTable.read(spark, path).orderBy("id").collect().toSeq
+    val was = spark.conf.getOption("spark.graft.rebucket.splitPoolWidth")
+    spark.conf.set("spark.graft.rebucket.splitPoolWidth", "2")
+    try {
+      val r = VersionedTable.rebucketInto(spark, path, 8)
+      assert(r.local && r.filesWritten == 8, r.toString)
+      assert(VersionedTable.read(spark, path).orderBy("id").collect().toSeq == before)
+      // the conf narrows concurrency, never the honesty: a non-power
+      // target under the same conf still rewrites and says so
+      val r2 = VersionedTable.rebucketInto(spark, path, 6)
+      assert(!r2.local && VersionedTable.bucketing(spark, path).contains(("id", 6)))
+      assert(VersionedTable.read(spark, path).orderBy("id").collect().toSeq == before)
+      spark.conf.set("spark.graft.rebucket.splitPoolWidth", "0")
+      val e = intercept[IllegalArgumentException](
+        VersionedTable.rebucketInto(spark, path, 12))
+      assert(e.getMessage.contains("splitPoolWidth"), e.getMessage)
+    } finally {
+      was.fold(spark.conf.unset("spark.graft.rebucket.splitPoolWidth"))(
+        spark.conf.set("spark.graft.rebucket.splitPoolWidth", _))
+    }
+  }
+
   test("non-power target falls back to a full rewrite, says so, and still claims") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 600, "x"), path, "id", 4)
