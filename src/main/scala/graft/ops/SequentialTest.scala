@@ -130,4 +130,95 @@ object SequentialTest {
       .withColumn("p_always_valid",
         least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
   }
+
+  /** The CONTINUOUS-metric look grid — [[obfMonitor]]'s cumulative
+    * machinery for a per-subject VALUE (revenue, activity, a
+    * CUPED-adjusted metric) instead of a conversion flag: one row per
+    * qualifying look day carrying each arm's cumulative count, sum and
+    * sum of squares. Moments, not means, cross the grid — they are the
+    * associative facts; every downstream statistic (Welch variance,
+    * mixture SPRT) derives from them in one place, and a streaming fold
+    * can carry the identical triple exactly.
+    *
+    * Same scale shape as [[obfMonitor]]: one keyed aggregation of
+    * subjects onto (arm, day), then cumulative windows over the
+    * calendar-bounded look grid. */
+  def meanMonitor(
+      subjects: DataFrame, armCol: String, dayCol: String, valueCol: String,
+      looks: DataFrame, lookCol: String, focal: String,
+      minPerArm: Long = 30L): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val daily = subjects.groupBy(arm.as("arm"), col(dayCol).as("day"))
+      .agg(count(lit(1)).as("en"), sum(v).as("sv"), sum(v * v).as("svv"))
+    val arms = subjects.select(arm.as("arm")).distinct()
+    val armVals = arms.limit(3).collect().map(_.getString(0)).toSeq
+    require(armVals.size == 2,
+      s"meanMonitor is a two-arm test; found arms ${armVals.sorted.mkString(", ")}" +
+        (if (armVals.size == 3) " (and possibly more)" else ""))
+    require(armVals.contains(focal),
+      s"focal arm '$focal' not present; arms are ${armVals.sorted.mkString(", ")}")
+    val grid = looks.select(col(lookCol).as("day")).distinct()
+      .crossJoin(broadcast(arms))
+      .join(daily, Seq("arm", "day"), "left")
+      .select(col("arm"), col("day"),
+        coalesce(col("en"), lit(0L)).as("en"),
+        coalesce(col("sv"), lit(0.0)).as("sv"),
+        coalesce(col("svv"), lit(0.0)).as("svv"))
+    val byArm = Window.partitionBy("arm").orderBy("day")
+    val cum = grid
+      .withColumn("n", sum("en").over(byArm))
+      .withColumn("s", sum("sv").over(byArm))
+      .withColumn("ss", sum("svv").over(byArm))
+    val a = cum.filter(col("arm") === focal)
+      .select(col("day"), col("n").as("n_a"), col("s").as("sum_a"), col("ss").as("ssq_a"))
+    val b = cum.filter(col("arm") =!= focal)
+      .select(col("day"), col("n").as("n_b"), col("s").as("sum_b"), col("ss").as("ssq_b"))
+    val lookW = graft.core.Windows.bounded(col("day"))
+    a.join(b, "day")
+      // ≥2 per arm is the hard floor (a sample variance needs it);
+      // minPerArm is the caller's preview cut, same role as obfMonitor's
+      .filter(col("n_a") >= greatest(lit(minPerArm), lit(2L)) &&
+        col("n_b") >= greatest(lit(minPerArm), lit(2L)))
+      .withColumn("k", row_number().over(lookW).cast("long"))
+      .select("day", "k", "n_a", "sum_a", "ssq_a", "n_b", "sum_b", "ssq_b")
+  }
+
+  /** Always-valid p over a [[meanMonitor]] grid — the same mixture SPRT
+    * as [[alwaysValidP]] with the mean difference in Δ's seat and the
+    * Welch variance in V's:
+    *   Δ = x̄_a − x̄_b,  V = s²_a/n_a + s²_b/n_b  (sample variances from
+    * the cumulative moments), Λ = √(V/(V+τ²))·exp(Δ²τ²/(2V(V+τ²))),
+    * p = min(1, e^{−max_{j≤k} ln Λ_j}). The formula is the normal-mean
+    * mSPRT — exactly what a revenue/engagement dashboard needs where
+    * [[alwaysValidP]] serves conversion rates. τ now lives on the
+    * METRIC's scale (pick ~ the effect size that matters, e.g. 0.5
+    * events); the conversion default 0.1 is NOT a sensible default
+    * here, so τ is required.
+    *
+    * Degenerate V = 0 looks (both arms constant so far) carry ln Λ = 0
+    * — no evidence either way, same policy as the conversion path. */
+  def alwaysValidPMean(monitor: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive (the mixture scale), got $tau")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("sum_a") / na
+    val mb = col("sum_b") / nb
+    val va = (col("ssq_a") - col("sum_a") * col("sum_a") / na) / (na - lit(1.0))
+    val vb = (col("ssq_b") - col("sum_b") * col("sum_b") / nb) / (nb - lit(1.0))
+    val v = va / na + vb / nb
+    val t2 = lit(tau * tau)
+    val delta = ma - mb
+    val logLambda = when(v > 0.0,
+      lit(0.5) * log(v / (v + t2)) +
+        delta * delta * t2 / (lit(2.0) * v * (v + t2)))
+      .otherwise(lit(0.0))
+    val runMax = graft.core.Windows.bounded(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monitor
+      .withColumn("mean_a", ma).withColumn("mean_b", mb)
+      .withColumn("log_lambda", logLambda)
+      .withColumn("p_always_valid",
+        least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
+  }
 }

@@ -2773,10 +2773,105 @@ object Stats {
            |         AS heterogeneous
            |FROM pp""".stripMargin))
 
+  /** Q370 — always-valid p for a CONTINUOUS metric
+    * ([[graft.ops.SequentialTest.meanMonitor]] +
+    * [[graft.ops.SequentialTest.alwaysValidPMean]]): q342's mixture SPRT
+    * with the mean difference in Δ's seat and the Welch variance (from
+    * cumulative moments) in V's — the revenue/engagement dashboard's
+    * honest readout, where q342 serves conversion rates. Per-user total
+    * activity observed at entry day; τ = 0.5 events (the mixture scale
+    * lives on the metric's units — conversion's 0.1 default would be
+    * wrong here, so the API requires it). The oracle replays the whole
+    * grid: daily moment aggregation, per-arm cumulative windows, the
+    * sample-variance fold, ln Λ, and the running-max p — a drifted
+    * variance denominator (population vs sample), a mean computed before
+    * the qualifying cut, or a τ² slip all hash-fail. */
+  val q370 = QueryDef(
+    "q370_always_valid_mean",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val activity = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val subjects = entry.join(activity, "user_id")
+        .select(
+          (conv(
+            substring(md5(concat(lit("ab-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 2).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          col("v"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      val monitor = graft.ops.SequentialTest.meanMonitor(
+        subjects, "arm", "entry_day", "v", looks, "day", focal = "1",
+        minPerArm = 5L)
+      graft.ops.SequentialTest.alwaysValidPMean(monitor, tau = 0.5)
+        .select(
+          col("day").cast("string").as("day"), col("k"),
+          col("n_a"), r6(col("sum_a")).as("sum_a"),
+          col("n_b"), r6(col("sum_b")).as("sum_b"),
+          (r6(col("mean_a") - col("mean_b")) + lit(0.0)).as("delta"),
+          (r6(col("log_lambda")) + lit(0.0)).as("log_lambda"),
+          r6(col("p_always_valid")).as("p_always_valid"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |act AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS v FROM e GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('ab-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS day, v
+           |      FROM en JOIN act USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |daily AS (SELECT arm, day, COUNT(*) AS en, SUM(v) AS sv,
+           |                 SUM(v*v) AS svv FROM s GROUP BY 1,2),
+           |arms AS (SELECT DISTINCT arm FROM s),
+           |grid AS (SELECT a.arm, l.day, COALESCE(en,0) AS en,
+           |                COALESCE(sv,0.0) AS sv, COALESCE(svv,0.0) AS svv
+           |         FROM looks l CROSS JOIN arms a
+           |         LEFT JOIN daily d ON d.arm=a.arm AND d.day=l.day),
+           |cum AS (SELECT arm, day,
+           |               CAST(SUM(en) OVER w AS BIGINT) AS n,
+           |               CAST(SUM(sv) OVER w AS DOUBLE) AS sm,
+           |               CAST(SUM(svv) OVER w AS DOUBLE) AS ssq
+           |        FROM grid WINDOW w AS (PARTITION BY arm ORDER BY day)),
+           |j AS (SELECT a.day, a.n AS n_a, a.sm AS sum_a, a.ssq AS ssq_a,
+           |             b.n AS n_b, b.sm AS sum_b, b.ssq AS ssq_b
+           |      FROM cum a JOIN cum b ON a.day = b.day AND a.arm='1' AND b.arm='0'
+           |      WHERE a.n >= 5 AND b.n >= 5),
+           |q AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS k,
+           |             n_a, sum_a, ssq_a, n_b, sum_b, ssq_b,
+           |             sum_a/n_a AS ma, sum_b/n_b AS mb,
+           |             ((ssq_a - sum_a*sum_a/n_a)/(n_a-1.0))/n_a
+           |               + ((ssq_b - sum_b*sum_b/n_b)/(n_b-1.0))/n_b AS vv,
+           |             0.25 AS t2
+           |      FROM j),
+           |ll AS (SELECT *,
+           |              CASE WHEN vv > 0.0
+           |                   THEN 0.5*LN(vv/(vv+t2))
+           |                        + (ma-mb)*(ma-mb)*t2/(2.0*vv*(vv+t2))
+           |                   ELSE 0.0 END AS log_lambda
+           |       FROM q),
+           |p AS (SELECT *,
+           |             LEAST(1.0, EXP(-MAX(log_lambda) OVER (ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pav
+           |      FROM ll)
+           |SELECT CAST(day AS VARCHAR) AS day, k, n_a,
+           |       ROUND(sum_a, 6) AS sum_a, n_b, ROUND(sum_b, 6) AS sum_b,
+           |       ROUND(ma - mb, 6) + 0 AS delta,
+           |       ROUND(log_lambda, 6) + 0 AS log_lambda,
+           |       ROUND(pav, 6) AS p_always_valid
+           |FROM p ORDER BY day""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353, q361)
+      q341, q342, q350, q352, q353, q361, q370)
 }

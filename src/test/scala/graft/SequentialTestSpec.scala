@@ -114,4 +114,52 @@ class SequentialTestSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("focal"), e2.getMessage)
   }
+
+  // deterministic continuous cohorts: per (arm, day, i) value = base +
+  // (i mod 5) spread — same mean shift every day, nonzero variance
+  private def meanCohorts(days: Int, perDay: Int, muA: Double, muB: Double) = {
+    val rows = for {
+      d <- 0 until days
+      arm <- Seq("1", "0")
+      i <- 0 until perDay
+    } yield (arm, d, (if (arm == "1") muA else muB) + (i % 5).toDouble)
+    rows.toDF("arm", "entry_day", "v")
+  }
+
+  test("mean monitor + always-valid: moments exact, p nonincreasing, null calm, shift sinks") {
+    def series(muA: Double, muB: Double) = {
+      val m = SequentialTest.meanMonitor(
+        meanCohorts(12, 60, muA, muB), "arm", "entry_day", "v",
+        looksOf(12), "day", focal = "1", minPerArm = 30L)
+      SequentialTest.alwaysValidPMean(m, tau = 0.5).orderBy("day").collect()
+    }
+    val calm = series(10.0, 10.0)
+    // cumulative moments are exact longs/sums: day k holds k·perDay
+    // subjects and k·perDay·(μ + 2) value (the i%5 spread means +2)
+    calm.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_a") == (i + 1) * 60L)
+      assert(math.abs(r.getAs[Double]("sum_a") - (i + 1) * 60L * 12.0) < 1e-9)
+    }
+    val calmP = calm.map(_.getAs[Double]("p_always_valid"))
+    assert(calmP.sliding(2).forall(w => w(1) <= w(0) + 1e-15))
+    assert(calmP.forall(_ == 1.0), calmP.mkString(","))
+    val eff = series(11.0, 10.0).map(_.getAs[Double]("p_always_valid"))
+    assert(eff.sliding(2).forall(w => w(1) <= w(0) + 1e-15))
+    assert(eff.last < 0.05,
+      s"a 1.0 mean shift on sd ~1.4 must reach significance: ${eff.mkString(",")}")
+    // τ is required and must be positive — there is no cross-metric default
+    val e = intercept[IllegalArgumentException](
+      SequentialTest.alwaysValidPMean(
+        SequentialTest.meanMonitor(meanCohorts(4, 40, 10, 10), "arm",
+          "entry_day", "v", looksOf(4), "day", focal = "1"), tau = 0.0))
+    assert(e.getMessage.contains("tau"), e.getMessage)
+    // a third arm refuses here too
+    val three = meanCohorts(4, 10, 10, 10)
+      .union(Seq(("2", 0, 1.0)).toDF("arm", "entry_day", "v"))
+    val e2 = intercept[IllegalArgumentException] {
+      SequentialTest.meanMonitor(
+        three, "arm", "entry_day", "v", looksOf(4), "day", focal = "1")
+    }
+    assert(e2.getMessage.contains("two-arm"), e2.getMessage)
+  }
 }
