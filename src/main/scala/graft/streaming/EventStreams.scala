@@ -728,7 +728,16 @@ object EventStreams {
     * force the alarm; a window missing an arm lands with null
     * lift/se/z (no contrast exists) rather than being dropped — the
     * GAP is information. Downstream, the table is time-travelable
-    * history of the experiment (q238-style drift reads apply). */
+    * history of the experiment (q238-style drift reads apply).
+    *
+    * The iid sink also folds the ALWAYS-VALID companion at commit time
+    * ([[alwaysValidFold]]): cumulative counts + mixture-SPRT
+    * p_always_valid (and, with `preCovariate`, the CUPED-adjusted
+    * p_always_valid_cuped from cumulative moments) — `alwaysValidTau`
+    * is the mixture scale for both (the adjusted lift is still a
+    * conversion-rate difference). The per-window z columns are
+    * fixed-horizon statistics; anyone reading the table continuously
+    * should act on the always-valid columns instead. */
   def startExperimentScorecardSink(
       events: DataFrame, armCol: String, convCol: String, tsCol: String,
       focal: String, control: String, focalShare: Double,
@@ -781,33 +790,56 @@ object EventStreams {
     * window pass. Streaming output == batch [[graft.ops.SequentialTest.
     * alwaysValidP]] on every window prefix (running max is associative;
     * the counts are exact longs) — spec-pinned to bitwise, incl. forced
-    * replay. */
+    * replay.
+    *
+    * CUPED leg: when the scorecard carries the per-window moment sums
+    * (preCovariate set), the fold also cumulates them and reads the
+    * cumulative-to-date adjusted lift through the SAME closed form as
+    * the per-window columns ([[cupedWindowCols]] on `cum_*`) — exactly
+    * batch [[graft.ops.Cuped.cuped]] on the prefix — then applies the
+    * normal-mean mixture SPRT ([[graft.ops.SequentialTest
+    * .alwaysValidPMean]]'s arithmetic) for `p_always_valid_cuped`: the
+    * variance-reduced monitor that stays honest under peeking. The
+    * CLUSTERED scorecard keeps its declared gap (an honest sequential
+    * readout there needs cumulative CLUSTER-level variance — cluster
+    * sums span windows, so they cannot fold from window rows). */
   private[graft] def alwaysValidFold(
       batch: DataFrame, tablePath: String, tau: Double): DataFrame = {
     val spark = batch.sparkSession
+    // the CUPED leg rides only when the scorecard carries the moment
+    // columns (preCovariate set): cumulative moments are the associative
+    // facts, so the cumulative-to-date theta/lift/SE are EXACTLY batch
+    // Cuped.cuped on the prefix — per-window thetas never fold
+    val hasCuped = batch.columns.contains("sx_f")
+    val momentNames = Seq("sx_f", "sxx_f", "sxy_f", "syy_f",
+      "sx_c", "sxx_c", "sxy_c", "syy_c")
+    val longNames = Seq("n_f", "conv_f", "n_c", "conv_c")
     // prior cumulative state: the last committed window's row (zeros
     // before the first commit)
-    val prior: (Long, Long, Long, Long, Double) =
-      if (graft.io.VersionedTable.versions(spark, tablePath).isEmpty)
-        (0L, 0L, 0L, 0L, Double.NegativeInfinity)
-      else {
-        val last = graft.io.VersionedTable.read(spark, tablePath)
-          .orderBy(col("w_start").desc).limit(1)
-          .select("cum_n_f", "cum_conv_f", "cum_n_c", "cum_conv_c",
-            "max_log_lambda")
-          .collect()
-        if (last.isEmpty) (0L, 0L, 0L, 0L, Double.NegativeInfinity)
-        else (last(0).getLong(0), last(0).getLong(1), last(0).getLong(2),
-          last(0).getLong(3), last(0).getDouble(4))
-      }
+    val priorCols = longNames.map("cum_" + _) ++ Seq("max_log_lambda") ++
+      (if (hasCuped) momentNames.map("cum_" + _) :+ "max_log_lambda_cuped"
+       else Seq.empty)
+    val priorRow: Option[org.apache.spark.sql.Row] =
+      if (graft.io.VersionedTable.versions(spark, tablePath).isEmpty) None
+      else graft.io.VersionedTable.read(spark, tablePath)
+        .orderBy(col("w_start").desc).limit(1)
+        .select(priorCols.map(col): _*)
+        .collect().headOption
+    def priorLong(n: String): Long =
+      priorRow.map(_.getAs[Long]("cum_" + n)).getOrElse(0L)
+    def priorMoment(n: String): Double =
+      priorRow.map(_.getAs[Double]("cum_" + n)).getOrElse(0.0)
+    def priorMax(n: String): Double =
+      priorRow.map(_.getAs[Double](n)).getOrElse(Double.NegativeInfinity)
     val w = graft.core.Windows.bounded(col("w_start"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val withCum = batch
-      .withColumn("cum_n_f", lit(prior._1) + sum("n_f").over(w))
-      .withColumn("cum_conv_f", lit(prior._2) + sum("conv_f").over(w))
-      .withColumn("cum_n_c", lit(prior._3) + sum("n_c").over(w))
-      .withColumn("cum_conv_c", lit(prior._4) + sum("conv_c").over(w))
+    val withCum0 = longNames.foldLeft(batch)((df, n) =>
+      df.withColumn(s"cum_$n", lit(priorLong(n)) + sum(n).over(w)))
+    val withCum =
+      if (!hasCuped) withCum0
+      else momentNames.foldLeft(withCum0)((df, n) =>
+        df.withColumn(s"cum_$n", lit(priorMoment(n)) + sum(n).over(w)))
     // the mixture-SPRT arithmetic, by CALL (drift-proof): alwaysValidP
     // reads (day, n_a, conv_a, n_b, conv_b) and emits log_lambda + its
     // in-frame running-min p; the cross-batch running max then folds the
@@ -818,12 +850,39 @@ object EventStreams {
       .withColumn("conv_a", col("cum_conv_f"))
       .withColumn("n_b", col("cum_n_c"))
       .withColumn("conv_b", col("cum_conv_c"))
-    graft.ops.SequentialTest.alwaysValidP(monitorShaped, tau)
+    val conversions = graft.ops.SequentialTest.alwaysValidP(monitorShaped, tau)
       .withColumn("max_log_lambda",
-        greatest(lit(prior._5), max(col("log_lambda")).over(w)))
+        greatest(lit(priorMax("max_log_lambda")), max(col("log_lambda")).over(w)))
       .withColumn("p_always_valid",
         least(lit(1.0), exp(-col("max_log_lambda"))))
       .drop("day", "n_a", "conv_a", "n_b", "conv_b")
+    if (!hasCuped) conversions
+    else {
+      // cumulative CUPED readout through the SAME closed form as the
+      // per-window columns (by call), then the normal-mean mixture SPRT
+      // with the adjusted lift in Δ's seat and its Welch variance in V's
+      // — [[graft.ops.SequentialTest.alwaysValidPMean]]'s arithmetic on
+      // the adjusted metric. τ shares the conversion scale: the adjusted
+      // lift IS a conversion-rate difference.
+      val (thetaCum, liftCum, seCum, _) = cupedWindowCols(n => col(s"cum_$n"))
+      val ready = col("cum_n_f") >= 2 && col("cum_n_c") >= 2
+      val v = seCum * seCum
+      val t2 = lit(tau * tau)
+      val lnl = when(ready && v > 0.0,
+        lit(0.5) * log(v / (v + t2)) +
+          liftCum * liftCum * t2 / (lit(2.0) * v * (v + t2)))
+        .otherwise(lit(0.0))
+      conversions
+        .withColumn("theta_cum", when(ready, thetaCum))
+        .withColumn("lift_cuped_cum", when(ready, liftCum))
+        .withColumn("se_cuped_cum", when(ready, seCum))
+        .withColumn("log_lambda_cuped", lnl)
+        .withColumn("max_log_lambda_cuped",
+          greatest(lit(priorMax("max_log_lambda_cuped")),
+            max(col("log_lambda_cuped")).over(w)))
+        .withColumn("p_always_valid_cuped",
+          least(lit(1.0), exp(-col("max_log_lambda_cuped"))))
+    }
   }
 
   /** The scorecard TRANSFORM alone (works on a batch frame too — the
@@ -924,7 +983,13 @@ object EventStreams {
           when(ready, liftCuped).as("lift_cuped"),
           when(ready, seCuped).as("se_cuped"),
           when(ready && seCuped > 0, liftCuped / seCuped).as("z_cuped"),
-          when(ready, varReduction).as("var_reduction"))
+          when(ready, varReduction).as("var_reduction")) ++
+          // the raw per-window moment sums ride along: they are the
+          // ASSOCIATIVE facts a sink-side cumulative fold (the CUPED
+          // always-valid leg) needs — per-window theta cannot be folded,
+          // moments can
+          Seq("sx_f", "sxx_f", "sxy_f", "syy_f",
+            "sx_c", "sxx_c", "sxy_c", "syy_c").map(col)
       }
     agg.select(baseCols ++ cupedCols: _*)
   }
@@ -932,17 +997,20 @@ object EventStreams {
   /** [[graft.ops.Cuped.cuped]]'s closed form, verbatim, as window-row
     * column math over the per-window moment columns (n_f/conv_f/sx_f/…
     * naming shared by both scorecard paths). Returns (theta, lift_cuped,
-    * se_cuped, var_reduction). */
-  private def cupedWindowCols(): (Column, Column, Column, Column) = {
-    val nF = col("n_f").cast("double")
-    val nC = col("n_c").cast("double")
-    val syF = col("conv_f").cast("double")
-    val syC = col("conv_c").cast("double")
+    * se_cuped, var_reduction). `c` resolves a moment column by name —
+    * the default reads the per-window columns; the sink's always-valid
+    * fold passes `n => col(s"cum_$n")` so the SAME closed form runs on
+    * cumulative moments (by call, drift-proof). */
+  private def cupedWindowCols(c: String => Column = col): (Column, Column, Column, Column) = {
+    val nF = c("n_f").cast("double")
+    val nC = c("n_c").cast("double")
+    val syF = c("conv_f").cast("double")
+    val syC = c("conv_c").cast("double")
     val nn = nF + nC
-    val sx = col("sx_f") + col("sx_c")
+    val sx = c("sx_f") + c("sx_c")
     val sy = syF + syC
-    val sxx = col("sxx_f") + col("sxx_c")
-    val sxy = col("sxy_f") + col("sxy_c")
+    val sxx = c("sxx_f") + c("sxx_c")
+    val sxy = c("sxy_f") + c("sxy_c")
     val mx = sx / nn
     val varXn = sxx - sx * sx / nn
     val theta = when(varXn > 0.0, (sxy - sx * sy / nn) / varXn)
@@ -958,9 +1026,9 @@ object EventStreams {
         varY - lit(2.0) * theta * covXY + theta * theta * varX)
     }
     val (myF, mxF, varYF, varAdjF) =
-      armStats(nF, syF, col("sx_f"), col("sxx_f"), col("syy_f"), col("sxy_f"))
+      armStats(nF, syF, c("sx_f"), c("sxx_f"), c("syy_f"), c("sxy_f"))
     val (myC, mxC, varYC, varAdjC) =
-      armStats(nC, syC, col("sx_c"), col("sxx_c"), col("syy_c"), col("sxy_c"))
+      armStats(nC, syC, c("sx_c"), c("sxx_c"), c("syy_c"), c("sxy_c"))
     val liftCuped = (myF - theta * (mxF - mx)) - (myC - theta * (mxC - mx))
     val seRawSample = sqrt(varYF / nF + varYC / nC)
     val seCuped = sqrt(varAdjF / nF + varAdjC / nC)

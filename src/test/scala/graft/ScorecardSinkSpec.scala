@@ -239,6 +239,77 @@ class ScorecardSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CUPED always-valid leg: cumulative fold == batch Cuped.cuped + mean-mSPRT on every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_avc")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_avc_ck").toString
+    val rnd = new scala.util.Random(29)
+    // three hourly windows; pre-period activity predicts conversion
+    val subjects: Seq[(Timestamp, String, Int, Long)] = (1 to 360).map { i =>
+      val armName = if (i % 2 == 0) "treat" else "ctrl"
+      val pre = i % 9
+      val conv = if (rnd.nextDouble() < 0.08 + 0.05 * pre +
+        (if (armName == "treat") 0.1 else 0.0)) 1 else 0
+      val w = 10 + (i - 1) / 120
+      (t(f"2024-01-01 $w%02d:00:${i % 60}%02d"), armName, conv, i.toLong)
+    }
+    val dim = subjects.map { case (_, _, _, uid) => (uid, (uid % 9).toDouble) }
+      .toDF("uid", "pre_x")
+    val ms = MemoryStream[(Timestamp, String, Int, Long)]
+    val tau = 0.1
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "ts_uid").withColumnRenamed("ts_uid", "uid"),
+      "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-avc-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes",
+      preCovariate = Some((dim, "uid", "pre_x")), alwaysValidTau = tau)
+    try {
+      // windows close in SEPARATE commits so the cumulative moment state
+      // crosses the table boundary, not just the batch window function
+      ms.addData(subjects.filter(_._1.getTime < t("2024-01-01 11:00:00").getTime): _*)
+      q.processAllAvailable()
+      ms.addData(subjects.filter(_._1.getTime >= t("2024-01-01 11:00:00").getTime): _*)
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 13:30:00"), "treat", 0, 999999L))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 3, s"three closed windows expected, got ${got.length}")
+      var runMax = Double.NegativeInfinity
+      got.zipWithIndex.foreach { case (row, k) =>
+        val we = row.getAs[Timestamp]("w_end").getTime
+        val prefix = subjects.filter(_._1.getTime < we)
+          .map { case (_, a, c, uid) => (a, c.toDouble, (uid % 9).toDouble) }
+          .toDF("arm", "y", "x")
+        val b = graft.ops.Cuped.cuped(prefix, "arm", "y", "x", focal = "treat").head
+        assert(math.abs(row.getAs[Double]("theta_cum") - b.getAs[Double]("theta")) < 1e-12,
+          s"window $k theta_cum")
+        assert(math.abs(row.getAs[Double]("lift_cuped_cum") - b.getAs[Double]("delta_cuped")) < 1e-12)
+        assert(math.abs(row.getAs[Double]("se_cuped_cum") - b.getAs[Double]("se_cuped")) < 1e-12)
+        // the mean-mSPRT on (delta_cuped, se_cuped²) — alwaysValidPMean's
+        // arithmetic replayed here as the independent comparator
+        val d = b.getAs[Double]("delta_cuped")
+        val v = math.pow(b.getAs[Double]("se_cuped"), 2)
+        val t2 = tau * tau
+        val lnl = 0.5 * math.log(v / (v + t2)) + d * d * t2 / (2.0 * v * (v + t2))
+        assert(math.abs(row.getAs[Double]("log_lambda_cuped") - lnl) < 1e-12,
+          s"window $k lnl: got ${row.getAs[Double]("log_lambda_cuped")}, expected $lnl")
+        runMax = math.max(runMax, lnl)
+        val expectP = math.min(1.0, math.exp(-runMax))
+        assert(math.abs(row.getAs[Double]("p_always_valid_cuped") - expectP) < 1e-12)
+      }
+      // the adjusted monitor must dominate the raw one on this fixture
+      // (the covariate removes real variance, so evidence accrues faster)
+      val lastRow = got.last
+      assert(lastRow.getAs[Double]("p_always_valid_cuped")
+        <= lastRow.getAs[Double]("p_always_valid") + 1e-12,
+        s"cuped p ${lastRow.getAs[Double]("p_always_valid_cuped")} vs raw ${lastRow.getAs[Double]("p_always_valid")}")
+      // nonincreasing across the table history
+      val ps = got.map(_.getAs[Double]("p_always_valid_cuped"))
+      assert(ps.sliding(2).forall(w => w(1) <= w(0) + 1e-15), ps.mkString(","))
+    } finally q.stop()
+  }
+
   test("CUPED scorecard: a window with a thin arm lands null adjusted columns, raw intact") {
     val thin = (1 to 30).map(i => (t(f"2024-01-01 10:00:${i % 60}%02d"),
       if (i == 1) "ctrl" else "treat", i % 2, i.toLong))
