@@ -216,13 +216,17 @@ object Main {
         s"${r.dvFilesRewritten} dv files rewritten, ${r.versionsEdited} manifests edited")
       spark.stop()
     case "sql" :: stmt :: rest if rest.size <= 1 =>
-      // run one SQL statement (incl. the VtSqlParser maintenance surface:
+      // run SQL statements (incl. the VtSqlParser maintenance surface:
       // DESCRIBE HISTORY / SHOW TAGS / VACUUM / OPTIMIZE / ANALYZE); an
       // optional second arg registers the fixture tables first so plain
-      // SELECTs over region/nation/.../documents work too
+      // SELECTs over region/nation/.../documents work too. Multiple
+      // statements split on ';' run in ONE session — SET a catalog conf,
+      // CREATE, INSERT, SELECT in a single invocation (the split is
+      // syntactic; a ';' inside a string literal needs separate runs)
       val spark = GraftSession.local()
       rest.headOption.foreach(sfDir => graft.core.Tables.registerFixtures(spark, sfDir))
-      spark.sql(stmt).show(100, truncate = false)
+      stmt.split(";").map(_.trim).filter(_.nonEmpty)
+        .foreach(s => spark.sql(s).show(100, truncate = false))
       spark.stop()
     case "table-verify" :: path :: Nil =>
       // offline integrity sweep: referenced-file existence, recorded
@@ -256,11 +260,44 @@ object Main {
           }
       }
       spark.stop()
+    case "corpus-refresh" :: table :: ledgerDir :: rest if rest.size <= 3 =>
+      // the incremental corpus-refresh capstone as an operational
+      // command: process everything the corpus table gained since
+      // <fromVersion> (omit for the bootstrap pass) through the MinHash
+      // ledger at <ledgerDir>, optionally appending survivors' vectors
+      // (parquet with vec_id/embedding) to the IVF index at <ivfDir>.
+      // Prints the report; the printed to_version is the next run's
+      // fromVersion.
+      val spark = GraftSession.local()
+      // fromVersion "none" = bootstrap (needed to reach the embeddings
+      // positions on the first run)
+      val from = rest.headOption.filter(_ != "none").map(_.toLong)
+      val (embDf, ivf) = rest.drop(1) match {
+        case embPath :: ivfDir :: Nil =>
+          (Some(spark.read.parquet(embPath)), Some(ivfDir))
+        case Nil => (None, None)
+        case bad => sys.error(s"embeddings parquet and ivf dir go together, got $bad")
+      }
+      val ledger = graft.ops.Dedup.DedupLedger(
+        s"$ledgerDir/bands", s"$ledgerDir/sketches")
+      val (r, _) = graft.pipeline.CorpusRefresh.refresh(
+        spark, table, from, ledger, ivfPath = ivf, embeddings = embDf,
+        embVecCol = "embedding")
+      println(s"[graft] corpus-refresh ${r.fromVersion} -> ${r.toVersion}: " +
+        s"${r.newDocs} new (${r.droppedQuality} quality-dropped), " +
+        s"${r.nearDupPairs} near-dup pairs, " +
+        s"${r.droppedAnchoredToResident} anchored + " +
+        s"${r.droppedWithinIncrement} within-increment dropped, " +
+        s"${r.survivors} survivors, ${r.vectorsAppended} vectors appended" +
+        r.ivfSkew.map(s => f", ivf skew $s%.2f" +
+          (if (r.ivfRebuilt) " (rebuilt)" else "")).getOrElse(""))
+      spark.stop()
     case other =>
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | sql <stmt> [sfDir] | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
           "experiment-report <sfDir> | " +
+          "corpus-refresh <tablePath> <ledgerDir> [fromVersion|none [embParquet ivfDir]] | " +
           "advise-measure <sfDir> <scratchDir> [jsonOut] | " +
           "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +

@@ -36,12 +36,14 @@ object CorpusRefresh {
 
   /** One refresh's accounting. `toVersion` is the next refresh's
     * `fromVersion` — the caller persists it (a real deployment keeps it
-    * next to the ledger). */
+    * next to the ledger). `ivfSkew` is measured AFTER any auto-rebuild,
+    * so it is the skew the next query actually sees. */
   final case class RefreshReport(
       fromVersion: Long, toVersion: Long,
-      newDocs: Long, nearDupPairs: Long,
+      newDocs: Long, droppedQuality: Long, nearDupPairs: Long,
       droppedAnchoredToResident: Long, droppedWithinIncrement: Long,
-      survivors: Long, vectorsAppended: Long, ivfSkew: Option[Double])
+      survivors: Long, vectorsAppended: Long, ivfSkew: Option[Double],
+      ivfRebuilt: Boolean)
 
   /** Process everything the corpus table gained in
     * `(fromVersion, latest]` — or the full snapshot when `fromVersion`
@@ -53,6 +55,19 @@ object CorpusRefresh {
     *                   required when `ivfPath` is set — survivors' rows
     *                   are selected by id and appended. Bootstraps the
     *                   index (k-means build) when no centroids exist yet.
+    * @param minQuality quality gate BEFORE the ledger: docs scoring below
+    *                   ([[graft.functions.TextFunctions.qualityScore]],
+    *                   row-local) never sign — they are not corpus
+    *                   members, so letting them suppress future docs as
+    *                   ledger ghosts would be wrong, not just wasteful.
+    *                   Same stage order as the one-shot [[CorpusPipeline]]
+    *                   (quality → dedup).
+    * @param ivfRebuildSkew drift remedy threshold: when the post-append
+    *                   max/mean cell ratio reaches it, re-k-means the
+    *                   index in place ([[Ann.rebuildIvfIndex]]) — the
+    *                   monitored maintenance [[Ann.appendToIvfIndex]]'s
+    *                   docs tell operators to schedule, folded into the
+    *                   refresh so the increment path is self-healing.
     */
   def refresh(
       spark: SparkSession,
@@ -65,23 +80,36 @@ object CorpusRefresh {
       textCol: String = "text", idCol: String = "doc_id",
       minJaccard: Double = 0.8,
       shingleSize: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      ivfNlist: Int = 16): (RefreshReport, DataFrame) = {
+      ivfNlist: Int = 16,
+      minQuality: Option[Double] = None,
+      ivfRebuildSkew: Option[Double] = None): (RefreshReport, DataFrame) = {
     require(ivfPath.isEmpty || embeddings.nonEmpty,
       "an IVF path without embeddings has nothing to append — pass the " +
         "increment's (id, vector) rows")
     val toVersion = VersionedTable.versions(spark, tablePath).last
-    val newDocs = (fromVersion match {
+    val changed = (fromVersion match {
       case Some(from) if from == toVersion =>
         // nothing landed since the last refresh: zero work, zero writes
         VersionedTable.read(spark, tablePath, Some(toVersion)).limit(0)
       case Some(from) => VersionedTable.changes(spark, tablePath, from, toVersion)
       case None => VersionedTable.read(spark, tablePath, Some(toVersion))
-    }).localCheckpoint() // one materialization shared by sign/join/report
-    val nNew = newDocs.count()
+    }).localCheckpoint() // one materialization shared by gate/sign/report
+    val nChanged = changed.count()
+    // the quality gate runs BEFORE the ledger: a below-bar doc is not a
+    // corpus member, so it must not sign (a ledger ghost would suppress
+    // future near-dups of content the corpus never kept)
+    val newDocs = minQuality match {
+      case None => changed
+      case Some(q) => changed.filter(
+        graft.functions.TextFunctions.qualityScore(col(textCol)) >= q)
+        .localCheckpoint()
+    }
+    val nNew = if (minQuality.isEmpty) nChanged else newDocs.count()
+    val nQualityDropped = nChanged - nNew
     if (nNew == 0L) {
       val report = RefreshReport(fromVersion.getOrElse(toVersion), toVersion,
-        0L, 0L, 0L, 0L, 0L, 0L, None)
-      return (report, newDocs.select(col(idCol), col(textCol)))
+        nChanged, nQualityDropped, 0L, 0L, 0L, 0L, 0L, None, ivfRebuilt = false)
+      return (report, newDocs.limit(0).select(col(idCol), col(textCol)))
     }
     // sign the batch, join the ledger, append the batch's signatures —
     // pairs all involve a new doc (all-old buckets were reported by the
@@ -107,7 +135,11 @@ object CorpusRefresh {
         .select(col("a_id"), col("a_id").as("b_id")))
       .unionByName(tagged.filter(col("b_new") && !col("a_new"))
         .select(col("b_id").as("a_id"), col("b_id")))
-    val (comps, _) = ConnectedComponents.label(newEdges)
+    // comps feeds three actions (anchored count, dropped build,
+    // survivors anti-join) — materialize once so the label loop never
+    // replays; the frame is dup-groups-sized
+    val (comps0, _) = ConnectedComponents.label(newEdges)
+    val comps = comps0.localCheckpoint()
     val anchoredIds = tagged.filter(col("a_new") =!= col("b_new"))
       .select(when(col("a_new"), col("a_id")).otherwise(col("b_id")).as("id"))
       .distinct()
@@ -133,9 +165,10 @@ object CorpusRefresh {
       .localCheckpoint()
     val nSurvivors = survivors.count()
     // survivors' vectors append to the frozen-centroid index (bootstrap
-    // builds it); health rides back so the caller sees drift
-    val (nVecs, skew) = ivfPath match {
-      case None => (0L, None)
+    // builds it); health rides back so the caller sees drift, and the
+    // optional skew threshold makes the remedy part of the loop
+    val (nVecs, skew, rebuilt) = ivfPath match {
+      case None => (0L, None, false)
       case Some(path) =>
         val vecs = Ann.prepared(embeddings.get, embVecCol, embIdCol)
           .join(survivors.select(col(idCol).as("vec_id")), Seq("vec_id"))
@@ -152,10 +185,16 @@ object CorpusRefresh {
             Ann.saveIvfIndex(Ann.buildIvfIndex(vecs, ivfNlist), path)
             vecs.count()
           }
-        (n, Some(Ann.cellSkew(spark, path).skew))
+        val health = Ann.cellSkew(spark, path)
+        val doRebuild = ivfRebuildSkew.exists(health.needsRebuild)
+        val finalSkew =
+          if (doRebuild) Ann.rebuildIvfIndex(spark, path, ivfNlist).skew
+          else health.skew
+        (n, Some(finalSkew), doRebuild)
     }
     val report = RefreshReport(fromVersion.getOrElse(toVersion), toVersion,
-      nNew, nPairs, nAnchored, nWithin, nSurvivors, nVecs, skew)
+      nChanged, nQualityDropped, nPairs, nAnchored, nWithin, nSurvivors,
+      nVecs, skew, rebuilt)
     (report, survivors)
   }
 

@@ -134,6 +134,41 @@ class CorpusRefreshSpec extends SparkSuite {
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 
+  test("quality gate keeps junk out of the LEDGER, not just the corpus; skew threshold auto-rebuilds") {
+    val tmp = java.nio.file.Files.createTempDirectory("refresh_q").toString
+    val table = s"$tmp/corpus"
+    val ledger = Dedup.DedupLedger(s"$tmp/bands", s"$tmp/sketches")
+    val ivf = s"$tmp/ivf"
+    def embs(ids: Long*) = ids.map { i =>
+      (i, Array(i.toDouble, (i % 7).toDouble, (i % 3).toDouble, 1.0))
+    }.toDF("vec_id", "emb")
+    val v1 = VersionedTable.commitAppend(docs(1L, 2L), table)
+    CorpusRefresh.refresh(spark, table, None, ledger,
+      ivfPath = Some(ivf), embeddings = Some(embs(1L, 2L)),
+      minJaccard = 0.9, ivfNlist = 2)
+    assert(parquetRows(ledger.sketches) == 2)
+    // junk doc: 100 copies of one token — TTR 0.01, score ~0.005; the
+    // good doc scores 0.5 (TTR 1.0 × length prior 0.5)
+    val junk = (99L, Seq.fill(100)("x").mkString(" "))
+    val inc = (Seq(junk) :+ (15L, fixture(15L))).toDF("doc_id", "text")
+    VersionedTable.commitAppend(inc, table)
+    val (r, s) = CorpusRefresh.refresh(spark, table, Some(v1), ledger,
+      ivfPath = Some(ivf), embeddings = Some(embs(99L, 15L)),
+      minJaccard = 0.9, minQuality = Some(0.1),
+      ivfRebuildSkew = Some(1.0), ivfNlist = 2)
+    assert(r.newDocs == 2 && r.droppedQuality == 1, r.toString)
+    assert(r.survivors == 1 &&
+      s.select("doc_id").as[Long].collect().toSeq == Seq(15L))
+    // the junk doc never signed: a future near-dup of it must not be
+    // suppressed by a ghost (3 = bootstrap 2 + the one gated survivor)
+    assert(parquetRows(ledger.sketches) == 3)
+    // threshold 1.0 <= any real skew: the rebuild ran and said so, and
+    // the post-rebuild index still answers (vectors intact)
+    assert(r.ivfRebuilt && r.ivfSkew.nonEmpty)
+    assert(parquetRows(s"$ivf/cells") == 3)
+    graft.queries.Scratch.rmTree(new java.io.File(tmp))
+  }
+
   test("ivf path without embeddings refuses at declaration") {
     val tmp = java.nio.file.Files.createTempDirectory("refresh_req").toString
     VersionedTable.commitAppend(docs(1L), s"$tmp/t")
