@@ -76,11 +76,22 @@ object Sinks {
       df: DataFrame, path: String, clusterCols: Seq[String], files: Int): Unit = {
     import org.apache.spark.sql.functions.col
     val z = "__graft_z"
-    df.withColumn(z, graft.functions.InterleaveBitsN(clusterCols.map(col)))
+    // the file boundaries come from repartitionByRange's reservoir
+    // sample; at the DEFAULT 100 rows/partition the z-range splits
+    // wobble enough to smear tile edges across files (a thin slab then
+    // touches an extra file or two). The write is the one place paying
+    // for a denser sample is always right — scoped set/restore, the
+    // ConnectedComponents checkpoint-dir pattern.
+    val spark = df.sparkSession
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val was = spark.conf.getOption(key)
+    spark.conf.set(key, "2000")
+    try df.withColumn(z, graft.functions.InterleaveBitsN.forFrame(df, clusterCols))
       .repartitionByRange(files, col(z))
       .sortWithinPartitions(z)
       .drop(z)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    finally was.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** Parquet with per-column BLOOM FILTERS in the footers: the point-lookup

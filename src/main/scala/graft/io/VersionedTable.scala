@@ -4051,8 +4051,9 @@ object VersionedTable {
           val packed =
             if (zOrder && statsCols.size >= 2) {
               val z = "__graft_z"
-              df.withColumn(z, graft.functions.InterleaveBitsN(
-                  statsCols.map(c => col(c).cast("long"))))
+              // schema-aware: double stats columns (the 'F' slot's
+              // audience) z-order by VALUE order, not by ⌊cast-to-long⌋
+              df.withColumn(z, graft.functions.InterleaveBitsN.forFrame(df, statsCols))
                 .repartitionByRange(nOut, col(z))
                 .sortWithinPartitions(z)
                 .drop(z)

@@ -198,7 +198,7 @@ object AdvisorLoop {
     val clustered =
       if (rec.zOrderCols.size >= 2) {
         val z = "__graft_z"
-        df.withColumn(z, graft.functions.InterleaveBitsN(rec.zOrderCols.map(col)))
+        df.withColumn(z, graft.functions.InterleaveBitsN.forFrame(df, rec.zOrderCols))
           .repartitionByRange(files, col(z)).sortWithinPartitions(z).drop(z)
       } else if (rec.statsCols.nonEmpty) {
         val lead = col(rec.statsCols.head)

@@ -116,13 +116,61 @@ class ZOrderSpec extends SparkSuite {
     def filesTouched(pred: Column): Long =
       spark.read.parquet(s"$base/z").filter(pred)
         .select(input_file_name()).distinct().count()
-    // range-sampled boundaries: allow 6 of 8 (ideal 4), but NOT all 8 —
-    // single-key clustering would put a y- or z3-slab in every file
-    assert(filesTouched(col("x") < 8) <= 6, "x-slab not local")
-    assert(filesTouched(col("y") < 8) <= 6, "y-slab not local")
-    assert(filesTouched(col("z3") < 8) <= 6, "z3-slab not local")
+    // budget: ideal aligned octants give 4; quantile-binned keys (the
+    // forFrame rank mapping) trade exact corner-snapping on toy grids
+    // for distribution-independence, so sampled file boundaries can
+    // shave a tile edge — allow 7, but NOT all 8: single-key clustering
+    // would put a y- or z3-slab in EVERY file, and that is the claim
+    assert(filesTouched(col("x") < 8) <= 7, "x-slab not local")
+    assert(filesTouched(col("y") < 8) <= 7, "y-slab not local")
+    assert(filesTouched(col("z3") < 8) <= 7, "z3-slab not local")
     val back = spark.read.parquet(s"$base/z")
     assert(back.count() == n)
     assert(back.columns.sorted.toSeq == Seq("payload", "x", "y", "z3"))
+  }
+
+  test("quantile_bin: monotone upper-bound search; NaN lands last; codegen == reference; null passes") {
+    import graft.functions.QuantileBin
+    val bounds = Array(0.25, 0.5, 0.5, 0.75) // duplicate boundary = skew collapse
+    assert(QuantileBin.binOf(0.1, bounds) == 0L)
+    assert(QuantileBin.binOf(0.25, bounds) == 1L) // boundary value -> upper bound
+    assert(QuantileBin.binOf(0.5, bounds) == 3L) // skips the collapsed pair
+    assert(QuantileBin.binOf(0.74, bounds) == 3L)
+    assert(QuantileBin.binOf(0.75, bounds) == 4L)
+    assert(QuantileBin.binOf(Double.NegativeInfinity, bounds) == 0L)
+    assert(QuantileBin.binOf(Double.NaN, bounds) == 4L, "NaN sorts greatest")
+    // monotone: x <= y => bin(x) <= bin(y) over a value sweep
+    val sweep = (-20 to 20).map(_ / 10.0)
+    sweep.zip(sweep.tail).foreach { case (x, y) =>
+      assert(QuantileBin.binOf(x, bounds) <= QuantileBin.binOf(y, bounds))
+    }
+    // codegen path == reference, null passes through
+    val df = (Seq(0.1, 0.25, 0.5, 0.74, 0.75, Double.NaN).map(Option(_))
+      :+ (None: Option[Double])).toDF("d")
+      .select(col("d"), QuantileBin(col("d"), bounds).as("b")).collect()
+    df.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getLong(1) == QuantileBin.binOf(r.getDouble(0), bounds))
+    }
+  }
+
+  test("z-order on a DOUBLE score column clusters by value order (cast-to-long would collapse it)") {
+    val base = Files.createTempDirectory("zorder_dbl").toString
+    val n = 1L << 14
+    // score densely packs [0, 1): a bigint cast sends EVERY row to 0 and
+    // the dimension degenerates; forFrame must keep it clustered
+    val grid = spark.range(n).select(
+      ((col("id") % 128).cast("double") / 128.0).as("score"),
+      (col("id") / 128).as("day"),
+      col("id").as("payload"))
+    Sinks.zOrderedParquet(grid, s"$base/z", Seq("score", "day"), files = 16)
+    def filesTouched(pred: Column): Long =
+      spark.read.parquet(s"$base/z").filter(pred)
+        .select(input_file_name()).distinct().count()
+    assert(filesTouched(col("score") < 0.125) <= 8, "score-slab not local")
+    assert(filesTouched(col("day") < 16) <= 8, "day-slab not local")
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.count() == n)
+    assert(back.columns.sorted.toSeq == Seq("day", "payload", "score"))
   }
 }
