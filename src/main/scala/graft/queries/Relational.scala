@@ -812,6 +812,49 @@ object Relational {
             FROM uni WHERE quality > 0.8435
             GROUP BY lang ORDER BY lang"""))
 
+  /** Q371 — DOUBLE z-order composed with fractional pruning (r17:
+    * `InterleaveBitsN.forFrame` quantile binning × the stats3 'F'
+    * channel): a corpus lands SHUFFLED (hash-scattered small files — no
+    * dimension clustered), gets `compact(zOrder = true)` on
+    * (score double, day long), and a quality-threshold cut then reads
+    * through `table()`'s planner pruning. Before this round the zOrder
+    * path cast the score to long — every [0,1) value collapsed to 0, so
+    * the compacted files' score bounds were all [0,1) and the cut read
+    * EVERY file; quantile binning makes the score dimension real. The
+    * query REQUIREs the layout claim structurally (the score slab's
+    * typed file cut must be a strict subset after compaction) and the
+    * oracle pins the values; ZOrderSpec pins the bin arithmetic. */
+  val q371 = QueryDef(
+    "q371_zorder_double_prune",
+    (s, d) => {
+      val path = Scratch.dir("q371") + "/tbl"
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        ((col("n_chars") % 499).cast("double") / lit(499.0)).as("score"),
+        (col("doc_id") % 30).as("day"))
+      graft.io.VersionedTable.commitAppend(
+        scored.repartition(8, col("doc_id")), path, Seq("score", "day"))
+      graft.io.VersionedTable.compact(
+        s, path, targetRowsPerFile = 80, zOrder = true)
+      val all = graft.io.VersionedTable.filesOf(s, path).size
+      val hit = graft.io.VersionedTable.filesForRangesTyped(
+        s, path, Map("score" -> (0.7, 1.0))).size
+      require(hit < all,
+        s"z-ordered score slab must cut files: read $hit of $all — the " +
+          "double dimension collapsed (cast-to-long layout?)")
+      graft.io.VersionedTable.table(s, path)
+        .filter(col("score") >= 0.7)
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .orderBy("day")
+    },
+    Some("""WITH scored AS (SELECT doc_id % 30 AS day, n_chars,
+                                   CAST(n_chars % 499 AS DOUBLE) / 499.0 AS score
+                            FROM documents)
+            SELECT day, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM scored WHERE score >= 0.7
+            GROUP BY day ORDER BY day"""))
+
   /** Q134 — predicate-scoped INSERT OVERWRITE through the oracle gate
     * ([[graft.io.VersionedTable.replaceWhere]]): reload the
     * o_orderkey∈[1000,4999] slice with corrected (repriced, thinned)
@@ -3187,7 +3230,8 @@ object Relational {
     q48, q50, q52, q53, q55, q60, q61, q62, q63, q64, q65, q66, q69, q70,
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
-    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363, q364, q367, q368)
+    q167, q168, q169, q180, q189, q197, q229, q232, q249, q363, q364, q367, q368,
+    q371)
 }
 
 /** q293's eager skew-join execution, shared with PlanShapeSpec (which

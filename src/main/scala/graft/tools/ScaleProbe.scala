@@ -80,7 +80,11 @@ object ScaleProbe {
     "q363_typed_prune", "q364_bucket_double_join",
     // r16 (second batch): RMST contrast + survival bands (grid
     // arithmetic off the fit, like q362)
-    "q365_rmst_diff", "q366_survival_bands")
+    "q365_rmst_diff", "q366_survival_bands",
+    // r17: convergence-bounded Cox (the early exit must stay flat at
+    // 10× — fewer passes, same per-pass shape) and the continuous
+    // always-valid monitor (daily moments agg + calendar-grid windows)
+    "q369_cox_converged", "q370_always_valid_mean")
 
   /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
     * 20-micro-batch file stream through [[graft.streaming.EventStreams
