@@ -2868,10 +2868,99 @@ object Stats {
            |       ROUND(pav, 6) AS p_always_valid
            |FROM p ORDER BY day""".stripMargin))
 
+  /** Q372 — A/B/n readout with FDR control ([[graft.ops.MultiArm
+    * .report]]): four hash arms over the event subjects, arm 0 the
+    * control, 7-day conversion as the metric — every treatment arm's
+    * vs-control lift with its Welch z, two-sided p (A&S 7.1.26), and
+    * the Benjamini-Hochberg q-value across the 3 comparisons. The
+    * two-arm operators REFUSE this shape by design; this is its honest
+    * home, and shipping raw per-arm p on an A/B/C/D is the multiplicity
+    * mistake it prevents. The oracle replays moments → Welch → the
+    * polynomial → the BH tail-min, so a mis-ranked q, a population
+    * (n not n−1) variance, or an uncapped q all hash-fail. */
+  val q372 = QueryDef(
+    "q372_multi_arm_fdr",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .select(
+          (conv(
+            substring(md5(concat(lit("abn-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 4).cast("string").as("arm"),
+          ((col("conv_us").isNotNull) &&
+            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+            .cast("int").as("conv"))
+      graft.ops.MultiArm.report(subjects, "arm", "conv", control = "0")
+        .select(
+          col("arm"), col("n"),
+          r6(col("mean")).as("mean"),
+          (r6(col("delta")) + lit(0.0)).as("delta"),
+          r6(col("se")).as("se"),
+          (r4(col("z")) + lit(0.0)).as("z"),
+          r6(col("p")).as("p"),
+          col("k"),
+          r6(col("q_bh")).as("q_bh"),
+          col("discovery"))
+        .orderBy("arm")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('abn-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 4
+           |             AS VARCHAR) AS arm,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                    AND conv_us - entry_us < 604800000000 THEN 1.0
+           |                  ELSE 0.0 END AS y
+           |      FROM en LEFT JOIN cv USING (user_id)),
+           |g AS (SELECT arm, COUNT(*) AS n, SUM(y) AS sm, SUM(y*y) AS ss
+           |      FROM s GROUP BY 1),
+           |c AS (SELECT CAST(n AS DOUBLE) AS n_c, sm AS s_c, ss AS ss_c
+           |      FROM g WHERE arm = '0'),
+           |t AS (SELECT arm, n, sm, ss, n_c, s_c, ss_c FROM g CROSS JOIN c
+           |      WHERE arm <> '0'),
+           |w AS (SELECT arm, n,
+           |             sm / n AS mean,
+           |             sm / n - s_c / n_c AS delta,
+           |             SQRT(((ss - sm*sm/n) / (n - 1.0)) / n
+           |                  + ((ss_c - s_c*s_c/n_c) / (n_c - 1.0)) / n_c) AS se
+           |      FROM t),
+           |z AS (SELECT *, CASE WHEN se > 0 THEN delta / se ELSE 0.0 END AS zv
+           |      FROM w),
+           |p AS (SELECT *,
+           |             2.0 * (EXP(-ABS(zv)*ABS(zv)/2.0) / SQRT(2.0*PI())
+           |               * (0.319381530 * (1.0/(1.0+0.2316419*ABS(zv)))
+           |                  - 0.356563782 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 2)
+           |                  + 1.781477937 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 3)
+           |                  - 1.821255978 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 4)
+           |                  + 1.330274429 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 5)))
+           |               AS pv
+           |      FROM z),
+           |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pv, arm) AS k,
+           |              COUNT(*) OVER () AS m
+           |       FROM p),
+           |q AS (SELECT *,
+           |             LEAST(1.0, MIN(pv * m / k) OVER (ORDER BY pv, arm
+           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qbh
+           |      FROM rk)
+           |SELECT arm, n, ROUND(mean, 6) AS mean,
+           |       ROUND(delta, 6) + 0 AS delta, ROUND(se, 6) AS se,
+           |       ROUND(zv, 4) + 0 AS z, ROUND(pv, 6) AS p,
+           |       k, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
+           |FROM q ORDER BY arm""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353, q361, q370)
+      q341, q342, q350, q352, q353, q361, q370, q372)
 }

@@ -82,9 +82,10 @@ object ScaleProbe {
     // arithmetic off the fit, like q362)
     "q365_rmst_diff", "q366_survival_bands",
     // r17: convergence-bounded Cox (the early exit must stay flat at
-    // 10× — fewer passes, same per-pass shape) and the continuous
+    // 10× — fewer passes, same per-pass shape), the continuous
     // always-valid monitor (daily moments agg + calendar-grid windows)
-    "q369_cox_converged", "q370_always_valid_mean")
+    // and the A/B/n readout (one arm-grid agg + a k-row BH window)
+    "q369_cox_converged", "q370_always_valid_mean", "q372_multi_arm_fdr")
 
   /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
     * 20-micro-batch file stream through [[graft.streaming.EventStreams
