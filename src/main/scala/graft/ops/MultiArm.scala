@@ -32,14 +32,25 @@ import org.apache.spark.sql.functions._
   * collects at most 65 arm names). */
 object MultiArm {
 
+  /** @param xCol optional PRE-period covariate: each contrast is then
+    *        CUPED-adjusted with the PAIR-POOLED θ (treatment ∪ control
+    *        moments — exactly [[Cuped.cuped]]'s θ on that pair, so the
+    *        two-arm case reproduces it bit-for-bit, spec-pinned), the
+    *        output adds theta/delta_cuped/se_cuped/z_cuped/p_cuped,
+    *        and the BH ranking runs over the ADJUSTED p — the
+    *        decision-grade column once a covariate is declared (the
+    *        raw p stays beside it). A constant covariate gives θ = 0
+    *        and the adjusted columns degrade to the raw ones. */
   def report(
       subjects: DataFrame, armCol: String, yCol: String, control: String,
-      fdr: Double = 0.05): DataFrame = {
+      fdr: Double = 0.05, xCol: Option[String] = None): DataFrame = {
     require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
     val arm = col(armCol).cast("string")
     val y = col(yCol).cast("double")
+    val x = xCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val grid = subjects.groupBy(arm.as("arm"))
-      .agg(count(lit(1)).as("n"), sum(y).as("s"), sum(y * y).as("ss"))
+      .agg(count(lit(1)).as("n"), sum(y).as("s"), sum(y * y).as("ss"),
+        sum(x).as("sx"), sum(x * x).as("sxx"), sum(x * y).as("sxy"))
       .localCheckpoint() // k rows; reused by the guard and both join sides
     val arms = grid.select("arm").limit(65).collect().map(_.getString(0)).toSeq
     require(arms.size <= 64,
@@ -54,34 +65,70 @@ object MultiArm {
       .collect().map(_.getString(0))
     require(thin.isEmpty,
       s"arm(s) too thin for a sample variance (n < 2): ${thin.sorted.mkString(", ")}")
-    def mean(s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = s / n
     def varS(ss: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
         n: org.apache.spark.sql.Column) = (ss - s * s / n) / (n - lit(1.0))
     val ctrl = grid.filter(col("arm") === control).select(
-      col("n").cast("double").as("n_c"), col("s").as("s_c"), col("ss").as("ss_c"))
+      col("n").cast("double").as("n_c"), col("s").as("s_c"), col("ss").as("ss_c"),
+      col("sx").as("sx_c"), col("sxx").as("sxx_c"), col("sxy").as("sxy_c"))
     val t = grid.filter(col("arm") =!= control)
       .crossJoin(broadcast(ctrl))
     val nT = col("n").cast("double")
-    val mT = mean(col("s"), nT)
-    val mC = mean(col("s_c"), col("n_c"))
+    val mT = col("s") / nT
+    val mC = col("s_c") / col("n_c")
     val delta = mT - mC
     val se = sqrt(varS(col("ss"), col("s"), nT) / nT +
       varS(col("ss_c"), col("s_c"), col("n_c")) / col("n_c"))
     val z = when(se > 0.0, delta / se).otherwise(lit(0.0))
-    val scored = t.select(
+    val raw = Seq(
       col("arm"), col("n"),
       mT.as("mean"), delta.as("delta"), se.as("se"), z.as("z"),
       graft.queries.Stats.pNormTwoSided(z).as("p"))
-    // BH step-up over the m ordered comparisons: rank ascending by p,
+    val cuped: Seq[org.apache.spark.sql.Column] = xCol match {
+      case None => Seq.empty
+      case Some(_) =>
+        // pair-pooled θ: total (not per-arm) covariance over this
+        // contrast's union — Cuped.cuped's estimator on the pair
+        val nn = nT + col("n_c")
+        val sxP = col("sx") + col("sx_c")
+        val syP = col("s") + col("s_c")
+        val sxxP = col("sxx") + col("sxx_c")
+        val sxyP = col("sxy") + col("sxy_c")
+        val varXn = sxxP - sxP * sxP / nn
+        val theta = when(varXn > 0.0, (sxyP - sxP * syP / nn) / varXn)
+          .otherwise(lit(0.0))
+        def adjVar(n: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+            ss: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+            sxx: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) = {
+          val vy = (ss - s * s / n) / (n - lit(1.0))
+          val vx = (sxx - sx * sx / n) / (n - lit(1.0))
+          val cxy = (sxy - sx * s / n) / (n - lit(1.0))
+          vy - lit(2.0) * theta * cxy + theta * theta * vx
+        }
+        val mxT = col("sx") / nT
+        val mxC = col("sx_c") / col("n_c")
+        val mx = sxP / nn
+        val deltaC = (mT - theta * (mxT - mx)) - (mC - theta * (mxC - mx))
+        val seC = sqrt(
+          adjVar(nT, col("s"), col("ss"), col("sx"), col("sxx"), col("sxy")) / nT +
+          adjVar(col("n_c"), col("s_c"), col("ss_c"), col("sx_c"), col("sxx_c"),
+            col("sxy_c")) / col("n_c"))
+        val zC = when(seC > 0.0, deltaC / seC).otherwise(lit(0.0))
+        Seq(theta.as("theta"), deltaC.as("delta_cuped"), seC.as("se_cuped"),
+          zC.as("z_cuped"), graft.queries.Stats.pNormTwoSided(zC).as("p_cuped"))
+    }
+    val scored = t.select(raw ++ cuped: _*)
+    // BH step-up over the m ordered comparisons: rank ascending by the
+    // decision-grade p (adjusted when a covariate is declared),
     // q_(i) = min over j >= i of p_(j)*m/j, capped at 1
-    val byP = graft.core.Windows.bounded(col("p"), col("arm"))
+    val pRank = if (xCol.isEmpty) col("p") else col("p_cuped")
+    val byP = graft.core.Windows.bounded(pRank, col("arm"))
     val tail = byP.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val full = byP.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     scored
       .withColumn("k", row_number().over(byP).cast("long"))
       .withColumn("m", count(lit(1)).over(full))
       .withColumn("q_bh",
-        least(lit(1.0), min(col("p") * col("m") / col("k")).over(tail)))
+        least(lit(1.0), min(pRank * col("m") / col("k")).over(tail)))
       .withColumn("discovery", col("q_bh") <= lit(fdr))
       .drop("m")
   }

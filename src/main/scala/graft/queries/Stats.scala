@@ -2957,10 +2957,129 @@ object Stats {
            |       k, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
            |FROM q ORDER BY arm""".stripMargin))
 
+  /** Q373 — CUPED-adjusted A/B/n ([[graft.ops.MultiArm.report]] with
+    * `xCol`): q372's four hash arms, each vs-control contrast adjusted
+    * with the PAIR-POOLED θ over strictly pre-entry activity — the
+    * variance-reduced multiplicity-controlled readout (BH ranks the
+    * ADJUSTED p). The oracle replays per-arm moments → pair θ →
+    * adjusted Welch → the polynomial → the BH tail-min, so a θ pooled
+    * over the wrong arms (all four instead of the pair), a
+    * post-treatment covariate window, or a BH ranked on the raw p all
+    * hash-fail. */
+  val q373 = QueryDef(
+    "q373_multi_arm_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val preAct = ev.join(entry, "user_id")
+        .filter(col("us") < col("entry_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("pre_n"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .join(preAct, Seq("user_id"), "left")
+        .select(
+          (conv(
+            substring(md5(concat(lit("abn-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 4).cast("string").as("arm"),
+          ((col("conv_us").isNotNull) &&
+            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+            .cast("int").as("conv"),
+          coalesce(col("pre_n"), lit(0L)).cast("double").as("pre_x"))
+      graft.ops.MultiArm.report(subjects, "arm", "conv", control = "0",
+          xCol = Some("pre_x"))
+        .select(
+          col("arm"), col("n"),
+          (r6(col("theta")) + lit(0.0)).as("theta"),
+          (r6(col("delta")) + lit(0.0)).as("delta"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          (r4(col("z_cuped")) + lit(0.0)).as("z_cuped"),
+          r6(col("p_cuped")).as("p_cuped"),
+          col("k"),
+          r6(col("q_bh")).as("q_bh"),
+          col("discovery"))
+        .orderBy("arm")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |pa AS (SELECT e.user_id, COUNT(*) AS pre_n FROM e JOIN en USING (user_id)
+           |       WHERE us < entry_us GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('abn-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 4
+           |             AS VARCHAR) AS arm,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                    AND conv_us - entry_us < 604800000000 THEN 1.0
+           |                  ELSE 0.0 END AS y,
+           |             CAST(COALESCE(pre_n, 0) AS DOUBLE) AS x
+           |      FROM en LEFT JOIN cv USING (user_id) LEFT JOIN pa USING (user_id)),
+           |g AS (SELECT arm, COUNT(*) AS n, SUM(y) AS sm, SUM(y*y) AS ss,
+           |             SUM(x) AS sx, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+           |      FROM s GROUP BY 1),
+           |c AS (SELECT CAST(n AS DOUBLE) AS n_c, sm AS s_c, ss AS ss_c,
+           |             sx AS sx_c, sxx AS sxx_c, sxy AS sxy_c
+           |      FROM g WHERE arm = '0'),
+           |t AS (SELECT arm, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS n_t,
+           |             sm, ss, sx, sxx, sxy, n_c, s_c, ss_c, sx_c, sxx_c, sxy_c
+           |      FROM g CROSS JOIN c WHERE arm <> '0'),
+           |th AS (SELECT *,
+           |              n_t + n_c AS nn,
+           |              sx + sx_c AS sxp, sm + s_c AS syp,
+           |              sxx + sxx_c AS sxxp, sxy + sxy_c AS sxyp
+           |       FROM t),
+           |th2 AS (SELECT *,
+           |               CASE WHEN sxxp - sxp*sxp/nn > 0
+           |                    THEN (sxyp - sxp*syp/nn) / (sxxp - sxp*sxp/nn)
+           |                    ELSE 0.0 END AS theta
+           |        FROM th),
+           |w AS (SELECT *,
+           |             sm/n_t - s_c/n_c AS delta,
+           |             (sm/n_t - theta*(sx/n_t - sxp/nn))
+           |               - (s_c/n_c - theta*(sx_c/n_c - sxp/nn)) AS delta_c,
+           |             SQRT((((ss - sm*sm/n_t)/(n_t-1.0))
+           |                   - 2.0*theta*((sxy - sx*sm/n_t)/(n_t-1.0))
+           |                   + theta*theta*((sxx - sx*sx/n_t)/(n_t-1.0))) / n_t
+           |                  + (((ss_c - s_c*s_c/n_c)/(n_c-1.0))
+           |                     - 2.0*theta*((sxy_c - sx_c*s_c/n_c)/(n_c-1.0))
+           |                     + theta*theta*((sxx_c - sx_c*sx_c/n_c)/(n_c-1.0)))
+           |                    / n_c) AS se_c
+           |      FROM th2),
+           |z AS (SELECT *, CASE WHEN se_c > 0 THEN delta_c / se_c ELSE 0.0 END AS zv
+           |      FROM w),
+           |p AS (SELECT *,
+           |             2.0 * (EXP(-ABS(zv)*ABS(zv)/2.0) / SQRT(2.0*PI())
+           |               * (0.319381530 * (1.0/(1.0+0.2316419*ABS(zv)))
+           |                  - 0.356563782 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 2)
+           |                  + 1.781477937 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 3)
+           |                  - 1.821255978 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 4)
+           |                  + 1.330274429 * POWER(1.0/(1.0+0.2316419*ABS(zv)), 5)))
+           |               AS pv
+           |      FROM z),
+           |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pv, arm) AS k,
+           |              COUNT(*) OVER () AS m
+           |       FROM p),
+           |q AS (SELECT *,
+           |             LEAST(1.0, MIN(pv * m / k) OVER (ORDER BY pv, arm
+           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qbh
+           |      FROM rk)
+           |SELECT arm, n, ROUND(theta, 6) + 0 AS theta,
+           |       ROUND(delta, 6) + 0 AS delta,
+           |       ROUND(delta_c, 6) + 0 AS delta_cuped,
+           |       ROUND(se_c, 6) AS se_cuped,
+           |       ROUND(zv, 4) + 0 AS z_cuped, ROUND(pv, 6) AS p_cuped,
+           |       k, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
+           |FROM q ORDER BY arm""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353, q361, q370, q372)
+      q341, q342, q350, q352, q353, q361, q370, q372, q373)
 }

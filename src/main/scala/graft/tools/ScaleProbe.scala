@@ -85,7 +85,8 @@ object ScaleProbe {
     // 10× — fewer passes, same per-pass shape), the continuous
     // always-valid monitor (daily moments agg + calendar-grid windows)
     // and the A/B/n readout (one arm-grid agg + a k-row BH window)
-    "q369_cox_converged", "q370_always_valid_mean", "q372_multi_arm_fdr")
+    "q369_cox_converged", "q370_always_valid_mean", "q372_multi_arm_fdr",
+    "q373_multi_arm_cuped")
 
   /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
     * 20-micro-batch file stream through [[graft.streaming.EventStreams

@@ -72,6 +72,39 @@ class MultiArmSpec extends SparkSuite {
     assert(e4.getMessage.contains("segmentation"), e4.getMessage)
   }
 
+  test("CUPED contrasts: two-arm case == Cuped.cuped bit-for-bit; constant covariate degrades") {
+    // covariate predictive of y: x = i % 7, conversion more likely at
+    // high x — deterministic
+    val rows = for {
+      (a, n, base) <- Seq(("c", 300, 1), ("t", 300, 2))
+      i <- 0 until n
+    } yield (a, if ((i * base) % 7 >= 5) 1.0 else 0.0, (i % 7).toDouble)
+    val df = rows.toDF("arm", "y", "x")
+    val got = graft.ops.MultiArm.report(df, "arm", "y", control = "c",
+      xCol = Some("x")).head()
+    val ref = graft.ops.Cuped.cuped(df, "arm", "y", "x", focal = "t").head()
+    assert(math.abs(got.getAs[Double]("theta") - ref.getAs[Double]("theta")) < 1e-12)
+    assert(math.abs(got.getAs[Double]("delta_cuped") - ref.getAs[Double]("delta_cuped")) < 1e-12)
+    assert(math.abs(got.getAs[Double]("se_cuped") - ref.getAs[Double]("se_cuped")) < 1e-12)
+    assert(math.abs(got.getAs[Double]("delta") - ref.getAs[Double]("delta_raw")) < 1e-12)
+    // constant covariate: theta = 0, adjusted == raw
+    val flat = graft.ops.MultiArm.report(
+      df.withColumn("x", lit(1.0)), "arm", "y", control = "c",
+      xCol = Some("x")).head()
+    assert(flat.getAs[Double]("theta") == 0.0)
+    assert(flat.getAs[Double]("delta_cuped") == flat.getAs[Double]("delta"))
+    assert(flat.getAs[Double]("se_cuped") == flat.getAs[Double]("se"))
+    // with a covariate declared, BH ranks the ADJUSTED p
+    val multi = arms(("c", 400, 0.20), ("t1", 400, 0.20), ("t2", 400, 0.50))
+      .withColumn("x", (rand(7) * 0).cast("double") + (col("y") * 0.0)) // constant
+    val m = graft.ops.MultiArm.report(multi, "arm", "y", control = "c",
+      xCol = Some("x")).orderBy("k").collect()
+    m.zip(m.drop(1)).foreach { case (a, b) =>
+      assert(a.getAs[Double]("p_cuped") <= b.getAs[Double]("p_cuped") + 1e-15,
+        "k must rank by the adjusted p")
+    }
+  }
+
   test("two arms degrade to the plain Welch two-sample readout (q_bh == p)") {
     val got = MultiArm.report(
       arms(("c", 300, 0.2), ("t", 300, 0.35)), "arm", "y", control = "c").head()
