@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B/n readout — every treatment arm against the ONE control, with
@@ -16,21 +15,37 @@ import org.apache.spark.sql.functions._
   *
   * Per arm: (n, mean, delta, se, z, p, q_bh, discovery) where delta is
   * vs-control, se the Welch two-sample SE from per-arm sample moments,
-  * p the two-sided normal tail (fixed A&S 7.1.26 polynomial — BY CALL
-  * into the engine's one implementation), and q_bh the step-up
-  * q-value: q_(i) = min_{j ≥ i} p_(j)·m/j over the m = k−1 ordered
-  * comparisons (monotone by construction; discovery ⇔ q ≤ fdr, which
-  * is exactly the BH rejection set).
+  * p the two-sided normal tail (the fixed A&S 7.1.26 polynomial — the
+  * same arithmetic as `Stats.pNormTwoSided` and every oracle), and
+  * q_bh the step-up q-value: q_(i) = min_{j ≥ i} p_(j)·m/j over the
+  * m = k−1 comparisons ordered by (p, arm) (monotone by construction;
+  * discovery ⇔ q ≤ fdr, exactly the BH rejection set).
   *
-  * Scale shape: ONE keyed aggregation to the arm grid (k rows), the
-  * control row broadcast back in-plan (no collect of statistics), and
-  * the BH fold a bounded window over the (k−1)-row frame
-  * ([[graft.core.Windows]] discipline — the grid is design-sized).
+  * Scale shape: ONE keyed aggregation to the arm grid, collected
+  * BOUNDED (`.limit(66)` IN the plan — the maxTimes discipline: a
+  * million-level arm column ships at most 66 rows before refusing by
+  * name), then closed-form driver arithmetic over ≤64 rows — the
+  * [[Cuped]]/[[PowerAnalysis]] pattern for design-sized grids.
   * Refusals by name: a missing control, fewer than two arms, an arm
-  * too thin for a sample variance, and an arm column with more than 64
-  * levels (that is a segmentation, not an experiment — the check
-  * collects at most 65 arm names). */
+  * too thin for a sample variance, and an arm column with more than
+  * 64 levels (that is a segmentation, not an experiment). */
 object MultiArm {
+
+  private final case class ArmRow(
+      arm: String, n: Long, s: Double, ss: Double,
+      sx: Double, sxx: Double, sxy: Double)
+
+  /** Φ tail-based two-sided p via A&S 7.1.26 — scalar twin of
+    * `Stats.pNormTwoSided` (identical constants; the oracles replay the
+    * same polynomial). */
+  private def pTwoSided(z: Double): Double = {
+    val a = math.abs(z)
+    val t = 1.0 / (1.0 + 0.2316419 * a)
+    2.0 * (math.exp(-a * a / 2.0) / math.sqrt(2.0 * math.Pi) *
+      (0.319381530 * t - 0.356563782 * math.pow(t, 2) +
+        1.781477937 * math.pow(t, 3) - 1.821255978 * math.pow(t, 4) +
+        1.330274429 * math.pow(t, 5)))
+  }
 
   /** @param xCol optional PRE-period covariate: each contrast is then
     *        CUPED-adjusted with the PAIR-POOLED θ (treatment ∪ control
@@ -45,91 +60,84 @@ object MultiArm {
       subjects: DataFrame, armCol: String, yCol: String, control: String,
       fdr: Double = 0.05, xCol: Option[String] = None): DataFrame = {
     require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
+    val spark = subjects.sparkSession
+    import spark.implicits._
     val arm = col(armCol).cast("string")
     val y = col(yCol).cast("double")
     val x = xCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val grid = subjects.groupBy(arm.as("arm"))
       .agg(count(lit(1)).as("n"), sum(y).as("s"), sum(y * y).as("ss"),
         sum(x).as("sx"), sum(x * x).as("sxx"), sum(x * y).as("sxy"))
-      .localCheckpoint() // k rows; reused by the guard and both join sides
-    val arms = grid.select("arm").limit(65).collect().map(_.getString(0)).toSeq
-    require(arms.size <= 64,
+      .limit(66) // the refusal below never materializes what it refuses
+      .collect()
+      .map(r => ArmRow(r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    require(grid.length <= 64,
       s"arm column '$armCol' has more than 64 levels — that is a " +
         "segmentation, not an experiment (check the column)")
-    require(arms.size >= 2,
+    require(grid.length >= 2,
       s"multi-arm report needs at least control + one treatment; found " +
-        s"${arms.size} arm(s): ${arms.sorted.mkString(", ")}")
-    require(arms.contains(control),
-      s"control arm '$control' not present; arms are ${arms.sorted.mkString(", ")}")
-    val thin = grid.filter(col("n") < 2).select("arm").limit(65)
-      .collect().map(_.getString(0))
+        s"${grid.length} arm(s): ${grid.map(_.arm).sorted.mkString(", ")}")
+    require(grid.exists(_.arm == control),
+      s"control arm '$control' not present; arms are " +
+        grid.map(_.arm).sorted.mkString(", "))
+    val thin = grid.filter(_.n < 2).map(_.arm)
     require(thin.isEmpty,
       s"arm(s) too thin for a sample variance (n < 2): ${thin.sorted.mkString(", ")}")
-    def varS(ss: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
-        n: org.apache.spark.sql.Column) = (ss - s * s / n) / (n - lit(1.0))
-    val ctrl = grid.filter(col("arm") === control).select(
-      col("n").cast("double").as("n_c"), col("s").as("s_c"), col("ss").as("ss_c"),
-      col("sx").as("sx_c"), col("sxx").as("sxx_c"), col("sxy").as("sxy_c"))
-    val t = grid.filter(col("arm") =!= control)
-      .crossJoin(broadcast(ctrl))
-    val nT = col("n").cast("double")
-    val mT = col("s") / nT
-    val mC = col("s_c") / col("n_c")
-    val delta = mT - mC
-    val se = sqrt(varS(col("ss"), col("s"), nT) / nT +
-      varS(col("ss_c"), col("s_c"), col("n_c")) / col("n_c"))
-    val z = when(se > 0.0, delta / se).otherwise(lit(0.0))
-    val raw = Seq(
-      col("arm"), col("n"),
-      mT.as("mean"), delta.as("delta"), se.as("se"), z.as("z"),
-      graft.queries.Stats.pNormTwoSided(z).as("p"))
-    val cuped: Seq[org.apache.spark.sql.Column] = xCol match {
-      case None => Seq.empty
-      case Some(_) =>
+    val c = grid.find(_.arm == control).get
+    val nc = c.n.toDouble
+    def varS(ss: Double, s: Double, n: Double) = (ss - s * s / n) / (n - 1.0)
+    val scored = grid.filter(_.arm != control).map { t =>
+      val nt = t.n.toDouble
+      val mT = t.s / nt
+      val mC = c.s / nc
+      val delta = mT - mC
+      val se = math.sqrt(varS(t.ss, t.s, nt) / nt + varS(c.ss, c.s, nc) / nc)
+      val z = if (se > 0.0) delta / se else 0.0
+      val cuped = xCol.map { _ =>
         // pair-pooled θ: total (not per-arm) covariance over this
         // contrast's union — Cuped.cuped's estimator on the pair
-        val nn = nT + col("n_c")
-        val sxP = col("sx") + col("sx_c")
-        val syP = col("s") + col("s_c")
-        val sxxP = col("sxx") + col("sxx_c")
-        val sxyP = col("sxy") + col("sxy_c")
-        val varXn = sxxP - sxP * sxP / nn
-        val theta = when(varXn > 0.0, (sxyP - sxP * syP / nn) / varXn)
-          .otherwise(lit(0.0))
-        def adjVar(n: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
-            ss: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
-            sxx: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) = {
-          val vy = (ss - s * s / n) / (n - lit(1.0))
-          val vx = (sxx - sx * sx / n) / (n - lit(1.0))
-          val cxy = (sxy - sx * s / n) / (n - lit(1.0))
-          vy - lit(2.0) * theta * cxy + theta * theta * vx
+        val nn = nt + nc
+        val sxP = t.sx + c.sx
+        val syP = t.s + c.s
+        val varXn = (t.sxx + c.sxx) - sxP * sxP / nn
+        val theta =
+          if (varXn > 0.0) ((t.sxy + c.sxy) - sxP * syP / nn) / varXn else 0.0
+        def adjVar(r: ArmRow, n: Double) = {
+          val vy = varS(r.ss, r.s, n)
+          val vx = varS(r.sxx, r.sx, n)
+          val cxy = (r.sxy - r.sx * r.s / n) / (n - 1.0)
+          vy - 2.0 * theta * cxy + theta * theta * vx
         }
-        val mxT = col("sx") / nT
-        val mxC = col("sx_c") / col("n_c")
         val mx = sxP / nn
-        val deltaC = (mT - theta * (mxT - mx)) - (mC - theta * (mxC - mx))
-        val seC = sqrt(
-          adjVar(nT, col("s"), col("ss"), col("sx"), col("sxx"), col("sxy")) / nT +
-          adjVar(col("n_c"), col("s_c"), col("ss_c"), col("sx_c"), col("sxx_c"),
-            col("sxy_c")) / col("n_c"))
-        val zC = when(seC > 0.0, deltaC / seC).otherwise(lit(0.0))
-        Seq(theta.as("theta"), deltaC.as("delta_cuped"), seC.as("se_cuped"),
-          zC.as("z_cuped"), graft.queries.Stats.pNormTwoSided(zC).as("p_cuped"))
+        val deltaC = (mT - theta * (t.sx / nt - mx)) - (mC - theta * (c.sx / nc - mx))
+        val seC = math.sqrt(adjVar(t, nt) / nt + adjVar(c, nc) / nc)
+        val zC = if (seC > 0.0) deltaC / seC else 0.0
+        (theta, deltaC, seC, zC, pTwoSided(zC))
+      }
+      (t.arm, t.n, mT, delta, se, z, pTwoSided(z), cuped)
     }
-    val scored = t.select(raw ++ cuped: _*)
-    // BH step-up over the m ordered comparisons: rank ascending by the
-    // decision-grade p (adjusted when a covariate is declared),
-    // q_(i) = min over j >= i of p_(j)*m/j, capped at 1
-    val pRank = if (xCol.isEmpty) col("p") else col("p_cuped")
-    val byP = graft.core.Windows.bounded(pRank, col("arm"))
-    val tail = byP.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val full = byP.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored
-      .withColumn("k", row_number().over(byP).cast("long"))
-      .withColumn("m", count(lit(1)).over(full))
-      .withColumn("q_bh",
-        least(lit(1.0), min(pRank * col("m") / col("k")).over(tail)))
-      .withColumn("discovery", col("q_bh") <= lit(fdr))
-      .drop("m")
+    // BH step-up over the m comparisons ordered by the decision-grade p
+    // (adjusted when a covariate is declared), ties broken by arm name
+    val m = scored.length
+    val ranked = scored.sortBy(r => (r._8.map(_._5).getOrElse(r._7), r._1))
+    val qs = new Array[Double](m)
+    var suffixMin = Double.PositiveInfinity
+    for (i <- (m - 1) to 0 by -1) {
+      val p = ranked(i)._8.map(_._5).getOrElse(ranked(i)._7)
+      suffixMin = math.min(suffixMin, p * m / (i + 1))
+      qs(i) = math.min(1.0, suffixMin)
+    }
+    val out = ranked.zipWithIndex.map { case ((a, n, mean, d, se, z, p, cu), i) =>
+      (a, n, mean, d, se, z, p,
+        cu.map(_._1), cu.map(_._2), cu.map(_._3), cu.map(_._4), cu.map(_._5),
+        (i + 1).toLong, qs(i), qs(i) <= fdr)
+    }.toSeq
+    val full = out.toDF("arm", "n", "mean", "delta", "se", "z", "p",
+      "theta", "delta_cuped", "se_cuped", "z_cuped", "p_cuped",
+      "k", "q_bh", "discovery")
+    if (xCol.isEmpty)
+      full.drop("theta", "delta_cuped", "se_cuped", "z_cuped", "p_cuped")
+    else full
   }
 }
