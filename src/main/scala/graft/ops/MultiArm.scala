@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B/n readout — every treatment arm against the ONE control, with
@@ -72,6 +73,12 @@ object MultiArm {
       .collect()
       .map(r => ArmRow(r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // first, before any sort over arm names would NPE on it: a null arm
+    // is an assignment bug, named as such rather than surfacing as a
+    // level-cap trip or an opaque NullPointerException
+    require(!grid.exists(_.arm == null),
+      s"arm column '$armCol' contains nulls — every subject needs an arm " +
+        "(filter unassigned subjects out before the readout)")
     require(grid.length <= 64,
       s"arm column '$armCol' has more than 64 levels — that is a " +
         "segmentation, not an experiment (check the column)")
@@ -139,5 +146,174 @@ object MultiArm {
     if (xCol.isEmpty)
       full.drop("theta", "delta_cuped", "se_cuped", "z_cuped", "p_cuped")
     else full
+  }
+
+  /** ALWAYS-VALID A/B/n — [[report]]'s sequential companion: the
+    * fixed-horizon Welch readout above is only honest at the planned
+    * horizon, but a k-arm dashboard is read continuously — the newest
+    * invitation to peek. This op composes the two honest pieces: a
+    * per-contrast normal-mean mixture SPRT
+    * ([[SequentialTest.meanLogLambda]], called — the identical
+    * arithmetic as [[SequentialTest.alwaysValidPMean]], so the two-arm
+    * case reproduces it bitwise, spec-pinned) over each of the k−1
+    * arm-vs-control contrasts' CUMULATIVE moments, then
+    * Benjamini-Hochberg per look over the ALWAYS-VALID p's. BH stays
+    * FDR-valid under optional stopping when its inputs are always-valid
+    * p's / e-values (each 1/p̄ is a nonnegative supermartingale bound —
+    * the e-BH result of Wang & Ramdas 2022, "False discovery rate
+    *  control with e-values", JRSS-B; mSPRT p's are exactly of that
+    * form, Johari-Pekelis-Walsh 2017), so `discovery` can be acted on
+    * at ANY look, not just the planned horizon.
+    *
+    * One row per (qualifying look, treatment arm): cumulative n/mean,
+    * delta vs control, the contrast's ln Λ and nonincreasing
+    * p_always_valid, and that look's BH rank/q/discovery across the
+    * arms qualifying at the look. `k` counts the contrast's OWN
+    * qualifying looks (arms can enter the readout on different days).
+    *
+    * @param xCol optional PRE-period covariate: each contrast is
+    *        CUPED-adjusted at every look with the pair-pooled θ from
+    *        the CUMULATIVE pair moments — [[report]]'s estimator on the
+    *        data-so-far, the same running-θ policy as the streaming
+    *        scorecard's CUPED fold — and the mixture SPRT runs with the
+    *        adjusted lift in Δ's seat and its Welch variance in V's
+    *        (adds theta / delta_cuped / se_cuped / log_lambda_cuped /
+    *        p_always_valid_cuped; BH ranks the ADJUSTED p, the
+    *        decision-grade column once a covariate is declared). At the
+    *        final look the cumulative moments are the totals, so
+    *        theta/delta_cuped/se_cuped equal [[report]]'s fixed-horizon
+    *        columns exactly (spec-pinned).
+    *
+    * Scale shape: ONE keyed aggregation of subjects onto (arm, day) —
+    * the only data-sized pass — then cumulative windows over the
+    * calendar×arms grid (bounded by design), a broadcast-sized join of
+    * treatments against the control row per day, and BH as a window
+    * partitioned by day over ≤63 rows. Arm refusals (nulls, missing
+    * control, <2 or >64 levels) shared with [[report]]'s, from one
+    * bounded `.limit(66)` distinct probe. */
+  def sequential(
+      subjects: DataFrame, armCol: String, dayCol: String, valueCol: String,
+      looks: DataFrame, lookCol: String, control: String, tau: Double,
+      fdr: Double = 0.05, minPerArm: Long = 30L,
+      xCol: Option[String] = None): DataFrame = {
+    require(tau > 0, s"tau must be positive (the mixture scale), got $tau")
+    require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val arm = col(armCol).cast("string")
+    val y = col(valueCol).cast("double")
+    val x = xCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val armVals = subjects.select(arm.as("arm")).distinct()
+      .limit(66).collect().map(_.getString(0)).toSeq
+    require(!armVals.contains(null),
+      s"arm column '$armCol' contains nulls — every subject needs an arm " +
+        "(filter unassigned subjects out before the readout)")
+    require(armVals.length <= 64,
+      s"arm column '$armCol' has more than 64 levels — that is a " +
+        "segmentation, not an experiment (check the column)")
+    require(armVals.length >= 2,
+      s"multi-arm monitor needs at least control + one treatment; found " +
+        s"${armVals.length} arm(s): ${armVals.sorted.mkString(", ")}")
+    require(armVals.contains(control),
+      s"control arm '$control' not present; arms are " +
+        armVals.sorted.mkString(", "))
+    val daily = subjects.groupBy(arm.as("arm"), col(dayCol).as("day"))
+      .agg(count(lit(1)).as("en"), sum(y).as("sv"), sum(y * y).as("svv"),
+        sum(x).as("svx"), sum(x * x).as("svxx"), sum(x * y).as("svxy"))
+    val grid = looks.select(col(lookCol).as("day")).distinct()
+      .crossJoin(broadcast(armVals.toDF("arm"))) // calendar × ≤64 arms
+      .join(daily, Seq("arm", "day"), "left")
+      .select(col("arm"), col("day"),
+        coalesce(col("en"), lit(0L)).as("en"),
+        coalesce(col("sv"), lit(0.0)).as("sv"),
+        coalesce(col("svv"), lit(0.0)).as("svv"),
+        coalesce(col("svx"), lit(0.0)).as("svx"),
+        coalesce(col("svxx"), lit(0.0)).as("svxx"),
+        coalesce(col("svxy"), lit(0.0)).as("svxy"))
+    val byArm = Window.partitionBy("arm").orderBy("day")
+    val cum = grid
+      .withColumn("n", sum("en").over(byArm))
+      .withColumn("s", sum("sv").over(byArm))
+      .withColumn("ss", sum("svv").over(byArm))
+      .withColumn("sx", sum("svx").over(byArm))
+      .withColumn("sxx", sum("svxx").over(byArm))
+      .withColumn("sxy", sum("svxy").over(byArm))
+      .select("arm", "day", "n", "s", "ss", "sx", "sxx", "sxy")
+    val ctrl = cum.filter(col("arm") === control)
+      .select(col("day"), col("n").as("n_c"), col("s").as("s_c"),
+        col("ss").as("ss_c"), col("sx").as("sx_c"), col("sxx").as("sxx_c"),
+        col("sxy").as("sxy_c"))
+    val floor = math.max(minPerArm, 2L)
+    val contrasts = cum.filter(col("arm") =!= control)
+      .join(ctrl, "day")
+      .filter(col("n") >= floor && col("n_c") >= floor)
+      .withColumn("k", row_number().over(byArm).cast("long"))
+    val nt = col("n").cast("double")
+    val nc = col("n_c").cast("double")
+    val rawLl = SequentialTest.meanLogLambda(
+      nt, col("s"), col("ss"), nc, col("s_c"), col("ss_c"), tau)
+    val runMax = byArm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = contrasts
+      .withColumn("mean", col("s") / nt)
+      .withColumn("delta", col("s") / nt - col("s_c") / nc)
+      .withColumn("log_lambda", rawLl)
+      .withColumn("p_always_valid",
+        least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
+    val scored = xCol match {
+      case None => base
+      case Some(_) =>
+        // pair-pooled θ from the CUMULATIVE pair moments — report's
+        // estimator evaluated on the data-so-far at each look
+        val nn = nt + nc
+        val sxP = col("sx") + col("sx_c")
+        val syP = col("s") + col("s_c")
+        val varXn = (col("sxx") + col("sxx_c")) - sxP * sxP / nn
+        val theta = when(varXn > 0.0,
+          ((col("sxy") + col("sxy_c")) - sxP * syP / nn) / varXn)
+          .otherwise(lit(0.0))
+        def adjVar(ss: Column, s: Column, sxx: Column, sx: Column,
+            sxy: Column, n: Column, th: Column): Column = {
+          val vy = (ss - s * s / n) / (n - lit(1.0))
+          val vx = (sxx - sx * sx / n) / (n - lit(1.0))
+          val cxy = (sxy - sx * s / n) / (n - lit(1.0))
+          vy - lit(2.0) * th * cxy + th * th * vx
+        }
+        val mx = sxP / nn
+        val th = col("theta")
+        val deltaC = (col("s") / nt - th * (col("sx") / nt - mx)) -
+          (col("s_c") / nc - th * (col("sx_c") / nc - mx))
+        val withTheta = base.withColumn("theta", theta)
+        val vC =
+          adjVar(col("ss"), col("s"), col("sxx"), col("sx"), col("sxy"), nt, th) / nt +
+          adjVar(col("ss_c"), col("s_c"), col("sxx_c"), col("sx_c"), col("sxy_c"), nc, th) / nc
+        withTheta
+          .withColumn("delta_cuped", deltaC)
+          .withColumn("se_cuped", when(vC > 0.0, sqrt(vC)).otherwise(lit(0.0)))
+          .withColumn("log_lambda_cuped",
+            SequentialTest.mSprtLogLambda(deltaC, vC, tau))
+          .withColumn("p_always_valid_cuped",
+            least(lit(1.0), exp(-max(col("log_lambda_cuped")).over(runMax))))
+    }
+    // BH per look over the decision-grade always-valid p (adjusted when a
+    // covariate is declared) — e-BH: valid at any look. m counts the
+    // contrasts QUALIFYING at the look (arms can enter on different days).
+    val pSel = if (xCol.isEmpty) col("p_always_valid") else col("p_always_valid_cuped")
+    val withP = scored.withColumn("p_sel", pSel)
+    val byLook = Window.partitionBy("day").orderBy(col("p_sel"), col("arm"))
+    val lookAll = Window.partitionBy("day")
+    val ranked = withP
+      .withColumn("m", count(lit(1)).over(lookAll))
+      .withColumn("rk", row_number().over(byLook).cast("long"))
+      .withColumn("q_bh", least(lit(1.0),
+        min(col("p_sel") * col("m") / col("rk")).over(
+          byLook.rowsBetween(Window.currentRow, Window.unboundedFollowing))))
+      .withColumn("discovery", col("q_bh") <= fdr)
+    val keep = Seq("day", "arm", "k", "n", "mean", "delta", "log_lambda",
+      "p_always_valid") ++
+      (if (xCol.isEmpty) Seq.empty
+       else Seq("theta", "delta_cuped", "se_cuped", "log_lambda_cuped",
+         "p_always_valid_cuped")) ++
+      Seq("m", "rk", "q_bh", "discovery")
+    ranked.select(keep.map(col): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,12 +117,7 @@ object SequentialTest {
     val pa = col("conv_a").cast("double") / col("n_a")
     val pb = col("conv_b").cast("double") / col("n_b")
     val v = pa * (lit(1.0) - pa) / col("n_a") + pb * (lit(1.0) - pb) / col("n_b")
-    val t2 = lit(tau * tau)
-    val delta = pa - pb
-    val logLambda = when(v > 0.0,
-      lit(0.5) * log(v / (v + t2)) +
-        delta * delta * t2 / (lit(2.0) * v * (v + t2)))
-      .otherwise(lit(0.0))
+    val logLambda = mSprtLogLambda(pa - pb, v, tau)
     val runMax = graft.core.Windows.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monitor
@@ -204,15 +199,8 @@ object SequentialTest {
     val nb = col("n_b").cast("double")
     val ma = col("sum_a") / na
     val mb = col("sum_b") / nb
-    val va = (col("ssq_a") - col("sum_a") * col("sum_a") / na) / (na - lit(1.0))
-    val vb = (col("ssq_b") - col("sum_b") * col("sum_b") / nb) / (nb - lit(1.0))
-    val v = va / na + vb / nb
-    val t2 = lit(tau * tau)
-    val delta = ma - mb
-    val logLambda = when(v > 0.0,
-      lit(0.5) * log(v / (v + t2)) +
-        delta * delta * t2 / (lit(2.0) * v * (v + t2)))
-      .otherwise(lit(0.0))
+    val logLambda = meanLogLambda(
+      na, col("sum_a"), col("ssq_a"), nb, col("sum_b"), col("ssq_b"), tau)
     val runMax = graft.core.Windows.bounded(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monitor
@@ -220,5 +208,124 @@ object SequentialTest {
       .withColumn("log_lambda", logLambda)
       .withColumn("p_always_valid",
         least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
+  }
+
+  /** CLUSTER-randomized continuous monitoring — [[meanMonitor]]'s
+    * honest counterpart when assignment happens ABOVE the subject
+    * (geos, stores): the unit of sequential analysis is the CLUSTER
+    * MEAN, because subject-level variance understates V under
+    * within-cluster correlation and an mSPRT fed the iid V peeks
+    * anyway. One row per qualifying look day carrying each arm's
+    * cluster count and the sum / sum-of-squares of the CUMULATIVE
+    * cluster means — named (n_a, sum_a, ssq_a, …) so
+    * [[alwaysValidPMean]] applies verbatim (Δ = difference of unweighted
+    * cluster-mean averages, V = sample variance of cluster means over
+    * clusters — the cluster-level normal-mean mSPRT). A cluster seen in
+    * BOTH arms cumulatively by a look is an assignment defect: excluded
+    * from both sides and counted in `mixed_m` (the dead-letter
+    * discipline — the defect is reported, not silently averaged in).
+    *
+    * Scale shape: one keyed aggregation of subjects onto (cluster, day)
+    * — the only data-sized pass — then cumulative windows over the
+    * clusters × calendar grid (clusters are design-sized: the same
+    * O(windows × clusters) bound the streaming scorecard's state
+    * carries) and one groupBy(day) over it. Shared by call with the
+    * streaming clustered scorecard's commit-time fold
+    * ([[clusterLookStats]]), so batch and stream cannot drift. */
+  def clusterMeanMonitor(
+      subjects: DataFrame, armCol: String, dayCol: String, valueCol: String,
+      clusterCol: String, looks: DataFrame, lookCol: String, focal: String,
+      control: String, minClusters: Long = 2L): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val isF = arm === focal
+    val isC = arm === control
+    val daily = subjects
+      .groupBy(col(clusterCol).cast("string").as("cluster"),
+        col(dayCol).as("day"))
+      .agg(
+        sum(when(isF, 1L).otherwise(0L)).as("dn_f"),
+        sum(when(isF, v).otherwise(lit(0.0))).as("dsy_f"),
+        sum(when(isC, 1L).otherwise(0L)).as("dn_c"),
+        sum(when(isC, v).otherwise(lit(0.0))).as("dsy_c"))
+    val clusters = subjects.select(col(clusterCol).cast("string").as("cluster"))
+      .distinct()
+    val grid = looks.select(col(lookCol).as("day")).distinct()
+      .crossJoin(clusters) // calendar × design-sized cluster set
+      .join(daily, Seq("cluster", "day"), "left")
+      .select(col("cluster"), col("day"),
+        coalesce(col("dn_f"), lit(0L)).as("dn_f"),
+        coalesce(col("dsy_f"), lit(0.0)).as("dsy_f"),
+        coalesce(col("dn_c"), lit(0L)).as("dn_c"),
+        coalesce(col("dsy_c"), lit(0.0)).as("dsy_c"))
+    val byCl = Window.partitionBy("cluster").orderBy("day")
+    val cum = grid
+      .withColumn("n_f", sum("dn_f").over(byCl))
+      .withColumn("sy_f", sum("dsy_f").over(byCl))
+      .withColumn("n_c", sum("dn_c").over(byCl))
+      .withColumn("sy_c", sum("dsy_c").over(byCl))
+      .select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c")
+    val floor = math.max(minClusters, 2L)
+    val lookW = graft.core.Windows.bounded(col("day"))
+    clusterLookStats(cum)
+      .filter(col("n_a") >= floor && col("n_b") >= floor)
+      .withColumn("k", row_number().over(lookW).cast("long"))
+      .select("day", "k", "n_a", "sum_a", "ssq_a", "n_b", "sum_b", "ssq_b",
+        "mixed_m")
+  }
+
+  /** The per-look CLUSTER-MEAN moments — the one home for "which
+    * clusters count and what crosses the look" shared by
+    * [[clusterMeanMonitor]] (batch) and the streaming clustered
+    * scorecard's commit-time fold: input is CUMULATIVE per-(cluster,
+    * day) sums (day, cluster, n_f, sy_f, n_c, sy_c), output one row per
+    * day with n_a/n_b = pure-arm cluster counts, sum/ssq = moments of
+    * the cluster means, and mixed_m = clusters seen in both arms
+    * cumulatively (excluded from both sides). */
+  private[graft] def clusterLookStats(cum: DataFrame): DataFrame = {
+    val pureF = col("n_f") > 0 && col("n_c") === 0
+    val pureC = col("n_c") > 0 && col("n_f") === 0
+    val meanF = col("sy_f") / col("n_f")
+    val meanC = col("sy_c") / col("n_c")
+    cum.groupBy("day").agg(
+      sum(when(pureF, 1L).otherwise(0L)).as("n_a"),
+      sum(when(pureF, meanF).otherwise(lit(0.0))).as("sum_a"),
+      sum(when(pureF, meanF * meanF).otherwise(lit(0.0))).as("ssq_a"),
+      sum(when(pureC, 1L).otherwise(0L)).as("n_b"),
+      sum(when(pureC, meanC).otherwise(lit(0.0))).as("sum_b"),
+      sum(when(pureC, meanC * meanC).otherwise(lit(0.0))).as("ssq_b"),
+      sum(when(col("n_f") > 0 && col("n_c") > 0, 1L).otherwise(0L))
+        .as("mixed_m"))
+  }
+
+  /** The mixture-SPRT ln Λ as a column — ONE home for the formula
+    *   ln Λ = ½·ln(V/(V+τ²)) + Δ²τ²/(2·V·(V+τ²)),  ln Λ = 0 at V ≤ 0,
+    * shared by call between [[alwaysValidP]] (conversion Δ/V),
+    * [[alwaysValidPMean]] (Welch Δ/V via [[meanLogLambda]]), the
+    * scorecard sink's commit-time folds, and the multi-arm sequential
+    * readout ([[MultiArm.sequential]]) — so the arithmetic can never
+    * drift between the two-arm and k-arm paths (the two-arm equality is
+    * spec-pinned bitwise). */
+  private[graft] def mSprtLogLambda(delta: Column, v: Column, tau: Double): Column = {
+    val t2 = lit(tau * tau)
+    when(v > 0.0,
+      lit(0.5) * log(v / (v + t2)) +
+        delta * delta * t2 / (lit(2.0) * v * (v + t2)))
+      .otherwise(lit(0.0))
+  }
+
+  /** Normal-mean mSPRT ln Λ from cumulative (n, Σy, Σy²) pairs: the mean
+    * difference in Δ's seat, the Welch variance (SAMPLE variances from
+    * the moments) in V's — [[alwaysValidPMean]]'s arithmetic, callable
+    * per-contrast by the multi-arm path. `na`/`nb` arrive pre-cast to
+    * double. */
+  private[graft] def meanLogLambda(
+      na: Column, sumA: Column, ssqA: Column,
+      nb: Column, sumB: Column, ssqB: Column, tau: Double): Column = {
+    val ma = sumA / na
+    val mb = sumB / nb
+    val va = (ssqA - sumA * sumA / na) / (na - lit(1.0))
+    val vb = (ssqB - sumB * sumB / nb) / (nb - lit(1.0))
+    mSprtLogLambda(ma - mb, va / na + vb / nb, tau)
   }
 }

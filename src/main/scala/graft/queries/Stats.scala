@@ -3076,10 +3076,257 @@ object Stats {
            |       k, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
            |FROM q ORDER BY arm""".stripMargin))
 
+  /** Q374 — ALWAYS-VALID A/B/n ([[graft.ops.MultiArm.sequential]]):
+    * q372's four hash arms monitored CONTINUOUSLY — per-contrast
+    * normal-mean mixture SPRT over cumulative moments (q370's
+    * arithmetic, per arm) + Benjamini-Hochberg per look over the
+    * always-valid p's (e-BH: FDR-valid under optional stopping). The
+    * fixed-horizon q372 readout is only honest at the planned horizon;
+    * this is the one a dashboard may poll. The oracle replays the whole
+    * per-(look, arm) grid — daily moments, per-arm cumulative windows,
+    * the qualifying cut, lnΛ, per-arm running max, and the per-day BH
+    * tail-min — so a θ²/τ² slip, a BH ranked on the raw z, or a running
+    * max that leaks across arms all hash-fail. */
+  val q374 = QueryDef(
+    "q374_multi_arm_sequential",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val activity = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val subjects = entry.join(activity, "user_id")
+        .select(
+          (conv(
+            substring(md5(concat(lit("abn-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 4).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          col("v"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      graft.ops.MultiArm.sequential(
+        subjects, "arm", "entry_day", "v", looks, "day", control = "0",
+        tau = 0.5, fdr = 0.05, minPerArm = 2L)
+        .select(
+          col("day").cast("string").as("day"), col("arm"), col("k"),
+          col("n"), r6(col("mean")).as("mean"),
+          (r6(col("delta")) + lit(0.0)).as("delta"),
+          (r6(col("log_lambda")) + lit(0.0)).as("log_lambda"),
+          r6(col("p_always_valid")).as("p_always_valid"),
+          col("m"), col("rk"), r6(col("q_bh")).as("q_bh"), col("discovery"))
+        .orderBy("day", "arm")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |act AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS v FROM e GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('abn-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 4
+           |             AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS day, v
+           |      FROM en JOIN act USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |daily AS (SELECT arm, day, COUNT(*) AS en, SUM(v) AS sv,
+           |                 SUM(v*v) AS svv FROM s GROUP BY 1,2),
+           |arms AS (SELECT DISTINCT arm FROM s),
+           |grid AS (SELECT a.arm, l.day, COALESCE(en,0) AS en,
+           |                COALESCE(sv,0.0) AS sv, COALESCE(svv,0.0) AS svv
+           |         FROM looks l CROSS JOIN arms a
+           |         LEFT JOIN daily d ON d.arm=a.arm AND d.day=l.day),
+           |cum AS (SELECT arm, day,
+           |               CAST(SUM(en) OVER w AS BIGINT) AS n,
+           |               CAST(SUM(sv) OVER w AS DOUBLE) AS sm,
+           |               CAST(SUM(svv) OVER w AS DOUBLE) AS ssq
+           |        FROM grid WINDOW w AS (PARTITION BY arm ORDER BY day)),
+           |c AS (SELECT day, n AS n_c, sm AS s_c, ssq AS ss_c
+           |      FROM cum WHERE arm='0'),
+           |j AS (SELECT t.arm, t.day, t.n, t.sm, t.ssq, c.n_c, c.s_c, c.ss_c
+           |      FROM cum t JOIN c USING (day)
+           |      WHERE t.arm <> '0' AND t.n >= 2 AND c.n_c >= 2),
+           |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day) AS k,
+           |             sm/n AS ma, s_c/n_c AS mc,
+           |             ((ssq - sm*sm/n)/(n-1.0))/n
+           |               + ((ss_c - s_c*s_c/n_c)/(n_c-1.0))/n_c AS vv,
+           |             0.25 AS t2
+           |      FROM j),
+           |ll AS (SELECT *,
+           |              CASE WHEN vv > 0.0
+           |                   THEN 0.5*LN(vv/(vv+t2))
+           |                        + (ma-mc)*(ma-mc)*t2/(2.0*vv*(vv+t2))
+           |                   ELSE 0.0 END AS log_lambda
+           |       FROM q),
+           |p AS (SELECT *,
+           |             LEAST(1.0, EXP(-MAX(log_lambda) OVER (PARTITION BY arm
+           |               ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pav
+           |      FROM ll),
+           |rk AS (SELECT *, COUNT(*) OVER (PARTITION BY day) AS m,
+           |              ROW_NUMBER() OVER (PARTITION BY day ORDER BY pav, arm) AS rk
+           |       FROM p),
+           |q2 AS (SELECT *,
+           |              LEAST(1.0, MIN(pav * m / rk) OVER (PARTITION BY day
+           |                ORDER BY pav, arm
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qbh
+           |       FROM rk)
+           |SELECT CAST(day AS VARCHAR) AS day, arm, k, n,
+           |       ROUND(ma, 6) AS mean, ROUND(ma - mc, 6) + 0 AS delta,
+           |       ROUND(log_lambda, 6) + 0 AS log_lambda,
+           |       ROUND(pav, 6) AS p_always_valid,
+           |       CAST(m AS BIGINT) AS m, rk,
+           |       ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
+           |FROM q2 ORDER BY day, arm""".stripMargin))
+
+  /** Q375 — CUPED-adjusted always-valid A/B/n ([[graft.ops.MultiArm
+    * .sequential]] with `xCol`): q374's monitor with q373's pair-pooled
+    * θ evaluated on the CUMULATIVE pair moments at every look (the
+    * running-θ policy the streaming scorecard fold uses), the mixture
+    * SPRT over the adjusted lift with its Welch variance, and BH per
+    * look over the ADJUSTED always-valid p. Metric: 7-day conversion;
+    * covariate: strictly pre-entry activity; τ = 0.1 (the adjusted lift
+    * is a conversion-rate difference). The oracle replays θ → adjusted
+    * Δ/V → lnΛ → running max → BH per day, so a θ pooled over all four
+    * arms, a post-treatment covariate, or BH over the raw p hash-fail. */
+  val q375 = QueryDef(
+    "q375_multi_arm_seq_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val preAct = ev.join(entry, "user_id")
+        .filter(col("us") < col("entry_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("pre_n"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .join(preAct, Seq("user_id"), "left")
+        .select(
+          (conv(
+            substring(md5(concat(lit("abn-v1:"), col("user_id").cast("string"))),
+              1, 4), 16, 10).cast("int") % 4).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          ((col("conv_us").isNotNull) &&
+            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+            .cast("double").as("conv"),
+          coalesce(col("pre_n"), lit(0L)).cast("double").as("pre_x"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      graft.ops.MultiArm.sequential(
+        subjects, "arm", "entry_day", "conv", looks, "day", control = "0",
+        tau = 0.1, fdr = 0.05, minPerArm = 2L, xCol = Some("pre_x"))
+        .select(
+          col("day").cast("string").as("day"), col("arm"), col("k"), col("n"),
+          (r6(col("theta")) + lit(0.0)).as("theta"),
+          (r6(col("delta")) + lit(0.0)).as("delta"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          (r6(col("log_lambda_cuped")) + lit(0.0)).as("log_lambda_cuped"),
+          r6(col("p_always_valid_cuped")).as("p_always_valid_cuped"),
+          col("rk"), r6(col("q_bh")).as("q_bh"), col("discovery"))
+        .orderBy("day", "arm")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |pa AS (SELECT e.user_id, COUNT(*) AS pre_n FROM e JOIN en USING (user_id)
+           |       WHERE us < entry_us GROUP BY 1),
+           |s AS (SELECT CAST(CAST(('0x' || substr(md5('abn-v1:' ||
+           |               CAST(en.user_id AS VARCHAR)),1,4)) AS INTEGER) % 4
+           |             AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS day,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                    AND conv_us - entry_us < 604800000000 THEN 1.0
+           |                  ELSE 0.0 END AS y,
+           |             CAST(COALESCE(pre_n, 0) AS DOUBLE) AS x
+           |      FROM en LEFT JOIN cv USING (user_id) LEFT JOIN pa USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |daily AS (SELECT arm, day, COUNT(*) AS en, SUM(y) AS sv, SUM(y*y) AS svv,
+           |                 SUM(x) AS svx, SUM(x*x) AS svxx, SUM(x*y) AS svxy
+           |          FROM s GROUP BY 1,2),
+           |arms AS (SELECT DISTINCT arm FROM s),
+           |grid AS (SELECT a.arm, l.day, COALESCE(en,0) AS en,
+           |                COALESCE(sv,0.0) AS sv, COALESCE(svv,0.0) AS svv,
+           |                COALESCE(svx,0.0) AS svx, COALESCE(svxx,0.0) AS svxx,
+           |                COALESCE(svxy,0.0) AS svxy
+           |         FROM looks l CROSS JOIN arms a
+           |         LEFT JOIN daily d ON d.arm=a.arm AND d.day=l.day),
+           |cum AS (SELECT arm, day,
+           |               CAST(SUM(en) OVER w AS BIGINT) AS n,
+           |               CAST(SUM(sv) OVER w AS DOUBLE) AS sm,
+           |               CAST(SUM(svv) OVER w AS DOUBLE) AS ssq,
+           |               CAST(SUM(svx) OVER w AS DOUBLE) AS sx,
+           |               CAST(SUM(svxx) OVER w AS DOUBLE) AS sxx,
+           |               CAST(SUM(svxy) OVER w AS DOUBLE) AS sxy
+           |        FROM grid WINDOW w AS (PARTITION BY arm ORDER BY day)),
+           |c AS (SELECT day, n AS n_c, sm AS s_c, ssq AS ss_c,
+           |             sx AS sx_c, sxx AS sxx_c, sxy AS sxy_c
+           |      FROM cum WHERE arm='0'),
+           |j AS (SELECT t.arm, t.day, t.n, t.sm, t.ssq, t.sx, t.sxx, t.sxy,
+           |             c.n_c, c.s_c, c.ss_c, c.sx_c, c.sxx_c, c.sxy_c,
+           |             CAST(t.n AS DOUBLE) AS nt, CAST(c.n_c AS DOUBLE) AS nc
+           |      FROM cum t JOIN c USING (day)
+           |      WHERE t.arm <> '0' AND t.n >= 2 AND c.n_c >= 2),
+           |th AS (SELECT *, nt + nc AS nn, sx + sx_c AS sxp, sm + s_c AS syp,
+           |              sxx + sxx_c AS sxxp, sxy + sxy_c AS sxyp,
+           |              ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day) AS k
+           |       FROM j),
+           |th2 AS (SELECT *,
+           |               CASE WHEN sxxp - sxp*sxp/nn > 0
+           |                    THEN (sxyp - sxp*syp/nn) / (sxxp - sxp*sxp/nn)
+           |                    ELSE 0.0 END AS theta
+           |        FROM th),
+           |w AS (SELECT *,
+           |             sm/nt - s_c/nc AS delta,
+           |             (sm/nt - theta*(sx/nt - sxp/nn))
+           |               - (s_c/nc - theta*(sx_c/nc - sxp/nn)) AS delta_c,
+           |             (((ssq - sm*sm/nt)/(nt-1.0))
+           |               - 2.0*theta*((sxy - sx*sm/nt)/(nt-1.0))
+           |               + theta*theta*((sxx - sx*sx/nt)/(nt-1.0))) / nt
+           |              + (((ss_c - s_c*s_c/nc)/(nc-1.0))
+           |                 - 2.0*theta*((sxy_c - sx_c*s_c/nc)/(nc-1.0))
+           |                 + theta*theta*((sxx_c - sx_c*sx_c/nc)/(nc-1.0))) / nc
+           |               AS vc
+           |      FROM th2),
+           |ll AS (SELECT *,
+           |              CASE WHEN vc > 0.0
+           |                   THEN 0.5*LN(vc/(vc+0.1*0.1))
+           |                        + delta_c*delta_c*(0.1*0.1)/(2.0*vc*(vc+0.1*0.1))
+           |                   ELSE 0.0 END AS lnl
+           |       FROM w),
+           |p AS (SELECT *,
+           |             LEAST(1.0, EXP(-MAX(lnl) OVER (PARTITION BY arm
+           |               ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pav
+           |      FROM ll),
+           |rk AS (SELECT *, COUNT(*) OVER (PARTITION BY day) AS m,
+           |              ROW_NUMBER() OVER (PARTITION BY day ORDER BY pav, arm) AS rk
+           |       FROM p),
+           |q2 AS (SELECT *,
+           |              LEAST(1.0, MIN(pav * m / rk) OVER (PARTITION BY day
+           |                ORDER BY pav, arm
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qbh
+           |       FROM rk)
+           |SELECT CAST(day AS VARCHAR) AS day, arm, k, n,
+           |       ROUND(theta, 6) + 0 AS theta,
+           |       ROUND(delta, 6) + 0 AS delta,
+           |       ROUND(delta_c, 6) + 0 AS delta_cuped,
+           |       ROUND(CASE WHEN vc > 0.0 THEN SQRT(vc) ELSE 0.0 END, 6)
+           |         AS se_cuped,
+           |       ROUND(lnl, 6) + 0 AS log_lambda_cuped,
+           |       ROUND(pav, 6) AS p_always_valid_cuped,
+           |       rk, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
+           |FROM q2 ORDER BY day, arm""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353, q361, q370, q372, q373)
+      q341, q342, q350, q352, q353, q361, q370, q372, q373, q374, q375)
 }

@@ -746,27 +746,57 @@ object EventStreams {
       preCovariate: Option[(DataFrame, String, String)] = None,
       clusterCol: Option[String] = None,
       alwaysValidTau: Double = 0.1): StreamingQuery = {
-    val scorecard = experimentScorecard(
-      events, armCol, convCol, tsCol, focal, control, focalShare,
-      windowLen, watermark, preCovariate, clusterCol)
-    scorecard.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // the iid scorecard carries the always-valid readout; the
-        // clustered one does not (its honest mSPRT needs cumulative
-        // CLUSTER-level variance — the iid fold here would under-state
-        // V and peek anyway; robust sequential inference is the declared
-        // gap, not silently faked)
-        val out =
-          if (clusterCol.isEmpty)
-            alwaysValidFold(batch.toDF(), tablePath, alwaysValidTau)
-          else batch.toDF()
-        graft.io.VersionedTable.commitStreamBatch(
-          out, tablePath, writerId, batchId)
-        ()
-      }
-      .start()
+    clusterCol match {
+      case None =>
+        val scorecard = experimentScorecard(
+          events, armCol, convCol, tsCol, focal, control, focalShare,
+          windowLen, watermark, preCovariate, None)
+        scorecard.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val out = alwaysValidFold(batch.toDF(), tablePath, alwaysValidTau)
+            graft.io.VersionedTable.commitStreamBatch(
+              out, tablePath, writerId, batchId)
+            ()
+          }
+          .start()
+      case Some(cl) =>
+        // CLUSTERED: the stream runs only the (window, cluster) stateful
+        // aggregation; the window fold moves into the sink
+        // ([[clusteredFold]], identical arithmetic by call) so the
+        // closed per-cluster rows are visible at commit time — that is
+        // what lets the CLUSTER LEDGER (a second versioned table at
+        // `<tablePath>_clusters`, committed under the same
+        // (writerId, batchId) gate) cumulate cluster sums ACROSS
+        // windows, closing the r17-declared sequential gap: the honest
+        // mSPRT for a cluster-randomized experiment needs cumulative
+        // CLUSTER-level variance, and cluster sums span windows so they
+        // cannot fold from window rows alone. Scorecard commits FIRST,
+        // ledger second: a replay after a partial failure recomputes
+        // the fold against the still-prior ledger, and each table's
+        // txn gate absorbs what it already has.
+        val perCluster = clusteredPerCluster(
+          events, armCol, convCol, tsCol, focal, control,
+          windowLen, watermark, preCovariate, cl)
+        perCluster.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val pc = batch.toDF()
+            val windowRows = clusteredFold(pc, focalShare)
+            val (out, newLedger) = alwaysValidFoldClustered(
+              windowRows, pc, tablePath, alwaysValidTau)
+            graft.io.VersionedTable.commitStreamBatch(
+              out, tablePath, writerId, batchId)
+            newLedger.foreach { led =>
+              graft.io.VersionedTable.commitOverwriteBatch(
+                led, s"${tablePath}_clusters", writerId, batchId)
+            }
+            ()
+          }
+          .start()
+    }
   }
 
   /** The ALWAYS-VALID column fold for the scorecard sink (VERDICT r16
@@ -819,18 +849,29 @@ object EventStreams {
     val priorCols = longNames.map("cum_" + _) ++ Seq("max_log_lambda") ++
       (if (hasCuped) momentNames.map("cum_" + _) :+ "max_log_lambda_cuped"
        else Seq.empty)
+    // select only the prior columns the table ACTUALLY has: a scorecard
+    // committed before this fold existed (or before a preCovariate flip
+    // turned hasCuped on) lacks some cum_* columns — those legs restart
+    // from zero/−Inf state rather than killing the query's first
+    // post-upgrade micro-batch with an AnalysisException
     val priorRow: Option[org.apache.spark.sql.Row] =
       if (graft.io.VersionedTable.versions(spark, tablePath).isEmpty) None
-      else graft.io.VersionedTable.read(spark, tablePath)
-        .orderBy(col("w_start").desc).limit(1)
-        .select(priorCols.map(col): _*)
-        .collect().headOption
-    def priorLong(n: String): Long =
-      priorRow.map(_.getAs[Long]("cum_" + n)).getOrElse(0L)
-    def priorMoment(n: String): Double =
-      priorRow.map(_.getAs[Double]("cum_" + n)).getOrElse(0.0)
+      else {
+        val tbl = graft.io.VersionedTable.read(spark, tablePath)
+        val present = priorCols.filter(tbl.columns.contains)
+        if (present.isEmpty) None
+        else tbl.orderBy(col("w_start").desc).limit(1)
+          .select(present.map(col): _*)
+          .collect().headOption
+      }
+    def priorOpt[T](n: String): Option[T] = priorRow.flatMap { r =>
+      if (!r.schema.fieldNames.contains(n) || r.isNullAt(r.fieldIndex(n))) None
+      else Some(r.getAs[T](n))
+    }
+    def priorLong(n: String): Long = priorOpt[Long]("cum_" + n).getOrElse(0L)
+    def priorMoment(n: String): Double = priorOpt[Double]("cum_" + n).getOrElse(0.0)
     def priorMax(n: String): Double =
-      priorRow.map(_.getAs[Double](n)).getOrElse(Double.NegativeInfinity)
+      priorOpt[Double](n).getOrElse(Double.NegativeInfinity)
     val w = graft.core.Windows.bounded(col("w_start"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -883,6 +924,119 @@ object EventStreams {
         .withColumn("p_always_valid_cuped",
           least(lit(1.0), exp(-col("max_log_lambda_cuped"))))
     }
+  }
+
+  /** The ALWAYS-VALID fold for the CLUSTERED scorecard (closing the
+    * r17-declared gap): honest sequential inference for a
+    * cluster-randomized experiment needs cumulative CLUSTER-level
+    * variance, and cluster sums span windows — so the sink persists a
+    * CLUSTER LEDGER (per-cluster cumulative (n, Σy) per arm side, one
+    * row per cluster — state O(clusters), the same design-sized bound
+    * the streaming state already carries) beside the window rows, and
+    * at each commit rebuilds the per-window-prefix cluster picture:
+    * prior ledger + this batch's closed per-cluster rows, cumulated
+    * over the batch's windows on a clusters × windows grid.
+    *
+    * The statistic is the cluster-level normal-mean mSPRT — Δ = the
+    * difference of unweighted cluster-mean averages, V = the sample
+    * variance of cluster means over clusters — with "which clusters
+    * count" (pure-arm only; cumulatively-mixed excluded and counted)
+    * decided by [[graft.ops.SequentialTest.clusterLookStats]] and ln Λ
+    * by [[graft.ops.SequentialTest.meanLogLambda]], both BY CALL: the
+    * identical arithmetic behind the batch monitor
+    * ([[graft.ops.SequentialTest.clusterMeanMonitor]] +
+    * `alwaysValidPMean`), so streaming == batch on every window prefix
+    * is a property of shared code, not parallel implementations
+    * (spec-pinned, incl. forced replay). Windows too thin for a
+    * cluster-level sample variance (< 2 pure clusters a side) carry
+    * ln Λ = 0 — no evidence either way; p saturates at 1 exactly where
+    * the batch monitor has no qualifying row.
+    *
+    * Returns (window rows + cluster columns, Some(new ledger snapshot))
+    * — or None for the ledger when the batch closed no windows, so an
+    * idle micro-batch cannot overwrite state it did not read. */
+  private[graft] def alwaysValidFoldClustered(
+      windowRows: DataFrame, perCluster: DataFrame, tablePath: String,
+      tau: Double): (DataFrame, Option[DataFrame]) = {
+    val spark = windowRows.sparkSession
+    import spark.implicits._
+    val ledgerPath = s"${tablePath}_clusters"
+    val daily = perCluster.select(
+      col("window.start").as("day"), col("__cl").as("cluster"),
+      col("nf").cast("long").as("dn_f"), col("syf").cast("double").as("dsy_f"),
+      col("nc").cast("long").as("dn_c"), col("syc").cast("double").as("dsy_c"))
+    val windows = daily.select("day").distinct()
+    val anyWindow = !windows.isEmpty
+    val priorLedger: DataFrame =
+      if (graft.io.VersionedTable.versions(spark, ledgerPath).isEmpty)
+        Seq.empty[(String, Long, Double, Long, Double)]
+          .toDF("cluster", "n_f", "sy_f", "n_c", "sy_c")
+      else graft.io.VersionedTable.read(spark, ledgerPath)
+        .select("cluster", "n_f", "sy_f", "n_c", "sy_c")
+    // prior running max from the last committed scorecard row (absent
+    // column / pre-upgrade table → fresh −Inf state, the iid policy)
+    val priorMax: Double = {
+      if (graft.io.VersionedTable.versions(spark, tablePath).isEmpty)
+        Double.NegativeInfinity
+      else {
+        val tbl = graft.io.VersionedTable.read(spark, tablePath)
+        if (!tbl.columns.contains("max_log_lambda_cluster"))
+          Double.NegativeInfinity
+        else tbl.orderBy(col("w_start").desc).limit(1)
+          .select("max_log_lambda_cluster").collect().headOption
+          .filterNot(_.isNullAt(0)).map(_.getDouble(0))
+          .getOrElse(Double.NegativeInfinity)
+      }
+    }
+    val clusters = priorLedger.select("cluster")
+      .union(daily.select("cluster")).distinct()
+    val byCl = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy("day")
+    val cum = clusters.crossJoin(windows) // design-sized × windows-in-batch
+      .join(daily, Seq("cluster", "day"), "left")
+      .join(priorLedger.select(col("cluster"), col("n_f").as("b_n_f"),
+        col("sy_f").as("b_sy_f"), col("n_c").as("b_n_c"),
+        col("sy_c").as("b_sy_c")), Seq("cluster"), "left")
+      .withColumn("n_f", coalesce(col("b_n_f"), lit(0L)) +
+        sum(coalesce(col("dn_f"), lit(0L))).over(byCl))
+      .withColumn("sy_f", coalesce(col("b_sy_f"), lit(0.0)) +
+        sum(coalesce(col("dsy_f"), lit(0.0))).over(byCl))
+      .withColumn("n_c", coalesce(col("b_n_c"), lit(0L)) +
+        sum(coalesce(col("dn_c"), lit(0L))).over(byCl))
+      .withColumn("sy_c", coalesce(col("b_sy_c"), lit(0.0)) +
+        sum(coalesce(col("dsy_c"), lit(0.0))).over(byCl))
+      .select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c")
+    val ready = col("n_a") >= 2 && col("n_b") >= 2
+    val lnl = when(ready, graft.ops.SequentialTest.meanLogLambda(
+      col("n_a").cast("double"), col("sum_a"), col("ssq_a"),
+      col("n_b").cast("double"), col("sum_b"), col("ssq_b"), tau))
+      .otherwise(lit(0.0))
+    val stats = graft.ops.SequentialTest.clusterLookStats(cum)
+      .select(
+        col("day").as("w_start"),
+        col("n_a").as("cum_m_f"), col("n_b").as("cum_m_c"),
+        col("mixed_m").as("cum_mixed_cluster_n"),
+        when(col("n_a") > 0, col("sum_a") / col("n_a")).as("cluster_mean_f"),
+        when(col("n_b") > 0, col("sum_b") / col("n_b")).as("cluster_mean_c"),
+        lnl.as("log_lambda_cluster"))
+    val w = graft.core.Windows.bounded(col("w_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = windowRows.join(stats, Seq("w_start"), "left")
+      .withColumn("max_log_lambda_cluster",
+        greatest(lit(priorMax), max(col("log_lambda_cluster")).over(w)))
+      .withColumn("p_always_valid_cluster",
+        least(lit(1.0), exp(-col("max_log_lambda_cluster"))))
+    val ledger =
+      if (!anyWindow) None
+      else {
+        val lastFirst = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy(col("day").desc)
+        Some(cum.withColumn("__rn", row_number().over(lastFirst))
+          .filter(col("__rn") === 1)
+          .select("cluster", "n_f", "sy_f", "n_c", "sy_c"))
+      }
+    (out, ledger)
   }
 
   /** The scorecard TRANSFORM alone (works on a batch frame too — the
@@ -1059,6 +1213,25 @@ object EventStreams {
       focal: String, control: String, focalShare: Double,
       windowLen: String, watermark: String,
       preCovariate: Option[(DataFrame, String, String)],
+      clusterCol: String): DataFrame =
+    clusteredFold(
+      clusteredPerCluster(events, armCol, convCol, tsCol, focal, control,
+        windowLen, watermark, preCovariate, clusterCol),
+      focalShare)
+
+  /** The clustered scorecard's FIRST stage alone — the (window, cluster)
+    * keyed moment aggregation, the one stateful operator (state
+    * O(windows × clusters)). Streaming-safe; the window fold
+    * ([[clusteredFold]]) runs batch-side in the sink so the closed
+    * per-cluster rows are visible at commit time — that visibility is
+    * what lets the cluster ledger cumulate ACROSS windows, the fact the
+    * pre-r18 two-chained-aggs topology folded away before the sink
+    * could see it. */
+  private[graft] def clusteredPerCluster(
+      events: DataFrame, armCol: String, convCol: String, tsCol: String,
+      focal: String, control: String,
+      windowLen: String, watermark: String,
+      preCovariate: Option[(DataFrame, String, String)],
       clusterCol: String): DataFrame = {
     val arm = col(armCol).cast("string")
     val conv = col(convCol).cast("long")
@@ -1090,15 +1263,29 @@ object EventStreams {
       sum(when(isC, 1L).otherwise(0L)).as("nc"),
       sideSum(isC, y, "syc"),
       sum(when(!isF && !isC, 1L).otherwise(0L)).as("und")) ++ cupedAggs1
-    val perCluster = src
+    src
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen),
         col(clusterCol).cast("string").as("__cl"))
       .agg(aggs1.head, aggs1.tail: _*)
+  }
+
+  /** The clustered scorecard's SECOND stage — fold the per-cluster rows
+    * of each window into the window's readout (counts, lift/se/z, SRM,
+    * Liang-Zeger robust SEs, CUPED when the moment columns ride). Plain
+    * batch aggregation: identical arithmetic whether it runs inside a
+    * batch transform ([[experimentScorecardClustered]]) or on a
+    * micro-batch of closed windows in the sink. CUPED presence is read
+    * off the frame's columns, same policy as [[alwaysValidFold]]. */
+  private[graft] def clusteredFold(
+      perCluster: DataFrame, focalShare: Double): DataFrame = {
+    val hasCuped = perCluster.columns.contains("sxf")
     val pureF = col("nf") > 0 && col("nc") === 0
     val pureC = col("nc") > 0 && col("nf") === 0
+    def sideSum(cond: Column, e: Column, nm: String) =
+      sum(when(cond, e).otherwise(lit(0.0))).as(nm)
     val cupedFold =
-      if (preCovariate.isEmpty) Seq.empty
+      if (!hasCuped) Seq.empty
       else Seq(
         sum(col("sxf")).as("sx_f"), sum(col("sxxf")).as("sxx_f"),
         sum(col("sxyf")).as("sxy_f"), sum(col("syyf")).as("syy_f"),
@@ -1175,7 +1362,7 @@ object EventStreams {
       col("m_f"), col("m_c"), col("mixed_cluster_n"),
       when(readyRobust, robustSeRaw).as("robust_se_raw"))
     val (cupedCols, robustCupedCols) =
-      if (preCovariate.isEmpty) (Seq.empty, Seq.empty)
+      if (!hasCuped) (Seq.empty, Seq.empty)
       else {
         val (theta, liftCuped, seCuped, varReduction) = cupedWindowCols()
         val robustSeCuped = sqrt(

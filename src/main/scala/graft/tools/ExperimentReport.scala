@@ -50,6 +50,7 @@ object ExperimentReport {
       .join(clicks, Seq("user_id"), "left")
       .select(
         col("user_id"),
+        to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
         when(hashBit("ab-v1:", col("user_id")) === 1, lit("treat"))
           .otherwise(lit("ctrl")).as("arm"),
         concat(lit("seg"), hashBit("seg-v1:", col("user_id"))).as("segment"),
@@ -85,6 +86,64 @@ object ExperimentReport {
     graft.ops.PowerAnalysis.mdeTwoSampleClustered(
       subjects, "activity", "geo")
 
+  /** The mixture scale for the sequential sections: the conversion-lift
+    * magnitude the monitor is most sensitive to (the operators'
+    * conversion-scale default). */
+  val sequentialTau: Double = 0.1
+
+  /** The report's preview cut: looks where an arm is still under 5
+    * subjects (or a side under 2 pure clusters) are previews, not
+    * tests — low so a small fixture still shows the readout; the
+    * always-valid p needs no minimum to stay honest. */
+  val sequentialMinPerArm: Long = 5L
+
+  private def refuseIfEmpty(df: DataFrame, what: String): DataFrame = {
+    require(!df.isEmpty,
+      s"no look qualifies for the $what yet (every look is below the " +
+        s"preview cut of $sequentialMinPerArm per arm) — more data, not " +
+        "a smaller cut, is the honest fix")
+    df
+  }
+
+  /** Section 4 (iid): the ALWAYS-VALID readout — the monitor a reader
+    * may poll at any time. [[graft.ops.SequentialTest.meanMonitor]] on
+    * the 7-day conversion by entry day (looks = the fixture's entry-day
+    * calendar) + `alwaysValidPMean`; the fixed-horizon sections above
+    * are valid ONLY at the planned horizon, this one is valid under
+    * continuous monitoring. Shown newest-last; `p_always_valid` is
+    * nonincreasing, so the final row is the current evidence. */
+  def sequentialLift(subjects: DataFrame): DataFrame = {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    val monitor = graft.ops.SequentialTest.meanMonitor(
+      subjects, "arm", "entry_day", "conv", looks, "day", focal = "treat",
+      minPerArm = sequentialMinPerArm)
+    refuseIfEmpty(
+      graft.ops.SequentialTest.alwaysValidPMean(monitor, sequentialTau)
+        .select("day", "k", "n_a", "mean_a", "n_b", "mean_b",
+          "log_lambda", "p_always_valid")
+        .orderBy("day"),
+      "sequential lift")
+  }
+
+  /** Section 4b (clustered): the always-valid readout at the unit that
+    * actually randomizes — [[graft.ops.SequentialTest
+    * .clusterMeanMonitor]] over the geo design (Δ and V from CLUSTER
+    * means, the same Liang-Zeger honesty as section 3b) +
+    * `alwaysValidPMean`. An iid monitor on a geo rollout peeks twice:
+    * once in time, once in the understated V. */
+  def clusteredSequentialLift(subjects: DataFrame): DataFrame = {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    val monitor = graft.ops.SequentialTest.clusterMeanMonitor(
+      subjects, "arm_geo", "entry_day", "conv", "geo", looks, "day",
+      focal = "treat", control = "ctrl")
+    refuseIfEmpty(
+      graft.ops.SequentialTest.alwaysValidPMean(monitor, sequentialTau)
+        .select("day", "k", "n_a", "mean_a", "n_b", "mean_b", "mixed_m",
+          "log_lambda", "p_always_valid")
+        .orderBy("day"),
+      "clustered sequential lift")
+  }
+
   /** Every section in print order: (title, frame). A section's REFUSAL
     * is its honest answer (e.g. degenerate subgroups at tiny SF) — the
     * CLI prints the diagnosis and keeps reporting. */
@@ -96,15 +155,19 @@ object ExperimentReport {
       graft.ops.PowerAnalysis.mdeTwoSample(subjects, "activity")),
     "2b. clustered design (geo-randomized): deff-adjusted MDE, price in clusters" -> (() =>
       clusteredDesign(subjects)),
-    "3. lift: raw vs CUPED (pre-period activity as covariate)" -> (() =>
+    "3. lift: raw vs CUPED — valid only at the planned horizon" -> (() =>
       graft.ops.Cuped.cuped(subjects, "arm", "conv", "activity",
         focal = "treat")),
-    "3b. cluster-randomized lift (arm per geo): Liang-Zeger SEs + design effect" -> (() =>
+    "3b. cluster-randomized lift (arm per geo): Liang-Zeger SEs + design effect — valid only at the planned horizon" -> (() =>
       clusteredLift(subjects)),
-    "4. Bayesian decision quantities" -> (() =>
+    "4. sequential lift (always-valid p): the readout a dashboard may poll" -> (() =>
+      sequentialLift(subjects)),
+    "4b. clustered sequential lift (cluster-mean mSPRT, always-valid p)" -> (() =>
+      clusteredSequentialLift(subjects)),
+    "5. Bayesian decision quantities" -> (() =>
       graft.ops.BayesAb.betaBinomial(subjects, "arm", "conv",
         focal = "treat")),
-    "5. subgroup honesty: is the pooled lift the whole story?" -> (() =>
+    "6. subgroup honesty: is the pooled lift the whole story?" -> (() =>
       graft.ops.Hte.homogeneity(subjects, "segment", "arm", "conv",
         focal = "treat")))
 }

@@ -65,15 +65,65 @@ class ExperimentReportSpec extends SparkSuite {
     assert(diff == 0, s"$diff subjects carry post-entry activity")
   }
 
-  test("section list prints every design: iid 1-5 plus clustered 2b/3b in order") {
+  test("section 4 == meanMonitor + alwaysValidPMean; 4b == clusterMeanMonitor (by the day grid)") {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    val directIid = graft.ops.SequentialTest.alwaysValidPMean(
+      graft.ops.SequentialTest.meanMonitor(
+        subjects, "arm", "entry_day", "conv", looks, "day", focal = "treat",
+        minPerArm = ExperimentReport.sequentialMinPerArm),
+      ExperimentReport.sequentialTau)
+      .select("day", "k", "log_lambda", "p_always_valid").collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r).toMap
+    val got = ExperimentReport.sequentialLift(subjects).collect()
+    assert(got.nonEmpty, "the fixture must qualify at least one look")
+    assert(got.length == directIid.size)
+    got.foreach { r =>
+      val d = directIid(r.getAs[java.sql.Date]("day"))
+      assert(r.getAs[Long]("k") == d.getAs[Long]("k"))
+      assert(r.getAs[Double]("log_lambda") == d.getAs[Double]("log_lambda"))
+      assert(r.getAs[Double]("p_always_valid") == d.getAs[Double]("p_always_valid"))
+    }
+    val directCl = graft.ops.SequentialTest.alwaysValidPMean(
+      graft.ops.SequentialTest.clusterMeanMonitor(
+        subjects, "arm_geo", "entry_day", "conv", "geo", looks, "day",
+        focal = "treat", control = "ctrl"),
+      ExperimentReport.sequentialTau)
+      .select("day", "n_a", "n_b", "p_always_valid").collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r).toMap
+    val gotCl = ExperimentReport.clusteredSequentialLift(subjects).collect()
+    assert(gotCl.length == directCl.size)
+    gotCl.foreach { r =>
+      val d = directCl(r.getAs[java.sql.Date]("day"))
+      // n_a/n_b here are CLUSTER counts — the honest unit
+      assert(r.getAs[Long]("n_a") == d.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("n_b") == d.getAs[Long]("n_b"))
+      assert(r.getAs[Double]("p_always_valid") == d.getAs[Double]("p_always_valid"))
+    }
+    // sequential p is nonincreasing — the polling contract
+    got.sortBy(_.getAs[Long]("k")).map(_.getAs[Double]("p_always_valid"))
+      .toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a + 1e-15); case _ => ()
+      }
+  }
+
+  test("section list prints every design: iid 1-6 plus clustered 2b/3b/4b in order") {
     val titles = ExperimentReport.sections(subjects).map(_._1)
-    assert(titles.size == 7)
+    assert(titles.size == 9)
     assert(titles.count(_.startsWith("2b.")) == 1)
     assert(titles.count(_.startsWith("3b.")) == 1)
+    assert(titles.count(_.startsWith("4b.")) == 1)
     assert(titles.indexWhere(_.startsWith("2b.")) ==
       titles.indexWhere(_.startsWith("2.")) + 1)
     assert(titles.indexWhere(_.startsWith("3b.")) ==
       titles.indexWhere(_.startsWith("3.")) + 1)
+    assert(titles.indexWhere(_.startsWith("4b.")) ==
+      titles.indexWhere(_.startsWith("4.")) + 1)
+    // the fixed-horizon lift sections are labeled as such now that the
+    // always-valid sections exist — the CLI must not present a peeking
+    // invitation unlabeled
+    assert(titles.find(_.startsWith("3.")).get.contains("planned horizon"))
+    assert(titles.find(_.startsWith("3b.")).get.contains("planned horizon"))
+    assert(titles.find(_.startsWith("4.")).get.contains("always-valid"))
     // every section either produces a row or refuses BY NAME (the CLI
     // prints the diagnosis and keeps reporting — a refusal is an honest
     // answer at tiny SF, an empty frame or another exception is not)

@@ -111,4 +111,124 @@ class MultiArmSpec extends SparkSuite {
     assert(got.getAs[Double]("q_bh") == math.min(1.0, got.getAs[Double]("p")))
     assert(got.getAs[Long]("k") == 1L)
   }
+
+  // ---- sequential (always-valid A/B/n) ----
+
+  // deterministic multi-day subjects: integer-valued metric (sums exact
+  // in FP regardless of aggregation order) with per-arm rate shifts
+  private def seqSubjects(spec: (String, Int)*): org.apache.spark.sql.DataFrame =
+    spec.flatMap { case (a, shift) =>
+      for (day <- 1 to 10; i <- 0 until 12)
+        yield (a, day, ((i + day * shift) % 7).toDouble, (i % 5).toDouble)
+    }.toDF("arm", "day", "v", "x")
+
+  private def looks10 = (1 to 10).toDF("day")
+
+  test("sequential: two-arm case == meanMonitor + alwaysValidPMean bitwise") {
+    val subj = seqSubjects(("c", 1), ("t", 3))
+    val mon = graft.ops.SequentialTest.meanMonitor(
+      subj, "arm", "day", "v", looks10, "day", focal = "t", minPerArm = 5L)
+    val ref = graft.ops.SequentialTest.alwaysValidPMean(mon, tau = 0.5)
+      .select(col("day"), col("k"),
+        (col("mean_a") - col("mean_b")).as("delta"),
+        col("log_lambda"), col("p_always_valid"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val got = MultiArm.sequential(
+      subj, "arm", "day", "v", looks10, "day", control = "c", tau = 0.5,
+      minPerArm = 5L).collect()
+    assert(got.nonEmpty && got.length == ref.size)
+    got.foreach { r =>
+      val (k, d, ll, p) = ref(r.getAs[Int]("day"))
+      assert(r.getAs[Long]("k") == k)
+      assert(r.getAs[Double]("delta") == d, s"delta at day ${r.getAs[Int]("day")}")
+      assert(r.getAs[Double]("log_lambda") == ll, "log_lambda must be bitwise")
+      assert(r.getAs[Double]("p_always_valid") == p, "p must be bitwise")
+      // two arms: the single contrast is always rank 1 of m=1, q == p
+      assert(r.getAs[Long]("m") == 1L && r.getAs[Long]("rk") == 1L)
+      assert(r.getAs[Double]("q_bh") == math.min(1.0, p))
+    }
+  }
+
+  test("sequential CUPED: final look == report's fixed-horizon theta/delta/se; BH ranks adjusted p") {
+    val subj = seqSubjects(("c", 1), ("t1", 2), ("t2", 4), ("t3", 6))
+    val got = MultiArm.sequential(
+      subj, "arm", "day", "v", looks10, "day", control = "c", tau = 0.5,
+      minPerArm = 2L, xCol = Some("x")).collect()
+    val lastDay = got.map(_.getAs[Int]("day")).max
+    val fin = got.filter(_.getAs[Int]("day") == lastDay)
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    val fixed = MultiArm.report(subj, "arm", "v", control = "c",
+      xCol = Some("x")).collect()
+    assert(fixed.length == 3 && fin.size == 3)
+    fixed.foreach { f =>
+      val s = fin(f.getAs[String]("arm"))
+      assert(s.getAs[Long]("n") == f.getAs[Long]("n"))
+      assert(math.abs(s.getAs[Double]("theta") - f.getAs[Double]("theta")) < 1e-12)
+      assert(math.abs(s.getAs[Double]("delta") - f.getAs[Double]("delta")) < 1e-12)
+      assert(math.abs(s.getAs[Double]("delta_cuped") - f.getAs[Double]("delta_cuped")) < 1e-12)
+      assert(math.abs(s.getAs[Double]("se_cuped") - f.getAs[Double]("se_cuped")) < 1e-12)
+    }
+    // per-look BH hand replay over the ADJUSTED always-valid p
+    got.groupBy(_.getAs[Int]("day")).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getAs[Long]("rk"))
+      val ps = byRk.map(_.getAs[Double]("p_always_valid_cuped"))
+      assert(ps.sameElements(ps.sorted), "rk must rank by adjusted p")
+      val m = rows.length
+      byRk.zipWithIndex.foreach { case (r, i) =>
+        val expQ = math.min(1.0,
+          (i until m).map(j => ps(j) * m / (j + 1)).min)
+        assert(math.abs(r.getAs[Double]("q_bh") - expQ) < 1e-12)
+        assert(r.getAs[Boolean]("discovery") == (r.getAs[Double]("q_bh") <= 0.05))
+      }
+    }
+    // p_always_valid_cuped is nonincreasing per arm (the running max)
+    got.groupBy(_.getAs[String]("arm")).foreach { case (_, rows) =>
+      rows.sortBy(_.getAs[Int]("day")).map(_.getAs[Double]("p_always_valid_cuped"))
+        .toSeq.sliding(2).foreach {
+          case Seq(a, b) => assert(b <= a + 1e-15); case _ => ()
+        }
+    }
+  }
+
+  test("sequential: constant covariate degrades adjusted columns to raw") {
+    val subj = seqSubjects(("c", 1), ("t", 3)).withColumn("x", lit(2.0))
+    val got = MultiArm.sequential(
+      subj, "arm", "day", "v", looks10, "day", control = "c", tau = 0.5,
+      minPerArm = 2L, xCol = Some("x")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("theta") == 0.0)
+      assert(r.getAs[Double]("delta_cuped") == r.getAs[Double]("delta"))
+      assert(r.getAs[Double]("log_lambda_cuped") == r.getAs[Double]("log_lambda"))
+      assert(r.getAs[Double]("p_always_valid_cuped") == r.getAs[Double]("p_always_valid"))
+    }
+  }
+
+  test("sequential refusals shared with report: nulls, control, levels, tau, fdr") {
+    val ok = seqSubjects(("c", 1), ("t", 2))
+    def call(df: org.apache.spark.sql.DataFrame, control: String = "c",
+        tau: Double = 0.5, fdr: Double = 0.05) =
+      MultiArm.sequential(df, "arm", "day", "v", looks10, "day", control,
+        tau, fdr)
+    val e1 = intercept[IllegalArgumentException](call(ok, control = "zz"))
+    assert(e1.getMessage.contains("control arm 'zz'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      call(ok.withColumn("arm",
+        when(col("arm") === "t", lit(null).cast("string")).otherwise(col("arm")))))
+    assert(e2.getMessage.contains("contains nulls"), e2.getMessage)
+    val many = (0 until 70).flatMap(a => Seq((s"a$a", 1, 1.0, 0.0)))
+      .toDF("arm", "day", "v", "x")
+    val e3 = intercept[IllegalArgumentException](call(many, control = "a0"))
+    assert(e3.getMessage.contains("segmentation"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](call(ok, tau = 0.0))
+    assert(e4.getMessage.contains("tau"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException](call(ok, fdr = 1.5))
+    assert(e5.getMessage.contains("fdr"), e5.getMessage)
+    // report's null refusal matches (same wording channel)
+    val e6 = intercept[IllegalArgumentException](MultiArm.report(
+      Seq((null.asInstanceOf[String], 1.0), ("c", 0.0), ("c", 1.0),
+        ("t", 0.0), ("t", 1.0)).toDF("arm", "y"), "arm", "y", control = "c"))
+    assert(e6.getMessage.contains("contains nulls"), e6.getMessage)
+  }
 }

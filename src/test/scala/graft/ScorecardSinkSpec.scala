@@ -377,6 +377,99 @@ class ScorecardSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("clustered always-valid leg: streaming fold == batch clusterMeanMonitor on every prefix; ledger replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_clav")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_clav_ck").toString
+    val tau = 0.1
+    // three hourly windows; geos g0..g5, arm a function of the geo —
+    // except g5, which flips arms in hour 12 (a cross-WINDOW assignment
+    // defect only the cumulative ledger can see: within each window g5
+    // is pure)
+    def armOf(geo: Int, hour: Int): String =
+      if (geo == 5) (if (hour >= 12) "treat" else "ctrl")
+      else if (geo % 2 == 0) "treat" else "ctrl"
+    val rows: Seq[(Timestamp, String, Int, String)] = for {
+      hour <- Seq(10, 11, 12)
+      geo <- 0 to 5
+      i <- 1 to 10
+    } yield (t(f"2024-01-01 $hour%02d:00:${(geo * 10 + i) % 60}%02d"),
+      armOf(geo, hour), (i + geo * 2 + hour) % 3 min 1, s"g$geo")
+    val ms = MemoryStream[(Timestamp, String, Int, String)]
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "geo"), "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-clav-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes",
+      clusterCol = Some("geo"), alwaysValidTau = tau)
+    try {
+      // feed hour-by-hour so windows close across SEPARATE micro-batches
+      // (the ledger must carry cluster sums between commits)
+      rows.groupBy(_._1.toLocalDateTime.getHour).toSeq.sortBy(_._1)
+        .foreach { case (_, hr) => ms.addData(hr: _*); q.processAllAvailable() }
+      ms.addData((t("2024-01-02 09:00:00"), "treat", 0, "g0"))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 3, s"three closed windows, got ${got.length}")
+      // batch monitor on the same subjects, day = the window start
+      val subj = rows.toDF("ts", "arm", "conv", "geo")
+        .withColumn("day", date_trunc("hour", col("ts")))
+      val looks = subj.select("day").distinct()
+      val monitor = graft.ops.SequentialTest.clusterMeanMonitor(
+        subj, "arm", "day", "conv", "geo", looks, "day",
+        focal = "treat", control = "ctrl", minClusters = 2L)
+      val batch = graft.ops.SequentialTest.alwaysValidPMean(monitor, tau)
+        .collect().map(r => r.getAs[Timestamp]("day") -> r).toMap
+      assert(batch.nonEmpty, "batch monitor must qualify at least one look")
+      got.foreach { s =>
+        val ws = s.getAs[Timestamp]("w_start")
+        batch.get(ws).foreach { b =>
+          assert(s.getAs[Long]("cum_m_f") == b.getAs[Long]("n_a"))
+          assert(s.getAs[Long]("cum_m_c") == b.getAs[Long]("n_b"))
+          assert(s.getAs[Long]("cum_mixed_cluster_n") == b.getAs[Long]("mixed_m"))
+          assert(math.abs(s.getAs[Double]("log_lambda_cluster") -
+            b.getAs[Double]("log_lambda")) < 1e-12,
+            s"lnl at $ws: ${s.getAs[Double]("log_lambda_cluster")} vs " +
+              s"${b.getAs[Double]("log_lambda")}")
+          assert(math.abs(s.getAs[Double]("p_always_valid_cluster") -
+            b.getAs[Double]("p_always_valid")) < 1e-12,
+            s"p at $ws")
+        }
+      }
+      // the cross-window flip makes g5 cumulatively mixed from hour 12 on
+      val byW = got.map(r => r.getAs[Timestamp]("w_start").toLocalDateTime.getHour ->
+        r.getAs[Long]("cum_mixed_cluster_n")).toMap
+      assert(byW(10) == 0L && byW(11) == 0L && byW(12) == 1L,
+        s"g5 must turn mixed exactly at hour 12, got $byW")
+      // p is nonincreasing across the table history
+      got.map(_.getAs[Double]("p_always_valid_cluster")).toSeq.sliding(2)
+        .foreach { case Seq(a, b) => assert(b <= a + 1e-15); case _ => () }
+      // the cluster ledger holds one cumulative row per cluster
+      val ledger = VersionedTable.table(spark, s"${path}_clusters")
+        .orderBy("cluster").collect()
+      assert(ledger.length == 6, s"6 clusters expected, got ${ledger.length}")
+      val g5 = ledger.find(_.getAs[String]("cluster") == "g5").get
+      assert(g5.getAs[Long]("n_f") > 0 && g5.getAs[Long]("n_c") > 0,
+        "the flipped cluster's ledger row must show both sides")
+      // forced replay: recommitting consumed batch ids must not grow the
+      // scorecard or regress the ledger
+      val tblBefore = VersionedTable.table(spark, path).count()
+      val ledBefore = ledger.map(_.toSeq).toSeq
+      (0L to 3L).foreach { bid =>
+        VersionedTable.commitStreamBatch(
+          VersionedTable.table(spark, path).limit(0), path,
+          "scorecard-clav-spec", bid)
+        VersionedTable.commitOverwriteBatch(
+          VersionedTable.table(spark, s"${path}_clusters").limit(0),
+          s"${path}_clusters", "scorecard-clav-spec", bid)
+      }
+      assert(VersionedTable.table(spark, path).count() == tblBefore)
+      assert(VersionedTable.table(spark, s"${path}_clusters")
+        .orderBy("cluster").collect().map(_.toSeq).toSeq == ledBefore,
+        "a replayed ledger overwrite must be absorbed by the txn gate")
+    } finally q.stop()
+  }
+
   test("clustered scorecard: a both-arm cluster nulls the robust columns and is counted") {
     val mixed = (1 to 40).map { i =>
       // cluster g0 deliberately receives BOTH arms
