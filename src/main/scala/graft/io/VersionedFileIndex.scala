@@ -25,12 +25,16 @@ private[io] object StatBound {
   final case class S(v: Array[Byte]) extends StatBound
   final case class L(v: Long) extends StatBound
   final case class D(v: Double) extends StatBound
+  final case class C(v: java.math.BigDecimal) extends StatBound
 
   /** Total order within one domain; mixed forms are a routing bug. */
   def cmp(a: StatBound, b: StatBound): Int = (a, b) match {
     case (S(x), S(y)) => java.util.Arrays.compareUnsigned(x, y)
     case (L(x), L(y)) => java.lang.Long.compare(x, y)
     case (D(x), D(y)) => java.lang.Double.compare(x, y)
+    // compareTo, not equals: 10.50 and 10.5 are the same value (scale
+    // is representation, not identity — matching Spark's decimal order)
+    case (C(x), C(y)) => x.compareTo(y)
     case _ => sys.error(s"mixed stat-bound domains: $a vs $b")
   }
 
@@ -145,6 +149,7 @@ final class VersionedFileIndex(
   private def dec(t: String, raw: String): StatBound = t match {
     case "string" => S(raw.getBytes("UTF-8"))
     case "double" => D(normD(raw.toDouble))
+    case "decimal" => C(new java.math.BigDecimal(raw))
     case _ => L(raw.toLong) // date = epoch days, timestamp = epoch micros
   }
 
@@ -160,6 +165,17 @@ final class VersionedFileIndex(
       attrOf(c.child).filter(domainOf(_) == "long")
     case c: Cast if c.dataType == DoubleType && c.child.dataType == FloatType =>
       attrOf(c.child).filter(domainOf(_) == "double")
+    case c: Cast =>
+      // decimal→decimal WIDENING (scale and integral digits both
+      // non-shrinking) is exact — the analyzer's promotion to the
+      // comparison's common type; any lossy decimal cast declines
+      (c.dataType, c.child.dataType) match {
+        case (d2: DecimalType, d1: DecimalType)
+            if d2.scale >= d1.scale &&
+              d2.precision - d2.scale >= d1.precision - d1.scale =>
+          attrOf(c.child).filter(domainOf(_) == "decimal")
+        case _ => None
+      }
     case _ => None
   }
 
@@ -174,7 +190,10 @@ final class VersionedFileIndex(
     * channel's epoch-second ranges. */
   private def litOf(c: String, e: Expression): Option[StatBound] =
     (domainOf(c), e) match {
-      case ("long", Literal(v, dt)) if integral(dt) =>
+      // null guards on the untyped patterns: a pushed-down `IN (1, NULL)`
+      // carries Literal(null, IntegerType), which must decline to prune
+      // (matching the typed patterns below, which reject null structurally)
+      case ("long", Literal(v, dt)) if v != null && integral(dt) =>
         Some(L(v.asInstanceOf[Number].longValue))
       case ("string", Literal(u: UTF8String, StringType)) =>
         Some(S(u.getBytes))
@@ -186,8 +205,13 @@ final class VersionedFileIndex(
         Some(D(normD(d)))
       case ("double", Literal(f: java.lang.Float, FloatType)) =>
         Some(D(normD(f.doubleValue)))
-      case ("double", Literal(v, dt)) if integral(dt) =>
+      case ("double", Literal(v, dt)) if v != null && integral(dt) =>
         Some(D(v.asInstanceOf[Number].longValue.toDouble))
+      case ("decimal",
+          Literal(d: org.apache.spark.sql.types.Decimal, _: DecimalType)) =>
+        Some(C(d.toJavaBigDecimal))
+      case ("decimal", Literal(v, dt)) if v != null && integral(dt) =>
+        Some(C(java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue)))
       case _ => None
     }
 
@@ -199,12 +223,14 @@ final class VersionedFileIndex(
     case L(v) => if (v == Long.MaxValue) (Some(L(1)), Some(L(0))) else (Some(L(v + 1)), None)
     case D(v) => (Some(D(Math.nextUp(v))), None)
     case s: S => (Some(s), None)
+    case c: C => (Some(c), None) // inclusive degrade: sound, exact filter still runs
   }
 
   private def below(b: StatBound): Iv = b match {
     case L(v) => if (v == Long.MinValue) (Some(L(1)), Some(L(0))) else (None, Some(L(v - 1)))
     case D(v) => (None, Some(D(Math.nextDown(v))))
     case s: S => (None, Some(s))
+    case c: C => (None, Some(c))
   }
 
   /** col -> tightest [lo, hi] (inclusive, in the column's domain) implied
@@ -308,7 +334,7 @@ final class VersionedFileIndex(
 
   private def pointKey(c: String, e: Expression): Option[Long] =
     (domainOf(c), e) match {
-      case ("long", Literal(v, dt)) if integral(dt) =>
+      case ("long", Literal(v, dt)) if v != null && integral(dt) =>
         Some(v.asInstanceOf[Number].longValue)
       case ("string", Literal(u: UTF8String, StringType)) => Some(xx64(u))
       case _ => None

@@ -513,9 +513,14 @@ object VersionedTable {
     * aggregated as x + 0.0 so −0.0 normalizes to 0.0 (the D domain's
     * total order must not split a value Spark's equality treats as one);
     * NaN passes through and sorts greatest, exactly as Spark compares.
-    * DECIMAL stays long-only by design: a >53-bit-precision decimal
-    * rounded to double could record a min ABOVE the true min and prune a
-    * live file — long truncation is sound, double rounding is not. */
+    * DECIMAL records both: the truncated long entry keeps the legacy
+    * surface, and a 'C' typed entry records min/max EXACTLY as plain
+    * decimal strings (never rounded through double — a
+    * >53-bit-precision decimal rounded to double could record a min
+    * ABOVE the true min and prune a live file; the string round-trip
+    * cannot), compared downstream in the BigDecimal domain so
+    * `price BETWEEN 10.25 AND 10.75` prunes sharply on decimal-typed
+    * schemas. */
   private def statsSlots(
       schema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String]): Seq[(String, Char)] = {
@@ -526,6 +531,7 @@ object VersionedTable {
         case Some(DateType) => Seq((c, 'D'))
         case Some(TimestampType) => Seq((c, 'L'), (c, 'T'))
         case Some(DoubleType) | Some(FloatType) => Seq((c, 'L'), (c, 'F'))
+        case Some(_: DecimalType) => Seq((c, 'L'), (c, 'C'))
         case _ => Seq((c, 'L'))
       }
     }
@@ -539,6 +545,7 @@ object VersionedTable {
         case 'D' => unix_date(col(c)).cast("long")
         case 'T' => unix_micros(col(c))
         case 'F' => col(c).cast("double") + lit(0.0)
+        case 'C' => col(c) // decimal: native numeric min/max, exact
         case _ => col(c).cast("long")
       }
       Seq(min(e).as(s"__lo_$i"), max(e).as(s"__hi_$i"))
@@ -566,6 +573,10 @@ object VersionedTable {
           typed += ((f, c) ->
             (java.lang.Double.toString(r.getDouble(lo)),
               java.lang.Double.toString(r.getDouble(hi))))
+        case 'C' =>
+          // toPlainString round-trips exactly at any precision/scale
+          typed += ((f, c) ->
+            (r.getDecimal(lo).toPlainString, r.getDecimal(hi).toPlainString))
         case _ => longs += ((f, c) -> (r.getLong(lo), r.getLong(hi)))
       }
     }
@@ -578,6 +589,7 @@ object VersionedTable {
       case (c, 'D') => c -> "date"
       case (c, 'T') => c -> "timestamp"
       case (c, 'F') => c -> "double"
+      case (c, 'C') => c -> "decimal"
     }.toMap
 
   /** Per-file [min, max] of each key column over freshly staged files —
@@ -1172,50 +1184,56 @@ object VersionedTable {
         sys.error(s"bucketed manifest carries an unsuffixed file: $fl")))
     require(byBucket.keys.forall(_ < n), s"file suffix >= declared n=$n at $path")
     val childCol = "__graft_child"
-    // per-bucket splits run CONCURRENTLY from the driver (the purge
-    // rewrite-pool discipline): each job is tiny and bucket-local, so a
-    // 1000-bucket fact's doubling is bounded by cluster capacity, not
-    // by a serial driver loop. Width is conf-tunable: each in-flight
-    // split holds one job slot + one open writer per child, so size it
-    // to the cluster's concurrent-job headroom (8 suits local[32]; a
-    // real cluster doubling hundreds of buckets wants executor-count/2)
-    import scala.collection.parallel.CollectionConverters._
-    import scala.collection.parallel.ForkJoinTaskSupport
+    // BATCHED splits (r18, VERDICT r17 item 7): buckets group into
+    // ⌈buckets / splitPoolWidth⌉ union-read jobs instead of one tiny job
+    // per bucket — the 256-bucket probe showed wall dominated by
+    // scheduling 256 driver-pool jobs, not by data. One job reads a
+    // GROUP of old buckets' files and writes partitioned-by-child: the
+    // child id c = hash mod newN determines its parent (c mod n)
+    // by construction, so per-bucket task isolation is not needed for
+    // attribution; parallelism inside the job is the file-scan split
+    // (∝ data), so wall tracks bytes, not bucket count. Each scan
+    // partition is key-sorted before the write, so every child FILE
+    // stays locally sorted (the same local-sort contract as before —
+    // a partition mixing two files of one bucket merge-sorts them).
+    // `splitPoolWidth` keeps its conf name and now means buckets per
+    // union job (one open writer per child of the group per task, so it
+    // still bounds writer fan-out exactly as the pool width did).
     val splitPoolWidth = spark.conf
       .getOption("spark.graft.rebucket.splitPoolWidth")
-      .map(_.toInt).getOrElse(8)
+      .map(_.toInt).getOrElse(64)
     require(splitPoolWidth >= 1,
       s"spark.graft.rebucket.splitPoolWidth must be >= 1, got $splitPoolWidth")
-    val splitPool = new java.util.concurrent.ForkJoinPool(splitPoolWidth)
-    val names = try {
-      val buckets = byBucket.toSeq.sortBy(_._1).par
-      buckets.tasksupport = new ForkJoinTaskSupport(splitPool)
-      buckets.map { case (b, filesB) =>
-        val tmp = s"$dataDir/_split_$b"
-        conformTo(currSchema)(evolvedRead(spark, path, text, filesB))
-          .coalesce(1)
-          .sortWithinPartitions(keys.head, keys.tail: _*)
-          .withColumn(childCol, pmod(hash(keys.map(col): _*), lit(newN)))
-          .write.partitionBy(childCol).parquet(tmp)
-        val out = f.listStatus(new Path(tmp))
-          .filter(_.isDirectory)
-          .flatMap { d =>
-            val c = d.getPath.getName.stripPrefix(s"$childCol=").toInt
-            require(c % n == b && c < newN,
-              s"local split of bucket $b produced child $c — mod-$newN must refine mod-$n")
-            f.listStatus(d.getPath)
-              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-              .map { s =>
-                val renamed = f"part-$b%05d-$commitId" + f"_$c%05d.parquet"
-                require(f.rename(s.getPath, new Path(s"$dataDir/$renamed")),
-                  s"rename ${s.getPath.getName} -> $renamed failed")
-                s"$commitId/$renamed"
-              }
-          }
-        f.delete(new Path(tmp), true)
-        out.toSeq
-      }.seq.flatten
-    } finally splitPool.shutdown()
+    val groups = byBucket.toSeq.sortBy(_._1).grouped(splitPoolWidth).toSeq
+    val names = groups.zipWithIndex.flatMap { case (grp, gi) =>
+      val tmp = s"$dataDir/_split_g$gi"
+      val grpBuckets = grp.map(_._1).toSet
+      conformTo(currSchema)(evolvedRead(spark, path, text, grp.flatMap(_._2)))
+        .withColumn(childCol, pmod(hash(keys.map(col): _*), lit(newN)))
+        .sortWithinPartitions(keys.head, keys.tail: _*)
+        .write.partitionBy(childCol).parquet(tmp)
+      val out = f.listStatus(new Path(tmp))
+        .filter(_.isDirectory)
+        .flatMap { d =>
+          val c = d.getPath.getName.stripPrefix(s"$childCol=").toInt
+          require(c < newN && grpBuckets.contains(c % n),
+            s"group $gi (buckets ${grpBuckets.toSeq.sorted.mkString(",")}) " +
+              s"produced child $c — mod-$newN must refine mod-$n")
+          val b = c % n
+          f.listStatus(d.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+            .zipWithIndex
+            .map { case (s, i) =>
+              val renamed = f"part-$b%05d-$i%03d-$commitId" + f"_$c%05d.parquet"
+              require(f.rename(s.getPath, new Path(s"$dataDir/$renamed")),
+                s"rename ${s.getPath.getName} -> $renamed failed")
+              s"$commitId/$renamed"
+            }
+        }
+      f.delete(new Path(tmp), true)
+      out.toSeq
+    }
     val finalNames =
       if (names.nonEmpty) names
       else stageEmptySeed(spark, path, currSchema, bucketSuffix = true)
@@ -1996,12 +2014,18 @@ object VersionedTable {
       case ("double", f: Float) => StatBound.D(StatBound.normD(f.toDouble))
       case ("double", l: Long) => StatBound.D(l.toDouble)
       case ("double", i: Int) => StatBound.D(i.toDouble)
+      case ("decimal", d: java.math.BigDecimal) => StatBound.C(d)
+      case ("decimal", d: BigDecimal) => StatBound.C(d.bigDecimal)
+      case ("decimal", s: String) => StatBound.C(new java.math.BigDecimal(s))
+      case ("decimal", l: Long) => StatBound.C(java.math.BigDecimal.valueOf(l))
+      case ("decimal", i: Int) => StatBound.C(java.math.BigDecimal.valueOf(i.toLong))
       case _ => throw new IllegalArgumentException(
         s"predicate bound ${v.getClass.getSimpleName} cannot be compared against " +
           s"'$colName' recorded as $tpe stats — pass a ${
             if (tpe == "string") "String"
             else if (tpe == "date") "java.sql.Date / LocalDate / ISO string"
             else if (tpe == "double") "Double / Float / integral"
+            else if (tpe == "decimal") "java.math.BigDecimal / decimal string / integral"
             else "java.sql.Timestamp / Instant / epoch-micros Long"}")
     }
 
@@ -2066,6 +2090,7 @@ object VersionedTable {
               def fdec(raw: String): StatBound = t match {
                 case "string" => StatBound.S(raw.getBytes("UTF-8"))
                 case "double" => StatBound.D(StatBound.normD(raw.toDouble))
+                case "decimal" => StatBound.C(new java.math.BigDecimal(raw))
                 case _ => StatBound.L(raw.toLong)
               }
               StatBound.cmp(fdec(fhi), typedBound(t, c, lo)) >= 0 &&
@@ -2113,6 +2138,8 @@ object VersionedTable {
         case (Some("date"), s: String) => to_date(lit(s))
         case (Some("timestamp"), l: Long) => timestamp_micros(lit(l))
         case (Some("double"), n: Number) => lit(n.doubleValue)
+        case (Some("decimal"), s: String) => lit(new java.math.BigDecimal(s))
+        case (Some("decimal"), d: BigDecimal) => lit(d.bigDecimal)
         case _ => lit(bound)
       }
     val exact = preds.map { case (c, (lo, hi)) =>

@@ -812,6 +812,61 @@ object Relational {
             FROM uni WHERE quality > 0.8435
             GROUP BY lang ORDER BY lang"""))
 
+  /** Q376 — DECIMAL manifest pruning through the Catalyst read path
+    * (r18: the stats3 'C' slot — VERDICT r17 item 4): a priced corpus
+    * whose price is DECIMAL(12,2) built from integer arithmetic (never
+    * through double — exact in both engines), range-clustered so
+    * per-file decimal bounds are tight, plus a stats-less control
+    * commit whose rows sit INSIDE the queried band. The cut
+    * `price BETWEEN 1100.25 AND 1310.75` has sub-integer bounds the
+    * long channel's truncation cannot express; the in-plan REQUIRE
+    * pins that the typed decimal cut strictly tightens the file set,
+    * and the oracle recomputes the slice. TypedIndexSpec pins the
+    * planner file counts, scale identity (12.5 == 12.50) and the
+    * compaction lifecycle. */
+  val q376 = QueryDef(
+    "q376_decimal_prune",
+    (s, d) => {
+      val path = Scratch.dir("q376") + "/tbl"
+      val priced = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        concat(((col("doc_id") % 9000) + lit(1000)).cast("string"), lit("."),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+          .cast("decimal(12,2)").as("price"))
+      graft.io.VersionedTable.commitAppend(
+        priced.repartitionByRange(4, col("price")), path, Seq("price"))
+      // stats-less control: in-band rows pruning must NOT drop
+      graft.io.VersionedTable.commitAppend(
+        priced.filter(col("doc_id") % 9 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L)),
+        path)
+      val lo = new java.math.BigDecimal("1100.25")
+      val hi = new java.math.BigDecimal("1310.75")
+      val all = graft.io.VersionedTable.filesOf(s, path).size
+      val hit = graft.io.VersionedTable.filesForRangesTyped(
+        s, path, Map("price" -> (lo, hi))).size
+      require(hit < all,
+        s"decimal typed cut must tighten the file set: read $hit of $all " +
+          "(is the 'C' slot recording?)")
+      graft.io.VersionedTable.table(s, path)
+        .filter(col("price").between(lit(lo), lit(hi)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH priced AS (SELECT doc_id, lang, n_chars,
+                                   CAST(CAST(doc_id % 9000 + 1000 AS VARCHAR) || '.' ||
+                                        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                                        AS DECIMAL(12,2)) AS price
+                            FROM documents),
+                 extra AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars, price
+                           FROM priced WHERE doc_id % 9 = 0),
+                 uni AS (SELECT doc_id, lang, n_chars, price FROM priced
+                         UNION ALL SELECT * FROM extra)
+            SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM uni WHERE price BETWEEN 1100.25 AND 1310.75
+            GROUP BY lang ORDER BY lang"""))
+
   /** Q371 — DOUBLE z-order composed with fractional pruning (r17:
     * `InterleaveBitsN.forFrame` quantile binning × the stats3 'F'
     * channel): a corpus lands SHUFFLED (hash-scattered small files — no
@@ -3231,7 +3286,7 @@ object Relational {
     q71, q72, q75, q76, q77, q78, q81, q82, q91, q94, q100, q109, q118, q131, q132, q133,
     q134, q135, q136, q142, q146, q147, q149, q151, q153, q157, q163, q164, q165, q166,
     q167, q168, q169, q180, q189, q197, q229, q232, q249, q363, q364, q367, q368,
-    q371)
+    q371, q376)
 }
 
 /** q293's eager skew-join execution, shared with PlanShapeSpec (which

@@ -240,10 +240,10 @@ object ScaleProbe {
     val r = graft.io.VersionedTable.rebucketInto(spark, table, 512)
     val wallSec = (System.nanoTime() - t1) / 1e9
     spark.sparkContext.removeSparkListener(listener)
-    val width = spark.conf.getOption("spark.graft.rebucket.splitPoolWidth").getOrElse("8")
+    val width = spark.conf.getOption("spark.graft.rebucket.splitPoolWidth").getOrElse("64")
     println(f"[probe] rebucket_256_to_512        rows=$n%9d ingest=$ingestSec%7.2f s " +
       f"wall=$wallSec%7.2f s max_task=${maxTaskMs.get()}%6d ms " +
-      f"files=${r.filesWritten}%4d local=${r.local} pool_width=$width")
+      f"files=${r.filesWritten}%4d local=${r.local} buckets_per_job=$width")
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 

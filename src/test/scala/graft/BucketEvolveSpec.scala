@@ -90,7 +90,7 @@ class BucketEvolveSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
   }
 
-  test("split-pool width is conf-tunable; fallback under the conf still states local = false") {
+  test("split width (buckets per union job) is conf-tunable; fallback under the conf still states local = false") {
     val path = fresh()
     VersionedTable.commitBucketed(rows(0 until 900, "x"), path, "id", 4)
     val before = VersionedTable.read(spark, path).orderBy("id").collect().toSeq
@@ -100,8 +100,8 @@ class BucketEvolveSpec extends SparkSuite {
       val r = VersionedTable.rebucketInto(spark, path, 8)
       assert(r.local && r.filesWritten == 8, r.toString)
       assert(VersionedTable.read(spark, path).orderBy("id").collect().toSeq == before)
-      // the conf narrows concurrency, never the honesty: a non-power
-      // target under the same conf still rewrites and says so
+      // the conf narrows the per-job bucket group, never the honesty: a
+      // non-power target under the same conf still rewrites and says so
       val r2 = VersionedTable.rebucketInto(spark, path, 6)
       assert(!r2.local && VersionedTable.bucketing(spark, path).contains(("id", 6)))
       assert(VersionedTable.read(spark, path).orderBy("id").collect().toSeq == before)

@@ -179,6 +179,74 @@ class TypedIndexSpec extends SparkSuite {
       t.filter(col("d") === lit(java.sql.Date.valueOf("2024-01-15")))) == 1)
   }
 
+  test("decimal predicates prune through table(): 'C' slot, sharp sub-integer bounds") {
+    val path = freshDir()
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // four price bands of one currency unit each: [10.00,10.99] .. [13.00,13.99]
+    // built from INTEGER arithmetic (never through double) so the recorded
+    // bounds are exact by construction
+    (0 until 4).foreach { b =>
+      val df = spark.range(100)
+        .select(col("id"),
+          concat(lit((10 + b).toString), lit("."),
+            lpad((col("id") % 100).cast("string"), 2, "0"))
+            .cast("decimal(12,2)").as("price"))
+        .coalesce(1)
+      VersionedTable.commitAppend(df, path, Seq("price"))
+    }
+    def t = VersionedTable.table(spark, path)
+    // sub-integer threshold: the long channel truncates every band to an
+    // integer range, only the 'C' slot can separate 12.49 from 12.50
+    assert(t.filter(col("price") > lit(bd("12.49"))).count() == 150)
+    assert(filesScanned(t.filter(col("price") > lit(bd("12.49")))) == 2)
+    assert(filesScanned(
+      t.filter(col("price").between(lit(bd("11.25")), lit(bd("11.75"))))) == 1)
+    // integral literal on a decimal column prunes (promotion is exact)
+    assert(filesScanned(t.filter(col("price") >= 13)) == 1)
+    assert(t.filter(col("price") >= 13).count() == 100)
+    // SQL decimal literal
+    t.createOrReplaceTempView("vt_typed_dec")
+    assert(filesScanned(spark.sql(
+      "SELECT * FROM vt_typed_dec WHERE price BETWEEN 10.50 AND 10.60")) == 1)
+    // programmatic typed read agrees (BigDecimal and string bounds)
+    assert(VersionedTable.readWhereTyped(
+      spark, path, Map("price" -> (bd("13.00"), bd("13.99")))).count() == 100)
+    assert(VersionedTable.filesForRangesTyped(
+      spark, path, Map("price" -> ("12.50", "12.99"))).size == 1)
+    // scale is representation, not identity: 12.5 == 12.50
+    assert(filesScanned(t.filter(col("price") === lit(bd("12.5")))) == 1)
+    assert(t.filter(col("price") === lit(bd("12.5"))).count() == 1)
+  }
+
+  test("decimal pruning survives compaction; null IN-list literals decline to prune") {
+    val path = freshDir()
+    def bd(s: String) = new java.math.BigDecimal(s)
+    (0 until 4).foreach { b =>
+      val df = (b * 100 until (b + 1) * 100)
+        .map(i => (i.toLong, f"${10 + b}%d.${i % 100}%02d"))
+        .toDF("id", "ps")
+        .select(col("id"), col("ps").cast("decimal(12,2)").as("price"))
+        .coalesce(1)
+      VersionedTable.commitAppend(df, path, Seq("id", "price"))
+    }
+    VersionedTable.compact(spark, path, targetRowsPerFile = 200)
+    def t = VersionedTable.table(spark, path)
+    val total = filesScanned(t)
+    // compacted files re-recorded the 'C' slot
+    assert(filesScanned(t.filter(col("price") > lit(bd("12.49")))) < total)
+    assert(t.filter(col("price") > lit(bd("12.49"))).count() == 150)
+    // regression (r17 ADVICE): a NULL inside a pushed-down IN list must
+    // decline to prune, not NPE at planning time — on the long channel...
+    t.createOrReplaceTempView("vt_dec_nullin")
+    assert(spark.sql(
+      "SELECT * FROM vt_dec_nullin WHERE id IN (42, NULL)").count() == 1)
+    // ...and on the typed channels
+    assert(spark.sql(
+      "SELECT * FROM vt_dec_nullin WHERE price IN (CAST(10.42 AS DECIMAL(12,2)), NULL)")
+      .count() >= 1)
+    assert(t.filter(col("id").isin(7, null)).count() == 1)
+  }
+
   test("typed pruning survives compaction and purge lifecycle") {
     val path = freshDir()
     (0 until 4).foreach { b =>
