@@ -829,6 +829,66 @@ class SurvivalSpec extends SparkSuite {
     assert(diagE.getAs[Int]("n_iters") <= 8 && diagE.getAs[Boolean]("converged"))
   }
 
+  test("warm-start Cox: betaStart re-fit spends strictly fewer jobs, beta unchanged to 1e-9") {
+    def countJobs(group: String)(action: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try action
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map { i =>
+      val x = (i % 2).toDouble
+      val z = (i % 5).toDouble / 4.0
+      val t = 1L + (-math.log(rnd.nextDouble()) /
+        (0.05 * math.exp(0.5 * x - 0.3 * z))).toLong
+      (math.min(t, 90L), if (t <= 90L) 1 else 0, x, z)
+    }
+    val df = rows.toDF("t", "e", "x", "z")
+    // cold fit: persistable frame with covariate/beta
+    val cold = Survival.coxPHDiag(df, Seq("x", "z"), "t", "e", ties = "breslow")
+    val coldRows = cold.collect()
+    val coldIters = coldRows(0).getAs[Int]("n_iters")
+    assert(coldIters >= 2, s"fixture must need >1 cold pass, got $coldIters")
+    // warm start from the stored fit (name-aligned, order-independent)
+    val start = Survival.betaStartFrom(cold, Seq("x", "z"))
+    val coldJobs = countJobs("cox_cold")(
+      Survival.coxPH(df, Seq("x", "z"), "t", "e", ties = "breslow").collect())
+    val warmJobs = countJobs("cox_warm")(
+      Survival.coxPH(df, Seq("x", "z"), "t", "e", ties = "breslow",
+        betaStart = Some(start)).collect())
+    assert(warmJobs < coldJobs,
+      s"warm re-fit must spend strictly fewer jobs: warm=$warmJobs cold=$coldJobs")
+    val warmRows = Survival.coxPHDiag(df, Seq("x", "z"), "t", "e",
+      ties = "breslow", betaStart = Some(start)).collect()
+    assert(warmRows(0).getAs[Int]("n_iters") < coldIters)
+    coldRows.zip(warmRows).foreach { case (c, w) =>
+      assert(c.getAs[String]("covariate") == w.getAs[String]("covariate"))
+      assert(math.abs(c.getAs[Double]("beta") - w.getAs[Double]("beta")) < 1e-9,
+        s"${c.getAs[String]("covariate")}: cold=${c.getAs[Double]("beta")} " +
+          s"warm=${w.getAs[Double]("beta")}")
+      assert(math.abs(c.getAs[Double]("se") - w.getAs[Double]("se")) < 1e-9)
+    }
+    // name alignment: a reordered xCols call still lands the same betas
+    val swapped = Survival.coxPH(df, Seq("z", "x"), "t", "e", ties = "breslow",
+      betaStart = Some(Survival.betaStartFrom(cold, Seq("z", "x")))).collect()
+      .map(r => r.getAs[String]("covariate") -> r.getAs[Double]("beta")).toMap
+    coldRows.foreach(c => assert(
+      math.abs(swapped(c.getAs[String]("covariate")) - c.getAs[Double]("beta")) < 1e-9))
+    // refusals by name: wrong arity, non-finite prior, missing covariate
+    val e1 = intercept[IllegalArgumentException](
+      Survival.coxPH(df, Seq("x", "z"), "t", "e", ties = "breslow",
+        betaStart = Some(Seq(0.1))).collect())
+    assert(e1.getMessage.contains("betaStart has 1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Survival.coxPH(df, Seq("x", "z"), "t", "e", ties = "breslow",
+        betaStart = Some(Seq(Double.NaN, 0.0))).collect())
+    assert(e2.getMessage.contains("finite"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Survival.betaStartFrom(cold, Seq("x", "missing_cov")))
+    assert(e3.getMessage.contains("missing_cov"), e3.getMessage)
+  }
+
   test("rmstFromCurves: a group whose first event exceeds the horizon reports rmst = horizon") {
     val curves = Seq(
       ("__all", 2L, "p", 0.3, 0.8),
