@@ -221,12 +221,13 @@ object Main {
       // optional second arg registers the fixture tables first so plain
       // SELECTs over region/nation/.../documents work too. Multiple
       // statements split on ';' run in ONE session — SET a catalog conf,
-      // CREATE, INSERT, SELECT in a single invocation (the split is
-      // syntactic; a ';' inside a string literal needs separate runs)
+      // CREATE, INSERT, SELECT in a single invocation. The split is
+      // quote-aware: ';' inside a single-quoted literal (SQL's ''
+      // escape included) or a double-quoted identifier stays put, so
+      // `... LIKE '%;%'` is ONE statement, not two broken fragments.
       val spark = GraftSession.local()
       rest.headOption.foreach(sfDir => graft.core.Tables.registerFixtures(spark, sfDir))
-      stmt.split(";").map(_.trim).filter(_.nonEmpty)
-        .foreach(s => spark.sql(s).show(100, truncate = false))
+      splitSqlStatements(stmt).foreach(s => spark.sql(s).show(100, truncate = false))
       spark.stop()
     case "table-verify" :: path :: Nil =>
       // offline integrity sweep: referenced-file existence, recorded
@@ -259,6 +260,19 @@ object Main {
               println(s"[refused] ${e.getMessage}")
           }
       }
+      spark.stop()
+    case "corpus-refresh" :: table :: ledgerDir :: "--rebootstrap" :: Nil =>
+      // right-to-be-forgotten closure: after deleteWhere/purge + vacuum,
+      // rebuild the band ledger from the surviving snapshot (one signing
+      // pass, overwrite) and reset the consumer version — the erased
+      // docs' signatures must not keep suppressing future content
+      val spark = GraftSession.local()
+      val ledger = graft.ops.Dedup.DedupLedger(
+        s"$ledgerDir/bands", s"$ledgerDir/sketches")
+      val r = graft.pipeline.CorpusRefresh.rebootstrap(spark, table, ledger)
+      println(s"[graft] corpus-refresh rebootstrap: ${r.docsSigned} docs signed " +
+        s"(${r.droppedQuality} quality-dropped), ledger reset at $ledgerDir; " +
+        s"next fromVersion = ${r.toVersion}")
       spark.stop()
     case "corpus-refresh" :: table :: ledgerDir :: rest if rest.size <= 3 =>
       // the incremental corpus-refresh capstone as an operational
@@ -297,7 +311,7 @@ object Main {
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | sql <stmt> [sfDir] | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
           "experiment-report <sfDir> | " +
-          "corpus-refresh <tablePath> <ledgerDir> [fromVersion|none [embParquet ivfDir]] | " +
+          "corpus-refresh <tablePath> <ledgerDir> [--rebootstrap | fromVersion|none [embParquet ivfDir]] | " +
           "advise-measure <sfDir> <scratchDir> [jsonOut] | " +
           "table-history <path> | " +
           "table-compact <path> <rowsPerFile> | table-vacuum <path> <keepLast> | " +
@@ -306,5 +320,38 @@ object Main {
           "table-purge <path> <keyCol> <id,...> | " +
           s"table-verify <path> (got: $other)")
       sys.exit(1)
+  }
+
+  /** ';'-split that respects SQL quoting: single-quoted literals (with
+    * the standard '' escape — a doubled quote stays inside the literal)
+    * and double-quoted identifiers. Backslashes are NOT escapes here
+    * (matching ANSI SQL, and Spark's default `spark.sql.parser
+    * .escapedStringLiterals=false` still ends the literal at an
+    * unpaired quote for splitting purposes — a conservative reading
+    * that only ever splits LESS than the old blind split). */
+  private[graft] def splitSqlStatements(stmt: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0 // 0 = outside, '\'' or '"' = inside that quote
+    while (i < stmt.length) {
+      val ch = stmt.charAt(i)
+      if (quote != 0) {
+        cur += ch
+        if (ch == quote) {
+          // '' / "" inside a quoted region is an escaped quote, not a close
+          if (i + 1 < stmt.length && stmt.charAt(i + 1) == quote) {
+            cur += quote; i += 1
+          } else quote = 0
+        }
+      } else ch match {
+        case ';' => out += cur.result(); cur.clear()
+        case '\'' | '"' => quote = ch; cur += ch
+        case c => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

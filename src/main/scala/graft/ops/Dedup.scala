@@ -238,6 +238,30 @@ object Dedup {
     verified
   }
 
+  /** REBUILD the band ledger from a corpus snapshot in one signing pass —
+    * the erasure companion of [[ingestIncrement]]: an append-only ledger
+    * cannot unlearn a signature, so after deleteWhere + vacuum the only
+    * honest ledger is a fresh one over the SURVIVING corpus. OVERWRITES
+    * both ledger paths (the old ledger's whole point is to be gone —
+    * erased docs' signatures are exactly what must not remain to
+    * suppress future content as ghosts); content is identical to a
+    * first-increment bootstrap over the same docs (spec-pinned). Returns
+    * the number of docs signed. */
+  def bootstrapLedger(
+      docs: DataFrame,
+      ledger: DedupLedger,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8): Long = {
+    val sh = shingleSets(docs, textCol, idCol, shingleSize).localCheckpoint()
+    val n = sh.count()
+    bandRows(sh, numPerm, bands).write.mode("overwrite").parquet(ledger.bands)
+    sh.write.mode("overwrite").parquet(ledger.sketches)
+    n
+  }
+
   /** 64-bit SimHash signatures: per-token xxhash64; each signature bit is
     * the sign of the summed ±1 contributions of that bit across tokens.
     * Computed entirely per-row by the fused codegen expression

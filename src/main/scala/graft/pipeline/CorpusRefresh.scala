@@ -198,6 +198,44 @@ object CorpusRefresh {
     (report, survivors)
   }
 
+  /** One rebootstrap's accounting: `toVersion` resets the consumer —
+    * it is the next [[refresh]]'s `fromVersion`. */
+  final case class RebootstrapReport(
+      toVersion: Long, docsSigned: Long, droppedQuality: Long)
+
+  /** LEDGER REBOOTSTRAP after an erasure pass (VERDICT r17 item 8) —
+    * the operational right-to-be-forgotten closure: [[refresh]] refuses
+    * a window containing a delete/merge commit because an append-only
+    * ledger cannot unlearn a signature, and the documented remedy is
+    * this call. It rebuilds the band ledger from the SURVIVING corpus
+    * snapshot in one signing pass ([[Dedup.bootstrapLedger]] —
+    * overwrite, so the erased docs' signatures are GONE and cannot
+    * suppress future content as ghosts), applies the same quality gate
+    * as [[refresh]] (a below-bar doc is not a corpus member and must
+    * not sign), and returns the snapshot version as the next refresh's
+    * `fromVersion`. The full erasure sequence is therefore
+    * deleteWhere/purgeKeys → vacuum → rebootstrap; ledger content ==
+    * a fresh bootstrap over the surviving corpus (spec-pinned). */
+  def rebootstrap(
+      spark: SparkSession,
+      tablePath: String,
+      ledger: Dedup.DedupLedger,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      minQuality: Option[Double] = None): RebootstrapReport = {
+    val toVersion = VersionedTable.versions(spark, tablePath).last
+    val snapshot = VersionedTable.read(spark, tablePath, Some(toVersion))
+    val total = snapshot.count()
+    val kept = minQuality match {
+      case None => snapshot
+      case Some(q) => snapshot.filter(
+        graft.functions.TextFunctions.qualityScore(col(textCol)) >= q)
+    }
+    val signed = Dedup.bootstrapLedger(
+      kept, ledger, textCol, idCol, shingleSize, numPerm, bands)
+    RebootstrapReport(toVersion, signed, total - signed)
+  }
+
   /** The anchored-component set is dup-groups-sized — tiny after any
     * realistic blocking — but correctness must not depend on that, so
     * broadcast is a hint, not a collect. */

@@ -169,6 +169,55 @@ class CorpusRefreshSpec extends SparkSuite {
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 
+  test("rebootstrap after erasure: ledger == fresh bootstrap on survivors; no ghost suppression") {
+    val tmp = java.nio.file.Files.createTempDirectory("refresh_rb").toString
+    val table = s"$tmp/corpus"
+    val ledger = Dedup.DedupLedger(s"$tmp/ledger/bands", s"$tmp/ledger/sketches")
+    VersionedTable.commitAppend(docs(1L, 2L, 3L), table)
+    CorpusRefresh.refresh(spark, table, None, ledger, minJaccard = 0.9)
+    // erasure pass: doc 2 must be forgotten
+    VersionedTable.deleteWhere(spark, table, col("doc_id") === 2L)
+    // the incremental path refuses the delete window (append-only ledger)
+    intercept[IllegalArgumentException] {
+      CorpusRefresh.refresh(spark, table,
+        Some(VersionedTable.versions(spark, table).head), ledger, minJaccard = 0.9)
+    }
+    // the documented remedy, as a call: one signing pass over survivors
+    val r = CorpusRefresh.rebootstrap(spark, table, ledger)
+    assert(r.docsSigned == 2L, r.toString)
+    assert(r.toVersion == VersionedTable.versions(spark, table).last)
+    // ledger content == a FRESH bootstrap ledger over the surviving
+    // snapshot (separate dir, same pass)
+    val fresh = Dedup.DedupLedger(s"$tmp/fresh/bands", s"$tmp/fresh/sketches")
+    Dedup.bootstrapLedger(
+      VersionedTable.read(spark, table), fresh, "text", "doc_id")
+    def rows(p: String, cols: String*) =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq.map {
+          case a: Seq[_] => a; case x => x
+        }).sortBy(_.toString).toSeq
+    assert(rows(ledger.bands, "band_idx", "band_hash", "doc_id") ==
+      rows(fresh.bands, "band_idx", "band_hash", "doc_id"))
+    assert(rows(ledger.sketches, "doc_id", "sh") ==
+      rows(fresh.sketches, "doc_id", "sh"))
+    // the erased doc's signatures are GONE: a new doc that near-dups
+    // ERASED content must SURVIVE (no ghost suppression) — while one
+    // near-dupping a SURVIVOR still drops
+    VersionedTable.commitAppend(
+      Seq((21L, fixture(2L)), (22L, text(baseA.updated(30, "zz"))))
+        .toDF("doc_id", "text"), table)
+    val (r2, s2) = CorpusRefresh.refresh(
+      spark, table, Some(r.toVersion), ledger, minJaccard = 0.9)
+    val kept = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(21L),
+      s"doc 21 duplicates only the ERASED doc 2 — a ledger ghost " +
+        s"suppressed it (kept=$kept)")
+    assert(!kept.contains(22L),
+      s"doc 22 near-dups surviving resident 1 and must drop (kept=$kept)")
+    assert(r2.droppedAnchoredToResident == 1L, r2.toString)
+    graft.queries.Scratch.rmTree(new java.io.File(tmp))
+  }
+
   test("ivf path without embeddings refuses at declaration") {
     val tmp = java.nio.file.Files.createTempDirectory("refresh_req").toString
     VersionedTable.commitAppend(docs(1L), s"$tmp/t")
