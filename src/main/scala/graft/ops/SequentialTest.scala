@@ -210,6 +210,73 @@ object SequentialTest {
         least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
   }
 
+  /** CUPED-adjusted always-valid p over a monitor grid carrying UNIT
+    * x-moments beside the y-moments — (n, Σy, Σy², Σx, Σx², Σxy) per
+    * side, whatever the unit: clusters from
+    * [[clusterMeanMonitor]]`(xCol = …)` (the unit value is the cluster
+    * MEAN, so this is the variance-reduced CLUSTER-level monitor the
+    * fixed-horizon clustered CUPED readout was missing a sequential
+    * twin for). At every look: the pair-pooled θ from the CUMULATIVE
+    * unit moments (the running-θ policy of [[MultiArm.sequential]] and
+    * the streaming scorecard fold — with one-subject clusters this
+    * reproduces `MultiArm.sequential`'s adjusted columns exactly,
+    * spec-pinned), the adjusted lift Δ' = Δ_y − θ·Δ_x, its Welch
+    * variance from the θ-adjusted sample variances, and the normal-mean
+    * mixture SPRT ([[mSprtLogLambda]], by call) with the running-max
+    * fold. A constant covariate gives θ = 0 and the adjusted columns
+    * degrade to [[alwaysValidPMean]]'s raw ones (spec-pinned). */
+  def alwaysValidPMeanCuped(monitor: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive (the mixture scale), got $tau")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val (theta, deltaC, vC) = cupedContrast(
+      na, col("sum_a"), col("ssq_a"), col("sx_a"), col("sxx_a"), col("sxy_a"),
+      nb, col("sum_b"), col("ssq_b"), col("sx_b"), col("sxx_b"), col("sxy_b"))
+    val runMax = graft.core.Windows.bounded(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monitor
+      .withColumn("mean_a", col("sum_a") / na)
+      .withColumn("mean_b", col("sum_b") / nb)
+      .withColumn("theta", theta)
+      .withColumn("delta_cuped", deltaC)
+      .withColumn("se_cuped", when(vC > 0.0, sqrt(vC)).otherwise(lit(0.0)))
+      .withColumn("log_lambda_cuped", mSprtLogLambda(deltaC, vC, tau))
+      .withColumn("p_always_valid_cuped",
+        least(lit(1.0), exp(-max(col("log_lambda_cuped")).over(runMax))))
+  }
+
+  /** The pair-pooled CUPED contrast from per-side cumulative UNIT
+    * moments — (θ, adjusted Δ, adjusted Welch V), the algebra of
+    * [[MultiArm.report]]/[[MultiArm.sequential]] as reusable columns:
+    * θ regresses y on x over the POOLED pair's units, each side's
+    * variance is the θ-adjusted sample variance, V is their Welch sum.
+    * One home so the subject-level and cluster-level CUPED monitors
+    * cannot drift. */
+  private[graft] def cupedContrast(
+      na: Column, sa: Column, ssa: Column, sxa: Column, sxxa: Column, sxya: Column,
+      nb: Column, sb: Column, ssb: Column, sxb: Column, sxxb: Column, sxyb: Column)
+      : (Column, Column, Column) = {
+    val nn = na + nb
+    val sxP = sxa + sxb
+    val syP = sa + sb
+    val varXn = (sxxa + sxxb) - sxP * sxP / nn
+    val theta = when(varXn > 0.0,
+      ((sxya + sxyb) - sxP * syP / nn) / varXn).otherwise(lit(0.0))
+    def adjVar(ss: Column, s: Column, sxx: Column, sx: Column,
+        sxy: Column, n: Column): Column = {
+      val vy = (ss - s * s / n) / (n - lit(1.0))
+      val vx = (sxx - sx * sx / n) / (n - lit(1.0))
+      val cxy = (sxy - sx * s / n) / (n - lit(1.0))
+      vy - lit(2.0) * theta * cxy + theta * theta * vx
+    }
+    val mx = sxP / nn
+    val deltaC = (sa / na - theta * (sxa / na - mx)) -
+      (sb / nb - theta * (sxb / nb - mx))
+    val vC = adjVar(ssa, sa, sxxa, sxa, sxya, na) / na +
+      adjVar(ssb, sb, sxxb, sxb, sxyb, nb) / nb
+    (theta, deltaC, vC)
+  }
+
   /** CLUSTER-randomized continuous monitoring — [[meanMonitor]]'s
     * honest counterpart when assignment happens ABOVE the subject
     * (geos, stores): the unit of sequential analysis is the CLUSTER
@@ -235,43 +302,65 @@ object SequentialTest {
   def clusterMeanMonitor(
       subjects: DataFrame, armCol: String, dayCol: String, valueCol: String,
       clusterCol: String, looks: DataFrame, lookCol: String, focal: String,
-      control: String, minClusters: Long = 2L): DataFrame = {
+      control: String, minClusters: Long = 2L,
+      xCol: Option[String] = None): DataFrame = {
     val arm = col(armCol).cast("string")
     val v = col(valueCol).cast("double")
+    val x = xCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
     val isF = arm === focal
     val isC = arm === control
+    val xAggs =
+      if (xCol.isEmpty) Seq.empty
+      else Seq(
+        sum(when(isF, x).otherwise(lit(0.0))).as("dsx_f"),
+        sum(when(isC, x).otherwise(lit(0.0))).as("dsx_c"))
+    val aggs = Seq(
+      sum(when(isF, 1L).otherwise(0L)).as("dn_f"),
+      sum(when(isF, v).otherwise(lit(0.0))).as("dsy_f"),
+      sum(when(isC, 1L).otherwise(0L)).as("dn_c"),
+      sum(when(isC, v).otherwise(lit(0.0))).as("dsy_c")) ++ xAggs
     val daily = subjects
       .groupBy(col(clusterCol).cast("string").as("cluster"),
         col(dayCol).as("day"))
-      .agg(
-        sum(when(isF, 1L).otherwise(0L)).as("dn_f"),
-        sum(when(isF, v).otherwise(lit(0.0))).as("dsy_f"),
-        sum(when(isC, 1L).otherwise(0L)).as("dn_c"),
-        sum(when(isC, v).otherwise(lit(0.0))).as("dsy_c"))
+      .agg(aggs.head, aggs.tail: _*)
     val clusters = subjects.select(col(clusterCol).cast("string").as("cluster"))
       .distinct()
+    val xSel =
+      if (xCol.isEmpty) Seq.empty
+      else Seq(
+        coalesce(col("dsx_f"), lit(0.0)).as("dsx_f"),
+        coalesce(col("dsx_c"), lit(0.0)).as("dsx_c"))
     val grid = looks.select(col(lookCol).as("day")).distinct()
       .crossJoin(clusters) // calendar × design-sized cluster set
       .join(daily, Seq("cluster", "day"), "left")
-      .select(col("cluster"), col("day"),
+      .select(Seq(col("cluster"), col("day"),
         coalesce(col("dn_f"), lit(0L)).as("dn_f"),
         coalesce(col("dsy_f"), lit(0.0)).as("dsy_f"),
         coalesce(col("dn_c"), lit(0L)).as("dn_c"),
-        coalesce(col("dsy_c"), lit(0.0)).as("dsy_c"))
+        coalesce(col("dsy_c"), lit(0.0)).as("dsy_c")) ++ xSel: _*)
     val byCl = Window.partitionBy("cluster").orderBy("day")
-    val cum = grid
+    val cum0 = grid
       .withColumn("n_f", sum("dn_f").over(byCl))
       .withColumn("sy_f", sum("dsy_f").over(byCl))
       .withColumn("n_c", sum("dn_c").over(byCl))
       .withColumn("sy_c", sum("dsy_c").over(byCl))
-      .select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c")
+    val cum =
+      if (xCol.isEmpty)
+        cum0.select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c")
+      else cum0
+        .withColumn("sx_f", sum("dsx_f").over(byCl))
+        .withColumn("sx_c", sum("dsx_c").over(byCl))
+        .select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c", "sx_f", "sx_c")
     val floor = math.max(minClusters, 2L)
     val lookW = graft.core.Windows.bounded(col("day"))
+    val keep = Seq("day", "k", "n_a", "sum_a", "ssq_a", "n_b", "sum_b", "ssq_b") ++
+      (if (xCol.isEmpty) Seq.empty
+       else Seq("sx_a", "sxx_a", "sxy_a", "sx_b", "sxx_b", "sxy_b")) ++
+      Seq("mixed_m")
     clusterLookStats(cum)
       .filter(col("n_a") >= floor && col("n_b") >= floor)
       .withColumn("k", row_number().over(lookW).cast("long"))
-      .select("day", "k", "n_a", "sum_a", "ssq_a", "n_b", "sum_b", "ssq_b",
-        "mixed_m")
+      .select(keep.map(col): _*)
   }
 
   /** The per-look CLUSTER-MEAN moments — the one home for "which
@@ -287,15 +376,32 @@ object SequentialTest {
     val pureC = col("n_c") > 0 && col("n_f") === 0
     val meanF = col("sy_f") / col("n_f")
     val meanC = col("sy_c") / col("n_c")
-    cum.groupBy("day").agg(
+    // COVARIATE cluster means ride when the cum frame carries the x
+    // sums — the CUPED leg's unit facts (moments of mx and mx·my over
+    // clusters, same unit as the y moments)
+    val hasX = cum.columns.contains("sx_f")
+    val mxF = col("sx_f") / col("n_f")
+    val mxC = col("sx_c") / col("n_c")
+    val xAggs =
+      if (!hasX) Seq.empty
+      else Seq(
+        sum(when(pureF, mxF).otherwise(lit(0.0))).as("sx_a"),
+        sum(when(pureF, mxF * mxF).otherwise(lit(0.0))).as("sxx_a"),
+        sum(when(pureF, mxF * meanF).otherwise(lit(0.0))).as("sxy_a"),
+        sum(when(pureC, mxC).otherwise(lit(0.0))).as("sx_b"),
+        sum(when(pureC, mxC * mxC).otherwise(lit(0.0))).as("sxx_b"),
+        sum(when(pureC, mxC * meanC).otherwise(lit(0.0))).as("sxy_b"))
+    val aggs = Seq(
       sum(when(pureF, 1L).otherwise(0L)).as("n_a"),
       sum(when(pureF, meanF).otherwise(lit(0.0))).as("sum_a"),
       sum(when(pureF, meanF * meanF).otherwise(lit(0.0))).as("ssq_a"),
       sum(when(pureC, 1L).otherwise(0L)).as("n_b"),
       sum(when(pureC, meanC).otherwise(lit(0.0))).as("sum_b"),
-      sum(when(pureC, meanC * meanC).otherwise(lit(0.0))).as("ssq_b"),
+      sum(when(pureC, meanC * meanC).otherwise(lit(0.0))).as("ssq_b")) ++
+      xAggs :+
       sum(when(col("n_f") > 0 && col("n_c") > 0, 1L).otherwise(0L))
-        .as("mixed_m"))
+        .as("mixed_m")
+    cum.groupBy("day").agg(aggs.head, aggs.tail: _*)
   }
 
   /** The mixture-SPRT ln Λ as a column — ONE home for the formula

@@ -3323,10 +3323,165 @@ object Stats {
            |       rk, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
            |FROM q2 ORDER BY day, arm""".stripMargin))
 
+  /** Q377 — CLUSTER-level CUPED sequential monitoring
+    * ([[graft.ops.SequentialTest.clusterMeanMonitor]] with `xCol` +
+    * [[graft.ops.SequentialTest.alwaysValidPMeanCuped]]): geo-randomized
+    * arms (hash of `user_id % 53`), 7-day conversion, strictly
+    * pre-entry activity as the covariate — the unit of analysis is the
+    * CLUSTER MEAN, the θ is pair-pooled over the cumulative cluster
+    * moments at every look, and the mixture SPRT runs on the adjusted
+    * cluster-mean lift with its cluster-level Welch variance. The
+    * oracle replays the full lattice: per-(cluster, day) conditional
+    * sums → per-cluster cumulative windows → cluster means → per-day
+    * moments across pure clusters → θ → adjusted Δ/V → ln Λ → running
+    * max — so an iid variance slipped in for the cluster one, a θ
+    * pooled at subject level, or a mixed-cluster leak all hash-fail. */
+  val q377 = QueryDef(
+    "q377_cluster_seq_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val preAct = ev.join(entry, "user_id")
+        .filter(col("us") < col("entry_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("pre_n"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .join(preAct, Seq("user_id"), "left")
+        .select(
+          (col("user_id") % 53).cast("string").as("geo"),
+          (conv(
+            substring(md5(concat(lit("geo-v1:"),
+              (col("user_id") % 53).cast("string"))), 1, 4), 16, 10)
+            .cast("int") % 2).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          ((col("conv_us").isNotNull) &&
+            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+            .cast("double").as("conv"),
+          coalesce(col("pre_n"), lit(0L)).cast("double").as("pre_x"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      val monitor = graft.ops.SequentialTest.clusterMeanMonitor(
+        subjects, "arm", "entry_day", "conv", "geo", looks, "day",
+        focal = "1", control = "0", minClusters = 2L, xCol = Some("pre_x"))
+      graft.ops.SequentialTest.alwaysValidPMeanCuped(monitor, tau = 0.1)
+        .select(
+          col("day").cast("string").as("day"), col("k"),
+          col("n_a"), col("n_b"), col("mixed_m"),
+          (r6(col("theta")) + lit(0.0)).as("theta"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          (r6(col("log_lambda_cuped")) + lit(0.0)).as("log_lambda_cuped"),
+          r6(col("p_always_valid_cuped")).as("p_always_valid_cuped"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |pa AS (SELECT e.user_id, COUNT(*) AS pre_n FROM e JOIN en USING (user_id)
+           |       WHERE us < entry_us GROUP BY 1),
+           |s AS (SELECT CAST(en.user_id % 53 AS VARCHAR) AS geo,
+           |             CAST(CAST(('0x' || substr(md5('geo-v1:' ||
+           |               CAST(en.user_id % 53 AS VARCHAR)),1,4)) AS INTEGER) % 2
+           |             AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS day,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                    AND conv_us - entry_us < 604800000000 THEN 1.0
+           |                  ELSE 0.0 END AS y,
+           |             CAST(COALESCE(pre_n, 0) AS DOUBLE) AS x
+           |      FROM en LEFT JOIN cv USING (user_id) LEFT JOIN pa USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |daily AS (SELECT geo, day,
+           |                 SUM(CASE WHEN arm='1' THEN 1 ELSE 0 END) AS dn_f,
+           |                 SUM(CASE WHEN arm='1' THEN y ELSE 0.0 END) AS dsy_f,
+           |                 SUM(CASE WHEN arm='0' THEN 1 ELSE 0 END) AS dn_c,
+           |                 SUM(CASE WHEN arm='0' THEN y ELSE 0.0 END) AS dsy_c,
+           |                 SUM(CASE WHEN arm='1' THEN x ELSE 0.0 END) AS dsx_f,
+           |                 SUM(CASE WHEN arm='0' THEN x ELSE 0.0 END) AS dsx_c
+           |          FROM s GROUP BY 1,2),
+           |geos AS (SELECT DISTINCT geo FROM s),
+           |grid AS (SELECT g.geo, l.day,
+           |                COALESCE(dn_f,0) AS dn_f, COALESCE(dsy_f,0.0) AS dsy_f,
+           |                COALESCE(dn_c,0) AS dn_c, COALESCE(dsy_c,0.0) AS dsy_c,
+           |                COALESCE(dsx_f,0.0) AS dsx_f, COALESCE(dsx_c,0.0) AS dsx_c
+           |         FROM looks l CROSS JOIN geos g
+           |         LEFT JOIN daily d ON d.geo=g.geo AND d.day=l.day),
+           |cum AS (SELECT geo, day,
+           |               CAST(SUM(dn_f) OVER w AS BIGINT) AS n_f,
+           |               CAST(SUM(dsy_f) OVER w AS DOUBLE) AS sy_f,
+           |               CAST(SUM(dn_c) OVER w AS BIGINT) AS n_c,
+           |               CAST(SUM(dsy_c) OVER w AS DOUBLE) AS sy_c,
+           |               CAST(SUM(dsx_f) OVER w AS DOUBLE) AS sx_f,
+           |               CAST(SUM(dsx_c) OVER w AS DOUBLE) AS sx_c
+           |        FROM grid WINDOW w AS (PARTITION BY geo ORDER BY day)),
+           |looksum AS (SELECT day,
+           |              SUM(CASE WHEN n_f > 0 AND n_c = 0 THEN 1 ELSE 0 END) AS n_a,
+           |              SUM(CASE WHEN n_f > 0 AND n_c = 0 THEN sy_f/n_f ELSE 0.0 END) AS sum_a,
+           |              SUM(CASE WHEN n_f > 0 AND n_c = 0 THEN (sy_f/n_f)*(sy_f/n_f) ELSE 0.0 END) AS ssq_a,
+           |              SUM(CASE WHEN n_f > 0 AND n_c = 0 THEN sx_f/n_f ELSE 0.0 END) AS sx_a,
+           |              SUM(CASE WHEN n_f > 0 AND n_c = 0 THEN (sx_f/n_f)*(sx_f/n_f) ELSE 0.0 END) AS sxx_a,
+           |              SUM(CASE WHEN n_f > 0 AND n_c = 0 THEN (sx_f/n_f)*(sy_f/n_f) ELSE 0.0 END) AS sxy_a,
+           |              SUM(CASE WHEN n_c > 0 AND n_f = 0 THEN 1 ELSE 0 END) AS n_b,
+           |              SUM(CASE WHEN n_c > 0 AND n_f = 0 THEN sy_c/n_c ELSE 0.0 END) AS sum_b,
+           |              SUM(CASE WHEN n_c > 0 AND n_f = 0 THEN (sy_c/n_c)*(sy_c/n_c) ELSE 0.0 END) AS ssq_b,
+           |              SUM(CASE WHEN n_c > 0 AND n_f = 0 THEN sx_c/n_c ELSE 0.0 END) AS sx_b,
+           |              SUM(CASE WHEN n_c > 0 AND n_f = 0 THEN (sx_c/n_c)*(sx_c/n_c) ELSE 0.0 END) AS sxx_b,
+           |              SUM(CASE WHEN n_c > 0 AND n_f = 0 THEN (sx_c/n_c)*(sy_c/n_c) ELSE 0.0 END) AS sxy_b,
+           |              SUM(CASE WHEN n_f > 0 AND n_c > 0 THEN 1 ELSE 0 END) AS mixed_m
+           |            FROM cum GROUP BY 1),
+           |qual AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day) AS k,
+           |                CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+           |         FROM looksum WHERE n_a >= 2 AND n_b >= 2),
+           |th AS (SELECT *, na + nb AS nn, sx_a + sx_b AS sxp, sum_a + sum_b AS syp,
+           |              sxx_a + sxx_b AS sxxp, sxy_a + sxy_b AS sxyp
+           |       FROM qual),
+           |th2 AS (SELECT *,
+           |               CASE WHEN sxxp - sxp*sxp/nn > 0
+           |                    THEN (sxyp - sxp*syp/nn) / (sxxp - sxp*sxp/nn)
+           |                    ELSE 0.0 END AS theta
+           |        FROM th),
+           |w AS (SELECT *,
+           |             (sum_a/na - theta*(sx_a/na - sxp/nn))
+           |               - (sum_b/nb - theta*(sx_b/nb - sxp/nn)) AS delta_c,
+           |             (((ssq_a - sum_a*sum_a/na)/(na-1.0))
+           |               - 2.0*theta*((sxy_a - sx_a*sum_a/na)/(na-1.0))
+           |               + theta*theta*((sxx_a - sx_a*sx_a/na)/(na-1.0))) / na
+           |              + (((ssq_b - sum_b*sum_b/nb)/(nb-1.0))
+           |                 - 2.0*theta*((sxy_b - sx_b*sum_b/nb)/(nb-1.0))
+           |                 + theta*theta*((sxx_b - sx_b*sx_b/nb)/(nb-1.0))) / nb
+           |               AS vc
+           |      FROM th2),
+           |ll AS (SELECT *,
+           |              CASE WHEN vc > 0.0
+           |                   THEN 0.5*LN(vc/(vc+0.1*0.1))
+           |                        + delta_c*delta_c*(0.1*0.1)/(2.0*vc*(vc+0.1*0.1))
+           |                   ELSE 0.0 END AS lnl
+           |       FROM w),
+           |p AS (SELECT *,
+           |             LEAST(1.0, EXP(-MAX(lnl) OVER (ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pav
+           |      FROM ll)
+           |SELECT CAST(day AS VARCHAR) AS day, k,
+           |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |       CAST(mixed_m AS BIGINT) AS mixed_m,
+           |       ROUND(theta, 6) + 0 AS theta,
+           |       ROUND(delta_c, 6) + 0 AS delta_cuped,
+           |       ROUND(CASE WHEN vc > 0.0 THEN SQRT(vc) ELSE 0.0 END, 6)
+           |         AS se_cuped,
+           |       ROUND(lnl, 6) + 0 AS log_lambda_cuped,
+           |       ROUND(pav, 6) AS p_always_valid_cuped
+           |FROM p ORDER BY day""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353, q361, q370, q372, q373, q374, q375)
+      q341, q342, q350, q352, q353, q361, q370, q372, q373, q374, q375, q377)
 }

@@ -961,42 +961,68 @@ object EventStreams {
     val spark = windowRows.sparkSession
     import spark.implicits._
     val ledgerPath = s"${tablePath}_clusters"
-    val daily = perCluster.select(
+    // the CUPED leg rides when the stream carries the per-cluster
+    // covariate sums (preCovariate set): the ledger then also cumulates
+    // per-cluster Σx per side, and the fold runs the CLUSTER-level
+    // CUPED mSPRT beside the raw one
+    val hasCuped = perCluster.columns.contains("sxf")
+    val xDaily =
+      if (!hasCuped) Seq.empty
+      else Seq(col("sxf").cast("double").as("dsx_f"),
+        col("sxc").cast("double").as("dsx_c"))
+    val daily = perCluster.select(Seq(
       col("window.start").as("day"), col("__cl").as("cluster"),
       col("nf").cast("long").as("dn_f"), col("syf").cast("double").as("dsy_f"),
       col("nc").cast("long").as("dn_c"), col("syc").cast("double").as("dsy_c"))
+      ++ xDaily: _*)
     val windows = daily.select("day").distinct()
     val anyWindow = !windows.isEmpty
-    val priorLedger: DataFrame =
+    val (priorLedger: DataFrame, priorHasX: Boolean) =
       if (graft.io.VersionedTable.versions(spark, ledgerPath).isEmpty)
-        Seq.empty[(String, Long, Double, Long, Double)]
-          .toDF("cluster", "n_f", "sy_f", "n_c", "sy_c")
-      else graft.io.VersionedTable.read(spark, ledgerPath)
-        .select("cluster", "n_f", "sy_f", "n_c", "sy_c")
+        (Seq.empty[(String, Long, Double, Long, Double, Double, Double)]
+          .toDF("cluster", "n_f", "sy_f", "n_c", "sy_c", "sx_f", "sx_c"),
+          true)
+      else {
+        val led = graft.io.VersionedTable.read(spark, ledgerPath)
+        // pre-CUPED-upgrade ledgers lack the x sums: the raw leg keeps
+        // folding, the CUPED cluster leg goes NULL (a zero-defaulted x
+        // sum would silently bend θ — declared inconsistency beats a
+        // quietly wrong adjustment)
+        val hasX = led.columns.contains("sx_f")
+        val base = led.select(Seq(col("cluster"), col("n_f"), col("sy_f"),
+          col("n_c"), col("sy_c")) ++
+          (if (hasX) Seq(col("sx_f"), col("sx_c"))
+           else Seq(lit(0.0).as("sx_f"), lit(0.0).as("sx_c"))): _*)
+        (base, hasX)
+      }
     // prior running max from the last committed scorecard row (absent
     // column / pre-upgrade table → fresh −Inf state, the iid policy)
-    val priorMax: Double = {
+    def priorMaxOf(colName: String): Double = {
       if (graft.io.VersionedTable.versions(spark, tablePath).isEmpty)
         Double.NegativeInfinity
       else {
         val tbl = graft.io.VersionedTable.read(spark, tablePath)
-        if (!tbl.columns.contains("max_log_lambda_cluster"))
-          Double.NegativeInfinity
+        if (!tbl.columns.contains(colName)) Double.NegativeInfinity
         else tbl.orderBy(col("w_start").desc).limit(1)
-          .select("max_log_lambda_cluster").collect().headOption
+          .select(colName).collect().headOption
           .filterNot(_.isNullAt(0)).map(_.getDouble(0))
           .getOrElse(Double.NegativeInfinity)
       }
     }
+    val priorMax: Double = priorMaxOf("max_log_lambda_cluster")
+    val priorMaxCuped: Double =
+      if (!hasCuped) Double.NegativeInfinity
+      else priorMaxOf("max_log_lambda_cluster_cuped")
     val clusters = priorLedger.select("cluster")
       .union(daily.select("cluster")).distinct()
     val byCl = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy("day")
-    val cum = clusters.crossJoin(windows) // design-sized × windows-in-batch
+    val cum0 = clusters.crossJoin(windows) // design-sized × windows-in-batch
       .join(daily, Seq("cluster", "day"), "left")
       .join(priorLedger.select(col("cluster"), col("n_f").as("b_n_f"),
         col("sy_f").as("b_sy_f"), col("n_c").as("b_n_c"),
-        col("sy_c").as("b_sy_c")), Seq("cluster"), "left")
+        col("sy_c").as("b_sy_c"), col("sx_f").as("b_sx_f"),
+        col("sx_c").as("b_sx_c")), Seq("cluster"), "left")
       .withColumn("n_f", coalesce(col("b_n_f"), lit(0L)) +
         sum(coalesce(col("dn_f"), lit(0L))).over(byCl))
       .withColumn("sy_f", coalesce(col("b_sy_f"), lit(0.0)) +
@@ -1005,36 +1031,81 @@ object EventStreams {
         sum(coalesce(col("dn_c"), lit(0L))).over(byCl))
       .withColumn("sy_c", coalesce(col("b_sy_c"), lit(0.0)) +
         sum(coalesce(col("dsy_c"), lit(0.0))).over(byCl))
-      .select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c")
+    val cum =
+      if (!hasCuped)
+        cum0.select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c")
+      else cum0
+        .withColumn("sx_f", coalesce(col("b_sx_f"), lit(0.0)) +
+          sum(coalesce(col("dsx_f"), lit(0.0))).over(byCl))
+        .withColumn("sx_c", coalesce(col("b_sx_c"), lit(0.0)) +
+          sum(coalesce(col("dsx_c"), lit(0.0))).over(byCl))
+        .select("cluster", "day", "n_f", "sy_f", "n_c", "sy_c", "sx_f", "sx_c")
     val ready = col("n_a") >= 2 && col("n_b") >= 2
     val lnl = when(ready, graft.ops.SequentialTest.meanLogLambda(
       col("n_a").cast("double"), col("sum_a"), col("ssq_a"),
       col("n_b").cast("double"), col("sum_b"), col("ssq_b"), tau))
       .otherwise(lit(0.0))
+    val cupedStatCols =
+      if (!hasCuped) Seq.empty
+      else {
+        // cluster-level CUPED mSPRT: the SAME pair-pooled contrast the
+        // subject-level paths use (cupedContrast by call), over cluster
+        // means; a pre-upgrade ledger (no x sums) nulls the leg
+        val (theta, deltaC, vC) = graft.ops.SequentialTest.cupedContrast(
+          col("n_a").cast("double"), col("sum_a"), col("ssq_a"),
+          col("sx_a"), col("sxx_a"), col("sxy_a"),
+          col("n_b").cast("double"), col("sum_b"), col("ssq_b"),
+          col("sx_b"), col("sxx_b"), col("sxy_b"))
+        val legOk = lit(priorHasX) && ready
+        val lnlC = when(legOk, graft.ops.SequentialTest.mSprtLogLambda(
+          deltaC, vC, tau)).otherwise(
+            when(lit(priorHasX), lit(0.0)).otherwise(lit(null).cast("double")))
+        Seq(
+          when(legOk, theta).as("theta_cluster"),
+          when(legOk, deltaC).as("delta_cluster_cuped"),
+          lnlC.as("log_lambda_cluster_cuped"))
+      }
     val stats = graft.ops.SequentialTest.clusterLookStats(cum)
-      .select(
+      .select(Seq(
         col("day").as("w_start"),
         col("n_a").as("cum_m_f"), col("n_b").as("cum_m_c"),
         col("mixed_m").as("cum_mixed_cluster_n"),
         when(col("n_a") > 0, col("sum_a") / col("n_a")).as("cluster_mean_f"),
         when(col("n_b") > 0, col("sum_b") / col("n_b")).as("cluster_mean_c"),
-        lnl.as("log_lambda_cluster"))
+        lnl.as("log_lambda_cluster")) ++ cupedStatCols: _*)
     val w = graft.core.Windows.bounded(col("w_start"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val out = windowRows.join(stats, Seq("w_start"), "left")
+    val out0 = windowRows.join(stats, Seq("w_start"), "left")
       .withColumn("max_log_lambda_cluster",
         greatest(lit(priorMax), max(col("log_lambda_cluster")).over(w)))
       .withColumn("p_always_valid_cluster",
         least(lit(1.0), exp(-col("max_log_lambda_cluster"))))
+    val out =
+      if (!hasCuped) out0
+      else if (!priorHasX)
+        // pre-upgrade ledger: the leg is honestly null (and stays null —
+        // the new ledger below is kept x-less too, so a later batch
+        // cannot resume the leg from partial x sums with a bent θ)
+        out0
+          .withColumn("max_log_lambda_cluster_cuped", lit(null).cast("double"))
+          .withColumn("p_always_valid_cluster_cuped", lit(null).cast("double"))
+      else out0
+        .withColumn("max_log_lambda_cluster_cuped",
+          greatest(lit(priorMaxCuped),
+            max(col("log_lambda_cluster_cuped")).over(w)))
+        .withColumn("p_always_valid_cluster_cuped",
+          least(lit(1.0), exp(-col("max_log_lambda_cluster_cuped"))))
     val ledger =
       if (!anyWindow) None
       else {
         val lastFirst = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster").orderBy(col("day").desc)
+        val keep = Seq("cluster", "n_f", "sy_f", "n_c", "sy_c") ++
+          (if (hasCuped && priorHasX) Seq("sx_f", "sx_c") else Seq.empty)
         Some(cum.withColumn("__rn", row_number().over(lastFirst))
           .filter(col("__rn") === 1)
-          .select("cluster", "n_f", "sy_f", "n_c", "sy_c"))
+          .select(keep.head, keep.tail: _*))
       }
     (out, ledger)
   }

@@ -144,6 +144,26 @@ object ExperimentReport {
       "clustered sequential lift")
   }
 
+  /** Section 4c: the variance-reduced clustered monitor —
+    * [[clusteredSequentialLift]]'s CUPED twin
+    * ([[graft.ops.SequentialTest.alwaysValidPMeanCuped]] over the
+    * cluster-mean monitor with the pre-period activity as covariate):
+    * the running pair-pooled θ at the CLUSTER level, the adjusted lift
+    * and its always-valid p — what section 3b's fixed-horizon
+    * robust+CUPED readout looks like when it is honest about peeking. */
+  def clusteredSequentialLiftCuped(subjects: DataFrame): DataFrame = {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    val monitor = graft.ops.SequentialTest.clusterMeanMonitor(
+      subjects, "arm_geo", "entry_day", "conv", "geo", looks, "day",
+      focal = "treat", control = "ctrl", xCol = Some("activity"))
+    refuseIfEmpty(
+      graft.ops.SequentialTest.alwaysValidPMeanCuped(monitor, sequentialTau)
+        .select("day", "k", "n_a", "n_b", "theta", "delta_cuped",
+          "log_lambda_cuped", "p_always_valid_cuped")
+        .orderBy("day"),
+      "clustered CUPED sequential lift")
+  }
+
   /** Every section in print order: (title, frame). A section's REFUSAL
     * is its honest answer (e.g. degenerate subgroups at tiny SF) — the
     * CLI prints the diagnosis and keeps reporting. */
@@ -164,6 +184,8 @@ object ExperimentReport {
       sequentialLift(subjects)),
     "4b. clustered sequential lift (cluster-mean mSPRT, always-valid p)" -> (() =>
       clusteredSequentialLift(subjects)),
+    "4c. clustered CUPED sequential lift (running cluster-level theta, always-valid p)" -> (() =>
+      clusteredSequentialLiftCuped(subjects)),
     "5. Bayesian decision quantities" -> (() =>
       graft.ops.BayesAb.betaBinomial(subjects, "arm", "conv",
         focal = "treat")),

@@ -86,7 +86,12 @@ object ScaleProbe {
     // always-valid monitor (daily moments agg + calendar-grid windows)
     // and the A/B/n readout (one arm-grid agg + a k-row BH window)
     "q369_cox_converged", "q370_always_valid_mean", "q372_multi_arm_fdr",
-    "q373_multi_arm_cuped")
+    "q373_multi_arm_cuped",
+    // r18: the sequential A/B/n grids (one arm×day agg + calendar
+    // windows + per-look BH) and the cluster-level CUPED monitor (the
+    // clusters×calendar grid is the design-sized state in question)
+    "q374_multi_arm_sequential", "q375_multi_arm_seq_cuped",
+    "q377_cluster_seq_cuped")
 
   /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
     * 20-micro-batch file stream through [[graft.streaming.EventStreams

@@ -106,12 +106,32 @@ class ExperimentReportSpec extends SparkSuite {
       }
   }
 
+  test("section 4c == clusterMeanMonitor(xCol) + alwaysValidPMeanCuped") {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    val direct = graft.ops.SequentialTest.alwaysValidPMeanCuped(
+      graft.ops.SequentialTest.clusterMeanMonitor(
+        subjects, "arm_geo", "entry_day", "conv", "geo", looks, "day",
+        focal = "treat", control = "ctrl", xCol = Some("activity")),
+      ExperimentReport.sequentialTau)
+      .select("day", "theta", "p_always_valid_cuped").collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r).toMap
+    val got = ExperimentReport.clusteredSequentialLiftCuped(subjects).collect()
+    assert(got.nonEmpty && got.length == direct.size)
+    got.foreach { r =>
+      val d = direct(r.getAs[java.sql.Date]("day"))
+      assert(r.getAs[Double]("theta") == d.getAs[Double]("theta"))
+      assert(r.getAs[Double]("p_always_valid_cuped") ==
+        d.getAs[Double]("p_always_valid_cuped"))
+    }
+  }
+
   test("section list prints every design: iid 1-6 plus clustered 2b/3b/4b in order") {
     val titles = ExperimentReport.sections(subjects).map(_._1)
-    assert(titles.size == 9)
+    assert(titles.size == 10)
     assert(titles.count(_.startsWith("2b.")) == 1)
     assert(titles.count(_.startsWith("3b.")) == 1)
     assert(titles.count(_.startsWith("4b.")) == 1)
+    assert(titles.count(_.startsWith("4c.")) == 1)
     assert(titles.indexWhere(_.startsWith("2b.")) ==
       titles.indexWhere(_.startsWith("2.")) + 1)
     assert(titles.indexWhere(_.startsWith("3b.")) ==

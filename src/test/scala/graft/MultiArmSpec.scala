@@ -205,6 +205,49 @@ class MultiArmSpec extends SparkSuite {
     }
   }
 
+  test("cluster CUPED monitor with one-subject clusters == MultiArm.sequential; constant covariate degrades") {
+    // one-subject clusters with a deterministic unit id
+    val stable = seqSubjects(("c", 1), ("t", 3))
+      .withColumn("unit",
+        concat(col("arm"), lit("_"), col("day"), lit("_"),
+          col("v"), lit("_"), col("x"), lit("_"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("arm", "day", "v", "x").orderBy("arm"))))
+    val monitor = graft.ops.SequentialTest.clusterMeanMonitor(
+      stable, "arm", "day", "v", "unit", looks10, "day",
+      focal = "t", control = "c", minClusters = 5L, xCol = Some("x"))
+    val cl = graft.ops.SequentialTest.alwaysValidPMeanCuped(monitor, tau = 0.5)
+      .collect().map(r => r.getAs[Int]("day") -> r).toMap
+    val ma = MultiArm.sequential(
+      seqSubjects(("c", 1), ("t", 3)), "arm", "day", "v", looks10, "day",
+      control = "c", tau = 0.5, minPerArm = 5L, xCol = Some("x")).collect()
+    assert(ma.nonEmpty && cl.nonEmpty && ma.length == cl.size)
+    // with every cluster one subject, the cluster-mean CUPED monitor IS
+    // the subject-level sequential readout — same theta, adjusted lift,
+    // ln-lambda and always-valid p
+    ma.foreach { m =>
+      val c = cl(m.getAs[Int]("day"))
+      assert(math.abs(c.getAs[Double]("theta") - m.getAs[Double]("theta")) < 1e-12)
+      assert(math.abs(c.getAs[Double]("delta_cuped") - m.getAs[Double]("delta_cuped")) < 1e-12)
+      assert(math.abs(c.getAs[Double]("log_lambda_cuped") -
+        m.getAs[Double]("log_lambda_cuped")) < 1e-12)
+      assert(math.abs(c.getAs[Double]("p_always_valid_cuped") -
+        m.getAs[Double]("p_always_valid_cuped")) < 1e-12)
+    }
+    // constant covariate: adjusted == raw, bitwise (theta = 0 exactly)
+    val flatMon = graft.ops.SequentialTest.clusterMeanMonitor(
+      stable.withColumn("x", lit(3.0)), "arm", "day", "v", "unit", looks10,
+      "day", focal = "t", control = "c", minClusters = 5L, xCol = Some("x"))
+    graft.ops.SequentialTest.alwaysValidPMeanCuped(flatMon, tau = 0.5)
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("theta") == 0.0)
+        assert(r.getAs[Double]("delta_cuped") ==
+          r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b"))
+        assert(r.getAs[Double]("p_always_valid_cuped") >= 0.0 &&
+          r.getAs[Double]("p_always_valid_cuped") <= 1.0)
+      }
+  }
+
   test("sequential refusals shared with report: nulls, control, levels, tau, fdr") {
     val ok = seqSubjects(("c", 1), ("t", 2))
     def call(df: org.apache.spark.sql.DataFrame, control: String = "c",

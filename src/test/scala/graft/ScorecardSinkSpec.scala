@@ -470,6 +470,75 @@ class ScorecardSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("clustered CUPED always-valid leg: streaming == batch clusterMeanMonitor(xCol) + alwaysValidPMeanCuped") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_clavc")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_clavc_ck").toString
+    val tau = 0.1
+    def armOf(geo: Int): String = if (geo % 2 == 0) "treat" else "ctrl"
+    def xOf(geo: Int, i: Int): Double = ((geo * 3 + i) % 5).toDouble
+    val rows: Seq[(Timestamp, String, Int, Long, String)] = for {
+      hour <- Seq(10, 11, 12)
+      geo <- 0 to 5
+      i <- 1 to 10
+    } yield (t(f"2024-01-01 $hour%02d:00:${(geo * 10 + i) % 60}%02d"),
+      armOf(geo), (i + geo * 2 + hour) % 3 min 1,
+      (hour * 1000 + geo * 100 + i).toLong, s"g$geo")
+    val dim = rows.map { case (_, _, _, uid, geo) =>
+      (uid, xOf(geo.drop(1).toInt, (uid % 100).toInt % 10))
+    }.distinct.toDF("uid", "pre_x")
+    val ms = MemoryStream[(Timestamp, String, Int, Long, String)]
+    val q = EventStreams.startExperimentScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "uid", "geo"), "arm", "conv", "ts",
+      focal = "treat", control = "ctrl", focalShare = 0.5,
+      tablePath = path, writerId = "scorecard-clavc-spec", checkpointDir = ckpt,
+      windowLen = "1 hour", watermark = "10 minutes",
+      preCovariate = Some((dim, "uid", "pre_x")),
+      clusterCol = Some("geo"), alwaysValidTau = tau)
+    try {
+      rows.groupBy(_._1.toLocalDateTime.getHour).toSeq.sortBy(_._1)
+        .foreach { case (_, hr) => ms.addData(hr: _*); q.processAllAvailable() }
+      ms.addData((t("2024-01-02 09:00:00"), "treat", 0, 999999L, "g0"))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start").collect()
+      assert(got.length == 3)
+      // batch: same subjects with x resolved the same way
+      val subj = rows.map { case (ts, a, c, uid, geo) =>
+        (ts, a, c, geo, xOf(geo.drop(1).toInt, (uid % 100).toInt % 10))
+      }.toDF("ts", "arm", "conv", "geo", "x")
+        .withColumn("day", date_trunc("hour", col("ts")))
+      val looks = subj.select("day").distinct()
+      val monitor = graft.ops.SequentialTest.clusterMeanMonitor(
+        subj, "arm", "day", "conv", "geo", looks, "day",
+        focal = "treat", control = "ctrl", minClusters = 2L, xCol = Some("x"))
+      val batch = graft.ops.SequentialTest.alwaysValidPMeanCuped(monitor, tau)
+        .collect().map(r => r.getAs[Timestamp]("day") -> r).toMap
+      assert(batch.nonEmpty)
+      var compared = 0
+      got.foreach { s =>
+        batch.get(s.getAs[Timestamp]("w_start")).foreach { b =>
+          compared += 1
+          assert(math.abs(s.getAs[Double]("theta_cluster") -
+            b.getAs[Double]("theta")) < 1e-12)
+          assert(math.abs(s.getAs[Double]("delta_cluster_cuped") -
+            b.getAs[Double]("delta_cuped")) < 1e-12)
+          assert(math.abs(s.getAs[Double]("log_lambda_cluster_cuped") -
+            b.getAs[Double]("log_lambda_cuped")) < 1e-12)
+          assert(math.abs(s.getAs[Double]("p_always_valid_cluster_cuped") -
+            b.getAs[Double]("p_always_valid_cuped")) < 1e-12)
+        }
+      }
+      assert(compared >= 2, s"must compare several windows, got $compared")
+      // the raw cluster leg still rides beside the adjusted one
+      got.foreach { s =>
+        assert(!s.isNullAt(s.fieldIndex("p_always_valid_cluster")))
+      }
+      // ledger now carries the covariate sums per cluster
+      val led = VersionedTable.table(spark, s"${path}_clusters")
+      assert(led.columns.contains("sx_f") && led.columns.contains("sx_c"))
+    } finally q.stop()
+  }
+
   test("clustered scorecard: a both-arm cluster nulls the robust columns and is counted") {
     val mixed = (1 to 40).map { i =>
       // cluster g0 deliberately receives BOTH arms
