@@ -239,11 +239,24 @@ object MultiArm {
       .withColumn("sxx", sum("svxx").over(byArm))
       .withColumn("sxy", sum("svxy").over(byArm))
       .select("arm", "day", "n", "s", "ss", "sx", "sxx", "sxy")
+    sequentialContrasts(cum, control, tau, fdr,
+      math.max(minPerArm, 2L), xCol.isDefined)
+  }
+
+  /** The per-contrast mSPRT + per-look BH tail shared by
+    * [[sequential]] (subject moments) and [[sequentialClustered]]
+    * (cluster-mean moments): `cum` is a complete calendar × arms grid
+    * of cumulative per-arm unit moments (arm, day, n, s, ss, sx, sxx,
+    * sxy) — the tail never cares what the unit is, which is exactly why
+    * the two monitors cannot drift. */
+  private def sequentialContrasts(
+      cum: DataFrame, control: String, tau: Double, fdr: Double,
+      floor: Long, cuped: Boolean): DataFrame = {
+    val byArm = Window.partitionBy("arm").orderBy("day")
     val ctrl = cum.filter(col("arm") === control)
       .select(col("day"), col("n").as("n_c"), col("s").as("s_c"),
         col("ss").as("ss_c"), col("sx").as("sx_c"), col("sxx").as("sxx_c"),
         col("sxy").as("sxy_c"))
-    val floor = math.max(minPerArm, 2L)
     val contrasts = cum.filter(col("arm") =!= control)
       .join(ctrl, "day")
       .filter(col("n") >= floor && col("n_c") >= floor)
@@ -259,9 +272,9 @@ object MultiArm {
       .withColumn("log_lambda", rawLl)
       .withColumn("p_always_valid",
         least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
-    val scored = xCol match {
-      case None => base
-      case Some(_) =>
+    val scored =
+      if (!cuped) base
+      else {
         // pair-pooled θ from the CUMULATIVE pair moments — report's
         // estimator evaluated on the data-so-far at each look
         val nn = nt + nc
@@ -293,11 +306,11 @@ object MultiArm {
             SequentialTest.mSprtLogLambda(deltaC, vC, tau))
           .withColumn("p_always_valid_cuped",
             least(lit(1.0), exp(-max(col("log_lambda_cuped")).over(runMax))))
-    }
+      }
     // BH per look over the decision-grade always-valid p (adjusted when a
     // covariate is declared) — e-BH: valid at any look. m counts the
     // contrasts QUALIFYING at the look (arms can enter on different days).
-    val pSel = if (xCol.isEmpty) col("p_always_valid") else col("p_always_valid_cuped")
+    val pSel = if (!cuped) col("p_always_valid") else col("p_always_valid_cuped")
     val withP = scored.withColumn("p_sel", pSel)
     val byLook = Window.partitionBy("day").orderBy(col("p_sel"), col("arm"))
     val lookAll = Window.partitionBy("day")
@@ -310,10 +323,156 @@ object MultiArm {
       .withColumn("discovery", col("q_bh") <= fdr)
     val keep = Seq("day", "arm", "k", "n", "mean", "delta", "log_lambda",
       "p_always_valid") ++
-      (if (xCol.isEmpty) Seq.empty
+      (if (!cuped) Seq.empty
        else Seq("theta", "delta_cuped", "se_cuped", "log_lambda_cuped",
          "p_always_valid_cuped")) ++
       Seq("m", "rk", "q_bh", "discovery")
     ranked.select(keep.map(col): _*)
+  }
+
+  /** CLUSTER-randomized A/B/n — [[report]] when assignment happens
+    * ABOVE the subject (geos, stores): the unit of analysis is the
+    * CLUSTER, each arm's sample is its clusters' unweighted per-cluster
+    * means, and every contrast's Welch SE comes from the variance OF
+    * those means — the design-honest SE an iid readout would understate
+    * under intra-cluster correlation (the same policy as
+    * [[SequentialTest.clusterMeanMonitor]] and the clustered scorecard).
+    * Clusters that received MORE than one arm are excluded from every
+    * arm's sample and counted in the constant `mixed_m` column — a
+    * mixed cluster has no honest arm. Null arms refuse by name (a null
+    * inside a cluster would otherwise silently pass the purity check).
+    * With one-subject clusters this IS [[report]] (spec-pinned).
+    *
+    * Scale shape: one data-sized aggregation onto clusters, one
+    * cluster-sized head aggregation (mixed/null counts), then
+    * [[report]]'s bounded arm grid over the cluster means. CUPED
+    * (`xCol`) adjusts with the pair-pooled θ over CLUSTER-MEAN
+    * covariates — [[Cuped]]'s estimator at the cluster level. */
+  def reportClustered(
+      subjects: DataFrame, armCol: String, yCol: String, clusterCol: String,
+      control: String, fdr: Double = 0.05,
+      xCol: Option[String] = None): DataFrame = {
+    require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
+    val arm = col(armCol).cast("string")
+    val y = col(yCol).cast("double")
+    val x = xCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val cl = subjects
+      .groupBy(col(clusterCol).cast("string").as("cluster"))
+      .agg(min(arm).as("a_min"), max(arm).as("a_max"),
+        sum(when(arm.isNull, 1L).otherwise(0L)).as("nulls"),
+        count(lit(1)).as("cn"), sum(y).as("csy"), sum(x).as("csx"))
+    val head = cl.agg(
+      sum(when(col("a_min") =!= col("a_max"), 1L).otherwise(0L)).as("mixed"),
+      sum(col("nulls")).as("nulls")).collect()(0)
+    val nullCnt = Option(head.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(nullCnt == 0L,
+      s"arm column '$armCol' contains nulls — every subject needs an arm " +
+        "(filter unassigned subjects out before the readout)")
+    val mixedM = Option(head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val pure = cl.filter(col("a_min") === col("a_max"))
+      .select(col("a_min").as("arm"),
+        (col("csy") / col("cn")).as("my"),
+        (col("csx") / col("cn")).as("mx"))
+    report(pure, "arm", "my", control, fdr, xCol.map(_ => "mx"))
+      .withColumn("mixed_m", lit(mixedM))
+  }
+
+  /** ALWAYS-VALID cluster-randomized A/B/n — the last cell of the
+    * design lattice: k arms ([[sequential]]'s multiplicity problem) ×
+    * cluster assignment ([[SequentialTest.clusterMeanMonitor]]'s
+    * variance problem) × continuous reads (the peeking problem). Each
+    * of the k−1 contrasts runs the normal-mean mixture SPRT over the
+    * CUMULATIVE moments of its arms' per-cluster CUMULATIVE means, then
+    * Benjamini-Hochberg per look over the always-valid p's (e-BH, valid
+    * at any look — [[sequential]]'s citation). The entire contrast/BH
+    * tail is [[sequential]]'s own code by call — only the unit moments
+    * differ — so the subject-level and cluster-level monitors cannot
+    * drift.
+    *
+    * "Which clusters count" is decided CUMULATIVELY, as in
+    * [[SequentialTest.clusterLookStats]]: a cluster belongs to the arm
+    * that touched it first and contributes from that day until the day
+    * a SECOND arm touches it, after which it is excluded forever and
+    * counted in that look's `mixed_m` (two arms on the same first day =
+    * mixed immediately). With two arms this reproduces
+    * `clusterMeanMonitor` + `alwaysValidPMean(Cuped)` exactly; with
+    * one-subject clusters it reproduces [[sequential]] (both
+    * spec-pinned).
+    *
+    * Scale shape: TWO data-sized aggregations (per-(cluster, day) sums
+    * and per-(cluster, arm) first-touch), then the calendar × clusters
+    * grid ([[SequentialTest.clusterMeanMonitor]]'s design-sized state),
+    * one grid-sized aggregation onto (day, arm), and [[sequential]]'s
+    * broadcast-sized contrast/BH tail.
+    *
+    * @param minClusters per-side floor of contributing clusters before
+    *        a contrast qualifies (hard floor 2 — a cluster-mean
+    *        variance needs two clusters) */
+  def sequentialClustered(
+      subjects: DataFrame, armCol: String, dayCol: String, valueCol: String,
+      clusterCol: String, looks: DataFrame, lookCol: String, control: String,
+      tau: Double, fdr: Double = 0.05, minClusters: Long = 2L,
+      xCol: Option[String] = None): DataFrame = {
+    require(tau > 0, s"tau must be positive (the mixture scale), got $tau")
+    require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
+    val arm = col(armCol).cast("string")
+    val y = col(valueCol).cast("double")
+    val x = xCol.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    // arm refusals shared with sequential/report, one bounded probe
+    val armVals = subjects.select(arm.as("arm")).distinct()
+      .limit(66).collect().map(_.getString(0)).toSeq
+    require(!armVals.contains(null),
+      s"arm column '$armCol' contains nulls — every subject needs an arm " +
+        "(filter unassigned subjects out before the readout)")
+    require(armVals.length <= 64,
+      s"arm column '$armCol' has more than 64 levels — that is a " +
+        "segmentation, not an experiment (check the column)")
+    require(armVals.length >= 2,
+      s"multi-arm monitor needs at least control + one treatment; found " +
+        s"${armVals.length} arm(s): ${armVals.sorted.mkString(", ")}")
+    require(armVals.contains(control),
+      s"control arm '$control' not present; arms are " +
+        armVals.sorted.mkString(", "))
+    val clc = col(clusterCol).cast("string")
+    // the two data-sized passes: per-(cluster, day) sums and the
+    // first-touch attribution
+    val clusterDaily = subjects
+      .groupBy(clc.as("cluster"), col(dayCol).as("day"))
+      .agg(count(lit(1)).as("dn"), sum(y).as("dsy"), sum(x).as("dsx"))
+    val firstTouch = subjects.groupBy(clc.as("cluster"), arm.as("arm"))
+      .agg(min(col(dayCol)).as("fd"))
+    val byFd = Window.partitionBy("cluster").orderBy(col("fd"), col("arm"))
+    val meta = firstTouch.withColumn("rn", row_number().over(byFd))
+      .groupBy("cluster").agg(
+        max(when(col("rn") === 1, col("arm"))).as("own_arm"),
+        min(when(col("rn") === 2, col("fd"))).as("mixed_day"))
+    val grid = looks.select(col(lookCol).as("day")).distinct()
+      .crossJoin(meta) // calendar × design-sized cluster set
+      .join(clusterDaily, Seq("cluster", "day"), "left")
+    val byCl = Window.partitionBy("cluster").orderBy("day")
+    val cumCl = grid
+      .withColumn("cn", sum(coalesce(col("dn"), lit(0L))).over(byCl))
+      .withColumn("csy", sum(coalesce(col("dsy"), lit(0.0))).over(byCl))
+      .withColumn("csx", sum(coalesce(col("dsx"), lit(0.0))).over(byCl))
+    // a cluster contributes its CUMULATIVE mean to its first-touch arm
+    // while still pure at the look; my/mx are only evaluated under
+    // contrib (cn > 0 there, no 0/0)
+    val contrib = col("cn") > 0 &&
+      (col("mixed_day").isNull || col("day") < col("mixed_day"))
+    val my = col("csy") / col("cn")
+    val mx = col("csx") / col("cn")
+    val cum = cumCl.groupBy(col("day"), col("own_arm").as("arm")).agg(
+      sum(when(contrib, 1L).otherwise(0L)).as("n"),
+      sum(when(contrib, my).otherwise(lit(0.0))).as("s"),
+      sum(when(contrib, my * my).otherwise(lit(0.0))).as("ss"),
+      sum(when(contrib, mx).otherwise(lit(0.0))).as("sx"),
+      sum(when(contrib, mx * mx).otherwise(lit(0.0))).as("sxx"),
+      sum(when(contrib, mx * my).otherwise(lit(0.0))).as("sxy"))
+    val mixedPerDay = cumCl.groupBy("day").agg(
+      sum(when(col("mixed_day").isNotNull && col("day") >= col("mixed_day"),
+        1L).otherwise(0L)).as("mixed_m"))
+    sequentialContrasts(cum, control, tau, fdr,
+      math.max(minClusters, 2L), xCol.isDefined)
+      .join(mixedPerDay, "day")
   }
 }

@@ -3478,10 +3478,302 @@ object Stats {
            |       ROUND(pav, 6) AS p_always_valid_cuped
            |FROM p ORDER BY day""".stripMargin))
 
+  /** Q378 — CLUSTER-randomized A/B/n at fixed horizon
+    * ([[graft.ops.MultiArm.reportClustered]]): four hash arms assigned
+    * at the GEO level (`user_id % 53` clusters), so the unit of
+    * analysis is the geo — each arm's sample is its geos' unweighted
+    * cluster means, every Welch SE comes from the variance OF those
+    * means, θ pools the pair's cluster-mean covariates, and BH ranks
+    * the adjusted p. The oracle replays cluster means → per-arm
+    * moments → pair θ → adjusted Welch → the A&S polynomial → the BH
+    * tail-min, so an iid SE slipped in for the cluster one (the
+    * classic cluster-randomization mistake), a subject-level θ, or a
+    * BH over raw p all hash-fail. */
+  val q378 = QueryDef(
+    "q378_multi_arm_clustered",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val preAct = ev.join(entry, "user_id")
+        .filter(col("us") < col("entry_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("pre_n"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .join(preAct, Seq("user_id"), "left")
+        .select(
+          (col("user_id") % 53).cast("string").as("geo"),
+          ((col("user_id") % 53) % 4).cast("string").as("arm"),
+          ((col("conv_us").isNotNull) &&
+            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+            .cast("double").as("conv"),
+          coalesce(col("pre_n"), lit(0L)).cast("double").as("pre_x"))
+      graft.ops.MultiArm.reportClustered(subjects, "arm", "conv", "geo",
+          control = "0", xCol = Some("pre_x"))
+        .select(
+          col("arm"), col("n"),
+          r6(col("mean")).as("mean"),
+          (r6(col("delta")) + lit(0.0)).as("delta"),
+          r6(col("se")).as("se"),
+          (r6(col("theta")) + lit(0.0)).as("theta"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          (r4(col("z_cuped")) + lit(0.0)).as("z_cuped"),
+          r6(col("p_cuped")).as("p_cuped"),
+          col("k"), r6(col("q_bh")).as("q_bh"), col("discovery"),
+          col("mixed_m"))
+        .orderBy("arm")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |pa AS (SELECT e.user_id, COUNT(*) AS pre_n FROM e JOIN en USING (user_id)
+           |       WHERE us < entry_us GROUP BY 1),
+           |s AS (SELECT CAST(en.user_id % 53 AS VARCHAR) AS geo,
+           |             CAST((en.user_id % 53) % 4 AS VARCHAR) AS arm,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                    AND conv_us - entry_us < 604800000000 THEN 1.0
+           |                  ELSE 0.0 END AS y,
+           |             CAST(COALESCE(pre_n, 0) AS DOUBLE) AS x
+           |      FROM en LEFT JOIN cv USING (user_id) LEFT JOIN pa USING (user_id)),
+           |cl AS (SELECT geo, MIN(arm) AS arm, COUNT(*) AS cn,
+           |              SUM(y) AS csy, SUM(x) AS csx FROM s GROUP BY 1),
+           |cm AS (SELECT arm, csy/cn AS my, csx/cn AS mx FROM cl),
+           |g AS (SELECT arm, COUNT(*) AS n, SUM(my) AS sm, SUM(my*my) AS ss,
+           |             SUM(mx) AS sx, SUM(mx*mx) AS sxx, SUM(mx*my) AS sxy
+           |      FROM cm GROUP BY 1),
+           |c AS (SELECT CAST(n AS DOUBLE) AS nc, sm AS s_c, ss AS ss_c,
+           |             sx AS sx_c, sxx AS sxx_c, sxy AS sxy_c
+           |      FROM g WHERE arm = '0'),
+           |t AS (SELECT arm, n, CAST(n AS DOUBLE) AS nt, sm, ss, sx, sxx, sxy,
+           |             nc, s_c, ss_c, sx_c, sxx_c, sxy_c
+           |      FROM g CROSS JOIN c WHERE arm <> '0'),
+           |th AS (SELECT *, nt + nc AS nn, sx + sx_c AS sxp, sm + s_c AS syp
+           |       FROM t),
+           |th2 AS (SELECT *,
+           |               CASE WHEN (sxx + sxx_c) - sxp*sxp/nn > 0
+           |                    THEN ((sxy + sxy_c) - sxp*syp/nn)
+           |                         / ((sxx + sxx_c) - sxp*sxp/nn)
+           |                    ELSE 0.0 END AS theta
+           |        FROM th),
+           |w AS (SELECT *, sm/nt AS mean, sm/nt - s_c/nc AS delta,
+           |             SQRT(((ss - sm*sm/nt)/(nt-1.0))/nt
+           |                  + ((ss_c - s_c*s_c/nc)/(nc-1.0))/nc) AS se,
+           |             (sm/nt - theta*(sx/nt - sxp/nn))
+           |               - (s_c/nc - theta*(sx_c/nc - sxp/nn)) AS delta_c,
+           |             SQRT((((ss - sm*sm/nt)/(nt-1.0))
+           |                   - 2.0*theta*((sxy - sx*sm/nt)/(nt-1.0))
+           |                   + theta*theta*((sxx - sx*sx/nt)/(nt-1.0)))/nt
+           |                  + (((ss_c - s_c*s_c/nc)/(nc-1.0))
+           |                     - 2.0*theta*((sxy_c - sx_c*s_c/nc)/(nc-1.0))
+           |                     + theta*theta*((sxx_c - sx_c*sx_c/nc)/(nc-1.0)))/nc)
+           |               AS se_c
+           |      FROM th2),
+           |z AS (SELECT *, CASE WHEN se_c > 0 THEN delta_c / se_c ELSE 0.0 END AS zc
+           |      FROM w),
+           |p AS (SELECT *,
+           |             2.0 * (EXP(-ABS(zc)*ABS(zc)/2.0) / SQRT(2.0*PI())
+           |               * (0.319381530 * (1.0/(1.0+0.2316419*ABS(zc)))
+           |                  - 0.356563782 * POWER(1.0/(1.0+0.2316419*ABS(zc)), 2)
+           |                  + 1.781477937 * POWER(1.0/(1.0+0.2316419*ABS(zc)), 3)
+           |                  - 1.821255978 * POWER(1.0/(1.0+0.2316419*ABS(zc)), 4)
+           |                  + 1.330274429 * POWER(1.0/(1.0+0.2316419*ABS(zc)), 5)))
+           |               AS pc
+           |      FROM z),
+           |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pc, arm) AS k,
+           |              COUNT(*) OVER () AS m
+           |       FROM p),
+           |q AS (SELECT *,
+           |             LEAST(1.0, MIN(pc * m / k) OVER (ORDER BY pc, arm
+           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qbh
+           |      FROM rk)
+           |SELECT arm, n, ROUND(mean, 6) AS mean,
+           |       ROUND(delta, 6) + 0 AS delta, ROUND(se, 6) AS se,
+           |       ROUND(theta, 6) + 0 AS theta,
+           |       ROUND(delta_c, 6) + 0 AS delta_cuped,
+           |       ROUND(se_c, 6) AS se_cuped,
+           |       ROUND(zc, 4) + 0 AS z_cuped, ROUND(pc, 6) AS p_cuped,
+           |       k, ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery,
+           |       CAST(0 AS BIGINT) AS mixed_m
+           |FROM q ORDER BY arm""".stripMargin))
+
+  /** Q379 — ALWAYS-VALID cluster-randomized A/B/n
+    * ([[graft.ops.MultiArm.sequentialClustered]]): q378's geo-assigned
+    * four arms monitored CONTINUOUSLY — per contrast the mixture SPRT
+    * runs over the moments of per-geo CUMULATIVE means (the
+    * cluster-level variance an iid monitor would understate), the
+    * running pair-pooled θ adjusts each contrast at every look, and BH
+    * per look over the always-valid ADJUSTED p's keeps the k-arm
+    * readout FDR-valid under optional stopping (e-BH). The oracle
+    * replays the full lattice per arm: per-(geo, day) sums →
+    * per-geo cumulative windows → cluster means → per-(day, arm)
+    * moments → θ → adjusted Δ/V → ln Λ raw AND adjusted → running max
+    * per arm → per-look BH — so an iid variance, a subject-level θ, a
+    * θ pooled over all four arms, or a BH over the raw p all
+    * hash-fail. */
+  val q379 = QueryDef(
+    "q379_multi_arm_cluster_seq",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("entry_us"))
+      val firstConv = ev.join(entry, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("entry_us"))
+        .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+      val preAct = ev.join(entry, "user_id")
+        .filter(col("us") < col("entry_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("pre_n"))
+      val subjects = entry.join(firstConv, Seq("user_id"), "left")
+        .join(preAct, Seq("user_id"), "left")
+        .select(
+          (col("user_id") % 53).cast("string").as("geo"),
+          ((col("user_id") % 53) % 4).cast("string").as("arm"),
+          to_date(timestamp_micros(col("entry_us"))).as("entry_day"),
+          ((col("conv_us").isNotNull) &&
+            (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
+            .cast("double").as("conv"),
+          coalesce(col("pre_n"), lit(0L)).cast("double").as("pre_x"))
+      val looks = Tables.events(s, d).select(to_date(col("ts")).as("day")).distinct()
+      graft.ops.MultiArm.sequentialClustered(
+        subjects, "arm", "entry_day", "conv", "geo", looks, "day",
+        control = "0", tau = 0.1, minClusters = 2L, xCol = Some("pre_x"))
+        .select(
+          col("day").cast("string").as("day"), col("arm"), col("k"),
+          col("n"), col("mixed_m"),
+          r6(col("mean")).as("mean"),
+          (r6(col("delta")) + lit(0.0)).as("delta"),
+          (r6(col("log_lambda")) + lit(0.0)).as("log_lambda"),
+          r6(col("p_always_valid")).as("p_always_valid"),
+          (r6(col("theta")) + lit(0.0)).as("theta"),
+          (r6(col("delta_cuped")) + lit(0.0)).as("delta_cuped"),
+          r6(col("se_cuped")).as("se_cuped"),
+          (r6(col("log_lambda_cuped")) + lit(0.0)).as("log_lambda_cuped"),
+          r6(col("p_always_valid_cuped")).as("p_always_valid_cuped"),
+          col("m"), col("rk"), r6(col("q_bh")).as("q_bh"), col("discovery"))
+        .orderBy("day", "arm")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+           |                  epoch_us(ts) AS us FROM events),
+           |en AS (SELECT user_id, MIN(us) AS entry_us FROM e
+           |       WHERE event_type='view' GROUP BY 1),
+           |cv AS (SELECT e.user_id, MIN(us) AS conv_us FROM e JOIN en USING (user_id)
+           |       WHERE event_type='purchase' AND us >= entry_us GROUP BY 1),
+           |pa AS (SELECT e.user_id, COUNT(*) AS pre_n FROM e JOIN en USING (user_id)
+           |       WHERE us < entry_us GROUP BY 1),
+           |s AS (SELECT CAST(en.user_id % 53 AS VARCHAR) AS geo,
+           |             CAST((en.user_id % 53) % 4 AS VARCHAR) AS arm,
+           |             CAST(make_timestamp(entry_us) AS DATE) AS day,
+           |             CASE WHEN conv_us IS NOT NULL
+           |                    AND conv_us - entry_us < 604800000000 THEN 1.0
+           |                  ELSE 0.0 END AS y,
+           |             CAST(COALESCE(pre_n, 0) AS DOUBLE) AS x
+           |      FROM en LEFT JOIN cv USING (user_id) LEFT JOIN pa USING (user_id)),
+           |looks AS (SELECT DISTINCT day FROM e),
+           |daily AS (SELECT geo, day, COUNT(*) AS dn, SUM(y) AS dsy,
+           |                 SUM(x) AS dsx FROM s GROUP BY 1,2),
+           |geos AS (SELECT DISTINCT geo, arm FROM s),
+           |grid AS (SELECT g.geo, g.arm, l.day,
+           |                COALESCE(dn,0) AS dn, COALESCE(dsy,0.0) AS dsy,
+           |                COALESCE(dsx,0.0) AS dsx
+           |         FROM looks l CROSS JOIN geos g
+           |         LEFT JOIN daily d ON d.geo=g.geo AND d.day=l.day),
+           |cum AS (SELECT geo, arm, day,
+           |               CAST(SUM(dn) OVER w AS BIGINT) AS cn,
+           |               CAST(SUM(dsy) OVER w AS DOUBLE) AS csy,
+           |               CAST(SUM(dsx) OVER w AS DOUBLE) AS csx
+           |        FROM grid WINDOW w AS (PARTITION BY geo ORDER BY day)),
+           |ad AS (SELECT day, arm,
+           |              SUM(CASE WHEN cn > 0 THEN 1 ELSE 0 END) AS n,
+           |              SUM(CASE WHEN cn > 0 THEN csy/cn ELSE 0.0 END) AS sm,
+           |              SUM(CASE WHEN cn > 0 THEN (csy/cn)*(csy/cn) ELSE 0.0 END) AS ss,
+           |              SUM(CASE WHEN cn > 0 THEN csx/cn ELSE 0.0 END) AS sx,
+           |              SUM(CASE WHEN cn > 0 THEN (csx/cn)*(csx/cn) ELSE 0.0 END) AS sxx,
+           |              SUM(CASE WHEN cn > 0 THEN (csx/cn)*(csy/cn) ELSE 0.0 END) AS sxy
+           |       FROM cum GROUP BY 1,2),
+           |c AS (SELECT day, n AS n_cl, sm AS s_c, ss AS ss_c, sx AS sx_c,
+           |             sxx AS sxx_c, sxy AS sxy_c FROM ad WHERE arm='0'),
+           |j AS (SELECT t.arm, t.day, t.n, CAST(t.n AS DOUBLE) AS nt,
+           |             t.sm, t.ss, t.sx, t.sxx, t.sxy,
+           |             CAST(c.n_cl AS DOUBLE) AS nc, c.s_c, c.ss_c, c.sx_c,
+           |             c.sxx_c, c.sxy_c
+           |      FROM ad t JOIN c USING (day)
+           |      WHERE t.arm <> '0' AND t.n >= 2 AND c.n_cl >= 2),
+           |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day) AS k,
+           |             nt + nc AS nn, sx + sx_c AS sxp, sm + s_c AS syp,
+           |             sm/nt AS ma, s_c/nc AS mc,
+           |             ((ss - sm*sm/nt)/(nt-1.0))/nt
+           |               + ((ss_c - s_c*s_c/nc)/(nc-1.0))/nc AS vv
+           |      FROM j),
+           |th AS (SELECT *,
+           |              CASE WHEN (sxx + sxx_c) - sxp*sxp/nn > 0
+           |                   THEN ((sxy + sxy_c) - sxp*syp/nn)
+           |                        / ((sxx + sxx_c) - sxp*sxp/nn)
+           |                   ELSE 0.0 END AS theta
+           |       FROM q),
+           |w2 AS (SELECT *,
+           |              (ma - theta*(sx/nt - sxp/nn))
+           |                - (mc - theta*(sx_c/nc - sxp/nn)) AS delta_c,
+           |              (((ss - sm*sm/nt)/(nt-1.0))
+           |                - 2.0*theta*((sxy - sx*sm/nt)/(nt-1.0))
+           |                + theta*theta*((sxx - sx*sx/nt)/(nt-1.0)))/nt
+           |               + (((ss_c - s_c*s_c/nc)/(nc-1.0))
+           |                  - 2.0*theta*((sxy_c - sx_c*s_c/nc)/(nc-1.0))
+           |                  + theta*theta*((sxx_c - sx_c*sx_c/nc)/(nc-1.0)))/nc
+           |                AS vc
+           |       FROM th),
+           |ll AS (SELECT *,
+           |              CASE WHEN vv > 0.0
+           |                   THEN 0.5*LN(vv/(vv+0.1*0.1))
+           |                        + (ma-mc)*(ma-mc)*(0.1*0.1)/(2.0*vv*(vv+0.1*0.1))
+           |                   ELSE 0.0 END AS lnl,
+           |              CASE WHEN vc > 0.0
+           |                   THEN 0.5*LN(vc/(vc+0.1*0.1))
+           |                        + delta_c*delta_c*(0.1*0.1)/(2.0*vc*(vc+0.1*0.1))
+           |                   ELSE 0.0 END AS lnlc
+           |       FROM w2),
+           |p AS (SELECT *,
+           |             LEAST(1.0, EXP(-MAX(lnl) OVER (PARTITION BY arm
+           |               ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pav,
+           |             LEAST(1.0, EXP(-MAX(lnlc) OVER (PARTITION BY arm
+           |               ORDER BY day
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+           |               AS pavc
+           |      FROM ll),
+           |rk AS (SELECT *, COUNT(*) OVER (PARTITION BY day) AS m,
+           |              ROW_NUMBER() OVER (PARTITION BY day ORDER BY pavc, arm) AS rk
+           |       FROM p),
+           |q2 AS (SELECT *,
+           |              LEAST(1.0, MIN(pavc * m / rk) OVER (PARTITION BY day
+           |                ORDER BY pavc, arm
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qbh
+           |       FROM rk)
+           |SELECT CAST(day AS VARCHAR) AS day, arm, k,
+           |       CAST(n AS BIGINT) AS n, CAST(0 AS BIGINT) AS mixed_m,
+           |       ROUND(ma, 6) AS mean, ROUND(ma - mc, 6) + 0 AS delta,
+           |       ROUND(lnl, 6) + 0 AS log_lambda, ROUND(pav, 6) AS p_always_valid,
+           |       ROUND(theta, 6) + 0 AS theta,
+           |       ROUND(delta_c, 6) + 0 AS delta_cuped,
+           |       ROUND(CASE WHEN vc > 0.0 THEN SQRT(vc) ELSE 0.0 END, 6)
+           |         AS se_cuped,
+           |       ROUND(lnlc, 6) + 0 AS log_lambda_cuped,
+           |       ROUND(pavc, 6) AS p_always_valid_cuped,
+           |       CAST(m AS BIGINT) AS m, rk,
+           |       ROUND(qbh, 6) AS q_bh, qbh <= 0.05 AS discovery
+           |FROM q2 ORDER BY day, arm""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(q193, q194, q195, q196, q198, q199, q200, q201, q202, q203, q204, q205,
       q206, q207, q209, q212, q213, q227, q231, q238, q239, q251, q263, q267,
       q269, q279, q297, q298, q299, q300, q301, q302, q306, q307, q315, q316,
       q317, q318, q320, q324, q326, q327, q328, q329, q331, q333, q334, q340,
-      q341, q342, q350, q352, q353, q361, q370, q372, q373, q374, q375, q377)
+      q341, q342, q350, q352, q353, q361, q370, q372, q373, q374, q375, q377,
+      q378, q379)
 }

@@ -91,7 +91,10 @@ object ScaleProbe {
     // windows + per-look BH) and the cluster-level CUPED monitor (the
     // clusters×calendar grid is the design-sized state in question)
     "q374_multi_arm_sequential", "q375_multi_arm_seq_cuped",
-    "q377_cluster_seq_cuped")
+    "q377_cluster_seq_cuped",
+    // the cluster-randomized A/B/n pair: clusters×calendar grid +
+    // (day, arm) moments + the broadcast-sized contrast/BH tail
+    "q378_multi_arm_clustered", "q379_multi_arm_cluster_seq")
 
   /** STREAMING probe (VERDICT r15 item 8): replay the events table as a
     * 20-micro-batch file stream through [[graft.streaming.EventStreams

@@ -248,6 +248,163 @@ class MultiArmSpec extends SparkSuite {
       }
   }
 
+  // deterministic cluster-randomized fixture: geo decides the arm, so
+  // no cluster is ever mixed unless a test injects an invasion
+  private def clSubjects(k: Int): org.apache.spark.sql.DataFrame =
+    (for {
+      g <- 0 until 12
+      day <- 1 to 10
+      i <- 0 until 6
+    } yield (s"a${g % k}", day, ((i + day * (1 + g % k) + g) % 7).toDouble,
+      ((i + g) % 5).toDouble, s"g$g"))
+      .toDF("arm", "day", "v", "x", "geo")
+
+  test("sequentialClustered: two-arm case == clusterMeanMonitor + alwaysValidPMean(Cuped); mixed_m rides") {
+    val subj = clSubjects(2)
+    val mon = graft.ops.SequentialTest.clusterMeanMonitor(
+      subj, "arm", "day", "v", "geo", looks10, "day",
+      focal = "a1", control = "a0", minClusters = 2L, xCol = Some("x"))
+    val raw = graft.ops.SequentialTest.alwaysValidPMean(mon, tau = 0.5)
+      .collect().map(r => r.getAs[Int]("day") -> r).toMap
+    val cup = graft.ops.SequentialTest.alwaysValidPMeanCuped(mon, tau = 0.5)
+      .collect().map(r => r.getAs[Int]("day") -> r).toMap
+    val got = MultiArm.sequentialClustered(
+      subj, "arm", "day", "v", "geo", looks10, "day", control = "a0",
+      tau = 0.5, minClusters = 2L, xCol = Some("x")).collect()
+    assert(got.nonEmpty && got.length == raw.size)
+    got.foreach { g =>
+      val day = g.getAs[Int]("day")
+      val r = raw(day); val c = cup(day)
+      assert(g.getAs[Long]("n") == r.getAs[Long]("n_a"))
+      assert(g.getAs[Long]("mixed_m") == r.getAs[Long]("mixed_m"))
+      assert(math.abs(g.getAs[Double]("delta") -
+        (r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b"))) < 1e-12)
+      assert(math.abs(g.getAs[Double]("log_lambda") -
+        r.getAs[Double]("log_lambda")) < 1e-12)
+      assert(math.abs(g.getAs[Double]("p_always_valid") -
+        r.getAs[Double]("p_always_valid")) < 1e-12)
+      assert(math.abs(g.getAs[Double]("theta") - c.getAs[Double]("theta")) < 1e-12)
+      assert(math.abs(g.getAs[Double]("delta_cuped") -
+        c.getAs[Double]("delta_cuped")) < 1e-12)
+      assert(math.abs(g.getAs[Double]("log_lambda_cuped") -
+        c.getAs[Double]("log_lambda_cuped")) < 1e-12)
+      assert(math.abs(g.getAs[Double]("p_always_valid_cuped") -
+        c.getAs[Double]("p_always_valid_cuped")) < 1e-12)
+      // single contrast: BH is the identity
+      assert(g.getAs[Long]("m") == 1L && g.getAs[Long]("rk") == 1L)
+      assert(math.abs(g.getAs[Double]("q_bh") -
+        c.getAs[Double]("p_always_valid_cuped")) < 1e-12)
+    }
+  }
+
+  test("clustered ops with one-subject clusters == subject-level sequential/report") {
+    val subj = seqSubjects(("c", 1), ("t1", 2), ("t2", 4))
+    val stable = subj.withColumn("unit",
+      concat(col("arm"), lit("_"), col("day"), lit("_"),
+        col("v"), lit("_"), col("x"), lit("_"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("arm", "day", "v", "x").orderBy("arm"))))
+    val gotSeq = MultiArm.sequentialClustered(
+      stable, "arm", "day", "v", "unit", looks10, "day", control = "c",
+      tau = 0.5, minClusters = 5L, xCol = Some("x")).collect()
+    val refSeq = MultiArm.sequential(
+      subj, "arm", "day", "v", looks10, "day", control = "c", tau = 0.5,
+      minPerArm = 5L, xCol = Some("x"))
+      .collect().map(r => (r.getAs[Int]("day"), r.getAs[String]("arm")) -> r).toMap
+    assert(gotSeq.nonEmpty && gotSeq.length == refSeq.size)
+    gotSeq.foreach { g =>
+      val r = refSeq((g.getAs[Int]("day"), g.getAs[String]("arm")))
+      assert(g.getAs[Long]("n") == r.getAs[Long]("n"))
+      assert(g.getAs[Long]("mixed_m") == 0L)
+      Seq("mean", "delta", "log_lambda", "p_always_valid", "theta",
+        "delta_cuped", "se_cuped", "log_lambda_cuped",
+        "p_always_valid_cuped", "q_bh").foreach { cn =>
+        assert(math.abs(g.getAs[Double](cn) - r.getAs[Double](cn)) < 1e-12,
+          s"$cn: ${g.getAs[Double](cn)} vs ${r.getAs[Double](cn)}")
+      }
+      assert(g.getAs[Long]("m") == r.getAs[Long]("m"))
+      assert(g.getAs[Long]("rk") == r.getAs[Long]("rk"))
+      assert(g.getAs[Boolean]("discovery") == r.getAs[Boolean]("discovery"))
+    }
+    val gotRep = MultiArm.reportClustered(
+      stable, "arm", "v", "unit", control = "c", xCol = Some("x")).collect()
+    val refRep = MultiArm.report(
+      subj, "arm", "v", control = "c", xCol = Some("x"))
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(gotRep.length == refRep.size)
+    gotRep.foreach { g =>
+      val r = refRep(g.getAs[String]("arm"))
+      assert(g.getAs[Long]("n") == r.getAs[Long]("n"))
+      assert(g.getAs[Long]("mixed_m") == 0L)
+      Seq("mean", "delta", "se", "z", "p", "theta", "delta_cuped",
+        "se_cuped", "z_cuped", "p_cuped", "q_bh").foreach { cn =>
+        assert(math.abs(g.getAs[Double](cn) - r.getAs[Double](cn)) < 1e-12,
+          s"$cn: ${g.getAs[Double](cn)} vs ${r.getAs[Double](cn)}")
+      }
+    }
+  }
+
+  test("mixed clusters: excluded from the day a second arm touches, counted in mixed_m") {
+    val base = clSubjects(2)
+    // g0 (own arm a0 from day 1) is invaded by a1 from day 6 on
+    val invade = (6 to 10).map(day => ("a1", day, 1.0, 1.0, "g0"))
+      .toDF("arm", "day", "v", "x", "geo")
+    val got = MultiArm.sequentialClustered(
+      base.union(invade), "arm", "day", "v", "geo", looks10, "day",
+      control = "a0", tau = 0.5, minClusters = 2L)
+      .collect().map(r => r.getAs[Int]("day") -> r).toMap
+    val ref = MultiArm.sequentialClustered(
+      base.filter(col("geo") =!= "g0"), "arm", "day", "v", "geo", looks10,
+      "day", control = "a0", tau = 0.5, minClusters = 2L)
+      .collect().map(r => r.getAs[Int]("day") -> r).toMap
+    (1 to 5).foreach(d => assert(got(d).getAs[Long]("mixed_m") == 0L))
+    (6 to 10).foreach { d =>
+      // counted once mixed, and the cluster's contribution is gone: the
+      // per-look moments equal the run where g0 never existed
+      assert(got(d).getAs[Long]("mixed_m") == 1L)
+      assert(got(d).getAs[Long]("n") == ref(d).getAs[Long]("n"))
+      Seq("mean", "delta", "log_lambda").foreach { cn =>
+        assert(math.abs(got(d).getAs[Double](cn) -
+          ref(d).getAs[Double](cn)) < 1e-12, s"day $d $cn")
+      }
+    }
+    // fixed horizon: the mixed cluster is excluded everywhere
+    val gotR = MultiArm.reportClustered(
+      base.union(invade), "arm", "v", "geo", control = "a0").collect()
+    val refR = MultiArm.reportClustered(
+      base.filter(col("geo") =!= "g0"), "arm", "v", "geo", control = "a0")
+      .collect()
+    assert(gotR.head.getAs[Long]("mixed_m") == 1L)
+    assert(refR.head.getAs[Long]("mixed_m") == 0L)
+    gotR.zip(refR).foreach { case (g, r) =>
+      assert(g.getAs[String]("arm") == r.getAs[String]("arm"))
+      assert(g.getAs[Long]("n") == r.getAs[Long]("n"))
+      Seq("mean", "delta", "se", "p").foreach { cn =>
+        assert(math.abs(g.getAs[Double](cn) - r.getAs[Double](cn)) < 1e-12)
+      }
+    }
+  }
+
+  test("clustered refusals by name: null arm, missing control") {
+    val base = clSubjects(3)
+    val withNull = base.union(
+      Seq((null: String, 1, 1.0, 1.0, "g0")).toDF("arm", "day", "v", "x", "geo"))
+    val e1 = intercept[IllegalArgumentException](
+      MultiArm.reportClustered(withNull, "arm", "v", "geo", control = "a0"))
+    assert(e1.getMessage.contains("contains nulls"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      MultiArm.sequentialClustered(withNull, "arm", "day", "v", "geo",
+        looks10, "day", control = "a0", tau = 0.5))
+    assert(e2.getMessage.contains("contains nulls"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      MultiArm.sequentialClustered(base, "arm", "day", "v", "geo",
+        looks10, "day", control = "zz", tau = 0.5))
+    assert(e3.getMessage.contains("control arm 'zz'"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      MultiArm.reportClustered(base, "arm", "v", "geo", control = "zz"))
+    assert(e4.getMessage.contains("control arm 'zz'"), e4.getMessage)
+  }
+
   test("sequential refusals shared with report: nulls, control, levels, tau, fdr") {
     val ok = seqSubjects(("c", 1), ("t", 2))
     def call(df: org.apache.spark.sql.DataFrame, control: String = "c",
