@@ -251,7 +251,23 @@ object MultiArm {
     * the two monitors cannot drift. */
   private def sequentialContrasts(
       cum: DataFrame, control: String, tau: Double, fdr: Double,
-      floor: Long, cuped: Boolean): DataFrame = {
+      floor: Long, cuped: Boolean): DataFrame =
+    bhPerLook(runMaxP(contrastStats(cum, control, tau, floor, cuped), cuped),
+      fdr, cuped)
+
+  /** Per-(look, contrast) statistics from cumulative unit moments — the
+    * joins and arithmetic of the tail WITHOUT the running-max p and BH
+    * (those need a run-max policy: batch-local for [[sequential]]/
+    * [[sequentialClustered]] via [[runMaxP]], prior-state-offset for the
+    * streaming A/B/n fold which reads its prior max from the arm
+    * ledger). Emits one row per qualifying (day, arm ≠ control):
+    * k / n / mean / delta / log_lambda (+ theta / delta_cuped /
+    * se_cuped / log_lambda_cuped when `cuped`) — every value a pure
+    * function of the cumulative moments, so prior-batch offsets folded
+    * INTO the moments come out exactly right. */
+  private[graft] def contrastStats(
+      cum: DataFrame, control: String, tau: Double, floor: Long,
+      cuped: Boolean): DataFrame = {
     val byArm = Window.partitionBy("arm").orderBy("day")
     val ctrl = cum.filter(col("arm") === control)
       .select(col("day"), col("n").as("n_c"), col("s").as("s_c"),
@@ -265,51 +281,66 @@ object MultiArm {
     val nc = col("n_c").cast("double")
     val rawLl = SequentialTest.meanLogLambda(
       nt, col("s"), col("ss"), nc, col("s_c"), col("ss_c"), tau)
-    val runMax = byArm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = contrasts
       .withColumn("mean", col("s") / nt)
       .withColumn("delta", col("s") / nt - col("s_c") / nc)
       .withColumn("log_lambda", rawLl)
-      .withColumn("p_always_valid",
-        least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
-    val scored =
-      if (!cuped) base
-      else {
-        // pair-pooled θ from the CUMULATIVE pair moments — report's
-        // estimator evaluated on the data-so-far at each look
-        val nn = nt + nc
-        val sxP = col("sx") + col("sx_c")
-        val syP = col("s") + col("s_c")
-        val varXn = (col("sxx") + col("sxx_c")) - sxP * sxP / nn
-        val theta = when(varXn > 0.0,
-          ((col("sxy") + col("sxy_c")) - sxP * syP / nn) / varXn)
-          .otherwise(lit(0.0))
-        def adjVar(ss: Column, s: Column, sxx: Column, sx: Column,
-            sxy: Column, n: Column, th: Column): Column = {
-          val vy = (ss - s * s / n) / (n - lit(1.0))
-          val vx = (sxx - sx * sx / n) / (n - lit(1.0))
-          val cxy = (sxy - sx * s / n) / (n - lit(1.0))
-          vy - lit(2.0) * th * cxy + th * th * vx
-        }
-        val mx = sxP / nn
-        val th = col("theta")
-        val deltaC = (col("s") / nt - th * (col("sx") / nt - mx)) -
-          (col("s_c") / nc - th * (col("sx_c") / nc - mx))
-        val withTheta = base.withColumn("theta", theta)
-        val vC =
-          adjVar(col("ss"), col("s"), col("sxx"), col("sx"), col("sxy"), nt, th) / nt +
-          adjVar(col("ss_c"), col("s_c"), col("sxx_c"), col("sx_c"), col("sxy_c"), nc, th) / nc
-        withTheta
-          .withColumn("delta_cuped", deltaC)
-          .withColumn("se_cuped", when(vC > 0.0, sqrt(vC)).otherwise(lit(0.0)))
-          .withColumn("log_lambda_cuped",
-            SequentialTest.mSprtLogLambda(deltaC, vC, tau))
-          .withColumn("p_always_valid_cuped",
-            least(lit(1.0), exp(-max(col("log_lambda_cuped")).over(runMax))))
+    if (!cuped) base
+    else {
+      // pair-pooled θ from the CUMULATIVE pair moments — report's
+      // estimator evaluated on the data-so-far at each look
+      val nn = nt + nc
+      val sxP = col("sx") + col("sx_c")
+      val syP = col("s") + col("s_c")
+      val varXn = (col("sxx") + col("sxx_c")) - sxP * sxP / nn
+      val theta = when(varXn > 0.0,
+        ((col("sxy") + col("sxy_c")) - sxP * syP / nn) / varXn)
+        .otherwise(lit(0.0))
+      def adjVar(ss: Column, s: Column, sxx: Column, sx: Column,
+          sxy: Column, n: Column, th: Column): Column = {
+        val vy = (ss - s * s / n) / (n - lit(1.0))
+        val vx = (sxx - sx * sx / n) / (n - lit(1.0))
+        val cxy = (sxy - sx * s / n) / (n - lit(1.0))
+        vy - lit(2.0) * th * cxy + th * th * vx
       }
-    // BH per look over the decision-grade always-valid p (adjusted when a
-    // covariate is declared) — e-BH: valid at any look. m counts the
-    // contrasts QUALIFYING at the look (arms can enter on different days).
+      val mx = sxP / nn
+      val th = col("theta")
+      val deltaC = (col("s") / nt - th * (col("sx") / nt - mx)) -
+        (col("s_c") / nc - th * (col("sx_c") / nc - mx))
+      val withTheta = base.withColumn("theta", theta)
+      val vC =
+        adjVar(col("ss"), col("s"), col("sxx"), col("sx"), col("sxy"), nt, th) / nt +
+        adjVar(col("ss_c"), col("s_c"), col("sxx_c"), col("sx_c"), col("sxy_c"), nc, th) / nc
+      withTheta
+        .withColumn("delta_cuped", deltaC)
+        .withColumn("se_cuped", when(vC > 0.0, sqrt(vC)).otherwise(lit(0.0)))
+        .withColumn("log_lambda_cuped",
+          SequentialTest.mSprtLogLambda(deltaC, vC, tau))
+    }
+  }
+
+  /** The batch-local run-max fold: p_always_valid(_cuped) =
+    * min(1, e^{−max ln Λ so far}) per contrast, the whole history in
+    * frame. The streaming fold replaces this piece with a prior-offset
+    * greatest() — everything else identical by call. */
+  private[graft] def runMaxP(stats: DataFrame, cuped: Boolean): DataFrame = {
+    val runMax = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = stats.withColumn("p_always_valid",
+      least(lit(1.0), exp(-max(col("log_lambda")).over(runMax))))
+    if (!cuped) base
+    else base.withColumn("p_always_valid_cuped",
+      least(lit(1.0), exp(-max(col("log_lambda_cuped")).over(runMax))))
+  }
+
+  /** BH per look over the decision-grade always-valid p (adjusted when a
+    * covariate is declared) — e-BH: valid at any look. m counts the
+    * contrasts QUALIFYING at the look (arms can enter on different
+    * days). Emits the final column order shared by every sequential
+    * A/B/n surface (batch subject-level, batch cluster-level, streaming
+    * fold). */
+  private[graft] def bhPerLook(
+      scored: DataFrame, fdr: Double, cuped: Boolean): DataFrame = {
     val pSel = if (!cuped) col("p_always_valid") else col("p_always_valid_cuped")
     val withP = scored.withColumn("p_sel", pSel)
     val byLook = Window.partitionBy("day").orderBy(col("p_sel"), col("arm"))

@@ -799,6 +799,280 @@ object EventStreams {
     }
   }
 
+  /** STREAMING A/B/n scorecard — [[startExperimentScorecardSink]]'s
+    * k-arm sibling: one stateful (window, arm) moment aggregation
+    * (state O(windows × arms), never O(rows)), and at COMMIT time the
+    * sink folds cumulative per-arm moments across the table's whole
+    * history (an ARM LEDGER at `<tablePath>_arms`, one row per arm,
+    * committed under the same (writerId, batchId) txn gate — the
+    * cluster-ledger discipline) and emits, per closed window, exactly
+    * [[graft.ops.MultiArm.sequential]]'s readout: per-contrast mixture
+    * SPRT over the cumulative moments, nonincreasing always-valid p,
+    * and Benjamini-Hochberg per look over those p's (e-BH — FDR-valid
+    * at ANY look). The contrast arithmetic and the BH tail are
+    * `MultiArm`'s own code BY CALL ([[graft.ops.MultiArm.contrastStats]]
+    * / [[graft.ops.MultiArm.bhPerLook]]); only the run-max policy
+    * differs (prior max from the ledger instead of in-frame history),
+    * so streaming == batch on every window prefix is a property of
+    * shared code (spec-pinned).
+    *
+    * Dead letters: a null arm cannot be refused retroactively in a
+    * stream — null-arm events are excluded from inference and counted
+    * per window in `null_arm_n`. More than 64 arms refuses BY NAME at
+    * commit time (fails the query — a segmentation-grade arm column is
+    * a wiring bug, not data). `expectedShares` (full per-arm map)
+    * adds a per-window k-arm SRM chi-square (df = k−1) beside the
+    * readout. CUPED: `preCovariate` streams the x-moments; a ledger
+    * committed before the covariate was declared stays x-less and the
+    * adjusted leg reads null (a zero-defaulted Σx would silently bend
+    * θ — declared inconsistency beats a quietly wrong adjustment). */
+  def startMultiArmScorecardSink(
+      events: DataFrame, armCol: String, convCol: String, tsCol: String,
+      control: String, tablePath: String, writerId: String,
+      checkpointDir: String, windowLen: String = "1 hour",
+      watermark: String = "10 minutes", tau: Double = 0.1,
+      fdr: Double = 0.05, minPerArm: Long = 2L,
+      preCovariate: Option[(DataFrame, String, String)] = None,
+      expectedShares: Option[Map[String, Double]] = None): StreamingQuery = {
+    require(tau > 0, s"tau must be positive (the mixture scale), got $tau")
+    require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
+    expectedShares.foreach { sh =>
+      require(sh.nonEmpty && math.abs(sh.values.sum - 1.0) < 1e-9,
+        s"expectedShares must sum to 1, got ${sh.values.sum}")
+    }
+    val perArm = multiArmPerArm(
+      events, armCol, convCol, tsCol, windowLen, watermark, preCovariate)
+    perArm.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val (out, newLedger) = multiArmFold(
+          batch.toDF(), tablePath, control, tau, fdr, minPerArm,
+          expectedShares)
+        graft.io.VersionedTable.commitStreamBatch(
+          out, tablePath, writerId, batchId)
+        newLedger.foreach { led =>
+          graft.io.VersionedTable.commitOverwriteBatch(
+            led, s"${tablePath}_arms", writerId, batchId)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The k-arm scorecard's ONE stateful operator: (window, arm) keyed
+    * moments — counts, Σy, Σy² (+ Σx, Σx², Σxy with `preCovariate`).
+    * Everything downstream is sink-side batch math over design-sized
+    * frames. */
+  private[graft] def multiArmPerArm(
+      events: DataFrame, armCol: String, convCol: String, tsCol: String,
+      windowLen: String, watermark: String,
+      preCovariate: Option[(DataFrame, String, String)]): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val y = col(convCol).cast("double")
+    val src = preCovariate match {
+      case None => events
+      case Some((dim, subjectCol, xCol)) =>
+        events.join(
+          broadcast(dim.select(col(subjectCol),
+            col(xCol).cast("double").as("__graft_x"))),
+          Seq(subjectCol), "left")
+          .withColumn("__graft_x", coalesce(col("__graft_x"), lit(0.0)))
+    }
+    val x = col("__graft_x")
+    val xAggs =
+      if (preCovariate.isEmpty) Seq.empty
+      else Seq(sum(x).as("svx"), sum(x * x).as("svxx"), sum(x * y).as("svxy"))
+    val aggs = Seq(
+      sum(lit(1L)).as("en"), sum(y).as("sv"), sum(y * y).as("svv")) ++ xAggs
+    src.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), arm.as("arm"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("arm"),
+        col("en"), col("sv"), col("svv")) ++
+        (if (preCovariate.isEmpty) Seq.empty
+         else Seq(col("svx"), col("svxx"), col("svxy"))): _*)
+  }
+
+  /** The always-valid k-arm fold — cumulative per-arm moments (prior
+    * ledger + this batch's closed windows), then [[graft.ops.MultiArm]]'s
+    * contrast/BH tail by call with the cross-batch run-max spliced in.
+    * Returns (scorecard rows, Some(new arm-ledger snapshot)) — None for
+    * the ledger when the batch closed no windows, so an idle micro-batch
+    * cannot overwrite state it did not read. */
+  private[graft] def multiArmFold(
+      batch: DataFrame, tablePath: String, control: String, tau: Double,
+      fdr: Double, minPerArm: Long,
+      expectedShares: Option[Map[String, Double]]): (DataFrame, Option[DataFrame]) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ledgerPath = s"${tablePath}_arms"
+    val hasCuped = batch.columns.contains("svx")
+    val nullArm = batch.filter(col("arm").isNull)
+      .groupBy(col("w_start")).agg(sum("en").as("null_arm_n"))
+    val data0 = batch.filter(col("arm").isNotNull)
+    val data =
+      if (hasCuped) data0
+      else data0.withColumn("svx", lit(0.0))
+        .withColumn("svxx", lit(0.0)).withColumn("svxy", lit(0.0))
+    val (priorLedger: DataFrame, priorHasX: Boolean) =
+      if (graft.io.VersionedTable.versions(spark, ledgerPath).isEmpty)
+        (Seq.empty[(String, Long, Double, Double, Double, Double, Double, Long, Double)]
+          .toDF("arm", "n", "s", "ss", "sx", "sxx", "sxy", "k", "max_ll")
+          .withColumn("max_ll_cuped", lit(null).cast("double")), true)
+      else {
+        val led = graft.io.VersionedTable.read(spark, ledgerPath)
+        val hasX = led.columns.contains("sx")
+        val base = led.select(
+          Seq(col("arm"), col("n"), col("s"), col("ss")) ++
+          (if (hasX) Seq(col("sx"), col("sxx"), col("sxy"))
+           else Seq(lit(0.0).as("sx"), lit(0.0).as("sxx"),
+             lit(0.0).as("sxy"))) ++
+          Seq(col("k"), col("max_ll"),
+            if (led.columns.contains("max_ll_cuped")) col("max_ll_cuped")
+            else lit(null).cast("double").as("max_ll_cuped")): _*)
+        (base, hasX)
+      }
+    val cupedActive = hasCuped && priorHasX
+    // arm census from one bounded probe over prior ∪ batch — the
+    // MultiArm level-cap refusal, by name, at commit time
+    val armVals = priorLedger.select("arm").union(data.select("arm"))
+      .distinct().limit(66).collect().map(_.getString(0)).toSeq
+    require(armVals.length <= 64,
+      "arm column has more than 64 levels — that is a segmentation, " +
+        "not an experiment (check the column)")
+    expectedShares.foreach { sh =>
+      val missing = armVals.filterNot(sh.contains)
+      require(missing.isEmpty,
+        s"expectedShares missing arm(s): ${missing.sorted.mkString(", ")}")
+    }
+    // windows from the WHOLE batch (a window holding only dead-letter
+    // rows is still a look — cumulative state just repeats)
+    val windows = batch.select(col("w_start").as("day")).distinct()
+    val anyWindow = !windows.isEmpty
+    val armsDF = armVals.toDF("arm")
+    val prior = priorLedger.select(col("arm"), col("n").as("p_n"),
+      col("s").as("p_s"), col("ss").as("p_ss"), col("sx").as("p_sx"),
+      col("sxx").as("p_sxx"), col("sxy").as("p_sxy"), col("k").as("p_k"),
+      col("max_ll").as("p_max"), col("max_ll_cuped").as("p_max_c"))
+    val byArm = W.partitionBy("arm").orderBy("day")
+    val cum = windows.crossJoin(broadcast(armsDF)) // windows × ≤64 arms
+      .join(data.select(col("w_start").as("day"), col("arm"), col("en"),
+        col("sv"), col("svv"), col("svx"), col("svxx"), col("svxy")),
+        Seq("day", "arm"), "left")
+      .join(prior, Seq("arm"), "left")
+      .withColumn("n", coalesce(col("p_n"), lit(0L)) +
+        sum(coalesce(col("en"), lit(0L))).over(byArm))
+      .withColumn("s", coalesce(col("p_s"), lit(0.0)) +
+        sum(coalesce(col("sv"), lit(0.0))).over(byArm))
+      .withColumn("ss", coalesce(col("p_ss"), lit(0.0)) +
+        sum(coalesce(col("svv"), lit(0.0))).over(byArm))
+      .withColumn("sx", coalesce(col("p_sx"), lit(0.0)) +
+        sum(coalesce(col("svx"), lit(0.0))).over(byArm))
+      .withColumn("sxx", coalesce(col("p_sxx"), lit(0.0)) +
+        sum(coalesce(col("svxx"), lit(0.0))).over(byArm))
+      .withColumn("sxy", coalesce(col("p_sxy"), lit(0.0)) +
+        sum(coalesce(col("svxy"), lit(0.0))).over(byArm))
+    val stats = graft.ops.MultiArm.contrastStats(
+      cum.select("arm", "day", "n", "s", "ss", "sx", "sxx", "sxy"),
+      control, tau, math.max(minPerArm, 2L), cupedActive)
+    // cross-batch pieces: k continues the ledger's look count, the
+    // run max folds the ledger's prior max (associative, exact)
+    val runW = byArm.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val withPrior = stats
+      .join(prior.select(col("arm"), col("p_k"), col("p_max"),
+        col("p_max_c")), Seq("arm"), "left")
+      .withColumn("k", col("k") + coalesce(col("p_k"), lit(0L)))
+      .withColumn("max_log_lambda",
+        greatest(coalesce(col("p_max"), lit(Double.NegativeInfinity)),
+          max(col("log_lambda")).over(runW)))
+      .withColumn("p_always_valid",
+        least(lit(1.0), exp(-col("max_log_lambda"))))
+    val scored =
+      if (!cupedActive) withPrior
+      else withPrior
+        .withColumn("max_log_lambda_cuped",
+          greatest(coalesce(col("p_max_c"), lit(Double.NegativeInfinity)),
+            max(col("log_lambda_cuped")).over(runW)))
+        .withColumn("p_always_valid_cuped",
+          least(lit(1.0), exp(-col("max_log_lambda_cuped"))))
+    val ranked = graft.ops.MultiArm.bhPerLook(scored, fdr, cupedActive)
+    // per-window health columns: dead-letter count + k-arm SRM
+    val winStats = windows.crossJoin(broadcast(armsDF))
+      .join(data.select(col("w_start").as("day"), col("arm"), col("en")),
+        Seq("day", "arm"), "left")
+      .withColumn("en", coalesce(col("en"), lit(0L)))
+    val srmPerDay = expectedShares match {
+      case None => windows
+        .withColumn("srm_chi2", lit(null).cast("double"))
+        .withColumn("p_srm", lit(null).cast("double"))
+        .withColumn("srm", lit(false))
+      case Some(sh) =>
+        val sharesDF = broadcast(sh.toSeq.toDF("arm", "share"))
+        val tot = winStats.groupBy("day").agg(sum("en").as("wn"))
+        winStats.join(sharesDF, Seq("arm"), "left")
+          .join(tot, "day")
+          .withColumn("expn", col("wn").cast("double") * col("share"))
+          .groupBy("day").agg(
+            sum(when(col("expn") > 0.0,
+              (col("en").cast("double") - col("expn")) *
+                (col("en").cast("double") - col("expn")) / col("expn"))
+              .otherwise(lit(0.0))).as("srm_chi2"),
+            max("wn").as("wn"))
+          .withColumn("p_srm", when(col("wn") > 0,
+            graft.ops.Contingency.chi2UpperP(col("srm_chi2"),
+              lit((armVals.length - 1).toDouble))))
+          .withColumn("srm", coalesce(col("p_srm") < 0.001, lit(false)))
+          .select(col("day"), col("srm_chi2"), col("p_srm"), col("srm"))
+    }
+    val out0 = ranked.withColumnRenamed("day", "w_start")
+      .join(srmPerDay.withColumnRenamed("day", "w_start"),
+        Seq("w_start"), "left")
+      .join(nullArm, Seq("w_start"), "left")
+      .withColumn("null_arm_n", coalesce(col("null_arm_n"), lit(0L)))
+    val out =
+      if (!hasCuped || cupedActive) out0
+      else // pre-upgrade ledger: the adjusted leg is honestly null
+        Seq("theta", "delta_cuped", "se_cuped", "log_lambda_cuped",
+          "p_always_valid_cuped").foldLeft(out0)((df, c) =>
+          df.withColumn(c, lit(null).cast("double")))
+    val ledger =
+      if (!anyWindow) None
+      else {
+        val lastFirst = W.partitionBy("arm").orderBy(col("day").desc)
+        val lastCum = cum.withColumn("__rn", row_number().over(lastFirst))
+          .filter(col("__rn") === 1)
+          .select(Seq(col("arm"), col("n"), col("s"), col("ss")) ++
+            (if (cupedActive) Seq(col("sx"), col("sxx"), col("sxy"))
+             else Seq.empty): _*)
+        val lastStat = scored.withColumn("__rn", row_number().over(lastFirst))
+          .filter(col("__rn") === 1)
+          .select(Seq(col("arm"), col("k").as("k_new"),
+            col("max_log_lambda").as("max_new")) ++
+            (if (cupedActive)
+              Seq(col("max_log_lambda_cuped").as("max_c_new"))
+             else Seq.empty): _*)
+        val led = lastCum
+          .join(lastStat, Seq("arm"), "left")
+          .join(prior.select(col("arm"), col("p_k"), col("p_max"),
+            col("p_max_c")), Seq("arm"), "left")
+          .withColumn("k", coalesce(col("k_new"), col("p_k"), lit(0L)))
+          .withColumn("max_ll", coalesce(col("max_new"), col("p_max"),
+            lit(Double.NegativeInfinity)))
+        Some(
+          if (cupedActive)
+            led.withColumn("max_ll_cuped",
+              coalesce(col("max_c_new"), col("p_max_c"),
+                lit(Double.NegativeInfinity)))
+              .select("arm", "n", "s", "ss", "sx", "sxx", "sxy", "k",
+                "max_ll", "max_ll_cuped")
+          else led.select("arm", "n", "s", "ss", "k", "max_ll"))
+      }
+    (out, ledger)
+  }
+
   /** The ALWAYS-VALID column fold for the scorecard sink (VERDICT r16
     * item 4): the per-window z at :838 is a fixed-horizon statistic — a
     * monitor reading it every window is the textbook peeking protocol.

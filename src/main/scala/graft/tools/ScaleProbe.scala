@@ -173,6 +173,21 @@ object ScaleProbe {
         preCovariate = Some((dim, "user_id", "pre_x")),
         clusterCol = Some("geo"))
     }
+    // the MULTI-ARM scorecard: one (window, arm) stateful aggregation —
+    // with 4 hash arms on a fixed calendar a 10× replay must hold state
+    // at windows × 4, while the fold's arm ledger stays 4 rows
+    runStream("scorecard_sink_multi_arm") { src =>
+      graft.streaming.EventStreams.startMultiArmScorecardSink(
+        src.withColumn("arm",
+          concat(lit("a"), pmod(col("user_id"), lit(4)).cast("string"))),
+        "arm", "conv", "ts", control = "a0",
+        tablePath = s"$tmp/scorecard_abn", writerId = "probe-abn",
+        checkpointDir = s"$tmp/ck_sc_abn",
+        windowLen = "1 hour", watermark = "3650 days",
+        preCovariate = Some((dim, "user_id", "pre_x")),
+        expectedShares = Some(Map(
+          "a0" -> 0.25, "a1" -> 0.25, "a2" -> 0.25, "a3" -> 0.25)))
+    }
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 

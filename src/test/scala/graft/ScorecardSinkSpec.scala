@@ -539,6 +539,115 @@ class ScorecardSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("multi-arm scorecard: streaming == MultiArm.sequential on every window prefix; arm ledger + SRM") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_abn")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_abn_ck").toString
+    val tau = 0.1
+    val abnRows: Seq[(Timestamp, String, Int, Long)] = for {
+      hour <- Seq(10, 11, 12)
+      i <- 1 to 40
+    } yield {
+      val uid = ((i + hour * 7) % 24).toLong
+      (t(f"2024-01-01 $hour%02d:00:${i % 60}%02d"), s"a${uid % 4}",
+        (i + hour + uid.toInt) % 3 min 1, uid)
+    }
+    val dim = abnRows.map(r => (r._4, (r._4 % 5).toDouble)).distinct
+      .toDF("uid", "pre_x")
+    val ms = MemoryStream[(Timestamp, String, Int, Long)]
+    val q = EventStreams.startMultiArmScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "uid"), "arm", "conv", "ts",
+      control = "a0", tablePath = path, writerId = "scorecard-abn-spec",
+      checkpointDir = ckpt, windowLen = "1 hour", watermark = "10 minutes",
+      tau = tau, minPerArm = 2L,
+      preCovariate = Some((dim, "uid", "pre_x")),
+      expectedShares = Some(Map(
+        "a0" -> 0.25, "a1" -> 0.25, "a2" -> 0.25, "a3" -> 0.25)))
+    try {
+      abnRows.groupBy(_._1.toLocalDateTime.getHour).toSeq.sortBy(_._1)
+        .foreach { case (_, hr) => ms.addData(hr: _*); q.processAllAvailable() }
+      ms.addData((t("2024-01-02 09:00:00"), "a0", 0, 999L))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start", "arm")
+        .collect()
+      assert(got.nonEmpty)
+      // batch twin: same subjects with day = the event's hour window —
+      // shared contrast/BH code, so equality is the cross-batch
+      // fold (ledger moments + prior max + k offset) under test
+      val subj = abnRows.map { case (ts, a, c, uid) =>
+        (ts, a, c.toDouble, (uid % 5).toDouble)
+      }.toDF("ts", "arm", "v", "x")
+        .withColumn("day", date_trunc("hour", col("ts")))
+      val looks = subj.select("day").distinct()
+      val batch = graft.ops.MultiArm.sequential(
+        subj, "arm", "day", "v", looks, "day", control = "a0", tau = tau,
+        minPerArm = 2L, xCol = Some("x"))
+        .collect()
+        .map(r => (r.getAs[Timestamp]("day"), r.getAs[String]("arm")) -> r)
+        .toMap
+      assert(batch.nonEmpty)
+      var compared = 0
+      got.foreach { s =>
+        batch.get((s.getAs[Timestamp]("w_start"), s.getAs[String]("arm")))
+          .foreach { b =>
+            compared += 1
+            assert(s.getAs[Long]("k") == b.getAs[Long]("k"))
+            assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+            Seq("mean", "delta", "log_lambda", "p_always_valid", "theta",
+              "delta_cuped", "se_cuped", "log_lambda_cuped",
+              "p_always_valid_cuped", "q_bh").foreach { cn =>
+              assert(math.abs(s.getAs[Double](cn) - b.getAs[Double](cn)) < 1e-12,
+                s"$cn @ ${s.getAs[Timestamp]("w_start")} ${s.getAs[String]("arm")}")
+            }
+            assert(s.getAs[Long]("m") == b.getAs[Long]("m"))
+            assert(s.getAs[Long]("rk") == b.getAs[Long]("rk"))
+            assert(s.getAs[Boolean]("discovery") == b.getAs[Boolean]("discovery"))
+          }
+      }
+      assert(compared == got.length && compared == batch.size,
+        s"row sets must match: streaming ${got.length}, batch ${batch.size}, compared $compared")
+      // balanced fixture: SRM present and quiet; no dead letters
+      got.foreach { s =>
+        assert(s.getAs[Long]("null_arm_n") == 0L)
+        val p = s.getAs[Double]("p_srm")
+        assert(p >= 0.0 && p <= 1.0)
+        assert(!s.getAs[Boolean]("srm"))
+      }
+      // the arm ledger is arm-sized and carries the cumulative census
+      // (the sentinel's window never closed, so it never reached the sink)
+      val led = VersionedTable.table(spark, s"${path}_arms").collect()
+      assert(led.map(_.getAs[String]("arm")).sorted.toSeq ==
+        Seq("a0", "a1", "a2", "a3"))
+      assert(led.map(_.getAs[Long]("n")).sum == abnRows.length.toLong)
+    } finally q.stop()
+  }
+
+  test("multi-arm fold: segmentation-grade arm column and dead letters") {
+    import spark.implicits._
+    val many = (0 until 70).map(i =>
+      (t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), s"a$i",
+        5L, 2.0, 1.0)).toDF("w_start", "w_end", "arm", "en", "sv", "svv")
+    val e = intercept[IllegalArgumentException](
+      EventStreams.multiArmFold(many, fresh("abn_refuse"), "a0",
+        0.1, 0.05, 2L, None))
+    assert(e.getMessage.contains("segmentation"), e.getMessage)
+    // null arms are counted per window, not inferred over
+    val withNull = Seq(
+      (t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), "a0", 5L, 2.0, 1.0),
+      (t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), "a1", 5L, 3.0, 2.0),
+      (t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), null.asInstanceOf[String], 7L, 1.0, 1.0))
+      .toDF("w_start", "w_end", "arm", "en", "sv", "svv")
+    val (out, ledger) = EventStreams.multiArmFold(withNull,
+      fresh("abn_null"), "a0", 0.1, 0.05, 2L, None)
+    val rowsOut = out.collect()
+    assert(rowsOut.length == 1)
+    assert(rowsOut.head.getAs[Long]("null_arm_n") == 7L)
+    assert(rowsOut.head.getAs[String]("arm") == "a1")
+    assert(ledger.isDefined)
+    assert(ledger.get.collect().map(_.getAs[String]("arm")).sorted.toSeq ==
+      Seq("a0", "a1"))
+  }
+
   test("clustered scorecard: a both-arm cluster nulls the robust columns and is counted") {
     val mixed = (1 to 40).map { i =>
       // cluster g0 deliberately receives BOTH arms
