@@ -825,7 +825,20 @@ object EventStreams {
     * readout. CUPED: `preCovariate` streams the x-moments; a ledger
     * committed before the covariate was declared stays x-less and the
     * adjusted leg reads null (a zero-defaulted Σx would silently bend
-    * θ — declared inconsistency beats a quietly wrong adjustment). */
+    * θ — declared inconsistency beats a quietly wrong adjustment).
+    *
+    * CLUSTER-randomized variant (`clusterCol`): the stateful key
+    * becomes (window, cluster, arm) — still design-sized, a pure
+    * cluster carries one arm — and the sink folds CLUSTER ledgers
+    * instead: per-(cluster, arm) cumulative sums + FIRST-TOUCH window
+    * at `<tablePath>_clusters`, arm look-state at `<tablePath>_arms`.
+    * Each closed window re-derives [[graft.ops.MultiArm
+    * .sequentialClustered]]'s exact readout (first-touch attribution, a
+    * second arm's touch excludes the cluster forever and counts it in
+    * `mixed_m`, cluster-mean moments, mSPRT + per-look BH) — streaming
+    * == batch on every window prefix including invasions that CROSS
+    * micro-batches, because first-touch windows fold by min and every
+    * statistic is a pure function of the folded sums (spec-pinned). */
   def startMultiArmScorecardSink(
       events: DataFrame, armCol: String, convCol: String, tsCol: String,
       control: String, tablePath: String, writerId: String,
@@ -833,31 +846,59 @@ object EventStreams {
       watermark: String = "10 minutes", tau: Double = 0.1,
       fdr: Double = 0.05, minPerArm: Long = 2L,
       preCovariate: Option[(DataFrame, String, String)] = None,
-      expectedShares: Option[Map[String, Double]] = None): StreamingQuery = {
+      expectedShares: Option[Map[String, Double]] = None,
+      clusterCol: Option[String] = None): StreamingQuery = {
     require(tau > 0, s"tau must be positive (the mixture scale), got $tau")
     require(fdr > 0 && fdr < 1, s"fdr must be in (0,1), got $fdr")
     expectedShares.foreach { sh =>
       require(sh.nonEmpty && math.abs(sh.values.sum - 1.0) < 1e-9,
         s"expectedShares must sum to 1, got ${sh.values.sum}")
     }
-    val perArm = multiArmPerArm(
-      events, armCol, convCol, tsCol, windowLen, watermark, preCovariate)
-    perArm.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val (out, newLedger) = multiArmFold(
-          batch.toDF(), tablePath, control, tau, fdr, minPerArm,
-          expectedShares)
-        graft.io.VersionedTable.commitStreamBatch(
-          out, tablePath, writerId, batchId)
-        newLedger.foreach { led =>
-          graft.io.VersionedTable.commitOverwriteBatch(
-            led, s"${tablePath}_arms", writerId, batchId)
-        }
-        ()
-      }
-      .start()
+    clusterCol match {
+      case None =>
+        val perArm = multiArmPerArm(
+          events, armCol, convCol, tsCol, windowLen, watermark, preCovariate)
+        perArm.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val (out, newLedger) = multiArmFold(
+              batch.toDF(), tablePath, control, tau, fdr, minPerArm,
+              expectedShares)
+            graft.io.VersionedTable.commitStreamBatch(
+              out, tablePath, writerId, batchId)
+            newLedger.foreach { led =>
+              graft.io.VersionedTable.commitOverwriteBatch(
+                led, s"${tablePath}_arms", writerId, batchId)
+            }
+            ()
+          }
+          .start()
+      case Some(cc) =>
+        val perCl = multiArmPerCluster(
+          events, armCol, convCol, tsCol, cc, windowLen, watermark,
+          preCovariate)
+        perCl.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val (out, newClusters, newArms) = multiArmClusterFold(
+              batch.toDF(), tablePath, control, tau, fdr, minPerArm,
+              expectedShares)
+            graft.io.VersionedTable.commitStreamBatch(
+              out, tablePath, writerId, batchId)
+            newClusters.foreach { led =>
+              graft.io.VersionedTable.commitOverwriteBatch(
+                led, s"${tablePath}_clusters", writerId, batchId)
+            }
+            newArms.foreach { led =>
+              graft.io.VersionedTable.commitOverwriteBatch(
+                led, s"${tablePath}_arms", writerId, batchId)
+            }
+            ()
+          }
+          .start()
+    }
   }
 
   /** The k-arm scorecard's ONE stateful operator: (window, arm) keyed
@@ -1000,33 +1041,9 @@ object EventStreams {
           least(lit(1.0), exp(-col("max_log_lambda_cuped"))))
     val ranked = graft.ops.MultiArm.bhPerLook(scored, fdr, cupedActive)
     // per-window health columns: dead-letter count + k-arm SRM
-    val winStats = windows.crossJoin(broadcast(armsDF))
-      .join(data.select(col("w_start").as("day"), col("arm"), col("en")),
-        Seq("day", "arm"), "left")
-      .withColumn("en", coalesce(col("en"), lit(0L)))
-    val srmPerDay = expectedShares match {
-      case None => windows
-        .withColumn("srm_chi2", lit(null).cast("double"))
-        .withColumn("p_srm", lit(null).cast("double"))
-        .withColumn("srm", lit(false))
-      case Some(sh) =>
-        val sharesDF = broadcast(sh.toSeq.toDF("arm", "share"))
-        val tot = winStats.groupBy("day").agg(sum("en").as("wn"))
-        winStats.join(sharesDF, Seq("arm"), "left")
-          .join(tot, "day")
-          .withColumn("expn", col("wn").cast("double") * col("share"))
-          .groupBy("day").agg(
-            sum(when(col("expn") > 0.0,
-              (col("en").cast("double") - col("expn")) *
-                (col("en").cast("double") - col("expn")) / col("expn"))
-              .otherwise(lit(0.0))).as("srm_chi2"),
-            max("wn").as("wn"))
-          .withColumn("p_srm", when(col("wn") > 0,
-            graft.ops.Contingency.chi2UpperP(col("srm_chi2"),
-              lit((armVals.length - 1).toDouble))))
-          .withColumn("srm", coalesce(col("p_srm") < 0.001, lit(false)))
-          .select(col("day"), col("srm_chi2"), col("p_srm"), col("srm"))
-    }
+    val srmPerDay = armSrmPerWindow(windows, armsDF,
+      data.select(col("w_start").as("day"), col("arm"), col("en")),
+      armVals.length, expectedShares)
     val out0 = ranked.withColumnRenamed("day", "w_start")
       .join(srmPerDay.withColumnRenamed("day", "w_start"),
         Seq("w_start"), "left")
@@ -1071,6 +1088,262 @@ object EventStreams {
           else led.select("arm", "n", "s", "ss", "k", "max_ll"))
       }
     (out, ledger)
+  }
+
+  /** Per-window k-arm SRM — chi-square over this window's per-arm
+    * subject counts against the declared shares (df = k−1,
+    * [[graft.ops.Contingency.chi2UpperP]] by call); null columns when
+    * no shares are declared. Shared by the iid and clustered k-arm
+    * folds. `perWinCounts` = (day, arm, en). */
+  private def armSrmPerWindow(
+      windows: DataFrame, armsDF: DataFrame, perWinCounts: DataFrame,
+      nArms: Int, expectedShares: Option[Map[String, Double]]): DataFrame = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    expectedShares match {
+      case None => windows
+        .withColumn("srm_chi2", lit(null).cast("double"))
+        .withColumn("p_srm", lit(null).cast("double"))
+        .withColumn("srm", lit(false))
+      case Some(sh) =>
+        val winStats = windows.crossJoin(broadcast(armsDF))
+          .join(perWinCounts, Seq("day", "arm"), "left")
+          .withColumn("en", coalesce(col("en"), lit(0L)))
+        val sharesDF = broadcast(sh.toSeq.toDF("arm", "share"))
+        val tot = winStats.groupBy("day").agg(sum("en").as("wn"))
+        winStats.join(sharesDF, Seq("arm"), "left")
+          .join(tot, "day")
+          .withColumn("expn", col("wn").cast("double") * col("share"))
+          .groupBy("day").agg(
+            sum(when(col("expn") > 0.0,
+              (col("en").cast("double") - col("expn")) *
+                (col("en").cast("double") - col("expn")) / col("expn"))
+              .otherwise(lit(0.0))).as("srm_chi2"),
+            max("wn").as("wn"))
+          .withColumn("p_srm", when(col("wn") > 0,
+            graft.ops.Contingency.chi2UpperP(col("srm_chi2"),
+              lit((nArms - 1).toDouble))))
+          .withColumn("srm", coalesce(col("p_srm") < 0.001, lit(false)))
+          .select(col("day"), col("srm_chi2"), col("p_srm"), col("srm"))
+    }
+  }
+
+  /** The CLUSTERED k-arm scorecard's ONE stateful operator:
+    * (window, cluster, arm) keyed sums — counts, Σy (+ Σx with
+    * `preCovariate`). Design-sized: a pure cluster carries one arm, so
+    * the key count tracks clusters, not rows. Squares are NOT needed:
+    * cluster-level variance comes from the spread of cluster MEANS,
+    * computed in the fold. */
+  private[graft] def multiArmPerCluster(
+      events: DataFrame, armCol: String, convCol: String, tsCol: String,
+      clusterCol: String, windowLen: String, watermark: String,
+      preCovariate: Option[(DataFrame, String, String)]): DataFrame = {
+    val arm = col(armCol).cast("string")
+    val y = col(convCol).cast("double")
+    val src = preCovariate match {
+      case None => events
+      case Some((dim, subjectCol, xCol)) =>
+        events.join(
+          broadcast(dim.select(col(subjectCol),
+            col(xCol).cast("double").as("__graft_x"))),
+          Seq(subjectCol), "left")
+          .withColumn("__graft_x", coalesce(col("__graft_x"), lit(0.0)))
+    }
+    val x = col("__graft_x")
+    val xAggs =
+      if (preCovariate.isEmpty) Seq.empty else Seq(sum(x).as("sx"))
+    val aggs = Seq(sum(lit(1L)).as("en"), sum(y).as("sy")) ++ xAggs
+    src.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        col(clusterCol).cast("string").as("cluster"), arm.as("arm"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("cluster"), col("arm"),
+        col("en"), col("sy")) ++
+        (if (preCovariate.isEmpty) Seq.empty else Seq(col("sx"))): _*)
+  }
+
+  /** The always-valid CLUSTERED k-arm fold — the streaming twin of
+    * [[graft.ops.MultiArm.sequentialClustered]], rebuilt at each commit
+    * from two ledgers: per-(cluster, arm) cumulative sums + first-touch
+    * window (`<tablePath>_clusters`) and per-arm look state
+    * (`<tablePath>_arms`). First-touch attribution folds exactly (min
+    * is associative; a second arm's touch in ANY batch excludes the
+    * cluster from that window on), cluster means come from the folded
+    * sums, and the contrast/BH tail is [[graft.ops.MultiArm]]'s code by
+    * call — so streaming == batch on every window prefix, including
+    * invasions that cross micro-batches. Returns
+    * (scorecard rows, cluster-ledger snapshot, arm-ledger snapshot);
+    * ledgers are None when the batch closed no windows. */
+  private[graft] def multiArmClusterFold(
+      batch: DataFrame, tablePath: String, control: String, tau: Double,
+      fdr: Double, minClusters: Long,
+      expectedShares: Option[Map[String, Double]])
+      : (DataFrame, Option[DataFrame], Option[DataFrame]) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val clLedgerPath = s"${tablePath}_clusters"
+    val armLedgerPath = s"${tablePath}_arms"
+    val hasCuped = batch.columns.contains("sx")
+    val nullArm = batch.filter(col("arm").isNull)
+      .groupBy(col("w_start")).agg(sum("en").as("null_arm_n"))
+    val data0 = batch.filter(col("arm").isNotNull)
+    val data =
+      if (hasCuped) data0 else data0.withColumn("sx", lit(0.0))
+    val (priorCl: DataFrame, priorHasX: Boolean) =
+      if (graft.io.VersionedTable.versions(spark, clLedgerPath).isEmpty)
+        (Seq.empty[(String, String, Long, Double, Double, java.sql.Timestamp)]
+          .toDF("cluster", "arm", "n", "sy", "sx", "first_w"), true)
+      else {
+        val led = graft.io.VersionedTable.read(spark, clLedgerPath)
+        val hasX = led.columns.contains("sx")
+        (led.select(Seq(col("cluster"), col("arm"), col("n"), col("sy")) ++
+          (if (hasX) Seq(col("sx")) else Seq(lit(0.0).as("sx"))) ++
+          Seq(col("first_w")): _*), hasX)
+      }
+    val cupedActive = hasCuped && priorHasX
+    val priorArm: DataFrame =
+      if (graft.io.VersionedTable.versions(spark, armLedgerPath).isEmpty)
+        Seq.empty[(String, Long, Double)].toDF("arm", "k", "max_ll")
+          .withColumn("max_ll_cuped", lit(null).cast("double"))
+      else {
+        val led = graft.io.VersionedTable.read(spark, armLedgerPath)
+        led.select(col("arm"), col("k"), col("max_ll"),
+          if (led.columns.contains("max_ll_cuped")) col("max_ll_cuped")
+          else lit(null).cast("double").as("max_ll_cuped"))
+      }
+    val armVals = priorCl.select("arm").union(data.select("arm"))
+      .distinct().limit(66).collect().map(_.getString(0)).toSeq
+    require(armVals.length <= 64,
+      "arm column has more than 64 levels — that is a segmentation, " +
+        "not an experiment (check the column)")
+    expectedShares.foreach { sh =>
+      val missing = armVals.filterNot(sh.contains)
+      require(missing.isEmpty,
+        s"expectedShares missing arm(s): ${missing.sorted.mkString(", ")}")
+    }
+    val windows = batch.select(col("w_start").as("day")).distinct()
+    val anyWindow = !windows.isEmpty
+    // the (cluster, arm) universe: design-sized (pure clusters carry
+    // one arm), folded across ledger ∪ batch
+    val pairs = priorCl.select("cluster", "arm")
+      .union(data.select("cluster", "arm")).distinct()
+    val byPair = W.partitionBy("cluster", "arm").orderBy("day")
+    val cum = windows.crossJoin(pairs)
+      .join(data.select(col("w_start").as("day"), col("cluster"),
+        col("arm"), col("en"), col("sy"), col("sx")),
+        Seq("day", "cluster", "arm"), "left")
+      .join(priorCl.select(col("cluster"), col("arm"), col("n").as("p_n"),
+        col("sy").as("p_sy"), col("sx").as("p_sx"),
+        col("first_w").as("p_first")), Seq("cluster", "arm"), "left")
+      .withColumn("cn", coalesce(col("p_n"), lit(0L)) +
+        sum(coalesce(col("en"), lit(0L))).over(byPair))
+      .withColumn("csy", coalesce(col("p_sy"), lit(0.0)) +
+        sum(coalesce(col("sy"), lit(0.0))).over(byPair))
+      .withColumn("csx", coalesce(col("p_sx"), lit(0.0)) +
+        sum(coalesce(col("sx"), lit(0.0))).over(byPair))
+      .withColumn("first_w", coalesce(col("p_first"),
+        min(when(col("en") > 0L, col("day"))).over(byPair)))
+    // first-touch attribution AT each window: among this cluster's
+    // touched pairs, the (first_w, arm)-least owns it; a touched second
+    // pair means the cluster is mixed from here on
+    val byClDay = W.partitionBy("cluster", "day")
+      .orderBy(col("first_w").asc_nulls_last, col("arm"))
+    val att = cum.withColumn("rn", row_number().over(byClDay))
+    val mixedAt = att
+      .filter(col("rn") === 2 && col("first_w").isNotNull)
+      .select(col("cluster"), col("day")).withColumn("mixed", lit(true))
+    val own = att.filter(col("rn") === 1 && col("first_w").isNotNull)
+      .join(mixedAt, Seq("cluster", "day"), "left")
+    val contrib = !coalesce(col("mixed"), lit(false))
+    val my = col("csy") / col("cn")
+    val mx = col("csx") / col("cn")
+    val armDay = own.groupBy(col("day"), col("arm")).agg(
+      sum(when(contrib, 1L).otherwise(0L)).as("n"),
+      sum(when(contrib, my).otherwise(lit(0.0))).as("s"),
+      sum(when(contrib, my * my).otherwise(lit(0.0))).as("ss"),
+      sum(when(contrib, mx).otherwise(lit(0.0))).as("sx"),
+      sum(when(contrib, mx * mx).otherwise(lit(0.0))).as("sxx"),
+      sum(when(contrib, mx * my).otherwise(lit(0.0))).as("sxy"))
+    val mixedPerDay = windows
+      .join(mixedAt.groupBy("day").agg(count(lit(1)).as("mixed_m")),
+        Seq("day"), "left")
+      .withColumn("mixed_m", coalesce(col("mixed_m"), lit(0L)))
+    val stats = graft.ops.MultiArm.contrastStats(
+      armDay, control, tau, math.max(minClusters, 2L), cupedActive)
+    val prior = priorArm.select(col("arm"), col("k").as("p_k"),
+      col("max_ll").as("p_max"), col("max_ll_cuped").as("p_max_c"))
+    val byArm = W.partitionBy("arm").orderBy("day")
+    val runW = byArm.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val withPrior = stats
+      .join(prior, Seq("arm"), "left")
+      .withColumn("k", col("k") + coalesce(col("p_k"), lit(0L)))
+      .withColumn("max_log_lambda",
+        greatest(coalesce(col("p_max"), lit(Double.NegativeInfinity)),
+          max(col("log_lambda")).over(runW)))
+      .withColumn("p_always_valid",
+        least(lit(1.0), exp(-col("max_log_lambda"))))
+    val scored =
+      if (!cupedActive) withPrior
+      else withPrior
+        .withColumn("max_log_lambda_cuped",
+          greatest(coalesce(col("p_max_c"), lit(Double.NegativeInfinity)),
+            max(col("log_lambda_cuped")).over(runW)))
+        .withColumn("p_always_valid_cuped",
+          least(lit(1.0), exp(-col("max_log_lambda_cuped"))))
+    val ranked = graft.ops.MultiArm.bhPerLook(scored, fdr, cupedActive)
+    val armsDF = armVals.toDF("arm")
+    val srmPerDay = armSrmPerWindow(windows, armsDF,
+      data.groupBy(col("w_start").as("day"), col("arm"))
+        .agg(sum("en").as("en")),
+      armVals.length, expectedShares)
+    val out0 = ranked.withColumnRenamed("day", "w_start")
+      .join(mixedPerDay.withColumnRenamed("day", "w_start"),
+        Seq("w_start"), "left")
+      .join(srmPerDay.withColumnRenamed("day", "w_start"),
+        Seq("w_start"), "left")
+      .join(nullArm, Seq("w_start"), "left")
+      .withColumn("null_arm_n", coalesce(col("null_arm_n"), lit(0L)))
+    val out =
+      if (!hasCuped || cupedActive) out0
+      else Seq("theta", "delta_cuped", "se_cuped", "log_lambda_cuped",
+        "p_always_valid_cuped").foldLeft(out0)((df, c) =>
+        df.withColumn(c, lit(null).cast("double")))
+    val (clusterLedger, armLedger) =
+      if (!anyWindow) (None, None)
+      else {
+        val lastFirst = W.partitionBy("cluster", "arm").orderBy(col("day").desc)
+        val lastCum = cum.withColumn("__rn", row_number().over(lastFirst))
+          .filter(col("__rn") === 1)
+          .select(Seq(col("cluster"), col("arm"), col("cn").as("n"),
+            col("csy").as("sy")) ++
+            (if (cupedActive) Seq(col("csx").as("sx")) else Seq.empty) ++
+            Seq(col("first_w")): _*)
+        val lastArm = W.partitionBy("arm").orderBy(col("day").desc)
+        val lastStat = scored.withColumn("__rn", row_number().over(lastArm))
+          .filter(col("__rn") === 1)
+          .select(Seq(col("arm"), col("k").as("k_new"),
+            col("max_log_lambda").as("max_new")) ++
+            (if (cupedActive)
+              Seq(col("max_log_lambda_cuped").as("max_c_new"))
+             else Seq.empty): _*)
+        val armLed0 = armsDF
+          .join(lastStat, Seq("arm"), "left")
+          .join(prior, Seq("arm"), "left")
+          .withColumn("k", coalesce(col("k_new"), col("p_k"), lit(0L)))
+          .withColumn("max_ll", coalesce(col("max_new"), col("p_max"),
+            lit(Double.NegativeInfinity)))
+        val armLed =
+          if (cupedActive)
+            armLed0.withColumn("max_ll_cuped",
+              coalesce(col("max_c_new"), col("p_max_c"),
+                lit(Double.NegativeInfinity)))
+              .select("arm", "k", "max_ll", "max_ll_cuped")
+          else armLed0.select("arm", "k", "max_ll")
+        (Some(lastCum), Some(armLed))
+      }
+    (out, clusterLedger, armLedger)
   }
 
   /** The ALWAYS-VALID column fold for the scorecard sink (VERDICT r16

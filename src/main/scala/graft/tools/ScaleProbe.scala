@@ -188,6 +188,21 @@ object ScaleProbe {
         expectedShares = Some(Map(
           "a0" -> 0.25, "a1" -> 0.25, "a2" -> 0.25, "a3" -> 0.25)))
     }
+    // the CLUSTERED multi-arm scorecard keys (window, cluster, arm):
+    // with 97 geos each owning ONE of 4 arms, state must track
+    // windows × 97 (pure clusters carry one arm) — flat at 10× rows
+    runStream("scorecard_multi_arm_cl") { src =>
+      graft.streaming.EventStreams.startMultiArmScorecardSink(
+        src.withColumn("geo", pmod(col("user_id"), lit(97)).cast("string"))
+          .withColumn("arm",
+            concat(lit("a"), (pmod(col("user_id"), lit(97)) % 4).cast("string"))),
+        "arm", "conv", "ts", control = "a0",
+        tablePath = s"$tmp/scorecard_abn_cl", writerId = "probe-abn-cl",
+        checkpointDir = s"$tmp/ck_sc_abn_cl",
+        windowLen = "1 hour", watermark = "3650 days",
+        preCovariate = Some((dim, "user_id", "pre_x")),
+        clusterCol = Some("geo"))
+    }
     graft.queries.Scratch.rmTree(new java.io.File(tmp))
   }
 

@@ -622,6 +622,90 @@ class ScorecardSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("clustered multi-arm scorecard: streaming == MultiArm.sequentialClustered incl. cross-batch invasion") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = fresh("scorecard_abn_cl")
+    val ckpt = java.nio.file.Files.createTempDirectory("scorecard_abn_cl_ck").toString
+    val tau = 0.1
+    val baseRows: Seq[(Timestamp, String, Int, Long, String)] = for {
+      hour <- Seq(10, 11, 12)
+      geo <- 0 until 12
+      i <- 1 to 6
+    } yield (t(f"2024-01-01 $hour%02d:00:${(geo * 6 + i) % 60}%02d"),
+      s"a${geo % 4}", (i + hour + geo) % 3 min 1, (geo * 10 + i).toLong,
+      s"g$geo")
+    // geo g1 (own arm a1 from hour 10) is invaded by a2 in hour 12 —
+    // the invasion CROSSES micro-batches relative to g1's first touch
+    val invasion = (1 to 3).map(i =>
+      (t(f"2024-01-01 12:00:${40 + i}%02d"), "a2", 1, (990 + i).toLong, "g1"))
+    val allRows = baseRows ++ invasion
+    val dim = allRows.map(r => (r._4, (r._4 % 5).toDouble)).distinct
+      .toDF("uid", "pre_x")
+    val ms = MemoryStream[(Timestamp, String, Int, Long, String)]
+    val q = EventStreams.startMultiArmScorecardSink(
+      ms.toDF().toDF("ts", "arm", "conv", "uid", "geo"), "arm", "conv", "ts",
+      control = "a0", tablePath = path, writerId = "scorecard-abn-cl-spec",
+      checkpointDir = ckpt, windowLen = "1 hour", watermark = "10 minutes",
+      tau = tau, minPerArm = 2L,
+      preCovariate = Some((dim, "uid", "pre_x")),
+      clusterCol = Some("geo"))
+    try {
+      allRows.groupBy(_._1.toLocalDateTime.getHour).toSeq.sortBy(_._1)
+        .foreach { case (_, hr) => ms.addData(hr: _*); q.processAllAvailable() }
+      ms.addData((t("2024-01-02 09:00:00"), "a0", 0, 1L, "g0"))
+      q.processAllAvailable()
+      val got = VersionedTable.table(spark, path).orderBy("w_start", "arm")
+        .collect()
+      assert(got.nonEmpty)
+      val subj = allRows.map { case (ts, a, c, uid, geo) =>
+        (ts, a, c.toDouble, (uid % 5).toDouble, geo)
+      }.toDF("ts", "arm", "v", "x", "geo")
+        .withColumn("day", date_trunc("hour", col("ts")))
+      val looks = subj.select("day").distinct()
+      val batch = graft.ops.MultiArm.sequentialClustered(
+        subj, "arm", "day", "v", "geo", looks, "day", control = "a0",
+        tau = tau, minClusters = 2L, xCol = Some("x"))
+        .collect()
+        .map(r => (r.getAs[Timestamp]("day"), r.getAs[String]("arm")) -> r)
+        .toMap
+      assert(batch.nonEmpty)
+      var compared = 0
+      got.foreach { s =>
+        batch.get((s.getAs[Timestamp]("w_start"), s.getAs[String]("arm")))
+          .foreach { b =>
+            compared += 1
+            assert(s.getAs[Long]("k") == b.getAs[Long]("k"))
+            assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+            assert(s.getAs[Long]("mixed_m") == b.getAs[Long]("mixed_m"))
+            Seq("mean", "delta", "log_lambda", "p_always_valid", "theta",
+              "delta_cuped", "se_cuped", "log_lambda_cuped",
+              "p_always_valid_cuped", "q_bh").foreach { cn =>
+              assert(math.abs(s.getAs[Double](cn) - b.getAs[Double](cn)) < 1e-12,
+                s"$cn @ ${s.getAs[Timestamp]("w_start")} ${s.getAs[String]("arm")}")
+            }
+            assert(s.getAs[Long]("m") == b.getAs[Long]("m"))
+            assert(s.getAs[Long]("rk") == b.getAs[Long]("rk"))
+            assert(s.getAs[Boolean]("discovery") == b.getAs[Boolean]("discovery"))
+          }
+      }
+      assert(compared == got.length && compared == batch.size,
+        s"row sets must match: streaming ${got.length}, batch ${batch.size}")
+      // the invasion shows exactly where it happened
+      got.foreach { s =>
+        val h = s.getAs[Timestamp]("w_start").toLocalDateTime.getHour
+        assert(s.getAs[Long]("mixed_m") == (if (h == 12) 1L else 0L),
+          s"mixed_m at hour $h")
+      }
+      // ledgers: 12 pure pairs + the invading (g1, a2); 4 arms
+      val cl = VersionedTable.table(spark, s"${path}_clusters").collect()
+      assert(cl.length == 13)
+      assert(cl.count(r => r.getAs[String]("cluster") == "g1") == 2)
+      val arms = VersionedTable.table(spark, s"${path}_arms").collect()
+      assert(arms.map(_.getAs[String]("arm")).sorted.toSeq ==
+        Seq("a0", "a1", "a2", "a3"))
+    } finally q.stop()
+  }
+
   test("multi-arm fold: segmentation-grade arm column and dead letters") {
     import spark.implicits._
     val many = (0 until 70).map(i =>
