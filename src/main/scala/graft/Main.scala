@@ -243,6 +243,22 @@ object Main {
       }
       spark.stop()
       if (!r.ok) sys.exit(1)
+    case "experiment-report" :: sfDir :: "--arms" :: Nil =>
+      // the same population read as a FOUR-arm experiment (iid and
+      // geo-randomized): every readout multiplicity-controlled; the
+      // analysis lives in ExperimentReport.multiArmSections (spec-pinned)
+      val spark = GraftSession.local()
+      val subjects = graft.tools.ExperimentReport.subjects(spark, sfDir).cache()
+      graft.tools.ExperimentReport.multiArmSections(subjects).foreach {
+        case (title, body) =>
+          println(s"== $title ==")
+          try body().show(truncate = false)
+          catch {
+            case e: IllegalArgumentException =>
+              println(s"[refused] ${e.getMessage}")
+          }
+      }
+      spark.stop()
     case "experiment-report" :: sfDir :: Nil =>
       // the full A/B readout pipeline in the order a platform runs it —
       // the analysis lives in graft.tools.ExperimentReport (spec-pinned
@@ -310,7 +326,7 @@ object Main {
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | sql <stmt> [sfDir] | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
-          "experiment-report <sfDir> | " +
+          "experiment-report <sfDir> [--arms] | " +
           "corpus-refresh <tablePath> <ledgerDir> [--rebootstrap | fromVersion|none [embParquet ivfDir]] | " +
           "advise-measure <sfDir> <scratchDir> [jsonOut] | " +
           "table-history <path> | " +

@@ -57,6 +57,11 @@ object ExperimentReport {
         (col("user_id") % 53).as("geo"),
         when(hashBit("geo-arm-v1:", col("user_id") % 53) === 1, lit("treat"))
           .otherwise(lit("ctrl")).as("arm_geo"),
+        // the A/B/n designs (sections 7-9b): four arms per USER and four
+        // arms per GEO — deterministic modulo, not a hash, so every arm
+        // (incl. the control) exists even on a 15-user fixture
+        concat(lit("a"), col("user_id") % 4).as("arm4"),
+        concat(lit("a"), (col("user_id") % 53) % 4).as("arm4_geo"),
         ((col("conv_us").isNotNull) &&
           (col("conv_us") - col("entry_us")) < lit(7L * 86400000000L))
           .cast("int").as("conv"),
@@ -192,4 +197,68 @@ object ExperimentReport {
     "6. subgroup honesty: is the pooled lift the whole story?" -> (() =>
       graft.ops.Hte.homogeneity(subjects, "segment", "arm", "conv",
         focal = "treat")))
+
+  /** The A/B/n control arm for sections 7-9b. */
+  val multiArmControl: String = "a0"
+
+  /** The k-arm sequential sections use the HARD floor (2 per side), not
+    * the two-arm preview cut: a k-way split of a small population puts
+    * each arm near the cut, and the always-valid p needs no minimum to
+    * stay honest — thin looks are visibly thin in their own n columns. */
+  val multiArmMinPerArm: Long = 2L
+
+  /** Section 9: the always-valid A/B/n —
+    * [[graft.ops.MultiArm.sequential]] on the four user-hashed arms
+    * with the pre-entry covariate; BH per look over the always-valid
+    * ADJUSTED p's (e-BH — `discovery` can be acted on at any look). */
+  def multiArmSequential(subjects: DataFrame): DataFrame = {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    refuseIfEmpty(
+      graft.ops.MultiArm.sequential(
+        subjects, "arm4", "entry_day", "conv", looks, "day",
+        control = multiArmControl, tau = sequentialTau,
+        minPerArm = multiArmMinPerArm, xCol = Some("activity"))
+        .select("day", "arm", "k", "n", "delta", "theta", "delta_cuped",
+          "p_always_valid_cuped", "m", "rk", "q_bh", "discovery")
+        .orderBy("day", "arm"),
+      "sequential A/B/n readout")
+  }
+
+  /** Section 9b: the always-valid CLUSTER-randomized A/B/n —
+    * [[graft.ops.MultiArm.sequentialClustered]] on the four geo-level
+    * arms: cluster-mean mSPRT per contrast, first-touch attribution,
+    * BH per look. The honest monitor for a k-way market rollout. */
+  def multiArmSequentialClustered(subjects: DataFrame): DataFrame = {
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    refuseIfEmpty(
+      graft.ops.MultiArm.sequentialClustered(
+        subjects, "arm4_geo", "entry_day", "conv", "geo", looks, "day",
+        control = multiArmControl, tau = sequentialTau,
+        minClusters = multiArmMinPerArm, xCol = Some("activity"))
+        .select("day", "arm", "k", "n", "mixed_m", "delta", "theta",
+          "delta_cuped", "p_always_valid_cuped", "m", "rk", "q_bh",
+          "discovery")
+        .orderBy("day", "arm"),
+      "clustered sequential A/B/n readout")
+  }
+
+  /** The A/B/n sections (the `--arms` report): the same population read
+    * as a FOUR-arm experiment, iid and cluster-randomized, fixed-horizon
+    * and always-valid — every readout multiplicity-controlled (BH q per
+    * comparison; raw per-arm p < 0.05 on an A/B/C/D is the mistake
+    * these sections exist to prevent). */
+  def multiArmSections(subjects: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "7. A/B/n assignment integrity (k-arm SRM)" -> (() =>
+      graft.ops.Contingency.srm(subjects, "arm4",
+        Seq("a0" -> 0.25, "a1" -> 0.25, "a2" -> 0.25, "a3" -> 0.25))),
+    "8. A/B/n fixed-horizon readout (Welch vs control + BH FDR, CUPED-adjusted) — valid only at the planned horizon" -> (() =>
+      graft.ops.MultiArm.report(subjects, "arm4", "conv",
+        control = multiArmControl, xCol = Some("activity"))),
+    "8b. cluster-randomized A/B/n (cluster means, cluster-level theta + BH) — valid only at the planned horizon" -> (() =>
+      graft.ops.MultiArm.reportClustered(subjects, "arm4_geo", "conv",
+        "geo", control = multiArmControl, xCol = Some("activity"))),
+    "9. sequential A/B/n (always-valid p + e-BH): the k-arm dashboard readout" -> (() =>
+      multiArmSequential(subjects)),
+    "9b. clustered sequential A/B/n (cluster-mean mSPRT + e-BH)" -> (() =>
+      multiArmSequentialClustered(subjects)))
 }

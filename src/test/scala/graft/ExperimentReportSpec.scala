@@ -125,6 +125,53 @@ class ExperimentReportSpec extends SparkSuite {
     }
   }
 
+  test("multi-arm sections 7-9b == the underlying MultiArm operators, in order") {
+    val secs = ExperimentReport.multiArmSections(subjects)
+    assert(secs.map(_._1.take(2)) == Seq("7.", "8.", "8b", "9.", "9b"))
+    // the geo 4-arm design is cluster-randomized by construction
+    val bad = subjects.groupBy("geo")
+      .agg(countDistinct(col("arm4_geo")).as("a")).filter(col("a") =!= 1)
+      .count()
+    assert(bad == 0, s"$bad geos span multiple arm4_geo values")
+    // 8 == MultiArm.report verbatim
+    val got8 = secs(1)._2().collect().map(_.toSeq).toSeq
+    val direct8 = graft.ops.MultiArm.report(subjects, "arm4", "conv",
+      control = ExperimentReport.multiArmControl, xCol = Some("activity"))
+      .collect().map(_.toSeq).toSeq
+    assert(got8 == direct8 && got8.nonEmpty)
+    // 8b == MultiArm.reportClustered verbatim (mixed_m 0: pure geos)
+    val got8b = secs(2)._2().collect()
+    val direct8b = graft.ops.MultiArm.reportClustered(subjects, "arm4_geo",
+      "conv", "geo", control = ExperimentReport.multiArmControl,
+      xCol = Some("activity")).collect()
+    assert(got8b.map(_.toSeq).toSeq == direct8b.map(_.toSeq).toSeq)
+    assert(got8b.forall(_.getAs[Long]("mixed_m") == 0L))
+    // 9 == MultiArm.sequential on the (day, arm) grid
+    val looks = subjects.select(col("entry_day").as("day")).distinct()
+    val direct9 = graft.ops.MultiArm.sequential(
+      subjects, "arm4", "entry_day", "conv", looks, "day",
+      control = ExperimentReport.multiArmControl,
+      tau = ExperimentReport.sequentialTau,
+      minPerArm = ExperimentReport.multiArmMinPerArm,
+      xCol = Some("activity"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[String]("arm")) -> r)
+      .toMap
+    val got9 = ExperimentReport.multiArmSequential(subjects).collect()
+    assert(got9.nonEmpty && got9.length == direct9.size)
+    got9.foreach { g =>
+      val b = direct9((g.getAs[java.sql.Date]("day"), g.getAs[String]("arm")))
+      assert(g.getAs[Double]("p_always_valid_cuped") ==
+        b.getAs[Double]("p_always_valid_cuped"))
+      assert(g.getAs[Double]("q_bh") == b.getAs[Double]("q_bh"))
+      assert(g.getAs[Boolean]("discovery") == b.getAs[Boolean]("discovery"))
+    }
+    // 9b rows exist and are geo-pure on this fixture
+    val got9b = ExperimentReport.multiArmSequentialClustered(subjects).collect()
+    assert(got9b.nonEmpty)
+    got9b.foreach(r => assert(r.getAs[Long]("mixed_m") == 0L))
+  }
+
   test("section list prints every design: iid 1-6 plus clustered 2b/3b/4b in order") {
     val titles = ExperimentReport.sections(subjects).map(_._1)
     assert(titles.size == 10)
