@@ -619,6 +619,27 @@ class ScorecardSinkSpec extends SparkSuite {
       assert(led.map(_.getAs[String]("arm")).sorted.toSeq ==
         Seq("a0", "a1", "a2", "a3"))
       assert(led.map(_.getAs[Long]("n")).sum == abnRows.length.toLong)
+      // forced replay of consumed batchIds: the fold recomputes against
+      // the CURRENT ledgers (deterministic), and both txn gates absorb —
+      // neither the scorecard nor the arm ledger moves
+      val before = VersionedTable.table(spark, path).count()
+      val ledBefore = led.map(_.toSeq).toSet
+      val replayBatch = EventStreams.multiArmPerArm(
+        abnRows.toDF("ts", "arm", "conv", "uid"), "arm", "conv", "ts",
+        "1 hour", "10 minutes", Some((dim, "uid", "pre_x")))
+      val (replayOut, replayLed) = EventStreams.multiArmFold(
+        replayBatch, path, "a0", tau, 0.05, 2L, None)
+      (0L to 3L).foreach { bid =>
+        VersionedTable.commitStreamBatch(
+          replayOut, path, "scorecard-abn-spec", bid)
+        replayLed.foreach(l => VersionedTable.commitOverwriteBatch(
+          l, s"${path}_arms", "scorecard-abn-spec", bid))
+      }
+      assert(VersionedTable.table(spark, path).count() == before,
+        "replayed batches must be absorbed, not re-applied")
+      assert(VersionedTable.table(spark, s"${path}_arms").collect()
+        .map(_.toSeq).toSet == ledBefore,
+        "a replayed ledger overwrite must be absorbed by the txn gate")
     } finally q.stop()
   }
 
