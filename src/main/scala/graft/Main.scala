@@ -243,6 +243,28 @@ object Main {
       }
       spark.stop()
       if (!r.ok) sys.exit(1)
+    case "experiment-report" :: "--subjects" :: subjPath :: rest
+        if rest.isEmpty || rest == List("--arms") =>
+      // the report on a CALLER-SUPPLIED subject frame — the operational
+      // mode: read the parquet, refuse BY NAME if the chosen mode's
+      // columns are missing, then run the same spec-pinned sections
+      val spark = GraftSession.local()
+      val arms = rest.nonEmpty
+      val subjects = graft.tools.ExperimentReport.requireSubjectColumns(
+        spark.read.parquet(subjPath), arms).cache()
+      val secs =
+        if (arms) graft.tools.ExperimentReport.multiArmSections(subjects)
+        else graft.tools.ExperimentReport.sections(subjects)
+      secs.foreach {
+        case (title, body) =>
+          println(s"== $title ==")
+          try body().show(truncate = false)
+          catch {
+            case e: IllegalArgumentException =>
+              println(s"[refused] ${e.getMessage}")
+          }
+      }
+      spark.stop()
     case "experiment-report" :: sfDir :: "--arms" :: Nil =>
       // the same population read as a FOUR-arm experiment (iid and
       // geo-randomized): every readout multiplicity-controlled; the
@@ -326,7 +348,7 @@ object Main {
       System.err.println(
         "usage: pipeline <rawCsv> <outCsv> | query <name> <sfDir> | explain <name> <sfDir> | " +
           "list | sql <stmt> [sfDir] | metrics <name> <sfDir> | lineage <name> <sfDir> | advise <sfDir> | " +
-          "experiment-report <sfDir> [--arms] | " +
+          "experiment-report (<sfDir> | --subjects <parquet>) [--arms] | " +
           "corpus-refresh <tablePath> <ledgerDir> [--rebootstrap | fromVersion|none [embParquet ivfDir]] | " +
           "advise-measure <sfDir> <scratchDir> [jsonOut] | " +
           "table-history <path> | " +

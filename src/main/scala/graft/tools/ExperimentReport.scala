@@ -198,6 +198,24 @@ object ExperimentReport {
       graft.ops.Hte.homogeneity(subjects, "segment", "arm", "conv",
         focal = "treat")))
 
+  /** Column contract for CALLER-SUPPLIED subject frames
+    * (`experiment-report --subjects <parquet>`): the report is
+    * operational on real experiment data, not just the fixture
+    * derivation — a frame missing a column its mode needs refuses BY
+    * NAME before any section runs (a silently skipped section reads as
+    * "checked and fine", the one thing a report must never do). */
+  def requireSubjectColumns(df: DataFrame, arms: Boolean): DataFrame = {
+    val needed =
+      if (arms) Seq("arm4", "arm4_geo", "geo", "entry_day", "conv", "activity")
+      else Seq("arm", "arm_geo", "geo", "segment", "entry_day", "conv",
+        "activity")
+    val missing = needed.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"--subjects frame is missing required column(s): " +
+        s"${missing.mkString(", ")} (this mode reads: ${needed.mkString(", ")})")
+    df
+  }
+
   /** The A/B/n control arm for sections 7-9b. */
   val multiArmControl: String = "a0"
 

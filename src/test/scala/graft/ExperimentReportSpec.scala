@@ -172,6 +172,31 @@ class ExperimentReportSpec extends SparkSuite {
     got9b.foreach(r => assert(r.getAs[Long]("mixed_m") == 0L))
   }
 
+  test("--subjects contract: round-trips through parquet; missing columns refuse by name") {
+    val dir = java.nio.file.Files.createTempDirectory("report_subjects").toString
+    subjects.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // both modes accept the full frame, and the sections run on it
+    ExperimentReport.requireSubjectColumns(back, arms = false)
+    ExperimentReport.requireSubjectColumns(back, arms = true)
+    val direct = graft.ops.MultiArm.report(subjects, "arm4", "conv",
+      control = ExperimentReport.multiArmControl, xCol = Some("activity"))
+      .collect().map(_.toSeq).toSeq
+    val viaParquet = graft.ops.MultiArm.report(back, "arm4", "conv",
+      control = ExperimentReport.multiArmControl, xCol = Some("activity"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaParquet == direct)
+    // a frame missing a mode's column refuses by name
+    val e1 = intercept[IllegalArgumentException](
+      ExperimentReport.requireSubjectColumns(back.drop("segment"), arms = false))
+    assert(e1.getMessage.contains("segment"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      ExperimentReport.requireSubjectColumns(back.drop("arm4_geo"), arms = true))
+    assert(e2.getMessage.contains("arm4_geo"), e2.getMessage)
+    // dropping an arms-only column does NOT block the two-arm mode
+    ExperimentReport.requireSubjectColumns(back.drop("arm4"), arms = false)
+  }
+
   test("section list prints every design: iid 1-6 plus clustered 2b/3b/4b in order") {
     val titles = ExperimentReport.sections(subjects).map(_._1)
     assert(titles.size == 10)

@@ -724,6 +724,30 @@ class ScorecardSinkSpec extends SparkSuite {
       val arms = VersionedTable.table(spark, s"${path}_arms").collect()
       assert(arms.map(_.getAs[String]("arm")).sorted.toSeq ==
         Seq("a0", "a1", "a2", "a3"))
+      // forced replay of consumed batchIds through ALL THREE gates
+      // (scorecard append + cluster-ledger overwrite + arm-ledger
+      // overwrite): absorbed, nothing moves
+      val before = VersionedTable.table(spark, path).count()
+      val clBefore = cl.map(_.toSeq).toSet
+      val armsBefore = arms.map(_.toSeq).toSet
+      val replayBatch = EventStreams.multiArmPerCluster(
+        allRows.toDF("ts", "arm", "conv", "uid", "geo"), "arm", "conv",
+        "ts", "geo", "1 hour", "10 minutes", Some((dim, "uid", "pre_x")))
+      val (rOut, rCl, rArms) = EventStreams.multiArmClusterFold(
+        replayBatch, path, "a0", tau, 0.05, 2L, None)
+      (0L to 3L).foreach { bid =>
+        VersionedTable.commitStreamBatch(
+          rOut, path, "scorecard-abn-cl-spec", bid)
+        rCl.foreach(l => VersionedTable.commitOverwriteBatch(
+          l, s"${path}_clusters", "scorecard-abn-cl-spec", bid))
+        rArms.foreach(l => VersionedTable.commitOverwriteBatch(
+          l, s"${path}_arms", "scorecard-abn-cl-spec", bid))
+      }
+      assert(VersionedTable.table(spark, path).count() == before)
+      assert(VersionedTable.table(spark, s"${path}_clusters").collect()
+        .map(_.toSeq).toSet == clBefore)
+      assert(VersionedTable.table(spark, s"${path}_arms").collect()
+        .map(_.toSeq).toSet == armsBefore)
     } finally q.stop()
   }
 
