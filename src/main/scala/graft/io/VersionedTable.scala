@@ -927,19 +927,38 @@ object VersionedTable {
     keys.mkString(",")
   }
 
-  /** Per-file row counts of freshly staged files — one grouped scan of
-    * the new files only. Bucketed commits always record them: they feed
-    * [[countRows]]'s no-scan path and make [[bucketSkew]] metadata-only. */
+  /** Per-file row counts of freshly staged files — read from the parquet
+    * FOOTERS (exact by format: every row group declares its row count),
+    * not from a scan. Bucketed commits always record them: they feed
+    * [[countRows]]'s no-scan path and make [[bucketSkew]] metadata-only.
+    * The r18 rewrite replaced a grouped count(1) scan job over every
+    * freshly staged file with driver-side footer reads (a small thread
+    * pool — one open per file, no task scheduling, no row decoding),
+    * cutting one full-data job from EVERY commit in the bucketed /
+    * delete / compact / merge lifecycle. */
   private def stagedCounts(
       spark: SparkSession, path: String, names: Seq[String]): Map[String, Long] = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
     if (names.isEmpty) Map.empty
-    else spark.read.parquet(names.map(n => s"$path/data/$n"): _*)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map { r =>
-        val p = new java.net.URI(r.getString(0)).getPath
-        p.substring(p.lastIndexOf("/data/") + "/data/".length) -> r.getLong(1)
-      }.toMap
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, names.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = names.map { n =>
+          new java.util.concurrent.Callable[(String, Long)] {
+            def call(): (String, Long) = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(s"$path/data/$n"), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try n -> r.getRecordCount
+              finally r.close()
+            }
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
   }
 
   /** [[commitBucketed]] under the (writerId, batchId) idempotency txn —

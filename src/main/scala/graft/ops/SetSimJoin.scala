@@ -54,6 +54,15 @@ object SetSimJoin {
     // (df, w) order — replaces the row_number + count window pair (two
     // sort-based WindowExec passes over every element occurrence) with a
     // per-row array sort bounded by set size.
+    // `sets` feeds FOUR consumers (both prefix sides of the candidate
+    // self-join + both verify joins); without materialization Catalyst
+    // plans the whole scan→distinct→df-join→collect subtree once PER
+    // consumer — four full upstream passes for one logical table
+    // (observed in the r18 q211 plan: 4× Scan parquet, 4× the
+    // ObjectHashAggregate). One eager localCheckpoint makes it one pass;
+    // the checkpoint is inside the per-run computation (no cross-run
+    // reuse) and its storage is set-array-sized — the exact join's
+    // already-declared corpus bound.
     val sets = tok.join(freq, "w")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("es"))
@@ -61,6 +70,7 @@ object SetSimJoin {
         col("id"),
         expr("transform(es, e -> e.w)").as("ws"),
         size(col("es")).as("sz"))
+      .localCheckpoint()
     val prefix = sets
       .select(
         col("id"), col("sz"),
