@@ -2431,8 +2431,13 @@ object VersionedTable {
         // survive, so the keep-filter is NOT(pred IS TRUE), not plain !pred
         val isDoomed = org.apache.spark.sql.functions.coalesce(
           predicate, org.apache.spark.sql.functions.lit(false))
-        val (removedCommit, removedNames) = stageData(doomed.filter(isDoomed), path) // CDF tombstones
-        val deleted = spark.read.parquet(s"$path/data/$removedCommit").count()
+        val (_, removedNames) = stageData(doomed.filter(isDoomed), path) // CDF tombstones
+        // deleted-row count from the freshly staged tombstone files'
+        // parquet FOOTERS (exact by format) — the r18 stagedCounts move
+        // applied to delete's return value: the old
+        // spark.read.parquet(...).count() re-scanned every tombstone row
+        // as one extra full-data job per delete (guide §6)
+        val deleted = stagedCounts(spark, path, removedNames).values.sum
         val survivors = doomed.filter(!isDoomed)
         val newNames = claim match {
           case Some((bk, bn)) => stageBucketed(survivors, path, bk, bn)

@@ -28,6 +28,11 @@ object ContentChunking {
 
   /** One row per (idCol, chunk_id): `chunk_text`, `n_tokens`.
     *
+    * `idCol` semantics are PER ROW, not per id: a caller feeding
+    * duplicate idCol values gets independent chunk rows per input row
+    * (duplicate (id, chunk_id) pairs), where the pre-r18 windowed form
+    * would have interleaved the duplicates' tokens into merged chunks.
+    *
     * Semantics (unchanged from the windowed form, oracle-pinned by
     * q264/q265): a flag at token position i (0-based, i ≥ w−1) closes
     * the chunk AT i — the next chunk starts at i+1 — so chunk_id of a

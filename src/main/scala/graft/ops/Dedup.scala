@@ -334,7 +334,20 @@ object Dedup {
     * exclusive, spans ≥ k tokens, non-overlapping and maximal per doc. */
   def repeatedSpans(
       df: DataFrame, textCol: String, idCol: String, k: Int,
-      minOccurrences: Int = 2, hashGrams: Boolean = true): DataFrame = {
+      minOccurrences: Int = 2, hashGrams: Boolean = true): DataFrame =
+    spanArrays(df, textCol, idCol, k, minOccurrences, hashGrams)
+      .select(col(idCol), explode(col("__spans")).as("__sp"))
+      .select(col(idCol),
+        col("__sp.s").as("span_start"), col("__sp.e").as("span_end"))
+
+  /** The per-doc span ARRAYS behind [[repeatedSpans]] — (idCol, __spans:
+    * array<struct<s, e>>), docs with no repeated span absent. Kept
+    * separate so [[stripRepeatedSpans]] consumes the arrays directly
+    * instead of exploding spans only to collect_list them straight back
+    * (the r18 shape paid one extra generate + aggregate pair per call). */
+  private def spanArrays(
+      df: DataFrame, textCol: String, idCol: String, k: Int,
+      minOccurrences: Int, hashGrams: Boolean): DataFrame = {
     require(k >= 2, "span k-grams need k >= 2")
     require(minOccurrences >= 2, "a span repeats only at >= 2 occurrences")
     import org.apache.spark.sql.expressions.Window
@@ -359,20 +372,32 @@ object Dedup {
       .filter(col("__n") >= minOccurrences &&
         !(col(idCol) === col("__keep")(idCol) && col("pos") === col("__keep")("pos")))
       .select(col(idCol), col("pos"))
-    // classic interval merge, windowed PER DOC: a flagged pos covers
-    // [pos, pos+k); a new span starts where pos clears every prior end.
-    // Duplicate positions (one pos flagged via several grams) are safe:
-    // a duplicate's running prevEnd already covers it, so it lands in the
-    // same span — no distinct needed.
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val prevEnd = max(col("pos") + k)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // classic interval merge, ROW-LOCAL per doc (r19, the ContentChunking
+    // pattern): ONE hash aggregate collects each doc's flagged positions,
+    // then the merge is an array-expression projection — sorted
+    // positions, a new span starts at index i when ps[i] > ps[i-1] + k
+    // (touching intervals merge, matching the old window's
+    // `pos > prevEnd` with prevEnd = max(pos)+k = ps[i-1]+k under sorted
+    // order), span k spans [ps[start_k], ps[nextStart−1] + k). This
+    // replaces the doc-keyed WindowExec pair (exchange + sort + running
+    // max + running sum) + trailing groupBy with one exchange-compatible
+    // aggregate and codegen'd array expressions; duplicate positions
+    // (one pos flagged via several grams) sort adjacent and merge into
+    // the same span exactly as the running prevEnd did.
+    val starts = expr(
+      s"""filter(sequence(0, size(__ps) - 1), i ->
+         |  i = 0 OR element_at(__ps, i + 1) > element_at(__ps, i) + $k)""".stripMargin)
+    val spans = expr(
+      s"""transform(__starts, (st, j) -> named_struct(
+         |  's', element_at(__ps, st + 1),
+         |  'e', element_at(__ps,
+         |     IF(j + 1 < size(__starts), element_at(__starts, j + 2), size(__ps))) + $k))"""
+        .stripMargin)
     flagged
-      .withColumn("__ns", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("__sid", sum(col("__ns")).over(w))
-      .groupBy(col(idCol), col("__sid"))
-      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .withColumn("__starts", starts)
+      .select(col(idCol), spans.as("__spans"))
   }
 
   /** Rewrite documents with their repeated spans REMOVED (keeper
@@ -385,9 +410,7 @@ object Dedup {
   def stripRepeatedSpans(
       df: DataFrame, textCol: String, idCol: String, k: Int,
       minOccurrences: Int = 2, hashGrams: Boolean = true): DataFrame = {
-    val spans = repeatedSpans(df, textCol, idCol, k, minOccurrences, hashGrams)
-      .groupBy(idCol)
-      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    val spans = spanArrays(df, textCol, idCol, k, minOccurrences, hashGrams)
     val toksIdx = transform(
       TextFunctions.tokens(col(textCol)),
       (t, i) => struct(t.as("t"), i.as("i")))

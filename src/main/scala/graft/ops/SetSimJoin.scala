@@ -59,10 +59,18 @@ object SetSimJoin {
     // plans the whole scan→distinct→df-join→collect subtree once PER
     // consumer — four full upstream passes for one logical table
     // (observed in the r18 q211 plan: 4× Scan parquet, 4× the
-    // ObjectHashAggregate). One eager localCheckpoint makes it one pass;
-    // the checkpoint is inside the per-run computation (no cross-run
-    // reuse) and its storage is set-array-sized — the exact join's
-    // already-declared corpus bound.
+    // ObjectHashAggregate). A LAZY persist makes it one pass
+    // (CacheManager matches all four references to one InMemoryRelation)
+    // while — unlike r18's eager localCheckpoint — keeping recomputable
+    // lineage (an executor loss at 100 TB recomputes the lost blocks
+    // instead of killing the query, guide §5) and keeping the build
+    // inside the query's own execution, so the scan is visible to
+    // PlanMetrics/the bench plan map again. The cache is inside the
+    // per-run computation (no cross-run reuse), set-array-sized — the
+    // exact join's already-declared corpus bound — spills to disk under
+    // pressure, and is evicted LRU with the run; no unpersist hook
+    // exists on a returned DataFrame, which is the same lifecycle the
+    // r18 localCheckpoint had.
     val sets = tok.join(freq, "w")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("es"))
@@ -70,7 +78,7 @@ object SetSimJoin {
         col("id"),
         expr("transform(es, e -> e.w)").as("ws"),
         size(col("es")).as("sz"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = sets
       .select(
         col("id"), col("sz"),
@@ -82,23 +90,50 @@ object SetSimJoin {
     // floating-point product that lands a hair ABOVE an exact integer
     // from ceil-ing one too high (which would over-prune — a false
     // negative the oracle would catch).
-    val minOverlap = ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    def minOverlapOf(szA: org.apache.spark.sql.Column, szB: org.apache.spark.sql.Column) =
+      ceil(lit(t / (1 + t)) * (szA + szB) - lit(1e-9))
+    // GROUP-based PPJoin positional filter (r19): the pair-dedup shuffle
+    // the old `.distinct()` already paid now carries the per-pair prefix
+    // evidence instead of discarding it — count k of common-in-both-
+    // prefixes elements plus the min/max prefix positions on each side —
+    // and prunes with two EXACT overlap upper bounds before any verify
+    // join runs. Both bounds rest on the shared global (df, w) order:
+    // positions of common elements increase with that order in BOTH
+    // sets, so min(r) and max(r) are attained at the FIRST (c₁) and LAST
+    // (c_k) common prefix element respectively, and any intersection
+    // element outside the common-prefix set orders strictly after c_k
+    // (were it before, it would sit inside both prefixes and be one of
+    // the c_i) — hence
+    //   overlap ≤ k + min(|x|−r_x(c_k), |y|−r_y(c_k))   (suffix after c_k)
+    //   overlap ≤ 1 + min(|x|−r_x(c₁), |y|−r_y(c₁))     (classic ppjoin)
+    // Neither bound can drop a qualifying pair (no false negatives — the
+    // q211 oracle recomputes all pairs from the quadratic join); the old
+    // per-occurrence any-pass filter is exactly the c₁ bound, so this is
+    // strictly tighter at identical shuffle cost (the groupBy partial-
+    // aggregates map-side just as distinct did). NOTE: no per-occurrence
+    // pre-filter may run before this groupBy — dropping a later
+    // occurrence would under-count k and turn the c_k bound into a
+    // false-negative source.
     val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
       .filter(col("a.id") < col("b.id"))
       .filter(
         col("a.sz") * lit(t) <= col("b.sz") &&
           col("b.sz") * lit(t) <= col("a.sz"))
-      // PPJoin positional filter — EXACT here because both sets are
-      // sorted by the SAME global (df, w) order: the pair's first common
-      // element lies inside both prefixes (else neither prefix would
-      // hold any common element, contradicting the prefix principle),
-      // and every other common element follows it in BOTH sets, so
-      // overlap ≤ 1 + min(|x|−r_x, |y|−r_y) at its positions. Keeping
-      // any-occurrence-passes therefore never drops a qualifying pair.
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+        col("a.r").as("r_a"), col("b.r").as("r_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(
+        count(lit(1)).as("k"),
+        min(col("r_a")).as("fr_a"), min(col("r_b")).as("fr_b"),
+        max(col("r_a")).as("lr_a"), max(col("r_b")).as("lr_b"))
       .filter(
-        lit(1) + least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) >= minOverlap)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+        col("k") + least(col("sz_a") - col("lr_a"), col("sz_b") - col("lr_b")) >=
+          minOverlapOf(col("sz_a"), col("sz_b")) &&
+          lit(1) + least(col("sz_a") - col("fr_a"), col("sz_b") - col("fr_b")) >=
+          minOverlapOf(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
       // Candidate-pair cardinality rides the executed plan as an observed
       // metric (surfaced by PlanMetrics → the bench "plan" map): this is
       // the Θ(n²·p) number from the scaling envelope above, so a corpus

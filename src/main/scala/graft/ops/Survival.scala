@@ -1065,7 +1065,18 @@ object Survival {
               .otherwise(0L)), lit(0L)).as("bad"))
         frame(observed, col(tCol), col(eventCol), 1.0)
           .unionAll(frame(subjects, col(sc), lit(0), -1.0))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+      // bound the ITERATED frame's partition count to one per core
+      // (scale-adaptive — defaultParallelism, never a constant): the
+      // upstream union of shuffle outputs arrives in O(shuffle.partitions)
+      // slices, and every Newton pass re-schedules that many tasks over
+      // the cache. Measured on q355 (r19, ProfileJobs): each gridAt job
+      // ran 194 tasks for ~40k cached rows, 0.55-0.78 s/pass of pure
+      // task dispatch — the fit's dominant cost. coalesce is NARROW (no
+      // shuffle added); on a cluster it is 1 cached partition per
+      // executor core, the standard iterative-ML layout.
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cpChecked = false
     def checkIntervals(): Unit =
       if (!cpChecked) {

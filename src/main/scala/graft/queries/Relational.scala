@@ -23,6 +23,38 @@ object Relational {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** Executes `agg` (the co-bucketed join's consumer) ONCE via eager
+    * localCheckpoint and REQUIREs that the JOIN subtree of that same
+    * executed plan planned with ZERO shuffle exchanges — the r19 form of
+    * the bucketed-layout proof (q325/q335/q345/q347/q364). The r18 form
+    * first ran the bare join through a separate noop sink just to have
+    * an executed plan to assert on, paying the whole join TWICE per
+    * query (one extra full execution per bench pass — guide §1.2: don't
+    * compute things you throw away). Scoping the count to the join's
+    * subtree keeps the invariant exactly as strong: the aggregate's own
+    * exchange above the join is outside the claim either way. */
+  private def requireJoinExchangeFree(
+      agg: org.apache.spark.sql.DataFrame, what: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val out = agg.localCheckpoint(eager = true) // the ONE execution
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => q +: walk(q.plan)
+      case other                    => other +: other.children.flatMap(walk)
+    }
+    val all = walk(agg.queryExecution.executedPlan)
+    val join = all.collectFirst { case j: BaseJoinExec => j }.getOrElse(
+      sys.error(s"$what: no join node in the executed plan:\n" +
+        agg.queryExecution.executedPlan))
+    val n = walk(join).count(_.isInstanceOf[ShuffleExchangeExec])
+    require(n == 0,
+      s"$what co-bucketed join must plan exchange-free, got $n:\n$join")
+    out
+  }
+
 
   /** Q1 — scan + projection + total sort (ref: column selection
     * `reduction.scala:32-43`, ordered sink `reduction.scala:23`). */
@@ -2800,8 +2832,6 @@ object Relational {
   val q325 = QueryDef(
     "q325_bucketed_join",
     (s, d) => {
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val root = Scratch.dir("q325")
       val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -2816,26 +2846,15 @@ object Relational {
           ord, "l_orderkey", 16)
         val joined = graft.io.VersionedTable.table(s, li)
           .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
-        joined.write.format("noop").mode("overwrite").save()
-        def walk(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
-          case other => other +: other.children.flatMap(walk)
-        }
-        val nShuffles = walk(joined.queryExecution.executedPlan)
-          .count(_.isInstanceOf[ShuffleExchangeExec])
-        require(nShuffles == 0,
-          s"co-bucketed join must plan exchange-free, got $nShuffles shuffles:\n" +
-            joined.queryExecution.executedPlan)
-        joined
-          .groupBy("o_orderpriority")
-          .agg(
-            count(lit(1)).as("n"),
-            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
-              .as("rev_mm"))
-          .orderBy("o_orderpriority")
-          .localCheckpoint(eager = true)
+        requireJoinExchangeFree(
+          joined
+            .groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n"),
+              r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+                .as("rev_mm"))
+            .orderBy("o_orderpriority"),
+          "q325:")
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
         Scratch.rmTree(new java.io.File(root))
@@ -2862,8 +2881,6 @@ object Relational {
   val q335 = QueryDef(
     "q335_bucketed_maintenance_join",
     (s, d) => {
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val root = Scratch.dir("q335")
       val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -2888,26 +2905,15 @@ object Relational {
           "maintenance dropped the bucketing claim")
         val joined = graft.io.VersionedTable.table(s, li)
           .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
-        joined.write.format("noop").mode("overwrite").save()
-        def walk(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
-          case other => other +: other.children.flatMap(walk)
-        }
-        val nShuffles = walk(joined.queryExecution.executedPlan)
-          .count(_.isInstanceOf[ShuffleExchangeExec])
-        require(nShuffles == 0,
-          s"post-maintenance co-bucketed join must plan exchange-free, got $nShuffles:\n" +
-            joined.queryExecution.executedPlan)
-        joined
-          .groupBy("o_orderpriority")
-          .agg(
-            count(lit(1)).as("n"),
-            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
-              .as("rev_mm"))
-          .orderBy("o_orderpriority")
-          .localCheckpoint(eager = true)
+        requireJoinExchangeFree(
+          joined
+            .groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n"),
+              r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+                .as("rev_mm"))
+            .orderBy("o_orderpriority"),
+          "q335 post-maintenance:")
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
         Scratch.rmTree(new java.io.File(root))
@@ -3083,8 +3089,6 @@ object Relational {
   val q345 = QueryDef(
     "q345_composite_bucket_join",
     (s, d) => {
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val root = Scratch.dir("q345")
       val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -3103,26 +3107,15 @@ object Relational {
           .contains(("l_partkey,l_suppkey", 16)), "composite claim missing")
         val joined = graft.io.VersionedTable.table(s, ta)
           .join(graft.io.VersionedTable.table(s, tb), Seq("l_partkey", "l_suppkey"))
-        joined.write.format("noop").mode("overwrite").save()
-        def walk(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
-          case other => other +: other.children.flatMap(walk)
-        }
-        val nShuffles = walk(joined.queryExecution.executedPlan)
-          .count(_.isInstanceOf[ShuffleExchangeExec])
-        require(nShuffles == 0,
-          s"composite co-bucketed join must plan exchange-free, got $nShuffles:\n" +
-            joined.queryExecution.executedPlan)
-        joined
-          .groupBy((col("l_partkey") % 10).as("pk_mod"))
-          .agg(
-            count(lit(1)).as("n"),
-            r4(sum(col("l_quantity"))).as("sum_qty"),
-            r4(sum(col("l_extendedprice")) / 1e6).as("sum_price_mm"))
-          .orderBy("pk_mod")
-          .localCheckpoint(eager = true)
+        requireJoinExchangeFree(
+          joined
+            .groupBy((col("l_partkey") % 10).as("pk_mod"))
+            .agg(
+              count(lit(1)).as("n"),
+              r4(sum(col("l_quantity"))).as("sum_qty"),
+              r4(sum(col("l_extendedprice")) / 1e6).as("sum_price_mm"))
+            .orderBy("pk_mod"),
+          "q345 composite:")
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
         Scratch.rmTree(new java.io.File(root))
@@ -3153,8 +3146,6 @@ object Relational {
   val q347 = QueryDef(
     "q347_rebucket_recovery_join",
     (s, d) => {
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val root = Scratch.dir("q347")
       val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -3181,26 +3172,15 @@ object Relational {
           .contains(("l_orderkey", 16)), "rebucket must restore the claim")
         val joined = graft.io.VersionedTable.table(s, li)
           .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
-        joined.write.format("noop").mode("overwrite").save()
-        def walk(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
-          case other => other +: other.children.flatMap(walk)
-        }
-        val nShuffles = walk(joined.queryExecution.executedPlan)
-          .count(_.isInstanceOf[ShuffleExchangeExec])
-        require(nShuffles == 0,
-          s"post-rebucket co-bucketed join must plan exchange-free, got $nShuffles:\n" +
-            joined.queryExecution.executedPlan)
-        joined
-          .groupBy("o_orderpriority")
-          .agg(
-            count(lit(1)).as("n"),
-            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
-              .as("rev_mm"))
-          .orderBy("o_orderpriority")
-          .localCheckpoint(eager = true)
+        requireJoinExchangeFree(
+          joined
+            .groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n"),
+              r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+                .as("rev_mm"))
+            .orderBy("o_orderpriority"),
+          "q347 post-rebucket:")
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
         Scratch.rmTree(new java.io.File(root))
@@ -3227,8 +3207,6 @@ object Relational {
   val q364 = QueryDef(
     "q364_bucket_double_join",
     (s, d) => {
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val root = Scratch.dir("q364")
       val bcWas = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -3247,26 +3225,15 @@ object Relational {
           .contains(("l_orderkey", 16)), "the grown claim must hold")
         val joined = graft.io.VersionedTable.table(s, li)
           .join(graft.io.VersionedTable.table(s, ord), "l_orderkey")
-        joined.write.format("noop").mode("overwrite").save()
-        def walk(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec => qe +: walk(qe.plan)
-          case other => other +: other.children.flatMap(walk)
-        }
-        val nShuffles = walk(joined.queryExecution.executedPlan)
-          .count(_.isInstanceOf[ShuffleExchangeExec])
-        require(nShuffles == 0,
-          s"post-growth co-bucketed join must plan exchange-free, got $nShuffles:\n" +
-            joined.queryExecution.executedPlan)
-        joined
-          .groupBy("o_orderpriority")
-          .agg(
-            count(lit(1)).as("n"),
-            r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
-              .as("rev_mm"))
-          .orderBy("o_orderpriority")
-          .localCheckpoint(eager = true)
+        requireJoinExchangeFree(
+          joined
+            .groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n"),
+              r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1e6)
+                .as("rev_mm"))
+            .orderBy("o_orderpriority"),
+          "q364 post-growth:")
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
         Scratch.rmTree(new java.io.File(root))

@@ -1582,10 +1582,36 @@ object Text {
     "q220_inverted_index",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // per-doc term frequencies are ROW-LOCAL (r19, the ContentChunking
+      // pattern): sort the token array, run-length-encode it with array
+      // expressions, explode already-aggregated (term, tf) rows — the
+      // (term, doc_id)-keyed exchange the old explode → groupBy paid
+      // (every token occurrence through one shuffle) disappears; the
+      // multiset of (term, doc_id, tf) rows is identical, so every
+      // downstream aggregate/rank is unchanged (oracle-pinned).
+      // The trailing repartition(term) is the ONE data-sized exchange,
+      // and it is load-bearing twice over: tf feeds two consumers
+      // (termStats and the posting-list window), and without an exchange
+      // boundary Catalyst re-runs the row-local RLE scan per consumer —
+      // the exchange is the reuse point (ReusedExchange). It also leaves
+      // tf hash-partitioned by term, so termStats aggregates and the
+      // term-keyed window sort WITHOUT further exchanges. Net plan: one
+      // exchange of run-length-encoded rows (≈ distinct (term, doc)
+      // pairs) where the r18 shape paid the same exchange PLUS a
+      // term-keyed partial-agg exchange plus a window exchange.
       val tf = docs
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"))
+        .withColumn("_s", array_sort(TextFunctions.tokens(col("text"))))
+        .withColumn("_starts", expr(
+          """filter(sequence(0, size(_s) - 1), i ->
+            |  i = 0 OR element_at(_s, i + 1) != element_at(_s, i))""".stripMargin))
+        .select(col("doc_id"), explode(expr(
+          """transform(_starts, (st, j) -> named_struct(
+            |  'term', element_at(_s, st + 1),
+            |  'tf', CAST(IF(j + 1 < size(_starts),
+            |     element_at(_starts, j + 2), size(_s)) - st AS BIGINT)))"""
+            .stripMargin)).as("_c"))
+        .select(col("_c.term").as("term"), col("doc_id"), col("_c.tf").as("tf"))
+        .repartition(col("term"))
       val termStats = tf.groupBy("term").agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("total_tf"))

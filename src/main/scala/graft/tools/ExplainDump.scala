@@ -29,12 +29,20 @@ object ExplainDump {
     graft.core.GraftSession.quietLogs()
     Files.createDirectories(Paths.get(outDir))
     val mode = ExplainMode.fromString("formatted")
-    SparkEntry.registry.filter(q => q.headline && only.forall(_.contains(q.name)))
+    // an explicit list overrides the headline filter: optimization
+    // evidence is also needed for oracle-gated non-headline queries
+    // (q137/q144 share the repeatedSpans path with headline q138)
+    SparkEntry.registry.filter(q =>
+      only.fold(q.headline)(_.contains(q.name)))
       .foreach { q =>
         try {
           val df = q.run(spark, sfDir)
           val initial = df.queryExecution.explainString(mode)
-          df.write.format("noop").mode("overwrite").save()
+          // execute THIS QueryExecution (a noop write would plan a fresh
+          // one, leaving df's AdaptiveSparkPlanExec unexecuted and the
+          // "final" dump byte-identical to the initial) — same pitfall
+          // PlanMetrics.run documents
+          df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
           val fin = df.queryExecution.explainString(mode)
           val txt =
             s"== ${q.name} @ $sfDir ==\n\n-- initial plan --\n$initial\n" +

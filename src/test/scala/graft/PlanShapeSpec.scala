@@ -215,9 +215,15 @@ class PlanShapeSpec extends SparkSuite {
       s"events must scan once:\n$plan")
   }
 
-  test("q264 chunking runs one doc-keyed window and one assembly aggregation") {
+  test("q264 chunking is row-local: no window, no doc-keyed exchange, chunk-level explode") {
     val plan = finalPlan(SparkEntry.queries("q264_content_chunks")(spark, sf0001))
-    assert(plan.contains("hashpartitioning(doc_id"), s"chunk window must key on doc:\n$plan")
+    // the r18 rewrite assembles chunks with array expressions per document;
+    // a Window or a doc_id-keyed exchange would mean the token-explode +
+    // reassembly shape crept back in
+    assert(!plan.contains("Window"), s"chunking must not window:\n$plan")
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"chunk assembly must not shuffle by doc:\n$plan")
+    assert(plan.contains("Generate explode"), s"chunk rows come from one explode:\n$plan")
     assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
       s"source attribution should not force a second data-sized shuffle:\n$plan")
   }
