@@ -64,12 +64,22 @@ object Bench {
     * cluster scale you would bench the real data instead and set it
     * to 1/0. */
   val ScaleSet: Set[String] = Set(
-    "x10_scan_project_sort", "x10_join_revenue_agg", "x10_token_hist")
+    "x10_scan_project_sort", "x10_join_revenue_agg", "x10_shingle_hash")
 
   def scaleQueries(repl: Int): Seq[QueryDef] = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
-    def rep(df: DataFrame): DataFrame = Seq.fill(repl)(df).reduce(_ unionAll _)
+    // Round-robin redistribution after the union, sized 2× the session's
+    // core count (scale-adaptive, never a constant): each sf0.1 fixture
+    // file is far under maxPartitionBytes, so every union leg is ONE scan
+    // task and map parallelism would cap at `repl` regardless of cores —
+    // the first x10 measurement showed 8c≈32c for exactly that reason.
+    // The repartition makes every downstream stage core-proportional,
+    // which is what this tier exists to measure.
+    def repN(df: DataFrame, n: Int): DataFrame =
+      Seq.fill(n)(df).reduce(_ unionAll _)
+        .repartition(2 * df.sparkSession.sparkContext.defaultParallelism)
+    def rep(df: DataFrame): DataFrame = repN(df, repl)
     Seq(
       QueryDef(
         "x10_scan_project_sort",
@@ -91,13 +101,27 @@ object Bench {
             .orderBy("o_orderpriority"),
         None),
       QueryDef(
-        "x10_token_hist",
+        // replaced x10_token_hist within r19 BEFORE any driver
+        // measurement: a LOW-cardinality token histogram anti-scales
+        // locally (each partition's partial aggregate holds nearly the
+        // full vocabulary, so partial rows grow with the partition count
+        // and 8 cores beat 32) — the CPU-parallelism probe must be
+        // embarrassingly parallel compute. This one is: per row, hash
+        // every word 3-shingle (xxhash64) and fold the hashes row-
+        // locally; the only shuffle is the one-row global sum. 5× the
+        // tier's factor so the hashing dominates scheduling.
+        "x10_shingle_hash",
         (s, d) =>
-          rep(graft.core.Tables.documents(s, d))
-            .select(explode(split(col("text"), " ")).as("term"))
-            .groupBy("term").agg(count(lit(1)).as("n"))
-            .orderBy(col("n").desc, col("term"))
-            .limit(100),
+          repN(graft.core.Tables.documents(s, d), 5 * repl)
+            .select(split(col("text"), " ").as("_t"))
+            // XOR folds (row-local and global): overflow-free under ANSI
+            // while still forcing every shingle hash to be computed
+            .select(expr(
+              """aggregate(
+                |  transform(sequence(1, greatest(size(_t) - 2, 0)),
+                |    i -> xxhash64(concat_ws(' ', slice(_t, i, 3)))),
+                |  0L, (a, x) -> a ^ x)""".stripMargin).as("s"))
+            .agg(expr("bit_xor(s)").as("checksum"), count(lit(1)).as("n_docs")),
         None))
   }
 

@@ -91,10 +91,30 @@ object Dsir {
       raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
       k: Int = 1 << 14, seed: String = "dsir-v1"): DataFrame = {
     val lr = logRatios(raw, target, textCol, k, seed)
-    raw.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), bucket(col("tok"), k, seed).as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    // per-doc bucket counts are ROW-LOCAL (r19, the ContentChunking/RLE
+    // pattern): hash every token to its bucket inside the row, sort the
+    // bucket array, run-length-encode with array expressions, and
+    // explode already-aggregated (bucket, cnt) rows — the
+    // (id, bucket)-keyed exchange the old explode → groupBy paid (one
+    // shuffled row per distinct (doc, bucket) pair) disappears; the
+    // multiset of (id, bucket, cnt) rows is identical (oracle-pinned by
+    // q216/q217), and the only remaining data-sized exchange is the
+    // final id-keyed sum at ONE partial row per document.
+    raw
+      .select(
+        col(idCol),
+        array_sort(transform(
+          TextFunctions.tokens(col(textCol)), t => bucket(t, k, seed))).as("_b"))
+      .withColumn("_starts", expr(
+        """filter(sequence(0, size(_b) - 1), i ->
+          |  i = 0 OR element_at(_b, i + 1) != element_at(_b, i))""".stripMargin))
+      .select(col(idCol), explode(expr(
+        """transform(_starts, (st, j) -> named_struct(
+          |  'bucket', element_at(_b, st + 1),
+          |  'cnt', CAST(IF(j + 1 < size(_starts),
+          |     element_at(_starts, j + 2), size(_b)) - st AS BIGINT)))"""
+          .stripMargin)).as("_c"))
+      .select(col(idCol), col("_c.bucket").as("bucket"), col("_c.cnt").as("cnt"))
       .join(broadcast(lr), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(

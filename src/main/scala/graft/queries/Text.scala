@@ -1611,9 +1611,23 @@ object Text {
             |     element_at(_starts, j + 2), size(_s)) - st AS BIGINT)))"""
             .stripMargin)).as("_c"))
         .select(col("_c.term").as("term"), col("doc_id"), col("_c.tf").as("tf"))
+        // vacuously true (split() never yields null elements) but
+        // REQUIRED for the exchange reuse: the inner join pushes
+        // isnotnull(term) below the exchange on ITS branch only, and a
+        // one-filter difference stops the two subtrees from
+        // canonicalizing equal — stating it once here puts the same
+        // filter under BOTH consumers
+        .filter(col("term").isNotNull)
         .repartition(col("term"))
+      // count(doc_id) — value-identical to count(*) (doc_id is never
+      // null), but it keeps this branch's pruned schema equal to the
+      // window branch's (term, doc_id, tf), so BOTH consumers plan the
+      // exact same exchange subtree and physical planning reuses it
+      // (ReusedExchange). With count(lit(1)) the column pruner narrowed
+      // this branch to (term, tf), the subtrees stopped matching, and
+      // the row-local RLE scan ran once per consumer.
       val termStats = tf.groupBy("term").agg(
-        count(lit(1)).as("df"),
+        count(col("doc_id")).as("df"),
         sum(col("tf")).as("total_tf"))
       val head = termStats
         .orderBy(col("total_tf").desc, col("term"))

@@ -12,6 +12,7 @@ import graft.pipeline.CorpusRefresh
   * VALIDATES ITS OWN jaccard geometry through the engine's functions
   * before asserting pipeline behavior, so a drifted shingle rule fails
   * loudly here instead of silently weakening the keep/drop assertions. */
+@org.scalatest.tags.Slow
 class CorpusRefreshSpec extends SparkSuite {
   import spark.implicits._
 

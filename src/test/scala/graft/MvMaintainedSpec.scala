@@ -16,6 +16,7 @@ import graft.plans.MvRewrite
   * [[VersionedTable.table]] is answered from the state — and stays
   * correct across append, merge, and delete, because the state provider
   * re-resolves the CURRENT view version at plan time. */
+@org.scalatest.tags.Slow
 class MvMaintainedSpec extends SparkSuite {
 
   private val ConfKey = "spark.graft.mvrewrite.enabled"

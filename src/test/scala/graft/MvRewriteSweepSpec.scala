@@ -13,6 +13,7 @@ import graft.plans.MvRewrite
   * matrices in MvRewriteSpec/MvStarRewriteSpec/MvExpandRewriteSpec pin
   * the semantics; this sweep guards the cross-product no one
   * hand-writes. */
+@org.scalatest.tags.Slow
 class MvRewriteSweepSpec extends SparkSuite {
 
   private val ConfKey = "spark.graft.mvrewrite.enabled"

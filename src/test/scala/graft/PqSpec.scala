@@ -9,6 +9,7 @@ import graft.ops.{Ann, Pq}
   * corpus (zero quantization error → ADC == exact cosine), code-shape
   * invariants, recall against brute force on the fixture embeddings,
   * and determinism. */
+@org.scalatest.tags.Slow
 class PqSpec extends SparkSuite {
   import spark.implicits._
 

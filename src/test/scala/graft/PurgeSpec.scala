@@ -12,6 +12,7 @@ import graft.io.VersionedTable
   * version bit-identical (deletion-vector state included), manifests
   * consistent (row counts, stats), and purge scoped to affected files.
   */
+@org.scalatest.tags.Slow
 class PurgeSpec extends SparkSuite {
   import spark.implicits._
 

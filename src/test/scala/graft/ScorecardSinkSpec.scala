@@ -12,6 +12,7 @@ import graft.streaming.EventStreams
   * experiment readout must equal the batch transform on the same rows,
   * land exactly-once in the versioned table under forced foreachBatch
   * replay, and carry the dead-letter/one-armed semantics. */
+@org.scalatest.tags.Slow
 class ScorecardSinkSpec extends SparkSuite {
   import spark.implicits._
 
